@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-flight mirror of the driver's correctness gate.
+
+Usage: python3 dev/check.py /tmp/graft_out [sfdir]
+  (after: sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_out")
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the raw
+testdata tables, sorts columns by name, and diffs values exactly.
+Dev-only tooling (not shipped library code).
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_out")
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracles = json.loads((out / "oracle_sql.json").read_text())
+fails, passes, skips = [], [], []
+for name, sql in sorted(oracles.items()):
+    res_dir = out / name
+    if not res_dir.exists():
+        fails.append((name, "spark result missing"))
+        continue
+    try:
+        got = pd.read_parquet(res_dir)
+        want = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    if list(got.columns) != list(want.columns):
+        fails.append((name, f"columns differ: {list(got.columns)} vs {list(want.columns)}"))
+        continue
+    if len(got) != len(want):
+        fails.append((name, f"rows differ: {len(got)} vs {len(want)}"))
+        continue
+    diff_cols = []
+    for c in got.columns:
+        a, b = got[c], want[c]
+        try:
+            same = (a.isna() == b.isna()).all() and (a.dropna().values == b.dropna().values).all()
+        except Exception:
+            same = a.astype(str).equals(b.astype(str))
+        if not same:
+            diff_cols.append(c)
+    if diff_cols:
+        fails.append((name, f"values differ in {diff_cols}"))
+        ex = pd.concat([got.add_suffix("_spark"), want.add_suffix("_duck")], axis=1)
+        mask = pd.Series(False, index=ex.index)
+        for c in diff_cols:
+            mask |= ~(got[c].astype(str) == want[c].astype(str))
+        print(f"--- {name} first diffs:\n{ex[mask].head(4).to_string()}")
+    else:
+        passes.append((name, len(got)))
+
+for n in sorted(set(p.name for p in out.iterdir() if p.is_dir()) - set(oracles)):
+    skips.append(n)
+
+print(f"\nPASS {len(passes)}: " + ", ".join(f"{n}({r})" for n, r in passes))
+if skips:
+    print(f"ROWS-ONLY {len(skips)}: " + ", ".join(skips))
+if fails:
+    print(f"FAIL {len(fails)}:")
+    for n, why in fails:
+        print(f"  {n}: {why}")
+    sys.exit(1)
+print("all gates green")

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session defaults so Verify/Bench/tests run
+  * the same configuration the library is designed for.
+  */
+object GraftSession {
+
+  def create(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      // Shuffle width sized to the executor slot count, not Spark's
+      // default 200 — at cluster scale this is set to ~2-3× total
+      // cores instead.
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The driver-generated events table stores TIMESTAMP(NANOS),
+      // which Spark 4 rejects by default; read it as long nanos and
+      // convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable pipeline stages ≅ the reference's datatrove
+  * `PipelineStep` chain (reference: pipelines/fineweb/main.py:96-146
+  * builds `[reader, filters..., formatter, writer]`).
+  *
+  * A stage is a declarative DataFrame transform, so an entire
+  * pipeline collapses into ONE Catalyst plan: filters fuse into the
+  * scan, formatters stay inside whole-stage codegen, and nothing
+  * materializes between steps — unlike the reference, which streams
+  * Python objects through each step.
+  */
+sealed trait Stage {
+  def name: String
+}
+
+/** Arbitrary transform (formatters, annotators, re-partitioning). */
+final case class Transform(name: String, f: DataFrame => DataFrame) extends Stage
+
+/** Row filter. `pred` is keep-semantics (true = keep), matching the
+  * reference's `BaseFilter.filter` contract (robots_filter.py:64:
+  * "TRUE == KEPT").
+  */
+final case class DocFilter(name: String, pred: DataFrame => Column) extends Stage
+
+final case class Pipeline(stages: Stage*) {
+
+  /** Run the pipeline, dropping filtered rows. */
+  def run(df: DataFrame): DataFrame =
+    stages.foldLeft(df) {
+      case (d, DocFilter(_, p)) => d.filter(p(d))
+      case (d, Transform(_, f)) => f(d)
+    }
+
+  /** Run the pipeline keeping every row, with a `filter_reason`
+    * column: null = kept, else the name of the FIRST filter stage
+    * that rejected the row. This is the reference's
+    * `exclusion_writer` pattern (writes removed docs + reason to a
+    * side output) done in a single scan — the caller splits on
+    * `filter_reason IS NULL` and writes two sinks from one pass,
+    * instead of re-reading the input per filter as the reference
+    * effectively does with one writer per filter.
+    *
+    * Transforms are applied only to still-kept rows' semantics:
+    * filters are evaluated against the running transform output, and
+    * once a row is rejected later transforms no longer matter for it
+    * (it is already frozen with its reason).
+    */
+  def runWithReasons(df: DataFrame): DataFrame = {
+    val init = df.withColumn("filter_reason", lit(null).cast("string"))
+    stages.foldLeft(init) {
+      case (d, DocFilter(n, p)) =>
+        d.withColumn(
+          "filter_reason",
+          coalesce(col("filter_reason"), when(!p(d), lit(n))))
+      case (d, Transform(_, f)) => f(d)
+    }
+  }
+
+  def kept(df: DataFrame): DataFrame =
+    runWithReasons(df).filter(col("filter_reason").isNull).drop("filter_reason")
+
+  def excluded(df: DataFrame): DataFrame =
+    runWithReasons(df).filter(col("filter_reason").isNotNull)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loading for the driver-generated TPC-H-ish test data.
+  * At cluster scale these would be external catalog tables; the
+  * library only ever touches them through `spark.read.parquet`, so
+  * predicate pushdown / column pruning reach the scan untouched.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is physically TIMESTAMP(NANOS); with
+    // spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanos —
+    // normalize to a real timestamp (microsecond precision).
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
+
+/** Shared column helpers used across operators. */
+object Cols {
+  /** Engine-order-independent SUM of a double column: exact decimal
+    * accumulation, then one deterministic cast back to double. Plain
+    * SUM(double) depends on partial-aggregation order and would not
+    * hash-match a single-threaded oracle.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic portable pseudo-random in [0,1) from a long id —
+    * a 31-bit LCG computable identically in ANSI SQL (no engine hash
+    * involved, so a DuckDB oracle reproduces it bit-for-bit).
+    */
+  def lcgUniform(id: Column): Column =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483648L)) / lit(2147483648.0)
+
+  /** Same LCG in SQL text form, for oracle queries. */
+  def lcgUniformSql(idExpr: String): String =
+    s"((($idExpr * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648) / 2147483648.0"
+
+  /** Portable round-half-up for non-negative doubles: floor(x·10^s + ½)
+    * — every step is an IEEE-exact-reproducible double op, unlike
+    * engine ROUND() whose half-boundary behavior differs between
+    * Spark (BigDecimal HALF_UP) and e.g. DuckDB (scaled multiply).
+    */
+  def pround(c: Column, s: Int): Column = {
+    val f = math.pow(10, s)
+    floor(c * f + lit(0.5)) / f
+  }
+
+  /** Same portable rounding in SQL text form. */
+  def proundSql(expr: String, s: Int): String = {
+    val f = math.pow(10, s).toLong
+    s"floor(($expr) * $f.0 + 0.5) / $f.0"
+  }
+}
+
+/** One correctness-gated operator: a DataFrame builder plus (usually)
+  * an equivalent DuckDB SQL oracle. Modules contribute Gates; the
+  * driver contract in [[SparkEntry]] aggregates them.
+  */
+final case class Gate(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Gate {
+  def apply(name: String, sql: String)(build: (SparkSession, String) => DataFrame): Gate =
+    Gate(name, build, Some(sql))
+  def rowsOnly(name: String)(build: (SparkSession, String) => DataFrame): Gate =
+    Gate(name, build, None)
+}

@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spark-native embedding classifier — the counterpart of the
+  * reference's `BinaryClassifier` MLP applied by
+  * `EmbeddingBinaryClassifierFilter` (reference:
+  * src/data_pipeline_pretrain/pipeline/filters/embeddings_filter.py:14-73).
+  *
+  * The reference runs a torch MLP per batch on the driver process;
+  * here the weights are plain literals folded into a Catalyst
+  * expression, so scoring is a narrow, codegen'd array fold over each
+  * row's embedding — it scales with the scan and never leaves the
+  * executor.
+  *
+  * Determinism: the dot product accumulates in DECIMAL(30,15), which
+  * is exact and order-independent, so scores hash-match a
+  * single-threaded oracle regardless of partitioning.
+  */
+final case class LinearClassifier(weights: Array[Double], bias: Double = 0.0) {
+
+  private val acc = DecimalType(30, 15)
+
+  /** Deterministic dot(weights, emb) as a double column. */
+  def dot(emb: Column): Column = {
+    val w = array(weights.map(lit): _*)
+    val prods = zip_with(emb, w, (a, b) => (a.cast("double") * b).cast(acc))
+    aggregate(prods, lit(0).cast(acc), (s, x) => (s + x).cast(acc)).cast("double")
+  }
+
+  def score(emb: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-(dot(emb) + lit(bias))))
+
+  /** DuckDB-dialect SQL computing the identical score for `embExpr`
+    * (a FLOAT[] column expression). */
+  def scoreSql(embExpr: String): String = {
+    val wLit = weights.map(w => f"$w%.17g").mkString("[", ",", "]")
+    val dot =
+      s"CAST(list_sum([CAST(($embExpr)[i]::DOUBLE * ($wLit)[i] AS DECIMAL(30,15)) " +
+        s"FOR i IN range(1, ${weights.length + 1})]) AS DOUBLE)"
+    s"1.0/(1.0+exp(-(($dot) + ($bias))))"
+  }
+}
+
+object LinearClassifier {
+  /** Deterministic pseudo-random weights from an integer seed (Knuth
+    * multiplicative LCG) — reproducible anywhere, no RNG state. */
+  def seeded(dim: Int, seed: Int): LinearClassifier = {
+    val w = Array.tabulate(dim) { j =>
+      (((j + 1).toLong * 2654435761L + seed * 97L) % 1000L) / 1000.0 - 0.5
+    }
+    LinearClassifier(w, bias = 0.0)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.functions._
+
+/** Analytics core — the engine stays a general query engine
+  * (scan→filter→agg, star joins, windows, semi-joins, rollups,
+  * stream-shaped windowed aggregation).
+  *
+  * Scale notes: Q1/Q5 are partial-agg + tiny shuffle (grouping keys
+  * are low-cardinality, so the map-side combine reduces 100 TB to a
+  * few rows per partition). Q2's dimension tables (nation, region,
+  * customer at TPC-H ratios) broadcast; only lineitem⋈orders
+  * shuffles, on the join key both sides already share. Q3's window
+  * shuffles once on the partition key. All predicates are plain
+  * column comparisons so they reach the parquet scan as
+  * PushedFilters.
+  */
+object Analytics {
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |WHERE l_discount >= 0.02
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.02)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Cols.dsum(col("l_quantity")).as("sum_qty"),
+          Cols.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Cols.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Gate(
+      "q2_join",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      // customer/nation/region are dimension-sized: broadcast them so
+      // the 100 TB fact side never shuffles for those joins.
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          Cols.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    },
+
+    Gate(
+      "q3_window",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    Gate(
+      "q4_semijoin",
+      """SELECT c_mktsegment, COUNT(*) AS num_customers
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 1000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(
+          Tables(s, dir, "orders").filter(col("o_totalprice") > 1000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("num_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    Gate(
+      "q5_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(Cols.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Batch-equivalent of the Structured Streaming tumbling-window
+    // aggregation (the true readStream/watermark path is exercised in
+    // StreamingSpec; this gate pins the window semantics to a SQL
+    // oracle). Window start rendered as a string so engine timestamp
+    // precisions (ns vs us) cannot skew the comparison.
+    Gate(
+      "q6_stream_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:00").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }
+  )
+}

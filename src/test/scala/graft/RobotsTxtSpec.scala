@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.RobotsTxt
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsTxtSpec extends AnyFunSuite {
+
+  test("blanket disallow blocks every honored agent") {
+    val r = RobotsTxt.parse("User-agent: *\nDisallow: /")
+    assert(!r.canFetch("/anything", "GPTBot"))
+    assert(!r.canFetch("/", "SomeBot"))
+  }
+
+  test("empty disallow allows everything") {
+    val r = RobotsTxt.parse("User-agent: *\nDisallow:")
+    assert(r.canFetch("/x", "GPTBot"))
+  }
+
+  test("specific agent group beats wildcard group") {
+    val r = RobotsTxt.parse(
+      "User-agent: GPTBot\nAllow: /\n\nUser-agent: *\nDisallow: /")
+    assert(r.canFetch("/page", "GPTBot"))
+    assert(!r.canFetch("/page", "CCBot"))
+  }
+
+  test("longest match wins, allow wins ties") {
+    val r = RobotsTxt.parse(
+      "User-agent: *\nDisallow: /docs\nAllow: /docs/public")
+    assert(!r.canFetch("/docs/secret", "x"))
+    assert(r.canFetch("/docs/public/1", "x"))
+  }
+
+  test("wildcards and end anchors") {
+    val r = RobotsTxt.parse(
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/")
+    assert(!r.canFetch("/a/b.pdf", "x"))
+    assert(r.canFetch("/a/b.pdfx", "x"))
+    assert(!r.canFetch("/tmp123/f", "x"))
+  }
+
+  test("comments and unknown directives ignored") {
+    val r = RobotsTxt.parse(
+      "# hello\nUser-agent: * # all\nCrawl-delay: 3\nDisallow: /x\nSitemap: http://s")
+    assert(!r.canFetch("/x/1", "anybot"))
+    assert(r.canFetch("/y", "anybot"))
+  }
+
+  test("multi-agent group applies to each listed agent") {
+    val r = RobotsTxt.parse(
+      "User-agent: ClaudeBot\nUser-agent: Bytespider\nDisallow: /")
+    assert(!r.canFetch("/a", "ClaudeBot"))
+    assert(!r.canFetch("/a", "Bytespider"))
+    assert(r.canFetch("/a", "Googlebot"))
+  }
+
+  test("allowed() honors the reference remove-list semantics") {
+    val robots = Map(
+      "a.com" -> RobotsTxt.parse("User-agent: GPTBot\nDisallow: /"),
+      "b.com" -> RobotsTxt.parse("User-agent: Googlebot\nDisallow: /"))
+    assert(!RobotsTxt.allowed(robots, "https://a.com/x"))
+    assert(RobotsTxt.allowed(robots, "https://b.com/x")) // Googlebot not honored
+    assert(RobotsTxt.allowed(robots, "https://missing.com/x")) // permissive
+  }
+
+  test("url helpers") {
+    assert(RobotsTxt.domainOf("https://x.example.com/a/b?q=1") == "x.example.com")
+    assert(RobotsTxt.pathOf("https://x.example.com/a/b?q=1") == "/a/b?q=1")
+    assert(RobotsTxt.pathOf("https://x.example.com") == "/")
+  }
+}
