@@ -11,7 +11,9 @@ object SparkEntry {
   private def allGates: Seq[Gate] =
     operators.Analytics.gates ++
       operators.Filters.gates ++
-      operators.TextAnalysis.gates
+      operators.TextAnalysis.gates ++
+      operators.Dedup.gates ++
+      operators.Similarity.gates
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -46,6 +46,20 @@ object Cols {
   def lcgUniformSql(idExpr: String): String =
     s"((($idExpr * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648) / 2147483648.0"
 
+  /** Poor-man's let-binding for Catalyst expressions: evaluate `v`
+    * ONCE per row and feed the result to `body` as a lambda variable.
+    *
+    * Catalyst expression trees have no common-subexpression sharing in
+    * interpreted eval (and higher-order array functions always eval
+    * interpreted): a Scala `val` reused at N sites becomes N copies of
+    * the subtree, each fully re-evaluated per row. Wrapping the value
+    * in a 1-element array and transforming it turns those N sites into
+    * N cheap lambda-variable lookups — this took simhash from
+    * re-running the whole shingle+md5 pipeline 32× per row to once.
+    */
+  def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), x => body(x)), 1)
+
   /** Portable round-half-up for non-negative doubles: floor(x·10^s + ½)
     * — every step is an IEEE-exact-reproducible double op, unlike
     * engine ROUND() whose half-boundary behavior differs between

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import graft.Cols.bind
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY §2 D1–D4): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. (D5, embedding near-dup, lives in
+  * Similarity.scala with the other vector ops.)
+  *
+  * Scale design: nothing ever shuffles full text. Exact dedup
+  * shuffles a 16-byte digest; MinHash shuffles 64 longs per doc;
+  * SimHash shuffles one long. Candidate generation is band/chunk
+  * bucket joins (equi-joins Catalyst plans as shuffle-hash with AQE
+  * skew splitting); only candidate PAIRS — a vanishing fraction —
+  * reach the exact-verify stage. The verify stage re-joins compact
+  * shingle-set arrays by id, not text.
+  *
+  * The LSH parameterizations are chosen so candidate recall at the
+  * output threshold is exact or overwhelming (SimHash: pigeonhole-
+  * guaranteed; MinHash: 32 bands × 2 rows ⇒ miss prob < 1e-11 at
+  * j=0.75), and a final exact-Jaccard filter makes the output equal
+  * to the brute-force definition the DuckDB oracle computes.
+  */
+object Dedup {
+
+  /** Decouple compute parallelism from input file layout: digest
+    * computation (md5/minhash/simhash per row) is CPU-bound, and a
+    * single-file scan would otherwise pin it to one task. On a real
+    * cluster the input has thousands of splits, but hot single-file
+    * inputs still benefit.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct k-gram word shingles. */
+  def shingles(text: Column, k: Int = 3): Column =
+    bind(TextAnalysis.words(lower(text))) { toks =>
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+    }
+
+  /** Exact-dedup fingerprint = md5 of normalized text (D1). */
+  def exactFingerprint(text: Column): Column = TextAnalysis.fingerprint(text)
+
+  /** Keep one row (min id) per identical fingerprint. Window keeps
+    * the full row; the shuffle key is the digest, never the text. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    docs.withColumn("__fp", exactFingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+  }
+
+  // MinHash: h_k(s) = (a_k·h32(s) + b_k) mod P — one md5 per shingle,
+  // then cheap universal-hash arithmetic for all 64 permutations.
+  val MinhashP = 4294967311L
+  val NumHashes = 64
+  val BandRows = 2 // 32 bands × 2 rows
+  private def coefA(k: Int): Long = 2L * ((k + 1) * 1103515245L % (MinhashP / 4)) + 1
+  private def coefB(k: Int): Long = (k + 1) * 12345L % MinhashP
+
+  /** 64 minhashes over the shingle set. */
+  def minhash(sh: Column): Column =
+    bind(transform(sh, s => TextAnalysis.h32(s))) { hs =>
+      transform(
+        sequence(lit(0), lit(NumHashes - 1)),
+        k => {
+          val as = array((0 until NumHashes).map(i => lit(coefA(i))): _*)
+          val bs = array((0 until NumHashes).map(i => lit(coefB(i))): _*)
+          array_min(transform(hs,
+            h => pmod(get(as, k) * h + get(bs, k), lit(MinhashP))))
+        })
+    }
+
+  /** Band signatures: NumHashes/BandRows strings. */
+  def bandSigs(mh: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumHashes / BandRows - 1)),
+      b => array_join(slice(mh, b * BandRows + 1, lit(BandRows)), "_"))
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    bind(size(array_intersect(a, b))) { inter =>
+      inter.cast("double") / (size(a) + size(b) - inter)
+    }
+
+  /** Candidate pairs from any exploded (key → id) bucketing, verified
+    * with exact Jaccard against per-id shingle sets.
+    */
+  private def verifiedPairs(
+      sets: DataFrame, // id, sh
+      buckets: DataFrame, // id, bkey
+      threshold: Double): DataFrame = {
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.as("a"), col("id_a") === col("a.id"))
+      .join(sets.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        Cols.pround(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** D2 — MinHash+LSH near-dup pairs with exact-Jaccard verification. */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val sets = spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val buckets = sets
+      .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
+      // prefix the band index so different bands never share buckets
+      .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
+    verifiedPairs(sets, buckets, threshold)
+  }
+
+  /** D4 — exact n-gram Jaccard via inverted shingle index (every pair
+    * with Jaccard ≥ t > 0 shares a shingle, so the index join loses
+    * nothing). At 100 TB add document-frequency pruning on hot
+    * shingles before the self-join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val sets = spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sets.select(col("id"), explode(col("sh")).as("bkey"))
+    verifiedPairs(sets, inv, threshold)
+  }
+
+  // SimHash: 32-bit signature over the distinct 3-gram shingle set
+  // (shingles, not single words: with a small vocabulary word SETS of
+  // unrelated docs overlap heavily and every simhash collides —
+  // shingles keep unrelated docs apart while truncation-style
+  // near-dups still land within a few bits).
+  /** Per-shingle 32-bit hash; bit j of the signature = sign of the
+    * sum of ±1 votes from each shingle's bit j. */
+  def simhash(text: Column): Column =
+    bind(transform(shingles(text), t => TextAnalysis.h32(t))) { hs =>
+      val bits = transform(
+        sequence(lit(0), lit(31)),
+        j => {
+          val pw = pow(lit(2.0), j).cast("long")
+          val vote = aggregate(hs, lit(0L),
+            (acc, h) => acc + when(((h.cast("long") / pw).cast("long") % 2) === 1, 1L).otherwise(-1L))
+          when(vote >= 0, pw).otherwise(lit(0L))
+        })
+      aggregate(bits, lit(0L), (acc, b) => acc + b)
+    }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** D3 — SimHash near-dup: 4 byte-chunks of the 32-bit signature;
+    * hamming ≤ 3 ⇒ at least one untouched chunk (pigeonhole), so
+    * chunk-bucketing has EXACT recall at the output threshold. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks guarantee recall only up to hamming 3")
+    val sigs = spread(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunks = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => (col("sig").cast("long") / pow(lit(2.0), c * 8).cast("long")).cast("long") % 256)))
+      .select(col("id"), col("sig"), concat_ws("#", col("pos"), col("col")).as("bkey"))
+    chunks.as("x")
+      .join(chunks.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- gate helpers: planted replicas ----
+  // The synthetic documents table has no duplicates, so the dedup
+  // gates plant them: every 10th doc gets a replica (id + 1000000)
+  // whose text is the first 80% of its words — a realistic
+  // truncation-style near-dup (Jaccard ≈ 0.75 on 3-gram shingles);
+  // exact-dedup plants byte-identical replicas.
+
+  def plantedExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + 1000000, col("text")))
+
+  def plantedTruncated(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + 1000000,
+          bind(TextAnalysis.words(col("text"))) { toks =>
+            array_join(slice(toks, lit(1), ceil(size(toks) * 0.8).cast("int")), " ")
+          }))
+
+  private val SqlToks = "regexp_extract_all(text, '[A-Za-z0-9]+')"
+  val SqlPlantedExact: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  val SqlPlantedTruncated: String =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 1000000,
+       |  array_to_string(($SqlToks)[1:CAST(ceil(len($SqlToks) * 0.8) AS INT)], ' ')
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** DuckDB shingle-set expression over a `text` column. */
+  val SqlShingles: String = {
+    val toksLower = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+    s"list_distinct([array_to_string(($toksLower)[i:i+2], ' ') " +
+      s"FOR i IN range(1, greatest(len($toksLower)-2, 0)+1)])"
+  }
+
+  private def sqlJaccardPairs(planted: String, threshold: Double): String =
+    s"""WITH all_docs AS ($planted),
+       |sh AS (SELECT doc_id, $SqlShingles AS s FROM all_docs WHERE len($SqlShingles) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ${Cols.proundSql(
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))",
+          4)} AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ${Cols.proundSql(
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))",
+          4)} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val SqlSimhash: String = {
+    val toks = SqlShingles
+    val h32t = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
+    "list_sum([CASE WHEN list_sum([CASE WHEN ((" + h32t +
+      ") // CAST(pow(2.0, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END FOR t IN " + toks +
+      "]) >= 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 32)])"
+  }
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "dedup_exact", {
+        val fp = "md5(array_to_string(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), ' '))"
+        s"""WITH all_docs AS ($SqlPlantedExact),
+           |fp AS (SELECT doc_id, $fp AS fingerprint FROM all_docs)
+           |SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM fp GROUP BY fingerprint ORDER BY keeper_id""".stripMargin
+      }) { (s, dir) =>
+      plantedExact(Tables(s, dir, "documents"))
+        .select(col("doc_id"), exactFingerprint(col("text")).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id")
+    },
+
+    Gate(
+      "dedup_minhash_lsh",
+      sqlJaccardPairs(SqlPlantedTruncated, 0.5)) { (s, dir) =>
+      minhashLshPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    Gate(
+      "dedup_ngram_jaccard",
+      sqlJaccardPairs(SqlPlantedTruncated, 0.35)) { (s, dir) =>
+      ngramJaccardPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.35)
+        .orderBy("id_a", "id_b")
+    },
+
+    Gate(
+      "dedup_simhash",
+      s"""WITH all_docs AS ($SqlPlantedTruncated),
+         |sig AS (SELECT doc_id, $SqlSimhash AS sig FROM all_docs)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      simhashPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 3)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

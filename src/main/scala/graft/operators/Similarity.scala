@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Vector similarity (SURVEY §2 D5, N1, N2): cosine near-duplicate
+  * pairs and approximate-nearest-neighbor top-k over the embeddings
+  * table.
+  *
+  * Scale design:
+  *  - Cosine math runs as codegen'd higher-order array folds; the
+  *    deterministic (decimal-accumulated) variant is reserved for the
+  *    final verify stage, a cheap double-precision pass prunes first.
+  *  - Near-dup candidate generation is random-hyperplane LSH: only
+  *    same-signature buckets are joined, so the shuffled payload is
+  *    (signature, id, vector), and the quadratic blow-up is confined
+  *    to buckets (AQE skew-join splits hot ones).
+  *  - Brute-force top-k keeps the QUERY side small (broadcast) and
+  *    the corpus side streaming: per-partition partial top-k, then a
+  *    single narrow global merge — the corpus never shuffles.
+  */
+object Similarity {
+
+  val Dim = 64
+  private val acc = DecimalType(30, 15)
+
+  /** Deterministic (order-independent) dot product of two vectors. */
+  def decDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(acc)),
+      lit(0).cast(acc), (s, x) => (s + x).cast(acc)).cast("double")
+
+  /** Deterministic cosine: dot / (sqrt(na)·sqrt(nb)). */
+  def decCosine(a: Column, b: Column): Column =
+    decDot(a, b) / (sqrt(decDot(a, a)) * sqrt(decDot(b, b)))
+
+  /** Fast double-precision cosine for pruning (order-dependent — never
+    * compared against an oracle, only used with a margin). */
+  def fastCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (s, v) => s + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  // ---- random-hyperplane LSH ----
+
+  /** Deterministic hyperplane k, component j (portable formula). */
+  def hyperplane(k: Int): Array[Double] =
+    Array.tabulate(Dim)(j => (((j + 1).toLong * 2654435761L + k * 7919L) % 2000L) / 1000.0 - 1.0)
+
+  /** Sign-bit signature string over `nPlanes` hyperplanes ("1011").
+    * Scaling a vector by any positive factor cannot change it. */
+  def hyperplaneSig(v: Column, nPlanes: Int): Column =
+    concat((0 until nPlanes).map { k =>
+      val w = array(hyperplane(k).map(lit): _*)
+      when(decDot(v, w) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** DuckDB expression mirroring [[decDot]] for FLOAT[]/DOUBLE[]. */
+  def sqlDecDot(aExpr: String, bExpr: String): String =
+    s"CAST(list_sum([CAST(($aExpr)[i]::DOUBLE * ($bExpr)[i]::DOUBLE AS DECIMAL(30,15)) " +
+      s"FOR i IN range(1, ${Dim + 1})]) AS DOUBLE)"
+
+  def sqlDecCosine(aExpr: String, bExpr: String): String =
+    s"(${sqlDecDot(aExpr, bExpr)} / (sqrt(${sqlDecDot(aExpr, aExpr)}) * sqrt(${sqlDecDot(bExpr, bExpr)})))"
+
+  def sqlHyperplaneSig(vExpr: String, nPlanes: Int): String =
+    (0 until nPlanes).map { k =>
+      val w = hyperplane(k).map(x => f"$x%.4f").mkString("[", ",", "]")
+      s"CASE WHEN ${sqlDecDot(vExpr, w)} >= 0 THEN '1' ELSE '0' END"
+    }.mkString("(", " || ", ")")
+
+  // ---- operators ----
+
+  /** D5 — embedding cosine near-dup pairs: LSH bucket join →
+    * double-precision prune (threshold − margin) → deterministic
+    * verify at the threshold. */
+  def cosineNearDupPairs(
+      vecs: DataFrame, // id, vec
+      threshold: Double,
+      nPlanes: Int = 4,
+      pruneMargin: Double = 0.01): DataFrame = {
+    val sigs = vecs
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
+    sigs.as("x")
+      .join(sigs.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
+      .filter(fastCosine(col("x.vec"), col("y.vec")) >= threshold - pruneMargin)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        Cols.pround(decCosine(col("x.vec"), col("y.vec")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** N1 — brute-force cosine top-k: small query set × streaming
+    * corpus. */
+  def bruteForceTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        decCosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        Cols.pround(col("cos"), 4).as("cosine"))
+  }
+
+  /** N2 — LSH-bucketed ANN: like N1 but only same-signature
+    * candidates are scored (the scale path: each query touches ~n/2^b
+    * of the corpus). Deterministic, so exactly reproducible by the
+    * SQL oracle; recall vs N1 is asserted in SimilaritySpec. */
+  def lshTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = queries.withColumn("qsig", hyperplaneSig(col("qvec"), nPlanes))
+    val cs = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
+    val scored = cs.join(broadcast(qs), col("sig") === col("qsig") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), decCosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        Cols.pround(col("cos"), 4).as("cosine"))
+  }
+
+  // ---- gates ----
+
+  // Planted near-dup vectors: every 25th embedding gets a replica
+  // (id + 1000000) scaled by 1.5 — cosine exactly 1 in real
+  // arithmetic, and the scaling is done in double precision
+  // (float→double widening is exact, ×1.5 is exact) so both engines
+  // see bit-identical vectors.
+  private def plantedVecs(emb: DataFrame): DataFrame = {
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    emb.select(col("vec_id").as("id"), asDouble.as("vec"))
+      .union(emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id") + 1000000,
+          transform(col("embedding"), x => x.cast("double") * 1.5)))
+  }
+
+  private val SqlPlantedVecs =
+    """SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000, [x::DOUBLE * 1.5 FOR x IN embedding]
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "dedup_embed_cosine", {
+        val cos = sqlDecCosine("a.vec", "b.vec")
+        s"""WITH vecs AS ($SqlPlantedVecs)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  ${Cols.proundSql(cos, 4)} AS cosine
+           |FROM vecs a JOIN vecs b ON a.id < b.id
+           |WHERE ${Cols.proundSql(cos, 4)} >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      cosineNearDupPairs(plantedVecs(Tables(s, dir, "embeddings")), 0.99)
+        .orderBy("id_a", "id_b")
+    },
+
+    Gate(
+      "ann_topk_bruteforce", {
+        val cos = sqlDecCosine("q.embedding", "c.embedding")
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      bruteForceTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3)
+        .orderBy("qid", "rank")
+    },
+
+    Gate(
+      "ann_topk_lsh", {
+        val sigQ = sqlHyperplaneSig("q.embedding", 4)
+        val sigC = sqlHyperplaneSig("c.embedding", 4)
+        val cos = sqlDecCosine("q.embedding", "c.embedding")
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND $sigQ = $sigC),
+           |ranked AS (
+           |  SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      lshTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3)
+        .orderBy("qid", "rank")
+    }
+  )
+}

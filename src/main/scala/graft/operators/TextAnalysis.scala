@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Cols, Gate, Tables}
+import graft.Cols.bind
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -42,24 +43,23 @@ object TextAnalysis {
   /** Detected language = argmax of marker hits, 'und' when no marker
     * fires. Deterministic tie-break by LangMarkers order.
     */
-  def langId(text: Column): Column = {
-    val toks = words(lower(text))
-    val hits = LangMarkers.map { case (l, m) => l -> markerHits(toks, m) }
-    val maxHits = greatest(hits.map(_._2): _*)
-    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
-      when(h === maxHits && h > 0, lit(l)).otherwise(acc)
+  def langId(text: Column): Column = bind(words(lower(text))) { toks =>
+    bind(array(LangMarkers.map { case (_, m) => markerHits(toks, m) }: _*)) { hitArr =>
+      val hits = LangMarkers.indices.map(i => element_at(hitArr, i + 1))
+      val maxHits = greatest(hits: _*)
+      LangMarkers.zip(hits).foldRight(lit("und"): Column) { case (((l, _), h), acc) =>
+        when(h === maxHits && h > 0, lit(l)).otherwise(acc)
+      }
+      // foldRight ⇒ earlier languages override later ones on ties.
     }
-    // foldRight ⇒ earlier languages override later ones on ties.
   }
 
-  def avgWordLen(text: Column): Column = {
-    val toks = words(text)
+  def avgWordLen(text: Column): Column = bind(words(text)) { toks =>
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = words(lower(text))
+  def stopwordRatio(text: Column): Column = bind(words(lower(text))) { toks =>
     val en = LangMarkers.head._2
     when(size(toks) === 0, lit(0.0)).otherwise(
       markerHits(toks, en).cast("double") / size(toks))
@@ -94,18 +94,17 @@ object TextAnalysis {
     * sorted selected hashes. All higher-order array functions — still
     * narrow, still codegen.
     */
-  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val toks = words(lower(text))
-    val n = size(toks)
-    val grams = transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(k)), " "))
-    val hashes = transform(grams, g => h32(g))
-    val wins = transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(0))),
-      i => array_min(slice(hashes, i, lit(w))))
-    array_sort(array_distinct(wins))
-  }
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
+    bind(words(lower(text))) { toks =>
+      bind(transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+        i => h32(array_join(slice(toks, i, lit(k)), " ")))) { hashes =>
+        val wins = transform(
+          sequence(lit(1), greatest(size(hashes) - (w - 1), lit(0))),
+          i => array_min(slice(hashes, i, lit(w))))
+        array_sort(array_distinct(wins))
+      }
+    }
 
   // ---- SQL fragments for oracles (DuckDB dialect) ----
 

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = Tables(spark, sfDir, "embeddings")
+
+  test("planted scaled replicas are found with cosine ~1.0") {
+    val pairs = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    // every planted pair (id, id+1000000) present with cosine 1.0
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("LSH top-k has reasonable recall vs brute force") {
+    val bf = SparkEntry.queries("ann_topk_bruteforce")(spark, sfDir)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("ann_topk_lsh")(spark, sfDir)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4-plane LSH probes 1/16 of the corpus; overlap with the true
+    // top-3 must be nonzero but need not be complete.
+    assert(lsh.nonEmpty)
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.1, s"recall $recall suspiciously low")
+  }
+
+  test("minhash LSH finds every planted truncation near-dup") {
+    val docs = Tables(spark, sfDir, "documents")
+    val expectedPlanted = docs.filter(col("doc_id") % 10 === 0).count()
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.plantedTruncated(docs), "text", "doc_id", 0.5)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 1000000).count()
+    // truncation to 80% keeps shingle Jaccard ≈ 0.75 >> 0.5; a short
+    // doc can dip below threshold, so allow a small shortfall
+    assert(planted >= (expectedPlanted * 0.8).toLong,
+      s"found $planted of $expectedPlanted planted pairs")
+  }
+
+  test("simhash of identical text is identical; hamming 0") {
+    import spark.implicits._
+    val df = Seq((1L, "spark scans parquet fast"), (2L, "spark scans parquet fast"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id").collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+
+  test("exact dedup keeps the min-id row per duplicate group") {
+    import spark.implicits._
+    val df = Seq((5L, "a b c"), (2L, "a b c"), (9L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 9L))
+  }
+}
