@@ -13,7 +13,13 @@ object SparkEntry {
       operators.Filters.gates ++
       operators.TextAnalysis.gates ++
       operators.Dedup.gates ++
-      operators.Similarity.gates
+      operators.Similarity.gates ++
+      operators.Formatters.gates ++
+      operators.Annotators.gates ++
+      sources.DocSource.gates ++
+      tokens.Tokens.gates ++
+      multimodal.Multimodal.gates ++
+      streaming.EventStream.gates
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

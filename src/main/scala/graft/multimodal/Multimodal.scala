@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import graft.{Gate, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY §2 X1): media as opaque `binary`
+  * columns with typed feature extraction.
+  *
+  * The image/audio codecs aren't in this container, so `decodeStub`
+  * is a clearly-marked deterministic fake — but the Spark-side shape
+  * is the real thing: binary payload column, per-partition batched
+  * decode via `mapPartitions` over a typed Dataset (one decoder
+  * instance per partition, exactly how a JNI/FFI codec would be
+  * held), typed output schema. Swapping `decodeStub` for a real
+  * decoder changes no plumbing.
+  *
+  * Scale notes: decode is narrow (no shuffle); partitions bound
+  * decoder memory; for GPU decode batches, exchange `mapPartitions`
+  * grouping for `grouped(batchSize)` inside the iterator.
+  */
+object Multimodal {
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: String)
+
+  /** Attach a binary media payload (stand-in: utf-8 bytes of the
+    * text — a real pipeline reads image/audio bytes from parquet). */
+  def withMediaBlob(docs: DataFrame): DataFrame =
+    docs.withColumn("media", encode(col("text"), "utf-8"))
+
+  /** STUB decoder — deterministic fake. A real implementation would
+    * parse the image header / decode frames here. */
+  private[multimodal] def decodeStub(bytes: Array[Byte]): (Int, Int) =
+    (bytes.length % 64 + 1, bytes.length % 32 + 1) // fake width × height
+
+  /** Batched feature extraction over the binary column. */
+  def extractFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // One digest/decoder instance per partition (not per row).
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val (w, h) = decodeStub(bytes)
+          md.reset()
+          val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length, w, h, checksum)
+        }
+      }
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // The oracle reproduces the stubbed decode arithmetically:
+    // md5(utf8 bytes) == md5(text), n_bytes == octet_length.
+    Gate(
+      "mm_features",
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 64 + 1 AS width,
+        |  octet_length(encode(text)) % 32 + 1 AS height,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      extractFeatures(withMediaBlob(Tables(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }
+  )
+}

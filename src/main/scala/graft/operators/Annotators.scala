@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import graft.Cols.bind
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A2 — embedding annotator (reference:
+  * xlmr_embedding_annotator.py): text → fixed-size chunks (the
+  * reference's 512-token truncation with `return_overflowing_tokens`)
+  * → one embedding per chunk, appended to the doc.
+  *
+  * The transformer itself cannot run here (no model weights, no
+  * torch), so the ENCODER is a deterministic fake; the chunking,
+  * overflow-to-document mapping, array-of-embeddings schema and
+  * downstream consumers (EmbeddingBinaryClassifierFilter, ToxicScorer
+  * — SURVEY F7/F8) are the real, tested plumbing.
+  */
+object Annotators {
+
+  val ChunkWords = 16
+  val EmbedDim = 8
+  private val acc = DecimalType(30, 15)
+
+  /** Word chunks of `ChunkWords`, ≥1 chunk per non-empty doc. */
+  def chunkTexts(text: Column): Column =
+    bind(TextAnalysis.words(text)) { w =>
+      transform(
+        sequence(lit(1), greatest(ceil(size(w) / lit(ChunkWords.toDouble)), lit(1)).cast("int")),
+        i => array_join(slice(w, (i - 1) * ChunkWords + 1, lit(ChunkWords)), " "))
+    }
+
+  /** Deterministic fake encoder: dim-j component = portable hash of
+    * (chunk, j) scaled into [0,1). Stands in for mean-pooled
+    * transformer output. */
+  def fakeEmbedding(chunk: Column, dim: Int = EmbedDim): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      j => pmod(TextAnalysis.h32(concat(chunk, lit("#"), j)), lit(1000L)) / 1000.0)
+
+  /** Annotate docs with `embeddings: array<array<double>>` (one per
+    * chunk — the reference appends chunk embeddings to
+    * doc.metadata["embeddings"]). */
+  def annotateEmbeddings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("embeddings",
+      bind(chunkTexts(col("text"))) { cs => transform(cs, c => fakeEmbedding(c)) })
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "ann_embed_stub", {
+        val w = "regexp_extract_all(text, '[A-Za-z0-9]+')"
+        val h32 = "CAST(CAST('0x'||substr(md5(c || '#' || j),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, $w AS w FROM documents),
+           |c AS (SELECT doc_id,
+           |  [array_to_string(w[(i-1)*$ChunkWords+1:(i-1)*$ChunkWords+$ChunkWords], ' ')
+           |   FOR i IN range(1, greatest(CAST(ceil(len(w)/$ChunkWords.0) AS INT), 1) + 1)] AS chunks
+           |  FROM t),
+           |e AS (SELECT doc_id, chunks,
+           |  flatten([[($h32 % 1000) / 1000.0 FOR j IN range(0, $EmbedDim)] FOR c IN chunks]) AS vals
+           |  FROM c)
+           |SELECT doc_id, len(chunks) AS n_chunks,
+           |  CAST(list_sum([CAST(v AS DECIMAL(30,15)) FOR v IN vals]) AS DOUBLE) AS emb_checksum
+           |FROM e ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      annotateEmbeddings(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(col("embeddings")).as("n_chunks"),
+          aggregate(
+            flatten(col("embeddings")),
+            lit(0).cast(acc), (a, x) => (a + x.cast(acc)).cast(acc)).cast("double").as("emb_checksum"))
+        .orderBy("doc_id")
+    }
+  )
+}

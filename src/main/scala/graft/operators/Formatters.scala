@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import graft.Cols.bind
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Formatters — per-document text rewrites, all expressed as chained
+  * native regexp/string functions so they fuse with the scan (the
+  * reference streams every doc through Python `re` in
+  * pii_formatter.py; here the same regexes run codegen'd in the
+  * executor).
+  */
+object Formatters {
+
+  /** PII regexes (reference: pii_formatter.py:62-71, RE2-compatible
+    * subset — no lookarounds, so the same patterns run in Java regex,
+    * RE2 and DuckDB identically). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+  val IbanRe = "[A-Z]{2}[0-9]{2}(?: [0-9]{4}){4} [A-Z0-9]{1,2}"
+
+  /** A1 — reference `PIIFormatter.format` (pii_formatter.py:73-121):
+    * replace emails/IPs/IBANs with pii tokens. Replacement order
+    * matches the reference (email, ip, iban). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<email-pii>"),
+        IpRe, "<ip-pii>"),
+      IbanRe, "<iban-pii>")
+
+  /** Number of distinct PII strings detected (reference keeps a
+    * per-doc set — pii_formatter.py:115). */
+  def piiCount(text: Column): Column =
+    size(array_distinct(concat(
+      regexp_extract_all(text, lit(EmailRe), lit(0)),
+      regexp_extract_all(text, lit(IpRe), lit(0)),
+      regexp_extract_all(text, lit(IbanRe), lit(0)))))
+
+  /** A3 — conversation templating (reference: euroblocks adapter,
+    * pipelines/euroblocks/main.py:137-146: chat log → "user: …" /
+    * "assistant: …" lines). `conv` is array<struct<from,value>>. */
+  def renderConversation(conv: Column): Column =
+    array_join(
+      transform(conv, m =>
+        concat(
+          when(m.getField("from") === "human", lit("user: "))
+            .otherwise(lit("assistant: ")),
+          m.getField("value"))),
+      "\n")
+
+  /** A4 — bidirectional translation templating (reference:
+    * europarl/main_bidirectional.py:33-54). */
+  def renderPair(l1: Column, t1: Column, l2: Column, t2: Column, reverse: Column): Column =
+    when(!reverse, concat(l1, lit(": "), t1, lit("\n"), l2, lit(": "), t2))
+      .otherwise(concat(l2, lit(": "), t2, lit("\n"), l1, lit(": "), t1))
+
+  /** A5 — bucketed replication (reference:
+    * gutenberg/create_replicas.py: bucket i of size B replicated
+    * schedule(i) times). Pure explode — no shuffle; row_number-free. */
+  def replicate(docs: DataFrame, idCol: String, bucketSize: Int, schedule: Seq[Int]): DataFrame = {
+    val reps = schedule.zipWithIndex.foldRight(lit(schedule.last): Column) {
+      case ((r, i), acc) => when(floor(col(idCol) / bucketSize) === i, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("copy_nr", explode(sequence(lit(1), reps.cast("int"))))
+  }
+
+  // ---- gates ----
+
+  // The documents table carries no real PII, so the gate plants a
+  // deterministic email + ip + iban per doc, then redacts.
+  private val SqlPlantPii =
+    "text || ' contact user' || doc_id || '@example.com or 10.2.' || (doc_id % 256) || " +
+      "'.7 iban DE44 5001 0517 5407 3249 31'"
+
+  private def plantPii(docs: DataFrame): Column =
+    concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or 10.2."),
+      col("doc_id") % 256, lit(".7 iban DE44 5001 0517 5407 3249 31"))
+
+  val ReplicationSchedule = Seq(1, 2, 3, 4, 8, 16)
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "fmt_pii", {
+        val redact =
+          s"""regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', '<email-pii>', 'g'),
+             |  '$IpRe', '<ip-pii>', 'g'), '$IbanRe', '<iban-pii>', 'g')""".stripMargin
+        s"""WITH p AS (SELECT doc_id, $SqlPlantPii AS t FROM documents)
+           |SELECT doc_id, $redact AS redacted,
+           |  len(list_distinct(
+           |    regexp_extract_all(t, '$EmailRe') ||
+           |    regexp_extract_all(t, '$IpRe') ||
+           |    regexp_extract_all(t, '$IbanRe'))) AS pii_count
+           |FROM p ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), plantPii(docs).as("t"))
+        .select(col("doc_id"), piiRedact(col("t")).as("redacted"), piiCount(col("t")).as("pii_count"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "fmt_conversation", {
+        // chat log built from each doc: human asks with the first 8
+        // words, assistant answers with the rest
+        s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w FROM documents)
+           |SELECT doc_id,
+           |  'user: ' || array_to_string(w[1:8], ' ') ||
+           |  chr(10) || 'assistant: ' || array_to_string(w[9:len(w)], ' ') AS conversation
+           |FROM toks ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val conv = bind(TextAnalysis.words(col("text"))) { w =>
+        array(
+          struct(lit("human").as("from"), array_join(slice(w, lit(1), lit(8)), " ").as("value")),
+          struct(lit("gpt").as("from"),
+            array_join(slice(w, lit(9), greatest(size(w) - 8, lit(0))), " ").as("value")))
+      }
+      docs.select(col("doc_id"), renderConversation(conv).as("conversation"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "fmt_bidirectional",
+      """SELECT a.doc_id AS pair_id, r.is_reverse,
+        |  CASE WHEN NOT r.is_reverse
+        |    THEN a.lang || ': ' || a.text || chr(10) || b.lang || ': ' || b.text
+        |    ELSE b.lang || ': ' || b.text || chr(10) || a.lang || ': ' || a.text
+        |  END AS text
+        |FROM documents a
+        |JOIN documents b ON b.doc_id = a.doc_id + 1
+        |CROSS JOIN (SELECT unnest([false, true]) AS is_reverse) r
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY pair_id, is_reverse""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val a = docs.select(col("doc_id"), col("lang").as("l1"), col("text").as("t1"))
+        .filter(col("doc_id") % 2 === 0)
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("lang").as("l2"), col("text").as("t2"))
+      a.join(b, "doc_id")
+        .withColumn("is_reverse", explode(array(lit(false), lit(true))))
+        .select(
+          col("doc_id").as("pair_id"), col("is_reverse"),
+          renderPair(col("l1"), col("t1"), col("l2"), col("t2"), col("is_reverse")).as("text"))
+        .orderBy("pair_id", "is_reverse")
+    },
+
+    Gate(
+      "op_replicate", {
+        val reps = ReplicationSchedule.zipWithIndex
+          .map { case (r, i) => s"WHEN doc_id // 100 = $i THEN $r" }
+          .mkString("CASE ", " ", s" ELSE ${ReplicationSchedule.last} END")
+        s"""SELECT doc_id, unnest(generate_series(1, $reps)) AS copy_nr
+           |FROM documents
+           |ORDER BY doc_id, copy_nr""".stripMargin
+      }) { (s, dir) =>
+      replicate(Tables(s, dir, "documents"), "doc_id", 100, ReplicationSchedule)
+        .select("doc_id", "copy_nr")
+        .orderBy("doc_id", "copy_nr")
+    }
+  )
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.{Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers/writers with the reference's adapter pattern.
+  *
+  * The reference's `ParquetReader(adapter=...)` remaps arbitrary
+  * input schemas into `Document{text, id, media, metadata}`
+  * (pipelines/finemath/main.py:44-66, euroblocks adapter). Here an
+  * [[Adapter]] is a declarative column mapping, so the remap is part
+  * of the scan projection — column pruning still reaches parquet, and
+  * JSON metadata is parsed with the codegen'd `get_json_object`.
+  */
+final case class Adapter(
+    textCol: Column,
+    idCol: Column,
+    metadata: Seq[(String, Column)] = Nil) {
+  def apply(df: DataFrame): DataFrame =
+    df.select(
+      (idCol.as("id") +: textCol.as("text") +: metadata.map { case (n, c) => c.as(n) }): _*)
+}
+
+object DocSource {
+
+  /** S1 — parquet reader with adapter. */
+  def parquet(spark: SparkSession, path: String, adapter: Adapter): DataFrame =
+    adapter(spark.read.parquet(path))
+
+  /** S2 — jsonl reader with adapter (reference: JsonlReader,
+    * pipelines/provenance-flan/main.py). */
+  def jsonl(spark: SparkSession, path: String, adapter: Adapter): DataFrame =
+    adapter(spark.read.json(path))
+
+  /** S3 — parquet sink: zstd + bounded file size via
+    * maxRecordsPerFile (reference: ParquetWriter(compression="zstd",
+    * max_file_size=1GB) — pipelines/fineweb/main.py:141-145). At
+    * cluster scale pair with partitionBy(dump/lang) for
+    * partition-pruned downstream reads.
+    */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      maxRecordsPerFile: Long = 1000000,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // Adapter over the events table: remap id/text, parse the JSON
+    // metadata payload (reference finemath adapter parses the
+    // `metadata` JSON string the same way).
+    Gate(
+      "src_parquet_adapter",
+      """SELECT event_id AS id, event_type AS text,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS meta_k
+        |FROM events ORDER BY id""".stripMargin) { (s, dir) =>
+      Adapter(
+        textCol = col("event_type"),
+        idCol = col("event_id"),
+        metadata = Seq("meta_k" -> get_json_object(col("props"), "$.k").cast("int")))
+        .apply(Tables(s, dir, "events"))
+        .orderBy("id")
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * Every transform here works identically on a batch DataFrame and a
+  * `readStream` DataFrame — the batch gates (q6_stream_window,
+  * q7_sessionize) pin the semantics to a DuckDB oracle, and
+  * StreamingSpec drives the same code through MemoryStream with
+  * watermarks / state timeouts.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed counts with a watermark for late data.
+    * On a stream: incremental state, emitted on watermark close. */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("sum_value"))
+
+  final case class Session(user_id: Long, session_nr: Long, n_events: Long)
+  final case class EventRow(user_id: Long, tsMillis: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a
+    * session when `gapMinutes` pass without events for the user
+    * (processing-time timeout in the spec; event-time gap logic
+    * below).
+    */
+  def sessionizeStream(
+      events: Dataset[EventRow],
+      gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        // state: (sessionNr, lastTs, count, emittedThrough)
+        case (user, rows, state: GroupState[(Long, Long, Long, Long)]) =>
+          var (sess, lastTs, cnt, _) = state.getOption.getOrElse((0L, Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (r <- rows.toSeq.sortBy(_.tsMillis)) {
+            if (lastTs != Long.MinValue && r.tsMillis - lastTs > gapMs) {
+              out += Session(user, sess, cnt)
+              sess += 1; cnt = 0
+            }
+            cnt += 1; lastTs = r.tsMillis
+          }
+          state.update((sess, lastTs, cnt, 0L))
+          out.iterator
+      }
+  }
+
+  /** Batch sessionization with the SAME gap semantics, expressed with
+    * window functions (lag + cumulative sum of session breaks) — one
+    * shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull, 0)
+          .when(col("ts").cast("double") - col("prev_ts").cast("double") > gapMs / 1000.0, 1)
+          .otherwise(0))
+      .withColumn("session_nr", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_nr")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "q7_sessionize",
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL THEN 0
+        |         WHEN epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_sess
+        |  FROM s),
+        |n AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_nr
+        |  FROM b)
+        |SELECT user_id, session_nr, COUNT(*) AS n_events
+        |FROM n GROUP BY user_id, session_nr
+        |ORDER BY user_id, session_nr""".stripMargin) { (s, dir) =>
+      sessionizeBatch(Tables(s, dir, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_nr")
+    }
+  )
+}

@@ -1,0 +1,84 @@
+package graft.tokens
+
+import graft.operators.TextAnalysis
+import graft.{Cols, Gate, Tables}
+import graft.Cols.bind
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenization (SURVEY §2 T1/T2) — the Spark-native counterpart of
+  * the reference's `MegatronDocumentTokenizer`
+  * (tokens/megatron_tokenizer.py). The container has no HF
+  * `tokenizers`, so the tokenizer itself is a deterministic
+  * regex-word-piece + vocab-hash scheme; everything around it (eos
+  * handling, metadata conditioning, id arrays, the .bin/.idx sink in
+  * [[MegatronBinWriter]]) is the real plumbing.
+  */
+object Tokens {
+
+  val VocabSize = 50000
+  val EosId = 0L
+
+  /** Token ids: portable hash of each regex token into the vocab
+    * (ids 1..VocabSize-1; 0 is reserved for eos), eos appended —
+    * mirroring the reference's `single="$A <EOS>"` post-processor
+    * (megatron_tokenizer.py:66-74). */
+  def tokenIds(text: Column): Column =
+    concat(
+      transform(
+        TextAnalysis.bpeTokens(text),
+        t => pmod(TextAnalysis.h32(t), lit(VocabSize - 1)) + 1),
+      array(lit(EosId)))
+
+  /** T2 — metadata-conditioned text (reference:
+    * examples/metadata_conditioning/tokenize_with_metadata.py):
+    * prepend a metadata header so the conditioning tokens are part of
+    * the document. */
+  def withMetadataPrefix(text: Column, lang: Column, source: Column): Column =
+    concat(lit("lang: "), lang, lit("\nsource: "), source, lit("\n\n"), text)
+
+  // SQL mirrors
+  private def sqlTokenIds(textExpr: String): String = {
+    val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
+    s"[($h32 % ${VocabSize - 1}) + 1 FOR t IN regexp_extract_all($textExpr, '${TextAnalysis.BpePattern}')] || [${EosId}]"
+  }
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "tok_ids", {
+        val ids = sqlTokenIds("text")
+        s"""SELECT doc_id, len($ids) AS n_tokens,
+           |  CAST(list_sum($ids) AS BIGINT) AS id_sum
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), bind(tokenIds(col("text"))) { ids =>
+          struct(
+            size(ids).as("n_tokens"),
+            aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
+        }.as("t"))
+        .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "tok_metadata_prefix", {
+        val prefixed = "'lang: ' || lang || chr(10) || 'source: ' || source || chr(10) || chr(10) || text"
+        val ids = sqlTokenIds(s"($prefixed)")
+        s"""SELECT doc_id, len($ids) AS n_tokens,
+           |  CAST(list_sum($ids) AS BIGINT) AS id_sum
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          bind(tokenIds(withMetadataPrefix(col("text"), col("lang"), col("source")))) { ids =>
+            struct(
+              size(ids).as("n_tokens"),
+              aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
+          }.as("t"))
+        .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Adapter, DocSource}
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("jsonl reader with adapter remaps text/id/metadata") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("part0.jsonl"),
+      """{"content": "hello world", "uid": 7, "extra": {"lang": "en"}}
+        |{"content": "zweite zeile", "uid": 9, "extra": {"lang": "de"}}
+        |""".stripMargin)
+    val df = DocSource.jsonl(spark, dir.toString,
+      Adapter(col("content"), col("uid"), Seq("lang" -> col("extra.lang"))))
+    val rows = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((7L, "hello world", "en"), (9L, "zweite zeile", "de")))
+  }
+
+  test("parquet sink writes zstd files bounded by maxRecordsPerFile and round-trips") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/docs"
+    val docs = Tables(spark, sfDir, "documents")
+    DocSource.writeParquet(docs.repartition(1), out, maxRecordsPerFile = 100)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 5, s"expected >=5 files of <=100 records, got ${files.length}")
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
+  test("parquet sink partitionBy creates partition-pruned layout") {
+    val out = Files.createTempDirectory("graft-sink-part").toString + "/docs"
+    DocSource.writeParquet(Tables(spark, sfDir, "documents"), out, partitionBy = Seq("lang"))
+    val langDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    val en = spark.read.parquet(out).filter(col("lang") === "en")
+    // partition filter must prune at the source, not post-filter
+    val plan = en.queryExecution.executedPlan.toString
+    assert(en.count() > 0)
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"))
+  }
+}

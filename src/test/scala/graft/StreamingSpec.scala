@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregation over a real stream matches batch semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStream.hourlyTypeCounts(df, watermark = "10 minutes")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 5.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("hourly")
+      .select(date_format(col("ws"), "HH").as("h"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    query.stop()
+    assert(rows == Set(("10", "click", 2L, 3.0), ("11", "view", 1L, 5.0)))
+  }
+
+  test("streaming sessionization with flatMapGroupsWithState emits closed sessions") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.EventRow]
+    val query = EventStream.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+
+    val base = 1700000000000L
+    // user 1: two events close together, then a 40-minute gap → first
+    // session (2 events) closes when the later event arrives
+    input.addData(EventStream.EventRow(1L, base), EventStream.EventRow(1L, base + 60000))
+    query.processAllAvailable()
+    input.addData(EventStream.EventRow(1L, base + 41 * 60000))
+    query.processAllAvailable()
+
+    val sessions = spark.table("sessions").as[EventStream.Session].collect().toSet
+    query.stop()
+    assert(sessions == Set(EventStream.Session(1L, 0L, 2L)))
+  }
+
+  test("batch sessionization matches a hand-computed case") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, 0.0),
+      (3L, ts("2024-01-01 11:00:00"), 1L, 0.0), // 50-min gap → new session
+      (4L, ts("2024-01-01 10:00:00"), 2L, 0.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventStream.sessionizeBatch(events, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+}

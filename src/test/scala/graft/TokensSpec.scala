@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.tokens.{MegatronBinWriter, Tokens}
+import org.apache.spark.sql.functions._
+
+class TokensSpec extends SparkSpec {
+
+  test("megatron .bin/.idx roundtrip: header, lengths, byte sizes") {
+    val out = Files.createTempDirectory("graft-megatron").toString
+    val docs = Tables(spark, sfDir, "documents")
+      .limit(50)
+      .select(col("doc_id"), Tokens.tokenIds(col("text")).as("ids"))
+      .repartition(3)
+    val expected = docs.select(sum(size(col("ids"))).cast("long")).head.getLong(0)
+    val shards = MegatronBinWriter.write(docs, "ids", out)
+
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".bin")) == 3)
+    assert(files.count(_.endsWith(".idx")) == 3)
+
+    var totalTokens = 0L
+    var totalDocs = 0
+    for (f <- files if f.endsWith(".idx")) {
+      val (version, dtype, lengths) = MegatronBinWriter.readIdx(s"$out/$f")
+      assert(version == 1L)
+      assert(dtype == 8) // uint16 for vocab 50k
+      totalDocs += lengths.length
+      totalTokens += lengths.map(_.toLong).sum
+      // .bin byte size == 2 bytes × tokens in this shard
+      val binSize = Files.size(Paths.get(s"$out/${f.stripSuffix(".idx")}.bin"))
+      assert(binSize == lengths.map(_.toLong).sum * 2)
+    }
+    assert(totalDocs == 50)
+    assert(totalTokens == expected)
+    val reported = shards.agg(sum("tokens")).head.getLong(0)
+    assert(reported == expected)
+  }
+
+  test("token ids are within vocab and end with eos") {
+    val ids = Tables(spark, sfDir, "documents").limit(5)
+      .select(Tokens.tokenIds(col("text")).as("ids"))
+      .collect().map(_.getSeq[Long](0))
+    assert(ids.forall(_.last == Tokens.EosId))
+    assert(ids.forall(_.init.forall(i => i >= 1 && i < Tokens.VocabSize)))
+  }
+}
