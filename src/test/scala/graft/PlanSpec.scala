@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale (pushdown, pruning, broadcast, no accidental cartesian
+  * products) must survive refactors — `.explain` by hand doesn't.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the discount filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") && p.contains("l_discount"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q1_agg scan prunes to the referenced columns only") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q2_join broadcasts every dimension table") {
+    val p = plan("q2_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q4_semijoin plans a semi join, not a full join + distinct") {
+    val p = plan("q4_semijoin")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("filters fuse into one codegen stage over the scan") {
+    // Use the exchange-free pipeline (no AQE wrapper, which hides
+    // codegen spans in toString): scan → filter → project must be one
+    // WholeStageCodegen.
+    val df = graft.operators.Filters.lambdaFilter(
+      Tables(spark, sfDir, "documents"),
+      col("n_chars").between(100, 400) && col("lang") =!= "zh")
+      .select("doc_id", "n_chars", "lang")
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(stageId)" prefix
+    assert(p.contains("*(1) Filter"), s"filter not codegen'd in:\n$p")
+    assert(p.contains("*(1) Project"), s"project not in same codegen stage:\n$p")
+    assert(!p.contains("Exchange"), "per-doc filter must not shuffle")
+  }
+
+  test("ordered filter plan keeps the filter below the ordering shuffle") {
+    val p = plan("f_lambda")
+    assert(p.indexOf("Filter") > p.indexOf("Exchange"),
+      "filter should run before (below) the ordering exchange")
+  }
+
+  test("id filter is a broadcast anti join (fact side never shuffles for the join)") {
+    val p = plan("f_id_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), s"plan:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = plan("ann_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("no gate plans an unconstrained CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}
