@@ -1,0 +1,112 @@
+package graft.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup digest kernels.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`)
+  * never enter whole-stage codegen — they evaluate the lambda tree
+  * interpreted, per element. These expressions compute the same
+  * digests in one tight JVM loop per row and DO participate in
+  * codegen (`doGenCode` emits a single static call, so the enclosing
+  * stage stays fused).
+  *
+  * Bit-for-bit parity with the column-function versions (and the
+  * DuckDB oracles) is pinned by DigestExpressionsSpec:
+  * h32 = first 8 md5 hex chars as unsigned int, minhash_k =
+  * (a_k·h32 + b_k) mod P, simhash bit j = sign of ±1 votes of each
+  * shingle-hash's bit j.
+  */
+object DigestKernel {
+
+  val MinhashP = 4294967311L
+  val NumHashes = 64
+  private val as = Array.tabulate(NumHashes)(k => 2L * ((k + 1) * 1103515245L % (MinhashP / 4)) + 1)
+  private val bs = Array.tabulate(NumHashes)(k => (k + 1) * 12345L % MinhashP)
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as unsigned 32-bit — identical to
+    * conv(substring(md5(s),1,8),16,10). */
+  def h32(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** 64 minhashes over a string array in one pass. */
+  def minhash(shingles: ArrayData): ArrayData = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = h32(shingles.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < NumHashes) {
+        // a_k·h ≤ ~2^32·2^32 would overflow; a_k < P < 2^33, h < 2^32
+        // → product < 2^63? a_k ≤ 2·(P/4)+1 ≈ 2^31, h < 2^32 → < 2^63. OK.
+        val v = (as(k) * h + bs(k)) % MinhashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit simhash over a string array (sign of per-bit ±1 votes). */
+  def simhash(shingles: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = h32(shingles.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** array<string> → array<long> (64 minhashes). */
+case class Minhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    DigestKernel.minhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DigestKernel.minhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Minhash64 =
+    copy(child = newChild)
+}
+
+/** array<string> → long (32-bit simhash). */
+case class Simhash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    DigestKernel.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DigestKernel.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}

@@ -1,0 +1,36 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook exposing the graft digest kernels to
+  * SQL — `spark.sql("SELECT graft_minhash64(shingles) ...")` works
+  * after `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.expr.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_minhash64"),
+        new ExpressionInfo(classOf[Minhash64].getName, "graft_minhash64"),
+        (args: Seq[Expression]) => Minhash64(args.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_simhash32"),
+        new ExpressionInfo(classOf[Simhash32].getName, "graft_simhash32"),
+        (args: Seq[Expression]) => Simhash32(args.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Idempotent per-session registration for sessions not started
+    * with `spark.sql.extensions` — lets library code reach the
+    * kernels through `functions.call_function`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_minhash64", es => Minhash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash32", es => Simhash32(es.head), "built-in")
+  }
+}

@@ -31,8 +31,10 @@ object Dedup {
     * cluster the input has thousands of splits, but hot single-file
     * inputs still benefit.
     */
-  private[operators] def spread(df: DataFrame): DataFrame =
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    graft.expr.GraftExtensions.register(df.sparkSession)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  }
 
   /** Distinct k-gram word shingles. */
   def shingles(text: Column, k: Int = 3): Column =
@@ -68,8 +70,14 @@ object Dedup {
   private def coefA(k: Int): Long = 2L * ((k + 1) * 1103515245L % (MinhashP / 4)) + 1
   private def coefB(k: Int): Long = (k + 1) * 12345L % MinhashP
 
-  /** 64 minhashes over the shingle set. */
-  def minhash(sh: Column): Column =
+  /** 64 minhashes over the shingle set — native codegen'd kernel
+    * ([[graft.expr.Minhash64]]); parity with [[minhashColumns]] is
+    * pinned by DigestExpressionsSpec. */
+  def minhash(sh: Column): Column = call_function("graft_minhash64", sh)
+
+  /** Reference implementation of [[minhash]] in pure column functions
+    * (interpreted higher-order eval — kept for the parity spec). */
+  def minhashColumns(sh: Column): Column =
     bind(transform(sh, s => TextAnalysis.h32(s))) { hs =>
       transform(
         sequence(lit(0), lit(NumHashes - 1)),
@@ -160,7 +168,11 @@ object Dedup {
   // near-dups still land within a few bits).
   /** Per-shingle 32-bit hash; bit j of the signature = sign of the
     * sum of ±1 votes from each shingle's bit j. */
-  def simhash(text: Column): Column =
+  def simhash(text: Column): Column = call_function("graft_simhash32", shingles(text))
+
+  /** Reference implementation of [[simhash]] in pure column functions
+    * (kept for the parity spec and as the portable-SQL twin). */
+  def simhashColumns(text: Column): Column =
     bind(transform(shingles(text), t => TextAnalysis.h32(t))) { hs =>
       val bits = transform(
         sequence(lit(0), lit(31)),

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The codegen'd digest kernels must be bit-identical to the
+  * column-function reference implementations (which are themselves
+  * mirrored in the DuckDB oracles — simhash values appear verbatim in
+  * the dedup_simhash oracle SQL).
+  */
+class DigestExpressionsSpec extends SparkSpec {
+
+  private def docs = {
+    graft.expr.GraftExtensions.register(spark)
+    Tables(spark, sfDir, "documents").limit(100)
+  }
+
+  test("Minhash64 kernel == column-function minhash, bit for bit") {
+    val both = docs
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(
+        Dedup.minhash(col("sh")).as("kernel"),
+        Dedup.minhashColumns(col("sh")).as("reference"))
+    assert(both.filter(col("kernel") =!= col("reference")).count() == 0)
+  }
+
+  test("Simhash32 kernel == column-function simhash, bit for bit") {
+    val both = docs.select(
+      Dedup.simhash(col("text")).as("kernel"),
+      Dedup.simhashColumns(col("text")).as("reference"))
+    assert(both.filter(col("kernel") =!= col("reference")).count() == 0)
+  }
+
+  test("kernels are registered as SQL functions") {
+    graft.expr.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_simhash32(array('a b c', 'b c d')) AS sig").head.getLong(0)
+    assert(out != 0L)
+  }
+}
