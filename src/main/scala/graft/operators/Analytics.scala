@@ -138,6 +138,52 @@ object Analytics {
           date_format(col("w.start"), "yyyy-MM-dd HH:00").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // Exact per-group quantiles (Spark `percentile` and DuckDB
+    // `quantile_cont` both use linear interpolation at p·(n−1)).
+    Gate(
+      "q8_quantiles",
+      s"""SELECT l_returnflag,
+         |  ${Cols.proundSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
+         |  ${Cols.proundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+         |  ${Cols.proundSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Cols.pround(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          Cols.pround(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          Cols.pround(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
+        .orderBy("l_returnflag")
+    },
+
+    Gate(
+      "q9_pivot",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Cols.dsum(col("l_quantity")))
+        .orderBy("l_returnflag")
+    },
+
+    Gate(
+      "q10_not_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(
+          Tables(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     }
   )
 }

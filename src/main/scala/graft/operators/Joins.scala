@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join utilities for skewed / very large inputs — the levers SURVEY
+  * §4 promises for the 100 TB path. Results are identical to the
+  * plain join (asserted in JoinsSpec); only the physical distribution
+  * changes.
+  */
+object Joins {
+
+  /** Skew-mitigating equi-join: the big side gets a per-row salt, the
+    * small side is replicated once per salt value, and the join key
+    * becomes (key, salt) — a hot key's rows spread over `salt`
+    * reducers instead of one. Use when AQE's skew splitting isn't
+    * available (e.g. pre-3.0 clusters) or the skew is in an
+    * aggregation-feeding join.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0)
+    val bigS = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val smallS = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
+      .withColumnRenamed(key, "__rkey")
+    bigS.join(smallS, bigS(key) === smallS("__rkey") && bigS("__salt") === smallS("__salt"), joinType)
+      .drop("__salt", "__rkey")
+  }
+
+  /** Bloom-prefiltered anti-join for banned-id sets too large to
+    * broadcast cheaply: rows whose id definitely isn't banned pass
+    * without joining; only might-contain rows (banned ∪ false
+    * positives, ~fpp of the input) reach the exact anti-join — so the
+    * shuffled volume drops from |docs| to ≈|banned|. Result is exact
+    * (the bloom only routes, never decides).
+    */
+  def bloomAntiJoin(
+      docs: DataFrame,
+      banned: DataFrame,
+      idCol: String,
+      expectedBanned: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bannedCol = banned.columns.head
+    val bf = banned.stat.bloomFilter(bannedCol, expectedBanned, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((id: Long) => bc.value.mightContainLong(id))
+    val clean = docs.filter(!might(col(idCol)))
+    val suspects = docs.filter(might(col(idCol)))
+    val survivors = suspects.join(
+      banned.withColumnRenamed(bannedCol, "__banned_id"),
+      col(idCol) === col("__banned_id"), "left_anti")
+    clean.unionByName(survivors)
+  }
+}

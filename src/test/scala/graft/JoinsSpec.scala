@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Filters, Joins}
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum("l_quantity").cast("decimal(20,4)")).head
+    val salted = Joins.saltedJoin(li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", 8)
+      .agg(count(lit(1)), sum("l_quantity").cast("decimal(20,4)")).head
+    assert(plain == salted)
+  }
+
+  test("bloom-prefiltered anti join equals broadcast anti join") {
+    val docs = Tables(spark, sfDir, "documents")
+    val banned = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val exact = Filters.idFilter(docs, banned, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Joins.bloomAntiJoin(docs, banned, "doc_id", expectedBanned = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    Tables(spark, sfDir, "orders")
+      .write.mode("overwrite")
+      .option("path", s"$warehouse/g_orders_b")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("g_orders_b")
+    Tables(spark, sfDir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.mode("overwrite")
+      .option("path", s"$warehouse/g_lineitem_b")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("g_lineitem_b")
+
+    val joined = spark.table("g_lineitem_b")
+      .join(spark.table("g_orders_b").hint("merge"), "o_orderkey")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: sort-merge without exchanges
+    assert(!p.contains("Exchange hashpartitioning"), s"bucketed join shuffled:\n$p")
+    assert(joined.count() == Tables(spark, sfDir, "lineitem").count())
+  }
+}
