@@ -1,0 +1,86 @@
+package graft.api
+
+import graft.ml.LinearClassifier
+import graft.operators.{Filters, Formatters, RobotsTxt}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven pipeline assembly — the reference's user surface.
+  *
+  * Mirrors pipelines/fineweb/main.py:34-67 (`CONFIGS` dict selecting
+  * robots/quality/toxicity stages) and :96-146 (assembly order:
+  * reader → id/robots filter → quality filter → toxicity scorer +
+  * filter → PII formatter → writer). A reference user ports their
+  * CONFIGS entry to a [[FinewebConfig]] and gets the same pipeline as
+  * one Catalyst plan with a single-pass kept/excluded split.
+  */
+final case class FinewebConfig(
+    /** banned doc ids (reference: `load_robots` parquet logs →
+      * IdFilter). None = "keeprobots". */
+    robotsBannedIds: Option[DataFrame] = None,
+    /** robots.txt dict for URL-level filtering (reference:
+      * RobotsTxtFilter, "filterrobots_fine"). */
+    robotsDict: Option[Map[String, String]] = None,
+    /** keep top-p docs by embedding-classifier score (reference:
+      * quality_filter {"p": 0.1} + estimate_classifier_threshold). */
+    qualityTopP: Option[Double] = None,
+    /** drop docs with toxicity score ≥ threshold (reference:
+      * toxicity_filter {"threshold": …}). */
+    toxicityThreshold: Option[Double] = None,
+    /** deterministic sampling rate (reference: SamplerFilter). */
+    samplerRate: Option[Double] = None,
+    /** apply the PII formatter to kept docs (reference always does). */
+    piiFormat: Boolean = true)
+
+object FinewebPipeline {
+
+  /** Builds the kept/excluded pair. `docs` needs doc_id/text (+url
+    * for robotsDict, +embedding for quality/toxicity). */
+  def build(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: FinewebConfig,
+      classifier: LinearClassifier = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+
+    var stages = Vector.empty[Stage]
+
+    cfg.robotsBannedIds.foreach { banned =>
+      val ids = banned.collect().map(_.getLong(0)).toSet
+      val bc = spark.sparkContext.broadcast(ids)
+      val inBanned = udf((id: Long) => bc.value.contains(id))
+      stages :+= DocFilter("robots", d => !inBanned(d("doc_id")))
+    }
+
+    cfg.robotsDict.foreach { dict =>
+      val parsed = dict.map { case (k, v) => k -> RobotsTxt.parse(v) }
+      val bc = spark.sparkContext.broadcast(parsed)
+      val allowed = udf((url: String) => RobotsTxt.allowed(bc.value, url))
+      stages :+= DocFilter("robots_txt", d => allowed(d("url")))
+    }
+
+    cfg.qualityTopP.foreach { p =>
+      // reference estimates the threshold as the (1-p) score quantile
+      // over a sample (embeddings_filter.py:76-108); here over the
+      // full input via exact percentile
+      val thr = docs
+        .select(classifier.score(col("embedding")).as("s"))
+        .agg(percentile(col("s"), lit(1 - p))).head.getDouble(0)
+      stages :+= DocFilter("quality", d => classifier.score(d("embedding")) > thr)
+    }
+
+    cfg.toxicityThreshold.foreach { thr =>
+      val tox = LinearClassifier.seeded(64, 7)
+      stages :+= DocFilter("toxicity", d => tox.score(d("embedding")) < thr)
+    }
+
+    cfg.samplerRate.foreach { rate =>
+      stages :+= DocFilter("sampler", d => graft.Cols.lcgUniform(d("doc_id")) < rate)
+    }
+
+    if (cfg.piiFormat)
+      stages :+= Transform("pii", d => d.withColumn("text", Formatters.piiRedact(col("text"))))
+
+    val pipe = Pipeline(stages: _*)
+    (pipe.kept(docs), pipe.excluded(docs))
+  }
+}

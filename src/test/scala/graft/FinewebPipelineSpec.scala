@@ -1,0 +1,53 @@
+package graft
+
+import graft.api.{FinewebConfig, FinewebPipeline}
+import org.apache.spark.sql.functions._
+
+class FinewebPipelineSpec extends SparkSpec {
+
+  // docs with text + a deterministic embedding column, as the
+  // reference's embedding-annotated parquet inputs carry
+  private def annotated = {
+    val docs = Tables(spark, sfDir, "documents")
+    val emb = Tables(spark, sfDir, "embeddings")
+      .withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    docs.join(emb, "doc_id")
+  }
+
+  test("quality_10-keeprobots style config keeps ~top 10% and formats PII") {
+    val docs = annotated
+    val n = docs.count()
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs, FinewebConfig(qualityTopP = Some(0.1)))
+    val k = kept.count()
+    assert(k > 0 && k <= (n * 0.15).toLong, s"kept $k of $n")
+    assert(kept.count() + excluded.count() == n)
+    assert(excluded.select("filter_reason").distinct().collect()
+      .map(_.getString(0)).toSet == Set("quality"))
+  }
+
+  test("stacked filters attribute exclusions to the first rejecting stage") {
+    val docs = annotated
+    val banned = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs,
+      FinewebConfig(
+        robotsBannedIds = Some(banned),
+        samplerRate = Some(0.8)))
+    val reasons = excluded.groupBy("filter_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons.keySet == Set("robots", "sampler"))
+    // every banned id is attributed to robots, never to sampler
+    assert(reasons("robots") == banned.count())
+    assert(kept.count() + excluded.count() == docs.count())
+  }
+
+  test("pii formatting applies to kept docs") {
+    val docs = annotated
+      .withColumn("text", concat(col("text"), lit(" mail me a@b.com")))
+    val (kept, _) = FinewebPipeline.build(spark, docs, FinewebConfig())
+    assert(kept.filter(col("text").contains("a@b.com")).count() == 0)
+    assert(kept.filter(col("text").contains("<email-pii>")).count() == kept.count())
+  }
+}

@@ -53,6 +53,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Set(EventStream.Session(1L, 0L, 2L)))
   }
 
+  test("file-source stream over the events table matches the batch result") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchEvents = Tables(spark, sfDir, "events")
+    val expected = EventStream.hourlyTypeCounts(batchEvents)
+      .select(col("w.start"), col("event_type"), col("n")).collect().toSet
+
+    // re-lay the events as a parquet stream source dir (timestamp
+    // column already normalized), then read it incrementally
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+    val query = EventStream.hourlyTypeCounts(streamed)
+      .select(col("w.start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val got = spark.table("file_hourly").collect().toSet
+    assert(got == expected)
+  }
+
   test("batch sessionization matches a hand-computed case") {
     import spark.implicits._
     val events = Seq(
