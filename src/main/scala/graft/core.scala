@@ -15,6 +15,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // idempotent: make the graft kernel functions resolvable in any
+    // session that touches graft tables
+    graft.expr.GraftExtensions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is physically TIMESTAMP(NANOS); with
     // spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanos —

@@ -87,6 +87,83 @@ object DigestKernel {
   }
 }
 
+object DecDotKernel {
+  import org.apache.spark.sql.types.Decimal
+
+  /** Deterministic decimal-accumulated dot product — the kernel twin
+    * of the column-function fold `aggregate(zip_with(a,b,(x,y) =>
+    * (x·y).cast(DECIMAL(30,15))), 0, +)`. Uses Catalyst's own
+    * [[Decimal]] for the double→decimal conversion so rounding is
+    * bit-identical to the Cast expression (parity pinned in
+    * DigestExpressionsSpec).
+    */
+  def decDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = Decimal(x * y)
+      d.changePrecision(30, 15)
+      acc = acc.add(d.toJavaBigDecimal)
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  /** Plain-double cosine for PRUNE stages only (order-dependent —
+    * never compared against an oracle; always paired with a margin
+    * and a deterministic verify). */
+  def fastCos(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** (array, array) → double plain cosine (prune-only, codegen'd). */
+case class FastCos(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecDotKernel.fastCos(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.DecDotKernel.fastCos($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FastCos =
+    copy(left = l, right = r)
+}
+
+/** (array<float|double>, array<float|double>) → double: deterministic
+  * decimal dot product, codegen'd. */
+case class DecDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecDotKernel.decDot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.DecDotKernel.decDot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecDot =
+    copy(left = l, right = r)
+}
+
 /** array<string> → array<long> (64 minhashes). */
 case class Minhash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_simhash32"),
         new ExpressionInfo(classOf[Simhash32].getName, "graft_simhash32"),
         (args: Seq[Expression]) => Simhash32(args.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_decdot"),
+        new ExpressionInfo(classOf[DecDot].getName, "graft_decdot"),
+        (args: Seq[Expression]) => DecDot(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_fastcos"),
+        new ExpressionInfo(classOf[FastCos].getName, "graft_fastcos"),
+        (args: Seq[Expression]) => FastCos(args.head, args(1))))
   }
 }
 
@@ -32,5 +40,9 @@ object GraftExtensions {
       "graft_minhash64", es => Minhash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash32", es => Simhash32(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_decdot", es => DecDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fastcos", es => FastCos(es.head, es(1)), "built-in")
   }
 }

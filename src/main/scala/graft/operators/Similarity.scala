@@ -26,8 +26,13 @@ object Similarity {
   val Dim = 64
   private val acc = DecimalType(30, 15)
 
-  /** Deterministic (order-independent) dot product of two vectors. */
-  def decDot(a: Column, b: Column): Column =
+  /** Deterministic (order-independent) dot product of two vectors —
+    * codegen'd kernel ([[graft.expr.DecDot]]); bit-parity with
+    * [[decDotColumns]] pinned in DigestExpressionsSpec. */
+  def decDot(a: Column, b: Column): Column = call_function("graft_decdot", a, b)
+
+  /** Column-function reference implementation of [[decDot]]. */
+  def decDotColumns(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(acc)),
       lit(0).cast(acc), (s, x) => (s + x).cast(acc)).cast("double")
@@ -37,13 +42,9 @@ object Similarity {
     decDot(a, b) / (sqrt(decDot(a, a)) * sqrt(decDot(b, b)))
 
   /** Fast double-precision cosine for pruning (order-dependent — never
-    * compared against an oracle, only used with a margin). */
-  def fastCosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (s, v) => s + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * compared against an oracle, only used with a margin). Codegen'd
+    * kernel ([[graft.expr.FastCos]]). */
+  def fastCosine(a: Column, b: Column): Column = call_function("graft_fastcos", a, b)
 
   // ---- random-hyperplane LSH ----
 

@@ -32,6 +32,24 @@ class DigestExpressionsSpec extends SparkSpec {
     assert(both.filter(col("kernel") =!= col("reference")).count() == 0)
   }
 
+  test("DecDot kernel == decimal-fold column dot, bit for bit (float and double inputs)") {
+    import graft.operators.Similarity
+    graft.expr.GraftExtensions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings").limit(200)
+    // float × double-literal (classifier shape)
+    val cls = graft.ml.LinearClassifier.seeded(64, 1)
+    val a = emb.select(
+      cls.dot(col("embedding")).as("kernel"),
+      cls.dotColumns(col("embedding")).as("reference"))
+    assert(a.filter(col("kernel") =!= col("reference")).count() == 0)
+    // double × double (cosine shape)
+    val v = emb.select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val b = v.select(
+      Similarity.decDot(col("v"), col("v")).as("kernel"),
+      Similarity.decDotColumns(col("v"), col("v")).as("reference"))
+    assert(b.filter(col("kernel") =!= col("reference")).count() == 0)
+  }
+
   test("kernels are registered as SQL functions") {
     graft.expr.GraftExtensions.register(spark)
     val out = spark.sql(
