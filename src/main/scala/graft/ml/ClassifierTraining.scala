@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Classifier training on embedding columns — the counterpart of the
+  * reference's quality/toxicity model training
+  * (examples/toxicity_filter/model/train_mlp.py trains an MLP over
+  * frozen XLM-R embeddings; the fineweb pipelines then load it for
+  * EmbeddingBinaryClassifierFilter).
+  *
+  * Training runs distributed via Spark MLlib (logistic regression —
+  * the linear core of the reference's classifier head); the fitted
+  * weights export into [[LinearClassifier]], so inference stays the
+  * codegen'd broadcast-weights column expression rather than an ML
+  * pipeline transform per batch.
+  */
+object ClassifierTraining {
+
+  /** Fit on (embedding: array<float|double>, label: 0/1). */
+  def trainLinear(
+      data: DataFrame,
+      embeddingCol: String,
+      labelCol: String,
+      maxIter: Int = 50,
+      regParam: Double = 0.01): LinearClassifier = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val ds = data
+      .select(
+        transform(col(embeddingCol), x => x.cast("double")).as("emb"),
+        col(labelCol).cast("double").as("label"))
+      .as[(Seq[Double], Double)]
+      .map { case (e, l) => (Vectors.dense(e.toArray), l) }
+      .toDF("features", "label")
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(ds)
+    LinearClassifier(model.coefficients.toArray, model.intercept)
+  }
+
+  /** Accuracy of a [[LinearClassifier]] at a 0.5 sigmoid cutoff. */
+  def accuracy(cls: LinearClassifier, data: DataFrame, embeddingCol: String, labelCol: String): Double = {
+    val scored = data.select(
+      (cls.score(col(embeddingCol)) > 0.5).cast("int").as("pred"),
+      col(labelCol).cast("int").as("y"))
+    scored.agg(avg((col("pred") === col("y")).cast("double"))).head.getDouble(0)
+  }
+}

@@ -26,6 +26,14 @@ object Filters {
     docs.join(broadcast(b), docs(idCol) === col("__banned_id"), "left_anti")
   }
 
+  /** Reference `load_robots` (robots_filter.py:119-139): the robots
+    * permissivity logs are parquet of (id, user_agents); a doc id is
+    * banned iff its user_agents list is non-empty. Stays distributed
+    * (no driver collect) — feed the result to [[idFilter]] or
+    * `Joins.bloomAntiJoin`. */
+  def bannedIdsFromRobotsLogs(logs: DataFrame, idCol: String = "id", uaCol: String = "user_agents"): DataFrame =
+    logs.filter(size(col(uaCol)) > 0).select(col(idCol)).distinct()
+
   /** F2 — reference `RobotsTxtFilter`: keep only docs whose URL every
     * honored crawler may fetch. Robots bodies are parsed once on the
     * driver; compiled rules broadcast.

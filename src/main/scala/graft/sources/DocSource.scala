@@ -50,6 +50,11 @@ object DocSource {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Jsonl sink (reference: JsonlWriter) — one JSON object per line,
+    * compressed. */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
   val gates: Seq[Gate] = Seq(
     // Adapter over the events table: remap id/text, parse the JSON
     // metadata payload (reference finemath adapter parses the

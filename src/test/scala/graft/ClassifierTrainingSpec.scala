@@ -1,0 +1,46 @@
+package graft
+
+import graft.ml.ClassifierTraining
+import graft.operators.Filters
+import graft.sources.DocSource
+import org.apache.spark.sql.functions._
+
+class ClassifierTrainingSpec extends SparkSpec {
+
+  test("trained linear classifier separates labels well above chance") {
+    // binary task from the embeddings table's label column
+    val data = Tables(spark, sfDir, "embeddings")
+      .withColumn("y", (col("label") >= 5).cast("int"))
+    val cls = ClassifierTraining.trainLinear(data, "embedding", "y")
+    val acc = ClassifierTraining.accuracy(cls, data, "embedding", "y")
+    val base = data.agg(greatest(avg("y"), lit(1.0) - avg("y"))).head.getDouble(0)
+    assert(acc > base + 0.05, s"train accuracy $acc vs majority baseline $base")
+    // exported weights drive the same codegen'd scoring path as the
+    // seeded classifiers (dot via graft_decdot kernel)
+    assert(cls.weights.length == 64)
+  }
+
+  test("bannedIdsFromRobotsLogs mirrors load_robots semantics") {
+    import spark.implicits._
+    val logs = Seq(
+      (1L, Seq("GPTBot", "CCBot")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("*")),
+      (3L, Seq("ClaudeBot"))
+    ).toDF("id", "user_agents")
+    val banned = Filters.bannedIdsFromRobotsLogs(logs)
+      .collect().map(_.getLong(0)).toSet
+    assert(banned == Set(1L, 3L))
+  }
+
+  test("jsonl writer round-trips with compression") {
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-w").toString + "/docs"
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    DocSource.writeJsonl(docs, out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")))
+    val back = spark.read.json(out)
+    assert(back.count() == docs.count())
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+  }
+}
