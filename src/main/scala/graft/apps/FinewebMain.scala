@@ -1,0 +1,51 @@
+package graft.apps
+
+import graft.{GraftSession, Tables}
+import graft.api.{FinewebConfig, FinewebPipeline}
+import graft.sources.DocSource
+import org.apache.spark.sql.functions._
+
+/** Runnable end-to-end pipeline — the shape of the reference's
+  * `pipelines/fineweb/main.py`: pick a named config, read the
+  * annotated docs, run the filter/format pipeline, write kept docs to
+  * the output sink and removed docs (with `filter_reason`) to the
+  * exclusion sink.
+  *
+  * Usage: runMain graft.apps.FinewebMain <sfDir> <outDir> <configName>
+  * Configs mirror the reference CONFIGS keys (fineweb/main.py:34-67).
+  */
+object FinewebMain {
+
+  val Configs: Map[String, FinewebConfig] = Map(
+    "keeprobots" -> FinewebConfig(),
+    "only-quality_10" -> FinewebConfig(qualityTopP = Some(0.10)),
+    "only-quality_33" -> FinewebConfig(qualityTopP = Some(0.33)),
+    "quality_10-toxicity" -> FinewebConfig(
+      qualityTopP = Some(0.10), toxicityThreshold = Some(0.999)),
+    "sampled" -> FinewebConfig(samplerRate = Some(0.5)))
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, configName) = args
+    val cfg = Configs.getOrElse(
+      configName,
+      sys.error(s"unknown config '$configName'; known: ${Configs.keys.mkString(", ")}"))
+
+    val spark = GraftSession.create(s"graft-fineweb-$configName")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sfDir, "documents")
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val annotated = docs.join(emb, "doc_id")
+
+    val (kept, excluded) = FinewebPipeline.build(spark, annotated, cfg)
+    DocSource.writeParquet(kept.drop("embedding"), s"$outDir/output")
+    DocSource.writeParquet(excluded.drop("embedding"), s"$outDir/removed")
+
+    val k = spark.read.parquet(s"$outDir/output").count()
+    val r = spark.read.parquet(s"$outDir/removed").count()
+    println(s"""{"config":"$configName","kept":$k,"removed":$r}""")
+    spark.stop()
+  }
+}

@@ -139,6 +139,61 @@ object Similarity {
         Cols.pround(col("cos"), 4).as("cosine"))
   }
 
+  /** N2b — IVF-style ANN: coarse k-means centroids partition the
+    * corpus into cells; each query scores only its `nProbe` nearest
+    * cells. The scale path when hyperplane buckets are too coarse:
+    * cell assignment is one narrow pass, per-query work is
+    * nProbe/k of the corpus, and the centroid set (k × dim doubles)
+    * broadcasts. Deterministic given the k-means seed, but not
+    * SQL-expressible — recall vs brute force is asserted in
+    * SimilaritySpec.
+    */
+  def ivfTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusVec = corpus
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, Vectors.dense(v.toArray)) }
+      .toDF("id", "features")
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(corpusVec)
+    val assigned = km.transform(corpusVec)
+      .select(col("id"), col("prediction").as("cell"))
+    val corpusCells = corpus.join(assigned, "id")
+
+    val centroids = km.clusterCenters.zipWithIndex
+    val bcCentroids = spark.sparkContext.broadcast(centroids.map { case (c, i) => (i, c.toArray) })
+    val probeCells = udf { (q: Seq[Double]) =>
+      bcCentroids.value
+        .map { case (i, c) =>
+          val d = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val qs = queries
+      .withColumn("cells", probeCells(transform(col("qvec"), x => x.cast("double"))))
+      .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
+
+    val scored = corpusCells.join(broadcast(qs), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), decCosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        Cols.pround(col("cos"), 4).as("cosine"))
+  }
+
   // ---- gates ----
 
   // Planted near-dup vectors: every 25th embedding gets a replica

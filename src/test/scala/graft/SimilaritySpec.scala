@@ -28,6 +28,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"recall $recall suspiciously low")
   }
 
+  test("IVF top-k has reasonable recall vs brute force") {
+    val e = emb
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val bf = operators.Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.Similarity.ivfTopK(queries, corpus, 3, nCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
+  }
+
   test("minhash LSH finds every planted truncation near-dup") {
     val docs = Tables(spark, sfDir, "documents")
     val expectedPlanted = docs.filter(col("doc_id") % 10 === 0).count()
