@@ -66,6 +66,25 @@ object Formatters {
     docs.withColumn("copy_nr", explode(sequence(lit(1), reps.cast("int"))))
   }
 
+  /** Custom priority-ordered PII rules — the reference's EU-regex path
+    * (pii_formatter.py:28-60: rules loaded with a Priority column,
+    * filtered to `priorities_to_keep`, sorted by priority, each
+    * wrapped as `\b<regex>(\.|$|,|\s)` — note the reference's re.sub
+    * consumes the trailing separator; mirrored here).
+    */
+  final case class PiiRule(priority: String, pattern: String, replacement: String)
+
+  def wrapRule(pattern: String): String = "\\b" + pattern + "(\\.|$|,|\\s)"
+
+  def redactWithRules(
+      text: Column,
+      rules: Seq[PiiRule],
+      prioritiesToKeep: Seq[String]): Column = {
+    val keep = prioritiesToKeep.zipWithIndex.toMap
+    val active = rules.filter(r => keep.contains(r.priority)).sortBy(r => keep(r.priority))
+    active.foldLeft(text) { (t, r) => regexp_replace(t, wrapRule(r.pattern), r.replacement) }
+  }
+
   // ---- gates ----
 
   // The documents table carries no real PII, so the gate plants a
@@ -98,6 +117,38 @@ object Formatters {
       val docs = Tables(s, dir, "documents")
       docs.select(col("doc_id"), plantPii(docs).as("t"))
         .select(col("doc_id"), piiRedact(col("t")).as("redacted"), piiCount(col("t")).as("pii_count"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "fmt_pii_custom", {
+        // P0 id and P1 passport rules active; P2 phone rule filtered
+        // out by priorities_to_keep — exactly the reference's config
+        val r0 = "EU[0-9]{6}"
+        val r1 = "PASS-[A-Z]{2}[0-9]{4}"
+        val planted =
+          "text || ' id EU' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') || " +
+            "' doc PASS-AB' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+            "' tel 0041-555, end'"
+        s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(t,
+           |    '\\b$r0(\\.|$$|,|\\s)', '[eu-id]', 'g'),
+           |    '\\b$r1(\\.|$$|,|\\s)', '[passport]', 'g') AS redacted
+           |FROM p ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val rules = Seq(
+        PiiRule("P0", "EU[0-9]{6}", "[eu-id]"),
+        PiiRule("P1", "PASS-[A-Z]{2}[0-9]{4}", "[passport]"),
+        PiiRule("P2", "[0-9]{4}-[0-9]{3}", "[phone]"))
+      val planted = concat(
+        col("text"), lit(" id EU"), lpad((col("doc_id") % 1000000).cast("string"), 6, "0"),
+        lit(" doc PASS-AB"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" tel 0041-555, end"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          redactWithRules(col("t"), rules, prioritiesToKeep = Seq("P0", "P1")).as("redacted"))
         .orderBy("doc_id")
     },
 
