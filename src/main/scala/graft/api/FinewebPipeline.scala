@@ -64,7 +64,7 @@ object FinewebPipeline {
       // full input via exact percentile
       val thr = docs
         .select(classifier.score(col("embedding")).as("s"))
-        .agg(percentile(col("s"), lit(1 - p))).head.getDouble(0)
+        .agg(percentile(col("s"), lit(1 - p))).head().getDouble(0)
       stages :+= DocFilter("quality", d => classifier.score(d("embedding")) > thr)
     }
 

@@ -47,6 +47,6 @@ object ClassifierTraining {
     val scored = data.select(
       (cls.score(col(embeddingCol)) > 0.5).cast("int").as("pred"),
       col(labelCol).cast("int").as("y"))
-    scored.agg(avg((col("pred") === col("y")).cast("double"))).head.getDouble(0)
+    scored.agg(avg((col("pred") === col("y")).cast("double"))).head().getDouble(0)
   }
 }

@@ -27,11 +27,11 @@ final case class LinearClassifier(weights: Array[Double], bias: Double = 0.0) {
     * kernel; bit-parity with [[dotColumns]] pinned in
     * DigestExpressionsSpec. */
   def dot(emb: Column): Column =
-    call_function("graft_decdot", emb, array(weights.map(lit): _*))
+    call_function("graft_decdot", emb, array(weights.toIndexedSeq.map(lit): _*))
 
   /** Column-function reference implementation of [[dot]]. */
   def dotColumns(emb: Column): Column = {
-    val w = array(weights.map(lit): _*)
+    val w = array(weights.toIndexedSeq.map(lit): _*)
     val prods = zip_with(emb, w, (a, b) => (a.cast("double") * b).cast(acc))
     aggregate(prods, lit(0).cast(acc), (s, x) => (s + x).cast(acc)).cast("double")
   }

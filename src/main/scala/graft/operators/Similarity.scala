@@ -56,7 +56,7 @@ object Similarity {
     * Scaling a vector by any positive factor cannot change it. */
   def hyperplaneSig(v: Column, nPlanes: Int): Column =
     concat((0 until nPlanes).map { k =>
-      val w = array(hyperplane(k).map(lit): _*)
+      val w = array(hyperplane(k).toIndexedSeq.map(lit): _*)
       when(decDot(v, w) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
@@ -70,7 +70,7 @@ object Similarity {
 
   def sqlHyperplaneSig(vExpr: String, nPlanes: Int): String =
     (0 until nPlanes).map { k =>
-      val w = hyperplane(k).map(x => f"$x%.4f").mkString("[", ",", "]")
+      val w = hyperplane(k).toIndexedSeq.map(x => f"$x%.4f").mkString("[", ",", "]")
       s"CASE WHEN ${sqlDecDot(vExpr, w)} >= 0 THEN '1' ELSE '0' END"
     }.mkString("(", " || ", ")")
 
