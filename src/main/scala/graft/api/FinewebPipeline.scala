@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.ml.LinearClassifier
-import graft.operators.{Filters, Formatters, RobotsTxt}
+import graft.operators.{Filters, Formatters}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,26 +45,33 @@ object FinewebPipeline {
     var stages = Vector.empty[Stage]
 
     cfg.robotsBannedIds.foreach { banned =>
-      val ids = banned.collect().map(_.getLong(0)).toSet
-      val bc = spark.sparkContext.broadcast(ids)
-      val inBanned = udf((id: Long) => bc.value.contains(id))
-      stages :+= DocFilter("robots", d => !inBanned(d("doc_id")))
+      // Broadcast membership join, not a collected set: at reference
+      // scale the robots banned-id log is hundreds of millions of rows
+      // and a driver collect() OOMs. A broadcast LEFT join + null test
+      // is the anti-join shape (Filters.idFilter) with the per-row
+      // verdict the exclusion writer needs for reason attribution.
+      // For banned sets too large to broadcast, swap the marker join
+      // for Joins.bloomAntiJoin on the kept path.
+      val b = broadcast(banned.toDF("__banned_id"))
+      stages :+= Transform("robots_mark",
+        d => d.join(b, d("doc_id") === col("__banned_id"), "left"))
+      stages :+= DocFilter("robots", _ => col("__banned_id").isNull)
+      stages :+= Transform("robots_unmark", _.drop("__banned_id"))
     }
 
     cfg.robotsDict.foreach { dict =>
-      val parsed = dict.map { case (k, v) => k -> RobotsTxt.parse(v) }
-      val bc = spark.sparkContext.broadcast(parsed)
-      val allowed = udf((url: String) => RobotsTxt.allowed(bc.value, url))
-      stages :+= DocFilter("robots_txt", d => allowed(d("url")))
+      stages :+= DocFilter("robots_txt",
+        d => Filters.robotsAllowed(spark, dict, d("url")))
     }
 
     cfg.qualityTopP.foreach { p =>
       // reference estimates the threshold as the (1-p) score quantile
-      // over a sample (embeddings_filter.py:76-108); here over the
-      // full input via exact percentile
+      // over a sample (embeddings_filter.py:76-108); here via the
+      // distributed Greenwald-Khanna sketch — one pass, driver merges
+      // only the sketch, never the scores
       val thr = docs
         .select(classifier.score(col("embedding")).as("s"))
-        .agg(percentile(col("s"), lit(1 - p))).head().getDouble(0)
+        .stat.approxQuantile("s", Array(1 - p), 0.001).head
       stages :+= DocFilter("quality", d => classifier.score(d("embedding")) > thr)
     }
 

@@ -80,6 +80,27 @@ object Cols {
   }
 }
 
+/** Registry for operator-scoped persisted frames. Operators persist
+  * compact digest frames (shingle sets, LSH signatures) because their
+  * self-joins would otherwise recompute the digest pipeline per side;
+  * but `persist` outlives the query that planned it, and across a
+  * 40-query session the orphaned caches crowd the storage fraction.
+  * Callers that run many queries (Bench, Verify, pipelines) call
+  * [[releaseAll]] after consuming each result.
+  */
+object Caches {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frames += p
+    p
+  }
+  def releaseAll(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+  }
+}
+
 /** One correctness-gated operator: a DataFrame builder plus (usually)
   * an equivalent DuckDB SQL oracle. Modules contribute Gates; the
   * driver contract in [[SparkEntry]] aggregates them.

@@ -2,7 +2,8 @@ package graft.expr
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions hook exposing the graft digest kernels to
   * SQL — `spark.sql("SELECT graft_minhash64(shingles) ...")` works
@@ -27,10 +28,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_fastcos"),
         new ExpressionInfo(classOf[FastCos].getName, "graft_fastcos"),
         (args: Seq[Expression]) => FastCos(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+        GraftExtensions.bloomAgg))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_bloom_might"),
+        new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might"),
+        GraftExtensions.bloomMight))
   }
 }
 
 object GraftExtensions {
+
+  /** Spark's own (unregistered) bloom expressions, exposed as
+    * functions so the whole probe path stays codegen — both sides key
+    * on XxHash64 of the value, exactly as Spark's runtime-filter
+    * rewrite builds them (InjectRuntimeFilter).
+    * `graft_bloom_agg(value, estimatedItems, numBits)` → binary. */
+  private[expr] val bloomAgg: Seq[Expression] => Expression =
+    es => new BloomFilterAggregate(new XxHash64(Seq(es.head)), es(1), es(2))
+
+  /** `graft_bloom_might(bloomBinary, value)` → boolean (codegen'd). */
+  private[expr] val bloomMight: Seq[Expression] => Expression =
+    es => new BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))
+
   /** Idempotent per-session registration for sessions not started
     * with `spark.sql.extensions` — lets library code reach the
     * kernels through `functions.call_function`. */
@@ -44,5 +66,7 @@ object GraftExtensions {
       "graft_decdot", es => DecDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fastcos", es => FastCos(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAgg, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might", bloomMight, "built-in")
   }
 }

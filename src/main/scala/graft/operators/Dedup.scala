@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * The LSH parameterizations are chosen so candidate recall at the
   * output threshold is exact or overwhelming (SimHash: pigeonhole-
-  * guaranteed; MinHash: 32 bands × 2 rows ⇒ miss prob < 1e-11 at
-  * j=0.75), and a final exact-Jaccard filter makes the output equal
-  * to the brute-force definition the DuckDB oracle computes.
+  * guaranteed; MinHash: 16 bands × 4 rows ⇒ miss prob (1-j⁴)¹⁶ —
+  * ≈ 4e-7 at the planted-replica j≈0.88, though ≈ 2e-3 for a pair
+  * sitting right at the 0.7 gate threshold, so recall near the
+  * threshold is overwhelming-probabilistic, not exact), and a final
+  * exact-Jaccard filter removes all false candidates, so the output
+  * is ⊆ the brute-force definition the DuckDB oracle computes and
+  * misses a true pair only with the probabilities above.
   */
 object Dedup {
 
@@ -122,11 +126,12 @@ object Dedup {
 
   /** D2 — MinHash+LSH near-dup pairs with exact-Jaccard verification. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
-    val sets = spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      // digest DataFrame feeds bucket-building AND both verify sides:
-      // persist so the shingle+md5 pipeline runs once, not three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // digest DataFrame feeds bucket-building AND both verify sides:
+    // persist so the shingle+md5 pipeline runs once, not three times
+    // (scoped: Caches.releaseAll() frees it once the result is consumed)
+    val sets = graft.Caches.persist(
+      spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+        .filter(size(col("sh")) > 0))
     val buckets = sets
       .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
       // prefix the band index so different bands never share buckets
@@ -136,29 +141,54 @@ object Dedup {
 
   /** D4 — exact n-gram Jaccard via inverted shingle index (every pair
     * with Jaccard ≥ t > 0 shares a shingle, so the index join loses
-    * nothing). At 100 TB add document-frequency pruning on hot
-    * shingles before the self-join.
+    * nothing).
+    *
+    * `dfCutoff`: the 100 TB lever. A shingle appearing in d documents
+    * contributes d² candidate rows to the self-join — one stop-shingle
+    * ("terms of service") creates a quadratic bucket. With a cutoff,
+    * shingles with document frequency > cutoff are dropped from the
+    * INDEX ONLY (a broadcast anti-join against the tiny hot-shingle
+    * set); candidate pairs then verify with exact Jaccard over the
+    * full shingle sets, so precision is exact and a true pair is
+    * missed only if EVERY shingle it shares is hot — at any realistic
+    * cutoff (≥ a few hundred) that requires two near-identical docs
+    * made entirely of boilerplate. DedupSpec proves the pruned path
+    * result-equal on the gate data.
     */
-  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
-    val sets = spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Shingles are distinct per doc, so |A∩B| = number of join hits —
-    // Jaccard falls out of a count aggregate over the inverted-index
-    // join; no per-pair array intersection, and the shuffled rows are
-    // (id, size, shingle) triples only.
-    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
-    inv.as("x")
-      .join(inv.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
-      .groupBy(
-        col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .agg(count(lit(1)).as("shared"))
-      .select(col("id_a"), col("id_b"),
-        Cols.pround(
-          col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")),
-          4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      dfCutoff: Option[Long] = None): DataFrame = {
+    val sets = graft.Caches.persist(
+      spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+        .filter(size(col("sh")) > 0))
+    dfCutoff match {
+      case Some(cut) =>
+        val inv = sets.select(col("id"), explode(col("sh")).as("bkey"))
+        val hot = inv.groupBy("bkey").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cut).select("bkey")
+        val pruned = inv.join(broadcast(hot), Seq("bkey"), "left_anti")
+        verifiedPairs(sets, pruned.select(col("id"), col("bkey")), threshold)
+      case None =>
+        // Shingles are distinct per doc, so |A∩B| = number of join
+        // hits — Jaccard falls out of a count aggregate over the
+        // inverted-index join; no per-pair array intersection, and the
+        // shuffled rows are (id, size, shingle) triples only.
+        val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
+        inv.as("x")
+          .join(inv.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+          .groupBy(
+            col("x.id").as("id_a"), col("y.id").as("id_b"),
+            col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+          .agg(count(lit(1)).as("shared"))
+          .select(col("id_a"), col("id_b"),
+            Cols.pround(
+              col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")),
+              4).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+    }
   }
 
   // SimHash: 32-bit signature over the distinct 3-gram shingle set
@@ -192,8 +222,8 @@ object Dedup {
     * chunk-bucketing has EXACT recall at the output threshold. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to hamming 3")
-    val sigs = spread(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.Caches.persist(
+      spread(docs).select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
     val chunks = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -294,7 +324,8 @@ object Dedup {
     Gate(
       "dedup_ngram_jaccard",
       sqlJaccardPairs(SqlPlantedTruncated, 0.35)) { (s, dir) =>
-      ngramJaccardPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.35)
+      ngramJaccardPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.35,
+        dfCutoff = Some(50L))
         .orderBy("id_a", "id_b")
     },
 

@@ -43,11 +43,21 @@ object Filters {
       docs: DataFrame,
       robotsDict: Map[String, String],
       urlCol: String,
-      uas: Seq[String] = RobotsTxt.DefaultRemoveUserAgents): DataFrame = {
+      uas: Seq[String] = RobotsTxt.DefaultRemoveUserAgents): DataFrame =
+    docs.filter(robotsAllowed(spark, robotsDict, col(urlCol), uas))
+
+  /** The [[robotsFilter]] predicate as a reusable Column, for callers
+    * that need keep/exclude attribution rather than a dropped-row
+    * filter (e.g. the fineweb pipeline's exclusion writer). */
+  def robotsAllowed(
+      spark: SparkSession,
+      robotsDict: Map[String, String],
+      url: Column,
+      uas: Seq[String] = RobotsTxt.DefaultRemoveUserAgents): Column = {
     val parsed = robotsDict.map { case (d, c) => d -> RobotsTxt.parse(c) }
     val bc = spark.sparkContext.broadcast(parsed)
-    val allowedUdf = udf((url: String) => RobotsTxt.allowed(bc.value, url, uas))
-    docs.filter(allowedUdf(col(urlCol)))
+    val allowedUdf = udf((u: String) => RobotsTxt.allowed(bc.value, u, uas))
+    allowedUdf(url)
   }
 
   /** F3 — reference `URLFilter` with `extra_domains` (coarse

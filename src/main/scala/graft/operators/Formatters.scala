@@ -13,10 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Formatters {
 
-  /** PII regexes (reference: pii_formatter.py:62-71, RE2-compatible
-    * subset — no lookarounds, so the same patterns run in Java regex,
-    * RE2 and DuckDB identically). */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** PII regexes (reference: pii_formatter.py:62-71, RE2-compatible —
+    * no lookarounds, so the same patterns run in Java regex, RE2 and
+    * DuckDB identically). Email matches the reference's full pattern:
+    * extended local-part charset (dotted atoms of
+    * !#$%&'*+/=?^_`{|}~- etc.), hostname labels or a bracketed IP
+    * literal domain. The apostrophe is written `\x27` so the pattern
+    * can be embedded in single-quoted SQL unchanged. */
+  private val EmailLocal = "[A-Za-z0-9!#$%&\\x27*+/=?^_`{|}~-]+"
+  private val EmailHost =
+    "(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\\.)+[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+  private val EmailIpLiteral =
+    "\\[(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?|[A-Za-z0-9-]*[A-Za-z0-9]:)\\]"
+  val EmailRe =
+    s"\\b$EmailLocal(?:\\.$EmailLocal)*@(?:$EmailHost|$EmailIpLiteral)"
   val IpRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
   val IbanRe = "[A-Z]{2}[0-9]{2}(?: [0-9]{4}){4} [A-Z0-9]{1,2}"
 
@@ -64,6 +74,38 @@ object Formatters {
       case ((r, i), acc) => when(floor(col(idCol) / bucketSize) === i, lit(r)).otherwise(acc)
     }
     docs.withColumn("copy_nr", explode(sequence(lit(1), reps.cast("int"))))
+  }
+
+  /** A5b — seeded fixed-token excerpt (reference:
+    * gutenberg/create_excerpt.py:82-126,
+    * `select_tokens_from_random_offset` + `verify_num_token`): slice
+    * the char window [charStart, charEnd), tokenize, take `numTokens`
+    * tokens from a seeded random offset (reference:
+    * `rng.randint(0, len - num_tokens)`), detokenize. Docs with fewer
+    * than `numTokens` window tokens are dropped — the analogue of the
+    * reference's verify_num_token re-tokenization check, which with
+    * whitespace-joining detokenization passes iff enough tokens
+    * existed. The offset RNG is the portable LCG keyed on the doc id
+    * (not Python's Mersenne twister) so any engine reproduces it;
+    * floor(u·choices) is IEEE-exact because u = k/2³¹ and
+    * k·choices < 2⁵³. Narrow, codegen, no shuffle.
+    */
+  def excerpt(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numTokens: Int,
+      charStart: Int = 10000,
+      charEnd: Int = 70000): DataFrame = {
+    require(numTokens > 0 && charEnd > charStart)
+    val win = substring(col(textCol), charStart + 1, charEnd - charStart)
+    docs
+      .withColumn("__toks", TextAnalysis.words(win))
+      .filter(size(col("__toks")) >= numTokens)
+      .withColumn("off",
+        floor(Cols.lcgUniform(col(idCol)) * (size(col("__toks")) - (numTokens - 1))).cast("int"))
+      .withColumn("excerpt", array_join(slice(col("__toks"), col("off") + 1, lit(numTokens)), " "))
+      .drop("__toks")
   }
 
   /** Custom priority-ordered PII rules — the reference's EU-regex path
@@ -209,6 +251,24 @@ object Formatters {
       replicate(Tables(s, dir, "documents"), "doc_id", 100, ReplicationSchedule)
         .select("doc_id", "copy_nr")
         .orderBy("doc_id", "copy_nr")
+    },
+
+    Gate(
+      "op_excerpt", {
+        val toks = "regexp_extract_all(substr(text, 1, 2000), '[A-Za-z0-9]+')"
+        s"""WITH f AS (
+           |  SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents
+           |  WHERE len($toks) >= 20),
+           |o AS (
+           |  SELECT doc_id, toks,
+           |    CAST(floor((${Cols.lcgUniformSql("doc_id")}) * (n - 19)) AS INT) AS off
+           |  FROM f)
+           |SELECT doc_id, off, array_to_string(toks[off+1:off+20], ' ') AS excerpt
+           |FROM o ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      excerpt(Tables(s, dir, "documents"), "text", "doc_id", numTokens = 20,
+        charStart = 0, charEnd = 2000)
+        .select("doc_id", "off", "excerpt").orderBy("doc_id")
     }
   )
 }

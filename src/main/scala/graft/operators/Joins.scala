@@ -24,6 +24,13 @@ object Joins {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // With right/full joins the replicated small side would emit one
+    // unmatched null-padded row PER SALT VALUE — only join types that
+    // never emit unmatched small-side rows are sound here.
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, not $joinType")
     val bigS = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val smallS = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
@@ -45,12 +52,22 @@ object Joins {
       idCol: String,
       expectedBanned: Long,
       fpp: Double = 0.01): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
     val bannedCol = banned.columns.head
-    val bf = banned.stat.bloomFilter(bannedCol, expectedBanned, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((id: Long) => bc.value.mightContainLong(id))
-    val clean = docs.filter(!might(col(idCol)))
-    val suspects = docs.filter(might(col(idCol)))
+    // Spark's native bloom expressions (the runtime-filter machinery)
+    // instead of a Scala UDF over a broadcast sketch: the probe is a
+    // codegen'd BloomFilterMightContain over a binary literal, so the
+    // 100 TB side's filter stays inside whole-stage codegen. Sizes
+    // clamped to the aggregate's default limits (4M items / 8 MiB).
+    val items = math.min(math.max(expectedBanned, 1L), 4000000L)
+    val optimalBits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(optimalBits, 67108864L)
+    val bf = banned.agg(
+      call_function("graft_bloom_agg", col(bannedCol), lit(items), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    def might = call_function("graft_bloom_might", lit(bf), col(idCol))
+    val clean = docs.filter(!might)
+    val suspects = docs.filter(might)
     val survivors = suspects.join(
       banned.withColumnRenamed(bannedCol, "__banned_id"),
       col(idCol) === col("__banned_id"), "left_anti")

@@ -104,8 +104,12 @@ object RobotsTxt {
     "FacebookBot", "Meta-ExternalAgent", "Google-Extended", "GPTBot",
     "PanguBot", "*")
 
+  /** Netloc of the URL — host plus port/userinfo when present,
+    * matching the reference's `urlparse(url).netloc` dict key
+    * (robots_filter.py:70): `https://host:8080/x` looks up
+    * `host:8080`, not `host`. */
   def domainOf(url: String): String =
-    Try(Option(new URI(url).getHost).getOrElse("")).getOrElse("")
+    Try(Option(new URI(url).getRawAuthority).getOrElse("")).getOrElse("")
 
   def pathOf(url: String): String =
     Try {

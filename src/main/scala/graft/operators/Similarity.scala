@@ -84,10 +84,9 @@ object Similarity {
       threshold: Double,
       nPlanes: Int = 4,
       pruneMargin: Double = 0.01): DataFrame = {
-    val sigs = vecs
+    val sigs = graft.Caches.persist(vecs
       .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", hyperplaneSig(col("vec"), nPlanes)))
     sigs.as("x")
       .join(sigs.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .filter(fastCosine(col("x.vec"), col("y.vec")) >= threshold - pruneMargin)

@@ -200,10 +200,20 @@ object TextAnalysis {
          |w AS (SELECT doc_id,
          |  [list_min(hs[i:i+3]) FOR i IN range(1, greatest(len(hs)-3, 0)+1)] AS wins
          |  FROM h)
-         |SELECT doc_id, list_sort(list_distinct(wins)) AS winnow_fp
+         |SELECT doc_id,
+         |  len(list_distinct(wins)) AS n_fp,
+         |  md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS winnow_fp
          |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // The selected-hash SET is the document fingerprint; emit it as a
+      // scalar digest (md5 of the sorted joined hashes) — the driver's
+      // pandas-based checker cannot hash/sort array cells.
       Tables(s, dir, "documents")
-        .select(col("doc_id"), winnow(col("text")).as("winnow_fp"))
+        .select(col("doc_id"), bind(winnow(col("text"))) { win =>
+          struct(
+            size(win).cast("long").as("n"),
+            md5(array_join(transform(win, x => x.cast("string")), ",")).as("fp"))
+        }.as("w"))
+        .select(col("doc_id"), col("w.n").as("n_fp"), col("w.fp").as("winnow_fp"))
         .orderBy("doc_id")
     }
   )

@@ -50,6 +50,37 @@ object DocSource {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** S3b — parquet sink bounded by FILE BYTES, the reference's actual
+    * knob (`max_file_size` — pipelines/fineweb/main.py:141): Spark's
+    * writer only bounds records per file, so the byte bound is
+    * translated to a record bound using the measured on-disk bytes/row
+    * of a bounded sample (written with the same codec, then deleted).
+    * The fixed parquet footer overhead in the sample skews the
+    * estimate conservative — files come out at or under the bound.
+    * Returns the derived maxRecordsPerFile.
+    */
+  def writeParquetBytesBounded(
+      df: DataFrame,
+      path: String,
+      maxFileBytes: Long,
+      partitionBy: Seq[String] = Nil,
+      sampleRows: Int = 10000): Long = {
+    require(maxFileBytes > 0)
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val samplePath = new Path(path + "_sizing_sample")
+    val fs = samplePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.limit(sampleRows).coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(samplePath.toString)
+    val bytes = fs.getContentSummary(samplePath).getLength
+    val rows = spark.read.parquet(samplePath.toString).count()
+    fs.delete(samplePath, true)
+    val bytesPerRow = math.max(1L, bytes / math.max(rows, 1L))
+    val maxRecords = math.max(1L, maxFileBytes / bytesPerRow)
+    writeParquet(df, path, maxRecords, partitionBy)
+    maxRecords
+  }
+
   /** Jsonl sink (reference: JsonlWriter) — one JSON object per line,
     * compressed. */
   def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =

@@ -88,8 +88,10 @@ object EventStream {
         |  FROM s),
         |n AS (
         |  SELECT user_id,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS session_nr
+        |    -- DuckDB windowed SUM yields HUGEINT, which pandas reads as
+        |    -- float64 and the value-hash diverges from Spark's int64
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_nr
         |  FROM b)
         |SELECT user_id, session_nr, COUNT(*) AS n_events
         |FROM n GROUP BY user_id, session_nr

@@ -4,7 +4,7 @@ import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** S5 — Megatron-LM indexed-dataset sink: per-partition `.bin`
@@ -13,23 +13,35 @@ import org.apache.spark.sql.functions._
   * Byte layout matches the reference's `MegatronTokenizedFile`
   * (tokens/megatron_tokenizer.py:80-220): 9-byte header `MMIDIDX\0\0`,
   * u64 version=1, u8 dtype code (8=uint16, 4=int32), u64 sequence
-  * count, u64 document count, little-endian; then i32 sequence
-  * lengths, i64 sequence byte offsets... (pointers), i64 document
+  * count, u64 document count (= sequence count + 1: the reference's
+  * `document_indices` starts at [0] and appends one entry per doc —
+  * megatron_tokenizer.py:108,156), little-endian; then i32 sequence
+  * lengths, i64 sequence byte offsets (pointers), i64 document
   * indices [0..n].
   *
   * Scale design: each Spark partition writes its own `rank-<pid>`
-  * shard via foreachPartition — embarrassingly parallel, exactly the
+  * shard via mapPartitions — embarrassingly parallel, exactly the
   * reference's one-file-per-task sharding, no driver involvement and
   * no shuffle. Token ids stream straight from the rows to a buffered
-  * local stream.
+  * local stream. A `maxTokensPerShard` bound rolls a partition's
+  * output into `rank-<pid>-sub-<k>` files (the reference's
+  * `get_output_filename(..., sub_rank)` slot —
+  * megatron_tokenizer.py:207) so one skewed partition cannot produce
+  * an unboundedly large shard.
   */
 object MegatronBinWriter {
 
-  /** Writes `df`'s `idsCol` (array<long>) to `outDir/rank-<pid>.bin/.idx`.
-    * Returns per-shard (shard, docs, tokens) as a DataFrame for
-    * inspection.
+  /** Writes `df`'s `idsCol` (array<long>) to
+    * `outDir/rank-<pid>[-sub-<k>].bin/.idx`. Returns per-shard
+    * (shard, docs, tokens) as a DataFrame for inspection.
     */
-  def write(df: DataFrame, idsCol: String, outDir: String, vocabSize: Int = Tokens.VocabSize): DataFrame = {
+  def write(
+      df: DataFrame,
+      idsCol: String,
+      outDir: String,
+      vocabSize: Int = Tokens.VocabSize,
+      maxTokensPerShard: Long = Long.MaxValue): DataFrame = {
+    require(maxTokensPerShard > 0)
     Files.createDirectories(Paths.get(outDir))
     val tokenSize = if (vocabSize > 65536) 4 else 2
     val spark = df.sparkSession
@@ -38,29 +50,52 @@ object MegatronBinWriter {
     val shards = df.select(col(idsCol).as("ids")).as[Seq[Long]]
       .mapPartitions { rows =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val base = s"$outDir/rank-$pid"
-        val bin = new BufferedOutputStream(new FileOutputStream(base + ".bin"), 1 << 20)
-        val lengths = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var tokens = 0L
-        val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        for (ids <- rows) {
-          lengths += ids.length
-          tokens += ids.length
-          for (id <- ids) {
-            buf.clear()
-            if (tokenSize == 2) { buf.putShort((id & 0xffff).toShort); bin.write(buf.array(), 0, 2) }
-            else { buf.putInt(id.toInt); bin.write(buf.array(), 0, 4) }
-          }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var sub = 0
+        var shard = new ShardWriter(s"$outDir/rank-$pid", tokenSize)
+        def roll(): Unit = {
+          out += shard.close()
+          sub += 1
+          shard = new ShardWriter(s"$outDir/rank-$pid-sub-$sub", tokenSize)
         }
-        bin.close()
-        writeIdx(base + ".idx", lengths.toSeq, tokenSize)
-        Iterator.single((s"rank-$pid", lengths.length.toLong, tokens))
+        for (ids <- rows) {
+          if (shard.tokens > 0 && shard.tokens + ids.length > maxTokensPerShard)
+            roll()
+          shard.append(ids)
+        }
+        out += shard.close()
+        out.iterator
       }
       .toDF("shard", "docs", "tokens")
     // Materialize so the files exist when this returns (sink semantics).
     shards.cache()
     shards.count()
     shards
+  }
+
+  /** Streams one `.bin` + `.idx` pair; `close` finalizes the index. */
+  private final class ShardWriter(base: String, tokenSize: Int) {
+    private val bin = new BufferedOutputStream(new FileOutputStream(base + ".bin"), 1 << 20)
+    private val lengths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    var tokens = 0L
+
+    def append(ids: Seq[Long]): Unit = {
+      lengths += ids.length
+      tokens += ids.length
+      for (id <- ids) {
+        buf.clear()
+        if (tokenSize == 2) { buf.putShort((id & 0xffff).toShort); bin.write(buf.array(), 0, 2) }
+        else { buf.putInt(id.toInt); bin.write(buf.array(), 0, 4) }
+      }
+    }
+
+    /** Returns (shardName, docs, tokens). */
+    def close(): (String, Long, Long) = {
+      bin.close()
+      writeIdx(base + ".idx", lengths.toSeq, tokenSize)
+      (base.substring(base.lastIndexOf('/') + 1), lengths.length.toLong, tokens)
+    }
   }
 
   private[tokens] val IndexHeader: Array[Byte] =
@@ -74,7 +109,9 @@ object MegatronBinWriter {
     u64(1L) // version
     out.writeByte(if (tokenSize == 4) 4 else 8) // Megatron dtype code
     u64(lengths.length.toLong) // sequence count
-    u64(lengths.length.toLong) // document count
+    // document count = len(document_indices) = n + 1 (indices 0..n);
+    // a reader trusting this field must see the final boundary
+    u64(lengths.length + 1L)
     lengths.foreach(i32) // sequence lengths
     var offset = 0L
     lengths.foreach { l => u64(offset); offset += l.toLong * tokenSize } // sequence pointers
@@ -82,8 +119,10 @@ object MegatronBinWriter {
     out.close()
   }
 
-  /** Reads back an .idx file's (version, dtypeCode, sequenceLengths)
-    * — used by specs to round-trip the format. */
+  /** Reads back an .idx file's (version, dtypeCode, sequenceLengths),
+    * validating the full layout (document count = n+1, pointer
+    * arithmetic, document indices 0..n) — used by specs to round-trip
+    * the format. */
   def readIdx(path: String): (Long, Int, Seq[Int]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -92,8 +131,18 @@ object MegatronBinWriter {
     val version = bb.getLong
     val dtype = bb.get().toInt
     val nSeq = bb.getLong.toInt
-    bb.getLong // doc count
+    val nDoc = bb.getLong.toInt
+    require(nDoc == nSeq + 1, s"document count $nDoc != sequence count $nSeq + 1")
     val lengths = Seq.fill(nSeq)(bb.getInt)
+    val tokenSize = if (dtype == 4) 4 else 2
+    var expect = 0L
+    for (l <- lengths) {
+      val p = bb.getLong
+      require(p == expect, s"sequence pointer $p != $expect")
+      expect += l.toLong * tokenSize
+    }
+    for (i <- 0 to nSeq)
+      require(bb.getLong == i.toLong, s"document index $i mismatch")
     (version, dtype, lengths)
   }
 }

@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def planted = Dedup.plantedTruncated(Tables(spark, sfDir, "documents"))
+
+  test("df-pruned ngram jaccard equals the exact count-based path") {
+    def pairs(cut: Option[Long]) =
+      Dedup.ngramJaccardPairs(planted, "text", "doc_id", 0.35, cut)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs(None)
+    val pruned = pairs(Some(50L))
+    assert(exact.nonEmpty)
+    assert(pruned == exact)
+    Caches.releaseAll()
+  }
+
+  test("df cutoff of zero prunes every shared shingle and finds nothing") {
+    // degenerate cutoff: every shingle shared by a pair has df >= 2
+    val none = Dedup.ngramJaccardPairs(planted, "text", "doc_id", 0.35, Some(1L)).count()
+    assert(none == 0)
+    Caches.releaseAll()
+  }
+}

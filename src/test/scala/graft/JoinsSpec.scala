@@ -20,9 +20,14 @@ class JoinsSpec extends SparkSpec {
     val banned = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
     val exact = Filters.idFilter(docs, banned, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val bloomed = Joins.bloomAntiJoin(docs, banned, "doc_id", expectedBanned = 1000)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val result = Joins.bloomAntiJoin(docs, banned, "doc_id", expectedBanned = 1000)
+    val bloomed = result.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloomed == exact)
+    // the probe must be the codegen'd native expression, not a UDF
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe left codegen:\n$plan")
+    assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
   }
 
   test("bucketed tables join without a shuffle") {

@@ -28,6 +28,19 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == docs.count())
   }
 
+  test("byte-bounded parquet sink keeps every file at or near the byte bound") {
+    val out = Files.createTempDirectory("graft-sink-bytes").toString + "/docs"
+    val docs = Tables(spark, sfDir, "documents").repartition(1)
+    val bound = 16L * 1024
+    val maxRecords = DocSource.writeParquetBytesBounded(docs, out, maxFileBytes = bound)
+    assert(maxRecords > 0)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"expected multiple files under the $bound-byte bound")
+    // sample-estimated rows/file → allow 2x slack for row-size variance
+    assert(files.forall(_.length <= bound * 2), files.map(_.length).mkString(","))
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("parquet sink partitionBy creates partition-pruned layout") {
     val out = Files.createTempDirectory("graft-sink-part").toString + "/docs"
     DocSource.writeParquet(Tables(spark, sfDir, "documents"), out, partitionBy = Seq("lang"))

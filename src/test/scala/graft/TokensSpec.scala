@@ -38,6 +38,37 @@ class TokensSpec extends SparkSpec {
     assert(reported == expected)
   }
 
+  test("maxTokensPerShard rolls a partition into sub-rank shards, losing nothing") {
+    val out = Files.createTempDirectory("graft-megatron-sub").toString
+    val docs = Tables(spark, sfDir, "documents")
+      .limit(40)
+      .select(col("doc_id"), Tokens.tokenIds(col("text")).as("ids"))
+      .coalesce(1) // one skewed partition
+    val expected = docs.select(sum(size(col("ids"))).cast("long")).head.getLong(0)
+    val shards = MegatronBinWriter.write(docs, "ids", out, maxTokensPerShard = 500L)
+
+    val idxFiles = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".idx")).sorted
+    assert(idxFiles.length > 1, s"expected multiple sub-rank shards, got ${idxFiles.toSeq}")
+    assert(idxFiles.contains("rank-0.idx"))
+    assert(idxFiles.exists(_.startsWith("rank-0-sub-")))
+
+    var totalTokens = 0L
+    var totalDocs = 0
+    for (f <- idxFiles) {
+      val (version, _, lengths) = MegatronBinWriter.readIdx(s"$out/$f")
+      assert(version == 1L)
+      // every shard except possibly oversized single docs honors the bound
+      assert(lengths.map(_.toLong).sum <= 500L || lengths.length == 1)
+      totalDocs += lengths.length
+      totalTokens += lengths.map(_.toLong).sum
+      val binSize = Files.size(Paths.get(s"$out/${f.stripSuffix(".idx")}.bin"))
+      assert(binSize == lengths.map(_.toLong).sum * 2)
+    }
+    assert(totalDocs == 40)
+    assert(totalTokens == expected)
+    assert(shards.count() == idxFiles.length.toLong)
+  }
+
   test("token ids are within vocab and end with eos") {
     val ids = Tables(spark, sfDir, "documents").limit(5)
       .select(Tokens.tokenIds(col("text")).as("ids"))
