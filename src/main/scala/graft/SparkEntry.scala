@@ -19,7 +19,8 @@ object SparkEntry {
       sources.DocSource.gates ++
       tokens.Tokens.gates ++
       multimodal.Multimodal.gates ++
-      streaming.EventStream.gates
+      streaming.EventStream.gates ++
+      api.FinewebPipeline.gates
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,5 +1,6 @@
 package graft.api
 
+import graft.{Cols, Gate, Tables}
 import graft.ml.LinearClassifier
 import graft.operators.{Filters, Formatters}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -29,6 +30,12 @@ final case class FinewebConfig(
     toxicityThreshold: Option[Double] = None,
     /** deterministic sampling rate (reference: SamplerFilter). */
     samplerRate: Option[Double] = None,
+    /** fineweb-edu style edu-score gate: annotate the 0–5 edu score +
+      * its integer bucket, keep docs with int_score ≥ this (the
+      * reference's score-2 dataset is exactly int_score ≥ 2 —
+      * pipelines/fineweb-edu/main-score-2.py consumes it; the
+      * annotate-then-bucket step happens upstream of those configs). */
+    eduScoreMinInt: Option[Int] = None,
     /** apply the PII formatter to kept docs (reference always does). */
     piiFormat: Boolean = true)
 
@@ -84,10 +91,73 @@ object FinewebPipeline {
       stages :+= DocFilter("sampler", d => graft.Cols.lcgUniform(d("doc_id")) < rate)
     }
 
+    cfg.eduScoreMinInt.foreach { minInt =>
+      stages :+= Transform("edu_annotate", d => eduAnnotate(d))
+      stages :+= DocFilter("edu_score", _ => col("int_score") >= minInt)
+    }
+
     if (cfg.piiFormat)
       stages :+= Transform("pii", d => d.withColumn("text", Formatters.piiRedact(col("text"))))
 
     val pipe = Pipeline(stages: _*)
     (pipe.kept(docs), pipe.excluded(docs))
   }
+
+  /** The edu classifier head standing in for fineweb-edu's regression
+    * scorer: 5 × sigmoid of a linear head over the embedding, rounded
+    * to 6 places (portable), plus the integer bucket fineweb-edu
+    * publishes as `int_score` (= round-half-up of the score). */
+  def eduAnnotate(
+      docs: DataFrame,
+      classifier: LinearClassifier = EduClassifier): DataFrame =
+    docs
+      .withColumn("score", Cols.pround(lit(5.0) * classifier.score(col("embedding")), 6))
+      .withColumn("int_score", floor(col("score") + 0.5).cast("int"))
+
+  val EduClassifier: LinearClassifier = LinearClassifier.seeded(64, 3)
+
+  /** The reference's per-dump sweep (fineweb-edu/main.py iterates 96
+    * CC dumps, each with its own input dir, banned-id log and
+    * output/removed dirs). Spark-first: each dump contributes one
+    * branch of a single union plan tagged with a `dump` column, so
+    * the whole sweep is ONE job whose output partitions by dump
+    * (`DocSource.writeParquet(..., partitionBy = Seq("dump"))`) —
+    * not 96 serial Slurm arrays. Returns (kept, excluded). */
+  def sweepDumps(
+      spark: SparkSession,
+      dumps: Seq[String],
+      docsFor: String => DataFrame,
+      bannedFor: String => Option[DataFrame],
+      cfg: FinewebConfig,
+      classifier: LinearClassifier = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+    require(dumps.nonEmpty)
+    val built = dumps.map { dump =>
+      val (kept, excluded) =
+        build(spark, docsFor(dump), cfg.copy(robotsBannedIds = bannedFor(dump)), classifier)
+      (kept.withColumn("dump", lit(dump)), excluded.withColumn("dump", lit(dump)))
+    }
+    (built.map(_._1).reduce(_ unionByName _), built.map(_._2).reduce(_ unionByName _))
+  }
+
+  // ---- gates ----
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "fw_edu_score", {
+        val score = s"5.0 * (${EduClassifier.scoreSql("e.embedding")})"
+        s"""WITH s AS (
+           |  SELECT d.doc_id, ${Cols.proundSql(score, 6)} AS score
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+           |SELECT doc_id, score, CAST(floor(score + 0.5) AS INT) AS int_score
+           |FROM s WHERE floor(score + 0.5) >= 2
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      // end-to-end through the config surface: annotate + bucket +
+      // threshold exactly as a fineweb-edu score-2 config would
+      val docs = Tables(s, dir, "documents")
+        .join(Tables(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      val (kept, _) = build(s, docs, FinewebConfig(eduScoreMinInt = Some(2), piiFormat = false))
+      kept.select("doc_id", "score", "int_score").orderBy("doc_id")
+    }
+  )
 }

@@ -1,0 +1,135 @@
+package graft.ml
+
+import graft.operators.TextAnalysis
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** FastText-style bag-of-ngrams TEXT classifier — the counterpart of
+  * the reference's fasttext train/annotate/test surface
+  * (examples/code_pipeline/code_classifier.py:34-150: word n-grams
+  * hashed into buckets, averaged, linear head; `loss="softmax"` for
+  * single-label, `loss="ova"` for multi-label; `annotate` writes the
+  * predicted label back onto the parquet dataset).
+  *
+  * Spark-first: featurization (tokenize → n-grams → portable-hash
+  * into `numBuckets`) is one native column expression shared by
+  * training and inference; training runs distributed MLlib logistic
+  * regression over the hashed-TF vectors; the fitted weights fold
+  * back into an array-literal column expression, so annotation is a
+  * narrow per-row fold with no UDF and no model object on the
+  * executors — the same broadcast-weights pattern as
+  * [[LinearClassifier]]. Multi-label = one one-vs-all model per
+  * label, exactly fasttext's `ova` loss.
+  *
+  * Scale: hashing trick means the model size is `numBuckets` doubles
+  * regardless of vocabulary (fasttext's `bucket=2000000`); inference
+  * touches only the row's own n-grams. For bucket counts beyond a few
+  * hundred thousand the weight literal should move into a custom
+  * Expression; at the default 4096 the plan stays small.
+  */
+final case class TextNgramClassifier(
+    numBuckets: Int,
+    wordNgrams: Int,
+    weights: Array[Double],
+    bias: Double) {
+  require(weights.length == numBuckets)
+
+  private val acc = DecimalType(30, 15)
+
+  /** Mean weight over the text's hashed n-gram buckets (fasttext
+    * averages the input vectors), decimal-accumulated for
+    * order-independent determinism. */
+  def dot(text: Column): Column = {
+    val w = array(weights.toIndexedSeq.map(lit): _*)
+    val bkts = TextNgramClassifier.ngramBuckets(text, numBuckets, wordNgrams)
+    graft.Cols.bind(bkts) { bs =>
+      when(size(bs) === 0, lit(0.0)).otherwise(
+        aggregate(
+          transform(bs, b => element_at(w, b + 1).cast(acc)),
+          lit(0).cast(acc), (s, x) => (s + x).cast(acc)).cast("double") / size(bs))
+    }
+  }
+
+  def score(text: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-(dot(text) + lit(bias))))
+
+  /** Reference `annotate`: write the predicted hard label onto the
+    * dataset (code_classifier.py:52-68). */
+  def annotate(docs: DataFrame, textCol: String, outCol: String): DataFrame =
+    docs.withColumn(outCol, (score(col(textCol)) > 0.5).cast("int"))
+}
+
+object TextNgramClassifier {
+
+  /** Hashed feature ids: unigrams through `wordNgrams`-grams of the
+    * lowercased word tokens, each mapped to h32(gram) mod numBuckets.
+    * One expression, reused verbatim by training and inference so the
+    * two can never disagree on featurization. */
+  def ngramBuckets(text: Column, numBuckets: Int, wordNgrams: Int): Column =
+    graft.Cols.bind(TextAnalysis.words(lower(text))) { toks =>
+      val grams = (1 to wordNgrams).map { n =>
+        if (n == 1) toks
+        else transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+          i => array_join(slice(toks, i, lit(n)), " "))
+      }.reduce(concat(_, _))
+      transform(grams, g => pmod(TextAnalysis.h32(g), lit(numBuckets)).cast("int"))
+    }
+
+  /** Fit on (text, label 0/1) — fasttext `train_supervised` with
+    * softmax loss over two labels reduces to binary logistic
+    * regression over the averaged hashed-TF vector. */
+  def train(
+      data: DataFrame,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = 4096,
+      wordNgrams: Int = 2,
+      maxIter: Int = 50,
+      regParam: Double = 1e-4): TextNgramClassifier = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val ds = data
+      .select(
+        ngramBuckets(col(textCol), numBuckets, wordNgrams).as("b"),
+        col(labelCol).cast("double").as("label"))
+      .as[(Seq[Int], Double)]
+      .map { case (bs, l) =>
+        val counts = bs.groupBy(identity).map { case (b, xs) =>
+          (b, xs.length.toDouble / bs.length)
+        }.toSeq.sortBy(_._1)
+        (Vectors.sparse(numBuckets, counts.map(_._1).toArray, counts.map(_._2).toArray), l)
+      }
+      .toDF("features", "label")
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(ds)
+    TextNgramClassifier(numBuckets, wordNgrams, model.coefficients.toArray, model.intercept)
+  }
+
+  /** Multi-label one-vs-all (reference `MultiFastTextClassifier`,
+    * loss="ova": one independent logistic head per label). Returns
+    * one classifier per label column. */
+  def trainMulti(
+      data: DataFrame,
+      textCol: String,
+      labelCols: Seq[String],
+      numBuckets: Int = 4096,
+      wordNgrams: Int = 2,
+      maxIter: Int = 50,
+      regParam: Double = 1e-4): Map[String, TextNgramClassifier] =
+    labelCols.map { lc =>
+      lc -> train(data, textCol, lc, numBuckets, wordNgrams, maxIter, regParam)
+    }.toMap
+
+  /** Reference `test` (code_classifier.py:70-100): hard-label accuracy. */
+  def accuracy(cls: TextNgramClassifier, data: DataFrame, textCol: String, labelCol: String): Double =
+    data.select(
+      ((cls.score(col(textCol)) > 0.5).cast("int") === col(labelCol).cast("int"))
+        .cast("double").as("hit"))
+      .agg(avg("hit")).head().getDouble(0)
+}

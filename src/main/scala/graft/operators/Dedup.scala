@@ -164,30 +164,48 @@ object Dedup {
     val sets = graft.Caches.persist(
       spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
         .filter(size(col("sh")) > 0))
+    // Shingles are distinct per doc, so |A∩B| = number of join hits —
+    // Jaccard falls out of a count aggregate over the inverted-index
+    // join; no per-pair array intersection, and the shuffled rows are
+    // (id, size, shingle) triples only.
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
+    def countPairs(index: DataFrame) = index.as("x")
+      .join(index.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .groupBy(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+    def emit(pairs: DataFrame) = pairs
+      .select(col("id_a"), col("id_b"),
+        Cols.pround(
+          col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
     dfCutoff match {
+      case None => emit(countPairs(inv))
       case Some(cut) =>
-        val inv = sets.select(col("id"), explode(col("sh")).as("bkey"))
+        // Self-join only the non-hot index (the d² blow-up lives in the
+        // hot shingles), then add back each candidate pair's hot-∩-hot
+        // overlap so the Jaccard stays exact. Both correction joins are
+        // against the tiny per-doc hot-shingle sets; with no hot
+        // shingles in the data the whole branch degenerates to the
+        // exact path plus an anti-join against an empty broadcast.
         val hot = inv.groupBy("bkey").agg(count(lit(1)).as("df"))
           .filter(col("df") > cut).select("bkey")
-        val pruned = inv.join(broadcast(hot), Seq("bkey"), "left_anti")
-        verifiedPairs(sets, pruned.select(col("id"), col("bkey")), threshold)
-      case None =>
-        // Shingles are distinct per doc, so |A∩B| = number of join
-        // hits — Jaccard falls out of a count aggregate over the
-        // inverted-index join; no per-pair array intersection, and the
-        // shuffled rows are (id, size, shingle) triples only.
-        val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
-        inv.as("x")
-          .join(inv.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
-          .groupBy(
-            col("x.id").as("id_a"), col("y.id").as("id_b"),
-            col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-          .agg(count(lit(1)).as("shared"))
-          .select(col("id_a"), col("id_b"),
-            Cols.pround(
-              col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")),
-              4).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
+        val nonHot = inv.join(broadcast(hot), Seq("bkey"), "left_anti")
+        val hotSets = inv.join(broadcast(hot), Seq("bkey"), "left_semi")
+          .groupBy("id").agg(array_sort(collect_list("bkey")).as("harr"))
+        // no broadcast hint: hotSets is per-DOC (one row per doc that
+        // contains a hot shingle) and can be large — AQE picks the
+        // join strategy from its actual size
+        val corrected = countPairs(nonHot)
+          .join(hotSets.select(col("id").as("__ida"), col("harr").as("harr_a")),
+            col("id_a") === col("__ida"), "left")
+          .join(hotSets.select(col("id").as("__idb"), col("harr").as("harr_b")),
+            col("id_b") === col("__idb"), "left")
+          .withColumn("shared",
+            col("shared") + coalesce(size(array_intersect(col("harr_a"), col("harr_b"))), lit(0)))
+        emit(corrected)
     }
   }
 

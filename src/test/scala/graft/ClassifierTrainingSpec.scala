@@ -1,11 +1,48 @@
 package graft
 
-import graft.ml.ClassifierTraining
+import graft.ml.{ClassifierTraining, TextNgramClassifier}
 import graft.operators.Filters
 import graft.sources.DocSource
 import org.apache.spark.sql.functions._
 
 class ClassifierTrainingSpec extends SparkSpec {
+
+  // synthetic text task: positive docs get a planted marker vocabulary
+  // (the fasttext surface needs labels derivable from TEXT alone)
+  private def textTask = Tables(spark, sfDir, "documents")
+    .withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+    .withColumn("text",
+      when(col("y") === 1, concat(col("text"), lit(" flux capacitor resonance")))
+        .otherwise(col("text")))
+
+  test("fasttext-style ngram classifier trains, annotates and tests on text") {
+    val data = textTask
+    val cls = TextNgramClassifier.train(data, "text", "y", numBuckets = 1024)
+    val acc = TextNgramClassifier.accuracy(cls, data, "text", "y")
+    assert(acc > 0.95, s"train accuracy $acc")
+    // annotate writes a hard 0/1 label column like the reference's
+    // FastTextClassifier.annotate
+    val annotated = cls.annotate(data, "text", "pred")
+    assert(annotated.filter(col("pred") =!= col("y")).count() < data.count() / 20)
+    // inference is pure column expressions — no UDF in the plan
+    val plan = annotated.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("multi-label ova classifiers learn independent label heads") {
+    val data = Tables(spark, sfDir, "documents")
+      .withColumn("y_a", (col("doc_id") % 2 === 0).cast("int"))
+      .withColumn("y_b", (col("doc_id") % 5 === 0).cast("int"))
+      .withColumn("text",
+        concat(
+          col("text"),
+          when(col("y_a") === 1, lit(" alpha omega signal")).otherwise(lit("")),
+          when(col("y_b") === 1, lit(" zeta prime marker")).otherwise(lit(""))))
+    val heads = TextNgramClassifier.trainMulti(data, "text", Seq("y_a", "y_b"), numBuckets = 1024)
+    assert(heads.keySet == Set("y_a", "y_b"))
+    assert(TextNgramClassifier.accuracy(heads("y_a"), data, "text", "y_a") > 0.95)
+    assert(TextNgramClassifier.accuracy(heads("y_b"), data, "text", "y_b") > 0.95)
+  }
 
   test("trained linear classifier separates labels well above chance") {
     // binary task from the embeddings table's label column

@@ -13,9 +13,20 @@ class DedupSpec extends SparkSpec {
         .orderBy("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val exact = pairs(None)
-    val pruned = pairs(Some(50L))
     assert(exact.nonEmpty)
-    assert(pruned == exact)
+    // cutoff 50: nothing is hot at this scale — full equality.
+    assert(pairs(Some(50L)) == exact)
+    // cutoff 5: aggressively prunes (replica clusters make their own
+    // shingles hot). Recall may drop — a pair whose every shared
+    // shingle is hot is missed — but PRECISION must stay exact: every
+    // emitted pair carries the same Jaccard the exact path computes,
+    // because the hot-overlap correction adds the pruned shingles back.
+    val aggressive = pairs(Some(5L))
+    val exactByPair = exact.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(aggressive.nonEmpty && aggressive.size <= exact.size)
+    aggressive.foreach { case (a, b, j) =>
+      assert(exactByPair.get((a, b)).contains(j), s"pair ($a,$b) jaccard $j wrong")
+    }
     Caches.releaseAll()
   }
 

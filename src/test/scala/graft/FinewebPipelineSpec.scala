@@ -43,6 +43,39 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(kept.count() + excluded.count() == docs.count())
   }
 
+  test("edu-score config annotates score/int_score and thresholds on the bucket") {
+    val docs = annotated
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs, FinewebConfig(eduScoreMinInt = Some(2), piiFormat = false))
+    assert(kept.columns.contains("score") && kept.columns.contains("int_score"))
+    assert(kept.filter(col("int_score") < 2).count() == 0)
+    assert(kept.count() + excluded.count() == docs.count())
+    assert(excluded.select("filter_reason").distinct().collect()
+      .map(_.getString(0)).toSet == Set("edu_score"))
+  }
+
+  test("per-dump sweep builds one union plan with per-dump banned ids") {
+    val docs = annotated
+    val dumps = Seq("CC-A", "CC-B")
+    // dump A bans ids %3, dump B bans nothing; dumps partition the input
+    val (kept, excluded) = FinewebPipeline.sweepDumps(
+      spark, dumps,
+      docsFor = {
+        case "CC-A" => docs.filter(col("doc_id") % 2 === 0)
+        case _      => docs.filter(col("doc_id") % 2 =!= 0)
+      },
+      bannedFor = {
+        case "CC-A" => Some(docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+        case _      => None
+      },
+      FinewebConfig())
+    assert(kept.select("dump").distinct().count() == 2)
+    assert(kept.count() + excluded.count() == docs.count())
+    val reasonsByDump = excluded.groupBy("dump", "filter_reason").count()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(reasonsByDump == Set(("CC-A", "robots")))
+  }
+
   test("pii formatting applies to kept docs") {
     val docs = annotated
       .withColumn("text", concat(col("text"), lit(" mail me a@b.com")))

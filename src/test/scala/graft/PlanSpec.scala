@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("fineweb banned-id stage is a broadcast join, no UDF and no driver collect") {
+    val docs = Tables(spark, sfDir, "documents")
+    val banned = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val (kept, _) = graft.api.FinewebPipeline.build(
+      spark, docs, graft.api.FinewebConfig(robotsBannedIds = Some(banned), piiFormat = false))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"banned-id filter not a broadcast join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"banned-id membership must not be a UDF:\n$p")
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
