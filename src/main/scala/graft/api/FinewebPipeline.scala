@@ -22,12 +22,20 @@ final case class FinewebConfig(
     /** robots.txt dict for URL-level filtering (reference:
       * RobotsTxtFilter, "filterrobots_fine"). */
     robotsDict: Option[Map[String, String]] = None,
+    /** coarse domain blocklist (reference: URLFilter with
+      * extra_domains — dclm-edu/main.py:64, megamath/main.py,
+      * finemath/main.py:95-105). */
+    blockedDomains: Option[Set[String]] = None,
     /** keep top-p docs by embedding-classifier score (reference:
       * quality_filter {"p": 0.1} + estimate_classifier_threshold). */
     qualityTopP: Option[Double] = None,
     /** drop docs with toxicity score ≥ threshold (reference:
       * toxicity_filter {"threshold": …}). */
     toxicityThreshold: Option[Double] = None,
+    /** toxicity model override — fineweb-2 loads one detoxify model
+      * PER LANGUAGE (fineweb-2/main.py CONFIGS_10: german_cls.pth,
+      * french_cls.pth, …); None = the default seeded head. */
+    toxicityClassifier: Option[LinearClassifier] = None,
     /** deterministic sampling rate (reference: SamplerFilter). */
     samplerRate: Option[Double] = None,
     /** fineweb-edu style edu-score gate: annotate the 0–5 edu score +
@@ -71,6 +79,12 @@ object FinewebPipeline {
         d => Filters.robotsAllowed(spark, dict, d("url")))
     }
 
+    cfg.blockedDomains.foreach { domains =>
+      val blocked = array(domains.toSeq.sorted.map(lit): _*)
+      stages :+= DocFilter("url_filter",
+        d => !array_contains(blocked, parse_url(d("url"), lit("HOST"))))
+    }
+
     cfg.qualityTopP.foreach { p =>
       // reference estimates the threshold as the (1-p) score quantile
       // over a sample (embeddings_filter.py:76-108); here via the
@@ -83,7 +97,7 @@ object FinewebPipeline {
     }
 
     cfg.toxicityThreshold.foreach { thr =>
-      val tox = LinearClassifier.seeded(64, 7)
+      val tox = cfg.toxicityClassifier.getOrElse(LinearClassifier.seeded(64, 7))
       stages :+= DocFilter("toxicity", d => tox.score(d("embedding")) < thr)
     }
 
@@ -135,6 +149,31 @@ object FinewebPipeline {
       val (kept, excluded) =
         build(spark, docsFor(dump), cfg.copy(robotsBannedIds = bannedFor(dump)), classifier)
       (kept.withColumn("dump", lit(dump)), excluded.withColumn("dump", lit(dump)))
+    }
+    (built.map(_._1).reduce(_ unionByName _), built.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** The reference's per-LANGUAGE config sweep (fineweb-2/main.py
+    * CONFIGS_10/33: each language gets its own quality-p, toxicity
+    * threshold + per-language model, or sampler rate; unlisted
+    * languages fall back to `_default`). Spark-first: one union plan
+    * over lang-partitioned branches of the SAME input — with the
+    * input parquet partitioned by `langCol`, each branch's lang
+    * filter prunes to its partitions, so no branch rescans the
+    * others' data. Returns (kept, excluded). */
+  def sweepLanguages(
+      spark: SparkSession,
+      docs: DataFrame,
+      langCol: String,
+      configs: Map[String, FinewebConfig],
+      default: FinewebConfig,
+      classifier: LinearClassifier = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+    val langs = configs.keys.toSeq.sorted
+    val branches = langs.map { lang =>
+      (docs.filter(col(langCol) === lang), configs(lang))
+    } :+ ((docs.filter(!col(langCol).isInCollection(langs)), default))
+    val built = branches.map { case (branch, cfg) =>
+      build(spark, branch, cfg, classifier)
     }
     (built.map(_._1).reduce(_ unionByName _), built.map(_._2).reduce(_ unionByName _))
   }

@@ -76,6 +76,37 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(reasonsByDump == Set(("CC-A", "robots")))
   }
 
+  test("blocked-domains config stage excludes by url host (dclm-edu/megamath shape)") {
+    val docs = annotated.withColumn(
+      "url", concat(lit("https://"), col("source"), lit(".example.com/d/"), col("doc_id")))
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs,
+      FinewebConfig(blockedDomains = Some(Set("src1.example.com")), piiFormat = false))
+    assert(excluded.select("filter_reason").distinct().collect()
+      .map(_.getString(0)).toSet == Set("url_filter"))
+    assert(kept.filter(col("source") === "src1").count() == 0)
+    assert(excluded.count() == docs.filter(col("source") === "src1").count())
+  }
+
+  test("per-language sweep applies each language's own config with a default fallback") {
+    val docs = annotated
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(langs.length >= 2, s"need multiple langs, got ${langs.toSeq}")
+    // first language: strict sampler; everyone else: default keep-all
+    val (kept, excluded) = FinewebPipeline.sweepLanguages(
+      spark, docs, "lang",
+      configs = Map(langs.head -> FinewebConfig(samplerRate = Some(0.2), piiFormat = false)),
+      default = FinewebConfig(piiFormat = false))
+    assert(kept.count() + excluded.count() == docs.count())
+    // only the configured language loses rows, and to its own sampler
+    val exByLang = excluded.groupBy("lang", "filter_reason").count()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exByLang == Set((langs.head, "sampler")), s"got $exByLang")
+    val keptHead = kept.filter(col("lang") === langs.head).count()
+    val totalHead = docs.filter(col("lang") === langs.head).count()
+    assert(keptHead < totalHead)
+  }
+
   test("pii formatting applies to kept docs") {
     val docs = annotated
       .withColumn("text", concat(col("text"), lit(" mail me a@b.com")))
