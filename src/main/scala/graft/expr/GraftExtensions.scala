@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, GraftCollectTopK}
 
 /** SparkSessionExtensions hook exposing the graft digest kernels to
   * SQL — `spark.sql("SELECT graft_minhash64(shingles) ...")` works
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_bloom_might"),
         new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might"),
         GraftExtensions.bloomMight))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_top_k"),
+        new ExpressionInfo(GraftCollectTopK.getClass.getName, "graft_top_k"),
+        GraftExtensions.topK))
   }
 }
 
@@ -53,6 +57,15 @@ object GraftExtensions {
   private[expr] val bloomMight: Seq[Expression] => Expression =
     es => new BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))
 
+  /** `graft_top_k(value, k, reverse)` → array of the k largest
+    * (reverse=true) / smallest values by the value type's ordering,
+    * sorted. Spark's own rank-limit aggregate (`CollectTopK`,
+    * unregistered): a bounded heap with partial aggregation, so a
+    * grouped top-k shuffles ≤ k rows per map partition per group
+    * instead of every scored row. */
+  private[expr] val topK: Seq[Expression] => Expression =
+    es => GraftCollectTopK(es.head, es(1), es(2))
+
   /** Idempotent per-session registration for sessions not started
     * with `spark.sql.extensions` — lets library code reach the
     * kernels through `functions.call_function`. */
@@ -68,5 +81,6 @@ object GraftExtensions {
       "graft_fastcos", es => FastCos(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might", bloomMight, "built-in")
+    reg.createOrReplaceTempFunction("graft_top_k", topK, "built-in")
   }
 }

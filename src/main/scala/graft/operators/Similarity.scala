@@ -95,24 +95,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Grouped top-k over (qid, id, cos) WITHOUT a per-group window: a
+    * bounded-heap aggregate (Spark's CollectTopK) with map-side
+    * combine, so the shuffle carries ≤ k rows per map partition per
+    * query instead of every scored (corpus × query) row — the
+    * difference between shuffling k·P·Q rows and shuffling N·Q rows
+    * at 100 TB. Order: cos desc, id asc (the struct packs -id so the
+    * descending heap ordering tie-breaks ascending on id), exactly
+    * row_number()'s semantics. */
+  private def groupedTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(scored.sparkSession)
+    // pack (-cos, id): the k SMALLEST such structs are the k best
+    // cosines with ascending-id tie-break; array_sort pins the output
+    // order regardless of the heap's internal layout
+    scored
+      .groupBy("qid")
+      .agg(call_function("graft_top_k",
+        struct((-col("cos")).as("nc"), col("id").as("i")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), posexplode(array_sort(col("top"))))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("neighbor_id"),
+        Cols.pround(-col("col.nc"), 4).as("cosine"))
+  }
+
   /** N1 — brute-force cosine top-k: small query set × streaming
     * corpus. */
   def bruteForceTopK(
       queries: DataFrame, // qid, qvec
       corpus: DataFrame, // id, vec
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(broadcast(queries))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         decCosine(col("qvec"), col("vec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        Cols.pround(col("cos"), 4).as("cosine"))
+    groupedTopK(scored, k)
   }
 
   /** N2 — LSH-bucketed ANN: like N1 but only same-signature
@@ -124,18 +142,13 @@ object Similarity {
       corpus: DataFrame, // id, vec
       k: Int,
       nPlanes: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qs = queries.withColumn("qsig", hyperplaneSig(col("qvec"), nPlanes))
     val cs = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
     val scored = cs.join(broadcast(qs), col("sig") === col("qsig") && col("id") =!= col("qid"))
       .select(col("qid"), col("id"), decCosine(col("qvec"), col("vec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        Cols.pround(col("cos"), 4).as("cosine"))
+    groupedTopK(scored, k)
   }
 
   /** N2b — IVF-style ANN: coarse k-means centroids partition the
@@ -186,11 +199,9 @@ object Similarity {
     val scored = corpusCells.join(broadcast(qs), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), decCosine(col("qvec"), col("vec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        Cols.pround(col("cos"), 4).as("cosine"))
+    // no dedupe needed: each corpus row lives in exactly one cell, so
+    // a (qid, id) pair joins at most once even with multi-cell probes
+    groupedTopK(scored, k)
   }
 
   // ---- gates ----

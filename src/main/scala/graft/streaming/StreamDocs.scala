@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming document operators: the dedup/filter/format stages of
+  * the batch pipeline applied to unbounded streams. Filters and
+  * formatters are narrow column transforms, so the SAME
+  * [[graft.api.Pipeline]] stages run on a `readStream` frame
+  * unchanged (proven in StreamingSpec); what needs genuine streaming
+  * machinery is deduplication, which requires state.
+  */
+object StreamDocs {
+
+  /** Streaming exact dedup: a document's md5 fingerprint becomes
+    * stream state; any duplicate arriving within the watermark is
+    * dropped. State holds one 16-byte digest per distinct doc (never
+    * the text) and expires with the watermark, so memory stays
+    * bounded on an unbounded stream — the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]]. A duplicate arriving
+    * LATER than the watermark is not caught; choose the watermark as
+    * the dedup horizon.
+    */
+  def dedupExactStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.catalyst.expressions.aggregate
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's rank-limit bounded-heap aggregate, which is
+  * Scala-package-private (`private[sql]`) though JVM-public. Lives in
+  * the owning package solely to re-export a constructor; no Spark
+  * code is modified or copied.
+  */
+object GraftCollectTopK {
+  def apply(child: Expression, k: Expression, reverse: Expression): Expression =
+    CollectTopK(child, CollectTopK.expressionToNum(k), CollectTopK.expressionToReverse(reverse))
+}

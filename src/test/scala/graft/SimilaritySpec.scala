@@ -41,6 +41,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("top-k is a partial bounded-heap aggregate, not a per-group window sort") {
+    val e = emb
+    val df = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"top-k fell back to a window sort:\n$p")
+    assert(p.contains("partial_collect_top_k") || p.contains("collect_top_k"),
+      s"no bounded-heap aggregate in:\n$p")
+    // semantics: rank 1 is the best cosine, ties broken by ascending id
+    val rows = df.orderBy("qid", "rank").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.sorted(Ordering[Double].reverse).sameElements(cosines),
+        s"ranks not cosine-descending: ${cosines.toSeq}")
+    }
+  }
+
   test("minhash LSH finds every planted truncation near-dup") {
     val docs = Tables(spark, sfDir, "documents")
     val expectedPlanted = docs.filter(col("doc_id") % 10 === 0).count()

@@ -77,6 +77,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, keeps state to digests") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val query = graft.streaming.StreamDocs.dedupExactStream(df, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha beta gamma"),
+      (ts("2024-01-01 10:01:00"), 2L, "Alpha  beta GAMMA"), // same normalized fp
+      (ts("2024-01-01 10:02:00"), 3L, "something else"))
+    query.processAllAvailable()
+    // duplicate arriving in a LATER batch, still within the watermark
+    input.addData((ts("2024-01-01 10:30:00"), 4L, "alpha beta gamma"))
+    query.processAllAvailable()
+
+    val kept = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(kept == Set(1L, 3L), s"kept $kept")
+  }
+
+  test("batch pipeline stages run unchanged on a stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.api.{DocFilter, Pipeline, Transform}
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val pipe = Pipeline(
+      DocFilter("min_len", d => length(d("text")) >= 10),
+      Transform("pii", d => d.withColumn("text",
+        graft.operators.Formatters.piiRedact(col("text")))))
+    val query = pipe.run(df)
+      .writeStream.format("memory").queryName("pipe_stream").outputMode("append").start()
+
+    input.addData(
+      (1L, "short"),
+      (2L, "write to me at someone@example.org please"))
+    query.processAllAvailable()
+    val rows = spark.table("pipe_stream").collect().map(r => (r.getLong(0), r.getString(1)))
+    query.stop()
+    assert(rows.map(_._1).toSet == Set(2L))
+    assert(rows.head._2.contains("<email-pii>") && !rows.head._2.contains("example.org"))
+  }
+
   test("batch sessionization matches a hand-computed case") {
     import spark.implicits._
     val events = Seq(
