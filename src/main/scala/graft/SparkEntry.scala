@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Dedup.gates ++
       operators.Similarity.gates ++
       operators.Formatters.gates ++
+      operators.ParaDocs.gates ++
       operators.Annotators.gates ++
       sources.DocSource.gates ++
       tokens.Tokens.gates ++

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ParaDocs parallel-corpus document building (reference:
+  * pipelines/paradocs/preprocessing/paradocs.py:14-91): consecutive
+  * parallel sentences concatenate into blocks; a block BREAKS at a
+  * low-language-id or high-frequency row (`breaks_document`, the row
+  * itself is dropped), at a non-consecutive sentence (start/end index
+  * gap > 2 on either side, `is_consecutive`), at a doc/paragraph
+  * change, or when appending would exceed `maxLength` chars; each
+  * block is emitted in BOTH translation directions
+  * (`yield_bidirectional`).
+  *
+  * Spark design: rows group by (src_docid, src_paragraph_id) — the
+  * reference's `is_same_doc_para` guarantees blocks never span that
+  * key — and the greedy, order-dependent accumulation runs per group
+  * via flatMapGroups (paragraph groups are sentences of one
+  * paragraph: tiny, so the typed path costs nothing at scale and the
+  * shuffle key spreads 100 TB evenly). Everything before the fold is
+  * a declarative filter-free scan; the gate pins the fold's semantics
+  * against a window-function SQL oracle in the no-length-split
+  * regime, and ParaDocsSpec covers the length-split regime.
+  */
+object ParaDocs {
+
+  final case class Config(
+      srcLang: String,
+      tgtLang: String,
+      maxLength: Int = 4096,
+      frequencyCutoff: Long = 100,
+      lidCutoff: Double = 0.5)
+
+  final case class Sentence(
+      src_docid: Long,
+      src_paragraph_id: Long,
+      src_start_index: Long,
+      src_end_index: Long,
+      tgt_start_index: Long,
+      tgt_end_index: Long,
+      src: String,
+      tgt: String,
+      src_language_id: Double,
+      tgt_language_id: Double,
+      frequency: Long)
+
+  final case class Block(
+      src_docid: Long,
+      src_paragraph_id: Long,
+      block_nr: Long,
+      direction: String,
+      text: String)
+
+  private def breaks(s: Sentence, cfg: Config): Boolean =
+    s.src.trim.isEmpty || s.tgt.trim.isEmpty ||
+      s.src_language_id < cfg.lidCutoff || s.tgt_language_id < cfg.lidCutoff ||
+      s.frequency > cfg.frequencyCutoff
+
+  private def consecutive(prev: Sentence, cur: Sentence): Boolean =
+    cur.src_start_index - prev.src_end_index <= 2 &&
+      cur.tgt_start_index - prev.tgt_end_index <= 2
+
+  /** Builds bidirectional blocks. `sentences` needs the [[Sentence]]
+    * columns; output is one row per (block, direction). */
+  def buildBlocks(sentences: DataFrame, cfg: Config): DataFrame = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    sentences.as[Sentence]
+      .groupByKey(s => (s.src_docid, s.src_paragraph_id))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[Sentence]) =>
+        val (docid, para) = key
+        val rows = it.toSeq.sortBy(_.src_start_index)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Block]
+        var blockNr = 0L
+        var srcText = ""
+        var tgtText = ""
+        var last: Option[Sentence] = None
+        def flush(): Unit = if (last.isDefined) {
+          blockNr += 1
+          val (st, tt) = (srcText.trim, tgtText.trim)
+          if (st.nonEmpty && tt.nonEmpty) {
+            out += Block(docid, para, blockNr, "fwd",
+              s"${cfg.srcLang}: $st\n${cfg.tgtLang}: $tt")
+            out += Block(docid, para, blockNr, "rev",
+              s"${cfg.tgtLang}: $tt\n${cfg.srcLang}: $st")
+          }
+          last = None; srcText = ""; tgtText = ""
+        }
+        for (s <- rows) {
+          if (breaks(s, cfg)) flush()
+          else last match {
+            case None =>
+              srcText = s.src; tgtText = s.tgt; last = Some(s)
+            case Some(prev) =>
+              val wouldExceed =
+                srcText.length + s.src.length + tgtText.length + s.tgt.length + 2 > cfg.maxLength
+              if (consecutive(prev, s) && !wouldExceed) {
+                srcText += " " + s.src; tgtText += " " + s.tgt; last = Some(s)
+              } else {
+                flush()
+                srcText = s.src; tgtText = s.tgt; last = Some(s)
+              }
+          }
+        }
+        flush()
+        out.iterator
+      }
+      .toDF()
+  }
+
+  // ---- gate: synthesized parallel-sentence stream from documents ----
+  // One "sentence" per doc: 50-doc source documents, 5-paragraph
+  // split, indexes consecutive except every 7th doc (shifted +10 →
+  // non-consecutive break), language-id from the portable LCG (some
+  // rows fall under the 0.5 cutoff), frequency from n_chars. tgt is
+  // upper(src). maxLength is unbounded in the gate, so the greedy
+  // fold reduces to pure break-flag segmentation — expressible with
+  // window functions for the oracle; ParaDocsSpec covers the
+  // length-split regime the oracle can't reach.
+
+  private def gateSentences(docs: DataFrame): DataFrame =
+    docs.select(
+      floor(col("doc_id") / 50).cast("long").as("src_docid"),
+      (floor(col("doc_id") / 10) % 5).cast("long").as("src_paragraph_id"),
+      (col("doc_id") * 2 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("src_start_index"),
+      (col("doc_id") * 2 + 1 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("src_end_index"),
+      (col("doc_id") * 2 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("tgt_start_index"),
+      (col("doc_id") * 2 + 1 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("tgt_end_index"),
+      col("text").as("src"),
+      upper(col("text")).as("tgt"),
+      Cols.pround(Cols.lcgUniform(col("doc_id")), 6).as("src_language_id"),
+      Cols.pround(Cols.lcgUniform(col("doc_id") + 17), 6).as("tgt_language_id"),
+      col("n_chars").cast("long").as("frequency"))
+
+  private val SqlGateSentences: String = {
+    val shift = "CASE WHEN doc_id % 7 = 0 THEN 10 ELSE 0 END"
+    s"""SELECT doc_id // 50 AS src_docid, (doc_id // 10) % 5 AS src_paragraph_id,
+       |  doc_id * 2 + $shift AS src_start_index,
+       |  doc_id * 2 + 1 + $shift AS src_end_index,
+       |  doc_id * 2 + $shift AS tgt_start_index,
+       |  doc_id * 2 + 1 + $shift AS tgt_end_index,
+       |  text AS src, upper(text) AS tgt,
+       |  ${Cols.proundSql(Cols.lcgUniformSql("doc_id"), 6)} AS src_language_id,
+       |  ${Cols.proundSql(Cols.lcgUniformSql("(doc_id + 17)"), 6)} AS tgt_language_id,
+       |  CAST(n_chars AS BIGINT) AS frequency
+       |FROM documents""".stripMargin
+  }
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "op_paradocs_blocks", {
+        // oracle: break-flag segmentation with window functions —
+        // identical to the greedy fold when maxLength never binds
+        s"""WITH s AS ($SqlGateSentences),
+           |f AS (SELECT *, CASE WHEN trim(src) = '' OR trim(tgt) = ''
+           |    OR src_language_id < 0.5 OR tgt_language_id < 0.5
+           |    OR frequency > 400 THEN 1 ELSE 0 END AS bad FROM s),
+           |g AS (SELECT *,
+           |  lag(src_end_index) OVER w AS p_se, lag(tgt_end_index) OVER w AS p_te,
+           |  lag(bad) OVER w AS p_bad
+           |  FROM f WINDOW w AS (PARTITION BY src_docid, src_paragraph_id ORDER BY src_start_index)),
+           |h AS (SELECT *, CASE WHEN bad = 1 THEN 0
+           |    WHEN p_bad IS NULL OR p_bad = 1 THEN 1
+           |    WHEN src_start_index - p_se > 2 OR tgt_start_index - p_te > 2 THEN 1
+           |    ELSE 0 END AS new_block FROM g),
+           |n AS (SELECT *, CAST(SUM(new_block) OVER (PARTITION BY src_docid, src_paragraph_id
+           |    ORDER BY src_start_index ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_nr FROM h),
+           |b AS (SELECT src_docid, src_paragraph_id, block_nr,
+           |    trim(string_agg(src, ' ' ORDER BY src_start_index)) AS src_block,
+           |    trim(string_agg(tgt, ' ' ORDER BY src_start_index)) AS tgt_block
+           |  FROM n WHERE bad = 0 GROUP BY 1, 2, 3)
+           |SELECT src_docid, src_paragraph_id, block_nr, d.direction,
+           |  CASE WHEN d.direction = 'fwd' THEN 'en: ' || src_block || chr(10) || 'xx: ' || tgt_block
+           |       ELSE 'xx: ' || tgt_block || chr(10) || 'en: ' || src_block END AS text
+           |FROM b, (SELECT 'fwd' AS direction UNION ALL SELECT 'rev') d
+           |ORDER BY src_docid, src_paragraph_id, block_nr, d.direction""".stripMargin
+      }) { (s, dir) =>
+      buildBlocks(
+        gateSentences(Tables(s, dir, "documents")),
+        Config("en", "xx", maxLength = Int.MaxValue, frequencyCutoff = 400L, lidCutoff = 0.5))
+        .orderBy("src_docid", "src_paragraph_id", "block_nr", "direction")
+    }
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.ParaDocs
+import graft.operators.ParaDocs.{Config, Sentence}
+
+class ParaDocsSpec extends SparkSpec {
+
+  private def sent(
+      start: Long, src: String, tgt: String,
+      lid: Double = 1.0, freq: Long = 0, para: Long = 0): Sentence =
+    Sentence(1L, para, start, start + 1, start, start + 1, src, tgt, lid, lid, freq)
+
+  private def blocks(rows: Seq[Sentence], cfg: Config) = {
+    import spark.implicits._
+    ParaDocs.buildBlocks(rows.toDF(), cfg)
+      .orderBy("src_docid", "src_paragraph_id", "block_nr", "direction")
+      .collect().map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSeq
+  }
+
+  test("consecutive sentences concatenate; both directions emitted") {
+    val out = blocks(
+      Seq(sent(0, "hello", "HALLO"), sent(2, "world", "WELT")),
+      Config("en", "de", maxLength = 1000))
+    assert(out == Seq(
+      (1L, "fwd", "en: hello world\nde: HALLO WELT"),
+      (1L, "rev", "de: HALLO WELT\nen: hello world")))
+  }
+
+  test("bad rows are dropped and break the running block") {
+    val out = blocks(
+      Seq(
+        sent(0, "a", "A"),
+        sent(2, "junk", "JUNK", lid = 0.1), // below lid cutoff
+        sent(4, "b", "B")),
+      Config("en", "de"))
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((1L, "fwd"), (1L, "rev"), (2L, "fwd"), (2L, "rev")))
+    assert(out.collect { case (1L, "fwd", t) => t } == Seq("en: a\nde: A"))
+    assert(out.collect { case (2L, "fwd", t) => t } == Seq("en: b\nde: B"))
+  }
+
+  test("index gaps above 2 split blocks (is_consecutive)") {
+    val out = blocks(
+      Seq(sent(0, "a", "A"), sent(10, "b", "B")),
+      Config("en", "de"))
+    assert(out.count(_._2 == "fwd") == 2)
+  }
+
+  test("maxLength binds greedily: a block flushes before it would overflow") {
+    // each sentence is 5+5 chars; maxLength 23 fits two sentences
+    // (5+5+5+5+2=22) but not three (+12 > 23)
+    val out = blocks(
+      Seq(sent(0, "aaaaa", "AAAAA"), sent(2, "bbbbb", "BBBBB"), sent(4, "ccccc", "CCCCC")),
+      Config("en", "de", maxLength = 23))
+    val fwd = out.collect { case (_, "fwd", t) => t }
+    assert(fwd == Seq("en: aaaaa bbbbb\nde: AAAAA BBBBB", "en: ccccc\nde: CCCCC"))
+  }
+
+  test("high-frequency rows break documents") {
+    val out = blocks(
+      Seq(sent(0, "a", "A"), sent(2, "common", "COMMON", freq = 500), sent(4, "b", "B")),
+      Config("en", "de", frequencyCutoff = 100))
+    assert(out.count(_._2 == "fwd") == 2)
+    assert(!out.exists(_._3.contains("common")))
+  }
+}
