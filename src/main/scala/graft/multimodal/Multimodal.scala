@@ -51,6 +51,61 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(
+      doc_id: Long, src_width: Int, src_height: Int,
+      width: Int, height: Int, n_bytes: Int, checksum: String)
+
+  /** STUB resize — deterministic fake halving: a real implementation
+    * would rescale pixels; the stub keeps the first half of the
+    * payload and halves the fake dimensions. Plumbing (binary in,
+    * binary-derived features out, per-partition batching) is real. */
+  private[multimodal] def resizeStub(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val (w, h) = decodeStub(bytes)
+    val out = bytes.take((bytes.length + 1) / 2)
+    (out, (w + 1) / 2, (h + 1) / 2)
+  }
+
+  /** Batched resize over the binary column — same mapPartitions shape
+    * a JNI image scaler would use. */
+  def resizeMedia(docs: DataFrame): Dataset[ResizedMedia] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val (w, h) = decodeStub(bytes)
+          val (out, rw, rh) = resizeStub(bytes)
+          md.reset()
+          ResizedMedia(id, w, h, rw, rh, out.length,
+            md.digest(out).map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  final case class SampledFrames(
+      doc_id: Long, n_frames: Int, n_sampled: Int, sample_checksum: String)
+
+  /** STUB frame extraction — a video payload splits into fixed-size
+    * "frames" (chunks of `frameBytes`), sampled every `stride`-th;
+    * real frame decode would land in the chunking step unchanged. */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 32, stride: Int = 2): Dataset[SampledFrames] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val frames = bytes.grouped(frameBytes).toArray
+          val sampled = frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+          md.reset()
+          val checksum = md.digest(sampled.flatten).map("%02x".format(_)).mkString
+          SampledFrames(id, frames.length, sampled.length, checksum)
+        }
+      }
+  }
+
   val gates: Seq[Gate] = Seq(
     // The oracle reproduces the stubbed decode arithmetically:
     // md5(utf8 bytes) == md5(text), n_bytes == octet_length.
@@ -63,6 +118,39 @@ object Multimodal {
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       extractFeatures(withMediaBlob(Tables(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    },
+
+    // Both stub oracles lean on the documents text being ASCII
+    // (bytes == chars, verified by the gate itself via octet_length):
+    // DuckDB has no md5(BLOB), so the byte slices are reproduced as
+    // char slices.
+    Gate(
+      "mm_resize",
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |  n % 64 + 1 AS src_width,
+        |  n % 32 + 1 AS src_height,
+        |  (n % 64 + 2) // 2 AS width,
+        |  (n % 32 + 2) // 2 AS height,
+        |  (n + 1) // 2 AS n_bytes,
+        |  md5(substr(text, 1, (n + 1) // 2)) AS checksum
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      resizeMedia(withMediaBlob(Tables(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    },
+
+    Gate(
+      "mm_frames",
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |c AS (SELECT doc_id, text, (n + 31) // 32 AS n_frames,
+        |  ((n + 31) // 32 + 1) // 2 AS n_sampled FROM t)
+        |SELECT doc_id, n_frames, n_sampled,
+        |  md5(array_to_string(
+        |    [substr(text, (i - 1) * 64 + 1, 32) FOR i IN range(1, n_sampled + 1)],
+        |    '')) AS sample_checksum
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      sampleFrames(withMediaBlob(Tables(s, dir, "documents")), frameBytes = 32, stride = 2)
         .toDF().orderBy("doc_id")
     }
   )
