@@ -37,6 +37,67 @@ object Tokens {
   def withMetadataPrefix(text: Column, lang: Column, source: Column): Column =
     concat(lit("lang: "), lang, lit("\nsource: "), source, lit("\n\n"), text)
 
+  /** T2b — the reference's metadata BUILDER family
+    * (tokenize_with_metadata.py:145-183: `url_domain`, `url_suffix`,
+    * `url`, `WO` = weborganizer topic+format, `QS` = quality
+    * int_score), each applied with probability `pAddMeta` from a
+    * seeded RNG (there numpy; here the portable LCG on the doc id so
+    * any engine reproduces the draw). URL parts come from regexes
+    * (not java.net.URI) so the same expressions run in the SQL
+    * oracle: netloc keeps port/userinfo exactly like urlparse.
+    */
+  object MetadataBuilders {
+    private val NetlocRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+    private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+    private val QueryRe = "\\?([^#]*)"
+    private val FragmentRe = "#(.*)$"
+
+    def urlDomain(url: Column): Column = regexp_extract(url, NetlocRe, 1)
+
+    /** path + "?query" + "#fragment", empty parts omitted —
+      * tokenize_with_metadata.py:158-162. */
+    def urlSuffix(url: Column): Column = {
+      val q = regexp_extract(url, QueryRe, 1)
+      val f = regexp_extract(url, FragmentRe, 1)
+      concat(
+        regexp_extract(url, PathRe, 1),
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit("")),
+        when(f =!= "", concat(lit("#"), f)).otherwise(lit("")))
+    }
+
+    def url(u: Column): Column = u
+
+    def weborganizer(topic: Column, format: Column): Column =
+      concat(topic, lit(", "), format)
+
+    def qualityScore(intScore: Column): Column = intScore.cast("string")
+
+    /** Seeded per-doc coin flip: the builder's value with probability
+      * `pAddMeta`, else "" (the reference's `uniform() < p_add_meta`). */
+    def applied(builder: Column, id: Column, pAddMeta: Double): Column =
+      when(Cols.lcgUniform(id) < pAddMeta, builder).otherwise(lit(""))
+
+    // SQL twins (DuckDB dialect)
+    def sqlUrlDomain(urlExpr: String) =
+      s"regexp_extract($urlExpr, '$NetlocRe', 1)"
+    def sqlUrlSuffix(urlExpr: String) =
+      s"(regexp_extract($urlExpr, '$PathRe', 1) || " +
+        s"CASE WHEN regexp_extract($urlExpr, '\\?([^#]*)', 1) <> '' THEN '?' || regexp_extract($urlExpr, '\\?([^#]*)', 1) ELSE '' END || " +
+        s"CASE WHEN regexp_extract($urlExpr, '#(.*)$$', 1) <> '' THEN '#' || regexp_extract($urlExpr, '#(.*)$$', 1) ELSE '' END)"
+    def sqlApplied(builderExpr: String, idExpr: String, pAddMeta: Double) =
+      s"CASE WHEN ${Cols.lcgUniformSql(idExpr)} < $pAddMeta THEN $builderExpr ELSE '' END"
+  }
+
+  /** Conditioned text with position control (reference
+    * `--metadata-position left|right`); empty metadata leaves the
+    * text untouched. */
+  def withMetadata(text: Column, metadata: Column, position: String = "left"): Column = {
+    require(position == "left" || position == "right")
+    when(metadata === "", text).otherwise(
+      if (position == "left") concat(metadata, lit("\n"), text)
+      else concat(text, lit("\n"), metadata))
+  }
+
   // SQL mirrors
   private def sqlTokenIds(textExpr: String): String = {
     val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
@@ -78,6 +139,45 @@ object Tokens {
               aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
           }.as("t"))
         .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "tok_metadata_builders", {
+        val url = "'https://' || source || '.example.com' || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) || '/docs/' || doc_id || " +
+          "(CASE WHEN doc_id % 4 = 0 THEN '?ref=' || lang ELSE '' END) || " +
+          "(CASE WHEN doc_id % 5 = 0 THEN '#s1' ELSE '' END)"
+        val dom = MetadataBuilders.sqlApplied(MetadataBuilders.sqlUrlDomain("url"), "doc_id", 0.9)
+        s"""WITH u AS (SELECT doc_id, text, $url AS url FROM documents),
+           |m AS (SELECT doc_id, text, $dom AS meta_domain,
+           |  ${MetadataBuilders.sqlUrlSuffix("url")} AS meta_suffix FROM u)
+           |SELECT doc_id, meta_domain, meta_suffix,
+           |  CASE WHEN meta_domain = '' THEN text
+           |       ELSE meta_domain || chr(10) || text END AS conditioned_left,
+           |  CASE WHEN meta_domain = '' THEN text
+           |       ELSE text || chr(10) || meta_domain END AS conditioned_right
+           |FROM m ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      // urls exercise ports (netloc must keep them), query strings and
+      // fragments; the domain builder is masked with the seeded 0.9
+      // coin, the suffix builder left raw
+      val withUrl = Tables(s, dir, "documents").withColumn(
+        "url",
+        concat(
+          lit("https://"), col("source"), lit(".example.com"),
+          when(col("doc_id") % 3 === 0, ":8080").otherwise(""),
+          lit("/docs/"), col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(lit("?ref="), col("lang"))).otherwise(""),
+          when(col("doc_id") % 5 === 0, "#s1").otherwise("")))
+      withUrl
+        .withColumn("meta_domain",
+          MetadataBuilders.applied(MetadataBuilders.urlDomain(col("url")), col("doc_id"), 0.9))
+        .select(
+          col("doc_id"), col("meta_domain"),
+          MetadataBuilders.urlSuffix(col("url")).as("meta_suffix"),
+          withMetadata(col("text"), col("meta_domain"), "left").as("conditioned_left"),
+          withMetadata(col("text"), col("meta_domain"), "right").as("conditioned_right"))
         .orderBy("doc_id")
     }
   )
