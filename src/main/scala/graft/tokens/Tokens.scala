@@ -18,17 +18,77 @@ object Tokens {
 
   val VocabSize = 50000
   val EosId = 0L
+  /** Special context tokens wrapping spliced metadata (reference
+    * boc_token/eoc_token — megatron_tokenizer_context.py:300). */
+  val BocId: Long = VocabSize.toLong
+  val EocId: Long = VocabSize.toLong + 1
+
+  /** Token ids without the trailing eos — the `add_special_tokens=
+    * False` encode used for metadata (megatron_tokenizer_context
+    * .py:294). */
+  def rawTokenIds(text: Column): Column =
+    transform(
+      TextAnalysis.bpeTokens(text),
+      t => pmod(TextAnalysis.h32(t), lit(VocabSize - 1)) + 1)
 
   /** Token ids: portable hash of each regex token into the vocab
     * (ids 1..VocabSize-1; 0 is reserved for eos), eos appended —
     * mirroring the reference's `single="$A <EOS>"` post-processor
     * (megatron_tokenizer.py:66-74). */
   def tokenIds(text: Column): Column =
-    concat(
-      transform(
-        TextAnalysis.bpeTokens(text),
-        t => pmod(TextAnalysis.h32(t), lit(VocabSize - 1)) + 1),
-      array(lit(EosId)))
+    concat(rawTokenIds(text), array(lit(EosId)))
+
+  /** T2c — TOKEN-level metadata splicing (reference:
+    * megatron_tokenizer_context.py:288-325): metadata tokens wrap in
+    * boc/eoc; the first `seqLen`-token training row carries
+    * `seqLen − len(meta)` doc tokens with the meta inserted after the
+    * first token (left) or appended (right); with `perSequence`,
+    * every subsequent row repeats the meta. Faithful to the
+    * reference's stride arithmetic at offset 0 — including that the
+    * continuation ranges start at `seqLen`, so the `len(meta)` doc
+    * tokens between `seqLen − len(meta)` and `seqLen` are dropped
+    * (:315,:323). Metadata longer than `seqLen` is the caller's
+    * responsibility (the reference re-encodes a 50-char truncation).
+    * Pure higher-order array expressions — narrow, no shuffle.
+    */
+  def spliceMetadataTokens(
+      docTokens: Column,
+      metaTokens: Column,
+      seqLen: Int,
+      position: String = "left",
+      perSequence: Boolean = false): Column = {
+    require(position == "left" || position == "right")
+    bind(docTokens) { toks =>
+      bind(concat(array(lit(BocId)), metaTokens, array(lit(EocId)))) { meta =>
+        bind(size(meta)) { m =>
+          val room = lit(seqLen) - m // doc tokens in a meta-carrying row
+          val first = slice(toks, lit(1), room)
+          val firstRow =
+            if (position == "left")
+              concat(slice(first, 1, 1), meta, slice(first, lit(2), room - 1))
+            else concat(first, meta)
+          val restCol =
+            if (!perSequence)
+              slice(toks, lit(seqLen + 1), greatest(size(toks), lit(1)))
+            else {
+              // chunk k covers toks[seqLen + k·room + 1 .. +room]
+              val nChunks = ceil((size(toks) - seqLen).cast("double") / room).cast("int")
+              bind(nChunks) { n =>
+                when(n <= 0, array().cast("array<array<bigint>>"))
+                  .otherwise(transform(
+                    sequence(lit(0), greatest(n - 1, lit(0))),
+                    k => {
+                      val chunk = slice(toks, lit(seqLen) + k * room + 1, room)
+                      if (position == "left") concat(meta, chunk) else concat(chunk, meta)
+                    }))
+              }
+            }
+          if (!perSequence) concat(firstRow, restCol)
+          else concat(firstRow, flatten(restCol))
+        }
+      }
+    }
+  }
 
   /** T2 — metadata-conditioned text (reference:
     * examples/metadata_conditioning/tokenize_with_metadata.py):
@@ -178,6 +238,40 @@ object Tokens {
           MetadataBuilders.urlSuffix(col("url")).as("meta_suffix"),
           withMetadata(col("text"), col("meta_domain"), "left").as("conditioned_left"),
           withMetadata(col("text"), col("meta_domain"), "right").as("conditioned_right"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "tok_context_splice", {
+        val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
+        val rawIds = (e: String) =>
+          s"[($h32 % ${VocabSize - 1}) + 1 FOR t IN regexp_extract_all($e, '${TextAnalysis.BpePattern}')]"
+        s"""WITH t AS (SELECT doc_id,
+           |    ${rawIds("text")} || [${EosId}] AS toks,
+           |    [${BocId}] || ${rawIds("('src: ' || source)")} || [${EocId}] AS meta
+           |  FROM documents),
+           |s AS (SELECT doc_id, toks, meta, len(meta) AS m, 64 - len(meta) AS room FROM t),
+           |r AS (SELECT doc_id,
+           |    toks[1:1] || meta || toks[2:room] ||
+           |    flatten([meta || toks[64 + (k - 1) * room + 1 : 64 + k * room]
+           |      FOR k IN range(1, greatest(CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / room) AS INT), 0) + 1)])
+           |    AS spliced
+           |  FROM s)
+           |SELECT doc_id, len(spliced) AS n_tokens,
+           |  CAST(list_sum(spliced) AS BIGINT) AS id_sum
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          bind(spliceMetadataTokens(
+            tokenIds(col("text")),
+            rawTokenIds(concat(lit("src: "), col("source"))),
+            seqLen = 64, position = "left", perSequence = true)) { ids =>
+            struct(
+              size(ids).as("n_tokens"),
+              aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
+          }.as("t"))
+        .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
         .orderBy("doc_id")
     }
   )

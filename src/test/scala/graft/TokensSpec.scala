@@ -69,6 +69,34 @@ class TokensSpec extends SparkSpec {
     assert(shards.count() == idxFiles.length.toLong)
   }
 
+  test("context splice matches the reference's stride arithmetic on a hand case") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val B = Tokens.BocId
+    val E = Tokens.EocId
+    val df = Seq(1).toDF("x")
+      .select(Tokens.spliceMetadataTokens(
+        array((1L to 12L).map(lit): _*), array(lit(7L)),
+        seqLen = 8, position = "left", perSequence = false).as("a"))
+    // meta=[B,7,E] (m=3), room=5: first row = [1,B,7,E,2,3,4,5];
+    // continuation starts at index 8 → tokens 6,7,8 dropped (the
+    // reference's documented skip), rest = [9,10,11,12]
+    assert(df.head.getSeq[Long](0) == Seq(1L, B, 7L, E, 2L, 3L, 4L, 5L, 9L, 10L, 11L, 12L))
+
+    val per = Seq(1).toDF("x")
+      .select(Tokens.spliceMetadataTokens(
+        array((1L to 12L).map(lit): _*), array(lit(7L)),
+        seqLen = 8, position = "left", perSequence = true).as("a"))
+    assert(per.head.getSeq[Long](0) ==
+      Seq(1L, B, 7L, E, 2L, 3L, 4L, 5L, B, 7L, E, 9L, 10L, 11L, 12L))
+
+    val right = Seq(1).toDF("x")
+      .select(Tokens.spliceMetadataTokens(
+        array((1L to 12L).map(lit): _*), array(lit(7L)),
+        seqLen = 8, position = "right", perSequence = false).as("a"))
+    assert(right.head.getSeq[Long](0) == Seq(1L, 2L, 3L, 4L, 5L, B, 7L, E, 9L, 10L, 11L, 12L))
+  }
+
   test("token ids are within vocab and end with eos") {
     val ids = Tables(spark, sfDir, "documents").limit(5)
       .select(Tokens.tokenIds(col("text")).as("ids"))
