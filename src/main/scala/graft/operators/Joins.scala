@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Gate, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -73,4 +74,71 @@ object Joins {
       col(idCol) === col("__banned_id"), "left_anti")
     clean.unionByName(survivors)
   }
+
+  /** As-of join: for every left row, the latest right row with
+    * `right.ts <= left.ts` on the same key (null-padded when none) —
+    * the time-series join Spark's built-in operators lack.
+    *
+    * Scale design: NOT a range join (whose candidate set explodes
+    * with key density) — both sides union, one shuffle on the key,
+    * and a running `last(right payload, ignoreNulls)` over
+    * (ts, side) order picks each left row's match in a single sorted
+    * pass. Cost = one shuffle + one sort, independent of match
+    * distance. Ties at the same ts resolve right-before-left (the
+    * ASOF `<=` convention) and by ascending right id.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns
+    val rp = struct(payloadCols.map(col): _*)
+    val lp = struct(leftCols.map(col): _*)
+    val rpType = right.select(rp.as("x")).schema("x").dataType
+    val lpType = left.select(lp.as("x")).schema("x").dataType
+    val l2 = left.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      lp.as("__lrow"), lit(null).cast(rpType).as("__rp"))
+    val r2 = right.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lpType).as("__lrow"), rp.as("__rp"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col("__lrow").getField(c).as(c)) ++
+          payloadCols.map(c => col("__match").getField(c).as(prefix + c)): _*)
+  }
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "q11_asof",
+      // DuckDB's native ASOF JOIN is the oracle; both engines compare
+      // on integer microseconds so the nanos→micros truncation can
+      // never flip an inequality between them
+      """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS tsu
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, r.view_id AS asof_view_id, r.tsu AS asof_tsu
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+      val l = events.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val r = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
+      asofJoin(l, r, key = "user_id", tsCol = "tsu", payloadCols = Seq("view_id", "tsu"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id"), col("asof_tsu"))
+        .orderBy("event_id")
+    }
+  )
 }

@@ -79,6 +79,36 @@ object TextAnalysis {
       lit(0.3) * least(avgWordLen(text) / 5.0, lit(1.0))
   }
 
+  /** Non-distinct word n-grams (repetition signals need
+    * multiplicities, unlike [[Dedup.shingles]]). */
+  def ngrams(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** Gopher-style repetition signal (Rae et al. 2021, §A1.1): the
+    * fraction of words that are repeats of an earlier word. High
+    * values flag boilerplate/spam; a standard pretraining quality
+    * gate alongside [[qualityScore]]. */
+  def dupWordFraction(text: Column): Column = bind(words(lower(text))) { toks =>
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Gopher-style repetition signal: the share of n-gram occurrences
+    * taken by the single most frequent n-gram. Quadratic in DISTINCT
+    * n-grams per doc — fine for per-document texts, narrow, no
+    * shuffle. */
+  def topNgramShare(text: Column, n: Int): Column =
+    bind(ngrams(words(lower(text)), n)) { grams =>
+      when(size(grams) === 0, lit(0.0)).otherwise(
+        bind(array_distinct(grams)) { d =>
+          array_max(transform(d, g => size(filter(grams, x => x === g))))
+            .cast("double") / size(grams)
+        })
+    }
+
   /** Whole-document fingerprint: md5 of case/whitespace-normalized
     * text. */
   def fingerprint(text: Column): Column =
@@ -185,6 +215,28 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "txt_repetition", {
+        val toks = SqlWordsLower
+        val grams = s"[array_to_string(($toks)[i:i+1], ' ') FOR i IN range(1, greatest(len($toks) - 1, 0) + 1)]"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks, $grams AS grams FROM documents)
+           |SELECT doc_id,
+           |  ${Cols.proundSql(
+            "CASE WHEN len(toks) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END",
+            4)} AS dup_word_frac,
+           |  ${Cols.proundSql(
+            "CASE WHEN len(grams) = 0 THEN 0.0 ELSE CAST(list_max([len(list_filter(grams, x -> x = g)) FOR g IN list_distinct(grams)]) AS DOUBLE) / len(grams) END",
+            4)} AS top_bigram_share
+           |FROM t ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Cols.pround(dupWordFraction(col("text")), 4).as("dup_word_frac"),
+          Cols.pround(topNgramShare(col("text"), 2), 4).as("top_bigram_share"))
         .orderBy("doc_id")
     },
 

@@ -30,6 +30,19 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
   }
 
+  test("asof join picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 8L, 100L), (1L, 10L, 101L), (1L, 15L, 102L), (2L, 9L, 103L))
+      .toDF("k", "t", "rid")
+    val out = Joins.asofJoin(l, r, "k", "t", Seq("rid"))
+      .select("tag", "asof_rid").collect().map(x => (x.getString(0), Option(x.get(1)))).toMap
+    // left (1,10) matches right at t=10 exactly (<= semantics);
+    // (1,20) matches t=15; (2,5) has no right at or before → null
+    assert(out == Map("a" -> Some(101L), "b" -> Some(102L), "c" -> None))
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
     spark.sql("DROP TABLE IF EXISTS g_orders_b")
