@@ -95,7 +95,7 @@ object Joins {
       payloadCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val rp = struct(payloadCols.map(col): _*)
     val lp = struct(leftCols.map(col): _*)
     val rpType = right.select(rp.as("x")).schema("x").dataType
