@@ -7,6 +7,29 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Cluster-scale conf the library is tuned for, parameterized by
+    * the cluster's total executor cores — the knobs SURVEY §4 calls
+    * out as spill-safety levers. Local sessions (below) use the same
+    * shape with cores = local threads.
+    *
+    *  - shuffle width ≈ 2× total cores: wide enough that a 100 TB
+    *    shuffle partition (input/width) stays well under executor
+    *    memory, narrow enough that task overhead doesn't dominate;
+    *    AQE coalesces down when partitions come out small.
+    *  - 256 MiB scan splits: parquet scan tasks sized so a fully
+    *    decoded split (+ codegen buffers) fits a 4–8 GiB executor
+    *    comfortably; fewer, fatter tasks than the 128 MiB default
+    *    halves scheduler pressure at 100 TB (≈ 400k tasks → 200k).
+    *  - AQE on with skew-join splitting: hot dedup buckets and
+    *    natural-key joins re-plan at runtime instead of spilling.
+    */
+  def clusterConf(totalCores: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> (totalCores * 2).toString,
+    "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+
   def create(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()

@@ -286,6 +286,19 @@ object Similarity {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3)
         .orderBy("qid", "rank")
+    },
+
+    // IVF is deterministic (fixed k-means seed) but its cell
+    // assignment isn't SQL-expressible, so the driver records the
+    // weaker rows-only check; recall vs brute force is pinned in
+    // SimilaritySpec.
+    Gate.rowsOnly("ann_topk_ivf") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      ivfTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3, nCells = 8, nProbe = 4)
+        .orderBy("qid", "rank")
     }
   )
 }
