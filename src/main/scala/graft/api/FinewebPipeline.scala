@@ -66,8 +66,10 @@ object FinewebPipeline {
       // is the anti-join shape (Filters.idFilter) with the per-row
       // verdict the exclusion writer needs for reason attribution.
       // For banned sets too large to broadcast, swap the marker join
-      // for Joins.bloomAntiJoin on the kept path.
-      val b = broadcast(banned.toDF("__banned_id"))
+      // for Joins.bloomAntiJoin on the kept path. distinct(): real
+      // robots logs record the same doc id many times, and a
+      // duplicate-producing LEFT join would multiply document rows.
+      val b = broadcast(banned.toDF("__banned_id").distinct())
       stages :+= Transform("robots_mark",
         d => d.join(b, d("doc_id") === col("__banned_id"), "left"))
       stages :+= DocFilter("robots", _ => col("__banned_id").isNull)
@@ -81,8 +83,12 @@ object FinewebPipeline {
 
     cfg.blockedDomains.foreach { domains =>
       val blocked = array(domains.toSeq.sorted.map(lit): _*)
+      // null-safe: an unparseable/null url makes the predicate NULL,
+      // which run() would drop but runWithReasons would keep —
+      // coalesce pins both paths to "kept" (the filter can't prove
+      // the domain is blocked)
       stages :+= DocFilter("url_filter",
-        d => !array_contains(blocked, parse_url(d("url"), lit("HOST"))))
+        d => coalesce(!array_contains(blocked, parse_url(d("url"), lit("HOST"))), lit(true)))
     }
 
     cfg.qualityTopP.foreach { p =>
@@ -171,7 +177,12 @@ object FinewebPipeline {
     val langs = configs.keys.toSeq.sorted
     val branches = langs.map { lang =>
       (docs.filter(col(langCol) === lang), configs(lang))
-    } :+ ((docs.filter(!col(langCol).isInCollection(langs)), default))
+    } :+ ((
+      // NULL-language docs must land in the default branch: a bare
+      // NOT-IN evaluates to NULL for them and they would vanish from
+      // both outputs
+      docs.filter(!col(langCol).isInCollection(langs) || col(langCol).isNull),
+      default))
     val built = branches.map { case (branch, cfg) =>
       build(spark, branch, cfg, classifier)
     }

@@ -57,12 +57,14 @@ object GraftExtensions {
   private[expr] val bloomMight: Seq[Expression] => Expression =
     es => new BloomFilterMightContain(es.head, new XxHash64(Seq(es(1))))
 
-  /** `graft_top_k(value, k, reverse)` → array of the k largest
-    * (reverse=true) / smallest values by the value type's ordering,
-    * sorted. Spark's own rank-limit aggregate (`CollectTopK`,
-    * unregistered): a bounded heap with partial aggregation, so a
-    * grouped top-k shuffles ≤ k rows per map partition per group
-    * instead of every scored row. */
+  /** `graft_top_k(value, k, reverse)` → array of the k SMALLEST
+    * values by the value type's ordering when reverse=true, the k
+    * largest when reverse=false (the polarity of Spark's rank-limit
+    * rewrite, where reverse=true serves `ORDER BY x ASC LIMIT k`);
+    * output order is the heap's, so sort before relying on position.
+    * A bounded heap with partial aggregation: a grouped top-k
+    * shuffles ≤ k rows per map partition per group instead of every
+    * scored row. */
   private[expr] val topK: Seq[Expression] => Expression =
     es => GraftCollectTopK(es.head, es(1), es(2))
 

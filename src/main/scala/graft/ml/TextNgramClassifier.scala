@@ -70,12 +70,9 @@ object TextNgramClassifier {
     * two can never disagree on featurization. */
   def ngramBuckets(text: Column, numBuckets: Int, wordNgrams: Int): Column =
     graft.Cols.bind(TextAnalysis.words(lower(text))) { toks =>
-      val grams = (1 to wordNgrams).map { n =>
-        if (n == 1) toks
-        else transform(
-          sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          i => array_join(slice(toks, i, lit(n)), " "))
-      }.reduce(concat(_, _))
+      val grams = (1 to wordNgrams)
+        .map(n => TextAnalysis.ngrams(toks, n))
+        .reduce(concat(_, _))
       transform(grams, g => pmod(TextAnalysis.h32(g), lit(numBuckets)).cast("int"))
     }
 

@@ -40,14 +40,11 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 
-  /** Distinct k-gram word shingles. */
+  /** Distinct k-gram word shingles; empty (never a crash) for texts
+    * with fewer than k tokens — see [[TextAnalysis.indices]] on
+    * Spark's descending `sequence(1, 0)`. */
   def shingles(text: Column, k: Int = 3): Column =
-    bind(TextAnalysis.words(lower(text))) { toks =>
-      array_distinct(
-        transform(
-          sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-          i => array_join(slice(toks, i, lit(k)), " ")))
-    }
+    array_distinct(TextAnalysis.ngrams(TextAnalysis.words(lower(text)), k))
 
   /** Exact-dedup fingerprint = md5 of normalized text (D1). */
   def exactFingerprint(text: Column): Column = TextAnalysis.fingerprint(text)

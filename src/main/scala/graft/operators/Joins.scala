@@ -66,6 +66,10 @@ object Joins {
     val bf = banned.agg(
       call_function("graft_bloom_agg", col(bannedCol), lit(items), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // the aggregate yields NULL over zero rows; an empty banned set
+    // bans nothing, so every doc passes (a NULL bloom would otherwise
+    // make BOTH branch predicates NULL and silently drop every row)
+    if (bf == null) return docs
     def might = call_function("graft_bloom_might", lit(bf), col(idCol))
     val clean = docs.filter(!might)
     val suspects = docs.filter(might)
@@ -85,7 +89,8 @@ object Joins {
     * (ts, side) order picks each left row's match in a single sorted
     * pass. Cost = one shuffle + one sort, independent of match
     * distance. Ties at the same ts resolve right-before-left (the
-    * ASOF `<=` convention) and by ascending right id.
+    * ASOF `<=` convention); multiple right rows at the same (key, ts)
+    * resolve deterministically to the greatest payload struct.
     */
   def asofJoin(
       left: DataFrame,
@@ -106,7 +111,10 @@ object Joins {
     val r2 = right.select(
       col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lpType).as("__lrow"), rp.as("__rp"))
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    // __rp in the ordering makes right-side ties at one (key, ts)
+    // deterministic (running last picks the greatest payload); left
+    // rows carry a null __rp, which cannot affect last(ignoreNulls)
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"), col("__rp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))

@@ -79,13 +79,24 @@ object TextAnalysis {
       lit(0.3) * least(avgWordLen(text) / 5.0, lit(1.0))
   }
 
+  /** 1-based index sequence [1..hi], EMPTY when hi < 1 — Spark's
+    * `sequence(1, 0)` counts DOWN to [1, 0] instead of producing an
+    * empty array, so every gram/window builder must guard the
+    * short-input case or it feeds slice() an invalid start of 0. */
+  private[operators] def indices(hi: Column): Column =
+    when(hi < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), hi.cast("int")))
+
   /** Non-distinct word n-grams (repetition signals need
-    * multiplicities, unlike [[Dedup.shingles]]). */
+    * multiplicities, unlike [[Dedup.shingles]]); empty for texts with
+    * fewer than n tokens. */
   def ngrams(toks: Column, n: Int): Column =
     if (n == 1) toks
-    else transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    else bind(toks) { t =>
+      transform(
+        indices(size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " "))
+    }
 
   /** Gopher-style repetition signal (Rae et al. 2021, §A1.1): the
     * fraction of words that are repeats of an earlier word. High
@@ -127,10 +138,10 @@ object TextAnalysis {
   def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
     bind(words(lower(text))) { toks =>
       bind(transform(
-        sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+        indices(size(toks) - (k - 1)),
         i => h32(array_join(slice(toks, i, lit(k)), " ")))) { hashes =>
         val wins = transform(
-          sequence(lit(1), greatest(size(hashes) - (w - 1), lit(0))),
+          indices(size(hashes) - (w - 1)),
           i => array_min(slice(hashes, i, lit(w))))
         array_sort(array_distinct(wins))
       }

@@ -30,6 +30,25 @@ class DedupSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("gram/window builders survive empty and sub-length texts") {
+    // Spark's sequence(1, 0) counts DOWN — unguarded, these all threw
+    // INVALID_PARAMETER_VALUE.START on texts shorter than the gram
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val shorts = Seq((1L, ""), (2L, "one"), (3L, "two words"), (4L, "now three words here"))
+      .toDF("doc_id", "text")
+    val out = shorts.select(
+      Dedup.shingles(col("text")).as("sh"),
+      TextAnalysis.winnow(col("text")).as("win"),
+      TextAnalysis.topNgramShare(col("text"), 2).as("tbs"),
+      graft.ml.TextNgramClassifier.ngramBuckets(col("text"), 64, 2).as("bkts"))
+      .collect()
+    assert(out.length == 4)
+    assert(out(0).getSeq[String](0).isEmpty && out(1).getSeq[String](0).isEmpty)
+    assert(out(0).getDouble(2) == 0.0)
+    assert(out(1).getSeq[Int](3).length == 1) // one unigram, no bigrams
+  }
+
   test("df cutoff of zero prunes every shared shingle and finds nothing") {
     // degenerate cutoff: every shingle shared by a pair has df >= 2
     val none = Dedup.ngramJaccardPairs(planted, "text", "doc_id", 0.35, Some(1L)).count()

@@ -107,6 +107,31 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(keptHead < totalHead)
   }
 
+  test("duplicate banned-id log rows do not multiply documents") {
+    import spark.implicits._
+    val docs = annotated
+    // one id logged three times, as real robots logs do
+    val banned = Seq(5L, 5L, 5L, 10L).toDF("doc_id")
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs, FinewebConfig(robotsBannedIds = Some(banned), piiFormat = false))
+    assert(kept.count() + excluded.count() == docs.count())
+    assert(excluded.filter(col("doc_id") === 5L).count() == 1)
+  }
+
+  test("null-language docs land in the sweep's default branch, not nowhere") {
+    val docs = annotated.withColumn("lang",
+      when(col("doc_id") % 4 === 0, lit(null).cast("string")).otherwise(col("lang")))
+    val langs = docs.select("lang").distinct().collect()
+      .flatMap(r => Option(r.getString(0))).sorted
+    val (kept, excluded) = FinewebPipeline.sweepLanguages(
+      spark, docs, "lang",
+      configs = Map(langs.head -> FinewebConfig(piiFormat = false)),
+      default = FinewebConfig(piiFormat = false))
+    assert(kept.count() + excluded.count() == docs.count())
+    assert(kept.filter(col("lang").isNull).count() ==
+      docs.filter(col("lang").isNull).count())
+  }
+
   test("pii formatting applies to kept docs") {
     val docs = annotated
       .withColumn("text", concat(col("text"), lit(" mail me a@b.com")))

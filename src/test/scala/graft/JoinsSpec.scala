@@ -30,6 +30,25 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
   }
 
+  test("bloom anti join with an EMPTY banned set keeps every doc") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val banned = Seq.empty[Long].toDF("doc_id")
+    val out = Joins.bloomAntiJoin(docs, banned, "doc_id", expectedBanned = 10)
+    assert(out.count() == docs.count())
+  }
+
+  test("asof join resolves right-side ties at one (key, ts) deterministically") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 5L), (1L, 10L, 9L), (1L, 10L, 7L)).toDF("k", "t", "rid")
+    val got = (1 to 5).map { _ =>
+      Joins.asofJoin(l, r.repartition(4), "k", "t", Seq("rid"))
+        .select("asof_rid").head.getLong(0)
+    }
+    assert(got.distinct == Seq(9L), s"tie not deterministic/greatest: $got")
+  }
+
   test("asof join picks the latest right row at or before each left ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
