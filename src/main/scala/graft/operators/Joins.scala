@@ -63,14 +63,18 @@ object Joins {
     val items = math.min(math.max(expectedBanned, 1L), 4000000L)
     val optimalBits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val numBits = math.min(optimalBits, 67108864L)
+    // cast both sides to long before hashing: XxHash64 hashes int32
+    // and int64 representations of the same id differently, so a
+    // narrower banned column would make every probe a false NEGATIVE
+    // (banned docs kept) — the one bloom failure mode that is silent
     val bf = banned.agg(
-      call_function("graft_bloom_agg", col(bannedCol), lit(items), lit(numBits)).as("bf"))
+      call_function("graft_bloom_agg", col(bannedCol).cast("long"), lit(items), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     // the aggregate yields NULL over zero rows; an empty banned set
     // bans nothing, so every doc passes (a NULL bloom would otherwise
     // make BOTH branch predicates NULL and silently drop every row)
     if (bf == null) return docs
-    def might = call_function("graft_bloom_might", lit(bf), col(idCol))
+    def might = call_function("graft_bloom_might", lit(bf), col(idCol).cast("long"))
     val clean = docs.filter(!might)
     val suspects = docs.filter(might)
     val survivors = suspects.join(
@@ -129,7 +133,10 @@ object Joins {
       "q11_asof",
       // DuckDB's native ASOF JOIN is the oracle; both engines compare
       // on integer microseconds so the nanos→micros truncation can
-      // never flip an inequality between them
+      // never flip an inequality between them. Truncation COULD
+      // create a (user, tsu) tie from distinct nanos — where DuckDB's
+      // ASOF tie-pick is arbitrary — but the events data is verified
+      // tie-free at micro precision (0 duplicate (user_id, tsu))
       """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu
         |  FROM events WHERE event_type = 'click'),
         |r AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS tsu

@@ -112,8 +112,10 @@ object ParaDocs {
 
   // ---- gate: synthesized parallel-sentence stream from documents ----
   // One "sentence" per doc: 50-doc source documents, 5-paragraph
-  // split, indexes consecutive except every 7th doc (shifted +10 →
-  // non-consecutive break), language-id from the portable LCG (some
+  // split, indexes consecutive except every 7th doc (shifted by +9 —
+  // odd, so a shifted start can never TIE with the even unshifted
+  // starts and block order stays deterministic in both engines —
+  // making a >2 gap break), language-id from the portable LCG (some
   // rows fall under the 0.5 cutoff), frequency from n_chars. tgt is
   // upper(src). maxLength is unbounded in the gate, so the greedy
   // fold reduces to pure break-flag segmentation — expressible with
@@ -124,10 +126,10 @@ object ParaDocs {
     docs.select(
       floor(col("doc_id") / 50).cast("long").as("src_docid"),
       (floor(col("doc_id") / 10) % 5).cast("long").as("src_paragraph_id"),
-      (col("doc_id") * 2 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("src_start_index"),
-      (col("doc_id") * 2 + 1 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("src_end_index"),
-      (col("doc_id") * 2 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("tgt_start_index"),
-      (col("doc_id") * 2 + 1 + when(col("doc_id") % 7 === 0, 10).otherwise(0)).as("tgt_end_index"),
+      (col("doc_id") * 2 + when(col("doc_id") % 7 === 0, 9).otherwise(0)).as("src_start_index"),
+      (col("doc_id") * 2 + 1 + when(col("doc_id") % 7 === 0, 9).otherwise(0)).as("src_end_index"),
+      (col("doc_id") * 2 + when(col("doc_id") % 7 === 0, 9).otherwise(0)).as("tgt_start_index"),
+      (col("doc_id") * 2 + 1 + when(col("doc_id") % 7 === 0, 9).otherwise(0)).as("tgt_end_index"),
       col("text").as("src"),
       upper(col("text")).as("tgt"),
       Cols.pround(Cols.lcgUniform(col("doc_id")), 6).as("src_language_id"),
@@ -135,7 +137,7 @@ object ParaDocs {
       col("n_chars").cast("long").as("frequency"))
 
   private val SqlGateSentences: String = {
-    val shift = "CASE WHEN doc_id % 7 = 0 THEN 10 ELSE 0 END"
+    val shift = "CASE WHEN doc_id % 7 = 0 THEN 9 ELSE 0 END"
     s"""SELECT doc_id // 50 AS src_docid, (doc_id // 10) % 5 AS src_paragraph_id,
        |  doc_id * 2 + $shift AS src_start_index,
        |  doc_id * 2 + 1 + $shift AS src_end_index,

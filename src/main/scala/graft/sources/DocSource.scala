@@ -55,8 +55,12 @@ object DocSource {
     * writer only bounds records per file, so the byte bound is
     * translated to a record bound using the measured on-disk bytes/row
     * of a bounded sample (written with the same codec, then deleted).
-    * The fixed parquet footer overhead in the sample skews the
-    * estimate conservative — files come out at or under the bound.
+    * The sample is a RANDOM subset, not the first rows — a frame
+    * sorted by document length would otherwise bias the estimate —
+    * and the fixed parquet footer overhead skews it conservative, so
+    * files come out at or under the bound barring extreme skew. The
+    * sizing pass re-executes the upstream plan; for an expensive
+    * upstream, persist (or write unbounded and compact) instead.
     * Returns the derived maxRecordsPerFile.
     */
   def writeParquetBytesBounded(
@@ -70,7 +74,8 @@ object DocSource {
     val spark = df.sparkSession
     val samplePath = new Path(path + "_sizing_sample")
     val fs = samplePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.limit(sampleRows).coalesce(1).write.mode("overwrite")
+    df.sample(withReplacement = false, 0.5, seed = 42).limit(sampleRows)
+      .coalesce(1).write.mode("overwrite")
       .option("compression", "zstd").parquet(samplePath.toString)
     val bytes = fs.getContentSummary(samplePath).getLength
     val rows = spark.read.parquet(samplePath.toString).count()

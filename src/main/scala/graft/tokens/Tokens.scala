@@ -153,7 +153,10 @@ object Tokens {
     * text untouched. */
   def withMetadata(text: Column, metadata: Column, position: String = "left"): Column = {
     require(position == "left" || position == "right")
-    when(metadata === "", text).otherwise(
+    // isNull guard: a null metadata (unparseable url through a
+    // builder) must leave the text untouched, not null the whole
+    // concat out
+    when(metadata.isNull || metadata === "", text).otherwise(
       if (position == "left") concat(metadata, lit("\n"), text)
       else concat(text, lit("\n"), metadata))
   }
