@@ -117,8 +117,12 @@ object FinewebPipeline {
     if (cfg.piiFormat)
       stages :+= Transform("pii", d => d.withColumn("text", Formatters.piiRedact(col("text"))))
 
-    val pipe = Pipeline(stages: _*)
-    (pipe.kept(docs), pipe.excluded(docs))
+    // one marked frame shared by both splits, so they are branches of
+    // the SAME plan (persist it to pay the scan once when writing
+    // both sinks)
+    val marked = Pipeline(stages: _*).runWithReasons(docs)
+    (marked.filter(col("filter_reason").isNull).drop("filter_reason"),
+      marked.filter(col("filter_reason").isNotNull))
   }
 
   /** The edu classifier head standing in for fineweb-edu's regression

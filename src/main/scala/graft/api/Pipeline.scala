@@ -39,15 +39,21 @@ final case class Pipeline(stages: Stage*) {
     * column: null = kept, else the name of the FIRST filter stage
     * that rejected the row. This is the reference's
     * `exclusion_writer` pattern (writes removed docs + reason to a
-    * side output) done in a single scan — the caller splits on
-    * `filter_reason IS NULL` and writes two sinks from one pass,
-    * instead of re-reading the input per filter as the reference
-    * effectively does with one writer per filter.
+    * side output) as ONE plan — split the result on
+    * `filter_reason IS NULL` (as [[kept]]/[[excluded]] do). To pay
+    * the scan once when writing both sinks, persist this frame (e.g.
+    * via `graft.Caches.persist`) or write it whole and split
+    * downstream — two separate actions on the lazy splits each
+    * re-execute the plan.
     *
-    * Transforms are applied only to still-kept rows' semantics:
-    * filters are evaluated against the running transform output, and
-    * once a row is rejected later transforms no longer matter for it
-    * (it is already frozen with its reason).
+    * A predicate that evaluates to NULL counts as a REJECTION (the
+    * reference's TRUE == KEPT contract; `run()`'s filter drops NULL
+    * rows the same way) — so kept/excluded and run() always agree.
+    *
+    * Transforms must be row-preserving (1:1) here: they apply to
+    * already-rejected rows too, so an exploding/deduplicating
+    * Transform would multiply or swallow excluded rows. Put
+    * replication-style transforms after the split.
     */
   def runWithReasons(df: DataFrame): DataFrame = {
     val init = df.withColumn("filter_reason", lit(null).cast("string"))
@@ -55,7 +61,7 @@ final case class Pipeline(stages: Stage*) {
       case (d, DocFilter(n, p)) =>
         d.withColumn(
           "filter_reason",
-          coalesce(col("filter_reason"), when(!p(d), lit(n))))
+          coalesce(col("filter_reason"), when(!coalesce(p(d), lit(false)), lit(n))))
       case (d, Transform(_, f)) => f(d)
     }
   }

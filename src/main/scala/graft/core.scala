@@ -43,11 +43,18 @@ object Cols {
     * involved, so a DuckDB oracle reproduces it bit-for-bit).
     */
   def lcgUniform(id: Column): Column =
-    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483648L)) / lit(2147483648.0)
+    // pre-reduce mod 2³¹ before the multiply: congruent (a·x mod m =
+    // a·(x mod m) mod m) but overflow-proof — a raw id ≥ 2⁶³/a
+    // (~8.4e9, reached by a 100 TB corpus) would otherwise overflow
+    // the long multiply (ANSI error or silent wrap vs the oracle)
+    pmod(pmod(id, lit(2147483648L)) * lit(1103515245L) + lit(12345L), lit(2147483648L)) /
+      lit(2147483648.0)
 
   /** Same LCG in SQL text form, for oracle queries. */
-  def lcgUniformSql(idExpr: String): String =
-    s"((($idExpr * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648) / 2147483648.0"
+  def lcgUniformSql(idExpr: String): String = {
+    val m = "2147483648"
+    s"((((($idExpr % $m + $m) % $m) * 1103515245 + 12345) % $m + $m) % $m) / $m.0"
+  }
 
   /** Poor-man's let-binding for Catalyst expressions: evaluate `v`
     * ONCE per row and feed the result to `body` as a lambda variable.

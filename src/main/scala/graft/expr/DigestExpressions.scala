@@ -98,7 +98,12 @@ object DecDotKernel {
     * DigestExpressionsSpec).
     */
   def decDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // fail fast: silently dotting min(len) would score a
+    // dimension-mismatched embedding with a confident wrong value
+    require(
+      a.numElements() == b.numElements(),
+      s"decDot length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {

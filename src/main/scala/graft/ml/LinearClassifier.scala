@@ -42,7 +42,11 @@ final case class LinearClassifier(weights: Array[Double], bias: Double = 0.0) {
   /** DuckDB-dialect SQL computing the identical score for `embExpr`
     * (a FLOAT[] column expression). */
   def scoreSql(embExpr: String): String = {
-    val wLit = weights.map(w => f"$w%.17g").mkString("[", ",", "]")
+    // Locale.ROOT: a comma-decimal default locale would render the
+    // weights as "0,377..." and corrupt the SQL array literal
+    val wLit = weights
+      .map(w => String.format(java.util.Locale.ROOT, "%.17g", Double.box(w)))
+      .mkString("[", ",", "]")
     val dot =
       s"CAST(list_sum([CAST(($embExpr)[i]::DOUBLE * ($wLit)[i] AS DECIMAL(30,15)) " +
         s"FOR i IN range(1, ${weights.length + 1})]) AS DOUBLE)"

@@ -54,11 +54,14 @@ object Analytics {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin) { (s, dir) =>
-      // customer/nation/region are dimension-sized: broadcast them so
-      // the 100 TB fact side never shuffles for those joins.
+      // nation/region are FIXED-size dimensions: always broadcast.
+      // customer scales with SF (~15 B rows at 100 TB) so it gets no
+      // hint — AQE broadcasts it when it measures small and shuffles
+      // it when it doesn't, instead of a hint that would blow the
+      // 8 GB broadcast limit at scale.
       Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")

@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.net.URI
-import scala.util.Try
-
 /** Minimal robots.txt evaluator (RFC 9309 subset), the Spark-native
   * counterpart of the reference's Protego-backed `RobotsTxtFilter`
   * (reference: src/data_pipeline_pretrain/pipeline/filters/robots_filter.py:29-91).
@@ -104,19 +101,24 @@ object RobotsTxt {
     "FacebookBot", "Meta-ExternalAgent", "Google-Extended", "GPTBot",
     "PanguBot", "*")
 
+  // Lenient, urlparse-like extraction: java.net.URI throws on the
+  // malformed-but-crawlable URLs real crawl data is full of (spaces,
+  // pipes, bad escapes), which would silently skip the robots lookup
+  // and KEEP disallowed docs. Regexes never throw and keep parity
+  // with the reference's lenient urlparse.
+  private val NetlocRe = "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)".r
+  private val PathQueryRe = "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^#]*)".r
+
   /** Netloc of the URL — host plus port/userinfo when present,
     * matching the reference's `urlparse(url).netloc` dict key
     * (robots_filter.py:70): `https://host:8080/x` looks up
     * `host:8080`, not `host`. */
   def domainOf(url: String): String =
-    Try(Option(new URI(url).getRawAuthority).getOrElse("")).getOrElse("")
+    NetlocRe.findFirstMatchIn(url).map(_.group(1)).getOrElse("")
 
+  /** Path plus query (the string robots rules match against). */
   def pathOf(url: String): String =
-    Try {
-      val u = new URI(url)
-      val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
-      Option(u.getRawQuery).map(q => s"$p?$q").getOrElse(p)
-    }.getOrElse("/")
+    PathQueryRe.findFirstMatchIn(url).map(_.group(1)).filter(_.nonEmpty).getOrElse("/")
 
   /** Doc is kept iff every honored UA may fetch its URL (reference
     * drops the doc if ANY remove-listed agent is disallowed —
