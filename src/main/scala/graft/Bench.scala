@@ -20,7 +20,12 @@ object Bench {
     // footer + OS page cache for EVERY table — otherwise first touch of
     // each table is charged to whichever measured query hits it first.
     runAll()
-    val results = runAll()
+    // Per-query min over 3 measured passes: host noise on a shared box
+    // showed up to 15× one-off inflation on random queries (BENCH_r02
+    // vs a quiet re-run); the min reflects plan cost, which is what
+    // the number is for.
+    val passes = Seq.fill(3)(runAll())
+    val results = passes.flatten.groupMapReduce(_._1)(_._2)(math.min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Annotators.gates ++
       sources.DocSource.gates ++
       tokens.Tokens.gates ++
+      tokens.MegatronBinWriter.gates ++
       multimodal.Multimodal.gates ++
       streaming.EventStream.gates ++
       api.FinewebPipeline.gates

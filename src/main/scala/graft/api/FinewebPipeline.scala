@@ -91,13 +91,22 @@ object FinewebPipeline {
 
     cfg.qualityTopP.foreach { p =>
       // reference estimates the threshold as the (1-p) score quantile
-      // over a sample (embeddings_filter.py:76-108); here via the
-      // distributed Greenwald-Khanna sketch — one pass, driver merges
-      // only the sketch, never the scores
-      val thr = docs
-        .select(classifier.score(col("embedding")).as("s"))
-        .stat.approxQuantile("s", Array(1 - p), 0.001).head
-      stages :+= DocFilter("quality", d => classifier.score(d("embedding")) > thr)
+      // over the filter's INPUT stream (embeddings_filter.py:76-108) —
+      // so the quantile runs over docs that survived the upstream
+      // stages, not the raw input (otherwise the kept fraction drifts
+      // from p whenever robots/url stages removed rows). Deferred: the
+      // threshold is a 1-row percentile_approx aggregate broadcast
+      // into the plan, so building the pipeline stays lazy (no eager
+      // Spark job per branch in sweepLanguages) and the driver only
+      // ever sees the merged sketch, never the scores.
+      val upstream = Pipeline(stages: _*).run(docs)
+      val thrFrame = upstream
+        .select(classifier.score(col("embedding")).as("__q_s"))
+        .agg(percentile_approx(col("__q_s"), lit(1 - p), lit(10000)).as("__q_thr"))
+      stages :+= Transform("quality_thr", d => d.crossJoin(broadcast(thrFrame)))
+      stages :+= DocFilter("quality",
+        d => classifier.score(d("embedding")) > col("__q_thr"))
+      stages :+= Transform("quality_unthr", _.drop("__q_thr"))
     }
 
     cfg.toxicityThreshold.foreach { thr =>
@@ -115,7 +124,16 @@ object FinewebPipeline {
     }
 
     if (cfg.piiFormat)
-      stages :+= Transform("pii", d => d.withColumn("text", Formatters.piiRedact(col("text"))))
+      // In the reasons path, redact only rows no filter rejected: the
+      // exclusion sink must record the document as it was when
+      // rejected (reference's exclusion_writer), not a PII-rewritten
+      // version. Under plain run() rejected rows are already gone and
+      // no filter_reason column exists, so redact unconditionally.
+      stages :+= Transform("pii", d => d.withColumn("text",
+        if (d.columns.contains("filter_reason"))
+          when(col("filter_reason").isNull, Formatters.piiRedact(col("text")))
+            .otherwise(col("text"))
+        else Formatters.piiRedact(col("text"))))
 
     // one marked frame shared by both splits, so they are branches of
     // the SAME plan (persist it to pay the scan once when writing

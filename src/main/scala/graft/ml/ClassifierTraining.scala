@@ -42,10 +42,64 @@ object ClassifierTraining {
     LinearClassifier(model.coefficients.toArray, model.intercept)
   }
 
+  /** Fit the reference's 2-layer head shape on (embedding, label 0/1)
+    * via MLlib's `MultilayerPerceptronClassifier` (distributed L-BFGS)
+    * and export the weights into an [[MlpClassifier]], so inference is
+    * the same codegen'd column-expression path as every other head.
+    *
+    * MLlib's hidden activation is sigmoid (not the reference's ReLU),
+    * so the exported head is `activation = "sigmoid"`; its scores are
+    * exactly the MLlib model's P(class 1) — the 2-class softmax
+    * collapses to `sigmoid(z₁ − z₀)`, folded here into the output
+    * layer (parity with `model.transform` is pinned in MlpSpec).
+    */
+  def trainMlp(
+      data: DataFrame,
+      embeddingCol: String,
+      labelCol: String,
+      hidden: Int = 16,
+      maxIter: Int = 100,
+      seed: Long = 42L): MlpClassifier = {
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    val spark = data.sparkSession
+    import spark.implicits._
+    val ds = data
+      .select(
+        transform(col(embeddingCol), x => x.cast("double")).as("emb"),
+        col(labelCol).cast("double").as("label"))
+      .as[(Seq[Double], Double)]
+      .map { case (e, l) => (Vectors.dense(e.toArray), l) }
+      .toDF("features", "label")
+    val dim = ds.head().getAs[org.apache.spark.ml.linalg.Vector]("features").size
+    val model = new MultilayerPerceptronClassifier()
+      .setLayers(Array(dim, hidden, 2))
+      .setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(ds)
+    // Flat weight layout (MLlib FeedForwardTopology): per affine layer
+    // a (numOut × numIn) column-major matrix then its bias vector.
+    val w = model.weights.toArray
+    val w1 = Array.tabulate(hidden, dim)((i, j) => w(j * hidden + i))
+    val off1 = dim * hidden
+    val b1 = Array.tabulate(hidden)(i => w(off1 + i))
+    val off2 = off1 + hidden
+    val w2 = Array.tabulate(hidden)(j => w(off2 + j * 2 + 1) - w(off2 + j * 2))
+    val off3 = off2 + 2 * hidden
+    val b2 = w(off3 + 1) - w(off3)
+    MlpClassifier(w1, b1, w2, b2, activation = "sigmoid")
+  }
+
   /** Accuracy of a [[LinearClassifier]] at a 0.5 sigmoid cutoff. */
-  def accuracy(cls: LinearClassifier, data: DataFrame, embeddingCol: String, labelCol: String): Double = {
+  def accuracy(cls: LinearClassifier, data: DataFrame, embeddingCol: String, labelCol: String): Double =
+    accuracyOf(cls.score(col(embeddingCol)), data, labelCol)
+
+  /** Accuracy of an [[MlpClassifier]] at a 0.5 sigmoid cutoff. */
+  def accuracy(cls: MlpClassifier, data: DataFrame, embeddingCol: String, labelCol: String): Double =
+    accuracyOf(cls.score(col(embeddingCol)), data, labelCol)
+
+  private def accuracyOf(score: org.apache.spark.sql.Column, data: DataFrame, labelCol: String): Double = {
     val scored = data.select(
-      (cls.score(col(embeddingCol)) > 0.5).cast("int").as("pred"),
+      (score > 0.5).cast("int").as("pred"),
       col(labelCol).cast("int").as("y"))
     scored.agg(avg((col("pred") === col("y")).cast("double"))).head().getDouble(0)
   }

@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Two-layer MLP classifier head — the exact architecture of the
+  * reference's `BinaryClassifier`: Linear(dim→hidden) → ReLU →
+  * Linear(hidden→1) → sigmoid (reference:
+  * src/data_pipeline_pretrain/pipeline/filters/embeddings_filter.py:43-55).
+  * A user porting a trained reference `.pt` head drops W1/b1/W2/b2
+  * straight into this class; [[LinearClassifier]] remains the
+  * single-layer special case.
+  *
+  * Like the linear head, the weights fold into Catalyst expressions:
+  * each hidden unit is one codegen'd DecDot kernel call over the
+  * embedding plus a ReLU, and the output layer is one more DecDot
+  * over the hidden array — a narrow, executor-local computation that
+  * scales with the scan (the reference batches rows through torch on
+  * the driver process instead).
+  *
+  * Determinism: every dot product accumulates in DECIMAL(30,15)
+  * (exact, order-independent), ReLU/`greatest` is exact, so scores
+  * hash-match the single-threaded DuckDB twin in [[scoreSql]] after
+  * the usual pround.
+  *
+  * `activation` is "relu" (the reference head) or "sigmoid" (MLlib's
+  * `MultilayerPerceptronClassifier` hidden activation — used by
+  * [[ClassifierTraining.trainMlp]] so trained models run through this
+  * same expression path).
+  */
+final case class MlpClassifier(
+    w1: Array[Array[Double]], // hidden × dim
+    b1: Array[Double], // hidden
+    w2: Array[Double], // hidden
+    b2: Double,
+    activation: String = "relu") {
+
+  require(w1.nonEmpty && w1.length == b1.length && w1.length == w2.length,
+    s"inconsistent layer shapes: w1=${w1.length} b1=${b1.length} w2=${w2.length}")
+  require(activation == "relu" || activation == "sigmoid", s"unknown activation $activation")
+
+  def hiddenDim: Int = w1.length
+  def inputDim: Int = w1.head.length
+
+  private def act(x: Column): Column =
+    if (activation == "relu") greatest(x, lit(0.0))
+    else lit(1.0) / (lit(1.0) + exp(-x))
+
+  /** Hidden activations as an array<double> column. */
+  def hidden(emb: Column): Column = array(
+    w1.indices.map { i =>
+      val wLit = array(w1(i).toIndexedSeq.map(lit): _*)
+      act(call_function("graft_decdot", emb, wLit) + lit(b1(i)))
+    }: _*)
+
+  /** Pre-sigmoid output logit. */
+  def logit(emb: Column): Column =
+    call_function("graft_decdot", hidden(emb), array(w2.toIndexedSeq.map(lit): _*)) + lit(b2)
+
+  def score(emb: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-logit(emb)))
+
+  private def fmt(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17g", Double.box(x))
+
+  /** DuckDB-dialect SQL computing the identical score for `embExpr`
+    * (a FLOAT[]/DOUBLE[] column expression) — same decimal-fold shape
+    * as [[LinearClassifier.scoreSql]], per layer. */
+  def scoreSql(embExpr: String): String = {
+    def sqlAct(x: String): String =
+      if (activation == "relu") s"greatest($x, 0.0)"
+      else s"(1.0/(1.0+exp(-($x))))"
+    val hExprs = w1.indices.map { i =>
+      val wLit = w1(i).map(fmt).mkString("[", ",", "]")
+      val dot = s"CAST(list_sum([CAST(($embExpr)[j]::DOUBLE * ($wLit)[j] AS DECIMAL(30,15)) " +
+        s"FOR j IN range(1, ${w1(i).length + 1})]) AS DOUBLE)"
+      sqlAct(s"(($dot) + (${fmt(b1(i))}))")
+    }
+    val terms = hExprs.zip(w2)
+      .map { case (h, w) => s"CAST(($h) * (${fmt(w)}) AS DECIMAL(30,15))" }
+    val out = s"CAST(list_sum([${terms.mkString(", ")}]) AS DOUBLE)"
+    s"1.0/(1.0+exp(-(($out) + (${fmt(b2)}))))"
+  }
+}
+
+object MlpClassifier {
+  /** Deterministic pseudo-random weights (same Knuth-LCG family as
+    * [[LinearClassifier.seeded]]); hidden-layer weights scaled by
+    * 1/dim so seeded logits stay in sigmoid's responsive range. */
+  def seeded(dim: Int, hidden: Int, seed: Int): MlpClassifier = {
+    def u(k: Long): Double = ((k * 2654435761L + seed * 97L) % 1000L) / 1000.0 - 0.5
+    MlpClassifier(
+      w1 = Array.tabulate(hidden, dim)((i, j) => u(i.toLong * dim + j + 1) / dim),
+      b1 = Array.tabulate(hidden)(i => u(1000003L + i)),
+      w2 = Array.tabulate(hidden)(i => u(2000003L + i)),
+      b2 = u(3000017L))
+  }
+}

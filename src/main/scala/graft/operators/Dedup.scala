@@ -49,14 +49,20 @@ object Dedup {
   /** Exact-dedup fingerprint = md5 of normalized text (D1). */
   def exactFingerprint(text: Column): Column = TextAnalysis.fingerprint(text)
 
-  /** Keep one row (min id) per identical fingerprint. Window keeps
-    * the full row; the shuffle key is the digest, never the text. */
+  /** Keep one row (min id) per identical fingerprint. Two-phase so no
+    * exchange ever carries the text column (PlanSpec asserts this): a
+    * compact (digest, id) projection aggregates to the keeper id per
+    * fingerprint — only 16-byte digests and ids shuffle — then a
+    * semi-join on the ID picks the surviving rows. The semi-join keys
+    * on the id, not the digest, so an id-bucketed table keeps its
+    * layout and a broadcast/AQE plan moves only keeper ids. (The old
+    * window-over-fingerprint shape ranked whole rows, pushing document
+    * text through the exchange.) */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__fp").orderBy(col(idCol))
-    docs.withColumn("__fp", exactFingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    val keepers = spread(docs.select(col(idCol), exactFingerprint(col(textCol)).as("__fp")))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keepers, Seq(idCol), "left_semi")
   }
 
   // MinHash: h_k(s) = (a_k·h32(s) + b_k) mod P — one md5 per shingle,

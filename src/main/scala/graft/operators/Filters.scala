@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Cols, Gate, Tables}
 import graft.api.{DocFilter, Pipeline}
-import graft.ml.LinearClassifier
+import graft.ml.{LinearClassifier, MlpClassifier}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,25 @@ object Filters {
       scored.crossJoin(broadcast(thr))
         .filter(col("score") > col("t"))
         .select("vec_id", "score").orderBy("vec_id")
+    },
+
+    Gate(
+      "f_embed_classifier_mlp", {
+        val cls = MlpClassifier.seeded(64, 8, 11)
+        val score = Cols.proundSql(cls.scoreSql("embedding"), 6)
+        s"""SELECT vec_id, $score AS score, $score > 0.5 AS kept
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      // Reference: EmbeddingBinaryClassifierFilter with the full
+      // 2-layer BinaryClassifier head (embeddings_filter.py:43-55) at
+      // a fixed keep threshold. Every row is emitted with its verdict
+      // so the oracle hashes the whole score surface, not just the
+      // kept side.
+      val cls = MlpClassifier.seeded(64, 8, 11)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Cols.pround(cls.score(col("embedding")), 6).as("score"))
+        .withColumn("kept", col("score") > 0.5)
+        .orderBy("vec_id")
     },
 
     Gate(

@@ -61,6 +61,18 @@ object Joins {
     // 100 TB side's filter stays inside whole-stage codegen. Sizes
     // clamped to the aggregate's default limits (4M items / 8 MiB).
     val items = math.min(math.max(expectedBanned, 1L), 4000000L)
+    if (expectedBanned > 4000000L) {
+      // Past the clamp the effective fpp grows toward 1 and the fast
+      // path silently degrades to routing everything into the exact
+      // anti-join — still correct, but the caller should know the
+      // bloom is saturated and consider sharding the banned set.
+      val effFpp = math.pow(1 - math.exp(-expectedBanned.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2) * items)), math.log(2) * 67108864.0 / items)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Joins").warn(
+        s"bloomAntiJoin: expectedBanned=$expectedBanned exceeds the 4M-item clamp; " +
+          f"effective fpp ≈ $effFpp%.3f (requested $fpp%.3f) — the bloom fast path is " +
+          "saturated and most rows will take the exact anti-join")
+    }
     val optimalBits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val numBits = math.min(optimalBits, 67108864L)
     // cast both sides to long before hashing: XxHash64 hashes int32
@@ -105,6 +117,18 @@ object Joins {
       prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toIndexedSeq
+    // The working columns are flat names on the unioned frame; an
+    // input column with the same name would silently shadow them, and
+    // a prefixed payload name colliding with a left column would make
+    // the final select ambiguous. Fail loudly instead.
+    val reserved = Set("__k", "__ts", "__side", "__lrow", "__rp", "__match")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin: input columns ${clash.mkString(", ")} collide with reserved working names")
+    val prefClash = payloadCols.map(prefix + _).intersect(leftCols)
+    require(prefClash.isEmpty,
+      s"asofJoin: prefixed payload columns ${prefClash.mkString(", ")} collide with left columns " +
+        "— pass a different prefix")
     val rp = struct(payloadCols.map(col): _*)
     val lp = struct(leftCols.map(col): _*)
     val rpType = right.select(rp.as("x")).schema("x").dataType

@@ -112,13 +112,17 @@ object RobotsTxt {
   /** Netloc of the URL — host plus port/userinfo when present,
     * matching the reference's `urlparse(url).netloc` dict key
     * (robots_filter.py:70): `https://host:8080/x` looks up
-    * `host:8080`, not `host`. */
+    * `host:8080`, not `host`. A NULL url (real crawl data has them;
+    * Spark passes null through to String UDF params) degrades to ""
+    * — no robots entry matches, so the doc stays lenient-kept. */
   def domainOf(url: String): String =
-    NetlocRe.findFirstMatchIn(url).map(_.group(1)).getOrElse("")
+    if (url == null) ""
+    else NetlocRe.findFirstMatchIn(url).map(_.group(1)).getOrElse("")
 
   /** Path plus query (the string robots rules match against). */
   def pathOf(url: String): String =
-    PathQueryRe.findFirstMatchIn(url).map(_.group(1)).filter(_.nonEmpty).getOrElse("/")
+    if (url == null) "/"
+    else PathQueryRe.findFirstMatchIn(url).map(_.group(1)).filter(_.nonEmpty).getOrElse("/")
 
   /** Doc is kept iff every honored UA may fetch its URL (reference
     * drops the doc if ANY remove-listed agent is disallowed —

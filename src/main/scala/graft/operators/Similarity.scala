@@ -165,35 +165,53 @@ object Similarity {
       corpus: DataFrame, // id, vec
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      fitSampleSize: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val corpusVec = corpus
+    // Fit centroids on a bounded deterministic sample, never the full
+    // corpus: MLlib's fit is maxIter full passes plus driver-side
+    // aggregation, which at 100 TB would dominate the whole query.
+    // Coarse-quantizer centroids only need a representative sample
+    // (FAISS trains IVF on ~30-256 points per centroid); the portable
+    // LCG on the id makes the draw reproducible on any engine and
+    // independent of partitioning. Count first (cheap columnar count)
+    // to turn the size bound into a sampling rate.
+    def toFeatures(df: DataFrame) = df
       .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
       .map { case (id, v) => (id, Vectors.dense(v.toArray)) }
       .toDF("id", "features")
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(corpusVec)
-    val assigned = km.transform(corpusVec)
-      .select(col("id"), col("prediction").as("cell"))
-    val corpusCells = corpus.join(assigned, "id")
+    val n = corpus.count()
+    val sampled =
+      if (n <= fitSampleSize) corpus
+      else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .fit(toFeatures(sampled))
 
-    val centroids = km.clusterCenters.zipWithIndex
-    val bcCentroids = spark.sparkContext.broadcast(centroids.map { case (c, i) => (i, c.toArray) })
-    val probeCells = udf { (q: Seq[Double]) =>
-      bcCentroids.value
-        .map { case (i, c) =>
-          val d = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-          (i, d)
-        }
-        .sortBy(_._2).take(nProbe).map(_._1)
-    }
+    // Cell assignment and query probing are pure column expressions
+    // over literal centroids (no UDF, no MLlib transform): squared
+    // distance to centroid i is ‖x‖² − 2x·cᵢ + ‖cᵢ‖², and ‖x‖² is
+    // constant per row, so argmin/argsort over (‖cᵢ‖² − 2x·cᵢ, i)
+    // structs ranks cells identically — each dot is the codegen'd
+    // DecDot kernel, deterministic regardless of partitioning.
+    val centroids = km.clusterCenters.map(_.toArray)
+    def cellRank(v: Column): Column = array_sort(array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.toIndexedSeq.map(lit): _*)
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * decDot(v, cLit)).as("d"), lit(i).as("i"))
+      }.toIndexedSeq: _*))
+    def vDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+    val corpusCells = corpus
+      .withColumn("cell", element_at(cellRank(vDouble(col("vec"))), 1).getField("i"))
     val qs = queries
-      .withColumn("cells", probeCells(transform(col("qvec"), x => x.cast("double"))))
+      .withColumn("cells",
+        transform(slice(cellRank(vDouble(col("qvec"))), 1, nProbe), s => s.getField("i")))
       .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
 
     val scored = corpusCells.join(broadcast(qs), Seq("cell"))

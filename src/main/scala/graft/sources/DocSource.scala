@@ -91,6 +91,13 @@ object DocSource {
   def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
 
+  /** Fixed scratch root for sink/source gates: the oracle SQL is a
+    * static string, so the round-trip location must be deterministic.
+    * (Defined before `gates` — the oracle strings interpolate it at
+    * object init, and Scala vals initialize in declaration order.)
+    */
+  val GateTmpDir = "/tmp/graft_gates"
+
   val gates: Seq[Gate] = Seq(
     // Adapter over the events table: remap id/text, parse the JSON
     // metadata payload (reference finemath adapter parses the
@@ -105,6 +112,47 @@ object DocSource {
         idCol = col("event_id"),
         metadata = Seq("meta_k" -> get_json_object(col("props"), "$.k").cast("int")))
         .apply(Tables(s, dir, "events"))
+        .orderBy("id")
+    },
+
+    // S2 round-trip through a foreign engine: graft writes gzip jsonl,
+    // Spark reads it back through the adapter, and the oracle is
+    // DuckDB's OWN parse of the very same files — so field escaping,
+    // compression and schema all have to interoperate, not just
+    // self-round-trip (reference: JsonlReader/JsonlWriter,
+    // pipelines/provenance-flan/main.py:61-68).
+    Gate(
+      "src_jsonl",
+      s"""SELECT doc_id AS id, text, lang AS meta_lang
+         |FROM read_json_auto('$GateTmpDir/src_jsonl/*.json.gz')
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = s"$GateTmpDir/src_jsonl"
+      writeJsonl(
+        Tables(s, dir, "documents").select("doc_id", "text", "lang"), path)
+      jsonl(s, path, Adapter(
+        textCol = col("text"),
+        idCol = col("doc_id"),
+        metadata = Seq("meta_lang" -> col("lang"))))
+        .orderBy("id")
+    },
+
+    // S3 round-trip: byte-bounded zstd parquet written by graft, read
+    // back by Spark for the gate rows while DuckDB reads the same
+    // files for the oracle — cross-engine proof the sink's output is
+    // valid parquet (reference: ParquetWriter(compression="zstd",
+    // max_file_size=...) — pipelines/fineweb/main.py:141-145). The
+    // small byte bound forces the sizing-sample + multi-file path.
+    Gate(
+      "snk_parquet",
+      s"""SELECT id, md5(text) AS text_md5
+         |FROM parquet_scan('$GateTmpDir/snk_parquet/*.parquet')
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = s"$GateTmpDir/snk_parquet"
+      writeParquetBytesBounded(
+        Tables(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+        path, maxFileBytes = 64 * 1024)
+      s.read.parquet(path)
+        .select(col("id"), md5(col("text")).as("text_md5"))
         .orderBy("id")
     }
   )

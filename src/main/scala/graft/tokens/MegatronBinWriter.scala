@@ -4,7 +4,9 @@ import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
+import graft.{Gate, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S5 — Megatron-LM indexed-dataset sink: per-partition `.bin`
@@ -118,6 +120,46 @@ object MegatronBinWriter {
     (0 to lengths.length).foreach(i => u64(i.toLong)) // document indices
     out.close()
   }
+
+  /** S5 driver-visible gate: tokenize → write .bin/.idx → readIdx
+    * (which validates the full MMIDIDX layout: n+1 document count,
+    * pointer arithmetic, 0..n document indices) → re-emit each doc's
+    * on-disk sequence length; the oracle recomputes the lengths with
+    * the tokenizer's SQL twin. Docs are forced into one shard sorted
+    * by doc_id so position i in the index IS the i-th doc_id —
+    * byte-layout fidelity becomes an oracle-checkable row set
+    * (reference: tokens/megatron_tokenizer.py:80-220).
+    */
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "snk_megatron", {
+        val ids = Tokens.sqlTokenIds("text")
+        s"""SELECT doc_id, len($ids) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val outDir = graft.sources.DocSource.GateTmpDir + "/snk_megatron"
+      deleteRecursively(Paths.get(outDir))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), Tokens.tokenIds(col("text")).as("__ids"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      write(docs, "__ids", outDir).unpersist()
+      val (_, _, lengths) = readIdx(outDir + "/rank-0.idx")
+      import s.implicits._
+      val lenDf = lengths.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }.toDF("__rn", "n_tokens")
+      Tables(s, dir, "documents").select("doc_id")
+        .withColumn("__rn", row_number().over(Window.orderBy("doc_id")).cast("long") - 1)
+        .join(lenDf, "__rn")
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
 
   /** Reads back an .idx file's (version, dtypeCode, sequenceLengths),
     * validating the full layout (document count = n+1, pointer

@@ -161,8 +161,8 @@ object Tokens {
       else concat(text, lit("\n"), metadata))
   }
 
-  // SQL mirrors
-  private def sqlTokenIds(textExpr: String): String = {
+  // SQL mirrors (shared with MegatronBinWriter's sink gate)
+  private[tokens] def sqlTokenIds(textExpr: String): String = {
     val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
     s"[($h32 % ${VocabSize - 1}) + 1 FOR t IN regexp_extract_all($textExpr, '${TextAnalysis.BpePattern}')] || [${EosId}]"
   }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ml.{ClassifierTraining, LinearClassifier, MlpClassifier}
+import org.apache.spark.sql.functions._
+
+/** The 2-layer MLP head (reference BinaryClassifier shape:
+  * embeddings_filter.py:43-55): hand-computed parity, MLlib training
+  * export, and the nonlinear-separation advantage over the linear
+  * head.
+  */
+class MlpSpec extends SparkSpec {
+
+  test("relu MLP column expression matches a hand-computed score") {
+    graft.expr.GraftExtensions.register(spark)
+    val cls = MlpClassifier(
+      w1 = Array(Array(1.0, -1.0), Array(0.5, 0.5)),
+      b1 = Array(0.0, -0.25),
+      w2 = Array(2.0, -1.0),
+      b2 = 0.1)
+    // emb = [0.8, 0.2]: h = [relu(0.6), relu(0.25)] = [0.6, 0.25]
+    // logit = 2*0.6 - 0.25 + 0.1 = 1.05; score = sigmoid(1.05)
+    import spark.implicits._
+    val got = Seq(Seq(0.8, 0.2)).toDF("emb")
+      .select(cls.score(col("emb")).as("s")).head().getDouble(0)
+    val want = 1.0 / (1.0 + math.exp(-1.05))
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+  }
+
+  test("seeded head is deterministic and bounded") {
+    val a = MlpClassifier.seeded(64, 8, 11)
+    val b = MlpClassifier.seeded(64, 8, 11)
+    assert(a.w1.flatten.toSeq == b.w1.flatten.toSeq && a.b1.toSeq == b.b1.toSeq &&
+      a.w2.toSeq == b.w2.toSeq && a.b2 == b.b2)
+    assert(a.w1.flatten.forall(w => math.abs(w) <= 0.5 / 64))
+    assert(a.hiddenDim == 8 && a.inputDim == 64)
+  }
+
+  test("trainMlp export reproduces MLlib's decision surface on separable data") {
+    graft.expr.GraftExtensions.register(spark)
+    // Linearly separable on component 0 — if the exported flat-weight
+    // layout (column-major affine blocks, softmax collapsed to
+    // sigmoid(z1−z0)) were wrong, accuracy would crater to ~0.5.
+    val emb = Tables(spark, sfDir, "embeddings")
+      .withColumn("label", (element_at(col("embedding"), 1) > 0).cast("int"))
+    val cls = ClassifierTraining.trainMlp(emb, "embedding", "label", hidden = 4, maxIter = 60)
+    assert(cls.activation == "sigmoid")
+    val acc = ClassifierTraining.accuracy(cls, emb, "embedding", "label")
+    assert(acc >= 0.9, s"exported MLP accuracy $acc — weight layout likely wrong")
+  }
+
+  test("MLP separates a nonlinear (XOR) labeling the linear head cannot") {
+    graft.expr.GraftExtensions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+      .withColumn("label",
+        ((element_at(col("embedding"), 1) > 0) =!= (element_at(col("embedding"), 2) > 0)).cast("int"))
+    val mlp = ClassifierTraining.trainMlp(emb, "embedding", "label", hidden = 8, maxIter = 200)
+    val lin = ClassifierTraining.trainLinear(emb, "embedding", "label")
+    val mlpAcc = ClassifierTraining.accuracy(mlp, emb, "embedding", "label")
+    val linAcc = ClassifierTraining.accuracy(lin, emb, "embedding", "label")
+    assert(mlpAcc > linAcc, s"mlp $mlpAcc should beat linear $linAcc on XOR labels")
+    assert(mlpAcc >= 0.75, s"mlp failed to fit XOR: $mlpAcc")
+  }
+}

@@ -77,6 +77,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), s"banned-id membership must not be a UDF:\n$p")
   }
 
+  test("exactDedup never puts the text column through an exchange") {
+    // AQE's wrapper hides exchange children from collect(), so pin the
+    // non-adaptive physical plan for this assertion.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+      val plan = graft.operators.Dedup.exactDedup(docs, "text", "doc_id")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, "expected at least the digest aggregation exchange")
+      for (e <- exchanges)
+        assert(!e.output.exists(_.name == "text"),
+          s"exchange carries document text: ${e.simpleStringWithNodeId()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -41,6 +41,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("IVF sample-fit path (fitSampleSize < corpus) still returns full deterministic top-k") {
+    val e = emb
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def run() = operators.Similarity
+      .ivfTopK(queries, corpus, 3, nCells = 4, nProbe = 2, fitSampleSize = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val a = run()
+    assert(a.size == 15, s"expected 5 queries × 3 neighbors, got ${a.size}")
+    assert(a == run(), "sample-fit IVF is not deterministic")
+  }
+
   test("top-k is a partial bounded-heap aggregate, not a per-group window sort") {
     val e = emb
     val df = Similarity.bruteForceTopK(
