@@ -1,0 +1,31 @@
+package graft.apps
+
+import graft.{Caches, GraftSession, SparkEntry}
+
+/** Targeted per-query timing — iterate on one slow query without a
+  * full Bench pass. Same protocol as graft.Bench (one warm-up, then
+  * min of 3 measured runs, caches released between runs).
+  *
+  * Usage: runMain graft.apps.TimeQuery <sfDir> <query> [<query> ...]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val spark = GraftSession.create("graft-timequery")
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- names) {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Caches.releaseAll()
+        dt
+      }
+      run() // warm-up
+      val times = Seq.fill(3)(run())
+      println(f"[time] $name%-24s min=${times.min}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.expr
+
+import graft.tokens.{BpeTokenizer, BpeTrainer}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+object BpeKernel {
+
+  def decodeTok(bytes: Array[Byte]): BpeTokenizer = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[BpeTokenizer] finally ois.close()
+  }
+
+  /** Encode one document: pre-tokenize with the shared regex, BPE-merge
+    * each word (memoized — natural-language word frequency follows
+    * Zipf, so the memo hit rate is very high), append eos. The memo is
+    * per-expression-instance and bounded: it clears past 200k entries
+    * rather than growing with the corpus. */
+  def encode(
+      tok: BpeTokenizer,
+      memo: java.util.concurrent.ConcurrentHashMap[String, Array[Int]],
+      text: UTF8String): ArrayData = {
+    val words = BpeTrainer.preTokenize(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (w <- words) {
+      var ids = memo.get(w)
+      if (ids == null) {
+        ids = tok.encodeWord(w.getBytes("UTF-8"))
+        if (memo.size > 200000) memo.clear()
+        memo.put(w, ids)
+      }
+      out ++= ids
+    }
+    out += tok.eosId
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_bpe_encode(mergesBlob, text)` → array<int> (ids + eos).
+  * Codegen'd: one static kernel call per row, merge table and memo
+  * attached as codegen reference objects (blob pattern, like
+  * [[RobotsAllowed]]). */
+case class BpeEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val tok: BpeTokenizer =
+    BpeKernel.decodeTok(left.eval().asInstanceOf[Array[Byte]])
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  override protected def nullSafeEval(blob: Any, text: Any): Any =
+    BpeKernel.encode(tok, memo, text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokRef = ctx.addReferenceObj("bpeTok", tok, classOf[BpeTokenizer].getName)
+    val memoRef = ctx.addReferenceObj(
+      "bpeMemo", memo, "java.util.concurrent.ConcurrentHashMap")
+    defineCodeGen(ctx, ev, (_, t) => s"graft.expr.BpeKernel.encode($tokRef, $memoRef, $t)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncode =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,66 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+object EmbedBagKernel {
+
+  def decodeMatrix(bytes: Array[Byte]): Array[Array[Double]] = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[Array[Array[Double]]] finally ois.close()
+  }
+
+  def encodeMatrix(m: Array[Array[Double]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(m); oos.close(); bos.toByteArray
+  }
+
+  /** Mean-pool the weight rows of `ids` (already reduced mod vocab);
+    * empty ids → the zero vector. One tight loop per row. */
+  def embed(matrix: Array[Array[Double]], ids: ArrayData): ArrayData = {
+    val dim = if (matrix.isEmpty) 0 else matrix(0).length
+    val out = new Array[Double](dim)
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) {
+      val row = matrix(ids.getLong(i).toInt)
+      var j = 0
+      while (j < dim) { out(j) += row(j); j += 1 }
+      i += 1
+    }
+    if (n > 0) {
+      var j = 0
+      while (j < dim) { out(j) /= n; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_embed_bag(matrixBlob, tokenIds)` → array<double>: the
+  * mean-pooled embedding-bag encoder over a broadcast-literal weight
+  * matrix — the pluggable "real local weights" path behind
+  * [[graft.ml.LocalWeightsEncoder]]. Codegen'd; matrix attached as a
+  * codegen reference object (ships once per executor with the plan,
+  * appropriate up to a few hundred MB of weights — a full transformer
+  * would need torch, which this environment doesn't have). */
+case class EmbedBag(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    EmbedBagKernel.decodeMatrix(left.eval().asInstanceOf[Array[Byte]])
+
+  override protected def nullSafeEval(blob: Any, ids: Any): Any =
+    EmbedBagKernel.embed(matrix, ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("embedMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, (_, ids) => s"graft.expr.EmbedBagKernel.embed($mRef, $ids)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EmbedBag =
+    copy(left = l, right = r)
+}

@@ -40,6 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_top_k"),
         new ExpressionInfo(GraftCollectTopK.getClass.getName, "graft_top_k"),
         GraftExtensions.topK))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_robots_allowed"),
+        new ExpressionInfo(classOf[RobotsAllowed].getName, "graft_robots_allowed"),
+        (args: Seq[Expression]) => RobotsAllowed(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_bpe_encode"),
+        new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+        (args: Seq[Expression]) => BpeEncode(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_embed_bag"),
+        new ExpressionInfo(classOf[EmbedBag].getName, "graft_embed_bag"),
+        (args: Seq[Expression]) => EmbedBag(args.head, args(1))))
   }
 }
 
@@ -84,5 +96,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might", bloomMight, "built-in")
     reg.createOrReplaceTempFunction("graft_top_k", topK, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_robots_allowed", es => RobotsAllowed(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_encode", es => BpeEncode(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_embed_bag", es => EmbedBag(es.head, es(1)), "built-in")
   }
 }

@@ -1,0 +1,76 @@
+package graft.expr
+
+import graft.operators.RobotsTxt
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled robots rule set shipped to executors: the parsed
+  * per-domain [[RobotsTxt.Rules]] plus the honored user-agent list.
+  * Top-level class (not nested) so generated Java can name it. */
+final case class RobotsRuleTable(
+    rules: Map[String, RobotsTxt.Rules],
+    uas: Seq[String]) extends Serializable
+
+object RobotsKernel {
+
+  /** Serialize a parsed rule table into a binary literal — the same
+    * ship-a-blob pattern as Spark's bloom runtime filters, so the
+    * predicate needs no broadcast variable and no closure. */
+  def encode(rules: Map[String, RobotsTxt.Rules], uas: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(RobotsRuleTable(rules, uas))
+    oos.close()
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): RobotsRuleTable = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[RobotsRuleTable] finally ois.close()
+  }
+
+  /** Row kernel: NULL url stays lenient-kept (same contract as every
+    * malformed url — the filter can't prove it's disallowed). */
+  def allowed(t: RobotsRuleTable, url: UTF8String): Boolean =
+    url == null || RobotsTxt.allowed(t.rules, url.toString, t.uas)
+}
+
+/** `graft_robots_allowed(rulesBlob, url)` → boolean (never null).
+  *
+  * Replaces the Scala UDF in the fineweb hot path: the per-row work is
+  * one static kernel call emitted inside whole-stage codegen, with the
+  * decoded rule table attached as a codegen reference object — no UDF
+  * null-wrapping, no per-row encoder round-trip, and the enclosing
+  * filter stage stays fused (reference: robots_filter.py:64-91).
+  */
+case class RobotsAllowed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  // The blob child must be a literal: it is evaluated once per
+  // expression instance (driver at codegen, executor after deserialize).
+  @transient private lazy val table: RobotsRuleTable =
+    RobotsKernel.decode(left.eval().asInstanceOf[Array[Byte]])
+
+  override def eval(input: InternalRow): Any =
+    RobotsKernel.allowed(table, right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("robotsTable", table, classOf[RobotsRuleTable].getName)
+    val u = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${u.code}
+        boolean ${ev.value} = graft.expr.RobotsKernel.allowed(
+          $tRef, ${u.isNull} ? null : ${u.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsAllowed =
+    copy(left = l, right = r)
+}

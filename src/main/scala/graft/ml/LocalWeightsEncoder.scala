@@ -1,0 +1,89 @@
+package graft.ml
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable local-weights embedding encoder — the interface the A2
+  * stub shapes (reference: xlmr_embedding_annotator.py runs a real
+  * XLM-R; [[graft.operators.Annotators.fakeEmbedding]] is its
+  * deterministic stand-in). This class closes the gap for models whose
+  * weights fit in a matrix: load (token_id, vector) rows from a
+  * parquet, ship the matrix with the plan, and evaluate an
+  * embedding-bag encoder (hash-token lookup → mean-pool) as a
+  * codegen'd expression — a real, runnable model with real weights, no
+  * egress. A full transformer still needs torch, which this
+  * environment lacks; the interface (weights-from-parquet → broadcast
+  * → expression) is exactly where such an encoder would plug in.
+  */
+final case class LocalWeightsEncoder(matrix: Array[Array[Double]]) {
+  require(matrix.nonEmpty, "empty weight matrix")
+  val vocab: Int = matrix.length
+  val dim: Int = matrix(0).length
+  require(matrix.forall(_.length == dim), "ragged weight matrix")
+
+  private lazy val blob = graft.expr.EmbedBagKernel.encodeMatrix(matrix)
+
+  /** Hash-bucket token ids for a chunk of text (same pre-token regex
+    * as the tokenizer family; portable h32 into the vocab). */
+  def tokenIdsCol(chunk: Column): Column =
+    transform(TextAnalysis.bpeTokens(chunk), t => pmod(TextAnalysis.h32(t), lit(vocab.toLong)))
+
+  /** Mean-pooled embedding of one text chunk, as array<double>. */
+  def embed(spark: SparkSession, chunk: Column): Column = {
+    graft.expr.GraftExtensions.register(spark)
+    call_function("graft_embed_bag", lit(blob), tokenIdsCol(chunk))
+  }
+
+  /** Driver-side twin of [[embed]] (specs pin parity). */
+  def embedLocal(chunk: String): Array[Double] = {
+    val m = java.util.regex.Pattern.compile(TextAnalysis.BpePattern).matcher(chunk)
+    val out = new Array[Double](dim)
+    var n = 0
+    while (m.find()) {
+      val h = graft.expr.DigestKernel.h32(m.group().getBytes("UTF-8"))
+      val row = matrix(((h % vocab) + vocab).toInt % vocab)
+      var j = 0
+      while (j < dim) { out(j) += row(j); j += 1 }
+      n += 1
+    }
+    if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
+    out
+  }
+}
+
+object LocalWeightsEncoder {
+
+  /** Load weights from parquet rows (idCol: int/long in [0, vocab),
+    * vecCol: array<float|double>). Missing ids become zero rows, so a
+    * sparse weight file still yields a dense matrix. */
+  def fromParquet(spark: SparkSession, path: String, idCol: String, vecCol: String): LocalWeightsEncoder =
+    fromFrame(spark.read.parquet(path), idCol, vecCol)
+
+  def fromFrame(weights: DataFrame, idCol: String, vecCol: String): LocalWeightsEncoder = {
+    val rows = weights
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, "no weight rows")
+    val vocab = rows.map(_._1).max.toInt + 1
+    val dim = rows.head._2.length
+    val m = Array.fill(vocab)(new Array[Double](dim))
+    for ((id, v) <- rows) {
+      require(v.length == dim, s"row $id has dim ${v.length}, expected $dim")
+      m(id.toInt) = v
+    }
+    LocalWeightsEncoder(m)
+  }
+
+  /** Annotate docs with one embedding per chunk using a real encoder —
+    * the drop-in replacement for
+    * [[graft.operators.Annotators.annotateEmbeddings]]'s stub. */
+  def annotate(spark: SparkSession, docs: DataFrame, enc: LocalWeightsEncoder): DataFrame = {
+    import graft.Cols.bind
+    docs.withColumn("embeddings",
+      bind(graft.operators.Annotators.chunkTexts(col("text"))) { cs =>
+        transform(cs, c => enc.embed(spark, c))
+      })
+  }
+}

@@ -169,11 +169,26 @@ object Dedup {
         .filter(size(col("sh")) > 0))
     // Shingles are distinct per doc, so |A∩B| = number of join hits —
     // Jaccard falls out of a count aggregate over the inverted-index
-    // join; no per-pair array intersection, and the shuffled rows are
-    // (id, size, shingle) triples only.
-    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
+    // join; no per-pair array intersection. The index keys on the
+    // 8-byte xxhash64 of the shingle, not its text: the self-join
+    // shuffle carries (id, sz, long) rows instead of ~30-byte trigram
+    // strings (a pair's count is inflated only by an intra-pair 64-bit
+    // collision, ~|A|·|B|·2⁻⁶⁴ — far below the md5-identity bar the
+    // exact-dedup path already accepts).
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("bkey"))
+    // Size-ratio prune, applied AT THE JOIN so pruned pairs never
+    // reach the count aggregate: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so a pair whose size ratio can't reach the threshold (with
+    // slack for the pround(…,4) boundary) is dropped exactly — the
+    // emit-stage filter would have rejected it anyway (DedupSpec pins
+    // result equality with the unpruned path).
+    val ratioOk =
+      least(col("x.sz"), col("y.sz")).cast("double") >=
+        lit(threshold - 1e-4) * greatest(col("x.sz"), col("y.sz"))
     def countPairs(index: DataFrame) = index.as("x")
-      .join(index.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .join(index.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id") && ratioOk)
       .groupBy(
         col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))

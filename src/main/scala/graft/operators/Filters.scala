@@ -48,16 +48,22 @@ object Filters {
 
   /** The [[robotsFilter]] predicate as a reusable Column, for callers
     * that need keep/exclude attribution rather than a dropped-row
-    * filter (e.g. the fineweb pipeline's exclusion writer). */
+    * filter (e.g. the fineweb pipeline's exclusion writer).
+    *
+    * Not a UDF: the rules parse once on the driver, serialize into a
+    * binary literal, and evaluate via the codegen'd
+    * [[graft.expr.RobotsAllowed]] expression — the fineweb per-doc
+    * hot path stays inside whole-stage codegen (PlanSpec asserts no
+    * ScalaUDF in the build plan). NULL/malformed urls are kept. */
   def robotsAllowed(
       spark: SparkSession,
       robotsDict: Map[String, String],
       url: Column,
       uas: Seq[String] = RobotsTxt.DefaultRemoveUserAgents): Column = {
+    graft.expr.GraftExtensions.register(spark)
     val parsed = robotsDict.map { case (d, c) => d -> RobotsTxt.parse(c) }
-    val bc = spark.sparkContext.broadcast(parsed)
-    val allowedUdf = udf((u: String) => RobotsTxt.allowed(bc.value, u, uas))
-    allowedUdf(url)
+    val blob = graft.expr.RobotsKernel.encode(parsed, uas)
+    call_function("graft_robots_allowed", lit(blob), url)
   }
 
   /** F3 — reference `URLFilter` with `extra_domains` (coarse

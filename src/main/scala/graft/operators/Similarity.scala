@@ -160,6 +160,57 @@ object Similarity {
     * SQL-expressible — recall vs brute force is asserted in
     * SimilaritySpec.
     */
+  /** Deterministic Lloyd's k-means on a driver-side sample matrix —
+    * the IVF coarse quantizer. Plain in-memory loops (a bounded-sample
+    * fit needs no cluster): 10 iterations over ≤`fitSampleSize`
+    * vectors is milliseconds, where an MLlib fit costs ~20 scheduled
+    * jobs of fixed overhead (and over the FULL corpus would be the
+    * dominant cost of the whole query at 100 TB). Init = evenly-spaced
+    * sample rows (deterministic); empty cells keep their previous
+    * centroid. */
+  private[operators] def lloydKMeans(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    val kk = math.min(k, sample.length)
+    val stride = math.max(1, sample.length / kk)
+    val centroids = Array.tabulate(kk)(i => sample(math.min(i * stride, sample.length - 1)).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kk) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      for (v <- sample) {
+        val c = nearest(v)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   def ivfTopK(
       queries: DataFrame, // qid, qvec
       corpus: DataFrame, // id, vec
@@ -167,38 +218,28 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       fitSampleSize: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     // Fit centroids on a bounded deterministic sample, never the full
-    // corpus: MLlib's fit is maxIter full passes plus driver-side
-    // aggregation, which at 100 TB would dominate the whole query.
-    // Coarse-quantizer centroids only need a representative sample
-    // (FAISS trains IVF on ~30-256 points per centroid); the portable
-    // LCG on the id makes the draw reproducible on any engine and
-    // independent of partitioning. Count first (cheap columnar count)
-    // to turn the size bound into a sampling rate.
-    def toFeatures(df: DataFrame) = df
-      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) => (id, Vectors.dense(v.toArray)) }
-      .toDF("id", "features")
+    // corpus. Coarse-quantizer centroids only need a representative
+    // sample (FAISS trains IVF on ~30-256 points per centroid); the
+    // portable LCG on the id makes the draw reproducible on any
+    // engine and independent of partitioning. Count first (cheap
+    // columnar count) to turn the size bound into a sampling rate;
+    // the sample is the ONLY data that ever reaches the driver.
     val n = corpus.count()
     val sampled =
       if (n <= fitSampleSize) corpus
       else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .fit(toFeatures(sampled))
-
+    val sample = sampled
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      .orderBy("id") // stable fit input regardless of partitioning
+      .collect().map(_.getSeq[Double](1).toArray)
     // Cell assignment and query probing are pure column expressions
     // over literal centroids (no UDF, no MLlib transform): squared
     // distance to centroid i is ‖x‖² − 2x·cᵢ + ‖cᵢ‖², and ‖x‖² is
     // constant per row, so argmin/argsort over (‖cᵢ‖² − 2x·cᵢ, i)
     // structs ranks cells identically — each dot is the codegen'd
     // DecDot kernel, deterministic regardless of partitioning.
-    val centroids = km.clusterCenters.map(_.toArray)
+    val centroids = lloydKMeans(sample, nCells)
     def cellRank(v: Column): Column = array_sort(array(
       centroids.zipWithIndex.map { case (c, i) =>
         val cLit = array(c.toIndexedSeq.map(lit): _*)
@@ -207,16 +248,26 @@ object Similarity {
       }.toIndexedSeq: _*))
     def vDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+    // repartition: a single-file corpus scan is one partition, and a
+    // broadcast join preserves it — without the spread, ALL scoring
+    // below would run on one core (cost: one round-robin shuffle of
+    // the vectors, amortized over the per-pair scoring fan-out).
     val corpusCells = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("cell", element_at(cellRank(vDouble(col("vec"))), 1).getField("i"))
     val qs = queries
       .withColumn("cells",
         transform(slice(cellRank(vDouble(col("qvec"))), 1, nProbe), s => s.getField("i")))
       .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
 
+    // fastCosine, not the decimal kernel: IVF is an approximate
+    // method with a rows-only gate, and per-PAIR double cosine is
+    // deterministic for fixed inputs (the decimal fold only buys
+    // oracle parity, at ~20× the arithmetic cost). The exact-verify
+    // operators (D5, N1, N2) keep the decimal path.
     val scored = corpusCells.join(broadcast(qs), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), decCosine(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"), fastCosine(col("qvec"), col("vec")).as("cos"))
     // no dedupe needed: each corpus row lives in exactly one cell, so
     // a (qid, id) pair joins at most once even with multi-cell probes
     groupedTopK(scored, k)
@@ -312,10 +363,13 @@ object Similarity {
     // SimilaritySpec.
     Gate.rowsOnly("ann_topk_ivf") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
+      // fitSampleSize below the sf0.1 corpus size so the gate and the
+      // bench exercise the production shape: centroids from a bounded
+      // sample, assignment/probe/score over the full corpus.
       ivfTopK(
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-        k = 3, nCells = 8, nProbe = 4)
+        k = 3, nCells = 8, nProbe = 4, fitSampleSize = 1000)
         .orderBy("qid", "rank")
     }
   )

@@ -1,0 +1,161 @@
+package graft.tokens
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-trained byte-level BPE — closing the fidelity
+  * gap to the reference's HF `AutoTokenizer` encode
+  * (tokens/megatron_tokenizer.py:64): real learned merges over real
+  * bytes, trained with the public BPE algorithm (Sennrich et al. 2016,
+  * the GPT-2 byte-level variant) — no downloaded vocab, no egress.
+  * The regex word-piece tokenizer ([[Tokens.tokenIds]]) remains the
+  * oracle-portable twin; this one is gated rows-only (`tok_bpe`) with
+  * determinism + round-trip pinned in TokensSpec.
+  *
+  * Scale design: training is ONE distributed aggregation — word
+  * frequencies over the same pre-token regex the encoder uses — capped
+  * at `maxWords` distinct words by (count desc, word asc); the merge
+  * loop then runs on that bounded table on the driver, exactly like HF
+  * tokenizer training (corpus pass → word-freq table → in-memory
+  * merges). The 100 TB corpus is touched once, and only (word, count)
+  * pairs shuffle. Encoding is a codegen'd kernel with the merge
+  * ranks shipped as a binary literal (the [[graft.expr.RobotsAllowed]]
+  * blob pattern) plus a per-executor memo of encoded words.
+  *
+  * Ids: 0..255 = single bytes, 256..256+merges-1 = merged symbols in
+  * merge order, eosId = 256+merges. Fully determined by the merge
+  * list, so two identically-seeded trainings produce identical ids.
+  */
+final case class BpeTokenizer(merges: IndexedSeq[(Seq[Byte], Seq[Byte])]) extends Serializable {
+
+  val eosId: Int = 256 + merges.length
+
+  /** symbol-pair → merge rank (lower = earlier = higher priority). */
+  @transient lazy val ranks: Map[(Seq[Byte], Seq[Byte]), Int] =
+    merges.zipWithIndex.toMap
+
+  /** symbol bytes → id. */
+  @transient lazy val vocab: Map[Seq[Byte], Int] =
+    (0 until 256).map(b => Seq(b.toByte) -> b).toMap ++
+      merges.zipWithIndex.map { case ((a, b), i) => (a ++ b) -> (256 + i) }
+
+  /** Greedy lowest-rank merging of one word's bytes (HF bpe()). */
+  def encodeWord(word: Array[Byte]): Array[Int] = {
+    if (word.isEmpty) return Array.empty
+    var syms = word.map(b => Seq(b)).toBuffer
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i }
+        i += 1
+      }
+      if (at < 0) done = true
+      else {
+        syms(at) = syms(at) ++ syms(at + 1)
+        syms.remove(at + 1)
+      }
+    }
+    syms.map(s => vocab(s)).toArray
+  }
+
+  def encode(text: String): Array[Int] =
+    BpeTrainer.preTokenize(text).flatMap(w => encodeWord(w.getBytes("UTF-8"))).toArray
+
+  /** Inverse of [[encode]] up to pre-token concatenation (TokensSpec
+    * round-trips it): every id maps back to its symbol's bytes. */
+  @transient lazy val idToBytes: Map[Int, Seq[Byte]] = vocab.map(_.swap)
+  def decode(ids: Seq[Int]): String =
+    new String(ids.filter(_ != eosId).flatMap(idToBytes).toArray, "UTF-8")
+}
+
+object BpeTrainer {
+
+  /** The same pre-tokenization regex the word-piece twin uses, so the
+    * two tokenizers segment identically and differ only in subword
+    * ids. */
+  private val preRe = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+  def preTokenize(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val m = preRe.matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Train `numMerges` byte-pair merges from a corpus column.
+    *
+    * Distributed part: ONE word-frequency aggregation (the corpus
+    * never feeds the merge loop directly). Driver part: the classic
+    * BPE loop over the ≤ `maxWords` word-freq table. Deterministic:
+    * word cap ties break on the word, pair selection ties break on
+    * the lexicographically smallest pair.
+    */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 50000): BpeTokenizer = {
+    val words = docs
+      .select(explode(TextAnalysis.bpeTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0).getBytes("UTF-8"), r.getLong(1)))
+    trainFromCounts(words, numMerges)
+  }
+
+  /** The in-memory merge loop (public classic algorithm). */
+  def trainFromCounts(
+      wordCounts: Seq[(Array[Byte], Long)],
+      numMerges: Int): BpeTokenizer = {
+    // each word = mutable symbol sequence + its corpus frequency
+    val words = wordCounts.map { case (w, c) => (w.map(b => Seq(b)).toBuffer, c) }
+    implicit val byteSeqOrd: Ordering[Seq[Byte]] = Ordering.Implicits.seqOrdering
+    val merges = IndexedSeq.newBuilder[(Seq[Byte], Seq[Byte])]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(Seq[Byte], Seq[Byte]), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) exhausted = true
+      else {
+        // max count, ties to the lexicographically smallest pair —
+        // total order, so training is reproducible bit-for-bit
+        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        for ((syms, _) <- words) {
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == pair._1 && syms(i + 1) == pair._2) {
+              syms(i) = syms(i) ++ syms(i + 1)
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        step += 1
+      }
+    }
+    BpeTokenizer(merges.result())
+  }
+
+  /** Serialize for the encode expression's blob literal. */
+  def encodeBlob(tok: BpeTokenizer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(tok); oos.close(); bos.toByteArray
+  }
+
+  /** Column: BPE token ids (with eos appended) for a text column —
+    * codegen'd kernel, merge table in the literal. */
+  def tokenIds(spark: org.apache.spark.sql.SparkSession, tok: BpeTokenizer, text: Column): Column = {
+    graft.expr.GraftExtensions.register(spark)
+    call_function("graft_bpe_encode", lit(encodeBlob(tok)), text)
+  }
+}

@@ -169,6 +169,25 @@ object Tokens {
 
   val gates: Seq[Gate] = Seq(
 
+    // T1b — corpus-trained byte-BPE (BpeTokenizer): training is not
+    // SQL-expressible (iterative merges), so the gate is rows-only;
+    // merge determinism and encode/decode round-trip are pinned in
+    // TokensSpec. Train on the gate's own documents with fixed
+    // parameters — bit-reproducible by construction.
+    Gate.rowsOnly("tok_bpe") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tok = BpeTrainer.train(docs, "text", numMerges = 200, maxWords = 20000)
+      docs
+        .select(col("doc_id"),
+          graft.Cols.bind(BpeTrainer.tokenIds(s, tok, col("text"))) { ids =>
+            struct(
+              size(ids).as("n_tokens"),
+              aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
+          }.as("t"))
+        .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
+        .orderBy("doc_id")
+    },
+
     Gate(
       "tok_ids", {
         val ids = sqlTokenIds("text")

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ml.LocalWeightsEncoder
+import org.apache.spark.sql.functions._
+
+/** The pluggable weights-from-parquet encoder: a tiny REAL weight
+  * matrix runs end-to-end through write → load → broadcast-literal →
+  * codegen expression, with values pinned against the driver-side
+  * twin.
+  */
+class LocalWeightsEncoderSpec extends SparkSpec {
+
+  private def tinyMatrix: Array[Array[Double]] =
+    Array.tabulate(16, 4)((i, j) => (i * 4 + j + 1) / 100.0)
+
+  test("weights round-trip through parquet (sparse rows become zero rows)") {
+    import spark.implicits._
+    val path = "/tmp/graft_test_weights"
+    // drop row 7 to exercise the sparse fill
+    tinyMatrix.zipWithIndex.filter(_._2 != 7)
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("token_id", "vec").write.mode("overwrite").parquet(path)
+    val enc = LocalWeightsEncoder.fromParquet(spark, path, "token_id", "vec")
+    assert(enc.vocab == 16 && enc.dim == 4)
+    assert(enc.matrix(7).forall(_ == 0.0))
+    assert(enc.matrix(3).toSeq == tinyMatrix(3).toSeq)
+  }
+
+  test("expression encoder matches the driver-side twin on real text") {
+    val enc = LocalWeightsEncoder(tinyMatrix)
+    val rows = Tables(spark, sfDir, "documents").limit(10)
+      .select(col("text"), enc.embed(spark, col("text")).as("e"))
+      .collect()
+    for (r <- rows) {
+      val want = enc.embedLocal(r.getString(0)).toSeq
+      val got = r.getSeq[Double](1)
+      assert(got.size == 4)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-12, s"$g vs $w")
+      }
+    }
+  }
+
+  test("annotate produces one real embedding per chunk") {
+    val enc = LocalWeightsEncoder(tinyMatrix)
+    val out = LocalWeightsEncoder.annotate(
+      spark, Tables(spark, sfDir, "documents").limit(5), enc)
+      .select(col("doc_id"), size(col("embeddings")).as("n"),
+        element_at(element_at(col("embeddings"), 1), 1).as("v00"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getInt(1) >= 1))
+  }
+}

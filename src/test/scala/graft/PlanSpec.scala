@@ -77,6 +77,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), s"banned-id membership must not be a UDF:\n$p")
   }
 
+  test("robots predicate is a codegen expression, not a UDF") {
+    val p = plan("f_robots")
+    assert(!p.contains("ScalaUDF"), s"robots filter fell back to a UDF:\n$p")
+    val docs = Tables(spark, sfDir, "documents").withColumn(
+      "url", concat(lit("https://"), col("source"), lit(".example.com/docs/"), col("doc_id")))
+    val (kept, _) = graft.api.FinewebPipeline.build(
+      spark, docs,
+      graft.api.FinewebConfig(
+        robotsDict = Some(graft.operators.Filters.GateRobots), piiFormat = false))
+    val fp = kept.queryExecution.executedPlan.toString
+    assert(!fp.contains("ScalaUDF"), s"fineweb robots stage plans a UDF:\n$fp")
+    assert(fp.contains("graft_robots_allowed") || fp.contains("robotsallowed") ||
+      fp.toLowerCase.contains("robots"), s"robots predicate missing from plan:\n$fp")
+  }
+
   test("exactDedup never puts the text column through an exchange") {
     // AQE's wrapper hides exchange children from collect(), so pin the
     // non-adaptive physical plan for this assertion.
@@ -94,6 +109,32 @@ class PlanSpec extends SparkSpec {
         assert(!e.output.exists(_.name == "text"),
           s"exchange carries document text: ${e.simpleStringWithNodeId()}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Non-adaptive physical plan (AQE's wrapper hides exchanges from
+    * collect()), for exchange-count assertions. */
+  private def shuffleCount(name: String): Int = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("asof join is one key shuffle plus the gate's ordering, nothing more") {
+    // union → single hash exchange on the key feeding one window pass,
+    // + the gate's orderBy range exchange = exactly 2
+    assert(shuffleCount("q11_asof") <= 2, "asof join grew an extra shuffle")
+  }
+
+  test("paradocs block fold is one group shuffle plus the gate's ordering") {
+    assert(shuffleCount("op_paradocs_blocks") <= 2, "paradocs grew an extra shuffle")
+  }
+
+  test("multimodal ops are narrow — only the gate's ordering exchange") {
+    for (name <- Seq("mm_features", "mm_resize", "mm_frames"))
+      assert(shuffleCount(name) <= 1, s"$name plans a shuffle beyond the output sort")
   }
 
   test("no gate plans an unconstrained CartesianProduct") {

@@ -104,4 +104,45 @@ class TokensSpec extends SparkSpec {
     assert(ids.forall(_.last == Tokens.EosId))
     assert(ids.forall(_.init.forall(i => i >= 1 && i < Tokens.VocabSize)))
   }
+
+  test("BPE merge loop learns the expected merges on a hand corpus") {
+    import graft.tokens.BpeTrainer
+    // "abab"×10 + "abc"×4: pair (a,b) dominates (count 24), then
+    // (ab,ab) in the replicated word (count 10), then (ab,c) (4)
+    val tok = BpeTrainer.trainFromCounts(
+      Seq(("abab".getBytes("UTF-8"), 10L), ("abc".getBytes("UTF-8"), 4L)), 3)
+    def s(x: String) = x.getBytes("UTF-8").toSeq
+    assert(tok.merges == IndexedSeq((s("a"), s("b")), (s("ab"), s("ab")), (s("ab"), s("c"))))
+    assert(tok.encodeWord("abab".getBytes("UTF-8")).toSeq == Seq(257))
+    assert(tok.encodeWord("abc".getBytes("UTF-8")).toSeq == Seq(258))
+    assert(tok.encodeWord("abd".getBytes("UTF-8")).toSeq == Seq(256, 'd'.toInt))
+  }
+
+  test("BPE training is deterministic and encode/decode round-trips") {
+    import graft.tokens.BpeTrainer
+    val docs = Tables(spark, sfDir, "documents")
+    val a = BpeTrainer.train(docs, "text", numMerges = 50, maxWords = 5000)
+    val b = BpeTrainer.train(docs, "text", numMerges = 50, maxWords = 5000)
+    assert(a.merges == b.merges, "two identical trainings diverged")
+    val texts = docs.limit(10).select("text").collect().map(_.getString(0))
+    for (t <- texts) {
+      val enc = a.encode(t)
+      assert(a.decode(enc.toIndexedSeq) == BpeTrainer.preTokenize(t).mkString(""))
+      assert(enc.forall(id => id >= 0 && id < a.eosId))
+    }
+  }
+
+  test("BPE expression column matches driver-side encode") {
+    import graft.tokens.BpeTrainer
+    graft.expr.GraftExtensions.register(spark)
+    val docs = Tables(spark, sfDir, "documents")
+    val tok = BpeTrainer.train(docs, "text", numMerges = 50, maxWords = 5000)
+    val rows = docs.limit(20)
+      .select(col("text"), BpeTrainer.tokenIds(spark, tok, col("text")).as("ids"))
+      .collect()
+    for (r <- rows) {
+      val want = tok.encode(r.getString(0)).toSeq :+ tok.eosId
+      assert(r.getSeq[Int](1) == want)
+    }
+  }
 }
