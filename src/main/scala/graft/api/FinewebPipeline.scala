@@ -124,16 +124,15 @@ object FinewebPipeline {
     }
 
     if (cfg.piiFormat)
-      // In the reasons path, redact only rows no filter rejected: the
-      // exclusion sink must record the document as it was when
-      // rejected (reference's exclusion_writer), not a PII-rewritten
-      // version. Under plain run() rejected rows are already gone and
-      // no filter_reason column exists, so redact unconditionally.
+      // Redact only rows no filter rejected: the exclusion sink must
+      // record the document as it was when rejected (reference's
+      // exclusion_writer), not a PII-rewritten version. This stage
+      // list runs ONLY through runWithReasons below, so filter_reason
+      // is always present here — no schema sniffing (a user column of
+      // that name under run() semantics must not flip redaction off).
       stages :+= Transform("pii", d => d.withColumn("text",
-        if (d.columns.contains("filter_reason"))
-          when(col("filter_reason").isNull, Formatters.piiRedact(col("text")))
-            .otherwise(col("text"))
-        else Formatters.piiRedact(col("text"))))
+        when(col("filter_reason").isNull, Formatters.piiRedact(col("text")))
+          .otherwise(col("text"))))
 
     // one marked frame shared by both splits, so they are branches of
     // the SAME plan (persist it to pay the scan once when writing

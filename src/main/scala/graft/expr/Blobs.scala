@@ -1,0 +1,21 @@
+package graft.expr
+
+/** Shared Java-serialization blob codec for expressions that ship a
+  * driver-built object (robots rule table, BPE merges, weight matrix)
+  * into the plan as a binary literal — one implementation, so a guard
+  * or serializer change reaches every blob expression at once. */
+object Blobs {
+
+  def encode(obj: AnyRef): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(obj)
+    oos.close()
+    bos.toByteArray
+  }
+
+  def decode[T](bytes: Array[Byte]): T = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[T] finally ois.close()
+  }
+}

@@ -9,10 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 object BpeKernel {
 
-  def decodeTok(bytes: Array[Byte]): BpeTokenizer = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[BpeTokenizer] finally ois.close()
-  }
+  def decodeTok(bytes: Array[Byte]): BpeTokenizer = Blobs.decode(bytes)
 
   /** Encode one document: pre-tokenize with the shared regex, BPE-merge
     * each word (memoized — natural-language word frequency follows

@@ -117,6 +117,22 @@ object DecDotKernel {
     acc.doubleValue()
   }
 
+  /** Plain-double dot for rank-only stages (IVF cell assignment):
+    * deterministic per row — fixed per-pair accumulation order — but
+    * not decimal-exact, so never compared against an oracle. */
+  def fastDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
   /** Plain-double cosine for PRUNE stages only (order-dependent —
     * never compared against an oracle; always paired with a margin
     * and a deterministic verify). */
@@ -148,6 +164,23 @@ case class FastCos(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.expr.DecDotKernel.fastCos($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FastCos =
+    copy(left = l, right = r)
+}
+
+/** (array, array) → double plain dot (rank-only, codegen'd). */
+case class FastDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecDotKernel.fastDot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.DecDotKernel.fastDot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FastDot =
     copy(left = l, right = r)
 }
 

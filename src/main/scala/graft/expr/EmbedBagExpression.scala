@@ -7,16 +7,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 object EmbedBagKernel {
 
-  def decodeMatrix(bytes: Array[Byte]): Array[Array[Double]] = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[Array[Array[Double]]] finally ois.close()
-  }
+  def decodeMatrix(bytes: Array[Byte]): Array[Array[Double]] = Blobs.decode(bytes)
 
-  def encodeMatrix(m: Array[Array[Double]]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(m); oos.close(); bos.toByteArray
-  }
+  def encodeMatrix(m: Array[Array[Double]]): Array[Byte] = Blobs.encode(m)
 
   /** Mean-pool the weight rows of `ids` (already reduced mod vocab);
     * empty ids → the zero vector. One tight loop per row. */

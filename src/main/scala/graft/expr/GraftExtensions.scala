@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[FastCos].getName, "graft_fastcos"),
         (args: Seq[Expression]) => FastCos(args.head, args(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("graft_fastdot"),
+        new ExpressionInfo(classOf[FastDot].getName, "graft_fastdot"),
+        (args: Seq[Expression]) => FastDot(args.head, args(1))))
+    ext.injectFunction(
       (new FunctionIdentifier("graft_bloom_agg"),
         new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
         GraftExtensions.bloomAgg))
@@ -93,6 +97,8 @@ object GraftExtensions {
       "graft_decdot", es => DecDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fastcos", es => FastCos(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fastdot", es => FastDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might", bloomMight, "built-in")
     reg.createOrReplaceTempFunction("graft_top_k", topK, "built-in")

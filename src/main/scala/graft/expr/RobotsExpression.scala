@@ -20,18 +20,10 @@ object RobotsKernel {
   /** Serialize a parsed rule table into a binary literal — the same
     * ship-a-blob pattern as Spark's bloom runtime filters, so the
     * predicate needs no broadcast variable and no closure. */
-  def encode(rules: Map[String, RobotsTxt.Rules], uas: Seq[String]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(RobotsRuleTable(rules, uas))
-    oos.close()
-    bos.toByteArray
-  }
+  def encode(rules: Map[String, RobotsTxt.Rules], uas: Seq[String]): Array[Byte] =
+    Blobs.encode(RobotsRuleTable(rules, uas))
 
-  def decode(bytes: Array[Byte]): RobotsRuleTable = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[RobotsRuleTable] finally ois.close()
-  }
+  def decode(bytes: Array[Byte]): RobotsRuleTable = Blobs.decode(bytes)
 
   /** Row kernel: NULL url stays lenient-kept (same contract as every
     * malformed url — the filter can't prove it's disallowed). */

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object ClassifierTraining {
 
+  /** Shared (features, label) frame builder for every trainer. */
+  private def toFeatureFrame(data: DataFrame, embeddingCol: String, labelCol: String): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    data
+      .select(
+        transform(col(embeddingCol), x => x.cast("double")).as("emb"),
+        col(labelCol).cast("double").as("label"))
+      .as[(Seq[Double], Double)]
+      .map { case (e, l) => (Vectors.dense(e.toArray), l) }
+      .toDF("features", "label")
+  }
+
   /** Fit on (embedding: array<float|double>, label: 0/1). */
   def trainLinear(
       data: DataFrame,
@@ -26,15 +39,7 @@ object ClassifierTraining {
       labelCol: String,
       maxIter: Int = 50,
       regParam: Double = 0.01): LinearClassifier = {
-    val spark = data.sparkSession
-    import spark.implicits._
-    val ds = data
-      .select(
-        transform(col(embeddingCol), x => x.cast("double")).as("emb"),
-        col(labelCol).cast("double").as("label"))
-      .as[(Seq[Double], Double)]
-      .map { case (e, l) => (Vectors.dense(e.toArray), l) }
-      .toDF("features", "label")
+    val ds = toFeatureFrame(data, embeddingCol, labelCol)
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
@@ -61,15 +66,7 @@ object ClassifierTraining {
       maxIter: Int = 100,
       seed: Long = 42L): MlpClassifier = {
     import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-    val spark = data.sparkSession
-    import spark.implicits._
-    val ds = data
-      .select(
-        transform(col(embeddingCol), x => x.cast("double")).as("emb"),
-        col(labelCol).cast("double").as("label"))
-      .as[(Seq[Double], Double)]
-      .map { case (e, l) => (Vectors.dense(e.toArray), l) }
-      .toDF("features", "label")
+    val ds = toFeatureFrame(data, embeddingCol, labelCol)
     val dim = ds.head().getAs[org.apache.spark.ml.linalg.Vector]("features").size
     val model = new MultilayerPerceptronClassifier()
       .setLayers(Array(dim, hidden, 2))

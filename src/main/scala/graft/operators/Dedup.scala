@@ -57,12 +57,22 @@ object Dedup {
     * on the id, not the digest, so an id-bucketed table keeps its
     * layout and a broadcast/AQE plan moves only keeper ids. (The old
     * window-over-fingerprint shape ranked whole rows, pushing document
-    * text through the exchange.) */
+    * text through the exchange.)
+    *
+    * Contract: ids must be UNIQUE (duplicated id values would keep
+    * every row carrying a keeper's id). NULL-id rows cannot be
+    * addressed by an id join at all, so they bypass dedup and are
+    * kept as-is rather than silently dropped (`min` ignores NULLs and
+    * an equi-join never matches them) — assign ids upstream if they
+    * must participate. */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keepers = spread(docs.select(col(idCol), exactFingerprint(col(textCol)).as("__fp")))
+    val keepers = spread(
+      docs.filter(col(idCol).isNotNull)
+        .select(col(idCol), exactFingerprint(col(textCol)).as("__fp")))
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    docs.join(keepers, Seq(idCol), "left_semi")
+    docs.filter(col(idCol).isNotNull).join(keepers, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(col(idCol).isNull))
   }
 
   // MinHash: h_k(s) = (a_k·h32(s) + b_k) mod P — one md5 per shingle,

@@ -61,20 +61,24 @@ object Joins {
     // 100 TB side's filter stays inside whole-stage codegen. Sizes
     // clamped to the aggregate's default limits (4M items / 8 MiB).
     val items = math.min(math.max(expectedBanned, 1L), 4000000L)
-    if (expectedBanned > 4000000L) {
+    val optimalBits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(optimalBits, 67108864L)
+    if (expectedBanned > items) {
       // Past the clamp the effective fpp grows toward 1 and the fast
       // path silently degrades to routing everything into the exact
       // anti-join — still correct, but the caller should know the
       // bloom is saturated and consider sharding the banned set.
-      val effFpp = math.pow(1 - math.exp(-expectedBanned.toDouble * math.log(fpp) /
-        (math.log(2) * math.log(2) * items)), math.log(2) * 67108864.0 / items)
+      // Standard fpp model with the filter's ACTUAL geometry: m bits,
+      // k = max(1, round(m/items·ln2)) hashes (sized for the clamped
+      // item count), n = expectedBanned insertions → (1 − e^(−kn/m))^k.
+      val k = math.max(1L, math.round(numBits.toDouble / items * math.log(2)))
+      val effFpp = math.pow(
+        1 - math.exp(-k.toDouble * expectedBanned / numBits), k.toDouble)
       org.slf4j.LoggerFactory.getLogger("graft.operators.Joins").warn(
         s"bloomAntiJoin: expectedBanned=$expectedBanned exceeds the 4M-item clamp; " +
           f"effective fpp ≈ $effFpp%.3f (requested $fpp%.3f) — the bloom fast path is " +
           "saturated and most rows will take the exact anti-join")
     }
-    val optimalBits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    val numBits = math.min(optimalBits, 67108864L)
     // cast both sides to long before hashing: XxHash64 hashes int32
     // and int64 representations of the same id differently, so a
     // narrower banned column would make every probe a false NEGATIVE

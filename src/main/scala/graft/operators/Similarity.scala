@@ -237,27 +237,29 @@ object Similarity {
     // over literal centroids (no UDF, no MLlib transform): squared
     // distance to centroid i is ‖x‖² − 2x·cᵢ + ‖cᵢ‖², and ‖x‖² is
     // constant per row, so argmin/argsort over (‖cᵢ‖² − 2x·cᵢ, i)
-    // structs ranks cells identically — each dot is the codegen'd
-    // DecDot kernel, deterministic regardless of partitioning.
+    // structs ranks cells identically. Plain-double dot kernel: a
+    // per-row double fold is deterministic for fixed inputs (fixed
+    // accumulation order) — the decimal kernel only buys oracle
+    // parity, at ~20× the arithmetic on this full-corpus hot path.
     val centroids = lloydKMeans(sample, nCells)
+    def fastDot(a: Column, b: Column): Column = call_function("graft_fastdot", a, b)
     def cellRank(v: Column): Column = array_sort(array(
       centroids.zipWithIndex.map { case (c, i) =>
         val cLit = array(c.toIndexedSeq.map(lit): _*)
         val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * decDot(v, cLit)).as("d"), lit(i).as("i"))
+        struct((lit(c2) - lit(2.0) * fastDot(v, cLit)).as("d"), lit(i).as("i"))
       }.toIndexedSeq: _*))
-    def vDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
     // repartition: a single-file corpus scan is one partition, and a
     // broadcast join preserves it — without the spread, ALL scoring
     // below would run on one core (cost: one round-robin shuffle of
     // the vectors, amortized over the per-pair scoring fan-out).
+    // (fastDot widens float components itself — no cast pass needed.)
     val corpusCells = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("cell", element_at(cellRank(vDouble(col("vec"))), 1).getField("i"))
+      .withColumn("cell", element_at(cellRank(col("vec")), 1).getField("i"))
     val qs = queries
       .withColumn("cells",
-        transform(slice(cellRank(vDouble(col("qvec"))), 1, nProbe), s => s.getField("i")))
+        transform(slice(cellRank(col("qvec")), 1, nProbe), s => s.getField("i")))
       .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
 
     // fastCosine, not the decimal kernel: IVF is an approximate

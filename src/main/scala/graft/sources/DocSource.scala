@@ -91,11 +91,8 @@ object DocSource {
   def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
 
-  /** Fixed scratch root for sink/source gates: the oracle SQL is a
-    * static string, so the round-trip location must be deterministic.
-    * (Defined before `gates` — the oracle strings interpolate it at
-    * object init, and Scala vals initialize in declaration order.)
-    */
+  /** Scratch root for sink/source gate round-trip files (per-SF
+    * subdirs via [[gateScratch]]; the oracles never read these). */
   val GateTmpDir = "/tmp/graft_gates"
 
   val gates: Seq[Gate] = Seq(
@@ -115,18 +112,20 @@ object DocSource {
         .orderBy("id")
     },
 
-    // S2 round-trip through a foreign engine: graft writes gzip jsonl,
-    // Spark reads it back through the adapter, and the oracle is
-    // DuckDB's OWN parse of the very same files — so field escaping,
-    // compression and schema all have to interoperate, not just
-    // self-round-trip (reference: JsonlReader/JsonlWriter,
-    // pipelines/provenance-flan/main.py:61-68).
+    // S2 round-trip: graft writes gzip jsonl, Spark reads it back
+    // through the adapter, and the result must hash-match the SOURCE
+    // documents table — so escaping, compression and schema must
+    // survive the writer+reader pair bit-exactly. The oracle reads
+    // only `documents` (never the scratch files): a file-reading
+    // oracle would race any later run at a different SF rewriting the
+    // fixed scratch path (reference: JsonlReader/JsonlWriter,
+    // pipelines/provenance-flan/main.py:61-68; cross-engine DuckDB
+    // parse of the written files is covered in SourcesSpec).
     Gate(
       "src_jsonl",
-      s"""SELECT doc_id AS id, text, lang AS meta_lang
-         |FROM read_json_auto('$GateTmpDir/src_jsonl/*.json.gz')
-         |ORDER BY id""".stripMargin) { (s, dir) =>
-      val path = s"$GateTmpDir/src_jsonl"
+      """SELECT doc_id AS id, text, lang AS meta_lang
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "src_jsonl")
       writeJsonl(
         Tables(s, dir, "documents").select("doc_id", "text", "lang"), path)
       jsonl(s, path, Adapter(
@@ -136,18 +135,17 @@ object DocSource {
         .orderBy("id")
     },
 
-    // S3 round-trip: byte-bounded zstd parquet written by graft, read
-    // back by Spark for the gate rows while DuckDB reads the same
-    // files for the oracle — cross-engine proof the sink's output is
-    // valid parquet (reference: ParquetWriter(compression="zstd",
-    // max_file_size=...) — pipelines/fineweb/main.py:141-145). The
-    // small byte bound forces the sizing-sample + multi-file path.
+    // S3 round-trip: byte-bounded zstd parquet written by graft and
+    // read back must hash-match the source rows (the small byte bound
+    // forces the sizing-sample + multi-file path). Oracle reads only
+    // `documents` — see src_jsonl on why it must not read the files
+    // (reference: ParquetWriter(compression="zstd", max_file_size=…) —
+    // pipelines/fineweb/main.py:141-145).
     Gate(
       "snk_parquet",
-      s"""SELECT id, md5(text) AS text_md5
-         |FROM parquet_scan('$GateTmpDir/snk_parquet/*.parquet')
-         |ORDER BY id""".stripMargin) { (s, dir) =>
-      val path = s"$GateTmpDir/snk_parquet"
+      """SELECT doc_id AS id, md5(text) AS text_md5
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_parquet")
       writeParquetBytesBounded(
         Tables(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
         path, maxFileBytes = 64 * 1024)
@@ -156,4 +154,10 @@ object DocSource {
         .orderBy("id")
     }
   )
+
+  /** Per-SF scratch dir for sink/source gates, so runs at different
+    * scale factors (Verify at sf0.01, Bench at sf0.1) never overwrite
+    * each other's round-trip files. */
+  def gateScratch(sfDir: String, name: String): String =
+    s"$GateTmpDir/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
 }

@@ -146,11 +146,7 @@ object BpeTrainer {
   }
 
   /** Serialize for the encode expression's blob literal. */
-  def encodeBlob(tok: BpeTokenizer): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(tok); oos.close(); bos.toByteArray
-  }
+  def encodeBlob(tok: BpeTokenizer): Array[Byte] = graft.expr.Blobs.encode(tok)
 
   /** Column: BPE token ids (with eos appended) for a text column —
     * codegen'd kernel, merge table in the literal. */

@@ -60,7 +60,10 @@ object MegatronBinWriter {
           sub += 1
           shard = new ShardWriter(s"$outDir/rank-$pid-sub-$sub", tokenSize)
         }
-        for (ids <- rows) {
+        for (rawIds <- rows) {
+          // a NULL ids array (e.g. tokenizer over NULL text) is an
+          // empty document, not an NPE that kills the whole shard
+          val ids = if (rawIds == null) Nil else rawIds
           if (shard.tokens > 0 && shard.tokens + ids.length > maxTokensPerShard)
             roll()
           shard.append(ids)
@@ -133,14 +136,17 @@ object MegatronBinWriter {
   val gates: Seq[Gate] = Seq(
     Gate(
       "snk_megatron", {
-        val ids = Tokens.sqlTokenIds("text")
+        // coalesce NULL text to '' on BOTH sides: a NULL doc would
+        // tokenize to a NULL ids array in Spark but a NULL n_tokens
+        // row in DuckDB — '' gives the aligned 1-token ([eos]) doc
+        val ids = Tokens.sqlTokenIds("coalesce(text, '')")
         s"""SELECT doc_id, len($ids) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val outDir = graft.sources.DocSource.GateTmpDir + "/snk_megatron"
+      val outDir = graft.sources.DocSource.gateScratch(dir, "snk_megatron")
       deleteRecursively(Paths.get(outDir))
       val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), Tokens.tokenIds(col("text")).as("__ids"))
+        .select(col("doc_id"), Tokens.tokenIds(coalesce(col("text"), lit(""))).as("__ids"))
         .repartition(1).sortWithinPartitions("doc_id")
       write(docs, "__ids", outDir).unpersist()
       val (_, _, lengths) = readIdx(outDir + "/rank-0.idx")

@@ -49,6 +49,16 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getSeq[Int](3).length == 1) // one unigram, no bigrams
   }
 
+  test("exact dedup keeps NULL-id rows as-is instead of silently dropping them") {
+    import spark.implicits._
+    val df = Seq((Option(5L), "a b c"), (Option(2L), "a b c"), (Option.empty[Long], "a b c"),
+      (Option.empty[Long], "x y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id").collect()
+    // non-null dup group keeps min id 2; both null-id rows bypass
+    assert(out.count(r => !r.isNullAt(0)) == 1 && out.count(_.isNullAt(0)) == 2)
+    assert(out.filter(!_.isNullAt(0)).head.getLong(0) == 2L)
+  }
+
   test("df cutoff of zero prunes every shared shingle and finds nothing") {
     // degenerate cutoff: every shingle shared by a pair has df >= 2
     val none = Dedup.ngramJaccardPairs(planted, "text", "doc_id", 0.35, Some(1L)).count()
