@@ -35,7 +35,7 @@ final case class FinewebConfig(
     /** toxicity model override — fineweb-2 loads one detoxify model
       * PER LANGUAGE (fineweb-2/main.py CONFIGS_10: german_cls.pth,
       * french_cls.pth, …); None = the default seeded head. */
-    toxicityClassifier: Option[LinearClassifier] = None,
+    toxicityClassifier: Option[graft.ml.EmbeddingScorer] = None,
     /** deterministic sampling rate (reference: SamplerFilter). */
     samplerRate: Option[Double] = None,
     /** fineweb-edu style edu-score gate: annotate the 0–5 edu score +
@@ -55,7 +55,7 @@ object FinewebPipeline {
       spark: SparkSession,
       docs: DataFrame,
       cfg: FinewebConfig,
-      classifier: LinearClassifier = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+      classifier: graft.ml.EmbeddingScorer = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
 
     var stages = Vector.empty[Stage]
 
@@ -148,7 +148,7 @@ object FinewebPipeline {
     * publishes as `int_score` (= round-half-up of the score). */
   def eduAnnotate(
       docs: DataFrame,
-      classifier: LinearClassifier = EduClassifier): DataFrame =
+      classifier: graft.ml.EmbeddingScorer = EduClassifier): DataFrame =
     docs
       .withColumn("score", Cols.pround(lit(5.0) * classifier.score(col("embedding")), 6))
       .withColumn("int_score", floor(col("score") + 0.5).cast("int"))
@@ -168,7 +168,7 @@ object FinewebPipeline {
       docsFor: String => DataFrame,
       bannedFor: String => Option[DataFrame],
       cfg: FinewebConfig,
-      classifier: LinearClassifier = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+      classifier: graft.ml.EmbeddingScorer = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
     require(dumps.nonEmpty)
     val built = dumps.map { dump =>
       val (kept, excluded) =
@@ -192,7 +192,7 @@ object FinewebPipeline {
       langCol: String,
       configs: Map[String, FinewebConfig],
       default: FinewebConfig,
-      classifier: LinearClassifier = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+      classifier: graft.ml.EmbeddingScorer = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
     val langs = configs.keys.toSeq.sorted
     val branches = langs.map { lang =>
       (docs.filter(col(langCol) === lang), configs(lang))
@@ -216,6 +216,38 @@ object FinewebPipeline {
   // ---- gates ----
 
   val gates: Seq[Gate] = Seq(
+    Gate(
+      "fw_toxicity_mlp", {
+        // the reference's real shape: a 2-layer MLP toxicity head
+        // loaded into the pipeline's toxicity stage (fineweb-2
+        // per-language detoxify models are exactly this slot)
+        val cls = graft.ml.MlpClassifier.seeded(64, 8, 23)
+        val tox = Cols.proundSql(cls.scoreSql("e.embedding"), 6)
+        s"""SELECT d.doc_id, $tox AS tox
+           |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           |WHERE $tox < 0.4691
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val cls = graft.ml.MlpClassifier.seeded(64, 8, 23)
+      // pround the score INSIDE the head so the pipeline's threshold
+      // compares the same cross-engine-exact rounded value the oracle
+      // filters on (a raw-double threshold could flip a row whose
+      // score rounds onto the boundary)
+      val rounded = new graft.ml.EmbeddingScorer {
+        def score(emb: org.apache.spark.sql.Column) = Cols.pround(cls.score(emb), 6)
+        def scoreSql(e: String) = Cols.proundSql(cls.scoreSql(e), 6)
+      }
+      val docs = Tables(s, dir, "documents")
+        .join(Tables(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      val (kept, _) = build(s, docs,
+        FinewebConfig(
+          toxicityThreshold = Some(0.4691),
+          toxicityClassifier = Some(rounded),
+          piiFormat = false))
+      kept.select(col("doc_id"), rounded.score(col("embedding")).as("tox"))
+        .orderBy("doc_id")
+    },
+
     Gate(
       "fw_edu_score", {
         val score = s"5.0 * (${EduClassifier.scoreSql("e.embedding")})"

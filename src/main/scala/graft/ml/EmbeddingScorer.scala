@@ -1,0 +1,18 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+
+/** Common surface of every embedding classifier head — what the
+  * pipeline stages (quality top-p, toxicity threshold, edu score)
+  * actually need. [[LinearClassifier]] is the single-layer instance;
+  * [[MlpClassifier]] is the reference's 2-layer BinaryClassifier
+  * shape (embeddings_filter.py:43-55) — a FinewebConfig can now run
+  * either, matching the reference pipelines that load MLP heads.
+  */
+trait EmbeddingScorer {
+  /** Sigmoid score in (0,1) as a deterministic column expression. */
+  def score(emb: Column): Column
+
+  /** DuckDB-dialect SQL computing the identical score (oracle twin). */
+  def scoreSql(embExpr: String): String
+}

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.DecimalType
   * is exact and order-independent, so scores hash-match a
   * single-threaded oracle regardless of partitioning.
   */
-final case class LinearClassifier(weights: Array[Double], bias: Double = 0.0) {
+final case class LinearClassifier(weights: Array[Double], bias: Double = 0.0)
+  extends EmbeddingScorer {
 
   private val acc = DecimalType(30, 15)
 

@@ -33,7 +33,8 @@ final case class MlpClassifier(
     b1: Array[Double], // hidden
     w2: Array[Double], // hidden
     b2: Double,
-    activation: String = "relu") {
+    activation: String = "relu")
+  extends EmbeddingScorer {
 
   require(w1.nonEmpty && w1.length == b1.length && w1.length == w2.length,
     s"inconsistent layer shapes: w1=${w1.length} b1=${b1.length} w2=${w2.length}")

@@ -157,6 +157,35 @@ object Joins {
   }
 
   val gates: Seq[Gate] = Seq(
+    // K3 — bloom-prefiltered anti-join, oracle = plain NOT IN: the
+    // bloom only routes (clean ∪ verified survivors), so the result
+    // must be exactly the anti-join's.
+    Gate(
+      "q12_bloom_antijoin",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val banned = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      bloomAntiJoin(docs.select("doc_id", "n_chars"), banned, "doc_id", expectedBanned = 1000)
+        .orderBy("doc_id")
+    },
+
+    // K2 — salted skew join, oracle = the plain join: salting must be
+    // result-invisible (the replicated small side re-joins on
+    // (key, salt), so every big row matches exactly once).
+    Gate(
+      "q13_salted_join",
+      """SELECT n.n_name, count(*) AS n_sup
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      val sup = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      saltedJoin(sup, nat, "s_nationkey", salt = 8)
+        .groupBy("n_name").agg(count(lit(1)).as("n_sup"))
+        .orderBy("n_name")
+    },
+
     Gate(
       "q11_asof",
       // DuckDB's native ASOF JOIN is the oracle; both engines compare

@@ -27,6 +27,20 @@ class FinewebPipelineSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("quality"))
   }
 
+  test("a 2-layer MLP head drives the quality top-p stage (EmbeddingScorer slot)") {
+    graft.expr.GraftExtensions.register(spark)
+    val docs = annotated
+    val n = docs.count()
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs, FinewebConfig(qualityTopP = Some(0.5), piiFormat = false),
+      classifier = graft.ml.MlpClassifier.seeded(64, 8, 5))
+    val k = kept.count()
+    assert(k > 0 && k < n, s"kept $k of $n")
+    assert(k + excluded.count() == n)
+    // approximate top-p: the percentile threshold keeps roughly half
+    assert(k >= (n * 0.25).toLong && k <= (n * 0.75).toLong, s"kept $k of $n at p=0.5")
+  }
+
   test("stacked filters attribute exclusions to the first rejecting stage") {
     val docs = annotated
     val banned = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
