@@ -216,6 +216,30 @@ object FinewebPipeline {
   // ---- gates ----
 
   val gates: Seq[Gate] = Seq(
+    // R12 — the per-language config sweep as ONE union plan, oracle =
+    // the union of each language's filter semantics (fineweb-2
+    // CONFIGS_10/33 shape: per-language sampler rates with a
+    // keep-everything default fallback).
+    Gate(
+      "fw_sweep_langs", {
+        val lcg = Cols.lcgUniformSql("doc_id")
+        s"""SELECT doc_id, lang FROM documents WHERE lang = 'en' AND $lcg < 0.5
+           |UNION ALL
+           |SELECT doc_id, lang FROM documents WHERE lang = 'de' AND $lcg < 0.2
+           |UNION ALL
+           |SELECT doc_id, lang FROM documents
+           |WHERE (lang NOT IN ('en', 'de') OR lang IS NULL)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val (kept, _) = sweepLanguages(
+        s, Tables(s, dir, "documents"), "lang",
+        configs = Map(
+          "en" -> FinewebConfig(samplerRate = Some(0.5), piiFormat = false),
+          "de" -> FinewebConfig(samplerRate = Some(0.2), piiFormat = false)),
+        default = FinewebConfig(piiFormat = false))
+      kept.select("doc_id", "lang").orderBy("doc_id")
+    },
+
     Gate(
       "fw_toxicity_mlp", {
         // the reference's real shape: a 2-layer MLP toxicity head

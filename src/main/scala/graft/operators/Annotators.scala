@@ -46,7 +46,44 @@ object Annotators {
     docs.withColumn("embeddings",
       bind(chunkTexts(col("text"))) { cs => transform(cs, c => fakeEmbedding(c)) })
 
+  /** Tiny deterministic weight matrix for the oracle-gated real-weights
+    * encoder path (values small and exact in binary-friendly /64). */
+  private[operators] def gateMatrix: Array[Array[Double]] =
+    Array.tabulate(16, 4)((i, j) => (i * 4 + j + 1) / 64.0)
+
   val gates: Seq[Gate] = Seq(
+    // A2b — the REAL-weights encoder path, oracle-gated: the
+    // embedding-bag model (hash-token lookup → mean-pool) is fully
+    // SQL-expressible for a literal matrix, so the codegen'd EmbedBag
+    // kernel is hash-checked against DuckDB end to end — the
+    // interface a ported model's weights drop into
+    // (xlmr_embedding_annotator.py's slot, minus the torch encoder).
+    Gate(
+      "ann_embed_weights", {
+        val m = gateMatrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+        val h32 = "CAST(CAST('0x'||substr(md5(w),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id,
+           |    [$h32 % 16 FOR w IN regexp_extract_all(text, '${TextAnalysis.BpePattern}')] AS ids
+           |  FROM documents),
+           |e AS (SELECT doc_id,
+           |    CASE WHEN len(ids) = 0 THEN [0.0, 0.0, 0.0, 0.0]
+           |         ELSE [list_sum([($m)[id + 1][j] FOR id IN ids]) / len(ids) FOR j IN range(1, 5)]
+           |    END AS emb
+           |  FROM t)
+           |SELECT doc_id,
+           |  ${Cols.proundSql("emb[1] + emb[2] + emb[3] + emb[4]", 5)} AS emb_checksum
+           |FROM e ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val enc = graft.ml.LocalWeightsEncoder(gateMatrix)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), enc.embed(s, col("text")).as("e"))
+        .select(col("doc_id"),
+          Cols.pround(
+            element_at(col("e"), 1) + element_at(col("e"), 2) +
+              element_at(col("e"), 3) + element_at(col("e"), 4), 5).as("emb_checksum"))
+        .orderBy("doc_id")
+    },
+
     Gate(
       "ann_embed_stub", {
         val w = "regexp_extract_all(text, '[A-Za-z0-9]+')"
