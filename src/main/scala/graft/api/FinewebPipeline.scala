@@ -215,6 +215,14 @@ object FinewebPipeline {
 
   // ---- gates ----
 
+  /** Shared head + threshold for the fw_toxicity_mlp gate — single
+    * definitions so the Spark builder and the oracle can never
+    * disagree on the model or the cut. Threshold sits at the seeded
+    * head's score median so the filter genuinely splits. */
+  private val GateToxHead: graft.ml.EmbeddingScorer =
+    graft.ml.EmbeddingScorer.rounded(graft.ml.MlpClassifier.seeded(64, 8, 23), 6)
+  private val GateToxThr = 0.4691
+
   val gates: Seq[Gate] = Seq(
     // R12 — the per-language config sweep as ONE union plan, oracle =
     // the union of each language's filter semantics (fineweb-2
@@ -241,34 +249,24 @@ object FinewebPipeline {
     },
 
     Gate(
-      "fw_toxicity_mlp", {
-        // the reference's real shape: a 2-layer MLP toxicity head
-        // loaded into the pipeline's toxicity stage (fineweb-2
-        // per-language detoxify models are exactly this slot)
-        val cls = graft.ml.MlpClassifier.seeded(64, 8, 23)
-        val tox = Cols.proundSql(cls.scoreSql("e.embedding"), 6)
-        s"""SELECT d.doc_id, $tox AS tox
-           |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-           |WHERE $tox < 0.4691
-           |ORDER BY d.doc_id""".stripMargin
-      }) { (s, dir) =>
-      val cls = graft.ml.MlpClassifier.seeded(64, 8, 23)
-      // pround the score INSIDE the head so the pipeline's threshold
-      // compares the same cross-engine-exact rounded value the oracle
-      // filters on (a raw-double threshold could flip a row whose
-      // score rounds onto the boundary)
-      val rounded = new graft.ml.EmbeddingScorer {
-        def score(emb: org.apache.spark.sql.Column) = Cols.pround(cls.score(emb), 6)
-        def scoreSql(e: String) = Cols.proundSql(cls.scoreSql(e), 6)
-      }
+      "fw_toxicity_mlp",
+      // the reference's real shape: a 2-layer MLP toxicity head
+      // loaded into the pipeline's toxicity stage (fineweb-2
+      // per-language detoxify models are exactly this slot); the head
+      // is pround-wrapped (EmbeddingScorer.rounded) so both engines
+      // threshold the identical cross-engine-exact value
+      s"""WITH s AS (SELECT d.doc_id, ${GateToxHead.scoreSql("e.embedding")} AS tox
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         |SELECT doc_id, tox FROM s WHERE tox < $GateToxThr
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
         .join(Tables(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id"), "doc_id")
       val (kept, _) = build(s, docs,
         FinewebConfig(
-          toxicityThreshold = Some(0.4691),
-          toxicityClassifier = Some(rounded),
+          toxicityThreshold = Some(GateToxThr),
+          toxicityClassifier = Some(GateToxHead),
           piiFormat = false))
-      kept.select(col("doc_id"), rounded.score(col("embedding")).as("tox"))
+      kept.select(col("doc_id"), GateToxHead.score(col("embedding")).as("tox"))
         .orderBy("doc_id")
     },
 

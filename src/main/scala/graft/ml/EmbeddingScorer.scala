@@ -16,3 +16,16 @@ trait EmbeddingScorer {
   /** DuckDB-dialect SQL computing the identical score (oracle twin). */
   def scoreSql(embExpr: String): String
 }
+
+object EmbeddingScorer {
+  /** A head whose scores are pre-rounded to `scale` decimals with the
+    * portable pround: the rounded value is cross-engine-exact, so a
+    * downstream threshold compares the SAME number in Spark and in a
+    * SQL oracle — a raw-double threshold could flip a row whose score
+    * rounds onto the boundary. Use this for any pipeline whose kept
+    * set must be reproducible across engines. */
+  def rounded(cls: EmbeddingScorer, scale: Int): EmbeddingScorer = new EmbeddingScorer {
+    def score(emb: Column): Column = graft.Cols.pround(cls.score(emb), scale)
+    def scoreSql(embExpr: String): String = graft.Cols.proundSql(cls.scoreSql(embExpr), scale)
+  }
+}

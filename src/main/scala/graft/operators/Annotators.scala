@@ -60,27 +60,33 @@ object Annotators {
     // (xlmr_embedding_annotator.py's slot, minus the torch encoder).
     Gate(
       "ann_embed_weights", {
+        // vocab/dim derived from gateMatrix, so reshaping the matrix
+        // reshapes the oracle with it
+        val vocab = gateMatrix.length
+        val dim = gateMatrix(0).length
         val m = gateMatrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+        val zero = Seq.fill(dim)("0.0").mkString("[", ", ", "]")
+        val sum = (1 to dim).map(j => s"emb[$j]").mkString(" + ")
         val h32 = "CAST(CAST('0x'||substr(md5(w),1,8) AS UBIGINT) AS BIGINT)"
         s"""WITH t AS (SELECT doc_id,
-           |    [$h32 % 16 FOR w IN regexp_extract_all(text, '${TextAnalysis.BpePattern}')] AS ids
+           |    [$h32 % $vocab FOR w IN regexp_extract_all(text, '${TextAnalysis.BpePattern}')] AS ids
            |  FROM documents),
            |e AS (SELECT doc_id,
-           |    CASE WHEN len(ids) = 0 THEN [0.0, 0.0, 0.0, 0.0]
-           |         ELSE [list_sum([($m)[id + 1][j] FOR id IN ids]) / len(ids) FOR j IN range(1, 5)]
+           |    CASE WHEN len(ids) = 0 THEN $zero
+           |         ELSE [list_sum([($m)[id + 1][j] FOR id IN ids]) / len(ids) FOR j IN range(1, ${dim + 1})]
            |    END AS emb
            |  FROM t)
            |SELECT doc_id,
-           |  ${Cols.proundSql("emb[1] + emb[2] + emb[3] + emb[4]", 5)} AS emb_checksum
+           |  ${Cols.proundSql(sum, 5)} AS emb_checksum
            |FROM e ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       val enc = graft.ml.LocalWeightsEncoder(gateMatrix)
+      val checksum = (1 to enc.dim)
+        .map(j => element_at(col("e"), j))
+        .reduce(_ + _)
       Tables(s, dir, "documents")
         .select(col("doc_id"), enc.embed(s, col("text")).as("e"))
-        .select(col("doc_id"),
-          Cols.pround(
-            element_at(col("e"), 1) + element_at(col("e"), 2) +
-              element_at(col("e"), 3) + element_at(col("e"), 4), 5).as("emb_checksum"))
+        .select(col("doc_id"), Cols.pround(checksum, 5).as("emb_checksum"))
         .orderBy("doc_id")
     },
 

@@ -32,7 +32,15 @@ object Joins {
       Set("inner", "left", "leftouter", "leftsemi", "leftanti")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi/left_anti joins, not $joinType")
-    val bigS = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    // Deterministic per-row salt: hash of the FULL row, not
+    // monotonically_increasing_id — a stage retry after a fetch
+    // failure can reorder a recomputed partition, and an
+    // order-derived salt would then re-salt rows differently between
+    // attempts, duplicating or dropping matches. A content hash is
+    // attempt-stable; fully identical rows share a salt (they spread
+    // less), which affects balance only, never the result.
+    val bigS = big.withColumn(
+      "__salt", pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val smallS = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
       .withColumnRenamed(key, "__rkey")
