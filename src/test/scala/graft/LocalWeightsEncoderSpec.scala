@@ -41,6 +41,27 @@ class LocalWeightsEncoderSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end real-weights inference: encoder embeddings into an MLP head filter") {
+    // the full A2→F7 path with real weights everywhere: encode text
+    // chunks with the weights-from-matrix encoder, mean-pool to a doc
+    // vector, score with the 2-layer head, threshold — all column
+    // expressions, no UDF, no stub
+    import graft.ml.MlpClassifier
+    val enc = LocalWeightsEncoder(tinyMatrix)
+    val head = MlpClassifier.seeded(4, 3, 9)
+    val docs = LocalWeightsEncoder.annotate(
+      spark, Tables(spark, sfDir, "documents"), enc)
+      .withColumn("doc_vec",
+        expr("transform(sequence(0, 3), j -> " +
+          "aggregate(embeddings, 0d, (a, e) -> a + e[j]) / size(embeddings))"))
+      .withColumn("score", head.score(col("doc_vec")))
+    val rows = docs.select("doc_id", "score").collect()
+    assert(rows.length > 0)
+    assert(rows.forall { r => val s = r.getDouble(1); s > 0.0 && s < 1.0 })
+    val p = docs.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), "real-weights inference path must stay UDF-free")
+  }
+
   test("annotate produces one real embedding per chunk") {
     val enc = LocalWeightsEncoder(tinyMatrix)
     val out = LocalWeightsEncoder.annotate(
