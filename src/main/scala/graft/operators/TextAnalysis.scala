@@ -120,6 +120,39 @@ object TextAnalysis {
         })
     }
 
+  // ---- C4-style cleaning (Raffel et al. 2020 §2.2 — the public
+  // rule set every large English pretraining corpus since has reused;
+  // line-level keep rules plus document-level drops). All codegen-
+  // friendly string/array expressions — narrow, fused with the scan.
+
+  /** Line-content markers that drop a line (C4 drops "javascript"
+    * lines and cookie/policy boilerplate). */
+  val C4BadLineMarkers: Seq[String] =
+    Seq("javascript", "cookie policy", "privacy policy", "terms of use")
+
+  /** A line survives C4 cleaning iff (trimmed) it ends in terminal
+    * punctuation, has ≥ `minWords` words, and carries no bad marker. */
+  def c4LineKept(trimmedLine: Column, minWords: Int = 3): Column = {
+    val endsOk = Seq(".", "!", "?", "\"", "'")
+      .map(p => trimmedLine.endsWith(p)).reduce(_ || _)
+    val noBad = !C4BadLineMarkers
+      .map(m => lower(trimmedLine).contains(m)).reduce(_ || _)
+    endsOk && size(regexp_extract_all(trimmedLine, lit(WordPattern), lit(0))) >= minWords && noBad
+  }
+
+  /** Cleaned text: surviving lines (trimmed), re-joined. */
+  def c4CleanText(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(transform(split(text, "\n"), l => trim(l)), l => c4LineKept(l, minWords)),
+      "\n")
+
+  /** Document keep verdict over the cleaned text: ≥ `minSentences`
+    * sentence enders, no "lorem ipsum", no curly brace (C4 drops
+    * code-ish pages wholesale). */
+  def c4DocKept(text: Column, cleaned: Column, minSentences: Int = 5): Column =
+    size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= minSentences &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+
   /** Whole-document fingerprint: md5 of case/whitespace-normalized
     * text. */
   def fingerprint(text: Column): Column =
@@ -157,6 +190,73 @@ object TextAnalysis {
   }
 
   val gates: Seq[Gate] = Seq(
+
+    // The synthetic documents are punctuation-free word soup, so the
+    // gate first builds a deterministic multi-line "web page" from
+    // each doc's words (both engines construct the identical page):
+    // a good sentence, a too-short line, an unterminated line, a
+    // policy-boilerplate line, a good !/? line, a curly-brace line on
+    // doc_id%7 (dropping the whole doc), and lorem ipsum on doc_id%11
+    // — every C4 rule fires on real data.
+    Gate(
+      "txt_c4", {
+        def seg(a: Int, b: Int) = s"coalesce(array_to_string(ws[$a:$b], ' '), '')"
+        val page =
+          s"${seg(1, 5)} || '.' || chr(10) || " +
+            s"${seg(6, 7)} || '.' || chr(10) || " +
+            s"${seg(8, 12)} || chr(10) || " +
+            "'See our privacy policy.' || chr(10) || " +
+            s"${seg(13, 17)} || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '?' END) || chr(10) || " +
+            "(CASE WHEN doc_id % 7 = 0 THEN 'bad { brace }' ELSE 'ok line end.' END) || chr(10) || " +
+            "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
+        val lineOk =
+          "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
+            "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
+            s"AND len(regexp_extract_all(x, '$WordPattern')) >= 3 AND NOT (" +
+            C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") + ")"
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$WordPattern') AS ws FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |l AS (SELECT doc_id, page,
+           |    [trim(x) FOR x IN string_split(page, chr(10))] AS lines
+           |  FROM p),
+           |k AS (SELECT doc_id, page, len(lines) AS n_lines,
+           |    [x FOR x IN lines IF $lineOk] AS kept
+           |  FROM l),
+           |c AS (SELECT doc_id, page, n_lines, len(kept) AS n_kept,
+           |    -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+           |    coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+           |  FROM k)
+           |SELECT doc_id, n_lines, n_kept, md5(cleaned) AS cleaned_md5,
+           |  (len(regexp_extract_all(cleaned, '[.!?]')) >= 2
+           |   AND NOT contains(lower(page), 'lorem ipsum')
+           |   AND NOT contains(page, '{')) AS doc_kept
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = bind(words(col("text"))) { w =>
+        concat_ws("\n",
+          concat(array_join(slice(w, 1, 5), " "), lit(".")),
+          concat(array_join(slice(w, 6, 2), " "), lit(".")),
+          array_join(slice(w, 8, 5), " "),
+          lit("See our privacy policy."),
+          concat(array_join(slice(w, 13, 5), " "),
+            when(col("doc_id") % 3 === 0, "!").otherwise("?")),
+          when(col("doc_id") % 7 === 0, "bad { brace }").otherwise("ok line end."),
+          when(col("doc_id") % 11 === 0, "has lorem ipsum inside.")
+            .otherwise("closing sentence here."))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"), col("page"),
+          size(split(col("page"), "\n")).as("n_lines"),
+          bind(filter(transform(split(col("page"), "\n"), l => trim(l)), l => c4LineKept(l))) {
+            kept => struct(size(kept).as("nk"), array_join(kept, "\n").as("cl"))
+          }.as("k"))
+        .select(col("doc_id"), col("n_lines"),
+          col("k.nk").as("n_kept"),
+          md5(col("k.cl")).as("cleaned_md5"),
+          c4DocKept(col("page"), col("k.cl"), minSentences = 2).as("doc_kept"))
+        .orderBy("doc_id")
+    },
 
     Gate(
       "txt_langid", {

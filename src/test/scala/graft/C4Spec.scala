@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Hand cases for the C4 cleaning rules (Raffel et al. 2020 §2.2). */
+class C4Spec extends SparkSpec {
+
+  private def clean(text: String): (String, Boolean) = {
+    import spark.implicits._
+    val r = Seq(text).toDF("text")
+      .select(col("text"), TextAnalysis.c4CleanText(col("text")).as("c"))
+      .select(col("c"), TextAnalysis.c4DocKept(col("text"), col("c"), minSentences = 1).as("kept"))
+      .head()
+    (r.getString(0), r.getBoolean(1))
+  }
+
+  test("line rules: terminal punctuation, min words, bad markers") {
+    val page = Seq(
+      "A good long sentence here.", // kept
+      "Too short.", // dropped: 2 words
+      "no terminal punctuation at all", // dropped: no . ! ? " '
+      "Please read our Privacy Policy.", // dropped: marker (case-insensitive)
+      "Enable javascript to continue now.", // dropped: marker
+      "  An indented but valid line!  ", // kept (trimmed)
+      "Is this a question?" // kept
+    ).mkString("\n")
+    val (cleaned, kept) = clean(page)
+    assert(cleaned.linesIterator.toSeq == Seq(
+      "A good long sentence here.",
+      "An indented but valid line!",
+      "Is this a question?"))
+    assert(kept)
+  }
+
+  test("doc rules: lorem ipsum, curly brace, min sentences") {
+    assert(!clean("Nice complete sentence here.\nwith lorem ipsum inside.")._2)
+    assert(!clean("Nice complete sentence here.\nfunction() { return; }")._2)
+    assert(!clean("no terminal punctuation so nothing survives")._2)
+    assert(clean("One perfectly fine sentence survives.")._2)
+  }
+
+  test("empty and punctuation-free text degrades to empty cleaned output") {
+    val (cleaned, kept) = clean("")
+    assert(cleaned == "" && !kept)
+    assert(clean("word soup with no structure at all")._1 == "")
+  }
+}
