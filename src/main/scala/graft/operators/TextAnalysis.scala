@@ -153,6 +153,54 @@ object TextAnalysis {
     size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= minSentences &&
       !lower(text).contains("lorem ipsum") && !text.contains("{")
 
+  // ---- Gopher document-quality rules (Rae et al. 2021 §A1.1 — the
+  // public doc-level gate set; the repetition side lives in
+  // dupWordFraction/topNgramShare). Codegen expressions, no UDF.
+
+  /** Fraction of words containing at least one alphabetic character
+    * (Gopher requires > 0.8; pure-number tokens count against). */
+  def alphaWordFraction(text: Column): Column = bind(words(text)) { toks =>
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks))
+  }
+
+  /** Fraction of lines starting with a bullet marker (Gopher drops
+    * docs where ≥ 90% of lines are bullets). */
+  def bulletLineFraction(text: Column): Column =
+    bind(transform(split(text, "\n"), l => trim(l))) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+          .cast("double") / size(ls))
+    }
+
+  /** Fraction of lines ending in an ellipsis (Gopher drops docs where
+    * ≥ 30% of lines end "..."). */
+  def ellipsisLineFraction(text: Column): Column =
+    bind(transform(split(text, "\n"), l => trim(l))) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("double") / size(ls))
+    }
+
+  /** The conjunction of Gopher's doc-level quality bounds; thresholds
+    * default to the paper's values. */
+  def gopherKept(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaFraction: Double = 0.8,
+      minStopwordHits: Int = 2,
+      maxBulletFraction: Double = 0.9,
+      maxEllipsisFraction: Double = 0.3): Column =
+    wordCount(text).between(minWords, maxWords) &&
+      avgWordLen(text).between(minMeanWordLen, maxMeanWordLen) &&
+      alphaWordFraction(text) > minAlphaFraction &&
+      markerHits(words(lower(text)), LangMarkers.head._2) >= minStopwordHits &&
+      bulletLineFraction(text) < maxBulletFraction &&
+      ellipsisLineFraction(text) < maxEllipsisFraction
+
   /** Whole-document fingerprint: md5 of case/whitespace-normalized
     * text. */
   def fingerprint(text: Column): Column =
@@ -255,6 +303,73 @@ object TextAnalysis {
           col("k.nk").as("n_kept"),
           md5(col("k.cl")).as("cleaned_md5"),
           c4DocKept(col("page"), col("k.cl"), minSentences = 2).as("doc_kept"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher doc-quality gate: like txt_c4, signals that need line
+    // structure (bullets/ellipses) run on a deterministic synthesized
+    // page; word-level stats are unaffected by the added punctuation.
+    // Tightened thresholds (vs the paper defaults) make the verdict
+    // split on this corpus. Integer-derived double divisions are
+    // bit-identical across engines, so raw thresholds are safe.
+    Gate(
+      "txt_gopher", {
+        def seg(a: Int, b: Int) = s"coalesce(array_to_string(ws[$a:$b], ' '), '')"
+        val page =
+          s"${seg(1, 6)} || '.' || chr(10) || " +
+            s"'- ' || ${seg(7, 9)} || chr(10) || " +
+            s"(CASE WHEN doc_id % 2 = 0 THEN '- ' ELSE '' END) || ${seg(10, 12)} || chr(10) || " +
+            s"${seg(13, 16)} || (CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '.' END) || chr(10) || " +
+            "coalesce(array_to_string(ws[17:], ' '), '')"
+        val pw = "regexp_extract_all(page, '[A-Za-z0-9]+')"
+        val pwl = "regexp_extract_all(lower(page), '[A-Za-z0-9]+')"
+        val stop = sqlMarkerHits("toks", LangMarkers.head._2)
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$WordPattern') AS ws FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |s AS (SELECT doc_id, page, $pw AS pws, $pwl AS toks,
+           |    [trim(x) FOR x IN string_split(page, chr(10))] AS lines
+           |  FROM p),
+           |m AS (SELECT doc_id,
+           |    len(pws) AS n_words,
+           |    CASE WHEN len(pws) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform(pws, t -> length(t))) AS DOUBLE) / len(pws) END AS mean_wlen,
+           |    CASE WHEN len(pws) = 0 THEN 0.0
+           |         ELSE CAST(len([t FOR t IN pws IF regexp_matches(t, '[A-Za-z]')]) AS DOUBLE) / len(pws) END AS alpha_frac,
+           |    $stop AS stop_hits,
+           |    CAST(len([l FOR l IN lines IF starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•')]) AS DOUBLE) / len(lines) AS bullet_frac,
+           |    CAST(len([l FOR l IN lines IF ends_with(l, '...') OR ends_with(l, '…')]) AS DOUBLE) / len(lines) AS ellipsis_frac
+           |  FROM s)
+           |SELECT doc_id, n_words, ${Cols.proundSql("mean_wlen", 4)} AS mean_wlen,
+           |  ${Cols.proundSql("alpha_frac", 4)} AS alpha_frac, stop_hits,
+           |  ${Cols.proundSql("bullet_frac", 4)} AS bullet_frac,
+           |  ${Cols.proundSql("ellipsis_frac", 4)} AS ellipsis_frac,
+           |  (n_words BETWEEN 30 AND 150 AND mean_wlen BETWEEN 3.0 AND 10.0
+           |   AND alpha_frac > 0.8 AND stop_hits >= 2
+           |   AND bullet_frac < 0.3 AND ellipsis_frac < 0.1) AS kept
+           |FROM m ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = bind(words(col("text"))) { w =>
+        concat_ws("\n",
+          concat(array_join(slice(w, 1, 6), " "), lit(".")),
+          concat(lit("- "), array_join(slice(w, 7, 3), " ")),
+          concat(when(col("doc_id") % 2 === 0, "- ").otherwise(""),
+            array_join(slice(w, 10, 3), " ")),
+          concat(array_join(slice(w, 13, 4), " "),
+            when(col("doc_id") % 3 === 0, "...").otherwise(".")),
+          array_join(slice(w, lit(17), greatest(size(w) - 16, lit(0))), " "))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          wordCount(col("page")).as("n_words"),
+          Cols.pround(avgWordLen(col("page")), 4).as("mean_wlen"),
+          Cols.pround(alphaWordFraction(col("page")), 4).as("alpha_frac"),
+          markerHits(words(lower(col("page"))), LangMarkers.head._2).as("stop_hits"),
+          Cols.pround(bulletLineFraction(col("page")), 4).as("bullet_frac"),
+          Cols.pround(ellipsisLineFraction(col("page")), 4).as("ellipsis_frac"),
+          gopherKept(col("page"),
+            minWords = 30, maxWords = 150,
+            maxBulletFraction = 0.3, maxEllipsisFraction = 0.1).as("kept"))
         .orderBy("doc_id")
     },
 
