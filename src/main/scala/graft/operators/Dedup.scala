@@ -237,6 +237,49 @@ object Dedup {
     }
   }
 
+  // ---- benchmark decontamination (public method family: GPT-3
+  // appendix C / PaLM / Llama — drop training docs that share any
+  // n-gram with an evaluation benchmark, classically n = 8..13).
+
+  /** Distinct lowercase word n-grams for contamination matching. */
+  def contaminationNgrams(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngrams(TextAnalysis.words(lower(text)), n))
+
+  /** Ids of docs sharing ≥ 1 n-gram with the benchmark set.
+    *
+    * Scale shape: the benchmark side (eval sets) is small — its
+    * distinct n-gram set BROADCASTS, so the 100 TB doc side is a
+    * narrow explode + broadcast semi-join + distinct on ids; document
+    * text never shuffles and the doc-side gram stream never leaves
+    * its partition before being reduced to matching ids. */
+  def contaminatedIds(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val bg = bench
+      .select(explode(contaminationNgrams(col(benchTextCol), n)).as("__bg"))
+      .distinct()
+    spread(docs)
+      .select(col(idCol), explode(contaminationNgrams(col(textCol), n)).as("__bg"))
+      .join(broadcast(bg), Seq("__bg"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Docs with every benchmark-contaminated doc removed. */
+  def decontaminate(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame =
+    docs.join(
+      contaminatedIds(docs, textCol, idCol, bench, benchTextCol, n),
+      Seq(idCol), "left_anti")
+
   // SimHash: 32-bit signature over the distinct 3-gram shingle set
   // (shingles, not single words: with a small vocabulary word SETS of
   // unrelated docs overlap heavily and every simhash collides —
@@ -373,6 +416,36 @@ object Dedup {
       ngramJaccardPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.35,
         dfCutoff = Some(50L))
         .orderBy("id_a", "id_b")
+    },
+
+    // Benchmark = an 8-word span lifted from every 13th doc, so those
+    // docs are contaminated by construction; any other doc sharing
+    // the same 8-gram (possible, deterministic) is flagged by both
+    // engines identically. Output = the decontaminated survivors.
+    Gate(
+      "dedup_decontaminate", {
+        val w = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        s"""WITH toks AS (SELECT doc_id, $w AS w FROM documents),
+           |bench AS (SELECT array_to_string(w[3:10], ' ') AS btext
+           |  FROM toks WHERE doc_id % 13 = 0 AND len(w) >= 10),
+           |bg AS (SELECT DISTINCT btext FROM bench),
+           |bl AS (SELECT coalesce(list(btext), []) AS bl FROM bg),
+           |grams AS (SELECT doc_id,
+           |    [array_to_string(w[i:i+7], ' ')
+           |     FOR i IN range(1, greatest(len(w) - 7, 0) + 1)] AS gs
+           |  FROM toks)
+           |SELECT doc_id FROM grams, bl
+           |WHERE len(list_intersect(gs, bl)) = 0
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bench2 = docs.filter(col("doc_id") % 13 === 0)
+        .select(graft.Cols.bind(TextAnalysis.words(lower(col("text")))) { w =>
+          array_join(slice(w, 3, 8), " ")
+        }.as("btext"))
+        .filter(length(col("btext")) > 0)
+      decontaminate(docs.select("doc_id", "text"), "text", "doc_id", bench2, "btext", n = 8)
+        .select("doc_id").orderBy("doc_id")
     },
 
     Gate(

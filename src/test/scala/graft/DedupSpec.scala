@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getSeq[Int](3).length == 1) // one unigram, no bigrams
   }
 
+  test("decontamination drops exactly the docs sharing a benchmark 8-gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // shares "c d e f g h i j" with the benchmark
+      (2L, "z y x w v u t s r q"),
+      (3L, "eight words are not enough here at all")).toDF("doc_id", "text")
+    val bench = Seq("c d e f g h i j").toDF("btext")
+    val kept = Dedup.decontaminate(docs, "text", "doc_id", bench, "btext")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // empty benchmark contaminates nothing
+    val none = Dedup.decontaminate(docs, "text", "doc_id", bench.filter(lit(false)), "btext")
+    assert(none.count() == 3)
+  }
+
   test("exact dedup keeps NULL-id rows as-is instead of silently dropping them") {
     import spark.implicits._
     val df = Seq((Option(5L), "a b c"), (Option(2L), "a b c"), (Option.empty[Long], "a b c"),
