@@ -90,6 +90,49 @@ object Tokens {
     }
   }
 
+  /** Sequence packing (the GPT-style training-row builder): documents'
+    * token streams concatenate in input order and re-chunk into
+    * fixed-`seqLen` rows. Per-PARTITION packing — the standard
+    * shard-local practice: no shuffle, each partition packs its own
+    * stream, and seq ids are `(partitionId << 40) | k`, unique with no
+    * coordination. The final partial chunk per partition is dropped
+    * (`dropLast`, the usual training choice) or emitted short.
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idsCol: String,
+      seqLen: Int,
+      dropLast: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idsCol).as("ids")).as[Seq[Long]]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var k = 0L
+        def nextId(): Long = { val id = (pid << 40) | k; k += 1; id }
+        val full = rows.flatMap { ids =>
+          if (ids != null) buf ++= ids
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+          while (buf.length >= seqLen) {
+            out += ((nextId(), buf.take(seqLen).toVector))
+            buf.dropInPlace(seqLen)
+          }
+          out
+        }
+        // lazily appended so the leftover is read AFTER the stream drains
+        full ++ (
+          if (dropLast) Iterator.empty
+          else new Iterator[(Long, Seq[Long])] {
+            private var done = false
+            def hasNext: Boolean = !done && buf.nonEmpty
+            def next(): (Long, Seq[Long]) = { done = true; (nextId(), buf.toVector) }
+          })
+      }
+      .toDF("seq_id", "ids")
+  }
+
   /** T2 — metadata-conditioned text (reference:
     * examples/metadata_conditioning/tokenize_with_metadata.py):
     * prepend a metadata header so the conditioning tokens are part of
@@ -186,6 +229,33 @@ object Tokens {
           }.as("t"))
         .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
         .orderBy("doc_id")
+    },
+
+    // Sequence packing gate: one partition sorted by doc_id makes the
+    // global stream deterministic, so the oracle can rebuild it by
+    // flattening per-doc token lists in doc order and re-chunking.
+    Gate(
+      "tok_pack", {
+        val ids = sqlTokenIds("text")
+        s"""WITH t AS (SELECT doc_id, $ids AS ids FROM documents),
+           |alltoks AS (SELECT flatten(list(ids ORDER BY doc_id)) AS s FROM t),
+           |chunks AS (SELECT unnest(
+           |    [{'seq_id': k - 1,
+           |      'id_sum': CAST(list_sum(s[(k-1)*64+1 : k*64]) AS BIGINT),
+           |      'sig': md5(array_to_string(s[(k-1)*64+1 : k*64], ','))}
+           |     FOR k IN range(1, len(s) // 64 + 1)]) AS c
+           |  FROM alltoks)
+           |SELECT c.seq_id AS seq_id, c.id_sum AS id_sum, c.sig AS sig
+           |FROM chunks ORDER BY seq_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokenIds(col("text")).as("__ids"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      packSequences(docs, "__ids", seqLen = 64)
+        .select(col("seq_id"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("sig"))
+        .orderBy("seq_id")
     },
 
     Gate(

@@ -105,6 +105,25 @@ class TokensSpec extends SparkSpec {
     assert(ids.forall(_.init.forall(i => i >= 1 && i < Tokens.VocabSize)))
   }
 
+  test("sequence packing re-chunks the doc stream; partial tail dropped or kept") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L, 6L, 7L)), (3L, Seq(8L, 9L)))
+      .toDF("doc_id", "ids").repartition(1).sortWithinPartitions("doc_id")
+    val full = Tokens.packSequences(df, "ids", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(full.map(_._2).toSeq == Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)))
+    val withTail = Tokens.packSequences(df, "ids", seqLen = 4, dropLast = false)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(withTail.map(_._2).toSeq ==
+      Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L), Seq(9L)))
+    // multi-partition: seq ids stay globally unique
+    val mp = Seq.tabulate(100)(i => (i.toLong, Seq.fill(5)(1L))).toDF("doc_id", "ids")
+      .repartition(8)
+    val ids = Tokens.packSequences(mp, "ids", seqLen = 4).select("seq_id")
+      .collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("BPE merge loop learns the expected merges on a hand corpus") {
     import graft.tokens.BpeTrainer
     // "abab"×10 + "abc"×4: pair (a,b) dominates (count 24), then
