@@ -268,7 +268,11 @@ object Dedup {
       .select(idCol).distinct()
   }
 
-  /** Docs with every benchmark-contaminated doc removed. */
+  /** Docs with every benchmark-contaminated doc removed. The
+    * contaminated-id set (ids only, bounded by the benchmark's
+    * footprint in the corpus) is broadcast — without the hint the
+    * planner may sort-merge the anti-join and shuffle document TEXT
+    * by id, which this module's contract forbids. */
   def decontaminate(
       docs: DataFrame,
       textCol: String,
@@ -277,7 +281,7 @@ object Dedup {
       benchTextCol: String,
       n: Int = 8): DataFrame =
     docs.join(
-      contaminatedIds(docs, textCol, idCol, bench, benchTextCol, n),
+      broadcast(contaminatedIds(docs, textCol, idCol, bench, benchTextCol, n)),
       Seq(idCol), "left_anti")
 
   // SimHash: 32-bit signature over the distinct 3-gram shingle set

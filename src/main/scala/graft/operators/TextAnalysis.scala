@@ -131,14 +131,19 @@ object TextAnalysis {
     Seq("javascript", "cookie policy", "privacy policy", "terms of use")
 
   /** A line survives C4 cleaning iff (trimmed) it ends in terminal
-    * punctuation, has ≥ `minWords` words, and carries no bad marker. */
-  def c4LineKept(trimmedLine: Column, minWords: Int = 3): Column = {
-    val endsOk = Seq(".", "!", "?", "\"", "'")
-      .map(p => trimmedLine.endsWith(p)).reduce(_ || _)
-    val noBad = !C4BadLineMarkers
-      .map(m => lower(trimmedLine).contains(m)).reduce(_ || _)
-    endsOk && size(regexp_extract_all(trimmedLine, lit(WordPattern), lit(0))) >= minWords && noBad
-  }
+    * punctuation, has ≥ `minWords` words, and carries no bad marker.
+    * The line and its lowered form are bind-shared — interpreted HOF
+    * eval has no CSE, so the naïve form lowercases the line once per
+    * marker. */
+  def c4LineKept(trimmedLine: Column, minWords: Int = 3): Column =
+    bind(trimmedLine) { l =>
+      bind(lower(l)) { ll =>
+        val endsOk = Seq(".", "!", "?", "\"", "'")
+          .map(p => l.endsWith(p)).reduce(_ || _)
+        val noBad = !C4BadLineMarkers.map(m => ll.contains(m)).reduce(_ || _)
+        endsOk && size(regexp_extract_all(l, lit(WordPattern), lit(0))) >= minWords && noBad
+      }
+    }
 
   /** Cleaned text: surviving lines (trimmed), re-joined. */
   def c4CleanText(text: Column, minWords: Int = 3): Column =
@@ -183,7 +188,10 @@ object TextAnalysis {
     }
 
   /** The conjunction of Gopher's doc-level quality bounds; thresholds
-    * default to the paper's values. */
+    * default to the paper's values. Tokenizes ONCE and splits lines
+    * ONCE via bind-sharing — the composed-signal form would run four
+    * tokenizations and two line splits per row (no CSE in interpreted
+    * HOF eval), values identical to the standalone signal functions. */
   def gopherKept(
       text: Column,
       minWords: Int = 50,
@@ -194,12 +202,29 @@ object TextAnalysis {
       minStopwordHits: Int = 2,
       maxBulletFraction: Double = 0.9,
       maxEllipsisFraction: Double = 0.3): Column =
-    wordCount(text).between(minWords, maxWords) &&
-      avgWordLen(text).between(minMeanWordLen, maxMeanWordLen) &&
-      alphaWordFraction(text) > minAlphaFraction &&
-      markerHits(words(lower(text)), LangMarkers.head._2) >= minStopwordHits &&
-      bulletLineFraction(text) < maxBulletFraction &&
-      ellipsisLineFraction(text) < maxEllipsisFraction
+    bind(words(text)) { toks =>
+      bind(transform(split(text, "\n"), l => trim(l))) { ls =>
+        bind(size(toks)) { n =>
+          bind(size(ls).cast("double")) { nl =>
+            val meanWl = when(n === 0, lit(0.0)).otherwise(
+              aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n)
+            val alpha = when(n === 0, lit(0.0)).otherwise(
+              size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n)
+            val stops = markerHits(transform(toks, t => lower(t)), LangMarkers.head._2)
+            val bullet = size(filter(ls,
+              l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))) / nl
+            val ellipsis = size(filter(ls,
+              l => l.endsWith("...") || l.endsWith("…"))) / nl
+            n.between(minWords, maxWords) &&
+              meanWl.between(minMeanWordLen, maxMeanWordLen) &&
+              alpha > minAlphaFraction &&
+              stops >= minStopwordHits &&
+              bullet < maxBulletFraction &&
+              ellipsis < maxEllipsisFraction
+          }
+        }
+      }
+    }
 
   /** Whole-document fingerprint: md5 of case/whitespace-normalized
     * text. */
