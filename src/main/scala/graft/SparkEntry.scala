@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Similarity.gates ++
       operators.Formatters.gates ++
       operators.ParaDocs.gates ++
+      operators.Urls.gates ++
       operators.Joins.gates ++
       operators.Annotators.gates ++
       sources.DocSource.gates ++

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{Gate, Tables}
+import graft.Cols.bind
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level dedup — the page-identity step
+  * every crawl pipeline runs before content dedup (CCNet §2 /
+  * fineweb URL dedup). All chained codegen regexes, no UDF.
+  *
+  * Canonical form: lowercase scheme + host, `www.` prefix and default
+  * `:80`/`:443` ports stripped, fragment dropped, tracking params
+  * (`utm_*`, `ref`, `fbclid`) removed, trailing path slashes stripped.
+  * Unparseable urls (no scheme://netloc) pass through trimmed —
+  * canonicalization must never invent identity for garbage.
+  */
+object Urls {
+
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  def canonicalUrl(url: Column): Column = bind(url) { u =>
+    val scheme = lower(regexp_extract(u, s"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val netloc = lower(regexp_extract(u, s"$SchemePrefix([^/?#]+)", 1))
+    val host = regexp_replace(regexp_replace(netloc, "^www\\.", ""), ":(80|443)$", "")
+    // path + query, fragment excluded
+    val rest = regexp_extract(u, s"$SchemePrefix[^/?#]+([^#]*)", 1)
+    // tracking params: turn '?' into '?&' so every param is &-prefixed,
+    // strip the tracked ones, then collapse back and drop empty query
+    val noTrack =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(rest, "\\?", "?&"),
+          "&(utm_[A-Za-z0-9_]*|ref|fbclid)=[^&]*", ""),
+        "\\?&", "?")
+    val noEmptyQ = regexp_replace(noTrack, "\\?$", "")
+    // trailing path slashes (before the query or at the end)
+    val canonRest =
+      regexp_replace(regexp_replace(noEmptyQ, "/+\\?", "?"), "/+$", "")
+    when(netloc === "", trim(u))
+      .otherwise(concat(scheme, lit("://"), host, canonRest))
+  }
+
+  /** Keep the min-id doc per canonical URL (the keeper rule content
+    * dedup also uses). Same digest-only two-phase shape as
+    * [[Dedup.exactDedup]]: only (canonical-url, id) pairs shuffle,
+    * then an id semi-join — text never moves. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val keepers = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("__cu"))
+      .groupBy("__cu").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.filter(col(idCol).isNotNull).join(keepers, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(col(idCol).isNull))
+  }
+
+  // ---- gate ----
+
+  // DuckDB twin of canonicalUrl for a `url` expression (regexp_replace
+  // needs the explicit 'g' flag where Spark replaces globally).
+  private def sqlCanonical(urlExpr: String): String = {
+    val scheme = s"lower(regexp_extract($urlExpr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val netloc = s"lower(regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    val host = s"regexp_replace(regexp_replace($netloc, '^www\\.', ''), ':(80|443)$$', '')"
+    val rest = s"regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
+    val noTrack =
+      s"regexp_replace(regexp_replace(regexp_replace($rest, '\\?', '?&', 'g'), " +
+        "'&(utm_[A-Za-z0-9_]*|ref|fbclid)=[^&]*', '', 'g'), '\\?&', '?', 'g')"
+    val noEmptyQ = s"regexp_replace($noTrack, '\\?$$', '')"
+    val canonRest = s"regexp_replace(regexp_replace($noEmptyQ, '/+\\?', '?', 'g'), '/+$$', '')"
+    s"CASE WHEN $netloc = '' THEN trim($urlExpr) ELSE $scheme || '://' || $host || $canonRest END"
+  }
+
+  // urls vary by case/www/port/tracking/fragment/trailing-slash while
+  // doc_id % 250 pins the page identity — every 250-apart pair
+  // canonicalizes to the same url through DIFFERENT surface forms.
+  private val SqlUrl =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END) || " +
+      "source || '.example.com' || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
+      "'/docs/' || (doc_id % 250) || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+
+  private def withUrl(docs: DataFrame): DataFrame = docs.withColumn(
+    "url",
+    concat(
+      when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise("https://"),
+      col("source"), lit(".example.com"),
+      when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+      lit("/docs/"), col("doc_id") % 250,
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0, "?utm_source=x").otherwise(""),
+      when(col("doc_id") % 7 === 0, "#frag").otherwise("")))
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "dedup_url", {
+        val canon = sqlCanonical(s"($SqlUrl)")
+        s"""WITH c AS (SELECT doc_id, $canon AS canon FROM documents)
+           |SELECT canon, min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM c GROUP BY canon ORDER BY keeper_id""".stripMargin
+      }) { (s, dir) =>
+      withUrl(Tables(s, dir, "documents"))
+        .select(col("doc_id"), canonicalUrl(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id")
+    }
+  )
+}

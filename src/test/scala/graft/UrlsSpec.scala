@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Urls
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(Urls.canonicalUrl(col("u"))).head().getString(0)
+  }
+
+  test("canonicalization: case, www, default port, tracking, fragment, slash") {
+    assert(canon("HTTPS://WWW.Ex.COM:443/a/?utm_source=z&x=1#f") == "https://ex.com/a?x=1")
+    assert(canon("https://ex.com:80/") == "https://ex.com")
+    assert(canon("https://ex.com/p?ref=abc") == "https://ex.com/p")
+    assert(canon("https://ex.com/p?a=1&utm_b=2&b=3") == "https://ex.com/p?a=1&b=3")
+    assert(canon("https://ex.com:8443/x") == "https://ex.com:8443/x") // non-default port kept
+    assert(canon("  not a url  ") == "not a url") // unparseable passes through trimmed
+  }
+
+  test("url dedup keeps the min-id doc per canonical url") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "https://ex.com/p"),
+      (3L, "HTTPS://WWW.ex.com/p/"),
+      (9L, "https://other.com/q")).toDF("doc_id", "url")
+    val kept = Urls.urlDedup(docs, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 9L))
+  }
+}
