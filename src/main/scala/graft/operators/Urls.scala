@@ -19,79 +19,115 @@ object Urls {
 
   private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
 
+  /** Full token match for a tracking query param (with or without a
+    * value) — params are filtered as a SPLIT ARRAY, never by regex
+    * surgery on the raw query string, so '?'/'/' inside other params'
+    * values (legal per RFC 3986) are untouched and `refresh=1` can
+    * never lose its `ref` prefix. */
+  private val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|ref|fbclid)(=.*)?$"
+
   def canonicalUrl(url: Column): Column = bind(url) { u =>
-    val scheme = lower(regexp_extract(u, s"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val netloc = lower(regexp_extract(u, s"$SchemePrefix([^/?#]+)", 1))
-    val host = regexp_replace(regexp_replace(netloc, "^www\\.", ""), ":(80|443)$", "")
-    // path + query, fragment excluded
-    val rest = regexp_extract(u, s"$SchemePrefix[^/?#]+([^#]*)", 1)
-    // tracking params: turn '?' into '?&' so every param is &-prefixed,
-    // strip the tracked ones, then collapse back and drop empty query
-    val noTrack =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(rest, "\\?", "?&"),
-          "&(utm_[A-Za-z0-9_]*|ref|fbclid)=[^&]*", ""),
-        "\\?&", "?")
-    val noEmptyQ = regexp_replace(noTrack, "\\?$", "")
-    // trailing path slashes (before the query or at the end)
-    val canonRest =
-      regexp_replace(regexp_replace(noEmptyQ, "/+\\?", "?"), "/+$", "")
-    when(netloc === "", trim(u))
-      .otherwise(concat(scheme, lit("://"), host, canonRest))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val netloc = regexp_extract(u, s"$SchemePrefix([^/?#]+)", 1)
+    // userinfo is case-sensitive and verbatim; only the host:port part
+    // is lowered/normalized
+    val userinfo = when(netloc.contains("@"),
+      concat(regexp_extract(netloc, "^([^@]*)@", 1), lit("@"))).otherwise(lit(""))
+    val hostport = lower(regexp_replace(netloc, "^[^@]*@", ""))
+    val host1 = regexp_replace(hostport, "^www\\.", "")
+    // only the SCHEME'S OWN default port is stripped — http://h:443 is
+    // a different origin than http://h and must stay distinct
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val path = regexp_extract(u, s"$SchemePrefix[^/?#]+([^?#]*)", 1)
+    val canonPath = regexp_replace(path, "/+$", "")
+    // query taken from the pre-fragment string so a '?' inside the
+    // fragment can't masquerade as one
+    val query = regexp_extract(regexp_replace(u, "#.*$", ""), "\\?([^#]*)", 1)
+    bind(array_join(
+      filter(split(query, "&"), p => !p.rlike(TrackingParamRe)), "&")) { qc =>
+      val withQ = when(query === "" || qc === "", canonPath)
+        .otherwise(concat(canonPath, lit("?"), qc))
+      when(netloc === "", trim(u))
+        .otherwise(concat(scheme, lit("://"), userinfo, host, withQ))
+    }
   }
 
   /** Keep the min-id doc per canonical URL (the keeper rule content
     * dedup also uses). Same digest-only two-phase shape as
-    * [[Dedup.exactDedup]]: only (canonical-url, id) pairs shuffle,
-    * then an id semi-join — text never moves. */
+    * [[Dedup.exactDedup]] (incl. the spread decoupling compute from
+    * file layout): only (canonical-url, id) pairs shuffle, then an id
+    * semi-join — text never moves.
+    *
+    * NULL and unparseable urls carry no page identity, so those rows
+    * BYPASS dedup and are kept as-is — grouping them would collapse
+    * every url-less doc into one keeper and silently drop the rest. */
   def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val keepers = docs
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol), canonicalUrl(col(urlCol)).as("__cu"))
+    val parseable = coalesce(
+      regexp_extract(col(urlCol), s"$SchemePrefix([^/?#]+)", 1) =!= "", lit(false))
+    val keepers = Dedup.spread(
+      docs.filter(col(idCol).isNotNull && parseable)
+        .select(col(idCol), canonicalUrl(col(urlCol)).as("__cu")))
       .groupBy("__cu").agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    docs.filter(col(idCol).isNotNull).join(keepers, Seq(idCol), "left_semi")
-      .unionByName(docs.filter(col(idCol).isNull))
+    docs.filter(col(idCol).isNotNull && parseable)
+      .join(keepers, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(col(idCol).isNull || !parseable))
   }
 
   // ---- gate ----
 
-  // DuckDB twin of canonicalUrl for a `url` expression (regexp_replace
-  // needs the explicit 'g' flag where Spark replaces globally).
+  // DuckDB twin of canonicalUrl for a `url` expression.
   private def sqlCanonical(urlExpr: String): String = {
     val scheme = s"lower(regexp_extract($urlExpr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    val netloc = s"lower(regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
-    val host = s"regexp_replace(regexp_replace($netloc, '^www\\.', ''), ':(80|443)$$', '')"
-    val rest = s"regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
-    val noTrack =
-      s"regexp_replace(regexp_replace(regexp_replace($rest, '\\?', '?&', 'g'), " +
-        "'&(utm_[A-Za-z0-9_]*|ref|fbclid)=[^&]*', '', 'g'), '\\?&', '?', 'g')"
-    val noEmptyQ = s"regexp_replace($noTrack, '\\?$$', '')"
-    val canonRest = s"regexp_replace(regexp_replace($noEmptyQ, '/+\\?', '?', 'g'), '/+$$', '')"
-    s"CASE WHEN $netloc = '' THEN trim($urlExpr) ELSE $scheme || '://' || $host || $canonRest END"
+    val netloc = s"regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)"
+    val userinfo = s"(CASE WHEN contains($netloc, '@') " +
+      s"THEN regexp_extract($netloc, '^([^@]*)@', 1) || '@' ELSE '' END)"
+    val hostport = s"lower(regexp_replace($netloc, '^[^@]*@', ''))"
+    val host1 = s"regexp_replace($hostport, '^www\\.', '')"
+    val host = s"(CASE WHEN $scheme = 'http' THEN regexp_replace($host1, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($host1, ':443$$', '') ELSE $host1 END)"
+    val path = s"regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    val canonPath = s"regexp_replace($path, '/+$$', '')"
+    val query = s"regexp_extract(regexp_replace($urlExpr, '#.*$$', ''), '\\?([^#]*)', 1)"
+    val qc = s"coalesce(array_to_string([p FOR p IN string_split($query, '&') " +
+      s"IF NOT regexp_matches(p, '$TrackingParamRe')], '&'), '')"
+    val withQ = s"(CASE WHEN $query = '' OR $qc = '' THEN $canonPath " +
+      s"ELSE $canonPath || '?' || $qc END)"
+    s"CASE WHEN $netloc = '' THEN trim($urlExpr) " +
+      s"ELSE $scheme || '://' || $userinfo || $host || $withQ END"
   }
 
-  // urls vary by case/www/port/tracking/fragment/trailing-slash while
-  // doc_id % 250 pins the page identity — every 250-apart pair
-  // canonicalizes to the same url through DIFFERENT surface forms.
+  // urls vary by scheme/case/www/default-and-custom ports/tracking/
+  // fragment/trailing-slash while doc_id % 250 pins the page identity;
+  // every 17th url is unparseable garbage, exercising the passthrough
+  // branch through the oracle too.
   private val SqlUrl =
-    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END) || " +
-      "source || '.example.com' || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
+    "(CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || doc_id ELSE " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END) || " +
+      "source || '.example.com' || " +
+      "(CASE WHEN doc_id % 11 = 0 THEN ':8080' " +
+      " WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':443' " +
+      " WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) || " +
       "'/docs/' || (doc_id % 250) || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || " +
-      "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END) || " +
-      "(CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+      "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&keep=1' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) END)"
 
   private def withUrl(docs: DataFrame): DataFrame = docs.withColumn(
     "url",
-    concat(
-      when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise("https://"),
-      col("source"), lit(".example.com"),
-      when(col("doc_id") % 3 === 0, ":443").otherwise(""),
-      lit("/docs/"), col("doc_id") % 250,
-      when(col("doc_id") % 4 === 0, "/").otherwise(""),
-      when(col("doc_id") % 5 === 0, "?utm_source=x").otherwise(""),
-      when(col("doc_id") % 7 === 0, "#frag").otherwise("")))
+    when(col("doc_id") % 17 === 0, concat(lit("not a url "), col("doc_id")))
+      .otherwise(concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise("http://"),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 11 === 0, ":8080")
+          .when(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0, ":443")
+          .when(col("doc_id") % 3 === 0, ":80")
+          .otherwise(""),
+        lit("/docs/"), col("doc_id") % 250,
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        when(col("doc_id") % 5 === 0, "?utm_source=x&keep=1").otherwise(""),
+        when(col("doc_id") % 7 === 0, "#frag").otherwise(""))))
 
   val gates: Seq[Gate] = Seq(
     Gate(

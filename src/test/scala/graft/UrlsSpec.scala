@@ -12,11 +12,37 @@ class UrlsSpec extends SparkSpec {
 
   test("canonicalization: case, www, default port, tracking, fragment, slash") {
     assert(canon("HTTPS://WWW.Ex.COM:443/a/?utm_source=z&x=1#f") == "https://ex.com/a?x=1")
-    assert(canon("https://ex.com:80/") == "https://ex.com")
+    assert(canon("http://ex.com:80/x") == "http://ex.com/x")
+    assert(canon("https://ex.com:80/") == "https://ex.com:80") // not https' default — a real origin
     assert(canon("https://ex.com/p?ref=abc") == "https://ex.com/p")
+    assert(canon("https://ex.com/p?utm_source") == "https://ex.com/p") // valueless tracking param
     assert(canon("https://ex.com/p?a=1&utm_b=2&b=3") == "https://ex.com/p?a=1&b=3")
     assert(canon("https://ex.com:8443/x") == "https://ex.com:8443/x") // non-default port kept
     assert(canon("  not a url  ") == "not a url") // unparseable passes through trimmed
+  }
+
+  test("canonicalization leaves legal oddities in query values intact") {
+    // '/' and '?' are legal inside query values (RFC 3986) — they are
+    // data, not structure, and must survive
+    assert(canon("https://ex.com/login?next=/home/") == "https://ex.com/login?next=/home/")
+    assert(canon("https://ex.com/p?u=/a/?x=1") == "https://ex.com/p?u=/a/?x=1")
+    // refresh must not lose its 'ref' prefix
+    assert(canon("https://ex.com/p?refresh=1") == "https://ex.com/p?refresh=1")
+    // userinfo is case-sensitive and untouched; host still normalizes
+    assert(canon("https://Alice@WWW.Ex.com/p") == "https://Alice@ex.com/p")
+  }
+
+  test("url dedup bypasses NULL and unparseable urls instead of merging them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("https://ex.com/p")),
+      (2L, Option.empty[String]),
+      (3L, Option.empty[String]),
+      (4L, Option("garbage")),
+      (5L, Option("junk"))).toDF("doc_id", "url")
+    val kept = Urls.urlDedup(docs, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("url dedup keeps the min-id doc per canonical url") {
