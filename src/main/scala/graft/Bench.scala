@@ -33,8 +33,13 @@ object Bench {
       .map { case (k, v) => k -> (if (v.isInfinity) -1.0 else v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1 sentinels (query failed all three passes) are FLAGGED, never
+    // summed — a failing query must not make the headline total look
+    // faster.
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,4 +18,24 @@ object Blobs {
     val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
     try ois.readObject().asInstanceOf[T] finally ois.close()
   }
+
+  /** Analysis-time guard for every blob expression's first child: it
+    * is evaluated with no input row to decode the driver-built object,
+    * so it must be a foldable BINARY expression — anything else would
+    * fail later as an opaque NPE/ClassCastException inside lazy-val
+    * init or codegen. */
+  def checkBlobChild(
+      fn: String,
+      blob: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (blob.dataType != org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn: blob argument must be BINARY, got ${blob.dataType.simpleString}")
+    else if (!blob.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn: blob argument must be a literal (driver-encoded via Blobs.encode), " +
+          "not a per-row expression")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 }

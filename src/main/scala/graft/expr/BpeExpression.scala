@@ -1,6 +1,7 @@
 package graft.expr
 
 import graft.tokens.{BpeTokenizer, BpeTrainer}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -43,6 +44,9 @@ object BpeKernel {
 case class BpeEncode(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_bpe_encode", left)
 
   @transient private lazy val tok: BpeTokenizer =
     BpeKernel.decodeTok(left.eval().asInstanceOf[Array[Byte]])

@@ -1,5 +1,6 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -42,6 +43,9 @@ object EmbedBagKernel {
 case class EmbedBag(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_embed_bag", left)
 
   @transient private lazy val matrix: Array[Array[Double]] =
     EmbedBagKernel.decodeMatrix(left.eval().asInstanceOf[Array[Byte]])

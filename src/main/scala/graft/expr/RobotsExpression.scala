@@ -2,6 +2,7 @@ package graft.expr
 
 import graft.operators.RobotsTxt
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -42,6 +43,12 @@ object RobotsKernel {
 case class RobotsAllowed(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
+
+  // The blob is decoded once in lazy-val init with no input row; a
+  // non-foldable child would surface as an opaque NPE deep inside
+  // codegen — fail analysis with an actionable message instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_robots_allowed", left)
 
   // The blob child must be a literal: it is evaluated once per
   // expression instance (driver at codegen, executor after deserialize).

@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.{Gate, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster construction: connected components over a
+  * near-dup PAIR set (from MinHash/SimHash/n-gram/cosine candidates),
+  * then keep one representative per component.
+  *
+  * The pair emitters in [[Dedup]]/[[Similarity]] stop at verified
+  * pairs; real dedup (fineweb's minhash stage, CCNet) must then
+  * cluster transitively — A≈B, B≈C ⇒ {A,B,C} is ONE group even when
+  * (A,C) itself was never a candidate — and keep one doc per group.
+  * The reference family does this with a single-node union-find over
+  * all pairs, which dies once the pair set outgrows one machine's
+  * memory; here it is the alternating large-star/small-star
+  * MapReduce algorithm (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014): O(log²) rounds, each round two
+  * self-aggregating joins over compact (long, long) edges — nothing
+  * but 16-byte id pairs ever shuffles, hot high-degree nodes are
+  * plain groupBy keys (AQE skew-split applies), and no driver state
+  * grows with the data.
+  */
+object Clusters {
+
+  /** Connected components of the undirected graph given by a pair
+    * DataFrame. Returns one row per node that appears in `pairs`:
+    * (`id`, `rep`) with `rep` = the smallest id in the node's
+    * component (the usual keeper rule). Nodes not mentioned in any
+    * pair are their own singleton component — callers union them back
+    * (see [[clusterDedup]]).
+    *
+    * Edges are canonicalized to (u = lo, v = hi) between rounds:
+    *  - large-star connects every node's larger neighbors to its
+    *    neighborhood minimum,
+    *  - small-star connects its smaller neighbors (and itself) to
+    *    their minimum,
+    * and at the fixpoint every component is a star rooted at its
+    * minimum. Convergence is checked per round (count + set except —
+    * both over the compact edge frame). Each round's result is
+    * materialized with `localCheckpoint`, NOT a plain persist: every
+    * iterative Spark algorithm must truncate lineage per round, or
+    * the logical plan doubles each iteration and Catalyst
+    * analysis/optimization time goes exponential long before any data
+    * gets big (this exact module hung at ~10 rounds with persist
+    * alone). The previous round is eagerly released, so peak
+    * footprint is two compact edge sets. localCheckpoint trades
+    * executor-loss recovery for speed — a cluster deployment with
+    * flaky executors should set a checkpoint dir and swap in
+    * `checkpoint` (reliable) at the same call site.
+    *
+    * NULL ids and self-pairs carry no linkage and are dropped.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    var (cur, curRdd, curCnt, curSig) = truncated(
+      pairs
+        .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least("a", "b").as("u"), greatest("a", "b").as("v"))
+        .distinct())
+    var converged = curCnt == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // one star-pair per materialization cycle. Measured variants:
+      // chaining TWO star-pairs per cycle (halving the fixed
+      // checkpoint+action cost) was ~2× SLOWER — the deeper
+      // un-materialized plan defeats AQE's stats-driven broadcast on
+      // the inner joins; and disabling AQE for the loop was 5× slower
+      // still (its broadcast conversion and partition coalescing are
+      // exactly what these shrinking edge frames need).
+      val (next, nextRdd, nextCnt, nextSig) =
+        truncated(smallStar(largeStar(cur)))
+      // (count, xor-of-hashes) differing proves NOT converged with
+      // no extra job (both come from the materialization aggregate);
+      // only a full match runs the exact except-confirm — once, at
+      // the true fixpoint (or after an astronomically unlikely
+      // signature collision, which costs one wasted job, never a
+      // wrong answer: stopping always requires the except to be
+      // empty)
+      converged = nextCnt == curCnt && nextSig == curSig &&
+        next.exceptAll(cur).isEmpty
+      curRdd.unpersist(blocking = false)
+      cur = next
+      curRdd = nextRdd
+      curCnt = nextCnt
+      curSig = nextSig
+      iter += 1
+    }
+    finish(cur, curCnt, converged, maxIter)
+  }
+
+  /** Post-loop: enforce convergence and derive labels from the
+    * converged star set. */
+  private def finish(
+      star: DataFrame, edgeCnt: Long, converged: Boolean, maxIter: Int): DataFrame = {
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds ($edgeCnt edges) — " +
+        "raise maxIter (rounds needed grow with log² of the largest component diameter)")
+    // the converged star set is already materialized by its
+    // localCheckpoint — downstream consumers (both label branches,
+    // dedup joins) read the checkpointed blocks, never recompute;
+    // superseded rounds' blocks are freed by the ContextCleaner once
+    // their RDDs go unreachable (unpersist above is best-effort)
+    //
+    // star fixpoint: every edge is (root, member) — each node's label
+    // is the min over its symmetrized neighborhood and itself (root
+    // for members, itself for roots). Computed as an aggregate rather
+    // than a union of two projections: projecting the SAME attribute
+    // into both output columns of a union child trips Spark 4.1's
+    // union constraint rewrite (NoSuchElementException in
+    // UnionBase.rewriteConstraints).
+    star.unionByName(star.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(least(min("v"), col("u")).as("rep"))
+      .withColumnRenamed("u", "id")
+  }
+
+  /** Materialize one round and truncate ALL lineage: RDD round-trip
+    * (localCheckpoint on the row RDD, then a fresh DataFrame over it).
+    * NOT `Dataset.localCheckpoint`: its LogicalRDD preserves the
+    * pre-checkpoint plan's constraints with the ORIGINAL expression
+    * ids, and the next round's union constraint rewrite then dies on
+    * the stale references (`NoSuchElementException: key not found:
+    * v#NNL` in UnionBase.rewriteConstraints, Spark 4.1). The fresh
+    * frame carries no constraints at all. localCheckpoint trades
+    * executor-loss recovery for speed; a deployment with flaky
+    * executors should swap in reliable `RDD.checkpoint` here. */
+  private def truncated(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long, Long) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val fresh = df.sparkSession.createDataFrame(rdd, df.schema)
+    // ONE action per round: materializes the checkpoint AND returns
+    // (edge count, order-independent xor signature) for the
+    // convergence fast path
+    val r = fresh
+      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+      .head()
+    (fresh, rdd, r.getLong(0), r.getLong(1))
+  }
+
+  /** Large-star: for every node, connect each LARGER neighbor to the
+    * minimum of its neighborhood (incl. itself). On the canonical
+    * (lo, hi) edge set the larger-neighbor view is exactly the rows
+    * with u = node, and the neighborhood min needs the symmetrized
+    * adjacency. */
+  private def largeStar(cur: DataFrame): DataFrame = {
+    val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+    // m ≤ u < v, so (m, v) is already canonical; m = v impossible.
+    // No distinct here: duplicates can't change smallStar's min
+    // aggregate and its trailing distinct canonicalizes the round —
+    // one shuffle saved per round.
+    cur.join(mins, "u").select(col("m").as("u"), col("v"))
+  }
+
+  /** Small-star: for every node, connect its SMALLER neighbors and
+    * itself to their minimum. Canonical rows with v = node are exactly
+    * that node's smaller-neighbor list. */
+  private def smallStar(cur: DataFrame): DataFrame = {
+    val mins = cur.groupBy("v").agg(min("u").as("m"))
+    val j = cur.join(mins, "v")
+    j.select(col("m").as("u"), col("v"))
+      .unionByName(
+        j.filter(col("u") =!= col("m")).select(col("m").as("u"), col("u").as("v")))
+      .distinct()
+  }
+
+  /** Keep one doc per duplicate cluster: the component-min id
+    * survives, every other member is dropped, docs in no pair pass
+    * untouched. The drop set is (non-representative member ids) only —
+    * at typical dup rates a small fraction of the corpus — and the
+    * anti-join keys on the id, so AQE picks broadcast when it fits
+    * and an id-bucketed table keeps its layout; document text crosses
+    * an exchange only if the planner must sort-merge (bucket the
+    * corpus by id to avoid even that).
+    */
+  def clusterDedup(
+      docs: DataFrame,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      idCol: String): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** The full fineweb-style near-dup stage: MinHash+LSH verified pairs
+    * → transitive clusters → keep the min-id member of each. */
+  def minhashClusterDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame =
+    clusterDedup(
+      docs, Dedup.minhashLshPairs(docs, textCol, idCol, threshold),
+      "id_a", "id_b", idCol)
+
+  // ---- gates ----
+
+  // Synthetic long-diameter graph from doc_id arithmetic (both engines
+  // build it identically): +1 chain edges over 80% of ids plus +17
+  // skip links merge into ~82-node components — wide enough that a
+  // one-hop-propagation bug can't pass, long enough to exercise real
+  // star-contraction rounds. Endpoint existence via self-join.
+  private val SqlEdges =
+    """SELECT a.doc_id AS u, b.doc_id AS v
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 100 < 80
+      |UNION
+      |SELECT a.doc_id, b.doc_id
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 17
+      |WHERE a.doc_id % 23 = 0""".stripMargin
+
+  // Min-label closure as a recursive CTE: every node starts labeled
+  // with itself, labels flow along edges to a fixpoint, the component
+  // representative is the minimum reachable label.
+  private val SqlReach =
+    """edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+      |reach(n, l) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+      |)""".stripMargin
+
+  private def synthEdges(docs: DataFrame): DataFrame = {
+    val ids = docs.select("doc_id")
+    val chain = ids.as("a")
+      .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("a.doc_id") % 100 < 80)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val skip = ids.as("a")
+      .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 17)
+      .filter(col("a.doc_id") % 23 === 0)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    chain.unionByName(skip).distinct()
+  }
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "dedup_cluster",
+      s"""WITH RECURSIVE base AS ($SqlEdges),
+         |$SqlReach
+         |SELECT n AS id, min(l) AS rep FROM reach GROUP BY n ORDER BY id""".stripMargin) {
+      (s, dir) =>
+        connectedComponents(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
+          .orderBy("id")
+    },
+
+    // End-to-end near-dup stage over the planted-replica corpus: the
+    // oracle recomputes the exact ≥ 0.7-Jaccard pair set brute-force
+    // (same CTE the minhash gate uses), closes it transitively with
+    // the recursive CTE, and keeps non-members plus component minima —
+    // pinning pairs→clusters→keeper end to end against DuckDB.
+    Gate(
+      "dedup_minhash_cluster", {
+        val inter = "len(list_intersect(a.s, b.s))"
+        val jac = s"CAST($inter AS DOUBLE) / (len(a.s) + len(b.s) - $inter)"
+        s"""WITH RECURSIVE all_docs AS (${Dedup.SqlPlantedTruncated}),
+           |sh AS (SELECT doc_id, ${Dedup.SqlShingles} AS s FROM all_docs
+           |       WHERE len(${Dedup.SqlShingles}) > 0),
+           |base AS (
+           |  SELECT a.doc_id AS u, b.doc_id AS v
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${graft.Cols.proundSql(jac, 4)} >= 0.7
+           |),
+           |$SqlReach,
+           |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n)
+           |SELECT d.doc_id FROM all_docs d LEFT JOIN labels ON d.doc_id = labels.n
+           |WHERE labels.n IS NULL OR labels.rep = d.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      minhashClusterDedup(
+        Dedup.plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.7)
+        .select("doc_id").orderBy("doc_id")
+    }
+  )
+}

@@ -60,12 +60,21 @@ object Dedup {
     * text through the exchange.)
     *
     * Contract: ids must be UNIQUE (duplicated id values would keep
-    * every row carrying a keeper's id). NULL-id rows cannot be
-    * addressed by an id join at all, so they bypass dedup and are
-    * kept as-is rather than silently dropped (`min` ignores NULLs and
-    * an equi-join never matches them) — assign ids upstream if they
-    * must participate. */
-  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * every row carrying a keeper's id, and a dup id in a different
+    * fingerprint group would wrongly survive). Pass
+    * `assertUniqueIds = true` to enforce it with one eager
+    * count-vs-distinct pass over (id) — cheap relative to the dedup
+    * itself, off by default so the plan stays lazy. NULL-id rows
+    * cannot be addressed by an id join at all, so they bypass dedup
+    * and are kept as-is rather than silently dropped (`min` ignores
+    * NULLs and an equi-join never matches them; pinned in DedupSpec)
+    * — assign ids upstream if they must participate. */
+  def exactDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      assertUniqueIds: Boolean = false): DataFrame = {
+    if (assertUniqueIds) assertUniqueIdsNow(docs, idCol, "exactDedup")
     val keepers = spread(
       docs.filter(col(idCol).isNotNull)
         .select(col(idCol), exactFingerprint(col(textCol)).as("__fp")))
@@ -73,6 +82,18 @@ object Dedup {
       .select(idCol)
     docs.filter(col(idCol).isNotNull).join(keepers, Seq(idCol), "left_semi")
       .unionByName(docs.filter(col(idCol).isNull))
+  }
+
+  /** Eager uniqueness check for the id-semi-join keeper shape (shared
+    * by [[exactDedup]] and [[Urls.urlDedup]]): one digest-width
+    * aggregate job, fails loudly with the duplicate count. */
+  private[operators] def assertUniqueIdsNow(
+      docs: DataFrame, idCol: String, op: String): Unit = {
+    val r = docs.filter(col(idCol).isNotNull)
+      .agg(count(lit(1)), count_distinct(col(idCol))).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$op: ${r.getLong(0) - r.getLong(1)} duplicated non-NULL $idCol values — " +
+        "the id semi-join keeper shape requires unique ids; assign unique ids upstream")
   }
 
   // MinHash: h_k(s) = (a_k·h32(s) + b_k) mod P — one md5 per shingle,

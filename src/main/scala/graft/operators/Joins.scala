@@ -32,15 +32,32 @@ object Joins {
       Set("inner", "left", "leftouter", "leftsemi", "leftanti")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi/left_anti joins, not $joinType")
-    // Deterministic per-row salt: hash of the FULL row, not
-    // monotonically_increasing_id — a stage retry after a fetch
-    // failure can reorder a recomputed partition, and an
+    // The working columns are flat names on both inputs; a
+    // pre-existing __salt/__rkey would silently collide with them.
+    val clash = (big.columns ++ small.columns).filter(Set("__salt", "__rkey"))
+    require(clash.isEmpty,
+      s"saltedJoin: input columns ${clash.mkString(", ")} collide with reserved working names")
+    // Deterministic per-row salt: hash of the row's hash-capable
+    // columns, not monotonically_increasing_id — a stage retry after a
+    // fetch failure can reorder a recomputed partition, and an
     // order-derived salt would then re-salt rows differently between
     // attempts, duplicating or dropping matches. A content hash is
-    // attempt-stable; fully identical rows share a salt (they spread
-    // less), which affects balance only, never the result.
+    // attempt-stable; rows identical on the hashed columns share a
+    // salt (they spread less), which affects balance only, never the
+    // result. Columns whose type XxHash64 can't hash (maps, and
+    // structs/arrays containing them) are skipped so e.g. a metadata
+    // MapType column doesn't fail analysis; the join key itself is
+    // always hashable (equi-join requires it), so the set is never
+    // empty.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     val bigS = big.withColumn(
-      "__salt", pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+      "__salt", pmod(xxhash64(saltCols.toIndexedSeq: _*), lit(salt.toLong)))
     val smallS = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
       .withColumnRenamed(key, "__rkey")

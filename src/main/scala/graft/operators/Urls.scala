@@ -62,8 +62,17 @@ object Urls {
     *
     * NULL and unparseable urls carry no page identity, so those rows
     * BYPASS dedup and are kept as-is — grouping them would collapse
-    * every url-less doc into one keeper and silently drop the rest. */
-  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    * every url-less doc into one keeper and silently drop the rest.
+    *
+    * Contract (same as [[Dedup.exactDedup]]): ids must be UNIQUE, and
+    * NULL-id rows bypass dedup. `assertUniqueIds = true` enforces
+    * uniqueness with one eager aggregate pass. */
+  def urlDedup(
+      docs: DataFrame,
+      urlCol: String,
+      idCol: String,
+      assertUniqueIds: Boolean = false): DataFrame = {
+    if (assertUniqueIds) Dedup.assertUniqueIdsNow(docs, idCol, "urlDedup")
     val parseable = coalesce(
       regexp_extract(col(urlCol), s"$SchemePrefix([^/?#]+)", 1) =!= "", lit(false))
     val keepers = Dedup.spread(

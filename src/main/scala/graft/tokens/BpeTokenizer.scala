@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 final case class BpeTokenizer(merges: IndexedSeq[(Seq[Byte], Seq[Byte])]) extends Serializable {
 
+  // Colliding concatenations (two merges both yielding the same bytes)
+  // would overwrite each other in vocab/idToBytes, leaving the earlier
+  // id unreachable; the trainer skips such candidates, and a hand-built
+  // merge list must honor the same invariant.
+  require(merges.map { case (a, b) => a ++ b }.distinct.length == merges.length,
+    "BpeTokenizer: merge concatenations must be distinct")
+
   val eosId: Int = 256 + merges.length
 
   /** symbol-pair → merge rank (lower = earlier = higher priority). */
@@ -118,17 +125,26 @@ object BpeTrainer {
     val words = wordCounts.map { case (w, c) => (w.map(b => Seq(b)).toBuffer, c) }
     implicit val byteSeqOrd: Ordering[Seq[Byte]] = Ordering.Implicits.seqOrdering
     val merges = IndexedSeq.newBuilder[(Seq[Byte], Seq[Byte])]
+    // Concatenations already in the vocab: a candidate whose bytes
+    // collide with an accepted merge (e.g. (a,bc) after (ab,c) — both
+    // "abc") would silently overwrite its vocab/idToBytes entry,
+    // making the earlier id unreachable in encode — skip such
+    // candidates instead. Single-byte symbols can't collide (merge
+    // concats are always ≥ 2 bytes), so only merge concats are tracked.
+    val taken = scala.collection.mutable.HashSet.empty[Seq[Byte]]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap.empty[(Seq[Byte], Seq[Byte]), Long]
       for ((syms, c) <- words; i <- 0 until syms.length - 1)
         counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
-      if (counts.isEmpty) exhausted = true
+      val eligible = counts.filter { case ((a, b), _) => !taken(a ++ b) }
+      if (eligible.isEmpty) exhausted = true
       else {
         // max count, ties to the lexicographically smallest pair —
         // total order, so training is reproducible bit-for-bit
-        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val (pair, _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        taken += pair._1 ++ pair._2
         merges += pair
         for ((syms, _) <- words) {
           var i = 0

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Clusters
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Local union-find ground truth. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress everything, then label = component min (find
+    // already steers roots to the min because we always parent the
+    // larger root under the smaller)
+    parent.keys.toSeq.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(pairs: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    Clusters.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: chains, cycles, stars, singleton noise") {
+    val pairs = Seq(
+      // 6-node chain
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      // cycle
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      // star with reversed/duplicated/self edges
+      (20L, 21L), (22L, 20L), (20L, 23L), (21L, 20L), (30L, 30L),
+      // two-node component
+      (40L, 41L))
+    val got = ccOf(pairs)
+    val want = unionFind(pairs.filter(p => p._1 != p._2))
+    assert(got == want)
+    assert(got(6L) == 1L && got(12L) == 10L && got(23L) == 20L && got(41L) == 40L)
+    assert(!got.contains(30L)) // self-pair carries no linkage
+    Caches.releaseAll()
+  }
+
+  test("connected components match union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    // 400 nodes, 300 random edges → a mix of large components,
+    // small ones, and isolated pairs; ids sparse to catch any
+    // dense-index assumption
+    val pairs = Seq.fill(300) {
+      (rnd.nextInt(400).toLong * 7 + 3, rnd.nextInt(400).toLong * 7 + 3)
+    }.filter(p => p._1 != p._2)
+    val got = ccOf(pairs)
+    assert(got == unionFind(pairs))
+    Caches.releaseAll()
+  }
+
+  test("long path converges within the round budget and maxIter is enforced") {
+    val path = (0L until 200L).map(i => (i, i + 1))
+    val got = ccOf(path, maxIter = 50)
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+    // a 200-diameter path cannot star-contract in 1 round
+    val e = intercept[IllegalArgumentException](ccOf(path, maxIter = 1))
+    assert(e.getMessage.contains("not converged"))
+    Caches.releaseAll()
+  }
+
+  test("clusterDedup keeps component minima and untouched docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val kept = Clusters.clusterDedup(docs, pairs, "id_a", "id_b", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 9L))
+    Caches.releaseAll()
+  }
+
+  test("minhash cluster dedup = pairs closed transitively, min-id kept") {
+    val docs = graft.operators.Dedup.plantedTruncated(Tables(spark, sfDir, "documents"))
+    val pairs = graft.operators.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val want = unionFind(pairs)
+    val dropped = want.collect { case (id, rep) if id != rep => id }.toSet
+    val kept = Clusters.minhashClusterDedup(docs, "text", "doc_id", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- dropped)
+    Caches.releaseAll()
+  }
+}
