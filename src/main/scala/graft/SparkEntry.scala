@@ -13,8 +13,11 @@ object SparkEntry {
       operators.Filters.gates ++
       operators.TextAnalysis.gates ++
       operators.Dedup.gates ++
+      operators.Lines.gates ++
       operators.Clusters.gates ++
       operators.Similarity.gates ++
+      operators.Mixture.gates ++
+      operators.Dsir.gates ++
       operators.Formatters.gates ++
       operators.ParaDocs.gates ++
       operators.Urls.gates ++

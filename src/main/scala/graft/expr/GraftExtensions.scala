@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_embed_bag"),
         new ExpressionInfo(classOf[EmbedBag].getName, "graft_embed_bag"),
         (args: Seq[Expression]) => EmbedBag(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_set_contains"),
+        new ExpressionInfo(classOf[StringSetContains].getName, "graft_set_contains"),
+        (args: Seq[Expression]) => StringSetContains(args.head, args(1))))
   }
 }
 
@@ -108,5 +112,7 @@ object GraftExtensions {
       "graft_bpe_encode", es => BpeEncode(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_embed_bag", es => EmbedBag(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_set_contains", es => StringSetContains(es.head, es(1)), "built-in")
   }
 }

@@ -1,0 +1,72 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Driver-built string set shipped to executors as a binary literal.
+  * Keys are stored as UTF8 byte arrays wrapped back into
+  * [[UTF8String]]s at decode, so the per-row probe compares the
+  * column's UTF8String directly — no per-row `toString` allocation.
+  * Top-level class (not nested) so generated Java can name it. */
+final case class StringSetTable(keys: Array[Array[Byte]]) extends Serializable {
+  @transient lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](keys.length * 2)
+    keys.foreach(k => s.add(UTF8String.fromBytes(k)))
+    s
+  }
+}
+
+object StringSetKernel {
+
+  def encode(strings: Iterable[String]): Array[Byte] =
+    Blobs.encode(StringSetTable(strings.map(_.getBytes("UTF-8")).toArray))
+
+  def decode(bytes: Array[Byte]): StringSetTable = Blobs.decode(bytes)
+
+  /** Row kernel: NULL is never a member. */
+  def contains(t: StringSetTable, s: UTF8String): Boolean =
+    s != null && t.set.contains(s)
+}
+
+/** `graft_set_contains(setBlob, str)` → boolean (never null).
+  *
+  * The ship-a-blob membership probe behind [[graft.operators.Lines]]:
+  * a bounded driver-collected set (hot boilerplate line digests)
+  * becomes a binary literal, and the per-row probe is one static
+  * kernel call — usable inside higher-order array lambdas (where a
+  * join cannot reach) and inside whole-stage codegen alike, unlike a
+  * Scala UDF. Same pattern as [[RobotsAllowed]].
+  */
+case class StringSetContains(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_set_contains", left)
+
+  @transient private lazy val table: StringSetTable =
+    StringSetKernel.decode(left.eval().asInstanceOf[Array[Byte]])
+
+  override def eval(input: InternalRow): Any =
+    StringSetKernel.contains(table, right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("stringSet", table, classOf[StringSetTable].getName)
+    val s = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${s.code}
+        boolean ${ev.value} = graft.expr.StringSetKernel.contains(
+          $tRef, ${s.isNull} ? null : ${s.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StringSetContains =
+    copy(left = l, right = r)
+}

@@ -220,8 +220,10 @@ object Clusters {
 
   // Min-label closure as a recursive CTE: every node starts labeled
   // with itself, labels flow along edges to a fixpoint, the component
-  // representative is the minimum reachable label.
-  private val SqlReach =
+  // representative is the minimum reachable label. Shared by the
+  // cluster gates here and the semantic-dedup gate (expects a CTE
+  // named `base` with columns u, v).
+  private[operators] val SqlReach =
     """edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
       |reach(n, l) AS (
       |  SELECT u, u FROM edges

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  * the public method behind "pick raw-web docs that look like the
+  * target corpus"): estimate bag-of-hashed-ngram distributions for a
+  * TARGET subset and the RAW corpus, score every doc by the
+  * log-likelihood ratio Σ_gram [log θ_target(b) − log θ_raw(b)] over
+  * its grams' hash buckets (add-1 smoothing), then keep the top
+  * scores (or Gumbel-resample on them — composable with
+  * [[Mixture]] / the sampler filter).
+  *
+  * Scale design: the whole estimator is ONE compact shuffle — grams
+  * project to int buckets inside the scan stage, and the bucket-count
+  * aggregate has `buckets` (default 1024) output rows with map-side
+  * combine. The per-bucket LLR table is bounded by construction, so
+  * scoring is a narrow pass: a literal-array lookup + decimal fold,
+  * fused into whole-stage codegen. Document text never shuffles;
+  * nothing quadratic anywhere.
+  *
+  * Portability: buckets come from the md5-based [[TextAnalysis.h32]]
+  * (engine-independent); LLR values are rounded to 8 decimals (the
+  * log is the one non-correctly-rounded IEEE op in the chain) and
+  * per-doc sums accumulate in DECIMAL(30,15) — so a DuckDB oracle
+  * reproduces scores bit-for-bit.
+  */
+object Dsir {
+
+  /** Hash bucket of one gram: portable 32-bit md5 prefix mod buckets. */
+  def bucketOf(gram: Column, buckets: Int): Column =
+    pmod(TextAnalysis.h32(gram), lit(buckets))
+
+  /** Word n-grams WITH multiplicity (DSIR counts occurrences). */
+  def grams(text: Column, n: Int): Column =
+    TextAnalysis.ngrams(TextAnalysis.words(lower(text)), n)
+
+  /** Per-bucket (rawCount, targetCount) over the corpus: one compact
+    * aggregate — the exchange carries int buckets, pre-reduced
+    * map-side to ≤ `buckets` rows per partition. */
+  def bucketCounts(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      n: Int,
+      buckets: Int): DataFrame =
+    Dedup.spread(docs)
+      .select(isTarget.as("__t"), explode(grams(col(textCol), n)).as("__g"))
+      .select(col("__t"), bucketOf(col("__g"), buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("raw_count"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("target_count"))
+
+  /** The smoothed per-bucket log-likelihood ratio, rounded to 8
+    * decimals with the shared portable-floor formula (consistent for
+    * negative values too — both engines use the identical
+    * floor(x·1e8+0.5) expression). */
+  private def llr(tc: Long, tTot: Long, rc: Long, rTot: Long, buckets: Int): Double = {
+    val x = math.log(tc + 1.0) - math.log(tTot.toDouble + buckets) -
+      math.log(rc + 1.0) + math.log(rTot.toDouble + buckets)
+    math.floor(x * 1e8 + 0.5) / 1e8
+  }
+
+  /** Score every doc: `dsir_score` = Σ over its grams of the bucket
+    * LLR (decimal-accumulated, rounded to 4). Grams-free docs score
+    * 0. The LLR table (`buckets` doubles) ships as a literal array —
+    * the scoring pass is narrow and codegen-fused. */
+  def dsirScore(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      n: Int = 2,
+      buckets: Int = 1024): DataFrame = {
+    val acc = DecimalType(30, 15)
+    val counts = bucketCounts(docs, textCol, isTarget, n, buckets)
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val rTot = counts.valuesIterator.map(_._1).sum
+    val tTot = counts.valuesIterator.map(_._2).sum
+    val table = Array.tabulate(buckets) { b =>
+      val (rc, tc) = counts.getOrElse(b, (0L, 0L))
+      llr(tc, tTot, rc, rTot, buckets)
+    }
+    val tableLit = array(table.toIndexedSeq.map(lit): _*)
+    docs.withColumn("dsir_score",
+      Cols.pround(
+        aggregate(
+          transform(grams(col(textCol), n),
+            g => element_at(tableLit, (bucketOf(g, buckets) + 1).cast("int")).cast(acc)),
+          lit(0).cast(acc), (a, x) => (a + x).cast(acc)).cast("double"),
+        4))
+  }
+
+  // ---- gates ----
+
+  // Target = every 9th doc (a deterministic stand-in for "the quality
+  // corpus"); the oracle recomputes counts, LLR table, and scores from
+  // scratch in SQL. pround(…,8) on the LLR bridges the one
+  // non-correctly-rounded op (ln) between engines.
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "fw_dsir", {
+        val B = 1024
+        val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
+        val llrExpr = "ln(tc + 1.0) - ln(tt + 1024.0) - ln(rc + 1.0) + ln(rt + 1024.0)"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |bg AS (SELECT doc_id,
+           |    [array_to_string(toks[i:i+1], ' ')
+           |     FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)] AS gs
+           |  FROM t),
+           |e AS (SELECT doc_id, $h32 % $B AS bucket
+           |      FROM (SELECT doc_id, unnest(gs) AS g FROM bg)),
+           |counts AS (SELECT bucket, count(*) AS rc,
+           |    sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS tc
+           |  FROM e GROUP BY bucket),
+           |tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts),
+           |w AS (SELECT bucket, ${Cols.proundSql(llrExpr, 8)} AS llr FROM counts, tot),
+           |sc AS (SELECT doc_id,
+           |    CAST(sum(CAST(llr AS DECIMAL(30,15))) AS DOUBLE) AS score
+           |  FROM e JOIN w USING (bucket) GROUP BY doc_id)
+           |SELECT bg.doc_id, len(gs) AS n_grams,
+           |  (bg.doc_id % 9 = 0) AS is_target,
+           |  ${Cols.proundSql("coalesce(score, 0.0)", 4)} AS dsir_score
+           |FROM bg LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      dsirScore(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          size(grams(col("text"), 2)).as("n_grams"),
+          (col("doc_id") % 9 === 0).as("is_target"),
+          col("dsir_score"))
+        .orderBy("doc_id")
+    }
+  )
+}

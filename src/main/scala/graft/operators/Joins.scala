@@ -181,7 +181,74 @@ object Joins {
           payloadCols.map(c => col("__match").getField(c).as(prefix + c)): _*)
   }
 
+  /** Range join: every left row (point `pointCol`) against every
+    * right row (interval `[loCol, hiCol)`) containing it. Spark plans
+    * a bare range predicate as BroadcastNestedLoopJoin — a full
+    * right-scan per left partition, quadratic at scale. Binning turns
+    * it into an EQUI-join: intervals explode into the bins they
+    * cover, points map to their one bin, and Catalyst plans a hash
+    * join (AQE skew-split applies); the exact range predicate rides
+    * on the join so false candidates die inside it. A (point,
+    * interval) pair shares exactly one bin — no post-dedup needed.
+    *
+    * `binWidth` tunes the fan-out: interval replication is
+    * len/binWidth + 1, and candidates per point ≈ intervals whose
+    * bin it hits — set it near the median interval length. Intervals
+    * with hi < lo match nothing and are dropped up front (Spark's
+    * sequence() would count DOWN through them, manufacturing junk
+    * candidate rows). Column sets must be disjoint; `__bin` is
+    * reserved.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      pointCol: String,
+      right: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = (left.columns ++ right.columns).filter(_ == "__bin")
+    require(clash.isEmpty, "rangeJoin: input columns collide with reserved name __bin")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"rangeJoin: column sets must be disjoint, both sides have ${dup.mkString(", ")}")
+    val lb = left.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    val rb = right
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(loCol) / binWidth).cast("long"),
+          floor(col(hiCol) / binWidth).cast("long"))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   val gates: Seq[Gate] = Seq(
+    // Q14 — binned range join, oracle = DuckDB's native range
+    // (inequality) join: synthetic value intervals from part columns
+    // against the events value stream, aggregated per interval.
+    Gate(
+      "q14_range_join",
+      s"""WITH iv AS (SELECT p_partkey,
+         |    CAST(p_partkey % 300 AS DOUBLE) AS lo,
+         |    CAST(p_partkey % 300 + p_size % 20 + 1 AS DOUBLE) AS hi
+         |  FROM part)
+         |SELECT p_partkey, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM iv JOIN events ON value >= lo AND value < hi
+         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val iv = Tables(s, dir, "part").select(
+        col("p_partkey"),
+        (col("p_partkey") % 300).cast("double").as("lo"),
+        (col("p_partkey") % 300 + col("p_size") % 20 + 1).cast("double").as("hi"))
+      val ev = Tables(s, dir, "events").select(col("value"))
+      rangeJoin(ev, "value", iv, "lo", "hi", binWidth = 8.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_events"), graft.Cols.dsum(col("value")).as("sum_value"))
+        .orderBy("p_partkey")
+    },
+
     // K3 — bloom-prefiltered anti-join, oracle = plain NOT IN: the
     // bloom only routes (clean ∪ verified survivors), so the result
     // must be exactly the anti-join's.

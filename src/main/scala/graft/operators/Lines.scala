@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{Gate, Tables}
+import graft.Cols.bind
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-document duplication operators: line-level corpus dedup
+  * (CCNet / RefinedWeb / MassiveText's "remove boilerplate lines
+  * duplicated across many pages") and duplicated-span detection
+  * (the detection half of Lee et al. 2021's substring dedup —
+  * "Deduplicating Training Data Makes Language Models Better").
+  *
+  * Scale design, both operators: document text NEVER shuffles.
+  *  - Hot-line detection projects each line down to its 16-byte md5
+  *    BEFORE any exchange; the only shuffled payload is (id, digest).
+  *  - Removal is a single narrow pass: the hot digest set (bounded —
+  *    a line must recur across ≥ minDocs documents to qualify, i.e.
+  *    site boilerplate, not content) is driver-collected and shipped
+  *    as a binary-literal [[graft.expr.StringSetContains]] probe, so
+  *    the per-line test runs inside the scan's fused stage exactly
+  *    like a bloom runtime filter. A capacity guard fails loudly if
+  *    the set outgrows the blob budget instead of silently OOMing.
+  *  - Span detection never collects anything: window digests
+  *    semi-join corpus-hot digests (compact shuffle), then reduce to
+  *    per-doc counts. Removal of overlapping spans is deliberately
+  *    NOT offered — cut order changes the result; the public
+  *    pipelines use span-duplication as a FILTER signal, which the
+  *    per-doc stats serve directly.
+  */
+object Lines {
+
+  /** md5 digests of lines (length ≥ minChars after trimming nothing —
+    * raw lines, matching CCNet's hash-of-raw-paragraph) that occur in
+    * at least `minDocs` DISTINCT documents. Compact by construction:
+    * lines project to digests inside the scan stage; the exchange
+    * carries (id, 32-hex-char digest) only. */
+  def hotLineHashes(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int,
+      minChars: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    Dedup.spread(docs)
+      .select(col(idCol).as("__id"), explode(split(col(textCol), "\n")).as("__l"))
+      .filter(length(col("__l")) >= minChars)
+      .select(col("__id"), md5(col("__l")).as("h"))
+      .distinct() // per-doc repeats of a line count once toward its df
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+  }
+
+  /** Remove every occurrence of corpus-hot lines (the CCNet rule:
+    * a paragraph seen on many pages is boilerplate, drop it
+    * everywhere). Returns `docs` with `textCol` rewritten and an
+    * appended `n_lines_removed` column; NULL-text rows pass through
+    * with 0 removed. Lines shorter than `minChars` are never
+    * considered (trivially-common short lines — "Home", "1" — would
+    * otherwise dominate the hot set).
+    *
+    * `maxHotLines` bounds the driver-collected digest set: at
+    * realistic thresholds the hot set is site boilerplate (orders of
+    * magnitude smaller than the corpus), but a pathological corpus
+    * fails loudly here rather than OOMing the driver. */
+  def dedupLines(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int = 3,
+      minChars: Int = 15,
+      maxHotLines: Int = 10000000): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    // limit(maxHotLines + 1): the guard needs only "more than max",
+    // never the full pathological set on the driver
+    val hot = hotLineHashes(docs, textCol, idCol, minDocs, minChars)
+      .limit(maxHotLines + 1).collect().map(_.getString(0))
+    require(hot.length <= maxHotLines,
+      s"dedupLines: hot-line set exceeds maxHotLines=$maxHotLines — " +
+        "raise minDocs/minChars or the cap")
+    val blob = lit(graft.expr.StringSetKernel.encode(hot))
+    val cleaned = bind(split(col(textCol), "\n")) { lines =>
+      bind(filter(lines, l =>
+        !(length(l) >= minChars && call_function("graft_set_contains", blob, md5(l))))) {
+        kept =>
+          struct(
+            (size(lines) - size(kept)).cast("long").as("nr"),
+            array_join(kept, "\n").as("txt"))
+      }
+    }
+    docs
+      .withColumn("__c",
+        when(col(textCol).isNull,
+          struct(lit(0L).as("nr"), col(textCol).as("txt")))
+          .otherwise(cleaned))
+      .withColumn(textCol, col("__c.txt"))
+      .withColumn("n_lines_removed", col("__c.nr"))
+      .drop("__c")
+  }
+
+  /** Per-document duplicated-span stats: of the doc's DISTINCT
+    * `w`-word windows, how many occur in ≥ 2 distinct documents
+    * corpus-wide. High `n_dup_windows / n_windows` flags docs built
+    * from copied spans (Lee et al.'s dedup target) — use it as a
+    * filter signal. Returns (idCol, n_windows, n_dup_windows).
+    *
+    * Two compact shuffles (digest df-count, digest semi-join + per-doc
+    * count); window text reduces to md5 before either. */
+  def dupSpanStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 10): DataFrame = {
+    val grams = graft.Caches.persist(
+      Dedup.spread(docs)
+        .select(col(idCol).as("__id"),
+          array_distinct(TextAnalysis.ngrams(TextAnalysis.words(lower(col(textCol))), w))
+            .as("__gs"))
+        .select(col("__id"), size(col("__gs")).as("n_windows"), explode_outer(md5str(col("__gs"))).as("h")))
+    // distinct docs per digest; __gs is per-doc distinct already, so a
+    // plain count counts documents
+    val hot = grams.filter(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") >= 2).select("h")
+    val dup = grams.join(hot, Seq("h"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_dup_windows"))
+    grams.groupBy(col("__id"), col("n_windows")).agg(count(lit(1)))
+      .select(col("__id").as(idCol), col("n_windows"))
+      .join(dup.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+  }
+
+  /** Per-element md5 of a string array (digest projection applied
+    * before the explode's rows can reach an exchange). */
+  private def md5str(arr: Column): Column = transform(arr, g => md5(g))
+
+  // ---- gates ----
+
+  // The synthetic docs are single-line word soup, so the gate builds a
+  // deterministic multi-line page (8-word chunks) and plants
+  // boilerplate: a newsletter header on doc_id%7, a rights footer on
+  // doc_id%5, and a SHORT dup line ("ok bye") on doc_id%3 that stays
+  // below minChars — pinning that the length floor protects short
+  // lines no matter how often they recur.
+  private val HeaderLine = "subscribe to our newsletter for daily updates today"
+  private val FooterLine = "all rights reserved contact the site administrator"
+
+  private[operators] def pageWithBoilerplate(docId: Column, text: Column): Column = {
+    val chunks = bind(TextAnalysis.words(text)) { ws =>
+      array_join(
+        transform(TextAnalysis.indices(ceil(size(ws) / lit(8.0))),
+          i => array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " ")),
+        "\n")
+    }
+    concat(
+      when(docId % 7 === 0, lit(HeaderLine + "\n")).otherwise(lit("")),
+      chunks,
+      when(docId % 5 === 0, lit("\n" + FooterLine)).otherwise(lit("")),
+      when(docId % 3 === 0, lit("\nok bye")).otherwise(lit("")))
+  }
+
+  private val SqlPage: String = {
+    val chunks =
+      "array_to_string([array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') " +
+        "FOR i IN range(1, CAST(ceil(len(ws)/8.0) AS INT) + 1)], chr(10))"
+    s"(CASE WHEN doc_id % 7 = 0 THEN '$HeaderLine' || chr(10) ELSE '' END) || $chunks || " +
+      s"(CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$FooterLine' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'ok bye' ELSE '' END)"
+  }
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "dedup_lines",
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+         |           FROM documents),
+         |p AS (SELECT doc_id, $SqlPage AS page FROM w),
+         |l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
+         |lh AS (SELECT DISTINCT doc_id, h FROM
+         |        (SELECT doc_id, unnest([md5(x) FOR x IN lines IF len(x) >= 15]) AS h FROM l)),
+         |hot AS (SELECT h FROM lh GROUP BY h HAVING count(*) >= 3),
+         |hl AS (SELECT coalesce(list(h), []) AS hl FROM hot),
+         |k AS (SELECT doc_id, lines,
+         |    [x FOR x IN lines IF NOT (len(x) >= 15 AND list_contains(hl, md5(x)))] AS kept
+         |  FROM l, hl)
+         |SELECT doc_id, len(lines) AS n_lines,
+         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+         |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), pageWithBoilerplate(col("doc_id"), col("text")).as("text"))
+      dedupLines(pages, "text", "doc_id", minDocs = 3, minChars = 15)
+        .join(pages.select(col("doc_id"), size(split(col("text"), "\n")).as("n_lines")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"),
+          col("n_lines_removed").as("n_removed"),
+          md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Planted truncation replicas share most 10-word windows with
+    // their source doc — exactly the copied-span signal the operator
+    // measures.
+    Gate(
+      "txt_dup_spans", {
+        val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        s"""WITH all_docs AS (${Dedup.SqlPlantedTruncated}),
+           |t AS (SELECT doc_id, $toks AS toks FROM all_docs),
+           |g AS (SELECT doc_id,
+           |    list_distinct([array_to_string(toks[i:i+9], ' ')
+           |                   FOR i IN range(1, greatest(len(toks) - 9, 0) + 1)]) AS gs
+           |  FROM t),
+           |e AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+           |h AS (SELECT gr FROM e GROUP BY gr HAVING count(*) >= 2),
+           |d AS (SELECT e.doc_id, count(*) AS n_dup FROM e JOIN h USING (gr) GROUP BY e.doc_id)
+           |SELECT g.doc_id, len(gs) AS n_windows,
+           |  coalesce(d.n_dup, 0) AS n_dup_windows
+           |FROM g LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      dupSpanStats(Dedup.plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", w = 10)
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Source-mixture (re)sampling — the "data mixing" stage of every
+  * public pretraining recipe (GPT-3 / PaLM / UniMax temperature
+  * sampling): flatten the per-source distribution with an exponent
+  * τ < 1, then up/downsample each source to hit a token/doc budget.
+  * Small sources replicate across epochs (deterministically), large
+  * ones subsample.
+  *
+  * Scale design: the per-source count table is tiny (thousands of
+  * sources at most) — rates are derived IN-PLAN from it and join back
+  * broadcast, so the 100 TB side stays narrow: one broadcast-hash
+  * join, a per-row copies computation (portable LCG — reproducible
+  * across engines, partitionings, and retries), and an explode whose
+  * fan-out IS the requested upsampling. Nothing collects to the
+  * driver.
+  *
+  * Portability: at the default τ = 0.5 the flattening uses IEEE sqrt
+  * (correctly rounded ⇒ bit-identical across engines) and the share
+  * normalizer is a decimal-accumulated sum, so a SQL oracle
+  * reproduces every rate exactly. Other τ values use pow() —
+  * production-fine, but not oracle-exact.
+  */
+object Mixture {
+
+  private def tpow(c: Column, temperature: Double): Column =
+    if (temperature == 0.5) sqrt(c) else pow(c, temperature)
+
+  /** Per-source sampling rate table: (sourceCol, __n, __rate) where
+    * rate_s = budget · n_s^τ / (Σ_s n_s^τ) / n_s. A rate > 1 means
+    * the source replicates (epochs), < 1 subsamples. */
+  def mixtureRates(
+      docs: DataFrame,
+      sourceCol: String,
+      budget: Long,
+      temperature: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(
+      sum(tpow(col("__n"), temperature).cast(DecimalType(30, 15)))
+        .cast("double").as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("__n"),
+        (lit(budget.toDouble) * tpow(col("__n"), temperature) / col("__t") / col("__n"))
+          .as("__rate"))
+  }
+
+  /** Temperature-resampled corpus: every input doc appears
+    * `floor(rate) + Bernoulli(frac(rate))` times (the Bernoulli draw
+    * is the portable LCG on the id — deterministic), each copy tagged
+    * with a 0-based `epoch` column. Expected output size = `budget`.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      budget: Long,
+      temperature: Double = 0.5): DataFrame = {
+    val rates = mixtureRates(docs, sourceCol, budget, temperature)
+      .select(col(sourceCol), col("__rate"))
+    val copies = (floor(col("__rate")) +
+      when(Cols.lcgUniform(col(idCol)) < col("__rate") - floor(col("__rate")), 1.0)
+        .otherwise(0.0)).cast("long")
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__copies", copies)
+      .withColumn("epoch",
+        explode(when(col("__copies") < 1, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(0L), col("__copies") - 1))))
+      .drop("__rate", "__copies")
+  }
+
+  // ---- gates ----
+
+  // Skewed groups from id arithmetic (the synthetic sources are
+  // near-uniform): 60/30/10% splits make the gate exercise BOTH
+  // directions — 'big' downsamples (rate < 1), 'small' replicates
+  // (rate > 1) — at budget = |corpus| and τ = 0.5.
+  private val SqlGrp =
+    "CASE WHEN doc_id % 10 < 6 THEN 'big' WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END"
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "op_mixture",
+      s"""WITH g AS (SELECT doc_id, $SqlGrp AS grp FROM documents),
+         |c AS (SELECT grp, count(*) AS n FROM g GROUP BY grp),
+         |t AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(30,15))) AS DOUBLE) AS t,
+         |             (SELECT count(*) FROM g) AS b FROM c),
+         |r AS (SELECT grp, CAST(b AS DOUBLE) * sqrt(n) / t / n AS rate FROM c, t),
+         |d AS (SELECT doc_id, g.grp,
+         |    CAST(floor(rate) + (CASE WHEN ${Cols.lcgUniformSql("doc_id")} < rate - floor(rate)
+         |                        THEN 1 ELSE 0 END) AS BIGINT) AS copies
+         |  FROM g JOIN r USING (grp))
+         |SELECT doc_id, grp, unnest(range(0, copies)) AS epoch
+         |FROM d ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small").as("grp"))
+      val budget = docs.count()
+      mixtureSample(docs, "grp", "doc_id", budget)
+        .select("doc_id", "grp", "epoch")
+        .orderBy("doc_id", "epoch")
+    }
+  )
+}

@@ -275,6 +275,93 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  // ---- SemDeDup (semantic dedup) ----
+
+  /** Unit-normalize a vector with exactly-portable arithmetic: the
+    * decimal dot gives both engines the identical ‖v‖², and IEEE
+    * sqrt/divide are correctly rounded, so every component matches
+    * bit-for-bit cross-engine. Zero vectors pass through unscaled. */
+  def unitNormalize(v: Column): Column =
+    graft.Cols.bind(decDot(v, v)) { n2 =>
+      when(n2 === 0.0, v).otherwise(
+        graft.Cols.bind(sqrt(n2))(nrm => transform(v, x => x / nrm)))
+    }
+
+  /** SQL twin of [[unitNormalize]] over a DOUBLE[] expression. */
+  def sqlUnitNormalize(vExpr: String): String = {
+    val n2 = sqlDecDot(vExpr, vExpr)
+    s"(CASE WHEN $n2 = 0.0 THEN $vExpr " +
+      s"ELSE [x / sqrt($n2) FOR x IN $vExpr] END)"
+  }
+
+  /** Nearest-centroid index (squared distance, ties to the lower
+    * index) over literal centroids — the shared assignment expression
+    * for IVF cells and SemDeDup clusters. `decimal = true` uses the
+    * decimal dot kernel (oracle-parity, ~20× the arithmetic);
+    * production paths use the fast double kernel. */
+  private[operators] def nearestCentroid(
+      v: Column, centroids: Array[Array[Double]], decimal: Boolean): Column = {
+    def dot(a: Column, b: Column): Column =
+      if (decimal) decDot(a, b) else call_function("graft_fastdot", a, b)
+    element_at(
+      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.toIndexedSeq.map(lit): _*)
+        // full ‖v‖²−2v·c+‖c‖² with BOTH norms in-engine: the oracle
+        // computes the same three dots, so the doubles agree exactly
+        struct((dot(v, v) - lit(2.0) * dot(v, cLit) + dot(cLit, cLit)).as("d"),
+          lit(i).as("i"))
+      }.toIndexedSeq: _*)), 1).getField("i")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means-cluster
+    * the unit-normalized embeddings, find within-cluster pairs with
+    * cosine ≥ `threshold`, close them transitively, keep the min-id
+    * member of each duplicate group.
+    *
+    * Scale design: the quadratic pair search is confined to clusters
+    * (the whole point of the method — nCells scales with corpus size
+    * so cluster populations stay bounded); centroids come from a
+    * bounded deterministic sample fit exactly like [[ivfTopK]]; the
+    * transitive closure is the log²-round star-contraction of
+    * [[Clusters.connectedComponents]] over compact id pairs. Vectors
+    * shuffle once (by cell) for the pair join.
+    *
+    * `centroidsOverride` injects fixed centroids (the oracle-gated
+    * path — k-means itself is not SQL-expressible); production leaves
+    * it None for the sample-fit. */
+  def semanticDedup(
+      vecs: DataFrame, // id, vec
+      threshold: Double,
+      nCells: Int = 16,
+      fitSampleSize: Int = 100000,
+      centroidsOverride: Option[Array[Array[Double]]] = None): DataFrame = {
+    graft.expr.GraftExtensions.register(vecs.sparkSession)
+    val unit = graft.Caches.persist(
+      vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+        .select(col("id"), unitNormalize(transform(col("vec"), _.cast("double"))).as("u")))
+    val decimal = centroidsOverride.isDefined
+    val centroids = centroidsOverride.getOrElse {
+      val n = unit.count()
+      val sampled =
+        if (n <= fitSampleSize) unit
+        else unit.filter(graft.Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
+      lloydKMeans(
+        sampled.orderBy("id").collect().map(_.getSeq[Double](1).toArray), nCells)
+    }
+    val cells = unit.withColumn("cell", nearestCentroid(col("u"), centroids, decimal))
+    // fast-double prune before the decimal verify: its error vs the
+    // decimal cosine is ~1e-13 on dim-64 vectors, far inside the 0.01
+    // margin, so the verify's outcome (and oracle parity) is unchanged
+    val pairs = cells.as("x")
+      .join(cells.as("y"), col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(fastCosine(col("x.u"), col("y.u")) >= threshold - 0.01)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        Cols.pround(decCosine(col("x.u"), col("y.u")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    Clusters.clusterDedup(vecs, pairs, "id_a", "id_b", "id")
+  }
+
   // ---- gates ----
 
   // Planted near-dup vectors: every 25th embedding gets a replica
@@ -357,6 +444,45 @@ object Similarity {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3)
         .orderBy("qid", "rank")
+    },
+
+    // SemDeDup end to end: fixed literal centroids (the first 8
+    // normalized embeddings — k-means itself is not SQL-expressible,
+    // so the gate injects the quantizer and the spec covers the
+    // sample-fit) → within-cell cosine pairs → recursive-CTE
+    // transitive closure → min-id keeper.
+    Gate(
+      "dedup_semantic", {
+        val norm = sqlUnitNormalize("vec")
+        val dist = s"${sqlDecDot("nv.u", "nv.u")} - 2.0 * ${sqlDecDot("nv.u", "cents.cu")}" +
+          s" + ${sqlDecDot("cents.cu", "cents.cu")}"
+        val cos = sqlDecCosine("x.u", "y.u")
+        s"""WITH RECURSIVE vecs AS ($SqlPlantedVecs),
+           |nv AS (SELECT id, $norm AS u FROM vecs),
+           |cents AS (SELECT id AS cid, u AS cu FROM nv WHERE id < 8),
+           |dd AS (SELECT nv.id, nv.u, cents.cid, $dist AS d FROM nv, cents),
+           |r AS (SELECT id, u, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM dd),
+           |cell AS (SELECT id, u, cid FROM r WHERE rn = 1),
+           |base AS (
+           |  SELECT x.id AS u, y.id AS v
+           |  FROM cell x JOIN cell y ON x.cid = y.cid AND x.id < y.id
+           |  WHERE ${Cols.proundSql(cos, 4)} >= 0.99),
+           |${Clusters.SqlReach},
+           |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n)
+           |SELECT v2.id FROM vecs v2 LEFT JOIN labels ON v2.id = labels.n
+           |WHERE labels.n IS NULL OR labels.rep = v2.id
+           |ORDER BY id""".stripMargin
+      }) { (s, dir) =>
+      val vecs = plantedVecs(Tables(s, dir, "embeddings"))
+      // centroids = the first 8 normalized vectors, computed BY THE
+      // ENGINE's decimal-normalize so the collected doubles are
+      // bit-identical to what the oracle's SQL normalization produces
+      val cents = vecs.filter(col("id") < 8)
+        .select(col("id"), unitNormalize(col("vec")).as("u"))
+        .orderBy("id").collect().map(_.getSeq[Double](1).toArray)
+      semanticDedup(vecs, 0.99, centroidsOverride = Some(cents))
+        .select("id").orderBy("id")
     },
 
     // IVF is deterministic (fixed k-means seed) but its cell

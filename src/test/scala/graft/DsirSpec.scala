@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Dsir
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("docs sharing the target's n-grams score higher than dissimilar docs") {
+    // target: medical-ish vocabulary; raw noise: unrelated vocabulary
+    val target = (0 until 20).map(i =>
+      (i.toLong, s"the patient clinical trial dose response study ${i % 3}", true))
+    val likeTarget = (100 until 110).map(i =>
+      (i.toLong, s"patient clinical dose response outcome ${i % 2}", false))
+    val unlike = (200 until 210).map(i =>
+      (i.toLong, s"football match referee goal penalty crowd ${i % 2}", false))
+    val docs = (target ++ likeTarget ++ unlike).toDF("doc_id", "text", "tgt")
+    val scored = Dsir.dsirScore(docs, "text", col("tgt"))
+      .select("doc_id", "dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val likeAvg = (100 until 110).map(i => scored(i.toLong)).sum / 10
+    val unlikeAvg = (200 until 210).map(i => scored(i.toLong)).sum / 10
+    assert(likeAvg > unlikeAvg,
+      s"target-like avg $likeAvg should beat unlike avg $unlikeAvg")
+  }
+
+  test("gram-free docs score exactly 0; scoring is deterministic") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "single", false), // one word → zero bigrams
+      (3L, "", false)).toDF("doc_id", "text", "tgt")
+    val run1 = Dsir.dsirScore(docs, "text", col("tgt"))
+      .select("doc_id", "dsir_score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(run1.find(_._1 == 2L).get._2 == 0.0)
+    assert(run1.find(_._1 == 3L).get._2 == 0.0)
+    val run2 = Dsir.dsirScore(docs, "text", col("tgt"))
+      .select("doc_id", "dsir_score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(run1.sorted.toSeq == run2.sorted.toSeq)
+  }
+
+  test("bucket counts preserve multiplicity and target split") {
+    val docs = Seq(
+      (1L, "a b a b", true), // bigrams: "a b","b a","a b" → multiplicity 2+1
+      (2L, "a b", false)).toDF("doc_id", "text", "tgt")
+    val counts = Dsir.bucketCounts(docs, "text", col("tgt"), n = 2, buckets = 1024)
+      .agg(sum("raw_count"), sum("target_count")).head()
+    assert(counts.getLong(0) == 4L) // 3 bigrams doc1 + 1 doc2
+    assert(counts.getLong(1) == 3L)
+  }
+}

@@ -86,4 +86,37 @@ class JoinsSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"bucketed join shuffled:\n$p")
     assert(joined.count() == Tables(spark, sfDir, "lineitem").count())
   }
+
+  test("rangeJoin equals the naive range join and plans as a hash join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("pid", "p")
+    val ivs = (0 until 50).map { i =>
+      val lo = rnd.nextDouble() * 95
+      (i.toLong, lo, lo + rnd.nextDouble() * 12)
+    } :+ ((99L, 50.0, 40.0)) // hi < lo: matches nothing
+    val intervals = ivs.toDF("iid", "lo", "hi")
+    val got = operators.Joins.rangeJoin(points, "p", intervals, "lo", "hi", binWidth = 5.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(!ivs.exists(_._1 == 99L) || !got.exists(_._2 == 99L))
+
+    // the binned form must plan as an equi (hash/sort-merge) join,
+    // never a nested-loop scan
+    val plan = operators.Joins.rangeJoin(points, "p", intervals, "lo", "hi", binWidth = 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
+  test("rangeJoin boundary semantics: inclusive lo, exclusive hi, bin-crossing intervals") {
+    import spark.implicits._
+    val points = Seq((1L, 10.0), (2L, 19.999), (3L, 20.0), (4L, 9.999)).toDF("pid", "p")
+    val intervals = Seq((1L, 10.0, 20.0)).toDF("iid", "lo", "hi") // spans bins at width 8
+    val got = operators.Joins.rangeJoin(points, "p", intervals, "lo", "hi", binWidth = 8.0)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L)) // 20.0 excluded, 9.999 below
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Lines
+import org.apache.spark.sql.functions._
+
+class LinesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Boiler = "please subscribe to our newsletter today"
+
+  test("dedupLines removes corpus-hot lines everywhere, keeps rare and short ones") {
+    val docs = Seq(
+      (1L, s"unique alpha content line\n$Boiler\nmore alpha text here"),
+      (2L, s"$Boiler\nunique beta content line"),
+      (3L, s"unique gamma content line\n$Boiler"),
+      // the same SHORT line in all docs — below minChars, never removed
+      (4L, "hi\nunique delta content line\nhi"),
+      (5L, "hi\nunique epsilon content line"),
+      (6L, "hi\nunique zeta content line"),
+      // a line shared by only TWO docs — below minDocs=3, kept
+      (7L, "twice shared sentence here\nunique eta content line"),
+      (8L, "twice shared sentence here\nunique theta content line"))
+      .toDF("doc_id", "text")
+    val out = Lines.dedupLines(docs, "text", "doc_id", minDocs = 3, minChars = 15)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_lines_removed"))).toMap
+    assert(out(1L) == (("unique alpha content line\nmore alpha text here", 1L)))
+    assert(out(2L) == (("unique beta content line", 1L)))
+    assert(out(3L) == (("unique gamma content line", 1L)))
+    // "hi" is hot by count but too short to qualify
+    assert(out(4L) == (("hi\nunique delta content line\nhi", 0L)))
+    // two-doc line below the threshold
+    assert(out(7L) == (("twice shared sentence here\nunique eta content line", 0L)))
+  }
+
+  test("dedupLines: NULL text passes through, per-doc repeats count once toward df") {
+    val docs = Seq(
+      (1L, s"$Boiler\n$Boiler\nunique alpha line content"), // repeats: df contribution = 1
+      (2L, s"$Boiler\nunique beta line content"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Lines.dedupLines(docs, "text", "doc_id", minDocs = 3, minChars = 15)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("text")), r.getAs[Long]("n_lines_removed"))).toMap
+    // only 2 docs contain the boilerplate → df = 2 < 3, nothing removed
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L)
+    assert(out(3L) == ((None, 0L)))
+
+    // at minDocs = 2 it goes hot and BOTH occurrences in doc 1 go
+    val out2 = Lines.dedupLines(docs, "text", "doc_id", minDocs = 2, minChars = 15)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("text")), r.getAs[Long]("n_lines_removed"))).toMap
+    assert(out2(1L) == ((Some("unique alpha line content"), 2L)))
+    assert(out2(2L) == ((Some("unique beta line content"), 1L)))
+  }
+
+  test("dedupLines enforces the hot-set capacity guard") {
+    val docs = (0 until 20).flatMap(i =>
+      Seq((i * 2L, s"massively repeated boilerplate line $i"),
+        (i * 2L + 1, s"massively repeated boilerplate line $i")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Lines.dedupLines(docs, "text", "doc_id", minDocs = 2, minChars = 15, maxHotLines = 5)
+    }
+    assert(e.getMessage.contains("maxHotLines"))
+  }
+
+  test("dupSpanStats counts corpus-duplicated windows per doc") {
+    val span = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 words → 3 distinct 10-grams
+    val docs = Seq(
+      (1L, span + " unique one two three four five six seven eight nine"),
+      (2L, "other prefix words " + span), // shares the 3 10-grams of `span`
+      (3L, "completely different words " + (1 to 9).map(i => s"zz$i").mkString(" ")),
+      (4L, "short text")) // < 10 words → 0 windows
+      .toDF("doc_id", "text")
+    val out = Lines.dupSpanStats(docs, "text", "doc_id", w = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    assert(out(1L)._1 == 13) // 22 words → 13 windows
+    assert(out(1L)._2 == 3L) // exactly the 3 windows inside `span`
+    assert(out(2L)._2 == 3L)
+    assert(out(3L) == ((3, 0L)))
+    assert(out(4L) == ((0, 0L)))
+    Caches.releaseAll()
+  }
+}

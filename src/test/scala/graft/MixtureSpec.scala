@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Mixture
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 3 sources with sizes 160 / 30 / 10 — strongly skewed
+  private def docs = (0 until 200).map { i =>
+    val src = if (i < 160) "web" else if (i < 190) "books" else "wiki"
+    (i.toLong, src)
+  }.toDF("doc_id", "source")
+
+  test("temperature rates flatten the mixture: big downsamples, small replicates") {
+    val rates = Mixture.mixtureRates(docs, "source", budget = 200)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rates("web") < 1.0, s"web rate ${rates("web")} should downsample")
+    assert(rates("wiki") > 1.0, s"wiki rate ${rates("wiki")} should replicate")
+    // flattening: post-sampling share of wiki rises, web falls
+    val counts = Map("web" -> 160.0, "books" -> 30.0, "wiki" -> 10.0)
+    val post = rates.map { case (s, r) => s -> r * counts(s) }
+    val total = post.values.sum
+    assert(post("wiki") / total > 10.0 / 200.0)
+    assert(post("web") / total < 160.0 / 200.0)
+    // expected output size = budget (rates are exact in expectation)
+    assert(math.abs(total - 200.0) < 1e-9)
+  }
+
+  test("mixtureSample replicates deterministically with epoch tags") {
+    val out = Mixture.mixtureSample(docs, "source", "doc_id", budget = 200)
+      .select("doc_id", "source", "epoch").collect()
+    // every wiki doc appears at least floor(rate) ≥ 1 times
+    val wikiCopies = out.filter(_.getString(1) == "wiki")
+      .groupBy(_.getLong(0)).map(_._2.length)
+    assert(wikiCopies.nonEmpty && wikiCopies.forall(_ >= 1))
+    // epochs are 0..copies-1 per doc
+    val byDoc = out.groupBy(r => r.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val epochs = rows.map(_.getLong(2)).sorted.toSeq
+      assert(epochs == (0L until epochs.length).toSeq)
+    }
+    // deterministic
+    val again = Mixture.mixtureSample(docs, "source", "doc_id", budget = 200)
+      .select("doc_id", "source", "epoch").collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // total size close to budget (LCG Bernoulli, fixed draw)
+    assert(math.abs(out.length - 200) < 40, s"got ${out.length} rows for budget 200")
+  }
+
+  test("temperature 1.0 is the identity mixture (every rate = budget/N)") {
+    val rates = Mixture.mixtureRates(docs, "source", budget = 100, temperature = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rates.values.foreach(r => assert(math.abs(r - 0.5) < 1e-9))
+  }
+}

@@ -101,4 +101,42 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(out == Seq(2L, 9L))
   }
+
+  test("semanticDedup (sample-fit k-means) removes every planted replica, keeps min id") {
+    val e = emb
+    val vecs = e.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .union(e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id") + 1000000,
+          transform(col("embedding"), x => x.cast("double") * 1.5)))
+    val survivors = Similarity.semanticDedup(
+      vecs, 0.99, nCells = 8, fitSampleSize = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val plantedSrc = e.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // normalization makes a replica IDENTICAL to its source, so the
+    // pair lands in the same cell regardless of the quantizer: the
+    // min-id source survives, the +1000000 replica never does
+    assert(plantedSrc.forall(survivors.contains))
+    assert(plantedSrc.forall(id => !survivors.contains(id + 1000000)))
+    Caches.releaseAll()
+
+    // deterministic: a second run returns the identical survivor set
+    val again = Similarity.semanticDedup(vecs, 0.99, nCells = 8, fitSampleSize = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == survivors)
+    Caches.releaseAll()
+  }
+
+  test("semanticDedup with injected centroids matches the gate shape") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    assert(out.nonEmpty)
+    // survivors are unique and never include a planted replica whose
+    // source survived
+    assert(out.distinct.length == out.length)
+    val s = out.toSet
+    assert(!s.exists(id => id >= 1000000 && s.contains(id - 1000000)))
+    Caches.releaseAll()
+  }
 }
