@@ -18,6 +18,8 @@ object SparkEntry {
       operators.Similarity.gates ++
       operators.Mixture.gates ++
       operators.Dsir.gates ++
+      operators.Keywords.gates ++
+      operators.TextClean.gates ++
       operators.Formatters.gates ++
       operators.ParaDocs.gates ++
       operators.Urls.gates ++

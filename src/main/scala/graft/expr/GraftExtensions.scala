@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_set_contains"),
         new ExpressionInfo(classOf[StringSetContains].getName, "graft_set_contains"),
         (args: Seq[Expression]) => StringSetContains(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (args: Seq[Expression]) => NfcNormalize(args.head)))
   }
 }
 
@@ -114,5 +118,7 @@ object GraftExtensions {
       "graft_embed_bag", es => EmbedBag(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_set_contains", es => StringSetContains(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", es => NfcNormalize(es.head), "built-in")
   }
 }

@@ -1,0 +1,41 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+object NfcKernel {
+  /** Unicode NFC (canonical composition) — the standard first step of
+    * text normalization pipelines (combining sequences → precomposed
+    * forms, so "e"+U+0301 and "é" hash/dedup identically). The JDK
+    * Normalizer implements the same Unicode algorithm as DuckDB's
+    * nfc_normalize, so results are engine-portable. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: ASCII (the overwhelming majority of web text) is
+    // NFC by construction — skip the toString→normalize round-trip
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_nfc(str)` → NFC-normalized string (null in → null out).
+  * Spark ships no Unicode normalizer; this wraps the JDK's as a
+  * codegen expression so normalization fuses into the scan stage
+  * instead of costing a UDF boundary. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcKernel.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.NfcKernel.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

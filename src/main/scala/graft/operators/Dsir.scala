@@ -93,6 +93,43 @@ object Dsir {
         4))
   }
 
+  /** CCNet-style LM perplexity scoring (Wenzek et al. 2020): train a
+    * unigram LM on the TARGET subset (CCNet: Wikipedia), score every
+    * doc by per-word negative log-likelihood — low nll ≈ "looks like
+    * the reference corpus", the classic head/middle/tail quality
+    * split. Hashed buckets bound the model exactly like [[dsirScore]]
+    * (a hashed LM is the standard trick when the vocabulary can't
+    * broadcast); add-1 smoothing over the bucket space.
+    *
+    * Same scale shape as DSIR: one compact bucket-count shuffle, then
+    * a narrow literal-array scoring pass. Returns docs plus
+    * `nll_per_word` (0 for wordless docs). */
+  def perplexityScore(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    val acc = DecimalType(30, 15)
+    val counts = bucketCounts(docs, textCol, isTarget, n = 1, buckets)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+    val tTot = counts.valuesIterator.sum
+    // per-bucket logp, pre-rounded (ln bridging, as in dsirScore)
+    val table = Array.tabulate(buckets) { b =>
+      val x = math.log(counts.getOrElse(b, 0L) + 1.0) - math.log(tTot.toDouble + buckets)
+      math.floor(x * 1e8 + 0.5) / 1e8
+    }
+    val tableLit = array(table.toIndexedSeq.map(lit): _*)
+    docs.withColumn("nll_per_word",
+      Cols.bind(grams(col(textCol), 1)) { ws =>
+        when(size(ws) === 0, lit(0.0)).otherwise(
+          Cols.pround(
+            -aggregate(
+              transform(ws, w => element_at(tableLit, (bucketOf(w, buckets) + 1).cast("int")).cast(acc)),
+              lit(0).cast(acc), (a, x) => (a + x).cast(acc)).cast("double") / size(ws),
+            4))
+      })
+  }
+
   // ---- gates ----
 
   // Target = every 9th doc (a deterministic stand-in for "the quality
@@ -131,6 +168,39 @@ object Dsir {
           size(grams(col("text"), 2)).as("n_grams"),
           (col("doc_id") % 9 === 0).as("is_target"),
           col("dsir_score"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet perplexity gate: unigram LM trained on the %9 target
+    // subset, every doc scored by per-word nll. Same oracle recipe as
+    // fw_dsir (hashed buckets, pround-8 logp, decimal sum).
+    Gate(
+      "txt_perplexity", {
+        val B = 1024
+        val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws
+           |           FROM documents),
+           |e AS (SELECT doc_id, $h32 % $B AS bucket
+           |      FROM (SELECT doc_id, unnest(ws) AS g FROM t)),
+           |counts AS (SELECT bucket,
+           |    sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS tc
+           |  FROM e GROUP BY bucket),
+           |tot AS (SELECT sum(tc) AS tt FROM counts),
+           |w AS (SELECT bucket,
+           |    ${Cols.proundSql("ln(tc + 1.0) - ln(tt + 1024.0)", 8)} AS logp
+           |  FROM counts, tot),
+           |sc AS (SELECT doc_id,
+           |    CAST(sum(CAST(logp AS DECIMAL(30,15))) AS DOUBLE) AS lp, count(*) AS nw
+           |  FROM e JOIN w USING (bucket) GROUP BY doc_id)
+           |SELECT t.doc_id, len(ws) AS n_words,
+           |  CASE WHEN len(ws) = 0 THEN 0.0
+           |       ELSE ${Cols.proundSql("-lp / nw", 4)} END AS nll_per_word
+           |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id ORDER BY t.doc_id""".stripMargin
+      }) { (s, dir) =>
+      perplexityScore(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          size(grams(col("text"), 1)).as("n_words"),
+          col("nll_per_word"))
         .orderBy("doc_id")
     }
   )

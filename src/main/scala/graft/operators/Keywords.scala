@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction: the top-k terms of every document by
+  * term-frequency × inverse-document-frequency — the classic corpus
+  * summarization / topic-tagging stage (and the feature base of the
+  * fasttext-style classifiers in [[graft.ml.TextNgramClassifier]]).
+  *
+  * Scale design: this operator legitimately shuffles (doc, term)
+  * pairs — the OUTPUT is per-document terms, so terms must meet their
+  * corpus statistics somewhere. Both shuffles are pre-reduced:
+  * per-doc term counts aggregate map-side before the exchange, the
+  * df table aggregates from per-doc DISTINCT terms, and the top-k is
+  * the bounded-heap `graft_top_k` aggregate (≤ k rows per partition
+  * per doc cross the final exchange, never the full posting list).
+  * The df side joins by term with AQE deciding broadcast vs shuffle
+  * from its actual (vocabulary-bounded) size.
+  */
+object Keywords {
+
+  /** idf with the classic +1 smoothing: ln((N+1)/(df+1)) + 1, rounded
+    * to 8 decimals (ln is the one non-correctly-rounded op — the
+    * rounding makes scores reproducible cross-engine). */
+  private def idf(n: Long) = {
+    import org.apache.spark.sql.Column
+    (dfCol: Column) =>
+      Cols.pround(log(lit(n + 1.0) / (dfCol + 1.0)) + 1.0, 8)
+  }
+
+  /** Top-k keywords per doc: (idCol, rank, term, score) with
+    * score = tf · idf, ties broken by term ascending. */
+  def tfidfKeywords(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val terms = Dedup.spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.words(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val df = terms.select("__id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .select(col("__id"), col("term"),
+        (col("tf") * idf(n)(col("df"))).as("score"))
+    scored
+      .groupBy("__id")
+      .agg(call_function("graft_top_k",
+        struct((-col("score")).as("ns"), col("term").as("t")), lit(k), lit(true)).as("top"))
+      .select(col("__id").as(idCol), posexplode(array_sort(col("top"))))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.t").as("term"),
+        Cols.pround(-col("col.ns"), 4).as("score"))
+  }
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "txt_keywords", {
+        val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+           |s AS (SELECT doc_id, tf.term,
+           |    tf * ${Cols.proundSql("ln((n + 1.0) / (df + 1.0)) + 1.0", 8)} AS score
+           |  FROM tf JOIN df ON tf.term = df.term, n),
+           |r AS (SELECT doc_id, term, score,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           |  FROM s)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+           |  ${Cols.proundSql("score", 4)} AS score
+           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+      }) { (s, dir) =>
+      tfidfKeywords(Tables(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    }
+  )
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Raw-text cleanup stages that run BEFORE the quality/dedup family:
+  * HTML stripping (the crude-but-portable fallback where a full
+  * extractor like trafilatura isn't available), Unicode NFC
+  * normalization (combining sequences → precomposed, so dedup
+  * fingerprints and tokenizers see one spelling), and a corpus
+  * profiling report (the per-source health check every pipeline run
+  * starts and ends with).
+  *
+  * All three are scan-fused: the cleaners are chained codegen
+  * regex/kernel expressions (zero shuffles), the report is one
+  * map-side-combined aggregate whose output is #sources rows.
+  */
+object TextClean {
+
+  /** Block-level tags whose close (or self-close, for br/hr) ends a
+    * visible text line — kept as newlines so downstream LINE-level
+    * operators (C4 cleaning, Gopher bullet stats, [[Lines]] dedup)
+    * see the page's paragraph structure. */
+  private val BlockBreak = "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>|<(br|hr)\\s*/?>"
+
+  /** Strip HTML to visible text: script/style blocks (with content),
+    * block-tag boundaries → newlines, remaining tags → spaces, the
+    * common entities decoded (&amp; LAST — no double-decode), then
+    * per-line whitespace collapse. Chained native regexp_replace —
+    * codegen, narrow, zero shuffles. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val breaks = regexp_replace(noStyle, BlockBreak, "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val ent = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    // collapse horizontal whitespace, trim around newlines, dedupe
+    // blank lines — explicit char classes (not \s) so newlines survive
+    val horiz = regexp_replace(ent, "[ \\t\\f\\r]+", " ")
+    trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
+  }
+
+  /** Unicode NFC via the codegen kernel ([[graft.expr.NfcNormalize]]). */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Full normalize: NFC + control-char strip + whitespace tidy —
+    * the standard pre-tokenization cleanup. NEWLINE-PRESERVING:
+    * horizontal runs collapse, line edges trim, blank lines dedupe,
+    * but the line structure [[stripHtml]] produced survives for the
+    * line-level operators downstream. */
+  def normalizeText(text: Column): Column = {
+    val clean = regexp_replace(nfc(text), "[\\x00-\\x08\\x0E-\\x1F]", "")
+    val horiz = regexp_replace(clean, "[ \\t\\f\\r]+", " ")
+    trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
+  }
+
+  /** Per-source corpus profile: doc/token/char counts and mean
+    * quality — one aggregate, #sources output rows. */
+  def corpusStats(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol),
+        TextAnalysis.wordCount(col(textCol)).as("__nw"),
+        length(col(textCol)).as("__nc"),
+        Cols.pround(TextAnalysis.qualityScore(col(textCol)), 4).as("__q"))
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nw").as("n_tokens"),
+        sum("__nc").as("n_chars"),
+        Cols.pround(
+          sum(col("__q").cast(DecimalType(18, 4))).cast("double") / count(lit(1)),
+          4).as("mean_quality"))
+
+  // ---- gates ----
+
+  // The gate synthesizes a deterministic HTML page from each doc's
+  // words (both engines build the identical page), exercising every
+  // strip rule: script+style with content, attributes, every entity
+  // (incl. the &amp;-last ordering), list vs paragraph variants.
+  private def sqlSeg(a: Int, b: Int) = s"coalesce(array_to_string(ws[$a:$b], ' '), '')"
+
+  private val SqlHtmlPage: String = Seq(
+    "'<html><head><title>'", sqlSeg(1, 2),
+    "'</title><style>p { color: red; }</style></head><body><h1>'", sqlSeg(3, 4),
+    "'</h1><script>var x = 1 &amp;&amp; 2;</script><p class=\"intro\">'",
+    sqlSeg(5, 10), "' &amp; '", sqlSeg(11, 12), "'</p>'",
+    "(CASE WHEN doc_id % 4 = 0 THEN '<ul><li>' || " + sqlSeg(13, 14) +
+      " || '</li><li>&quot;' || " + sqlSeg(15, 16) + " || '&quot;</li></ul>'" +
+      " ELSE '<p>' || " + sqlSeg(13, 16) + " || '</p>' END)",
+    "'<div>&lt;tag&gt;&nbsp;&#39;'", sqlSeg(17, 18), "'</div></body></html>'")
+    .mkString(" || ")
+
+  private def htmlPage(docId: Column, text: Column): Column =
+    Cols.bind(TextAnalysis.words(text)) { ws =>
+      def seg(a: Int, len: Int) = array_join(slice(ws, a, len), " ")
+      concat(
+        lit("<html><head><title>"), seg(1, 2),
+        lit("</title><style>p { color: red; }</style></head><body><h1>"), seg(3, 2),
+        lit("</h1><script>var x = 1 &amp;&amp; 2;</script><p class=\"intro\">"),
+        seg(5, 6), lit(" &amp; "), seg(11, 2), lit("</p>"),
+        when(docId % 4 === 0,
+          concat(lit("<ul><li>"), seg(13, 2), lit("</li><li>&quot;"), seg(15, 2),
+            lit("&quot;</li></ul>")))
+          .otherwise(concat(lit("<p>"), seg(13, 4), lit("</p>"))),
+        lit("<div>&lt;tag&gt;&nbsp;&#39;"), seg(17, 2), lit("</div></body></html>"))
+    }
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "fmt_strip_html", {
+        val strip =
+          s"""regexp_replace(
+            |  regexp_replace(
+            |    regexp_replace(
+            |      regexp_replace(
+            |        regexp_replace(
+            |          regexp_replace(
+            |            regexp_replace(
+            |              regexp_replace(
+            |                regexp_replace(
+            |                  regexp_replace(page, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+            |                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+            |                '$BlockBreak', chr(10), 'g'),
+            |              '<[^>]*>', ' ', 'g'),
+            |            '&lt;', '<', 'g'),
+            |          '&gt;', '>', 'g'),
+            |        '&quot;', '"', 'g'),
+            |      '&#39;', chr(39), 'g'),
+            |    '&nbsp;', ' ', 'g'),
+            |  '&amp;', '&', 'g')""".stripMargin
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |           FROM documents),
+           |p AS (SELECT doc_id, $SqlHtmlPage AS page FROM w),
+           |s AS (SELECT doc_id, trim(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace($strip, '[ \\t\\f\\r]+', ' ', 'g'),
+           |        ' ?\\n ?', chr(10), 'g'),
+           |      '\\n+', chr(10), 'g'), ' ' || chr(10)) AS clean FROM p)
+           |SELECT doc_id, length(clean) AS n_chars, md5(clean) AS clean_md5
+           |FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), htmlPage(col("doc_id"), col("text")).as("page"))
+        .select(col("doc_id"), Cols.bind(stripHtml(col("page"))) { clean =>
+          struct(length(clean).as("n"), md5(clean).as("m"))
+        }.as("c"))
+        .select(col("doc_id"), col("c.n").as("n_chars"), col("c.m").as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // NFC gate: plant decomposed combining sequences (e+U+0301,
+    // A+U+030A) — normalization must compose them to the precomposed
+    // forms, shrinking the codepoint count; md5 pins the exact bytes.
+    Gate(
+      "fmt_normalize", {
+        s"""WITH p AS (SELECT doc_id,
+           |    text || ' caf' || chr(101) || chr(769) || ' ' || chr(65) || chr(778) || 'ngstrom' AS t
+           |  FROM documents), -- chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring
+           |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM p)
+           |SELECT doc_id, length(t) AS len_raw, length(nt) AS len_nfc, md5(nt) AS nfc_md5
+           |FROM n ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      graft.expr.GraftExtensions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          // DECOMPOSED combining sequences (e + U+0301, A + U+030A) --
+          // exactly what the oracle's chr(101)||chr(769) etc. build;
+          // NFC must compose both to single precomposed codepoints
+          concat(col("text"), lit(" caf"), lit("e\u0301"), lit(" "), lit("A\u030A"),
+            lit("ngstrom")).as("t"))
+        .select(col("doc_id"), length(col("t")).as("len_raw"),
+          Cols.bind(nfc(col("t"))) { nt =>
+            struct(length(nt).as("l"), md5(nt).as("m"))
+          }.as("n"))
+        .select(col("doc_id"), col("len_raw"), col("n.l").as("len_nfc"), col("n.m").as("nfc_md5"))
+        .orderBy("doc_id")
+    },
+
+    Gate(
+      "rpt_corpus_stats", {
+        val toks = s"regexp_extract_all(text, '${TextAnalysis.WordPattern}')"
+        val toksLower = s"regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}')"
+        val en = TextAnalysis.LangMarkers.head._2
+        val q = "0.4*least(nw/50.0, 1.0) + 0.3*(1.0-sr) + 0.3*least(awl/5.0, 1.0)"
+        s"""WITH t AS (SELECT source,
+           |    CAST(len($toks) AS BIGINT) AS nw, CAST(length(text) AS BIGINT) AS nc,
+           |    CASE WHEN len($toks) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE) / len($toks) END AS awl,
+           |    CASE WHEN len($toksLower) = 0 THEN 0.0
+           |         ELSE CAST(${TextAnalysis.sqlMarkerHits(toksLower, en)} AS DOUBLE) / len($toksLower) END AS sr
+           |  FROM documents),
+           |s AS (SELECT source, nw, nc, ${Cols.proundSql(q, 4)} AS q FROM t)
+           |SELECT source, count(*) AS n_docs, sum(nw) AS n_tokens, sum(nc) AS n_chars,
+           |  ${Cols.proundSql("CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS mean_quality
+           |FROM s GROUP BY source ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      corpusStats(Tables(s, dir, "documents"), "text", "source")
+        .orderBy("source")
+    }
+  )
+}

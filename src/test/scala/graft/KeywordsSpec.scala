@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Dsir, Keywords}
+import org.apache.spark.sql.functions._
+
+class KeywordsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tfidf keywords rank rare repeated terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "zebra zebra zebra the the the common common"),
+      (2L, "the common words appear everywhere common"),
+      (3L, "the common sentence appears here too")).toDF("doc_id", "text")
+    val out = Keywords.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toList
+    // doc 1: "zebra" (tf 3, df 1) must outrank "the"/"common" (df 3)
+    assert(out.contains((1L, 1, "zebra")))
+    // every doc gets exactly k rows (enough distinct terms everywhere)
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    // ranks are 1..k
+    assert(out.filter(_._1 == 1L).map(_._2).sorted == List(1, 2))
+  }
+
+  test("tfidf keyword ties break by term ascending") {
+    val docs = Seq(
+      (1L, "beta alpha"), // equal tf, equal df → tie on score
+      (2L, "beta alpha")).toDF("doc_id", "text")
+    val out = Keywords.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .filter(col("doc_id") === 1).orderBy("rank")
+      .collect().map(_.getString(2)).toList
+    assert(out == List("alpha", "beta"))
+  }
+
+  test("perplexity: target-like docs score lower nll than dissimilar docs") {
+    val target = (0 until 20).map(i =>
+      (i.toLong, s"clinical trial dose response patient outcome ${i % 3}", true))
+    val like = (100 until 105).map(i =>
+      (i.toLong, "clinical dose patient outcome", false))
+    val unlike = (200 until 205).map(i =>
+      (i.toLong, "football referee goal penalty", false))
+    val docs = (target ++ like ++ unlike).toDF("doc_id", "text", "tgt")
+    val nll = Dsir.perplexityScore(docs, "text", col("tgt"))
+      .select("doc_id", "nll_per_word").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val likeAvg = (100 until 105).map(i => nll(i.toLong)).sum / 5
+    val unlikeAvg = (200 until 205).map(i => nll(i.toLong)).sum / 5
+    assert(likeAvg < unlikeAvg, s"target-like $likeAvg should be below unlike $unlikeAvg")
+    // wordless doc scores 0
+    val z = Dsir.perplexityScore(Seq((1L, "", false)).toDF("doc_id", "text", "tgt"),
+      "text", col("tgt")).select("nll_per_word").head().getDouble(0)
+    assert(z == 0.0)
+  }
+}

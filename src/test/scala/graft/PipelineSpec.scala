@@ -38,4 +38,53 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.kept(df).count() + pipe.excluded(df).count() == 20)
     assert(!pipe.kept(df).columns.contains("filter_reason"))
   }
+
+  test("end-to-end web-corpus chain: strip → normalize → quality → line-dedup → cluster-dedup → mixture → tokenize → pack") {
+    import spark.implicits._
+    import graft.operators._
+    graft.expr.GraftExtensions.register(spark) // kernels (graft_nfc) for toDF-built frames
+    // a fake crawl: HTML pages, some near-duplicated, some junk, a
+    // shared boilerplate line, two "sites" of different size
+    val boiler = "<p>subscribe to our newsletter for daily updates</p>"
+    val page = (i: Int, body: String) =>
+      s"<html><body><h1>Doc $i</h1>$boiler<p>$body</p></body></html>"
+    val goodBody = (i: Int) =>
+      s"the quick brown fox jumps over the lazy dog number $i and then " +
+        s"continues running through the quiet forest path toward home again"
+    val raw = ((0 until 24).map(i =>
+      (i.toLong, page(i, goodBody(i)), if (i < 18) "big" else "small")) ++
+      // near-duplicate replicas of docs 0..3 (same body, new header)
+      (0 until 4).map(i => (100L + i, page(900 + i, goodBody(i)), "big")) ++
+      // junk: too short to pass the word-count gate
+      Seq((200L, "<html><body><p>tiny</p></body></html>", "big")))
+      .toDF("doc_id", "html", "site")
+
+    val cleaned = Pipeline(
+      Transform("strip_html", d => d.withColumn("text", TextClean.stripHtml(col("html")))),
+      Transform("normalize", d => d.withColumn("text", TextClean.normalizeText(col("text")))),
+      DocFilter("min_words", d => TextAnalysis.wordCount(d("text")) >= 10))
+      .run(raw)
+
+    val lineDeduped = Lines.dedupLines(cleaned, "text", "doc_id", minDocs = 3, minChars = 20)
+    // boilerplate line went hot and vanished from every doc
+    assert(lineDeduped.filter(col("text").contains("subscribe to our newsletter")).count() == 0)
+
+    val deduped = Clusters.clusterDedup(
+      lineDeduped, Dedup.ngramJaccardPairs(lineDeduped, "text", "doc_id", 0.7),
+      "id_a", "id_b", "doc_id")
+    val ids = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the replicas (100..103) lost to their min-id sources (0..3)
+    assert((0 until 4).forall(i => ids.contains(i.toLong) && !ids.contains(100L + i)))
+    assert(!ids.contains(200L)) // junk died at the word gate
+
+    val mixed = Mixture.mixtureSample(deduped, "site", "doc_id", budget = deduped.count())
+    assert(mixed.count() > 0 && mixed.columns.contains("epoch"))
+
+    // tokenize + pack: every surviving (doc, epoch) contributes tokens
+    val packed = tokens.Tokens.packSequences(
+      mixed.select(col("doc_id"), tokens.Tokens.tokenIds(col("text")).as("ids")),
+      "ids", seqLen = 32, dropLast = false)
+    assert(packed.count() > 0)
+    Caches.releaseAll()
+  }
 }

@@ -137,6 +137,48 @@ class PlanSpec extends SparkSpec {
       assert(shuffleCount(name) <= 1, s"$name plans a shuffle beyond the output sort")
   }
 
+  /** Shuffle count of an arbitrary frame (non-adaptive plan). */
+  private def shuffleCountOf(df: org.apache.spark.sql.DataFrame): Int = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("dedupLines removal pass is narrow — zero shuffles after the hot-set collect") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = graft.operators.Lines.dedupLines(docs, "text", "doc_id")
+    assert(shuffleCountOf(out) == 0,
+      "line removal should be a fused narrow pass over the scan")
+  }
+
+  test("DSIR and perplexity scoring passes are narrow — zero shuffles after the count collect") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(shuffleCountOf(
+      graft.operators.Dsir.dsirScore(docs, "text", col("doc_id") % 9 === 0)) == 0)
+    assert(shuffleCountOf(
+      graft.operators.Dsir.perplexityScore(docs, "text", col("doc_id") % 9 === 0)) == 0)
+  }
+
+  test("mixture sampling broadcasts the rate table; no exchange carries document text") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "source", "text")
+    val out = graft.operators.Mixture.mixtureSample(docs, "source", "doc_id", budget = 1000)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = out.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "rate table should broadcast-join back onto the corpus")
+      for (e <- plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      })
+        assert(!e.output.exists(_.name == "text"),
+          s"exchange carries document text: ${e.simpleStringWithNodeId()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

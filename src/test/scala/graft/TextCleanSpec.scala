@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextClean
+import org.apache.spark.sql.functions._
+
+class TextCleanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): String =
+    Seq(text).toDF("t").select(c.as("r")).head().getString(0)
+
+  test("stripHtml removes script/style with content, tags, decodes entities, keeps block lines") {
+    val html = "<html><style>p{x}</style><body onload=\"f()\">" +
+      "<script>if (a &lt; b) { run(); }</script>" +
+      "<p>Tom &amp; Jerry say &quot;hi&quot; &#39;now&#39;</p>" +
+      "<div>x&nbsp;&lt;tag&gt;</div></body></html>"
+    val got = one(TextClean.stripHtml(col("t")), html)
+    // </p> and </div> end their lines; inline tags become spaces
+    assert(got == "Tom & Jerry say \"hi\" 'now'\nx <tag>")
+  }
+
+  test("stripHtml turns <br> and headings into line breaks") {
+    val got = one(TextClean.stripHtml(col("t")),
+      "<h1>Title</h1><p>one<br>two<br/>three</p>")
+    assert(got == "Title\none\ntwo\nthree")
+  }
+
+  test("stripHtml does not double-decode &amp;lt;") {
+    val got = one(TextClean.stripHtml(col("t")), "<p>a &amp;lt; b</p>")
+    assert(got == "a &lt; b")
+  }
+
+  test("nfc composes combining sequences; normalizeText strips controls and collapses") {
+    graft.expr.GraftExtensions.register(spark)
+    // explicit escapes: combining acute/ring/diaeresis after their bases
+    val decomposed = "cafe\u0301 A\u030Angstro\u0308m"
+    val composed = "caf\u00e9 \u00c5ngstr\u00f6m"
+    val got = one(TextClean.nfc(col("t")), decomposed)
+    assert(got == composed)
+    assert(got.length == decomposed.length - 3)
+
+    val messy = "ab   c\n\nd e\u0301f"
+    assert(one(TextClean.normalizeText(col("t")), messy) == "ab c\nd \u00e9f")
+  }
+
+  test("corpusStats aggregates per source") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "a"),
+      (2L, "delta", "a"),
+      (3L, "epsilon zeta", "b")).toDF("doc_id", "text", "source")
+    val out = TextClean.corpusStats(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") == ((2L, 4L))) // 2 docs, 3+1 tokens
+    assert(out("b") == ((1L, 2L)))
+  }
+}
