@@ -258,6 +258,46 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus (incremental) near-dedup: drop NEW docs whose
+    * Jaccard against ANY existing-corpus doc reaches `threshold` —
+    * the production shape for ingesting a new crawl against an
+    * already-deduped index (within-batch dedup is [[minhashLshPairs]]
+    * + clustering; this is the between-batch half).
+    *
+    * Scale design mirrors D2: both sides reduce to (id, shingle-set)
+    * digest frames, candidates come from a band-bucket EQUI-join
+    * between the two sides (never within one side — the index is
+    * assumed internally deduped), verification is exact Jaccard over
+    * the compact sets, and the final anti-join keys on new-side ids
+    * only. The index side never rewrites: at 100 TB you keep its
+    * digest frame as a maintained table and only the new batch
+    * computes digests per run. */
+  def minhashIncremental(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    def digests(df: DataFrame) = graft.Caches.persist(
+      spread(df).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+        .filter(size(col("sh")) > 0))
+    def buckets(sets: DataFrame) = sets
+      .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
+      .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
+    val nd = digests(newDocs)
+    val cd = digests(corpus)
+    val cand = buckets(nd).as("n")
+      .join(buckets(cd).as("c"), col("n.bkey") === col("c.bkey"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+    val dupNewIds = cand
+      .join(nd.select(col("id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
+      .join(cd.select(col("id").as("id_corpus"), col("sh").as("sh_c")), Seq("id_corpus"))
+      .filter(Cols.pround(jaccard(col("sh_n"), col("sh_c")), 4) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    newDocs.join(dupNewIds, Seq(idCol), "left_anti")
+  }
+
   // ---- benchmark decontamination (public method family: GPT-3
   // appendix C / PaLM / Llama — drop training docs that share any
   // n-gram with an evaluation benchmark, classically n = 8..13).
@@ -470,6 +510,46 @@ object Dedup {
         }.as("btext"))
         .filter(length(col("btext")) > 0)
       decontaminate(docs.select("doc_id", "text"), "text", "doc_id", bench2, "btext", n = 8)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // Incremental dedup gate: the "new batch" is truncation replicas
+    // of every 10th corpus doc (must drop — Jaccard ≈ 0.88 vs their
+    // source) plus word-REVERSED variants of every 5th doc (trigram
+    // shingle sets of reversed text barely overlap — must survive).
+    // Oracle = brute-force cross-corpus Jaccard.
+    Gate(
+      "dedup_incremental", {
+        val inter = "len(list_intersect(n.s, c.s))"
+        val jac = s"CAST($inter AS DOUBLE) / (len(n.s) + len(c.s) - $inter)"
+        s"""WITH newdocs AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(($SqlToks)[1:CAST(ceil(len($SqlToks) * 0.9) AS INT)], ' ') AS text
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000,
+           |    array_to_string(list_reverse($SqlToks), ' ')
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |ns AS (SELECT doc_id, ${SqlShingles} AS s FROM newdocs WHERE len($SqlShingles) > 0),
+           |cs AS (SELECT doc_id, ${SqlShingles} AS s FROM documents WHERE len($SqlShingles) > 0),
+           |dup AS (SELECT DISTINCT n.doc_id
+           |  FROM ns n JOIN cs c ON ${Cols.proundSql(jac, 4)} >= 0.7)
+           |SELECT doc_id FROM newdocs
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val truncated = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          bind(TextAnalysis.words(col("text"))) { toks =>
+            array_join(slice(toks, lit(1), ceil(size(toks) * 0.9).cast("int")), " ")
+          }.as("text"))
+      val reversed = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(reverse(TextAnalysis.words(col("text"))), " ").as("text"))
+      minhashIncremental(
+        truncated.unionByName(reversed), docs.select("doc_id", "text"),
+        "text", "doc_id", 0.7)
         .select("doc_id").orderBy("doc_id")
     },
 

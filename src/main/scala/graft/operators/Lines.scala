@@ -134,6 +134,21 @@ object Lines {
     * before the explode's rows can reach an exchange). */
   private def md5str(arr: Column): Column = transform(arr, g => md5(g))
 
+  /** INTRA-document repeated-line removal: keep each distinct line's
+    * FIRST occurrence, in order (navigation menus and footers repeat
+    * within a page; corpus-level hotness — [[dedupLines]] — can't see
+    * them when the page text differs). Pure column expression:
+    * quadratic in the doc's line count, narrow, no shuffle, no state.
+    * Lines under `minChars` are never dropped (blank separators and
+    * short list markers legitimately repeat). */
+  def dedupLinesWithinDoc(text: Column, minChars: Int = 15): Column =
+    bind(split(text, "\n")) { lines =>
+      array_join(
+        filter(lines, (l, i) =>
+          length(l) < minChars || !exists(slice(lines, lit(1), i), p => p === l)),
+        "\n")
+    }
+
   // ---- gates ----
 
   // The synthetic docs are single-line word soup, so the gate builds a
@@ -194,6 +209,51 @@ object Lines {
         .select(col("doc_id"), col("n_lines"),
           col("n_lines_removed").as("n_removed"),
           md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Intra-doc dedup gate: a nav line planted at BOTH ends of every
+    // page (the second copy must go), plus a short repeated line that
+    // the length floor protects.
+    Gate(
+      "fmt_dedup_doc_lines", {
+        val nav = "home products about contact navigation menu here"
+        val chunks =
+          "array_to_string([array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') " +
+            "FOR i IN range(1, CAST(ceil(len(ws)/8.0) AS INT) + 1)], chr(10))"
+        val page = s"'$nav' || chr(10) || $chunks || chr(10) || '$nav'" +
+          " || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'hi' || chr(10) || 'hi' ELSE '' END)"
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |           FROM documents),
+           |p AS (SELECT doc_id, string_split($page, chr(10)) AS lines FROM w),
+           |k AS (SELECT doc_id, lines,
+           |    [lines[i] FOR i IN range(1, len(lines) + 1)
+           |     IF len(lines[i]) < 15 OR NOT list_contains(lines[1:i-1], lines[i])] AS kept
+           |  FROM p)
+           |SELECT doc_id, len(lines) AS n_lines_in, len(kept) AS n_lines_out,
+           |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+           |FROM k ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val nav = "home products about contact navigation menu here"
+      val page = bind(TextAnalysis.words(col("text"))) { ws =>
+        concat(
+          lit(nav + "\n"),
+          array_join(
+            transform(TextAnalysis.indices(ceil(size(ws) / lit(8.0))),
+              i => array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " ")),
+            "\n"),
+          lit("\n" + nav),
+          when(col("doc_id") % 3 === 0, lit("\nhi\nhi")).otherwise(lit("")))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          size(split(col("page"), "\n")).as("n_lines_in"),
+          bind(dedupLinesWithinDoc(col("page"))) { cl =>
+            struct(size(split(cl, "\n")).as("n"), md5(cl).as("m"))
+          }.as("c"))
+        .select(col("doc_id"), col("n_lines_in"),
+          col("c.n").as("n_lines_out"), col("c.m").as("cleaned_md5"))
         .orderBy("doc_id")
     },
 

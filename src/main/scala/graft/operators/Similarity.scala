@@ -306,9 +306,12 @@ object Similarity {
     element_at(
       array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
         val cLit = array(c.toIndexedSeq.map(lit): _*)
-        // full ‖v‖²−2v·c+‖c‖² with BOTH norms in-engine: the oracle
-        // computes the same three dots, so the doubles agree exactly
-        struct((dot(v, v) - lit(2.0) * dot(v, cLit) + dot(cLit, cLit)).as("d"),
+        // ‖c‖²−2v·c (the ‖v‖² term is constant per row, so dropping
+        // it from BOTH engines — the oracle ranks by the same
+        // two-dot expression — preserves the argmin and the exact
+        // doubles compared); ‖c‖² in-engine so it constant-folds to
+        // the identical double the oracle computes
+        struct((dot(cLit, cLit) - lit(2.0) * dot(v, cLit)).as("d"),
           lit(i).as("i"))
       }.toIndexedSeq: _*)), 1).getField("i")
   }
@@ -349,7 +352,11 @@ object Similarity {
       lloydKMeans(
         sampled.orderBy("id").collect().map(_.getSeq[Double](1).toArray), nCells)
     }
-    val cells = unit.withColumn("cell", nearestCentroid(col("u"), centroids, decimal))
+    // persist the ASSIGNED frame: the self-join below evaluates both
+    // sides, and without this each side re-runs the (decimal, in the
+    // gate path) centroid ranking over the whole corpus
+    val cells = graft.Caches.persist(
+      unit.withColumn("cell", nearestCentroid(col("u"), centroids, decimal)))
     // fast-double prune before the decimal verify: its error vs the
     // decimal cosine is ~1e-13 on dim-64 vectors, far inside the 0.01
     // margin, so the verify's outcome (and oracle parity) is unchanged
@@ -454,8 +461,8 @@ object Similarity {
     Gate(
       "dedup_semantic", {
         val norm = sqlUnitNormalize("vec")
-        val dist = s"${sqlDecDot("nv.u", "nv.u")} - 2.0 * ${sqlDecDot("nv.u", "cents.cu")}" +
-          s" + ${sqlDecDot("cents.cu", "cents.cu")}"
+        val dist = s"${sqlDecDot("cents.cu", "cents.cu")}" +
+          s" - 2.0 * ${sqlDecDot("nv.u", "cents.cu")}"
         val cos = sqlDecCosine("x.u", "y.u")
         s"""WITH RECURSIVE vecs AS ($SqlPlantedVecs),
            |nv AS (SELECT id, $norm AS u FROM vecs),

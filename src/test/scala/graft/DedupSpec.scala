@@ -80,4 +80,22 @@ class DedupSpec extends SparkSpec {
     assert(none == 0)
     Caches.releaseAll()
   }
+
+  test("incremental dedup drops near-dups of the index, keeps genuinely new docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again"),
+      (2L, "a completely different sentence about database engines")).toDF("doc_id", "text")
+    val fresh = Seq(
+      // near-copy of corpus doc 1 (one word dropped) → must drop
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      // unrelated → must survive
+      (11L, "spark plans broadcast joins for small dimension tables"),
+      // exact copy of corpus doc 2 → must drop
+      (12L, "a completely different sentence about database engines")).toDF("doc_id", "text")
+    val kept = Dedup.minhashIncremental(fresh, corpus, "text", "doc_id", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+    Caches.releaseAll()
+  }
 }

@@ -65,6 +65,26 @@ class LinesSpec extends SparkSpec {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("dedupLinesWithinDoc keeps first occurrences in order, protects short lines") {
+    val text = Seq(
+      "home products about contact menu", // nav (32 chars)
+      "real content sentence number one here",
+      "hi",
+      "home products about contact menu", // repeat → dropped
+      "real content sentence number two here",
+      "hi", // short repeat → kept
+      "real content sentence number one here" // repeat → dropped
+    ).mkString("\n")
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(Lines.dedupLinesWithinDoc(col("text")).as("t")).head().getString(0)
+    assert(got == Seq(
+      "home products about contact menu",
+      "real content sentence number one here",
+      "hi",
+      "real content sentence number two here",
+      "hi").mkString("\n"))
+  }
+
   test("dupSpanStats counts corpus-duplicated windows per doc") {
     val span = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 words → 3 distinct 10-grams
     val docs = Seq(
