@@ -158,19 +158,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** D2 — MinHash+LSH near-dup pairs with exact-Jaccard verification. */
-  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
-    // digest DataFrame feeds bucket-building AND both verify sides:
-    // persist so the shingle+md5 pipeline runs once, not three times
-    // (scoped: Caches.releaseAll() frees it once the result is consumed)
-    val sets = graft.Caches.persist(
+  /** (id, shingle-set) digest frame, persisted (scoped via
+    * [[graft.Caches]]): it feeds bucket-building AND the verify
+    * side(s), so unpersisted the shingle+md5 pipeline would run up to
+    * three times. Shared by within-batch (D2), n-gram (D4), and
+    * cross-corpus ([[minhashIncremental]]) dedup. */
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.Caches.persist(
       spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
         .filter(size(col("sh")) > 0))
-    val buckets = sets
-      .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
-      // prefix the band index so different bands never share buckets
-      .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
-    verifiedPairs(sets, buckets, threshold)
+
+  /** Band-prefixed LSH bucket keys per id (the band index prefix keeps
+    * different bands from ever sharing a bucket). */
+  private def bandBuckets(sets: DataFrame): DataFrame = sets
+    .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
+    .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
+
+  /** D2 — MinHash+LSH near-dup pairs with exact-Jaccard verification. */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol)
+    verifiedPairs(sets, bandBuckets(sets), threshold)
   }
 
   /** D4 — exact n-gram Jaccard via inverted shingle index (every pair
@@ -195,9 +202,7 @@ object Dedup {
       idCol: String,
       threshold: Double,
       dfCutoff: Option[Long] = None): DataFrame = {
-    val sets = graft.Caches.persist(
-      spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-        .filter(size(col("sh")) > 0))
+    val sets = shingleSets(docs, textCol, idCol)
     // Shingles are distinct per doc, so |A∩B| = number of join hits —
     // Jaccard falls out of a count aggregate over the inverted-index
     // join; no per-pair array intersection. The index keys on the
@@ -278,16 +283,10 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double): DataFrame = {
-    def digests(df: DataFrame) = graft.Caches.persist(
-      spread(df).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-        .filter(size(col("sh")) > 0))
-    def buckets(sets: DataFrame) = sets
-      .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
-      .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
-    val nd = digests(newDocs)
-    val cd = digests(corpus)
-    val cand = buckets(nd).as("n")
-      .join(buckets(cd).as("c"), col("n.bkey") === col("c.bkey"))
+    val nd = shingleSets(newDocs, textCol, idCol)
+    val cd = shingleSets(corpus, textCol, idCol)
+    val cand = bandBuckets(nd).as("n")
+      .join(bandBuckets(cd).as("c"), col("n.bkey") === col("c.bkey"))
       .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
       .distinct()
     val dupNewIds = cand

@@ -34,9 +34,15 @@ object Dsir {
   def bucketOf(gram: Column, buckets: Int): Column =
     pmod(TextAnalysis.h32(gram), lit(buckets))
 
-  /** Word n-grams WITH multiplicity (DSIR counts occurrences). */
+  /** Word n-grams WITH multiplicity (DSIR counts occurrences). NULL
+    * text yields the EMPTY gram list, not NULL — the scoring passes
+    * promise 0 for gram-free docs, and a null-propagated score would
+    * silently drop those rows from a downstream `>= threshold`
+    * filter. */
   def grams(text: Column, n: Int): Column =
-    TextAnalysis.ngrams(TextAnalysis.words(lower(text)), n)
+    coalesce(
+      TextAnalysis.ngrams(TextAnalysis.words(lower(text)), n),
+      array().cast("array<string>"))
 
   /** Per-bucket (rawCount, targetCount) over the corpus: one compact
     * aggregate — the exchange carries int buckets, pre-reduced

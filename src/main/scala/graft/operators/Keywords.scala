@@ -38,9 +38,12 @@ object Keywords {
       idCol: String,
       k: Int): DataFrame = {
     graft.expr.GraftExtensions.register(docs.sparkSession)
-    val terms = Dedup.spread(docs)
+    // persist: the exploded term frame feeds BOTH aggregates (tf and
+    // df) — unpersisted, the scan + tokenize + explode would run
+    // twice end to end (same rationale as the dedup digest frames)
+    val terms = graft.Caches.persist(Dedup.spread(docs)
       .select(col(idCol).as("__id"),
-        explode(TextAnalysis.words(lower(col(textCol)))).as("term"))
+        explode(TextAnalysis.words(lower(col(textCol)))).as("term")))
     val tf = terms.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.count()
     val df = terms.select("__id", "term").distinct()

@@ -72,13 +72,17 @@ object Lines {
       minChars: Int = 15,
       maxHotLines: Int = 10000000): DataFrame = {
     graft.expr.GraftExtensions.register(docs.sparkSession)
-    // limit(maxHotLines + 1): the guard needs only "more than max",
-    // never the full pathological set on the driver
-    val hot = hotLineHashes(docs, textCol, idCol, minDocs, minChars)
-      .limit(maxHotLines + 1).collect().map(_.getString(0))
-    require(hot.length <= maxHotLines,
-      s"dedupLines: hot-line set exceeds maxHotLines=$maxHotLines — " +
+    // guard BEFORE materializing: a distributed count over the
+    // (persisted, compact) hot frame costs one cheap job, whereas
+    // collect-then-check would pull up to the full pathological set
+    // onto the driver — the exact OOM the cap exists to prevent
+    val hotDf = graft.Caches.persist(
+      hotLineHashes(docs, textCol, idCol, minDocs, minChars))
+    val hotCount = hotDf.count()
+    require(hotCount <= maxHotLines,
+      s"dedupLines: hot-line set has $hotCount entries > maxHotLines=$maxHotLines — " +
         "raise minDocs/minChars or the cap")
+    val hot = hotDf.collect().map(_.getString(0))
     val blob = lit(graft.expr.StringSetKernel.encode(hot))
     val cleaned = bind(split(col(textCol), "\n")) { lines =>
       bind(filter(lines, l =>
@@ -160,28 +164,31 @@ object Lines {
   private val HeaderLine = "subscribe to our newsletter for daily updates today"
   private val FooterLine = "all rights reserved contact the site administrator"
 
-  private[operators] def pageWithBoilerplate(docId: Column, text: Column): Column = {
-    val chunks = bind(TextAnalysis.words(text)) { ws =>
-      array_join(
-        transform(TextAnalysis.indices(ceil(size(ws) / lit(8.0))),
-          i => array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " ")),
-        "\n")
-    }
+  /** Shared page chunker (one builder per engine — the two line-dedup
+    * gates decorate it with different planted boilerplate, and a
+    * chunking fix must reach both): 8-word lines from `text`'s words.
+    * `ws` must be in scope on the SQL side. */
+  private def chunkLines(text: Column): Column = bind(TextAnalysis.words(text)) { ws =>
+    array_join(
+      transform(TextAnalysis.indices(ceil(size(ws) / lit(8.0))),
+        i => array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " ")),
+      "\n")
+  }
+  private val SqlChunkLines: String =
+    "array_to_string([array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') " +
+      "FOR i IN range(1, CAST(ceil(len(ws)/8.0) AS INT) + 1)], chr(10))"
+
+  private[operators] def pageWithBoilerplate(docId: Column, text: Column): Column =
     concat(
       when(docId % 7 === 0, lit(HeaderLine + "\n")).otherwise(lit("")),
-      chunks,
+      chunkLines(text),
       when(docId % 5 === 0, lit("\n" + FooterLine)).otherwise(lit("")),
       when(docId % 3 === 0, lit("\nok bye")).otherwise(lit("")))
-  }
 
-  private val SqlPage: String = {
-    val chunks =
-      "array_to_string([array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') " +
-        "FOR i IN range(1, CAST(ceil(len(ws)/8.0) AS INT) + 1)], chr(10))"
-    s"(CASE WHEN doc_id % 7 = 0 THEN '$HeaderLine' || chr(10) ELSE '' END) || $chunks || " +
+  private val SqlPage: String =
+    s"(CASE WHEN doc_id % 7 = 0 THEN '$HeaderLine' || chr(10) ELSE '' END) || $SqlChunkLines || " +
       s"(CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$FooterLine' ELSE '' END) || " +
       "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'ok bye' ELSE '' END)"
-  }
 
   val gates: Seq[Gate] = Seq(
 
@@ -218,10 +225,7 @@ object Lines {
     Gate(
       "fmt_dedup_doc_lines", {
         val nav = "home products about contact navigation menu here"
-        val chunks =
-          "array_to_string([array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') " +
-            "FOR i IN range(1, CAST(ceil(len(ws)/8.0) AS INT) + 1)], chr(10))"
-        val page = s"'$nav' || chr(10) || $chunks || chr(10) || '$nav'" +
+        val page = s"'$nav' || chr(10) || $SqlChunkLines || chr(10) || '$nav'" +
           " || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'hi' || chr(10) || 'hi' ELSE '' END)"
         s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
            |           FROM documents),
@@ -235,16 +239,11 @@ object Lines {
            |FROM k ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       val nav = "home products about contact navigation menu here"
-      val page = bind(TextAnalysis.words(col("text"))) { ws =>
-        concat(
-          lit(nav + "\n"),
-          array_join(
-            transform(TextAnalysis.indices(ceil(size(ws) / lit(8.0))),
-              i => array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " ")),
-            "\n"),
-          lit("\n" + nav),
-          when(col("doc_id") % 3 === 0, lit("\nhi\nhi")).otherwise(lit("")))
-      }
+      val page = concat(
+        lit(nav + "\n"),
+        chunkLines(col("text")),
+        lit("\n" + nav),
+        when(col("doc_id") % 3 === 0, lit("\nhi\nhi")).otherwise(lit("")))
       Tables(s, dir, "documents")
         .select(col("doc_id"), page.as("page"))
         .select(col("doc_id"),

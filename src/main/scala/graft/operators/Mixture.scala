@@ -60,12 +60,24 @@ object Mixture {
       idCol: String,
       budget: Long,
       temperature: Double = 0.5): DataFrame = {
+    // mirror rangeJoin's reserved-name discipline: the working
+    // columns would silently shadow caller data (and a pre-existing
+    // `epoch` — e.g. re-sampling a prior mixture output — would be
+    // overwritten without a trace)
+    val clash = docs.columns.filter(Set("__rate", "__copies", "__n", "epoch"))
+    require(clash.isEmpty,
+      s"mixtureSample: input columns ${clash.mkString(", ")} collide with working/output names")
     val rates = mixtureRates(docs, sourceCol, budget, temperature)
-      .select(col(sourceCol), col("__rate"))
+      .select(col(sourceCol).as("__src"), col("__rate"))
     val copies = (floor(col("__rate")) +
       when(Cols.lcgUniform(col(idCol)) < col("__rate") - floor(col("__rate")), 1.0)
         .otherwise(0.0)).cast("long")
-    docs.join(broadcast(rates), Seq(sourceCol))
+    // null-safe join: groupBy puts NULL-source docs in their own
+    // stratum, so the rate join must match them too — a plain
+    // equi-join would silently DROP every NULL-source row and leave
+    // the other strata under-sampled vs the budget
+    docs.join(broadcast(rates), col(sourceCol) <=> col("__src"))
+      .drop("__src")
       .withColumn("__copies", copies)
       .withColumn("epoch",
         explode(when(col("__copies") < 1, array().cast("array<bigint>"))

@@ -31,8 +31,8 @@ object TextClean {
     * per-line whitespace collapse. Chained native regexp_replace —
     * codegen, narrow, zero shuffles. */
   def stripHtml(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val breaks = regexp_replace(noStyle, BlockBreak, "\n")
     val noTags = regexp_replace(breaks, "<[^>]*>", " ")
     val ent = Seq(
@@ -54,7 +54,9 @@ object TextClean {
     * but the line structure [[stripHtml]] produced survives for the
     * line-level operators downstream. */
   def normalizeText(text: Column): Column = {
-    val clean = regexp_replace(nfc(text), "[\\x00-\\x08\\x0E-\\x1F]", "")
+    // \x0B (vertical tab) included here: the horizontal-whitespace
+    // class below deliberately omits it, so it must die in the strip
+    val clean = regexp_replace(nfc(text), "[\\x00-\\x08\\x0B\\x0E-\\x1F]", "")
     val horiz = regexp_replace(clean, "[ \\t\\f\\r]+", " ")
     trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
   }
@@ -124,8 +126,8 @@ object TextClean {
             |            regexp_replace(
             |              regexp_replace(
             |                regexp_replace(
-            |                  regexp_replace(page, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-            |                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+            |                  regexp_replace(page, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            |                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
             |                '$BlockBreak', chr(10), 'g'),
             |              '<[^>]*>', ' ', 'g'),
             |            '&lt;', '<', 'g'),

@@ -29,11 +29,13 @@ class DsirSpec extends SparkSpec {
     val docs = Seq(
       (1L, "alpha beta gamma delta", true),
       (2L, "single", false), // one word → zero bigrams
-      (3L, "", false)).toDF("doc_id", "text", "tgt")
+      (3L, "", false),
+      (4L, null.asInstanceOf[String], false)).toDF("doc_id", "text", "tgt")
     val run1 = Dsir.dsirScore(docs, "text", col("tgt"))
       .select("doc_id", "dsir_score").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(run1.find(_._1 == 2L).get._2 == 0.0)
     assert(run1.find(_._1 == 3L).get._2 == 0.0)
+    assert(run1.find(_._1 == 4L).get._2 == 0.0) // NULL text scores 0, never NULL
     val run2 = Dsir.dsirScore(docs, "text", col("tgt"))
       .select("doc_id", "dsir_score").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(run1.sorted.toSeq == run2.sorted.toSeq)

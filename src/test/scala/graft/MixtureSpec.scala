@@ -54,4 +54,24 @@ class MixtureSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     rates.values.foreach(r => assert(math.abs(r - 0.5) < 1e-9))
   }
+
+  test("NULL-source docs form their own stratum instead of silently vanishing") {
+    val withNull = (0 until 30).map(i =>
+      (i.toLong, if (i < 20) "web" else null)).toDF("doc_id", "source")
+    val out = Mixture.mixtureSample(withNull, "source", "doc_id", budget = 30)
+      .select("doc_id", "source").collect()
+    // the 10 NULL-source docs participate (rate > 1 for the small
+    // stratum → each appears at least once)
+    val nullDocs = out.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert((20 until 30).forall(i => nullDocs.contains(i.toLong)),
+      s"NULL-source docs dropped: got $nullDocs")
+  }
+
+  test("mixtureSample rejects reserved/output column collisions") {
+    val bad = Seq((1L, "a", 0L)).toDF("doc_id", "source", "epoch")
+    val e = intercept[IllegalArgumentException] {
+      Mixture.mixtureSample(bad, "source", "doc_id", budget = 1)
+    }
+    assert(e.getMessage.contains("epoch"))
+  }
 }

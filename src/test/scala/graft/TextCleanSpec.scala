@@ -26,6 +26,18 @@ class TextCleanSpec extends SparkSpec {
     assert(got == "Title\none\ntwo\nthree")
   }
 
+  test("stripHtml removes UPPERCASE script/style blocks with their content") {
+    val got = one(TextClean.stripHtml(col("t")),
+      "<STYLE>p{x}</STYLE><P>keep</P><SCRIPT>var leak = 1;</SCRIPT>")
+    assert(got == "keep")
+  }
+
+  test("normalizeText strips the vertical tab (the one control char outside both classes)") {
+    graft.expr.GraftExtensions.register(spark)
+    val got = one(TextClean.normalizeText(col("t")), "ab\u000Bc d")
+    assert(got == "abc d")
+  }
+
   test("stripHtml does not double-decode &amp;lt;") {
     val got = one(TextClean.stripHtml(col("t")), "<p>a &amp;lt; b</p>")
     assert(got == "a &lt; b")
