@@ -85,6 +85,42 @@ object Mixture {
       .drop("__rate", "__copies")
   }
 
+  /** Exact stratified split: within every stratum (source), rows are
+    * ranked by the portable LCG (ties by id) and cut at the exact
+    * fraction boundaries — every stratum contributes its proportional
+    * share to each split, unlike per-row Bernoulli assignment whose
+    * per-stratum counts fluctuate. Returns docs + a `split` column.
+    *
+    * Scale note: the rank is inherently global per stratum — one
+    * compact (id, source) shuffle computes labels, and the label
+    * frame joins back by id (bucket the corpus by id to keep even
+    * that exchange away from the text). `fractions` must sum to 1.
+    */
+  def stratifiedSplit(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(!docs.columns.contains("split"),
+      "stratifiedSplit: input already has a `split` column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol).orderBy(Cols.lcgUniform(col(idCol)), col(idCol))
+    val labeled = docs.select(col(idCol), col(sourceCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(sourceCol)))
+    // left-to-right when-chain: the FIRST cumulative boundary the
+    // rank fits under names the split; the last split is the fallback
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (accOpt, ((name, _), c)) =>
+        val cond = col("__rn") <= ceil(lit(c) * col("__n"))
+        Some(accOpt.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.fold(lit(fractions.last._1): Column)(_.otherwise(lit(fractions.last._1)))
+    docs.join(labeled.select(col(idCol), label.as("split")), Seq(idCol))
+  }
+
   // ---- gates ----
 
   // Skewed groups from id arithmetic (the synthetic sources are
@@ -93,6 +129,8 @@ object Mixture {
   // (rate > 1) — at budget = |corpus| and τ = 0.5.
   private val SqlGrp =
     "CASE WHEN doc_id % 10 < 6 THEN 'big' WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END"
+
+  private val SplitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
 
   val gates: Seq[Gate] = Seq(
     Gate(
@@ -117,6 +155,37 @@ object Mixture {
       mixtureSample(docs, "grp", "doc_id", budget)
         .select("doc_id", "grp", "epoch")
         .orderBy("doc_id", "epoch")
+    },
+
+    // Exact stratified split. The SQL CASE boundaries interpolate the
+    // SCALA-computed cumulative doubles (0.8+0.1 is 0.9000000000000001
+    // in IEEE — writing '0.9' in the oracle would diverge exactly at
+    // integer boundaries of 0.9·n); toString round-trips the bits.
+    Gate(
+      "op_split", {
+        val fr = SplitFractions
+        val cum = fr.scanLeft(0.0)(_ + _._2).tail
+        val cases = fr.init.zip(cum)
+          .map { case ((nm, _), c) => s"WHEN rn <= ceil($c * n) THEN '$nm'" }
+          .mkString(" ")
+        s"""WITH g AS (SELECT doc_id, $SqlGrp AS grp FROM documents),
+           |r AS (SELECT doc_id, grp,
+           |    ROW_NUMBER() OVER (PARTITION BY grp
+           |      ORDER BY ${Cols.lcgUniformSql("doc_id")}, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY grp) AS n
+           |  FROM g)
+           |SELECT doc_id, grp,
+           |  CASE $cases ELSE '${fr.last._1}' END AS split
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small").as("grp"))
+      stratifiedSplit(docs, "grp", "doc_id", SplitFractions)
+        .select("doc_id", "grp", "split")
+        .orderBy("doc_id")
     }
   )
 }

@@ -67,6 +67,35 @@ class MixtureSpec extends SparkSpec {
       s"NULL-source docs dropped: got $nullDocs")
   }
 
+  test("stratifiedSplit hits exact per-stratum proportions, covers every row once") {
+    val out = Mixture.stratifiedSplit(docs, "source", "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "split").collect()
+    assert(out.length == 200)
+    assert(out.map(_.getLong(0)).distinct.length == 200)
+    // wiki stratum has 10 docs → exactly 8/1/1
+    val wiki = out.filter(_.getString(1) == "wiki").groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(wiki == Map("train" -> 8, "valid" -> 1, "test" -> 1), s"wiki split $wiki")
+    // web stratum: 160 docs → 128/16/16
+    val web = out.filter(_.getString(1) == "web").groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(web == Map("train" -> 128, "valid" -> 16, "test" -> 16), s"web split $web")
+    // deterministic
+    val again = Mixture.stratifiedSplit(docs, "source", "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.forall(r => again(r.getLong(0)) == r.getString(2)))
+  }
+
+  test("stratifiedSplit validates fractions and reserved column") {
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSplit(docs, "source", "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSplit(docs.withColumn("split", lit("x")), "source", "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.5))
+    }
+  }
+
   test("mixtureSample rejects reserved/output column collisions") {
     val bad = Seq((1L, "a", 0L)).toDF("doc_id", "source", "epoch")
     val e = intercept[IllegalArgumentException] {
