@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests over generated inputs. Spark-evaluated
+  * properties run BATCHED (one DataFrame pass over N generated
+  * samples, fixed seed) — a per-sample forAll would schedule a Spark
+  * job per case. Pure-JVM properties use plain generated lists. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  // ---- URL canonicalization: idempotence ----
+
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("example.com", "Sub.Example.COM", "a-b.org", "x.io")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/a/b", "/a/b/", "/Index.Html")
+    query <- Gen.oneOf("", "?z=1&a=2", "?utm_source=x&a=2", "?utm_campaign=c", "?b=%20x")
+    frag <- Gen.oneOf("", "#top", "#Sec-2")
+  } yield s"$scheme://$www$host$port$path$query$frag"
+
+  test("canonicalUrl is idempotent over generated URLs") {
+    val urls = samples(genUrl, 300)
+    val out = urls.toDF("u")
+      .select(operators.Urls.canonicalUrl(col("u")).as("c1"))
+      .select(col("c1"), operators.Urls.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    val bad = out.filter(r => r.getString(0) != r.getString(1))
+    assert(bad.isEmpty, s"non-idempotent canonicalization: ${bad.take(3).mkString(", ")}")
+  }
+
+  // ---- pround: idempotence + bounded error (pure JVM twin of the
+  // Spark expression, same formula) ----
+
+  test("pround is idempotent and within half-ulp-of-scale of the input") {
+    def pr(x: Double, s: Int) = { val f = math.pow(10, s); math.floor(x * f + 0.5) / f }
+    val xs = samples(Gen.chooseNum(-1e6, 1e6), 2000)
+    for (x <- xs; s <- Seq(2, 4, 8)) {
+      val once = pr(x, s)
+      assert(pr(once, s) == once, s"pround not idempotent at x=$x s=$s")
+      assert(math.abs(once - x) <= math.pow(10, -s) * 0.5 + math.ulp(x) * 10,
+        s"pround moved too far at x=$x s=$s")
+    }
+  }
+
+  // ---- intra-doc line dedup: idempotence + first-occurrence keep ----
+
+  private val genDoc: Gen[String] = {
+    val line = Gen.oneOf(
+      "the quick brown fox jumps over everything",
+      "some other content line that is long enough",
+      "a third distinct line of page content here",
+      "hi", "", "- bullet")
+    Gen.listOfN(12, line).map(_.mkString("\n"))
+  }
+
+  test("dedupLinesWithinDoc is idempotent over generated multi-line docs") {
+    val docs = samples(genDoc, 300)
+    val out = docs.toDF("t")
+      .select(operators.Lines.dedupLinesWithinDoc(col("t")).as("d1"))
+      .select(col("d1"), operators.Lines.dedupLinesWithinDoc(col("d1")).as("d2"))
+      .collect()
+    assert(out.forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  // ---- binned range join ≡ naive range join across bin widths ----
+
+  test("rangeJoin equals the naive join for random intervals at any bin width") {
+    val pts = samples(Gen.chooseNum(0.0, 100.0), 200).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }
+    val ivs = samples(Gen.zip(Gen.chooseNum(0.0, 95.0), Gen.chooseNum(0.0, 15.0)), 40)
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+    val points = pts.toDF("pid", "p")
+    val intervals = ivs.toDF("iid", "lo", "hi")
+    val want = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(0.5, 3.0, 8.0, 50.0)) {
+      val got = operators.Joins.rangeJoin(points, "p", intervals, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"rangeJoin diverged at binWidth=$w")
+    }
+  }
+
+  // ---- BPE: encode/decode round-trip on generated ASCII text ----
+
+  test("corpus-trained BPE round-trips generated ASCII text") {
+    val corpusGen = Gen.listOfN(40,
+      Gen.oneOf("lower case words", "spark plans scans", "data pipeline text",
+        "mixed CASE Words", "numbers 123 456", "punct, and. marks!"))
+    val corpus = samples(corpusGen, 1).head
+    val tok = tokens.BpeTrainer.train(
+      corpus.toDF("text"), "text", numMerges = 50, maxWords = 10000)
+    val texts = samples(Gen.listOfN(8,
+      Gen.oneOf("spark plans", "data 123", "CASE marks!", "pipeline text.")).map(_.mkString(" ")), 100)
+    // the GPT-2-style pre-tokenizer consumes inter-token whitespace,
+    // so the round-trip contract is equality modulo whitespace
+    for (t <- texts)
+      assert(tok.decode(tok.encode(t).toIndexedSeq) == t.replaceAll("\\s+", ""),
+        s"BPE round-trip failed on '$t'")
+  }
+}
