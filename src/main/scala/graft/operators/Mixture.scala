@@ -85,6 +85,36 @@ object Mixture {
       .drop("__rate", "__copies")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, A-Res): each row draws u ∈ (0,1) from the portable LCG and
+    * keys on ln(u)/w — the k LARGEST keys are a weight-proportional
+    * sample ("pick 10k eval docs proportional to quality"). One
+    * narrow keying pass + the bounded-heap `graft_top_k` global
+    * aggregate: ≤ k rows per partition reach the single-group merge,
+    * the corpus is never sorted. Deterministic (and oracle-exact:
+    * pround-8 bridges ln, the half-step u-offset keeps u strictly
+    * positive with an exactly-representable constant).
+    *
+    * Rows with weight ≤ 0 or NULL never win (standard A-Res
+    * semantics). Returns (rank, idCol, key). */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val u = Cols.lcgUniform(col(idCol)) + lit(0.5 / 2147483648.0)
+    val key = Cols.pround(log(u) / weight, 8)
+    docs
+      .filter(weight > 0 && col(idCol).isNotNull)
+      .select(col(idCol), key.as("__key"))
+      .agg(call_function("graft_top_k",
+        struct((-col("__key")).as("nk"), col(idCol).as("i")), lit(k), lit(true)).as("top"))
+      .select(posexplode(array_sort(col("top"))))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as(idCol), (-col("col.nk")).as("key"))
+  }
+
   /** Exact stratified split: within every stratum (source), rows are
     * ranked by the portable LCG (ties by id) and cut at the exact
     * fraction boundaries — every stratum contributes its proportional
@@ -186,6 +216,26 @@ object Mixture {
       stratifiedSplit(docs, "grp", "doc_id", SplitFractions)
         .select("doc_id", "grp", "split")
         .orderBy("doc_id")
+    },
+
+    // A-Res weighted sample, weights = n_chars: longer docs win more
+    // often; oracle = full sort + LIMIT. The u-offset constant and
+    // the pround-8 key are interpolated so both engines compare the
+    // identical doubles.
+    Gate(
+      "op_weighted_sample", {
+        val eps = 0.5 / 2147483648.0
+        val key = Cols.proundSql(s"ln(${Cols.lcgUniformSql("doc_id")} + $eps) / n_chars", 8)
+        s"""WITH k AS (SELECT doc_id, $key AS key FROM documents
+           |           WHERE n_chars > 0 AND doc_id IS NOT NULL),
+           |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank,
+           |             doc_id, key
+           |      FROM k)
+           |SELECT rank, doc_id, key FROM r WHERE rank <= 100
+           |ORDER BY rank""".stripMargin
+      }) { (s, dir) =>
+      weightedSample(Tables(s, dir, "documents"), "doc_id", col("n_chars"), k = 100)
+        .orderBy("rank")
     }
   )
 }

@@ -96,6 +96,32 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample favors heavy weights, excludes nonpositive, is deterministic") {
+    // 50 heavy (w=1000) + 150 light (w=1) + poisoned rows
+    val rows = (0 until 50).map(i => (i.toLong, 1000.0)) ++
+      (100 until 250).map(i => (i.toLong, 1.0)) ++
+      Seq((900L, 0.0), (901L, -5.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = Mixture.weightedSample(df, "doc_id", col("w"), k = 40)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.length == 40)
+    assert(got.map(_._1).toSeq == (1 to 40))
+    assert(!got.exists(r => r._2 == 900L || r._2 == 901L))
+    // heavy docs (25% of rows, 99.7% of weight) should dominate the sample
+    val heavy = got.count(_._2 < 50)
+    assert(heavy >= 30, s"only $heavy/40 winners from the heavy group")
+    val again = Mixture.weightedSample(df, "doc_id", col("w"), k = 40)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("weightedSample with k larger than the corpus returns everything ranked") {
+    val df = Seq((1L, 2.0), (2L, 3.0), (3L, 1.0)).toDF("doc_id", "w")
+    val got = Mixture.weightedSample(df, "doc_id", col("w"), k = 10).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   test("mixtureSample rejects reserved/output column collisions") {
     val bad = Seq((1L, "a", 0L)).toDF("doc_id", "source", "epoch")
     val e = intercept[IllegalArgumentException] {
