@@ -516,7 +516,13 @@ object Dedup {
     // of every 10th corpus doc (must drop — Jaccard ≈ 0.88 vs their
     // source) plus word-REVERSED variants of every 5th doc (trigram
     // shingle sets of reversed text barely overlap — must survive).
-    // Oracle = brute-force cross-corpus Jaccard.
+    // Oracle = brute-force cross-corpus Jaccard. NOTE (like the
+    // ann_topk_ivf sample-fit caveat): the engine only VERIFIES pairs
+    // that collide in ≥1 of the 16 four-row LSH bands while the oracle
+    // is exhaustive, so the gate's parity rests on LSH recall, not an
+    // exactness guarantee — at the planted J ≈ 0.88 the per-pair miss
+    // probability is (1 − J⁴)¹⁶ ≈ 4·10⁻⁷, i.e. structurally negligible
+    // for this fixture but not identically zero.
     Gate(
       "dedup_incremental", {
         val inter = "len(list_intersect(n.s, c.s))"

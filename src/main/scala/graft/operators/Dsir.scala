@@ -70,34 +70,51 @@ object Dsir {
     math.floor(x * 1e8 + 0.5) / 1e8
   }
 
-  /** Score every doc: `dsir_score` = Σ over its grams of the bucket
-    * LLR (decimal-accumulated, rounded to 4). Grams-free docs score
-    * 0. The LLR table (`buckets` doubles) ships as a literal array —
-    * the scoring pass is narrow and codegen-fused. */
+  /** The per-bucket LLR table estimated from `docs` (one compact
+    * aggregate; `buckets` doubles to the driver) — separated from the
+    * scoring pass so a pipeline can estimate on one frame (e.g. the
+    * docs surviving upstream filters) and score another. */
+  def llrTable(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      n: Int = 2,
+      buckets: Int = 1024): Array[Double] = {
+    val counts = bucketCounts(docs, textCol, isTarget, n, buckets)
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val rTot = counts.valuesIterator.map(_._1).sum
+    val tTot = counts.valuesIterator.map(_._2).sum
+    Array.tabulate(buckets) { b =>
+      val (rc, tc) = counts.getOrElse(b, (0L, 0L))
+      llr(tc, tTot, rc, rTot, buckets)
+    }
+  }
+
+  /** The narrow scoring column over a literal LLR table: Σ over the
+    * text's grams of the bucket LLR (decimal-accumulated, rounded to
+    * 4); 0 for gram-free docs. Codegen-fused, no shuffle. */
+  def scoreColumn(table: Array[Double], text: Column, n: Int = 2): Column = {
+    val acc = DecimalType(30, 15)
+    val buckets = table.length
+    val tableLit = array(table.toIndexedSeq.map(lit): _*)
+    Cols.pround(
+      aggregate(
+        transform(grams(text, n),
+          g => element_at(tableLit, (bucketOf(g, buckets) + 1).cast("int")).cast(acc)),
+        lit(0).cast(acc), (a, x) => (a + x).cast(acc)).cast("double"),
+      4)
+  }
+
+  /** Score every doc: `dsir_score` = [[scoreColumn]] of the table
+    * estimated on the same frame ([[llrTable]]). */
   def dsirScore(
       docs: DataFrame,
       textCol: String,
       isTarget: Column,
       n: Int = 2,
-      buckets: Int = 1024): DataFrame = {
-    val acc = DecimalType(30, 15)
-    val counts = bucketCounts(docs, textCol, isTarget, n, buckets)
-      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
-    val rTot = counts.valuesIterator.map(_._1).sum
-    val tTot = counts.valuesIterator.map(_._2).sum
-    val table = Array.tabulate(buckets) { b =>
-      val (rc, tc) = counts.getOrElse(b, (0L, 0L))
-      llr(tc, tTot, rc, rTot, buckets)
-    }
-    val tableLit = array(table.toIndexedSeq.map(lit): _*)
+      buckets: Int = 1024): DataFrame =
     docs.withColumn("dsir_score",
-      Cols.pround(
-        aggregate(
-          transform(grams(col(textCol), n),
-            g => element_at(tableLit, (bucketOf(g, buckets) + 1).cast("int")).cast(acc)),
-          lit(0).cast(acc), (a, x) => (a + x).cast(acc)).cast("double"),
-        4))
-  }
+      scoreColumn(llrTable(docs, textCol, isTarget, n, buckets), col(textCol), n))
 
   /** CCNet-style LM perplexity scoring (Wenzek et al. 2020): train a
     * unigram LM on the TARGET subset (CCNet: Wikipedia), score every
@@ -148,7 +165,9 @@ object Dsir {
         val B = 1024
         val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
         val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
-        val llrExpr = "ln(tc + 1.0) - ln(tt + 1024.0) - ln(rc + 1.0) + ln(rt + 1024.0)"
+        // $B interpolated (not hardcoded) so changing the bucket count
+        // can never desynchronize engine and oracle smoothing
+        val llrExpr = s"ln(tc + 1.0) - ln(tt + $B.0) - ln(rc + 1.0) + ln(rt + $B.0)"
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |bg AS (SELECT doc_id,
            |    [array_to_string(toks[i:i+1], ' ')
@@ -193,7 +212,7 @@ object Dsir {
            |  FROM e GROUP BY bucket),
            |tot AS (SELECT sum(tc) AS tt FROM counts),
            |w AS (SELECT bucket,
-           |    ${Cols.proundSql("ln(tc + 1.0) - ln(tt + 1024.0)", 8)} AS logp
+           |    ${Cols.proundSql(s"ln(tc + 1.0) - ln(tt + $B.0)", 8)} AS logp
            |  FROM counts, tot),
            |sc AS (SELECT doc_id,
            |    CAST(sum(CAST(logp AS DECIMAL(30,15))) AS DOUBLE) AS lp, count(*) AS nw

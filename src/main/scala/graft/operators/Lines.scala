@@ -63,14 +63,19 @@ object Lines {
     * `maxHotLines` bounds the driver-collected digest set: at
     * realistic thresholds the hot set is site boilerplate (orders of
     * magnitude smaller than the corpus), but a pathological corpus
-    * fails loudly here rather than OOMing the driver. */
+    * fails loudly here rather than OOMing the driver. The default
+    * keeps the probe blob small (100k × 32-hex-char digests ≈ 3 MiB
+    * encoded) — well inside a sane broadcast/plan budget; raise it
+    * deliberately if a corpus genuinely has more boilerplate lines
+    * than that, and expect a proportionally larger literal shipped to
+    * every task. */
   def dedupLines(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       minDocs: Int = 3,
       minChars: Int = 15,
-      maxHotLines: Int = 10000000): DataFrame = {
+      maxHotLines: Int = 100000): DataFrame = {
     graft.expr.GraftExtensions.register(docs.sparkSession)
     // guard BEFORE materializing: a distributed count over the
     // (persisted, compact) hot frame costs one cheap job, whereas

@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.DecimalType
 object Similarity {
 
   val Dim = 64
+
+  /** Auto-scaling target for SemDeDup cell populations: nCells ≈
+    * n / TargetCellSize keeps the within-cell quadratic at ~5·10⁷
+    * pairs per cell regardless of corpus size. */
+  val TargetCellSize = 10000L
   private val acc = DecimalType(30, 15)
 
   /** Deterministic (order-independent) dot product of two vectors —
@@ -217,59 +222,62 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      fitSampleSize: Int = 100000): DataFrame = {
-    // Fit centroids on a bounded deterministic sample, never the full
-    // corpus. Coarse-quantizer centroids only need a representative
-    // sample (FAISS trains IVF on ~30-256 points per centroid); the
-    // portable LCG on the id makes the draw reproducible on any
-    // engine and independent of partitioning. Count first (cheap
-    // columnar count) to turn the size bound into a sampling rate;
-    // the sample is the ONLY data that ever reaches the driver.
-    val n = corpus.count()
-    val sampled =
-      if (n <= fitSampleSize) corpus
-      else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
-    val sample = sampled
-      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      .orderBy("id") // stable fit input regardless of partitioning
-      .collect().map(_.getSeq[Double](1).toArray)
+      fitSampleSize: Int = 100000,
+      centroidsOverride: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `centroidsOverride` injects a fixed quantizer (the oracle-gated
+    // path — k-means itself is not SQL-expressible) and flips every
+    // dot product to the decimal oracle-parity kernel; production
+    // leaves it None for the sample-fit + fast-double path.
+    val decimal = centroidsOverride.isDefined
+    val centroids = centroidsOverride.getOrElse {
+      // Fit centroids on a bounded deterministic sample, never the
+      // full corpus. Coarse-quantizer centroids only need a
+      // representative sample (FAISS trains IVF on ~30-256 points per
+      // centroid); the portable LCG on the id makes the draw
+      // reproducible on any engine and independent of partitioning.
+      // Count first (cheap columnar count) to turn the size bound into
+      // a sampling rate; the sample is the ONLY data that ever reaches
+      // the driver.
+      val n = corpus.count()
+      val sampled =
+        if (n <= fitSampleSize) corpus
+        else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
+      val sample = sampled
+        .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
+        .orderBy("id") // stable fit input regardless of partitioning
+        .collect().map(_.getSeq[Double](1).toArray)
+      lloydKMeans(sample, nCells)
+    }
     // Cell assignment and query probing are pure column expressions
-    // over literal centroids (no UDF, no MLlib transform): squared
-    // distance to centroid i is ‖x‖² − 2x·cᵢ + ‖cᵢ‖², and ‖x‖² is
-    // constant per row, so argmin/argsort over (‖cᵢ‖² − 2x·cᵢ, i)
-    // structs ranks cells identically. Plain-double dot kernel: a
+    // over literal centroids (no UDF, no MLlib transform) — see
+    // [[centroidRank]]. Production uses the plain-double dot kernel: a
     // per-row double fold is deterministic for fixed inputs (fixed
     // accumulation order) — the decimal kernel only buys oracle
     // parity, at ~20× the arithmetic on this full-corpus hot path.
-    val centroids = lloydKMeans(sample, nCells)
-    def fastDot(a: Column, b: Column): Column = call_function("graft_fastdot", a, b)
-    def cellRank(v: Column): Column = array_sort(array(
-      centroids.zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.toIndexedSeq.map(lit): _*)
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * fastDot(v, cLit)).as("d"), lit(i).as("i"))
-      }.toIndexedSeq: _*))
     // repartition: a single-file corpus scan is one partition, and a
     // broadcast join preserves it — without the spread, ALL scoring
     // below would run on one core (cost: one round-robin shuffle of
     // the vectors, amortized over the per-pair scoring fan-out).
-    // (fastDot widens float components itself — no cast pass needed.)
+    // (the dot kernels widen float components — no cast pass needed.)
     val corpusCells = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("cell", element_at(cellRank(col("vec")), 1).getField("i"))
+      .withColumn("cell",
+        element_at(centroidRank(col("vec"), centroids, decimal), 1).getField("i"))
     val qs = queries
-      .withColumn("cells",
-        transform(slice(cellRank(col("qvec")), 1, nProbe), s => s.getField("i")))
+      .withColumn("cells", transform(
+        slice(centroidRank(col("qvec"), centroids, decimal), 1, nProbe),
+        s => s.getField("i")))
       .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
 
-    // fastCosine, not the decimal kernel: IVF is an approximate
-    // method with a rows-only gate, and per-PAIR double cosine is
+    // Production scores with fastCosine, not the decimal kernel: IVF
+    // is an approximate method, and per-PAIR double cosine is
     // deterministic for fixed inputs (the decimal fold only buys
-    // oracle parity, at ~20× the arithmetic cost). The exact-verify
-    // operators (D5, N1, N2) keep the decimal path.
+    // oracle parity, at ~20× the arithmetic cost). The pinned gate
+    // flips to the decimal kernel so DuckDB reproduces every bit.
+    val score: (Column, Column) => Column = if (decimal) decCosine else fastCosine
     val scored = corpusCells.join(broadcast(qs), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), fastCosine(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"), score(col("qvec"), col("vec")).as("cos"))
     // no dedupe needed: each corpus row lives in exactly one cell, so
     // a (qid, id) pair joins at most once even with multi-cell probes
     groupedTopK(scored, k)
@@ -294,27 +302,31 @@ object Similarity {
       s"ELSE [x / sqrt($n2) FOR x IN $vExpr] END)"
   }
 
-  /** Nearest-centroid index (squared distance, ties to the lower
-    * index) over literal centroids — the shared assignment expression
-    * for IVF cells and SemDeDup clusters. `decimal = true` uses the
-    * decimal dot kernel (oracle-parity, ~20× the arithmetic);
-    * production paths use the fast double kernel. */
-  private[operators] def nearestCentroid(
+  /** Centroids ranked by squared distance to `v` (ties to the lower
+    * index) as sorted (d, i) structs — the shared quantizer expression
+    * for IVF cell assignment/probing and SemDeDup clusters. Ranking
+    * key is ‖cᵢ‖²−2v·cᵢ (the ‖v‖² term is constant per row, so
+    * dropping it from BOTH engines — the oracle ranks by the same
+    * two-dot expression — preserves the ordering and the exact doubles
+    * compared); ‖c‖² in-engine so it constant-folds to the identical
+    * double the oracle computes. `decimal = true` uses the decimal dot
+    * kernel (oracle-parity, ~20× the arithmetic); production paths use
+    * the fast double kernel. */
+  private[operators] def centroidRank(
       v: Column, centroids: Array[Array[Double]], decimal: Boolean): Column = {
     def dot(a: Column, b: Column): Column =
       if (decimal) decDot(a, b) else call_function("graft_fastdot", a, b)
-    element_at(
-      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.toIndexedSeq.map(lit): _*)
-        // ‖c‖²−2v·c (the ‖v‖² term is constant per row, so dropping
-        // it from BOTH engines — the oracle ranks by the same
-        // two-dot expression — preserves the argmin and the exact
-        // doubles compared); ‖c‖² in-engine so it constant-folds to
-        // the identical double the oracle computes
-        struct((dot(cLit, cLit) - lit(2.0) * dot(v, cLit)).as("d"),
-          lit(i).as("i"))
-      }.toIndexedSeq: _*)), 1).getField("i")
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      struct((dot(cLit, cLit) - lit(2.0) * dot(v, cLit)).as("d"),
+        lit(i).as("i"))
+    }.toIndexedSeq: _*))
   }
+
+  /** Nearest-centroid index over literal centroids. */
+  private[operators] def nearestCentroid(
+      v: Column, centroids: Array[Array[Double]], decimal: Boolean): Column =
+    element_at(centroidRank(v, centroids, decimal), 1).getField("i")
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): k-means-cluster
@@ -330,15 +342,25 @@ object Similarity {
     * [[Clusters.connectedComponents]] over compact id pairs. Vectors
     * shuffle once (by cell) for the pair join.
     *
+    * `nCells = 0` (the default) auto-scales the quantizer with the
+    * corpus: ceil(n / [[TargetCellSize]]) cells, so cell populations
+    * (and the per-cell quadratic) stay bounded at any corpus size —
+    * a fixed cell count that is fine at sf0.1 is quadratic death at
+    * 100×. After assignment a capacity guard fails loudly (the
+    * [[Lines.dedupLines]] idiom) if skew still concentrated more than
+    * `maxCellSize` vectors in one cell, instead of letting the pair
+    * join run O(cell²) unbounded.
+    *
     * `centroidsOverride` injects fixed centroids (the oracle-gated
     * path — k-means itself is not SQL-expressible); production leaves
     * it None for the sample-fit. */
   def semanticDedup(
       vecs: DataFrame, // id, vec
       threshold: Double,
-      nCells: Int = 16,
+      nCells: Int = 0, // 0 = auto: ceil(n / TargetCellSize), min 16
       fitSampleSize: Int = 100000,
-      centroidsOverride: Option[Array[Array[Double]]] = None): DataFrame = {
+      centroidsOverride: Option[Array[Array[Double]]] = None,
+      maxCellSize: Long = 100000L): DataFrame = {
     graft.expr.GraftExtensions.register(vecs.sparkSession)
     val unit = graft.Caches.persist(
       vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
@@ -346,17 +368,29 @@ object Similarity {
     val decimal = centroidsOverride.isDefined
     val centroids = centroidsOverride.getOrElse {
       val n = unit.count()
+      val k =
+        if (nCells > 0) nCells
+        else math.max(16L, math.min(65536L, n / TargetCellSize + 1L)).toInt
       val sampled =
         if (n <= fitSampleSize) unit
         else unit.filter(graft.Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
       lloydKMeans(
-        sampled.orderBy("id").collect().map(_.getSeq[Double](1).toArray), nCells)
+        sampled.orderBy("id").collect().map(_.getSeq[Double](1).toArray), k)
     }
     // persist the ASSIGNED frame: the self-join below evaluates both
     // sides, and without this each side re-runs the (decimal, in the
     // gate path) centroid ranking over the whole corpus
     val cells = graft.Caches.persist(
       unit.withColumn("cell", nearestCentroid(col("u"), centroids, decimal)))
+    // capacity guard: one narrow count-by-cell pass over the persisted
+    // frame (≤ #centroids rows to the driver) before committing to the
+    // quadratic join — a hot cell means the quantizer under-split
+    val largestRow = cells.groupBy("cell").agg(count(lit(1)).as("n")).agg(max("n")).head()
+    val largest = if (largestRow.isNullAt(0)) 0L else largestRow.getLong(0)
+    require(largest <= maxCellSize,
+      s"semanticDedup: largest cell holds $largest vectors (> maxCellSize=$maxCellSize); " +
+        s"the within-cell pair search is quadratic per cell — raise nCells (auto-scaling " +
+        s"targets $TargetCellSize/cell) or re-fit with a larger sample so cells stay bounded")
     // fast-double prune before the decimal verify: its error vs the
     // decimal cosine is ~1e-13 on dim-64 vectors, far inside the 0.01
     // margin, so the verify's outcome (and oracle parity) is unchanged
@@ -492,10 +526,11 @@ object Similarity {
         .select("id").orderBy("id")
     },
 
-    // IVF is deterministic (fixed k-means seed) but its cell
-    // assignment isn't SQL-expressible, so the driver records the
+    // The PRODUCTION IVF shape (sample-fit k-means quantizer) is
+    // deterministic but not SQL-expressible, so this twin records the
     // weaker rows-only check; recall vs brute force is pinned in
-    // SimilaritySpec.
+    // SimilaritySpec. The pinned gate below hash-checks the full
+    // assignment/probe/score machinery with an injected quantizer.
     Gate.rowsOnly("ann_topk_ivf") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       // fitSampleSize below the sf0.1 corpus size so the gate and the
@@ -505,6 +540,55 @@ object Similarity {
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3, nCells = 8, nProbe = 4, fitSampleSize = 1000)
+        .orderBy("qid", "rank")
+    },
+
+    // IVF with an INJECTED quantizer (the centroidsOverride pattern
+    // dedup_semantic proved): centroids = the first 8 embeddings
+    // widened to double, so cell assignment, nProbe probing, and
+    // decimal-cosine scoring are all SQL-expressible and the whole
+    // IVF pipeline hash-checks against DuckDB. Cell ids: engine
+    // centroid index i equals oracle cid because the centroids are
+    // collected in vec_id order over the contiguous ids 0..7.
+    Gate(
+      "ann_topk_ivf_pinned", {
+        val distC = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("corpus.vec", "cents.cv")}"
+        val distQ = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("qs.qvec", "cents.cv")}"
+        val cos = sqlDecCosine("p.qvec", "c.vec")
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
+           |qs AS (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qvec
+           |  FROM embeddings WHERE vec_id < 10),
+           |cd AS (SELECT corpus.id, corpus.vec, cents.cid, $distC AS d FROM corpus, cents),
+           |cr AS (SELECT id, vec, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd),
+           |cell AS (SELECT id, vec, cid FROM cr WHERE rn = 1),
+           |qd AS (SELECT qs.qid, qs.qvec, cents.cid, $distQ AS d FROM qs, cents),
+           |qr AS (SELECT qid, qvec, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qd),
+           |probe AS (SELECT qid, qvec, cid FROM qr WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.qid, c.id, $cos AS cos
+           |  FROM probe p JOIN cell c ON p.cid = c.cid AND c.id <> p.qid),
+           |ranked AS (SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      // centroids collected FROM THE ENGINE as widened doubles — the
+      // float→double widening is exact, so the injected literals are
+      // bit-identical to the oracle's ::DOUBLE cast of the same rows
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      ivfTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3, nProbe = 4, centroidsOverride = Some(cents))
         .orderBy("qid", "rank")
     }
   )

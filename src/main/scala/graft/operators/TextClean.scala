@@ -199,7 +199,8 @@ object TextClean {
            |         ELSE CAST(${TextAnalysis.sqlMarkerHits(toksLower, en)} AS DOUBLE) / len($toksLower) END AS sr
            |  FROM documents),
            |s AS (SELECT source, nw, nc, ${Cols.proundSql(q, 4)} AS q FROM t)
-           |SELECT source, count(*) AS n_docs, sum(nw) AS n_tokens, sum(nc) AS n_chars,
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(nw) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
            |  ${Cols.proundSql("CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS mean_quality
            |FROM s GROUP BY source ORDER BY source""".stripMargin
       }) { (s, dir) =>

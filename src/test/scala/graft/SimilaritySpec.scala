@@ -128,6 +128,47 @@ class SimilaritySpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("semanticDedup capacity guard fails loudly when a cell exceeds maxCellSize") {
+    val vecs = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // a 1-centroid quantizer concentrates the whole corpus in one
+    // cell; the guard must abort BEFORE the quadratic pair join runs
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(vecs, 0.99, nCells = 1, fitSampleSize = 50, maxCellSize = 10L)
+    }
+    assert(ex.getMessage.contains("maxCellSize"), ex.getMessage)
+    Caches.releaseAll()
+  }
+
+  test("semanticDedup auto-scales the quantizer when nCells is left default") {
+    val e = emb
+    val vecs = e.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .union(e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id") + 1000000,
+          transform(col("embedding"), x => x.cast("double") * 1.5)))
+    // default nCells=0 → ceil(n / TargetCellSize) floored at 16 — the
+    // 100×-safe path; replicas must still collapse onto their source
+    val survivors = Similarity.semanticDedup(vecs, 0.99, fitSampleSize = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val plantedSrc = e.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(plantedSrc.forall(survivors.contains))
+    assert(plantedSrc.forall(id => !survivors.contains(id + 1000000)))
+    Caches.releaseAll()
+  }
+
+  test("pinned-quantizer IVF gate returns full ranked top-k per query") {
+    val out = SparkEntry.queries("ann_topk_ivf_pinned")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 30, s"expected 10 queries × 3 ranks, got ${out.length}")
+    out.groupBy(_._1).values.foreach { rs =>
+      val cosines = rs.sortBy(_._2).map(_._4)
+      assert(cosines.sorted(Ordering[Double].reverse).sameElements(cosines))
+    }
+    Caches.releaseAll()
+  }
+
   test("semanticDedup with injected centroids matches the gate shape") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(_.getLong(0))
