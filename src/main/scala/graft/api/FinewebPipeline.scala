@@ -2,9 +2,33 @@ package graft.api
 
 import graft.{Cols, Gate, Tables}
 import graft.ml.LinearClassifier
-import graft.operators.{Filters, Formatters}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dsir, Filters, Formatters, Lines, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** C4 cleaning stage parameters (Raffel et al. 2020 §2.2 defaults). */
+final case class C4Params(minLineWords: Int = 3, minSentences: Int = 5)
+
+/** Gopher doc-quality bounds (Rae et al. 2021 §A1.1 defaults). */
+final case class GopherParams(
+    minWords: Int = 50,
+    maxWords: Int = 100000,
+    minMeanWordLen: Double = 3.0,
+    maxMeanWordLen: Double = 10.0,
+    minAlphaFraction: Double = 0.8,
+    minStopwordHits: Int = 2,
+    maxBulletFraction: Double = 0.9,
+    maxEllipsisFraction: Double = 0.3)
+
+/** DSIR importance-filter parameters: the LLR table is estimated on
+  * the docs SURVIVING the upstream stages (target = rows matching
+  * `target`), and docs scoring below `minScore` are excluded with
+  * reason `dsir`. */
+final case class DsirParams(
+    target: Column,
+    minScore: Double,
+    n: Int = 2,
+    buckets: Int = 1024)
 
 /** Config-driven pipeline assembly — the reference's user surface.
   *
@@ -38,6 +62,27 @@ final case class FinewebConfig(
     toxicityClassifier: Option[graft.ml.EmbeddingScorer] = None,
     /** deterministic sampling rate (reference: SamplerFilter). */
     samplerRate: Option[Double] = None,
+    /** C4-style cleaning (Raffel et al. §2.2): rewrite text to the
+      * surviving lines, then exclude docs failing the doc-level rules
+      * (reason `c4_doc_rules`). Rewrites apply only to not-yet-
+      * rejected rows — the exclusion sink keeps each doc's text as it
+      * was when rejected, like the PII stage. */
+    c4Clean: Option[C4Params] = None,
+    /** intra-document repeated-line removal ([[Lines
+      * .dedupLinesWithinDoc]]) applied after C4 cleaning — nav/footer
+      * repeats inside one page; narrow, codegen-fused. */
+    dedupDocLines: Boolean = false,
+    /** Gopher doc-quality gate over the (possibly cleaned) text;
+      * failing docs are excluded with reason `gopher_quality`. */
+    gopherQuality: Option[GopherParams] = None,
+    /** DSIR importance filter: estimate the hashed-bigram LLR table
+      * on the docs surviving the stages above (one compact aggregate
+      * at assembly time, like the quality-threshold estimate), score
+      * surviving docs (`dsir_score` column; rows already rejected
+      * keep a NULL score — a model fitted downstream of their
+      * exclusion doesn't apply to them), exclude below-minScore docs
+      * with reason `dsir`. */
+    dsirFilter: Option[DsirParams] = None,
     /** fineweb-edu style edu-score gate: annotate the 0–5 edu score +
       * its integer bucket, keep docs with int_score ≥ this (the
       * reference's score-2 dataset is exactly int_score ≥ 2 —
@@ -56,6 +101,20 @@ object FinewebPipeline {
       docs: DataFrame,
       cfg: FinewebConfig,
       classifier: graft.ml.EmbeddingScorer = LinearClassifier.seeded(64, 1)): (DataFrame, DataFrame) = {
+    val marked = buildMarked(spark, docs, cfg, classifier)
+    (marked.filter(col("filter_reason").isNull).drop("filter_reason"),
+      marked.filter(col("filter_reason").isNotNull))
+  }
+
+  /** The single marked frame (`filter_reason` null = kept, else the
+    * first rejecting stage's name) that [[build]] splits — ONE
+    * Catalyst plan; persist it to pay the scan once when writing both
+    * sinks. */
+  def buildMarked(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: FinewebConfig,
+      classifier: graft.ml.EmbeddingScorer = LinearClassifier.seeded(64, 1)): DataFrame = {
 
     var stages = Vector.empty[Stage]
 
@@ -89,6 +148,51 @@ object FinewebPipeline {
         d => Filters.urlDomainAllowed(domains, d("url")))
     }
 
+    cfg.c4Clean.foreach { p =>
+      // the doc-level rules check the RAW text (lorem-ipsum / brace
+      // markers are page properties, not line properties) — keep it
+      // aside across the rewrite
+      stages :+= Transform("c4_clean", d => d
+        .withColumn("__c4_raw", col("text"))
+        .withColumn("text",
+          when(col("filter_reason").isNull,
+            TextAnalysis.c4CleanText(col("text"), p.minLineWords))
+            .otherwise(col("text"))))
+      stages :+= DocFilter("c4_doc_rules",
+        _ => TextAnalysis.c4DocKept(col("__c4_raw"), col("text"), p.minSentences))
+      stages :+= Transform("c4_drop_raw", _.drop("__c4_raw"))
+    }
+
+    if (cfg.dedupDocLines)
+      stages :+= Transform("line_dedup", d => d.withColumn("text",
+        when(col("filter_reason").isNull, Lines.dedupLinesWithinDoc(col("text")))
+          .otherwise(col("text"))))
+
+    cfg.gopherQuality.foreach { g =>
+      stages :+= DocFilter("gopher_quality",
+        _ => TextAnalysis.gopherKept(col("text"),
+          g.minWords, g.maxWords, g.minMeanWordLen, g.maxMeanWordLen,
+          g.minAlphaFraction, g.minStopwordHits,
+          g.maxBulletFraction, g.maxEllipsisFraction))
+    }
+
+    cfg.dsirFilter.foreach { p =>
+      // estimate on the upstream SURVIVORS (the raw distribution the
+      // filter actually sees); the table collect is one compact
+      // `buckets`-row aggregate at assembly time — the same eager
+      // prepass shape as the reference's estimator and qualityTopP's
+      // quantile. Scoring stays narrow (literal-array lookup).
+      // Annotation is guarded like the text rewrites: only rows no
+      // stage has rejected get a score, so every scored gram hits a
+      // bucket the estimate covered.
+      val upstream = Pipeline(stages: _*).kept(docs)
+      val table = Dsir.llrTable(upstream, "text", p.target, p.n, p.buckets)
+      stages :+= Transform("dsir_annotate",
+        d => d.withColumn("dsir_score",
+          when(col("filter_reason").isNull, Dsir.scoreColumn(table, col("text"), p.n))))
+      stages :+= DocFilter("dsir", _ => col("dsir_score") >= p.minScore)
+    }
+
     cfg.qualityTopP.foreach { p =>
       // reference estimates the threshold as the (1-p) score quantile
       // over the filter's INPUT stream (embeddings_filter.py:76-108) —
@@ -98,8 +202,10 @@ object FinewebPipeline {
       // threshold is a 1-row percentile_approx aggregate broadcast
       // into the plan, so building the pipeline stays lazy (no eager
       // Spark job per branch in sweepLanguages) and the driver only
-      // ever sees the merged sketch, never the scores.
-      val upstream = Pipeline(stages: _*).run(docs)
+      // ever sees the merged sketch, never the scores. kept(), not
+      // run(): the clean/score transforms above reference
+      // filter_reason, which only runWithReasons-based replays carry.
+      val upstream = Pipeline(stages: _*).kept(docs)
       val thrFrame = upstream
         .select(classifier.score(col("embedding")).as("__q_s"))
         .agg(percentile_approx(col("__q_s"), lit(1 - p), lit(10000)).as("__q_thr"))
@@ -134,12 +240,7 @@ object FinewebPipeline {
         when(col("filter_reason").isNull, Formatters.piiRedact(col("text")))
           .otherwise(col("text"))))
 
-    // one marked frame shared by both splits, so they are branches of
-    // the SAME plan (persist it to pay the scan once when writing
-    // both sinks)
-    val marked = Pipeline(stages: _*).runWithReasons(docs)
-    (marked.filter(col("filter_reason").isNull).drop("filter_reason"),
-      marked.filter(col("filter_reason").isNotNull))
+    Pipeline(stages: _*).runWithReasons(docs)
   }
 
   /** The edu classifier head standing in for fineweb-edu's regression
@@ -223,6 +324,45 @@ object FinewebPipeline {
     graft.ml.EmbeddingScorer.rounded(graft.ml.MlpClassifier.seeded(64, 8, 23), 6)
   private val GateToxThr = 0.4691
 
+  /** The duplicated nav line the fw_full_recipe gate plants (the
+    * line-dedup target — ≥ 15 chars, C4-survivable). */
+  private[graft] val RecipeNavLine = "Navigation menu repeated on every page here."
+
+  /** Deterministic per-doc page for the fw_full_recipe gate (both
+    * engines synthesize the identical page from the doc's words). */
+  private[graft] def recipePages(docs: DataFrame): DataFrame = {
+    val page = Cols.bind(TextAnalysis.words(col("text"))) { w =>
+      concat_ws("\n",
+        concat(array_join(slice(w, 1, 6), " "), lit(".")),
+        lit(RecipeNavLine),
+        concat(array_join(slice(w, 7, 6), " "), lit(".")),
+        lit("short."),
+        lit("See our cookie policy."),
+        lit(RecipeNavLine),
+        concat(array_join(slice(w, 13, 5), " "),
+          when(col("doc_id") % 3 === 0, "...").otherwise(".")),
+        when(col("doc_id") % 7 === 0, "bad { brace }.").otherwise("ok line end."),
+        when(col("doc_id") % 11 === 0, "has lorem ipsum inside.")
+          .otherwise("closing sentence here."))
+    }
+    docs.select(col("doc_id"), page.as("text"))
+  }
+
+  /** fw_full_recipe config: every stage active, thresholds chosen so
+    * each one genuinely splits this corpus (Gopher bounds widened to
+    * neutral except the ellipsis discriminator; stop-hits neutralized
+    * because the synthesized fixed lines carry no EN stopwords). */
+  private[graft] val RecipeCfg = FinewebConfig(
+    c4Clean = Some(C4Params(minSentences = 2)),
+    dedupDocLines = true,
+    gopherQuality = Some(GopherParams(
+      minWords = 10, maxWords = 100000,
+      minMeanWordLen = 1.0, maxMeanWordLen = 20.0,
+      minAlphaFraction = 0.5, minStopwordHits = 0,
+      maxBulletFraction = 0.9, maxEllipsisFraction = 0.1)),
+    dsirFilter = Some(DsirParams(col("doc_id") % 10 === 0, minScore = 0.0)),
+    piiFormat = false)
+
   val gates: Seq[Gate] = Seq(
     // R12 — the per-language config sweep as ONE union plan, oracle =
     // the union of each language's filter semantics (fineweb-2
@@ -246,6 +386,110 @@ object FinewebPipeline {
           "de" -> FinewebConfig(samplerRate = Some(0.2), piiFormat = false)),
         default = FinewebConfig(piiFormat = false))
       kept.select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // The FULL text-quality recipe through the config surface —
+    // scan → C4 clean → intra-doc line dedup → Gopher rules → DSIR
+    // scoring/filter — as ONE marked frame with per-stage
+    // filter_reason attribution (the reference's main.py:97-141
+    // assembly + exclusion_writer semantics, end-to-end). The gate
+    // synthesizes a deterministic page per doc that exercises every
+    // stage: C4 line drops (short line, policy marker), C4 doc drops
+    // (brace on %7, lorem ipsum on %11), a duplicated nav line (the
+    // line-dedup target), an ellipsis line on %3 (the Gopher
+    // discriminator), and a %9 DSIR target split. Output = the whole
+    // marked frame (kept AND excluded, reason, score, text digest),
+    // so the oracle pins reason attribution and the guarded rewrites
+    // (rejected rows keep their text as rejected).
+    Gate(
+      "fw_full_recipe", {
+        def seg(a: Int, b: Int) = s"coalesce(array_to_string(ws[$a:$b], ' '), '')"
+        val nav = RecipeNavLine
+        val page =
+          s"${seg(1, 6)} || '.' || chr(10) || " +
+            s"'$nav' || chr(10) || " +
+            s"${seg(7, 12)} || '.' || chr(10) || " +
+            "'short.' || chr(10) || " +
+            "'See our cookie policy.' || chr(10) || " +
+            s"'$nav' || chr(10) || " +
+            s"${seg(13, 17)} || (CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '.' END) || chr(10) || " +
+            "(CASE WHEN doc_id % 7 = 0 THEN 'bad { brace }.' ELSE 'ok line end.' END) || chr(10) || " +
+            "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
+        val wordPat = TextAnalysis.WordPattern
+        val lineOk =
+          "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
+            "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
+            s"AND len(regexp_extract_all(x, '$wordPat')) >= 3 AND NOT (" +
+            TextAnalysis.C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") +
+            ")"
+        val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
+        val B = 1024
+        val llrExpr = s"ln(tc + 1.0) - ln(tt + $B.0) - ln(rc + 1.0) + ln(rt + $B.0)"
+        val bigrams =
+          "[array_to_string(toks[i:i+1], ' ') FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)]"
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$wordPat') AS ws FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |l AS (SELECT doc_id, page, [trim(x) FOR x IN string_split(page, chr(10))] AS lines FROM p),
+           |c AS (SELECT doc_id, page,
+           |    coalesce(array_to_string([x FOR x IN lines IF $lineOk], chr(10)), '') AS cleaned
+           |  FROM l),
+           |v1 AS (SELECT doc_id, cleaned,
+           |    (len(regexp_extract_all(cleaned, '[.!?]')) >= 2
+           |     AND NOT contains(lower(page), 'lorem ipsum')
+           |     AND NOT contains(page, '{')) AS c4_kept
+           |  FROM c),
+           |dl AS (SELECT doc_id, cleaned, c4_kept, string_split(cleaned, chr(10)) AS ls FROM v1),
+           |dd AS (SELECT doc_id, cleaned, c4_kept,
+           |    coalesce(array_to_string(
+           |      [ls[i] FOR i IN range(1, len(ls) + 1)
+           |       IF len(ls[i]) < 15 OR NOT list_contains(ls[1:i-1], ls[i])], chr(10)), '') AS deduped
+           |  FROM dl),
+           |g AS (SELECT doc_id, c4_kept,
+           |    CASE WHEN NOT c4_kept THEN cleaned ELSE deduped END AS cur_text, deduped,
+           |    regexp_extract_all(deduped, '$wordPat') AS pws,
+           |    [trim(x) FOR x IN string_split(deduped, chr(10))] AS ls2
+           |  FROM dd),
+           |gm AS (SELECT doc_id, c4_kept, cur_text, deduped,
+           |    len(pws) AS nw,
+           |    CASE WHEN len(pws) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform(pws, t -> length(t))) AS DOUBLE) / len(pws) END AS mwl,
+           |    CASE WHEN len(pws) = 0 THEN 0.0
+           |         ELSE CAST(len([t FOR t IN pws IF regexp_matches(t, '[A-Za-z]')]) AS DOUBLE) / len(pws) END AS alpha,
+           |    CAST(len([x FOR x IN ls2 IF starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')]) AS DOUBLE) / len(ls2) AS bullet,
+           |    CAST(len([x FOR x IN ls2 IF ends_with(x, '...') OR ends_with(x, '…')]) AS DOUBLE) / len(ls2) AS ellipsis
+           |  FROM g),
+           |v2 AS (SELECT doc_id, c4_kept, cur_text, deduped,
+           |    (nw BETWEEN 10 AND 100000 AND mwl BETWEEN 1.0 AND 20.0
+           |     AND alpha > 0.5 AND bullet < 0.9 AND ellipsis < 0.1) AS g_kept
+           |  FROM gm),
+           |st AS (SELECT doc_id, regexp_extract_all(lower(deduped), '$wordPat') AS toks
+           |       FROM v2 WHERE c4_kept AND g_kept),
+           |sbg AS (SELECT doc_id, $bigrams AS gs FROM st),
+           |e AS (SELECT doc_id, $h32 % $B AS bucket
+           |      FROM (SELECT doc_id, unnest(gs) AS g FROM sbg)),
+           |counts AS (SELECT bucket, count(*) AS rc,
+           |    sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS tc
+           |  FROM e GROUP BY bucket),
+           |tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts),
+           |wt AS (SELECT bucket, ${Cols.proundSql(llrExpr, 8)} AS llr FROM counts, tot),
+           |sc AS (SELECT e.doc_id, CAST(sum(CAST(llr AS DECIMAL(30,15))) AS DOUBLE) AS score
+           |  FROM e JOIN wt USING (bucket) GROUP BY e.doc_id),
+           |fin AS (SELECT v2.doc_id, v2.c4_kept, v2.g_kept, v2.cur_text,
+           |    CASE WHEN v2.c4_kept AND v2.g_kept
+           |         THEN ${Cols.proundSql("coalesce(sc.score, 0.0)", 4)} END AS dsir_score
+           |  FROM v2 LEFT JOIN sc ON v2.doc_id = sc.doc_id)
+           |SELECT doc_id,
+           |  CASE WHEN NOT c4_kept THEN 'c4_doc_rules'
+           |       WHEN NOT g_kept THEN 'gopher_quality'
+           |       WHEN dsir_score < 0.0 THEN 'dsir'
+           |       ELSE NULL END AS filter_reason,
+           |  dsir_score, md5(cur_text) AS text_md5
+           |FROM fin ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      FinewebPipeline.buildMarked(s, recipePages(Tables(s, dir, "documents")), RecipeCfg)
+        .select(col("doc_id"), col("filter_reason"), col("dsir_score"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     },
 
     Gate(

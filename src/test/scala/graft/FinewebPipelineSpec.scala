@@ -153,4 +153,36 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(kept.filter(col("text").contains("a@b.com")).count() == 0)
     assert(kept.filter(col("text").contains("<email-pii>")).count() == kept.count())
   }
+
+  test("full text-quality recipe attributes each stage's rejections and guards rewrites") {
+    val marked = FinewebPipeline.buildMarked(
+      spark,
+      FinewebPipeline.recipePages(Tables(spark, sfDir, "documents")),
+      FinewebPipeline.RecipeCfg)
+      .select("doc_id", "filter_reason", "dsir_score", "text").collect()
+    val byReason = marked.groupBy(r => Option(r.getString(1)).getOrElse("kept"))
+      .view.mapValues(_.length).toMap
+    // every stage fires on this corpus, and kept docs remain
+    for (r <- Seq("c4_doc_rules", "gopher_quality", "dsir", "kept"))
+      assert(byReason.getOrElse(r, 0) > 0, s"stage $r never decided a doc: $byReason")
+    for (r <- marked) {
+      val reason = Option(r.getString(1))
+      val text = r.getString(3)
+      // brace/lorem docs must be attributed to the C4 doc rules
+      // (FIRST rejecting stage), and their text must still be the C4-
+      // CLEANED text (rejected before the line-dedup rewrite), so the
+      // planted duplicate nav line is still present twice
+      if (reason.contains("c4_doc_rules")) {
+        assert(r.isNullAt(2), "rejected doc must carry no dsir_score")
+        assert(text.linesIterator.count(_ == FinewebPipeline.RecipeNavLine) == 2,
+          s"c4-rejected doc should keep its pre-line-dedup text:\n$text")
+      }
+      // survivors and later rejects are line-deduped: nav appears once
+      if (reason.isEmpty || reason.contains("gopher_quality") || reason.contains("dsir"))
+        assert(text.linesIterator.count(_ == FinewebPipeline.RecipeNavLine) == 1,
+          s"line dedup should have removed the duplicate nav line:\n$text")
+      if (reason.isEmpty)
+        assert(!r.isNullAt(2) && r.getDouble(2) >= 0.0, "kept doc must meet the DSIR cut")
+    }
+  }
 }

@@ -179,6 +179,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("fw_full_recipe pre-split chain is one narrow pass — zero exchanges, no UDF") {
+    // the whole C4-clean → line-dedup → Gopher → DSIR-score marked
+    // frame must be a single narrow pass over ONE scan: the DSIR
+    // table collect happens at assembly, and everything in the final
+    // plan is column expressions — no shuffle, no ScalaUDF. (The
+    // higher-order-function lambdas the clean/quality expressions use
+    // evaluate as interpreted projects between codegen segments —
+    // Spark never codegens HOFs — but they stay fused in the same
+    // narrow stage, which is what survives a 100× scale-up.)
+    val marked = graft.api.FinewebPipeline.buildMarked(
+      spark,
+      graft.api.FinewebPipeline.recipePages(Tables(spark, sfDir, "documents")),
+      graft.api.FinewebPipeline.RecipeCfg)
+    val p = marked.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"recipe chain must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"recipe chain must not use UDFs:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"recipe chain should read the corpus exactly once:\n$p")
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
