@@ -44,5 +44,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    allGates.flatMap(g => g.oracle.map(g.name -> _)).toMap
+    allGates.flatMap(g => g.oracle.map(f => g.name -> f())).toMap
 }

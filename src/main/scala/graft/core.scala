@@ -111,15 +111,25 @@ object Caches {
 /** One correctness-gated operator: a DataFrame builder plus (usually)
   * an equivalent DuckDB SQL oracle. Modules contribute Gates; the
   * driver contract in [[SparkEntry]] aggregates them.
+  *
+  * The oracle is a thunk so a gate whose SQL embeds values computed by
+  * its own builder (e.g. a corpus-trained merge table) can defer the
+  * SQL until [[SparkEntry.oracleSql]] is read — Verify runs every
+  * builder before dumping oracles, so the builder's cache is always
+  * warm by then.
   */
 final case class Gate(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[() => String])
 
 object Gate {
   def apply(name: String, sql: String)(build: (SparkSession, String) => DataFrame): Gate =
-    Gate(name, build, Some(sql))
+    Gate(name, build, Some(() => sql))
+  /** Oracle computed on read (call-by-name) — for SQL that embeds
+    * builder-derived state. */
+  def lazyOracle(name: String)(sql: => String)(build: (SparkSession, String) => DataFrame): Gate =
+    Gate(name, build, Some(() => sql))
   def rowsOnly(name: String)(build: (SparkSession, String) => DataFrame): Gate =
     Gate(name, build, None)
 }

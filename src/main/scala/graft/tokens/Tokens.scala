@@ -210,16 +210,93 @@ object Tokens {
     s"[($h32 % ${VocabSize - 1}) + 1 FOR t IN regexp_extract_all($textExpr, '${TextAnalysis.BpePattern}')] || [${EosId}]"
   }
 
+  // ---- corpus-trained BPE gate machinery ----
+
+  /** Trained-tokenizer cache, keyed by data dir: the gate builder
+    * trains (or reuses) it, and the lazy oracle reads it — Verify
+    * runs every builder before dumping oracle SQL, so the cache is
+    * warm by dump time. */
+  @volatile private var bpeCache: Option[(String, BpeTokenizer)] = None
+  private def trainedBpe(s: org.apache.spark.sql.SparkSession, dir: String): BpeTokenizer =
+    bpeCache match {
+      case Some((d, t)) if d == dir => t
+      case _ =>
+        val t = BpeTrainer.train(Tables(s, dir, "documents"), "text",
+          numMerges = 200, maxWords = 20000)
+        bpeCache = Some((dir, t))
+        t
+    }
+
+  /** DuckDB replay of the learned BPE encode, per doc → (n_tokens,
+    * id_sum). The greedy lowest-rank merge is equivalent to applying
+    * merges in rank order (a merge can only create pairs of HIGHER
+    * rank — their concatenated symbol postdates it in training), and
+    * one leftmost-occurrence replacement per recursion step over a
+    * pipe-delimited hex-symbol string reproduces the engine's
+    * one-merge-per-iteration loop exactly (boundary pipes keep a
+    * symbol's hex from matching inside a longer symbol). Distinct
+    * pre-tokens encode once; per-doc sums are order-free, so joining
+    * word aggregates back by multiplicity reproduces the full-stream
+    * n_tokens/id_sum. */
+  private def sqlBpeReplay(tok: BpeTokenizer): String = {
+    def hx(bs: Seq[Byte]) = bs.map(b => f"${b & 0xff}%02x").mkString
+    val n = tok.merges.length
+    val merges = tok.merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i}, '|${hx(a)}|${hx(b)}|', '|${hx(a)}${hx(b)}|', '${hx(a)}${hx(b)}', ${256 + i})"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE
+       |merges(r, pat, rep, sym, id) AS (VALUES
+       |    $merges),
+       |t AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.BpePattern}') AS ws
+       |      FROM documents),
+       |dw AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+       |w0 AS (SELECT w, '|' || regexp_replace(lower(hex(encode(w))), '(..)', '\\1|', 'g') AS s
+       |       FROM dw),
+       |enc AS (
+       |  SELECT w, s, 0 AS r FROM w0
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN p > 0 THEN substr(s, 1, p - 1) || rep || substr(s, p + plen) ELSE s END AS s,
+       |    CASE WHEN p > 0 THEN r ELSE r + 1 END AS r
+       |  FROM (SELECT enc.w, enc.s, enc.r, m.rep, strpos(enc.s, m.pat) AS p, len(m.pat) AS plen
+       |        FROM enc JOIN merges m ON m.r = enc.r
+       |        WHERE enc.r < $n) q
+       |),
+       |done AS (SELECT w, string_split(trim(s, '|'), '|') AS syms FROM enc WHERE r = $n),
+       |ex AS (SELECT w, unnest(syms) AS sy FROM done),
+       |sid AS (SELECT ex.w,
+       |    CAST(CASE WHEN len(sy) = 2 THEN CAST(CAST('0x' || sy AS UBIGINT) AS BIGINT)
+       |              ELSE m.id END AS BIGINT) AS tid
+       |  FROM ex LEFT JOIN merges m ON m.sym = ex.sy),
+       |wagg AS (SELECT w, CAST(count(*) AS INT) AS wn, CAST(sum(tid) AS BIGINT) AS wsum
+       |         FROM sid GROUP BY w),
+       |de AS (SELECT doc_id, unnest(ws) AS w FROM t),
+       |ds AS (SELECT de.doc_id, CAST(sum(wn) AS BIGINT) AS n0, CAST(sum(wsum) AS BIGINT) AS s0
+       |       FROM de JOIN wagg USING (w) GROUP BY de.doc_id)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(ds.n0, 0) + 1 AS INT) AS n_tokens,
+       |  CAST(coalesce(ds.s0, 0) + ${tok.eosId} AS BIGINT) AS id_sum
+       |FROM t LEFT JOIN ds USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val gates: Seq[Gate] = Seq(
 
-    // T1b — corpus-trained byte-BPE (BpeTokenizer): training is not
-    // SQL-expressible (iterative merges), so the gate is rows-only;
-    // merge determinism and encode/decode round-trip are pinned in
-    // TokensSpec. Train on the gate's own documents with fixed
-    // parameters — bit-reproducible by construction.
-    Gate.rowsOnly("tok_bpe") { (s, dir) =>
+    // T1b — corpus-trained byte-BPE (BpeTokenizer): training itself is
+    // not SQL-expressible (iterative merges), but the LEARNED merge
+    // list is engine-injected into the oracle, which replays encode in
+    // a recursive CTE — so the whole encode path hash-checks against
+    // DuckDB. Lazy oracle: the SQL embeds the merges the builder
+    // trained; TokensSpec pins training determinism + round-trip.
+    Gate.lazyOracle("tok_bpe") {
+      sqlBpeReplay(bpeCache.map(_._2).getOrElse(
+        // thunk read without a prior builder run (e.g. a spec poking
+        // oracleSql alone): train from the active session at the spec
+        // scale so the SQL is still well-formed
+        trainedBpe(org.apache.spark.sql.SparkSession.active, "/root/testdata/sf0.001")))
+    } { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val tok = BpeTrainer.train(docs, "text", numMerges = 200, maxWords = 20000)
+      val tok = trainedBpe(s, dir)
       docs
         .select(col("doc_id"),
           graft.Cols.bind(BpeTrainer.tokenIds(s, tok, col("text"))) { ids =>

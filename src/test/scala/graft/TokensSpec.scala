@@ -38,6 +38,36 @@ class TokensSpec extends SparkSpec {
     assert(reported == expected)
   }
 
+  test("corpus-trained BPE ids round-trip through the Megatron writer (T1-real -> S5)") {
+    // the learned tokenizer's ids (not the hash-vocab twin) written
+    // and read back: lengths, per-doc counts, and the uint16 byte
+    // budget all line up with the engine-side token stream
+    val out = Files.createTempDirectory("graft-megatron-bpe").toString
+    val base = Tables(spark, sfDir, "documents").limit(60)
+    val tok = graft.tokens.BpeTrainer.train(base, "text", numMerges = 50, maxWords = 2000)
+    assert(tok.eosId < 65500, "BPE vocab must fit the uint16 dtype the writer picks")
+    val docs = base
+      .select(col("doc_id"), graft.tokens.BpeTrainer.tokenIds(spark, tok, col("text")).as("ids"))
+      .repartition(2)
+    val expected = docs.select(sum(size(col("ids"))).cast("long")).head.getLong(0)
+    MegatronBinWriter.write(docs, "ids", out)
+
+    var totalTokens = 0L
+    var totalDocs = 0
+    val idxFiles = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".idx")).sorted
+    assert(idxFiles.length == 2)
+    for (f <- idxFiles) {
+      val (version, dtype, lengths) = MegatronBinWriter.readIdx(s"$out/$f")
+      assert(version == 1L && dtype == 8)
+      totalDocs += lengths.length
+      totalTokens += lengths.map(_.toLong).sum
+      assert(Files.size(Paths.get(s"$out/${f.stripSuffix(".idx")}.bin")) ==
+        lengths.map(_.toLong).sum * 2)
+    }
+    assert(totalDocs == 60)
+    assert(totalTokens == expected)
+  }
+
   test("maxTokensPerShard rolls a partition into sub-rank shards, losing nothing") {
     val out = Files.createTempDirectory("graft-megatron-sub").toString
     val docs = Tables(spark, sfDir, "documents")
