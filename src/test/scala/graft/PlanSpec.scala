@@ -179,6 +179,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("keyword extraction and dup-span exchanges never carry a text column") {
+    // both operators promise their shuffles are digests/terms only —
+    // the 100 TB contract is that document text reduces before any
+    // exchange (same shape as the exactDedup assertion)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+      for (df <- Seq(
+        graft.operators.Keywords.tfidfKeywords(docs, "text", "doc_id", k = 3),
+        graft.operators.Lines.dupSpanStats(docs, "text", "doc_id"))) {
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        }
+        assert(exchanges.nonEmpty, "expected at least one compact exchange")
+        for (e <- exchanges)
+          assert(!e.output.exists(_.name == "text"),
+            s"exchange carries document text: ${e.simpleStringWithNodeId()}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("fw_full_recipe pre-split chain is one narrow pass — zero exchanges, no UDF") {
     // the whole C4-clean → line-dedup → Gopher → DSIR-score marked
     // frame must be a single narrow pass over ONE scan: the DSIR
