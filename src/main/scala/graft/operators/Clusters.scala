@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Gate, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster construction: connected components over a
@@ -191,6 +191,42 @@ object Clusters {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Keep the best-SCORING member of each duplicate cluster (ties to
+    * the smaller id) — the "keep the highest-quality copy" keeper
+    * policy real pipelines prefer over min-id when a quality signal
+    * exists (a canonical page beats its truncated mirror). `score` is
+    * any column expression over `docs` (quality score, token count,
+    * crawl recency…); NULL scores rank lowest.
+    *
+    * Scale shape: labels are compact (id, rep) pairs; the winner per
+    * cluster is ONE max-of-struct aggregate over (rep, score, id) —
+    * document text never joins in until the final id anti-join, which
+    * AQE broadcasts when the loser set is small. */
+  def clusterDedupByScore(
+      docs: DataFrame,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      idCol: String,
+      score: Column): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol) // (id, rep)
+    val scored = docs
+      .select(col(idCol).cast("long").as("id"),
+        // NULL-lowest without nulls_first machinery: any real score
+        // beats the sentinel; -1e308 parses to the same double in both
+        // engines (portable, unlike a raw -Infinity literal)
+        coalesce(score.cast("double"), lit(-1e308)).as("__s"))
+      .join(labels, "id")
+    // max of (score, -id) structs = argmax score, ties to the min id
+    val winners = scored
+      .groupBy("rep")
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("ni"))).as("w"))
+      .select((-col("w.ni")).as("id"))
+    val drop = labels.join(winners, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** The full fineweb-style near-dup stage: MinHash+LSH verified pairs
     * → transitive clusters → keep the min-id member of each. */
   def minhashClusterDedup(
@@ -254,6 +290,30 @@ object Clusters {
       (s, dir) =>
         connectedComponents(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
           .orderBy("id")
+    },
+
+    // Quality-keeper policy over the same synthetic component graph:
+    // the n_chars-max member (ties min id) survives each component
+    // instead of the min id; oracle = the recursive closure plus a
+    // per-component window.
+    Gate(
+      "dedup_cluster_quality",
+      s"""WITH RECURSIVE base AS ($SqlEdges),
+         |$SqlReach,
+         |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n),
+         |m AS (SELECT labels.n AS id, labels.rep, d.n_chars
+         |      FROM labels JOIN documents d ON d.doc_id = labels.n),
+         |w AS (SELECT id, rep,
+         |    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY n_chars DESC, id) AS rn
+         |  FROM m)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN w ON w.id = d.doc_id
+         |WHERE w.id IS NULL OR w.rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      clusterDedupByScore(
+        docs, synthEdges(docs), "id_a", "id_b", "doc_id", col("n_chars"))
+        .select("doc_id").orderBy("doc_id")
     },
 
     // End-to-end near-dup stage over the planted-replica corpus: the

@@ -263,6 +263,44 @@ object Dedup {
     }
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) — the
+    * asymmetric overlap that catches QUOTE-INCLUSION and excerpt
+    * mirrors Jaccard structurally misses (a 30-word excerpt inside a
+    * 300-word page has J ≈ 0.1 but containment ≈ 1; RefinedWeb-style
+    * "B swallows A" filtering keys on exactly this). Returns
+    * (id_a, id_b, contained_id, containment) for pairs at or above
+    * `threshold`, with `contained_id` the smaller-set side (ties to
+    * id_a).
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (8-byte
+    * hashed shingle keys, count-aggregate intersection — no per-pair
+    * array work, text never shuffles). NOTE the size-ratio prune does
+    * NOT apply here — size-mismatched pairs are the whole point — so
+    * on a corpus with stop-shingles apply the same df-cutoff +
+    * hot-overlap correction ngramJaccardPairs implements before
+    * scaling this out. */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol)
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("bkey"))
+    inv.as("x")
+      .join(inv.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"),
+        when(col("sz_a") <= col("sz_b"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        Cols.pround(
+          col("shared").cast("double") / least(col("sz_a"), col("sz_b")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Cross-corpus (incremental) near-dedup: drop NEW docs whose
     * Jaccard against ANY existing-corpus doc reaches `threshold` —
     * the production shape for ingesting a new crawl against an
@@ -410,7 +448,27 @@ object Dedup {
             array_join(slice(toks, lit(1), ceil(size(toks) * 0.9).cast("int")), " ")
           }))
 
+  /** Planted EXCERPTS (for containment): every 10th doc contributes a
+    * middle-30% word-slice replica — trigram-contained in its source
+    * (C ≈ 1) while Jaccard sits far below any dedup threshold. */
+  def plantedExcerpts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + 1000000,
+          bind(TextAnalysis.words(col("text"))) { toks =>
+            array_join(slice(toks,
+              floor(size(toks) * 0.3).cast("int") + 1,
+              (floor(size(toks) * 0.6) - floor(size(toks) * 0.3)).cast("int")), " ")
+          }))
+
   private val SqlToks = "regexp_extract_all(text, '[A-Za-z0-9]+')"
+  val SqlPlantedExcerpts: String =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 1000000,
+       |  array_to_string(($SqlToks)[CAST(floor(len($SqlToks)*0.3) AS INT)+1 :
+       |                             CAST(floor(len($SqlToks)*0.6) AS INT)], ' ')
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
   val SqlPlantedExact: String =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -479,6 +537,26 @@ object Dedup {
       sqlJaccardPairs(SqlPlantedTruncated, 0.35)) { (s, dir) =>
       ngramJaccardPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.35,
         dfCutoff = Some(50L))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Containment over planted middle-30% excerpts: the excerpt's
+    // trigrams are a contiguous sub-run of its source's, so C ≈ 1
+    // while Jaccard ≈ 0.3 — exactly the pair class Jaccard dedup
+    // misses. Oracle = brute-force exact intersection.
+    Gate(
+      "dedup_containment", {
+        val c = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / least(len(a.s), len(b.s))"
+        s"""WITH all_docs AS ($SqlPlantedExcerpts),
+           |sh AS (SELECT doc_id, $SqlShingles AS s FROM all_docs WHERE len($SqlShingles) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CASE WHEN len(a.s) <= len(b.s) THEN a.doc_id ELSE b.doc_id END AS contained_id,
+           |  ${Cols.proundSql(c, 4)} AS containment
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE ${Cols.proundSql(c, 4)} >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      containmentPairs(plantedExcerpts(Tables(s, dir, "documents")), "text", "doc_id", 0.9)
         .orderBy("id_a", "id_b")
     },
 

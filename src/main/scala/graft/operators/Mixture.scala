@@ -115,6 +115,34 @@ object Mixture {
         col("col.i").as(idCol), (-col("col.nk")).as("key"))
   }
 
+  /** Per-STRATUM weighted sampling without replacement: the A-Res
+    * keys of [[weightedSample]], but the bounded heap aggregates per
+    * stratum ("k docs per language/source, weight-proportional") —
+    * balanced eval-set construction with no global sort and no
+    * per-group window. Map-side combine keeps ≤ k rows per partition
+    * per stratum in the exchange; strata with fewer than k eligible
+    * rows return what they have. NULL strata form their own group.
+    * Returns (sourceCol, rank, idCol, key). */
+  def weightedSampleStratified(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val u = Cols.lcgUniform(col(idCol)) + lit(0.5 / 2147483648.0)
+    val key = Cols.pround(log(u) / weight, 8)
+    docs
+      .filter(weight > 0 && col(idCol).isNotNull)
+      .select(col(sourceCol), col(idCol), key.as("__key"))
+      .groupBy(sourceCol)
+      .agg(call_function("graft_top_k",
+        struct((-col("__key")).as("nk"), col(idCol).as("i")), lit(k), lit(true)).as("top"))
+      .select(col(sourceCol), posexplode(array_sort(col("top"))))
+      .select(col(sourceCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as(idCol), (-col("col.nk")).as("key"))
+  }
+
   /** Exact stratified split: within every stratum (source), rows are
     * ranked by the portable LCG (ties by id) and cut at the exact
     * fraction boundaries — every stratum contributes its proportional
@@ -216,6 +244,31 @@ object Mixture {
       stratifiedSplit(docs, "grp", "doc_id", SplitFractions)
         .select("doc_id", "grp", "split")
         .orderBy("doc_id")
+    },
+
+    // Stratified A-Res sample: 40 weight-proportional winners per
+    // stratum; oracle = per-stratum window over the same keys.
+    Gate(
+      "op_weighted_sample_strat", {
+        val eps = 0.5 / 2147483648.0
+        val key = Cols.proundSql(s"ln(${Cols.lcgUniformSql("doc_id")} + $eps) / n_chars", 8)
+        s"""WITH g AS (SELECT doc_id, n_chars, $SqlGrp AS grp FROM documents
+           |           WHERE n_chars > 0 AND doc_id IS NOT NULL),
+           |k AS (SELECT grp, doc_id, $key AS key FROM g),
+           |r AS (SELECT grp,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY key DESC, doc_id) AS INT) AS rank,
+           |    doc_id, key
+           |  FROM k)
+           |SELECT grp, rank, doc_id, key FROM r WHERE rank <= 40
+           |ORDER BY grp, rank""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small").as("grp"))
+      weightedSampleStratified(docs, "grp", "doc_id", col("n_chars"), k = 40)
+        .orderBy("grp", "rank")
     },
 
     // A-Res weighted sample, weights = n_chars: longer docs win more

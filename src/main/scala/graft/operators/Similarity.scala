@@ -283,6 +283,53 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  /** Margin-based nearest-neighbor scoring (Artetxe & Schwenk 2019 —
+    * the LASER/CCMatrix bitext-mining criterion): a candidate pair's
+    * cosine is normalized by the mean cosine of each side's own k
+    * nearest neighbors, margin(x,y) = cos(x,y) / ((μk(x) + μk(y))/2),
+    * so "hub" vectors that sit close to everything stop winning every
+    * match. Returns each source vector's best target by margin:
+    * (qid, match_id, cosine, margin).
+    *
+    * Scale shape: candidates and both μk tables come from the
+    * bounded-heap top-k (≤ k rows per partition per vector cross any
+    * exchange; swap the brute-force scorer for the LSH/IVF bucketed
+    * ones at scale); the μk tables are one row per participating
+    * vector and broadcast back onto the candidate list. Exact and
+    * oracle-reproducible: cosines are the decimal kernel, means
+    * decimal-accumulate, and the margin division is IEEE-exact on
+    * identical inputs. */
+  def marginKnnBest(
+      src: DataFrame, // qid, qvec
+      tgt: DataFrame, // id, vec
+      k: Int): DataFrame = {
+    val acc18 = DecimalType(18, 6)
+    def mu(topk: DataFrame): DataFrame = topk
+      .groupBy("qid")
+      .agg(Cols.pround(
+        sum(col("cosine").cast(acc18)).cast("double") / count(lit(1)), 8).as("mu"))
+    // forward: each src against the tgt side; reverse: each tgt
+    // against the src side (cosine is symmetric, so both directions
+    // score identical pair values)
+    val fwd = graft.Caches.persist(bruteForceTopK(src, tgt, k))
+    val rev = bruteForceTopK(
+      tgt.select(col("id").as("qid"), col("vec").as("qvec")),
+      src.select(col("qid").as("id"), col("qvec").as("vec")), k)
+    val muQ = mu(fwd).withColumnRenamed("mu", "__mu_q")
+    val muT = mu(rev)
+      .select(col("qid").as("neighbor_id"), col("mu").as("__mu_t"))
+    fwd
+      .join(broadcast(muQ), "qid")
+      .join(broadcast(muT), "neighbor_id")
+      .withColumn("__margin",
+        Cols.pround(col("cosine") / ((col("__mu_q") + col("__mu_t")) / 2.0), 4))
+      .groupBy("qid")
+      .agg(max(struct(col("__margin").as("m"), (-col("neighbor_id")).as("ni"),
+        col("cosine").as("c"))).as("b"))
+      .select(col("qid"), (-col("b.ni")).as("match_id"),
+        col("b.c").as("cosine"), col("b.m").as("margin"))
+  }
+
   // ---- SemDeDup (semantic dedup) ----
 
   /** Unit-normalize a vector with exactly-portable arithmetic: the
@@ -590,6 +637,46 @@ object Similarity {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3, nProbe = 4, centroidsOverride = Some(cents))
         .orderBy("qid", "rank")
+    },
+
+    // Margin-kNN bitext criterion over a disjoint src/tgt split of the
+    // embeddings: the oracle recomputes both directions' top-5, the
+    // rounded μ means, and the per-query margin argmax. Ranking runs
+    // on RAW cosines (like groupedTopK's heap); rounding applies to
+    // the emitted values only.
+    Gate(
+      "ann_margin_knn", {
+        val cos = sqlDecCosine("q.qv", "c.cv")
+        val K = 5
+        val muExpr =
+          Cols.proundSql("CAST(sum(CAST(rcos AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 8)
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 15),
+           |c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings WHERE vec_id >= 15),
+           |s AS (SELECT q.qid, c.id, $cos AS cos FROM q, c),
+           |fr AS (SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM s),
+           |fwd AS (SELECT qid, id, ${Cols.proundSql("cos", 4)} AS rcos FROM fr WHERE rn <= $K),
+           |muq AS (SELECT qid, $muExpr AS mu_q FROM fwd GROUP BY qid),
+           |rr AS (SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, qid) AS rn FROM s),
+           |rev AS (SELECT id, ${Cols.proundSql("cos", 4)} AS rcos FROM rr WHERE rn <= $K),
+           |mut AS (SELECT id, $muExpr AS mu_t FROM rev GROUP BY id),
+           |m AS (SELECT fwd.qid, fwd.id, fwd.rcos,
+           |    ${Cols.proundSql("fwd.rcos / ((mu_q + mu_t) / 2.0)", 4)} AS margin
+           |  FROM fwd JOIN muq USING (qid) JOIN mut USING (id)),
+           |b AS (SELECT qid, id, rcos, margin,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY margin DESC, id) AS rn FROM m)
+           |SELECT qid, id AS match_id, rcos AS cosine, margin FROM b WHERE rn = 1
+           |ORDER BY qid""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      marginKnnBest(
+        emb.filter(col("vec_id") < 15)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.filter(col("vec_id") >= 15)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 5)
+        .orderBy("qid")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Gate, Tables}
+import graft.{Cols, Gate, Tables}
 import graft.Cols.bind
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -85,6 +85,27 @@ object Urls {
       .unionByName(docs.filter(col(idCol).isNull || !parseable))
   }
 
+  /** Lowercased host with userinfo/port/`www.` stripped — the
+    * per-site aggregation key (a full public-suffix "registered
+    * domain" needs the PSL shipped as data; host-level is what CCNet/
+    * fineweb-style per-domain stats key on in practice). NULL for
+    * unparseable urls, so report rows can bucket them explicitly. */
+  def urlHost(url: Column): Column = bind(url) { u =>
+    val netloc = regexp_extract(u, s"$SchemePrefix([^/?#]+)", 1)
+    val hostport = lower(regexp_replace(netloc, "^[^@]*@", ""))
+    val host = regexp_replace(regexp_replace(hostport, ":[0-9]*$", ""), "^www\\.", "")
+    when(netloc === "", lit(null).cast("string")).otherwise(host)
+  }
+
+  /** Per-domain corpus profile (docs/tokens/chars/mean quality) — the
+    * crawl-curation report behind per-site quality decisions (which
+    * domains to blocklist, which dominate the corpus). One map-side-
+    * combined aggregate keyed on [[urlHost]]; unparseable-url docs
+    * land in the NULL-domain row rather than disappearing. */
+  def domainStats(docs: DataFrame, urlCol: String, textCol: String): DataFrame =
+    TextClean.corpusStats(
+      docs.withColumn("domain", urlHost(col(urlCol))), textCol, "domain")
+
   // ---- gate ----
 
   // DuckDB twin of canonicalUrl for a `url` expression.
@@ -138,7 +159,42 @@ object Urls {
         when(col("doc_id") % 5 === 0, "?utm_source=x&keep=1").otherwise(""),
         when(col("doc_id") % 7 === 0, "#frag").otherwise(""))))
 
+  /** DuckDB twin of [[urlHost]]. */
+  private def sqlHost(urlExpr: String): String = {
+    val netloc = s"regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)"
+    val hostport = s"lower(regexp_replace($netloc, '^[^@]*@', ''))"
+    val host = s"regexp_replace(regexp_replace($hostport, ':[0-9]*$$', ''), '^www\\.', '')"
+    s"(CASE WHEN $netloc = '' THEN NULL ELSE $host END)"
+  }
+
   val gates: Seq[Gate] = Seq(
+    // Per-domain profile over the synthesized url mix: one domain per
+    // source plus the NULL bucket for unparseable urls. NULLS FIRST
+    // pins DuckDB's ordering to Spark's asc_nulls_first.
+    Gate(
+      "rpt_domain_stats_by_url", {
+        val dom = sqlHost(s"($SqlUrl)")
+        val toks = s"regexp_extract_all(text, '${TextAnalysis.WordPattern}')"
+        val toksLower = s"regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}')"
+        val en = TextAnalysis.LangMarkers.head._2
+        val q = "0.4*least(nw/50.0, 1.0) + 0.3*(1.0-sr) + 0.3*least(awl/5.0, 1.0)"
+        s"""WITH t AS (SELECT $dom AS domain,
+           |    CAST(len($toks) AS BIGINT) AS nw, CAST(length(text) AS BIGINT) AS nc,
+           |    CASE WHEN len($toks) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE) / len($toks) END AS awl,
+           |    CASE WHEN len($toksLower) = 0 THEN 0.0
+           |         ELSE CAST(${TextAnalysis.sqlMarkerHits(toksLower, en)} AS DOUBLE) / len($toksLower) END AS sr
+           |  FROM documents),
+           |s AS (SELECT domain, nw, nc, ${Cols.proundSql(q, 4)} AS q FROM t)
+           |SELECT domain, count(*) AS n_docs,
+           |  CAST(sum(nw) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  ${Cols.proundSql("CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS mean_quality
+           |FROM s GROUP BY domain ORDER BY domain NULLS FIRST""".stripMargin
+      }) { (s, dir) =>
+      domainStats(withUrl(Tables(s, dir, "documents")), "url", "text")
+        .orderBy(asc_nulls_first("domain"))
+    },
+
     Gate(
       "dedup_url", {
         val canon = sqlCanonical(s"($SqlUrl)")
