@@ -89,6 +89,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- containment: a planted superset contains its subset at 1.0 ----
+
+  test("containmentPairs scores planted supersets at exactly 1.0 and stays in (0,1]") {
+    // pair i: doc 2i = an 8-word sentence, doc 2i+1 = the same
+    // sentence plus a tail — every trigram of the short doc appears in
+    // the long one, so containment is exactly 1; per-pair word
+    // alphabets are disjoint, so no cross-pair candidates exist
+    val docs = (0 until 40).flatMap { i =>
+      val base = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
+      Seq((2L * i, base), (2L * i + 1, base + s" t${i}a t${i}b t${i}c t${i}d"))
+    }
+    val out = operators.Dedup.containmentPairs(
+      docs.toDF("doc_id", "text"), "text", "doc_id", 0.5).collect()
+    Caches.releaseAll()
+    assert(out.length == 40, s"expected 40 planted pairs, got ${out.length}")
+    for (r <- out) {
+      assert(r.getLong(1) == r.getLong(0) + 1, s"unexpected pair $r")
+      assert(r.getLong(2) == r.getLong(0), "contained side must be the short doc")
+      assert(r.getDouble(3) == 1.0, s"planted superset containment != 1.0: $r")
+    }
+  }
+
+  // ---- stratified A-Res: exact agreement with a JVM reference ----
+
+  test("weightedSampleStratified matches a JVM A-Res reference per stratum") {
+    val m = 2147483648L
+    def lcg(id: Long) = Math.floorMod(Math.floorMod(id, m) * 1103515245L + 12345L, m) / m.toDouble
+    def pr8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    val eps = 0.5 / 2147483648.0
+    val rows = (0L until 400L).map(id => (id, s"g${id % 3}", (id % 7 + 1).toDouble))
+    val want = rows.groupBy(_._2).view.mapValues { rs =>
+      rs.map { case (id, _, w) => (id, pr8(math.log(lcg(id) + eps) / w)) }
+        .sortBy { case (id, key) => (-key, id) }.take(5).toList
+    }.toMap
+    val got = operators.Mixture.weightedSampleStratified(
+      rows.toDF("doc_id", "grp", "w"), "grp", "doc_id", col("w"), k = 5)
+      .collect().groupBy(_.getString(0)).view.mapValues(
+        _.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toList).toMap
+    assert(got == want, s"stratified A-Res diverged from the JVM reference:\n$got\nvs\n$want")
+  }
+
+  // ---- quality-keeper clusters: exact agreement with union-find ----
+
+  test("clusterDedupByScore keeps exactly the per-component score-argmax (union-find reference)") {
+    val n = 40
+    val edges = samples(Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)), 50)
+      .filter { case (a, b) => a != b }.map { case (a, b) => (a.toLong, b.toLong) }
+    def score(id: Long) = (id * 37 % 11).toDouble
+    // JVM union-find reference
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+    val byComp = (0 until n).groupBy(find)
+    val clustered = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val wantSurvivors = (0 until n).map(_.toLong).filter { id =>
+      !clustered.contains(id) || {
+        val comp = byComp(find(id.toInt)).map(_.toLong).filter(clustered.contains)
+        val winner = comp.minBy(c => (-score(c), c))
+        id == winner
+      }
+    }.toSet
+    val docs = (0 until n).map(i => (i.toLong, score(i))).toDF("doc_id", "q")
+    val got = operators.Clusters.clusterDedupByScore(
+      docs, edges.toDF("id_a", "id_b"), "id_a", "id_b", "doc_id", col("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == wantSurvivors,
+      s"diverged: missing=${wantSurvivors -- got}, extra=${got -- wantSurvivors}")
+  }
+
   // ---- BPE: encode/decode round-trip on generated ASCII text ----
 
   test("corpus-trained BPE round-trips generated ASCII text") {
