@@ -83,6 +83,15 @@ final case class FinewebConfig(
       * exclusion doesn't apply to them), exclude below-minScore docs
       * with reason `dsir`. */
     dsirFilter: Option[DsirParams] = None,
+    /** corpus-level EXACT dedup as a recipe stage: among the docs
+      * surviving the stages above, the min-id copy of each normalized-
+      * text fingerprint survives and every other copy is excluded with
+      * reason `exact_dup` (NULL-id rows bypass, as in
+      * [[graft.operators.Dedup.exactDedup]]). The keeper set is a lazy
+      * digest-only aggregate over the upstream survivors joined back
+      * as a membership mark — text never shuffles, and the exclusion
+      * sink sees duplicates with a reason instead of losing them. */
+    exactDedup: Boolean = false,
     /** fineweb-edu style edu-score gate: annotate the 0–5 edu score +
       * its integer bucket, keep docs with int_score ≥ this (the
       * reference's score-2 dataset is exactly int_score ≥ 2 —
@@ -229,6 +238,25 @@ object FinewebPipeline {
       stages :+= DocFilter("edu_score", _ => col("int_score") >= minInt)
     }
 
+    if (cfg.exactDedup) {
+      // keeper set = min id per normalized-text fingerprint among the
+      // UPSTREAM SURVIVORS (dedup after content filters, like the
+      // reference's post-filter minhash stage) — a lazy digest-only
+      // aggregate; the membership mark is the robots_mark join
+      // pattern, 1:1 because keeper ids are unique by construction
+      val keepers = Pipeline(stages: _*).kept(docs)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          graft.operators.Dedup.exactFingerprint(col("text")).as("__fp"))
+        .groupBy("__fp").agg(min("doc_id").as("__keeper_id"))
+        .select("__keeper_id")
+      stages :+= Transform("exact_dedup_mark",
+        d => d.join(keepers, d("doc_id") === col("__keeper_id"), "left"))
+      stages :+= DocFilter("exact_dup",
+        d => d("doc_id").isNull || col("__keeper_id").isNotNull)
+      stages :+= Transform("exact_dedup_unmark", _.drop("__keeper_id"))
+    }
+
     if (cfg.piiFormat)
       // Redact only rows no filter rejected: the exclusion sink must
       // record the document as it was when rejected (reference's
@@ -348,6 +376,29 @@ object FinewebPipeline {
     docs.select(col("doc_id"), page.as("text"))
   }
 
+  /** SQL twin of the [[recipePages]] page over a CTE exposing
+    * (doc_id, ws) — shared by the recipe gates. */
+  private[graft] val SqlRecipePage: String = {
+    def seg(a: Int, b: Int) = s"coalesce(array_to_string(ws[$a:$b], ' '), '')"
+    s"${seg(1, 6)} || '.' || chr(10) || " +
+      s"'$RecipeNavLine' || chr(10) || " +
+      s"${seg(7, 12)} || '.' || chr(10) || " +
+      "'short.' || chr(10) || " +
+      "'See our cookie policy.' || chr(10) || " +
+      s"'$RecipeNavLine' || chr(10) || " +
+      s"${seg(13, 17)} || (CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '.' END) || chr(10) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN 'bad { brace }.' ELSE 'ok line end.' END) || chr(10) || " +
+      "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
+  }
+
+  /** SQL twin of the C4 line-keep rule over a line variable `x`. */
+  private[graft] val SqlC4LineOk: String =
+    "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
+      "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
+      s"AND len(regexp_extract_all(x, '${TextAnalysis.WordPattern}')) >= 3 AND NOT (" +
+      TextAnalysis.C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") +
+      ")"
+
   /** fw_full_recipe config: every stage active, thresholds chosen so
     * each one genuinely splits this corpus (Gopher bounds widened to
     * neutral except the ellipsis discriminator; stop-hits neutralized
@@ -403,25 +454,9 @@ object FinewebPipeline {
     // (rejected rows keep their text as rejected).
     Gate(
       "fw_full_recipe", {
-        def seg(a: Int, b: Int) = s"coalesce(array_to_string(ws[$a:$b], ' '), '')"
-        val nav = RecipeNavLine
-        val page =
-          s"${seg(1, 6)} || '.' || chr(10) || " +
-            s"'$nav' || chr(10) || " +
-            s"${seg(7, 12)} || '.' || chr(10) || " +
-            "'short.' || chr(10) || " +
-            "'See our cookie policy.' || chr(10) || " +
-            s"'$nav' || chr(10) || " +
-            s"${seg(13, 17)} || (CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '.' END) || chr(10) || " +
-            "(CASE WHEN doc_id % 7 = 0 THEN 'bad { brace }.' ELSE 'ok line end.' END) || chr(10) || " +
-            "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
+        val page = SqlRecipePage
         val wordPat = TextAnalysis.WordPattern
-        val lineOk =
-          "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
-            "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
-            s"AND len(regexp_extract_all(x, '$wordPat')) >= 3 AND NOT (" +
-            TextAnalysis.C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") +
-            ")"
+        val lineOk = SqlC4LineOk
         val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
         val B = 1024
         val llrExpr = s"ln(tc + 1.0) - ln(tt + $B.0) - ln(rc + 1.0) + ln(rt + $B.0)"
@@ -489,6 +524,52 @@ object FinewebPipeline {
       FinewebPipeline.buildMarked(s, recipePages(Tables(s, dir, "documents")), RecipeCfg)
         .select(col("doc_id"), col("filter_reason"), col("dsir_score"),
           md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Recipe with the corpus-level exact-dedup stage: every 10th doc
+    // gets an identical-text replica at +2310000 (2310000 ≡ 0 mod
+    // 3·7·11, so the replica's synthesized page is byte-identical to
+    // its source's); after C4 cleaning the min-id copy survives and
+    // the replica is excluded with reason `exact_dup` — unless BOTH
+    // copies died at the C4 doc rules first, which the oracle mirrors.
+    Gate(
+      "fw_recipe_dedup", {
+        val wordPat = TextAnalysis.WordPattern
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2310000, text FROM documents WHERE doc_id % 10 = 0),
+           |w AS (SELECT doc_id, regexp_extract_all(text, '$wordPat') AS ws FROM all_docs),
+           |p AS (SELECT doc_id, $SqlRecipePage AS page FROM w),
+           |l AS (SELECT doc_id, page, [trim(x) FOR x IN string_split(page, chr(10))] AS lines FROM p),
+           |c AS (SELECT doc_id, page,
+           |    coalesce(array_to_string([x FOR x IN lines IF $SqlC4LineOk], chr(10)), '') AS cleaned
+           |  FROM l),
+           |v1 AS (SELECT doc_id, cleaned,
+           |    (len(regexp_extract_all(cleaned, '[.!?]')) >= 2
+           |     AND NOT contains(lower(page), 'lorem ipsum')
+           |     AND NOT contains(page, '{')) AS c4_kept
+           |  FROM c),
+           |fp AS (SELECT doc_id, cleaned, c4_kept,
+           |    md5(array_to_string(regexp_extract_all(lower(cleaned), '$wordPat'), ' ')) AS f
+           |  FROM v1),
+           |keep AS (SELECT f, min(doc_id) AS kid FROM fp WHERE c4_kept GROUP BY f)
+           |SELECT fp.doc_id,
+           |  CASE WHEN NOT fp.c4_kept THEN 'c4_doc_rules'
+           |       WHEN fp.doc_id <> keep.kid THEN 'exact_dup' END AS filter_reason,
+           |  md5(fp.cleaned) AS text_md5
+           |FROM fp LEFT JOIN keep ON fp.f = keep.f
+           |ORDER BY fp.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val base = Tables(s, dir, "documents").select("doc_id", "text")
+      val planted = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2310000).as("doc_id"), col("text")))
+      FinewebPipeline.buildMarked(s, recipePages(planted),
+        FinewebConfig(c4Clean = Some(C4Params(minSentences = 2)),
+          exactDedup = true, piiFormat = false))
+        .select(col("doc_id"), col("filter_reason"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
 

@@ -154,6 +154,33 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(kept.filter(col("text").contains("<email-pii>")).count() == kept.count())
   }
 
+  test("recipe exact-dedup stage drops identical-text replicas with exact_dup reason") {
+    val rows = SparkEntry.queries("fw_recipe_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val replicas = rows.keys.filter(_ >= 2310000).toSeq
+    assert(replicas.nonEmpty)
+    var dups = 0
+    for (rid <- replicas) {
+      val src = rows(rid - 2310000)
+      rows(rid) match {
+        case Some("exact_dup") =>
+          // its lower-id twin can never be the class keeper's loser to
+          // IT — the source is either kept or itself a dup of an even
+          // smaller id (word-poor docs share near-fixed pages), but
+          // never rejected for a content reason the replica passed
+          assert(src.isEmpty || src.contains("exact_dup"),
+            s"replica $rid dropped as dup but source was $src")
+          dups += 1
+        case other =>
+          // identical pages share every verdict, so the only other
+          // outcome is both copies dying at the C4 doc rules
+          assert(other.contains("c4_doc_rules") && src.contains("c4_doc_rules"),
+            s"replica $rid: $other vs source $src")
+      }
+    }
+    assert(dups > 0, "no replica was ever attributed to exact_dup")
+  }
+
   test("full text-quality recipe attributes each stage's rejections and guards rewrites") {
     val marked = FinewebPipeline.buildMarked(
       spark,
