@@ -83,6 +83,15 @@ final case class FinewebConfig(
       * exclusion doesn't apply to them), exclude below-minScore docs
       * with reason `dsir`. */
     dsirFilter: Option[DsirParams] = None,
+    /** fineweb's MinHash near-dup stage as a recipe stage: verified
+      * LSH pairs over the docs surviving the stages above → transitive
+      * clusters → min-id keeper; cluster losers are excluded with
+      * reason `near_dup`. NOTE: the transitive closure is an iterative
+      * job, so the loser set is computed EAGERLY at assembly time —
+      * like the DSIR-table / quality-quantile prepasses but heavier
+      * (the full dedup candidate pipeline runs when the config
+      * assembles). Value = the Jaccard threshold. */
+    nearDupDedup: Option[Double] = None,
     /** corpus-level EXACT dedup as a recipe stage: among the docs
       * surviving the stages above, the min-id copy of each normalized-
       * text fingerprint survives and every other copy is excluded with
@@ -236,6 +245,24 @@ object FinewebPipeline {
     cfg.eduScoreMinInt.foreach { minInt =>
       stages :+= Transform("edu_annotate", d => eduAnnotate(d))
       stages :+= DocFilter("edu_score", _ => col("int_score") >= minInt)
+    }
+
+    cfg.nearDupDedup.foreach { thr =>
+      // EAGER at assembly (documented on the config field): the
+      // star-contraction closure needs driver-side convergence rounds.
+      // The loser frame that survives into the stage list is compact
+      // (id only) and reads the closure's checkpointed blocks.
+      val upstream = Pipeline(stages: _*).kept(docs)
+      val losers = graft.operators.Clusters
+        .connectedComponents(
+          graft.operators.Dedup.minhashLshPairs(upstream, "text", "doc_id", thr),
+          "id_a", "id_b")
+        .filter(col("id") =!= col("rep"))
+        .select(col("id").as("__loser_id"))
+      stages :+= Transform("near_dup_mark",
+        d => d.join(losers, d("doc_id") === col("__loser_id"), "left"))
+      stages :+= DocFilter("near_dup", _ => col("__loser_id").isNull)
+      stages :+= Transform("near_dup_unmark", _.drop("__loser_id"))
     }
 
     if (cfg.exactDedup) {
@@ -570,6 +597,42 @@ object FinewebPipeline {
         FinewebConfig(c4Clean = Some(C4Params(minSentences = 2)),
           exactDedup = true, piiFormat = false))
         .select(col("doc_id"), col("filter_reason"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Recipe with the minhash near-dup stage over planted truncation
+    // replicas: cluster losers carry reason `near_dup`, everything
+    // else is kept. Oracle = brute-force exact Jaccard + recursive
+    // closure + min-id keeper (same recall note as dedup_incremental:
+    // engine candidates come from 16×4 LSH bands; at the planted
+    // J ≈ 0.88 the per-pair miss probability is ~4e-7).
+    Gate(
+      "fw_recipe_neardup", {
+        import graft.operators.{Clusters, Dedup}
+        val inter = "len(list_intersect(a.s, b.s))"
+        val jac = s"CAST($inter AS DOUBLE) / (len(a.s) + len(b.s) - $inter)"
+        s"""WITH RECURSIVE all_docs AS (${Dedup.SqlPlantedTruncated}),
+           |sh AS (SELECT doc_id, ${Dedup.SqlShingles} AS s FROM all_docs
+           |       WHERE len(${Dedup.SqlShingles}) > 0),
+           |base AS (
+           |  SELECT a.doc_id AS u, b.doc_id AS v
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${Cols.proundSql(jac, 4)} >= 0.7
+           |),
+           |${Clusters.SqlReach},
+           |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n)
+           |SELECT d.doc_id,
+           |  CASE WHEN labels.n IS NOT NULL AND labels.rep <> d.doc_id
+           |       THEN 'near_dup' END AS filter_reason
+           |FROM all_docs d LEFT JOIN labels ON d.doc_id = labels.n
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val planted = graft.operators.Dedup
+        .plantedTruncated(Tables(s, dir, "documents"))
+        .select("doc_id", "text")
+      FinewebPipeline.buildMarked(s, planted,
+        FinewebConfig(nearDupDedup = Some(0.7), piiFormat = false))
+        .select(col("doc_id"), col("filter_reason"))
         .orderBy("doc_id")
     },
 

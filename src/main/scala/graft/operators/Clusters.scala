@@ -259,7 +259,7 @@ object Clusters {
   // representative is the minimum reachable label. Shared by the
   // cluster gates here and the semantic-dedup gate (expects a CTE
   // named `base` with columns u, v).
-  private[operators] val SqlReach =
+  private[graft] val SqlReach =
     """edges AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
       |reach(n, l) AS (
       |  SELECT u, u FROM edges
