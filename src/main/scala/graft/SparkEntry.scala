@@ -45,4 +45,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allGates.flatMap(g => g.oracle.map(f => g.name -> f())).toMap
+
+  /** Oracle SQL restricted to `names` — excluded gates' thunks are
+    * never forced (a lazy oracle may run builder-scale work, e.g. the
+    * BPE training behind tok_bpe). */
+  def oracleSqlFor(names: Set[String]): Map[String, String] =
+    allGates.filter(g => names(g.name))
+      .flatMap(g => g.oracle.map(f => g.name -> f())).toMap
 }

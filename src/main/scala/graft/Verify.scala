@@ -12,6 +12,12 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
+    // a typo'd gate name must fail loudly, not dump an empty map that
+    // check.py vacuously passes as "all gates green"
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown gate name(s): ${unknown.mkString(", ")}")
+    }
     def pick[V](m: Map[String, V]): Map[String, V] =
       only.map(f => m.filter(kv => f(kv._1))).getOrElse(m)
     val spark = GraftSession.create("graft-verify")
@@ -37,7 +43,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = pick(SparkEntry.oracleSql)
+    // oracleSqlFor, not pick(oracleSql): forcing the full map would
+    // evaluate every lazy oracle thunk (builder-scale work) only to
+    // discard the excluded entries
+    val json = only.map(SparkEntry.oracleSqlFor).getOrElse(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

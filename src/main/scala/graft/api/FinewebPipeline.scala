@@ -418,13 +418,9 @@ object FinewebPipeline {
       "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
   }
 
-  /** SQL twin of the C4 line-keep rule over a line variable `x`. */
-  private[graft] val SqlC4LineOk: String =
-    "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
-      "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
-      s"AND len(regexp_extract_all(x, '${TextAnalysis.WordPattern}')) >= 3 AND NOT (" +
-      TextAnalysis.C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") +
-      ")"
+  /** The shared SQL twin of the C4 line-keep rule (single definition
+    * beside the engine rule — see TextAnalysis.SqlC4LineOk). */
+  private[graft] val SqlC4LineOk: String = TextAnalysis.SqlC4LineOk
 
   /** fw_full_recipe config: every stage active, thresholds chosen so
     * each one genuinely splits this corpus (Gopher bounds widened to
@@ -475,7 +471,7 @@ object FinewebPipeline {
     // stage: C4 line drops (short line, policy marker), C4 doc drops
     // (brace on %7, lorem ipsum on %11), a duplicated nav line (the
     // line-dedup target), an ellipsis line on %3 (the Gopher
-    // discriminator), and a %9 DSIR target split. Output = the whole
+    // discriminator), and a %10 DSIR target split. Output = the whole
     // marked frame (kept AND excluded, reason, score, text digest),
     // so the oracle pins reason attribution and the guarded rewrites
     // (rejected rows keep their text as rejected).

@@ -431,13 +431,19 @@ object Similarity {
       unit.withColumn("cell", nearestCentroid(col("u"), centroids, decimal)))
     // capacity guard: one narrow count-by-cell pass over the persisted
     // frame (≤ #centroids rows to the driver) before committing to the
-    // quadratic join — a hot cell means the quantizer under-split
-    val largestRow = cells.groupBy("cell").agg(count(lit(1)).as("n")).agg(max("n")).head()
-    val largest = if (largestRow.isNullAt(0)) 0L else largestRow.getLong(0)
-    require(largest <= maxCellSize,
-      s"semanticDedup: largest cell holds $largest vectors (> maxCellSize=$maxCellSize); " +
-        s"the within-cell pair search is quadratic per cell — raise nCells (auto-scaling " +
-        s"targets $TargetCellSize/cell) or re-fit with a larger sample so cells stay bounded")
+    // quadratic join — a hot cell means the quantizer under-split.
+    // Sample-fit path only: that path is already eager (count + fit
+    // collect), so the guard adds one cheap job; the injected-
+    // quantizer path was deliberately pinned by its caller and stays
+    // fully lazy (plan-only consumers pay nothing).
+    if (centroidsOverride.isEmpty) {
+      val largestRow = cells.groupBy("cell").agg(count(lit(1)).as("n")).agg(max("n")).head()
+      val largest = if (largestRow.isNullAt(0)) 0L else largestRow.getLong(0)
+      require(largest <= maxCellSize,
+        s"semanticDedup: largest cell holds $largest vectors (> maxCellSize=$maxCellSize); " +
+          s"the within-cell pair search is quadratic per cell — raise nCells (auto-scaling " +
+          s"targets $TargetCellSize/cell) or re-fit with a larger sample so cells stay bounded")
+    }
     // fast-double prune before the decimal verify: its error vs the
     // decimal cosine is ~1e-13 on dim-64 vectors, far inside the 0.01
     // margin, so the verify's outcome (and oracle parity) is unchanged

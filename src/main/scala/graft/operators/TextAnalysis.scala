@@ -158,6 +158,16 @@ object TextAnalysis {
     size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= minSentences &&
       !lower(text).contains("lorem ipsum") && !text.contains("{")
 
+  /** SQL twin of [[c4LineKept]] over a DuckDB line variable `x` — the
+    * ONE definition every oracle that replays the C4 line rule shares
+    * (txt_c4 and the fineweb recipe gates), so a rule change can't
+    * silently desynchronize an oracle from the engine. */
+  val SqlC4LineOk: String =
+    "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
+      "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
+      s"AND len(regexp_extract_all(x, '$WordPattern')) >= 3 AND NOT (" +
+      C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") + ")"
+
   // ---- Gopher document-quality rules (Rae et al. 2021 §A1.1 — the
   // public doc-level gate set; the repetition side lives in
   // dupWordFraction/topNgramShare). Codegen expressions, no UDF.
@@ -282,11 +292,7 @@ object TextAnalysis {
             s"${seg(13, 17)} || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '?' END) || chr(10) || " +
             "(CASE WHEN doc_id % 7 = 0 THEN 'bad { brace }' ELSE 'ok line end.' END) || chr(10) || " +
             "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
-        val lineOk =
-          "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
-            "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
-            s"AND len(regexp_extract_all(x, '$WordPattern')) >= 3 AND NOT (" +
-            C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") + ")"
+        val lineOk = SqlC4LineOk
         s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$WordPattern') AS ws FROM documents),
            |p AS (SELECT doc_id, $page AS page FROM w),
            |l AS (SELECT doc_id, page,

@@ -217,10 +217,15 @@ object Tokens {
     * runs every builder before dumping oracle SQL, so the cache is
     * warm by dump time. */
   @volatile private var bpeCache: Option[(String, BpeTokenizer)] = None
+  // last dir a builder ATTEMPTED, recorded before training: if the
+  // builder fails mid-train (cache stays cold) the oracle fallback
+  // still retrains on the correct corpus, never a hardcoded one
+  @volatile private var bpeDirHint: Option[String] = None
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, dir: String): BpeTokenizer =
     bpeCache match {
       case Some((d, t)) if d == dir => t
       case _ =>
+        bpeDirHint = Some(dir)
         val t = BpeTrainer.train(Tables(s, dir, "documents"), "text",
           numMerges = 200, maxWords = 20000)
         bpeCache = Some((dir, t))
@@ -290,10 +295,12 @@ object Tokens {
     // trained; TokensSpec pins training determinism + round-trip.
     Gate.lazyOracle("tok_bpe") {
       sqlBpeReplay(bpeCache.map(_._2).getOrElse(
-        // thunk read without a prior builder run (e.g. a spec poking
-        // oracleSql alone): train from the active session at the spec
-        // scale so the SQL is still well-formed
-        trainedBpe(org.apache.spark.sql.SparkSession.active, "/root/testdata/sf0.001")))
+        // thunk read with a cold cache (a spec poking oracleSql alone,
+        // or a builder that failed mid-train): retrain from the active
+        // session on the last dir a builder attempted — falling back
+        // to the spec-scale dir only when no builder ever ran
+        trainedBpe(org.apache.spark.sql.SparkSession.active,
+          bpeDirHint.getOrElse("/root/testdata/sf0.001"))))
     } { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val tok = trainedBpe(s, dir)
