@@ -224,6 +224,46 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join: every left interval `[lLo, lHi)` against
+    * every right interval `[rLo, rHi)` with a non-empty intersection
+    * (`lLo < rHi AND rLo < lHi`). Spark plans the bare inequality
+    * conjunction as a nested-loop join; binning turns it into an
+    * EQUI-join exactly like [[rangeJoin]] — but an overlapping PAIR
+    * shares every bin its intersection spans, so the join additionally
+    * pins each pair to its FIRST shared bin
+    * (`floor(max(lLo, rLo) / binWidth)`): every true pair matches on
+    * exactly one bin, no post-dedup, replication stays len/binWidth+1
+    * per side. Degenerate (hi < lo) intervals match nothing and are
+    * dropped up front on both sides. Column sets must be disjoint;
+    * `__bin` is reserved. */
+  def intervalJoin(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = (left.columns ++ right.columns).filter(_ == "__bin")
+    require(clash.isEmpty, "intervalJoin: input columns collide with reserved name __bin")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"intervalJoin: column sets must be disjoint, both sides have ${dup.mkString(", ")}")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) >= col(lo))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), Seq("__bin"))
+      .filter(
+        col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol) &&
+          col("__bin") === floor(greatest(col(lLoCol), col(rLoCol)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
+
   val gates: Seq[Gate] = Seq(
     // Q14 — binned range join, oracle = DuckDB's native range
     // (inequality) join: synthetic value intervals from part columns
@@ -246,6 +286,37 @@ object Joins {
       rangeJoin(ev, "value", iv, "lo", "hi", binWidth = 8.0)
         .groupBy("p_partkey")
         .agg(count(lit(1)).as("n_events"), graft.Cols.dsum(col("value")).as("sum_value"))
+        .orderBy("p_partkey")
+    },
+
+    // Q15 — binned interval-overlap join, oracle = DuckDB's native
+    // inequality (IE) join: part-derived intervals against a sampled
+    // events-derived interval set, overlap counts per part key.
+    Gate(
+      "q15_interval_join",
+      s"""WITH iv AS (SELECT p_partkey,
+         |    CAST(p_partkey % 300 AS DOUBLE) AS lo,
+         |    CAST(p_partkey % 300 + p_size % 20 + 1 AS DOUBLE) AS hi
+         |  FROM part),
+         |ev AS (SELECT value AS elo, value + (event_id % 5) + 1 AS ehi
+         |  FROM events WHERE event_id % 10 = 0)
+         |SELECT p_partkey, count(*) AS n_overlaps,
+         |  CAST(sum(CAST(least(hi, ehi) - greatest(lo, elo) AS DECIMAL(18,4))) AS DOUBLE) AS overlap_len
+         |FROM iv JOIN ev ON lo < ehi AND elo < hi
+         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val iv = Tables(s, dir, "part").select(
+        col("p_partkey"),
+        (col("p_partkey") % 300).cast("double").as("lo"),
+        (col("p_partkey") % 300 + col("p_size") % 20 + 1).cast("double").as("hi"))
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("value").as("elo"),
+          (col("value") + (col("event_id") % 5) + 1).as("ehi"))
+      intervalJoin(iv, "lo", "hi", ev, "elo", "ehi", binWidth = 8.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_overlaps"),
+          graft.Cols.dsum(least(col("hi"), col("ehi")) - greatest(col("lo"), col("elo")))
+            .as("overlap_len"))
         .orderBy("p_partkey")
     },
 

@@ -89,6 +89,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- binned interval-overlap join ≡ naive join across widths ----
+
+  test("intervalJoin equals the naive overlap join for random intervals at any bin width") {
+    val ls = samples(Gen.zip(Gen.chooseNum(0.0, 95.0), Gen.chooseNum(0.0, 12.0)), 60)
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+    val rs = samples(Gen.zip(Gen.chooseNum(0.0, 95.0), Gen.chooseNum(0.0, 12.0)), 60, seed = 7L)
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+    val left = ls.toDF("lid", "lo", "hi")
+    val right = rs.toDF("rid", "elo", "ehi")
+    val want = left.join(right, col("lo") < col("ehi") && col("elo") < col("hi"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(0.5, 3.0, 8.0, 50.0)) {
+      val pairs = operators.Joins.intervalJoin(left, "lo", "hi", right, "elo", "ehi", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length == pairs.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(pairs.toSet == want, s"intervalJoin diverged at binWidth=$w")
+    }
+  }
+
   // ---- containment: a planted superset contains its subset at 1.0 ----
 
   test("containmentPairs scores planted supersets at exactly 1.0 and stays in (0,1]") {
