@@ -465,6 +465,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Per-language tokenizer-fertility report (tokens/word and
+    // chars/token per lang) — the standard multilingual-tokenizer
+    // diagnostic (a high-fertility language is under-served by the
+    // vocab). One map-side-combined aggregate; NULL langs get their
+    // own row; NULLS FIRST pins DuckDB's ordering to Spark's.
+    Gate(
+      "rpt_tokenizer_stats", {
+        val w = s"len(regexp_extract_all(text, '$WordPattern'))"
+        val t = s"len(regexp_extract_all(text, '$BpePattern'))"
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum($w) AS BIGINT) AS n_words,
+           |  CAST(sum($t) AS BIGINT) AS n_bpe_tokens,
+           |  ${Cols.proundSql(
+            s"CASE WHEN sum($w) = 0 THEN 0.0 ELSE CAST(sum($t) AS DOUBLE) / CAST(sum($w) AS DOUBLE) END", 4)} AS fertility,
+           |  ${Cols.proundSql(
+            s"CASE WHEN sum($t) = 0 THEN 0.0 ELSE CAST(sum(length(text)) AS DOUBLE) / CAST(sum($t) AS DOUBLE) END", 4)} AS chars_per_token
+           |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          wordCount(col("text")).cast("long").as("__w"),
+          bpeTokenCount(col("text")).cast("long").as("__t"),
+          length(col("text")).cast("long").as("__c"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("__w").as("n_words"),
+          sum("__t").as("n_bpe_tokens"),
+          sum("__c").as("__nc"))
+        .withColumn("fertility", Cols.pround(
+          when(col("n_words") === 0, 0.0)
+            .otherwise(col("n_bpe_tokens").cast("double") / col("n_words").cast("double")), 4))
+        .withColumn("chars_per_token", Cols.pround(
+          when(col("n_bpe_tokens") === 0, 0.0)
+            .otherwise(col("__nc").cast("double") / col("n_bpe_tokens").cast("double")), 4))
+        .drop("__nc")
+        .orderBy(asc_nulls_first("lang"))
+    },
+
     Gate(
       "txt_fingerprint",
       s"""SELECT doc_id,
