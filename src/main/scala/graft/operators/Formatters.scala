@@ -116,6 +116,40 @@ object Formatters {
     */
   final case class PiiRule(priority: String, pattern: String, replacement: String)
 
+  /** Explode documents into overlapping word-window passages — the
+    * standalone chunking step feeding embedding annotators and ANN
+    * indexes (`windowSize` words per chunk, consecutive chunks overlap
+    * by `overlap`). Returns one row per chunk:
+    * (idCol, chunk_idx 0-based, chunk_text). Wordless docs produce no
+    * rows. Narrow explode (each output row derives from one input
+    * row); the fan-out IS the point — chunk rows are what shuffles
+    * into the vector index, never the full documents.
+    *
+    * Chunk count = 1 + ceil(max(n − windowSize, 0) / stride) with
+    * stride = windowSize − overlap, all in small-integer arithmetic —
+    * portable to the SQL twin exactly. The final chunk may be shorter
+    * than windowSize (it covers the tail). */
+  def chunkPassages(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowSize: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(windowSize > 0 && overlap >= 0 && overlap < windowSize,
+      s"need 0 <= overlap < windowSize, got windowSize=$windowSize overlap=$overlap")
+    val stride = windowSize - overlap
+    docs
+      .select(col(idCol), posexplode(graft.Cols.bind(TextAnalysis.words(col(textCol))) { ws =>
+        val n = size(ws)
+        val nChunks = when(n === 0, lit(0)).otherwise(
+          ((greatest(n - windowSize, lit(0)) + (stride - 1)) / stride).cast("int") + 1)
+        transform(TextAnalysis.indices(nChunks),
+          k => array_join(slice(ws, (k - 1) * stride + 1, lit(windowSize)), " "))
+      }))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
   def wrapRule(pattern: String): String = "\\b" + pattern + "(\\.|$|,|\\s)"
 
   def redactWithRules(
@@ -142,6 +176,36 @@ object Formatters {
   val ReplicationSchedule = Seq(1, 2, 3, 4, 8, 16)
 
   val gates: Seq[Gate] = Seq(
+
+    // Overlapping-window chunking: 40-word chunks, 10-word overlap
+    // (stride 30). DuckDB `//` vs Spark's double-divide-then-cast-int
+    // both floor non-negative values, so the chunk counts agree
+    // exactly; the final short tail chunk is covered by both slices.
+    Gate(
+      "fmt_chunk", {
+        val wp = TextAnalysis.WordPattern
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$wp') AS ws FROM documents),
+           |n AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+           |c AS (SELECT doc_id, ws,
+           |    CASE WHEN n = 0 THEN 0
+           |         ELSE (greatest(n - 40, 0) + 29) // 30 + 1 END AS nc
+           |  FROM n),
+           |e AS (SELECT doc_id, unnest([{'ci': k - 1,
+           |        'ch': array_to_string(ws[(k-1)*30+1 : (k-1)*30+40], ' ')}
+           |      FOR k IN range(1, nc + 1)]) AS u
+           |  FROM c)
+           |SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
+           |  len(regexp_extract_all(u.ch, '$wp')) AS n_chunk_words,
+           |  md5(u.ch) AS chunk_md5
+           |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, dir) =>
+      chunkPassages(Tables(s, dir, "documents"), "text", "doc_id",
+        windowSize = 40, overlap = 10)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(TextAnalysis.words(col("chunk_text"))).as("n_chunk_words"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
 
     Gate(
       "fmt_pii", {

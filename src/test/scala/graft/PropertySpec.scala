@@ -177,6 +177,25 @@ class PropertySpec extends SparkSpec {
       s"diverged: missing=${wantSurvivors -- got}, extra=${got -- wantSurvivors}")
   }
 
+  // ---- passage chunking: exact boundaries and coverage ----
+
+  test("chunkPassages produces the declared windows, overlap, and tail coverage") {
+    val words = (0 until 100).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = operators.Formatters
+      .chunkPassages(df, "text", "doc_id", windowSize = 40, overlap = 10)
+      .collect().groupBy(_.getLong(0))
+    assert(!out.contains(2L), "wordless doc must produce no chunks")
+    assert(out(3L).map(_.getString(2)).toSeq == Seq("a b"),
+      "short doc = one whole-doc chunk")
+    val c1 = out(1L).sortBy(_.getInt(1)).map(_.getString(2).split(" ").toSeq)
+    assert(c1.length == 3)
+    assert(c1(0) == words.slice(0, 40))
+    assert(c1(1) == words.slice(30, 70))
+    assert(c1(2) == words.slice(60, 100))
+  }
+
   // ---- BPE: encode/decode round-trip on generated ASCII text ----
 
   test("corpus-trained BPE round-trips generated ASCII text") {
