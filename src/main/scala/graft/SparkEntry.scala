@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Filters.gates ++
       operators.TextAnalysis.gates ++
       operators.Dedup.gates ++
+      operators.Fuzzy.gates ++
       operators.Lines.gates ++
       operators.Clusters.gates ++
       operators.Similarity.gates ++

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Caches, Cols, Gate, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) fuzzy near-dup pairs over a SHORT text
+  * field — titles, product names, header lines. Catches the pair class
+  * the shingle family structurally misses: single-character typos,
+  * one-word deletions and OCR slips leave word-shingle Jaccard near 1
+  * only when the token survives; a one-char typo inside a word destroys
+  * every shingle containing it, while edit distance stays 1.
+  *
+  * Scale design is the public Ed-Join algorithm (Xiao, Wang, Lin,
+  * VLDB'08) rather than the quadratic all-pairs join Spark would plan
+  * for a bare `levenshtein(a.s, b.s) <= k` predicate:
+  *
+  *   - every string's character q-grams hash to 8-byte xxhash64 keys —
+  *     the candidate join shuffles (id, len, gram-digest), never the
+  *     strings themselves;
+  *   - q-gram PREFIX filtering: k edits destroy at most k·q of a
+  *     string's q-grams, so if two strings are within distance k their
+  *     gram sets overlap in all but ≤ k·q positions; by the standard
+  *     prefix-filter lemma the (k·q+1) globally-RAREST grams of each
+  *     side must then intersect. Only those prefixes are indexed —
+  *     candidate fan-out scales with rare-gram collisions, not with
+  *     hot grams ("the", "ing") that would otherwise pair half the
+  *     corpus. The global rarity order is (document frequency, gram)
+  *     — total, so the lemma applies;
+  *   - the prefix guarantee needs at least one side to own MORE than
+  *     k·q DISTINCT grams (distinct, not length: "aaaaaaaa" is long
+  *     but owns a single trigram). Pairs where both sides are at or
+  *     under that bound fall to a length-banded equi-join
+  *     (|len(a)-len(b)| ≤ k is necessary for distance ≤ k): each such
+  *     string explodes to its 2k+1 admissible partner lengths and
+  *     joins partners' exact length, so every admissible pair meets
+  *     exactly once. Quadratic only within a length-neighborhood of
+  *     the gram-poor strings (short or highly repetitive) — route
+  *     genuinely hot short fields (e.g. single-word titles) to exact
+  *     dedup instead;
+  *   - only surviving candidate pairs re-join the strings by id for
+  *     the exact verify, and the verify uses the THRESHOLD form of
+  *     levenshtein (returns -1 past the bound) so the DP can abandon a
+  *     row early instead of filling the full matrix.
+  *
+  * Returns (id_a, id_b, dist) with id_a < id_b and dist ≤ maxDist.
+  * Intended for fields up to a few hundred chars; for whole documents
+  * use the minhash/simhash family (edit distance on pages is neither
+  * meaningful nor affordable).
+  */
+object Fuzzy {
+
+  def editDistancePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int,
+      q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    // a side with at most k·q distinct grams gives the prefix lemma no
+    // guarantee — the length-band path owns pairs where both sides are
+    // gram-poor
+    val maxPoorGrams = maxDist * q
+    val prefixLen = maxDist * q + 1
+
+    val t = Caches.persist(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("s"),
+          length(col(textCol)).as("len")))
+
+    // ---- gram-rich path: prefix-filtered q-gram index ----
+    val grams = t.filter(col("len") >= q)
+      .select(col("id"), col("len"),
+        explode(array_distinct(transform(
+          sequence(lit(1), col("len") - lit(q - 1)),
+          i => xxhash64(col("s").substr(i, lit(q)))))).as("g"))
+    val gramDf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val byId = Window.partitionBy("id")
+    val ranked = grams.join(gramDf, Seq("g"))
+      .withColumn("__ng", count(lit(1)).over(byId))
+      .withColumn("__rk", row_number().over(byId.orderBy(col("gdf"), col("g"))))
+    val prefix = ranked.filter(col("__rk") <= prefixLen)
+      .select(col("id"), col("len"), col("__ng").as("ng"), col("g"))
+    val candRich = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+          greatest(col("x.ng"), col("y.ng")) > maxPoorGrams &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // ---- gram-poor path: both sides under the prefix guarantee ----
+    val gramCounts = grams.groupBy("id").agg(count(lit(1)).as("__ngj"))
+    val poor = t.join(gramCounts, Seq("id"), "left")
+      .filter(coalesce(col("__ngj"), lit(0L)) <= maxPoorGrams)
+      .select(col("id"), col("len"))
+    val candPoor = poor
+      .select(col("id"), explode(
+        sequence(col("len") - lit(maxDist), col("len") + lit(maxDist))).as("lb"))
+      .join(poor.select(col("id").as("__idb"), col("len").as("__lenb")),
+        col("lb") === col("__lenb") && col("id") < col("__idb"))
+      .select(col("id").as("id_a"), col("__idb").as("id_b"))
+
+    candRich.union(candPoor)
+      .join(t.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // ---- gate ----
+  // The synthetic corpus has no typo twins, so the gate plants them on
+  // an 8-word "title" field: every 9th title contributes a deletion
+  // variant (3rd char removed, id+1000000) and a substitution variant
+  // (5th char -> 'q', id+2000000). Both transforms are pure
+  // substr/concat, so the DuckDB oracle rebuilds the identical planted
+  // frame and verifies by brute force (with the |Δlen| ≤ k necessary
+  // condition to keep the cross join affordable).
+
+  private val SqlTitle =
+    "array_to_string((regexp_extract_all(text, '[A-Za-z0-9]+'))[1:8], ' ')"
+
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "dedup_editdist",
+      s"""WITH t AS (SELECT doc_id, $SqlTitle AS s FROM documents),
+         |all_t AS (
+         |  SELECT doc_id, s FROM t
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(s, 1, 2) || substr(s, 4) FROM t WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, substr(s, 1, 4) || 'q' || substr(s, 6) FROM t WHERE doc_id % 9 = 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.s, b.s) AS dist
+         |FROM all_t a JOIN all_t b
+         |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+         |WHERE levenshtein(a.s, b.s) <= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("s"))
+      val ninth = base.filter(col("doc_id") % 9 === 0)
+      val planted = base
+        .union(ninth.select(col("doc_id") + 1000000,
+          concat(substring(col("s"), 1, 2), substring(col("s"), 4, Int.MaxValue))))
+        .union(ninth.select(col("doc_id") + 2000000,
+          concat(substring(col("s"), 1, 4), lit("q"), substring(col("s"), 6, Int.MaxValue))))
+      editDistancePairs(planted, "s", "doc_id", maxDist = 2)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("id_a", "id_b")
+    })
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Fuzzy
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy pair join: brute-force equivalence on small
+  * corpora (including gram-poor repetitive strings the prefix filter
+  * can't cover), plus a pin on Spark's threshold-levenshtein contract
+  * the verify stage relies on.
+  */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = editDistance(sa, sb) if d <= k
+    } yield (ia, ib, d)).toSet
+
+  // reference DP, independent of Spark's implementation
+  private def editDistance(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def run(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] = {
+    val out = Fuzzy.editDistancePairs(
+      rows.toDF("doc_id", "s"), "s", "doc_id", maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Caches.releaseAll()
+    out
+  }
+
+  test("threshold levenshtein returns the distance at or under the bound, -1 past it") {
+    val r = Seq(("kitten", "sitting"), ("abc", "abc"), ("abc", "axc"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"), 2).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    // kitten->sitting is distance 3 (> 2 -> -1); identical 0; one sub 1; all-different 3 -> -1
+    assert(r == Seq(-1, 0, 1, -1))
+  }
+
+  test("matches brute force on a mixed corpus (typos, deletes, unrelated)") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps",   // exact dup: dist 0
+      3L -> "the quick brwn fox jumps",    // deletion: dist 1
+      4L -> "the quick brown fox jumped",  // suffix edit: dist 2
+      5L -> "a completely different title",
+      6L -> "the quick brown cat jumps",   // 3 subs: dist 3, excluded at k=2
+      7L -> "tha quick brown fox jumpss")  // sub + insert: dist 2
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("gram-poor strings: repetitive and tiny inputs still pair exactly") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "aaaaaaaaaaaa",   // 12 a's: one distinct trigram
+      2L -> "aaaaaaaaaaab",   // dist 1, gram-poor pair
+      3L -> "aaaaaaaaaaaaaa", // 14 a's: dist 2 from id 1
+      4L -> "ab",             // under q: no grams at all
+      5L -> "abc",            // dist 1 from id 4
+      6L -> "",               // empty
+      7L -> "a")              // dist 1 from empty and from "ab"
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("rich-vs-poor boundary pair is not lost") {
+    // x repetitive (1 distinct trigram, gram-poor), y two subs away with
+    // 7 distinct trigrams (> k·q = 6, gram-rich): the pair crosses the
+    // routing boundary and must come out of the prefix-index path
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "aaaaaaaaaaaa",
+      2L -> "aaaaXaaaaYaa",
+      3L -> "zqzqzqzqzqzq")
+    assert(run(rows, 2) == brute(rows, 2))
+  }
+
+  test("null and duplicate-free ids pass through; pairs are id-ordered") {
+    val rows = Seq(1L -> "hello world", 2L -> "hello worlds", 3L -> "unrelated thing")
+    val out = Fuzzy.editDistancePairs(rows.toDF("doc_id", "s"), "s", "doc_id", 1)
+      .collect()
+    Caches.releaseAll()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}
