@@ -120,6 +120,48 @@ object TextAnalysis {
         })
     }
 
+  // ---- readability (Flesch 1948 / Kincaid 1975 — the standard
+  // public formulas; used as a pretraining quality signal the same way
+  // fineweb-edu uses its edu score). Syllables use the classic
+  // vowel-group heuristic (maximal [aeiouy]+ runs per lowercased word,
+  // floored at 1 per word) — deterministic and portable, which matters
+  // more here than dictionary-perfect syllabification.
+
+  /** Sentence count = maximal runs of terminal punctuation. A trailing
+    * unterminated sentence is NOT counted (portable and simple); the
+    * score formulas floor the denominator at 1 instead. */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+
+  /** Heuristic syllable count: vowel-group runs per word, min 1 per
+    * word (purely consonantal tokens — digits, "hmm" — count as one
+    * syllable, as every public Flesch implementation does). */
+  def syllableCount(text: Column): Column = bind(words(lower(text))) { toks =>
+    aggregate(toks, lit(0L), (acc, w) =>
+      acc + greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))))
+  }
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). NULL for wordless docs. Only +,-,*,/ —
+    * IEEE-portable to the oracle. */
+  def fleschReadingEase(text: Column): Column =
+    bind(wordCount(text).cast("double")) { w =>
+      when(w === 0.0, lit(null).cast("double")).otherwise(
+        lit(206.835)
+          - lit(1.015) * (w / greatest(sentenceCount(text).cast("double"), lit(1.0)))
+          - lit(84.6) * (syllableCount(text).cast("double") / w))
+    }
+
+  /** Flesch–Kincaid grade level: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59. NULL for wordless docs. */
+  def fleschKincaidGrade(text: Column): Column =
+    bind(wordCount(text).cast("double")) { w =>
+      when(w === 0.0, lit(null).cast("double")).otherwise(
+        lit(0.39) * (w / greatest(sentenceCount(text).cast("double"), lit(1.0)))
+          + lit(11.8) * (syllableCount(text).cast("double") / w)
+          - lit(15.59))
+    }
+
   // ---- C4-style cleaning (Raffel et al. 2020 §2.2 — the public
   // rule set every large English pretraining corpus since has reused;
   // line-level keep rules plus document-level drops). All codegen-
@@ -448,6 +490,41 @@ object TextAnalysis {
           Cols.pround(avgWordLen(col("text")), 4).as("avg_word_len"),
           Cols.pround(stopwordRatio(col("text")), 4).as("stop_ratio"),
           Cols.pround(qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Readability over the raw corpus: per-doc structural counts plus
+    // both Flesch formulas. The syllable heuristic (vowel-group runs,
+    // min 1 per word) is replayed verbatim in DuckDB; formulas are
+    // pure arithmetic so pround(4) bridges nothing but display noise.
+    Gate(
+      "txt_readability", {
+        // CAST: DuckDB list_sum over ints surfaces as HUGEINT (stringifies
+        // as float in the driver hash) — pin to BIGINT like Spark's long
+        val syl = s"CAST(coalesce(list_sum(list_transform($SqlWordsLower, " +
+          "w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT)"
+        val sent = "len(regexp_extract_all(text, '[.!?]+'))"
+        val w = s"len($SqlWords)"
+        s"""WITH t AS (SELECT doc_id, $w AS n_words, $sent AS n_sentences, $syl AS n_syllables
+           |  FROM documents)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  ${Cols.proundSql(
+            "206.835 - 1.015*(CAST(n_words AS DOUBLE)/greatest(n_sentences, 1)) " +
+              "- 84.6*(CAST(n_syllables AS DOUBLE)/n_words)", 4)} AS flesch,
+           |  ${Cols.proundSql(
+            "0.39*(CAST(n_words AS DOUBLE)/greatest(n_sentences, 1)) " +
+              "+ 11.8*(CAST(n_syllables AS DOUBLE)/n_words) - 15.59", 4)} AS fk_grade
+           |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          wordCount(col("text")).as("n_words"),
+          sentenceCount(col("text")).as("n_sentences"),
+          syllableCount(col("text")).as("n_syllables"),
+          Cols.pround(fleschReadingEase(col("text")), 4).as("flesch"),
+          Cols.pround(fleschKincaidGrade(col("text")), 4).as("fk_grade"))
+        .filter(col("n_words") > 0)
         .orderBy("doc_id")
     },
 

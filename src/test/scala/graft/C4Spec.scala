@@ -45,4 +45,34 @@ class C4Spec extends SparkSpec {
     assert(cleaned == "" && !kept)
     assert(clean("word soup with no structure at all")._1 == "")
   }
+
+  test("readability: hand-computed counts and Flesch scores") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // "The cat sat." -> 3 words, 1 sentence; syllables: the(1) cat(1)
+    // sat(1) = 3. "Hmm 42!" -> 2 words (hmm, 42), both vowel-free so
+    // each floors to 1 syllable; one "!" run = 1 sentence.
+    val rows = Seq(
+      (1L, "The cat sat."),
+      (2L, "Hmm 42!"),
+      (3L, "Unbelievable explanations everywhere."), // 5+5+2 vowel groups
+      (4L, "")).toDF("doc_id", "text")
+    val out = rows.select(
+      col("doc_id"),
+      operators.TextAnalysis.wordCount(col("text")).as("w"),
+      operators.TextAnalysis.sentenceCount(col("text")).as("s"),
+      operators.TextAnalysis.syllableCount(col("text")).as("sy"),
+      operators.TextAnalysis.fleschReadingEase(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(1L) == ((3, 1, 3L, Some(206.835 - 1.015 * 3.0 - 84.6 * 1.0))))
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1 && out(2L)._3 == 2L)
+    // unbelievable: u-n-b-e-l-ie-v-a-b-l-e -> vowel groups u,e,ie,a,e = 5
+    // explanations: e,a,a,io -> 4; everywhere: e,e,y? y counts as vowel:
+    // e-v-e-r-y-w-h-e-r-e -> e,e,y? "everywhere" lowercase: e,e,y,e,e ->
+    // runs: e(1) e(1) y(1)... exact value pinned by execution parity
+    assert(out(3L)._1 == 3 && out(3L)._2 == 1)
+    assert(out(4L) == ((0, 0, 0L, None)))
+  }
 }
