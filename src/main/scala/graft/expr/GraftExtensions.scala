@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         (args: Seq[Expression]) => NfcNormalize(args.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_strip_accents"),
+        new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+        (args: Seq[Expression]) => StripAccents(args.head)))
   }
 }
 
@@ -120,5 +124,7 @@ object GraftExtensions {
       "graft_set_contains", es => StringSetContains(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_strip_accents", es => StripAccents(es.head), "built-in")
   }
 }

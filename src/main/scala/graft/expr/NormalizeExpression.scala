@@ -22,6 +22,55 @@ object NfcKernel {
   }
 }
 
+object StripAccentsKernel {
+  /** Remove diacritical marks: NFD-decompose, drop combining marks
+    * (Unicode category Mn), NFC-recompose the rest. Matches DuckDB's
+    * `strip_accents` (verified: é both precomposed and decomposed → e,
+    * ñ → n, ü → u, ç → c, å → a; stroke letters like ø are NOT marks
+    * and survive in both engines). Makes "café" and "cafe" dedup- and
+    * search-identical — the classic fold for URL slugs, fuzzy matching
+    * and index keys. */
+  def strip(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: pure-ASCII text (the overwhelming majority) carries
+    // no marks and can't decompose
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      // codepoint loop: supplementary-plane marks (e.g. musical
+      // combining marks) are Mn too and must not be split into
+      // surrogate halves
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_strip_accents(str)` → diacritic-free string (null in → null
+  * out). Same codegen shape as [[NfcNormalize]]: fuses into the scan,
+  * no UDF boundary. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    StripAccentsKernel.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.StripAccentsKernel.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
 /** `graft_nfc(str)` → NFC-normalized string (null in → null out).
   * Spark ships no Unicode normalizer; this wraps the JDK's as a
   * codegen expression so normalization fuses into the scan stage

@@ -48,6 +48,13 @@ object TextClean {
   /** Unicode NFC via the codegen kernel ([[graft.expr.NfcNormalize]]). */
   def nfc(text: Column): Column = call_function("graft_nfc", text)
 
+  /** Diacritic fold via the codegen kernel
+    * ([[graft.expr.StripAccents]]): NFD → drop combining marks → NFC.
+    * "café"/"cafe" become byte-identical for dedup, fuzzy matching and
+    * slug/index keys; stroke letters (ø, đ) are not marks and survive
+    * — the same contract as DuckDB's strip_accents. */
+  def stripAccents(text: Column): Column = call_function("graft_strip_accents", text)
+
   /** Full normalize: NFC + control-char strip + whitespace tidy —
     * the standard pre-tokenization cleanup. NEWLINE-PRESERVING:
     * horizontal runs collapse, line edges trim, blank lines dedupe,
@@ -182,6 +189,42 @@ object TextClean {
             struct(length(nt).as("l"), md5(nt).as("m"))
           }.as("n"))
         .select(col("doc_id"), col("len_raw"), col("n.l").as("len_nfc"), col("n.m").as("nfc_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Accent-strip gate: plant precomposed AND decomposed accents plus
+    // a stroke letter — the kernel and DuckDB's strip_accents must
+    // agree char-for-char (marks die either way, ø survives). md5 pins
+    // exact bytes; the length delta proves marks were REMOVED, not
+    // just recomposed.
+    Gate(
+      "fmt_strip_accents", {
+        s"""WITH p AS (SELECT doc_id,
+           |    text || ' caf' || chr(233) || ' caf' || chr(101) || chr(769) ||
+           |    ' nin' || chr(241) || 'o ' || chr(252) || 'ber fa' || chr(231) ||
+           |    'ade ' || chr(229) || 'r ' || chr(248) || 'kse' AS t
+           |  FROM documents),
+           |s AS (SELECT doc_id, t, strip_accents(t) AS st FROM p)
+           |SELECT doc_id, length(t) AS len_raw, length(st) AS len_stripped,
+           |  md5(st) AS stripped_md5
+           |FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      graft.expr.GraftExtensions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          // u00E9 precomposed e-acute; "e"+u0301 decomposed; u00F1
+          // n-tilde, u00FC u-umlaut, u00E7 c-cedilla, u00E5 a-ring,
+          // u00F8 o-stroke (NOT a mark -- must SURVIVE the fold).
+          // Escapes only, never literal accents in source.
+          concat(col("text"),
+            lit(" caf\u00E9 caf"), lit("e\u0301"),
+            lit(" nin\u00F1o \u00FCber fa\u00E7ade \u00E5r \u00F8kse")).as("t"))
+        .select(col("doc_id"), length(col("t")).as("len_raw"),
+          Cols.bind(TextClean.stripAccents(col("t"))) { st =>
+            struct(length(st).as("l"), md5(st).as("m"))
+          }.as("n"))
+        .select(col("doc_id"), col("len_raw"), col("n.l").as("len_stripped"),
+          col("n.m").as("stripped_md5"))
         .orderBy("doc_id")
     },
 

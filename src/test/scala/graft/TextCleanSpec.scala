@@ -56,6 +56,24 @@ class TextCleanSpec extends SparkSpec {
     assert(one(TextClean.normalizeText(col("t")), messy) == "ab c\nd \u00e9f")
   }
 
+  test("stripAccents folds marks, keeps strokes, handles decomposed input") {
+    graft.expr.GraftExtensions.register(spark)
+    // precomposed e-acute/n-tilde/u-umlaut/c-cedilla/a-ring AND a
+    // decomposed e+U+0301 all fold to bare letters (escapes only --
+    // never literal accents in source)
+    assert(one(TextClean.stripAccents(col("t")),
+      "caf\u00E9 nin\u00F1o \u00FCber fa\u00E7ade \u00E5r cafe\u0301") ==
+      "cafe ninno uber facade ar cafe")
+    // stroke letters are NOT combining marks: o-stroke and d-stroke survive
+    assert(one(TextClean.stripAccents(col("t")), "\u00F8kse \u0111\u00E0") ==
+      "\u00F8kse \u0111a")
+    // pure ASCII passes through untouched (fast path)
+    assert(one(TextClean.stripAccents(col("t")), "plain ascii 123!") == "plain ascii 123!")
+    // multi-mark stack folds to the base char: precomposed U+1EC7
+    // (e with circumflex and dot below) ends as plain e
+    assert(one(TextClean.stripAccents(col("t")), "Hu\u1EC7") == "Hue")
+  }
+
   test("corpusStats aggregates per source") {
     val docs = Seq(
       (1L, "alpha beta gamma", "a"),
