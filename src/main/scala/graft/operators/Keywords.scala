@@ -61,7 +61,55 @@ object Keywords {
         Cols.pround(-col("col.ns"), 4).as("score"))
   }
 
+  /** Corpus-wide heavy hitters: the k most frequent word n-grams with
+    * occurrence and document counts — the standard boilerplate/
+    * contamination diagnostic (a navigation chrome phrase or license
+    * header shows up here long before any dedup threshold trips).
+    *
+    * Scale shape: one map-side-combined count aggregate over exploded
+    * n-grams, a distinct (doc, gram) aggregate for document frequency,
+    * then a global deterministic top-k — Spark plans the final
+    * `ORDER BY ... LIMIT k` as TakeOrderedAndProject (each partition
+    * contributes at most k rows to the driver-side merge; the corpus
+    * is never globally sorted). Ties break by gram text so the report
+    * is stable run to run. */
+  def topNgrams(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    val grams = graft.Caches.persist(Dedup.spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.ngrams(TextAnalysis.words(lower(col(textCol))), n)).as("gram")))
+    val occ = grams.groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+    val docf = grams.select("__id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    occ.join(docf, Seq("gram"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
   val gates: Seq[Gate] = Seq(
+    // Heavy-hitter report over trigrams: the planted-free documents
+    // table has organic repeats (shared phrase stock); both engines
+    // rank (count DESC, gram ASC) so the cut at k is deterministic.
+    Gate(
+      "rpt_top_ngrams", {
+        val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        val gram3 = s"[array_to_string(($toks)[i:i+2], ' ') " +
+          s"FOR i IN range(1, greatest(len($toks)-2, 0)+1)]"
+        s"""WITH g AS (SELECT doc_id, unnest($gram3) AS gram FROM documents),
+           |occ AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram),
+           |docf AS (SELECT gram, count(*) AS n_docs
+           |  FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram)
+           |SELECT occ.gram, n_occurrences, n_docs
+           |FROM occ JOIN docf ON occ.gram = docf.gram
+           |ORDER BY n_occurrences DESC, occ.gram LIMIT 25""".stripMargin
+      }) { (s, dir) =>
+      topNgrams(Tables(s, dir, "documents"), "text", "doc_id", n = 3, k = 25)
+    },
+
     Gate(
       "txt_keywords", {
         val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"

@@ -32,6 +32,22 @@ class KeywordsSpec extends SparkSpec {
     assert(out == List("alpha", "beta"))
   }
 
+  test("topNgrams: counts occurrences vs docs separately, deterministic tie cut") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat"), // "the cat sat" twice in one doc
+      (2L, "the cat sat quietly"),
+      (3L, "a dog ran home"),
+      (4L, "a dog ran home")).toDF("doc_id", "text")
+    val out = Keywords.topNgrams(docs, "text", "doc_id", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    Caches.releaseAll()
+    // "the cat sat": 3 occurrences across 2 docs; "a dog ran": 2/2.
+    assert(out.head == (("the cat sat", 3L, 2L)))
+    // occurrence tie at 2 between "a dog ran" and "dog ran home" (and
+    // others): gram-ascending break picks "a dog ran"
+    assert(out(1) == (("a dog ran", 2L, 2L)))
+  }
+
   test("perplexity: target-like docs score lower nll than dissimilar docs") {
     val target = (0 until 20).map(i =>
       (i.toLong, s"clinical trial dose response patient outcome ${i % 3}", true))
