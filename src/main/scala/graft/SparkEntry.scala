@@ -25,6 +25,7 @@ object SparkEntry {
       operators.ParaDocs.gates ++
       operators.Urls.gates ++
       operators.Joins.gates ++
+      operators.Layout.gates ++
       operators.Annotators.gates ++
       sources.DocSource.gates ++
       tokens.Tokens.gates ++

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: interleave hand cases plus the property the whole
+  * operator exists for — a z-ordered write makes EVERY z-column's
+  * per-file range tight, where a single-column sort leaves the other
+  * column's per-file range at the full domain. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderValue interleaves bits: hand cases") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (65535L, 0L))
+      .toDF("x", "y")
+      .select(Layout.zorderValue(16, col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x bit i -> position 2i, y bit i -> position 2i+1
+    assert(rows == Seq(0L, 1L, 2L, 15L, 6L, 0x55555555L))
+  }
+
+  test("zorderValue masks inputs to the bit budget") {
+    val z = Seq((65536L + 3L, 0L)).toDF("x", "y")
+      .select(Layout.zorderValue(16, col("x"), col("y")).as("z"))
+      .head().getLong(0)
+    assert(z == 5L) // the 2^16 bit is masked off, only low bits survive
+  }
+
+  test("three-column interleave stays within budget and round-trips bits") {
+    val z = Seq((1L, 1L, 1L)).toDF("x", "y", "w")
+      .select(Layout.zorderValue(8, col("x"), col("y"), col("w")).as("z"))
+      .head().getLong(0)
+    assert(z == 7L) // bits 0,1,2 = one low bit per column
+  }
+
+  test("z-ordered write bounds every column's per-file range; x-sort does not") {
+    val grid = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+
+    def meanRanges(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .collect()
+      (byFile.map(_.getLong(1)).sum.toDouble / byFile.length,
+        byFile.map(_.getLong(2)).sum.toDouble / byFile.length)
+    }
+
+    val zdir = "/tmp/graft_layout_z"
+    val xdir = "/tmp/graft_layout_x"
+    Layout.writeZordered(df, zdir, numFiles = 4, bits = 8, col("x"), col("y"))
+    df.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xdir)
+
+    val (zx, zy) = meanRanges(zdir)
+    val (sx, sy) = meanRanges(xdir)
+    // x-sorted: x ranges tight but y spans the whole domain per file
+    assert(sx < 16 && sy > 28, s"x-sort baseline sx=$sx sy=$sy")
+    // z-ordered: BOTH ranges well under the domain (quadrant-ish files)
+    assert(zx < 24 && zy < 24, s"z-order zx=$zx zy=$zy")
+  }
+}
