@@ -257,6 +257,57 @@ object Clusters {
   // Min-label closure as a recursive CTE: every node starts labeled
   // with itself, labels flow along edges to a fixpoint, the component
   // representative is the minimum reachable label. Shared by the
+  /** PageRank over a directed link graph — the link-centrality signal
+    * web-corpus pipelines weight pages by (OPIC/harmonic-centrality
+    * cousins rank CommonCrawl's own crawl frontier; a quality prior
+    * for pretraining mixtures). Standard power iteration with damping:
+    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u). Dangling-node mass
+    * is dropped (the simple variant), so ranks sum to < 1 when sinks
+    * exist — callers ranking pages only need the order.
+    *
+    * Scale shape: the edge list keys every shuffle — contributions
+    * are one equi-join (rank ⋈ edges on src) plus one map-side-
+    * combined aggregate per iteration, both on (long, long) edges with
+    * AQE handling hub skew; nothing ever collects. Iterations are a
+    * fixed count (power iteration converges geometrically at rate d —
+    * 5–20 rounds covers ranking use; pass what you need).
+    *
+    * Determinism contract (the gate hash-checks against unrolled SQL):
+    * per-edge contributions are IEEE divisions rounded to 12 decimals,
+    * accumulated in DECIMAL (order-independent, unlike a double sum),
+    * and each new rank re-rounds to 12 decimals — bit-identical
+    * whatever the partitioning. */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val nodes = graft.Caches.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val ew = graft.Caches.persist(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("od")), Seq("src")))
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    // (1.0 - damping) first, THEN divide: the SQL twin writes the same
+    // two ops so the IEEE result matches bit-for-bit
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = ew.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(graft.Cols.pround(col("r") / col("od"), 12)
+          .cast(DecimalType(32, 12))).as("c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), graft.Cols.pround(
+          lit(base) + lit(damping) * coalesce(col("c").cast("double"), lit(0.0)),
+          12).as("r"))
+    }
+    ranks
+  }
+
   // cluster gates here and the semantic-dedup gate (expects a CTE
   // named `base` with columns u, v).
   private[graft] val SqlReach =
@@ -280,7 +331,51 @@ object Clusters {
     chain.unionByName(skip).distinct()
   }
 
+  // PageRank gate: a deterministic directed graph over dense row
+  // numbers (two out-links per node via modular hops — every target is
+  // a valid node, no dangling mass), 5 unrolled power iterations in
+  // the oracle with the same pround-12 + DECIMAL accumulation the
+  // operator uses, final ranks pinned at 8 decimals.
+  private def pageRankSqlTwin(iterations: Int): String = {
+    val contrib = graft.Cols.proundSql("p.r / e.od", 12)
+    val step = graft.Cols.proundSql(
+      "((1.0 - 0.85) / (SELECT n FROM nn)) + 0.85 * coalesce(CAST(s.c AS DOUBLE), 0.0)", 12)
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (SELECT ids.rn AS node, $step AS r
+         |  FROM ids LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(CAST($contrib AS DECIMAL(32,12))) AS c
+         |    FROM e JOIN r${k - 1} p ON e.src = p.node GROUP BY e.dst) s
+         |  ON ids.rn = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |e0 AS (SELECT rn AS src, (rn*31+7) % (SELECT n FROM nn) AS dst FROM ids
+       |       UNION ALL SELECT rn, (rn*17+3) % (SELECT n FROM nn) FROM ids),
+       |e AS (SELECT e0.src, e0.dst, od.od
+       |      FROM e0 JOIN (SELECT src, count(*) AS od FROM e0 GROUP BY src) od
+       |      ON e0.src = od.src),
+       |r0 AS (SELECT rn AS node, 1.0 / (SELECT n FROM nn) AS r FROM ids),
+       |$iters
+       |SELECT node, ${graft.Cols.proundSql("r", 8)} AS rank
+       |FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    Gate(
+      "op_pagerank", pageRankSqlTwin(5)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(
+        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("rn"))
+      val n = ids.count()
+      val e = ids.select(col("rn").as("src"), ((col("rn") * 31 + 7) % n).as("dst"))
+        .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n))
+      pageRank(e, "src", "dst", iterations = 5, damping = 0.85)
+        .select(col("node"), graft.Cols.pround(col("r"), 8).as("rank"))
+        .orderBy("node")
+    },
 
     Gate(
       "dedup_cluster",

@@ -79,6 +79,25 @@ class ClustersSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("pageRank: link mass concentrates on the hub, partitioning-invariant") {
+    // star: 1..6 all point at 0; 0 points at 1. Node 0 must dominate.
+    val edges = ((1L to 6L).map(i => (i, 0L)) :+ ((0L, 1L))).toDF("src", "dst")
+    def run(parts: Int): Map[Long, Double] = {
+      val m = Clusters.pageRank(edges.repartition(parts), "src", "dst", iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      Caches.releaseAll(); m
+    }
+    val r = run(2)
+    // the 0<->1 cycle oscillates with iteration parity (damped x0.7225
+    // per two rounds), so assert the top-2 SET rather than the order
+    assert(r.toSeq.sortBy(-_._2).take(2).map(_._1).toSet == Set(0L, 1L))
+    assert(r(0L) > r(2L) && r(1L) > r(2L)) // leaves only ever teleport
+    assert(r(2L) == r(6L)) // symmetric leaves tie exactly (pround-12 math)
+    assert(r.values.forall(v => v > 0 && v < 1))
+    // decimal-accumulated sums make the result partitioning-invariant
+    assert(run(7) == r)
+  }
+
   test("minhash cluster dedup = pairs closed transitively, min-id kept") {
     val docs = graft.operators.Dedup.plantedTruncated(Tables(spark, sfDir, "documents"))
     val pairs = graft.operators.Dedup
