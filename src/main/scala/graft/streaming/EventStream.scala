@@ -74,6 +74,59 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Ordered funnel analysis: for each user, step k counts only if an
+    * event of step k's type happens STRICTLY AFTER the user's earliest
+    * qualifying time for step k−1 (the classic product-analytics
+    * funnel — order matters, same-instant events don't satisfy the
+    * next step). Returns one row per user who completed step 1, with
+    * nullable first-completion timestamps t1..tk.
+    *
+    * Scale shape: each step is a type-filtered scan (predicate pushes
+    * to parquet; untouched event types never leave the file) joined on
+    * user_id and min-aggregated — every shuffle keys on user_id, so
+    * consecutive steps reuse the exchange under sort-merge planning.
+    * Steps are a handful; the events side is the only big frame. */
+  def funnelUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val k = i + 1
+      val e = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("user"), col(tsCol).as("__ts"))
+      cur = cur
+        .join(e, Seq("user"), "left")
+        .withColumn("__ok", col("__ts") > col(s"t$i"))
+        .groupBy((col("user") +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(when(col("__ok"), col("__ts"))).as(s"t$k"))
+    }
+    cur.withColumnRenamed("user", userCol)
+  }
+
+  /** The funnel report: (step, event_type, n_users reaching that step
+    * in order). Step counts are monotonically non-increasing. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    // persisted: every step's count re-filters this frame — without it
+    // the whole k-join chain would recompute per step
+    val users = graft.Caches.persist(funnelUsers(events, userCol, tsCol, typeCol, steps))
+    steps.zipWithIndex.map { case (st, i) =>
+      users.filter(col(s"t${i + 1}").isNotNull)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step")
+  }
+
   val gates: Seq[Gate] = Seq(
     Gate(
       "q7_sessionize",
@@ -98,6 +151,29 @@ object EventStream {
         |ORDER BY user_id, session_nr""".stripMargin) { (s, dir) =>
       sessionizeBatch(Tables(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_nr")
+    },
+
+    // Ordered view→click→purchase funnel: each step's first-completion
+    // time must lie strictly after the previous step's; the oracle
+    // chains the same min-after-previous aggregations.
+    Gate(
+      "q16_funnel",
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.u, min(e.ts) AS t2 FROM s1 JOIN events e
+        |       ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY s1.u),
+        |s3 AS (SELECT s2.u, min(e.ts) AS t3 FROM s2 JOIN events e
+        |       ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY s2.u)
+        |SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      funnel(Tables(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
     }
   )
 }

@@ -123,6 +123,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head._2.contains("<email-pii>") && !rows.head._2.contains("example.org"))
   }
 
+  test("funnel enforces strict step ordering per user") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase"),
+      // user 2: clicked BEFORE first view — click must not count
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      // user 3: view + same-instant click — strict > rejects it
+      (6L, ts("2024-01-01 10:00:00"), 3L, "view"),
+      (7L, ts("2024-01-01 10:00:00"), 3L, "click"),
+      // user 4: purchase before click — stops at click
+      (8L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (9L, ts("2024-01-01 10:01:00"), 4L, "purchase"),
+      (10L, ts("2024-01-01 10:02:00"), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStream.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    Caches.releaseAll()
+    assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("batch sessionization matches a hand-computed case") {
     import spark.implicits._
     val events = Seq(
