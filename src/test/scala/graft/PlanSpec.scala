@@ -221,6 +221,46 @@ class PlanSpec extends SparkSpec {
       s"recipe chain should read the corpus exactly once:\n$p")
   }
 
+  test("edit-distance candidate exchanges carry gram digests, never the strings") {
+    // the Ed-Join contract: only the verify stage (bounded candidate
+    // pairs) re-joins the short strings by id; every exchange in
+    // candidate GENERATION (anything carrying a gram hash) moves
+    // (id, len, gram-digest) rows only
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val docs = (1L to 50L).map(i => (i, s"title number $i with words")).toDF("doc_id", "s")
+      val plan = graft.operators.Fuzzy.editDistancePairs(docs, "s", "doc_id", 2)
+        .queryExecution.executedPlan
+      val gramExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+          if e.output.exists(_.name == "g") => e
+      }
+      assert(gramExchanges.nonEmpty, "expected gram-keyed exchanges")
+      for (e <- gramExchanges)
+        assert(!e.output.exists(_.name == "s"),
+          s"candidate exchange carries the string column: ${e.simpleStringWithNodeId()}")
+      graft.Caches.releaseAll()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("top-ngram report plans a bounded top-k merge, not a global sort") {
+    val p = SparkEntry.queries("rpt_top_ngrams")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (per-partition top-k), got:\n$p")
+    graft.Caches.releaseAll()
+  }
+
+  test("funnel step scans push the event-type predicate into parquet") {
+    val p = SparkEntry.queries("q16_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,view)"),
+      s"funnel step filter should reach the scan:\n$p")
+    graft.Caches.releaseAll()
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
