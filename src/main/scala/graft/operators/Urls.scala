@@ -129,6 +129,36 @@ object Urls {
       s"ELSE $scheme || '://' || $userinfo || $host || $withQ END"
   }
 
+  /** href targets of anchor tags in raw HTML — case-insensitive,
+    * either quote style, fragment part dropped. One codegen
+    * regexp_extract_all, zero shuffles. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\s[^>]*href=[\"']([^\"'#]+)"), lit(1))
+
+  /** Intra-corpus link edges (src doc → dst doc): extract each page's
+    * hrefs and resolve them against the corpus's own url column —
+    * external links drop, repeated links dedup to one edge. The edge
+    * list is what [[Clusters.pageRank]] consumes, completing the
+    * raw-HTML → link-graph → centrality chain for web corpora.
+    *
+    * Scale shape: the resolve join keys on xxhash64 of the url string
+    * (8-byte digests, not urls) and the output is (long, long) edges;
+    * the only text movement is each page's extracted href list
+    * reduced to digests in the same narrow pass as the scan.
+    * Canonicalize both sides upstream ([[canonicalUrl]]) when crawl
+    * urls vary in scheme/www/tracking noise. */
+  def linkEdges(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String): DataFrame = {
+    val targets = docs.select(xxhash64(col(urlCol)).as("__uk"), col(idCol).as("dst"))
+    docs.select(col(idCol).as("src"), explode(extractLinks(col(htmlCol))).as("__u"))
+      .select(col("src"), xxhash64(col("__u")).as("__uk"))
+      .join(targets, Seq("__uk"))
+      .select("src", "dst").distinct()
+  }
+
   // urls vary by scheme/case/www/default-and-custom ports/tracking/
   // fragment/trailing-slash while doc_id % 250 pins the page identity;
   // every 17th url is unparseable garbage, exercising the passthrough
@@ -193,6 +223,46 @@ object Urls {
       }) { (s, dir) =>
       domainStats(withUrl(Tables(s, dir, "documents")), "url", "text")
         .orderBy(asc_nulls_first("domain"))
+    },
+
+    // Link-graph gate: every page embeds two modular-hop anchors (one
+    // double-quoted lowercase, one single-quoted uppercase — both
+    // quote styles and (?i) exercised), a REPEATED anchor that must
+    // dedup to one edge, and an external link that must drop when
+    // resolved against the corpus url map.
+    Gate(
+      "op_link_graph", {
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |p AS (SELECT doc_id,
+           |  '<html><body><p>x</p>' ||
+           |  '<a class="l" href="https://site.example/p/' || ((doc_id*31+7) % (SELECT n FROM nn)) || '">a</a>' ||
+           |  '<A HREF=''https://site.example/p/' || ((doc_id*17+3) % (SELECT n FROM nn)) || '''>b</A>' ||
+           |  '<a href="https://site.example/p/' || ((doc_id*31+7) % (SELECT n FROM nn)) || '">dup</a>' ||
+           |  '<a href="https://other.example/x">ext</a></body></html>' AS page
+           |  FROM documents),
+           |l AS (SELECT doc_id AS src,
+           |  unnest(regexp_extract_all(page, '(?i)<a\\s[^>]*href=["'']([^"''#]+)', 1)) AS u
+           |  FROM p),
+           |m AS (SELECT doc_id AS dst, 'https://site.example/p/' || doc_id AS u FROM documents)
+           |SELECT DISTINCT src, dst FROM l JOIN m ON l.u = m.u
+           |ORDER BY src, dst""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val withPages = docs.select(
+        col("doc_id"),
+        concat(lit("https://site.example/p/"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><body><p>x</p>"),
+          lit("<a class=\"l\" href=\"https://site.example/p/"),
+          (col("doc_id") * 31 + 7) % n, lit("\">a</a>"),
+          lit("<A HREF='https://site.example/p/"),
+          (col("doc_id") * 17 + 3) % n, lit("'>b</A>"),
+          lit("<a href=\"https://site.example/p/"),
+          (col("doc_id") * 31 + 7) % n, lit("\">dup</a>"),
+          lit("<a href=\"https://other.example/x\">ext</a></body></html>")).as("page"))
+      linkEdges(withPages, "doc_id", "page", "url")
+        .orderBy("src", "dst")
     },
 
     Gate(

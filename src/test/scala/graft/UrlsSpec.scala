@@ -45,6 +45,21 @@ class UrlsSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("linkEdges resolves hrefs to corpus ids, drops externals, dedups repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "https://s.ex/0",
+        """<a href="https://s.ex/1">x</a><A HREF='https://s.ex/2#frag'>y</A>""" +
+          """<a href="https://s.ex/1">again</a><a href="https://gone.ex/z">ext</a>"""),
+      (1L, "https://s.ex/1", """<a class="b" href="https://s.ex/0">back</a>"""),
+      (2L, "https://s.ex/2", "no links here")).toDF("doc_id", "url", "page")
+    val edges = Urls.linkEdges(docs, "doc_id", "page", "url")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0->1 once (repeat deduped), 0->2 (fragment stripped), 1->0;
+    // the external link resolves to nothing
+    assert(edges == Set((0L, 1L), (0L, 2L), (1L, 0L)))
+  }
+
   test("url dedup keeps the min-id doc per canonical url") {
     import spark.implicits._
     val docs = Seq(
