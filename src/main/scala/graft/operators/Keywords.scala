@@ -90,6 +90,56 @@ object Keywords {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (Robertson et al.; the Lucene-default
+    * scoring): score(d) = Σ_{t∈query} idf(t)·tf/(tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Returns the top-k matching
+    * docs as (rank, id, score), ties broken by id.
+    *
+    * Scale shape: the query-term filter applies INSIDE the tokenize
+    * pass (array filter before explode), so only query-term hits ever
+    * leave the scan — the (doc, term) shuffle is bounded by query hits,
+    * not corpus tokens. df is a ≤|query|-row broadcast; corpus-level N
+    * and total length are one bounded two-scalar aggregate; the final
+    * cut plans as TakeOrderedAndProject. Cross-engine determinism:
+    * ln-bearing terms round to 8 decimals and accumulate in DECIMAL
+    * (the [[Dsir]] discipline). */
+  def bm25Search(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    val qArr = array(query.map(t => lit(t.toLowerCase)): _*)
+    val toks = Dedup.spread(docs).select(col(idCol).as("id"),
+      TextAnalysis.words(lower(col(textCol))).as("__w"))
+    val stats = toks.agg(count(lit(1)), sum(size(col("__w")))).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val hits = graft.Caches.persist(
+      toks.select(col("id"), size(col("__w")).as("dl"),
+        explode(filter(col("__w"), t => array_contains(qArr, t))).as("term")))
+    val tf = hits.groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = hits.select("id", "term").distinct().groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val idf8 = Cols.pround(
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 8)
+    val termScore = Cols.pround(
+      idf8 * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))), 8)
+    tf.join(broadcast(df), Seq("term"))
+      .select(col("id"), termScore.as("__s"))
+      .groupBy("id")
+      .agg(Cols.pround(
+        sum(col("__s").cast(DecimalType(30, 15))).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"))
+  }
+
   val gates: Seq[Gate] = Seq(
     // Heavy-hitter report over trigrams: the planted-free documents
     // table has organic repeats (shared phrase stock); both engines
@@ -108,6 +158,37 @@ object Keywords {
            |ORDER BY n_occurrences DESC, occ.gram LIMIT 25""".stripMargin
       }) { (s, dir) =>
       topNgrams(Tables(s, dir, "documents"), "text", "doc_id", n = 3, k = 25)
+    },
+
+    // BM25 over a three-term query from the synthetic vocabulary; the
+    // oracle replays the exact formula with the same pround-8 ln
+    // bridging and DECIMAL accumulation, deterministic (score, id) cut.
+    Gate(
+      "txt_bm25", {
+        val w = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        val idf8 = Cols.proundSql(
+          "ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))", 8)
+        val denom = "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+          "(CAST((SELECT tot FROM st) AS DOUBLE) / (SELECT n FROM st))))"
+        s"""WITH toks AS (SELECT doc_id, $w AS w FROM documents),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(len(w)) AS BIGINT) AS tot FROM toks),
+           |t AS (SELECT doc_id, len(w) AS dl,
+           |      unnest(list_filter(w, x -> x IN ('table', 'hash', 'merge'))) AS term
+           |      FROM toks),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+           |sc AS (SELECT doc_id,
+           |       ${Cols.proundSql(s"$idf8 * tf / $denom", 8)} AS s
+           |       FROM tf JOIN df USING (term)),
+           |agg AS (SELECT doc_id,
+           |        ${Cols.proundSql("CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE)", 4)} AS score
+           |        FROM sc GROUP BY doc_id)
+           |SELECT doc_id, score FROM agg
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }) { (s, dir) =>
+      bm25Search(Tables(s, dir, "documents"), "text", "doc_id",
+        Seq("table", "hash", "merge"), k = 10)
     },
 
     Gate(

@@ -23,6 +23,20 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("sum_value"))
 
+  /** Hopping (sliding) windowed counts: size > slide, so every event lands
+    * in size/slide windows — the smoothing variant of
+    * [[hourlyTypeCounts]]. Works identically on a stream (incremental
+    * state per open window, emitted on watermark close). */
+  def hoppingTypeCounts(
+      events: DataFrame,
+      size: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("sum_value"))
+
   final case class Session(user_id: Long, session_nr: Long, n_events: Long)
   final case class EventRow(user_id: Long, tsMillis: Long)
 
@@ -151,6 +165,28 @@ object EventStream {
         |ORDER BY user_id, session_nr""".stripMargin) { (s, dir) =>
       sessionizeBatch(Tables(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_nr")
+    },
+
+    // Hopping 1-hour/30-minute windows: every event belongs to exactly
+    // two windows; the oracle materializes both window starts per
+    // event (epoch arithmetic, tz-free make_timestamp) and aggregates.
+    Gate(
+      "q17_hopping",
+      """WITH e2 AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) * 1000000) AS ws,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) - 1800) * 1000000),
+        |    event_type, value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      hoppingTypeCounts(Tables(s, dir, "events"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
     },
 
     // Ordered view→click→purchase funnel: each step's first-completion

@@ -48,6 +48,25 @@ class KeywordsSpec extends SparkSpec {
     assert(out(1) == (("a dog ran", 2L, 2L)))
   }
 
+  test("bm25: term-dense short docs outrank sparse long ones; non-matches absent") {
+    val docs = Seq(
+      (1L, "spark table join table scan"),             // 2 hits, short
+      (2L, "table " + ("filler " * 60).trim),          // 1 hit, long
+      (3L, "spark hash table merge probe"),            // 3 distinct query terms
+      (4L, "nothing relevant here at all"),            // no hits
+      (5L, "table scan")).toDF("doc_id", "text")       // 1 hit, shortest
+    val out = Keywords.bm25Search(docs, "text", "doc_id",
+      Seq("table", "hash", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    Caches.releaseAll()
+    val ids = out.map(_._1).toSeq
+    assert(!ids.contains(4L), "doc without query terms must not appear")
+    assert(ids.head == 3L, s"doc matching all three terms ranks first, got $ids")
+    val score = out.toMap
+    // same single hit of the same term: the much longer doc scores lower
+    assert(score(5L) > score(2L))
+  }
+
   test("perplexity: target-like docs score lower nll than dissimilar docs") {
     val target = (0 until 20).map(i =>
       (i.toLong, s"clinical trial dose response patient outcome ${i % 3}", true))

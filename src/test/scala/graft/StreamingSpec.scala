@@ -123,6 +123,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head._2.contains("<email-pii>") && !rows.head._2.contains("example.org"))
   }
 
+  test("hopping windows: every event lands in exactly size/slide windows") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:40:00"), 2L, "view", 2.0),
+      (3L, ts("2024-01-01 11:20:00"), 3L, "click", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.hoppingTypeCounts(events).collect()
+    // 3 events x 2 overlapping 1h/30m windows = 6 contribution rows
+    assert(out.map(_.getAs[Long]("n")).sum == 6L)
+    // 10:05 belongs to [09:30,10:30) and [10:00,11:00)
+    val starts = out.map(r => r.getAs[org.apache.spark.sql.Row]("w")
+      .getAs[java.sql.Timestamp]("start").toString).sorted
+    assert(starts.head == "2024-01-01 09:30:00.0")
+  }
+
   test("funnel enforces strict step ordering per user") {
     import spark.implicits._
     val events = Seq(
