@@ -2,7 +2,7 @@ package graft.api
 
 import graft.{Cols, Gate, Tables}
 import graft.ml.LinearClassifier
-import graft.operators.{Dsir, Filters, Formatters, Lines, TextAnalysis}
+import graft.operators.{Dsir, Filters, Formatters, Lines, TextAnalysis, TextClean}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,15 @@ final case class FinewebConfig(
     toxicityClassifier: Option[graft.ml.EmbeddingScorer] = None,
     /** deterministic sampling rate (reference: SamplerFilter). */
     samplerRate: Option[Double] = None,
+    /** fold diacritics (café → cafe) before any content stage so dedup
+      * fingerprints, quality tokens and the tokenizer see one spelling
+      * ([[graft.operators.TextClean.stripAccents]]). */
+    foldAccents: Boolean = false,
+    /** minimum Flesch reading-ease score ([[graft.operators
+      * .TextAnalysis.fleschReadingEase]]); docs below it (or wordless
+      * docs, whose score is NULL) are excluded with reason
+      * `readability`. */
+    minFlesch: Option[Double] = None,
     /** C4-style cleaning (Raffel et al. §2.2): rewrite text to the
       * surviving lines, then exclude docs failing the doc-level rules
       * (reason `c4_doc_rules`). Rewrites apply only to not-yet-
@@ -166,6 +175,15 @@ object FinewebPipeline {
         d => Filters.urlDomainAllowed(domains, d("url")))
     }
 
+    if (cfg.foldAccents)
+      // pre-tokenization normalization: fold diacritics BEFORE any
+      // content stage so dedup fingerprints, quality tokens and the
+      // tokenizer all see one spelling; rewrite guarded like the other
+      // text transforms (rejected rows keep their text as rejected)
+      stages :+= Transform("fold_accents", d => d.withColumn("text",
+        when(col("filter_reason").isNull, TextClean.stripAccents(col("text")))
+          .otherwise(col("text"))))
+
     cfg.c4Clean.foreach { p =>
       // the doc-level rules check the RAW text (lorem-ipsum / brace
       // markers are page properties, not line properties) — keep it
@@ -192,6 +210,11 @@ object FinewebPipeline {
           g.minWords, g.maxWords, g.minMeanWordLen, g.maxMeanWordLen,
           g.minAlphaFraction, g.minStopwordHits,
           g.maxBulletFraction, g.maxEllipsisFraction))
+    }
+
+    cfg.minFlesch.foreach { floor =>
+      stages :+= DocFilter("readability",
+        _ => TextAnalysis.fleschReadingEase(col("text")) >= floor)
     }
 
     cfg.dsirFilter.foreach { p =>

@@ -212,4 +212,24 @@ class FinewebPipelineSpec extends SparkSpec {
         assert(!r.isNullAt(2) && r.getDouble(2) >= 0.0, "kept doc must meet the DSIR cut")
     }
   }
+
+  test("accent-fold and readability stages: guarded rewrite, NULL-score rejection") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val docs = Seq(
+      // folds to ascii, readable sentence (escape, not a literal accent)
+      (1L, "The café serves really good coffee. Everyone likes it."),
+      // dense polysyllabic monster: Flesch goes deeply negative
+      (2L, ("incomprehensibilities " * 30).trim + "."),
+      // wordless: flesch NULL -> rejected by the readability stage
+      (3L, "!!! ???")).toDF("doc_id", "text")
+    val marked = FinewebPipeline.buildMarked(spark, docs,
+      FinewebConfig(foldAccents = true, minFlesch = Some(0.0), piiFormat = false))
+      .select("doc_id", "text", "filter_reason")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(marked(1L)._2.isEmpty && marked(1L)._1.contains("cafe"),
+      s"kept doc should be accent-folded: ${marked(1L)}")
+    assert(marked(2L)._2.contains("readability"))
+    assert(marked(3L)._2.contains("readability"), "NULL flesch must reject, not pass")
+  }
 }

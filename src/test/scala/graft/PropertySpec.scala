@@ -110,6 +110,41 @@ class PropertySpec extends SparkSpec {
 
   // ---- containment: a planted superset contains its subset at 1.0 ----
 
+  test("editDistancePairs equals brute force over adversarial random strings") {
+    // small alphabet + short lengths maximize both true pairs and
+    // gram-poor corner cases (repetitive runs, empty strings)
+    val genS: Gen[String] = for {
+      len <- Gen.choose(0, 14)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val rows = samples(genS, 40).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(identity)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    for (k <- Seq(1, 2)) {
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= k
+      } yield (ia, ib, lev(sa, sb))).toSet
+      val got = operators.Fuzzy.editDistancePairs(
+        rows.toDF("doc_id", "s"), "s", "doc_id", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      Caches.releaseAll()
+      assert(got == want, s"k=$k: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("containmentPairs scores planted supersets at exactly 1.0 and stays in (0,1]") {
     // pair i: doc 2i = an 8-word sentence, doc 2i+1 = the same
     // sentence plus a tail — every trigram of the short doc appears in
