@@ -54,4 +54,10 @@ object SparkEntry {
   def oracleSqlFor(names: Set[String]): Map[String, String] =
     allGates.filter(g => names(g.name))
       .flatMap(g => g.oracle.map(f => g.name -> f())).toMap
+
+  /** The names that HAVE an oracle, without forcing any thunk — use
+    * this (not `oracleSql.keySet`) for key-shape checks, so a lazy
+    * oracle's builder-scale work never runs behind a set lookup. */
+  def oracleKeys: Set[String] =
+    allGates.filter(_.oracle.isDefined).map(_.name).toSet
 }

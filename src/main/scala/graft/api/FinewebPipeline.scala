@@ -410,14 +410,20 @@ object FinewebPipeline {
     * engines synthesize the identical page from the doc's words). */
   private[graft] def recipePages(docs: DataFrame): DataFrame = {
     val page = Cols.bind(TextAnalysis.words(col("text"))) { w =>
+      // coalesce each word segment to '' exactly like the SQL twin's
+      // seg(): a NULL text must yield a bare-'.' line, not null the
+      // whole line out of concat_ws (which silently DROPS null args —
+      // the page would lose lines the oracle keeps)
+      def seg(from: Int, len: Int): Column =
+        coalesce(array_join(slice(w, from, len), " "), lit(""))
       concat_ws("\n",
-        concat(array_join(slice(w, 1, 6), " "), lit(".")),
+        concat(seg(1, 6), lit(".")),
         lit(RecipeNavLine),
-        concat(array_join(slice(w, 7, 6), " "), lit(".")),
+        concat(seg(7, 6), lit(".")),
         lit("short."),
         lit("See our cookie policy."),
         lit(RecipeNavLine),
-        concat(array_join(slice(w, 13, 5), " "),
+        concat(seg(13, 5),
           when(col("doc_id") % 3 === 0, "...").otherwise(".")),
         when(col("doc_id") % 7 === 0, "bad { brace }.").otherwise("ok line end."),
         when(col("doc_id") % 11 === 0, "has lorem ipsum inside.")
@@ -441,9 +447,11 @@ object FinewebPipeline {
       "(CASE WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' ELSE 'closing sentence here.' END)"
   }
 
-  /** The shared SQL twin of the C4 line-keep rule (single definition
-    * beside the engine rule — see TextAnalysis.SqlC4LineOk). */
-  private[graft] val SqlC4LineOk: String = TextAnalysis.SqlC4LineOk
+  /** fw_recipe_dedup config — shared between the runner and its
+    * oracle so the interpolated C4 params can never desynchronize. */
+  private[graft] val RecipeDedupCfg = FinewebConfig(
+    c4Clean = Some(C4Params(minSentences = 2)),
+    exactDedup = true, piiFormat = false)
 
   /** fw_full_recipe config: every stage active, thresholds chosen so
     * each one genuinely splits this corpus (Gopher bounds widened to
@@ -502,7 +510,8 @@ object FinewebPipeline {
       "fw_full_recipe", {
         val page = SqlRecipePage
         val wordPat = TextAnalysis.WordPattern
-        val lineOk = SqlC4LineOk
+        val c4 = RecipeCfg.c4Clean.get
+        val lineOk = TextAnalysis.sqlC4LineOk(c4.minLineWords)
         val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
         val B = 1024
         val llrExpr = s"ln(tc + 1.0) - ln(tt + $B.0) - ln(rc + 1.0) + ln(rt + $B.0)"
@@ -515,7 +524,7 @@ object FinewebPipeline {
            |    coalesce(array_to_string([x FOR x IN lines IF $lineOk], chr(10)), '') AS cleaned
            |  FROM l),
            |v1 AS (SELECT doc_id, cleaned,
-           |    (len(regexp_extract_all(cleaned, '[.!?]')) >= 2
+           |    (len(regexp_extract_all(cleaned, '[.!?]')) >= ${c4.minSentences}
            |     AND NOT contains(lower(page), 'lorem ipsum')
            |     AND NOT contains(page, '{')) AS c4_kept
            |  FROM c),
@@ -582,6 +591,8 @@ object FinewebPipeline {
     Gate(
       "fw_recipe_dedup", {
         val wordPat = TextAnalysis.WordPattern
+        val c4 = RecipeDedupCfg.c4Clean.get
+        val lineOk = TextAnalysis.sqlC4LineOk(c4.minLineWords)
         s"""WITH all_docs AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
@@ -590,10 +601,10 @@ object FinewebPipeline {
            |p AS (SELECT doc_id, $SqlRecipePage AS page FROM w),
            |l AS (SELECT doc_id, page, [trim(x) FOR x IN string_split(page, chr(10))] AS lines FROM p),
            |c AS (SELECT doc_id, page,
-           |    coalesce(array_to_string([x FOR x IN lines IF $SqlC4LineOk], chr(10)), '') AS cleaned
+           |    coalesce(array_to_string([x FOR x IN lines IF $lineOk], chr(10)), '') AS cleaned
            |  FROM l),
            |v1 AS (SELECT doc_id, cleaned,
-           |    (len(regexp_extract_all(cleaned, '[.!?]')) >= 2
+           |    (len(regexp_extract_all(cleaned, '[.!?]')) >= ${c4.minSentences}
            |     AND NOT contains(lower(page), 'lorem ipsum')
            |     AND NOT contains(page, '{')) AS c4_kept
            |  FROM c),
@@ -612,9 +623,7 @@ object FinewebPipeline {
       val planted = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 2310000).as("doc_id"), col("text")))
-      FinewebPipeline.buildMarked(s, recipePages(planted),
-        FinewebConfig(c4Clean = Some(C4Params(minSentences = 2)),
-          exactDedup = true, piiFormat = false))
+      FinewebPipeline.buildMarked(s, recipePages(planted), RecipeDedupCfg)
         .select(col("doc_id"), col("filter_reason"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },

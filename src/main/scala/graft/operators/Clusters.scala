@@ -300,10 +300,21 @@ object Clusters {
         .groupBy(col("dst").as("node"))
         .agg(sum(graft.Cols.pround(col("r") / col("od"), 12)
           .cast(DecimalType(32, 12))).as("c"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"), graft.Cols.pround(
           lit(base) + lit(damping) * coalesce(col("c").cast("double"), lit(0.0)),
           12).as("r"))
+      // Truncate lineage each round (the connectedComponents RDD
+      // round-trip idiom, see `truncated`): without this the final
+      // plan nests `iterations` join+aggregate rounds in one Catalyst
+      // tree — analysis cost grows superlinearly and an executor loss
+      // replays the whole chain. The marked RDDs materialize (and cut
+      // their lineage) on the first downstream action; no per-round
+      // action is forced because, unlike CC, there is no convergence
+      // count to read.
+      val rdd = next.rdd
+      rdd.localCheckpoint()
+      ranks = next.sparkSession.createDataFrame(rdd, next.schema)
     }
     ranks
   }

@@ -71,11 +71,14 @@ object Fuzzy {
           length(col(textCol)).as("len")))
 
     // ---- gram-rich path: prefix-filtered q-gram index ----
-    val grams = t.filter(col("len") >= q)
+    // persisted: three consumers below (df agg, prefix ranking, per-id
+    // gram counts) would otherwise re-run the per-char substring+hash
+    // explode over the whole corpus three times
+    val grams = Caches.persist(t.filter(col("len") >= q)
       .select(col("id"), col("len"),
         explode(array_distinct(transform(
           sequence(lit(1), col("len") - lit(q - 1)),
-          i => xxhash64(col("s").substr(i, lit(q)))))).as("g"))
+          i => xxhash64(col("s").substr(i, lit(q)))))).as("g")))
     val gramDf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     val byId = Window.partitionBy("id")
     val ranked = grams.join(gramDf, Seq("g"))

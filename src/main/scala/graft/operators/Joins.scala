@@ -214,7 +214,9 @@ object Joins {
       s"rangeJoin: column sets must be disjoint, both sides have ${dup.mkString(", ")}")
     val lb = left.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
     val rb = right
-      .filter(col(hiCol) >= col(loCol))
+      // hi > lo, not >=: [x, x) contains no point — dropping empties
+      // up front also skips their bin replication
+      .filter(col(hiCol) > col(loCol))
       .withColumn("__bin",
         explode(sequence(
           floor(col(loCol) / binWidth).cast("long"),
@@ -233,9 +235,12 @@ object Joins {
     * pins each pair to its FIRST shared bin
     * (`floor(max(lLo, rLo) / binWidth)`): every true pair matches on
     * exactly one bin, no post-dedup, replication stays len/binWidth+1
-    * per side. Degenerate (hi < lo) intervals match nothing and are
-    * dropped up front on both sides. Column sets must be disjoint;
-    * `__bin` is reserved. */
+    * per side. EMPTY intervals (hi <= lo under half-open semantics —
+    * including zero-length [x, x)) intersect nothing and are dropped
+    * up front on both sides; the bare lLo < rHi AND rLo < lHi
+    * predicate alone would false-positive a zero-length interval
+    * sitting strictly inside the other side. Column sets must be
+    * disjoint; `__bin` is reserved. */
   def intervalJoin(
       left: DataFrame,
       lLoCol: String,
@@ -251,7 +256,7 @@ object Joins {
     require(dup.isEmpty,
       s"intervalJoin: column sets must be disjoint, both sides have ${dup.mkString(", ")}")
     def binned(df: DataFrame, lo: String, hi: String) = df
-      .filter(col(hi) >= col(lo))
+      .filter(col(hi) > col(lo))
       .withColumn("__bin",
         explode(sequence(
           floor(col(lo) / binWidth).cast("long"),

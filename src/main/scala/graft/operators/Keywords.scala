@@ -118,6 +118,8 @@ object Keywords {
       TextAnalysis.words(lower(col(textCol))).as("__w"))
     val stats = toks.agg(count(lit(1)), sum(size(col("__w")))).head()
     val n = stats.getLong(0)
+    require(n > 0 && !stats.isNullAt(1),
+      s"bm25Search needs a non-empty corpus with at least one non-null $textCol row")
     val avgdl = stats.getLong(1).toDouble / n
     val hits = graft.Caches.persist(
       toks.select(col("id"), size(col("__w")).as("dl"),

@@ -68,7 +68,12 @@ object Lines {
     * encoded) — well inside a sane broadcast/plan budget; raise it
     * deliberately if a corpus genuinely has more boilerplate lines
     * than that, and expect a proportionally larger literal shipped to
-    * every task. */
+    * every task. NOTE: this default was 10,000,000 before round 5 —
+    * the old cap still permitted a ~320 MB driver collect, defeating
+    * its own purpose. Callers whose hot set lands between the two
+    * caps now fail at this guard (loudly, with the count in the
+    * message) instead of silently shipping a huge blob: pass an
+    * explicit maxHotLines to restore the old behavior. */
   def dedupLines(
       docs: DataFrame,
       textCol: String,

@@ -203,12 +203,18 @@ object TextAnalysis {
   /** SQL twin of [[c4LineKept]] over a DuckDB line variable `x` — the
     * ONE definition every oracle that replays the C4 line rule shares
     * (txt_c4 and the fineweb recipe gates), so a rule change can't
-    * silently desynchronize an oracle from the engine. */
-  val SqlC4LineOk: String =
+    * silently desynchronize an oracle from the engine. Parameterized
+    * like the engine rule: oracle sites that run a non-default
+    * `minLineWords` must interpolate the SAME value their config
+    * passes to [[c4LineKept]]. */
+  def sqlC4LineOk(minWords: Int = 3): String =
     "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') " +
       "OR ends_with(x, '\"') OR ends_with(x, chr(39))) " +
-      s"AND len(regexp_extract_all(x, '$WordPattern')) >= 3 AND NOT (" +
+      s"AND len(regexp_extract_all(x, '$WordPattern')) >= $minWords AND NOT (" +
       C4BadLineMarkers.map(m => s"contains(lower(x), '$m')").mkString(" OR ") + ")"
+
+  /** [[sqlC4LineOk]] at the engine defaults. */
+  val SqlC4LineOk: String = sqlC4LineOk()
 
   // ---- Gopher document-quality rules (Rae et al. 2021 §A1.1 — the
   // public doc-level gate set; the repetition side lives in

@@ -294,13 +294,18 @@ object Tokens {
     // DuckDB. Lazy oracle: the SQL embeds the merges the builder
     // trained; TokensSpec pins training determinism + round-trip.
     Gate.lazyOracle("tok_bpe") {
-      sqlBpeReplay(bpeCache.map(_._2).getOrElse(
-        // thunk read with a cold cache (a spec poking oracleSql alone,
-        // or a builder that failed mid-train): retrain from the active
-        // session on the last dir a builder attempted — falling back
-        // to the spec-scale dir only when no builder ever ran
-        trainedBpe(org.apache.spark.sql.SparkSession.active,
-          bpeDirHint.getOrElse("/root/testdata/sf0.001"))))
+      sqlBpeReplay(bpeCache.map(_._2).getOrElse {
+        // thunk read with a cold cache (a builder that failed
+        // mid-train): retrain from the active session on the last dir
+        // a builder attempted. With NO builder ever run, fail loudly —
+        // silently training on a guessed path inside what looks like a
+        // map read is worse than an actionable error.
+        val dir = bpeDirHint.getOrElse(throw new IllegalStateException(
+          "tok_bpe oracle read before its builder ran — run the tok_bpe " +
+            "query first (Verify does), or use SparkEntry.oracleKeys / " +
+            "oracleSqlFor to avoid forcing this lazy oracle"))
+        trainedBpe(org.apache.spark.sql.SparkSession.active, dir)
+      })
     } { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val tok = trainedBpe(s, dir)

@@ -12,7 +12,10 @@ class GateSmokeSpec extends SparkSpec {
   }
 
   test("every oracle key has a matching query") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // oracleKeys, not oracleSql.keySet: forcing the full map would run
+    // lazy oracles' builder-scale work (tok_bpe trains a BPE) just to
+    // compare key sets
+    assert(SparkEntry.oracleKeys.subsetOf(SparkEntry.queries.keySet))
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -98,7 +98,13 @@ class PropertySpec extends SparkSpec {
       .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
     val left = ls.toDF("lid", "lo", "hi")
     val right = rs.toDF("rid", "elo", "ehi")
-    val want = left.join(right, col("lo") < col("ehi") && col("elo") < col("hi"))
+    // naive reference carries the operator's contract explicitly: only
+    // NON-EMPTY intervals can intersect (the bare predicate alone
+    // false-positives a zero-length [x,x) strictly inside the other
+    // side — Gen.chooseNum does emit the 0.0 length edge case)
+    val want = left.filter(col("hi") > col("lo"))
+      .join(right.filter(col("ehi") > col("elo")),
+        col("lo") < col("ehi") && col("elo") < col("hi"))
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (w <- Seq(0.5, 3.0, 8.0, 50.0)) {
       val pairs = operators.Joins.intervalJoin(left, "lo", "hi", right, "elo", "ehi", w)
