@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Formatters.gates ++
       operators.ParaDocs.gates ++
       operators.Urls.gates ++
+      operators.Snapshots.gates ++
+      operators.Sketches.gates ++
       operators.Joins.gates ++
       operators.Layout.gates ++
       operators.Annotators.gates ++

@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_strip_accents"),
         new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
         (args: Seq[Expression]) => StripAccents(args.head)))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_kmv_mins"),
+        new ExpressionInfo(classOf[KmvMins].getName, "graft_kmv_mins"),
+        KmvMins.fromExpressions))
   }
 }
 
@@ -126,5 +130,7 @@ object GraftExtensions {
       "graft_nfc", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_strip_accents", es => StripAccents(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv_mins", KmvMins.fromExpressions, "built-in")
   }
 }

@@ -1,0 +1,105 @@
+package graft.expr
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** KMV (k-minimum-values) distinct-count sketch aggregate: keeps the
+  * k smallest DISTINCT unit-interval hashes per group; the caller
+  * derives the estimate `(k-1) / u_k` from the returned sorted array
+  * (or the exact count when fewer than k distinct hashes exist —
+  * Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07).
+  *
+  * This is the scale story for "distinct users per segment over
+  * 100 TB": a plain count(DISTINCT x) shuffles every distinct value;
+  * this buffer partial-aggregates map-side, so at most k doubles per
+  * group per partition cross the exchange, and merge is a set union
+  * trimmed back to k — associative, commutative, deterministic (no
+  * RNG: the "randomness" is the hash, fixed across runs and engines).
+  *
+  * A bounded-heap top-k (GraftCollectTopK) cannot express this:
+  * KMV's trim must dedup BEFORE bounding, else duplicates of one
+  * small hash evict genuinely distinct values and bias the kth
+  * minimum downward. Hence the TreeSet buffer.
+  *
+  * `k` is a plain constructor Int (not an expression child) so tree
+  * rewrites can never rebind it — the SQL builder extracts it from
+  * the literal argument (the GraftCollectTopK convention).
+  */
+case class KmvMins(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Double]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"graft_kmv_mins: k must be >= 2, got $k")
+
+  override def prettyName: String = "graft_kmv_mins"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): mutable.TreeSet[Double] =
+    mutable.TreeSet.empty[Double]
+
+  private def insert(buf: mutable.TreeSet[Double], v: Double): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last && buf.add(v)) { buf.remove(buf.last); () }
+
+  override def update(
+      buf: mutable.TreeSet[Double], input: InternalRow): mutable.TreeSet[Double] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(
+      buf: mutable.TreeSet[Double],
+      other: mutable.TreeSet[Double]): mutable.TreeSet[Double] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[Double]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.TreeSet.empty[Double]
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMins =
+    copy(child = newChild)
+}
+
+object KmvMins {
+  /** `graft_kmv_mins(u, k)` builder: k must be a foldable int. */
+  def fromExpressions(es: Seq[Expression]): KmvMins = {
+    require(es.length == 2, "graft_kmv_mins expects (value, k)")
+    require(es(1).foldable, "graft_kmv_mins: k must be a literal")
+    KmvMins(es.head, es(1).eval().asInstanceOf[Number].intValue())
+  }
+}

@@ -161,6 +161,47 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
+    // The 100 TB twin of q8: exact per-group percentiles buffer the
+    // whole group per key (a sort-scale cost), the equi-width
+    // histogram needs two compact aggregates — per-group (lo, hi, n),
+    // then (group, bin) counts with at most #groups × 64 rows crossing
+    // the second exchange; the big side joins only a broadcast stats
+    // row. Estimate = upper edge of the first bin whose cumulative
+    // count reaches q·n (error ≤ one bin width). Every bucketing and
+    // edge expression is pure IEEE +,-,*,/ so the oracle replays the
+    // arithmetic bit-identically; degenerate (hi = lo) groups pin to
+    // bin 0 / estimate lo on both sides.
+    Gate(
+      "q19_approx_quantiles", {
+        val bin = "CASE WHEN s.hi = s.lo THEN 0 ELSE least(CAST(floor(" +
+          "(l.l_extendedprice - s.lo) / ((s.hi - s.lo) / 64)) AS BIGINT), 63) END"
+        val est = "CASE WHEN s.hi = s.lo THEN s.lo " +
+          "ELSE s.lo + (e.bin + 1) * (s.hi - s.lo) / 64 END"
+        s"""WITH s AS (SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+           |    max(l_extendedprice) AS hi, count(l_extendedprice) AS n
+           |  FROM lineitem GROUP BY 1),
+           |b AS (SELECT l.l_returnflag AS g, $bin AS bin
+           |  FROM lineitem l JOIN s ON l.l_returnflag = s.g
+           |  WHERE l.l_extendedprice IS NOT NULL),
+           |c AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |w AS (SELECT g, bin,
+           |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM c),
+           |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+           |    CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q),
+           |e AS (SELECT w.g, qs.q, min(w.bin) AS bin
+           |  FROM w CROSS JOIN qs JOIN s ON w.g = s.g
+           |  WHERE CAST(w.cum AS DOUBLE) >= qs.q * s.n GROUP BY 1, 2)
+           |SELECT e.g AS l_returnflag, e.q,
+           |  ${Cols.proundSql(est, 4)} AS est
+           |FROM e JOIN s ON e.g = s.g ORDER BY l_returnflag, q""".stripMargin
+      }) { (s, dir) =>
+      histogramQuantiles(
+        Tables(s, dir, "lineitem"), "l_extendedprice", "l_returnflag",
+        bins = 64, qs = Seq(0.25, 0.5, 0.75, 0.95))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag", "q")
+    },
+
     Gate(
       "q9_pivot",
       """SELECT l_returnflag,
@@ -189,4 +230,55 @@ object Analytics {
         .orderBy("c_custkey")
     }
   )
+
+  /** Approximate per-group quantiles from a fixed equi-width histogram
+    * (see the q19 gate comment for the scale argument vs exact
+    * percentiles). Returns (g, q, est) — `est` is the upper edge of
+    * the first bin whose cumulative count reaches q·n, so the error is
+    * bounded by (hi−lo)/bins. NULL values are ignored (like
+    * percentile); a group whose values are all equal (hi = lo)
+    * estimates that value for every q. Two compact shuffles: the
+    * per-group stats frame is broadcast back, and everything after the
+    * (group, bin) count is #groups × bins small. */
+  def histogramQuantiles(
+      df: org.apache.spark.sql.DataFrame,
+      valueCol: String,
+      groupCol: String,
+      bins: Int,
+      qs: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 1, "histogramQuantiles: bins must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "histogramQuantiles: quantiles must lie in (0, 1]")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val stats = v.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), count("v").as("n"))
+    // same association as the oracle: width first, then the ratio
+    val width = (col("hi") - col("lo")) / bins
+    val counts = v.join(broadcast(stats), Seq("g"))
+      .select(col("g"),
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(
+            floor((col("v") - col("lo")) / width).cast("long"),
+            lit(bins - 1L))).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("bin")))
+    cum
+      .select(col("g"), col("bin"), col("cum"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .join(broadcast(stats), Seq("g"))
+      .filter(col("cum").cast("double") >= col("q") * col("n"))
+      .groupBy("g", "q").agg(min("bin").as("bin"))
+      .join(broadcast(stats), Seq("g"))
+      .select(col("g"), col("q"),
+        Cols.pround(
+          when(col("hi") === col("lo"), col("lo"))
+            // left-assoc like the oracle: ((bin+1)·(hi−lo))/bins, NOT
+            // (bin+1)·width — a different op order is a different IEEE
+            // result
+            .otherwise(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / bins),
+          4).as("est"))
+  }
 }

@@ -319,6 +319,105 @@ object Clusters {
     ranks
   }
 
+  /** HITS hubs/authorities (Kleinberg, JACM'99) over a directed link
+    * graph — the complementary centrality to [[pageRank]]: authorities
+    * are pages good links point AT, hubs are pages that point at good
+    * authorities. Power iteration with L2 normalization each
+    * half-step: a(v) = Σ_{u→v} h(u) then a /= ‖a‖₂;
+    * h(u) = Σ_{u→v} a(v) then h /= ‖h‖₂.
+    *
+    * Scale shape: per iteration, two equi-joins of the score frame
+    * against the (long, long) edge list plus two map-side-combined
+    * aggregates — the same exchange pattern as [[pageRank]]; the L2
+    * norm is a one-row global aggregate broadcast back. Lineage is
+    * truncated per round (see pageRank's localCheckpoint note).
+    *
+    * Determinism contract: scores are pround-12 after every divide,
+    * accumulated in DECIMAL(32,12) (order-independent), squares
+    * pround-12 before the norm sum, and sqrt is correctly rounded in
+    * both engines — so the unrolled SQL twin matches bit-for-bit. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val acc = DecimalType(32, 12)
+    val e = graft.Caches.persist(
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
+    val nodes = graft.Caches.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    require(nodes.count() > 0, "hits: empty graph")
+
+    // Σ over joinKey-matched edges of the partner score, re-keyed to
+    // outKey, L2-normalized over ALL nodes (an absent raw sum is 0 on
+    // both engines and contributes nothing to the norm).
+    def halfStep(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(col("s").cast(acc)).as("c"))
+      val withRaw = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c").cast("double"), lit(0.0)).as("raw"))
+      val norm = withRaw.agg(
+        sqrt(sum(graft.Cols.pround(col("raw") * col("raw"), 12).cast(acc))
+          .cast("double")).as("nv"))
+      withRaw.crossJoin(broadcast(norm))
+        .select(col("node"), graft.Cols.pround(col("raw") / col("nv"), 12).as("s"))
+    }
+
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+
+    var hubs = nodes.withColumn("s", lit(1.0))
+    var auths = hubs
+    for (_ <- 1 to iterations) {
+      auths = halfStep(hubs, "src", "dst")
+      hubs = truncate(halfStep(auths, "dst", "src"))
+      auths = truncate(auths)
+    }
+    nodes
+      .join(hubs.select(col("node"), col("s").as("hub")), Seq("node"))
+      .join(auths.select(col("node"), col("s").as("auth")), Seq("node"))
+  }
+
+  // Unrolled HITS twin over the same modular synthetic graph as the
+  // pagerank gate: each half-step is a raw-sum CTE, a node-complete
+  // frame, a one-row L2 norm, and the normalized scores — the exact
+  // pround-12/DECIMAL/sqrt recipe the operator uses.
+  private def hitsSqlTwin(iterations: Int): String = {
+    def half(prev: String, out: String, joinKey: String, outKey: String) = {
+      val sq = graft.Cols.proundSql("raw * raw", 12)
+      val nrm = graft.Cols.proundSql(s"raw / (SELECT nv FROM ${out}_n)", 12)
+      s"""${out}_raw AS (SELECT e.$outKey AS node, SUM(CAST(p.s AS DECIMAL(32,12))) AS c
+         |  FROM e JOIN $prev p ON e.$joinKey = p.node GROUP BY e.$outKey),
+         |${out}_w AS (SELECT ids.rn AS node, coalesce(CAST(r.c AS DOUBLE), 0.0) AS raw
+         |  FROM ids LEFT JOIN ${out}_raw r ON ids.rn = r.node),
+         |${out}_n AS (SELECT sqrt(CAST(SUM(CAST($sq AS DECIMAL(32,12))) AS DOUBLE)) AS nv
+         |  FROM ${out}_w),
+         |$out AS (SELECT node, $nrm AS s FROM ${out}_w)""".stripMargin
+    }
+    val steps = (1 to iterations).map { k =>
+      half(s"h${k - 1}", s"a$k", "src", "dst") + ",\n" +
+        half(s"a$k", s"h$k", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |e AS (SELECT rn AS src, (rn*31+7) % (SELECT n FROM nn) AS dst FROM ids
+       |      UNION ALL SELECT rn, (rn*17+3) % (SELECT n FROM nn) FROM ids),
+       |h0 AS (SELECT rn AS node, 1.0 AS s FROM ids),
+       |$steps
+       |SELECT ids.rn AS node,
+       |  ${graft.Cols.proundSql("h.s", 8)} AS hub,
+       |  ${graft.Cols.proundSql("a.s", 8)} AS auth
+       |FROM ids JOIN h$iterations h ON ids.rn = h.node
+       |JOIN a$iterations a ON ids.rn = a.node
+       |ORDER BY node""".stripMargin
+  }
+
   // cluster gates here and the semantic-dedup gate (expects a CTE
   // named `base` with columns u, v).
   private[graft] val SqlReach =
@@ -385,6 +484,22 @@ object Clusters {
         .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n))
       pageRank(e, "src", "dst", iterations = 5, damping = 0.85)
         .select(col("node"), graft.Cols.pround(col("r"), 8).as("rank"))
+        .orderBy("node")
+    },
+
+    Gate(
+      "op_hits", hitsSqlTwin(3)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(
+        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("rn"))
+      val n = ids.count()
+      val e = ids.select(col("rn").as("src"), ((col("rn") * 31 + 7) % n).as("dst"))
+        .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n))
+      hits(e, "src", "dst", iterations = 3)
+        .select(col("node"),
+          graft.Cols.pround(col("hub"), 8).as("hub"),
+          graft.Cols.pround(col("auth"), 8).as("auth"))
         .orderBy("node")
     },
 

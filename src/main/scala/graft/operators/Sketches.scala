@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bounded-memory cardinality sketching — the "how many distinct
+  * users/urls/tokens per segment" questions that a 100 TB corpus
+  * cannot answer with count(DISTINCT x): an exact distinct shuffles
+  * every distinct value; the KMV sketch ([[graft.expr.KmvMins]])
+  * shuffles at most k doubles per group per partition, with a relative
+  * error ≈ 1/√(k−2) (Beyer et al., SIGMOD'07) that the caller picks.
+  *
+  * Everything is deterministic: the "random" hash is a fixed md5
+  * prefix, so runs — and engines — agree bit-for-bit, which is what
+  * lets a DuckDB oracle replay the whole estimator.
+  */
+object Sketches {
+
+  /** 64-bit md5-prefix as an unsigned unit-interval fraction in
+    * [0, 1). `conv(hex, 16, 10)` yields the unsigned decimal string;
+    * the DECIMAL(20,0) hop keeps the full 64 bits before the one
+    * correctly-rounded cast to double (2^64 is itself representable,
+    * so the division is exact-input IEEE). Portable: the oracle's
+    * `CAST('0x'||substr(md5(x),1,16) AS UBIGINT) / 2^64` is the same
+    * arithmetic. */
+  def unitHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 16), 16, 10)
+      .cast(DecimalType(20, 0)).cast("double") / 1.8446744073709552e19
+
+  /** Per-group approximate distinct count of `valueCol`:
+    * (g, n_kept, est_distinct). When a group holds fewer than k
+    * distinct hashes the sketch IS the exact answer (n_kept < k);
+    * otherwise est = (k−1)/u_k with u_k the kth-smallest distinct
+    * hash. One aggregate, map-side partial, ≤ k doubles per group per
+    * partition across the exchange — scale-safe where
+    * count(DISTINCT) is not. */
+  def approxDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "approxDistinct: k must be >= 2")
+    df.select(col(groupCol).as("g"), unitHash(col(valueCol)).as("__u"))
+      .groupBy("g")
+      .agg(call_function("graft_kmv_mins", col("__u"), lit(k)).as("__mins"))
+      .select(
+        col("g"),
+        size(col("__mins")).as("n_kept"),
+        Cols.pround(
+          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) / element_at(col("__mins"), k)),
+          4).as("est_distinct"))
+  }
+
+  // k=64 < the 150 distinct users per type at sf0.01, so the gate
+  // exercises the (k-1)/u_k estimator, not the exact-small-set
+  // fallback (SketchesSpec covers that branch); n_exact rides along
+  // so the dump itself shows the estimate landing near truth.
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "rpt_approx_distinct", {
+        val k = 64
+        val u = "CAST(CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16) " +
+          "AS UBIGINT) AS DOUBLE) / 18446744073709551616.0"
+        s"""WITH h AS (SELECT DISTINCT event_type AS g, $u AS u FROM events),
+           |r AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn,
+           |    count(*) OVER (PARTITION BY g) AS nd FROM h),
+           |s AS (SELECT g, CAST(least(nd, $k) AS INT) AS n_kept,
+           |    CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+           |         ELSE ($k - 1.0) / max(CASE WHEN rn = $k THEN u END) END AS est
+           |  FROM r GROUP BY g, nd),
+           |x AS (SELECT event_type AS g, count(DISTINCT user_id) AS n_exact
+           |  FROM events GROUP BY 1)
+           |SELECT s.g AS event_type, n_kept, ${Cols.proundSql("est", 4)} AS est_distinct,
+           |  n_exact
+           |FROM s JOIN x ON s.g = x.g ORDER BY event_type""".stripMargin
+      }) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      approxDistinct(events, "event_type", "user_id", k = 64)
+        .join(
+          events.groupBy(col("event_type").as("g"))
+            .agg(countDistinct("user_id").as("n_exact")),
+          Seq("g"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Gate, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental crawl-snapshot merge — the recurring-crawl side of a
+  * pretrain corpus: each new dump is reconciled against the previous
+  * one by page key (canonical url), producing one changelog frame that
+  * classifies every key as `added` / `updated` / `carried` / `removed`.
+  * The merged corpus is the non-`removed` rows; the `added`+`updated`
+  * subset is exactly what downstream re-processing (tokenize, dedup
+  * index insert — see Dedup.minhashIncremental) must touch, so a
+  * 100 TB pipeline re-reads only the delta, not the corpus.
+  *
+  * Scale shape: both sides reduce to (key, id, md5(text)) triples
+  * before the reconcile — a full-outer sort-merge join keyed on the
+  * page key in which NO text column ever crosses the exchange (content
+  * change is detected on 16-byte digests). With both snapshots
+  * bucketed by key on disk the join plans shuffle-free; consumers
+  * fetch text for the delta by joining `doc_id` back to the new
+  * snapshot's files (columnar scan, id-pushdown).
+  */
+object Snapshots {
+
+  /** Reconcile `next` against `prev` by `keyCol`. Returns one row per
+    * key on either side: (key, doc_id of the surviving row — the new
+    * side's wherever present —, its text digest, change ∈
+    * added|updated|carried|removed). Keys must be unique per side
+    * (run Urls.urlDedup upstream for raw crawls). */
+  def snapshotDiff(
+      prev: DataFrame,
+      next: DataFrame,
+      keyCol: String,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def digests(df: DataFrame, side: String) = df.select(
+      col(keyCol).as("key"),
+      col(idCol).as(s"${side}_id"),
+      md5(col(textCol)).as(s"${side}_md5"))
+    digests(prev, "prev")
+      .join(digests(next, "next"), Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("next_id"), col("prev_id")).as("doc_id"),
+        coalesce(col("next_md5"), col("prev_md5")).as("text_md5"),
+        when(col("prev_id").isNull, "added")
+          .when(col("next_id").isNull, "removed")
+          .when(col("prev_md5") =!= col("next_md5"), "updated")
+          .otherwise("carried").as("change"))
+  }
+
+  // The gate synthesizes two snapshots from `documents`:
+  //   prev = every doc keyed 'p<doc_id>';
+  //   next = prev MINUS doc_id % 10 = 3 (removed), text rewritten for
+  //          doc_id % 7 = 0 among survivors (updated), plus fresh keys
+  //          at +5,000,000 for doc_id % 13 = 0 (added);
+  // everything else must come out `carried`. The classes overlap
+  // (e.g. % 70) so precedence is exercised, and the oracle replays the
+  // same FULL OUTER reconcile on md5 digests.
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "op_snapshot_diff",
+      """WITH prev AS (
+        |  SELECT 'p' || doc_id AS key, doc_id, text FROM documents),
+        |next AS (
+        |  SELECT 'p' || doc_id AS key, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT 'p' || (doc_id + 5000000), doc_id + 5000000, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |p AS (SELECT key, doc_id AS prev_id, md5(text) AS prev_md5 FROM prev),
+        |n AS (SELECT key, doc_id AS next_id, md5(text) AS next_md5 FROM next)
+        |SELECT coalesce(p.key, n.key) AS key,
+        |  coalesce(next_id, prev_id) AS doc_id,
+        |  coalesce(next_md5, prev_md5) AS text_md5,
+        |  CASE WHEN prev_id IS NULL THEN 'added'
+        |       WHEN next_id IS NULL THEN 'removed'
+        |       WHEN prev_md5 <> next_md5 THEN 'updated'
+        |       ELSE 'carried' END AS change
+        |FROM p FULL OUTER JOIN n ON p.key = n.key
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val prev = docs.select(
+        concat(lit("p"), col("doc_id")).as("key"), col("doc_id"), col("text"))
+      val next = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(
+          concat(lit("p"), col("doc_id")).as("key"), col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit("rev2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select(
+            concat(lit("p"), col("doc_id") + 5000000).as("key"),
+            (col("doc_id") + 5000000).as("doc_id"), col("text")))
+      snapshotDiff(prev, next, "key", "doc_id", "text").orderBy("doc_id")
+    }
+  )
+}

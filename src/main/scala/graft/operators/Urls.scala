@@ -159,6 +159,47 @@ object Urls {
       .select("src", "dst").distinct()
   }
 
+  /** Whole `<a …>text</a>` tags as (href, anchor-text) structs — the
+    * two parts must come from the SAME tag, so extract full tags first
+    * and split each one (two independent extract_all calls could
+    * misalign when a tag lacks either part). Zero shuffles. */
+  def anchorPairs(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?i)<a\\s[^>]*href=[\"'][^>]*>[^<]*</a>"), lit(0)),
+      t => struct(
+        regexp_extract(t, "(?i)href=[\"']([^\"'#]+)", 1).as("u"),
+        regexp_extract(t, ">([^<]*)<", 1).as("anchor")))
+
+  /** Anchor-text aggregation per link TARGET — the classic web-corpus
+    * document-expansion signal (how other pages describe this one):
+    * for every corpus page, the distinct anchor strings pointing at it
+    * (sorted, '|'-joined), how many distinct pages link to it, and the
+    * total mention count. Complements [[linkEdges]]/Clusters.pageRank:
+    * edges give centrality, anchors give description.
+    *
+    * Scale shape: the resolve join keys on xxhash64(url) digests; the
+    * shuffle rows are (digest, src id, short anchor string) — never
+    * the page html. collect_set partial-aggregates map-side, so
+    * boilerplate anchors ("home", "next") collapse to one entry per
+    * partition before the exchange; the per-target set is bounded by
+    * anchor vocabulary, not in-degree. */
+  def anchorTexts(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String): DataFrame = {
+    val targets = docs.select(xxhash64(col(urlCol)).as("__uk"), col(idCol).as("dst"))
+    docs.select(col(idCol).as("src"), explode(anchorPairs(col(htmlCol))).as("a"))
+      .select(col("src"), xxhash64(col("a.u")).as("__uk"), col("a.anchor").as("anchor"))
+      .join(targets, Seq("__uk"))
+      .groupBy("dst")
+      .agg(
+        countDistinct("src").as("n_sources"),
+        count(lit(1)).as("n_mentions"),
+        array_join(array_sort(collect_set(col("anchor"))), "|").as("anchors"))
+  }
+
   // urls vary by scheme/case/www/default-and-custom ports/tracking/
   // fragment/trailing-slash while doc_id % 250 pins the page identity;
   // every 17th url is unparseable garbage, exercising the passthrough
@@ -263,6 +304,53 @@ object Urls {
           lit("<a href=\"https://other.example/x\">ext</a></body></html>")).as("page"))
       linkEdges(withPages, "doc_id", "page", "url")
         .orderBy("src", "dst")
+    },
+
+    // Anchor-text gate: the first link's text varies by src (ref-0/1/2,
+    // planted twice — mention count sees both, the distinct set one),
+    // the second is an uppercase single-quoted NAV, every 5th page adds
+    // an EMPTY-text anchor (the '' capture path), and the external link
+    // must drop at the resolve join.
+    Gate(
+      "op_anchor_text", {
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |p AS (SELECT doc_id,
+           |  '<html><body>' ||
+           |  '<a class="l" href="https://site.example/p/' || ((doc_id*31+7) % (SELECT n FROM nn)) || '">ref-' || (doc_id % 3) || '</a>' ||
+           |  '<A HREF=''https://site.example/p/' || ((doc_id*17+3) % (SELECT n FROM nn)) || '''>NAV</A>' ||
+           |  '<a href="https://site.example/p/' || ((doc_id*31+7) % (SELECT n FROM nn)) || '">ref-' || (doc_id % 3) || '</a>' ||
+           |  (CASE WHEN doc_id % 5 = 0 THEN '<a href="https://site.example/p/' || ((doc_id*31+7) % (SELECT n FROM nn)) || '"></a>' ELSE '' END) ||
+           |  '<a href="https://other.example/x">ext</a></body></html>' AS page
+           |  FROM documents),
+           |t AS (SELECT doc_id AS src,
+           |  unnest(regexp_extract_all(page, '(?i)<a\\s[^>]*href=["''][^>]*>[^<]*</a>', 0)) AS tag
+           |  FROM p),
+           |a AS (SELECT src,
+           |  regexp_extract(tag, '(?i)href=["'']([^"''#]+)', 1) AS u,
+           |  regexp_extract(tag, '>([^<]*)<', 1) AS anchor FROM t),
+           |m AS (SELECT doc_id AS dst, 'https://site.example/p/' || doc_id AS u FROM documents)
+           |SELECT dst, count(DISTINCT src) AS n_sources, count(*) AS n_mentions,
+           |  array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+           |FROM a JOIN m ON a.u = m.u GROUP BY dst ORDER BY dst""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val pages = docs.select(
+        col("doc_id"),
+        concat(lit("https://site.example/p/"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><body>"),
+          lit("<a class=\"l\" href=\"https://site.example/p/"),
+          (col("doc_id") * 31 + 7) % n, lit("\">ref-"), col("doc_id") % 3, lit("</a>"),
+          lit("<A HREF='https://site.example/p/"),
+          (col("doc_id") * 17 + 3) % n, lit("'>NAV</A>"),
+          lit("<a href=\"https://site.example/p/"),
+          (col("doc_id") * 31 + 7) % n, lit("\">ref-"), col("doc_id") % 3, lit("</a>"),
+          when(col("doc_id") % 5 === 0, concat(
+            lit("<a href=\"https://site.example/p/"),
+            (col("doc_id") * 31 + 7) % n, lit("\"></a>"))).otherwise(""),
+          lit("<a href=\"https://other.example/x\">ext</a></body></html>")).as("page"))
+      anchorTexts(pages, "doc_id", "page", "url").orderBy("dst")
     },
 
     Gate(

@@ -141,6 +141,39 @@ object EventStream {
     }.reduce(_ unionByName _).orderBy("step")
   }
 
+  /** Cohort retention matrix: a user's cohort is the period (default
+    * 7-day buckets from the epoch) of their FIRST activity; the cell
+    * (cohort, offset) counts the cohort's distinct users still active
+    * `offset` periods later, plus the retained fraction of the cohort
+    * (offset 0 is the cohort size by construction — every user is
+    * active in their own first period).
+    *
+    * Scale shape: the events frame reduces immediately to DISTINCT
+    * (user_id, period) longs — two 8-byte columns cross the first
+    * exchange, never the events themselves; the cohort label comes
+    * from a min-over-user window on that compact frame (one shuffle on
+    * user_id), and the matrix is a #cohorts × #offsets aggregate. The
+    * rate column is a window over the tiny result frame. Epoch-second
+    * integer bucketing (not date_trunc) keeps the bucket boundaries
+    * timezone-free and portable to the oracle. */
+  def cohortRetention(events: DataFrame, periodSeconds: Long = 604800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(periodSeconds > 0, "cohortRetention: periodSeconds must be positive")
+    val up = events
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / periodSeconds).cast("long").as("p"))
+      .distinct()
+    val cells = up
+      .withColumn("cohort", min("p").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, p) already distinct
+    val byCohort = Window.partitionBy("cohort")
+    cells
+      .withColumn("rate", Cols.pround(
+        col("n_users").cast("double") /
+          max(when(col("offset") === 0, col("n_users"))).over(byCohort), 4))
+  }
+
   val gates: Seq[Gate] = Seq(
     Gate(
       "q7_sessionize",
@@ -210,6 +243,28 @@ object EventStream {
         |ORDER BY step""".stripMargin) { (s, dir) =>
       funnel(Tables(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
+    },
+
+    // Weekly cohort retention: epoch-second integer bucketing on both
+    // sides (floor(epoch/604800) — tz-free, unlike date_trunc), rate
+    // normalized by the cohort's own offset-0 count.
+    Gate(
+      "q18_retention", {
+        // "offset" is a reserved word in DuckDB — always double-quoted
+        val rate = Cols.proundSql(
+          "CAST(n_users AS DOUBLE) / max(CASE WHEN \"offset\" = 0 THEN n_users END) " +
+            "OVER (PARTITION BY cohort)", 4)
+        s"""WITH up AS (SELECT DISTINCT user_id,
+           |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p FROM events),
+           |c AS (SELECT user_id, p,
+           |    min(p) OVER (PARTITION BY user_id) AS cohort FROM up),
+           |m AS (SELECT cohort, p - cohort AS "offset",
+           |    count(*) AS n_users FROM c GROUP BY 1, 2)
+           |SELECT cohort, "offset", n_users, $rate AS rate
+           |FROM m ORDER BY cohort, "offset"""".stripMargin
+      }) { (s, dir) =>
+      cohortRetention(Tables(s, dir, "events"))
+        .orderBy("cohort", "offset")
     }
   )
 }

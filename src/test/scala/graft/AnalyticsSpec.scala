@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("histogram quantiles are within one bin width of the exact quantile") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val bins = 64
+    val est = Analytics.histogramQuantiles(df, "v", "grp", bins,
+        qs = Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    val width = (1000.0 - 1.0) / bins
+    for ((q, e) <- est) {
+      val exact = q * 1000.0 // values are 1..1000 uniform
+      assert(math.abs(e - exact) <= width + 1e-9,
+        s"q=$q est=$e exact=$exact width=$width")
+    }
+  }
+
+  test("histogram quantiles: degenerate and null-heavy groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(5.0)), ("a", Some(5.0)), ("a", None), // hi = lo
+      ("b", Some(1.0)), ("b", Some(3.0))
+    ).toDF("grp", "v")
+    val out = Analytics.histogramQuantiles(df, "v", "grp", bins = 4, qs = Seq(0.5, 1.0))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("q"),
+        r.getAs[Double]("est"))).toSet
+    // group a pins every q to the single value; group b: bin width 0.5,
+    // value 1 in bin 0 (edge 1.5) covers q=0.5 of n=2, value 3 in the
+    // last bin (edge 3.0) covers q=1.0
+    assert(out == Set(
+      ("a", 0.5, 5.0), ("a", 1.0, 5.0),
+      ("b", 0.5, 1.5), ("b", 1.0, 3.0)))
+  }
+}

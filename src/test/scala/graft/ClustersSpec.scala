@@ -98,6 +98,22 @@ class ClustersSpec extends SparkSpec {
     assert(run(7) == r)
   }
 
+  test("hits: star graph concentrates authority on the hub target") {
+    import spark.implicits._
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r = Clusters.hits(e, "src", "dst", iterations = 2)
+      .collect().map(x => x.getAs[Long]("node") ->
+        (x.getAs[Double]("hub"), x.getAs[Double]("auth"))).toMap
+    Caches.releaseAll()
+    // node 0 is the sole authority; 1..3 are equal hubs at 1/sqrt(3)
+    assert(r(0L)._2 == 1.0 && r(0L)._1 == 0.0)
+    val h = 1.0 / math.sqrt(3.0)
+    for (n <- Seq(1L, 2L, 3L)) {
+      assert(math.abs(r(n)._1 - h) < 1e-9, s"hub($n)=${r(n)._1}")
+      assert(r(n)._2 == 0.0)
+    }
+  }
+
   test("minhash cluster dedup = pairs closed transitively, min-id kept") {
     val docs = graft.operators.Dedup.plantedTruncated(Tables(spark, sfDir, "documents"))
     val pairs = graft.operators.Dedup

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("kmv keeps the k smallest distinct hashes across partitions") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    // duplicates of the SMALLEST value must not evict distinct ones
+    val df = Seq(0.1, 0.1, 0.1, 0.2, 0.3, 0.4).toDF("u").repartition(3)
+    val mins = df.agg(call_function("graft_kmv_mins", col("u"), lit(3)))
+      .head().getSeq[Double](0)
+    assert(mins == Seq(0.1, 0.2, 0.3))
+  }
+
+  test("approxDistinct takes the exact path when distinct < k") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val df = (1 to 40).map(i => ("g", s"v${i % 7}")).toDF("grp", "v")
+    val r = Sketches.approxDistinct(df, "grp", "v", k = 16).head()
+    assert(r.getAs[Int]("n_kept") == 7)
+    assert(r.getAs[Double]("est_distinct") == 7.0)
+  }
+
+  test("approxDistinct estimator lands near truth for distinct >> k") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val df = (1 to 5000).map(i => ("g", s"item-$i")).toDF("grp", "v")
+      .repartition(8)
+    val k = 128
+    val r = Sketches.approxDistinct(df, "grp", "v", k = k).head()
+    assert(r.getAs[Int]("n_kept") == k)
+    val est = r.getAs[Double]("est_distinct")
+    // expected relative error ~ 1/sqrt(k-2) ≈ 8.9%; allow 4 sigma
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.36, s"est=$est")
+  }
+
+  test("approxDistinct is deterministic under repartitioning") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val rows = (1 to 2000).map(i => ("g", s"u$i"))
+    val a = Sketches.approxDistinct(rows.toDF("grp", "v").repartition(2), "grp", "v", 64)
+      .head().getAs[Double]("est_distinct")
+    val b = Sketches.approxDistinct(rows.toDF("grp", "v").repartition(13), "grp", "v", 64)
+      .head().getAs[Double]("est_distinct")
+    assert(a == b)
+  }
+}

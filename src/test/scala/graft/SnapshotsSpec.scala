@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Snapshots
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+
+  test("snapshotDiff classifies added/updated/carried/removed with precedence") {
+    import spark.implicits._
+    val prev = Seq(
+      ("k1", 1L, "alpha"), // unchanged -> carried
+      ("k2", 2L, "beta"), // text changes -> updated
+      ("k3", 3L, "gamma") // absent from next -> removed
+    ).toDF("key", "doc_id", "text")
+    val next = Seq(
+      ("k1", 1L, "alpha"),
+      ("k2", 2L, "beta v2"),
+      ("k4", 4L, "delta") // fresh key -> added
+    ).toDF("key", "doc_id", "text")
+
+    val out = Snapshots.snapshotDiff(prev, next, "key", "doc_id", "text")
+      .select("key", "doc_id", "change")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("k1", 1L, "carried"),
+      ("k2", 2L, "updated"),
+      ("k3", 3L, "removed"),
+      ("k4", 4L, "added")))
+  }
+
+  test("snapshotDiff surviving id and digest come from the new side") {
+    import spark.implicits._
+    // same key, different ids across snapshots: the changelog must
+    // carry the NEW id (the row consumers will re-process), and the
+    // digest of the new text
+    val prev = Seq(("k", 10L, "old text")).toDF("key", "doc_id", "text")
+    val next = Seq(("k", 20L, "new text")).toDF("key", "doc_id", "text")
+    val r = Snapshots.snapshotDiff(prev, next, "key", "doc_id", "text").head()
+    assert(r.getAs[Long]("doc_id") == 20L)
+    assert(r.getAs[String]("change") == "updated")
+    val wantMd5 = next.select(md5(col("text"))).head().getString(0)
+    assert(r.getAs[String]("text_md5") == wantMd5)
+  }
+}

@@ -164,6 +164,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("cohort retention buckets by first-activity period") {
+    import spark.implicits._
+    // periodSeconds=86400 → daily cohorts. User 1 starts day 0, active
+    // days 0,1,2 (two events day 1 collapse to one); user 2 starts
+    // day 0, active day 0 only; user 3 starts day 1, active days 1,2.
+    val events = Seq(
+      (1L, ts("1970-01-01 00:10:00"), 1L),
+      (2L, ts("1970-01-02 00:10:00"), 1L),
+      (3L, ts("1970-01-02 23:00:00"), 1L),
+      (4L, ts("1970-01-03 00:10:00"), 1L),
+      (5L, ts("1970-01-01 05:00:00"), 2L),
+      (6L, ts("1970-01-02 05:00:00"), 3L),
+      (7L, ts("1970-01-03 05:00:00"), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStream.cohortRetention(events, periodSeconds = 86400L)
+      .collect().map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("rate"))).toSet
+    assert(out == Set(
+      (0L, 0L, 2L, 1.0), // users 1,2
+      (0L, 1L, 1L, 0.5), // user 1 still active day 1
+      (0L, 2L, 1L, 0.5), // user 1 still active day 2
+      (1L, 0L, 1L, 1.0), // user 3's own cohort
+      (1L, 1L, 1L, 1.0))) // user 3 active day 2
+  }
+
   test("batch sessionization matches a hand-computed case") {
     import spark.implicits._
     val events = Seq(

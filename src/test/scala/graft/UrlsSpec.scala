@@ -60,6 +60,38 @@ class UrlsSpec extends SparkSpec {
     assert(edges == Set((0L, 1L), (0L, 2L), (1L, 0L)))
   }
 
+  test("anchor texts aggregate per target with same-tag href/text pairing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "https://s.ex/0",
+        // two links to page 1 with different texts, one empty-text link
+        // to page 2, one external (must drop at the resolve join)
+        """<a href="https://s.ex/1">home</a><A HREF='https://s.ex/1'>start</A>""" +
+          """<a href="https://s.ex/2"></a><a href="https://x.ex/z">ext</a>"""),
+      (1L, "https://s.ex/1", """<a class="b" href="https://s.ex/1">self</a>"""),
+      (2L, "https://s.ex/2", "no links")).toDF("doc_id", "url", "page")
+    val out = Urls.anchorTexts(docs, "doc_id", "page", "url")
+      .collect().map(r => (r.getAs[Long]("dst"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("n_mentions"), r.getAs[String]("anchors"))).toSet
+    // page 1: sources {0,1}, 3 mentions, anchors sorted+joined;
+    // page 2: the empty anchor string is still a mention
+    assert(out == Set(
+      (1L, 2L, 3L, "home|self|start"),
+      (2L, 1L, 1L, "")))
+  }
+
+  test("anchor pairs never misalign href and text across tags") {
+    import spark.implicits._
+    // first tag has an href but empty text; second has text. A naive
+    // two-extract_all implementation would pair href#1 with text#2.
+    val html = """<a href="https://s.ex/a"></a><a href="https://s.ex/b">bee</a>"""
+    val pairs = Seq(html).toDF("h")
+      .select(explode(Urls.anchorPairs(col("h"))).as("p"))
+      .select("p.u", "p.anchor")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs == Seq(("https://s.ex/a", ""), ("https://s.ex/b", "bee")))
+  }
+
   test("url dedup keeps the min-id doc per canonical url") {
     import spark.implicits._
     val docs = Seq(
