@@ -202,6 +202,27 @@ object Analytics {
         .orderBy("l_returnflag", "q")
     },
 
+    // Semi-structured JSON metadata (the events' `props` column, like
+    // the reference's per-dump JSON metadata fields): path extraction
+    // stays inside the scan stage (get_json_object is codegen), so the
+    // aggregate sees only (event_type, k) — all-integer outputs, no
+    // float parity surface. DuckDB sum(BIGINT) is HUGEINT → cast.
+    Gate(
+      "q20_json_props",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type")
+    },
+
     Gate(
       "q9_pivot",
       """SELECT l_returnflag,

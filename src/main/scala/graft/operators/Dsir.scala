@@ -153,6 +153,43 @@ object Dsir {
       })
   }
 
+  /** CCNet head/middle/tail quality tiers (Wenzek et al. 2020 §4.3):
+    * score every doc by [[perplexityScore]], estimate the corpus nll
+    * terciles, label each doc by which third it falls in — the
+    * standard "keep head+middle for pretraining" split. Wordless docs
+    * (score 0 by contract) get their own `empty` tier rather than
+    * polluting `head`.
+    *
+    * Scale shape: thresholds come from [[Analytics.histogramQuantiles]]
+    * (two compact aggregates, never a corpus sort — CCNet itself
+    * estimates cutoffs on a sample for the same reason) and join back
+    * as a broadcast one-row frame; the scoring pass is the narrow
+    * literal-array column. Tercile points are `1.0/3`/`2.0/3` computed
+    * by the same IEEE division in the SQL twin. */
+  def ccnetTiers(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024,
+      bins: Int = 64): DataFrame = {
+    val scored = graft.Caches.persist(
+      perplexityScore(docs, textCol, isTarget, buckets)
+        .withColumn("__nw", size(grams(col(textCol), 1))))
+    val th = Analytics.histogramQuantiles(
+        scored.filter(col("__nw") > 0).withColumn("__g", lit(0)),
+        "nll_per_word", "__g", bins, qs = Seq(1.0 / 3, 2.0 / 3))
+      .agg(
+        max(when(col("q") < 0.5, col("est"))).as("ppl_t1"),
+        max(when(col("q") >= 0.5, col("est"))).as("ppl_t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("tier",
+        when(col("__nw") === 0, "empty")
+          .when(col("nll_per_word") <= col("ppl_t1"), "head")
+          .when(col("nll_per_word") <= col("ppl_t2"), "middle")
+          .otherwise("tail"))
+      .drop("__nw")
+  }
+
   // ---- gates ----
 
   // Target = every 9th doc (a deterministic stand-in for "the quality
@@ -226,6 +263,65 @@ object Dsir {
         .select(col("doc_id"),
           size(grams(col("text"), 1)).as("n_words"),
           col("nll_per_word"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet tier gate: the txt_perplexity oracle feeds the
+    // q19_approx_quantiles histogram recipe (single group, terciles),
+    // thresholds come back as one row, tiers by CASE. Every double in
+    // the chain is either pround-4 or pure IEEE +,-,*,/ — the whole
+    // composition hash-checks.
+    Gate(
+      "txt_ccnet_tiers", {
+        val B = 1024
+        val bins = 64
+        val h32 = "CAST(CAST('0x'||substr(md5(g),1,8) AS UBIGINT) AS BIGINT)"
+        val bin = s"CASE WHEN s.hi = s.lo THEN 0 ELSE least(CAST(floor(" +
+          s"(v.nll - s.lo) / ((s.hi - s.lo) / $bins)) AS BIGINT), ${bins - 1}) END"
+        val est = s"CASE WHEN s.hi = s.lo THEN s.lo " +
+          s"ELSE s.lo + (eq.bin + 1) * (s.hi - s.lo) / $bins END"
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws
+           |           FROM documents),
+           |e AS (SELECT doc_id, $h32 % $B AS bucket
+           |      FROM (SELECT doc_id, unnest(ws) AS g FROM t)),
+           |counts AS (SELECT bucket,
+           |    sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS tc
+           |  FROM e GROUP BY bucket),
+           |tot AS (SELECT sum(tc) AS tt FROM counts),
+           |w AS (SELECT bucket,
+           |    ${Cols.proundSql(s"ln(tc + 1.0) - ln(tt + $B.0)", 8)} AS logp
+           |  FROM counts, tot),
+           |sc AS (SELECT doc_id,
+           |    CAST(sum(CAST(logp AS DECIMAL(30,15))) AS DOUBLE) AS lp, count(*) AS nw
+           |  FROM e JOIN w USING (bucket) GROUP BY doc_id),
+           |p AS (SELECT t.doc_id, len(ws) AS n_words,
+           |  CASE WHEN len(ws) = 0 THEN 0.0
+           |       ELSE ${Cols.proundSql("-lp / nw", 4)} END AS nll
+           |  FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id),
+           |v AS (SELECT nll FROM p WHERE n_words > 0),
+           |s AS (SELECT min(nll) AS lo, max(nll) AS hi, count(*) AS n FROM v),
+           |b AS (SELECT $bin AS bin FROM v, s),
+           |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+           |wn AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+           |qs AS (SELECT unnest([1.0/3, 2.0/3]) AS q),
+           |eq AS (SELECT qs.q, min(wn.bin) AS bin
+           |  FROM wn CROSS JOIN qs, s WHERE CAST(wn.cum AS DOUBLE) >= qs.q * s.n
+           |  GROUP BY qs.q),
+           |ests AS (SELECT q, ${Cols.proundSql(est, 4)} AS est FROM eq, s),
+           |th AS (SELECT max(CASE WHEN q < 0.5 THEN est END) AS ppl_t1,
+           |    max(CASE WHEN q >= 0.5 THEN est END) AS ppl_t2 FROM ests)
+           |SELECT p.doc_id, p.n_words, p.nll AS nll_per_word,
+           |  th.ppl_t1, th.ppl_t2,
+           |  CASE WHEN p.n_words = 0 THEN 'empty'
+           |       WHEN p.nll <= th.ppl_t1 THEN 'head'
+           |       WHEN p.nll <= th.ppl_t2 THEN 'middle'
+           |       ELSE 'tail' END AS tier
+           |FROM p, th ORDER BY p.doc_id""".stripMargin
+      }) { (s, dir) =>
+      ccnetTiers(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          size(grams(col("text"), 1)).as("n_words"),
+          col("nll_per_word"), col("ppl_t1"), col("ppl_t2"), col("tier"))
         .orderBy("doc_id")
     }
   )

@@ -261,6 +261,64 @@ class PlanSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("snapshot diff reconciles on digests — no exchange carries text") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      val next = docs.filter(col("doc_id") % 2 === 0)
+      val plan = graft.operators.Snapshots
+        .snapshotDiff(docs, next, "doc_id", "doc_id", "text")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, "expected the full-outer join exchanges")
+      for (e <- exchanges)
+        assert(!e.output.exists(_.name == "text"),
+          s"reconcile exchange carries text: ${e.simpleStringWithNodeId()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("anchor-text aggregation never shuffles the page html") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents").select(
+        col("doc_id"),
+        concat(lit("https://s.ex/"), col("doc_id")).as("url"),
+        concat(lit("<a href=\"https://s.ex/"), col("doc_id") % 7, lit("\">x</a>")).as("page"))
+      val plan = graft.operators.Urls.anchorTexts(docs, "doc_id", "page", "url")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges)
+        assert(!e.output.exists(a => a.name == "page" || a.name == "url"),
+          s"anchor exchange carries html/url: ${e.simpleStringWithNodeId()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("kmv sketch partial-aggregates map-side — raw hashes never shuffle") {
+    graft.expr.GraftExtensions.register(spark)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val events = Tables(spark, sfDir, "events")
+      val plan = graft.operators.Sketches
+        .approxDistinct(events, "event_type", "user_id", k = 64)
+        .queryExecution.executedPlan
+      // two-phase aggregate: a partial kmv below the exchange
+      assert(plan.toString.contains("partial_graft_kmv_mins"),
+        s"no map-side partial kmv in:\n$plan")
+      for (e <- plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }) assert(!e.output.exists(_.name == "__u"),
+        s"exchange carries raw unit hashes: ${e.simpleStringWithNodeId()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
