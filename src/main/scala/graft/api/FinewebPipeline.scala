@@ -30,6 +30,17 @@ final case class DsirParams(
     n: Int = 2,
     buckets: Int = 1024)
 
+/** CCNet perplexity-tier filter parameters (Wenzek et al. §4.3): the
+  * unigram LM trains on the upstream survivors matching `target`, the
+  * head/middle/tail cuts are the survivors' nll terciles, and docs
+  * whose tier is not in `keep` are excluded with reason `ppl_tier`
+  * (wordless docs tier as `empty`). */
+final case class PplTierParams(
+    target: Column,
+    keep: Set[String] = Set("head", "middle"),
+    buckets: Int = 1024,
+    bins: Int = 64)
+
 /** Config-driven pipeline assembly — the reference's user surface.
   *
   * Mirrors pipelines/fineweb/main.py:34-67 (`CONFIGS` dict selecting
@@ -92,6 +103,12 @@ final case class FinewebConfig(
       * exclusion doesn't apply to them), exclude below-minScore docs
       * with reason `dsir`. */
     dsirFilter: Option[DsirParams] = None,
+    /** CCNet head/middle/tail perplexity split as a recipe stage: LM
+      * + tercile cuts estimated on the docs surviving the stages above
+      * (two compact prepass aggregates at assembly time, like the DSIR
+      * table), surviving docs annotated `nll_per_word` + `ppl_tier`,
+      * out-of-`keep` tiers excluded with reason `ppl_tier`. */
+    pplTierFilter: Option[PplTierParams] = None,
     /** fineweb's MinHash near-dup stage as a recipe stage: verified
       * LSH pairs over the docs surviving the stages above → transitive
       * clusters → min-id keeper; cluster losers are excluded with
@@ -232,6 +249,28 @@ object FinewebPipeline {
         d => d.withColumn("dsir_score",
           when(col("filter_reason").isNull, Dsir.scoreColumn(table, col("text"), p.n))))
       stages :+= DocFilter("dsir", _ => col("dsir_score") >= p.minScore)
+    }
+
+    cfg.pplTierFilter.foreach { p =>
+      // LM + tercile cuts estimated on upstream SURVIVORS (the
+      // distribution the split actually sees) — the same eager prepass
+      // shape as the DSIR table above; scoring and tiering stay narrow
+      // (literal table + two literal cuts), guarded so only
+      // not-yet-rejected rows are scored.
+      val upstream = Pipeline(stages: _*).kept(docs)
+      val table = Dsir.logpTable(upstream, "text", p.target, p.buckets)
+      val (t1, t2) = Dsir.tierThresholds(
+        upstream.withColumn("nll_per_word", Dsir.nllColumn(table, col("text"))),
+        "text", p.bins)
+      stages :+= Transform("ppl_annotate",
+        d => d.withColumn("nll_per_word",
+          when(col("filter_reason").isNull, Dsir.nllColumn(table, col("text")))))
+      stages :+= Transform("ppl_tier_annotate",
+        d => d.withColumn("ppl_tier",
+          when(col("filter_reason").isNull,
+            Dsir.tierColumn(
+              col("nll_per_word"), size(Dsir.grams(col("text"), 1)), t1, t2))))
+      stages :+= DocFilter("ppl_tier", _ => col("ppl_tier").isin(p.keep.toSeq: _*))
     }
 
     cfg.qualityTopP.foreach { p =>

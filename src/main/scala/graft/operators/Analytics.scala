@@ -202,6 +202,24 @@ object Analytics {
         .orderBy("l_returnflag", "q")
     },
 
+    // Key-skew pre-flight over the events' user_id (heavy per-user tie
+    // runs exercise the deterministic (cnt desc, key asc) cut).
+    Gate(
+      "rpt_key_skew", {
+        val share = Cols.proundSql("CAST(t.cnt AS DOUBLE) / s.total_rows", 6)
+        val skew = Cols.proundSql("CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total_rows", 4)
+        s"""WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+           |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+           |    max(cnt) AS max_cnt FROM c),
+           |t AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 5)
+           |SELECT t.key, t.cnt, $share AS share,
+           |  s.n_keys, s.total_rows, s.max_cnt, $skew AS skew_ratio
+           |FROM t, s ORDER BY t.cnt DESC, t.key""".stripMargin
+      }) { (s, dir) =>
+      keySkewReport(Tables(s, dir, "events"), "user_id", topK = 5)
+        .orderBy(col("cnt").desc, col("key").asc)
+    },
+
     // Semi-structured JSON metadata (the events' `props` column, like
     // the reference's per-dump JSON metadata fields): path extraction
     // stays inside the scan stage (get_json_object is codegen), so the
@@ -251,6 +269,35 @@ object Analytics {
         .orderBy("c_custkey")
     }
   )
+
+  /** Join/partition key-skew diagnostic — the "will this key explode a
+    * 100 TB shuffle" pre-flight: per-key counts (one map-side-combined
+    * aggregate), the overall key stats as a broadcast one-row frame,
+    * and the `topK` heaviest keys (count desc, key asc — deterministic
+    * under ties) via a bounded TakeOrderedAndProject, never a global
+    * sort. `skew_ratio` = max/mean; ≳ the per-partition fan-out AQE
+    * can absorb means pre-salt ([[Joins.saltedJoin]]) or isolate the
+    * hot keys. All ratios are single IEEE divisions on exact longs, so
+    * the oracle replays them bit-for-bit. */
+  def keySkewReport(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, "keySkewReport: topK must be >= 1")
+    val counts = graft.Caches.persist(
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt")))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"), max("cnt").as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        Cols.pround(col("cnt").cast("double") / col("total_rows"), 6).as("share"),
+        col("n_keys"), col("total_rows"), col("max_cnt"),
+        // max/mean as (max·n_keys)/total in ONE double op order
+        Cols.pround(
+          col("max_cnt").cast("double") * col("n_keys") / col("total_rows"), 4)
+          .as("skew_ratio"))
+  }
 
   /** Approximate per-group quantiles from a fixed equi-width histogram
     * (see the q19 gate comment for the scale argument vs exact

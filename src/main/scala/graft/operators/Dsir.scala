@@ -131,27 +131,68 @@ object Dsir {
       docs: DataFrame,
       textCol: String,
       isTarget: Column,
-      buckets: Int = 1024): DataFrame = {
-    val acc = DecimalType(30, 15)
+      buckets: Int = 1024): DataFrame =
+    docs.withColumn("nll_per_word",
+      nllColumn(logpTable(docs, textCol, isTarget, buckets), col(textCol)))
+
+  /** The smoothed per-bucket unigram log-probability table estimated
+    * from `docs`' TARGET subset (one compact aggregate; `buckets`
+    * doubles to the driver) — separated from the scoring pass, like
+    * [[llrTable]], so a pipeline can train on one frame (e.g. upstream
+    * survivors) and score another. Per-bucket logp pre-rounded to 8
+    * (ln bridging, as in dsirScore). */
+  def logpTable(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024): Array[Double] = {
     val counts = bucketCounts(docs, textCol, isTarget, n = 1, buckets)
       .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
     val tTot = counts.valuesIterator.sum
-    // per-bucket logp, pre-rounded (ln bridging, as in dsirScore)
-    val table = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       val x = math.log(counts.getOrElse(b, 0L) + 1.0) - math.log(tTot.toDouble + buckets)
       math.floor(x * 1e8 + 0.5) / 1e8
     }
-    val tableLit = array(table.toIndexedSeq.map(lit): _*)
-    docs.withColumn("nll_per_word",
-      Cols.bind(grams(col(textCol), 1)) { ws =>
-        when(size(ws) === 0, lit(0.0)).otherwise(
-          Cols.pround(
-            -aggregate(
-              transform(ws, w => element_at(tableLit, (bucketOf(w, buckets) + 1).cast("int")).cast(acc)),
-              lit(0).cast(acc), (a, x) => (a + x).cast(acc)).cast("double") / size(ws),
-            4))
-      })
   }
+
+  /** Per-word negative log-likelihood over a literal logp table —
+    * narrow, codegen-fused, 0.0 for wordless docs. */
+  def nllColumn(table: Array[Double], text: Column): Column = {
+    val acc = DecimalType(30, 15)
+    val buckets = table.length
+    val tableLit = array(table.toIndexedSeq.map(lit): _*)
+    Cols.bind(grams(text, 1)) { ws =>
+      when(size(ws) === 0, lit(0.0)).otherwise(
+        Cols.pround(
+          -aggregate(
+            transform(ws, w => element_at(tableLit, (bucketOf(w, buckets) + 1).cast("int")).cast(acc)),
+            lit(0).cast(acc), (a, x) => (a + x).cast(acc)).cast("double") / size(ws),
+          4))
+    }
+  }
+
+  /** The CCNet tercile thresholds (t1, t2) of `scored`'s
+    * `nll_per_word` over docs with at least one word — a broadcastable
+    * two-double summary from [[Analytics.histogramQuantiles]]'s two
+    * compact aggregates (never a corpus sort). */
+  def tierThresholds(
+      scored: DataFrame, textCol: String, bins: Int = 64): (Double, Double) = {
+    val row = Analytics.histogramQuantiles(
+        scored.filter(size(grams(col(textCol), 1)) > 0).withColumn("__g", lit(0)),
+        "nll_per_word", "__g", bins, qs = Seq(1.0 / 3, 2.0 / 3))
+      .agg(
+        max(when(col("q") < 0.5, col("est"))).as("ppl_t1"),
+        max(when(col("q") >= 0.5, col("est"))).as("ppl_t2"))
+      .head()
+    (row.getDouble(0), row.getDouble(1))
+  }
+
+  /** The head/middle/tail/empty tier label given the tercile cuts. */
+  def tierColumn(nll: Column, nWords: Column, t1: Double, t2: Double): Column =
+    when(nWords === 0, "empty")
+      .when(nll <= t1, "head")
+      .when(nll <= t2, "middle")
+      .otherwise("tail")
 
   /** CCNet head/middle/tail quality tiers (Wenzek et al. 2020 §4.3):
     * score every doc by [[perplexityScore]], estimate the corpus nll
@@ -172,22 +213,13 @@ object Dsir {
       isTarget: Column,
       buckets: Int = 1024,
       bins: Int = 64): DataFrame = {
-    val scored = graft.Caches.persist(
-      perplexityScore(docs, textCol, isTarget, buckets)
-        .withColumn("__nw", size(grams(col(textCol), 1))))
-    val th = Analytics.histogramQuantiles(
-        scored.filter(col("__nw") > 0).withColumn("__g", lit(0)),
-        "nll_per_word", "__g", bins, qs = Seq(1.0 / 3, 2.0 / 3))
-      .agg(
-        max(when(col("q") < 0.5, col("est"))).as("ppl_t1"),
-        max(when(col("q") >= 0.5, col("est"))).as("ppl_t2"))
-    scored.crossJoin(broadcast(th))
+    val scored = graft.Caches.persist(perplexityScore(docs, textCol, isTarget, buckets))
+    val (t1, t2) = tierThresholds(scored, textCol, bins)
+    scored
+      .withColumn("ppl_t1", lit(t1))
+      .withColumn("ppl_t2", lit(t2))
       .withColumn("tier",
-        when(col("__nw") === 0, "empty")
-          .when(col("nll_per_word") <= col("ppl_t1"), "head")
-          .when(col("nll_per_word") <= col("ppl_t2"), "middle")
-          .otherwise("tail"))
-      .drop("__nw")
+        tierColumn(col("nll_per_word"), size(grams(col(textCol), 1)), t1, t2))
   }
 
   // ---- gates ----

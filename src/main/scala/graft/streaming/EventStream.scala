@@ -37,6 +37,22 @@ object EventStream {
       .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup on an id column with BOUNDED state: state
+    * for an id is dropped once the watermark passes its event time, so
+    * a duplicate arriving within the watermark window is suppressed
+    * and the per-executor state store never grows with the stream —
+    * the streaming twin of the batch digest dedup (Dedup.exactDedup),
+    * matching at-least-once sources' redelivery window. On a batch
+    * frame this degrades to a plain dropDuplicates. */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else events.dropDuplicates(idCols)
+
   final case class Session(user_id: Long, session_nr: Long, n_events: Long)
   final case class EventRow(user_id: Long, tsMillis: Long)
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{FinewebConfig, FinewebPipeline}
+import graft.api.{FinewebConfig, FinewebPipeline, PplTierParams}
 import org.apache.spark.sql.functions._
 
 class FinewebPipelineSpec extends SparkSpec {
@@ -211,6 +211,30 @@ class FinewebPipelineSpec extends SparkSpec {
       if (reason.isEmpty)
         assert(!r.isNullAt(2) && r.getDouble(2) >= 0.0, "kept doc must meet the DSIR cut")
     }
+  }
+
+  test("ppl-tier stage keeps head+middle and matches ccnetTiers on the same corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val target = col("doc_id") % 9 === 0
+    val marked = FinewebPipeline.buildMarked(spark, docs,
+      FinewebConfig(pplTierFilter = Some(PplTierParams(target)), piiFormat = false))
+      .select("doc_id", "ppl_tier", "filter_reason")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    // with no upstream stages, the stage must reproduce ccnetTiers
+    val want = graft.operators.Dsir.ccnetTiers(docs, "text", target)
+      .select("doc_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Caches.releaseAll()
+    assert(marked.size == want.size)
+    for ((id, (tier, reason)) <- marked) {
+      assert(tier == want(id), s"doc $id: stage tier $tier != ccnetTiers ${want(id)}")
+      if (Set("head", "middle")(tier)) assert(reason.isEmpty, s"doc $id wrongly rejected")
+      else assert(reason.contains("ppl_tier"), s"doc $id tier=$tier must carry the reason")
+    }
+    // the split is non-degenerate on real data: some kept, some dropped
+    assert(marked.values.exists(_._2.isEmpty) && marked.values.exists(_._2.nonEmpty))
   }
 
   test("accent-fold and readability stages: guarded rewrite, NULL-score rejection") {

@@ -164,6 +164,24 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("streaming dedup drops redelivered ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+    val query = EventStream.dedupStream(df, Seq("event_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+    query.processAllAvailable()
+    // redelivery of id 1 within the watermark window must be dropped
+    input.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:03:00")))
+    query.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    query.stop()
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("cohort retention buckets by first-activity period") {
     import spark.implicits._
     // periodSeconds=86400 → daily cohorts. User 1 starts day 0, active
