@@ -202,6 +202,23 @@ object Analytics {
         .orderBy("l_returnflag", "q")
     },
 
+    // Power-of-two doc-length histogram: bucket = floor(log2(n)) via
+    // the BINARY-STRING length (length(bin(n)) - 1) — pure integer on
+    // both engines, dodging the non-correctly-rounded log2 entirely.
+    // The corpus length profile that sizes packing/chunking decisions.
+    Gate(
+      "rpt_length_hist",
+      """SELECT CAST(length(bin(n_chars)) - 1 AS INT) AS bucket,
+        |  count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("n_chars") >= 0)
+        .groupBy((length(bin(col("n_chars"))) - 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("bucket")
+    },
+
     // Key-skew pre-flight over the events' user_id (heavy per-user tie
     // runs exercise the deterministic (cnt desc, key asc) cut).
     Gate(

@@ -54,6 +54,40 @@ object Sketches {
           4).as("est_distinct"))
   }
 
+  /** One-pass table profile: for each requested column, its null
+    * count and KMV-estimated distinct count (exact when the column
+    * holds fewer than k distinct values), plus the row count — the
+    * "what does this 100 TB table look like" pre-flight that a
+    * per-column count(DISTINCT) sweep cannot afford. ONE aggregate
+    * job total: every column's null-counter and kmv buffer ride the
+    * same map-side partial pass, and the result reshapes driver-free
+    * to a row per column. NULLs hash to NULL and skip the sketch, so
+    * est_distinct counts non-null values (count(DISTINCT) semantics). */
+  def tableProfile(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "tableProfile: need at least one column")
+    require(k >= 2, "tableProfile: k must be >= 2")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
+        call_function("graft_kmv_mins", unitHash(col(c)), lit(k)).as(s"__mins_$c"))
+    }
+    def est(mins: Column): Column =
+      Cols.pround(
+        when(size(mins) < k, size(mins).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(mins, k)),
+        4)
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_null"),
+        est(col(s"__mins_$c")).as("est_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   // k=64 < the 150 distinct users per type at sf0.01, so the gate
   // exercises the (k-1)/u_k estimator, not the exact-small-set
   // fallback (SketchesSpec covers that branch); n_exact rides along
@@ -85,6 +119,37 @@ object Sketches {
           Seq("g"))
         .withColumnRenamed("g", "event_type")
         .orderBy("event_type")
+    },
+
+    // One-pass profile over mixed-cardinality columns: doc_id (large —
+    // estimator path), source/lang (small — exact path), n_chars
+    // (mid); string casts of BIGINTs print identically in both
+    // engines, so the hash chain replays.
+    Gate(
+      "rpt_table_profile", {
+        val k = 64
+        val pcols = Seq("doc_id", "lang", "n_chars", "source")
+        def u(c: String) =
+          s"CAST(CAST('0x'||substr(md5(CAST($c AS VARCHAR)),1,16) AS UBIGINT) " +
+            "AS DOUBLE) / 18446744073709551616.0"
+        val ctes = pcols.map { c =>
+          s"""h_$c AS (SELECT DISTINCT ${u(c)} AS uh FROM documents WHERE $c IS NOT NULL),
+             |e_$c AS (SELECT ${Cols.proundSql(
+            s"CASE WHEN max(nd) < $k THEN CAST(max(nd) AS DOUBLE) " +
+              s"ELSE ($k - 1.0) / max(CASE WHEN rn = $k THEN uh END) END", 4)} AS est
+             |  FROM (SELECT uh, row_number() OVER (ORDER BY uh) AS rn,
+             |        count(*) OVER () AS nd FROM h_$c))""".stripMargin
+        }.mkString(",\n")
+        val branches = pcols.map { c =>
+          s"""SELECT '$c' AS col_name, (SELECT count(*) FROM documents) AS n_rows,
+             |  (SELECT count(*) FROM documents WHERE $c IS NULL) AS n_null,
+             |  (SELECT est FROM e_$c) AS est_distinct""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $ctes\n$branches\nORDER BY col_name"
+      }) { (s, dir) =>
+      tableProfile(
+        Tables(s, dir, "documents"), Seq("doc_id", "lang", "n_chars", "source"), k = 64)
+        .orderBy("col_name")
     }
   )
 }

@@ -157,6 +157,23 @@ object EventStream {
     }.reduce(_ unionByName _).orderBy("step")
   }
 
+  /** Markov transition matrix over consecutive events per user — the
+    * behavioral-flow complement of [[funnel]] (which pattern counts
+    * one fixed path; this reports EVERY adjacent pair). One window
+    * pass keyed on user_id ordered by (ts, event_id) — the id
+    * tie-break makes same-instant events deterministic — then a
+    * compact (prev, next) count aggregate. Only (user_id, ts,
+    * event_id, type) enter the window shuffle. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention matrix: a user's cohort is the period (default
     * 7-day buckets from the epoch) of their FIRST activity; the cell
     * (cohort, offset) counts the cohort's distinct users still active
@@ -259,6 +276,18 @@ object EventStream {
         |ORDER BY step""".stripMargin) { (s, dir) =>
       funnel(Tables(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
+    },
+
+    Gate(
+      "q21_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS prev_type, next_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      eventTransitions(Tables(s, dir, "events"))
+        .orderBy("prev_type", "next_type")
     },
 
     // Weekly cohort retention: epoch-second integer bucketing on both

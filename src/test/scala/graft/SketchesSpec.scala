@@ -37,6 +37,21 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.36, s"est=$est")
   }
 
+  test("tableProfile counts nulls and estimates distincts per column in one pass") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")), (Some(2L), None),
+      (None, Some("a"))).toDF("id", "tag")
+    val p = Sketches.tableProfile(df, Seq("id", "tag"), k = 8)
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Double]("est_distinct"))).toMap
+    // small cardinalities take the exact path; nulls excluded from it
+    assert(p("id") == ((4L, 1L, 2.0)))
+    assert(p("tag") == ((4L, 1L, 2.0)))
+  }
+
   test("approxDistinct is deterministic under repartitioning") {
     import spark.implicits._
     graft.expr.GraftExtensions.register(spark)
