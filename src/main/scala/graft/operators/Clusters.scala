@@ -375,8 +375,9 @@ object Clusters {
     var auths = hubs
     for (_ <- 1 to iterations) {
       auths = halfStep(hubs, "src", "dst")
+      // truncating hubs bounds BOTH lineages: next round's auths (and
+      // the final auths read) sit one half-step above truncated hubs
       hubs = truncate(halfStep(auths, "dst", "src"))
-      auths = truncate(auths)
     }
     nodes
       .join(hubs.select(col("node"), col("s").as("hub")), Seq("node"))

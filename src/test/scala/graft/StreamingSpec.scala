@@ -164,6 +164,30 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("kmv sketch aggregates over streaming windows (bounded state per window)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val query = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function("graft_kmv_mins",
+        graft.operators.Sketches.unitHash(col("user_id")), lit(16)).as("mins"))
+      .select(date_format(col("w.start"), "HH").as("h"), size(col("mins")).as("nd"))
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("complete").start()
+    // hour 10: users {1,2,2,3} → 3 distinct; hour 11: {7} → 1
+    input.addData(
+      (ts("2024-01-01 10:01:00"), 1L), (ts("2024-01-01 10:02:00"), 2L),
+      (ts("2024-01-01 10:03:00"), 2L), (ts("2024-01-01 10:40:00"), 3L),
+      (ts("2024-01-01 11:05:00"), 7L))
+    query.processAllAvailable()
+    val rows = spark.table("kmv_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    query.stop()
+    assert(rows == Set(("10", 3), ("11", 1)))
+  }
+
   test("streaming dedup drops redelivered ids within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
