@@ -163,6 +163,87 @@ object Lines {
         "\n")
     }
 
+  /** Duplicated-span REMOVAL — the removal half of Lee et al. 2021's
+    * substring dedup (detection half: [[dupSpanStats]]). Policy is
+    * deterministic and doc-granular: every `w`-word window occurring
+    * in ≥ 2 distinct documents has a KEEPER (its min-id holder);
+    * every OTHER document drops the words covered by any hot window
+    * it doesn't own. The keeper keeps its full text; a document
+    * sharing no foreign window is untouched. Rewritten text re-joins
+    * surviving words with single spaces (run the rewrite before
+    * whitespace-sensitive stages, like any tokenizing formatter).
+    *
+    * Lee et al.'s public tool cuts each duplicated substring keeping
+    * one arbitrary occurrence, so its output depends on corpus scan
+    * order. The min-id-keeper policy removes the same cross-document
+    * spans but is a pure function of the corpus — re-runnable and
+    * oracle-checkable. Intra-document repeats are deliberately out of
+    * scope ([[dedupLinesWithinDoc]] owns those); a window repeated
+    * only within one document is not "hot" here.
+    *
+    * Scale: detection shuffles only (id, start, 16-byte digest)
+    * triples — window text reduces to md5 inside the scan stage. The
+    * keeper table aggregates on the digest; foreign spans reduce to
+    * compact (id, sorted int starts) rows that join back on the id —
+    * AQE broadcasts that side when small (the usual case: only docs
+    * that lost spans appear); worst case is an id-keyed hash join
+    * whose small side is ints. The rewrite itself is one narrow
+    * column expression (covered-position set from the starts, filter
+    * words by index), so document text still never crosses an
+    * exchange on the detection path. NULL-text rows pass through
+    * with 0 counts. */
+  def removeDupSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 10): DataFrame = {
+    require(w >= 2, s"removeDupSpans: window must be ≥ 2 words, got $w")
+    // lowercase fold for detection only (removal drops original-case
+    // words at the covered positions; [A-Za-z0-9]+ token boundaries
+    // are case-stable, so positions align between the two token runs)
+    val lowWindows = bind(TextAnalysis.words(lower(col(textCol)))) { lt =>
+      transform(
+        TextAnalysis.indices(size(lt) - (w - 1)),
+        i => md5(array_join(slice(lt, i, lit(w)), " ")))
+    }
+    val grams = graft.Caches.persist(
+      Dedup.spread(docs)
+        .select(col(idCol).as("__id"), posexplode(lowWindows))
+        .select(col("__id"), (col("pos") + 1).cast("int").as("s"), col("col").as("h")))
+    // hot = windows held by ≥ 2 distinct docs; keeper = min holder.
+    // Distinct (id, h) first so within-doc repeats count once toward
+    // the document frequency.
+    val keepers = grams.select("__id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"), min(col("__id")).as("keeper"))
+      .filter(col("df") >= 2)
+      .select("h", "keeper")
+    val spans = grams.join(keepers, Seq("h"))
+      .filter(col("__id") =!= col("keeper"))
+      .groupBy("__id").agg(sort_array(collect_list(col("s"))).as("__ss"))
+      .withColumnRenamed("__id", idCol)
+    val emptyInts = array().cast("array<int>")
+    val rewritten = bind(TextAnalysis.words(col(textCol))) { tk =>
+      bind(array_distinct(flatten(transform(
+        coalesce(col("__ss"), emptyInts), s => sequence(s, s + lit(w - 1)))))) { cv =>
+        bind(filter(tk, (t, i) => !array_contains(cv, i + 1))) { kept =>
+          struct(
+            size(tk).as("nw"),
+            (size(tk) - size(kept)).as("nr"),
+            concat_ws(" ", kept).as("txt"))
+        }
+      }
+    }
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__c",
+        when(col(textCol).isNull,
+          struct(lit(0).as("nw"), lit(0).as("nr"), col(textCol).as("txt")))
+          .otherwise(rewritten))
+      .withColumn(textCol, col("__c.txt"))
+      .withColumn("n_words", col("__c.nw"))
+      .withColumn("n_words_removed", col("__c.nr"))
+      .drop("__c", "__ss")
+  }
+
   // ---- gates ----
 
   // The synthetic docs are single-line word soup, so the gate builds a
@@ -286,6 +367,43 @@ object Lines {
            |FROM g LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       dupSpanStats(Dedup.plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", w = 10)
+        .orderBy("doc_id")
+    },
+
+    // Removal gate: the planted truncation replicas (doc_id + 1000000)
+    // share nearly every 10-word window with their lower-id source, so
+    // the source keeps its text and the replica is gutted down to the
+    // words no shared window covers; untouched docs pass byte-identical
+    // (cleaned_md5 = md5 of the space-rejoined original words).
+    Gate(
+      "fmt_remove_dup_spans", {
+        s"""WITH all_docs AS (${Dedup.SqlPlantedTruncated}),
+           |t AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS tk,
+           |             regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}') AS lt
+           |      FROM all_docs),
+           |g AS (SELECT doc_id,
+           |    unnest([{'s': i, 'h': md5(array_to_string(lt[i:i+9], ' '))}
+           |            FOR i IN range(1, greatest(len(lt) - 9, 0) + 1)], recursive := true)
+           |  FROM t),
+           |k AS (SELECT h, min(doc_id) AS keeper
+           |      FROM (SELECT DISTINCT doc_id, h FROM g)
+           |      GROUP BY h HAVING count(*) >= 2),
+           |f AS (SELECT g.doc_id, g.s FROM g JOIN k USING (h) WHERE g.doc_id <> k.keeper),
+           |ss AS (SELECT doc_id, list(s) AS ss FROM f GROUP BY doc_id),
+           |c AS (SELECT t.doc_id, tk,
+           |    list_distinct(flatten([range(s, s + 10) FOR s IN coalesce(ss.ss, [])])) AS cv
+           |  FROM t LEFT JOIN ss USING (doc_id)),
+           |r AS (SELECT doc_id, len(tk) AS n_words,
+           |    [tk[i] FOR i IN range(1, len(tk) + 1) IF NOT list_contains(cv, i)] AS kept
+           |  FROM c)
+           |SELECT doc_id, n_words, CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+           |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      removeDupSpans(Dedup.plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", w = 10)
+        .select(col("doc_id"), col("n_words"),
+          col("n_words_removed").cast("long").as("n_removed"),
+          md5(col("text")).as("cleaned_md5"))
         .orderBy("doc_id")
     }
   )

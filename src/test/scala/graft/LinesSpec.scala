@@ -103,4 +103,27 @@ class LinesSpec extends SparkSpec {
     assert(out(4L) == ((0, 0L)))
     Caches.releaseAll()
   }
+
+  test("removeDupSpans: min-id keeper keeps text, foreign docs drop covered words") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // keeper of the windows it shares with 2 and 6
+      (2L, "x y a b c d z"), // shares "a b c", "b c d" → positions 3..6 covered
+      (3L, "p q r"), // unique → untouched
+      (4L, null.asInstanceOf[String]),
+      (5L, "m n"), // < w words → no windows, untouched
+      (6L, "A B C d q1 q2"), // case-folded detection, original-case removal
+      (7L, "r s t r s t u")) // within-doc repeat only → not hot
+      .toDF("doc_id", "text")
+    val out = Lines.removeDupSpans(docs, "text", "doc_id", w = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("text")), r.getAs[Int]("n_words"), r.getAs[Int]("n_words_removed")))).toMap
+    assert(out(1L) == ((Some("a b c d e f"), 6, 0)))
+    assert(out(2L) == ((Some("x y z"), 7, 4)))
+    assert(out(3L) == ((Some("p q r"), 3, 0)))
+    assert(out(4L) == ((None, 0, 0)))
+    assert(out(5L) == ((Some("m n"), 2, 0)))
+    assert(out(6L) == ((Some("q1 q2"), 6, 4)))
+    assert(out(7L) == ((Some("r s t r s t u"), 7, 0)))
+    Caches.releaseAll()
+  }
 }

@@ -201,6 +201,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("removeDupSpans detection path is digest-only; text may cross only the id join-back") {
+    // window digests, the keeper aggregate, and the per-doc span list
+    // all shuffle compact columns; the ONLY exchange allowed to carry
+    // text is the doc side of the final id-keyed join (hash on the id
+    // — AQE broadcasts the span side instead when it's small)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+      val out = graft.operators.Lines.removeDupSpans(docs, "text", "doc_id", w = 10)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, "expected exchanges")
+      val withText = exchanges.filter(_.output.exists(_.name == "text"))
+      assert(withText.size <= 1,
+        s"detection path leaked text into ${withText.size} exchanges")
+      for (e <- withText)
+        assert(e.outputPartitioning.toString.contains("doc_id"),
+          s"text exchange is not the id join-back: ${e.simpleStringWithNodeId()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("fw_full_recipe pre-split chain is one narrow pass — zero exchanges, no UDF") {
     // the whole C4-clean → line-dedup → Gopher → DSIR-score marked
     // frame must be a single narrow pass over ONE scan: the DSIR
