@@ -91,6 +91,39 @@ object DocSource {
   def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
 
+  /** CSV sink — header + quote-all + backslash-free escaping (the
+    * quote char doubles), so embedded commas, quotes and newlines
+    * survive the round trip. Gzip per part-file; splits are per-file
+    * like the reference's per-task shards. */
+  def writeCsv(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .option("compression", compression)
+      .csv(path)
+
+  /** CSV source with an EXPLICIT schema (never inferSchema — a
+    * schema-inference pass over 100 TB is a full extra scan, and
+    * inference is sample-dependent). `multiLine` honors quoted
+    * newlines; the escape char matches [[writeCsv]]. */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      adapter: Adapter): DataFrame =
+    adapter(
+      spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(path))
+
+  /** ORC sink/source — the other columnar format big pipelines
+    * inherit from Hive-era lakes; zstd like the parquet sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
   /** Scratch root for sink/source gate round-trip files (per-SF
     * subdirs via [[gateScratch]]; the oracles never read these). */
   val GateTmpDir = "/tmp/graft_gates"
@@ -150,6 +183,46 @@ object DocSource {
         Tables(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
         path, maxFileBytes = 64 * 1024)
       s.read.parquet(path)
+        .select(col("id"), md5(col("text")).as("text_md5"))
+        .orderBy("id")
+    },
+
+    // CSV round-trip: gzip quote-all CSV written by graft, read back
+    // with an explicit schema through the adapter — escaping (the text
+    // column is free-form), header handling and typed reads must
+    // survive bit-exactly. Oracle reads only `documents` (see
+    // src_jsonl on scratch-file races).
+    Gate(
+      "src_csv",
+      """SELECT doc_id AS id, text, lang AS meta_lang
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = gateScratch(dir, "src_csv")
+      writeCsv(
+        Tables(s, dir, "documents").select("doc_id", "text", "lang"), path)
+      csv(s, path,
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType))),
+        Adapter(
+          textCol = col("text"),
+          idCol = col("doc_id"),
+          metadata = Seq("meta_lang" -> col("lang"))))
+        .orderBy("id")
+    },
+
+    // ORC round-trip: zstd ORC written and read back must hash-match
+    // the source rows, mirroring snk_parquet for the other columnar
+    // lake format.
+    Gate(
+      "snk_orc",
+      """SELECT doc_id AS id, md5(text) AS text_md5
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_orc")
+      writeOrc(
+        Tables(s, dir, "documents").select(col("doc_id").as("id"), col("text")), path)
+      s.read.orc(path)
         .select(col("id"), md5(col("text")).as("text_md5"))
         .orderBy("id")
     }

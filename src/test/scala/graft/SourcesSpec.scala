@@ -19,6 +19,44 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq((7L, "hello world", "en"), (9L, "zweite zeile", "de")))
   }
 
+  test("csv round-trip survives commas, quotes, embedded newlines and NULLs") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-csv").toString + "/docs"
+    val docs = Seq(
+      (1L, "plain words only", "en"),
+      (2L, "comma, separated, values", "en"),
+      (3L, "a \"quoted\" phrase", "de"),
+      (4L, "first line\nsecond line", "fr"),
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    DocSource.writeCsv(docs, out)
+    val back = DocSource.csv(spark, out,
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType))),
+      Adapter(col("text"), col("doc_id"), Seq("meta_lang" -> col("lang"))))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(back.toSeq == Seq(
+      (1L, Some("plain words only"), Some("en")),
+      (2L, Some("comma, separated, values"), Some("en")),
+      (3L, Some("a \"quoted\" phrase"), Some("de")),
+      (4L, Some("first line\nsecond line"), Some("fr")),
+      (5L, None, None)))
+  }
+
+  test("orc sink round-trips typed rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-orc").toString + "/docs"
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    DocSource.writeOrc(docs, out)
+    val back = spark.read.orc(out).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "alpha"), (2L, "beta")))
+  }
+
   test("parquet sink writes zstd files bounded by maxRecordsPerFile and round-trips") {
     val out = Files.createTempDirectory("graft-sink").toString + "/docs"
     val docs = Tables(spark, sfDir, "documents")
