@@ -647,6 +647,68 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       simhashPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Disjoint-vocab sources score 0; every source overlaps itself is
+    // excluded by the src_a < src_b pair frame. The oracle counts the
+    // distinct shingle STRINGS the digests stand for — parity rests on
+    // xxhash64 collision-freedom over the corpus shingle vocabulary
+    // (64-bit digests; like op_link_graph's resolve join).
+    Gate(
+      "rpt_source_overlap", {
+        s"""WITH e AS (SELECT source AS src, unnest($SqlShingles) AS g FROM documents),
+           |sh AS (SELECT DISTINCT src, g FROM e),
+           |sz AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+           |iv AS (SELECT a.src AS sa, b.src AS sb, count(*) AS c
+           |       FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2),
+           |p AS (SELECT a.src AS source_a, b.src AS source_b, a.n AS n_a, b.n AS n_b
+           |      FROM sz a JOIN sz b ON a.src < b.src)
+           |SELECT source_a, source_b, n_a, n_b, coalesce(iv.c, 0) AS n_common,
+           |  CAST(coalesce(iv.c, 0) AS DOUBLE) / (n_a + n_b - coalesce(iv.c, 0)) AS jaccard
+           |FROM p LEFT JOIN iv ON p.source_a = iv.sa AND p.source_b = iv.sb
+           |ORDER BY source_a, source_b""".stripMargin
+      }) { (s, dir) =>
+      sourceOverlap(Tables(s, dir, "documents"), "text", "source")
+        .orderBy("source_a", "source_b")
     }
   )
+
+  /** Pairwise shingle-vocabulary overlap between corpus SOURCES —
+    * the cross-corpus contamination diagnostic ("how much of source
+    * B's content is already in A?") run before mixing corpora.
+    * Exact Jaccard over each source's DISTINCT k-word shingle set.
+    *
+    * Scale: shingles reduce to 8-byte xxhash64 digests inside the
+    * scan; the shuffles are the (source, digest) distinct and the
+    * digest self-join, whose per-digest fan-out is bounded by the
+    * number of SOURCES squared (not documents) — so the exact join is
+    * scale-safe and no minhash estimate is needed. The pair matrix
+    * derives from the tiny per-source size table. Output:
+    * (source_a, source_b, n_a, n_b, n_common, jaccard) for every
+    * source pair (a < b), zero-overlap pairs included. */
+  def sourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = graft.Caches.persist(
+      spread(docs)
+        .select(col(sourceCol).as("src"), explode(shingles(col(textCol), k)).as("g"))
+        .select(col("src"), xxhash64(col("g")).as("h"))
+        .distinct())
+    val sizes = graft.Caches.persist(sh.groupBy("src").agg(count(lit(1)).as("n")))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = sizes.as("x").join(sizes.as("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("source_a"), col("y.src").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    pairs.join(inter,
+        pairs("source_a") === inter("sa") && pairs("source_b") === inter("sb"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("c"), lit(0L)).as("n_common"),
+        (coalesce(col("c"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("c"), lit(0L)))).as("jaccard"))
+  }
 }

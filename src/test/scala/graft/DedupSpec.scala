@@ -98,4 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L))
     Caches.releaseAll()
   }
+
+  test("sourceOverlap computes exact pairwise shingle Jaccard, zero pairs included") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1: shingles {a b c, b c d, c d e}; s2 shares {a b c, b c d}
+      ("s1", "a b c d e"),
+      ("s2", "a b c d x"),
+      // s3: fully disjoint vocabulary
+      ("s3", "zz yy xx ww"),
+      // second doc of s1 repeating its shingles — distinct per source
+      ("s1", "a b c d e")).toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(out(("s1", "s2")) == ((3L, 3L, 2L, 0.5)))
+    assert(out(("s1", "s3")) == ((3L, 2L, 0L, 0.0)))
+    assert(out(("s2", "s3")) == ((3L, 2L, 0L, 0.0)))
+    Caches.releaseAll()
+  }
 }
