@@ -384,6 +384,90 @@ object Clusters {
       .join(auths.select(col("node"), col("s").as("auth")), Seq("node"))
   }
 
+  /** Community detection by label propagation (Raghavan et al. 2007)
+    * over an UNDIRECTED simple graph — the soft-clustering complement
+    * of [[connectedComponents]]: CC merges everything reachable, LPA
+    * finds densely-connected regions inside one component (near-dup
+    * "families" in a link or similarity graph).
+    *
+    * Determinism contract (classic LPA is run-order random; every
+    * choice here is pinned): synchronous updates, a FIXED iteration
+    * count, initial label = node id, new label = the neighbor label
+    * with the highest count, ties broken toward the SMALLEST label.
+    * Multi-edges collapse (simple graph) and self-loops drop, so a
+    * neighbor's label counts once. The result is a pure function of
+    * the edge set — oracle-replayable, and integer-only (no float
+    * parity surface at all).
+    *
+    * Scale shape: per iteration one equi-join of the label frame
+    * against the (long, long) undirected edge list + two map-side-
+    * combined aggregates (label counts, then the argmax as ONE
+    * max-of-struct — (count, -label) lexicographic max = most-frequent
+    * then smallest, no per-node window sort). Lineage truncated per
+    * round (see pageRank's localCheckpoint note). */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val und = graft.Caches.persist(
+      e0.union(e0.select(col("dst"), col("src")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    val nodes = graft.Caches.persist(und.select(col("src").as("node")).distinct())
+    require(nodes.count() > 0, "labelPropagation: no non-loop edges")
+
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to iterations) {
+      // every node in `nodes` is an endpoint of ≥ 1 non-loop edge, so
+      // the inner join is node-complete — no left-join fallback needed
+      val next = und
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+      labels = truncate(next)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
+  // Label-propagation twin: pentagon-ring communities over dense row
+  // numbers (each group of 5 nodes forms a 5-cycle; every 25th node
+  // bridges to the next pentagon), iterations unrolled as
+  // count-then-rank CTEs with the same (count DESC, label ASC)
+  // tie-break the operator's max-of-struct encodes.
+  private def lpaSqlTwin(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""l$k AS (SELECT src AS node, lbl FROM (
+         |  SELECT u.src, p.lbl, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, p.lbl ASC) AS rk
+         |  FROM und u JOIN l${k - 1} p ON u.dst = p.node
+         |  GROUP BY u.src, p.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |e0 AS (SELECT rn AS src, (rn - (rn % 5)) + ((rn % 5) + 1) % 5 AS dst FROM ids
+       |       WHERE (rn - (rn % 5)) + ((rn % 5) + 1) % 5 < (SELECT n FROM nn)
+       |       UNION ALL
+       |       SELECT rn, (rn + 5) % (SELECT n FROM nn) FROM ids WHERE rn % 25 = 0),
+       |und AS (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+       |        WHERE src <> dst),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+       |$iters
+       |SELECT node, lbl AS label FROM l$iterations ORDER BY node""".stripMargin
+  }
+
   // Unrolled HITS twin over the same modular synthetic graph as the
   // pagerank gate: each half-step is a raw-sum CTE, a node-complete
   // frame, a one-row L2 norm, and the normalized scores — the exact
@@ -501,6 +585,21 @@ object Clusters {
         .select(col("node"),
           graft.Cols.pround(col("hub"), 8).as("hub"),
           graft.Cols.pround(col("auth"), 8).as("auth"))
+        .orderBy("node")
+    },
+
+    Gate(
+      "op_communities", lpaSqlTwin(3)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(
+        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("rn"))
+      val n = ids.count()
+      val pent = (col("rn") - (col("rn") % 5)) + ((col("rn") % 5) + 1) % 5
+      val e = ids.select(col("rn").as("src"), pent.as("dst")).filter(col("dst") < n)
+        .union(ids.filter(col("rn") % 25 === 0)
+          .select(col("rn"), (col("rn") + 5) % n))
+      labelPropagation(e, "src", "dst", iterations = 3)
         .orderBy("node")
     },
 

@@ -127,4 +127,38 @@ class ClustersSpec extends SparkSpec {
     assert(kept == all -- dropped)
     Caches.releaseAll()
   }
+
+  test("labelPropagation separates two triangles across a bridge; CC would merge them") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // triangle A
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle B
+      (3L, 10L), // bridge
+      (1L, 1L)) // self-loop must drop
+      .toDF("a", "b")
+    val out = Clusters.labelPropagation(edges, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component (CC gives a single rep), but LPA keeps the two
+    // dense triangles as distinct label groups
+    assert(Seq(1L, 2L, 3L).map(out).toSet.size == 1)
+    assert(Seq(10L, 11L, 12L).map(out).toSet.size == 1)
+    assert(out(1L) != out(10L))
+    Caches.releaseAll()
+  }
+
+  test("labelPropagation collapses multi-edges: a repeated edge counts once") {
+    import spark.implicits._
+    // node 4's neighbors: 1 (edge repeated 3×) and 2,3 (once each).
+    // With multiplicity, label 1 would win; as a simple graph the
+    // count is 1 each and the smallest label (1) wins anyway — so pin
+    // the tie-break via node 5 whose repeated edge targets the LARGER
+    // neighbor: simple-graph semantics must pick 2, multiplicity 6.
+    val edges = Seq(
+      (5L, 6L), (5L, 6L), (5L, 6L), (5L, 2L))
+      .toDF("a", "b")
+    val out = Clusters.labelPropagation(edges, "a", "b", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) == 2L) // not 6: the tripled edge counts once
+    Caches.releaseAll()
+  }
 }
