@@ -171,6 +171,108 @@ object Dsir {
     }
   }
 
+  /** Stupid Backoff bigram LM scoring (Brants et al. 2007 — the
+    * smoothing-free backoff built for web-scale counts): score each
+    * word by its bigram frequency under the TARGET subset's LM,
+    * backing off to α·unigram (α = 0.4) when the bigram is unseen.
+    * A hashed-bucket LM like [[perplexityScore]]'s unigram one, but
+    * context-aware — repeated-word gibberish that fools a unigram LM
+    * scores badly here, because its BIGRAMS are rare in the target.
+    *
+    *   S(wᵢ|wᵢ₋₁) = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁)        if both counts > 0
+    *              = 0.4 · (c(wᵢ)+1)/(N+B₁)     otherwise
+    *   (the first word of a doc scores by the unigram path alone)
+    *
+    * Adds `sbo_nll` = mean −ln S per word (0 for wordless docs).
+    *
+    * Scale shape: training is TWO compact bucket-count aggregates
+    * (unigram + bigram, map-side combined, ≤ b1/b2 output rows);
+    * scoring ships five bounded literal arrays (counts + pre-rounded
+    * ln tables) and runs as one narrow codegen pass — no shuffle, no
+    * UDF, text never leaves the scan stage.
+    *
+    * Portability: every ln is pre-rounded to 8 decimals on the driver
+    * (the one non-correctly-rounded op); per-position nll values are
+    * exact IEEE sums/differences of those rounded constants, per-doc
+    * accumulation is DECIMAL(30,15), and the α constant embeds as the
+    * same rounded literal in both engines. */
+  def stupidBackoffScore(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      b1: Int = 1024,
+      b2: Int = 2048): DataFrame = {
+    val (c1, c2, n) = backoffTables(docs, textCol, isTarget, b1, b2)
+    docs.withColumn("sbo_nll", sboNllColumn(c1, c2, n, col(textCol)))
+  }
+
+  /** Target-subset unigram and bigram hashed-bucket counts + total
+    * target word count — the [[stupidBackoffScore]] model state,
+    * separated so pipelines can train on one frame and score
+    * another. */
+  def backoffTables(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      b1: Int = 1024,
+      b2: Int = 2048): (Array[Long], Array[Long], Long) = {
+    def targetCounts(n: Int, buckets: Int): Array[Long] = {
+      val m = bucketCounts(docs, textCol, isTarget, n, buckets)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+      Array.tabulate(buckets)(b => m.getOrElse(b, 0L))
+    }
+    val c1 = targetCounts(1, b1)
+    val c2 = targetCounts(2, b2)
+    (c1, c2, c1.sum)
+  }
+
+  /** ln(0.4) pre-rounded to 8 decimals — the Stupid Backoff α in nll
+    * space, identical in both engines as a decimal literal. */
+  val LnAlpha: Double = math.floor(math.log(0.4) * 1e8 + 0.5) / 1e8
+
+  private def pr8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+
+  /** The narrow Stupid Backoff scoring column over literal model
+    * tables — see [[stupidBackoffScore]] for semantics. */
+  def sboNllColumn(
+      c1: Array[Long], c2: Array[Long], n: Long, text: Column): Column = {
+    val acc = DecimalType(30, 15)
+    val b1 = c1.length
+    val b2 = c2.length
+    val c1Lit = array(c1.toIndexedSeq.map(lit): _*)
+    val c2Lit = array(c2.toIndexedSeq.map(lit): _*)
+    // pre-rounded ln tables; the 0-count slots are never read (the
+    // count test guards the lookup), 0.0 placeholders keep them dense
+    val l1Lit = array(c1.toIndexedSeq.map(c => lit(if (c > 0) pr8(math.log(c.toDouble)) else 0.0)): _*)
+    val l2Lit = array(c2.toIndexedSeq.map(c => lit(if (c > 0) pr8(math.log(c.toDouble)) else 0.0)): _*)
+    val lnuLit = array(c1.toIndexedSeq.map(c =>
+      lit(pr8(math.log(c + 1.0) - math.log(n.toDouble + b1)))): _*)
+    def at(tbl: Column, bucket: Column): Column =
+      element_at(tbl, (bucket + 1).cast("int"))
+    Cols.bind(grams(text, 1)) { ws =>
+      when(size(ws) === 0, lit(0.0)).otherwise(
+        Cols.pround(
+          aggregate(
+            transform(TextAnalysis.indices(size(ws)), i =>
+              Cols.bind(element_at(ws, i)) { w =>
+                Cols.bind(at(lnuLit, bucketOf(w, b1))) { lnu =>
+                  when(i === 1, -lnu).otherwise(
+                    Cols.bind(element_at(ws, i - 1)) { ctx =>
+                      Cols.bind(bucketOf(concat(ctx, lit(" "), w), b2)) { bb =>
+                        Cols.bind(bucketOf(ctx, b1)) { cb =>
+                          when(at(c2Lit, bb) > 0 && at(c1Lit, cb) > 0,
+                            -(at(l2Lit, bb) - at(l1Lit, cb)))
+                            .otherwise(-(lit(LnAlpha) + lnu))
+                        }
+                      }
+                    })
+                }
+              }),
+            lit(0).cast(acc), (a, x) => (a + x.cast(acc)).cast(acc)).cast("double") / size(ws),
+          4))
+    }
+  }
+
   /** The CCNet tercile thresholds (t1, t2) of `scored`'s
     * `nll_per_word` over docs with at least one word — a broadcastable
     * two-double summary from [[Analytics.histogramQuantiles]]'s two
@@ -262,6 +364,54 @@ object Dsir {
           size(grams(col("text"), 2)).as("n_grams"),
           (col("doc_id") % 9 === 0).as("is_target"),
           col("dsir_score"))
+        .orderBy("doc_id")
+    },
+
+    // Stupid Backoff gate: unigram + bigram tables trained on the %9
+    // target subset; the oracle rebuilds both hashed-bucket tables and
+    // replays the per-position backoff CASE. Each ln is pround-8 at
+    // the same granularity the Scala tables round (bigram-path lns
+    // separately, the unigram logp as one difference), so every
+    // position's nll is an exact IEEE combination of identically
+    // rounded constants.
+    Gate(
+      "txt_stupid_backoff", {
+        val B1 = 1024
+        val B2 = 2048
+        def h32(g: String) = s"CAST(CAST('0x'||substr(md5($g),1,8) AS UBIGINT) AS BIGINT)"
+        val lnu = Cols.proundSql(s"ln(coalesce(uw.c, 0) + 1.0) - ln(n + $B1.0)", 8)
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+           |           FROM documents),
+           |pos AS (SELECT doc_id,
+           |    unnest([{'i': i, 'w': toks[i],
+           |             'ctx': CASE WHEN i > 1 THEN toks[i-1] END}
+           |            FOR i IN range(1, len(toks) + 1)], recursive := true)
+           |  FROM t),
+           |u AS (SELECT ${h32("w")} % $B1 AS b, count(*) AS c
+           |      FROM pos WHERE doc_id % 9 = 0 GROUP BY 1),
+           |bg AS (SELECT ${h32("ctx || ' ' || w")} % $B2 AS b, count(*) AS c
+           |       FROM pos WHERE doc_id % 9 = 0 AND ctx IS NOT NULL GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM pos WHERE doc_id % 9 = 0),
+           |sc AS (SELECT p.doc_id,
+           |    CASE WHEN p.ctx IS NULL THEN -($lnu)
+           |         WHEN coalesce(b2.c, 0) > 0 AND coalesce(uc.c, 0) > 0
+           |           THEN -(${Cols.proundSql("ln(b2.c)", 8)} - ${Cols.proundSql("ln(uc.c)", 8)})
+           |         ELSE -($LnAlpha + ($lnu)) END AS nll
+           |  FROM pos p CROSS JOIN nn
+           |  LEFT JOIN u uw ON uw.b = ${h32("p.w")} % $B1
+           |  LEFT JOIN u uc ON p.ctx IS NOT NULL AND uc.b = ${h32("p.ctx")} % $B1
+           |  LEFT JOIN bg b2 ON p.ctx IS NOT NULL AND b2.b = ${h32("p.ctx || ' ' || p.w")} % $B2),
+           |agg AS (SELECT doc_id,
+           |    CAST(sum(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s2, count(*) AS nw
+           |  FROM sc GROUP BY doc_id)
+           |SELECT t.doc_id, len(toks) AS n_words,
+           |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE ${Cols.proundSql("s2 / nw", 4)} END AS sbo_nll
+           |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
+      }) { (s, dir) =>
+      stupidBackoffScore(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          size(grams(col("text"), 1)).as("n_words"),
+          col("sbo_nll"))
         .orderBy("doc_id")
     },
 

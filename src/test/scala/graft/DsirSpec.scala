@@ -50,4 +50,51 @@ class DsirSpec extends SparkSpec {
     assert(counts.getLong(0) == 4L) // 3 bigrams doc1 + 1 doc2
     assert(counts.getLong(1) == 3L)
   }
+
+  test("stupid backoff is word-ORDER aware where the unigram LM is blind") {
+    // target corpus repeats one fixed phrase; the probe docs share the
+    // exact same bag of words, so the unigram nll is identical — only
+    // the bigram model can tell fluent order from scrambled
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, phrase, true), (2L, phrase, true), (3L, phrase, true),
+      (10L, phrase, false), // in-order probe
+      (11L, "dog the lazy over jumps fox brown quick the", false), // scrambled
+      (12L, "", false),
+      (13L, null.asInstanceOf[String], false)).toDF("doc_id", "text", "tgt")
+    val sbo = Dsir.stupidBackoffScore(docs, "text", col("tgt"))
+      .select("doc_id", "sbo_nll").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val uni = Dsir.perplexityScore(docs, "text", col("tgt"))
+      .select("doc_id", "nll_per_word").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(uni(10L) == uni(11L), "unigram LM must not distinguish the scramble")
+    assert(sbo(10L) < sbo(11L),
+      s"backoff must prefer fluent order: ${sbo(10L)} vs ${sbo(11L)}")
+    assert(sbo(12L) == 0.0 && sbo(13L) == 0.0)
+  }
+
+  test("stupid backoff backs off exactly when the bigram is unseen") {
+    // target = "a b" only: bigram (a,b) seen; probe "b a" must take the
+    // α-unigram path for its (b,a) bigram. With B1/B2 defaults and two
+    // distinct words, bucket collisions are effectively impossible.
+    val docs = Seq(
+      (1L, "a b", true),
+      (10L, "a b", false),
+      (11L, "b a", false)).toDF("doc_id", "text", "tgt")
+    val (c1, c2, n) = Dsir.backoffTables(docs, "text", col("tgt"))
+    assert(n == 2L)
+    val sbo = Dsir.stupidBackoffScore(docs, "text", col("tgt"))
+      .select("doc_id", "sbo_nll").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // position 1 scores identically (same unigram marginals for a/b);
+    // the seen bigram path beats α·unigram for position 2
+    assert(sbo(10L) < sbo(11L))
+    // replay the exact expected values: seen path −(ln c2 − ln c1) = 0;
+    // backoff path −(ln 0.4 + ln((1+1)/(2+1024)))
+    def pr8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    def pr4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val lnuA = pr8(math.log(2.0) - math.log(2.0 + 1024)) // c(a)=1 → ln(1+1)
+    val seen = pr4((-lnuA + -(pr8(math.log(1.0)) - pr8(math.log(1.0)))) / 2.0)
+    val backoff = pr4((-lnuA + -(Dsir.LnAlpha + lnuA)) / 2.0)
+    assert(math.abs(sbo(10L) - seen) < 1e-9, s"${sbo(10L)} vs $seen")
+    assert(math.abs(sbo(11L) - backoff) < 1e-9, s"${sbo(11L)} vs $backoff")
+  }
 }
