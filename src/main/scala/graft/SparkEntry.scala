@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Joins.gates ++
       operators.Layout.gates ++
       operators.Annotators.gates ++
+      ml.Calibration.gates ++
       sources.DocSource.gates ++
       tokens.Tokens.gates ++
       tokens.MegatronBinWriter.gates ++

@@ -1,0 +1,114 @@
+package graft.ml
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier calibration: the threshold-sweep report behind picking
+  * a filter cutoff. The reference estimates a single threshold from a
+  * top-p quantile (embeddings_filter.py's
+  * `estimate_classifier_threshold`); this is the full curve that
+  * decision rests on — per score bin, how many docs land there, how
+  * many are true positives, and the precision/recall you'd get by
+  * keeping everything AT OR ABOVE the bin (sweeping the threshold
+  * from 1.0 down to 0.0).
+  *
+  * Scale shape: ONE map-side-combined aggregate reduces the corpus to
+  * ≤ `bins` rows ((bin, n, n_pos) — the exchange carries int bins);
+  * the cumulative sweep is a window over that ≤-bins-row frame, so
+  * the single-partition window Spark warns about holds `bins` rows,
+  * not the corpus. Empty bins appear with zero counts (the report
+  * always has exactly `bins` rows).
+  *
+  * Portability: scores are binned by floor(score·bins) clamped to
+  * [0, bins-1] — identical IEEE arithmetic in both engines — and
+  * precision/recall are single double divisions of exact longs.
+  */
+object Calibration {
+
+  /** Sweep report for a score column in [0,1] against a boolean
+    * label. Scores outside [0,1] clamp into the end bins. Returns
+    * (bin, threshold, n, n_pos, cum_n, cum_pos, prec, rec) with
+    * cum_* counting rows scoring in bin ≥ this one; prec/rec are 0.0
+    * (never NULL) for empty tails / positive-free corpora. */
+  def thresholdSweep(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"thresholdSweep: need ≥ 2 bins, got $bins")
+    val bin = least(greatest(floor(col(scoreCol) * bins).cast("int"), lit(0)), lit(bins - 1))
+    val perBin = df
+      .select(bin.as("bin"), col(labelCol).cast("boolean").as("__lab"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"))
+    val allBins = df.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+    val full = allBins.join(perBin, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+    val fromTop = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    full.select(col("bin"),
+        (col("bin").cast("double") / bins).as("threshold"),
+        col("n"), col("n_pos"),
+        sum("n").over(fromTop).as("cum_n"),
+        sum("n_pos").over(fromTop).as("cum_pos"),
+        sum("n_pos").over(whole).as("__tot"))
+      .select(col("bin"), col("threshold"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        when(col("cum_n") === 0, 0.0)
+          .otherwise(col("cum_pos").cast("double") / col("cum_n")).as("prec"),
+        when(col("__tot") === 0, 0.0)
+          .otherwise(col("cum_pos").cast("double") / col("__tot")).as("rec"))
+  }
+
+  // Calibration gate: sweep the composite quality score against a
+  // "long document" label (n_words ≥ 30) — partially correlated
+  // through the score's length term, so the curve is non-degenerate.
+  // The oracle rebuilds the quality score with the txt_quality
+  // recipe, bins with the identical floor/clamp arithmetic, and runs
+  // the same descending cumulative window over the 10-row frame.
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "rpt_calibration", {
+        import graft.operators.TextAnalysis.{sqlMarkerHits, LangMarkers, SqlWords, SqlWordsLower}
+        val en = LangMarkers.head._2
+        val qualityExpr = "0.4*least(n_words/50.0, 1.0) + 0.3*(1.0-sr) + 0.3*least(awl/5.0, 1.0)"
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    len($SqlWords) AS n_words,
+           |    CASE WHEN len($SqlWords) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform($SqlWords, t -> length(t))) AS DOUBLE) / len($SqlWords) END AS awl,
+           |    CASE WHEN len($SqlWordsLower) = 0 THEN 0.0
+           |         ELSE CAST(${sqlMarkerHits(SqlWordsLower, en)} AS DOUBLE) / len($SqlWordsLower) END AS sr
+           |  FROM documents),
+           |q AS (SELECT ${Cols.proundSql(qualityExpr, 4)} AS q, n_words >= 30 AS lab FROM t),
+           |b AS (SELECT least(greatest(CAST(floor(q * 10) AS INT), 0), 9) AS bin, lab FROM q),
+           |c AS (SELECT bin, count(*) AS n,
+           |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np FROM b GROUP BY bin),
+           |ab AS (SELECT unnest(range(0, 10)) AS bin),
+           |f AS (SELECT ab.bin, coalesce(c.n, 0) AS n, coalesce(c.np, 0) AS n_pos
+           |      FROM ab LEFT JOIN c USING (bin)),
+           |w AS (SELECT bin, n, n_pos,
+           |    sum(n) OVER (ORDER BY bin DESC) AS cum_n,
+           |    sum(n_pos) OVER (ORDER BY bin DESC) AS cum_pos,
+           |    sum(n_pos) OVER () AS tot FROM f)
+           |SELECT CAST(bin AS INT) AS bin, CAST(bin AS DOUBLE) / 10 AS threshold,
+           |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+           |  CASE WHEN cum_n = 0 THEN 0.0 ELSE CAST(cum_pos AS DOUBLE) / cum_n END AS prec,
+           |  CASE WHEN tot = 0 THEN 0.0 ELSE CAST(cum_pos AS DOUBLE) / tot END AS rec
+           |FROM w ORDER BY bin""".stripMargin
+      }) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val scored = Tables(s, dir, "documents").select(
+        Cols.pround(TextAnalysis.qualityScore(col("text")), 4).as("q"),
+        (TextAnalysis.wordCount(col("text")) >= 30).as("lab"))
+      thresholdSweep(scored, "q", "lab", bins = 10).orderBy("bin")
+    }
+  )
+}

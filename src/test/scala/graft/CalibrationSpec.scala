@@ -1,0 +1,40 @@
+package graft
+
+import graft.ml.Calibration
+import org.apache.spark.sql.functions._
+
+class CalibrationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("thresholdSweep: hand-checked counts, cumulative sweep, empty bins present") {
+    // 4 bins over [0,1): scores 0.95(+), 0.80(+), 0.60(-), 0.10(+)
+    // bin3: {0.95+, 0.80+}; bin2: {0.60-}; bin1: empty; bin0: {0.10+}
+    val df = Seq(
+      (0.95, true), (0.80, true), (0.60, false), (0.10, true))
+      .toDF("score", "label")
+    val out = Calibration.thresholdSweep(df, "score", "label", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.length == 4)
+    // bin 3: keep score ≥ 0.75 → 2 kept, both positive; recall 2/3
+    assert(out(3) == ((3, 0.75, 2L, 2L, 2L, 2L, 1.0, 2.0 / 3)))
+    // bin 2: threshold 0.5 adds the one negative
+    assert(out(2) == ((2, 0.5, 1L, 0L, 3L, 2L, 2.0 / 3, 2.0 / 3)))
+    // bin 1: empty bin still reported; cumulative carries through
+    assert(out(1) == ((1, 0.25, 0L, 0L, 3L, 2L, 2.0 / 3, 2.0 / 3)))
+    // bin 0: everything kept — precision 3/4, recall 1
+    assert(out(0) == ((0, 0.0, 1L, 1L, 4L, 3L, 0.75, 1.0)))
+  }
+
+  test("thresholdSweep clamps out-of-range scores and survives a positive-free corpus") {
+    val df = Seq((1.3, false), (-0.2, false)).toDF("score", "label")
+    val out = Calibration.thresholdSweep(df, "score", "label", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(6), r.getDouble(7)))
+    assert(out(3)._2 == 1L) // 1.3 clamps into the top bin
+    assert(out(0)._2 == 1L) // -0.2 clamps into the bottom bin
+    assert(out.forall(t => t._3 == 0.0 && t._4 == 0.0)) // no NULL/NaN division
+  }
+}
