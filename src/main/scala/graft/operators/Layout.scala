@@ -71,10 +71,59 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  // ---- gate ----
-  // The z-value computation is the contract (the write is layout, not
-  // values): interleave customer key and nation key exactly as the
-  // expanded shift/mask SQL does.
+  /** Dense global row ids 0..n-1 in `orderCols` order WITHOUT the
+    * single-partition global window (`row_number() OVER (ORDER BY …)`
+    * funnels 100 TB through one task — the classic scale killer this
+    * replaces; Megatron-style tokenized corpora need exactly such
+    * contiguous ids for their .idx document index). Three steps, all
+    * p-way parallel:
+    *
+    *   1. range-partition + sort within partitions on `orderCols`
+    *      (one sampled range shuffle — what any sorted write costs),
+    *      persisted so both passes see the SAME partition boundaries;
+    *   2. one ≤-p-row aggregate of per-partition counts → exclusive
+    *      prefix offsets on the driver (p longs);
+    *   3. a per-partition imperative pass (the rare legitimate RDD
+    *      use: position-within-partition is inherently iterator
+    *      state) assigns offset + local index.
+    *
+    * `orderCols` must be a TOTAL order (include a unique tiebreak id,
+    * as any deterministic ranking requires); ties would make ids
+    * partition-placement-dependent. Appends `outCol` as long. */
+  def denseIds(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      outCol: String = "row_id",
+      partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "denseIds: need at least one order column")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val ranged = graft.Caches.persist(
+      df.repartitionByRange(p, orderCols: _*).sortWithinPartitions(orderCols: _*))
+    val counts = ranged
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L)).toArray
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        i += 1
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- gates ----
+  // op_zorder: the z-value computation is the contract (the write is
+  // layout, not values): interleave customer key and nation key
+  // exactly as the expanded shift/mask SQL does.
+  // op_dense_ids: the scalable assigner must agree with the global
+  // window it replaces.
 
   val gates: Seq[Gate] = Seq(
     Gate(
@@ -87,5 +136,13 @@ object Layout {
         .select(col("c_custkey"), col("c_nationkey"),
           zorderValue(16, col("c_custkey"), col("c_nationkey")).as("zval"))
         .orderBy("c_custkey")
+    },
+
+    Gate(
+      "op_dense_ids",
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      denseIds(Tables(s, dir, "documents").select("doc_id"), Seq(col("doc_id")))
+        .orderBy("doc_id")
     })
 }

@@ -59,4 +59,27 @@ class LayoutSpec extends SparkSpec {
     // z-ordered: BOTH ranges well under the domain (quadrant-ish files)
     assert(zx < 24 && zy < 24, s"z-order zx=$zx zy=$zy")
   }
+
+  test("denseIds matches the global window rank on shuffled multi-partition input") {
+    import spark.implicits._
+    val df = (0 until 997).map(i => ((i * 7919) % 997, s"v$i"))
+      .toDF("k", "v").repartition(7) // scrambled order, many partitions
+    val out = Layout.denseIds(df, Seq(col("k")), partitions = 5)
+      .select("k", "row_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    // (i*7919)%997 is a permutation of 0..996 → id must equal the key
+    assert(out.length == 997)
+    assert(out.forall { case (k, id) => id == k.toLong })
+    Caches.releaseAll()
+  }
+
+  test("denseIds survives more partitions than rows and empty input") {
+    import spark.implicits._
+    val tiny = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
+    val out = Layout.denseIds(tiny, Seq(col("id")), partitions = 8)
+      .select("id", "row_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    val empty = Layout.denseIds(tiny.filter(col("id") > 10), Seq(col("id")))
+    assert(empty.count() == 0)
+    Caches.releaseAll()
+  }
 }
