@@ -88,6 +88,57 @@ object Sketches {
       .select("p.*")
   }
 
+  /** Count-min sketch table (Cormode & Muthukrishnan '05) over
+    * `valueCol` occurrences: d independent hash rows × w buckets,
+    * returned as a (j, b, c) count frame of AT MOST d·w rows — the
+    * bounded-memory frequency counter for streams/corpora whose key
+    * space can't be held exactly. Estimates ([[cmsLookup]]) only ever
+    * OVER-count (collisions add, never subtract), with error ≤ 2N/w
+    * at probability ≥ 1−(1/2)^d — knobs the caller picks.
+    *
+    * Mergeable by construction: union two tables and sum `c` per
+    * (j, b) — the shard/stream composition property exact counting
+    * lacks at bounded memory. Deterministic: row j's hash is the
+    * md5-based h32 of "j:value", so engines replay it exactly.
+    *
+    * Scale: the d-way explode amplifies rows BEFORE the aggregate but
+    * map-side combine caps what crosses the exchange at d·w rows per
+    * partition. NULL values are skipped (count(col) semantics). */
+  def cmsTable(
+      df: DataFrame,
+      valueCol: String,
+      d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"cmsTable: need d ≥ 1, w ≥ 2; got d=$d w=$w")
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"),
+          pmod(TextAnalysis.h32(concat(lit(s"$j:"), col(valueCol).cast("string"))), lit(w))
+            .as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for each distinct key in `keys`:
+    * est(x) = min over rows j of c[j][h_j(x)] (0 when a bucket is
+    * untouched). The ≤ d·w-row table broadcasts; the probe side stays
+    * narrow (keys × d). Appends `est` (long). */
+  def cmsLookup(
+      table: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    val probes = keys
+      .withColumn("__j", explode(array((0 until d).map(lit): _*)))
+      .withColumn("__b",
+        pmod(TextAnalysis.h32(concat(col("__j").cast("string"), lit(":"), col(keyCol).cast("string"))), lit(w)))
+    probes.join(broadcast(table),
+        probes("__j") === table("j") && probes("__b") === table("b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   // k=64 < the 150 distinct users per type at sf0.01, so the gate
   // exercises the (k-1)/u_k estimator, not the exact-small-set
   // fallback (SketchesSpec covers that branch); n_exact rides along
@@ -150,6 +201,42 @@ object Sketches {
       tableProfile(
         Tables(s, dir, "documents"), Seq("doc_id", "lang", "n_chars", "source"), k = 64)
         .orderBy("col_name")
+    },
+
+    // CMS gate over token frequencies: d=4 × w=64 forces real bucket
+    // collisions at the corpus vocabulary size, so the estimate path
+    // (min over rows, over-count only) is exercised — not a
+    // no-collision identity. Probes = the exact heavy hitters (count
+    // ≥ 50), whose exact counts ride along; the oracle rebuilds the
+    // sketch and the probe joins from scratch.
+    Gate(
+      "rpt_cms_counts", {
+        val d = 4
+        val w = 64
+        def h32(g: String) = s"CAST(CAST('0x'||substr(md5($g),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH e AS (SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS x
+           |           FROM documents),
+           |js AS (SELECT unnest(range(0, $d)) AS j),
+           |sk AS (SELECT j, ${h32("CAST(j AS VARCHAR)||':'||x")} % $w AS b, count(*) AS c
+           |       FROM e CROSS JOIN js GROUP BY 1, 2),
+           |ex AS (SELECT x, count(*) AS exact FROM e GROUP BY x HAVING count(*) >= 50),
+           |pr AS (SELECT ex.x, js.j, ${h32("CAST(js.j AS VARCHAR)||':'||ex.x")} % $w AS b
+           |       FROM ex CROSS JOIN js),
+           |est AS (SELECT pr.x, min(coalesce(sk.c, 0)) AS est
+           |        FROM pr LEFT JOIN sk ON sk.j = pr.j AND sk.b = pr.b GROUP BY pr.x)
+           |SELECT ex.x AS word, ex.exact, est.est
+           |FROM ex JOIN est ON ex.x = est.x ORDER BY word""".stripMargin
+      }) { (s, dir) =>
+      val toks = graft.Caches.persist(
+        Tables(s, dir, "documents")
+          .select(explode(TextAnalysis.words(lower(col("text")))).as("x")))
+      val table = cmsTable(toks, "x", d = 4, w = 64)
+      val heavy = graft.Caches.persist(
+        toks.groupBy("x").agg(count(lit(1)).as("exact")).filter(col("exact") >= 50))
+      cmsLookup(table, heavy, "x", d = 4, w = 64)
+        .join(heavy, Seq("x"))
+        .select(col("x").as("word"), col("exact"), col("est"))
+        .orderBy("word")
     }
   )
 }

@@ -62,4 +62,36 @@ class SketchesSpec extends SparkSpec {
       .head().getAs[Double]("est_distinct")
     assert(a == b)
   }
+
+  test("count-min estimates only ever over-count, and are exact at ample width") {
+    import spark.implicits._
+    // skewed counts over a key space much larger than w=16 → collisions
+    val rows = (1 to 500).map(i => s"k${i % 40}").toDF("v")
+    val exact = rows.groupBy("v").agg(count(org.apache.spark.sql.functions.lit(1)).as("exact"))
+    def estimates(w: Int): Map[String, (Long, Long)] = {
+      val t = Sketches.cmsTable(rows, "v", d = 4, w = w)
+      Sketches.cmsLookup(t, exact, "v", d = 4, w = w)
+        .join(exact, Seq("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val tight = estimates(16)
+    assert(tight.values.forall { case (est, ex) => est >= ex }, "CMS must never under-count")
+    assert(tight.values.exists { case (est, ex) => est > ex }, "w=16 over 40 keys must collide")
+    // 4096 buckets over 40 keys: P(no collision in any of 4 rows) ≈ 1;
+    // with the fixed md5 hashes this is a deterministic fact, not luck
+    assert(estimates(4096).values.forall { case (est, ex) => est == ex })
+  }
+
+  test("count-min tables merge by union+sum: shard-built equals corpus-built") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = (1 to 300).map(i => s"k${i % 17}").toDF("v")
+    val b = (1 to 200).map(i => s"k${i % 29}").toDF("v")
+    val merged = Sketches.cmsTable(a, "v", d = 2, w = 32)
+      .unionByName(Sketches.cmsTable(b, "v", d = 2, w = 32))
+      .groupBy("j", "b").agg(sum("c").as("c"))
+    val whole = Sketches.cmsTable(a.unionByName(b), "v", d = 2, w = 32)
+    assert(merged.orderBy("j", "b").collect().toSeq ==
+      whole.orderBy("j", "b").collect().toSeq)
+  }
 }
