@@ -179,6 +179,39 @@ object Mixture {
     docs.join(labeled.select(col(idCol), label.as("split")), Seq(idCol))
   }
 
+  /** Leakage-free split: every row sharing a split KEY (canonical url
+    * host, repo, book id…) lands in the SAME split. Near-duplicates
+    * cluster within such keys — two pages of one site, two files of
+    * one repo — so doc-level assignment (even [[stratifiedSplit]])
+    * leaks eval content into train; key-level assignment structurally
+    * cannot. The standard web-corpus hygiene rule ("split by domain,
+    * never by page").
+    *
+    * Assignment is Bernoulli at key granularity: the portable LCG of
+    * the key's 32-bit md5 prefix against the cumulative fraction
+    * boundaries. A ZERO-shuffle pure column expression — split
+    * proportions are approximate (key sizes differ, so exact
+    * proportions are undefined at key granularity anyway). NULL keys
+    * (unparseable urls) deterministically take the LAST split — keep
+    * the eval splits early in `fractions` so junk defaults to train.
+    */
+  def splitByKey(
+      docs: DataFrame,
+      key: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(!docs.columns.contains("split"),
+      "splitByKey: input already has a `split` column")
+    val u = Cols.lcgUniform(TextAnalysis.h32(key))
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.init.zip(cum.init).reverse
+      .foldLeft(lit(fractions.last._1): Column) {
+        case (els, ((name, _), c)) => when(u < c, lit(name)).otherwise(els)
+      }
+    docs.withColumn("split", label)
+  }
+
   // ---- gates ----
 
   // Skewed groups from id arithmetic (the synthetic sources are

@@ -365,6 +365,33 @@ object Urls {
         .groupBy("canon")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
         .orderBy("keeper_id")
+    },
+
+    // Host-keyed split gate: every doc of a host must land in the same
+    // split (the anti-leakage contract), NULL-host docs (the %17 junk
+    // urls) in the LAST split. Cumulative boundaries interpolate as
+    // Scala doubles so both engines compare against bit-identical
+    // constants (the op_split idiom).
+    Gate(
+      "op_split_by_host", {
+        val host = sqlHost(s"($SqlUrl)")
+        val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+        val cum = fr.scanLeft(0.0)(_ + _._2).tail
+        val h32 = "CAST(CAST('0x'||substr(md5(host),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, $host AS host FROM documents),
+           |h AS (SELECT doc_id, host, $h32 AS hv FROM t),
+           |s AS (SELECT doc_id, host, ${Cols.lcgUniformSql("hv")} AS u FROM h)
+           |SELECT doc_id, host,
+           |  CASE WHEN u < ${cum(0)} THEN 'train'
+           |       WHEN u < ${cum(1)} THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = withUrl(Tables(s, dir, "documents"))
+      Mixture.splitByKey(docs, urlHost(col("url")),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), urlHost(col("url")).as("host"), col("split"))
+        .orderBy("doc_id")
     }
   )
 }

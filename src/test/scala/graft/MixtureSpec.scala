@@ -129,4 +129,28 @@ class MixtureSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("epoch"))
   }
+
+  test("splitByKey: same key ⇒ same split, NULL keys take the last split, ratios near target") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 3000).map(i => (i.toLong, s"host${i % 500}.example"))
+      .map { case (id, h) => (id, if (id % 97 == 0) null else h) }
+      .toDF("doc_id", "host")
+    val out = Mixture.splitByKey(docs, col("host"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    // leakage check: one split per host, structurally
+    assert(out.filter(col("host").isNotNull)
+      .groupBy("host").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() == 0)
+    // NULL hosts deterministically in the last split
+    assert(out.filter(col("host").isNull).select("split")
+      .distinct().collect().map(_.getString(0)).toSeq == Seq("test"))
+    // Bernoulli over 500 keys: ratios loose but in the right regime
+    val n = out.count().toDouble
+    val frTrain = out.filter(col("split") === "train").count() / n
+    assert(frTrain > 0.7 && frTrain < 0.9, s"train fraction $frTrain")
+    // determinism across runs
+    val again = Mixture.splitByKey(docs, col("host"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(out.orderBy("doc_id").collect().toSeq == again.orderBy("doc_id").collect().toSeq)
+  }
 }
