@@ -38,6 +38,60 @@ object Tokens {
   def tokenIds(text: Column): Column =
     concat(rawTokenIds(text), array(lit(EosId)))
 
+  /** First sentinel id for [[spanCorrupt]] — after boc/eoc; span k of
+    * a doc masks to sentinel `SentinelBase + k`. */
+  val SentinelBase: Long = VocabSize.toLong + 2
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4 — the
+    * denoising-objective data prep): mask spans of tokens, replace
+    * each with a fresh sentinel in the input, and emit
+    * (sentinel + masked tokens) as the target. The classic stochastic
+    * sampler is replaced by a DETERMINISTIC, replayable scheme (the
+    * repo-wide LCG idiom): token stream splits into fixed windows of
+    * `window` tokens; each FULL window masks exactly one `span`-token
+    * span whose offset is the portable LCG of (doc id, window index);
+    * the sub-window tail stays unmasked. Corruption rate is exactly
+    * span/window on full windows (defaults 3/20 = T5's 15%).
+    *
+    * Returns a struct column (input_ids, target_ids). Narrow pure
+    * array arithmetic — fuses into the tokenize pass; nothing
+    * shuffles. (T5's final-EOS sentinel is the caller's append, like
+    * [[tokenIds]]' eos.) */
+  def spanCorrupt(
+      ids: Column,
+      docId: Column,
+      window: Int = 20,
+      span: Int = 3): Column = {
+    require(span >= 1 && window > span,
+      s"spanCorrupt: need 1 ≤ span < window, got span=$span window=$window")
+    // 1-based [1..hi], empty when hi < 1 (TextAnalysis.indices is
+    // operators-private; Spark's sequence(1, 0) counts DOWN)
+    def indices(hi: Column): Column =
+      when(hi < 1, array().cast("array<int>")).otherwise(sequence(lit(1), hi.cast("int")))
+    bind(ids) { toks =>
+      bind(floor(size(toks) / window).cast("int")) { nWin =>
+        // k is 1-based from indices(); window offset and LCG seed use
+        // the 0-based k-1. Span start s ∈ [0, window-span] inclusive.
+        def off(k: Column): Column = (k - 1) * window
+        def s(k: Column): Column =
+          floor(Cols.lcgUniform(docId * 100003L + (k - 1).cast("long")) *
+            (window - span + 1)).cast("int")
+        def sentinel(k: Column): Column = lit(SentinelBase) + (k - 1).cast("long")
+        val inputWins = transform(indices(nWin), k =>
+          concat(
+            slice(toks, off(k) + 1, s(k)),
+            array(sentinel(k)),
+            slice(toks, off(k) + s(k) + span + 1, lit(window) - s(k) - span)))
+        val targetWins = transform(indices(nWin), k =>
+          concat(array(sentinel(k)), slice(toks, off(k) + s(k) + 1, lit(span))))
+        struct(
+          concat(flatten(inputWins),
+            slice(toks, nWin * window + 1, size(toks) - nWin * window)).as("input_ids"),
+          flatten(targetWins).as("target_ids"))
+      }
+    }
+  }
+
   /** T2c — TOKEN-level metadata splicing (reference:
     * megatron_tokenizer_context.py:288-325): metadata tokens wrap in
     * boc/eoc; the first `seqLen`-token training row carries
@@ -361,6 +415,46 @@ object Tokens {
             aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
         }.as("t"))
         .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
+        .orderBy("doc_id")
+    },
+
+    // Span-corruption gate: the oracle replays windows, LCG span
+    // offsets, sentinel insertion and target assembly as list
+    // comprehensions; md5 signatures pin the exact id sequences.
+    Gate(
+      "tok_span_corrupt", {
+        val W = 20
+        val S = 3
+        val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
+        val rawIds = s"[($h32 % ${VocabSize - 1}) + 1 " +
+          s"FOR t IN regexp_extract_all(text, '${TextAnalysis.BpePattern}')]"
+        val sStart = s"CAST(floor((${Cols.lcgUniformSql("(doc_id*100003 + k)")}) * ${W - S + 1}) AS INT)"
+        s"""WITH t AS (SELECT doc_id, $rawIds AS ids FROM documents),
+           |n AS (SELECT doc_id, ids, len(ids) // $W AS nwin FROM t),
+           |c AS (SELECT doc_id, ids,
+           |    flatten([ids[k*$W+1 : k*$W + $sStart] || [$SentinelBase + k] ||
+           |             ids[k*$W + $sStart + ${S + 1} : (k+1)*$W]
+           |             FOR k IN range(0, nwin)]) || ids[nwin*$W+1 : len(ids)] AS input_ids,
+           |    flatten([[$SentinelBase + k] || ids[k*$W + $sStart + 1 : k*$W + $sStart + $S]
+           |             FOR k IN range(0, nwin)]) AS target_ids
+           |  FROM n)
+           |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+           |  CAST(len(input_ids) AS BIGINT) AS n_input,
+           |  md5(coalesce(array_to_string(input_ids, ','), '')) AS input_sig,
+           |  CAST(len(target_ids) AS BIGINT) AS n_target,
+           |  md5(coalesce(array_to_string(target_ids, ','), '')) AS target_sig
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), rawTokenIds(col("text")).as("__ids"))
+        .select(col("doc_id"), col("__ids"),
+          spanCorrupt(col("__ids"), col("doc_id"), window = 20, span = 3).as("c"))
+        .select(col("doc_id"),
+          size(col("__ids")).cast("long").as("n_tokens"),
+          size(col("c.input_ids")).cast("long").as("n_input"),
+          md5(array_join(transform(col("c.input_ids"), _.cast("string")), ",")).as("input_sig"),
+          size(col("c.target_ids")).cast("long").as("n_target"),
+          md5(array_join(transform(col("c.target_ids"), _.cast("string")), ",")).as("target_sig"))
         .orderBy("doc_id")
     },
 

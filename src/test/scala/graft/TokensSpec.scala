@@ -194,4 +194,36 @@ class TokensSpec extends SparkSpec {
       assert(r.getSeq[Int](1) == want)
     }
   }
+
+  test("span corruption: sentinels in order, spans in-window, input+target reconstruct") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, (1L to 53L).toArray), // 2 full windows + 13-token tail
+      (8L, (1L to 19L).toArray), // below one window → untouched input, empty target
+      (9L, Array.empty[Long]))
+      .toDF("doc_id", "ids")
+    val out = docs.select(col("doc_id"),
+        col("ids"), Tokens.spanCorrupt(col("ids"), col("doc_id"), window = 20, span = 3).as("c"))
+      .select(col("doc_id"), col("ids"), col("c.input_ids"), col("c.target_ids"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3)))).toMap
+
+    val sb = Tokens.SentinelBase
+    val (orig, input, target) = out(7L)
+    // 2 windows: input loses 2·3 tokens, gains 2 sentinels
+    assert(input.length == 53 - 6 + 2 && target.length == 2 * (1 + 3))
+    // reconstruct: replace sentinel k in input with target's span k
+    val spans = target.foldLeft(Map.empty[Long, Vector[Long]] -> -1L) {
+      case ((m, cur), t) =>
+        if (t >= sb) (m + (t -> Vector.empty), t) else (m + (cur -> (m(cur) :+ t)), cur)
+    }._1
+    val rebuilt = input.flatMap(t => if (t >= sb) spans(t) else Seq(t))
+    assert(rebuilt == orig, "input+target must reconstruct the original stream")
+    // sentinels appear in ascending order in both sequences
+    assert(input.filter(_ >= sb) == Seq(sb, sb + 1))
+    assert(target.filter(_ >= sb) == Seq(sb, sb + 1))
+
+    assert(out(8L)._2 == out(8L)._1 && out(8L)._3.isEmpty)
+    assert(out(9L)._2.isEmpty && out(9L)._3.isEmpty)
+  }
 }
