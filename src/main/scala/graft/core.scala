@@ -19,11 +19,19 @@ object Tables {
     // session that touches graft tables
     graft.expr.GraftExtensions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is physically TIMESTAMP(NANOS); with
-    // spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanos —
-    // normalize to a real timestamp (microsecond precision).
+    // events.ts normalization: generated data has shipped as both
+    // TIMESTAMP(NANOS) (surfacing as long nanos under
+    // spark.sql.legacy.parquet.nanosAsLong) and tz-less TIMESTAMP(MICROS)
+    // (surfacing as TIMESTAMP_NTZ under Spark 4's NTZ inference).
+    // Normalize both to a session-tz TIMESTAMP (microsecond epoch) so
+    // every downstream op — unix_micros, watermarks, window() — sees one
+    // type, and the epoch agrees with DuckDB's epoch_ns(ts) on the same
+    // values (session tz is pinned to UTC in GraftSession).
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 }
