@@ -118,6 +118,46 @@ object Layout {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Exact INCLUSIVE running sum of `valueCol` (long) in `orderCols`
+    * order, the [[denseIds]] shape generalized from counting to
+    * summing: `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`
+    * without the single-partition global window. Same three steps —
+    * one sampled range shuffle, a ≤-p-row per-partition totals
+    * aggregate → driver prefix offsets (p longs), one iterator-state
+    * pass adding offset + local running total. `orderCols` must be a
+    * TOTAL order (unique tiebreak), same contract as denseIds.
+    * Appends `outCol` as long. */
+  def runningSum(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      outCol: String = "running",
+      partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "runningSum: need at least one order column")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val withV = df.withColumn("__rsv", valueCol.cast("long"))
+    val ranged = graft.Caches.persist(
+      withV.repartitionByRange(p, orderCols: _*).sortWithinPartitions(orderCols: _*))
+    val vIdx = ranged.schema.fieldIndex("__rsv")
+    val totals = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("__rsv")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L)).toArray
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        acc += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rdd, schema).drop("__rsv")
+  }
+
   // ---- gates ----
   // op_zorder: the z-value computation is the contract (the write is
   // layout, not values): interleave customer key and nation key

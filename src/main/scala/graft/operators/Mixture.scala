@@ -223,7 +223,105 @@ object Mixture {
 
   private val SplitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
 
+  /** Greedy quality-first token-budget selection — the "fill a 15 T
+    * token budget with the best documents" step that turns a scored
+    * corpus into a training set: order by (score DESC, id ASC) and
+    * keep the maximal prefix whose cumulative `tokensCol` stays
+    * ≤ `budget` (prefix semantics: the first overflowing doc and
+    * everything ranked below it are excluded — deterministic, unlike
+    * knapsack-style backfilling).
+    *
+    * The naive form is `sum(tokens) OVER (ORDER BY score DESC, id)`
+    * — a single-partition global window, the scale killer
+    * [[Layout.denseIds]] documents. Instead:
+    *
+    *   1. ONE tiny per-bucket aggregate (scores bucketed into
+    *      `buckets` cells, ≤ `buckets` rows to the driver) finds the
+    *      boundary bucket k where the budget runs out;
+    *   2. buckets above k are kept OUTRIGHT — a narrow filter, no
+    *      ordering work at all for ~(1 − 1/buckets) of the kept data;
+    *   3. only bucket k (≈ corpus/buckets rows; score skew concedes
+    *      more, but ties order by id so the range shuffle still
+    *      spreads) pays the exact [[Layout.runningSum]] prefix pass.
+    *
+    * `scoreCol` must lie in [0,1] (quality scores; out-of-range
+    * clamps into the end buckets — correctness is unaffected, only
+    * bucket-k sizing), `tokensCol` must be non-negative (token counts
+    * — negative values would break prefix monotonicity), and `idCol`
+    * must be unique (the usual total-order contract). Returns the
+    * selected rows with original columns. */
+  def selectByBudget(
+      docs: DataFrame,
+      tokensCol: Column,
+      scoreCol: Column,
+      idCol: String,
+      budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"selectByBudget: budget must be ≥ 0, got $budget")
+    require(buckets >= 2, s"selectByBudget: need ≥ 2 buckets, got $buckets")
+    val reserved = Seq("__sbb", "__sbt", "__sbc")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"selectByBudget: input columns collide with reserved $clash")
+    val cols = docs.columns.map(col)
+    val b = least(greatest(floor(scoreCol * buckets).cast("int"), lit(0)), lit(buckets - 1))
+    val marked = docs
+      .withColumn("__sbt", tokensCol.cast("long"))
+      .withColumn("__sbb", b)
+    val perBucket = marked.groupBy("__sbb").agg(sum(col("__sbt")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // walk buckets from the top; find the first whose inclusion
+    // overflows the budget (k = -1: everything fits)
+    var cum = 0L
+    var k = -1
+    var remaining = budget
+    var bi = buckets - 1
+    while (bi >= 0 && k < 0) {
+      val t = perBucket.getOrElse(bi, 0L)
+      if (cum + t > budget) { k = bi; remaining = budget - cum }
+      else cum += t
+      bi -= 1
+    }
+    if (k < 0) return docs // whole corpus fits the budget
+    val keptHi = marked.filter(col("__sbb") > k)
+    val boundary = Layout.runningSum(
+      marked.filter(col("__sbb") === k),
+      Seq(scoreCol.desc, col(idCol).asc),
+      col("__sbt"),
+      outCol = "__sbc")
+      .filter(col("__sbc") <= remaining)
+    keptHi.select(cols: _*).unionByName(boundary.select(cols: _*))
+  }
+
   val gates: Seq[Gate] = Seq(
+    // Token-budget selection: score = (doc_id % 997)/997 (portable,
+    // deliberately TIED across docs so the id tiebreak and the
+    // boundary bucket's exact prefix both carry weight), tokens =
+    // the corpus word count, budget = exactly 2/5 of total tokens in
+    // integer arithmetic on both engines. Oracle = the global ROWS
+    // window the operator refuses to plan.
+    Gate(
+      "op_token_budget", {
+        val wc = s"len(regexp_extract_all(text, '${TextAnalysis.WordPattern}'))"
+        s"""WITH t AS (SELECT doc_id, CAST($wc AS BIGINT) AS n_tok,
+           |    CAST(doc_id % 997 AS DOUBLE) / 997.0 AS score FROM documents),
+           |b AS (SELECT 2 * sum(n_tok) // 5 AS budget FROM t),
+           |c AS (SELECT doc_id, n_tok, score,
+           |    sum(n_tok) OVER (ORDER BY score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id, n_tok FROM c, b WHERE cum <= budget
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_tok"),
+          ((col("doc_id") % 997).cast("double") / 997.0).as("score"))
+      val budget = 2L * t.agg(sum(col("n_tok"))).head.getLong(0) / 5L
+      selectByBudget(t, col("n_tok"), col("score"), "doc_id", budget)
+        .select("doc_id", "n_tok")
+        .orderBy("doc_id")
+    },
+
     Gate(
       "op_mixture",
       s"""WITH g AS (SELECT doc_id, $SqlGrp AS grp FROM documents),

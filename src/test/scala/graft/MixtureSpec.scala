@@ -153,4 +153,51 @@ class MixtureSpec extends SparkSpec {
       Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
     assert(out.orderBy("doc_id").collect().toSeq == again.orderBy("doc_id").collect().toSeq)
   }
+
+  // naive single-window greedy prefix — the semantics selectByBudget
+  // must reproduce without the global window
+  private def naiveBudget(
+      rows: Seq[(Long, Long, Double)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, _, s) => (-s, id) }
+      .iterator.map { case (id, t, _) => cum += t; (id, cum) }
+      .takeWhile(_._2 <= budget).map(_._1).toSet
+  }
+
+  test("selectByBudget matches the naive global-window prefix, ties included") {
+    // scores drawn from only 5 distinct values → heavy ties, so both
+    // the bucket cut and the id tiebreak inside the boundary bucket
+    // are exercised; tokens vary so the prefix boundary is irregular
+    val rows = (0L until 300L).map(i => (i, (i * 7 % 23) + 1, (i % 5).toDouble / 5.0))
+    val df = rows.toDF("id", "tok", "score").repartition(7)
+    val total = rows.map(_._2).sum
+    for (budget <- Seq(0L, 1L, total / 3, total / 2, total - 1, total, total + 100)) {
+      val got = Mixture.selectByBudget(df, col("tok"), col("score"), "id", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naiveBudget(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("selectByBudget: zero-token docs ride free inside the prefix, not after it") {
+    val rows = Seq((1L, 5L, 0.9), (2L, 0L, 0.9), (3L, 5L, 0.5), (4L, 0L, 0.3))
+    val df = rows.toDF("id", "tok", "score")
+    // budget 5: ids 1,2 fit (2 costs nothing at the same score tier);
+    // 3 overflows; 4 is past the overflow point — prefix semantics
+    // exclude it even at zero cost
+    val got = Mixture.selectByBudget(df, col("tok"), col("score"), "id", 5L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naiveBudget(rows, 5L) && got == Set(1L, 2L))
+  }
+
+  test("runningSum matches the global ROWS window on multi-partition input") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 500L).map(i => (i * 37 % 500, i % 13))
+      .toDF("k", "v").repartition(11)
+    val got = operators.Layout.runningSum(df, Seq(col("k").asc), col("v"), "cum")
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
 }
