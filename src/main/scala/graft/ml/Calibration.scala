@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.{Cols, Gate, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,53 @@ object Calibration {
           .otherwise(col("cum_pos").cast("double") / col("__tot")).as("rec"))
   }
 
+  /** Percentile-rank score ENSEMBLE — combine annotator scores whose
+    * raw scales don't compare (a [0,1] classifier, a perplexity, a
+    * readability grade) by rank-normalizing each to its empirical
+    * midrank CDF, then averaging: blend = mean_i (cum_i − 0.5·n_i)/N
+    * where cum_i is the inclusive count at the doc's (rounded) score
+    * and n_i that score's tie count. Rank normalization is the
+    * standard fix for "0.9 from model A ≠ 0.9 from model B".
+    *
+    * Scale shape: per score, ONE tiny distinct-value aggregate (the
+    * caller pre-rounds real-valued scores — `Cols.pround(s, 4)` caps
+    * the frame at 10⁴ + 1 rows; integer scores are bounded by their
+    * range), a running-count window OVER THAT TINY FRAME (single
+    * partition by construction — bounded rows, never the corpus), and
+    * a broadcast join back. The 100 TB side is never sorted; nothing
+    * collects to the driver. Every arithmetic step is IEEE-exact
+    * double ops in a fixed order, so a SQL twin reproduces the blend
+    * bit-for-bit. Appends `outCol` (pround-8). */
+  def blendScores(
+      df: DataFrame,
+      scores: Seq[Column],
+      outCol: String = "blend"): DataFrame = {
+    require(scores.nonEmpty, "blendScores: need at least one score column")
+    val reserved = df.columns.filter(c => c.startsWith("__bs") || c.startsWith("__rk"))
+    require(reserved.isEmpty && !df.columns.contains(outCol),
+      s"blendScores: input columns collide with ${reserved.mkString(",")} $outCol")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val ranked = scores.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
+      val sc = s"__bs$i"
+      val withS = acc.withColumn(sc, s)
+      // null-safe join key: a NULL score still ranks (first, both
+      // engines must say NULLS FIRST) instead of silently dropping
+      val cdf = withS.groupBy(sc).agg(count(lit(1)).as("__n"))
+        .withColumn("__cum",
+          sum("__n").over(Window.orderBy(col(sc).asc_nulls_first)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col(sc).as(s"__bsk$i"),
+          ((col("__cum").cast("double") - lit(0.5) * col("__n")) / lit(n.toDouble))
+            .as(s"__rk$i"))
+      withS.join(broadcast(cdf), col(sc) <=> col(s"__bsk$i"))
+        .drop(sc, s"__bsk$i")
+    }
+    val rkCols = ranked.columns.filter(_.startsWith("__rk"))
+    val mean = rkCols.map(col).reduce(_ + _) / scores.size.toDouble
+    ranked.withColumn(outCol, graft.Cols.pround(mean, 8)).drop(rkCols: _*)
+  }
+
   // Calibration gate: sweep the composite quality score against a
   // "long document" label (n_words ≥ 30) — partially correlated
   // through the score's length term, so the curve is non-degenerate.
@@ -109,6 +156,38 @@ object Calibration {
         Cols.pround(TextAnalysis.qualityScore(col("text")), 4).as("q"),
         (TextAnalysis.wordCount(col("text")) >= 30).as("lab"))
       thresholdSweep(scored, "q", "lab", bins = 10).orderBy("bin")
+    },
+
+    // Rank-blend gate: two scores on deliberately incomparable scales
+    // — a [0,1) hash score WITH heavy ties (997 buckets) and a raw
+    // integer length — blended into one percentile ensemble. The
+    // oracle rebuilds both empirical midrank CDFs over the distinct-
+    // value frames with the identical cast/multiply/divide order.
+    Gate(
+      "fw_score_blend", {
+        val blend = Cols.proundSql("(rk0 + rk1) / 2.0", 8)
+        s"""WITH t AS (SELECT doc_id, CAST(doc_id % 997 AS DOUBLE) / 997.0 AS s1,
+           |    n_chars AS s2 FROM documents),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+           |c1 AS (SELECT s1, count(*) AS cn FROM t GROUP BY s1),
+           |r1 AS (SELECT s1,
+           |    (CAST(sum(cn) OVER (ORDER BY s1 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |     - 0.5 * cn) / n AS rk0 FROM c1, nn),
+           |c2 AS (SELECT s2, count(*) AS cn FROM t GROUP BY s2),
+           |r2 AS (SELECT s2,
+           |    (CAST(sum(cn) OVER (ORDER BY s2 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |     - 0.5 * cn) / n AS rk1 FROM c2, nn)
+           |SELECT doc_id, $blend AS blend
+           |FROM t JOIN r1 USING (s1) JOIN r2 USING (s2)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          ((col("doc_id") % 997).cast("double") / 997.0).as("s1"),
+          col("n_chars").as("s2"))
+      blendScores(t, Seq(col("s1"), col("s2")))
+        .select("doc_id", "blend")
+        .orderBy("doc_id")
     }
   )
 }

@@ -124,6 +124,109 @@ object DocSource {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
 
+  /** WET-style (WARC conversion-record) text sink — the format web
+    * corpora actually ship in (Common Crawl WET; reference pipelines
+    * start from such dumps, datatrove's WarcReader is the S-family
+    * twin). One record per doc: a `WARC/1.0` version line, headers
+    * (record id, target URI, Content-Length in chars), a blank line,
+    * the plain-text body, a blank record terminator. One file per
+    * partition, like every text sink here. */
+  def writeWet(
+      df: DataFrame,
+      path: String,
+      idCol: String = "id",
+      urlCol: String = "url",
+      textCol: String = "text"): Unit =
+    df.select(concat(
+        lit("WARC/1.0\r\n"),
+        lit("WARC-Type: conversion\r\n"),
+        lit("WARC-Record-ID: "), col(idCol).cast("string"), lit("\r\n"),
+        lit("WARC-Target-URI: "), coalesce(col(urlCol), lit("")), lit("\r\n"),
+        lit("Content-Length: "), length(col(textCol)).cast("string"),
+        lit("\r\n\r\n"),
+        col(textCol), lit("\r\n")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Hash-sharded parquet sink with a reproducible MANIFEST — the
+    * layout a corpus release ships as (N fixed shards + a table of
+    * what's in each): shard = `shardExpr` mod `nShards` (default:
+    * xxhash64 of the id — deterministic, uniform), one directory per
+    * shard via partitionBy so downstream shard-parallel consumers
+    * read exactly one directory each.
+    *
+    * The manifest is the verification surface: per shard, row count,
+    * id min/max, and an order-independent id digest (sum of a
+    * multiplicative hash, decimal-accumulated) — re-run it over the
+    * written data and any lost/duplicated/misrouted row changes a
+    * cell. One aggregate job; the corpus is never sorted. Returns the
+    * manifest (shard, n_docs, min_id, max_id, ids_digest). */
+  def writeSharded(
+      df: DataFrame,
+      path: String,
+      nShards: Int,
+      idCol: String,
+      shardExpr: Column = null): DataFrame = {
+    require(nShards >= 1, s"writeSharded: need ≥ 1 shards, got $nShards")
+    val e = Option(shardExpr).getOrElse(xxhash64(col(idCol)))
+    val sharded = df.withColumn("shard", pmod(e, lit(nShards.toLong)).cast("int"))
+    sharded
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("shard").parquet(path)
+    manifest(sharded, idCol)
+  }
+
+  /** The [[writeSharded]] manifest for any sharded frame — run it on
+    * `spark.read.parquet(path)` to audit a written release against
+    * the manifest produced at write time. */
+  def manifest(sharded: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    sharded.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      min(id).as("min_id"),
+      max(id).as("max_id"),
+      sum(((id * 2654435761L) % 1000000007L)
+        .cast(org.apache.spark.sql.types.DecimalType(30, 0)))
+        .cast("long").as("ids_digest"))
+  }
+
+  /** WET source: records split on the `WARC/1.0\r\n` version line via
+    * the text reader's custom `lineSep` — Hadoop's record reader
+    * handles delimiters straddling split boundaries, so the read
+    * stays SPLITTABLE (parallel within one big WET file, which a
+    * whole-file parser never is). Headers parse with codegen regex;
+    * the body is everything after the first blank line, minus the
+    * record terminator. Returns (id, url, content_length, text); url
+    * is NULL when the header is empty.
+    *
+    * Caveat (documented, inherent to delimiter splitting): a BODY
+    * containing a literal `WARC/1.0\r\n` line would split early —
+    * exact framing needs Content-Length-driven BYTE reads, which
+    * string-typed Spark columns don't expose. Real WET bodies are
+    * markup-stripped text, where the version line does not occur;
+    * `content_length` rides along so a downstream guard can compare
+    * it to `length(text)` and quarantine mis-framed records. */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
+      .filter(length(col("value")) > 0)
+    raw
+      .select(regexp_replace(col("value"), "\r\n\n$", "").as("__rec"))
+      .select(col("__rec"), instr(col("__rec"), "\r\n\r\n").as("__p"))
+      .select(
+        col("__rec").substr(lit(1), col("__p") - 1).as("__hdr"),
+        col("__rec").substr(col("__p") + 4, length(col("__rec"))).as("text"))
+      .select(
+        regexp_extract(col("__hdr"), "WARC-Record-ID: ([^\r\n]*)", 1)
+          .cast("long").as("id"),
+        nullif(
+          regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]*)", 1),
+          lit("")).as("url"),
+        regexp_extract(col("__hdr"), "Content-Length: ([0-9]+)", 1)
+          .cast("long").as("content_length"),
+        col("text"))
+  }
+
   /** Scratch root for sink/source gate round-trip files (per-SF
     * subdirs via [[gateScratch]]; the oracles never read these). */
   val GateTmpDir = "/tmp/graft_gates"
@@ -224,6 +327,50 @@ object DocSource {
         Tables(s, dir, "documents").select(col("doc_id").as("id"), col("text")), path)
       s.read.orc(path)
         .select(col("id"), md5(col("text")).as("text_md5"))
+        .orderBy("id")
+    },
+
+    // Sharded-release sink: 8 fixed shards keyed on the id (portable
+    // mod for the oracle; production defaults to xxhash64), manifest
+    // cells all integer arithmetic — the oracle recomputes every
+    // shard's count/min/max/digest from scratch. HUGEINT sum cast per
+    // the gate checklist. The written-files audit (read-back manifest
+    // equals write-time manifest) is SourcesSpec's half.
+    Gate(
+      "snk_sharded",
+      """WITH s AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT) AS ids_digest
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_sharded")
+      writeSharded(
+        Tables(s, dir, "documents").select("doc_id"), path,
+        nShards = 8, idCol = "doc_id", shardExpr = col("doc_id"))
+        .orderBy("shard")
+    },
+
+    // WET round-trip: documents serialized as WARC conversion records
+    // (synthetic target URIs), split back on the version line, headers
+    // + body + declared length all hash-checked against the source
+    // table. The oracle reads only `documents` (see src_jsonl on
+    // scratch-file races).
+    Gate(
+      "src_wet",
+      """SELECT doc_id AS id, 'https://example.com/doc/' || doc_id AS url,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "src_wet")
+      writeWet(
+        Tables(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+          col("text")),
+        path)
+      readWet(s, path)
+        .select(col("id"), col("url"), col("content_length"),
+          md5(col("text")).as("text_md5"))
         .orderBy("id")
     }
   )

@@ -37,4 +37,32 @@ class CalibrationSpec extends SparkSpec {
     assert(out(0)._2 == 1L) // -0.2 clamps into the bottom bin
     assert(out.forall(t => t._3 == 0.0 && t._4 == 0.0)) // no NULL/NaN division
   }
+
+  test("blendScores matches the naive midrank ensemble; NULL scores rank first, no row drops") {
+    val rows = Seq(
+      (1L, Option(0.9), 100L), (2L, Option(0.9), 50L), (3L, Option(0.1), 50L),
+      (4L, Option(0.5), 200L), (5L, None, 10L))
+    val df = rows.toDF("id", "s1", "s2")
+    val out = Calibration.blendScores(df, Seq(col("s1"), col("s2")))
+      .select("id", "blend").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == rows.size) // the NULL-score row survived
+    // naive midrank: (count below + 0.5 * count equal) / n, NULL = lowest
+    def midrank[T](vals: Seq[Option[Double]]): Seq[Double] = {
+      val n = vals.size.toDouble
+      vals.map { v =>
+        val key = v.getOrElse(Double.NegativeInfinity)
+        val below = vals.count(_.getOrElse(Double.NegativeInfinity) < key)
+        val eq = vals.count(_.getOrElse(Double.NegativeInfinity) == key)
+        (below + 0.5 * eq) / n
+      }
+    }
+    val r1 = midrank(rows.map(_._2))
+    val r2 = midrank(rows.map(r => Option(r._3.toDouble)))
+    rows.zipWithIndex.foreach { case ((id, _, _), i) =>
+      val want = (r1(i) + r2(i)) / 2.0
+      assert(math.abs(out(id) - want) < 1e-8, s"id=$id got ${out(id)} want $want")
+    }
+    // ties share a rank: ids 1 and 2 tie on s1 but split on s2
+    assert(out(1L) > out(2L))
+  }
 }
