@@ -165,7 +165,40 @@ object Layout {
   // op_dense_ids: the scalable assigner must agree with the global
   // window it replaces.
 
+  /** Deterministic global TRAINING-ORDER shuffle: order = dense rank
+    * of the portable LCG of the id (ties broken by id) — every engine,
+    * partitioning, and retry produces the SAME permutation, unlike
+    * `orderBy(rand())` (non-reproducible) or `repartition` round-robin
+    * (partitioning-dependent). Composes [[Cols.lcgUniform]] with
+    * [[denseIds]], so the cost is one sampled range shuffle — the
+    * corpus never funnels through one task. Curriculum variants pass
+    * `within` (e.g. a quality tier): ranks order by (within, lcg, id)
+    * so whole tiers stay contiguous while docs shuffle inside them. */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      outCol: String = "train_order",
+      within: Seq[Column] = Nil): DataFrame =
+    denseIds(df, within ++ Seq(graft.Cols.lcgUniform(col(idCol)), col(idCol)), outCol)
+
   val gates: Seq[Gate] = Seq(
+    // Shuffle-order gate: the permutation must equal the global
+    // window rank over the identical LCG keys — curriculum form, with
+    // a 3-tier `within` column so tier contiguity is also checked.
+    Gate(
+      "op_shuffle_order", {
+        val u = graft.Cols.lcgUniformSql("doc_id")
+        s"""WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS tier FROM documents)
+           |SELECT doc_id, tier,
+           |  CAST(row_number() OVER (ORDER BY tier, $u, doc_id) - 1 AS BIGINT) AS train_order
+           |FROM t ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 3).cast("int").as("tier"))
+      shuffleOrder(t, "doc_id", within = Seq(col("tier")))
+        .select("doc_id", "tier", "train_order")
+        .orderBy("doc_id")
+    },
     Gate(
       "op_zorder", {
         val z = zorderSql(16, Seq("c_custkey", "c_nationkey"))

@@ -320,7 +320,80 @@ object TextAnalysis {
     s"len(list_filter($toksExpr, t -> list_contains($lst, t)))"
   }
 
+  /** Unicode-script character profile — the multilingual-corpus
+    * triage BEFORE n-gram language ID (script is cheap, certain, and
+    * splits the world: Cyrillic text never needs an English/French
+    * disambiguator, CJK never needs word-based ID at all). Counts
+    * characters per script with one narrow codegen regex pass each;
+    * fuses into the scan. */
+  def scriptCount(text: Column, script: String): Column =
+    length(regexp_replace(text, lit(s"[^\\p{Is$script}]"), lit("")))
+
+  /** Dominant script with a fixed tie precedence (latin > cyrillic >
+    * han > arabic) so the label is deterministic on mixed or empty
+    * text. */
+  def dominantScript(latin: Column, cyr: Column, han: Column, ar: Column): Column =
+    when(latin >= cyr && latin >= han && latin >= ar, "latin")
+      .when(cyr >= han && cyr >= ar, "cyrillic")
+      .when(han >= ar, "han")
+      .otherwise("arabic")
+
   val gates: Seq[Gate] = Seq(
+
+    // Script-profile gate: the corpus is Latin word soup, so each doc
+    // gets a deterministic non-Latin suffix by id class (Cyrillic /
+    // Han / Arabic, all BMP so Spark's UTF-16 length and DuckDB's
+    // codepoint length agree) — the counts and the dominant-script
+    // label must match a chr()-built oracle twin exactly. Java regex
+    // says \p{IsCyrillic}, RE2 says \p{Cyrillic}; both engines count
+    // the same characters.
+    Gate(
+      "txt_scripts", {
+        def chrs(cps: Seq[Int]) = cps.map(c => s"chr($c)").mkString(" || ")
+        val cyr = chrs(Seq(0x41F, 0x440, 0x438, 0x432, 0x435, 0x442))
+        val han = chrs(Seq(0x4F60, 0x597D, 0x4E16, 0x754C))
+        val ar = chrs(Seq(0x645, 0x631, 0x62D, 0x628, 0x627))
+        s"""WITH t AS (SELECT doc_id, text ||
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN ' ' || $cyr
+           |      WHEN 1 THEN ' ' || $han || ' ' || $han
+           |      WHEN 2 THEN ' ' || $ar
+           |      ELSE '' END AS x FROM documents),
+           |c AS (SELECT doc_id,
+           |    CAST(length(regexp_replace(x, '[^\\p{Latin}]', '', 'g')) AS INT) AS n_latin,
+           |    CAST(length(regexp_replace(x, '[^\\p{Cyrillic}]', '', 'g')) AS INT) AS n_cyrillic,
+           |    CAST(length(regexp_replace(x, '[^\\p{Han}]', '', 'g')) AS INT) AS n_han,
+           |    CAST(length(regexp_replace(x, '[^\\p{Arabic}]', '', 'g')) AS INT) AS n_arabic
+           |  FROM t)
+           |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+           |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+           |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+           |       WHEN n_han >= n_arabic THEN 'han'
+           |       ELSE 'arabic' END AS script
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      def str(cps: Seq[Int]) = cps.map(_.toChar).mkString
+      val cyr = str(Seq(0x41F, 0x440, 0x438, 0x432, 0x435, 0x442))
+      val han = str(Seq(0x4F60, 0x597D, 0x4E16, 0x754C))
+      val ar = str(Seq(0x645, 0x631, 0x62D, 0x628, 0x627))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, s" $cyr")
+              .when(col("doc_id") % 4 === 1, s" $han $han")
+              .when(col("doc_id") % 4 === 2, s" $ar")
+              .otherwise("")).as("x"))
+        .select(col("doc_id"),
+          scriptCount(col("x"), "Latin").as("n_latin"),
+          scriptCount(col("x"), "Cyrillic").as("n_cyrillic"),
+          scriptCount(col("x"), "Han").as("n_han"),
+          scriptCount(col("x"), "Arabic").as("n_arabic"))
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_han"), col("n_arabic"),
+          dominantScript(col("n_latin"), col("n_cyrillic"),
+            col("n_han"), col("n_arabic")).as("script"))
+        .orderBy("doc_id")
+    },
 
     // The synthetic documents are punctuation-free word soup, so the
     // gate first builds a deterministic multi-line "web page" from

@@ -68,6 +68,21 @@ object TextClean {
     trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
   }
 
+  /** Typographic-punctuation fold: smart quotes → ASCII quotes,
+    * en/em dashes → hyphen, NBSP → space, ellipsis → "..." — the
+    * CCNet-style pre-tokenization mapping that stops "don’t" and
+    * "don't" tokenizing differently. One translate (1:1 maps, single
+    * pass) plus one replace for the 1:3 ellipsis; every mapping is
+    * independent (non-ASCII in, ASCII out) so application order can't
+    * matter. Narrow, fuses into the scan. */
+  def foldPunct(text: Column): Column =
+    regexp_replace(
+      // u2018/u2019 single quotes, u201C/u201D double quotes,
+      // u2013/u2014 dashes, u00A0 NBSP (escapes only in source)
+      translate(text,
+        "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"--  "),
+      "\u2026", "...")
+
   /** Per-source corpus profile: doc/token/char counts and mean
     * quality — one aggregate, #sources output rows. */
   def corpusStats(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
@@ -249,6 +264,46 @@ object TextClean {
       }) { (s, dir) =>
       corpusStats(Tables(s, dir, "documents"), "text", "source")
         .orderBy("source")
+    },
+
+    // Punct-fold gate: every typographic mapping planted by id class
+    // (smart quotes, dashes, NBSP, ellipsis as chr() builds), folded
+    // output pinned by md5 + the length delta the 1:3 ellipsis and
+    // 1:1 maps produce. Escapes/chr() only — no literal typography in
+    // either engine's source.
+    Gate(
+      "fmt_punct_fold", {
+        s"""WITH p AS (SELECT doc_id, text ||
+           |    CASE CAST(doc_id % 3 AS INT)
+           |      WHEN 0 THEN ' ' || chr(8216) || 'quoted' || chr(8217) || ' ' ||
+           |                  chr(8220) || 'dq' || chr(8221)
+           |      WHEN 1 THEN ' a' || chr(8211) || 'b' || chr(8212) || 'c' ||
+           |                  chr(160) || 'd'
+           |      ELSE ' wait' || chr(8230) END AS t FROM documents),
+           |f AS (SELECT doc_id, t,
+           |    replace(replace(replace(replace(replace(replace(replace(replace(t,
+           |      chr(8216), ''''), chr(8217), ''''), chr(8220), '"'), chr(8221), '"'),
+           |      chr(8211), '-'), chr(8212), '-'), chr(160), ' '), chr(8230), '...') AS ft
+           |  FROM p)
+           |SELECT doc_id, length(t) AS len_raw, length(ft) AS len_folded,
+           |  md5(ft) AS folded_md5
+           |FROM f ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              " \u2018quoted\u2019 \u201Cdq\u201D")
+              .when(col("doc_id") % 3 === 1,
+                " a\u2013b\u2014c\u00A0d")
+              .otherwise(" wait\u2026")).as("t"))
+        .select(col("doc_id"), length(col("t")).as("len_raw"),
+          Cols.bind(foldPunct(col("t"))) { ft =>
+            struct(length(ft).as("l"), md5(ft).as("m"))
+          }.as("n"))
+        .select(col("doc_id"), col("len_raw"), col("n.l").as("len_folded"),
+          col("n.m").as("folded_md5"))
+        .orderBy("doc_id")
     }
   )
 }
