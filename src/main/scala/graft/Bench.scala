@@ -38,8 +38,15 @@ object Bench {
     // faster.
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // Also write the full JSON to a file: the driver captures stdout
+    // as a bounded tail, which truncated the r05 artifact mid-list —
+    // the file is the self-contained, untruncatable record.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -297,7 +297,16 @@ object FinewebPipeline {
 
     cfg.toxicityThreshold.foreach { thr =>
       val tox = cfg.toxicityClassifier.getOrElse(LinearClassifier.seeded(64, 7))
-      stages :+= DocFilter("toxicity", d => tox.score(d("embedding")) < thr)
+      // annotate-then-filter (the reference's scorer + filter are two
+      // ops — F8): the DECIMAL-fold MLP score is the most expensive
+      // expression in the recipe, and annotating it once lets the
+      // filter AND any downstream consumer (the fw_toxicity_mlp gate's
+      // output column, a calibration sweep) reuse it instead of
+      // re-evaluating the whole head per use. Guarded like the other
+      // annotates: already-rejected rows keep a NULL score.
+      stages :+= Transform("toxicity_annotate", d => d.withColumn("toxicity_score",
+        when(col("filter_reason").isNull, tox.score(d("embedding")))))
+      stages :+= DocFilter("toxicity", _ => col("toxicity_score") < thr)
     }
 
     cfg.samplerRate.foreach { rate =>
@@ -721,7 +730,8 @@ object FinewebPipeline {
           toxicityThreshold = Some(GateToxThr),
           toxicityClassifier = Some(GateToxHead),
           piiFormat = false))
-      kept.select(col("doc_id"), GateToxHead.score(col("embedding")).as("tox"))
+      // the annotate stage computed the score once; reuse it
+      kept.select(col("doc_id"), col("toxicity_score").as("tox"))
         .orderBy("doc_id")
     },
 

@@ -80,13 +80,20 @@ object Calibration {
     * range), a running-count window OVER THAT TINY FRAME (single
     * partition by construction — bounded rows, never the corpus), and
     * a broadcast join back. The 100 TB side is never sorted; nothing
-    * collects to the driver. Every arithmetic step is IEEE-exact
+    * collects to the driver. The bounded-distinct contract is
+    * ENFORCED, not just documented: each score's distinct-value frame
+    * is counted (one cheap job over the persisted compact frame — the
+    * dedupLines idiom) and an unrounded high-cardinality score fails
+    * loudly at `maxDistinct` instead of silently pushing a
+    * corpus-sized frame through the single-partition window AND a
+    * corpus-sized broadcast. Every arithmetic step is IEEE-exact
     * double ops in a fixed order, so a SQL twin reproduces the blend
     * bit-for-bit. Appends `outCol` (pround-8). */
   def blendScores(
       df: DataFrame,
       scores: Seq[Column],
-      outCol: String = "blend"): DataFrame = {
+      outCol: String = "blend",
+      maxDistinct: Long = 100000L): DataFrame = {
     require(scores.nonEmpty, "blendScores: need at least one score column")
     val reserved = df.columns.filter(c => c.startsWith("__bs") || c.startsWith("__rk"))
     require(reserved.isEmpty && !df.columns.contains(outCol),
@@ -96,9 +103,18 @@ object Calibration {
     val ranked = scores.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
       val sc = s"__bs$i"
       val withS = acc.withColumn(sc, s)
+      // guard BEFORE the window/broadcast: the per-score distinct
+      // frame is persisted once, counted (distributed — nothing large
+      // touches the driver), and reused by the window below
+      val distinctFrame = graft.Caches.persist(
+        withS.groupBy(sc).agg(count(lit(1)).as("__n")))
+      val nDistinct = distinctFrame.count()
+      require(nDistinct <= maxDistinct,
+        s"blendScores: score #$i has $nDistinct distinct values > maxDistinct=$maxDistinct — " +
+          "pre-round real-valued scores (e.g. Cols.pround(s, 4)) or raise the cap")
       // null-safe join key: a NULL score still ranks (first, both
       // engines must say NULLS FIRST) instead of silently dropping
-      val cdf = withS.groupBy(sc).agg(count(lit(1)).as("__n"))
+      val cdf = distinctFrame
         .withColumn("__cum",
           sum("__n").over(Window.orderBy(col(sc).asc_nulls_first)
             .rowsBetween(Window.unboundedPreceding, 0)))

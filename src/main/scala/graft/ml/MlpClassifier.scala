@@ -85,6 +85,38 @@ final case class MlpClassifier(
 }
 
 object MlpClassifier {
+
+  /** Load a trained head from parquet rows `(layer, idx, vec)` —
+    * `w1` rows are the hidden×dim weight matrix (one row per hidden
+    * unit, ordered by idx), `b1`/`w2` are single rows holding the
+    * hidden-sized vectors, `b2` a single 1-element row. This is the
+    * egress-free twin of the reference's per-language `.pth` load
+    * (fineweb-2 CONFIGS_10: german_cls.pth, french_cls.pth, …
+    * exported to parquet once, loaded here into the same
+    * [[FinewebConfig.toxicityClassifier]] slot). */
+  def fromParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      activation: String = "relu"): MlpClassifier =
+    fromFrame(spark.read.parquet(path), activation)
+
+  def fromFrame(weights: org.apache.spark.sql.DataFrame, activation: String): MlpClassifier = {
+    val rows = weights
+      .select(col("layer"), col("idx").cast("int"),
+        transform(col("vec"), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def layer(name: String) = rows.filter(_._1 == name).sortBy(_._2).map(_._3)
+    val w1 = layer("w1")
+    def one(name: String) = {
+      val l = layer(name)
+      require(l.length == 1, s"expected exactly one '$name' row, got ${l.length}")
+      l.head
+    }
+    require(w1.nonEmpty, "no 'w1' rows in weight frame")
+    MlpClassifier(w1, one("b1"), one("w2"), one("b2").head, activation)
+  }
+
   /** Deterministic pseudo-random weights (same Knuth-LCG family as
     * [[LinearClassifier.seeded]]); hidden-layer weights scaled by
     * 1/dim so seeded logits stay in sigmoid's responsive range. */

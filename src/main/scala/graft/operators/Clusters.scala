@@ -556,15 +556,23 @@ object Clusters {
        |FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** Shared link-graph gate fixture: dense node ids 0..n-1 in doc_id
+    * order via [[Layout.denseIds]] — dogfooding the scalable assigner
+    * instead of the single-partition `row_number()` global window it
+    * was built to replace (the count is one job over denseIds'
+    * already-persisted range frame, not a separate full scan). */
+  private def fixtureIds(docs: DataFrame): (DataFrame, Long) = {
+    val ids = Layout
+      .denseIds(docs.select("doc_id"), Seq(col("doc_id")), outCol = "rn")
+      .select("rn")
+    (ids, ids.count())
+  }
+
   val gates: Seq[Gate] = Seq(
 
     Gate(
       "op_pagerank", pageRankSqlTwin(5)) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val ids = docs.select(
-        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("rn"))
-      val n = ids.count()
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
       val e = ids.select(col("rn").as("src"), ((col("rn") * 31 + 7) % n).as("dst"))
         .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n))
       pageRank(e, "src", "dst", iterations = 5, damping = 0.85)
@@ -574,11 +582,7 @@ object Clusters {
 
     Gate(
       "op_hits", hitsSqlTwin(3)) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val ids = docs.select(
-        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("rn"))
-      val n = ids.count()
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
       val e = ids.select(col("rn").as("src"), ((col("rn") * 31 + 7) % n).as("dst"))
         .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n))
       hits(e, "src", "dst", iterations = 3)
@@ -590,11 +594,7 @@ object Clusters {
 
     Gate(
       "op_communities", lpaSqlTwin(3)) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val ids = docs.select(
-        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("rn"))
-      val n = ids.count()
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
       val pent = (col("rn") - (col("rn") % 5)) + ((col("rn") % 5) + 1) % 5
       val e = ids.select(col("rn").as("src"), pent.as("dst")).filter(col("dst") < n)
         .union(ids.filter(col("rn") % 25 === 0)

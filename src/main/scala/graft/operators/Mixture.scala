@@ -267,8 +267,21 @@ object Mixture {
     val marked = docs
       .withColumn("__sbt", tokensCol.cast("long"))
       .withColumn("__sbb", b)
-    val perBucket = marked.groupBy("__sbb").agg(sum(col("__sbt")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // NULL contract enforced inside the same tiny aggregate (no extra
+    // job): a NULL score lands in a NULL bucket and a NULL/uncastable
+    // token count would be silently skipped by sum() — both previously
+    // surfaced as an opaque driver NPE; now they fail with the cause
+    val perBucketRows = marked.groupBy("__sbb").agg(
+      sum(col("__sbt")).as("t"),
+      sum(when(col("__sbt").isNull, 1L).otherwise(0L)).as("n_null_tok"))
+      .collect()
+    require(!perBucketRows.exists(_.isNullAt(0)),
+      "selectByBudget: scoreCol has NULLs — coalesce them to a defined score first")
+    val nNullTok = perBucketRows.map(_.getLong(2)).sum
+    require(nNullTok == 0,
+      s"selectByBudget: tokensCol is NULL (or uncastable to long) for $nNullTok rows — " +
+        "coalesce or filter them first")
+    val perBucket = perBucketRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     // walk buckets from the top; find the first whose inclusion
     // overflows the budget (k = -1: everything fits)
     var cum = 0L

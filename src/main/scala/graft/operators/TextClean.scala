@@ -80,7 +80,7 @@ object TextClean {
       // u2018/u2019 single quotes, u201C/u201D double quotes,
       // u2013/u2014 dashes, u00A0 NBSP (escapes only in source)
       translate(text,
-        "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"--  "),
+        "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- "),
       "\u2026", "...")
 
   /** Per-source corpus profile: doc/token/char counts and mean

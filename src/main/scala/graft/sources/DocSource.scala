@@ -182,11 +182,18 @@ object DocSource {
     * the manifest produced at write time. */
   def manifest(sharded: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol).cast("long")
+    // pre-reduce mod p BEFORE the multiplicative hash: a raw
+    // id * 2654435761 overflows long for ids ≥ ~3.47e9 (the corpus
+    // sizes this sink targets) — ANSI mode would throw at runtime and
+    // non-ANSI would wrap negative, diverging from the oracle. With
+    // the reduction, (p-1) * 2654435761 ≈ 2.65e18 fits a long (the
+    // Cols.lcgUniform idiom).
+    val p = 1000000007L
     sharded.groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
       min(id).as("min_id"),
       max(id).as("max_id"),
-      sum(((id * 2654435761L) % 1000000007L)
+      sum(((pmod(id, lit(p)) * 2654435761L) % p)
         .cast(org.apache.spark.sql.types.DecimalType(30, 0)))
         .cast("long").as("ids_digest"))
   }
@@ -206,7 +213,13 @@ object DocSource {
     * string-typed Spark columns don't expose. Real WET bodies are
     * markup-stripped text, where the version line does not occur;
     * `content_length` rides along so a downstream guard can compare
-    * it to `length(text)` and quarantine mis-framed records. */
+    * it to `length(text)` and quarantine mis-framed records.
+    *
+    * This writer/reader pair is an INTERNAL framing, not byte-exact
+    * Common Crawl WET: real WET record ids are `<urn:uuid:...>` (the
+    * try_cast below yields NULL for them rather than an ANSI runtime
+    * error — keep the raw header if you need the uuid), and real
+    * Content-Length declares octets while ours declares chars. */
   def readWet(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
       .filter(length(col("value")) > 0)
@@ -217,13 +230,17 @@ object DocSource {
         col("__rec").substr(lit(1), col("__p") - 1).as("__hdr"),
         col("__rec").substr(col("__p") + 4, length(col("__rec"))).as("text"))
       .select(
+        // try_cast, not cast: under Spark 4 ANSI mode a non-numeric
+        // record id (real Common Crawl uses <urn:uuid:...>) or a
+        // missing header (regexp_extract miss → "") would otherwise
+        // throw a runtime CAST error instead of yielding NULL
         regexp_extract(col("__hdr"), "WARC-Record-ID: ([^\r\n]*)", 1)
-          .cast("long").as("id"),
+          .try_cast("long").as("id"),
         nullif(
           regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]*)", 1),
           lit("")).as("url"),
         regexp_extract(col("__hdr"), "Content-Length: ([0-9]+)", 1)
-          .cast("long").as("content_length"),
+          .try_cast("long").as("content_length"),
         col("text"))
   }
 
@@ -341,7 +358,7 @@ object DocSource {
       """WITH s AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard FROM documents)
         |SELECT shard, count(*) AS n_docs,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
-        |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT) AS ids_digest
+        |  CAST(sum(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT) AS ids_digest
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
       val path = gateScratch(dir, "snk_sharded")
       writeSharded(

@@ -65,4 +65,21 @@ class CalibrationSpec extends SparkSpec {
     // ties share a rank: ids 1 and 2 tie on s1 but split on s2
     assert(out(1L) > out(2L))
   }
+
+  test("blendScores rejects an unrounded high-cardinality score loudly") {
+    // an all-distinct real-valued score: the frame the window/broadcast
+    // would carry is corpus-sized, so the capacity guard must fire
+    val df = spark.range(50).select(
+      col("id"), (col("id").cast("double") / 7.0 + 0.123456789).as("raw"))
+    val e = intercept[IllegalArgumentException] {
+      Calibration.blendScores(df, Seq(col("raw")), maxDistinct = 10L).count()
+    }
+    assert(e.getMessage.contains("distinct values"))
+    assert(e.getMessage.contains("pround"))
+    // the same score pre-rounded passes under the identical cap
+    val ok = Calibration.blendScores(
+      df.select(col("id"), Cols.pround(col("id").cast("double") / 7.0, 0).as("r")),
+      Seq(col("r")), maxDistinct = 10L)
+    assert(ok.count() == 50L)
+  }
 }

@@ -41,6 +41,57 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(k >= (n * 0.25).toLong && k <= (n * 0.75).toLong, s"kept $k of $n at p=0.5")
   }
 
+  test("committed parquet weights drive annotate→score→filter end-to-end (real-weights seam)") {
+    graft.expr.GraftExtensions.register(spark)
+    // the committed fixtures: an embedding-bag weight matrix (the A2
+    // encoder seam) and a trained-head export in the (layer, idx, vec)
+    // layout (the reference's per-language .pth drop-in)
+    val bagPath = getClass.getResource("/weights/bag_weights.parquet").getPath
+    val mlpPath = getClass.getResource("/weights/mlp_head.parquet").getPath
+    val enc = graft.ml.LocalWeightsEncoder.fromParquet(spark, bagPath, "token_id", "vector")
+    val mlp = graft.ml.MlpClassifier.fromParquet(spark, mlpPath)
+    assert(enc.vocab == 64 && enc.dim == 16)
+    assert(mlp.inputDim == 16 && mlp.hiddenDim == 8)
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    // real-weights A2 annotate: embedding comes from the loaded matrix
+    val docsAnnotated = docs.withColumn("embedding", enc.embed(spark, col("text")))
+
+    // independent local twin: embedLocal + a plain-double forward pass
+    def localScore(text: String): Double = {
+      val e = enc.embedLocal(text)
+      val h = mlp.w1.indices.map { i =>
+        math.max(0.0, mlp.w1(i).zip(e).map { case (w, x) => w * x }.sum + mlp.b1(i))
+      }
+      val logit = h.zip(mlp.w2).map { case (a, w) => a * w }.sum + mlp.b2
+      1.0 / (1.0 + math.exp(-logit))
+    }
+    val local = docs.collect().map(r => r.getLong(0) -> localScore(r.getString(1))).toMap
+    val sparkScores = docsAnnotated
+      .select(col("doc_id"), mlp.score(col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sparkScores.keySet == local.keySet)
+    sparkScores.foreach { case (id, s) =>
+      assert(math.abs(s - local(id)) < 1e-9, s"doc $id: spark $s vs local ${local(id)}")
+    }
+
+    // threshold at the local-score median midpoint → a genuine split
+    // with no boundary ambiguity
+    val sorted = local.values.toSeq.sorted
+    val thr = (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docsAnnotated,
+      FinewebConfig(toxicityThreshold = Some(thr),
+        toxicityClassifier = Some(mlp), piiFormat = false))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = local.filter(_._2 < thr).keys.toSet
+    assert(keptIds == expected, s"kept ${keptIds.size} vs expected ${expected.size}")
+    assert(excluded.select("filter_reason").distinct().collect()
+      .map(_.getString(0)).toSet == Set("toxicity"))
+    assert(keptIds.size + excluded.count() == local.size)
+  }
+
   test("stacked filters attribute exclusions to the first rejecting stage") {
     val docs = annotated
     val banned = docs.filter(col("doc_id") % 5 === 0).select("doc_id")

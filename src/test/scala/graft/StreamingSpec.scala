@@ -231,6 +231,72 @@ class StreamingSpec extends SparkSpec {
       (1L, 1L, 1L, 1.0))) // user 3 active day 2
   }
 
+  test("stream-vs-batch parity on the real events table: hopping, sessionize, dedup") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sfDir, "events")
+
+    // 1. hopping windows: a real file-source stream over the events
+    // table must equal the batch twin on identical data (the q17 gate
+    // verifies the batch side; this closes the stream side)
+    val hopCols = Seq(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+    val expectedHop = EventStream.hoppingTypeCounts(events).select(hopCols: _*).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-parity").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q1 = EventStream.hoppingTypeCounts(
+        spark.readStream.schema(events.schema).parquet(dir))
+      .select(hopCols: _*)
+      .writeStream.format("memory").queryName("parity_hop")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val gotHop = spark.table("parity_hop").collect().toSet
+    assert(gotHop == expectedHop, s"hopping parity: stream ${gotHop.size} vs batch ${expectedHop.size} rows")
+
+    // 2. sessionization: the stream emits exactly the CLOSED sessions
+    // (a session closes when a later event opens the next one); the
+    // batch twin restricted to each user's non-final sessions must
+    // match — same events, same 30-minute gap
+    val evRows = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)].collect()
+      .map { case (u, ms) => EventStream.EventRow(u, ms) }
+    val sessIn = MemoryStream[EventStream.EventRow]
+    val q2 = EventStream.sessionizeStream(sessIn.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("parity_sess").outputMode("append").start()
+    sessIn.addData(evRows.toIndexedSeq)
+    q2.processAllAvailable()
+    val gotSess = spark.table("parity_sess").as[EventStream.Session].collect().toSet
+    q2.stop()
+    import org.apache.spark.sql.expressions.Window
+    val closedBatch = EventStream.sessionizeBatch(events, 30)
+      .withColumn("__mx", max("session_nr").over(Window.partitionBy("user_id")))
+      .filter(col("session_nr") < col("__mx"))
+      .select("user_id", "session_nr", "n_events")
+      .as[EventStream.Session].collect().toSet
+    assert(gotSess == closedBatch, s"sessionize parity: stream ${gotSess.size} vs batch ${closedBatch.size}")
+
+    // 3. dedup: a full redelivery of the table in a LATER batch must
+    // leave the stream output equal to the batch distinct — an
+    // at-least-once source replayed wholesale
+    val idTs = events.select(col("event_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val dupIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val q3 = EventStream.dedupStream(
+        dupIn.toDF().toDF("event_id", "ts"), Seq("event_id"), watermark = "365 days")
+      .writeStream.format("memory").queryName("parity_dedup").outputMode("append").start()
+    dupIn.addData(idTs.toIndexedSeq)
+    q3.processAllAvailable()
+    dupIn.addData(idTs.toIndexedSeq) // wholesale redelivery
+    q3.processAllAvailable()
+    val gotIds = spark.table("parity_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q3.stop()
+    val batchIds = EventStream.dedupStream(events, Seq("event_id"))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotIds == batchIds, s"dedup parity: stream ${gotIds.size} vs batch ${batchIds.size}")
+  }
+
   test("batch sessionization matches a hand-computed case") {
     import spark.implicits._
     val events = Seq(
