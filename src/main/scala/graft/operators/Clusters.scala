@@ -562,9 +562,13 @@ object Clusters {
     * was built to replace (the count is one job over denseIds'
     * already-persisted range frame, not a separate full scan). */
   private def fixtureIds(docs: DataFrame): (DataFrame, Long) = {
-    val ids = Layout
-      .denseIds(docs.select("doc_id"), Seq(col("doc_id")), outCol = "rn")
-      .select("rn")
+    // persisted: the iterative consumers (pageRank/hits/LPA) re-join
+    // their edge frame every round, and without the persist each
+    // round would re-run denseIds' range shuffle + RDD pass through
+    // the whole lineage (measured 2× on op_hits at sf0.1)
+    val ids = graft.Caches.persist(
+      Layout.denseIds(docs.select("doc_id"), Seq(col("doc_id")), outCol = "rn")
+        .select("rn"))
     (ids, ids.count())
   }
 

@@ -40,13 +40,24 @@ object Lines {
       textCol: String,
       idCol: String,
       minDocs: Int,
-      minChars: Int): DataFrame = {
+      minChars: Int): DataFrame =
+    hotBlockHashes(docs, textCol, idCol, minDocs, minChars, "\n")
+
+  /** [[hotLineHashes]] at any block granularity (`sep` is the split
+    * regex — "\n" for lines, "\n\n" for paragraphs). */
+  private def hotBlockHashes(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int,
+      minChars: Int,
+      sep: String): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
     Dedup.spread(docs)
-      .select(col(idCol).as("__id"), explode(split(col(textCol), "\n")).as("__l"))
+      .select(col(idCol).as("__id"), explode(split(col(textCol), sep)).as("__l"))
       .filter(length(col("__l")) >= minChars)
       .select(col("__id"), md5(col("__l")).as("h"))
-      .distinct() // per-doc repeats of a line count once toward its df
+      .distinct() // per-doc repeats of a block count once toward its df
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("h")
@@ -80,27 +91,62 @@ object Lines {
       idCol: String,
       minDocs: Int = 3,
       minChars: Int = 15,
-      maxHotLines: Int = 100000): DataFrame = {
+      maxHotLines: Int = 100000): DataFrame =
+    dedupBlocks(docs, textCol, idCol, minDocs, minChars, maxHotLines,
+      sep = "\n", joinStr = "\n", countCol = "n_lines_removed",
+      what = "dedupLines", capName = "maxHotLines")
+
+  /** Corpus-hot PARAGRAPH removal — [[dedupLines]] at blank-line
+    * granularity, the exact CCNet unit (CCNet hashes raw paragraphs,
+    * not lines): a paragraph recurring across ≥ `minDocs` documents is
+    * boilerplate and drops everywhere. Same digest-only shuffle +
+    * capacity-guarded driver set; the higher `minChars` floor reflects
+    * that legitimate short paragraphs ("Introduction") repeat across
+    * documents without being boilerplate. Appends
+    * `n_paragraphs_removed`. */
+  def dedupParagraphs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int = 3,
+      minChars: Int = 30,
+      maxHotParagraphs: Int = 100000): DataFrame =
+    dedupBlocks(docs, textCol, idCol, minDocs, minChars, maxHotParagraphs,
+      sep = "\n\n", joinStr = "\n\n", countCol = "n_paragraphs_removed",
+      what = "dedupParagraphs", capName = "maxHotParagraphs")
+
+  private def dedupBlocks(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int,
+      minChars: Int,
+      maxHot: Int,
+      sep: String,
+      joinStr: String,
+      countCol: String,
+      what: String,
+      capName: String): DataFrame = {
     graft.expr.GraftExtensions.register(docs.sparkSession)
     // guard BEFORE materializing: a distributed count over the
     // (persisted, compact) hot frame costs one cheap job, whereas
     // collect-then-check would pull up to the full pathological set
     // onto the driver — the exact OOM the cap exists to prevent
     val hotDf = graft.Caches.persist(
-      hotLineHashes(docs, textCol, idCol, minDocs, minChars))
+      hotBlockHashes(docs, textCol, idCol, minDocs, minChars, sep))
     val hotCount = hotDf.count()
-    require(hotCount <= maxHotLines,
-      s"dedupLines: hot-line set has $hotCount entries > maxHotLines=$maxHotLines — " +
+    require(hotCount <= maxHot,
+      s"$what: hot set has $hotCount entries > $capName=$maxHot — " +
         "raise minDocs/minChars or the cap")
     val hot = hotDf.collect().map(_.getString(0))
     val blob = lit(graft.expr.StringSetKernel.encode(hot))
-    val cleaned = bind(split(col(textCol), "\n")) { lines =>
-      bind(filter(lines, l =>
+    val cleaned = bind(split(col(textCol), sep)) { blocks =>
+      bind(filter(blocks, l =>
         !(length(l) >= minChars && call_function("graft_set_contains", blob, md5(l))))) {
         kept =>
           struct(
-            (size(lines) - size(kept)).cast("long").as("nr"),
-            array_join(kept, "\n").as("txt"))
+            (size(blocks) - size(kept)).cast("long").as("nr"),
+            array_join(kept, joinStr).as("txt"))
       }
     }
     docs
@@ -109,7 +155,7 @@ object Lines {
           struct(lit(0L).as("nr"), col(textCol).as("txt")))
           .otherwise(cleaned))
       .withColumn(textCol, col("__c.txt"))
-      .withColumn("n_lines_removed", col("__c.nr"))
+      .withColumn(countCol, col("__c.nr"))
       .drop("__c")
   }
 
@@ -281,7 +327,65 @@ object Lines {
       s"(CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$FooterLine' ELSE '' END) || " +
       "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'ok bye' ELSE '' END)"
 
+  /** 16-word paragraphs separated by blank lines — the
+    * [[chunkLines]] twin at paragraph granularity. */
+  private def chunkParas(text: Column): Column = bind(TextAnalysis.words(text)) { ws =>
+    array_join(
+      transform(TextAnalysis.indices(ceil(size(ws) / lit(16.0))),
+        i => array_join(slice(ws, (i - 1) * 16 + 1, lit(16)), " ")),
+      "\n\n")
+  }
+  private val SqlChunkParas: String =
+    "array_to_string([array_to_string(ws[(i-1)*16+1:(i-1)*16+16], ' ') " +
+      "FOR i IN range(1, CAST(ceil(len(ws)/16.0) AS INT) + 1)], chr(10) || chr(10))"
+
+  private val BoilerPara =
+    "please subscribe to our newsletter for daily updates and follow us on social media"
+
   val gates: Seq[Gate] = Seq(
+
+    // Paragraph-granularity twin of dedup_lines: a long boilerplate
+    // PARAGRAPH planted on doc_id%4 (hot → removed everywhere) and a
+    // short dup paragraph on doc_id%3 that stays under the 30-char
+    // floor — pinning that paragraph hashing, not line hashing, drives
+    // the removal (each paragraph contains no newline, so a line-level
+    // dedup would behave identically on the boilerplate but the floor
+    // values differ; the fixture's short-para case splits the two).
+    Gate(
+      "dedup_paragraphs", {
+        val sep = "chr(10) || chr(10)"
+        val page = s"(CASE WHEN doc_id % 4 = 0 THEN '$BoilerPara' || $sep ELSE '' END) " +
+          s"|| $SqlChunkParas || (CASE WHEN doc_id % 3 = 0 THEN $sep || 'short here' ELSE '' END)"
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |           FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |l AS (SELECT doc_id, string_split(page, $sep) AS paras FROM p),
+           |lh AS (SELECT DISTINCT doc_id, h FROM
+           |        (SELECT doc_id, unnest([md5(x) FOR x IN paras IF len(x) >= 30]) AS h FROM l)),
+           |hot AS (SELECT h FROM lh GROUP BY h HAVING count(*) >= 3),
+           |hl AS (SELECT coalesce(list(h), []) AS hl FROM hot),
+           |k AS (SELECT doc_id, paras,
+           |    [x FOR x IN paras IF NOT (len(x) >= 30 AND list_contains(hl, md5(x)))] AS kept
+           |  FROM l, hl)
+           |SELECT doc_id, len(paras) AS n_paras,
+           |  CAST(len(paras) - len(kept) AS BIGINT) AS n_removed,
+           |  md5(coalesce(array_to_string(kept, $sep), '')) AS cleaned_md5
+           |FROM k ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = concat(
+        when(col("doc_id") % 4 === 0, lit(BoilerPara + "\n\n")).otherwise(lit("")),
+        chunkParas(col("text")),
+        when(col("doc_id") % 3 === 0, lit("\n\nshort here")).otherwise(lit("")))
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("text"))
+      dedupParagraphs(pages, "text", "doc_id", minDocs = 3, minChars = 30)
+        .join(pages.select(col("doc_id"), size(split(col("text"), "\n\n")).as("n_paras")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_paras"),
+          col("n_paragraphs_removed").as("n_removed"),
+          md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
 
     Gate(
       "dedup_lines",

@@ -305,6 +305,124 @@ object Mixture {
     keptHi.select(cols: _*).unionByName(boundary.select(cols: _*))
   }
 
+  /** Water-filled per-source token budgets — the allocation step of
+    * "mix sources to target proportions under a global token budget":
+    * each source s tentatively gets floor(w_s/W · remaining); sources
+    * that can't fill their share (total_s smaller) SATURATE — they
+    * contribute everything they have and their unused share
+    * redistributes over the rest, proportionally, until no new source
+    * saturates. ≤ #sources rounds of driver arithmetic over the tiny
+    * (source → total-tokens) table — the same bounded-driver-math
+    * shape as the k-means fit; nothing here touches the corpus.
+    * Deterministic: saturation is detected from exact longs, and the
+    * tentative shares use one fixed double expression
+    * (w_s / W · remaining). */
+  def allocateBudgets(
+      totals: Map[String, Long],
+      weights: Map[String, Double],
+      budget: Long): Map[String, Long] = {
+    require(budget >= 0, s"allocateBudgets: budget must be ≥ 0, got $budget")
+    val missing = totals.keySet.diff(weights.keySet)
+    require(missing.isEmpty, s"allocateBudgets: sources without a weight: $missing")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN),
+      "allocateBudgets: weights must be non-negative")
+    var alloc = Map.empty[String, Long]
+    var active = totals.keySet.filter(weights(_) > 0)
+    var remaining = budget
+    var done = false
+    while (!done && active.nonEmpty && remaining > 0) {
+      val w = active.toSeq.map(weights).sum
+      val tentative = active.map(s => s -> math.floor(weights(s) / w * remaining).toLong).toMap
+      val saturated = active.filter(s => totals(s) <= tentative(s))
+      if (saturated.isEmpty) {
+        alloc ++= tentative
+        done = true
+      } else {
+        saturated.foreach { s => alloc += s -> totals(s); remaining -= totals(s) }
+        active = active.diff(saturated)
+      }
+    }
+    totals.keysIterator.foreach(s => if (!alloc.contains(s)) alloc += s -> 0L)
+    alloc
+  }
+
+  /** Stratified [[selectByBudget]]: keep each SOURCE's best docs up to
+    * its water-filled share of a global token budget — the full "data
+    * mixing under a budget" selection in one operator. Same bucket
+    * trick as selectByBudget, per stratum: ONE tiny
+    * (source × bucket) aggregate (≤ sources·buckets rows) finds every
+    * source's boundary bucket on the driver; buckets above keep
+    * outright via a broadcast bounds join (narrow filter); only
+    * boundary-bucket rows (~corpus/buckets per source) pay an exact
+    * prefix — a window PARTITIONED by source, so no single-task global
+    * sort, and the window input is already 1/buckets of the corpus.
+    * Same column contracts as [[selectByBudget]] (score in [0,1],
+    * tokens ≥ 0, unique ids) plus: no NULL sources, and every source
+    * needs a weight. */
+  def selectByBudgetStratified(
+      docs: DataFrame,
+      tokensCol: Column,
+      scoreCol: Column,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"selectByBudgetStratified: budget must be ≥ 0, got $budget")
+    require(buckets >= 2, s"selectByBudgetStratified: need ≥ 2 buckets, got $buckets")
+    val reserved = Seq("__sbb", "__sbt", "__sbc", "__sbs", "__sbk", "__sbr")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"selectByBudgetStratified: input columns collide with $clash")
+    val cols = docs.columns.map(col)
+    val b = least(greatest(floor(scoreCol * buckets).cast("int"), lit(0)), lit(buckets - 1))
+    val marked = docs
+      .withColumn("__sbt", tokensCol.cast("long"))
+      .withColumn("__sbb", b)
+    val perRows = marked.groupBy(col(sourceCol), col("__sbb")).agg(
+      sum(col("__sbt")).as("t"),
+      sum(when(col("__sbt").isNull, 1L).otherwise(0L)).as("n_null_tok"))
+      .collect()
+    require(!perRows.exists(_.isNullAt(0)),
+      "selectByBudgetStratified: sourceCol has NULLs — coalesce them to a named stratum first")
+    require(!perRows.exists(_.isNullAt(1)),
+      "selectByBudgetStratified: scoreCol has NULLs — coalesce them to a defined score first")
+    val nNullTok = perRows.map(_.getLong(3)).sum
+    require(nNullTok == 0,
+      s"selectByBudgetStratified: tokensCol is NULL (or uncastable) for $nNullTok rows")
+    val perBucket = perRows
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals = perBucket.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val alloc = allocateBudgets(totals, weights, budget)
+    // per-source boundary walk (the selectByBudget loop, per stratum)
+    val bounds = totals.keys.toSeq.sorted.map { src =>
+      var cum = 0L
+      var k = -1
+      var rem = alloc(src)
+      var bi = buckets - 1
+      while (bi >= 0 && k < 0) {
+        val t = perBucket.getOrElse((src, bi), 0L)
+        if (cum + t > alloc(src)) { k = bi; rem = alloc(src) - cum }
+        else cum += t
+        bi -= 1
+      }
+      (src, k, rem)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val boundsDf = bounds.toDF("__sbs", "__sbk", "__sbr")
+    val joined = marked.join(broadcast(boundsDf), col(sourceCol) === col("__sbs"))
+    val keptHi = joined.filter(col("__sbb") > col("__sbk"))
+    val boundary = joined.filter(col("__sbb") === col("__sbk"))
+      .withColumn("__sbc",
+        sum(col("__sbt")).over(
+          Window.partitionBy(col(sourceCol))
+            .orderBy(scoreCol.desc, col(idCol).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__sbc") <= col("__sbr"))
+    keptHi.select(cols: _*).unionByName(boundary.select(cols: _*))
+  }
+
   val gates: Seq[Gate] = Seq(
     // Token-budget selection: score = (doc_id % 997)/997 (portable,
     // deliberately TIED across docs so the id tiebreak and the
@@ -332,6 +450,42 @@ object Mixture {
       val budget = 2L * t.agg(sum(col("n_tok"))).head.getLong(0) / 5L
       selectByBudget(t, col("n_tok"), col("score"), "doc_id", budget)
         .select("doc_id", "n_tok")
+        .orderBy("doc_id")
+    },
+
+    // Stratified budget mix: weights ∝ source index + 1 (portable —
+    // both engines parse the index out of 'srcN'), global budget =
+    // total/3 in integer arithmetic. Sized so NO source saturates
+    // (max share 20/210 · 1/3 ≈ 3.2% < any source's ~5% of tokens):
+    // the water-fill then reduces to the one-shot floor(w/W·B) the
+    // oracle can express; the saturating path is property-tested in
+    // MixtureSpec. Oracle = per-source partitioned prefix windows.
+    Gate(
+      "op_budget_mix", {
+        val wc = s"len(regexp_extract_all(text, '${TextAnalysis.WordPattern}'))"
+        s"""WITH t AS (SELECT doc_id, source, CAST($wc AS BIGINT) AS n_tok,
+           |    CAST(doc_id % 997 AS DOUBLE) / 997.0 AS score FROM documents),
+           |b AS (SELECT sum(n_tok) // 3 AS budget FROM t),
+           |a AS (SELECT source,
+           |    CAST(floor(CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) / 210.0
+           |               * budget) AS BIGINT) AS alloc
+           |  FROM (SELECT DISTINCT source FROM t), b),
+           |c AS (SELECT doc_id, source, n_tok,
+           |    sum(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id, source, n_tok FROM c JOIN a USING (source)
+           |WHERE cum <= alloc ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_tok"),
+          ((col("doc_id") % 997).cast("double") / 997.0).as("score"))
+      val budget = t.agg(sum(col("n_tok"))).head.getLong(0) / 3L
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap
+      selectByBudgetStratified(
+        t, col("n_tok"), col("score"), "doc_id", "source", weights, budget)
+        .select("doc_id", "source", "n_tok")
         .orderBy("doc_id")
     },
 

@@ -477,6 +477,74 @@ object Similarity {
       |SELECT vec_id + 1000000, [x::DOUBLE * 1.5 FOR x IN embedding]
       |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  // ---- int8 quantization (N3 — the ANN memory/bandwidth scale path) ----
+
+  /** Per-vector symmetric int8 scale: maxabs/127 (0.0 for the zero
+    * vector). One narrow pass; exact IEEE arithmetic in both engines. */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 codes, kept as EXACT-integer-VALUED doubles in
+    * [-127, 127]: code_j = floor(v_j/scale + 0.5) — half-up via
+    * floor(x+0.5), identical IEEE arithmetic in both engines (engine
+    * ROUND() differs at halves). Double storage is deliberate: the
+    * codegen'd `graft_fastdot` kernel consumes the arrays directly,
+    * and since every value is integral, double dot products over them
+    * are EXACT (|dot| ≤ 127²·64 ≈ 10⁶ ≪ 2⁵³) and order-independent —
+    * quantized scoring needs no decimal fold at all. At rest the
+    * codes serialize as int8/int16 parquet (cast on write): a 4×
+    * memory/bandwidth cut vs float32 — at 100 TB the difference
+    * between an ANN index that fits executor memory and one that
+    * spills — while scoring costs the same arithmetic as before. */
+  def int8Codes(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec, x => floor(x.cast("double") / scale + 0.5).cast("double")))
+
+  /** Reconstruction: code_j · scale. |dequant − v| ≤ scale/2 by
+    * construction (asserted in SimilaritySpec). */
+  def dequantInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c * scale)
+
+  /** Cosine over code arrays — the per-vector scales cancel, so
+    * quantized cosine needs no dequantization. Integer-exact dots →
+    * deterministic, SQL-twin-reproducible. */
+  def int8Cosine(ca: Column, cb: Column): Column =
+    call_function("graft_fastdot", ca, cb) /
+      (sqrt(call_function("graft_fastdot", ca, ca)) *
+        sqrt(call_function("graft_fastdot", cb, cb)))
+
+  /** N3 — brute-force top-k over int8-quantized vectors: the N1 shape
+    * (broadcast queries × streaming corpus, bounded-heap top-k) at a
+    * quarter of the scan bandwidth. Zero-norm vectors are excluded on
+    * both sides (cosine is undefined for them). */
+  def int8TopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int): DataFrame = {
+    def coded(df: DataFrame, vc: String) = df.select(
+      df.columns.filter(_ != vc).map(col) :+
+        Cols.bind(int8Scale(col(vc)))(sc => int8Codes(col(vc), sc)).as(s"${vc}_codes"): _*)
+    val qs = coded(queries, "qvec")
+      .filter(call_function("graft_fastdot", col("qvec_codes"), col("qvec_codes")) > 0)
+    val scored = coded(corpus, "vec")
+      .filter(call_function("graft_fastdot", col("vec_codes"), col("vec_codes")) > 0)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        int8Cosine(col("qvec_codes"), col("vec_codes")).as("cos"))
+    groupedTopK(scored, k)
+  }
+
+  /** DuckDB twin of [[int8Codes]] (BIGINT codes — exact ints both
+    * ways). */
+  def sqlInt8Codes(vExpr: String, scaleExpr: String): String =
+    s"CASE WHEN $scaleExpr = 0 THEN [CAST(0 AS BIGINT) FOR i IN range(1, ${Dim + 1})] " +
+      s"ELSE [CAST(floor(($vExpr)[i]::DOUBLE / $scaleExpr + 0.5) AS BIGINT) FOR i IN range(1, ${Dim + 1})] END"
+
+  def sqlInt8Scale(vExpr: String): String =
+    s"(list_max([abs(($vExpr)[i]::DOUBLE) FOR i IN range(1, ${Dim + 1})]) / 127.0)"
+
   val gates: Seq[Gate] = Seq(
 
     Gate(
@@ -683,6 +751,76 @@ object Similarity {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 5)
         .orderBy("qid")
+    },
+
+    // Int8 quantization gate: scale, codes, and the mean
+    // reconstruction error per vector — every value integer- or
+    // IEEE-exact, so the oracle reproduces all three bit-for-bit.
+    Gate(
+      "ann_quantize_int8", {
+        val scale = sqlInt8Scale("embedding")
+        val codes = sqlInt8Codes("embedding", "scale")
+        val err = s"CAST(list_sum([CAST(abs(codes[i] * scale - embedding[i]::DOUBLE) " +
+          s"AS DECIMAL(30,15)) FOR i IN range(1, ${Dim + 1})]) AS DOUBLE) / ${Dim}.0"
+        s"""WITH q AS (SELECT vec_id, embedding, $scale AS scale
+           |  FROM embeddings WHERE vec_id < 200),
+           |c AS (SELECT vec_id, embedding, scale, $codes AS codes FROM q)
+           |SELECT vec_id, ${Cols.proundSql("scale", 8)} AS scale, codes,
+           |  ${Cols.proundSql(err, 8)} AS mean_err
+           |FROM c ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
+      // distinct working names: aliasing the ROUNDED scale to "scale"
+      // in the same select whose error term reads col("scale") made
+      // the lambda resolve against the rounded output — 3e-8 off the
+      // oracle; keep the raw scale under __sc until the final rename
+      emb.select(col("vec_id"), col("embedding"),
+          int8Scale(col("embedding")).as("__sc"))
+        .withColumn("__codes", int8Codes(col("embedding"), col("__sc")))
+        .withColumn("__err",
+          aggregate(
+            zip_with(col("__codes"), col("embedding"),
+              (c, x) => abs(c * col("__sc") - x.cast("double")).cast(acc)),
+            lit(0).cast(acc), (a, b) => (a + b).cast(acc)).cast("double") / Dim.toDouble)
+        .select(col("vec_id"),
+          Cols.pround(col("__sc"), 8).as("scale"),
+          transform(col("__codes"), _.cast("long")).as("codes"),
+          Cols.pround(col("__err"), 8).as("mean_err"))
+        .orderBy("vec_id")
+    },
+
+    // Quantized brute-force top-k: same shape as ann_topk_bruteforce
+    // but scored on int8 codes (scales cancel in cosine) — the oracle
+    // recomputes the integer dots and the identical double division;
+    // recall vs the exact ranking is asserted in SimilaritySpec.
+    Gate(
+      "ann_topk_int8", {
+        val scale = sqlInt8Scale("embedding")
+        val codes = sqlInt8Codes("embedding", "scale")
+        val dot = s"CAST(list_sum([q.codes[i] * c.codes[i] FOR i IN range(1, ${Dim + 1})]) AS DOUBLE)"
+        val nn = s"list_sum([codes[i] * codes[i] FOR i IN range(1, ${Dim + 1})])"
+        s"""WITH q0 AS (SELECT vec_id, embedding, $scale AS scale FROM embeddings),
+           |cz AS (SELECT vec_id, $codes AS codes FROM q0),
+           |n AS (SELECT vec_id, codes, $nn AS nn FROM cz),
+           |scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id,
+           |    $dot / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))) AS cos
+           |  FROM n q JOIN n c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND q.nn > 0 AND c.nn > 0),
+           |ranked AS (
+           |  SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      int8TopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3)
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -83,6 +83,25 @@ object TextClean {
         "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- "),
       "\u2026", "...")
 
+  /** Unicode-confusable (homoglyph) fold: Cyrillic and Greek
+    * characters that RENDER as Latin letters map to the Latin letter
+    * they imitate \u2014 "\u0440\u0430\u0443\u0440\u0430l" (Cyrillic \u0440/\u0430/\u0443) and "paypal" must
+    * fingerprint, deduplicate, and tokenize identically, and homoglyph
+    * substitution is the classic spam/dedup evasion. Deliberately
+    * curated to unambiguous lookalikes (lowercase + uppercase Cyrillic
+    * \u0430 \u0435 \u043E \u0440 \u0441 \u0445 \u0443 \u0456 \u0455 \u0458, Greek \u03BF/\u039F): a full UTS#39 confusables table
+    * folds aggressively enough to corrupt genuine Cyrillic text, which
+    * script-aware pipelines route past this fold entirely
+    * ([[TextAnalysis.dominantScript]]). One 1:1 `translate`, narrow,
+    * fuses into the scan. */
+  val ConfusablesFrom: String =
+    "\u0430\u0435\u043E\u0440\u0441\u0445\u0443\u0456\u0455\u0458\u03BF" +
+      "\u0410\u0415\u041E\u0420\u0421\u0425\u0423\u0406\u0405\u0408\u039F"
+  val ConfusablesTo: String = "aeopcxyisjo" + "AEOPCXYISJO"
+
+  def foldConfusables(text: Column): Column =
+    translate(text, ConfusablesFrom, ConfusablesTo)
+
   /** Per-source corpus profile: doc/token/char counts and mean
     * quality — one aggregate, #sources output rows. */
   def corpusStats(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
@@ -303,6 +322,41 @@ object TextClean {
           }.as("n"))
         .select(col("doc_id"), col("len_raw"), col("n.l").as("len_folded"),
           col("n.m").as("folded_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Confusables gate: plant Cyrillic- and Greek-homoglyph words by
+    // doc class (chr() literals on the oracle side keep the SQL file
+    // ASCII); the fold must land exactly on the ASCII twin, and the
+    // n_confusables count pins HOW MANY chars changed (translate with
+    // an empty `to` deletes, so len(raw) − len(stripped) counts them).
+    Gate(
+      "fmt_confusables", {
+        // Cyrillic: р=1088 а=1072 у=1091 с=1089 о=1086; Greek Ο=927
+        val planted = "CASE CAST(doc_id % 3 AS INT) " +
+          "WHEN 0 THEN ' ' || chr(1088) || chr(1072) || chr(1091) || chr(1088) || chr(1072) || 'l' " +
+          "WHEN 1 THEN ' ' || chr(1089) || chr(1086) || 'rp' || chr(927) || 'ration' " +
+          "ELSE ' plain ascii here' END"
+        val from = TextClean.ConfusablesFrom.map(c => s"chr(${c.toInt})").mkString(" || ")
+        s"""WITH p AS (SELECT doc_id, text || $planted AS t FROM documents),
+           |cf AS (SELECT $from AS f),
+           |f AS (SELECT doc_id, t,
+           |    translate(t, f, '${TextClean.ConfusablesTo}') AS ft,
+           |    translate(t, f, '') AS st FROM p, cf)
+           |SELECT doc_id, md5(ft) AS folded_md5,
+           |  CAST(length(t) - length(st) AS BIGINT) AS n_confusables
+           |FROM f ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, " раураl")
+              .when(col("doc_id") % 3 === 1, " соrpΟration")
+              .otherwise(" plain ascii here")).as("t"))
+        .select(col("doc_id"),
+          md5(foldConfusables(col("t"))).as("folded_md5"),
+          (length(col("t")) - length(translate(col("t"), ConfusablesFrom, "")))
+            .cast("long").as("n_confusables"))
         .orderBy("doc_id")
     }
   )

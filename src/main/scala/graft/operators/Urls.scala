@@ -106,6 +106,35 @@ object Urls {
     TextClean.corpusStats(
       docs.withColumn("domain", urlHost(col(urlCol))), textCol, "domain")
 
+  /** INDUCED domain blocklist — turn per-domain aggregates into the
+    * curation artifact the URL filter consumes (close the loop:
+    * [[domainStats]] reports, this decides): a domain is blocklisted
+    * when its mean quality falls below `maxMeanQuality` with at least
+    * `minDocs` documents of support (a 3-doc domain with bad luck is
+    * noise, not a spam site — the support floor is what separates
+    * induction from overfitting). One map-side-combined aggregate on
+    * the host; the output is a tiny frame a next run passes straight
+    * to `Filters.urlDomainAllowed` / `FinewebConfig.blockedDomains`.
+    * Unparseable-url docs (NULL host) are never blocklisted — a
+    * domain filter can't act on them anyway. Quality values pround-4
+    * before the decimal-fold mean, the [[TextClean.corpusStats]]
+    * discipline, so the induced list is oracle-exact. */
+  def induceBlocklist(
+      docs: DataFrame,
+      urlCol: String,
+      quality: Column,
+      maxMeanQuality: Double,
+      minDocs: Long = 10L): DataFrame =
+    docs
+      .select(urlHost(col(urlCol)).as("domain"), Cols.pround(quality, 4).as("__q"))
+      .filter(col("domain").isNotNull)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        Cols.pround(
+          sum(col("__q").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double") / count(lit(1)), 4).as("mean_quality"))
+      .filter(col("n_docs") >= minDocs && col("mean_quality") < maxMeanQuality)
+
   // ---- gate ----
 
   // DuckDB twin of canonicalUrl for a `url` expression.
@@ -264,6 +293,38 @@ object Urls {
       }) { (s, dir) =>
       domainStats(withUrl(Tables(s, dir, "documents")), "url", "text")
         .orderBy(asc_nulls_first("domain"))
+    },
+
+    // Blocklist induction over the same url fixture: cut at mean
+    // quality < 0.877 (splits the 20 domains at every test SF), ≥ 10
+    // docs support. NULL-host docs are excluded before aggregation on
+    // both sides.
+    Gate(
+      "rpt_blocklist", {
+        val dom = sqlHost(s"($SqlUrl)")
+        val toks = s"regexp_extract_all(text, '${TextAnalysis.WordPattern}')"
+        val toksLower = s"regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}')"
+        val en = TextAnalysis.LangMarkers.head._2
+        val q = "0.4*least(nw/50.0, 1.0) + 0.3*(1.0-sr) + 0.3*least(awl/5.0, 1.0)"
+        s"""WITH t AS (SELECT $dom AS domain,
+           |    CAST(len($toks) AS BIGINT) AS nw,
+           |    CASE WHEN len($toks) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE) / len($toks) END AS awl,
+           |    CASE WHEN len($toksLower) = 0 THEN 0.0
+           |         ELSE CAST(${TextAnalysis.sqlMarkerHits(toksLower, en)} AS DOUBLE) / len($toksLower) END AS sr
+           |  FROM documents),
+           |s AS (SELECT domain, ${Cols.proundSql(q, 4)} AS q FROM t WHERE domain IS NOT NULL),
+           |g AS (SELECT domain, count(*) AS n_docs,
+           |    ${Cols.proundSql("CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS mean_quality
+           |  FROM s GROUP BY domain)
+           |SELECT domain, n_docs, mean_quality FROM g
+           |WHERE n_docs >= 10 AND mean_quality < 0.877
+           |ORDER BY domain""".stripMargin
+      }) { (s, dir) =>
+      induceBlocklist(
+        withUrl(Tables(s, dir, "documents")), "url",
+        TextAnalysis.qualityScore(col("text")), maxMeanQuality = 0.877, minDocs = 10L)
+        .orderBy("domain")
     },
 
     // Link-graph gate: every page embeds two modular-hop anchors (one

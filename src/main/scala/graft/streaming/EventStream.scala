@@ -207,7 +207,53 @@ object EventStream {
           max(when(col("offset") === 0, col("n_users"))).over(byCohort), 4))
   }
 
+  /** Trailing time-RANGE moving average: for every event, the mean of
+    * `value` over the user's events in the preceding `windowSeconds`
+    * (inclusive) — the rolling-baseline signal (is this burst above
+    * the user's recent norm?) that tumbling windows can't express
+    * because the frame must END at each event, not at grid edges.
+    *
+    * Scale shape: ONE shuffle on user_id; the frame is a RANGE window
+    * over the integer epoch second, so same-instant events are peers
+    * (both engines include all ties — no tie-order sensitivity) and
+    * Spark evaluates it with a running frame, not per-row rescans.
+    * DECIMAL-accumulated sum / count keeps the mean oracle-exact. */
+  def movingAvg(events: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSeconds > 0, "movingAvg: windowSeconds must be positive")
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-(windowSeconds - 1), 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("__v"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("avg_1h",
+        Cols.pround(sum(col("__v")).over(w).cast("double") / col("n_win"), 6))
+      .drop("__v")
+  }
+
   val gates: Seq[Gate] = Seq(
+    Gate(
+      "q22_moving_avg", {
+        val avg = Cols.proundSql("CAST(sum(v) OVER w AS DOUBLE) / (count(*) OVER w)", 6)
+        s"""WITH t AS (SELECT event_id, user_id,
+           |    -- floor, not CAST: sub-second timestamps would round up
+           |    -- where Spark's unix_timestamp truncates
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+           |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+           |SELECT event_id, user_id, es,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_win,
+           |  $avg AS avg_1h
+           |FROM t
+           |WINDOW w AS (PARTITION BY user_id ORDER BY es
+           |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin
+      }) { (s, dir) =>
+      movingAvg(Tables(s, dir, "events"), windowSeconds = 3600L)
+        .orderBy("event_id")
+    },
+
     Gate(
       "q7_sessionize",
       """WITH s AS (

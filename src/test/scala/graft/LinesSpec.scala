@@ -65,6 +65,30 @@ class LinesSpec extends SparkSpec {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("dedupParagraphs removes hot paragraphs, splits on blank lines not lines") {
+    import spark.implicits._
+    val boiler = "follow us on social media for updates and promotions today"
+    // the boilerplate paragraph spans what would be ONE line; a
+    // line-level dedup with the same floor would also remove the
+    // two-line paragraph below — paragraph splitting must keep it
+    // intact because its individual lines differ across docs
+    val docs = (1L to 4L).map { i =>
+      (i, s"$boiler\n\nunique first line $i\nshared second line of paragraph")
+    } :+ ((5L, s"solo doc content here\n\nanother paragraph entirely"))
+    val df = docs.toDF("id", "text")
+    val out = Lines.dedupParagraphs(df, "text", "id", minDocs = 3, minChars = 30)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_paragraphs_removed")))).toMap
+    // boiler recurs in 4 docs → removed everywhere; the two-line
+    // paragraphs each contain a unique line → their md5s differ → kept
+    (1L to 4L).foreach { i =>
+      assert(out(i)._2 == 1L, s"doc $i: ${out(i)}")
+      assert(out(i)._1 == s"unique first line $i\nshared second line of paragraph")
+    }
+    assert(out(5L) == (("solo doc content here\n\nanother paragraph entirely", 0L)))
+    Caches.releaseAll()
+  }
+
   test("dedupLinesWithinDoc keeps first occurrences in order, protects short lines") {
     val text = Seq(
       "home products about contact menu", // nav (32 chars)

@@ -189,6 +189,56 @@ class MixtureSpec extends SparkSpec {
     assert(got == naiveBudget(rows, 5L) && got == Set(1L, 2L))
   }
 
+  test("allocateBudgets water-fills: saturated sources give back their surplus") {
+    val totals = Map("a" -> 100L, "b" -> 1000L, "c" -> 1000L)
+    val weights = Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)
+    // budget 1200: a's fair share is 300 but it only has 100 —
+    // the 200 surplus redistributes 1:2 over b and c
+    val alloc = Mixture.allocateBudgets(totals, weights, 1200L)
+    assert(alloc("a") == 100L)
+    // remaining 1100 split 1:2 → b=366, c=733 (floors)
+    assert(alloc("b") == 366L && alloc("c") == 733L, s"got $alloc")
+    assert(alloc.values.sum <= 1200L)
+    // no saturation → plain proportional floors
+    val flat = Mixture.allocateBudgets(totals, weights, 400L)
+    assert(flat == Map("a" -> 100L, "b" -> 100L, "c" -> 200L))
+    // budget exceeding the corpus → everything, capped at totals
+    val all = Mixture.allocateBudgets(totals, weights, 10000L)
+    assert(all == totals)
+    // zero-weight sources get nothing
+    assert(Mixture.allocateBudgets(totals, weights.updated("b", 0.0), 1200L)("b") == 0L)
+  }
+
+  test("selectByBudgetStratified matches per-source naive prefixes; NULLs fail loudly") {
+    val rows = (0L until 300L).map(i =>
+      (i, s"s${i % 3}", (i * 7 % 23) + 1, (i % 5).toDouble / 5.0))
+    val df = rows.toDF("id", "src", "tok", "score").repartition(7)
+    val weights = Map("s0" -> 1.0, "s1" -> 2.0, "s2" -> 3.0)
+    val budget = rows.map(_._3).sum / 2
+    val got = Mixture.selectByBudgetStratified(
+      df, col("tok"), col("score"), "id", "src", weights, budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // naive: water-fill the allocation, then per-source global prefix
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val alloc = Mixture.allocateBudgets(totals, weights, budget)
+    val want = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (-r._4, r._1)).takeWhile { r =>
+        cum += r._3; cum <= alloc(src)
+      }.map(_._1)
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    // NULL source fails with the named cause
+    val withNull = rows.take(10).map { case (i, s, t, sc) =>
+      (i, if (i == 3) null else s, t, sc)
+    }.toDF("id", "src", "tok", "score")
+    val e = intercept[IllegalArgumentException] {
+      Mixture.selectByBudgetStratified(
+        withNull, col("tok"), col("score"), "id", "src", weights, 100L).count()
+    }
+    assert(e.getMessage.contains("sourceCol has NULLs"))
+  }
+
   test("runningSum matches the global ROWS window on multi-partition input") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 500L).map(i => (i * 37 % 500, i % 13))

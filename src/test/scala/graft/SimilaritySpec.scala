@@ -169,6 +169,44 @@ class SimilaritySpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("int8 quantization: codes bounded, reconstruction within scale/2, top-k recall high") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("scale"))
+      .withColumn("codes", Similarity.int8Codes(col("embedding"), col("scale")))
+    val rows = q.select(
+        array_max(transform(col("codes"), abs(_))).as("maxc"),
+        array_max(zip_with(
+          Similarity.dequantInt8(col("codes"), col("scale")), col("embedding"),
+          (d, x) => abs(d - x.cast("double")))).as("maxerr"),
+        col("scale"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) <= 127.0, s"code out of range: ${r.getDouble(0)}")
+      assert(r.getDouble(1) <= r.getDouble(2) / 2 + 1e-12,
+        s"reconstruction error ${r.getDouble(1)} > scale/2 ${r.getDouble(2) / 2}")
+    }
+    // quantized ranking barely moves: recall@3 vs the exact ranking
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 3)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = Similarity.int8TopK(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 3)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      val e = exact(qid)
+      quant.getOrElse(qid, Set.empty[Long]).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"int8 recall@3 $mean < 0.8")
+    Caches.releaseAll()
+  }
+
   test("semanticDedup with injected centroids matches the gate shape") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(_.getLong(0))
