@@ -142,7 +142,60 @@ object Keywords {
       .select(col("id").as(idCol), col("score"))
   }
 
+  /** Heaps-law vocabulary-growth curve: distinct-token counts over
+    * id-ordered corpus prefixes (`cuts` are EXCLUSIVE id upper bounds
+    * — crawl-snapshot boundaries in practice). The diagnostic behind
+    * "is new data still adding vocabulary, or are we scraping the
+    * same pages?": a flattening curve says marginal docs repeat known
+    * text. One (token → min id) aggregate — map-side combined, the
+    * only exchange carries (token, 8-byte id) — then ONE row of
+    * conditional sums over that compact frame, unpivoted in-plan.
+    * Tokens group by STRING, not digest: a digest key would be
+    * cheaper at 100 TB but a single collision silently merges two
+    * tokens; vocabulary frames (≤ tens of millions of short strings)
+    * don't need the risk. */
+  def vocabGrowth(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, "vocabGrowth: cuts must be ascending")
+    val first = Dedup.spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(TextAnalysis.words(lower(col(textCol))))).as("t"))
+      .groupBy("t").agg(min(col("__id")).as("first_id"))
+    val sums = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("first_id") < c, 1L).otherwise(0L)).as(s"__v$i")
+    }
+    first.agg(sums.head, sums.tail: _*)
+      .select(explode(array(cuts.zipWithIndex.map { case (c, i) =>
+        struct(lit(i + 1).as("checkpoint"), lit(c).as("cut_id"), col(s"__v$i").as("vocab"))
+      }: _*)).as("r"))
+      .select(col("r.checkpoint"), col("r.cut_id"), col("r.vocab"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // Vocabulary growth at 5 even prefix checkpoints; the oracle
+    // rebuilds the (token → first doc) frame and counts under each
+    // cut. Both engines compute the cuts as ceil(n·i/5).
+    Gate(
+      "rpt_vocab_growth",
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |tk AS (SELECT t, min(doc_id) AS first_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}'))) AS t
+         |    FROM documents) GROUP BY t)
+         |SELECT CAST(i AS INT) AS checkpoint,
+         |  CAST(ceil(n * i / 5.0) AS BIGINT) AS cut_id,
+         |  (SELECT count(*) FROM tk WHERE first_id < CAST(ceil(n * i / 5.0) AS BIGINT)) AS vocab
+         |FROM (SELECT unnest(range(1, 6)) AS i), nn ORDER BY i""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val cuts = (1 to 5).map(i => math.ceil(n.toDouble * i / 5.0).toLong)
+      vocabGrowth(docs, "text", "doc_id", cuts)
+        .orderBy("checkpoint")
+    },
     // Heavy-hitter report over trigrams: the planted-free documents
     // table has organic repeats (shared phrase stock); both engines
     // rank (count DESC, gram ASC) so the cut at k is deterministic.

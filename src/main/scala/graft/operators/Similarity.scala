@@ -536,6 +536,101 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  // ---- product quantization (N4 — the ANN memory scale path past int8) ----
+
+  /** Per-subspace PQ codebook fit: split the vector into `m`
+    * contiguous subspaces and run the bounded-sample Lloyd's fit
+    * ([[lloydKMeans]]) in each — FAISS's IVF-PQ training recipe, and
+    * the same driver-math shape as the IVF coarse quantizer: only the
+    * LCG-sampled rows ever reach the driver. At ksub=256 a 64-dim
+    * float vector compresses to 8 bytes (32×) — the regime where a
+    * 100 TB corpus's ANN index fits a modest cluster's memory. */
+  def pqFit(
+      corpus: DataFrame, // idCol, vecCol
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      ksub: Int,
+      fitSampleSize: Int = 100000): Array[Array[Array[Double]]] = {
+    val n = corpus.count()
+    val sampled =
+      if (n <= fitSampleSize) corpus
+      else corpus.filter(Cols.lcgUniform(col(idCol)) < fitSampleSize.toDouble / n)
+    val sample = sampled
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(idCol).collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqFit: empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    Array.tabulate(m)(j =>
+      lloydKMeans(sample.map(v => v.slice(j * subdim, (j + 1) * subdim)), ksub))
+  }
+
+  /** PQ encode: per subspace, the index of the L2-nearest codebook
+    * centroid — ranked by the monotone-equivalent `c·c − 2·v·c` (the
+    * `v·v` term is constant per subspace, so it can't change the
+    * argmin), with both dots decimal-exact and ties broken on the
+    * LOWEST centroid index via struct-min ordering — the exact
+    * tie/argmin semantics a SQL ROW_NUMBER twin reproduces. Returns
+    * array<int> of length m (serialize as int8/int16 at rest). */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    array(books.zipWithIndex.map { case (book, j) =>
+      val subdim = book(0).length
+      val sub = slice(vec, j * subdim + 1, subdim)
+      val cands = book.zipWithIndex.map { case (c, ci) =>
+        val cl = array(c.toIndexedSeq.map(lit): _*)
+        struct((decDot(cl, cl) - lit(2.0) * decDot(sub, cl)).as("d"),
+          lit(ci).as("cid"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("cid")
+    }.toIndexedSeq: _*)
+
+  /** N4 — asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes an m × ksub table of per-subspace distance terms
+    * against the codebooks (tiny, broadcast with the queries); the
+    * corpus side is ONLY (id, m int codes), and per candidate the
+    * approximate distance is m array lookups summed — no vector
+    * arithmetic on the 100 TB side at all. Ranking uses the same
+    * monotone form as [[pqEncode]] (per-query constant offsets drop
+    * out), so the emitted `adc` is a ranking score, not a metric
+    * distance. Bounded-heap smallest-k per query. */
+  def pqTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    graft.expr.GraftExtensions.register(corpus.sparkSession)
+    val m = books.length
+    val corpusCodes = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), pqEncode(col("vec"), books).as("cs"))
+    val qTables = books.zipWithIndex.map { case (book, j) =>
+      val subdim = book(0).length
+      val qsub = slice(col("qvec"), j * subdim + 1, subdim)
+      array(book.map { c =>
+        val cl = array(c.toIndexedSeq.map(lit): _*)
+        decDot(cl, cl) - lit(2.0) * decDot(qsub, cl)
+      }.toIndexedSeq: _*).as(s"qt$j")
+    }
+    val qs = queries.select(col("qid") +: qTables.toIndexedSeq: _*)
+    val adc = (0 until m)
+      .map(j => element_at(col(s"qt$j"), element_at(col("cs"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = corpusCodes
+      .crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), adc.as("adc"))
+    scored
+      .groupBy("qid")
+      .agg(call_function("graft_top_k",
+        struct(col("adc").as("d"), col("id").as("i")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), posexplode(array_sort(col("top"))))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("neighbor_id"),
+        Cols.pround(col("col.d"), 4).as("adc"))
+  }
+
   /** DuckDB twin of [[int8Codes]] (BIGINT codes — exact ints both
     * ways). */
   def sqlInt8Codes(vExpr: String, scaleExpr: String): String =
@@ -787,6 +882,62 @@ object Similarity {
           transform(col("__codes"), _.cast("long")).as("codes"),
           Cols.pround(col("__err"), 8).as("mean_err"))
         .orderBy("vec_id")
+    },
+
+    // PQ with INJECTED codebooks (the centroidsOverride pattern):
+    // m=4 subspaces × 16 dims, ksub=4 centroids = the first 4
+    // embeddings' subvectors — encode (argmin + lowest-cid ties), the
+    // per-query ADC tables, the 4-lookup sum, and the smallest-k heap
+    // all hash-check against DuckDB. The production sample-fit path
+    // (pqFit) is covered by the recall spec, like IVF.
+    Gate(
+      "ann_topk_pq_pinned", {
+        def dd(a: String, b: String, j: Int) = {
+          val off = j * 16
+          s"CAST(list_sum([CAST(($a)[$off+i]::DOUBLE * ($b)[$off+i]::DOUBLE " +
+            s"AS DECIMAL(30,15)) FOR i IN range(1, 17)]) AS DOUBLE)"
+        }
+        val subCtes = (0 until 4).map { j =>
+          val dc = s"${dd("cv", "cv", j)} - 2.0 * ${dd("vec", "cv", j)}"
+          val dq = s"${dd("cv", "cv", j)} - 2.0 * ${dd("qvec", "cv", j)}"
+          s"""cd$j AS (SELECT corpus.id, cents.cid, $dc AS d FROM corpus, cents),
+             |cr$j AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd$j),
+             |k$j AS (SELECT id, cid AS k$j FROM cr$j WHERE rn = 1),
+             |qd$j AS (SELECT qs.qid, cents.cid, $dq AS d FROM qs, cents)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
+           |qs AS (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qvec
+           |  FROM embeddings WHERE vec_id < 10),
+           |$subCtes,
+           |codes AS (SELECT k0.id, k0.k0, k1.k1, k2.k2, k3.k3
+           |  FROM k0 JOIN k1 USING (id) JOIN k2 USING (id) JOIN k3 USING (id)),
+           |scored AS (
+           |  SELECT q0.qid, codes.id, q0.d + q1.d + q2.d + q3.d AS adc
+           |  FROM codes
+           |  JOIN qd0 q0 ON q0.cid = codes.k0
+           |  JOIN qd1 q1 ON q1.cid = codes.k1 AND q1.qid = q0.qid
+           |  JOIN qd2 q2 ON q2.cid = codes.k2 AND q2.qid = q0.qid
+           |  JOIN qd3 q3 ON q3.cid = codes.k3 AND q3.qid = q0.qid
+           |  WHERE codes.id <> q0.qid),
+           |ranked AS (SELECT qid, id, adc,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rank FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("adc", 4)} AS adc
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val books = Array.tabulate(4)(j => base.map(v => v.slice(j * 16, (j + 1) * 16)))
+      pqTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3, books)
+        .orderBy("qid", "rank")
     },
 
     // Quantized brute-force top-k: same shape as ann_topk_bruteforce

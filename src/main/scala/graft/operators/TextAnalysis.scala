@@ -338,7 +338,64 @@ object TextAnalysis {
       .when(han >= ar, "han")
       .otherwise("arabic")
 
+  /** Demo blockword lexicon for [[badwordStats]] — the C4 §2.2 /
+    * RefinedWeb "bad words" FILTER mechanism with a deliberately mild
+    * stand-in list (the real lists are large and ship as data files;
+    * the operator takes any `Seq[String]`). */
+  val BadWords: Seq[String] =
+    Seq("damn", "hell", "idiot", "stupid", "hate", "kill", "ugly", "dumb")
+
+  /** Wordlist-hit profile: (n_bad, n_words, bad_ratio, flagged) over
+    * lowercase word tokens — the cheap lexical safety signal applied
+    * BEFORE any model-based toxicity scorer (C4 drops pages on any
+    * hit; Gopher-style recipes threshold the ratio). One narrow
+    * codegen pass, fuses into the scan. */
+  def badwordStats(text: Column, lexicon: Seq[String] = BadWords): Column =
+    bind(words(lower(text))) { w =>
+      bind(markerHits(w, lexicon)) { nb =>
+        struct(
+          nb.cast("long").as("n_bad"),
+          size(w).cast("long").as("n_words"),
+          Cols.pround(
+            when(size(w) === 0, 0.0)
+              .otherwise(nb.cast("double") / size(w)), 6).as("bad_ratio"),
+          (nb > 0).as("flagged"))
+      }
+    }
+
   val gates: Seq[Gate] = Seq(
+
+    // Blockword gate: plant lexicon hits by doc class (none / one /
+    // dense) — hit counts, the ratio denominator, and the any-hit
+    // flag all pin against the oracle's identical list filter.
+    Gate(
+      "txt_badwords", {
+        val planted = "CASE CAST(doc_id % 3 AS INT) " +
+          "WHEN 0 THEN ' damn stupid nonsense' " +
+          "WHEN 1 THEN ' perfectly fine text' " +
+          "ELSE ' hate hate hell' END"
+        val toksLower = s"regexp_extract_all(lower(t), '$WordPattern')"
+        val hits = sqlMarkerHits("ws", BadWords)
+        s"""WITH p AS (SELECT doc_id, text || $planted AS t FROM documents),
+           |w AS (SELECT doc_id, $toksLower AS ws FROM p),
+           |c AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_bad,
+           |    CAST(len(ws) AS BIGINT) AS n_words FROM w)
+           |SELECT doc_id, n_bad, n_words,
+           |  ${Cols.proundSql("CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_bad AS DOUBLE) / n_words END", 6)} AS bad_ratio,
+           |  n_bad > 0 AS flagged
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, " damn stupid nonsense")
+              .when(col("doc_id") % 3 === 1, " perfectly fine text")
+              .otherwise(" hate hate hell")).as("t"))
+        .select(col("doc_id"), badwordStats(col("t")).as("b"))
+        .select(col("doc_id"), col("b.n_bad"), col("b.n_words"),
+          col("b.bad_ratio"), col("b.flagged"))
+        .orderBy("doc_id")
+    },
 
     // Script-profile gate: the corpus is Latin word soup, so each doc
     // gets a deterministic non-Latin suffix by id class (Cyrillic /

@@ -207,6 +207,41 @@ class SimilaritySpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("PQ sample-fit path: codes bounded, deterministic, reasonable recall vs brute force") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sfDir, "embeddings")
+    // unit-normalize first: PQ's ADC approximates L2 rank, and on unit
+    // vectors L2 rank ≡ cosine rank (‖a−b‖² = 2 − 2cos) — the standard
+    // cosine-ANN-via-PQ recipe
+    val corpus = e.select(col("vec_id").as("id"),
+      Similarity.unitNormalize(col("embedding")).as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), Similarity.unitNormalize(col("embedding")).as("qvec"))
+    val books = Similarity.pqFit(corpus, "vec", "id", m = 8, ksub = 64)
+    assert(books.length == 8 && books.forall(_.forall(_.length == 8)))
+    // codes land in [0, ksub)
+    val codes = corpus.select(Similarity.pqEncode(col("vec"), books).as("cs"))
+      .select(array_max(col("cs")).as("mx"), array_min(col("cs")).as("mn")).collect()
+    assert(codes.forall(r => r.getInt(0) < 64 && r.getInt(1) >= 0))
+    // the production pattern: PQ SHORTLISTS (here 25 of 500 = 5% of
+    // the corpus from 8-byte codes), exact scoring re-ranks the
+    // shortlist — so the quality bar is "the true top-3 survives into
+    // the shortlist", not "ADC alone reproduces the exact ranking"
+    // (near-uniform random vectors leave tiny margins between
+    // neighbors that quantization noise scrambles; measured shortlist
+    // recall here is ~0.87)
+    val short = Similarity.pqTopK(queries, corpus, k = 25, books)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val short2 = Similarity.pqTopK(queries, corpus, k = 25, books)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(short == short2) // deterministic across runs
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & short).size.toDouble / bf.size
+    assert(recall >= 0.5, s"PQ shortlist recall $recall too low")
+    Caches.releaseAll()
+  }
+
   test("semanticDedup with injected centroids matches the gate shape") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(_.getLong(0))
