@@ -77,6 +77,15 @@ final case class FinewebConfig(
       * fingerprints, quality tokens and the tokenizer see one spelling
       * ([[graft.operators.TextClean.stripAccents]]). */
     foldAccents: Boolean = false,
+    /** fold Unicode homoglyphs (Cyrillic "раураl" → "paypal") before
+      * any content stage — the spam-evasion normalization
+      * ([[graft.operators.TextClean.foldConfusables]]); route genuine
+      * Cyrillic corpora past it via per-language configs. */
+    foldConfusables: Boolean = false,
+    /** drop docs whose blockword ratio exceeds this (C4 §2.2's lexical
+      * gate, [[graft.operators.TextAnalysis.badwordStats]] with the
+      * default lexicon) — reason `badwords`. 0.0 = drop on any hit. */
+    badwordMaxRatio: Option[Double] = None,
     /** minimum Flesch reading-ease score ([[graft.operators
       * .TextAnalysis.fleschReadingEase]]); docs below it (or wordless
       * docs, whose score is NULL) are excluded with reason
@@ -200,6 +209,18 @@ object FinewebPipeline {
       stages :+= Transform("fold_accents", d => d.withColumn("text",
         when(col("filter_reason").isNull, TextClean.stripAccents(col("text")))
           .otherwise(col("text"))))
+
+    if (cfg.foldConfusables)
+      stages :+= Transform("fold_confusables", d => d.withColumn("text",
+        when(col("filter_reason").isNull, TextClean.foldConfusables(col("text")))
+          .otherwise(col("text"))))
+
+    cfg.badwordMaxRatio.foreach { r =>
+      // placed with the content filters (after the folds above, so a
+      // homoglyph-disguised blockword still counts)
+      stages :+= DocFilter("badwords",
+        _ => TextAnalysis.badwordStats(col("text")).getField("bad_ratio") <= r)
+    }
 
     cfg.c4Clean.foreach { p =>
       // the doc-level rules check the RAW text (lorem-ipsum / brace

@@ -226,6 +226,114 @@ object Dsir {
     (c1, c2, c1.sum)
   }
 
+  /** Trigram Stupid Backoff — one order deeper than
+    * [[stupidBackoffScore]], the depth Brants et al. actually ran at
+    * web scale (they report gains through 5-grams; trigram is the
+    * sweet spot before bucket tables blow up):
+    *
+    *   S(wᵢ|wᵢ₋₂wᵢ₋₁) = c₃/c₂(ctx pair)      if both counts > 0
+    *                  = α · S(wᵢ|wᵢ₋₁)        otherwise (recursive)
+    *
+    * so an unseen trigram with a seen bigram costs one α, unseen both
+    * costs α², and doc positions 1/2 fall back to the unigram/bigram
+    * paths. Adds `sbo3_nll`. Same scale shape as the bigram scorer:
+    * THREE compact bucket aggregates at train time, six bounded
+    * literal arrays at score time, one narrow codegen pass. */
+  def stupidBackoffTrigramScore(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      b1: Int = 1024,
+      b2: Int = 2048,
+      b3: Int = 4096): DataFrame = {
+    val (c1, c2, c3, n) = backoffTrigramTables(docs, textCol, isTarget, b1, b2, b3)
+    docs.withColumn("sbo3_nll", sboTriNllColumn(c1, c2, c3, n, col(textCol)))
+  }
+
+  /** Unigram + bigram + trigram hashed-bucket counts + total target
+    * words — [[stupidBackoffTrigramScore]]'s model state. */
+  def backoffTrigramTables(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      b1: Int = 1024,
+      b2: Int = 2048,
+      b3: Int = 4096): (Array[Long], Array[Long], Array[Long], Long) = {
+    def targetCounts(n: Int, buckets: Int): Array[Long] = {
+      val m = bucketCounts(docs, textCol, isTarget, n, buckets)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+      Array.tabulate(buckets)(b => m.getOrElse(b, 0L))
+    }
+    val c1 = targetCounts(1, b1)
+    (c1, targetCounts(2, b2), targetCounts(3, b3), c1.sum)
+  }
+
+  /** The narrow trigram-backoff scoring column over literal tables —
+    * see [[stupidBackoffTrigramScore]] for semantics and
+    * [[sboNllColumn]] for the rounding discipline it extends. */
+  def sboTriNllColumn(
+      c1: Array[Long], c2: Array[Long], c3: Array[Long], n: Long, text: Column): Column = {
+    val acc = DecimalType(30, 15)
+    val b1 = c1.length
+    val b2 = c2.length
+    val b3 = c3.length
+    val c1Lit = array(c1.toIndexedSeq.map(lit): _*)
+    val c2Lit = array(c2.toIndexedSeq.map(lit): _*)
+    val c3Lit = array(c3.toIndexedSeq.map(lit): _*)
+    def lnTable(c: Array[Long]) =
+      array(c.toIndexedSeq.map(x => lit(if (x > 0) pr8(math.log(x.toDouble)) else 0.0)): _*)
+    val l1Lit = lnTable(c1)
+    val l2Lit = lnTable(c2)
+    val l3Lit = lnTable(c3)
+    val lnuLit = array(c1.toIndexedSeq.map(c =>
+      lit(pr8(math.log(c + 1.0) - math.log(n.toDouble + b1)))): _*)
+    def at(tbl: Column, bucket: Column): Column =
+      element_at(tbl, (bucket + 1).cast("int"))
+    Cols.bind(grams(text, 1)) { ws =>
+      when(size(ws) === 0, lit(0.0)).otherwise(
+        Cols.pround(
+          aggregate(
+            transform(TextAnalysis.indices(size(ws)), i =>
+              Cols.bind(element_at(ws, i)) { w =>
+                Cols.bind(at(lnuLit, bucketOf(w, b1))) { lnu =>
+                  when(i === 1, -lnu).otherwise(
+                    Cols.bind(element_at(ws, i - 1)) { ctx =>
+                      Cols.bind(bucketOf(concat(ctx, lit(" "), w), b2)) { bb =>
+                        Cols.bind(bucketOf(ctx, b1)) { cb =>
+                          // bigram log-score, NULL when the bigram path
+                          // has no counts (so both consumers share one
+                          // evaluated branch test)
+                          Cols.bind(
+                            when(at(c2Lit, bb) > 0 && at(c1Lit, cb) > 0,
+                              at(l2Lit, bb) - at(l1Lit, cb))) { biLog =>
+                            val bigramNll =
+                              when(biLog.isNotNull, -biLog)
+                                .otherwise(-(lit(LnAlpha) + lnu))
+                            val backoffToBigram =
+                              when(biLog.isNotNull, -(lit(LnAlpha) + biLog))
+                                .otherwise(-(lit(LnAlpha) + lit(LnAlpha) + lnu))
+                            when(i === 2, bigramNll).otherwise(
+                              Cols.bind(element_at(ws, i - 2)) { ctx2 =>
+                                Cols.bind(bucketOf(
+                                  concat(ctx2, lit(" "), ctx, lit(" "), w), b3)) { tb =>
+                                  Cols.bind(bucketOf(concat(ctx2, lit(" "), ctx), b2)) { pb =>
+                                    when(at(c3Lit, tb) > 0 && at(c2Lit, pb) > 0,
+                                      -(at(l3Lit, tb) - at(l2Lit, pb)))
+                                      .otherwise(backoffToBigram)
+                                  }
+                                }
+                              })
+                          }
+                        }
+                      }
+                    })
+                }
+              }),
+            lit(0).cast(acc), (a, x) => (a + x.cast(acc)).cast(acc)).cast("double") / size(ws),
+          4))
+    }
+  }
+
   /** ln(0.4) pre-rounded to 8 decimals — the Stupid Backoff α in nll
     * space, identical in both engines as a decimal literal. */
   val LnAlpha: Double = math.floor(math.log(0.4) * 1e8 + 0.5) / 1e8
@@ -412,6 +520,66 @@ object Dsir {
         .select(col("doc_id"),
           size(grams(col("text"), 1)).as("n_words"),
           col("sbo_nll"))
+        .orderBy("doc_id")
+    },
+
+    // Trigram Stupid Backoff gate: the bigram oracle one order deeper
+    // — a trigram bucket table, the previous-bigram denominator, and
+    // the recursive α backoff (α on backoff-to-bigram, α² on
+    // backoff-to-unigram), every ln pround-8 at the same granularity
+    // the Scala tables round.
+    Gate(
+      "txt_sbo_trigram", {
+        val B1 = 1024
+        val B2 = 2048
+        val B3 = 4096
+        def h32(g: String) = s"CAST(CAST('0x'||substr(md5($g),1,8) AS UBIGINT) AS BIGINT)"
+        val lnu = Cols.proundSql(s"ln(coalesce(uw.c, 0) + 1.0) - ln(n + $B1.0)", 8)
+        val biLog = s"(${Cols.proundSql("ln(b2.c)", 8)} - ${Cols.proundSql("ln(uc.c)", 8)})"
+        val triLog = s"(${Cols.proundSql("ln(t3.c)", 8)} - ${Cols.proundSql("ln(pb.c)", 8)})"
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+           |           FROM documents),
+           |pos AS (SELECT doc_id,
+           |    unnest([{'i': i, 'w': toks[i],
+           |             'ctx': CASE WHEN i > 1 THEN toks[i-1] END,
+           |             'ctx2': CASE WHEN i > 2 THEN toks[i-2] END}
+           |            FOR i IN range(1, len(toks) + 1)], recursive := true)
+           |  FROM t),
+           |u AS (SELECT ${h32("w")} % $B1 AS b, count(*) AS c
+           |      FROM pos WHERE doc_id % 9 = 0 GROUP BY 1),
+           |bg AS (SELECT ${h32("ctx || ' ' || w")} % $B2 AS b, count(*) AS c
+           |       FROM pos WHERE doc_id % 9 = 0 AND ctx IS NOT NULL GROUP BY 1),
+           |tg AS (SELECT ${h32("ctx2 || ' ' || ctx || ' ' || w")} % $B3 AS b, count(*) AS c
+           |       FROM pos WHERE doc_id % 9 = 0 AND ctx2 IS NOT NULL GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM pos WHERE doc_id % 9 = 0),
+           |sc AS (SELECT p.doc_id,
+           |    CASE WHEN p.ctx IS NULL THEN -($lnu)
+           |         WHEN p.ctx2 IS NULL THEN
+           |           CASE WHEN coalesce(b2.c, 0) > 0 AND coalesce(uc.c, 0) > 0
+           |                THEN -($biLog)
+           |                ELSE -($LnAlpha + ($lnu)) END
+           |         WHEN coalesce(t3.c, 0) > 0 AND coalesce(pb.c, 0) > 0
+           |           THEN -($triLog)
+           |         WHEN coalesce(b2.c, 0) > 0 AND coalesce(uc.c, 0) > 0
+           |           THEN -($LnAlpha + $biLog)
+           |         ELSE -($LnAlpha + $LnAlpha + ($lnu)) END AS nll
+           |  FROM pos p CROSS JOIN nn
+           |  LEFT JOIN u uw ON uw.b = ${h32("p.w")} % $B1
+           |  LEFT JOIN u uc ON p.ctx IS NOT NULL AND uc.b = ${h32("p.ctx")} % $B1
+           |  LEFT JOIN bg b2 ON p.ctx IS NOT NULL AND b2.b = ${h32("p.ctx || ' ' || p.w")} % $B2
+           |  LEFT JOIN bg pb ON p.ctx2 IS NOT NULL AND pb.b = ${h32("p.ctx2 || ' ' || p.ctx")} % $B2
+           |  LEFT JOIN tg t3 ON p.ctx2 IS NOT NULL AND t3.b = ${h32("p.ctx2 || ' ' || p.ctx || ' ' || p.w")} % $B3),
+           |agg AS (SELECT doc_id,
+           |    CAST(sum(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s2, count(*) AS nw
+           |  FROM sc GROUP BY doc_id)
+           |SELECT t.doc_id, len(toks) AS n_words,
+           |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE ${Cols.proundSql("s2 / nw", 4)} END AS sbo3_nll
+           |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
+      }) { (s, dir) =>
+      stupidBackoffTrigramScore(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          size(grams(col("text"), 1)).as("n_words"),
+          col("sbo3_nll"))
         .orderBy("doc_id")
     },
 

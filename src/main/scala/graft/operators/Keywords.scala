@@ -142,6 +142,65 @@ object Keywords {
       .select(col("id").as(idCol), col("score"))
   }
 
+  /** Inverted-index build: per lowercase word token, the posting list
+    * (sorted (doc id, tf) structs), document frequency, and total
+    * term frequency — the materialized artifact [[bm25Search]]'s
+    * ad-hoc scan becomes when a corpus is queried repeatedly. One
+    * (term, id) count aggregate + one per-term list aggregate; the
+    * exchanges carry (term, id, count) triples, never text. `shard` =
+    * portable md5-based hash of the term mod `nShards` (the
+    * [[Dsir.bucketOf]] hash — reproducible by the oracle, unlike
+    * xxhash64), so [[writePostings]] lays one directory per shard and
+    * a term's lookup reads exactly one shard. Posting-list skew is
+    * real (stopword terms hold corpus-sized lists): the list agg is a
+    * single groupBy on the term — AQE skew handling applies — and
+    * consumers stream postings per term; cap or stoplist upstream if
+    * a term's list must stay bounded. */
+  def buildPostings(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"buildPostings: need ≥ 1 shards, got $nShards")
+    val tf = Dedup.spread(docs)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.words(lower(col(textCol)))).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("tf_total"),
+        sort_array(collect_list(struct(col("id"), col("tf")))).as("postings"))
+      .withColumn("shard", Dsir.bucketOf(col("term"), nShards).cast("int"))
+  }
+
+  /** Write the inverted index sharded by term hash (one directory per
+    * shard via partitionBy — a term lookup reads one directory), zstd
+    * parquet. Returns the per-shard audit manifest (shard, n_terms,
+    * n_postings, tf_sum) — the [[graft.sources.DocSource.manifest]]
+    * discipline: recompute it over the written files and any
+    * lost/misrouted posting changes a cell. */
+  def writePostings(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      nShards: Int): DataFrame = {
+    val p = graft.Caches.persist(buildPostings(docs, textCol, idCol, nShards))
+    p.repartition(nShards, col("shard"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("shard").parquet(path)
+    postingsManifest(p)
+  }
+
+  /** The [[writePostings]] manifest — run it over
+    * `spark.read.parquet(path)` to audit a written index. */
+  def postingsManifest(postings: DataFrame): DataFrame =
+    postings.groupBy("shard").agg(
+      count(lit(1)).as("n_terms"),
+      sum("df").as("n_postings"),
+      sum("tf_total").as("tf_sum"))
+
   /** Heaps-law vocabulary-growth curve: distinct-token counts over
     * id-ordered corpus prefixes (`cuts` are EXCLUSIVE id upper bounds
     * — crawl-snapshot boundaries in practice). The diagnostic behind
@@ -175,6 +234,31 @@ object Keywords {
   }
 
   val gates: Seq[Gate] = Seq(
+
+    // Postings sink: build + write the 8-shard inverted index, emit
+    // the per-shard manifest; the oracle recomputes every shard's
+    // term/posting/tf totals from the raw table with the identical
+    // md5-based shard hash. The read-back audit (manifest over the
+    // written files equals the write-time manifest) is KeywordsSpec's
+    // half, mirroring snk_sharded.
+    Gate(
+      "snk_postings", {
+        val h32 = "CAST(CAST('0x'||substr(md5(term),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH tf AS (SELECT term, doc_id, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(regexp_extract_all(lower(text),
+           |      '${TextAnalysis.WordPattern}')) AS term FROM documents)
+           |  GROUP BY term, doc_id),
+           |t AS (SELECT term, count(*) AS df, sum(c) AS tft FROM tf GROUP BY term),
+           |s AS (SELECT CAST($h32 % 8 AS INT) AS shard, df, tft FROM t)
+           |SELECT shard, count(*) AS n_terms,
+           |  CAST(sum(df) AS BIGINT) AS n_postings,
+           |  CAST(sum(tft) AS BIGINT) AS tf_sum
+           |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+      }) { (s, dir) =>
+      val path = graft.sources.DocSource.gateScratch(dir, "snk_postings")
+      writePostings(Tables(s, dir, "documents"), "text", "doc_id", path, nShards = 8)
+        .orderBy("shard")
+    },
 
     // Vocabulary growth at 5 even prefix checkpoints; the oracle
     // rebuilds the (token → first doc) frame and counts under each

@@ -181,7 +181,65 @@ object Layout {
       within: Seq[Column] = Nil): DataFrame =
     denseIds(df, within ++ Seq(graft.Cols.lcgUniform(col(idCol)), col(idCol)), outCol)
 
+  /** Padding-waste profile for sequence-length bucketed batching:
+    * every doc pads up to the smallest ceiling ≥ its token count
+    * (docs past the top ceiling TRUNCATE to it — reported, never
+    * silent), and the report says, per bucket, how many pad slots
+    * that grid burns — the decision input for "which bucket grid
+    * wastes the least accelerator compute". ONE map-side-combined
+    * aggregate over (bucket, counts); nothing shuffles but ≤
+    * #ceilings rows. `ceilings` must be ascending and non-empty. */
+  def paddingWaste(
+      docs: DataFrame,
+      tokens: Column,
+      ceilings: Seq[Int]): DataFrame = {
+    require(ceilings.nonEmpty && ceilings == ceilings.sorted,
+      "paddingWaste: ceilings must be ascending")
+    val bucket = ceilings.init.foldRight(lit(ceilings.last): Column) { (c, acc) =>
+      when(tokens <= c, c).otherwise(acc)
+    }
+    docs
+      .select(bucket.cast("int").as("bucket"), tokens.as("__n"))
+      .select(col("bucket"), col("__n"),
+        least(col("__n"), col("bucket").cast("long")).as("__kept"),
+        greatest(col("bucket").cast("long") - col("__n"), lit(0L)).as("__pad"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__kept").as("n_tokens_kept"),
+        (sum("__n") - sum("__kept")).as("n_tokens_truncated"),
+        sum("__pad").as("n_pad"),
+        graft.Cols.pround(
+          sum("__pad").cast("double") / (sum("__pad") + sum("__kept")), 6).as("pad_ratio"))
+  }
+
   val gates: Seq[Gate] = Seq(
+    // Padding-waste report: which length-bucket grid wastes the least
+    // compute (every doc pads to its bucket ceiling; docs past the top
+    // ceiling truncate). One map-side aggregate; the decision input
+    // for sequence-length bucketed batching.
+    Gate(
+      "rpt_padding_waste", {
+        val wc = s"len(regexp_extract_all(text, '${graft.operators.TextAnalysis.WordPattern}'))"
+        s"""WITH t AS (SELECT CAST($wc AS BIGINT) AS n FROM documents),
+           |b AS (SELECT n,
+           |    CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+           |         WHEN n <= 256 THEN 256 ELSE 512 END AS bucket FROM t),
+           |c AS (SELECT bucket, n,
+           |    least(n, bucket) AS kept, greatest(bucket - n, 0) AS pad FROM b)
+           |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+           |  CAST(sum(kept) AS BIGINT) AS n_tokens_kept,
+           |  CAST(sum(n) - sum(kept) AS BIGINT) AS n_tokens_truncated,
+           |  CAST(sum(pad) AS BIGINT) AS n_pad,
+           |  ${graft.Cols.proundSql("CAST(sum(pad) AS DOUBLE) / (sum(pad) + sum(kept))", 6)} AS pad_ratio
+           |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+      }) { (s, dir) =>
+      paddingWaste(
+        Tables(s, dir, "documents")
+          .select(graft.operators.TextAnalysis.wordCount(col("text")).cast("long").as("n")),
+        col("n"), Seq(64, 128, 256, 512))
+        .orderBy("bucket")
+    },
+
     // Shuffle-order gate: the permutation must equal the global
     // window rank over the identical LCG keys — curriculum form, with
     // a 3-tier `within` column so tier contiguity is also checked.

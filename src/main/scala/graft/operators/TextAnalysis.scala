@@ -133,6 +133,21 @@ object TextAnalysis {
   def sentenceCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
 
+  /** Sentence ARRAY under the same simple terminator rule as
+    * [[sentenceCount]]: maximal non-terminator runs, each taking its
+    * trailing [.!?]+ (a final unterminated fragment is returned too —
+    * callers filter). Lookbehind-free on purpose: the pattern must
+    * behave identically under Java regex (Spark) and RE2 (the
+    * oracle), and RE2 has no lookaround. Trimmed, empties dropped.
+    * The per-sentence unit of seq2seq prep — split, filter short/
+    * boilerplate sentences, rejoin. */
+  def splitSentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit("[^.!?]+(?:[.!?]+|$)"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
   /** Heuristic syllable count: vowel-group runs per word, min 1 per
     * word (purely consonantal tokens — digits, "hmm" — count as one
     * syllable, as every public Flesch implementation does). */
@@ -364,6 +379,56 @@ object TextAnalysis {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Sentence-segmentation gate: pages built as 10-word sentences
+    // with rotating terminators plus (on even docs) an unterminated
+    // trailing fragment; split count, the ≥3-word keep filter, and
+    // the rejoined digest all pin against the oracle's identical
+    // RE2-safe pattern.
+    Gate(
+      "fmt_sentences", {
+        val page = "array_to_string([array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') " +
+          "|| ['.','!','?'][(i-1)%3+1] || ' ' " +
+          "FOR i IN range(1, CAST(ceil(len(ws)/10.0) AS INT) + 1)], '') " +
+          "|| (CASE WHEN doc_id % 2 = 0 THEN 'trailing fragment no terminator' ELSE '' END)"
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$WordPattern') AS ws
+           |           FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |sp AS (SELECT doc_id,
+           |    [x FOR x IN list_transform(
+           |       regexp_extract_all(page, '[^.!?]+(?:[.!?]+|${"$"})'), s -> trim(s))
+           |     IF len(x) > 0] AS sents FROM p),
+           |k AS (SELECT doc_id, sents,
+           |    [s FOR s IN sents IF len(regexp_extract_all(s, '$WordPattern')) >= 3] AS kept
+           |  FROM sp)
+           |SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+           |  CAST(len(kept) AS INT) AS n_kept,
+           |  md5(coalesce(array_to_string(kept, '|'), '')) AS kept_md5
+           |FROM k ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val terms = array(lit("."), lit("!"), lit("?"))
+      val page = bind(words(col("text"))) { ws =>
+        concat(
+          array_join(
+            transform(indices(ceil(size(ws) / lit(10.0))), i =>
+              concat(array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "),
+                element_at(terms, ((i - 1) % 3 + 1).cast("int")), lit(" "))),
+            ""),
+          when(col("doc_id") % 2 === 0, "trailing fragment no terminator")
+            .otherwise(""))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"), splitSentences(col("page")).as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).as("n_sentences"),
+          bind(filter(col("sents"), x => size(words(x)) >= 3)) { kept =>
+            struct(size(kept).as("nk"), md5(array_join(kept, "|")).as("m"))
+          }.as("k"))
+        .select(col("doc_id"), col("n_sentences"), col("k.nk").as("n_kept"),
+          col("k.m").as("kept_md5"))
+        .orderBy("doc_id")
+    },
 
     // Blockword gate: plant lexicon hits by doc class (none / one /
     // dense) — hit counts, the ratio denominator, and the any-hit

@@ -92,6 +92,28 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(keptIds.size + excluded.count() == local.size)
   }
 
+  test("confusables fold + blockword gate: disguised blockwords still reject") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly ordinary document text here today"),
+      // Cyrillic-disguised blockword: must be folded BEFORE the gate
+      (2L, "this tеxt says dаmn dаmn dаmn dаmn often"),
+      (3L, "one damn word in а dozen here is within the rаtio limit today")
+    ).toDF("doc_id", "text")
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs,
+      FinewebConfig(foldConfusables = true, badwordMaxRatio = Some(0.2),
+        piiFormat = false))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 3L), s"kept $keptIds")
+    val reasons = excluded.select("doc_id", "filter_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons == Map(2L -> "badwords"))
+    // and the kept text is the FOLDED text
+    val t3 = kept.filter(col("doc_id") === 3L).select("text").head.getString(0)
+    assert(!t3.contains("а"))
+  }
+
   test("stacked filters attribute exclusions to the first rejecting stage") {
     val docs = annotated
     val banned = docs.filter(col("doc_id") % 5 === 0).select("doc_id")

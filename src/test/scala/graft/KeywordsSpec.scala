@@ -86,4 +86,30 @@ class KeywordsSpec extends SparkSpec {
       "text", col("tgt")).select("nll_per_word").head().getDouble(0)
     assert(z == 0.0)
   }
+
+  test("postings index round-trips: read-back manifest matches, lookup agrees with recount") {
+    import graft.operators.Keywords
+    val docs = Tables(spark, sfDir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    val writeManifest = Keywords.writePostings(docs, "text", "doc_id", path, nShards = 8)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Caches.releaseAll()
+    val readBack = spark.read.parquet(path)
+    val readManifest = Keywords.postingsManifest(readBack)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(writeManifest == readManifest)
+    assert(writeManifest.keySet == (0 until 8).toSet)
+    // a term lookup from the index equals a direct recount
+    val term = "the"
+    val fromIndex = readBack.filter(col("term") === term)
+      .select(explode(col("postings")).as("p"))
+      .select(col("p.id"), col("p.tf")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = docs.select(col("doc_id"),
+        size(filter(graft.operators.TextAnalysis.words(lower(col("text"))),
+          t => t === term)).as("tf"))
+      .filter(col("tf") > 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(fromIndex == direct, s"index ${fromIndex.size} vs direct ${direct.size}")
+  }
 }
