@@ -106,6 +106,72 @@ object Multimodal {
       }
   }
 
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash STAND-IN over the binary payload: 32 bits, bit k
+    * = parity of an md5-derived h32 of the 16-byte window at offset
+    * (k−1)·max(1, n/32) — a real pHash would DCT decoded pixels, and
+    * would land in this same per-partition batched loop; the LOCALITY
+    * property the dedup path needs (small payload edits flip few
+    * bits) holds for the stub because windows are position-anchored.
+    * Byte-level Scala in mapPartitions (the X1 plumbing), reproduced
+    * by the oracle via char arithmetic on ASCII payloads. */
+  def perceptualHash(docs: DataFrame): Dataset[MediaHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h32(slice: Array[Byte]): Long = {
+          md.reset()
+          val d = md.digest(slice)
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
+        rows.map { case (id, bytes) =>
+          val n = bytes.length
+          val step = math.max(1, n / 32)
+          var hash = 0L
+          var k = 1
+          while (k <= 32) {
+            val p = (k - 1) * step
+            val slice =
+              if (p >= n) Array.empty[Byte] else bytes.slice(p, math.min(p + 16, n))
+            if (h32(slice) % 2 == 1) hash |= 1L << (k - 1)
+            k += 1
+          }
+          MediaHash(id, hash)
+        }
+      }
+  }
+
+  /** Banded near-dup pairs over perceptual hashes — the SimHash LSH
+    * recipe on the media column: split the 32-bit hash into `nBands`
+    * bands (hamming ≤ maxHamming ⇒ some band is untouched whenever
+    * maxHamming < nBands, so candidate recall is structural), bucket-
+    * join on (band, value) — the shuffle carries (id, long) pairs
+    * only — then verify exact hamming ≤ `maxHamming`. */
+  def phashPairs(
+      hashes: DataFrame, // doc_id, phash
+      maxHamming: Int,
+      nBands: Int = 4,
+      bandBits: Int = 8): DataFrame = {
+    val withBands = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("phash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val a = withBands.select(col("doc_id").as("id_a"), col("phash").as("pa"),
+      col("band"), col("bv"))
+    val b = withBands.select(col("doc_id").as("id_b"), col("phash").as("pb"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val gates: Seq[Gate] = Seq(
     // The oracle reproduces the stubbed decode arithmetically:
     // md5(utf8 bytes) == md5(text), n_bytes == octet_length.
@@ -138,6 +204,44 @@ object Multimodal {
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
       resizeMedia(withMediaBlob(Tables(s, dir, "documents")))
         .toDF().orderBy("doc_id")
+    },
+
+    // Perceptual-hash near-dup gate: planted twins share all but the
+    // last 10 payload bytes (same length → same window grid → only
+    // trailing windows can flip, all landing in the top band, so the
+    // banded join must surface every twin), verified at hamming ≤ 4.
+    // The oracle rebuilds the 32 window parities, the band buckets,
+    // and the xor/bit_count verify on the identical ASCII arithmetic.
+    Gate(
+      "mm_phash_pairs", {
+        val h32 = "CAST(CAST('0x'||substr(md5(substr(text, (k-1)*step + 1, 16)),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH tw AS (SELECT doc_id + 1000000 AS doc_id,
+           |    substr(text, 1, length(text) - 10) || 'XXXXXXXXXX' AS text
+           |  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 200),
+           |t AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+           |p AS (SELECT doc_id, text, greatest(1, length(text) // 32) AS step FROM t),
+           |h AS (SELECT doc_id, CAST(list_sum([
+           |    CASE WHEN $h32 % 2 = 1 THEN CAST(1 AS BIGINT) << (k-1) ELSE CAST(0 AS BIGINT) END
+           |    FOR k IN range(1, 33)]) AS BIGINT) AS phash FROM p),
+           |b AS (SELECT doc_id, phash, band, (phash >> (CAST(band AS INT)*8)) & 255 AS bv
+           |      FROM h, (SELECT unnest(range(0, 4)) AS band)),
+           |pr AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           |         a.phash AS pa, c.phash AS pb
+           |       FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+           |         AND a.doc_id < c.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+           |FROM pr WHERE bit_count(xor(pa, pb)) <= 4
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val tw = docs
+        .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 200)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 10),
+            lit("XXXXXXXXXX")).as("text"))
+      val hashes = perceptualHash(withMediaBlob(docs.unionByName(tw))).toDF()
+      phashPairs(hashes, maxHamming = 4)
+        .orderBy("id_a", "id_b")
     },
 
     Gate(

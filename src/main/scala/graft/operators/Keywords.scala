@@ -260,6 +260,28 @@ object Keywords {
         .orderBy("shard")
     },
 
+    // Zipf frequency spectrum (count-of-counts): how many distinct
+    // terms occur exactly k times (k capped at 11 = "11+") — the
+    // companion diagnostic to vocabulary growth (a fat k=1 tail means
+    // hapax-heavy noise; a thin one means boilerplate). Two compact
+    // aggregates, the second over the ≤-vocab tf frame.
+    Gate(
+      "rpt_freq_spectrum",
+      s"""WITH tf AS (SELECT term, count(*) AS c FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text),
+         |      '${TextAnalysis.WordPattern}')) AS term FROM documents)
+         |  GROUP BY term)
+         |SELECT CAST(least(c, 11) AS INT) AS k, count(*) AS n_terms,
+         |  CAST(sum(c) AS BIGINT) AS n_occurrences
+         |FROM tf GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      Dedup.spread(Tables(s, dir, "documents"))
+        .select(explode(TextAnalysis.words(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .groupBy(least(col("c"), lit(11L)).cast("int").as("k"))
+        .agg(count(lit(1)).as("n_terms"), sum("c").as("n_occurrences"))
+        .orderBy("k")
+    },
+
     // Vocabulary growth at 5 even prefix checkpoints; the oracle
     // rebuilds the (token → first doc) frame and counts under each
     // cut. Both engines compute the cuts as ceil(n·i/5).

@@ -233,7 +233,43 @@ object EventStream {
       .drop("__v")
   }
 
+  /** Per-window top-k contributors via the bounded-heap aggregate —
+    * "who dominated each hour" WITHOUT a per-window row_number sort:
+    * after the (window, user) count, the per-window cut is
+    * `graft_top_k` with map-side partial merge, so ≤ k rows per map
+    * partition per window reach the final exchange. Works unchanged
+    * on a watermarked stream (both aggregations are incremental). */
+  def windowTopUsers(events: DataFrame, k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(events.sparkSession)
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(call_function("graft_top_k",
+        struct((-col("n")).as("nn"), col("user_id").as("u")), lit(k), lit(true)).as("top"))
+      .select(col("w"), posexplode(array_sort(col("top"))))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.u").as("user_id"), (-col("col.nn")).as("n"))
+  }
+
   val gates: Seq[Gate] = Seq(
+    Gate(
+      "q23_window_topk",
+      """WITH t AS (SELECT
+        |    make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * 1000000) AS ws,
+        |    user_id FROM events),
+        |c AS (SELECT ws, user_id, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT ws, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, user_id) AS rank FROM c)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+        |  CAST(rank AS INT) AS rank, user_id, n
+        |FROM r WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin) { (s, dir) =>
+      windowTopUsers(Tables(s, dir, "events"), k = 3)
+        .orderBy("window_start", "rank")
+    },
+
     Gate(
       "q22_moving_avg", {
         val avg = Cols.proundSql("CAST(sum(v) OVER w AS DOUBLE) / (count(*) OVER w)", 6)

@@ -254,4 +254,77 @@ class PropertySpec extends SparkSpec {
       assert(tok.decode(tok.encode(t).toIndexedSeq) == t.replaceAll("\\s+", ""),
         s"BPE round-trip failed on '$t'")
   }
+
+  // ---- allocateBudgets: conservation + saturation invariants ----
+
+  test("allocateBudgets invariants over generated totals/weights/budgets") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      totals <- Gen.listOfN(k, Gen.choose(0L, 5000L))
+      weights <- Gen.listOfN(k, Gen.choose(0, 10))
+      budget <- Gen.choose(0L, 20000L)
+    } yield (totals, weights.map(_.toDouble), budget)
+    for (((totals, weights, budget), i) <- samples(gen, 200).zipWithIndex) {
+      val tm = totals.zipWithIndex.map { case (t, j) => s"s$j" -> t }.toMap
+      val wm = weights.zipWithIndex.map { case (w, j) => s"s$j" -> w }.toMap
+      val alloc = operators.Mixture.allocateBudgets(tm, wm, budget)
+      val ctx = s"case $i: totals=$tm weights=$wm budget=$budget alloc=$alloc"
+      // never exceeds the budget or any source's supply
+      assert(alloc.values.sum <= budget, ctx)
+      assert(alloc.forall { case (s, a) => a <= tm(s) }, ctx)
+      // zero-weight sources get nothing; every source has an entry
+      assert(wm.filter(_._2 == 0.0).keys.forall(alloc(_) == 0L), ctx)
+      assert(alloc.keySet == tm.keySet, ctx)
+      // near-conservation: the water-fill uses everything it can, up
+      // to one floored token per PROPORTIONAL source per round (≤ k
+      // rounds) — saturated sources contribute exactly their totals
+      val capacity = tm.collect { case (s, t) if wm(s) > 0 => t }.sum
+      val target = math.min(budget, capacity)
+      assert(alloc.values.sum >= target - tm.size.toLong * tm.size, ctx)
+    }
+  }
+
+  // ---- int8 quantization: reconstruction + range invariants ----
+
+  test("int8 codes stay in [-127,127] and reconstruct within scale/2 over generated vectors") {
+    val genVec = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 251.7))
+    val vecs = samples(genVec, 300).map(_.toArray) :+ Array.fill(16)(0.0)
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+    val out = df.select(
+        operators.Similarity.int8Scale(col("v")).as("s"),
+        operators.Similarity.int8Codes(col("v"), operators.Similarity.int8Scale(col("v"))).as("c"),
+        col("v"))
+      .select(col("s"),
+        array_max(transform(col("c"), abs(_))).as("maxc"),
+        array_max(zip_with(col("c"), col("v"),
+          (c, x) => abs(c * col("s") - x))).as("maxerr"))
+      .collect()
+    out.foreach { r =>
+      val (s, maxc, maxerr) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(maxc <= 127.0, s"code $maxc out of range at scale $s")
+      assert(maxerr <= s / 2 + 1e-12, s"reconstruction error $maxerr > ${s / 2}")
+    }
+  }
+
+  // ---- paddingWaste: token conservation per bucket grid ----
+
+  test("paddingWaste conserves tokens: kept + truncated == input, pad consistent") {
+    val gen = Gen.choose(0L, 700L)
+    val toks = samples(gen, 500)
+    val df = toks.toDF("n")
+    val ceilings = Seq(64, 128, 256, 512)
+    val rows = operators.Layout.paddingWaste(df, col("n"), ceilings).collect()
+    val total = toks.sum
+    val kept = rows.map(_.getAs[Long]("n_tokens_kept")).sum
+    val trunc = rows.map(_.getAs[Long]("n_tokens_truncated")).sum
+    assert(kept + trunc == total, s"kept $kept + truncated $trunc != $total")
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(ceilings.contains(b))
+      // pad + kept = n_docs × bucket exactly (every doc fills its slot)
+      assert(r.getAs[Long]("n_pad") + r.getAs[Long]("n_tokens_kept") ==
+        r.getAs[Long]("n_docs") * b)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == toks.size)
+  }
 }
