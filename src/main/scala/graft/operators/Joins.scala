@@ -137,6 +137,56 @@ object Joins {
     * ASOF `<=` convention); multiple right rows at the same (key, ts)
     * resolve deterministically to the greatest payload struct.
     */
+  /** FORWARD as-of join: for every left row, the EARLIEST right row
+    * with `right.ts >= left.ts` on the same key — "the next reading
+    * after the order", the mirror of [[asofJoin]]'s backward lookup,
+    * with the same union + one-shuffle + single-sorted-pass shape
+    * (a running `first(right payload)` over the forward frame).
+    * Ties at the same ts resolve left-before-right (a right row AT
+    * the left's ts matches, the ASOF `>=` convention); multiple right
+    * rows at one (key, ts) resolve deterministically to the SMALLEST
+    * payload struct (first in ascending order — the mirror of
+    * backward's greatest). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toIndexedSeq
+    val reserved = Set("__k", "__ts", "__side", "__lrow", "__rp", "__match")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoinForward: input columns ${clash.mkString(", ")} collide with reserved working names")
+    val prefClash = payloadCols.map(prefix + _).intersect(leftCols)
+    require(prefClash.isEmpty,
+      s"asofJoinForward: prefixed payload columns ${prefClash.mkString(", ")} collide with left columns " +
+        "— pass a different prefix")
+    val rp = struct(payloadCols.map(col): _*)
+    val lp = struct(leftCols.map(col): _*)
+    val rpType = right.select(rp.as("x")).schema("x").dataType
+    val lpType = left.select(lp.as("x")).schema("x").dataType
+    // side 0 = left, 1 = right: at one ts the left row sorts BEFORE
+    // the right rows, so a right row at exactly left.ts lands inside
+    // the forward frame (inclusive >=)
+    val l2 = left.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      lp.as("__lrow"), lit(null).cast(rpType).as("__rp"))
+    val r2 = right.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(lpType).as("__lrow"), rp.as("__rp"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"), col("__rp"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l2.unionByName(r2)
+      .withColumn("__match", first(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(
+        leftCols.map(c => col("__lrow").getField(c).as(c)) ++
+          payloadCols.map(c => col("__match").getField(c).as(prefix + c)): _*)
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -376,6 +426,37 @@ object Joins {
       val r = events.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
       asofJoin(l, r, key = "user_id", tsCol = "tsu", payloadCols = Seq("view_id", "tsu"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id"), col("asof_tsu"))
+        .orderBy("event_id")
+    },
+
+    // Forward as-of: each click's NEXT view at-or-after it
+    // (post-click attribution). The oracle avoids relying on ASOF
+    // comparator-direction support: min matching ts per left row,
+    // then the smallest payload at that ts — exactly the operator's
+    // deterministic tie rule.
+    Gate(
+      "q24_asof_fwd",
+      """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS tsu
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (SELECT l.event_id, min(r.tsu) AS mtsu
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.tsu >= l.tsu
+        |  GROUP BY l.event_id),
+        |v AS (SELECT user_id, tsu, min(view_id) AS view_id FROM r GROUP BY user_id, tsu)
+        |SELECT l.event_id, l.user_id, v.view_id AS asof_view_id, m.mtsu AS asof_tsu
+        |FROM l JOIN m ON l.event_id = m.event_id
+        |LEFT JOIN v ON v.user_id = l.user_id AND v.tsu = m.mtsu
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+      val l = events.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val r = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
+      asofJoinForward(l, r, key = "user_id", tsCol = "tsu", payloadCols = Seq("view_id", "tsu"))
         .select(col("event_id"), col("user_id"),
           col("asof_view_id"), col("asof_tsu"))
         .orderBy("event_id")

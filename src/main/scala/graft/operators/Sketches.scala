@@ -172,6 +172,46 @@ object Sketches {
         .orderBy("event_type")
     },
 
+    // Windowed distinct users: the KMV sketch per 1-hour window with
+    // the exact count alongside — the "unique visitors per hour"
+    // report at sketch cost (≤ k doubles per window per partition
+    // cross the exchange; exact countDistinct rides along here only
+    // to pin the estimate). Window key = floored epoch hour, the
+    // portable q22/q23 form.
+    Gate(
+      "q25_window_distinct", {
+        val k = 64
+        val u = "CAST(CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16) " +
+          "AS UBIGINT) AS DOUBLE) / 18446744073709551616.0"
+        s"""WITH t AS (SELECT
+           |    strftime(make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * 1000000),
+           |      '%Y-%m-%d %H:%M') AS g,
+           |    user_id FROM events),
+           |h AS (SELECT DISTINCT g, $u AS u FROM t),
+           |r AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn,
+           |    count(*) OVER (PARTITION BY g) AS nd FROM h),
+           |s AS (SELECT g, CAST(least(nd, $k) AS INT) AS n_kept,
+           |    CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+           |         ELSE ($k - 1.0) / max(CASE WHEN rn = $k THEN u END) END AS est
+           |  FROM r GROUP BY g, nd),
+           |x AS (SELECT g, count(DISTINCT user_id) AS n_exact FROM t GROUP BY g)
+           |SELECT s.g AS window_start, n_kept, ${Cols.proundSql("est", 4)} AS est_distinct,
+           |  n_exact
+           |FROM s JOIN x ON s.g = x.g ORDER BY window_start""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables(s, dir, "events").select(
+        date_format(
+          timestamp_seconds((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")),
+          "yyyy-MM-dd HH:mm").as("ws"),
+        col("user_id"))
+      approxDistinct(t, "ws", "user_id", k = 64)
+        .join(
+          t.groupBy(col("ws").as("g")).agg(countDistinct("user_id").as("n_exact")),
+          Seq("g"))
+        .withColumnRenamed("g", "window_start")
+        .orderBy("window_start")
+    },
+
     // One-pass profile over mixed-cardinality columns: doc_id (large —
     // estimator path), source/lang (small — exact path), n_chars
     // (mid); string casts of BIGINTs print identically in both

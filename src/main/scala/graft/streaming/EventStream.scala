@@ -237,8 +237,14 @@ object EventStream {
     * "who dominated each hour" WITHOUT a per-window row_number sort:
     * after the (window, user) count, the per-window cut is
     * `graft_top_k` with map-side partial merge, so ≤ k rows per map
-    * partition per window reach the final exchange. Works unchanged
-    * on a watermarked stream (both aggregations are incremental). */
+    * partition per window reach the final exchange. On a stream this
+    * is TWO chained stateful aggregations: run it in COMPLETE mode
+    * (state retains everything, so the global-watermark "late rows"
+    * lint doesn't apply — disable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`,
+    * as StreamingSpec's parity test does), or keep the first
+    * aggregation streaming under a watermark and take the per-window
+    * cut in `foreachBatch`. */
   def windowTopUsers(events: DataFrame, k: Int): DataFrame = {
     graft.expr.GraftExtensions.register(events.sparkSession)
     events

@@ -297,6 +297,34 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds == batchIds, s"dedup parity: stream ${gotIds.size} vs batch ${batchIds.size}")
   }
 
+  test("windowTopUsers on a real file stream matches the batch result") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sfDir, "events")
+    val expected = EventStream.windowTopUsers(events, k = 3).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    // two chained stateful aggs in COMPLETE mode: no watermark ever
+    // evicts state, so the global-watermark "late rows" lint this
+    // config disables cannot bite (see windowTopUsers scaladoc)
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = EventStream.windowTopUsers(
+          spark.readStream.schema(events.schema).parquet(dir), k = 3)
+        .writeStream.format("memory").queryName("stream_topk")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.table("stream_topk").collect().toSet
+      assert(got == expected, s"stream ${got.size} vs batch ${expected.size} rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("batch sessionization matches a hand-computed case") {
     import spark.implicits._
     val events = Seq(
