@@ -628,6 +628,25 @@ object Clusters {
           .orderBy("id")
     },
 
+    // Cluster-size histogram — the dedup AUDIT report ("are we about
+    // to delete one mega-cluster or many pairs?" — the sanity check
+    // every dedup run wants BEFORE committing deletions): component
+    // sizes from the same closure, then a ≤-max-size aggregate.
+    Gate(
+      "rpt_cluster_sizes",
+      s"""WITH RECURSIVE base AS ($SqlEdges),
+         |$SqlReach,
+         |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n),
+         |sizes AS (SELECT rep, count(*) AS sz FROM labels GROUP BY rep)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      connectedComponents(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
+        .groupBy("rep").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // Quality-keeper policy over the same synthetic component graph:
     // the n_chars-max member (ties min id) survives each component
     // instead of the min id; oracle = the recursive closure plus a

@@ -178,8 +178,17 @@ object Layout {
       df: DataFrame,
       idCol: String,
       outCol: String = "train_order",
-      within: Seq[Column] = Nil): DataFrame =
-    denseIds(df, within ++ Seq(graft.Cols.lcgUniform(col(idCol)), col(idCol)), outCol)
+      within: Seq[Column] = Nil,
+      epoch: Long = 0L): DataFrame =
+    // `epoch` perturbs the LCG input (id + epoch·large-odd-prime mod
+    // 2³¹, congruence-safe) so every training epoch gets its OWN
+    // deterministic permutation — multi-epoch runs must not replay one
+    // fixed order (the well-known repeated-order memorization/ordering
+    // bias), yet each epoch's order must stay reproducible on retry
+    denseIds(df,
+      within ++ Seq(
+        graft.Cols.lcgUniform(col(idCol) + lit(epoch * 1000003L)), col(idCol)),
+      outCol)
 
   /** Padding-waste profile for sequence-length bucketed batching:
     * every doc pads up to the smallest ceiling ≥ its token count
@@ -257,6 +266,21 @@ object Layout {
         .select("doc_id", "tier", "train_order")
         .orderBy("doc_id")
     },
+    // Epoch-varied shuffle: epoch 3's permutation must equal the
+    // global window over the epoch-perturbed LCG keys — and differ
+    // from epoch 0's (LayoutSpec pins the distinctness).
+    Gate(
+      "op_shuffle_epoch", {
+        val u = graft.Cols.lcgUniformSql("(doc_id + 3000009)")
+        s"""SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY $u, doc_id) - 1 AS BIGINT) AS train_order
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      shuffleOrder(Tables(s, dir, "documents").select("doc_id"), "doc_id", epoch = 3L)
+        .select("doc_id", "train_order")
+        .orderBy("doc_id")
+    },
+
     Gate(
       "op_zorder", {
         val z = zorderSql(16, Seq("c_custkey", "c_nationkey"))

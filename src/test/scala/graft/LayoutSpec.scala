@@ -82,4 +82,20 @@ class LayoutSpec extends SparkSpec {
     assert(empty.count() == 0)
     Caches.releaseAll()
   }
+
+  test("shuffleOrder: each epoch is deterministic, different epochs permute differently") {
+    import spark.implicits._
+    val df = (0L until 200L).toDF("id").repartition(5)
+    def perm(epoch: Long) = operators.Layout
+      .shuffleOrder(df, "id", epoch = epoch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0a = perm(0L)
+    val e0b = perm(0L)
+    val e1 = perm(1L)
+    assert(e0a == e0b) // reproducible on retry
+    assert(e0a != e1, "epoch 1 must not replay epoch 0's order")
+    // both are complete permutations of 0..n-1
+    assert(e0a.values.toSet == (0L until 200L).toSet)
+    assert(e1.values.toSet == (0L until 200L).toSet)
+  }
 }
