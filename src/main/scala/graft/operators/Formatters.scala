@@ -173,6 +173,56 @@ object Formatters {
     concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or 10.2."),
       col("doc_id") % 256, lit(".7 iban DE44 5001 0517 5407 3249 31"))
 
+  /** PSM sentinels for fill-in-the-middle training (public
+    * formulation: Bavarian et al. 2022, "Efficient Training of
+    * Language Models to Fill in the Middle"; the same framing ships
+    * in the StarCoder/SantaCoder data pipelines). */
+  val FimPrefixTok = "<fim_prefix>"
+  val FimSuffixTok = "<fim_suffix>"
+  val FimMiddleTok = "<fim_middle>"
+
+  /** Fill-in-the-middle transform: for a deterministic `rate`-fraction
+    * of documents, split the text at two LCG-chosen character cuts
+    * c1 ≤ c2 and re-emit in PSM order (prefix-tok ‖ prefix ‖
+    * suffix-tok ‖ suffix ‖ middle-tok ‖ middle) so an autoregressive
+    * model learns infilling from ordinary left-to-right training.
+    * Narrow per-row rewrite — fuses with the scan; the "random" cuts
+    * come from the portable LCG, so task retries, any partitioning,
+    * and the SQL oracle reproduce the identical transform (an
+    * engine-`rand()` FIM would silently re-cut on retry and make the
+    * corpus non-reproducible). Docs shorter than `minChars` or not
+    * sampled pass through unchanged with `fim_applied = false`.
+    * Appends fim_applied, fim_c1, fim_c2 (NULL when not applied) and
+    * fim_text. Cut arithmetic: c1 = ⌊u1·n⌋ ∈ [0, n-1],
+    * c2 = c1 + ⌊u2·(n-c1)⌋ ≤ n-1 — the suffix is never empty, the
+    * prefix/middle may be (both valid FIM training cases).
+    */
+  def fimTransform(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      rate: Double = 0.5,
+      minChars: Int = 32): DataFrame = {
+    val id = col(idCol)
+    val t = col(textCol)
+    val n = length(t)
+    val applied = (Cols.lcgUniform(id + lit(7919L)) < lit(rate)) && (n >= minChars)
+    val c1 = floor(Cols.lcgUniform(id) * n).cast("int")
+    df.withColumn("fim_applied", applied)
+      .withColumn("fim_c1", when(applied, c1))
+      .withColumn("fim_c2",
+        when(applied,
+          col("fim_c1") +
+            floor(Cols.lcgUniform(id + lit(104729L)) * (n - col("fim_c1"))).cast("int")))
+      .withColumn("fim_text",
+        when(col("fim_applied"),
+          concat(
+            lit(FimPrefixTok), t.substr(lit(1), col("fim_c1")),
+            lit(FimSuffixTok), t.substr(col("fim_c2") + 1, n - col("fim_c2")),
+            lit(FimMiddleTok), t.substr(col("fim_c1") + 1, col("fim_c2") - col("fim_c1"))))
+          .otherwise(t))
+  }
+
   val ReplicationSchedule = Seq(1, 2, 3, 4, 8, 16)
 
   val gates: Seq[Gate] = Seq(
@@ -315,6 +365,39 @@ object Formatters {
       replicate(Tables(s, dir, "documents"), "doc_id", 100, ReplicationSchedule)
         .select("doc_id", "copy_nr")
         .orderBy("doc_id", "copy_nr")
+    },
+
+    // FIM: the md5 of the recomposed PSM text is the contract — it
+    // covers every cut boundary and sentinel placement at once.
+    Gate(
+      "fmt_fim", {
+        val uApply = Cols.lcgUniformSql("doc_id + 7919")
+        val u1 = Cols.lcgUniformSql("doc_id")
+        val u2 = Cols.lcgUniformSql("doc_id + 104729")
+        s"""WITH p AS (
+           |  SELECT doc_id, text, length(text) AS n,
+           |    ($uApply) < 0.5 AND length(text) >= 32 AS applied,
+           |    CAST(floor(($u1) * length(text)) AS INT) AS c1p
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, text, n, applied, c1p,
+           |    c1p + CAST(floor(($u2) * (n - c1p)) AS INT) AS c2p
+           |  FROM p)
+           |SELECT doc_id, applied AS fim_applied,
+           |  CASE WHEN applied THEN c1p END AS fim_c1,
+           |  CASE WHEN applied THEN c2p END AS fim_c2,
+           |  md5(CASE WHEN applied
+           |    THEN '$FimPrefixTok' || substr(text, 1, c1p) ||
+           |         '$FimSuffixTok' || substr(text, c2p + 1, n - c2p) ||
+           |         '$FimMiddleTok' || substr(text, c1p + 1, c2p - c1p)
+           |    ELSE text END) AS fim_md5
+           |FROM q ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      fimTransform(Tables(s, dir, "documents"), "text", "doc_id",
+        rate = 0.5, minChars = 32)
+        .select(col("doc_id"), col("fim_applied"), col("fim_c1"), col("fim_c2"),
+          md5(col("fim_text")).as("fim_md5"))
+        .orderBy("doc_id")
     },
 
     Gate(

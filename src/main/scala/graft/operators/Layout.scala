@@ -190,6 +190,31 @@ object Layout {
         graft.Cols.lcgUniform(col(idCol) + lit(epoch * 1000003L)), col(idCol)),
       outCol)
 
+  /** Curriculum interleave: order docs by `difficultyCol` WITHIN each
+    * source, then emit global positions that round-robin across
+    * sources at equal rank — the curriculum property (easy before
+    * hard) holds per source while no contiguous training window is
+    * dominated by one source. The alternative — one global difficulty
+    * sort — front-loads whichever source happens to skew easy and
+    * trains on it exclusively for a while (the ordering-bias failure
+    * `shuffleOrder` exists to avoid). Cost: one window PARTITIONED by
+    * source (prompt-/domain-sized groups, the q3_window contract) +
+    * [[denseIds]] on (rank, source) — one sampled range shuffle,
+    * never a single-partition global window. Ties rank by `idCol`. */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: Column,
+      sourceCol: String,
+      outCol: String = "curriculum_pos"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(difficultyCol.asc, col(idCol).asc)
+    denseIds(
+      df.withColumn("__cr", row_number().over(w)),
+      Seq(col("__cr"), col(sourceCol)), outCol)
+      .drop("__cr")
+  }
+
   /** Padding-waste profile for sequence-length bucketed batching:
     * every doc pads up to the smallest ceiling ≥ its token count
     * (docs past the top ceiling TRUNCATE to it — reported, never
@@ -278,6 +303,24 @@ object Layout {
       }) { (s, dir) =>
       shuffleOrder(Tables(s, dir, "documents").select("doc_id"), "doc_id", epoch = 3L)
         .select("doc_id", "train_order")
+        .orderBy("doc_id")
+    },
+
+    // Curriculum interleave: difficulty = n_chars (longer ≈ harder
+    // proxy); the round-robin-across-sources order must equal the
+    // global window over (per-source rank, source).
+    Gate(
+      "op_curriculum",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS cr
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY cr, source) - 1 AS BIGINT) AS curriculum_pos
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      curriculumOrder(
+        Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", col("n_chars"), "source")
+        .select("doc_id", "source", "curriculum_pos")
         .orderBy("doc_id")
     },
 

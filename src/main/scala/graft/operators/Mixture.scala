@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Cols, Gate, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -423,6 +424,47 @@ object Mixture {
     keptHi.select(cols: _*).unionByName(boundary.select(cols: _*))
   }
 
+  /** Preference-pair assembly for DPO/RLHF-style training data:
+    * within each group (the prompt proxy — same source, same task,
+    * same prompt hash), rank candidates by `scoreCol` and pair the
+    * r-th best with the r-th worst (best↔worst, 2nd-best↔2nd-worst,
+    * …), keeping pairs whose score margin clears `minMargin`. This is
+    * the standard "best-vs-worst of n candidates" pairing public
+    * alignment pipelines use to mine preference data from scored
+    * generations.
+    *
+    * Scale design: one window partitioned by the group key (groups
+    * are prompt-sized — tens of candidates, never corpus-sized; same
+    * partitioned-window contract as q3_window) plus one shuffle join
+    * on (group, rank). No cross product: a group of n candidates
+    * yields ≤ n/2 pairs, not n². Ties rank deterministically by
+    * `idCol`, so retries and the oracle agree bit-for-bit.
+    */
+  def preferencePairs(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: Column,
+      minMargin: Double): DataFrame = {
+    val base = df.select(col(groupCol), col(idCol), scoreCol.cast("double").as("__pps"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__pps").desc, col(idCol).asc)
+    val ranked = graft.Caches.persist(
+      base
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol))))
+    val top = ranked.filter(col("r") * 2 <= col("n"))
+      .select(col(groupCol), col("r"),
+        col(idCol).as("chosen_id"), col("__pps").as("__cs"))
+    val bot = ranked
+      .select(col(groupCol), (col("n") - col("r") + 1).cast("int").as("r"),
+        col(idCol).as("rejected_id"), col("__pps").as("__rs"))
+    top.join(bot, Seq(groupCol, "r"))
+      .filter(col("__cs") - col("__rs") >= minMargin)
+      .select(col(groupCol), col("r").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        (col("__cs") - col("__rs")).as("margin"))
+  }
+
   val gates: Seq[Gate] = Seq(
     // Token-budget selection: score = (doc_id % 997)/997 (portable,
     // deliberately TIED across docs so the id tiebreak and the
@@ -451,6 +493,27 @@ object Mixture {
       selectByBudget(t, col("n_tok"), col("score"), "doc_id", budget)
         .select("doc_id", "n_tok")
         .orderBy("doc_id")
+    },
+
+    // Preference pairs: group = source, score = n_chars (integral
+    // doubles ⇒ exact subtraction on both engines), margin ≥ 5 chars.
+    // The mirror-rank join and the margin filter are the contract.
+    Gate(
+      "op_pref_pairs",
+      """WITH s AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS sc FROM documents),
+        |r AS (SELECT source, doc_id, sc,
+        |    row_number() OVER (PARTITION BY source ORDER BY sc DESC, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n FROM s),
+        |top AS (SELECT source, r, doc_id AS chosen_id, sc AS cs FROM r WHERE r * 2 <= n),
+        |bot AS (SELECT source, n - r + 1 AS r, doc_id AS rejected_id, sc AS rs FROM r)
+        |SELECT source, CAST(top.r AS INT) AS pair_rank, chosen_id, rejected_id,
+        |  cs - rs AS margin
+        |FROM top JOIN bot USING (source, r)
+        |WHERE cs - rs >= 5.0
+        |ORDER BY source, pair_rank""".stripMargin) { (s, dir) =>
+      preferencePairs(Tables(s, dir, "documents"), "source", "doc_id",
+        col("n_chars"), minMargin = 5.0)
+        .orderBy("source", "pair_rank")
     },
 
     // Stratified budget mix: weights ∝ source index + 1 (portable —

@@ -327,4 +327,96 @@ class PropertySpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum == toks.size)
   }
+
+  // ---- FIM transform: lossless three-way split ----
+
+  test("fimTransform: parts reassemble the original text; short docs pass through") {
+    val gen = for {
+      id <- Gen.choose(0L, 100000L)
+      s <- Gen.listOfN(60, Gen.alphaNumChar).map(_.mkString)
+      pad <- Gen.choose(0, 100)
+    } yield (id, s + "x" * pad)
+    val docs = samples(gen, 400).distinctBy(_._1).toDF("id", "text")
+    val out = operators.Formatters.fimTransform(docs, "text", "id", rate = 0.5, minChars = 70)
+      .collect()
+    var applied = 0
+    out.foreach { r =>
+      val t = r.getAs[String]("text")
+      val ft = r.getAs[String]("fim_text")
+      if (r.getAs[Boolean]("fim_applied")) {
+        applied += 1
+        val c1 = r.getAs[Int]("fim_c1"); val c2 = r.getAs[Int]("fim_c2")
+        assert(0 <= c1 && c1 <= c2 && c2 < t.length)
+        // PSM framing decomposes back into exactly the original
+        val body = ft.stripPrefix(operators.Formatters.FimPrefixTok)
+        val Array(prefix, rest) = body.split(java.util.regex.Pattern.quote(
+          operators.Formatters.FimSuffixTok), 2)
+        val Array(suffix, middle) = rest.split(java.util.regex.Pattern.quote(
+          operators.Formatters.FimMiddleTok), 2)
+        assert(prefix + middle + suffix == t, s"FIM parts do not reassemble doc ${r.getAs[Long]("id")}")
+        assert(prefix.length == c1 && middle.length == c2 - c1)
+        assert(suffix.nonEmpty) // c2 ≤ n-1 by construction
+      } else {
+        assert(ft == t)
+        assert(t.length < 70 ||
+          !r.isNullAt(r.fieldIndex("fim_applied")))
+      }
+    }
+    // rate 0.5 over the long docs: some applied, some not
+    assert(applied > 0 && applied < out.length)
+  }
+
+  // ---- preference pairs: ranking + margin invariants ----
+
+  test("preferencePairs: chosen outranks rejected by >= margin, no id reuse within group") {
+    val gen = for {
+      id <- Gen.choose(0L, 100000L)
+      g <- Gen.oneOf("a", "b", "c")
+      s <- Gen.choose(0, 1000)
+    } yield (id, g, s)
+    val df = samples(gen, 300).distinctBy(_._1).toDF("id", "grp", "score")
+    val pairs = operators.Mixture.preferencePairs(df, "grp", "id", col("score"), minMargin = 10.0)
+      .collect()
+    assert(pairs.nonEmpty)
+    val byGroup = pairs.groupBy(_.getAs[String]("grp"))
+    val n = df.groupBy("grp").count().collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("count")).toMap
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.length <= n(g) / 2, s"group $g emits more pairs than n/2")
+      val used = rows.flatMap(r => Seq(r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id")))
+      assert(used.distinct.length == used.length, s"group $g reuses a doc across pairs")
+      rows.foreach(r => assert(r.getAs[Double]("margin") >= 10.0))
+    }
+    // margin really is chosen - rejected on the source scores
+    val score = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("score")).toMap
+    pairs.foreach { r =>
+      val m = score(r.getAs[Long]("chosen_id")) - score(r.getAs[Long]("rejected_id"))
+      assert(m.toDouble == r.getAs[Double]("margin"))
+    }
+  }
+
+  // ---- curriculum interleave: permutation + per-source monotonicity ----
+
+  test("curriculumOrder: positions form a permutation, are difficulty-monotone per source, and interleave sources") {
+    val gen = for {
+      id <- Gen.choose(0L, 100000L)
+      src <- Gen.oneOf("s0", "s1", "s2", "s3")
+      d <- Gen.choose(0, 500)
+    } yield (id, src, d)
+    val df = samples(gen, 200).distinctBy(_._1).toDF("id", "src", "difficulty")
+    val out = operators.Layout.curriculumOrder(df, "id", col("difficulty"), "src")
+      .collect()
+    val pos = out.map(_.getAs[Long]("curriculum_pos")).sorted
+    assert(pos.toSeq == (0L until out.length.toLong).toSeq, "not a dense permutation")
+    // within each source, position order == difficulty order (id tiebreak)
+    out.groupBy(_.getAs[String]("src")).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_.getAs[Long]("curriculum_pos"))
+        .map(r => (r.getAs[Int]("difficulty"), r.getAs[Long]("id")))
+      assert(byPos.toSeq == byPos.sortBy(identity).toSeq, "difficulty order broken within source")
+    }
+    // the first k positions cover all k sources (round-robin head)
+    val k = out.map(_.getAs[String]("src")).distinct.length
+    val firstK = out.sortBy(_.getAs[Long]("curriculum_pos")).take(k).map(_.getAs[String]("src"))
+    assert(firstK.distinct.length == k, s"head of curriculum not interleaved: ${firstK.mkString(",")}")
+  }
 }
