@@ -139,11 +139,79 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Deterministic Pearson correlation matrix over numeric columns —
+    * the feature-audit report run before training a quality/mixture
+    * model on metadata features ("are these two signals redundant?").
+    * ONE map-side-combined aggregate computes every Σx, Σx², Σxy as
+    * an exact DECIMAL (engine-order-independent, the `Cols.dsum`
+    * idiom — a plain double sum would not hash-match the oracle),
+    * then the k(k-1)/2 correlations are a driver-free select over
+    * that single stats row: corr = (nΣxy − ΣxΣy) /
+    * √((nΣx²−Σx²̄)(nΣy²−Σȳ²)), evaluated in IEEE doubles from
+    * identical decimal inputs on both engines. Nothing but one row
+    * crosses the exchange regardless of corpus size. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: need at least two columns")
+    def d(c: String) = col(c).cast(DecimalType(18, 4))
+    val sums = cols.map(c => sum(d(c)).as(s"s_$c"))
+    val prods = for { i <- cols.indices; j <- i until cols.size } yield
+      sum(d(cols(i)) * d(cols(j))).as(s"p_${cols(i)}_${cols(j)}")
+    val aggs = sums ++ prods :+ count(lit(1)).as("n")
+    val st = df.agg(aggs.head, aggs.tail: _*)
+    // Tail arithmetic in IEEE doubles over the exact decimal stats:
+    // a decimal s_x*s_y product would hit Spark's precision-loss
+    // rescale (Decimal(38,6)) and silently diverge from the oracle;
+    // identical double casts + identical operation order match
+    // bit-for-bit instead.
+    def dbl(name: String) = col(name).cast("double")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val (x, y) = (cols(i), cols(j))
+      val n = dbl("n")
+      val cov = n * dbl(s"p_${x}_$y") - dbl(s"s_$x") * dbl(s"s_$y")
+      val vx = n * dbl(s"p_${x}_$x") - dbl(s"s_$x") * dbl(s"s_$x")
+      val vy = n * dbl(s"p_${y}_$y") - dbl(s"s_$y") * dbl(s"s_$y")
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        Cols.pround(cov / sqrt(vx * vy), 6).as("corr"))
+    }
+    st.select(explode(array(pairs: _*)).as("u")).select("u.*")
+  }
+
   // k=64 < the 150 distinct users per type at sf0.01, so the gate
   // exercises the (k-1)/u_k estimator, not the exact-small-set
   // fallback (SketchesSpec covers that branch); n_exact rides along
   // so the dump itself shows the estimate landing near truth.
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   val gates: Seq[Gate] = Seq(
+    // Correlation matrix: the oracle replays the identical decimal
+    // sums and IEEE tail arithmetic; ORDER BY pins pair order.
+    Gate(
+      "rpt_correlations", {
+        val cs = CorrCols
+        def dd(c: String) = s"CAST($c AS DECIMAL(18,4))"
+        // first factor widened: DuckDB's DECIMAL(18)×DECIMAL(18) stays
+        // in int64 and overflows; (28,4)×(18,4) promotes to HUGEINT
+        def wd(c: String) = s"CAST(${dd(c)} AS DECIMAL(28,4))"
+        val sums = cs.map(c => s"sum(${dd(c)}) AS s_$c")
+        val prods = for { i <- cs.indices; j <- i until cs.size } yield
+          s"sum(${wd(cs(i))} * ${dd(cs(j))}) AS p_${cs(i)}_${cs(j)}"
+        def db(e: String) = s"CAST($e AS DOUBLE)"
+        val pairSelects = for { i <- cs.indices; j <- (i + 1) until cs.size } yield {
+          val (x, y) = (cs(i), cs(j))
+          val cov = s"${db("n")} * ${db(s"p_${x}_$y")} - ${db(s"s_$x")} * ${db(s"s_$y")}"
+          val vx = s"${db("n")} * ${db(s"p_${x}_$x")} - ${db(s"s_$x")} * ${db(s"s_$x")}"
+          val vy = s"${db("n")} * ${db(s"p_${y}_$y")} - ${db(s"s_$y")} * ${db(s"s_$y")}"
+          s"SELECT '$x' AS col_x, '$y' AS col_y, " +
+            Cols.proundSql(s"($cov) / sqrt(($vx) * ($vy))", 6) + " AS corr FROM st"
+        }
+        s"""WITH st AS (SELECT count(*) AS n, ${(sums ++ prods).mkString(", ")} FROM lineitem)
+           |${pairSelects.mkString("", "\nUNION ALL\n", "")}
+           |ORDER BY col_x, col_y""".stripMargin
+      }) { (s, dir) =>
+      correlationMatrix(Tables(s, dir, "lineitem"), CorrCols)
+        .orderBy("col_x", "col_y")
+    },
+
     Gate(
       "rpt_approx_distinct", {
         val k = 64

@@ -102,6 +102,72 @@ object TextClean {
   def foldConfusables(text: Column): Column =
     translate(text, ConfusablesFrom, ConfusablesTo)
 
+  /** Mojibake repair table: UTF-8 byte sequences decoded as
+    * Latin-1/cp1252 (the classic double-encoding corruption web
+    * crawls are full of — the public `ftfy` library's core case).
+    * Each entry maps the corrupted character sequence back to the
+    * intended codepoint: é's UTF-8 (C3 A9) read as cp1252 renders
+    * "Ã©", '’' (E2 80 99) renders "â€™", and so on. Deliberately a
+    * curated, unambiguous subset (common Western European accents +
+    * punctuation) rather than a full cp1252 inverse: sequences whose
+    * cp1252 bytes include undefined/control slots (e.g. ” → 0x9D)
+    * can't round-trip as printable text and are left alone. Ordered
+    * longest-first so 3-byte punctuation repairs never get clipped by
+    * a 2-byte rule. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    // U+2019 ' (E2 80 99 → â€™), U+201C " (E2 80 9C → â€œ),
+    // U+2026 … (E2 80 A6 → â€¦), U+2014 — (E2 80 94 → â€”)
+    "â€™" -> "’",
+    "â€œ" -> "“",
+    "â€¦" -> "…",
+    "â€”" -> "—",
+    // two-byte Latin-1 accents: C3 xx → Ã + (xx as Latin-1)
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ã¼" -> "ü", // ü
+    "Ã¶" -> "ö", // ö
+    "Ã¤" -> "ä", // ä
+    "Ã±" -> "ñ", // ñ
+    "Ã§" -> "ç", // ç
+    // C2 xx punctuation: Â« Â» Â° and the stray Â before NBSP-space
+    "Â«" -> "«",
+    "Â»" -> "»",
+    "Â°" -> "°",
+    "Â " -> " ")
+
+  /** Repair mojibake via the ordered literal-replace chain — every
+    * step a codegen'd `replace`, narrow, fuses into the scan. Safe to
+    * run on clean text: the corrupted sequences (Ã/Â/â followed by
+    * specific marks) effectively never occur in intended prose. */
+  def fixMojibake(text: Column): Column =
+    MojibakeRepairs.foldLeft(text) { case (c, (from, to)) =>
+      call_function("replace", c, lit(from), lit(to))
+    }
+
+  /** The same chain as SQL text over `expr`, for oracle queries.
+    * Strings are composed from chr(codepoint) so the emitted SQL (and
+    * the oracle-json artifact) stays pure ASCII. */
+  def sqlChrs(s: String): String = s.map(c => s"chr(${c.toInt})").mkString("||")
+
+  def fixMojibakeSql(expr: String): String =
+    MojibakeRepairs.foldLeft(expr) { case (e, (from, to)) =>
+      s"replace($e, ${sqlChrs(from)}, ${sqlChrs(to)})"
+    }
+
+  /** Gate fixtures: planted corrupted suffixes built FROM the repair
+    * table (intended char → its mojibake form), never hand-typed — a
+    * table edit can't silently desync the gate. */
+  private lazy val Corrupt: Map[String, String] = MojibakeRepairs.map(_.swap).toMap
+  private lazy val MojiPlantAccents: String =
+    " caf" + Corrupt("é") + " cr" + Corrupt("è") + "me " + Corrupt("ü") + "ber Fran" +
+      Corrupt("ç") + "ais ni" + Corrupt("ñ") + "o"
+  private lazy val MojiPlantPunct: String =
+    " don" + Corrupt("’") + "t " + Corrupt("“") + "quoted wait" + Corrupt("…") +
+      " em" + Corrupt("—") + "dash"
+  private lazy val MojiPlantSymbols: String =
+    " " + Corrupt("«") + "20" + Corrupt("°") + "C" + Corrupt("»") + " and" +
+      Corrupt(" ") + "space"
+
   /** Per-source corpus profile: doc/token/char counts and mean
     * quality — one aggregate, #sources output rows. */
   def corpusStats(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
@@ -357,6 +423,40 @@ object TextClean {
           md5(foldConfusables(col("t"))).as("folded_md5"),
           (length(col("t")) - length(translate(col("t"), ConfusablesFrom, "")))
             .cast("long").as("n_confusables"))
+        .orderBy("doc_id")
+    },
+
+    // Mojibake gate: plant the corrupted (cp1252-decoded UTF-8) forms
+    // by doc class — accents, curly punctuation, C2-prefix symbols —
+    // and require the repair chain to land exactly on the intended
+    // text. Both engines build the planted suffix from the SAME Scala
+    // strings (chr() composition keeps the oracle SQL ASCII); the
+    // length delta pins how many multi-char sequences collapsed.
+    Gate.lazyOracle("fmt_mojibake") {
+      val plants = Seq(MojiPlantAccents, MojiPlantPunct, MojiPlantSymbols)
+        .map(sqlChrs)
+      s"""WITH p AS (SELECT doc_id, text ||
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN ${plants(0)}
+         |      WHEN 1 THEN ${plants(1)}
+         |      ELSE ${plants(2)} END AS t FROM documents),
+         |f AS (SELECT doc_id, t, ${fixMojibakeSql("t")} AS ft FROM p)
+         |SELECT doc_id, length(t) AS len_raw, length(ft) AS len_fixed,
+         |  md5(ft) AS fixed_md5
+         |FROM f ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, MojiPlantAccents)
+              .when(col("doc_id") % 3 === 1, MojiPlantPunct)
+              .otherwise(MojiPlantSymbols)).as("t"))
+        .select(col("doc_id"), length(col("t")).as("len_raw"),
+          Cols.bind(fixMojibake(col("t"))) { ft =>
+            struct(length(ft).as("l"), md5(ft).as("m"))
+          }.as("n"))
+        .select(col("doc_id"), col("len_raw"), col("n.l").as("len_fixed"),
+          col("n.m").as("fixed_md5"))
         .orderBy("doc_id")
     }
   )

@@ -94,4 +94,24 @@ class SketchesSpec extends SparkSpec {
     assert(merged.orderBy("j", "b").collect().toSeq ==
       whole.orderBy("j", "b").collect().toSeq)
   }
+
+  test("correlationMatrix recovers exact linear relationships and hand-computed Pearson") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x + 10 (corr -1), w uncorrelated-ish
+    val df = Seq(
+      (1.0, 2.0, 9.0, 3.0),
+      (2.0, 4.0, 8.0, 1.0),
+      (3.0, 6.0, 7.0, 4.0),
+      (4.0, 8.0, 6.0, 1.0),
+      (5.0, 10.0, 5.0, 5.0)).toDF("x", "y", "z", "w")
+    val out = Sketches.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == -1.0)
+    assert(out(("y", "z")) == -1.0)
+    // hand-computed Pearson(x, w): cov = nΣxw − ΣxΣw = 5*46 − 15*14 = 20
+    // vx = 5*55 − 225 = 50, vw = 5*52 − 196 = 64 → 20/√3200 ≈ 0.353553
+    assert(out(("x", "w")) == 0.353553)
+  }
 }

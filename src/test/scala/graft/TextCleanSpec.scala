@@ -74,6 +74,25 @@ class TextCleanSpec extends SparkSpec {
     assert(one(TextClean.stripAccents(col("t")), "Hu\u1EC7") == "Hue")
   }
 
+  test("fixMojibake repairs cp1252-decoded UTF-8 accents, punctuation, and symbols") {
+    assert(one(TextClean.fixMojibake(col("t")),
+      "cafÃ© crÃ¨me FranÃ§ais") == "café crème Français")
+    assert(one(TextClean.fixMojibake(col("t")),
+      "donâ€™t â€œquoted waitâ€¦") ==
+      "don’t “quoted wait…")
+    // U+00A0 corrupts to Â+NBSP — explicit escape, not a plain space
+    assert(one(TextClean.fixMojibake(col("t")),
+      "Â«20Â°CÂ» andÂ space") == "«20°C» and space")
+  }
+
+  test("fixMojibake is idempotent and leaves clean text untouched") {
+    val clean = "café “déjà vu” — it’s fine… «20°C»"
+    assert(one(TextClean.fixMojibake(col("t")), clean) == clean)
+    val corrupted = "donâ€™t cafÃ©"
+    val once = one(TextClean.fixMojibake(col("t")), corrupted)
+    assert(one(TextClean.fixMojibake(col("t")), once) == once)
+  }
+
   test("corpusStats aggregates per source") {
     val docs = Seq(
       (1L, "alpha beta gamma", "a"),
