@@ -106,6 +106,109 @@ object Multimodal {
       }
   }
 
+  final case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int)
+
+  /** REAL image-header parse — not a stub: PNG's big-endian IHDR
+    * width/height (bytes 16–23 after the 8-byte signature + IHDR
+    * chunk header), and JPEG's marker-segment walk to the first SOFn
+    * frame header (skipping APPn/COM/DQT… by their declared lengths —
+    * real JPEGs put variable-length metadata before the frame, so a
+    * fixed-offset read is wrong by construction). Works on genuine
+    * files; anything unrecognized or truncated degrades to
+    * ("unknown", 0, 0), never a throw — a 100 TB crawl WILL contain
+    * corrupt payloads. */
+  private[graft] def parseImageMeta(b: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val unknown = ("unknown", 0, 0)
+    if (b.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P'.toInt && u8(2) == 'N'.toInt && u8(3) == 'G'.toInt &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+      u8(12) == 'I'.toInt && u8(13) == 'H'.toInt && u8(14) == 'D'.toInt && u8(15) == 'R'.toInt)
+      ("png", u32(16).toInt, u32(20).toInt)
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res = unknown
+      var done = false
+      while (!done && i + 4 <= b.length) {
+        if (u8(i) != 0xff) done = true
+        else {
+          val marker = u8(i + 1)
+          // standalone markers carry no length (RSTn, TEM, repeated FF fill)
+          if (marker == 0xff) i += 1
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else {
+            val len = u16(i + 2)
+            if (len < 2) done = true
+            else if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              // SOFn payload: precision u8, height u16, width u16
+              if (i + 9 <= b.length) res = ("jpeg", u16(i + 7), u16(i + 5))
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      res
+    } else unknown
+  }
+
+  /** Batched header parse over the binary column — the same
+    * per-partition shape as the decode stubs, but with the real
+    * parser above. */
+  def imageMeta(docs: DataFrame): Dataset[ImageMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (f, w, h) = parseImageMeta(bytes)
+        ImageMeta(id, f, w, h)
+      })
+  }
+
+  /** Deterministic synthetic image headers for the gate: a valid PNG
+    * (IHDR dims from doc_id), a valid JFIF JPEG whose APP0 length
+    * VARIES by doc_id and that interposes a COM segment before SOF0
+    * (so the parser's segment walk is actually exercised), or a
+    * non-image payload. Widths/heights are pure doc_id formulas —
+    * exactly what the oracle recomputes. */
+  def withImageBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] = (id % 3) match {
+          case 0 =>
+            val w = (id % 640 + 1).toInt; val h = (id % 480 + 1).toInt
+            val bb = java.nio.ByteBuffer.allocate(33)
+            bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+            bb.putInt(13).put("IHDR".getBytes("ASCII")).putInt(w).putInt(h)
+            bb.put(Array(8, 6, 0, 0, 0).map(_.toByte)) // depth/color/etc
+            bb.array()
+          case 1 =>
+            val w = (id % 320 + 1).toInt; val h = (id % 240 + 1).toInt
+            val app0Len = (16 + id % 8).toInt // varies: fixed-offset readers break
+            val out = new java.io.ByteArrayOutputStream()
+            def b2(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+            out.write(0xff); out.write(0xd8)                  // SOI
+            out.write(0xff); out.write(0xe0); b2(app0Len)     // APP0
+            out.write("JFIF ".getBytes("ASCII"))
+            (0 until app0Len - 7).foreach(_ => out.write(0))
+            out.write(0xff); out.write(0xfe); b2(6)           // COM
+            out.write("grft".getBytes("ASCII"))
+            out.write(0xff); out.write(0xc0); b2(17)          // SOF0
+            out.write(8); b2(h); b2(w); out.write(3)
+            (0 until 9).foreach(_ => out.write(0x11))
+            out.write(0xff); out.write(0xd9)                  // EOI
+            out.toByteArray
+          case _ => text.getBytes("UTF-8")
+        }
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
   final case class MediaHash(doc_id: Long, phash: Long)
 
   /** Perceptual-hash STAND-IN over the binary payload: 32 bits, bit k
@@ -173,6 +276,23 @@ object Multimodal {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Image-header parse gate: the fixture headers are pure doc_id
+    // formulas, so the oracle recomputes expected format/dims from
+    // construction while the Spark side must actually PARSE the bytes
+    // (IHDR big-endian reads; APP0/COM segment walk to SOF0).
+    Gate(
+      "mm_image_meta",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'unknown' END AS format,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 640 + 1
+        |       WHEN 1 THEN doc_id % 320 + 1 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 480 + 1
+        |       WHEN 1 THEN doc_id % 240 + 1 ELSE 0 END AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      imageMeta(withImageBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
+    },
+
     // The oracle reproduces the stubbed decode arithmetically:
     // md5(utf8 bytes) == md5(text), n_bytes == octet_length.
     Gate(

@@ -48,6 +48,45 @@ object Formatters {
       regexp_extract_all(text, lit(IpRe), lit(0)),
       regexp_extract_all(text, lit(IbanRe), lit(0)))))
 
+  /** Card-number candidates: 12–19 digits with optional single
+    * space/dash separators, word-bounded. Deliberately permissive —
+    * the Luhn check below does the discriminating, which is the whole
+    * point: a bare digit-run regex redacts every order id and
+    * timestamp in the corpus; Luhn-gating cuts the false-redact rate
+    * ~10× (a random digit run passes mod-10 ~10% of the time). */
+  val CardCandidateRe: String = "\\b\\d(?:[ -]?\\d){11,18}\\b"
+
+  /** Luhn (mod-10) checksum validity of a pure-digit string —
+    * right-to-left positions, every second digit doubled with the
+    * 2d>9 → 2d−9 fold. Higher-order array functions over a
+    * length-bounded (≤19) sequence: narrow, no UDF. */
+  def luhnValid(digits: Column): Column =
+    bind(length(digits)) { n =>
+      aggregate(
+        transform(sequence(lit(1), n), i =>
+          bind(ascii(digits.substr(n - i + lit(1), lit(1))) - lit(48)) { c =>
+            when(i % 2 === 1, c)
+              .otherwise(when(c * 2 > 9, c * 2 - 9).otherwise(c * 2))
+          }),
+        lit(0), (acc, x) => acc + x) % 10 === 0
+    }
+
+  /** The distinct candidate substrings that pass length (13–19
+    * digits) + Luhn — i.e. the strings [[redactCards]] will erase. */
+  def validCards(text: Column): Column =
+    filter(
+      array_distinct(regexp_extract_all(text, lit(CardCandidateRe), lit(0))),
+      c => bind(regexp_replace(c, "[ -]", "")) { d =>
+        length(d) >= 13 && length(d) <= 19 && luhnValid(d)
+      })
+
+  /** Redact Luhn-VALID card numbers only (fold the validated
+    * candidate list over the text with literal replaces) — invalid
+    * runs like order ids survive untouched. */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text,
+      (acc, cand) => call_function("replace", acc, cand, lit("<card-pii>")))
+
   /** A3 — conversation templating (reference: euroblocks adapter,
     * pipelines/euroblocks/main.py:137-146: chat log → "user: …" /
     * "assistant: …" lines). `conv` is array<struct<from,value>>. */
@@ -273,6 +312,49 @@ object Formatters {
       val docs = Tables(s, dir, "documents")
       docs.select(col("doc_id"), plantPii(docs).as("t"))
         .select(col("doc_id"), piiRedact(col("t")).as("redacted"), piiCount(col("t")).as("pii_count"))
+        .orderBy("doc_id")
+    },
+
+    // Luhn-gated card redaction: four planted classes — a valid
+    // 16-digit (spaced), an INVALID 16-digit (dashed, must survive),
+    // a valid 13-digit, and a 10-digit non-candidate. The oracle
+    // replays candidate extraction, the Luhn fold (nested DuckDB
+    // lambdas), and the validated-replace reduce.
+    Gate(
+      "fmt_pii_cards", {
+        // dd(c) = the candidate with separators stripped, inlined at
+        // every use (DuckDB lambdas have no let-binding)
+        def dd = "regexp_replace(c, '[ -]', '', 'g')"
+        val luhn = s"list_sum(list_transform(range(1, len($dd) + 1), i -> " +
+          s"CASE WHEN i % 2 = 1 THEN ascii(substr($dd, len($dd) - i + 1, 1)) - 48 " +
+          s"ELSE CASE WHEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) > 9 " +
+          s"THEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) - 9 " +
+          s"ELSE 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) END END)) % 10 = 0"
+        val valids = "list_filter(list_distinct(" +
+          s"regexp_extract_all(t, '$CardCandidateRe')), c -> " +
+          s"len($dd) BETWEEN 13 AND 19 AND ($luhn))"
+        s"""WITH p AS (SELECT doc_id, text ||
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN ' pay 4111 1111 1111 1111 now'
+           |      WHEN 1 THEN ' ref 4111-1111-1111-1112 x'
+           |      WHEN 2 THEN ' acct 4222222222222 ok'
+           |      ELSE ' call 0123 456 789' END AS t FROM documents),
+           |v AS (SELECT doc_id, t, $valids AS vc FROM p)
+           |SELECT doc_id, CAST(len(vc) AS INT) AS n_cards,
+           |  md5(list_reduce(list_prepend(t, vc),
+           |    (acc, x) -> replace(acc, x, '<card-pii>'))) AS red_md5
+           |FROM v ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, " pay 4111 1111 1111 1111 now")
+              .when(col("doc_id") % 4 === 1, " ref 4111-1111-1111-1112 x")
+              .when(col("doc_id") % 4 === 2, " acct 4222222222222 ok")
+              .otherwise(" call 0123 456 789")).as("t"))
+        .select(col("doc_id"),
+          size(validCards(col("t"))).as("n_cards"),
+          md5(redactCards(col("t"))).as("red_md5"))
         .orderBy("doc_id")
     },
 

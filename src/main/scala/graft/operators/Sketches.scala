@@ -54,6 +54,54 @@ object Sketches {
           4).as("est_distinct"))
   }
 
+  /** KMV set algebra over per-segment sketches — pairwise
+    * union / Jaccard / intersection estimates ("how much do day X's
+    * users overlap day Y's?") WITHOUT ever joining the raw sets: the
+    * mergeable property Beyer et al. (SIGMOD'07) prove is that the k
+    * smallest of Sₐ ∪ S_b is exactly the union's KMV sketch, and
+    * ρ̂ = |M ∩ Sₐ ∩ S_b| / |M| estimates Jaccard. One aggregate
+    * builds the ≤ k-double sketches; the pairwise pass is a broadcast
+    * self-join over the tiny (#segments)-row sketch frame — raw
+    * values never shuffle, so segment size is irrelevant at 100 TB.
+    * When the union holds < k distinct hashes everything degrades to
+    * EXACT set arithmetic (M is the whole union). */
+  def kmvOverlap(
+      df: DataFrame,
+      segCol: String,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvOverlap: k must be >= 2")
+    val mins = df
+      .select(col(segCol).cast("string").as("seg"), unitHash(col(valueCol)).as("__u"))
+      .groupBy("seg")
+      .agg(call_function("graft_kmv_mins", col("__u"), lit(k)).as("mins"))
+    val a = mins.select(col("seg").as("seg_a"), col("mins").as("ma"))
+    val b = mins.select(col("seg").as("seg_b"), col("mins").as("mb"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        slice(array_sort(array_union(col("ma"), col("mb"))), 1, k).as("m"),
+        col("ma"), col("mb"))
+      .select(col("seg_a"), col("seg_b"), col("m"), col("ma"), col("mb"),
+        size(filter(col("m"),
+          x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+          .as("n_both"))
+      .select(col("seg_a"), col("seg_b"),
+        size(col("m")).as("n_union_kept"),
+        Cols.bind(
+          when(size(col("m")) < k, size(col("m")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) / element_at(col("m"), k))) { u =>
+          Cols.bind(col("n_both").cast("double") / size(col("m"))) { j =>
+            struct(
+              Cols.pround(u, 4).as("u"),
+              Cols.pround(j, 4).as("j"),
+              Cols.pround(j * u, 4).as("i"))
+          }
+        }.as("e"))
+      .select(col("seg_a"), col("seg_b"), col("n_union_kept"),
+        col("e.u").as("est_union"), col("e.j").as("est_jaccard"),
+        col("e.i").as("est_intersection"))
+  }
+
   /** One-pass table profile: for each requested column, its null
     * count and KMV-estimated distinct count (exact when the column
     * holds fewer than k distinct values), plus the row count — the
@@ -210,6 +258,43 @@ object Sketches {
       }) { (s, dir) =>
       correlationMatrix(Tables(s, dir, "lineitem"), CorrCols)
         .orderBy("col_x", "col_y")
+    },
+
+    // KMV set algebra: the oracle replays the identical sketch
+    // (k smallest distinct md5 unit-hashes per day) with list
+    // functions, then the same merge/filter/estimate arithmetic.
+    // First 5 days only: 10 pairs, ~128-138 of 150 users per day at
+    // sf0.01 — k=64 < every set, so the ESTIMATOR branch runs while
+    // overlap varies pair to pair.
+    Gate(
+      "rpt_kmv_overlap", {
+        val k = 64
+        val u = "CAST(CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16) " +
+          "AS UBIGINT) AS DOUBLE) / 18446744073709551616.0"
+        s"""WITH h AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS seg, $u AS u
+           |    FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-06'),
+           |m AS (SELECT seg, list_sort(list(u))[1:$k] AS mins FROM h GROUP BY seg),
+           |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.mins AS ma, b.mins AS mb
+           |    FROM m a JOIN m b ON a.seg < b.seg),
+           |c AS (SELECT seg_a, seg_b, ma, mb,
+           |    list_sort(list_distinct(list_concat(ma, mb)))[1:$k] AS mm FROM p),
+           |d AS (SELECT seg_a, seg_b, mm,
+           |    len(list_filter(mm, x -> list_contains(ma, x) AND list_contains(mb, x))) AS n_both
+           |  FROM c),
+           |e AS (SELECT seg_a, seg_b, CAST(len(mm) AS INT) AS n_union_kept,
+           |    CASE WHEN len(mm) < $k THEN CAST(len(mm) AS DOUBLE)
+           |         ELSE ($k - 1.0) / mm[$k] END AS u,
+           |    CAST(n_both AS DOUBLE) / len(mm) AS j
+           |  FROM d)
+           |SELECT seg_a, seg_b, n_union_kept, ${Cols.proundSql("u", 4)} AS est_union,
+           |  ${Cols.proundSql("j", 4)} AS est_jaccard,
+           |  ${Cols.proundSql("j * u", 4)} AS est_intersection
+           |FROM e ORDER BY seg_a, seg_b""".stripMargin
+      }) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(to_date(col("ts")) < lit("2024-01-06"))
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      kmvOverlap(ev, "day", "user_id", k = 64).orderBy("seg_a", "seg_b")
     },
 
     Gate(

@@ -326,6 +326,50 @@ object TextAnalysis {
       }
     }
 
+  /** Character-level Shannon entropy (bits/char) over case-folded
+    * letter/digit/whitespace/other classes — the cheap gibberish and
+    * blob detector (base64 dumps and key material run ≳4.5 bits,
+    * natural English ~4.1, repeated boilerplate ≪4): 29 chained
+    * codegen `translate`-count kernels, zero shuffle, fuses into the
+    * scan. Per-class terms are pround(…,8) before the fixed-order sum
+    * so any engine replays the identical IEEE arithmetic. */
+  def charEntropy(text: Column): Column =
+    bind(lower(text)) { t =>
+      bind(length(t).cast("double")) { n =>
+        val letterCounts = ('a' to 'z').map(c =>
+          length(t) - length(translate(t, c.toString, "")))
+        val digits = length(t) - length(translate(t, "0123456789", ""))
+        val ws = length(t) - length(translate(t, " \t\n\r", ""))
+        val known = letterCounts.reduce(_ + _) + digits + ws
+        val other = length(t) - known
+        val counts = letterCounts ++ Seq(digits, ws, other)
+        val terms = counts.map { c =>
+          val p = c.cast("double") / n
+          when(c > 0, Cols.pround(-p * log2(p), 8)).otherwise(lit(0.0))
+        }
+        when(length(t) === 0, lit(0.0)).otherwise(terms.reduce(_ + _))
+      }
+    }
+
+  /** [[charEntropy]] as DuckDB SQL over column expr `expr` (lowers
+    * internally, mirroring the Column version; whitespace chars via
+    * chr() to keep the SQL ASCII). */
+  def sqlCharEntropy(expr: String): String = {
+    val t = s"lower($expr)"
+    def cnt(fromChars: String) = s"(length($t) - length(translate($t, $fromChars, '')))"
+    val letters = ('a' to 'z').map(c => cnt(s"'$c'"))
+    val digits = cnt("'0123456789'")
+    val ws = cnt("' ' || chr(9) || chr(10) || chr(13)")
+    val known = (letters :+ digits :+ ws).mkString(" + ")
+    val other = s"(length($t) - ($known))"
+    val counts = letters ++ Seq(digits, ws, other)
+    val terms = counts.map { c =>
+      val p = s"(CAST($c AS DOUBLE) / CAST(length($t) AS DOUBLE))"
+      s"CASE WHEN $c > 0 THEN ${Cols.proundSql(s"-($p) * log2($p)", 8)} ELSE 0.0 END"
+    }
+    s"CASE WHEN length($t) = 0 THEN 0.0 ELSE ${terms.mkString(" + ")} END"
+  }
+
   // ---- SQL fragments for oracles (DuckDB dialect) ----
 
   val SqlWords = s"regexp_extract_all(text, '$WordPattern')"
@@ -379,6 +423,20 @@ object TextAnalysis {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Char-entropy gate: straight over the corpus text (no planting
+    // needed — the signal varies doc to doc); the oracle replays the
+    // identical 29 translate-counts and the pround-8 term arithmetic.
+    Gate(
+      "txt_char_entropy",
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  ${sqlCharEntropy("text")} AS char_entropy
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          charEntropy(col("text")).as("char_entropy"))
+        .orderBy("doc_id")
+    },
 
     // Sentence-segmentation gate: pages built as 10-word sentences
     // with rotating terminators plus (on even docs) an unterminated

@@ -419,4 +419,64 @@ class PropertySpec extends SparkSpec {
     val firstK = out.sortBy(_.getAs[Long]("curriculum_pos")).take(k).map(_.getAs[String]("src"))
     assert(firstK.distinct.length == k, s"head of curriculum not interleaved: ${firstK.mkString(",")}")
   }
+
+  test("parseImageMeta reads genuine PNG IHDR and walks JFIF segments to SOF0") {
+    import graft.multimodal.Multimodal
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // the canonical 1×1 PNG file head: signature + IHDR(len 13) + dims + CRC
+    val png1x1 = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89)
+    assert(Multimodal.parseImageMeta(png1x1) == (("png", 1, 1)))
+    // JFIF: SOI, 16-byte APP0, a DQT the walk must skip, SOF0 3×2
+    val jfif = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46, 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xdb, 0x00, 0x05, 0x00, 0x01, 0x02,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x02, 0x00, 0x03,
+      0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(Multimodal.parseImageMeta(jfif) == (("jpeg", 3, 2)))
+    // progressive SOF2 also counts as a frame header
+    val sof2 = jfif.updated(28, 0xc2.toByte)
+    assert(Multimodal.parseImageMeta(sof2) == (("jpeg", 3, 2)))
+    // corrupt magic, truncation, and text all degrade to unknown
+    assert(Multimodal.parseImageMeta(png1x1.updated(0, 0x00.toByte))._1 == "unknown")
+    assert(Multimodal.parseImageMeta(jfif.take(10))._1 == "unknown")
+    assert(Multimodal.parseImageMeta("hello world".getBytes)._1 == "unknown")
+    assert(Multimodal.parseImageMeta(Array.emptyByteArray)._1 == "unknown")
+  }
+
+  test("charEntropy: 0 for constant/empty text, 1 bit for two equiprobable chars, hand value for 3:1") {
+    import spark.implicits._
+    def h(t: String): Double =
+      Seq(t).toDF("t").select(operators.TextAnalysis.charEntropy(col("t")).as("h"))
+        .head().getDouble(0)
+    assert(h("") == 0.0)
+    assert(h("aaaa") == 0.0)
+    assert(h("abab") == 1.0)
+    assert(h("AbAb") == 1.0) // case-folded
+    // p = (3/4, 1/4): H = 0.75·log2(4/3) + 0.25·2, pround-8 per term
+    assert(h("aaab") == 0.31127812 + 0.5)
+  }
+
+  test("redactCards erases only Luhn-valid card numbers") {
+    import spark.implicits._
+    def red(t: String): String =
+      Seq(t).toDF("t").select(operators.Formatters.redactCards(col("t")).as("r"))
+        .head().getString(0)
+    // valid 16-digit (spaced, dashed, bare) all redact
+    assert(red("pay 4111 1111 1111 1111 now") == "pay <card-pii> now")
+    assert(red("pay 4111-1111-1111-1111 now") == "pay <card-pii> now")
+    assert(red("pay 4111111111111111 now") == "pay <card-pii> now")
+    // valid 13-digit and 15-digit (Amex test number) redact
+    assert(red("a 4222222222222 b") == "a <card-pii> b")
+    assert(red("a 378282246310005 b") == "a <card-pii> b")
+    // Luhn-invalid run of card shape survives
+    assert(red("ref 4111 1111 1111 1112 x") == "ref 4111 1111 1111 1112 x")
+    // too-short digit runs (phone numbers) survive even if mod-10 happy
+    assert(red("call 0123 456 789") == "call 0123 456 789")
+    // two cards in one doc both redact
+    assert(red("4111111111111111 and 4222222222222") == "<card-pii> and <card-pii>")
+  }
 }

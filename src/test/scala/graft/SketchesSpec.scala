@@ -95,6 +95,31 @@ class SketchesSpec extends SparkSpec {
       whole.orderBy("j", "b").collect().toSeq)
   }
 
+  test("kmvOverlap is exact set arithmetic when the union fits under k") {
+    import spark.implicits._
+    // A = {1..8}, B = {5..12}: union 12, intersection 4, Jaccard 1/3
+    val df = ((1 to 8).map(("a", _)) ++ (5 to 12).map(("b", _))).toDF("seg", "v")
+    val r = Sketches.kmvOverlap(df, "seg", "v", k = 64).head()
+    assert(r.getAs[String]("seg_a") == "a" && r.getAs[String]("seg_b") == "b")
+    assert(r.getAs[Int]("n_union_kept") == 12)
+    assert(r.getAs[Double]("est_union") == 12.0)
+    assert(r.getAs[Double]("est_jaccard") == 0.3333)
+    assert(r.getAs[Double]("est_intersection") == 4.0)
+  }
+
+  test("kmvOverlap estimator lands near truth for sets well beyond k") {
+    import spark.implicits._
+    // A = 1..3000, B = 2001..5000: union 5000, intersection 1000, J = 0.2
+    val df = ((1 to 3000).map(("a", _)) ++ (2001 to 5000).map(("b", _)))
+      .toDF("seg", "v").repartition(8)
+    val r = Sketches.kmvOverlap(df, "seg", "v", k = 256).head()
+    assert(r.getAs[Int]("n_union_kept") == 256)
+    val u = r.getAs[Double]("est_union")
+    val j = r.getAs[Double]("est_jaccard")
+    assert(math.abs(u - 5000.0) / 5000.0 < 0.2, s"union est=$u")
+    assert(math.abs(j - 0.2) < 0.08, s"jaccard est=$j")
+  }
+
   test("correlationMatrix recovers exact linear relationships and hand-computed Pearson") {
     import spark.implicits._
     // y = 2x (corr 1), z = -x + 10 (corr -1), w uncorrelated-ish
