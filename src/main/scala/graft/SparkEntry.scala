@@ -32,6 +32,7 @@ object SparkEntry {
       ml.Calibration.gates ++
       sources.DocSource.gates ++
       tokens.Tokens.gates ++
+      tokens.Wordpiece.gates ++
       tokens.MegatronBinWriter.gates ++
       multimodal.Multimodal.gates ++
       streaming.EventStream.gates ++

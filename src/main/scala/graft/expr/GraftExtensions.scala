@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_kmv_mins"),
         new ExpressionInfo(classOf[KmvMins].getName, "graft_kmv_mins"),
         KmvMins.fromExpressions))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_wordpiece_encode"),
+        new ExpressionInfo(classOf[WordpieceEncode].getName, "graft_wordpiece_encode"),
+        (args: Seq[Expression]) => WordpieceEncode(args.head, args(1))))
   }
 }
 
@@ -132,5 +136,7 @@ object GraftExtensions {
       "graft_strip_accents", es => StripAccents(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_kmv_mins", KmvMins.fromExpressions, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_wordpiece_encode", es => WordpieceEncode(es.head, es(1)), "built-in")
   }
 }

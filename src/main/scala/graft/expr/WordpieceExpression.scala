@@ -1,0 +1,62 @@
+package graft.expr
+
+import graft.tokens.{WordpieceTokenizer, WordpieceTrainer}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+object WordpieceKernel {
+
+  /** Segment one document: shared lowercase pre-tokenization, greedy
+    * longest-match per word (memoized — Zipfian word frequency makes
+    * the hit rate very high; bounded like the BPE memo). */
+  def encode(
+      tok: WordpieceTokenizer,
+      memo: java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]],
+      text: UTF8String): ArrayData = {
+    val words = WordpieceTrainer.preTokenize(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    for (w <- words) {
+      var ps = memo.get(w)
+      if (ps == null) {
+        ps = tok.segmentWord(w).map(UTF8String.fromString).toArray
+        if (memo.size > 200000) memo.clear()
+        memo.put(w, ps)
+      }
+      out ++= ps
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_wordpiece_encode(vocabBlob, text)` → array<string> pieces.
+  * Codegen'd: one static kernel call per row, vocabulary and memo as
+  * codegen reference objects (the [[BpeEncode]] blob pattern). */
+case class WordpieceEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_wordpiece_encode", left)
+
+  @transient private lazy val tok: WordpieceTokenizer =
+    Blobs.decode(left.eval().asInstanceOf[Array[Byte]])
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
+  override protected def nullSafeEval(blob: Any, text: Any): Any =
+    WordpieceKernel.encode(tok, memo, text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokRef = ctx.addReferenceObj("wpTok", tok, classOf[WordpieceTokenizer].getName)
+    val memoRef = ctx.addReferenceObj(
+      "wpMemo", memo, "java.util.concurrent.ConcurrentHashMap")
+    defineCodeGen(ctx, ev, (_, t) => s"graft.expr.WordpieceKernel.encode($tokRef, $memoRef, $t)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordpieceEncode =
+    copy(left = l, right = r)
+}

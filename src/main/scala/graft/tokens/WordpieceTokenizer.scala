@@ -1,0 +1,202 @@
+package graft.tokens
+
+import graft.{Cols, Gate, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-trained greedy longest-match (MaxMatch)
+  * subword tokenizer — the WordPiece segmentation family (Schuster &
+  * Nakajima 2012; BERT's tokenizer applies exactly this greedy rule at
+  * encode time), sitting beside the byte-BPE twin: BPE segments by
+  * replaying learned MERGES, MaxMatch segments by longest VOCAB hit at
+  * each position with a single-char fallback. Two different public
+  * algorithms, one shared pre-tokenization.
+  *
+  * Scale design mirrors [[BpeTrainer]]: training is ONE distributed
+  * word-frequency aggregation capped at `maxWords` rows by
+  * (count desc, word asc); the candidate-substring scoring loop then
+  * runs on that bounded table on the driver. Encoding ships the
+  * trained vocabulary as a blob literal into a codegen'd kernel
+  * ([[graft.expr.WordpieceEncode]]) — per-row work is a hash-set probe
+  * per (position, length≤maxPieceLen), no UDF, no shuffle.
+  *
+  * Pre-tokenization = lowercased [[TextAnalysis.WordPattern]] words,
+  * so a DuckDB oracle replays the identical segmentation with a
+  * recursive CTE over the injected vocabulary.
+  */
+final case class WordpieceTokenizer(
+    pieces: IndexedSeq[String],
+    maxPieceLen: Int) extends Serializable {
+
+  require(maxPieceLen >= 1, "WordpieceTokenizer: maxPieceLen must be >= 1")
+  require(pieces.distinct.length == pieces.length,
+    "WordpieceTokenizer: duplicate pieces")
+
+  @transient lazy val pieceSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](pieces.length * 2)
+    pieces.foreach(s.add)
+    s
+  }
+
+  /** Greedy longest-match: at each position take the longest vocab
+    * piece (≤ maxPieceLen); an uncovered character passes through as
+    * its own piece (the OOV fallback), so segmentation is total. */
+  def segmentWord(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      var j = math.min(maxPieceLen, w.length - i)
+      while (j > 1 && !pieceSet.contains(w.substring(i, i + j))) j -= 1
+      out += w.substring(i, i + j)
+      i += j
+    }
+    out.result()
+  }
+
+  def segment(text: String): Seq[String] =
+    WordpieceTrainer.preTokenize(text).flatMap(segmentWord)
+}
+
+object WordpieceTrainer {
+
+  private val preRe =
+    java.util.regex.Pattern.compile(TextAnalysis.WordPattern)
+
+  /** Lowercased word pre-tokenization — the oracle's
+    * `regexp_extract_all(lower(text), WordPattern)` twin. */
+  def preTokenize(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val m = preRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Train a `vocabSize` vocabulary: every single character seen (so
+    * fallback is total over the training alphabet) plus the top
+    * multi-char substrings of the bounded word-freq table, scored by
+    * occurrence-weighted frequency with (weight desc, piece asc)
+    * tie-break — fully deterministic, like the BPE trainer's pair
+    * selection. */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int = 512,
+      maxPieceLen: Int = 6,
+      maxWords: Int = 50000): WordpieceTokenizer = {
+    require(vocabSize >= 1, "WordpieceTrainer: vocabSize must be >= 1")
+    val words = docs
+      .select(explode(TextAnalysis.words(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(words, vocabSize, maxPieceLen)
+  }
+
+  /** The in-memory scoring loop over the bounded word-freq table. */
+  def trainFromCounts(
+      words: Seq[(String, Long)],
+      vocabSize: Int,
+      maxPieceLen: Int): WordpieceTokenizer = {
+    val weight = scala.collection.mutable.HashMap.empty[String, Long]
+    for {
+      (w, c) <- words
+      len <- 1 to maxPieceLen
+      i <- 0 to w.length - len
+    } weight(w.substring(i, i + len)) = weight.getOrElse(w.substring(i, i + len), 0L) + c
+    val chars = weight.keys.filter(_.length == 1).toSeq.sorted
+    val multi = weight.iterator
+      .filter(_._1.length > 1)
+      .toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - chars.length))
+      .map(_._1)
+    WordpieceTokenizer((chars ++ multi).toIndexedSeq, maxPieceLen)
+  }
+
+  /** Codegen'd column kernel: array<string> of pieces for the doc. */
+  def piecesCol(spark: SparkSession, tok: WordpieceTokenizer, text: Column): Column = {
+    graft.expr.GraftExtensions.register(spark)
+    call_function("graft_wordpiece_encode", lit(graft.expr.Blobs.encode(tok)), text)
+  }
+}
+
+/** The `tok_wordpiece` gate plus the train-once session cache (the
+  * [[graft.tokens.Tokens]] BPE-cache discipline: builder trains and
+  * caches, the lazy oracle embeds the trained vocabulary). */
+object Wordpiece {
+
+  @volatile private var cache: Option[(String, WordpieceTokenizer)] = None
+  @volatile private var dirHint: Option[String] = None
+
+  private def trained(s: SparkSession, dir: String): WordpieceTokenizer =
+    cache match {
+      case Some((d, t)) if d == dir => t
+      case _ =>
+        dirHint = Some(dir)
+        val t = WordpieceTrainer.train(
+          Tables(s, dir, "documents"), "text", vocabSize = 512, maxPieceLen = 6)
+        cache = Some((dir, t))
+        t
+    }
+
+  /** DuckDB replay: per distinct word, a recursive CTE advances a
+    * cursor by the longest vocab hit at each position (the vocabulary
+    * injected as a list literal); per-doc outputs re-assemble word
+    * segmentations in document word order via a word→pieces map. */
+  private def sqlReplay(tok: WordpieceTokenizer): String = {
+    val voc = tok.pieces.map(p => s"'$p'").mkString("[", ",", "]")
+    val ml = tok.maxPieceLen
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}') AS ws
+       |      FROM documents),
+       |dw AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+       |seg(w, pos, parts) AS (
+       |  SELECT w, 1, '' FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + jb, parts || '|' || substr(w, pos, jb)
+       |  FROM (SELECT w, pos, parts,
+       |          coalesce(list_max(list_filter(range(2, least($ml, len(w) - pos + 1) + 1),
+       |            j -> list_contains($voc, substr(w, pos, j)))), 1) AS jb
+       |        FROM seg WHERE pos <= len(w)) q
+       |),
+       |wseg AS (SELECT w, trim(parts, '|') AS parts FROM seg WHERE pos > len(w)),
+       |mp AS (SELECT map(list(w), list(parts)) AS m FROM wseg),
+       |d AS (SELECT doc_id,
+       |    array_to_string(list_transform(ws, x -> replace(m[x][1], '|', ' ')), ' ') AS ptxt
+       |  FROM t, mp)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN ptxt = '' THEN 0
+       |       ELSE len(string_split(ptxt, ' ')) END AS INT) AS n_pieces,
+       |  md5(ptxt) AS pieces_md5
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // T1c — greedy longest-match subword segmentation: training is
+    // not SQL-expressible, but the LEARNED vocabulary is injected
+    // into the oracle, which replays MaxMatch in a recursive CTE —
+    // the whole encode path hash-checks against DuckDB.
+    Gate.lazyOracle("tok_wordpiece") {
+      sqlReplay(cache.map(_._2).getOrElse {
+        val dir = dirHint.getOrElse(throw new IllegalStateException(
+          "tok_wordpiece oracle read before its builder ran — run the " +
+            "tok_wordpiece query first (Verify does)"))
+        trained(SparkSession.active, dir)
+      })
+    } { (s, dir) =>
+      val tok = trained(s, dir)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Cols.bind(WordpieceTrainer.piecesCol(s, tok, col("text"))) { ps =>
+            struct(
+              size(ps).as("n"),
+              md5(array_join(ps, " ")).as("m"))
+          }.as("t"))
+        .select(col("doc_id"), col("t.n").as("n_pieces"), col("t.m").as("pieces_md5"))
+        .orderBy("doc_id")
+    })
+}

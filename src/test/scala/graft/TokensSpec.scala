@@ -226,4 +226,34 @@ class TokensSpec extends SparkSpec {
     assert(out(8L)._2 == out(8L)._1 && out(8L)._3.isEmpty)
     assert(out(9L)._2.isEmpty && out(9L)._3.isEmpty)
   }
+
+  test("wordpiece greedy longest-match: precedence, fallback, totality") {
+    import graft.tokens.WordpieceTokenizer
+    val tok = WordpieceTokenizer(IndexedSeq("a", "b", "c", "ab", "bc", "abc"), 3)
+    // longest hit wins over earlier shorter hits
+    assert(tok.segmentWord("abcbc") == Seq("abc", "bc"))
+    assert(tok.segmentWord("abbc") == Seq("ab", "bc"))
+    // chars outside the vocab pass through as single-char pieces
+    assert(tok.segmentWord("xay") == Seq("x", "a", "y"))
+    // totality: concatenation always rebuilds the word
+    for (w <- Seq("abcabcab", "zzz", "a", "", "cab"))
+      assert(tok.segmentWord(w).mkString == w)
+  }
+
+  test("wordpiece training is deterministic and covers the alphabet") {
+    import graft.tokens.WordpieceTrainer
+    import spark.implicits._
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"the cat sat on the mat ${i % 7} times"))
+      .toDF("doc_id", "text")
+    val t1 = WordpieceTrainer.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    val t2 = WordpieceTrainer.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    assert(t1.pieces == t2.pieces)
+    // every char of every training word is a piece (fallback totality)
+    val alphabet = "thecatsonm0123456times".toSet
+    assert(alphabet.forall(c => t1.pieces.contains(c.toString)))
+    // frequent whole words within maxPieceLen make the vocab
+    assert(t1.pieces.contains("the") && t1.pieces.contains("cat"))
+    // segmentation of a training word uses the learned multi-char piece
+    assert(t1.segmentWord("the") == Seq("the"))
+  }
 }
