@@ -508,7 +508,50 @@ object Dedup {
       "]) >= 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 32)])"
   }
 
+  /** LSH S-curve for a b-band × r-row banding: the candidate
+    * probability 1−(1−s^r)^b over a similarity grid — the tuning
+    * artifact that justifies the 16×4 default (where does the curve's
+    * knee sit vs the dedup threshold?). Powers are expanded to
+    * repeated MULTIPLICATION chains (s⁴ = ((s·s)·s)·s, q¹⁶ by four
+    * squarings) so both engines execute the identical IEEE ops —
+    * `pow()` implementations may differ in the last ulp. */
+  def lshCurve(spark: org.apache.spark.sql.SparkSession, bands: Int = 16, rows: Int = 4): DataFrame = {
+    require(bands == 16 && rows == 4,
+      "lshCurve: the expanded-multiplication form is generated for 16×4; " +
+        "generalize the expansion before changing the banding")
+    spark.range(1, 20)
+      .select((col("id").cast("double") / 20.0).as("s"))
+      .select(col("s"), (lit(1.0) - col("s") * col("s") * col("s") * col("s")).as("q1"))
+      .select(col("s"), (col("q1") * col("q1")).as("q2"))
+      .select(col("s"), (col("q2") * col("q2")).as("q4"))
+      .select(col("s"), (col("q4") * col("q4")).as("q8"))
+      .select(col("s"), (col("q8") * col("q8")).as("q16"))
+      .select(
+        Cols.pround(col("s"), 2).as("s"),
+        Cols.pround(lit(1.0) - col("q16"), 6).as("p_candidate"),
+        Cols.pround(col("q16"), 6).as("p_miss"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // S-curve gate: pure deterministic arithmetic over a generated
+    // grid — no table input; the oracle runs the identical
+    // multiplication chain.
+    Gate(
+      "rpt_lsh_curve", {
+        s"""WITH g AS (SELECT CAST(i AS DOUBLE) / 20.0 AS s FROM range(1, 20) t(i)),
+           |a AS (SELECT s, (1.0 - s * s * s * s) AS q1 FROM g),
+           |b AS (SELECT s, (q1 * q1) AS q2 FROM a),
+           |c AS (SELECT s, (q2 * q2) AS q4 FROM b),
+           |d AS (SELECT s, (q4 * q4) AS q8 FROM c),
+           |e AS (SELECT s, (q8 * q8) AS q16 FROM d)
+           |SELECT ${Cols.proundSql("s", 2)} AS s,
+           |  ${Cols.proundSql("1.0 - q16", 6)} AS p_candidate,
+           |  ${Cols.proundSql("q16", 6)} AS p_miss
+           |FROM e ORDER BY s""".stripMargin
+      }) { (s, _) =>
+      lshCurve(s).orderBy("s")
+    },
 
     Gate(
       "dedup_exact", {

@@ -102,6 +102,30 @@ object Sketches {
         col("e.i").as("est_intersection"))
   }
 
+  /** Gini concentration of a weight over groups — "is the corpus
+    * dominated by a few sources/hosts?" (G = 0 uniform, → 1 when one
+    * group holds everything): one per-group aggregate, then ranks
+    * from [[graft.operators.Layout.denseIds]] (the sampled
+    * range-shuffle rank — NOT a partitionless row_number window,
+    * which would single-task at a 10⁸-host scale), then one
+    * integer-exact weighted sum: G = 2·Σixᵢ/(n·Σx) − (n+1)/n with x
+    * ascending, 1-based i. Only the two final divisions are doubles,
+    * identical on any engine. */
+  def giniConcentration(df: DataFrame, groupCol: String, weight: Column): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("g")).agg(sum(weight).as("x"))
+    val ranked = graft.operators.Layout.denseIds(counts, Seq(col("x"), col("g")), "rk")
+    ranked
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("x")).as("total"),
+        sum((col("rk") + 1).cast(DecimalType(38, 0)) * col("x")).as("__s"))
+      .select(col("n_groups"), col("total"),
+        Cols.pround(
+          lit(2.0) * col("__s").cast("double") /
+            (col("n_groups").cast("double") * col("total").cast("double")) -
+            (col("n_groups") + 1).cast("double") / col("n_groups"), 6).as("gini"))
+  }
+
   /** One-pass table profile: for each requested column, its null
     * count and KMV-estimated distinct count (exact when the column
     * holds fewer than k distinct values), plus the row count — the
@@ -258,6 +282,23 @@ object Sketches {
       }) { (s, dir) =>
       correlationMatrix(Tables(s, dir, "lineitem"), CorrCols)
         .orderBy("col_x", "col_y")
+    },
+
+    // Gini gate: char-mass concentration over sources; the oracle's
+    // 1-based row_number over (x, g) equals denseIds' 0-based rank +1.
+    Gate(
+      "rpt_domain_gini", {
+        val gini = Cols.proundSql(
+          "2.0 * CAST(s AS DOUBLE) / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE)) " +
+            "- CAST(n_groups + 1 AS DOUBLE) / n_groups", 6)
+        s"""WITH c AS (SELECT source AS g, sum(n_chars) AS x FROM documents GROUP BY source),
+           |r AS (SELECT g, x, row_number() OVER (ORDER BY x, g) AS i FROM c),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(sum(x) AS BIGINT) AS total,
+           |    sum(CAST(i AS HUGEINT) * x) AS s FROM r)
+           |SELECT n_groups, total, $gini AS gini FROM a""".stripMargin
+      }) { (s, dir) =>
+      giniConcentration(Tables(s, dir, "documents"), "source", col("n_chars"))
     },
 
     // KMV set algebra: the oracle replays the identical sketch

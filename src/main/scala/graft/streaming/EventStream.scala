@@ -233,6 +233,31 @@ object EventStream {
       .drop("__v")
   }
 
+  /** Exponentially time-decayed per-user activity score at the
+    * corpus's last-event instant — the "recency-weighted engagement"
+    * ranking signal (a half-life of `halfLifeDays` halves an event's
+    * contribution per elapsed half-life). One broadcast of the
+    * single-row max-ts frame + one map-side-combined aggregate; the
+    * per-event terms are pround-8 BEFORE a DECIMAL sum, so the result
+    * is engine- and order-independent. The decay constant ln2/h is
+    * computed ONCE on the driver and shipped as a literal — both
+    * engines must parse the identical double, not re-derive it. */
+  def decayedScores(events: DataFrame, halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, "decayedScores: halfLifeDays must be positive")
+    val lam = math.log(2) / (halfLifeDays * 86400.0)
+    val mx = events.agg(max(unix_timestamp(col("ts"))).as("mxs"))
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("value"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        Cols.pround(col("value") * exp(lit(-lam) * (col("mxs") - col("es"))), 8)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("__t"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Cols.pround(sum(col("__t")).cast("double"), 6).as("decayed_score"))
+  }
+
   /** Per-window top-k contributors via the bounded-heap aggregate —
     * "who dominated each hour" WITHOUT a per-window row_number sort:
     * after the (window, user) count, the per-window cut is
@@ -294,6 +319,27 @@ object EventStream {
       }) { (s, dir) =>
       movingAvg(Tables(s, dir, "events"), windowSeconds = 3600L)
         .orderBy("event_id")
+    },
+
+    // Time-decay gate: only ts DIFFERENCES feed the decay, so any
+    // epoch-offset convention cancels; the driver-computed decay
+    // constant is embedded verbatim in both plans; pround-8 terms +
+    // DECIMAL sum make the result order-independent.
+    Gate(
+      "q26_decay", {
+        val negLam = -(math.log(2) / (7.0 * 86400.0))
+        val term = Cols.proundSql(
+          s"value * exp($negLam * (mxs - es))", 8)
+        s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+           |           FROM events),
+           |m AS (SELECT max(es) AS mxs FROM e),
+           |t AS (SELECT user_id, CAST($term AS DECIMAL(18,8)) AS tt FROM e, m)
+           |SELECT user_id, count(*) AS n_events,
+           |  ${Cols.proundSql("CAST(sum(tt) AS DOUBLE)", 6)} AS decayed_score
+           |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+      }) { (s, dir) =>
+      decayedScores(Tables(s, dir, "events"), halfLifeDays = 7.0)
+        .orderBy("user_id")
     },
 
     Gate(

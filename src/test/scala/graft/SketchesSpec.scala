@@ -95,6 +95,18 @@ class SketchesSpec extends SparkSpec {
       whole.orderBy("j", "b").collect().toSeq)
   }
 
+  test("giniConcentration: 0 for uniform groups, rises with concentration") {
+    import spark.implicits._
+    val uniform = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)).toDF("g", "w")
+    assert(Sketches.giniConcentration(uniform, "g", col("w")).head().getDouble(2) == 0.0)
+    // two groups, all mass in one: G = 2·(1·0+2·x)/(2·x) − 3/2 = 1/2
+    val skew = Seq(("a", 0L), ("b", 100L)).toDF("g", "w")
+    assert(Sketches.giniConcentration(skew, "g", col("w")).head().getDouble(2) == 0.5)
+    val mild = Seq(("a", 10L), ("b", 30L)).toDF("g", "w")
+    // G = 2·(10+60)/(2·40) − 3/2 = 140/80 − 1.5 = 0.25
+    assert(Sketches.giniConcentration(mild, "g", col("w")).head().getDouble(2) == 0.25)
+  }
+
   test("kmvOverlap is exact set arithmetic when the union fits under k") {
     import spark.implicits._
     // A = {1..8}, B = {5..12}: union 12, intersection 4, Jaccard 1/3

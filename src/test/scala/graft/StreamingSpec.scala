@@ -337,4 +337,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
+
+  test("decayedScores: newest event full weight, one half-life halves, sums per user") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-08 00:00:00"), 1L, 4.0), // the corpus max ts
+      (2L, ts("2024-01-01 00:00:00"), 1L, 4.0), // exactly 7 days earlier
+      (3L, ts("2024-01-08 00:00:00"), 2L, 1.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventStream.decayedScores(events, halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(2L) == ((1L, 1.0)))
+    // 4.0 + 4.0·e^(−ln2) = 4 + 2 (up to the pround-8 term grid)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - 6.0) < 1e-6)
+  }
 }
