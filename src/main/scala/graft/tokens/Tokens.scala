@@ -339,6 +339,51 @@ object Tokens {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Best-fit-decreasing whole-document packing into `capacity`-token
+    * bins — the SFT/packing alternative to [[tok_pack]]'s
+    * concatenate-and-split: documents are never cut, each goes to the
+    * open bin with the SMALLEST remaining space that still fits
+    * (lowest bin id on ties), new bins open in creation order, and
+    * docs longer than the capacity are flagged bin_id = −1 (reported,
+    * never silently truncated). The classic BFD guarantee (≤ 11/9·OPT
+    * + 1 bins) is what makes bucketed batching cheap.
+    *
+    * Determinism/scale: the gate twin runs the stream ONE-partition
+    * sorted by (n desc, id) — the [[tok_pack]] discipline — with a
+    * TreeSet giving O(log bins) per doc. Production shape: range-
+    * partition by length bucket, pack per partition, offset bin ids
+    * by partition — fill loss bounded by #partitions·capacity. */
+  def packBinsBFD(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      capacity: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity > 0, "packBinsBFD: capacity must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextAnalysis.words(col(textCol))).as("n_tokens"))
+      .repartition(1)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val open = scala.collection.mutable.TreeSet.empty[(Int, Int)] // (remaining, bin)
+        var nextBin = 0
+        it.map { case (id, n) =>
+          if (n > capacity) (id, n, -1)
+          else open.rangeFrom((n, 0)).headOption match {
+            case Some(e @ (rem, b)) =>
+              open.remove(e); open.add((rem - n, b)); (id, n, b)
+            case None =>
+              val b = nextBin; nextBin += 1
+              open.add((capacity - n, b)); (id, n, b)
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+  }
+
   val gates: Seq[Gate] = Seq(
 
     // T1b — corpus-trained byte-BPE (BpeTokenizer): training itself is
@@ -399,6 +444,44 @@ object Tokens {
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
           md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("sig"))
         .orderBy("seq_id")
+    },
+
+    // BFD packing gate: the oracle replays best-fit-decreasing with a
+    // recursive CTE carrying the open-bin remainders as a list — the
+    // best-fit pick is min(rem·10⁶ + j) over fitting bins, exactly
+    // the kernel's TreeSet ceiling. Capacity 96 < max doc length, so
+    // the −1 overflow class is exercised.
+    Gate(
+      "tok_pack_bfd", {
+        val cap = 96
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.WordPattern}')) AS n
+           |      FROM documents),
+           |o AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS r FROM t),
+           |s(r, rem, asg) AS (
+           |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS INT[])
+           |  UNION ALL
+           |  SELECT q.nr,
+           |    CASE WHEN q.n > $cap THEN q.rem
+           |         WHEN q.jb IS NULL THEN list_append(q.rem, $cap - q.n)
+           |         ELSE list_transform(range(1, len(q.rem) + 1),
+           |                j -> CASE WHEN j = q.jb THEN q.rem[j] - q.n ELSE q.rem[j] END) END,
+           |    list_append(q.asg, CAST(CASE WHEN q.n > $cap THEN -1
+           |         WHEN q.jb IS NULL THEN len(q.rem) ELSE q.jb - 1 END AS INT))
+           |  FROM (
+           |    SELECT s.r + 1 AS nr, s.rem, s.asg, o.n,
+           |      CAST(list_min(list_filter(list_transform(range(1, len(s.rem) + 1),
+           |        j -> CASE WHEN s.rem[j] >= o.n THEN s.rem[j] * 1000000 + j ELSE NULL END),
+           |        v -> v IS NOT NULL)) % 1000000 AS INT) AS jb
+           |    FROM s JOIN o ON o.r = s.r + 1
+           |  ) q
+           |),
+           |f AS (SELECT asg FROM s WHERE r = (SELECT max(r) FROM s))
+           |SELECT o.doc_id, CAST(o.n AS INT) AS n_tokens, f.asg[o.r] AS bin_id
+           |FROM o, f ORDER BY o.doc_id""".stripMargin
+      }) { (s, dir) =>
+      packBinsBFD(Tables(s, dir, "documents"), "text", "doc_id", capacity = 96)
+        .orderBy("doc_id")
     },
 
     Gate(

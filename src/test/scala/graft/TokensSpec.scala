@@ -227,6 +227,30 @@ class TokensSpec extends SparkSpec {
     assert(out(9L)._2.isEmpty && out(9L)._3.isEmpty)
   }
 
+  test("packBinsBFD: best-fit choices, no overflow, oversize flagged") {
+    import spark.implicits._
+    // word counts 60, 50, 40, 30, 20 and one 120-word oversize doc
+    val docs = Seq(
+      (1L, Seq.fill(60)("w").mkString(" ")),
+      (2L, Seq.fill(50)("w").mkString(" ")),
+      (3L, Seq.fill(40)("w").mkString(" ")),
+      (4L, Seq.fill(30)("w").mkString(" ")),
+      (5L, Seq.fill(20)("w").mkString(" ")),
+      (6L, Seq.fill(120)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = Tokens.packBinsBFD(docs, "text", "doc_id", capacity = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // BFD: 60→bin0, 50→bin1, 40 best-fits bin0 exactly, 30+20 fill bin1
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> -1))
+    // invariant on a larger random-ish frame: per-bin sums never exceed capacity
+    val big = Seq.tabulate(200)(i => (i.toLong, Seq.fill(i % 97 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Tokens.packBinsBFD(big, "text", "doc_id", capacity = 128)
+    val sums = packed.filter(col("bin_id") >= 0)
+      .groupBy("bin_id").agg(sum("n_tokens").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.forall(_ <= 128))
+  }
+
   test("wordpiece greedy longest-match: precedence, fallback, totality") {
     import graft.tokens.WordpieceTokenizer
     val tok = WordpieceTokenizer(IndexedSeq("a", "b", "c", "ab", "bc", "abc"), 3)
