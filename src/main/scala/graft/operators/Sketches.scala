@@ -224,10 +224,20 @@ object Sketches {
     * crosses the exchange regardless of corpus size. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix: need at least two columns")
-    def d(c: String) = col(c).cast(DecimalType(18, 4))
-    val sums = cols.map(c => sum(d(c)).as(s"s_$c"))
+    // Exact integer scaling: one decimal cast per column fixes the
+    // value at 4 decimals, then all per-row products run in primitive
+    // LONG codegen (a decimal×decimal per pair was the whole cost of
+    // this report — ~7× slower measured). Pearson is scale-invariant
+    // per variable, so the uniform 10⁴ factor cancels in the ratio.
+    // Long bound: |x|·10⁴ ≤ ~1.05e9 on these columns → products ≤
+    // ~1.1e18 < 2⁶³; the SUM hops to DECIMAL(38,0) before it could
+    // overflow.
+    def li(c: String) =
+      (col(c).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val sums = cols.map(c => sum(li(c).cast(DecimalType(38, 0))).as(s"s_$c"))
     val prods = for { i <- cols.indices; j <- i until cols.size } yield
-      sum(d(cols(i)) * d(cols(j))).as(s"p_${cols(i)}_${cols(j)}")
+      sum((li(cols(i)) * li(cols(j))).cast(DecimalType(38, 0)))
+        .as(s"p_${cols(i)}_${cols(j)}")
     val aggs = sums ++ prods :+ count(lit(1)).as("n")
     val st = df.agg(aggs.head, aggs.tail: _*)
     // Tail arithmetic in IEEE doubles over the exact decimal stats:
@@ -260,13 +270,12 @@ object Sketches {
     Gate(
       "rpt_correlations", {
         val cs = CorrCols
-        def dd(c: String) = s"CAST($c AS DECIMAL(18,4))"
-        // first factor widened: DuckDB's DECIMAL(18)×DECIMAL(18) stays
-        // in int64 and overflows; (28,4)×(18,4) promotes to HUGEINT
-        def wd(c: String) = s"CAST(${dd(c)} AS DECIMAL(28,4))"
-        val sums = cs.map(c => s"sum(${dd(c)}) AS s_$c")
+        // the Spark side's exact integer scaling, replayed: BIGINT
+        // products (same 2⁶³ bound), HUGEINT-exact sums
+        def li(c: String) = s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        val sums = cs.map(c => s"sum(${li(c)}) AS s_$c")
         val prods = for { i <- cs.indices; j <- i until cs.size } yield
-          s"sum(${wd(cs(i))} * ${dd(cs(j))}) AS p_${cs(i)}_${cs(j)}"
+          s"sum(${li(cs(i))} * ${li(cs(j))}) AS p_${cs(i)}_${cs(j)}"
         def db(e: String) = s"CAST($e AS DOUBLE)"
         val pairSelects = for { i <- cs.indices; j <- (i + 1) until cs.size } yield {
           val (x, y) = (cs(i), cs(j))

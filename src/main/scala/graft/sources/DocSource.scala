@@ -307,6 +307,34 @@ object DocSource {
         .orderBy("id")
     },
 
+    // Schema-evolution merge read: a 100 TB corpus is written over
+    // months with a drifting schema — two shards are written with
+    // DIFFERENT (compatible) column sets and read back in one load
+    // with mergeSchema; the union schema must appear with NULL fill
+    // for each shard's missing columns. Oracle reads only `documents`
+    // and reproduces the shard split arithmetically.
+    Gate(
+      "src_parquet_merge",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = gateScratch(dir, "src_parquet_merge")
+      val docs = Tables(s, dir, "documents")
+      // era-1 shard: (doc_id, text, lang); era-2 adds source+n_chars, drops lang
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$base/era1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/era2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/era1", s"$base/era2")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
     // CSV round-trip: gzip quote-all CSV written by graft, read back
     // with an explicit schema through the adapter — escaping (the text
     // column is free-form), header handling and typed reads must

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Cols, Gate, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -258,6 +258,27 @@ object EventStream {
         Cols.pround(sum(col("__t")).cast("double"), 6).as("decayed_score"))
   }
 
+  /** Day-over-day activity trend: per epoch-day distinct users +
+    * event counts with lag-based percent change. The heavy part (the
+    * per-day exact distinct) is one shuffle; the lag window runs over
+    * the aggregated #days frame, which the CALENDAR bounds (≈3.7k
+    * rows even for a decade of events) — a partitionless window is
+    * safe only because of that bound. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    def pct(c: Column, p: Column) =
+      Cols.pround((c - p).cast("double") / p, 6)
+    events
+      .select(floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"),
+        col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("dau"), count(lit(1)).as("n_events"))
+      .select(col("day"), col("dau"), col("n_events"),
+        pct(col("dau"), lag("dau", 1).over(w)).as("dau_pct"),
+        pct(col("n_events"), lag("n_events", 1).over(w)).as("events_pct"))
+  }
+
   /** Per-window top-k contributors via the bounded-heap aggregate —
     * "who dominated each hour" WITHOUT a per-window row_number sort:
     * after the (window, user) count, the per-window cut is
@@ -444,6 +465,29 @@ object EventStream {
       }) { (s, dir) =>
       cohortRetention(Tables(s, dir, "events"))
         .orderBy("cohort", "offset")
+    },
+
+    // Day-over-day trend: epoch-day integer bucketing (tz-free); the
+    // lag window is over the AGGREGATED per-day frame — bounded by
+    // the calendar (#days, a few thousand at any corpus size), so the
+    // partitionless window is safe here, unlike corpus-sized frames.
+    Gate(
+      "q27_daily_trend", {
+        def pct(c: String, p: String) = Cols.proundSql(
+          s"CAST($c - $p AS DOUBLE) / $p", 6)
+        s"""WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, user_id
+           |           FROM events),
+           |a AS (SELECT d, count(DISTINCT user_id) AS dau, count(*) AS n_events
+           |      FROM e GROUP BY d),
+           |l AS (SELECT d, dau, n_events,
+           |    lag(dau) OVER (ORDER BY d) AS pd,
+           |    lag(n_events) OVER (ORDER BY d) AS pe FROM a)
+           |SELECT d AS day, dau, n_events,
+           |  ${pct("dau", "pd")} AS dau_pct,
+           |  ${pct("n_events", "pe")} AS events_pct
+           |FROM l ORDER BY day""".stripMargin
+      }) { (s, dir) =>
+      dailyTrend(Tables(s, dir, "events")).orderBy("day")
     }
   )
 }
