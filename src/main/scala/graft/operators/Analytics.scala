@@ -18,6 +18,53 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Write `df` as a bucketed managed table (hash-bucketed + sorted
+    * by `key` into `nBuckets` files per partition dir). Two tables
+    * bucketed the SAME way join WITHOUT any exchange — the bucketing
+    * IS the shuffle, paid once at write time and amortized over every
+    * later join/aggregation on that key. This is the primary
+    * repeated-join lever at 100 TB (fact tables bucketed by join key
+    * at ingest); PlanSpec asserts the exchange-free plan. */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      key: String,
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables across JVMs while the
+    // warehouse dir persists — drop AND clear the location, or the
+    // next session's create fails with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir
+  }
+
+  /** The bucketed fact⋈fact join the gate + PlanSpec exercise:
+    * revenue per order priority over bucketed lineitem/orders twins.
+    * Exposed so PlanSpec can build the same plan and assert zero
+    * ShuffleExchange under a disabled broadcast threshold. */
+  def bucketedRevenue(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    writeBucketed(
+      Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_bkt_lineitem", "l_orderkey", 8)
+    writeBucketed(
+      Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", "o_orderkey", 8)
+    s.table("graft_bkt_lineitem")
+      .join(s.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        Cols.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val gates: Seq[Gate] = Seq(
 
     Gate(
@@ -40,6 +87,21 @@ object Analytics {
           Cols.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Bucketed fact⋈fact join: both sides written hash-bucketed by
+    // the join key, so the join itself needs NO exchange (PlanSpec
+    // asserts that with broadcast disabled); the oracle is the plain
+    // join — bucketing must not change a single row.
+    Gate(
+      "q28_bucketed_join",
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      bucketedRevenue(s, dir).orderBy("o_orderpriority")
     },
 
     Gate(

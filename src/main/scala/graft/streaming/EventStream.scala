@@ -258,6 +258,17 @@ object EventStream {
         Cols.pround(sum(col("__t")).cast("double"), 6).as("decayed_score"))
   }
 
+  /** Stream-static enrichment: join the (batch OR readStream) events
+    * frame with a small static dimension via broadcast — the standard
+    * "attach user segment / geo / account tier" lookup. Inner
+    * stream-static equi-joins need no watermark; the static side
+    * broadcasts, so the stream never shuffles for the join. At 100 TB
+    * the same call serves both the backfill (batch) and the live
+    * (stream) path — one definition, two execution modes, which is
+    * the point of keeping transforms engine-agnostic. */
+  def enrichEvents(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** Day-over-day activity trend: per epoch-day distinct users +
     * event counts with lag-based percent change. The heavy part (the
     * per-day exact distinct) is one shuffle; the lag window runs over

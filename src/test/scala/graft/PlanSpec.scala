@@ -342,6 +342,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("bucketed fact join plans ZERO shuffle exchanges (the bucketing is the shuffle)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // broadcast off: otherwise the small sf fixture would BHJ and the
+    // assertion would not exercise the bucket-join path at all
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Analytics.bucketedRevenue(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val joinShuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the only allowed exchange is the final tiny groupBy on
+      // o_orderpriority — the JOIN itself must read buckets directly
+      assert(joinShuffles.size <= 1,
+        s"bucketed join leaked extra shuffles:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"), "expected a bucketed sort-merge join")
+      assert(plan.toString.contains("SelectedBucketsCount") ||
+        plan.toString.contains("Bucketed: true"),
+        "scan does not report bucketed reading")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

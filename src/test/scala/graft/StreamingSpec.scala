@@ -297,6 +297,28 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds == batchIds, s"dedup parity: stream ${gotIds.size} vs batch ${batchIds.size}")
   }
 
+  test("stream-static broadcast enrichment matches batch on a file stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sfDir, "events")
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(5)))
+    val expected = EventStream.enrichEvents(events, dim)
+      .select(col("event_id"), col("segment"))
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventStream.enrichEvents(
+        spark.readStream.schema(events.schema).parquet(dir), dim)
+      .select(col("event_id"), col("segment"))
+      .writeStream.format("memory").queryName("parity_enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("parity_enrich").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"enrich parity: stream ${got.size} vs batch ${expected.size}")
+  }
+
   test("windowTopUsers on a real file stream matches the batch result") {
     import org.apache.spark.sql.streaming.Trigger
     val events = Tables(spark, sfDir, "events")
