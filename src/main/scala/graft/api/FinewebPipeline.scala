@@ -143,7 +143,16 @@ final case class FinewebConfig(
       * annotate-then-bucket step happens upstream of those configs). */
     eduScoreMinInt: Option[Int] = None,
     /** apply the PII formatter to kept docs (reference always does). */
-    piiFormat: Boolean = true)
+    piiFormat: Boolean = true,
+    /** repair cp1252-decoded UTF-8 mojibake ("cafÃ©" → "café",
+      * [[graft.operators.TextClean.fixMojibake]]) FIRST among the text
+      * normalizations — the encoding must be fixed before accent /
+      * homoglyph folds or quality tokenization see the text. */
+    fixMojibake: Boolean = false,
+    /** redact Luhn-VALID card numbers alongside the PII formatter
+      * ([[graft.operators.Formatters.redactCards]]); invalid digit
+      * runs (order ids) survive. */
+    redactCardNumbers: Boolean = false)
 
 object FinewebPipeline {
 
@@ -200,6 +209,13 @@ object FinewebPipeline {
       stages :+= DocFilter("url_filter",
         d => Filters.urlDomainAllowed(domains, d("url")))
     }
+
+    if (cfg.fixMojibake)
+      // encoding repair FIRST: folds/tokenizers must see the intended
+      // codepoints, not the double-decoded garbage
+      stages :+= Transform("fix_mojibake", d => d.withColumn("text",
+        when(col("filter_reason").isNull, TextClean.fixMojibake(col("text")))
+          .otherwise(col("text"))))
 
     if (cfg.foldAccents)
       // pre-tokenization normalization: fold diacritics BEFORE any
@@ -385,6 +401,11 @@ object FinewebPipeline {
       // that name under run() semantics must not flip redaction off).
       stages :+= Transform("pii", d => d.withColumn("text",
         when(col("filter_reason").isNull, Formatters.piiRedact(col("text")))
+          .otherwise(col("text"))))
+
+    if (cfg.redactCardNumbers)
+      stages :+= Transform("pii_cards", d => d.withColumn("text",
+        when(col("filter_reason").isNull, Formatters.redactCards(col("text")))
           .otherwise(col("text"))))
 
     Pipeline(stages: _*).runWithReasons(docs)

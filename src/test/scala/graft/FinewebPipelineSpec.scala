@@ -329,4 +329,26 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(marked(2L)._2.contains("readability"))
     assert(marked(3L)._2.contains("readability"), "NULL flesch must reject, not pass")
   }
+
+  test("mojibake repair runs first and Luhn card redaction joins the PII stage") {
+    import spark.implicits._
+    val docs = Seq(
+      // mojibake + a valid card: both must be fixed on the KEPT doc
+      (1L, "summer cafÃ© menu pay 4111 1111 1111 1111 please " +
+        Seq.fill(30)("regular readable words here").mkString(" ")),
+      // a Luhn-INVALID card-shaped run: must survive redaction
+      (2L, "order ref 4111-1111-1111-1112 thanks " +
+        Seq.fill(30)("more regular readable words").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (kept, _) = FinewebPipeline.build(
+      spark, docs,
+      FinewebConfig(fixMojibake = true, redactCardNumbers = true, piiFormat = false))
+    val byId = kept.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L).contains("café"), "mojibake must be repaired")
+    assert(byId(1L).contains("<card-pii>") && !byId(1L).contains("4111"),
+      "valid card must be redacted")
+    assert(byId(2L).contains("4111-1111-1111-1112"),
+      "Luhn-invalid digit run must survive")
+  }
 }
