@@ -87,6 +87,22 @@ object Formatters {
     aggregate(validCards(text), text,
       (acc, cand) => call_function("replace", acc, cand, lit("<card-pii>")))
 
+  /** [[validCards]] as a DuckDB list expression over `textExpr` —
+    * candidate extraction, the Luhn fold (nested lambdas; dd(c)
+    * inlined at every use since DuckDB lambdas have no let-binding),
+    * and the 13–19 digit length gate. */
+  def sqlValidCards(textExpr: String): String = {
+    def dd = "regexp_replace(c, '[ -]', '', 'g')"
+    val luhn = s"list_sum(list_transform(range(1, len($dd) + 1), i -> " +
+      s"CASE WHEN i % 2 = 1 THEN ascii(substr($dd, len($dd) - i + 1, 1)) - 48 " +
+      s"ELSE CASE WHEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) > 9 " +
+      s"THEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) - 9 " +
+      s"ELSE 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) END END)) % 10 = 0"
+    "list_filter(list_distinct(" +
+      s"regexp_extract_all($textExpr, '$CardCandidateRe')), c -> " +
+      s"len($dd) BETWEEN 13 AND 19 AND ($luhn))"
+  }
+
   /** A3 — conversation templating (reference: euroblocks adapter,
     * pipelines/euroblocks/main.py:137-146: chat log → "user: …" /
     * "assistant: …" lines). `conv` is array<struct<from,value>>. */
@@ -212,6 +228,17 @@ object Formatters {
     concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or 10.2."),
       col("doc_id") % 256, lit(".7 iban DE44 5001 0517 5407 3249 31"))
 
+  private val SqlPlantCards =
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ' pay 4111 1111 1111 1111 now' " +
+      "WHEN 1 THEN ' ref 4111-1111-1111-1112 x' " +
+      "WHEN 2 THEN ' acct 4222222222222 ok' ELSE ' call 0123 456 789' END"
+
+  private def plantCards: Column =
+    when(col("doc_id") % 4 === 0, " pay 4111 1111 1111 1111 now")
+      .when(col("doc_id") % 4 === 1, " ref 4111-1111-1111-1112 x")
+      .when(col("doc_id") % 4 === 2, " acct 4222222222222 ok")
+      .otherwise(" call 0123 456 789")
+
   /** PSM sentinels for fill-in-the-middle training (public
     * formulation: Bavarian et al. 2022, "Efficient Training of
     * Language Models to Fill in the Middle"; the same framing ships
@@ -322,23 +349,8 @@ object Formatters {
     // lambdas), and the validated-replace reduce.
     Gate(
       "fmt_pii_cards", {
-        // dd(c) = the candidate with separators stripped, inlined at
-        // every use (DuckDB lambdas have no let-binding)
-        def dd = "regexp_replace(c, '[ -]', '', 'g')"
-        val luhn = s"list_sum(list_transform(range(1, len($dd) + 1), i -> " +
-          s"CASE WHEN i % 2 = 1 THEN ascii(substr($dd, len($dd) - i + 1, 1)) - 48 " +
-          s"ELSE CASE WHEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) > 9 " +
-          s"THEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) - 9 " +
-          s"ELSE 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) END END)) % 10 = 0"
-        val valids = "list_filter(list_distinct(" +
-          s"regexp_extract_all(t, '$CardCandidateRe')), c -> " +
-          s"len($dd) BETWEEN 13 AND 19 AND ($luhn))"
-        s"""WITH p AS (SELECT doc_id, text ||
-           |    CASE CAST(doc_id % 4 AS INT)
-           |      WHEN 0 THEN ' pay 4111 1111 1111 1111 now'
-           |      WHEN 1 THEN ' ref 4111-1111-1111-1112 x'
-           |      WHEN 2 THEN ' acct 4222222222222 ok'
-           |      ELSE ' call 0123 456 789' END AS t FROM documents),
+        val valids = sqlValidCards("t")
+        s"""WITH p AS (SELECT doc_id, text || $SqlPlantCards AS t FROM documents),
            |v AS (SELECT doc_id, t, $valids AS vc FROM p)
            |SELECT doc_id, CAST(len(vc) AS INT) AS n_cards,
            |  md5(list_reduce(list_prepend(t, vc),
@@ -346,16 +358,47 @@ object Formatters {
            |FROM v ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          concat(col("text"),
-            when(col("doc_id") % 4 === 0, " pay 4111 1111 1111 1111 now")
-              .when(col("doc_id") % 4 === 1, " ref 4111-1111-1111-1112 x")
-              .when(col("doc_id") % 4 === 2, " acct 4222222222222 ok")
-              .otherwise(" call 0123 456 789")).as("t"))
+        .select(col("doc_id"), concat(col("text"), plantCards).as("t"))
         .select(col("doc_id"),
           size(validCards(col("t"))).as("n_cards"),
           md5(redactCards(col("t"))).as("red_md5"))
         .orderBy("doc_id")
+    },
+
+    // Corpus PII census: one map-side aggregate over every detector
+    // (email/ip/iban regex counts + Luhn-valid cards) — the
+    // before/after audit a redaction rollout reports. Single-row
+    // output; the scan is the only cost at any corpus size.
+    Gate(
+      "rpt_pii_stats", {
+        s"""WITH p AS (SELECT doc_id, $SqlPlantPii || $SqlPlantCards AS t FROM documents),
+           |c AS (SELECT doc_id,
+           |    len(regexp_extract_all(t, '$EmailRe')) AS ne,
+           |    len(regexp_extract_all(t, '$IpRe')) AS ni,
+           |    len(regexp_extract_all(t, '$IbanRe')) AS nb,
+           |    len(${sqlValidCards("t")}) AS nc FROM p)
+           |SELECT CAST(sum(ne) AS BIGINT) AS n_emails,
+           |  CAST(sum(ni) AS BIGINT) AS n_ips,
+           |  CAST(sum(nb) AS BIGINT) AS n_ibans,
+           |  CAST(sum(nc) AS BIGINT) AS n_cards,
+           |  count(CASE WHEN ne + ni + nb + nc > 0 THEN 1 END) AS docs_with_pii,
+           |  count(*) AS n_docs
+           |FROM c""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      docs
+        .select(concat(plantPii(docs), plantCards).as("t"))
+        .select(
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("ne"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).as("ni"),
+          size(regexp_extract_all(col("t"), lit(IbanRe), lit(0))).as("nb"),
+          size(validCards(col("t"))).as("nc"))
+        .agg(
+          sum("ne").as("n_emails"), sum("ni").as("n_ips"),
+          sum("nb").as("n_ibans"), sum("nc").as("n_cards"),
+          count(when(col("ne") + col("ni") + col("nb") + col("nc") > 0, lit(1)))
+            .as("docs_with_pii"),
+          count(lit(1)).as("n_docs"))
     },
 
     Gate(

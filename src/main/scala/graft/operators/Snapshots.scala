@@ -50,6 +50,27 @@ object Snapshots {
           .otherwise("carried").as("change"))
   }
 
+  /** Apply a changes frame (upserts + tombstones) to a base snapshot,
+    * latest-wins by key — the MERGE INTO every table format offers,
+    * expressed engine-natively: survivors = base ANTI-JOIN changed
+    * keys ∪ non-deleted changes. The changes frame is normally ≪ the
+    * base, so the anti join BROADCASTS the key set and the 100 TB
+    * base never shuffles — the whole merge is one narrow pass over
+    * the base plus a union. `deletedCol` rows are tombstones: their
+    * key disappears; every other change row replaces (or inserts) its
+    * key wholesale. Keys must be unique per side. */
+  def upsertMerge(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      deletedCol: String): DataFrame = {
+    val keys = changes.select(col(keyCol))
+    val upserts = changes.filter(!col(deletedCol)).drop(deletedCol)
+    base
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   // The gate synthesizes two snapshots from `documents`:
   //   prev = every doc keyed 'p<doc_id>';
   //   next = prev MINUS doc_id % 10 = 3 (removed), text rewritten for
@@ -94,6 +115,37 @@ object Snapshots {
             concat(lit("p"), col("doc_id") + 5000000).as("key"),
             (col("doc_id") + 5000000).as("doc_id"), col("text")))
       snapshotDiff(prev, next, "key", "doc_id", "text").orderBy("doc_id")
+    },
+
+    // Upsert gate: changes = rewrites for doc_id % 10 = 0, tombstones
+    // for % 10 = 5, an insert at +9,000,000 for % 17 = 0. The merged
+    // snapshot must show exactly the rewritten/original/missing/new
+    // rows the oracle computes arithmetically.
+    Gate(
+      "op_upsert",
+      """WITH merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'rev2 ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, 'new page ' || doc_id
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, md5(text) AS text_md5 FROM merged
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(lit("rev2 "), col("text")).as("text"), lit(false).as("deleted"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 5)
+            .select(col("doc_id"), lit("").as("text"), lit(true).as("deleted")))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 9000000).as("doc_id"),
+              concat(lit("new page "), col("doc_id")).as("text"),
+              lit(false).as("deleted")))
+      upsertMerge(docs, changes, "doc_id", "deleted")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -41,4 +41,17 @@ class SnapshotsSpec extends SparkSpec {
     val wantMd5 = next.select(md5(col("text"))).head().getString(0)
     assert(r.getAs[String]("text_md5") == wantMd5)
   }
+
+  test("upsertMerge: replace, delete, insert, carry") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "text")
+    val changes = Seq(
+      (2L, "two v2", false), // replace
+      (3L, "", true),        // tombstone
+      (9L, "nine", false))   // insert
+      .toDF("id", "text", "deleted")
+    val out = Snapshots.upsertMerge(base, changes, "id", "deleted")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "one", 2L -> "two v2", 9L -> "nine"))
+  }
 }
