@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, Gate, Tables}
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** TF-IDF keyword extraction: the top-k terms of every document by
@@ -233,7 +233,95 @@ object Keywords {
       .select(col("r.checkpoint"), col("r.cut_id"), col("r.vocab"))
   }
 
+  /** RAKE stopword list (Rose et al. 2010 use a stoplist to cut
+    * candidate phrases; this is a compact high-frequency English
+    * subset — swap per language like the LangID markers). */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "are", "was", "were",
+    "be", "been", "for", "on", "with", "as", "by", "at", "that", "this",
+    "it", "from", "or", "not")
+
+  private val RakeBoundaryRe =
+    "\\b(?:" + RakeStopwords.mkString("|") + ")\\b|[^a-z0-9 ]+"
+
+  /** RAKE candidate phrases: maximal runs of non-stopword words
+    * (stopwords and punctuation become phrase breaks) — narrow,
+    * codegen, fuses into the scan. */
+  def rakePhrases(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(lower(text), RakeBoundaryRe, "|"), "\\|"),
+        p => trim(regexp_replace(p, " +", " "))),
+      p => length(p) > 0)
+
+  /** RAKE keyword extraction (Rose et al. 2010): within each doc,
+    * word score = degree/frequency where degree sums the lengths of
+    * the phrases each occurrence sits in; a phrase scores the sum of
+    * its word scores; top-k phrases win with (score desc, phrase,
+    * position) determinism. Per-doc word stats go through one
+    * (doc, word) aggregate + one join back — both map-side-reduced,
+    * and the final cut is a doc-partitioned window over ≤ #phrases
+    * rows. Word scores are pround-8 decimals before the phrase sum,
+    * so results are order- and engine-independent. */
+  def rakeKeywords(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, "rakeKeywords: k must be >= 1")
+    val ph = docs
+      .select(col(idCol).as("doc_id"), posexplode(rakePhrases(col(textCol))))
+      .withColumnRenamed("pos", "pidx").withColumnRenamed("col", "phrase")
+    val pw = ph.select(col("doc_id"), col("pidx"), col("phrase"),
+      explode(split(col("phrase"), " ")).as("word"),
+      size(split(col("phrase"), " ")).as("plen"))
+    val ws = pw.groupBy("doc_id", "word")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("word"),
+        Cols.pround(col("deg").cast("double") / col("freq"), 8)
+          .cast(DecimalType(18, 8)).as("wscore"))
+    val ps = pw.join(ws, Seq("doc_id", "word"))
+      .groupBy("doc_id", "pidx", "phrase")
+      .agg(Cols.pround(sum("wscore").cast("double"), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase"), col("pidx"))
+    ps.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "phrase", "score")
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // RAKE gate: the oracle replays the identical boundary regex,
+    // per-(doc,word) degree/frequency, decimal-summed phrase scores,
+    // and the (score desc, phrase, pidx) top-k cut.
+    Gate(
+      "txt_rake", {
+        val phrases = "list_filter(list_transform(" +
+          s"string_split(regexp_replace(lower(text), '$RakeBoundaryRe', '|', 'g'), '|'), " +
+          "p -> trim(regexp_replace(p, ' +', ' ', 'g'))), p -> len(p) > 0)"
+        s"""WITH p0 AS (SELECT doc_id, $phrases AS ps FROM documents),
+           |ph AS (SELECT doc_id, u.pidx, u.phrase FROM (
+           |    SELECT doc_id, unnest([{'pidx': i - 1, 'phrase': ps[i]}
+           |        FOR i IN range(1, len(ps) + 1)]) AS u FROM p0) q),
+           |pw AS (SELECT doc_id, pidx, phrase,
+           |    unnest(string_split(phrase, ' ')) AS word,
+           |    len(string_split(phrase, ' ')) AS plen FROM ph),
+           |ws AS (SELECT doc_id, word,
+           |    CAST(${Cols.proundSql("CAST(sum(plen) AS DOUBLE) / count(*)", 8)}
+           |      AS DECIMAL(18,8)) AS wscore
+           |  FROM pw GROUP BY doc_id, word),
+           |ps_ AS (SELECT pw.doc_id, pw.pidx, pw.phrase,
+           |    ${Cols.proundSql("CAST(sum(wscore) AS DOUBLE)", 6)} AS score
+           |  FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.word = ws.word
+           |  GROUP BY pw.doc_id, pw.pidx, pw.phrase),
+           |r AS (SELECT doc_id, phrase, score, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY score DESC, phrase, pidx) AS rank
+           |  FROM ps_)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score
+           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+      }) { (s, dir) =>
+      rakeKeywords(Tables(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    },
 
     // Postings sink: build + write the 8-shard inverted index, emit
     // the per-shard manifest; the oracle recomputes every shard's

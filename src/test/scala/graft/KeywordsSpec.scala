@@ -112,4 +112,27 @@ class KeywordsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(fromIndex == direct, s"index ${fromIndex.size} vs direct ${direct.size}")
   }
+
+  test("rakeKeywords: hand-computed degree/frequency scores and phrase ranking") {
+    import spark.implicits._
+    // phrases: "deep learning" | "deep analysis systems" | "best method"
+    // deep: deg 2+3=5, freq 2 → 2.5; analysis/systems: 3; learning/best/method: 2
+    val docs = Seq(
+      (1L, "Deep learning of deep analysis systems, the best method."))
+      .toDF("doc_id", "text")
+    val out = operators.Keywords.rakeKeywords(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, "deep analysis systems", 8.5), // 2.5 + 3 + 3
+      (2, "deep learning", 4.5),         // 2.5 + 2
+      (3, "best method", 4.0)))          // 2 + 2
+  }
+
+  test("rakePhrases breaks on stopwords and punctuation, collapses spaces") {
+    import spark.implicits._
+    val got = Seq("The   quick fox, and a lazy dog!").toDF("t")
+      .select(operators.Keywords.rakePhrases(col("t")).as("p"))
+      .head().getSeq[String](0)
+    assert(got == Seq("quick fox", "lazy dog"))
+  }
 }
