@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Gate, Tables}
+import graft.{Cols, Gate, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -556,6 +556,57 @@ object Clusters {
        |FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** Triangle + wedge census via degree orientation (Suri &
+    * Vassilvitskii, WWW'11 — "the curse of the last reducer"): each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher, so every out-degree is O(√m) and the wedge
+    * self-join never explodes on hub nodes — the naive
+    * neighbors-of-neighbors join is quadratic in the max degree,
+    * which a web graph's celebrity pages make fatal. Each triangle is
+    * counted exactly once: at its (degree, id)-minimum vertex, whose
+    * two oriented out-edges form the unique counted wedge; the
+    * closing edge is checked against the canonical undirected set.
+    * Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    * global_clustering = 3·triangles / wedges-over-all-nodes). */
+  def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = graft.Caches.persist(
+      edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val e1 = oriented.select(col("a"), col("b").as("b1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"))
+    // unordered out-neighbor pairs, deduped by id order; canonicalized
+    // for the closure probe against `und`
+    val wedges = e1.join(e2, Seq("a")).filter(col("b1") < col("b2"))
+      .select(col("b1").as("u"), col("b2").as("v"))
+    val tri = wedges.join(und, Seq("u", "v"), "left_semi")
+    // all-node wedge total for the global clustering coefficient:
+    // Σ d·(d−1)/2 — one row per node, no join
+    val openWedges = deg.agg(sum(col("d") * (col("d") - 1) / 2).as("w"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .crossJoin(broadcast(openWedges))
+    counts.select(
+      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      Cols.pround(
+        lit(3.0) * col("n_triangles").cast("double") / col("w").cast("double"), 6)
+        .as("global_clustering"))
+  }
+
   /** Shared link-graph gate fixture: the synthetic modular graph
     * needs NODES 0..n-1 and nothing else from the documents table —
     * so the node frame is `spark.range(n)` (stats-known, codegen,
@@ -581,6 +632,43 @@ object Clusters {
   private def fixtureEdges(e: DataFrame): DataFrame = graft.Caches.persist(e)
 
   val gates: Seq[Gate] = Seq(
+
+    // Triangle census over the shared modular fixture graph; the
+    // oracle replays orientation and both joins, closing wedges with
+    // an EXISTS probe against the canonical undirected set.
+    Gate(
+      "op_triangles",
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ids AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+        |raw AS (SELECT rn AS s, (rn * 31 + 7) % nn.n AS t FROM ids, nn
+        |        UNION ALL SELECT rn, (rn * 17 + 3) % nn.n FROM ids, nn),
+        |und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        |        FROM raw WHERE s <> t),
+        |deg AS (SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v FROM und) q GROUP BY x),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b
+        |  FROM und JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+        |wed AS (SELECT e1.b AS u, e2.b AS v
+        |        FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b),
+        |agg AS (SELECT
+        |    (SELECT count(*) FROM deg) AS n_nodes,
+        |    (SELECT count(*) FROM und) AS n_edges,
+        |    (SELECT count(*) FROM wed) AS n_wedges,
+        |    (SELECT count(*) FROM wed WHERE EXISTS (
+        |        SELECT 1 FROM und WHERE und.u = wed.u AND und.v = wed.v)) AS n_triangles,
+        |    (SELECT sum(d * (d - 1) / 2) FROM deg) AS w)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  floor(3.0 * CAST(n_triangles AS DOUBLE) / CAST(w AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS global_clustering
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
+      val e = fixtureEdges(
+        ids.select(col("rn").as("src"), ((col("rn") * 31 + 7) % n).as("dst"))
+          .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n)))
+      triangleCensus(e, "src", "dst")
+    },
 
     Gate(
       "op_pagerank", pageRankSqlTwin(5)) { (s, dir) =>

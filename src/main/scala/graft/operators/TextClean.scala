@@ -185,6 +185,41 @@ object TextClean {
           sum(col("__q").cast(DecimalType(18, 4))).cast("double") / count(lit(1)),
           4).as("mean_quality"))
 
+  /** Robust per-source length-outlier report: exact median + MAD
+    * (median absolute deviation) of the length column, outliers by
+    * the modified z-score rule (Iglewicz & Hoaglin 1993:
+    * 0.6745·|x−med|/MAD > z, evaluated multiplication-only so both
+    * engines run identical IEEE ops; MAD = 0 degrades to "any
+    * deviation is an outlier" — consistent, and exactly what a
+    * constant-length source should report). Mean/stddev would be
+    * poisoned by the very outliers being hunted — a handful of
+    * 100 MB pathological pages move a mean arbitrarily, but not a
+    * median. Three map-side-reduced aggregates over (source, len)
+    * pairs; the tiny per-source median frame broadcasts back. */
+  def lengthOutliers(
+      docs: DataFrame,
+      sourceCol: String,
+      lenCol: String,
+      z: Double = 3.5): DataFrame = {
+    val pairs = docs.select(col(sourceCol).as("g"), col(lenCol).cast("double").as("x"))
+    val med = pairs.groupBy("g").agg(percentile(col("x"), lit(0.5)).as("med"))
+    val withMed = pairs.join(broadcast(med), Seq("g"))
+    val mad = withMed.groupBy("g")
+      .agg(percentile(abs(col("x") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq("g"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        first(col("med")).as("med_len"),
+        first(col("mad")).as("mad_len"),
+        count(when(abs(col("x") - col("med")) * 0.6745 > lit(z) * col("mad"), lit(1)))
+          .as("n_outliers"))
+      .select(col("g").as("source"), col("n_docs"), col("med_len"), col("mad_len"),
+        col("n_outliers"),
+        Cols.pround(col("n_outliers").cast("double") / col("n_docs"), 6)
+          .as("outlier_rate"))
+  }
+
   // ---- gates ----
 
   // The gate synthesizes a deterministic HTML page from each doc's
@@ -220,6 +255,27 @@ object TextClean {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Length-outlier gate over n_chars by source; the oracle replays
+    // median → MAD → the multiplication-only modified-z cut.
+    Gate(
+      "rpt_length_outliers", {
+        s"""WITH p AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x FROM documents),
+           |m AS (SELECT g, quantile_cont(x, 0.5) AS med FROM p GROUP BY g),
+           |d AS (SELECT p.g, x, med FROM p JOIN m USING (g)),
+           |md AS (SELECT g, quantile_cont(abs(x - med), 0.5) AS mad FROM d GROUP BY g),
+           |f AS (SELECT d.g, x, med, mad FROM d JOIN md USING (g))
+           |SELECT g AS source, count(*) AS n_docs,
+           |  any_value(med) AS med_len, any_value(mad) AS mad_len,
+           |  count(CASE WHEN abs(x - med) * 0.6745 > 3.5 * mad THEN 1 END) AS n_outliers,
+           |  ${Cols.proundSql(
+            "CAST(count(CASE WHEN abs(x - med) * 0.6745 > 3.5 * mad THEN 1 END) AS DOUBLE)" +
+              " / count(*)", 6)} AS outlier_rate
+           |FROM f GROUP BY g ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      lengthOutliers(Tables(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source")
+    },
 
     Gate(
       "fmt_strip_html", {

@@ -161,4 +161,22 @@ class ClustersSpec extends SparkSpec {
     assert(out(5L) == 2L) // not 6: the tripled edge counts once
     Caches.releaseAll()
   }
+
+  test("triangleCensus: K4, triangle-with-pendant, and a triangle-free path") {
+    import spark.implicits._
+    def census(es: Seq[(Long, Long)]) = {
+      val r = Clusters.triangleCensus(es.toDF("s", "t"), "s", "t").head()
+      Caches.releaseAll()
+      (r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"),
+        r.getAs[Double]("global_clustering"))
+    }
+    // K4: 6 edges, 4 triangles, clustering 12/12 = 1 (duplicate +
+    // reversed edges must canonicalize away)
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i != j } yield (i, j)
+    assert(census(k4) == ((6L, 4L, 1.0)))
+    // triangle abc + pendant d on c: Σd(d−1)/2 = 1+1+3 = 5 → 3/5
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) == ((4L, 1L, 0.6)))
+    // path graph: no triangles
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._2 == 0L)
+  }
 }

@@ -93,6 +93,20 @@ class TextCleanSpec extends SparkSpec {
     assert(one(TextClean.fixMojibake(col("t")), once) == once)
   }
 
+  test("lengthOutliers: modified z-score flags the tail, MAD=0 flags any deviation") {
+    import spark.implicits._
+    val docs = (
+      (1 to 9).map(i => ("a", i.toLong)) :+ (("a", 100L)) // med 5.5, mad 2.5
+        ) ++ (Seq.fill(9)(("b", 10L)) :+ (("b", 1000L)))  // constant + one freak
+    val out = TextClean.lengthOutliers(docs.toDF("source", "n_chars"), "source", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // a: 0.6745·|x−5.5| > 3.5·2.5 ⇔ dev > 12.97 — only the 100
+    assert(out("a") == ((5.5, 2.5, 1L)))
+    // b: MAD 0 — the single deviating doc is the outlier
+    assert(out("b") == ((10.0, 0.0, 1L)))
+  }
+
   test("corpusStats aggregates per source") {
     val docs = Seq(
       (1L, "alpha beta gamma", "a"),
