@@ -640,7 +640,111 @@ object Similarity {
   def sqlInt8Scale(vExpr: String): String =
     s"(list_max([abs(($vExpr)[i]::DOUBLE) FOR i IN range(1, ${Dim + 1})]) / 127.0)"
 
+  /** Embedding-space anisotropy report: top principal eigenvalue of
+    * the covariance over the first `d` embedding dimensions, via ONE
+    * distributed aggregate (the decDot decimal-fold discipline: exact
+    * float→double per-term products, DECIMAL(30,15) order-independent
+    * sums) and a driver-side power iteration over the collected d×d
+    * stats row — bounded driver work by construction (d², never
+    * corpus-sized). A high explained_ratio means the embeddings have
+    * collapsed toward one direction (the anisotropy pathology that
+    * ruins cosine-based dedup/ANN); ~1/d means healthy spread.
+    * Every driver op (fold order, pround-8 renormalization per
+    * iteration, round-half-up) is chosen so a SQL replay runs the
+    * identical IEEE arithmetic. */
+  def embedPcaTop(
+      embs: DataFrame,
+      embCol: String,
+      d: Int = 8,
+      iters: Int = 12): DataFrame = {
+    require(d >= 2 && iters >= 1, "embedPcaTop: need d >= 2, iters >= 1")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    def xi(i: Int) = element_at(col(embCol), i).cast("double")
+    val aggs =
+      (1 to d).map(i => sum(xi(i).cast(DecimalType(30, 15))).as(s"s$i")) ++
+        (for { i <- 1 to d; j <- i to d } yield
+          sum((xi(i) * xi(j)).cast(DecimalType(30, 15))).as(s"p${i}_$j")) :+
+        count(lit(1)).as("n")
+    val r = embs.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("n").toDouble
+    def pr8(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dec(name: String) = r.getAs[java.math.BigDecimal](name).doubleValue
+    val mu = (0 until d).map(i => dec(s"s${i + 1}") / n)
+    def praw(i: Int, j: Int) =
+      if (i <= j) dec(s"p${i}_$j") else dec(s"p${j}_$i")
+    val cm = Array.tabulate(d, d)((i, j) =>
+      pr8(praw(i + 1, j + 1) / n - mu(i) * mu(j)))
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + cm(i)(j) * v(j)))
+      val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(x => pr8(x / nrm))
+    }
+    val cv = Array.tabulate(d)(i =>
+      (0 until d).foldLeft(0.0)((acc, j) => acc + cm(i)(j) * v(j)))
+    val lambda = (0 until d).foldLeft(0.0)((acc, i) => acc + v(i) * cv(i))
+    val trace = (0 until d).foldLeft(0.0)((acc, i) => acc + cm(i)(i))
+    Seq((d, pr6(lambda), pr6(trace), pr6(lambda / trace)))
+      .toDF("n_dims", "lambda1", "trace", "explained_ratio")
+  }
+
+  /** The d=8 SQL replay of [[embedPcaTop]]: same decimal stats, the
+    * covariance entries and every fold EXPANDED textually (left-assoc
+    * `+` chains ≡ the driver's foldLeft; no list_sum, whose summation
+    * order is not contractual), power iteration as a recursive CTE
+    * renormalizing with the same pround-8. */
+  private def sqlPcaReplay(d: Int, iters: Int): String = {
+    def pr8(e: String) = s"floor(($e) * 100000000.0 + 0.5) / 100000000.0"
+    def pr6(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    val sums = (1 to d).map(i =>
+      s"sum(CAST(embedding[$i]::DOUBLE AS DECIMAL(30,15))) AS s$i")
+    val prods = for { i <- 1 to d; j <- i to d } yield
+      s"sum(CAST(embedding[$i]::DOUBLE * embedding[$j]::DOUBLE AS DECIMAL(30,15))) AS p${i}_$j"
+    def pn(i: Int, j: Int) = if (i <= j) s"p${i}_$j" else s"p${j}_$i"
+    val cents = for { i <- 1 to d; j <- 1 to d } yield
+      s"${pr8(s"CAST(${pn(i, j)} AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        s"(CAST(s$i AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        s"(CAST(s$j AS DOUBLE) / CAST(n AS DOUBLE))")} AS c${i}_$j"
+    val v0 = (1 to d).map(i => if (i == 1) "1.0" else "0.0").mkString("[", ", ", "]")
+    val wdefs = (1 to d).map(i =>
+      "(" + (1 to d).map(j => s"m.c${i}_$j * it.v[$j]").mkString(" + ") + s") AS w$i")
+    val nrm = "sqrt(" + (1 to d).map(i => s"w$i * w$i").mkString(" + ") + ")"
+    val vnext = (1 to d).map(i => pr8(s"w$i / nrm")).mkString("[", ", ", "]")
+    val cvdefs = (1 to d).map(i =>
+      "(" + (1 to d).map(j => s"m.c${i}_$j * v[$j]").mkString(" + ") + s") AS cv$i")
+    val lam = (1 to d).map(i => s"v[$i] * cv$i").mkString(" + ")
+    val trace = (1 to d).map(i => s"m.c${i}_$i").mkString(" + ")
+    s"""WITH RECURSIVE
+       |st AS (SELECT count(*) AS n, ${(sums ++ prods).mkString(", ")} FROM embeddings),
+       |c AS (SELECT n, ${cents.mkString(", ")} FROM st),
+       |it(t, v) AS (
+       |  SELECT 0, CAST($v0 AS DOUBLE[])
+       |  UNION ALL
+       |  SELECT t + 1, $vnext
+       |  FROM (SELECT t, w1${(2 to d).map(i => s", w$i").mkString}, $nrm AS nrm
+       |        FROM (SELECT it.t, ${wdefs.mkString(", ")}
+       |              FROM it, c m WHERE it.t < $iters) a) b
+       |),
+       |fin AS (SELECT v FROM it WHERE t = $iters),
+       |cv AS (SELECT v, ${cvdefs.mkString(", ")}, $trace AS tr FROM fin, c m)
+       |SELECT $d AS n_dims, ${pr6(lam)} AS lambda1, ${pr6("tr")} AS trace,
+       |  ${pr6(s"($lam) / tr")} AS explained_ratio
+       |FROM cv""".stripMargin
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // PCA anisotropy gate: one decimal-fold stats aggregate + the
+    // driver power iteration, fully replayed in SQL (expanded
+    // left-assoc folds, recursive-CTE iteration, identical pround-8
+    // renormalization).
+    Gate(
+      "rpt_embed_pca", sqlPcaReplay(8, 12)) { (s, dir) =>
+      embedPcaTop(Tables(s, dir, "embeddings"), "embedding", d = 8, iters = 12)
+    },
 
     Gate(
       "dedup_embed_cosine", {

@@ -253,4 +253,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!s.exists(id => id >= 1000000 && s.contains(id - 1000000)))
     Caches.releaseAll()
   }
+
+  test("embedPcaTop recovers a rank-1 covariance: lambda1 = trace, ratio 1") {
+    import spark.implicits._
+    // vectors t·(1, 2, 0, …): zero mean, cov = Var(t)·vvᵀ (rank 1),
+    // Var(t) = 2.5 → trace = λ1 = 2.5·5 = 12.5, explained_ratio = 1
+    val rows = Seq(-2.0, -1.0, 1.0, 2.0).map { t =>
+      Tuple1(Array(t.toFloat, (2 * t).toFloat) ++ Array.fill(6)(0.0f))
+    }
+    val df = rows.toDF("embedding")
+    val r = operators.Similarity.embedPcaTop(df, "embedding", d = 8, iters = 12).head()
+    assert(math.abs(r.getAs[Double]("lambda1") - 12.5) < 1e-4)
+    assert(math.abs(r.getAs[Double]("trace") - 12.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("explained_ratio") - 1.0) < 1e-5)
+  }
 }
