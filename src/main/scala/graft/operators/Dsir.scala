@@ -438,7 +438,93 @@ object Dsir {
   // corpus"); the oracle recomputes counts, LLR table, and scores from
   // scratch in SQL. pround(…,8) on the LLR bridges the one
   // non-correctly-rounded op (ln) between engines.
+  /** Unigram-distribution drift between two sources: KL divergence
+    * both ways (+ the symmetrized sum) over `buckets` hashed token
+    * buckets with add-one smoothing — the "did the new crawl shift
+    * vocabulary" monitor, and the same hashed-bucket bounding trick
+    * the DSIR tables use: state is `buckets` rows regardless of
+    * vocabulary size, so the comparison costs one token pass + one
+    * tiny join at any corpus scale. pround-8 terms into a DECIMAL
+    * sum keep the result order- and engine-independent. */
+  def tokenDrift(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      srcA: String,
+      srcB: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "tokenDrift: need >= 2 buckets")
+    val spark = docs.sparkSession
+    val counts = docs
+      .filter(col(sourceCol).isin(srcA, srcB))
+      .select(col(sourceCol).as("s"),
+        explode(TextAnalysis.words(lower(col(textCol)))).as("w"))
+      .select(col("s"), pmod(TextAnalysis.h32(col("w")), lit(buckets.toLong)).as("k"))
+      .groupBy("s", "k").agg(count(lit(1)).as("c"))
+    val grid = spark.range(buckets).select(col("id").as("k"))
+    def side(src: String, tag: String) = {
+      val cs = counts.filter(col("s") === src).select(col("k"), col("c").as(s"c$tag"))
+      grid.join(cs, Seq("k"), "left")
+        .select(col("k"), coalesce(col(s"c$tag"), lit(0L)).as(s"c$tag"))
+    }
+    val joined = side(srcA, "a").join(side(srcB, "b"), Seq("k"))
+      .crossJoin(broadcast(
+        counts.filter(col("s") === srcA).agg(sum("c").as("na"))))
+      .crossJoin(broadcast(
+        counts.filter(col("s") === srcB).agg(sum("c").as("nb"))))
+    val p = (col("ca") + 1).cast("double") / (col("na") + buckets).cast("double")
+    val q = (col("cb") + 1).cast("double") / (col("nb") + buckets).cast("double")
+    def term(x: Column, y: Column) =
+      Cols.pround(x * log(x / y), 8).cast(DecimalType(18, 8))
+    joined
+      .select(col("na"), col("nb"), term(p, q).as("tab"), term(q, p).as("tba"))
+      .groupBy("na", "nb")
+      .agg(
+        Cols.pround(sum(col("tab")).cast("double"), 6).as("kl_ab"),
+        Cols.pround(sum(col("tba")).cast("double"), 6).as("kl_ba"))
+      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("kl_ab"), col("kl_ba"),
+        Cols.pround(col("kl_ab") + col("kl_ba"), 6).as("kl_sym"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // Drift gate between two fixture sources; the oracle rebuilds the
+    // same hashed-bucket distributions (md5-prefix h32, dense grid
+    // with add-one smoothing) and the identical pround-8 ln terms.
+    Gate(
+      "rpt_token_drift", {
+        val h = "CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 64"
+        s"""WITH t AS (SELECT source AS s,
+           |    unnest(regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}')) AS w
+           |  FROM documents WHERE source IN ('src1', 'src2')),
+           |cnt AS (SELECT s, $h AS k, count(*) AS c FROM t GROUP BY s, k),
+           |grid AS (SELECT CAST(i AS BIGINT) AS k FROM range(0, 64) g(i)),
+           |a AS (SELECT grid.k, coalesce(c, 0) AS ca FROM grid
+           |      LEFT JOIN (SELECT k, c FROM cnt WHERE s = 'src1') x ON grid.k = x.k),
+           |b AS (SELECT grid.k, coalesce(c, 0) AS cb FROM grid
+           |      LEFT JOIN (SELECT k, c FROM cnt WHERE s = 'src2') x ON grid.k = x.k),
+           |tot AS (SELECT
+           |    (SELECT sum(c) FROM cnt WHERE s = 'src1') AS na,
+           |    (SELECT sum(c) FROM cnt WHERE s = 'src2') AS nb),
+           |j AS (SELECT CAST((ca + 1) AS DOUBLE) / CAST((na + 64) AS DOUBLE) AS p,
+           |             CAST((cb + 1) AS DOUBLE) / CAST((nb + 64) AS DOUBLE) AS q,
+           |             na, nb
+           |      FROM a JOIN b ON a.k = b.k, tot),
+           |s2 AS (SELECT na, nb,
+           |    CAST(${Cols.proundSql("p * ln(p / q)", 8)} AS DECIMAL(18,8)) AS tab,
+           |    CAST(${Cols.proundSql("q * ln(q / p)", 8)} AS DECIMAL(18,8)) AS tba
+           |  FROM j),
+           |f AS (SELECT CAST(na AS BIGINT) AS n_tokens_a, CAST(nb AS BIGINT) AS n_tokens_b,
+           |    ${Cols.proundSql("CAST(sum(tab) AS DOUBLE)", 6)} AS kl_ab,
+           |    ${Cols.proundSql("CAST(sum(tba) AS DOUBLE)", 6)} AS kl_ba
+           |  FROM s2 GROUP BY na, nb)
+           |SELECT n_tokens_a, n_tokens_b, kl_ab, kl_ba,
+           |  ${Cols.proundSql("kl_ab + kl_ba", 6)} AS kl_sym
+           |FROM f""".stripMargin
+      }) { (s, dir) =>
+      tokenDrift(Tables(s, dir, "documents"), "text", "source", "src1", "src2")
+    },
     Gate(
       "fw_dsir", {
         val B = 1024

@@ -190,6 +190,32 @@ object Layout {
         graft.Cols.lcgUniform(col(idCol) + lit(epoch * 1000003L)), col(idCol)),
       outCol)
 
+  /** Two-phase anneal schedule (the MiniCPM/OLMo "decay-phase on the
+    * best data" recipe): the top `annealFrac` of docs by `scoreCol`
+    * land — shuffled — in the FINAL stretch of the training order,
+    * everything else shuffled before them. One bounded driver read
+    * (the quantile threshold), then [[shuffleOrder]] with the anneal
+    * flag as the tier — same one-range-shuffle cost, same per-epoch
+    * reproducibility. Score ties at the threshold all go to the
+    * anneal set (≥), so the cut is value-deterministic, not
+    * row-sampled. */
+  def annealOrder(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      annealFrac: Double,
+      outCol: String = "train_order",
+      epoch: Long = 0L): DataFrame = {
+    require(annealFrac > 0 && annealFrac < 1,
+      "annealOrder: annealFrac must be in (0, 1)")
+    val thr = docs
+      .agg(percentile(col(scoreCol).cast("double"), lit(1 - annealFrac)))
+      .head().getDouble(0)
+    shuffleOrder(
+      docs.withColumn("anneal", (col(scoreCol).cast("double") >= thr).cast("int")),
+      idCol, outCol, within = Seq(col("anneal")), epoch = epoch)
+  }
+
   /** Curriculum interleave: order docs by `difficultyCol` WITHIN each
     * source, then emit global positions that round-robin across
     * sources at equal rank — the curriculum property (easy before
@@ -277,6 +303,24 @@ object Layout {
     // Shuffle-order gate: the permutation must equal the global
     // window rank over the identical LCG keys — curriculum form, with
     // a 3-tier `within` column so tier contiguity is also checked.
+    Gate(
+      "op_anneal_order", {
+        val u = graft.Cols.lcgUniformSql("doc_id")
+        s"""WITH t AS (SELECT doc_id, n_chars,
+           |    (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.8) FROM documents) AS thr
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    CAST(CAST(n_chars AS DOUBLE) >= thr AS INT) AS anneal FROM t)
+           |SELECT doc_id, anneal,
+           |  CAST(row_number() OVER (ORDER BY anneal, $u, doc_id) - 1 AS BIGINT)
+           |    AS train_order
+           |FROM f ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      annealOrder(Tables(s, dir, "documents"), "doc_id", "n_chars", annealFrac = 0.2)
+        .select("doc_id", "anneal", "train_order")
+        .orderBy("doc_id")
+    },
+
     Gate(
       "op_shuffle_order", {
         val u = graft.Cols.lcgUniformSql("doc_id")

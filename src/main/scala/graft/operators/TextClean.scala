@@ -185,6 +185,43 @@ object TextClean {
           sum(col("__q").cast(DecimalType(18, 4))).cast("double") / count(lit(1)),
           4).as("mean_quality"))
 
+  /** Code-vs-prose routing signals (the StarCoder/CodeParrot-style
+    * lexical triage before code-specific cleaning): symbol density,
+    * indented-line fraction, and code-keyword hits — all narrow
+    * translate/regexp counts fused into the scan. The flag applies
+    * fixed thresholds; route thresholds per corpus like the LangID
+    * markers. */
+  val CodeKeywords: Seq[String] = Seq(
+    "def", "return", "import", "class", "function", "var", "const",
+    "void", "int", "public", "static", "println", "printf", "lambda")
+
+  def codeSignals(text: Column): Column = {
+    val n = length(text)
+    val sym = n - length(translate(text, "{}[]();=<>+-*/#:&|", ""))
+    val lines = split(text, "\n")
+    val indented = size(filter(lines, l =>
+      l.startsWith("  ") || l.startsWith("\t")))
+    val kw = TextAnalysis.markerHits(TextAnalysis.words(lower(text)), CodeKeywords)
+    struct(
+      when(n === 0, lit(0.0))
+        .otherwise(Cols.pround(sym.cast("double") / n, 6)).as("symbol_ratio"),
+      when(size(lines) === 0, lit(0.0))
+        .otherwise(Cols.pround(indented.cast("double") / size(lines), 6))
+        .as("indent_ratio"),
+      kw.cast("int").as("keyword_hits"))
+  }
+
+  /** Conservative code-text cleanup: per-line trailing-whitespace
+    * strip, ≥3 blank lines collapse to one blank, trim outer blank
+    * lines. Deliberately does NOT touch tabs or leading indent —
+    * indentation is syntax in Python/Makefiles. Chained codegen
+    * regexes ((?m) anchors — RE2-safe, no lookaround). */
+  def cleanCodeText(text: Column): Column = {
+    val noTrail = regexp_replace(text, "(?m)[ \\t]+$", "")
+    val collapsed = regexp_replace(noTrail, "\\n{3,}", "\n\n")
+    regexp_replace(collapsed, "^\\n+|\\n+$", "")
+  }
+
   /** Robust per-source length-outlier report: exact median + MAD
     * (median absolute deviation) of the length column, outliers by
     * the modified z-score rule (Iglewicz & Hoaglin 1993:
@@ -219,6 +256,15 @@ object TextClean {
         Cols.pround(col("n_outliers").cast("double") / col("n_docs"), 6)
           .as("outlier_rate"))
   }
+
+  /** Gate fixtures for the code ops: a code-shaped block (indents,
+    * symbols, keywords, one tab line) and a whitespace mess (trailing
+    * blanks, a 4-newline run, trailing tab+space). ASCII + control
+    * chars only — the oracle rebuilds them via chr() composition. */
+  private val CodePlantFixture: String =
+    "\ndef f(x):\n  return x + 1\n  y = [1, 2]; # note\nimport os\nclass A:\n\tprint(x)\n"
+  private val CodeMessFixture: String =
+    "\nline one   \n\n\n\n  indented\t \nend  "
 
   // ---- gates ----
 
@@ -255,6 +301,69 @@ object TextClean {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Code-detection gate: a code block (indented lines, symbols,
+    // keywords, one tab line) planted on even docs, extra prose on
+    // odd — the three signals must separate the classes; the oracle
+    // recomputes each count from the identically-planted text.
+    Gate.lazyOracle("txt_code_detect") {
+      val plant = s"CASE WHEN doc_id % 2 = 0 THEN ${sqlChrs(CodePlantFixture)} " +
+        "ELSE ' just more plain prose words here' END"
+      val kw = TextAnalysis.sqlMarkerHits(
+        s"regexp_extract_all(lower(t), '${TextAnalysis.WordPattern}')",
+        CodeKeywords)
+      s"""WITH p AS (SELECT doc_id, text || $plant AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |    length(t) - length(translate(t, '{}[]();=<>+-*/#:&|', '')) AS sym,
+         |    length(t) AS n,
+         |    len(list_filter(string_split(t, chr(10)),
+         |      l -> l LIKE '  %' OR substr(l, 1, 1) = chr(9))) AS ind,
+         |    len(string_split(t, chr(10))) AS nl,
+         |    CAST($kw AS INT) AS keyword_hits
+         |  FROM p)
+         |SELECT doc_id,
+         |  ${Cols.proundSql("CAST(sym AS DOUBLE) / n", 6)} AS symbol_ratio,
+         |  ${Cols.proundSql("CAST(ind AS DOUBLE) / nl", 6)} AS indent_ratio,
+         |  keyword_hits
+         |FROM s ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, CodePlantFixture)
+              .otherwise(" just more plain prose words here")).as("t"))
+        .select(col("doc_id"), codeSignals(col("t")).as("c"))
+        .select(col("doc_id"), col("c.symbol_ratio"), col("c.indent_ratio"),
+          col("c.keyword_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Code-clean gate: trailing whitespace, blank-line runs, and
+    // outer blank lines planted; the repair chain must normalize them
+    // while leaving tabs and leading indent alone.
+    Gate.lazyOracle("fmt_code_clean") {
+      val plant = sqlChrs(CodeMessFixture)
+      val clean = "regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'(?m)[ \\t]+$', '', 'g'), '\\n{3,}', chr(10) || chr(10), 'g'), " +
+        "'^\\n+|\\n+$', '', 'g')"
+      s"""WITH p AS (SELECT doc_id, text || $plant AS t FROM documents),
+         |c AS (SELECT doc_id, t, $clean AS ct FROM p)
+         |SELECT doc_id, length(t) AS len_raw, length(ct) AS len_clean,
+         |  CAST(len(string_split(ct, chr(10))) AS INT) AS n_lines_clean,
+         |  md5(ct) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(CodeMessFixture)).as("t"))
+        .select(col("doc_id"), length(col("t")).as("len_raw"),
+          Cols.bind(cleanCodeText(col("t"))) { ct =>
+            struct(length(ct).as("l"), size(split(ct, "\n")).as("nl"),
+              md5(ct).as("m"))
+          }.as("c"))
+        .select(col("doc_id"), col("len_raw"), col("c.l").as("len_clean"),
+          col("c.nl").as("n_lines_clean"), col("c.m").as("clean_md5"))
+        .orderBy("doc_id")
+    },
 
     // Length-outlier gate over n_chars by source; the oracle replays
     // median → MAD → the multiplication-only modified-z cut.

@@ -307,6 +307,42 @@ object DocSource {
         .orderBy("id")
     },
 
+    // Malformed-line tolerance: real JSONL crawls ship broken lines;
+    // a PERMISSIVE read must capture them in _corrupt_record (raw
+    // bytes preserved for quarantine) while every valid line parses
+    // bit-exactly — never aborting the 100 TB job over one bad line.
+    // The oracle reproduces both classes arithmetically.
+    Gate(
+      "src_jsonl_corrupt",
+      """WITH v AS (SELECT doc_id, md5(text) AS rec_md5, false AS is_corrupt
+        |           FROM documents WHERE doc_id % 10 <> 7),
+        |c AS (SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |             md5('{"bad": ' || doc_id) AS rec_md5, true AS is_corrupt
+        |      FROM documents WHERE doc_id % 10 = 7)
+        |SELECT doc_id, rec_md5, is_corrupt
+        |FROM (SELECT * FROM v UNION ALL SELECT * FROM c) q
+        |ORDER BY rec_md5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = gateScratch(dir, "src_jsonl_corrupt")
+      Tables(s, dir, "documents")
+        .select(
+          when(col("doc_id") % 10 === 7, concat(lit("{\"bad\": "), col("doc_id")))
+            .otherwise(to_json(struct(col("doc_id"), col("text")))).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("_corrupt_record", StringType))))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .select(col("doc_id"),
+          md5(coalesce(col("_corrupt_record"), col("text"))).as("rec_md5"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"))
+        .orderBy("rec_md5")
+    },
+
     // Schema-evolution merge read: a 100 TB corpus is written over
     // months with a drifting schema — two shards are written with
     // DIFFERENT (compatible) column sets and read back in one load

@@ -97,4 +97,20 @@ class DsirSpec extends SparkSpec {
     assert(math.abs(sbo(10L) - seen) < 1e-9, s"${sbo(10L)} vs $seen")
     assert(math.abs(sbo(11L) - backoff) < 1e-9, s"${sbo(11L)} vs $backoff")
   }
+
+  test("tokenDrift: zero for identical distributions, positive and symmetric-ordered for disjoint") {
+    import spark.implicits._
+    val same = Seq(
+      ("a", "alpha beta gamma"), ("b", "alpha beta gamma"),
+      ("a", "delta"), ("b", "delta")).toDF("source", "text")
+    val r0 = Dsir.tokenDrift(same, "text", "source", "a", "b").head()
+    assert(r0.getAs[Double]("kl_ab") == 0.0 && r0.getAs[Double]("kl_sym") == 0.0)
+    val disjoint = Seq(
+      ("a", "alpha beta gamma alpha"), ("b", "delta epsilon zeta eta")).toDF("source", "text")
+    val r1 = Dsir.tokenDrift(disjoint, "text", "source", "a", "b").head()
+    // tiny fixture: add-one smoothing over 64 buckets dominates, so
+    // the divergence is small but must be clearly nonzero
+    assert(r1.getAs[Double]("kl_sym") > 0.05)
+    assert(r1.getAs[Long]("n_tokens_a") == 4L && r1.getAs[Long]("n_tokens_b") == 4L)
+  }
 }

@@ -98,4 +98,24 @@ class LayoutSpec extends SparkSpec {
     assert(e0a.values.toSet == (0L until 200L).toSet)
     assert(e1.values.toSet == (0L until 200L).toSet)
   }
+
+  test("annealOrder puts the top-score fraction (shuffled) at the tail of the order") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val out = operators.Layout.annealOrder(docs, "id", "score", annealFrac = 0.2)
+      .select("id", "anneal", "train_order")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // a full permutation, with every anneal doc AFTER every main doc
+    assert(out.map(_._3).toSet == (0L until 100L).toSet)
+    val maxMain = out.filter(_._2 == 0).map(_._3).max
+    val minAnneal = out.filter(_._2 == 1).map(_._3).min
+    assert(maxMain < minAnneal)
+    // scores 0..99, frac 0.2 → threshold is the 0.8-quantile; ≥ keeps ~20
+    val annealIds = out.filter(_._2 == 1).map(_._1).toSet
+    assert(annealIds.size >= 19 && annealIds.size <= 21)
+    assert(annealIds.forall(_ >= 79L))
+    // within the anneal tail the order is shuffled, not by id
+    val tailByPos = out.filter(_._2 == 1).sortBy(_._3).map(_._1).toSeq
+    assert(tailByPos != tailByPos.sorted)
+  }
 }

@@ -93,6 +93,24 @@ class TextCleanSpec extends SparkSpec {
     assert(one(TextClean.fixMojibake(col("t")), once) == once)
   }
 
+  test("codeSignals separates code from prose; cleanCodeText normalizes whitespace only") {
+    val code = "def f(x):\n  return x + 1\n\timport os\nclass A(object):"
+    val prose = "The quick brown fox jumps over the lazy dog in the sunny meadow."
+    def sig(t: String) =
+      Seq(t).toDF("t").select(TextClean.codeSignals(org.apache.spark.sql.functions.col("t")).as("c"))
+        .select("c.symbol_ratio", "c.indent_ratio", "c.keyword_hits")
+        .head()
+    val (cs, ps) = (sig(code), sig(prose))
+    assert(cs.getDouble(0) > ps.getDouble(0), "code must be symbol-denser")
+    assert(cs.getDouble(1) > 0.4 && ps.getDouble(1) == 0.0)
+    assert(cs.getInt(2) >= 3 && ps.getInt(2) == 0)
+    // cleaner: trailing ws dies, blank runs collapse, indent survives
+    assert(one(TextClean.cleanCodeText(col("t")),
+      "a   \n\n\n\n  keep_indent\t \nb") == "a\n\n  keep_indent\nb")
+    // leading/trailing blank lines trimmed; tabs inside lines kept
+    assert(one(TextClean.cleanCodeText(col("t")), "\n\nx\ty\n\n") == "x\ty")
+  }
+
   test("lengthOutliers: modified z-score flags the tail, MAD=0 flags any deviation") {
     import spark.implicits._
     val docs = (
