@@ -65,7 +65,61 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** Referential-integrity audit for one fact→dimension key: row
+    * count, orphan count (fact keys with NO dim match — a LEFT ANTI
+    * join, so only keys travel), and coverage. The pre-ingest check
+    * that catches a truncated dimension load before a 100 TB join
+    * silently drops rows. NULL fact keys count as orphans (a NULL
+    * never joins — exactly the rows an inner join would lose). */
+  def foreignKeyAudit(
+      fact: org.apache.spark.sql.DataFrame,
+      factKey: String,
+      dim: org.apache.spark.sql.DataFrame,
+      dimKey: String,
+      relationship: String): org.apache.spark.sql.DataFrame = {
+    val keys = fact.select(col(factKey).as("k"))
+    val orphans = keys
+      .join(dim.select(col(dimKey).as("k")).distinct(), Seq("k"), "left_anti")
+    keys.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+      .select(lit(relationship).as("relationship"), col("n_rows"), col("n_orphans"),
+        Cols.pround(
+          (col("n_rows") - col("n_orphans")).cast("double") / col("n_rows"), 6)
+          .as("coverage"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // FK audit gate: a clean relationship (lineitem→orders, coverage
+    // 1) and one with planted orphans (every 10th orderkey's suppkey
+    // shifted out of range) — the report must count them exactly.
+    Gate(
+      "rpt_key_coverage", {
+        def cov(nr: String, no: String) =
+          Cols.proundSql(s"CAST($nr - $no AS DOUBLE) / $nr", 6)
+        s"""WITH lo AS (SELECT count(*) AS nr,
+           |    count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS no
+           |  FROM lineitem),
+           |ls AS (SELECT count(*) AS nr, count(*) FILTER (WHERE
+           |    (CASE WHEN l_orderkey % 10 = 0 THEN l_suppkey + 1000000 ELSE l_suppkey END)
+           |    NOT IN (SELECT s_suppkey FROM supplier)) AS no
+           |  FROM lineitem)
+           |SELECT 'lineitem.orderkey->orders' AS relationship, nr AS n_rows,
+           |  no AS n_orphans, ${cov("nr", "no")} AS coverage FROM lo
+           |UNION ALL
+           |SELECT 'lineitem.suppkey->supplier', nr, no, ${cov("nr", "no")} FROM ls
+           |ORDER BY relationship""".stripMargin
+      }) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val a = foreignKeyAudit(li, "l_orderkey",
+        Tables(s, dir, "orders"), "o_orderkey", "lineitem.orderkey->orders")
+      val planted = li.select(
+        when(col("l_orderkey") % 10 === 0, col("l_suppkey") + 1000000)
+          .otherwise(col("l_suppkey")).as("fk"))
+      val b = foreignKeyAudit(planted, "fk",
+        Tables(s, dir, "supplier"), "s_suppkey", "lineitem.suppkey->supplier")
+      a.unionByName(b).orderBy("relationship")
+    },
 
     Gate(
       "q1_agg",

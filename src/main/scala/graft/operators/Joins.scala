@@ -187,6 +187,35 @@ object Joins {
           payloadCols.map(c => col("__match").getField(c).as(prefix + c)): _*)
   }
 
+  /** [[asofJoin]] with a staleness tolerance: a backward match older
+    * than `tolerance` (in `tsCol` units) is rejected to NULL — the
+    * sensor-fusion rule "use the last reading unless it's too stale".
+    * Same plan as the plain as-of (one key shuffle, one sorted pass)
+    * plus a narrow null-out projection; `tsCol` must be in
+    * `payloadCols` so the matched timestamp is visible to the check. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payloadCols: Seq[String],
+      tolerance: Long,
+      prefix: String = "asof_"): DataFrame = {
+    require(payloadCols.contains(tsCol),
+      s"asofJoinTolerance: payloadCols must include $tsCol for the staleness check")
+    require(tolerance >= 0, "asofJoinTolerance: tolerance must be >= 0")
+    val joined = asofJoin(left, right, key, tsCol, payloadCols, prefix)
+    // pin the flag BEFORE any payload rewrite: nulling the matched ts
+    // first would make later columns' staleness checks see NULL and
+    // silently keep them
+    val flagged = joined.withColumn("__stale",
+      col(tsCol) - col(prefix + tsCol) > tolerance)
+    payloadCols.foldLeft(flagged) { (df, p) =>
+      df.withColumn(prefix + p,
+        when(col("__stale"), lit(null)).otherwise(col(prefix + p)))
+    }.drop("__stale")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -426,6 +455,35 @@ object Joins {
       val r = events.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
       asofJoin(l, r, key = "user_id", tsCol = "tsu", payloadCols = Seq("view_id", "tsu"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id"), col("asof_tsu"))
+        .orderBy("event_id")
+    },
+
+    // Tolerance as-of: same ASOF oracle, matches staler than 1 hour
+    // rejected to NULL by an identical post-check on both engines.
+    Gate(
+      "q29_asof_tol", {
+        val tol = 3600000000L // 1 h in micros
+        s"""WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu
+           |  FROM events WHERE event_type = 'click'),
+           |r AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS tsu
+           |  FROM events WHERE event_type = 'view'),
+           |j AS (SELECT l.event_id, l.user_id, l.tsu, r.view_id, r.tsu AS rtsu
+           |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu)
+           |SELECT event_id, user_id,
+           |  CASE WHEN tsu - rtsu > $tol THEN NULL ELSE view_id END AS asof_view_id,
+           |  CASE WHEN tsu - rtsu > $tol THEN NULL ELSE rtsu END AS asof_tsu
+           |FROM j ORDER BY event_id""".stripMargin
+      }) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+      val l = events.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val r = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("tsu"))
+      asofJoinTolerance(l, r, key = "user_id", tsCol = "tsu",
+        payloadCols = Seq("view_id", "tsu"), tolerance = 3600000000L)
         .select(col("event_id"), col("user_id"),
           col("asof_view_id"), col("asof_tsu"))
         .orderBy("event_id")

@@ -735,7 +735,61 @@ object Similarity {
        |FROM cv""".stripMargin
   }
 
+  /** Self-evaluating index quality: recall@k of the LSH index against
+    * the brute-force ground truth, computed IN-ENGINE over a query
+    * sample — the report that decides whether the current
+    * hyperplane/band configuration is good enough before committing
+    * an index build at corpus scale. Cost = the brute-force pass over
+    * the SAMPLE only (queries × corpus), never all-pairs. */
+  def annRecall(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val bf = bruteForceTopK(queries, corpus, k).select(col("qid"), col("neighbor_id"))
+    val ls = lshTopK(queries, corpus, k)
+      .select(col("qid"), col("neighbor_id"), lit(1).as("__m"))
+    bf.join(ls, Seq("qid", "neighbor_id"), "left")
+      .groupBy("qid")
+      .agg(count(col("__m")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        Cols.pround(col("n_hits").cast("double") / k, 4).as("recall"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // Recall@k gate: the oracle rebuilds BOTH pipelines (exact + LSH)
+    // and intersects them per query.
+    Gate(
+      "rpt_ann_recall", {
+        val sigQ = sqlHyperplaneSig("q.embedding", 4)
+        val sigC = sqlHyperplaneSig("c.embedding", 4)
+        val cosQ = sqlDecCosine("q.embedding", "c.embedding")
+        s"""WITH bfs AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cosQ AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |bf AS (SELECT qid, id FROM (
+           |    SELECT qid, id, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM bfs) x
+           |  WHERE rank <= 3),
+           |lss AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cosQ AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND $sigQ = $sigC),
+           |ls AS (SELECT qid, id FROM (
+           |    SELECT qid, id, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM lss) x
+           |  WHERE rank <= 3)
+           |SELECT bf.qid, count(ls.id) AS n_hits,
+           |  ${Cols.proundSql("CAST(count(ls.id) AS DOUBLE) / 3", 4)} AS recall
+           |FROM bf LEFT JOIN ls ON bf.qid = ls.qid AND bf.id = ls.id
+           |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      annRecall(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3)
+        .orderBy("qid")
+    },
 
     // PCA anisotropy gate: one decimal-fold stats aggregate + the
     // driver power iteration, fully replayed in SQL (expanded

@@ -119,4 +119,19 @@ class JoinsSpec extends SparkSpec {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L)) // 20.0 excluded, 9.999 below
   }
+
+  test("asofJoinTolerance keeps fresh matches, nulls stale ones and non-matches") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 101L, 500L), (2L, 102L, 50L))
+      .toDF("k", "lid", "ts")
+    val r = Seq((1L, 900L, 5L), (1L, 901L, 90L)).toDF("k", "rid", "ts")
+    val out = operators.Joins.asofJoinTolerance(
+      l, r, key = "k", tsCol = "ts", payloadCols = Seq("rid", "ts"), tolerance = 50L)
+      .collect().map(x => x.getAs[Long]("lid") ->
+        (Option(x.getAs[java.lang.Long]("asof_rid")), Option(x.getAs[java.lang.Long]("asof_ts"))))
+      .toMap
+    assert(out(100L) == ((Some(900L), Some(5L))))  // 10−5 = 5 ≤ 50: fresh
+    assert(out(101L) == ((None, None)))            // 500−90 = 410 > 50: stale
+    assert(out(102L) == ((None, None)))            // key 2: no right row at all
+  }
 }
