@@ -326,6 +326,29 @@ object TextAnalysis {
       }
     }
 
+  /** Moving-average type-token ratio (MATTR, Covington & McFall
+    * 2010): mean distinct-fraction over sliding `w`-token windows —
+    * the lexical-diversity signal plain TTR can't give (TTR decays
+    * with length, so it ranks long docs as "repetitive" no matter
+    * what; the windowed mean is length-invariant). Docs shorter than
+    * one window fall back to plain TTR. Higher-order array functions,
+    * narrow, no shuffle; the per-window ratios fold left-to-right
+    * from 0.0 so any engine replays the identical double sum. */
+  def mattr(text: Column, w: Int = 25): Column =
+    bind(words(lower(text))) { toks =>
+      bind(size(toks)) { n =>
+        val short = when(n === 0, lit(0.0))
+          .otherwise(Cols.pround(
+            size(array_distinct(toks)).cast("double") / n, 6))
+        val ratios = transform(
+          sequence(lit(1), n - (w - 1)),
+          i => size(array_distinct(slice(toks, i, lit(w)))).cast("double") / w)
+        val windowed = Cols.pround(
+          aggregate(ratios, lit(0.0), (a, x) => a + x) / size(ratios), 6)
+        when(n <= w, short).otherwise(windowed)
+      }
+    }
+
   /** Character-level Shannon entropy (bits/char) over case-folded
     * letter/digit/whitespace/other classes — the cheap gibberish and
     * blob detector (base64 dumps and key material run ≳4.5 bits,
@@ -423,6 +446,33 @@ object TextAnalysis {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // MATTR gate: docs at sf0.01 run 10–99 words, so both the plain-
+    // TTR fallback (n ≤ w) and the windowed path execute; the oracle
+    // replays the identical window ratios and the 0.0-seeded left
+    // fold.
+    Gate(
+      "txt_mattr", {
+        val w = 25
+        val short = s"CASE WHEN n = 0 THEN 0.0 ELSE " +
+          Cols.proundSql("CAST(len(list_distinct(ts)) AS DOUBLE) / n", 6) + " END"
+        val windowed = Cols.proundSql(
+          "list_reduce(list_prepend(0.0, rs), (a, x) -> a + x) / len(rs)", 6)
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '$WordPattern') AS ts FROM documents),
+           |r AS (SELECT doc_id, ts, len(ts) AS n,
+           |    [CAST(len(list_distinct(ts[i : i + ${w - 1}])) AS DOUBLE) / $w
+           |     FOR i IN range(1, len(ts) - ${w - 1} + 1)] AS rs
+           |  FROM t)
+           |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           |  CASE WHEN n <= $w THEN $short ELSE $windowed END AS mattr
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), wordCount(col("text")).as("n_tokens"),
+          mattr(col("text"), w = 25).as("mattr"))
+        .orderBy("doc_id")
+    },
 
     // Char-entropy gate: straight over the corpus text (no planting
     // needed — the signal varies doc to doc); the oracle replays the

@@ -420,6 +420,22 @@ class PropertySpec extends SparkSpec {
     assert(firstK.distinct.length == k, s"head of curriculum not interleaved: ${firstK.mkString(",")}")
   }
 
+  test("mattr: plain TTR under one window, window mean above, repetition lowers it") {
+    import spark.implicits._
+    def m(t: String): Double =
+      Seq(t).toDF("t").select(operators.TextAnalysis.mattr(col("t"), w = 3).as("m"))
+        .head().getDouble(0)
+    assert(m("") == 0.0)
+    assert(m("a b") == 1.0)       // short: 2 distinct / 2
+    assert(m("a a b") == 0.666667) // short: 2/3
+    // 4 tokens, w=3 → windows (a b c)=1, (b c a)=1 → 1.0
+    assert(m("a b c a") == 1.0)
+    // all-same long doc: every window ratio 1/3
+    assert(m("x x x x x x") == 0.333333)
+    // diversity invariant to length for fully-distinct text
+    assert(m("a b c d e f g h") == 1.0)
+  }
+
   test("parseImageMeta reads genuine PNG IHDR and walks JFIF segments to SOF0") {
     import graft.multimodal.Multimodal
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
