@@ -232,8 +232,11 @@ object Sketches {
     // Long bound: |x|·10⁴ ≤ ~1.05e9 on these columns → products ≤
     // ~1.1e18 < 2⁶³; the SUM hops to DECIMAL(38,0) before it could
     // overflow.
+    // half-up at 4 decimals via pure double codegen (floor(x·10⁴+½)):
+    // equivalent to a DECIMAL(18,4) cast for these non-negative
+    // columns, without the per-row BigDecimal boxing
     def li(c: String) =
-      (col(c).cast(DecimalType(18, 4)) * 10000).cast("long")
+      floor(col(c) * 10000 + 0.5).cast("long")
     val sums = cols.map(c => sum(li(c).cast(DecimalType(38, 0))).as(s"s_$c"))
     val prods = for { i <- cols.indices; j <- i until cols.size } yield
       sum((li(cols(i)) * li(cols(j))).cast(DecimalType(38, 0)))
@@ -272,7 +275,7 @@ object Sketches {
         val cs = CorrCols
         // the Spark side's exact integer scaling, replayed: BIGINT
         // products (same 2⁶³ bound), HUGEINT-exact sums
-        def li(c: String) = s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        def li(c: String) = s"CAST(floor($c * 10000 + 0.5) AS BIGINT)"
         val sums = cs.map(c => s"sum(${li(c)}) AS s_$c")
         val prods = for { i <- cs.indices; j <- i until cs.size } yield
           s"sum(${li(cs(i))} * ${li(cs(j))}) AS p_${cs(i)}_${cs(j)}"
