@@ -121,6 +121,29 @@ object Analytics {
       a.unionByName(b).orderBy("relationship")
     },
 
+    // CUBE + grouping-id: all four aggregation levels in one pass
+    // (map-side combined, low-cardinality keys → tiny shuffle); the
+    // bitmask is built EXPLICITLY from GROUPING() on both engines so
+    // no engine-specific grouping_id() convention is trusted.
+    Gate(
+      "q30_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("int").as("gid"),
+          Cols.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     Gate(
       "q1_agg",
       """SELECT l_returnflag, l_linestatus,

@@ -465,7 +465,59 @@ object Mixture {
         (col("__cs") - col("__rs")).as("margin"))
   }
 
+  /** Equal-frequency score bucketization: k−1 exact quantile cuts
+    * from ONE aggregate, then bin = #cuts-below as a narrow codegen
+    * comparison chain — the stratification primitive (per-quantile
+    * sampling, calibration bins, difficulty tiers) WITHOUT `ntile`,
+    * whose partitionless global window single-tasks the corpus.
+    * Values exactly on a cut go to the LOWER bin (≤ keeps the rule
+    * value-deterministic). Ties across a cut can make bins uneven —
+    * that is the honest answer for discrete scores, not a bug. */
+  def quantileBins(
+      df: DataFrame,
+      scoreCol: String,
+      k: Int,
+      outCol: String = "bin"): DataFrame = {
+    require(k >= 2, "quantileBins: k must be >= 2")
+    val probs = (1 until k).map(_.toDouble / k)
+    val cuts = df
+      .agg(percentile(col(scoreCol).cast("double"),
+        array(probs.map(lit): _*)).as("c"))
+      .head().getSeq[Double](0)
+    df.withColumn(outCol,
+      cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + (col(scoreCol).cast("double") > c).cast("int")
+      })
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // Quantile-bin gate: 5 equal-frequency bins over extendedprice,
+    // reported as a per-bin histogram; the oracle computes the same
+    // quantile_cont cuts and the identical >-count bin rule.
+    Gate(
+      "op_quantile_bins", {
+        val probs = (1 until 5).map(i => s"${i / 5.0}").mkString(", ")
+        s"""WITH c AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+           |    [$probs]) AS q FROM lineitem),
+           |b AS (SELECT
+           |    CAST(CASE WHEN l_extendedprice > q[1] THEN 1 ELSE 0 END +
+           |         CASE WHEN l_extendedprice > q[2] THEN 1 ELSE 0 END +
+           |         CASE WHEN l_extendedprice > q[3] THEN 1 ELSE 0 END +
+           |         CASE WHEN l_extendedprice > q[4] THEN 1 ELSE 0 END AS INT) AS bin,
+           |    l_extendedprice AS x
+           |  FROM lineitem, c)
+           |SELECT bin, count(*) AS n,
+           |  ${Cols.proundSql("min(x)", 4)} AS lo, ${Cols.proundSql("max(x)", 4)} AS hi
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+      }) { (s, dir) =>
+      quantileBins(Tables(s, dir, "lineitem"), "l_extendedprice", k = 5)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          Cols.pround(min(col("l_extendedprice")), 4).as("lo"),
+          Cols.pround(max(col("l_extendedprice")), 4).as("hi"))
+        .orderBy("bin")
+    },
     // Token-budget selection: score = (doc_id % 997)/997 (portable,
     // deliberately TIED across docs so the id tiebreak and the
     // boundary bucket's exact prefix both carry weight), tokens =

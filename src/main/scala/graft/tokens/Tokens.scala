@@ -339,6 +339,31 @@ object Tokens {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Long-document truncation keeping head AND tail (the
+    * context-window fit policy that preserves intro + conclusion —
+    * middles of web documents carry the least unique signal, and
+    * head-only truncation throws the conclusion away): token-level,
+    * narrow, scan-fused; an ellipsis marker makes the cut visible to
+    * downstream tokenization. Documents within budget re-join
+    * unchanged (word-level, the [[graft.operators.Formatters]]
+    * chunking discipline). */
+  def truncateMiddle(
+      text: org.apache.spark.sql.Column,
+      maxTokens: Int,
+      headFrac: Double = 0.5,
+      marker: String = " ... "): org.apache.spark.sql.Column = {
+    require(maxTokens >= 2, "truncateMiddle: maxTokens must be >= 2")
+    require(headFrac > 0 && headFrac < 1, "truncateMiddle: headFrac in (0,1)")
+    val h = math.max(1, math.floor(maxTokens * headFrac).toInt)
+    val t = maxTokens - h
+    graft.Cols.bind(TextAnalysis.words(text)) { ws =>
+      when(size(ws) <= maxTokens, array_join(ws, " "))
+        .otherwise(concat(
+          array_join(slice(ws, 1, h), " "), lit(marker),
+          array_join(slice(ws, size(ws) - t + 1, lit(t)), " ")))
+    }
+  }
+
   /** Best-fit-decreasing whole-document packing into `capacity`-token
     * bins — the SFT/packing alternative to [[tok_pack]]'s
     * concatenate-and-split: documents are never cut, each goes to the
@@ -444,6 +469,26 @@ object Tokens {
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
           md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("sig"))
         .orderBy("seq_id")
+    },
+
+    // Head+tail truncation gate: docs over 40 words keep 20+20 around
+    // a visible marker; within-budget docs re-join unchanged.
+    Gate(
+      "fmt_truncate_mid", {
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |  FROM documents)
+           |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+           |  md5(CASE WHEN len(ws) <= 40 THEN array_to_string(ws, ' ')
+           |      ELSE array_to_string(ws[1:20], ' ') || ' ... ' ||
+           |           array_to_string(ws[len(ws)-19 : len(ws)], ' ') END) AS trunc_md5
+           |FROM t ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("n_tokens"),
+          md5(truncateMiddle(col("text"), maxTokens = 40)).as("trunc_md5"))
+        .orderBy("doc_id")
     },
 
     // BFD packing gate: the oracle replays best-fit-decreasing with a

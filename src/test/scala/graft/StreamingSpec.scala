@@ -297,6 +297,34 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds == batchIds, s"dedup parity: stream ${gotIds.size} vs batch ${batchIds.size}")
   }
 
+  test("file-sink stream resumes from its checkpoint exactly-once across a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sfDir, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (src, sink, cp) = (s"$base/src", s"$base/sink", s"$base/cp")
+    def run(): Unit = {
+      val q = spark.readStream.schema(events.schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // batch 1 → run → stop; batch 2 → NEW query, SAME checkpoint
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    val afterFirst = spark.read.parquet(sink).count()
+    events.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+    run()
+    val out = spark.read.parquet(sink).select("event_id")
+      .collect().map(_.getLong(0))
+    val expected = events.select("event_id").collect().map(_.getLong(0))
+    // every event exactly once: the restarted query must neither
+    // reprocess batch 1 (duplicates) nor skip batch 2
+    assert(afterFirst > 0 && afterFirst < expected.length)
+    assert(out.length == expected.length, s"${out.length} vs ${expected.length}")
+    assert(out.toSet == expected.toSet)
+  }
+
   test("stream-static broadcast enrichment matches batch on a file stream") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
