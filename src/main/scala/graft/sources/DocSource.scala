@@ -307,6 +307,27 @@ object DocSource {
         .orderBy("id")
     },
 
+    // Layout-health report: per-file row counts via input_file_name()
+    // over a written dataset — the small-files detector (1000s of
+    // KB-sized files strangle a 100 TB scan with open/footer
+    // overhead; this report is what triggers compaction). File count
+    // pinned by the repartition width; per-file skew is environment-
+    // dependent, so only the deterministic aggregates are gated.
+    Gate(
+      "rpt_partition_stats",
+      s"""SELECT 8 AS n_files, count(*) AS n_rows,
+         |  ${graft.Cols.proundSql("count(*) / 8.0", 4)} AS avg_rows_per_file
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "rpt_partition_stats")
+      Tables(s, dir, "documents").repartition(8)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(input_file_name().as("f"))
+        .agg(countDistinct("f").as("nf"), count(lit(1)).as("n_rows"))
+        .select(col("nf").cast("int").as("n_files"), col("n_rows"),
+          graft.Cols.pround(col("n_rows") / lit(8.0), 4).as("avg_rows_per_file"))
+    },
+
     // Malformed-line tolerance: real JSONL crawls ship broken lines;
     // a PERMISSIVE read must capture them in _corrupt_record (raw
     // bytes preserved for quarantine) while every valid line parses

@@ -269,6 +269,38 @@ object EventStream {
   def enrichEvents(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Volume-anomaly detection: per (event_type, hour) counts scored
+    * against a trailing per-type baseline (mean/std over the previous
+    * `lookback` hours, rows-frame so the current hour never leaks
+    * into its own baseline); z ≥ 3 flags — the pipeline-health
+    * monitor that catches a collapsed crawler or a bot flood. The
+    * window runs over the AGGREGATED (type × hour) frame, calendar-
+    * bounded; variance from Σx/Σx² in exact longs, the tail in
+    * identical-order doubles, clamped at 0 before the sqrt. Hours
+    * with an incomplete baseline emit NULL z — never a fake score. */
+  def volumeAnomalies(events: DataFrame, lookback: Int = 6, zCut: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookback >= 2, "volumeAnomalies: lookback must be >= 2")
+    val hourly = events
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) / 3600).cast("long").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-lookback, -1)
+    val scored = hourly
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("n")).over(w))
+      .withColumn("__ss", sum(col("n") * col("n")).over(w))
+    val mean = col("__s").cast("double") / col("__k")
+    val varr = greatest(
+      col("__ss").cast("double") / col("__k") - mean * mean, lit(0.0))
+    val z = (col("n").cast("double") - mean) / sqrt(varr)
+    scored.select(col("event_type"), col("hour"), col("n"),
+      when(col("__k") === lookback, Cols.pround(mean, 4)).as("baseline_mean"),
+      when(col("__k") === lookback && varr > 0, Cols.pround(z, 4)).as("z"),
+      (col("__k") === lookback && varr > 0 && z >= zCut).as("is_anomaly"))
+  }
+
   /** Day-over-day activity trend: per epoch-day distinct users +
     * event counts with lag-based percent change. The heavy part (the
     * per-day exact distinct) is one shuffle; the lag window runs over
@@ -476,6 +508,59 @@ object EventStream {
       }) { (s, dir) =>
       cohortRetention(Tables(s, dir, "events"))
         .orderBy("cohort", "offset")
+    },
+
+    // Anomaly gate: trailing-baseline z-scores with the identical
+    // rows-frame, long Σ/Σ², and clamped-variance double tail.
+    Gate(
+      "q31_anomaly", {
+        val mean = "CAST(s AS DOUBLE) / k"
+        val varr = s"greatest(CAST(ss AS DOUBLE) / k - ($mean) * ($mean), 0.0)"
+        val z = s"(CAST(n AS DOUBLE) - ($mean)) / sqrt($varr)"
+        s"""WITH h AS (SELECT event_type,
+           |    -- explicit floor: DuckDB's // is NOT floor-division on
+           |    -- DOUBLE, and CAST(DOUBLE AS BIGINT) rounds, not truncates
+           |    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour, count(*) AS n
+           |  FROM events GROUP BY event_type, hour),
+           |wn AS (SELECT event_type, hour, n,
+           |    count(*) OVER w AS k, sum(n) OVER w AS s, sum(n * n) OVER w AS ss
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+           |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+           |SELECT event_type, hour, n,
+           |  CASE WHEN k = 6 THEN ${Cols.proundSql(mean, 4)} END AS baseline_mean,
+           |  CASE WHEN k = 6 AND $varr > 0 THEN ${Cols.proundSql(z, 4)} END AS z,
+           |  (k = 6 AND $varr > 0 AND $z >= 3.0) AS is_anomaly
+           |FROM wn ORDER BY event_type, hour""".stripMargin
+      }) { (s, dir) =>
+      volumeAnomalies(Tables(s, dir, "events"), lookback = 6, zCut = 3.0)
+        .orderBy("event_type", "hour")
+    },
+
+    // Seasonality profile: hour-of-day × day-of-week activity counts
+    // from tz-free integer epoch arithmetic (no engine date-part
+    // functions whose week conventions differ) — one tiny-key
+    // map-side-combined aggregate.
+    Gate(
+      "rpt_seasonality", {
+        s"""WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id FROM events),
+           |b AS (SELECT CAST((es // 3600) % 24 AS INT) AS hour_of_day,
+           |    CAST(((es // 86400) + 4) % 7 AS INT) AS day_of_week, user_id FROM e)
+           |SELECT hour_of_day, day_of_week, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM b GROUP BY hour_of_day, day_of_week
+           |ORDER BY hour_of_day, day_of_week""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(unix_timestamp(col("ts")).as("es"), col("user_id"))
+        // epoch day 0 = Thursday; +4 makes 0 = Sunday (ISO-agnostic,
+        // pure arithmetic both engines share)
+        .select(
+          ((col("es") / 3600).cast("long") % 24).cast("int").as("hour_of_day"),
+          (((col("es") / 86400).cast("long") + 4) % 7).cast("int").as("day_of_week"),
+          col("user_id"))
+        .groupBy("hour_of_day", "day_of_week")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .orderBy("hour_of_day", "day_of_week")
     },
 
     // Day-over-day trend: epoch-day integer bucketing (tz-free); the

@@ -388,6 +388,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("volumeAnomalies flags a spike against the trailing baseline, null z until it fills") {
+    import spark.implicits._
+    // per-hour counts: 8,10,12,9,11,10 (baseline), then a 50 spike,
+    // then a quiet 11
+    val counts = Seq(8, 10, 12, 9, 11, 10, 50, 11)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        (new java.sql.Timestamp((h.toLong * 3600 + i) * 1000), "x"))
+    }
+    val events = rows.toDF("ts", "event_type")
+    val out = EventStream.volumeAnomalies(events, lookback = 6, zCut = 3.0)
+      .collect().map(r => r.getAs[Long]("hour") ->
+        (Option(r.getAs[java.lang.Double]("z")), r.getAs[Boolean]("is_anomaly"))).toMap
+    // first 6 hours: incomplete baseline → no score, never anomalous
+    (0L to 5L).foreach(h => assert(out(h) == ((None, false))))
+    // the spike: mean 10, var 5/3 → z = 40/1.29 ≈ 31
+    assert(out(6L)._2, "spike must flag")
+    assert(out(6L)._1.get > 30.0)
+    // the quiet hour after (baseline now includes the spike): no flag
+    assert(!out(7L)._2)
+  }
+
   test("decayedScores: newest event full weight, one half-life halves, sums per user") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
