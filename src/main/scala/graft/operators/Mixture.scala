@@ -465,6 +465,32 @@ object Mixture {
         (col("__cs") - col("__rs")).as("margin"))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs
+    * (the DPR / embedding-training prep step: each anchor needs k
+    * corpus negatives): draws come from the portable LCG over
+    * (anchor·k + j), so retries, any partitioning, and a SQL oracle
+    * reproduce the identical negatives — engine `rand()` would
+    * re-draw per retry and break caption/negative alignment. A draw
+    * that collides with the anchor's own positive shifts by one
+    * (mod corpus size): collision handling must be deterministic too.
+    * Narrow (explode k per row), no shuffle. */
+  def sampleNegatives(
+      pairs: DataFrame,
+      idCol: String,
+      posCol: String,
+      corpusN: Long,
+      k: Int): DataFrame = {
+    require(k >= 1 && corpusN >= 2, "sampleNegatives: need k >= 1, corpusN >= 2")
+    pairs
+      .select(col("*"), explode(sequence(lit(1), lit(k))).as("neg_nr"))
+      .withColumn("neg_id",
+        Cols.bind(
+          floor(Cols.lcgUniform(col(idCol) * k + col("neg_nr")) * corpusN)
+            .cast("long")) { raw =>
+          when(raw === col(posCol), (raw + 1) % corpusN).otherwise(raw)
+        })
+  }
+
   /** Equal-frequency score bucketization: k−1 exact quantile cuts
     * from ONE aggregate, then bin = #cuts-below as a narrow codegen
     * comparison chain — the stratification primitive (per-quantile
@@ -491,6 +517,28 @@ object Mixture {
   }
 
   val gates: Seq[Gate] = Seq(
+
+    // Negative-sampling gate: anchors = documents, positive = own id,
+    // 3 draws each; the oracle replays the LCG, the floor-scale, and
+    // the +1-mod collision rule.
+    Gate(
+      "op_neg_samples", {
+        val u = Cols.lcgUniformSql("(doc_id * 3 + neg_nr)")
+        s"""WITH n AS (SELECT count(*) AS cn FROM documents),
+           |e AS (SELECT doc_id, unnest([1, 2, 3]) AS neg_nr FROM documents),
+           |r AS (SELECT doc_id, neg_nr,
+           |    CAST(floor(($u) * cn) AS BIGINT) AS raw FROM e, n)
+           |SELECT doc_id, CAST(neg_nr AS INT) AS neg_nr,
+           |  CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT cn FROM n)
+           |       ELSE raw END AS neg_id
+           |FROM r ORDER BY doc_id, neg_nr""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      sampleNegatives(docs.select(col("doc_id")), "doc_id", "doc_id", n, k = 3)
+        .select("doc_id", "neg_nr", "neg_id")
+        .orderBy("doc_id", "neg_nr")
+    },
 
     // Quantile-bin gate: 5 equal-frequency bins over extendedprice,
     // reported as a per-bin histogram; the oracle computes the same

@@ -250,4 +250,21 @@ class MixtureSpec extends SparkSpec {
       .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("sampleNegatives: deterministic draws in range, never the positive") {
+    import spark.implicits._
+    val pairs = (0L until 50L).map(i => (i, i)).toDF("id", "pos")
+    val out = operators.Mixture.sampleNegatives(pairs, "id", "pos", corpusN = 50L, k = 4)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("neg_nr"), r.getAs[Long]("neg_id")))
+    assert(rows.length == 200)
+    assert(rows.forall { case (_, _, n) => n >= 0 && n < 50 })
+    assert(rows.forall { case (id, _, n) => n != id }, "a negative equals its positive")
+    // reproducible across evaluations
+    val again = out.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("neg_nr"), r.getAs[Long]("neg_id")))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // draws actually vary across anchors (not a constant)
+    assert(rows.map(_._3).distinct.length > 10)
+  }
 }
