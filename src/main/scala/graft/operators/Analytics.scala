@@ -121,6 +121,33 @@ object Analytics {
       a.unionByName(b).orderBy("relationship")
     },
 
+    // Set-operation surface: INTERSECT / EXCEPT / UNION-distinct over
+    // two id subsets — each plans as the dedicated semi/anti
+    // aggregate join, not a manual distinct-and-join reinvention.
+    Gate(
+      "q32_set_ops",
+      """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |SELECT 'except' AS op, count(*) AS n
+        |  FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b) x
+        |UNION ALL
+        |SELECT 'intersect', count(*)
+        |  FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b) y
+        |UNION ALL
+        |SELECT 'union', count(*)
+        |  FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b) z
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val ids = Tables(s, dir, "documents").select("doc_id")
+      val a = ids.filter(col("doc_id") % 2 === 0)
+      val b = ids.filter(col("doc_id") % 3 === 0)
+      def counted(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+      counted("except", a.except(b))
+        .unionByName(counted("intersect", a.intersect(b)))
+        .unionByName(counted("union", a.union(b).distinct()))
+        .orderBy("op")
+    },
+
     // CUBE + grouping-id: all four aggregation levels in one pass
     // (map-side combined, low-cardinality keys → tiny shuffle); the
     // bitmask is built EXPLICITLY from GROUPING() on both engines so

@@ -185,6 +185,15 @@ object TextClean {
           sum(col("__q").cast(DecimalType(18, 4))).cast("double") / count(lit(1)),
           4).as("mean_quality"))
 
+  /** CCNet-style digit masking: every digit run becomes `0` before
+    * hashing/LM scoring, so "Chapter 7" ≡ "Chapter 12" for dedup
+    * fingerprints and perplexity models (numbers are the highest-
+    * variance, lowest-signal tokens in web text). One codegen regex,
+    * scan-fused. Kept separate from display text — this is a
+    * FINGERPRINT/FEATURE normalization, not a rewrite you ship. */
+  def maskDigits(text: Column): Column =
+    regexp_replace(text, "[0-9]+", "0")
+
   /** Code-vs-prose routing signals (the StarCoder/CodeParrot-style
     * lexical triage before code-specific cleaning): symbol density,
     * indented-line fraction, and code-keyword hits — all narrow
@@ -301,6 +310,28 @@ object TextClean {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Digit-mask gate: numbers planted per class; masked fingerprints
+    // of "Chapter 7" and "Chapter 12" classes must COLLIDE (that is
+    // the point), pinned via the planted-pair md5 equality the oracle
+    // replays.
+    Gate(
+      "fmt_digit_mask",
+      """WITH p AS (SELECT doc_id,
+        |    text || ' chapter ' || CAST(doc_id % 97 AS VARCHAR) ||
+        |    ' page ' || CAST(doc_id AS VARCHAR) AS t FROM documents)
+        |SELECT doc_id, md5(regexp_replace(t, '[0-9]+', '0', 'g')) AS masked_md5,
+        |  length(t) - length(regexp_replace(t, '[0-9]+', '', 'g')) AS n_digit_chars
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" chapter "), (col("doc_id") % 97).cast("string"),
+            lit(" page "), col("doc_id").cast("string")).as("t"))
+        .select(col("doc_id"), md5(maskDigits(col("t"))).as("masked_md5"),
+          (length(col("t")) - length(regexp_replace(col("t"), "[0-9]+", "")))
+            .as("n_digit_chars"))
+        .orderBy("doc_id")
+    },
 
     // Code-detection gate: a code block (indented lines, symbols,
     // keywords, one tab line) planted on even docs, extra prose on

@@ -328,6 +328,27 @@ object DocSource {
           graft.Cols.pround(col("n_rows") / lit(8.0), 4).as("avg_rows_per_file"))
     },
 
+    // Compaction sink: the small-files FIX for what
+    // rpt_partition_stats detects — a 32-file fragmented dataset
+    // rewritten via coalesce (shuffle-FREE: partitions merge in
+    // place; `repartition` would pay a full exchange for nothing) to
+    // exactly 4 files with every row intact.
+    Gate(
+      "snk_compacted",
+      """SELECT 4 AS n_files, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val frag = gateScratch(dir, "snk_compacted_frag")
+      val out = gateScratch(dir, "snk_compacted_out")
+      Tables(s, dir, "documents").select("doc_id", "text")
+        .repartition(32).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(input_file_name().as("f"), col("doc_id"))
+        .agg(countDistinct("f").cast("int").as("n_files"),
+          count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+    },
+
     // Malformed-line tolerance: real JSONL crawls ship broken lines;
     // a PERMISSIVE read must capture them in _corrupt_record (raw
     // bytes preserved for quarantine) while every valid line parses
