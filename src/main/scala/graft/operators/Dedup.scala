@@ -320,9 +320,32 @@ object Dedup {
       corpus: DataFrame,
       textCol: String,
       idCol: String,
+      threshold: Double): DataFrame =
+    minhashIncrementalAgainstIndex(
+      newDocs, shingleSets(corpus, textCol, idCol), textCol, idCol, threshold)
+
+  /** Persist the reusable cross-RUN dedup index: (id, shingle-digest
+    * array) — 8-byte xxhash digests only, the corpus text is never
+    * written. A nightly batch dedups against last night's index
+    * instead of re-shingling 100 TB; after accepting the survivors,
+    * append THEIR shingle frame to the index for the next run. */
+  def writeDedupIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit =
+    shingleSets(corpus, textCol, idCol).write.mode("overwrite").parquet(path)
+
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[minhashIncremental]] with a PRECOMPUTED corpus index (from
+    * [[readDedupIndex]]): the new batch shingles fresh, the corpus
+    * side reads digests from disk. */
+  def minhashIncrementalAgainstIndex(
+      newDocs: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      idCol: String,
       threshold: Double): DataFrame = {
     val nd = shingleSets(newDocs, textCol, idCol)
-    val cd = shingleSets(corpus, textCol, idCol)
+    val cd = graft.Caches.persist(index)
     val cand = bandBuckets(nd).as("n")
       .join(bandBuckets(cd).as("c"), col("n.bkey") === col("c.bkey"))
       .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
@@ -532,6 +555,45 @@ object Dedup {
         Cols.pround(col("q16"), 6).as("p_miss"))
   }
 
+  /** Shared fixture for the incremental-dedup gates: a new batch of
+    * 90%-truncated (near-dup) and word-reversed (shingle-disjoint)
+    * variants of corpus docs, plus the corpus itself. */
+  private def incrementalFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables(s, dir, "documents")
+    val truncated = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        bind(TextAnalysis.words(col("text"))) { toks =>
+          array_join(slice(toks, lit(1), ceil(size(toks) * 0.9).cast("int")), " ")
+        }.as("text"))
+    val reversed = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(reverse(TextAnalysis.words(col("text"))), " ").as("text"))
+    (truncated.unionByName(reversed), docs.select("doc_id", "text"))
+  }
+
+  /** Brute-force oracle for BOTH incremental gates (the parquet index
+    * round-trip is lossless, so the results must be identical). */
+  private lazy val sqlIncrementalOracle: String = {
+    val inter = "len(list_intersect(n.s, c.s))"
+    val jac = s"CAST($inter AS DOUBLE) / (len(n.s) + len(c.s) - $inter)"
+    s"""WITH newdocs AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(($SqlToks)[1:CAST(ceil(len($SqlToks) * 0.9) AS INT)], ' ') AS text
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(list_reverse($SqlToks), ' ')
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |ns AS (SELECT doc_id, ${SqlShingles} AS s FROM newdocs WHERE len($SqlShingles) > 0),
+       |cs AS (SELECT doc_id, ${SqlShingles} AS s FROM documents WHERE len($SqlShingles) > 0),
+       |dup AS (SELECT DISTINCT n.doc_id
+       |  FROM ns n JOIN cs c ON ${Cols.proundSql(jac, 4)} >= 0.7)
+       |SELECT doc_id FROM newdocs
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val gates: Seq[Gate] = Seq(
 
     // S-curve gate: pure deterministic arithmetic over a generated
@@ -645,37 +707,23 @@ object Dedup {
     // probability is (1 − J⁴)¹⁶ ≈ 4·10⁻⁷, i.e. structurally negligible
     // for this fixture but not identically zero.
     Gate(
-      "dedup_incremental", {
-        val inter = "len(list_intersect(n.s, c.s))"
-        val jac = s"CAST($inter AS DOUBLE) / (len(n.s) + len(c.s) - $inter)"
-        s"""WITH newdocs AS (
-           |  SELECT doc_id + 1000000 AS doc_id,
-           |    array_to_string(($SqlToks)[1:CAST(ceil(len($SqlToks) * 0.9) AS INT)], ' ') AS text
-           |  FROM documents WHERE doc_id % 10 = 0
-           |  UNION ALL
-           |  SELECT doc_id + 2000000,
-           |    array_to_string(list_reverse($SqlToks), ' ')
-           |  FROM documents WHERE doc_id % 5 = 0),
-           |ns AS (SELECT doc_id, ${SqlShingles} AS s FROM newdocs WHERE len($SqlShingles) > 0),
-           |cs AS (SELECT doc_id, ${SqlShingles} AS s FROM documents WHERE len($SqlShingles) > 0),
-           |dup AS (SELECT DISTINCT n.doc_id
-           |  FROM ns n JOIN cs c ON ${Cols.proundSql(jac, 4)} >= 0.7)
-           |SELECT doc_id FROM newdocs
-           |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val truncated = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          bind(TextAnalysis.words(col("text"))) { toks =>
-            array_join(slice(toks, lit(1), ceil(size(toks) * 0.9).cast("int")), " ")
-          }.as("text"))
-      val reversed = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          array_join(reverse(TextAnalysis.words(col("text"))), " ").as("text"))
-      minhashIncremental(
-        truncated.unionByName(reversed), docs.select("doc_id", "text"),
-        "text", "doc_id", 0.7)
+      "dedup_incremental", sqlIncrementalOracle) { (s, dir) =>
+      val (newBatch, corpus) = incrementalFixture(s, dir)
+      minhashIncremental(newBatch, corpus, "text", "doc_id", 0.7)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // Cross-run index round-trip: the corpus digests go to parquet
+    // and BACK before the incremental dedup — result must equal the
+    // in-memory path bit-for-bit (the index is lossless), so the
+    // SAME oracle gates both.
+    Gate(
+      "snk_dedup_index", sqlIncrementalOracle) { (s, dir) =>
+      val (newBatch, corpus) = incrementalFixture(s, dir)
+      val path = graft.sources.DocSource.gateScratch(dir, "snk_dedup_index")
+      writeDedupIndex(corpus, "text", "doc_id", path)
+      minhashIncrementalAgainstIndex(
+        newBatch, readDedupIndex(s, path), "text", "doc_id", 0.7)
         .select("doc_id").orderBy("doc_id")
     },
 
