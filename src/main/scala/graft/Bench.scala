@@ -3,10 +3,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args (dev-only; the driver always passes none):
+    // gate names — bench just those, for fast per-operator iteration
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val unknown = args.toSet -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown gate name(s): ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      }
     val spark = GraftSession.create("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // A failed pass must not contribute a fast time-to-failure to
         // the per-query min — +∞ keeps only successful passes; a query
@@ -31,22 +40,31 @@ object Bench {
     val passes = Seq.fill(3)(runAll())
     val results = passes.flatten.groupMapReduce(_._1)(_._2)(math.min)
       .map { case (k, v) => k -> (if (v.isInfinity) -1.0 else v) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal formatting (0.1 ms) keeps the stdout line compact —
+    // the driver captures a bounded stdout tail, and full-precision
+    // doubles once pushed the 200-query line past it (BENCH_r06
+    // parsed:null); target/bench.json stays the canonical record.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // -1 sentinels (query failed all three passes) are FLAGGED, never
     // summed — a failing query must not make the headline total look
     // faster.
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // Also write the full JSON to a file: the driver captures stdout
     // as a bounded tail, which truncated the r05 artifact mid-list —
-    // the file is the self-contained, untruncatable record.
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // the file is the self-contained, untruncatable record. Filtered
+    // dev runs must NOT clobber the full-run artifact.
+    if (args.isEmpty) {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,102 @@
+package graft.expr
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined-chunking kernel (the LBFS/rsync boundary rule —
+  * reference context: the storage-dedup estimate in
+  * `Lines.cdcChunkDigests`): ONE tight JVM loop per document that
+  * rolls the Rabin-Karp window hash H(i) = H(i−1)·B + c(i) −
+  * c(i−w)·B^w (mod P) over the codepoint stream, collects boundary
+  * offsets where H ≡ 0 (mod mask) once i ≥ w, and emits the md5 hex
+  * digest of each chunk's UTF-8 bytes.
+  *
+  * Bit-parity contract (pinned in DigestExpressionsSpec): identical
+  * output to the interpreted `aggregate`-fold column twin and to the
+  * DuckDB oracle's closed form Σ c(i−k)·(B^k mod P) mod P — same
+  * prime, same base, codepoints (what both engines' `ascii`/`substr`
+  * /`length` count), chunk md5 over UTF-8 bytes. The win is
+  * mechanical, not semantic: higher-order `aggregate` evaluates its
+  * lambda interpreted per position, this loop is straight JVM code
+  * inside whole-stage codegen (~10× on the doc-scan hot path).
+  */
+object CdcKernel {
+
+  val P = 1000000007L
+  val B = 131L
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): UTF8String = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((h(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(h(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def digests(text: UTF8String, w: Int, mask: Int): ArrayData = {
+    val s = text.toString
+    var bw = 1L
+    var k = 0
+    while (k < w) { bw = bw * B % P; k += 1 }
+    // ring of the last w codepoints; slot (i-1) % w is overwritten at
+    // step i and re-read exactly w steps later as the leaving code
+    val ring = new Array[Long](w)
+    var h = 0L
+    // boundaries as UTF-16 offsets (for substring cuts); 0 sentinel first
+    val bounds = ArrayBuffer[Int](0)
+    var j = 0      // UTF-16 offset
+    var i = 0      // 1-based codepoint index, incremented on entry
+    val len = s.length
+    while (j < len) {
+      i += 1
+      val c = s.codePointAt(j)
+      val slot = (i - 1) % w
+      val out = if (i > w) ring(slot) else 0L
+      ring(slot) = c.toLong
+      h = (h * B + c - out * bw) % P
+      if (h < 0) h += P
+      j += Character.charCount(c)
+      if (i >= w && h % mask == 0) bounds += j
+    }
+    if (bounds.last != len || bounds.length == 1) bounds += len
+    val chunks = new Array[Any](bounds.length - 1)
+    var b = 0
+    while (b < bounds.length - 1) {
+      chunks(b) = md5Hex(
+        s.substring(bounds(b), bounds(b + 1)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      b += 1
+    }
+    new GenericArrayData(chunks)
+  }
+}
+
+/** (string, int w, int mask) → array<string> chunk md5s, codegen'd. */
+case class CdcChunks(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, w: Any, m: Any): Any =
+    CdcKernel.digests(t.asInstanceOf[UTF8String], w.asInstanceOf[Int], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, m) => s"graft.expr.CdcKernel.digests($t, $w, $m)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CdcChunks =
+    copy(first = f, second = s, third = t)
+}

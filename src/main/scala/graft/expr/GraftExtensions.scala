@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_wordpiece_encode"),
         new ExpressionInfo(classOf[WordpieceEncode].getName, "graft_wordpiece_encode"),
         (args: Seq[Expression]) => WordpieceEncode(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_cdc_chunks"),
+        new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+        (args: Seq[Expression]) => CdcChunks(args.head, args(1), args(2))))
   }
 }
 
@@ -138,5 +142,7 @@ object GraftExtensions {
       "graft_kmv_mins", KmvMins.fromExpressions, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_wordpiece_encode", es => WordpieceEncode(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cdc_chunks", es => CdcChunks(es.head, es(1), es(2)), "built-in")
   }
 }

@@ -72,13 +72,22 @@ object Formatters {
     }
 
   /** The distinct candidate substrings that pass length (13–19
-    * digits) + Luhn — i.e. the strings [[redactCards]] will erase. */
+    * digits) + Luhn — i.e. the strings [[redactCards]] will erase.
+    * Sorted (length DESC, then lexicographic): the replace fold in
+    * [[redactCards]] is order-sensitive when one candidate is a
+    * substring of another, Spark's array_distinct keeps first-
+    * occurrence order while DuckDB's list_distinct guarantees none —
+    * a value-deterministic sort makes the fold engine-independent
+    * (and longest-first redacts the superstring before its parts). */
   def validCards(text: Column): Column =
-    filter(
-      array_distinct(regexp_extract_all(text, lit(CardCandidateRe), lit(0))),
-      c => bind(regexp_replace(c, "[ -]", "")) { d =>
-        length(d) >= 13 && length(d) <= 19 && luhnValid(d)
-      })
+    array_sort(
+      filter(
+        array_distinct(regexp_extract_all(text, lit(CardCandidateRe), lit(0))),
+        c => bind(regexp_replace(c, "[ -]", "")) { d =>
+          length(d) >= 13 && length(d) <= 19 && luhnValid(d)
+        }),
+      (a, b) => when(length(a) =!= length(b), length(b) - length(a))
+        .otherwise(when(a < b, lit(-1)).when(a > b, lit(1)).otherwise(lit(0))))
 
   /** Redact Luhn-VALID card numbers only (fold the validated
     * candidate list over the text with literal replaces) — invalid
@@ -98,9 +107,13 @@ object Formatters {
       s"ELSE CASE WHEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) > 9 " +
       s"THEN 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) - 9 " +
       s"ELSE 2 * (ascii(substr($dd, len($dd) - i + 1, 1)) - 48) END END)) % 10 = 0"
-    "list_filter(list_distinct(" +
+    // same (length DESC, lex) order as the Column side: list_sort has
+    // no comparator, so sort on a '(99-len) zero-padded ++ value' key
+    // (lengths ≤ 23 chars, so 99-len is always two digits) and strip it
+    "list_transform(list_sort(list_transform(list_filter(list_distinct(" +
       s"regexp_extract_all($textExpr, '$CardCandidateRe')), c -> " +
-      s"len($dd) BETWEEN 13 AND 19 AND ($luhn))"
+      s"len($dd) BETWEEN 13 AND 19 AND ($luhn)), " +
+      "c -> lpad(CAST(99 - len(c) AS VARCHAR), 2, '0') || c)), s -> s[3:])"
   }
 
   /** A3 — conversation templating (reference: euroblocks adapter,

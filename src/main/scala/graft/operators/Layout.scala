@@ -198,18 +198,31 @@ object Layout {
     * flag as the tier — same one-range-shuffle cost, same per-epoch
     * reproducibility. Score ties at the threshold all go to the
     * anneal set (≥), so the cut is value-deterministic, not
-    * row-sampled. */
+    * row-sampled.
+    *
+    * The driver read is ONE row, but exact `percentile` keeps
+    * per-distinct-score aggregation state — bounded only by score
+    * cardinality, which for a continuous model score is corpus-sized.
+    * `exact = false` (the 100 TB setting) switches the threshold to
+    * `approx_percentile` at 1e-4 relative error: fixed sketch memory,
+    * and the anneal CUT moves by at most that error — every doc is
+    * still deterministically on one side of whatever threshold comes
+    * back. The exact default stays for the oracle-replayable gate
+    * twin (DuckDB has no matching sketch). */
   def annealOrder(
       docs: DataFrame,
       idCol: String,
       scoreCol: String,
       annealFrac: Double,
       outCol: String = "train_order",
-      epoch: Long = 0L): DataFrame = {
+      epoch: Long = 0L,
+      exact: Boolean = true): DataFrame = {
     require(annealFrac > 0 && annealFrac < 1,
       "annealOrder: annealFrac must be in (0, 1)")
     val thr = docs
-      .agg(percentile(col(scoreCol).cast("double"), lit(1 - annealFrac)))
+      .agg(
+        if (exact) percentile(col(scoreCol).cast("double"), lit(1 - annealFrac))
+        else percentile_approx(col(scoreCol).cast("double"), lit(1 - annealFrac), lit(10000)))
       .head().getDouble(0)
     shuffleOrder(
       docs.withColumn("anneal", (col(scoreCol).cast("double") >= thr).cast("int")),

@@ -485,7 +485,12 @@ object Mixture {
       .select(col("*"), explode(sequence(lit(1), lit(k))).as("neg_nr"))
       .withColumn("neg_id",
         Cols.bind(
-          floor(Cols.lcgUniform(col(idCol) * k + col("neg_nr")) * corpusN)
+          // pre-reduce the anchor id mod 2³¹ BEFORE the ·k widening —
+          // congruent mod 2³¹ (lcgUniform's own modulus), but a raw
+          // id near 2⁶³/k would overflow the long multiply, the very
+          // failure lcgUniform's internal pre-reduce guards against
+          floor(Cols.lcgUniform(
+            pmod(col(idCol), lit(2147483648L)) * k + col("neg_nr")) * corpusN)
             .cast("long")) { raw =>
           when(raw === col(posCol), (raw + 1) % corpusN).otherwise(raw)
         })
@@ -498,17 +503,27 @@ object Mixture {
     * whose partitionless global window single-tasks the corpus.
     * Values exactly on a cut go to the LOWER bin (≤ keeps the rule
     * value-deterministic). Ties across a cut can make bins uneven —
-    * that is the honest answer for discrete scores, not a bug. */
+    * that is the honest answer for discrete scores, not a bug.
+    *
+    * Exact `percentile` holds per-distinct-score state (corpus-sized
+    * for continuous scores); `exact = false` is the 100 TB setting —
+    * `approx_percentile` at 1e-4 relative error, fixed sketch memory,
+    * bin EDGES move by ≤ the error while the ≤-cut assignment rule
+    * stays value-deterministic against whatever cuts come back. The
+    * exact default stays for the DuckDB-replayable gate twin. */
   def quantileBins(
       df: DataFrame,
       scoreCol: String,
       k: Int,
-      outCol: String = "bin"): DataFrame = {
+      outCol: String = "bin",
+      exact: Boolean = true): DataFrame = {
     require(k >= 2, "quantileBins: k must be >= 2")
     val probs = (1 until k).map(_.toDouble / k)
     val cuts = df
-      .agg(percentile(col(scoreCol).cast("double"),
-        array(probs.map(lit): _*)).as("c"))
+      .agg(
+        (if (exact) percentile(col(scoreCol).cast("double"), array(probs.map(lit): _*))
+         else percentile_approx(col(scoreCol).cast("double"),
+           array(probs.map(lit): _*), lit(10000))).as("c"))
       .head().getSeq[Double](0)
     df.withColumn(outCol,
       cuts.foldLeft(lit(0)) { (acc, c) =>
@@ -523,7 +538,8 @@ object Mixture {
     // the +1-mod collision rule.
     Gate(
       "op_neg_samples", {
-        val u = Cols.lcgUniformSql("(doc_id * 3 + neg_nr)")
+        // mirrors the operator's mod-2³¹ pre-reduction of the anchor id
+        val u = Cols.lcgUniformSql("((doc_id % 2147483648) * 3 + neg_nr)")
         s"""WITH n AS (SELECT count(*) AS cn FROM documents),
            |e AS (SELECT doc_id, unnest([1, 2, 3]) AS neg_nr FROM documents),
            |r AS (SELECT doc_id, neg_nr,

@@ -1006,9 +1006,13 @@ object Similarity {
         .orderBy("qid")
     },
 
-    // Int8 quantization gate: scale, codes, and the mean
+    // Int8 quantization gate: scale, codes signature, and the mean
     // reconstruction error per vector — every value integer- or
     // IEEE-exact, so the oracle reproduces all three bit-for-bit.
+    // The code array is reduced to md5(join(codes, ',')) rather than
+    // emitted raw: the harness compares frames via a pandas sort and
+    // array cells are unhashable there, so (like tok_ids/len+sum and
+    // tok_span_corrupt's md5 signatures) arrays never leave a gate.
     Gate(
       "ann_quantize_int8", {
         val scale = sqlInt8Scale("embedding")
@@ -1018,7 +1022,8 @@ object Similarity {
         s"""WITH q AS (SELECT vec_id, embedding, $scale AS scale
            |  FROM embeddings WHERE vec_id < 200),
            |c AS (SELECT vec_id, embedding, scale, $codes AS codes FROM q)
-           |SELECT vec_id, ${Cols.proundSql("scale", 8)} AS scale, codes,
+           |SELECT vec_id, ${Cols.proundSql("scale", 8)} AS scale,
+           |  md5(array_to_string(codes, ',')) AS codes_sig,
            |  ${Cols.proundSql(err, 8)} AS mean_err
            |FROM c ORDER BY vec_id""".stripMargin
       }) { (s, dir) =>
@@ -1037,7 +1042,8 @@ object Similarity {
             lit(0).cast(acc), (a, b) => (a + b).cast(acc)).cast("double") / Dim.toDouble)
         .select(col("vec_id"),
           Cols.pround(col("__sc"), 8).as("scale"),
-          transform(col("__codes"), _.cast("long")).as("codes"),
+          md5(concat_ws(",",
+            transform(col("__codes"), c => c.cast("long").cast("string")))).as("codes_sig"),
           Cols.pround(col("__err"), 8).as("mean_err"))
         .orderBy("vec_id")
     },

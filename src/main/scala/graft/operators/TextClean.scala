@@ -221,7 +221,8 @@ object TextClean {
   }
 
   /** Conservative code-text cleanup: per-line trailing-whitespace
-    * strip, ≥3 blank lines collapse to one blank, trim outer blank
+    * strip, runs of 2+ blank lines collapse to one blank line (the
+    * `\n{3,}` rule — 3+ consecutive newlines), trim outer blank
     * lines. Deliberately does NOT touch tabs or leading indent —
     * indentation is syntax in Python/Makefiles. Chained codegen
     * regexes ((?m) anchors — RE2-safe, no lookaround). */

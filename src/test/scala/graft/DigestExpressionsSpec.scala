@@ -56,4 +56,28 @@ class DigestExpressionsSpec extends SparkSpec {
       "SELECT graft_simhash32(array('a b c', 'b c d')) AS sig").head.getLong(0)
     assert(out != 0L)
   }
+
+  test("CdcChunks kernel == aggregate-fold column twin, bit for bit") {
+    import graft.operators.Lines
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    // corpus docs (with planted boilerplate for repeated chunks) +
+    // hand edge cases: empty, shorter than the window, exactly the
+    // window, and non-ASCII codepoints (é, 中, an astral 𝄞)
+    val corpus = Tables(spark, sfDir, "documents").limit(200).select(col("text"))
+    val edges = Seq("", "short", "exactly sixteen!", "a" * 200,
+      "café 中文 𝄞 astral mix " * 20).toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val both = df.select(
+        Lines.cdcChunkDigests(col("text")).as("kernel"),
+        Lines.cdcChunkDigestsFold(col("text")).as("reference"))
+      assert(both.filter(
+        to_json(col("kernel")) =!= to_json(col("reference"))).count() == 0)
+    }
+    // chunk boundaries actually fire (more than one chunk on long docs)
+    val nChunks = corpus
+      .select(size(Lines.cdcChunkDigests(col("text"))).as("n"))
+      .agg(max("n")).head.getInt(0)
+    assert(nChunks > 1)
+  }
 }

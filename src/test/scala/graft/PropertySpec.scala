@@ -463,6 +463,41 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.parseImageMeta(Array.emptyByteArray)._1 == "unknown")
   }
 
+  test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // genuinely-encoded images (not hand-built headers): a 6×4 PNG
+    // and a 5×3 JPEG written by the same JDK codec the decode uses
+    def encoded(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 37 + y * 101) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encoded(6, 4, "png")
+    val jpg = encoded(5, 3, "jpg")
+    // the real parser and the real decoder agree on genuine files
+    assert(Multimodal.parseImageMeta(png) == (("png", 6, 4)))
+    assert(Multimodal.parseImageMeta(jpg) == (("jpeg", 5, 3)))
+    val docs = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizeMedia(docs, real = true)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).src_width == 6 && out(1L).src_height == 4)
+    assert(out(1L).width == 3 && out(1L).height == 2)
+    assert(out(2L).src_width == 5 && out(2L).src_height == 3)
+    assert(out(2L).width == 2 && out(2L).height == 1)
+    // the resized payload is a real re-encoded PNG, not empty
+    assert(out(1L).n_bytes > 0 && out(2L).n_bytes > 0)
+    assert(out(1L).checksum.length == 32)
+    // corrupt payloads degrade to the all-zero row, never a throw
+    assert(out(3L) == Multimodal.ResizedMedia(3L, 0, 0, 0, 0, 0, ""))
+    // stub path is untouched (gate determinism): same input, stub dims
+    val stub = Multimodal.resizeMedia(docs).collect().map(r => r.doc_id -> r).toMap
+    assert(stub(1L).src_width == png.length % 64 + 1)
+  }
+
   test("charEntropy: 0 for constant/empty text, 1 bit for two equiprobable chars, hand value for 3:1") {
     import spark.implicits._
     def h(t: String): Double =

@@ -251,6 +251,43 @@ class TokensSpec extends SparkSpec {
     assert(sums.forall(_ <= 128))
   }
 
+  test("packBinsBFDPartitioned: multi-partition validity, band-scoped ids, no single-partition exchange") {
+    import spark.implicits._
+    val cap = 128
+    val docs = Seq.tabulate(400)(i => (i.toLong, Seq.fill(i % 97 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Tokens.packBinsBFDPartitioned(docs, "text", "doc_id", cap, numPartitions = 4)
+    packed.cache()
+    try {
+      // every doc assigned exactly once
+      assert(packed.count() == 400)
+      assert(packed.select("doc_id").distinct().count() == 400)
+      // capacity invariant holds in every bin across all bands
+      val sums = packed.filter(col("bin_id") >= 0)
+        .groupBy("bin_id").agg(sum("n_tokens").as("s"))
+        .collect().map(_.getLong(1))
+      assert(sums.nonEmpty && sums.forall(_ <= cap))
+      // the range partitioner actually spread the work: >1 band minted ids
+      val bands = packed.filter(col("bin_id") >= 0)
+        .select(shiftright(col("bin_id"), 40)).distinct().count()
+      assert(bands > 1, s"expected multiple length bands, got $bands")
+      // fill report: per-band bins*capacity bounds tokens_packed; total loss
+      // is small relative to total tokens (BFD within contiguous bands)
+      val rep = Tokens.binFillReport(packed, cap).filter(col("band") >= 0).collect()
+      assert(rep.forall(r => r.getAs[Long]("tokens_packed") <= r.getAs[Long]("bins") * cap))
+      val totTok = rep.map(_.getAs[Long]("tokens_packed")).sum
+      val totCap = rep.map(_.getAs[Long]("bins")).sum * cap
+      assert(totTok.toDouble / totCap > 0.7, s"fill ${totTok.toDouble / totCap} too low")
+      // production shape: no single-partition exchange anywhere in the plan
+      val plan = packed.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"single-partition exchange in plan:\n$plan")
+      // oversize docs flag -1 under a small capacity
+      val tiny = Tokens.packBinsBFDPartitioned(docs, "text", "doc_id", capacity = 50, numPartitions = 3)
+      assert(tiny.filter(col("bin_id") === -1).count() ==
+        docs.select(size(split(col("text"), " ")).as("n")).filter(col("n") > 50).count())
+    } finally packed.unpersist()
+  }
+
   test("wordpiece greedy longest-match: precedence, fallback, totality") {
     import graft.tokens.WordpieceTokenizer
     val tok = WordpieceTokenizer(IndexedSeq("a", "b", "c", "ab", "bc", "abc"), 3)
