@@ -216,6 +216,32 @@ object Similarity {
     centroids
   }
 
+  /** The production IVF quantizer fit: centroids from a bounded
+    * deterministic sample, never the full corpus. Coarse-quantizer
+    * centroids only need a representative sample (FAISS trains IVF
+    * on ~30-256 points per centroid); the portable LCG on the id
+    * makes the draw reproducible on any engine and independent of
+    * partitioning. Count first (cheap columnar count) to turn the
+    * size bound into a sampling rate; the sample is the ONLY data
+    * that ever reaches the driver. Fully deterministic (LCG sample,
+    * ordered collect, evenly-spaced init, fixed iterations) — which
+    * is what lets the `ann_topk_ivf` gate export the fitted
+    * centroids into its DuckDB oracle as literals. */
+  def ivfFitCentroids(
+      corpus: DataFrame, // id, vec
+      nCells: Int,
+      fitSampleSize: Int = 100000): Array[Array[Double]] = {
+    val n = corpus.count()
+    val sampled =
+      if (n <= fitSampleSize) corpus
+      else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
+    val sample = sampled
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      .orderBy("id") // stable fit input regardless of partitioning
+      .collect().map(_.getSeq[Double](1).toArray)
+    lloydKMeans(sample, nCells)
+  }
+
   def ivfTopK(
       queries: DataFrame, // qid, qvec
       corpus: DataFrame, // id, vec
@@ -229,25 +255,8 @@ object Similarity {
     // dot product to the decimal oracle-parity kernel; production
     // leaves it None for the sample-fit + fast-double path.
     val decimal = centroidsOverride.isDefined
-    val centroids = centroidsOverride.getOrElse {
-      // Fit centroids on a bounded deterministic sample, never the
-      // full corpus. Coarse-quantizer centroids only need a
-      // representative sample (FAISS trains IVF on ~30-256 points per
-      // centroid); the portable LCG on the id makes the draw
-      // reproducible on any engine and independent of partitioning.
-      // Count first (cheap columnar count) to turn the size bound into
-      // a sampling rate; the sample is the ONLY data that ever reaches
-      // the driver.
-      val n = corpus.count()
-      val sampled =
-        if (n <= fitSampleSize) corpus
-        else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
-      val sample = sampled
-        .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
-        .orderBy("id") // stable fit input regardless of partitioning
-        .collect().map(_.getSeq[Double](1).toArray)
-      lloydKMeans(sample, nCells)
-    }
+    val centroids = centroidsOverride.getOrElse(
+      ivfFitCentroids(corpus, nCells, fitSampleSize))
     // Cell assignment and query probing are pure column expressions
     // over literal centroids (no UDF, no MLlib transform) — see
     // [[centroidRank]]. Production uses the plain-double dot kernel: a
@@ -454,6 +463,62 @@ object Similarity {
         Cols.pround(decCosine(col("x.u"), col("y.u")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
     Clusters.clusterDedup(vecs, pairs, "id_a", "id_b", "id")
+  }
+
+  // Sample-fit quantizer cache for the ann_topk_ivf gate (the
+  // bpeCache discipline): the query closure fits once per dir, the
+  // lazy oracle thunk reads the learned centroids back.
+  @volatile private var ivfGateCache: Option[(String, Array[Array[Double]])] = None
+  @volatile private var ivfGateDirHint: Option[String] = None
+
+  private def ivfGateCentroids(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    ivfGateCache match {
+      case Some((d, c)) if d == dir => c
+      case _ =>
+        ivfGateDirHint = Some(dir)
+        val emb = Tables(s, dir, "embeddings")
+        val c = ivfFitCentroids(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          nCells = 8, fitSampleSize = 1000)
+        ivfGateCache = Some((dir, c))
+        c
+    }
+
+  /** The ann_topk_ivf oracle over EXPORTED sample-fit centroids:
+    * identical assignment/probe/score structure to the pinned gate's
+    * SQL, with the cents CTE built from the learned centroid
+    * literals (shortest-round-trip Double.toString — a correctly-
+    * rounded parser returns the exact bits). */
+  private def sqlIvfSampleFit(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+      .mkString(", ")
+    val distC = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("corpus.vec", "cents.cv")}"
+    val distQ = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("qs.qvec", "cents.cv")}"
+    val cos = sqlDecCosine("p.qvec", "c.vec")
+    s"""WITH cents AS (
+       |  SELECT cid, [x::DOUBLE FOR x IN cv] AS cv
+       |  FROM (VALUES $rows) t(cid, cv)),
+       |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |cd AS (SELECT corpus.id, corpus.vec, cents.cid, $distC AS d FROM corpus, cents),
+       |cr AS (SELECT id, vec, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd),
+       |cell AS (SELECT id, vec, cid FROM cr WHERE rn = 1),
+       |qd AS (SELECT qs.qid, qs.qvec, cents.cid, $distQ AS d FROM qs, cents),
+       |qr AS (SELECT qid, qvec, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qd),
+       |probe AS (SELECT qid, qvec, cid FROM qr WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.qid, c.id, $cos AS cos
+       |  FROM probe p JOIN cell c ON p.cid = c.cid AND c.id <> p.qid),
+       |ranked AS (SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM scored)
+       |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
   }
 
   // ---- gates ----
@@ -900,20 +965,38 @@ object Similarity {
         .select("id").orderBy("id")
     },
 
-    // The PRODUCTION IVF shape (sample-fit k-means quantizer) is
-    // deterministic but not SQL-expressible, so this twin records the
-    // weaker rows-only check; recall vs brute force is pinned in
-    // SimilaritySpec. The pinned gate below hash-checks the full
-    // assignment/probe/score machinery with an injected quantizer.
-    Gate.rowsOnly("ann_topk_ivf") { (s, dir) =>
+    // The PRODUCTION IVF shape: the genuine sample-fit quantizer
+    // (LCG-sampled corpus → driver Lloyd's, exactly what a production
+    // call runs) — hash-green via the tok_bpe lazy-oracle pattern:
+    // training is not SQL-expressible, but the fit is fully
+    // deterministic, so the LEARNED centroids export into the oracle
+    // as literals (Double.toString round-trips exactly through
+    // DuckDB's correctly-rounded parse) and assignment/probe/score
+    // replay bit-for-bit with the decimal kernel. The pinned gate
+    // below covers the same machinery with hand-injected centroids;
+    // recall vs brute force stays pinned in SimilaritySpec.
+    Gate.lazyOracle("ann_topk_ivf") {
+      sqlIvfSampleFit(ivfGateCache.map(_._2).getOrElse {
+        // thunk read with a cold cache: refit on the active session
+        // from the last dir a builder attempted; with NO builder ever
+        // run, fail loudly (the tok_bpe discipline)
+        val dir = ivfGateDirHint.getOrElse(throw new IllegalStateException(
+          "ann_topk_ivf oracle read before its builder ran — run the " +
+            "ann_topk_ivf query first (Verify does), or use " +
+            "SparkEntry.oracleKeys / oracleSqlFor to avoid forcing this lazy oracle"))
+        ivfGateCentroids(org.apache.spark.sql.SparkSession.active, dir)
+      })
+    } { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      // fitSampleSize below the sf0.1 corpus size so the gate and the
-      // bench exercise the production shape: centroids from a bounded
-      // sample, assignment/probe/score over the full corpus.
+      // centroids from the REAL bounded-sample fit (fitSampleSize
+      // below the corpus size so genuine sampling happens), passed as
+      // the override so scoring flips to the oracle-parity decimal
+      // kernel the exported literals can reproduce
+      val cents = ivfGateCentroids(s, dir)
       ivfTopK(
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-        k = 3, nCells = 8, nProbe = 4, fitSampleSize = 1000)
+        k = 3, nProbe = 4, centroidsOverride = Some(cents))
         .orderBy("qid", "rank")
     },
 
