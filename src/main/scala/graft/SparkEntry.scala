@@ -33,6 +33,7 @@ object SparkEntry {
       sources.DocSource.gates ++
       tokens.Tokens.gates ++
       tokens.Wordpiece.gates ++
+      tokens.Unigram.gates ++
       tokens.MegatronBinWriter.gates ++
       multimodal.Multimodal.gates ++
       streaming.EventStream.gates ++

@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_cdc_chunks"),
         new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
         (args: Seq[Expression]) => CdcChunks(args.head, args(1), args(2))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_unigram_encode"),
+        new ExpressionInfo(classOf[UnigramEncode].getName, "graft_unigram_encode"),
+        (args: Seq[Expression]) => UnigramEncode(args.head, args(1))))
   }
 }
 
@@ -144,5 +148,7 @@ object GraftExtensions {
       "graft_wordpiece_encode", es => WordpieceEncode(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cdc_chunks", es => CdcChunks(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_unigram_encode", es => UnigramEncode(es.head, es(1)), "built-in")
   }
 }

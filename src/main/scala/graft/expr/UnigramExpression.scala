@@ -1,0 +1,80 @@
+package graft.expr
+
+import graft.tokens.{UnigramTokenizer, WordpieceTrainer}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object UnigramKernel {
+
+  /** (pieces, rounded-6 per-word nll) per word — memoized like the
+    * WordPiece kernel (Zipfian hit rate). */
+  final case class Seg(pieces: Array[UTF8String], nll: java.math.BigDecimal)
+
+  private def pround6(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(math.floor(x * 1e6 + 0.5) / 1e6)
+
+  /** Encode one document: lowercase pre-tokenization shared with the
+    * other tokenizers, Viterbi per word, per-doc nll as an EXACT
+    * BigDecimal sum of the per-word pround-6 values (the engine twin
+    * of the oracle's DECIMAL(18,6) list_sum). */
+  def encode(
+      tok: UnigramTokenizer,
+      memo: java.util.concurrent.ConcurrentHashMap[String, Seg],
+      text: UTF8String): InternalRow = {
+    val words = WordpieceTrainer.preTokenize(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var nll = java.math.BigDecimal.ZERO
+    for (w <- words) {
+      var seg = memo.get(w)
+      if (seg == null) {
+        val (ps, best) = tok.segmentWord(w)
+        seg = Seg(ps.map(UTF8String.fromString).toArray, pround6(-best))
+        if (memo.size > 200000) memo.clear()
+        memo.put(w, seg)
+      }
+      out ++= seg.pieces
+      nll = nll.add(seg.nll)
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(out.toArray), nll.doubleValue()))
+  }
+}
+
+/** `graft_unigram_encode(tableBlob, text)` →
+  * struct(pieces array<string>, nll double). Codegen'd: one static
+  * kernel call per row, the learned (piece, logp) table and the
+  * per-word memo as codegen reference objects (the [[BpeEncode]]
+  * blob pattern). */
+case class UnigramEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("nll", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_unigram_encode", left)
+
+  @transient private lazy val tok: UnigramTokenizer =
+    Blobs.decode(left.eval().asInstanceOf[Array[Byte]])
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramKernel.Seg]()
+
+  override protected def nullSafeEval(blob: Any, text: Any): Any =
+    UnigramKernel.encode(tok, memo, text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokRef = ctx.addReferenceObj("ugTok", tok, classOf[UnigramTokenizer].getName)
+    val memoRef = ctx.addReferenceObj(
+      "ugMemo", memo, "java.util.concurrent.ConcurrentHashMap")
+    defineCodeGen(ctx, ev, (_, t) => s"graft.expr.UnigramKernel.encode($tokRef, $memoRef, $t)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UnigramEncode =
+    copy(left = l, right = r)
+}

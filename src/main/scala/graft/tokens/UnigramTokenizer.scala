@@ -1,0 +1,300 @@
+package graft.tokens
+
+import graft.{Cols, Gate, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-trained UNIGRAM-LM subword tokenizer — the
+  * SentencePiece unigram family (Kudo 2018), completing the big-three
+  * subword algorithms beside byte-BPE (merge replay) and WordPiece
+  * (greedy MaxMatch): unigram segments each word by VITERBI — the
+  * piece sequence maximizing Σ log p(piece) under a learned unigram
+  * piece distribution — so a frequent "ing" can beat a greedy longer
+  *-but-rarer match, which MaxMatch structurally cannot do.
+  *
+  * Scale design mirrors [[BpeTrainer]]/[[WordpieceTrainer]]: training
+  * is ONE distributed word-frequency aggregation capped at `maxWords`
+  * rows by (count desc, word asc); the EM loop (Viterbi E-step over
+  * the bounded word table, re-estimate + prune M-step) runs on the
+  * driver. Encoding ships the trained (piece, logp) table as a blob
+  * literal into the codegen'd [[graft.expr.UnigramEncode]] kernel —
+  * per-row work is a memoized per-word Viterbi, no UDF, no shuffle.
+  *
+  * Oracle parity discipline: every logp is pre-rounded to 8 decimals
+  * on the driver (the [[graft.operators.Dsir]] rule — ln is the one
+  * non-correctly-rounded op); DP candidate scores are IEEE double
+  * sums of those rounded literals in a fixed recursion order, ties
+  * break to the SMALLEST final piece length, and per-doc nll
+  * accumulates as DECIMAL over per-word pround-6 values — so a
+  * DuckDB recursive CTE replays the whole decode bit-for-bit.
+  */
+final case class UnigramTokenizer(
+    pieces: IndexedSeq[(String, Double)], // (piece, logp rounded 8)
+    maxPieceLen: Int) extends Serializable {
+
+  require(maxPieceLen >= 1, "UnigramTokenizer: maxPieceLen must be >= 1")
+  require(pieces.map(_._1).distinct.length == pieces.length,
+    "UnigramTokenizer: duplicate pieces")
+
+  @transient lazy val lp: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    pieces.foreach { case (p, l) => m.put(p, l) }
+    m
+  }
+
+  /** Viterbi segmentation of one word: best[p] = max over piece
+    * lengths L of best[p−L] + logp(w[p−L..p]); a single char missing
+    * from the vocabulary scores [[UnigramTokenizer.UnkLogp]] (so
+    * segmentation is total); ties keep the SMALLEST L (first-wins
+    * under strict `>` on ascending L — the rule the SQL replay
+    * mirrors with ORDER BY score DESC, L ASC). Returns the pieces
+    * and the best total log-probability. */
+  def segmentWord(w: String): (Seq[String], Double) = {
+    val n = w.length
+    if (n == 0) return (Nil, 0.0)
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var p = 1
+    while (p <= n) {
+      var bestSc = Double.NegativeInfinity
+      var chosen = 1
+      var l = 1
+      val lMax = math.min(maxPieceLen, p)
+      while (l <= lMax) {
+        val piece = w.substring(p - l, p)
+        val lpv: java.lang.Double = lp.get(piece)
+        val sc =
+          if (lpv != null) best(p - l) + lpv.doubleValue()
+          else if (l == 1) best(p - l) + UnigramTokenizer.UnkLogp
+          else Double.NaN
+        if (!sc.isNaN && sc > bestSc) { bestSc = sc; chosen = l }
+        l += 1
+      }
+      best(p) = bestSc
+      back(p) = chosen
+      p += 1
+    }
+    val out = List.newBuilder[String]
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { rev += w.substring(j - back(j), j); j -= back(j) }
+    (rev.reverse.toSeq, best(n))
+  }
+
+  def segment(text: String): Seq[String] =
+    WordpieceTrainer.preTokenize(text).flatMap(w => segmentWord(w)._1)
+}
+
+object UnigramTokenizer {
+  /** Fallback logp for a single character outside the vocabulary —
+    * a fixed rounded literal, identical in the SQL replay. */
+  val UnkLogp: Double = -20.0
+}
+
+object UnigramTrainer {
+
+  /** Train a `vocabSize` unigram piece table with a deterministic
+    * EM-lite loop over the bounded word-frequency table:
+    * seed = all single chars + top multi-char substrings by
+    * occurrence-weighted frequency (ML estimate, ln pre-rounded 8);
+    * each EM round Viterbi-segments every (word, count) under the
+    * current table and re-estimates logp from add-1-smoothed usage;
+    * the final round prunes to the top `vocabSize` pieces by usage
+    * (single chars always kept — fallback totality). Every selection
+    * sorts (weight desc, piece asc), so training is bit-deterministic
+    * regardless of hash-map iteration order. */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int = 512,
+      maxPieceLen: Int = 6,
+      maxWords: Int = 50000,
+      emIters: Int = 2): UnigramTokenizer = {
+    require(vocabSize >= 1, "UnigramTrainer: vocabSize must be >= 1")
+    val words = docs
+      .select(explode(TextAnalysis.words(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(words.toIndexedSeq, vocabSize, maxPieceLen, emIters)
+  }
+
+  private def round8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+
+  /** The in-memory EM loop over the bounded word-freq table. */
+  def trainFromCounts(
+      words: Seq[(String, Long)],
+      vocabSize: Int,
+      maxPieceLen: Int,
+      emIters: Int = 2): UnigramTokenizer = {
+    // seed: occurrence-weighted substring frequencies
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    for {
+      (w, c) <- words
+      len <- 1 to maxPieceLen
+      i <- 0 to w.length - len
+    } freq(w.substring(i, i + len)) = freq.getOrElse(w.substring(i, i + len), 0L) + c
+    val chars = freq.keys.filter(_.length == 1).toIndexedSeq.sorted
+    val seedMulti = freq.iterator
+      .filter(_._1.length > 1)
+      .toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize * 4 - chars.length))
+      .map(_._1)
+    def mkTok(table: Seq[(String, Long)]): UnigramTokenizer = {
+      val tot = table.map(_._2).sum
+      val v = table.length
+      UnigramTokenizer(
+        table.map { case (p, c) =>
+          // add-1 smoothing keeps every kept piece finite and the
+          // distribution proper; round-8 per the Dsir ln discipline
+          (p, round8(math.log(c + 1.0) - math.log(tot.toDouble + v)))
+        }.toIndexedSeq,
+        maxPieceLen)
+    }
+    var keep: Seq[String] = chars ++ seedMulti
+    var tok = mkTok(keep.map(p => (p, freq(p))).sortBy { case (p, c) => (-c, p) })
+    var it = 0
+    while (it < emIters) {
+      // E: Viterbi usage counts under the current table
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; p <- tok.segmentWord(w)._1)
+        usage(p) = usage.getOrElse(p, 0L) + c
+      // M (+ prune on the last round): chars always kept, multi-char
+      // pieces by (usage desc, piece asc); unused pieces drop out
+      val budget = if (it == emIters - 1) vocabSize else vocabSize * 4
+      val multi = usage.iterator
+        .filter(_._1.length > 1)
+        .toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, budget - chars.length))
+      keep = chars ++ multi.map(_._1)
+      val table = (chars.map(p => (p, usage.getOrElse(p, 0L))) ++ multi)
+        .sortBy { case (p, c) => (-c, p) }
+      tok = mkTok(table)
+      it += 1
+    }
+    tok
+  }
+
+  /** Codegen'd column kernel: struct(pieces array<string>, nll
+    * double) for the doc — nll is the DECIMAL-accumulated sum of
+    * per-word pround-6 negative best log-probabilities. */
+  def encodeCol(spark: SparkSession, tok: UnigramTokenizer, text: Column): Column = {
+    graft.expr.GraftExtensions.register(spark)
+    call_function("graft_unigram_encode", lit(graft.expr.Blobs.encode(tok)), text)
+  }
+}
+
+/** The `tok_unigram` gate plus the train-once session cache (the
+  * [[Tokens]] BPE-cache discipline: builder trains and caches, the
+  * lazy oracle embeds the trained (piece, logp) table). */
+object Unigram {
+
+  @volatile private var cache: Option[(String, UnigramTokenizer)] = None
+  @volatile private var dirHint: Option[String] = None
+
+  private def trained(s: SparkSession, dir: String): UnigramTokenizer =
+    cache match {
+      case Some((d, t)) if d == dir => t
+      case _ =>
+        dirHint = Some(dir)
+        val t = UnigramTrainer.train(
+          Tables(s, dir, "documents"), "text", vocabSize = 512, maxPieceLen = 6)
+        cache = Some((dir, t))
+        t
+    }
+
+  /** DuckDB replay of the Viterbi decode: per distinct word, a
+    * recursive CTE carries the per-prefix best-score and
+    * segmentation arrays; at each position the candidate list over
+    * piece lengths L (vocab logp via an injected literal map, UNK
+    * for uncovered single chars) picks max score with smallest-L
+    * tie-break; per-doc outputs reassemble segmentations and
+    * DECIMAL-sum the per-word pround-6 nll values in word order. */
+  private def sqlReplay(tok: UnigramTokenizer): String = {
+    val ml = tok.maxPieceLen
+    val ks = tok.pieces.map(p => s"'${p._1}'").mkString("[", ",", "]")
+    val vs = tok.pieces.map(_._2.toString).mkString("[", ",", "]")
+    val unk = UnigramTokenizer.UnkLogp.toString
+    // candidate score for piece length L at prefix p (1-based arrays:
+    // best[j+1] = best score of prefix j): NULL when no piece exists
+    val cand =
+      s"""list_transform(range(1, $ml + 1), L -> CASE
+         |  WHEN L > q.p THEN NULL
+         |  WHEN len(lpm.m[substr(q.w, q.p - L + 1, L)]) > 0
+         |    THEN q.best[q.p - L + 1] + lpm.m[substr(q.w, q.p - L + 1, L)][1]
+         |  WHEN L = 1 THEN q.best[q.p] + CAST($unk AS DOUBLE)
+         |  ELSE NULL END)""".stripMargin
+    s"""WITH RECURSIVE
+       |lpm AS (SELECT map($ks, [x::DOUBLE FOR x IN $vs]) AS m),
+       |t AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}') AS ws
+       |      FROM documents),
+       |dw AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+       |seg(w, p, best, segs) AS (
+       |  SELECT w, 0, [CAST(0.0 AS DOUBLE)], [''] FROM dw
+       |  UNION ALL
+       |  SELECT w, p, list_append(best, cands[lb]),
+       |    list_append(segs,
+       |      segs[p - lb + 1] || (CASE WHEN p - lb + 1 = 1 THEN '' ELSE '|' END)
+       |        || substr(w, p - lb + 1, lb))
+       |  FROM (
+       |    SELECT w, p, best, segs, cands,
+       |      list_min(list_filter(range(1, $ml + 1),
+       |        L -> cands[L] IS NOT NULL
+       |          AND cands[L] = list_max(list_filter(cands, x -> x IS NOT NULL)))) AS lb
+       |    FROM (
+       |      SELECT q.w, q.p, q.best, q.segs, $cand AS cands
+       |      FROM (SELECT w, p + 1 AS p, best, segs FROM seg WHERE p < len(w)) q, lpm
+       |    )
+       |  )
+       |),
+       |wseg AS (SELECT w, segs[len(w) + 1] AS parts,
+       |    ${Cols.proundSql("-best[len(w) + 1]", 6)} AS nll
+       |  FROM seg WHERE p = len(w)),
+       |mp AS (SELECT map(list(w), list(parts)) AS m,
+       |    map(list(w), list(nll)) AS m2 FROM wseg),
+       |d AS (SELECT doc_id,
+       |    array_to_string(list_transform(ws, x -> replace(mp.m[x][1], '|', ' ')), ' ') AS ptxt,
+       |    CAST(coalesce(list_sum(
+       |      list_transform(ws, x -> CAST(mp.m2[x][1] AS DECIMAL(18,6)))), 0) AS DOUBLE) AS nll
+       |  FROM t, mp)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN ptxt = '' THEN 0
+       |       ELSE len(string_split(ptxt, ' ')) END AS INT) AS n_pieces,
+       |  md5(ptxt) AS pieces_md5,
+       |  nll
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // T1d — unigram-LM (SentencePiece-family) Viterbi segmentation:
+    // training is not SQL-expressible (EM), but the LEARNED (piece,
+    // logp) table injects into the oracle, which replays the exact
+    // Viterbi DP in a recursive CTE — encode AND the per-doc
+    // log-probability hash-check against DuckDB.
+    Gate.lazyOracle("tok_unigram") {
+      sqlReplay(cache.map(_._2).getOrElse {
+        val dir = dirHint.getOrElse(throw new IllegalStateException(
+          "tok_unigram oracle read before its builder ran — run the " +
+            "tok_unigram query first (Verify does)"))
+        trained(SparkSession.active, dir)
+      })
+    } { (s, dir) =>
+      val tok = trained(s, dir)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Cols.bind(UnigramTrainer.encodeCol(s, tok, col("text"))) { e =>
+            struct(
+              size(e.getField("pieces")).as("n"),
+              md5(array_join(e.getField("pieces"), " ")).as("m"),
+              e.getField("nll").as("s"))
+          }.as("t"))
+        .select(col("doc_id"), col("t.n").as("n_pieces"),
+          col("t.m").as("pieces_md5"), col("t.s").as("nll"))
+        .orderBy("doc_id")
+    })
+}

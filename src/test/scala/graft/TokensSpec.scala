@@ -288,6 +288,43 @@ class TokensSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("unigram Viterbi: beats greedy, tie-breaks to smallest piece, total, deterministic") {
+    import graft.tokens.{UnigramTokenizer, UnigramTrainer}
+    // vocab engineered so greedy longest-match ("abc") loses to the
+    // higher-probability split "a"+"bc" — the property MaxMatch
+    // structurally cannot deliver and unigram exists for
+    val tok = UnigramTokenizer(IndexedSeq(
+      "abc" -> -10.0, "ab" -> -1.0, "bc" -> -1.0,
+      "a" -> -2.0, "b" -> -2.0, "c" -> -10.0), maxPieceLen = 3)
+    val (ps, best) = tok.segmentWord("abc")
+    assert(ps == Seq("a", "bc") && best == -3.0)
+    // tie-break: "ab"+"c" (-11) vs "abc" (-10) vs "a"+"b"+"c" (-14)
+    // → max is "abc"; equal-score paths keep the SMALLEST final L:
+    val tie = UnigramTokenizer(IndexedSeq(
+      "xy" -> -2.0, "x" -> -1.0, "y" -> -1.0), maxPieceLen = 2)
+    // "x"+"y" = -2.0 ties "xy" = -2.0 → final piece length 1 wins
+    assert(tie.segmentWord("xy")._1 == Seq("x", "y"))
+    // totality: chars outside the vocab get UnkLogp singles
+    val (ups, ubest) = tok.segmentWord("azc")
+    assert(ups == Seq("a", "z", "c"))
+    assert(ubest == -2.0 + UnigramTokenizer.UnkLogp + -10.0)
+    // round-trip: concatenation rebuilds every word
+    for (w <- Seq("abcabc", "zzz", "a", "cab"))
+      assert(tok.segmentWord(w)._1.mkString == w)
+    // training determinism + alphabet coverage
+    import spark.implicits._
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"the cat sat on the mat ${i % 7} times"))
+      .toDF("doc_id", "text")
+    val t1 = UnigramTrainer.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    val t2 = UnigramTrainer.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    assert(t1.pieces == t2.pieces)
+    val alphabet = "thecatsonm0123456times".toSet
+    assert(alphabet.forall(c => t1.pieces.exists(_._1 == c.toString)))
+    // frequent whole words survive pruning and win their segmentation
+    assert(t1.pieces.exists(_._1 == "the"))
+    assert(t1.segmentWord("the")._1 == Seq("the"))
+  }
+
   test("wordpiece greedy longest-match: precedence, fallback, totality") {
     import graft.tokens.WordpieceTokenizer
     val tok = WordpieceTokenizer(IndexedSeq("a", "b", "c", "ab", "bc", "abc"), 3)
