@@ -415,6 +415,60 @@ object Lines {
     s"($terms) % $CdcP % $mask = 0"
   }
 
+  /** CDC-chunk near-duplicate pairs — the byte-level complement of
+    * shingle Jaccard ([[Dedup]]) and word-window containment: two
+    * documents pair when they SHARE at least `threshold` of the
+    * smaller one's content-defined chunks. Because chunk boundaries
+    * are content-local, a shared multi-KB tail (mirrored article +
+    * different header) chunks identically in both docs no matter
+    * where it starts — the exact case fixed-stride windows and
+    * df-pruned shingles can miss.
+    *
+    * Scale shape (the [[dedupLines]] digest discipline): per-doc
+    * chunk digests come from the codegen [[graft.expr.CdcChunks]]
+    * kernel in the scan stage; the only exchange carries
+    * (xxhash64(chunk), id, n_chunks) — 8-byte keys, text never
+    * shuffles. The pair join is an inverted index on chunk key;
+    * `maxDf > 0` drops chunks shared by more than maxDf docs before
+    * the join (corpus boilerplate — a deliberate candidate prune,
+    * the boilerplate itself is [[dedupLines]]' job), bounding the
+    * per-key fan-out at (maxDf choose 2). */
+  def cdcNearDupPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      w: Int = 16,
+      mask: Int = 64,
+      maxDf: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "cdcNearDupPairs: threshold in (0,1]")
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val chunks = graft.Caches.persist(
+      docs
+        .select(col(idCol).as("id"),
+          array_distinct(cdcChunkDigests(col(textCol), w, mask)).as("cs"))
+        .select(col("id"), size(col("cs")).as("nc"), explode(col("cs")).as("c"))
+        .select(col("id"), col("nc"), xxhash64(col("c")).as("k")))
+    val keyed =
+      if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy("k").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("k"),
+        Seq("k"))
+    keyed.select(col("id").as("id_a"), col("nc").as("nc_a"), col("k"))
+      .join(
+        keyed.select(col("id").as("id_b"), col("nc").as("nc_b"), col("k")),
+        Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "nc_a", "nc_b")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        graft.Cols.pround(
+          col("shared").cast("double") / least(col("nc_a"), col("nc_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "containment")
+  }
+
   /** 16-word paragraphs separated by blank lines — the
     * [[chunkLines]] twin at paragraph granularity. */
   private def chunkParas(text: Column): Column = bind(TextAnalysis.words(text)) { ws =>
@@ -473,6 +527,61 @@ object Lines {
           countDistinct(col("h")).as("n_unique"),
           graft.Cols.pround(
             countDistinct(col("h")).cast("double") / count(lit(1)), 6).as("unique_ratio"))
+    },
+
+    // CDC near-dup pairs: docs in the same doc_id%97 group share an
+    // APERIODIC group-specific passage (each repeat unit varies by
+    // its index — a plain repeat() made the window hash periodic, so
+    // chunks degenerated to period-length fragments, one of them
+    // digit-free and therefore shared by the WHOLE corpus: a 12.5M-
+    // row join fanout at sf0.1) plus a per-doc suffix — within-group
+    // pairs clear the 0.5 containment bar, and the suffix pins that
+    // CDC's content-local boundaries keep the shared region chunking
+    // identically. maxDf=200 (well above any group size at gate
+    // scale) exercises the df guard without changing the result; the
+    // oracle replays the boundary rule, per-doc distinct chunk md5s,
+    // the df filter, the inverted-index pair join, and the rounded
+    // containment filter.
+    Gate(
+      "dedup_cdc_pairs", {
+        val page = "array_to_string([('g' || (doc_id % 97) || ' passage part ' || i || " +
+          "' with shared words ') FOR i IN range(1, 15)], '') || substr(text, 1, 48)"
+        s"""WITH p AS (SELECT doc_id, $page AS t FROM documents),
+           |c AS (SELECT doc_id, t, length(t) AS n,
+           |    [CAST(ascii(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, length(t) + 1)] AS codes
+           |  FROM p),
+           |b AS (SELECT doc_id, t, n,
+           |    [i FOR i IN range(16, n + 1) IF ${sqlCdcBoundary()}] AS bp FROM c),
+           |f AS (SELECT doc_id, t,
+           |    list_prepend(0, CASE WHEN len(bp) = 0 OR bp[-1] <> n
+           |                    THEN list_append(bp, n) ELSE bp END) AS fl FROM b),
+           |d AS (SELECT doc_id, unnest(list_distinct(
+           |    [md5(substr(t, fl[j]+1, fl[j+1]-fl[j])) FOR j IN range(1, len(fl))])) AS h
+           |  FROM f),
+           |keep AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 200),
+           |dk AS (SELECT d.doc_id, d.h FROM d JOIN keep USING (h)),
+           |nn AS (SELECT doc_id, count(*) AS nc FROM d GROUP BY doc_id),
+           |j AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS shared
+           |      FROM dk a JOIN dk b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+           |      GROUP BY 1, 2),
+           |r AS (SELECT id_a, id_b, shared,
+           |    ${graft.Cols.proundSql("CAST(shared AS DOUBLE) / least(na.nc, nb.nc)", 6)} AS containment
+           |  FROM j JOIN nn na ON na.doc_id = id_a JOIN nn nb ON nb.doc_id = id_b)
+           |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared, containment
+           |FROM r WHERE containment >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      val page = concat(
+        array_join(
+          transform(sequence(lit(1), lit(14)), i =>
+            concat(lit("g"), (col("doc_id") % 97).cast("string"),
+              lit(" passage part "), i.cast("string"), lit(" with shared words "))),
+          ""),
+        substring(col("text"), 1, 48))
+      cdcNearDupPairs(
+        Tables(s, dir, "documents").select(col("doc_id"), page.as("t")),
+        "t", "doc_id", threshold = 0.5, maxDf = 200)
+        .orderBy("id_a", "id_b")
     },
 
     // Paragraph-granularity twin of dedup_lines: a long boilerplate

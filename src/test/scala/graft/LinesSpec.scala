@@ -91,6 +91,38 @@ class LinesSpec extends SparkSpec {
     assert(empty.size == 1)
   }
 
+  test("cdcNearDupPairs: shared tails pair across different heads, maxDf prunes boilerplate keys") {
+    import spark.implicits._
+    val tail = Seq.tabulate(40)(i => s"common tail sentence number $i with plenty of words").mkString(" ")
+    val boiler = Seq.tabulate(12)(i => s"hot boilerplate chunk $i everywhere").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique head alpha. $tail"),
+      (2L, s"a totally different beginning for the mirror. $tail"),
+      (3L, "standalone document with entirely unrelated content about nothing shared at all " * 20),
+      // 4..9 share ONLY corpus-wide boilerplate — high-df chunks
+      (4L, s"$boiler four"), (5L, s"$boiler five"), (6L, s"$boiler six"),
+      (7L, s"$boiler seven"), (8L, s"$boiler eight"), (9L, s"$boiler nine"))
+      .toDF("doc_id", "text")
+    val pairs = Lines.cdcNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mirrored-tail pair is found; the unrelated doc pairs with nothing
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // boilerplate-only docs pair with each other at threshold 0.5...
+    assert(pairs.contains((4L, 5L)))
+    // ...until maxDf drops their shared chunks (df = 6 > 4) while the
+    // df-2 mirrored tail survives the prune
+    val pruned = Lines.cdcNearDupPairs(docs, "text", "doc_id", threshold = 0.5, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.contains((1L, 2L)))
+    assert(!pruned.exists(p => p._1 >= 4L))
+    // containment is bounded and rounded
+    val c = Lines.cdcNearDupPairs(docs, "text", "doc_id", threshold = 0.1)
+      .select("containment").collect().map(_.getDouble(0))
+    assert(c.forall(x => x > 0 && x <= 1.0))
+    Caches.releaseAll()
+  }
+
   test("dedupParagraphs removes hot paragraphs, splits on blank lines not lines") {
     import spark.implicits._
     val boiler = "follow us on social media for updates and promotions today"
