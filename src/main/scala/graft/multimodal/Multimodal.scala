@@ -290,6 +290,100 @@ object Multimodal {
       }
   }
 
+  final case class AudioMeta(
+      doc_id: Long, format: String, channels: Int, sample_rate: Int,
+      n_frames: Long, duration_ms: Long)
+
+  /** REAL audio-header parse — the RIFF/WAVE twin of
+    * [[parseImageMeta]]: verify the RIFF signature + WAVE form type,
+    * then WALK the chunk list by each chunk's declared little-endian
+    * size (real WAV files put LIST/INFO metadata before `fmt ` — a
+    * fixed-offset read is wrong by construction), read channels /
+    * sample rate / bits-per-sample from `fmt `, frame count from the
+    * `data` chunk size, duration from both. Anything unrecognized,
+    * truncated, or zero-rate degrades to ("unknown", 0, …), never a
+    * throw — a 100 TB crawl WILL contain corrupt payloads. Chunks
+    * are word-aligned: odd sizes carry a pad byte (the RIFF rule). */
+  private[graft] def parseAudioMeta(b: Array[Byte]): (String, Int, Int, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    val unknown = ("unknown", 0, 0, 0L)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return unknown
+    var i = 12
+    var channels = 0; var rate = 0; var bits = 0; var dataSize = -1L
+    while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+      val t = tag(i)
+      val sz = u32le(i + 4)
+      if (t == "fmt " && i + 8 + 16 <= b.length) {
+        channels = u16le(i + 10)
+        rate = u32le(i + 12).toInt
+        bits = u16le(i + 22)
+      } else if (t == "data") dataSize = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // odd chunks pad to word
+      if (sz < 0 || sz > Int.MaxValue - 16) return unknown
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) unknown
+    else ("wav", channels, rate, dataSize / (channels.toLong * (bits / 8).max(1)))
+  }
+
+  /** Batched audio-header parse — the same per-partition shape as the
+    * image path, with the real RIFF walk above. */
+  def audioMeta(docs: DataFrame): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (f, ch, rate, frames) = parseAudioMeta(bytes)
+        AudioMeta(id, f, ch, rate, frames,
+          if (rate > 0) frames * 1000L / rate else 0L)
+      })
+  }
+
+  /** Deterministic synthetic WAV headers for the gate: a valid RIFF/
+    * WAVE whose channel count, sample rate, and data size are pure
+    * doc_id formulas — with a LIST metadata chunk (odd-sized on
+    * doc_id%5, exercising the RIFF pad rule) BEFORE `fmt ` so the
+    * chunk walk is genuinely exercised — or a non-audio payload. */
+  def withAudioBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] =
+          if (id % 3 == 2) text.getBytes("UTF-8")
+          else {
+            val channels = (id % 2 + 1).toInt
+            val rate = (8000 + (id % 5) * 4000).toInt
+            val bits = 16
+            val frames = id % 50000 + 1
+            val dataSize = (frames * channels * (bits / 8)).toInt
+            val listSize = (4 + id % 5).toInt // odd on id%5 ∈ {1,3}
+            val out = new java.io.ByteArrayOutputStream()
+            def w4(t: String): Unit = out.write(t.getBytes("ASCII"))
+            def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+            def le32(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+            w4("RIFF"); le32(4 + 8 + listSize + (listSize & 1) + 8 + 16 + 8)
+            w4("WAVE")
+            w4("LIST"); le32(listSize)
+            (0 until listSize + (listSize & 1)).foreach(_ => out.write('x'))
+            w4("fmt "); le32(16)
+            le16(1); le16(channels); le32(rate)
+            le32(rate.toLong * channels * (bits / 8)); le16(channels * (bits / 8)); le16(bits)
+            w4("data"); le32(dataSize)
+            // headers only — the data payload itself is not needed by
+            // the parser (size is declared), mirroring a header scan
+            // that never fetches media bodies at 100 TB
+            out.toByteArray
+          }
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
   /** Banded near-dup pairs over perceptual hashes — the SimHash LSH
     * recipe on the media column: split the 32-bit hash into `nBands`
     * bands (hamming ≤ maxHamming ⇒ some band is untouched whenever
@@ -334,6 +428,26 @@ object Multimodal {
         |       WHEN 1 THEN doc_id % 240 + 1 ELSE 0 END AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       imageMeta(withImageBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
+    },
+
+    // Audio-header parse gate: fixture WAV headers are pure doc_id
+    // formulas (with a LIST chunk, odd-padded on doc_id%5, planted
+    // before fmt ), so the oracle recomputes expected channels/rate/
+    // frames from construction while the Spark side must actually
+    // WALK the RIFF chunks by declared little-endian sizes.
+    Gate(
+      "mm_audio_meta",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 2 + 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |       ELSE 8000 + (doc_id % 5) * 4000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 50000 + 1 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |       ELSE (doc_id % 50000 + 1) * 1000 // (8000 + (doc_id % 5) * 4000) END
+        |    AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      audioMeta(withAudioBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
     },
 
     // The oracle reproduces the stubbed decode arithmetically:

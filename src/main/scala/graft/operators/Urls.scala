@@ -97,6 +97,38 @@ object Urls {
     when(netloc === "", lit(null).cast("string")).otherwise(host)
   }
 
+  /** Per-host document cap (the C4/Dolma "at most N pages per site"
+    * curation rule): keep each host's top `cap` documents by
+    * `score` (ties to the LOWER id — value-deterministic), drop the
+    * rest. A single over-represented domain otherwise dominates a
+    * crawl mixture no matter how good the downstream sampling is.
+    *
+    * Scale shape: NOT a window over all rows — a window partitioned
+    * by host sort-shuffles EVERY document row; here the bounded-heap
+    * `graft_top_k` aggregate (partial aggregation) sends ≤ cap
+    * (score, id) pairs per map partition per host across the
+    * exchange, then a compact id semi-join keeps the winners. Docs
+    * with unparseable urls (NULL host) form one capped group too —
+    * dropping them silently would un-count a real corpus slice;
+    * filter them beforehand if different policy is wanted. */
+  def capPerHost(
+      docs: DataFrame,
+      urlCol: String,
+      score: Column,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "capPerHost: cap must be >= 1")
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val kept = docs
+      .select(urlHost(col(urlCol)).as("__host"),
+        struct((-score.cast("double")).as("ns"), col(idCol).cast("long").as("i")).as("p"))
+      .groupBy("__host")
+      .agg(call_function("graft_top_k", col("p"), lit(cap), lit(true)).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.i").as("__keep_id"))
+    docs.join(kept, col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
+
   /** Per-domain corpus profile (docs/tokens/chars/mean quality) — the
     * crawl-curation report behind per-site quality decisions (which
     * domains to blocklist, which dominate the corpus). One map-side-
@@ -268,6 +300,30 @@ object Urls {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Per-host cap over the synthesized url mix (a handful of
+    // source-derived hosts plus the NULL bucket): keep each host's
+    // top-5 docs by text length, ties to the lower doc_id. The
+    // oracle replays host extraction and the (score desc, id) rank
+    // rule with a window — rank ≤ cap and the bounded-heap pick are
+    // the same set by construction.
+    Gate(
+      "op_domain_cap", {
+        val dom = sqlHost(s"($SqlUrl)")
+        s"""WITH t AS (SELECT doc_id, $dom AS host,
+           |    CAST(length(text) AS DOUBLE) AS score FROM documents),
+           |r AS (SELECT doc_id, host, score,
+           |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, doc_id) AS rn
+           |  FROM t)
+           |SELECT doc_id, host, score FROM r WHERE rn <= 5
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = withUrl(Tables(s, dir, "documents"))
+      capPerHost(docs, "url", length(col("text")), "doc_id", cap = 5)
+        .select(col("doc_id"), urlHost(col("url")).as("host"),
+          length(col("text")).cast("double").as("score"))
+        .orderBy("doc_id")
+    },
+
     // Per-domain profile over the synthesized url mix: one domain per
     // source plus the NULL bucket for unparseable urls. NULLS FIRST
     // pins DuckDB's ordering to Spark's asc_nulls_first.

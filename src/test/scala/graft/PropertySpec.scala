@@ -463,6 +463,32 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.parseImageMeta(Array.emptyByteArray)._1 == "unknown")
   }
 
+  test("parseAudioMeta walks RIFF chunks by declared size, odd-pad rule, corrupt degrades") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // round-trip through the gate fixture builder: every doc_id class
+    val docs = Seq((0L, "x"), (1L, "y"), (2L, "not audio"), (3L, "z"),
+      (6L, "w"), (7L, "v")).toDF("doc_id", "text")
+    val metas = Multimodal.audioMeta(Multimodal.withAudioBlob(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    // id 0: 1 channel, 8000 Hz, 1 frame; id 1: 2 ch, 12000 Hz (odd LIST pad)
+    assert(metas(0L).format == "wav" && metas(0L).channels == 1 && metas(0L).sample_rate == 8000)
+    assert(metas(1L).channels == 2 && metas(1L).sample_rate == 12000 && metas(1L).n_frames == 2)
+    assert(metas(2L).format == "unknown" && metas(2L).sample_rate == 0)
+    assert(metas(3L).sample_rate == 20000) // (3 % 5) * 4000 + 8000
+    // duration math: frames * 1000 / rate, integer floor
+    assert(metas(7L).duration_ms == metas(7L).n_frames * 1000 / metas(7L).sample_rate)
+    // truncation and corrupt magics degrade, never throw
+    val wav = Multimodal.withAudioBlob(Seq((0L, "x")).toDF("doc_id", "text"))
+      .select("media").head.getAs[Array[Byte]](0)
+    assert(Multimodal.parseAudioMeta(wav.take(10))._1 == "unknown")
+    assert(Multimodal.parseAudioMeta("RIFFxxxxJUNK then more".getBytes)._1 == "unknown")
+    assert(Multimodal.parseAudioMeta(Array.emptyByteArray)._1 == "unknown")
+    // a declared chunk size past the buffer must not throw either
+    val evil = wav.clone(); evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    Multimodal.parseAudioMeta(evil) // no exception = pass
+  }
+
   test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {
     import graft.multimodal.Multimodal
     import spark.implicits._

@@ -92,6 +92,36 @@ class UrlsSpec extends SparkSpec {
     assert(pairs == Seq(("https://s.ex/a", ""), ("https://s.ex/b", "bee")))
   }
 
+  test("capPerHost keeps top-cap per host by score with lower-id ties, caps the NULL-host group") {
+    import spark.implicits._
+    val docs = Seq(
+      // host a.com: scores 9,7,7,5 → cap 2 keeps id 1 (9) and id 2 (7, lower id than 3)
+      (1L, "http://a.com/x", 9),
+      (2L, "http://a.com/y", 7),
+      (3L, "http://a.com/z", 7),
+      (4L, "http://a.com/w", 5),
+      // host b.com: below cap → all kept
+      (5L, "https://www.b.com/p", 1),
+      // unparseable → NULL host group, capped together
+      (6L, "junk", 8), (7L, "also junk", 6), (8L, "junk too", 4))
+      .toDF("doc_id", "url", "score")
+    val kept = Urls.capPerHost(docs, "url", col("score"), "doc_id", cap = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L))
+    // heap pick == window rank on a larger random-ish frame
+    val big = Seq.tabulate(300)(i =>
+      (i.toLong, s"http://h${i % 7}.com/$i", i * 37 % 101)).toDF("doc_id", "url", "score")
+    val viaHeap = Urls.capPerHost(big, "url", col("score"), "doc_id", cap = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = big
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(Urls.urlHost(col("url")))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaHeap == viaWindow)
+  }
+
   test("url dedup keeps the min-id doc per canonical url") {
     import spark.implicits._
     val docs = Seq(
