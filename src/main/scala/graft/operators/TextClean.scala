@@ -45,6 +45,74 @@ object TextClean {
     trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
   }
 
+  /** Block-level MAIN-CONTENT extraction (the jusText/trafilatura
+    * family of boilerplate removal, simplified to two public
+    * signals): split the page at block-tag boundaries, score each
+    * block by word count and LINK DENSITY (chars of <a> anchor text
+    * over chars of block text), keep blocks with ≥ `minWords` words
+    * and density ≤ `maxLinkDensity`, join survivors with newlines.
+    * Navigation bars, footers, and tag clouds are nearly all link
+    * text; article paragraphs are nearly none — the two thresholds
+    * separate them without any model. [[stripHtml]] keeps EVERY
+    * block's text; this keeps only content blocks — run it when the
+    * corpus is raw page HTML rather than pre-extracted text.
+    *
+    * Scale/parity: chained regex + higher-order array ops — narrow,
+    * no shuffle, fused with the scan; the density division is one
+    * IEEE double op on integer lengths, so the oracle reproduces
+    * every keep/drop decision exactly. */
+  def mainContent(
+      html: Column,
+      minWords: Int = 5,
+      maxLinkDensity: Double = 0.33): Column = {
+    def blockText(b: Column): Column =
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "[ \\t\\f\\r\\n]+", " "))
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    Cols.bind(split(noScript, BlockBreak)) { blocks =>
+      array_join(
+        transform(
+          filter(
+            transform(blocks, b =>
+              Cols.bind(blockText(b)) { txt =>
+                Cols.bind(blockText(
+                  array_join(regexp_extract_all(b,
+                    lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))) { ltxt =>
+                  struct(
+                    txt.as("txt"),
+                    size(TextAnalysis.words(txt)).as("nw"),
+                    (length(ltxt).cast("double") /
+                      greatest(lit(1), length(txt))).as("ld"))
+                }
+              }),
+            s => s.getField("nw") >= minWords && s.getField("ld") <= maxLinkDensity),
+          s => s.getField("txt")),
+        "\n")
+    }
+  }
+
+  /** The DuckDB twin of [[mainContent]] over `pageExpr`. */
+  private[operators] def sqlMainContent(
+      pageExpr: String, minWords: Int = 5, maxLinkDensity: Double = 0.33): String = {
+    def blockText(e: String) =
+      s"trim(regexp_replace(regexp_replace($e, '<[^>]*>', ' ', 'g'), '[ \\t\\f\\r\\n]+', ' ', 'g'))"
+    val noScript = s"regexp_replace(regexp_replace($pageExpr, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val txt = blockText("b")
+    // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    // array_join([]) is '' — a linkless block must score density 0
+    val ltxt = blockText(
+      "coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")
+    s"""array_to_string(list_transform(list_filter(
+       |  list_transform(regexp_split_to_array($noScript, '$BlockBreak'),
+       |    b -> {'txt': $txt,
+       |          'nw': len(regexp_extract_all($txt, '${TextAnalysis.WordPattern}')),
+       |          'ld': CAST(length($ltxt) AS DOUBLE) / greatest(1, length($txt))}),
+       |  s -> s.nw >= $minWords AND s.ld <= $maxLinkDensity),
+       |  s -> s.txt), chr(10))""".stripMargin
+  }
+
   /** Unicode NFC via the codegen kernel ([[graft.expr.NfcNormalize]]). */
   def nfc(text: Column): Column = call_function("graft_nfc", text)
 
@@ -416,6 +484,56 @@ object TextClean {
       }) { (s, dir) =>
       lengthOutliers(Tables(s, dir, "documents"), "source", "n_chars")
         .orderBy("source")
+    },
+
+    // Main-content extraction gate: a page with a link-only nav bar
+    // (density 1.0 → dropped), a long content paragraph (kept), a
+    // 1-word block (dropped by the word floor), an alternating block
+    // that is either content-with-one-inline-link (kept — density
+    // ~0.04) or a links-only list (dropped), and a footer link row
+    // (dropped). The oracle rebuilds the page and replays the block
+    // split, both signals, and the keep rule.
+    Gate(
+      "fmt_main_content", {
+        val page = Seq(
+          "'<html><body><div><a href=\"/\">home</a> <a href=\"/a\">about us</a> " +
+            "<a href=\"/c\">contact page</a></div>'",
+          "'<p>'", sqlSeg(1, 20), "'</p>'",
+          "'<p>ok</p>'",
+          "(CASE WHEN doc_id % 2 = 0 THEN '<p>' || " + sqlSeg(21, 36) +
+            " || ' see <a href=\"/m\">more details</a></p>' " +
+            "ELSE '<ul><li><a href=\"/1\">one link</a></li>" +
+            "<li><a href=\"/2\">two link</a></li></ul>' END)",
+          "'<div><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a></div></body></html>'")
+          .mkString(" || ")
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |           FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |s AS (SELECT doc_id, ${sqlMainContent("page")} AS m FROM p)
+           |SELECT doc_id, length(m) AS n_chars, md5(m) AS content_md5
+           |FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = Cols.bind(TextAnalysis.words(col("text"))) { ws =>
+        def seg(a: Int, len: Int) = array_join(slice(ws, a, len), " ")
+        concat(
+          lit("<html><body><div><a href=\"/\">home</a> <a href=\"/a\">about us</a> " +
+            "<a href=\"/c\">contact page</a></div>"),
+          lit("<p>"), seg(1, 20), lit("</p>"),
+          lit("<p>ok</p>"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<p>"), seg(21, 16),
+              lit(" see <a href=\"/m\">more details</a></p>")))
+            .otherwise(lit("<ul><li><a href=\"/1\">one link</a></li>" +
+              "<li><a href=\"/2\">two link</a></li></ul>")),
+          lit("<div><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a></div></body></html>"))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"), Cols.bind(mainContent(col("page"))) { m =>
+          struct(length(m).as("n"), md5(m).as("m"))
+        }.as("c"))
+        .select(col("doc_id"), col("c.n").as("n_chars"), col("c.m").as("content_md5"))
+        .orderBy("doc_id")
     },
 
     Gate(

@@ -475,8 +475,11 @@ object Tokens {
       packed: org.apache.spark.sql.DataFrame,
       capacity: Int): org.apache.spark.sql.DataFrame =
     packed
+      // cast BEFORE the shift: a 32-bit bin_id (the one-partition
+      // twin's schema) would shift by 40 mod 32 = 8 under Java int
+      // semantics and invent phantom bands past bin 255
       .groupBy(when(col("bin_id") < 0, lit(-1L))
-        .otherwise(shiftright(col("bin_id"), 40)).as("band"))
+        .otherwise(shiftright(col("bin_id").cast("long"), 40)).as("band"))
       .agg(
         countDistinct(when(col("bin_id") >= 0, col("bin_id"))).as("bins"),
         count(when(col("bin_id") >= 0, lit(1))).as("docs_packed"),
@@ -487,6 +490,35 @@ object Tokens {
           col("tokens_packed").cast("double") / (col("bins") * capacity.toLong))
           .otherwise(lit(null).cast("double")))
       .orderBy("band")
+
+  /** Shared BFD-replay CTE block (through `o` = the (n desc, id)
+    * stream and `f` = the final per-rank bin assignments) — the
+    * recursive twin of [[packBinsBFD]]'s TreeSet kernel, used by the
+    * tok_pack_bfd and rpt_pack_fill oracles. */
+  private def sqlBfdReplay(cap: Int): String =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.WordPattern}')) AS n
+       |      FROM documents),
+       |o AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS r FROM t),
+       |s(r, rem, asg) AS (
+       |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS INT[])
+       |  UNION ALL
+       |  SELECT q.nr,
+       |    CASE WHEN q.n > $cap THEN q.rem
+       |         WHEN q.jb IS NULL THEN list_append(q.rem, $cap - q.n)
+       |         ELSE list_transform(range(1, len(q.rem) + 1),
+       |                j -> CASE WHEN j = q.jb THEN q.rem[j] - q.n ELSE q.rem[j] END) END,
+       |    list_append(q.asg, CAST(CASE WHEN q.n > $cap THEN -1
+       |         WHEN q.jb IS NULL THEN len(q.rem) ELSE q.jb - 1 END AS INT))
+       |  FROM (
+       |    SELECT s.r + 1 AS nr, s.rem, s.asg, o.n,
+       |      CAST(list_min(list_filter(list_transform(range(1, len(s.rem) + 1),
+       |        j -> CASE WHEN s.rem[j] >= o.n THEN s.rem[j] * 1000000 + j ELSE NULL END),
+       |        v -> v IS NOT NULL)) % 1000000 AS INT) AS jb
+       |    FROM s JOIN o ON o.r = s.r + 1
+       |  ) q
+       |),
+       |f AS (SELECT asg FROM s WHERE r = (SELECT max(r) FROM s))""".stripMargin
 
   val gates: Seq[Gate] = Seq(
 
@@ -577,35 +609,38 @@ object Tokens {
     // the −1 overflow class is exercised.
     Gate(
       "tok_pack_bfd", {
-        val cap = 96
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.WordPattern}')) AS n
-           |      FROM documents),
-           |o AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS r FROM t),
-           |s(r, rem, asg) AS (
-           |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS INT[])
-           |  UNION ALL
-           |  SELECT q.nr,
-           |    CASE WHEN q.n > $cap THEN q.rem
-           |         WHEN q.jb IS NULL THEN list_append(q.rem, $cap - q.n)
-           |         ELSE list_transform(range(1, len(q.rem) + 1),
-           |                j -> CASE WHEN j = q.jb THEN q.rem[j] - q.n ELSE q.rem[j] END) END,
-           |    list_append(q.asg, CAST(CASE WHEN q.n > $cap THEN -1
-           |         WHEN q.jb IS NULL THEN len(q.rem) ELSE q.jb - 1 END AS INT))
-           |  FROM (
-           |    SELECT s.r + 1 AS nr, s.rem, s.asg, o.n,
-           |      CAST(list_min(list_filter(list_transform(range(1, len(s.rem) + 1),
-           |        j -> CASE WHEN s.rem[j] >= o.n THEN s.rem[j] * 1000000 + j ELSE NULL END),
-           |        v -> v IS NOT NULL)) % 1000000 AS INT) AS jb
-           |    FROM s JOIN o ON o.r = s.r + 1
-           |  ) q
-           |),
-           |f AS (SELECT asg FROM s WHERE r = (SELECT max(r) FROM s))
+        s"""${sqlBfdReplay(96)}
            |SELECT o.doc_id, CAST(o.n AS INT) AS n_tokens, f.asg[o.r] AS bin_id
            |FROM o, f ORDER BY o.doc_id""".stripMargin
       }) { (s, dir) =>
       packBinsBFD(Tables(s, dir, "documents"), "text", "doc_id", capacity = 96)
         .orderBy("doc_id")
+    },
+
+    // Fill audit over the packed bins: band 0 (all of it, in the
+    // one-partition twin) plus the −1 overflow row — bins opened,
+    // docs/tokens packed, and the fill ratio that tells an operator
+    // what the packing run actually wasted. The oracle reuses the
+    // BFD replay and aggregates the same per-doc assignments.
+    Gate(
+      "rpt_pack_fill", {
+        val bins = "count(DISTINCT CASE WHEN a.bin_id >= 0 THEN a.bin_id END)"
+        val toks = "sum(CASE WHEN a.bin_id >= 0 THEN a.n_tokens ELSE 0 END)"
+        s"""${sqlBfdReplay(96)},
+           |a AS (SELECT o.doc_id, o.n AS n_tokens, f.asg[o.r] AS bin_id FROM o, f)
+           |SELECT CAST(CASE WHEN a.bin_id < 0 THEN -1 ELSE 0 END AS BIGINT) AS band,
+           |  CAST($bins AS BIGINT) AS bins,
+           |  CAST(count(CASE WHEN a.bin_id >= 0 THEN 1 END) AS BIGINT) AS docs_packed,
+           |  CAST($toks AS BIGINT) AS tokens_packed,
+           |  CAST(count(CASE WHEN a.bin_id < 0 THEN 1 END) AS BIGINT) AS overflow_docs,
+           |  CASE WHEN $bins > 0 THEN CAST($toks AS DOUBLE) / ($bins * 96)
+           |       ELSE NULL END AS fill_ratio
+           |FROM a GROUP BY 1 ORDER BY band""".stripMargin
+      }) { (s, dir) =>
+      binFillReport(
+        packBinsBFD(Tables(s, dir, "documents"), "text", "doc_id", capacity = 96),
+        capacity = 96)
+        .orderBy("band")
     },
 
     Gate(

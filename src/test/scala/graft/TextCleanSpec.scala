@@ -20,6 +20,29 @@ class TextCleanSpec extends SparkSpec {
     assert(got == "Tom & Jerry say \"hi\" 'now'\nx <tag>")
   }
 
+  test("mainContent keeps article blocks, drops nav/footer/short blocks by density and word floor") {
+    def mc(html: String): String = one(TextClean.mainContent(col("t")), html)
+    val page =
+      "<div><a href='/'>home</a> <a href='/a'>about</a> <a href='/c'>contact now</a></div>" +
+        "<p>this is a long enough article paragraph with many plain words in it</p>" +
+        "<p>ok</p>" +
+        "<p>another paragraph of body text that mentions a <a href='/x'>link</a> once only</p>" +
+        "<ul><li><a href='/1'>first link</a></li><li><a href='/2'>second link</a></li></ul>" +
+        "<div><a href='/t'>terms</a> <a href='/p'>privacy</a></div>"
+    val out = mc(page)
+    assert(out ==
+      "this is a long enough article paragraph with many plain words in it\n" +
+        "another paragraph of body text that mentions a link once only")
+    // all-boilerplate page → empty string, never null
+    assert(mc("<div><a href='/'>one two three four five six</a></div>") == "")
+    // density threshold is a real dial: lifting it keeps the nav
+    val loose = one(TextClean.mainContent(col("t"), minWords = 2, maxLinkDensity = 1.0),
+      "<div><a href='/'>home</a> <a href='/a'>about</a></div>")
+    assert(loose == "home about")
+    // script/style content never counts as text
+    assert(mc("<script>var words = 'ten ten ten ten ten ten';</script><p>short</p>") == "")
+  }
+
   test("stripHtml turns <br> and headings into line breaks") {
     val got = one(TextClean.stripHtml(col("t")),
       "<h1>Title</h1><p>one<br>two<br/>three</p>")
