@@ -465,6 +465,76 @@ object Similarity {
     Clusters.clusterDedup(vecs, pairs, "id_a", "id_b", "id")
   }
 
+  /** Persist an IVF index for cross-run reuse (the `snk_dedup_index`
+    * discipline applied to ANN): fit once, then every later batch of
+    * queries probes the stored index without re-reading or
+    * re-assigning the corpus. Layout: `path/centroids` (one tiny
+    * parquet of (cid, cvec)) and `path/vectors` — the corpus
+    * PARTITIONED BY cell, which is the scale design: a probe of
+    * nProbe cells becomes a parquet partition-pruned scan that reads
+    * only those cells' files, ~nProbe/nCells of the index bytes, no
+    * matter how large the corpus. `centroidsOverride` flips the
+    * oracle-parity decimal assignment (the ivfTopK pattern);
+    * production sample-fits and assigns with the fast-double
+    * kernel. */
+  def writeIvfIndex(
+      corpus: DataFrame, // id, vec
+      path: String,
+      nCells: Int = 16,
+      fitSampleSize: Int = 100000,
+      centroidsOverride: Option[Array[Array[Double]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val decimal = centroidsOverride.isDefined
+    val cents = centroidsOverride.getOrElse(ivfFitCentroids(corpus, nCells, fitSampleSize))
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .withColumn("cell",
+        element_at(centroidRank(col("vec"), cents, decimal), 1).getField("i"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Load a persisted IVF index: (centroids, cell-partitioned
+    * vectors). The centroid read is one bounded driver collect
+    * (nCells × dim doubles — lossless through parquet). */
+  def readIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+    (cents, spark.read.parquet(s"$path/vectors"))
+  }
+
+  /** Query a persisted index: rank probe cells per query, then
+    * filter the partitioned vector scan by the BOUNDED probed-cell
+    * set (≤ nq·nProbe values — an IN-list literal, so Catalyst turns
+    * it into parquet PARTITION pruning and untouched cells' files
+    * are never opened), broadcast the probes, score, bounded-heap
+    * top-k. Same scoring/tie rules as [[ivfTopK]]; `decimal = true`
+    * is the oracle-parity path. */
+  def ivfTopKFromIndex(
+      queries: DataFrame, // qid, qvec
+      centroids: Array[Array[Double]],
+      vectors: DataFrame, // id, vec, cell
+      k: Int,
+      nProbe: Int = 4,
+      decimal: Boolean = false): DataFrame = {
+    val qs = queries
+      .withColumn("cells", transform(
+        slice(centroidRank(col("qvec"), centroids, decimal), 1, nProbe),
+        s => s.getField("i")))
+      .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
+    val probed = qs.select("cell").distinct().collect().map(_.get(0))
+    val pruned = vectors.filter(col("cell").isin(probed: _*))
+    val score: (Column, Column) => Column = if (decimal) decCosine else fastCosine
+    val scored = pruned.join(broadcast(qs), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), score(col("qvec"), col("vec")).as("cos"))
+    groupedTopK(scored, k)
+  }
+
   // Sample-fit quantizer cache for the ann_topk_ivf gate (the
   // bpeCache discipline): the query closure fits once per dir, the
   // lazy oracle thunk reads the learned centroids back.
@@ -997,6 +1067,35 @@ object Similarity {
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3, nProbe = 4, centroidsOverride = Some(cents))
+        .orderBy("qid", "rank")
+    },
+
+    // Cross-run ANN index round-trip (the snk_dedup_index discipline
+    // applied to IVF): fit + assign → cell-partitioned parquet →
+    // read back → probe/score must equal the in-memory IVF path
+    // bit-for-bit — the index is lossless (float vectors and double
+    // centroids round-trip parquet exactly), so the SAME sample-fit
+    // oracle gates both.
+    Gate.lazyOracle("snk_ann_index") {
+      sqlIvfSampleFit(ivfGateCache.map(_._2).getOrElse {
+        val dir = ivfGateDirHint.getOrElse(throw new IllegalStateException(
+          "snk_ann_index oracle read before its builder ran — run the " +
+            "snk_ann_index query first (Verify does), or use " +
+            "SparkEntry.oracleKeys / oracleSqlFor to avoid forcing this lazy oracle"))
+        ivfGateCentroids(org.apache.spark.sql.SparkSession.active, dir)
+      })
+    } { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = ivfGateCentroids(s, dir)
+      val path = graft.sources.DocSource.gateScratch(dir, "snk_ann_index")
+      writeIvfIndex(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        path, centroidsOverride = Some(cents))
+      val (rc, vecs) = readIvfIndex(s, path)
+      ivfTopKFromIndex(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        rc, vecs, k = 3, nProbe = 4, decimal = true)
         .orderBy("qid", "rank")
     },
 

@@ -254,6 +254,48 @@ class SimilaritySpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("persisted IVF index: lossless round-trip, probe scan is partition-pruned") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(corpus, path, nCells = 8, fitSampleSize = 1000)
+    val (cents, vecs) = Similarity.readIvfIndex(spark, path)
+    assert(cents.length == 8 && cents.forall(_.length == cents(0).length))
+    // round-trip equals the direct in-memory path on the same quantizer
+    val fromIndex = Similarity.ivfTopKFromIndex(queries, cents, vecs, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = Similarity.ivfTopK(queries, corpus, k = 3, nProbe = 2,
+        centroidsOverride = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // note: centroidsOverride flips decimal scoring; rank sets can
+    // only differ if fast-vs-decimal cosine flips an order, so
+    // compare against the decimal index path too
+    val fromIndexDec = Similarity.ivfTopKFromIndex(queries, cents, vecs, k = 3,
+        nProbe = 2, decimal = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndexDec == direct, "index path must equal the direct path bit-for-bit")
+    assert(fromIndex.map(_._1) == direct.map(_._1))
+    // partition pruning is real: probing 2 cells opens strictly fewer
+    // index files than the full partitioned scan holds
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides scans from collect()
+    try {
+      val prunedParts = Similarity.ivfTopKFromIndex(queries, cents, vecs, k = 3, nProbe = 2)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("vectors")) => f
+        }.map(_.selectedPartitions.partitionCount).sum
+      val allParts = vecs.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.selectedPartitions.partitionCount).sum
+      assert(prunedParts > 0 && prunedParts < allParts,
+        s"expected pruned probe scan, got $prunedParts of $allParts partitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("embedPcaTop recovers a rank-1 covariance: lambda1 = trace, ratio 1") {
     import spark.implicits._
     // vectors t·(1, 2, 0, …): zero mean, cov = Var(t)·vvᵀ (rank 1),
