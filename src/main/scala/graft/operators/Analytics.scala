@@ -171,6 +171,33 @@ object Analytics {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // GROUPING SETS completes the multi-granularity family beside
+    // ROLLUP (q5) and CUBE (q30): an EXPLICIT set list — here
+    // (flag, status), (flag), (status) but NOT the grand total — is
+    // the shape reporting pipelines actually want (cube pays for
+    // every combination whether needed or not). Spark has no
+    // DataFrame groupingSets API pre-4.x SQL parity, so the gate goes
+    // through spark.sql — same Catalyst Expand plan as cube/rollup.
+    Gate(
+      "q33_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS cnt
+          |FROM __gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
     Gate(
       "q1_agg",
       """SELECT l_returnflag, l_linestatus,

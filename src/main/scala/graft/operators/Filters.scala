@@ -81,6 +81,24 @@ object Filters {
     coalesce(!array_contains(blocked, parse_url(url, lit("HOST"))), lit(true))
   }
 
+  /** In-page complement of the robots.txt filter (F2): a
+    * `<meta name="robots" content="... noindex ...">` directive is
+    * the page's OWN opt-out, honored by every major crawler-derived
+    * corpus the way robots.txt is. Both attribute orders matched,
+    * case-insensitive, quote style free; narrow codegen rlike, no
+    * UDF. NULL html → false (a missing page can't opt out). */
+  def hasMetaNoindex(html: Column): Column = {
+    val nameFirst =
+      "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
+    val contentFirst =
+      "(?is)<meta\\b[^>]*content\\s*=\\s*[\"'][^\"']*noindex[^\"']*[\"'][^>]*name\\s*=\\s*[\"']?robots"
+    coalesce(html.rlike(nameFirst) || html.rlike(contentFirst), lit(false))
+  }
+
+  /** Drop pages carrying a robots-meta noindex. */
+  def metaRobotsFilter(docs: DataFrame, htmlCol: String): DataFrame =
+    docs.filter(!hasMetaNoindex(col(htmlCol)))
+
   /** F4 — reference `SamplerFilter`: deterministic portable rate
     * sampling keyed on the doc id (LCG, not engine hash, so results
     * are reproducible across engines and cluster sizes). */
@@ -150,6 +168,41 @@ object Filters {
         withUrl(Tables(s, dir, "documents")),
         Set("src3.example.com", "src9.example.com", "src13.example.com"), "url")
         .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // Meta-robots gate: four planted page classes — name-first
+    // noindex (dropped), content-first "noindex,nofollow" with
+    // single quotes and odd casing (dropped), an explicit
+    // "index,follow" (kept — the directive must be READ, not the
+    // tag's mere presence), and no meta at all (kept). The oracle
+    // replays both attribute-order regexes.
+    Gate(
+      "f_meta_robots", {
+        s"""WITH p AS (SELECT doc_id,
+           |  CASE CAST(doc_id % 4 AS INT)
+           |    WHEN 0 THEN '<html><head><META Name="ROBOTS" Content="NOINDEX"></head><body>' || text || '</body></html>'
+           |    WHEN 1 THEN '<html><head><meta content=''noindex,nofollow'' name=robots></head><body>' || text || '</body></html>'
+           |    WHEN 2 THEN '<html><head><meta name="robots" content="index,follow"></head><body>' || text || '</body></html>'
+           |    ELSE '<html><body>' || text || '</body></html>' END AS page
+           |  FROM documents)
+           |SELECT doc_id FROM p
+           |WHERE NOT (regexp_matches(page, '(?is)<meta\\b[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*["''][^"'']*noindex')
+           |        OR regexp_matches(page, '(?is)<meta\\b[^>]*content\\s*=\\s*["''][^"'']*noindex[^"'']*["''][^>]*name\\s*=\\s*["'']?robots'))
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = when(col("doc_id") % 4 === 0,
+          concat(lit("<html><head><META Name=\"ROBOTS\" Content=\"NOINDEX\"></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("<html><head><meta content='noindex,nofollow' name=robots></head><body>"),
+            col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("<html><head><meta name=\"robots\" content=\"index,follow\"></head><body>"),
+            col("text"), lit("</body></html>")))
+        .otherwise(concat(lit("<html><body>"), col("text"), lit("</body></html>")))
+      metaRobotsFilter(
+        Tables(s, dir, "documents").select(col("doc_id"), page.as("page")), "page")
+        .select("doc_id").orderBy("doc_id")
     },
 
     Gate(

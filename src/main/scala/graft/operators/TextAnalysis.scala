@@ -54,6 +54,45 @@ object TextAnalysis {
     }
   }
 
+  /** Per-PARAGRAPH language profile for mixed-language documents —
+    * the fineweb-2 reality a single doc-level langId flattens: a
+    * page with an English body and a French footer is "en" to
+    * [[langId]] but 2 languages here, and per-language corpora split
+    * docs on exactly this signal. Paragraphs = blank-line blocks
+    * with ≥ 1 word; each gets the doc-level argmax rule; the
+    * dominant language is the most frequent paragraph label, ties to
+    * the lexicographically smallest ('und' counts toward dominance —
+    * honest for marker-less text — but never toward `n_langs`).
+    * Pure higher-order column ops: narrow, scan-fused, no UDF. */
+  def paraLangStats(text: Column): Column =
+    bind(filter(split(coalesce(text, lit("")), "\\n{2,}"),
+      p => size(words(p)) > 0)) { paras =>
+      bind(transform(paras, p => langId(p))) { langs =>
+        bind(array_distinct(langs)) { ld =>
+          bind(array_max(transform(ld, l => size(filter(langs, x => x === l))))) { mx =>
+            struct(
+              size(langs).cast("int").as("n_paras"),
+              when(size(langs) === 0, lit("und")).otherwise(
+                array_min(filter(ld,
+                  l => size(filter(langs, x => x === l)) === mx))).as("dominant_lang"),
+              when(size(langs) === 0, lit(0.0)).otherwise(
+                Cols.pround(mx.cast("double") / size(langs), 6)).as("dominant_frac"),
+              size(filter(ld, l => l =!= "und")).cast("int").as("n_langs"))
+          }
+        }
+      }
+    }
+
+  /** DuckDB twin of the [[langId]] argmax over a paragraph
+    * expression (toks must NOT be pre-bound — `pExpr` is inlined). */
+  private def sqlLangIdOf(pExpr: String): String = {
+    val toks = s"regexp_extract_all(lower($pExpr), '$WordPattern')"
+    val hits = LangMarkers.map { case (l, m) => l -> sqlMarkerHits(toks, m) }
+    val maxh = hits.map(_._2).mkString("greatest(", ", ", ")")
+    hits.map { case (l, h) => s"WHEN $h = $maxh AND $h > 0 THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
   def avgWordLen(text: Column): Column = bind(words(text)) { toks =>
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
@@ -446,6 +485,55 @@ object TextAnalysis {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Per-paragraph language profile: the fixture appends a German
+    // paragraph on doc_id%3 and a French one on doc_id%5, so docs hit
+    // 1/2/3 paragraphs and the dominant/tie/n_langs rules all fire
+    // (at %15 the en-or-und head, de, and fr tie 1-1-1 → the
+    // lexicographic tie-break decides). The oracle replays the blank-
+    // line split, the per-paragraph argmax, and both dominance rules.
+    Gate(
+      "txt_para_langs", {
+        val page = "coalesce(array_to_string(ws[1:30], ' '), '') || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || " +
+          "'der die das und ist ein der die das und ist ein' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || " +
+          "'le la les et est une le la les et est une' ELSE '' END)"
+        s"""WITH w AS (SELECT doc_id, $SqlWords AS ws FROM documents),
+           |p AS (SELECT doc_id, $page AS t FROM w),
+           |paras AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\\n{2,}'),
+           |    q -> len(regexp_extract_all(q, '$WordPattern')) > 0) AS ps FROM p),
+           |l AS (SELECT doc_id, list_transform(ps, q -> ${sqlLangIdOf("q")}) AS langs FROM paras),
+           |d AS (SELECT doc_id, langs, list_distinct(langs) AS ld,
+           |    list_max(list_transform(list_distinct(langs),
+           |      x -> len(list_filter(langs, y -> y = x)))) AS mx FROM l)
+           |SELECT doc_id,
+           |  CAST(len(langs) AS INT) AS n_paras,
+           |  CASE WHEN len(langs) = 0 THEN 'und'
+           |       ELSE list_min(list_filter(ld,
+           |         x -> len(list_filter(langs, y -> y = x)) = mx)) END AS dominant_lang,
+           |  CASE WHEN len(langs) = 0 THEN 0.0
+           |       ELSE ${Cols.proundSql("CAST(mx AS DOUBLE) / len(langs)", 6)} END AS dominant_frac,
+           |  CAST(len(list_filter(ld, x -> x <> 'und')) AS INT) AS n_langs
+           |FROM d ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = bind(words(col("text"))) { ws =>
+        concat(
+          array_join(slice(ws, 1, 30), " "),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nder die das und ist ein der die das und ist ein")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\n\nle la les et est une le la les et est une")).otherwise(lit("")))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), paraLangStats(page).as("st"))
+        .select(col("doc_id"),
+          col("st.n_paras").as("n_paras"),
+          col("st.dominant_lang").as("dominant_lang"),
+          col("st.dominant_frac").as("dominant_frac"),
+          col("st.n_langs").as("n_langs"))
+        .orderBy("doc_id")
+    },
 
     // MATTR gate: docs at sf0.01 run 10–99 words, so both the plain-
     // TTR fallback (n ≤ w) and the windowed path execute; the oracle

@@ -463,6 +463,48 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.parseImageMeta(Array.emptyByteArray)._1 == "unknown")
   }
 
+  test("paraLangStats: per-paragraph labels, dominance, lexicographic ties, und excluded from n_langs") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    def st(t: String) = Seq(t).toDF("t")
+      .select(TextAnalysis.paraLangStats(col("t")).as("s"))
+      .select("s.n_paras", "s.dominant_lang", "s.dominant_frac", "s.n_langs")
+      .head()
+    // two English paragraphs + one German → en dominates 2/3
+    val a = st("the cat is in the house\n\nthe dog is of the yard\n\nder hund ist ein und das")
+    assert(a.getInt(0) == 3 && a.getString(1) == "en" && a.getInt(3) == 2)
+    assert(math.abs(a.getDouble(2) - 0.666667) < 1e-6)
+    // 1-1 tie between de and fr → lexicographically smaller wins
+    val b = st("der hund ist ein und das\n\nle chat est une et les")
+    assert(b.getString(1) == "de" && b.getInt(3) == 2)
+    // marker-less paragraphs are und: dominate honestly, excluded from n_langs
+    val c = st("zzz qqq www\n\nxxx yyy vvv\n\nthe cat is the")
+    assert(c.getString(1) == "und" && c.getInt(3) == 1)
+    // blank-line runs and empty paragraphs never count
+    val d = st("the cat is the\n\n\n\n  \n\nthe dog is of")
+    assert(d.getInt(0) == 2 && d.getString(1) == "en")
+    assert(st("").getInt(0) == 0 && st("").getString(1) == "und")
+  }
+
+  test("hasMetaNoindex matches both attribute orders, any casing/quoting; index-follow passes") {
+    import graft.operators.Filters
+    import spark.implicits._
+    def f(h: String) = Seq(h).toDF("h")
+      .select(Filters.hasMetaNoindex(col("h"))).head().getBoolean(0)
+    assert(f("""<meta name="robots" content="noindex">"""))
+    assert(f("""<META NAME='ROBOTS' CONTENT='NOINDEX, NOFOLLOW'>"""))
+    assert(f("""<meta content="noindex" name=robots>"""))
+    assert(f("""<meta data-x="1" name = robots content = "a,noindex,b">"""))
+    assert(!f("""<meta name="robots" content="index,follow">"""))
+    // a non-robots meta mentioning noindex is NOT an opt-out
+    assert(!f("""<meta name="viewport" content="noindex-like">"""))
+    assert(!f("""<meta name="viewport" content="width=device-width">"""))
+    assert(!f("plain text, no meta at all"))
+    val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "h")
+      .select(Filters.hasMetaNoindex(col("h"))).head().getBoolean(0)
+    assert(!nulls)
+  }
+
   test("CdcChunks kernel == fold twin on generated unicode text; chunks reassemble the doc") {
     import graft.operators.Lines
     graft.expr.GraftExtensions.register(spark)
