@@ -152,7 +152,18 @@ final case class FinewebConfig(
     /** redact Luhn-VALID card numbers alongside the PII formatter
       * ([[graft.operators.Formatters.redactCards]]); invalid digit
       * runs (order ids) survive. */
-    redactCardNumbers: Boolean = false)
+    redactCardNumbers: Boolean = false,
+    /** drop pages carrying an in-page robots-meta noindex directive
+      * ([[graft.operators.Filters.hasMetaNoindex]] over the raw
+      * text/html) — the page's OWN opt-out beside the site-level
+      * robots.txt stage; reason `meta_robots`. */
+    metaRobotsNoindex: Boolean = false,
+    /** per-host document cap over the FINAL survivors (the C4/Dolma
+      * "at most N pages per site" rule, [[graft.operators.Urls
+      * .capPerHost]] keyed on `url`, best-by-text-length, lower-id
+      * ties): losers are excluded with reason `host_cap`. Eager
+      * keeper-set prepass at assembly time, like nearDupDedup. */
+    maxDocsPerHost: Option[Int] = None)
 
 object FinewebPipeline {
 
@@ -209,6 +220,13 @@ object FinewebPipeline {
       stages :+= DocFilter("url_filter",
         d => Filters.urlDomainAllowed(domains, d("url")))
     }
+
+    if (cfg.metaRobotsNoindex)
+      // the page's own opt-out, honored beside the site-level robots
+      // stages above — raw text/html, so it runs BEFORE any content
+      // rewrite strips the meta tag away
+      stages :+= DocFilter("meta_robots",
+        d => !Filters.hasMetaNoindex(d("text")))
 
     if (cfg.fixMojibake)
       // encoding repair FIRST: folds/tokenizers must see the intended
@@ -390,6 +408,22 @@ object FinewebPipeline {
       stages :+= DocFilter("exact_dup",
         d => d("doc_id").isNull || col("__keeper_id").isNotNull)
       stages :+= Transform("exact_dedup_unmark", _.drop("__keeper_id"))
+    }
+
+    cfg.maxDocsPerHost.foreach { cap =>
+      // per-host winners among the FINAL survivors (cap after dedup,
+      // like a real curation order — capping before dedup would let
+      // duplicates crowd out distinct pages); bounded-heap prepass at
+      // assembly time, membership via the exact_dedup_mark pattern
+      val keepers = graft.operators.Urls.capPerHost(
+          Pipeline(stages: _*).kept(docs).filter(col("doc_id").isNotNull),
+          "url", length(col("text")), "doc_id", cap)
+        .select(col("doc_id").as("__cap_keep_id"))
+      stages :+= Transform("host_cap_mark",
+        d => d.join(keepers, d("doc_id") === col("__cap_keep_id"), "left"))
+      stages :+= DocFilter("host_cap",
+        d => d("doc_id").isNull || col("__cap_keep_id").isNotNull)
+      stages :+= Transform("host_cap_unmark", _.drop("__cap_keep_id"))
     }
 
     if (cfg.piiFormat)
@@ -581,6 +615,39 @@ object FinewebPipeline {
           "de" -> FinewebConfig(samplerRate = Some(0.2), piiFormat = false)),
         default = FinewebConfig(piiFormat = false))
       kept.select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Meta-robots + per-host cap through the config surface: noindex
+    // pages (planted on %11) fall with their own reason FIRST, then
+    // the cap keeps each host's top-4 surviving docs by text length
+    // (lower-id ties). The oracle replays the meta regex, the host
+    // key, and the rank rule over the survivors. Emits the full
+    // marked frame so reason attribution is pinned, not just the
+    // kept set.
+    Gate(
+      "fw_host_cap", {
+        s"""WITH m AS (SELECT doc_id, 'h' || (doc_id % 3) AS host,
+           |    length(text) AS n, (doc_id % 11 = 0) AS noidx FROM documents),
+           |rk AS (SELECT doc_id, row_number() OVER (
+           |    PARTITION BY host ORDER BY n DESC, doc_id) AS rk
+           |  FROM m WHERE NOT noidx)
+           |SELECT m.doc_id,
+           |  CASE WHEN m.noidx THEN 'meta_robots'
+           |       WHEN rk.rk > 4 THEN 'host_cap' END AS filter_reason
+           |FROM m LEFT JOIN rk ON m.doc_id = rk.doc_id
+           |ORDER BY m.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://h"), col("doc_id") % 3, lit(".example.com/d/"), col("doc_id")))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(lit("<meta name=\"robots\" content=\"noindex\">"), col("text")))
+            .otherwise(col("text")))
+      buildMarked(
+        s, docs,
+        FinewebConfig(metaRobotsNoindex = true, maxDocsPerHost = Some(4), piiFormat = false))
+        .select("doc_id", "filter_reason").orderBy("doc_id")
     },
 
     // The FULL text-quality recipe through the config surface —

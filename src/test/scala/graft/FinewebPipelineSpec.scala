@@ -175,6 +175,35 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(excluded.count() == docs.filter(col("source") === "src1").count())
   }
 
+  test("meta-robots and host-cap stages: own reasons, cap after dedup, winners by length") {
+    val docs = annotated.withColumn(
+      "url", concat(lit("https://h"), col("doc_id") % 3, lit(".example.com/d/"), col("doc_id")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(lit("<meta name=\"robots\" content=\"noindex\">"), col("text")))
+          .otherwise(col("text")))
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs,
+      FinewebConfig(metaRobotsNoindex = true, maxDocsPerHost = Some(4), piiFormat = false))
+    val reasons = excluded.groupBy("filter_reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons.keySet == Set("meta_robots", "host_cap"))
+    // every noindex page rejected with ITS reason (meta stage runs first)
+    assert(reasons("meta_robots") == docs.filter(col("doc_id") % 11 === 0).count())
+    // cap binds per host over the meta survivors: exactly 4 kept per host
+    val perHost = kept.groupBy(graft.operators.Urls.urlHost(col("url")))
+      .count().collect().map(_.getLong(1))
+    assert(perHost.nonEmpty && perHost.forall(_ == 4))
+    // winners are the longest texts (lower-id ties) among survivors
+    val h0Survivors = docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), length(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, n) => (-n, id) }.take(4).map(_._1).toSet
+    val h0Kept = kept.filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(h0Kept == h0Survivors)
+  }
+
   test("per-language sweep applies each language's own config with a default fallback") {
     val docs = annotated
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
