@@ -240,6 +240,39 @@ object Layout {
     * source (prompt-/domain-sized groups, the q3_window contract) +
     * [[denseIds]] on (rank, source) — one sampled range shuffle,
     * never a single-partition global window. Ties rank by `idCol`. */
+  /** In-context-pretraining order (Shi et al. 2024, "In-Context
+    * Pretraining: Language Modeling Beyond Document Boundaries"):
+    * order the training stream so semantically RELATED documents sit
+    * adjacent, letting packed sequences cross document boundaries
+    * with coherent context instead of random splices. The paper
+    * builds a kNN traveling path; at corpus scale the grouping
+    * benefit is captured by a coarse-quantizer CELL as the locality
+    * key — same-cell docs are near neighbors by construction — so
+    * this is ONE narrow assignment pass over the embeddings plus the
+    * [[denseIds]] range shuffle: no pair graph, no iterative
+    * ordering, the 100 TB-viable shape. Returns (id, cell,
+    * `outCol`) with positions dense over (cell, id).
+    * `centroidsOverride` = the oracle-parity decimal path;
+    * production sample-fits via [[Similarity.ivfFitCentroids]]. */
+  def icpOrder(
+      vecs: DataFrame, // id, vec
+      vecCol: String,
+      idCol: String,
+      nCells: Int = 64,
+      fitSampleSize: Int = 100000,
+      centroidsOverride: Option[Array[Array[Double]]] = None,
+      outCol: String = "train_order"): DataFrame = {
+    val decimal = centroidsOverride.isDefined
+    val cents = centroidsOverride.getOrElse(
+      Similarity.ivfFitCentroids(
+        vecs.select(col(idCol).as("id"), col(vecCol).as("vec")), nCells, fitSampleSize))
+    denseIds(
+      vecs.withColumn("cell",
+        Similarity.nearestCentroid(col(vecCol), cents, decimal).cast("int")),
+      Seq(col("cell"), col(idCol)), outCol)
+      .select(col(idCol), col("cell"), col(outCol))
+  }
+
   def curriculumOrder(
       df: DataFrame,
       idCol: String,
@@ -399,5 +432,34 @@ object Layout {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       denseIds(Tables(s, dir, "documents").select("doc_id"), Seq(col("doc_id")))
         .orderBy("doc_id")
+    },
+
+    // ICP order with an INJECTED quantizer (the pinned-centroid
+    // pattern): cells = decimal argmin against the first 8 widened
+    // embeddings, order = dense positions over (cell, id) — the
+    // oracle replays assignment and the rank in one window.
+    Gate(
+      "op_icp_order", {
+        val dist = s"${Similarity.sqlDecDot("cents.cv", "cents.cv")}" +
+          s" - 2.0 * ${Similarity.sqlDecDot("e.embedding", "cents.cv")}"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |d AS (SELECT e.vec_id, cents.cid, $dist AS dd FROM embeddings e, cents),
+           |r AS (SELECT vec_id, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d),
+           |cell AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1)
+           |SELECT vec_id, CAST(cell AS INT) AS cell,
+           |  CAST(row_number() OVER (ORDER BY cell, vec_id) - 1 AS BIGINT) AS train_order
+           |FROM cell ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      icpOrder(emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "vec", "id", centroidsOverride = Some(cents))
+        .select(col("id").as("vec_id"), col("cell"), col("train_order"))
+        .orderBy("vec_id")
     })
 }

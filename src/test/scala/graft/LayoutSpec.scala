@@ -118,4 +118,30 @@ class LayoutSpec extends SparkSpec {
     val tailByPos = out.filter(_._2 == 1).sortBy(_._3).map(_._1).toSeq
     assert(tailByPos != tailByPos.sorted)
   }
+
+  test("icpOrder groups same-cell docs contiguously; sample-fit path is deterministic") {
+    import graft.operators.Layout
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = Layout.icpOrder(emb, "vec", "id", nCells = 8, fitSampleSize = 500)
+    val rows = out.orderBy("train_order")
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("train_order")))
+    // positions are dense 0..n-1
+    assert(rows.map(_._2).toSeq == rows.indices.map(_.toLong))
+    // cells form contiguous runs in training order (the ICP property):
+    // once a cell ends it never reappears later in the stream
+    val cellRuns = rows.map(_._1).foldLeft(Vector.empty[Int]) {
+      case (acc, c) if acc.lastOption.contains(c) => acc
+      case (acc, c) => acc :+ c
+    }
+    assert(cellRuns.distinct.size == cellRuns.size,
+      s"cells interleave in training order: $cellRuns")
+    assert(cellRuns.size > 1, "expected more than one cell")
+    // same inputs → same order (LCG sample + ordered fit + denseIds)
+    val again = Layout.icpOrder(emb, "vec", "id", nCells = 8, fitSampleSize = 500)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val first = out.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq == first.toSeq)
+    Caches.releaseAll()
+  }
 }
