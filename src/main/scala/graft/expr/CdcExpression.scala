@@ -2,6 +2,7 @@ package graft.expr
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -90,6 +91,15 @@ object CdcKernel {
 /** (string, int w, int mask) → array<string> chunk md5s, codegen'd. */
 case class CdcChunks(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression {
+  // wrong-typed args fail at ANALYSIS time, not with a runtime
+  // ClassCastException mid-scan (same contract as UnigramEncode)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(StringType, IntegerType, IntegerType)
+    val got = children.map(_.dataType)
+    if (got == want) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_chunks expects (string, int, int), got (${got.mkString(", ")})")
+  }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(t: Any, w: Any, m: Any): Any =

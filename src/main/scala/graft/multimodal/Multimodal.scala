@@ -319,7 +319,9 @@ object Multimodal {
     while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
       val t = tag(i)
       val sz = u32le(i + 4)
-      if (t == "fmt " && i + 8 + 16 <= b.length) {
+      // the chunk must DECLARE >= 16 bytes: a truncated fmt chunk would
+      // otherwise silently read the next chunk's header as format fields
+      if (t == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
         channels = u16le(i + 10)
         rate = u32le(i + 12).toInt
         bits = u16le(i + 22)

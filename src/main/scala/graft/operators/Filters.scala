@@ -88,10 +88,14 @@ object Filters {
     * case-insensitive, quote style free; narrow codegen rlike, no
     * UDF. NULL html → false (a missing page can't opt out). */
   def hasMetaNoindex(html: Column): Column = {
+    // The name token must be exactly "robots": quoted, or unquoted but
+    // terminated by whitespace / '/' / '>' — name="robotstxt" is a
+    // DIFFERENT directive target and must not drop the page.
+    val robotsName = "([\"']robots[\"']|robots[\\s/>])"
     val nameFirst =
-      "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
+      s"(?is)<meta\\b[^>]*name\\s*=\\s*$robotsName[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
     val contentFirst =
-      "(?is)<meta\\b[^>]*content\\s*=\\s*[\"'][^\"']*noindex[^\"']*[\"'][^>]*name\\s*=\\s*[\"']?robots"
+      s"(?is)<meta\\b[^>]*content\\s*=\\s*[\"'][^\"']*noindex[^\"']*[\"'][^>]*name\\s*=\\s*$robotsName"
     coalesce(html.rlike(nameFirst) || html.rlike(contentFirst), lit(false))
   }
 
@@ -186,8 +190,8 @@ object Filters {
            |    ELSE '<html><body>' || text || '</body></html>' END AS page
            |  FROM documents)
            |SELECT doc_id FROM p
-           |WHERE NOT (regexp_matches(page, '(?is)<meta\\b[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*content\\s*=\\s*["''][^"'']*noindex')
-           |        OR regexp_matches(page, '(?is)<meta\\b[^>]*content\\s*=\\s*["''][^"'']*noindex[^"'']*["''][^>]*name\\s*=\\s*["'']?robots'))
+           |WHERE NOT (regexp_matches(page, '(?is)<meta\\b[^>]*name\\s*=\\s*(["'']robots["'']|robots[\\s/>])[^>]*content\\s*=\\s*["''][^"'']*noindex')
+           |        OR regexp_matches(page, '(?is)<meta\\b[^>]*content\\s*=\\s*["''][^"'']*noindex[^"'']*["''][^>]*name\\s*=\\s*(["'']robots["'']|robots[\\s/>])'))
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       val page = when(col("doc_id") % 4 === 0,

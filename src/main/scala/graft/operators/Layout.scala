@@ -240,6 +240,20 @@ object Layout {
     * source (prompt-/domain-sized groups, the q3_window contract) +
     * [[denseIds]] on (rank, source) — one sampled range shuffle,
     * never a single-partition global window. Ties rank by `idCol`. */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: Column,
+      sourceCol: String,
+      outCol: String = "curriculum_pos"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(difficultyCol.asc, col(idCol).asc)
+    denseIds(
+      df.withColumn("__cr", row_number().over(w)),
+      Seq(col("__cr"), col(sourceCol)), outCol)
+      .drop("__cr")
+  }
+
   /** In-context-pretraining order (Shi et al. 2024, "In-Context
     * Pretraining: Language Modeling Beyond Document Boundaries"):
     * order the training stream so semantically RELATED documents sit
@@ -271,20 +285,6 @@ object Layout {
         Similarity.nearestCentroid(col(vecCol), cents, decimal).cast("int")),
       Seq(col("cell"), col(idCol)), outCol)
       .select(col(idCol), col("cell"), col(outCol))
-  }
-
-  def curriculumOrder(
-      df: DataFrame,
-      idCol: String,
-      difficultyCol: Column,
-      sourceCol: String,
-      outCol: String = "curriculum_pos"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(difficultyCol.asc, col(idCol).asc)
-    denseIds(
-      df.withColumn("__cr", row_number().over(w)),
-      Seq(col("__cr"), col(sourceCol)), outCol)
-      .drop("__cr")
   }
 
   /** Padding-waste profile for sequence-length bucketed batching:

@@ -267,4 +267,32 @@ class MixtureSpec extends SparkSpec {
     // draws actually vary across anchors (not a constant)
     assert(rows.map(_._3).distinct.length > 10)
   }
+
+  test("quantileBins exact=false (approx_percentile) lands within tolerance of exact") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 997).toDouble)).toDF("id", "score")
+    val exact = operators.Mixture.quantileBins(df, "score", k = 5, exact = true)
+      .groupBy("bin").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val approx = operators.Mixture.quantileBins(df, "score", k = 5, exact = false)
+      .groupBy("bin").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == Set(0, 1, 2, 3, 4))
+    // at 1e-4 relative error on 2000 distinct-ish scores the per-bin
+    // counts may shift by a handful of edge rows, never by a bin's worth
+    for (b <- 0 until 5)
+      assert(math.abs(approx(b) - exact(b)) <= 40,
+        s"bin $b: approx ${approx(b)} vs exact ${exact(b)}")
+  }
+
+  test("annealOrder exact=false threshold lands within tolerance of exact") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, (i % 1000).toDouble)).toDF("id", "score")
+    def annealCount(exact: Boolean): Long =
+      operators.Layout.annealOrder(df, "id", "score", annealFrac = 0.2, exact = exact)
+        .filter(col("anneal") === 1).count()
+    val e = annealCount(exact = true)
+    val a = annealCount(exact = false)
+    // 20% of 2000 = 400 rows annealed; the approx threshold may move
+    // the cut by a few duplicate-score rows only
+    assert(math.abs(a - e) <= 20, s"approx anneal count $a vs exact $e")
+  }
 }

@@ -498,6 +498,12 @@ class PropertySpec extends SparkSpec {
     assert(!f("""<meta name="robots" content="index,follow">"""))
     // a non-robots meta mentioning noindex is NOT an opt-out
     assert(!f("""<meta name="viewport" content="noindex-like">"""))
+    // name merely STARTING with 'robots' is a different directive target
+    assert(!f("""<meta name="robotstxt" content="noindex">"""))
+    assert(!f("""<meta name=robotstxt content="noindex">"""))
+    assert(!f("""<meta content="noindex" name="robots-extra">"""))
+    // unquoted exact name terminated by '>' or '/' still matches
+    assert(f("""<meta content="noindex" name=robots/>"""))
     assert(!f("""<meta name="viewport" content="width=device-width">"""))
     assert(!f("plain text, no meta at all"))
     val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "h")
