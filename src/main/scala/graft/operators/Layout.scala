@@ -266,7 +266,7 @@ object Layout {
     * [[denseIds]] range shuffle: no pair graph, no iterative
     * ordering, the 100 TB-viable shape. Returns (id, cell,
     * `outCol`) with positions dense over (cell, id).
-    * `centroidsOverride` = the oracle-parity decimal path;
+    * `centroidsOverride` = the pinned-quantizer oracle path;
     * production sample-fits via [[Similarity.ivfFitCentroids]]. */
   def icpOrder(
       vecs: DataFrame, // id, vec
@@ -276,13 +276,12 @@ object Layout {
       fitSampleSize: Int = 100000,
       centroidsOverride: Option[Array[Array[Double]]] = None,
       outCol: String = "train_order"): DataFrame = {
-    val decimal = centroidsOverride.isDefined
     val cents = centroidsOverride.getOrElse(
       Similarity.ivfFitCentroids(
         vecs.select(col(idCol).as("id"), col(vecCol).as("vec")), nCells, fitSampleSize))
     denseIds(
       vecs.withColumn("cell",
-        Similarity.nearestCentroid(col(vecCol), cents, decimal).cast("int")),
+        Similarity.nearestCentroid(col(vecCol), cents).cast("int")),
       Seq(col("cell"), col(idCol)), outCol)
       .select(col(idCol), col("cell"), col(outCol))
   }
@@ -435,13 +434,13 @@ object Layout {
     },
 
     // ICP order with an INJECTED quantizer (the pinned-centroid
-    // pattern): cells = decimal argmin against the first 8 widened
-    // embeddings, order = dense positions over (cell, id) — the
+    // pattern): cells = sequential-double argmin against the first 8
+    // widened embeddings, order = dense positions over (cell, id) — the
     // oracle replays assignment and the rank in one window.
     Gate(
       "op_icp_order", {
-        val dist = s"${Similarity.sqlDecDot("cents.cv", "cents.cv")}" +
-          s" - 2.0 * ${Similarity.sqlDecDot("e.embedding", "cents.cv")}"
+        val dist = s"${Similarity.sqlSeqDot("cents.cv", "cents.cv")}" +
+          s" - 2.0 * ${Similarity.sqlSeqDot("e.embedding", "cents.cv")}"
         s"""WITH cents AS (
            |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
            |  FROM embeddings WHERE vec_id < 8),

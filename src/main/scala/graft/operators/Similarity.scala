@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * table.
   *
   * Scale design:
-  *  - Cosine math runs as codegen'd higher-order array folds; the
-  *    deterministic (decimal-accumulated) variant is reserved for the
-  *    final verify stage, a cheap double-precision pass prunes first.
+  *  - Cosine math is ONE codegen'd sequential-double kernel per pair
+  *    (self-norms hoisted to per-row columns), deterministic per row
+  *    and replayed bit-for-bit by DuckDB's list_reduce — no separate
+  *    decimal "parity twin" path.
   *  - Near-dup candidate generation is random-hyperplane LSH: only
   *    same-signature buckets are joined, so the shuffled payload is
   *    (signature, id, vector), and the quadratic blow-up is confined
@@ -46,6 +47,32 @@ object Similarity {
   def decCosine(a: Column, b: Column): Column =
     decDot(a, b) / (sqrt(decDot(a, a)) * sqrt(decDot(b, b)))
 
+  /** Sequential plain-double dot — the codegen `graft_fastdot` kernel
+    * as a column. Per row the fold is strictly LEFT-TO-RIGHT over the
+    * element index, so for fixed inputs the result is ONE
+    * deterministic IEEE double — and DuckDB's `list_reduce` replays
+    * the identical multiplies and adds in the identical order
+    * ([[sqlSeqDot]]; bit-parity pinned in SimilaritySpec). That makes
+    * this oracle-parity WITHOUT the ~20× arithmetic cost of the
+    * decimal fold. The decimal kernel ([[decDot]]) remains for
+    * order-INDEPENDENT folds (grouped sums, PCA stats) where Spark's
+    * partial-aggregation order is nondeterministic; a per-row dot has
+    * a fixed order and needs none of it. */
+  def seqDot(a: Column, b: Column): Column = call_function("graft_fastdot", a, b)
+
+  /** Per-row self-norm sqrt(seqDot(v,v)) — hoist THIS to a column on
+    * each side BEFORE a pair join, then score with
+    * [[seqCosineHoisted]]: the norm is computed once per ROW instead
+    * of once per candidate PAIR, and the oracle replays the same
+    * sqrt of the same sequential dot. */
+  def seqNorm(v: Column): Column = sqrt(seqDot(v, v))
+
+  /** Pair score from pre-hoisted norms: seqDot(a,b) / (na·nb) —
+    * value-identical to the single-loop `graft_fastcos` kernel
+    * (independent accumulators, same order) and to [[sqlSeqCosine]]. */
+  def seqCosineHoisted(a: Column, b: Column, na: Column, nb: Column): Column =
+    seqDot(a, b) / (na * nb)
+
   /** Fast double-precision cosine for pruning (order-dependent — never
     * compared against an oracle, only used with a margin). Codegen'd
     * kernel ([[graft.expr.FastCos]]). */
@@ -62,7 +89,7 @@ object Similarity {
   def hyperplaneSig(v: Column, nPlanes: Int): Column =
     concat((0 until nPlanes).map { k =>
       val w = array(hyperplane(k).toIndexedSeq.map(lit): _*)
-      when(decDot(v, w) >= 0, lit("1")).otherwise(lit("0"))
+      when(seqDot(v, w) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /** DuckDB expression mirroring [[decDot]] for FLOAT[]/DOUBLE[]. */
@@ -73,10 +100,25 @@ object Similarity {
   def sqlDecCosine(aExpr: String, bExpr: String): String =
     s"(${sqlDecDot(aExpr, bExpr)} / (sqrt(${sqlDecDot(aExpr, aExpr)}) * sqrt(${sqlDecDot(bExpr, bExpr)})))"
 
+  /** DuckDB twin of [[seqDot]]: `list_reduce` folds strictly
+    * left-to-right ((x₁·y₁ + x₂·y₂) + x₃·y₃ …), the same IEEE adds in
+    * the same order as the JVM kernel loop, and the float→double
+    * widening cast is exact in both engines — so the replay is
+    * bit-identical without any decimal accumulation. `off` supports
+    * subspace dots over a slice starting at element `off + 1`. */
+  def sqlSeqDot(aExpr: String, bExpr: String, n: Int = Dim, off: Int = 0): String = {
+    val idx = if (off > 0) s"$off + i" else "i"
+    s"list_reduce(list_transform(range(1, ${n + 1}), " +
+      s"i -> ($aExpr)[$idx]::DOUBLE * ($bExpr)[$idx]::DOUBLE), (x, y) -> x + y)"
+  }
+
+  def sqlSeqCosine(aExpr: String, bExpr: String): String =
+    s"(${sqlSeqDot(aExpr, bExpr)} / (sqrt(${sqlSeqDot(aExpr, aExpr)}) * sqrt(${sqlSeqDot(bExpr, bExpr)})))"
+
   def sqlHyperplaneSig(vExpr: String, nPlanes: Int): String =
     (0 until nPlanes).map { k =>
       val w = hyperplane(k).toIndexedSeq.map(x => f"$x%.4f").mkString("[", ",", "]")
-      s"CASE WHEN ${sqlDecDot(vExpr, w)} >= 0 THEN '1' ELSE '0' END"
+      s"CASE WHEN ${sqlSeqDot(vExpr, w)} >= 0 THEN '1' ELSE '0' END"
     }.mkString("(", " || ", ")")
 
   // ---- operators ----
@@ -91,12 +133,15 @@ object Similarity {
       pruneMargin: Double = 0.01): DataFrame = {
     val sigs = graft.Caches.persist(vecs
       .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("sig", hyperplaneSig(col("vec"), nPlanes)))
+      .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
+      .withColumn("__n", seqNorm(col("vec"))))
     sigs.as("x")
       .join(sigs.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .filter(fastCosine(col("x.vec"), col("y.vec")) >= threshold - pruneMargin)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Cols.pround(decCosine(col("x.vec"), col("y.vec")), 4).as("cosine"))
+        Cols.pround(
+          seqCosineHoisted(col("x.vec"), col("y.vec"), col("x.__n"), col("y.__n")),
+          4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -131,10 +176,11 @@ object Similarity {
       k: Int): DataFrame = {
     val scored = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(queries))
+      .withColumn("__nv", seqNorm(col("vec")))
+      .crossJoin(broadcast(queries.withColumn("__nq", seqNorm(col("qvec")))))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        decCosine(col("qvec"), col("vec")).as("cos"))
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
     groupedTopK(scored, k)
   }
 
@@ -148,11 +194,14 @@ object Similarity {
       k: Int,
       nPlanes: Int = 4): DataFrame = {
     val qs = queries.withColumn("qsig", hyperplaneSig(col("qvec"), nPlanes))
+      .withColumn("__nq", seqNorm(col("qvec")))
     val cs = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sig", hyperplaneSig(col("vec"), nPlanes))
+      .withColumn("__nv", seqNorm(col("vec")))
     val scored = cs.join(broadcast(qs), col("sig") === col("qsig") && col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), decCosine(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"),
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
     groupedTopK(scored, k)
   }
 
@@ -251,18 +300,15 @@ object Similarity {
       fitSampleSize: Int = 100000,
       centroidsOverride: Option[Array[Array[Double]]] = None): DataFrame = {
     // `centroidsOverride` injects a fixed quantizer (the oracle-gated
-    // path — k-means itself is not SQL-expressible) and flips every
-    // dot product to the decimal oracle-parity kernel; production
-    // leaves it None for the sample-fit + fast-double path.
-    val decimal = centroidsOverride.isDefined
+    // path — k-means itself is not SQL-expressible); production
+    // leaves it None for the sample-fit path. Either way every dot is
+    // the sequential-double kernel the oracle replays bit-for-bit.
     val centroids = centroidsOverride.getOrElse(
       ivfFitCentroids(corpus, nCells, fitSampleSize))
     // Cell assignment and query probing are pure column expressions
     // over literal centroids (no UDF, no MLlib transform) — see
-    // [[centroidRank]]. Production uses the plain-double dot kernel: a
-    // per-row double fold is deterministic for fixed inputs (fixed
-    // accumulation order) — the decimal kernel only buys oracle
-    // parity, at ~20× the arithmetic on this full-corpus hot path.
+    // [[centroidRank]]: the sequential-double dot is deterministic per
+    // row (fixed fold order) and oracle-replayable via list_reduce.
     // repartition: a single-file corpus scan is one partition, and a
     // broadcast join preserves it — without the spread, ALL scoring
     // below would run on one core (cost: one round-robin shuffle of
@@ -271,22 +317,22 @@ object Similarity {
     val corpusCells = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("cell",
-        element_at(centroidRank(col("vec"), centroids, decimal), 1).getField("i"))
+        element_at(centroidRank(col("vec"), centroids), 1).getField("i"))
     val qs = queries
       .withColumn("cells", transform(
-        slice(centroidRank(col("qvec"), centroids, decimal), 1, nProbe),
+        slice(centroidRank(col("qvec"), centroids), 1, nProbe),
         s => s.getField("i")))
       .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
 
-    // Production scores with fastCosine, not the decimal kernel: IVF
-    // is an approximate method, and per-PAIR double cosine is
-    // deterministic for fixed inputs (the decimal fold only buys
-    // oracle parity, at ~20× the arithmetic cost). The pinned gate
-    // flips to the decimal kernel so DuckDB reproduces every bit.
-    val score: (Column, Column) => Column = if (decimal) decCosine else fastCosine
-    val scored = corpusCells.join(broadcast(qs), Seq("cell"))
+    // Sequential-double scoring with hoisted norms: per-pair cost is
+    // ONE 64-element dot (each side's norm is a per-row column), and
+    // the oracle replays every bit via list_reduce — no decimal
+    // kernel, no separate "parity twin" code path.
+    val scored = corpusCells.withColumn("__nv", seqNorm(col("vec")))
+      .join(broadcast(qs.withColumn("__nq", seqNorm(col("qvec")))), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), score(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"),
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
     // no dedupe needed: each corpus row lives in exactly one cell, so
     // a (qid, id) pair joins at most once even with multi-cell probes
     groupedTopK(scored, k)
@@ -305,9 +351,10 @@ object Similarity {
     * exchange; swap the brute-force scorer for the LSH/IVF bucketed
     * ones at scale); the μk tables are one row per participating
     * vector and broadcast back onto the candidate list. Exact and
-    * oracle-reproducible: cosines are the decimal kernel, means
-    * decimal-accumulate, and the margin division is IEEE-exact on
-    * identical inputs. */
+    * oracle-reproducible: cosines are the sequential-double kernel
+    * (list_reduce replay), the μ means decimal-accumulate (a grouped
+    * sum IS order-dependent), and the margin division is IEEE-exact
+    * on identical inputs. */
   def marginKnnBest(
       src: DataFrame, // qid, qvec
       tgt: DataFrame, // id, vec
@@ -342,18 +389,19 @@ object Similarity {
   // ---- SemDeDup (semantic dedup) ----
 
   /** Unit-normalize a vector with exactly-portable arithmetic: the
-    * decimal dot gives both engines the identical ‖v‖², and IEEE
-    * sqrt/divide are correctly rounded, so every component matches
-    * bit-for-bit cross-engine. Zero vectors pass through unscaled. */
+    * sequential dot gives both engines the identical ‖v‖²
+    * ([[seqDot]]/[[sqlSeqDot]]), and IEEE sqrt/divide are correctly
+    * rounded, so every component matches bit-for-bit cross-engine.
+    * Zero vectors pass through unscaled. */
   def unitNormalize(v: Column): Column =
-    graft.Cols.bind(decDot(v, v)) { n2 =>
+    graft.Cols.bind(seqDot(v, v)) { n2 =>
       when(n2 === 0.0, v).otherwise(
         graft.Cols.bind(sqrt(n2))(nrm => transform(v, x => x / nrm)))
     }
 
   /** SQL twin of [[unitNormalize]] over a DOUBLE[] expression. */
   def sqlUnitNormalize(vExpr: String): String = {
-    val n2 = sqlDecDot(vExpr, vExpr)
+    val n2 = sqlSeqDot(vExpr, vExpr)
     s"(CASE WHEN $n2 = 0.0 THEN $vExpr " +
       s"ELSE [x / sqrt($n2) FOR x IN $vExpr] END)"
   }
@@ -365,24 +413,22 @@ object Similarity {
     * dropping it from BOTH engines — the oracle ranks by the same
     * two-dot expression — preserves the ordering and the exact doubles
     * compared); ‖c‖² in-engine so it constant-folds to the identical
-    * double the oracle computes. `decimal = true` uses the decimal dot
-    * kernel (oracle-parity, ~20× the arithmetic); production paths use
-    * the fast double kernel. */
+    * double the oracle computes. The sequential-double kernel is both
+    * the production AND the oracle-parity path ([[seqDot]] /
+    * [[sqlSeqDot]] replay each other bit-for-bit), so there is no
+    * dual-kernel mode. */
   private[operators] def centroidRank(
-      v: Column, centroids: Array[Array[Double]], decimal: Boolean): Column = {
-    def dot(a: Column, b: Column): Column =
-      if (decimal) decDot(a, b) else call_function("graft_fastdot", a, b)
+      v: Column, centroids: Array[Array[Double]]): Column =
     array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.toIndexedSeq.map(lit): _*)
-      struct((dot(cLit, cLit) - lit(2.0) * dot(v, cLit)).as("d"),
+      struct((seqDot(cLit, cLit) - lit(2.0) * seqDot(v, cLit)).as("d"),
         lit(i).as("i"))
     }.toIndexedSeq: _*))
-  }
 
   /** Nearest-centroid index over literal centroids. */
   private[operators] def nearestCentroid(
-      v: Column, centroids: Array[Array[Double]], decimal: Boolean): Column =
-    element_at(centroidRank(v, centroids, decimal), 1).getField("i")
+      v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(centroidRank(v, centroids), 1).getField("i")
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): k-means-cluster
@@ -421,7 +467,6 @@ object Similarity {
     val unit = graft.Caches.persist(
       vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
         .select(col("id"), unitNormalize(transform(col("vec"), _.cast("double"))).as("u")))
-    val decimal = centroidsOverride.isDefined
     val centroids = centroidsOverride.getOrElse {
       val n = unit.count()
       val k =
@@ -434,10 +479,11 @@ object Similarity {
         sampled.orderBy("id").collect().map(_.getSeq[Double](1).toArray), k)
     }
     // persist the ASSIGNED frame: the self-join below evaluates both
-    // sides, and without this each side re-runs the (decimal, in the
-    // gate path) centroid ranking over the whole corpus
+    // sides, and without this each side re-runs the centroid ranking
+    // over the whole corpus
     val cells = graft.Caches.persist(
-      unit.withColumn("cell", nearestCentroid(col("u"), centroids, decimal)))
+      unit.withColumn("cell", nearestCentroid(col("u"), centroids))
+        .withColumn("__n", seqNorm(col("u"))))
     // capacity guard: one narrow count-by-cell pass over the persisted
     // frame (≤ #centroids rows to the driver) before committing to the
     // quadratic join — a hot cell means the quantizer under-split.
@@ -460,7 +506,9 @@ object Similarity {
       .join(cells.as("y"), col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .filter(fastCosine(col("x.u"), col("y.u")) >= threshold - 0.01)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Cols.pround(decCosine(col("x.u"), col("y.u")), 4).as("cosine"))
+        Cols.pround(
+          seqCosineHoisted(col("x.u"), col("y.u"), col("x.__n"), col("y.__n")),
+          4).as("cosine"))
       .filter(col("cosine") >= threshold)
     Clusters.clusterDedup(vecs, pairs, "id_a", "id_b", "id")
   }
@@ -474,7 +522,7 @@ object Similarity {
     * nProbe cells becomes a parquet partition-pruned scan that reads
     * only those cells' files, ~nProbe/nCells of the index bytes, no
     * matter how large the corpus. `centroidsOverride` flips the
-    * oracle-parity decimal assignment (the ivfTopK pattern);
+    * pinned-quantizer assignment (the ivfTopK pattern);
     * production sample-fits and assigns with the fast-double
     * kernel. */
   def writeIvfIndex(
@@ -485,14 +533,13 @@ object Similarity {
       centroidsOverride: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val decimal = centroidsOverride.isDefined
     val cents = centroidsOverride.getOrElse(ivfFitCentroids(corpus, nCells, fitSampleSize))
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cid", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     corpus
       .withColumn("cell",
-        element_at(centroidRank(col("vec"), cents, decimal), 1).getField("i"))
+        element_at(centroidRank(col("vec"), cents), 1).getField("i"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -512,26 +559,26 @@ object Similarity {
     * set (≤ nq·nProbe values — an IN-list literal, so Catalyst turns
     * it into parquet PARTITION pruning and untouched cells' files
     * are never opened), broadcast the probes, score, bounded-heap
-    * top-k. Same scoring/tie rules as [[ivfTopK]]; `decimal = true`
-    * is the oracle-parity path. */
+    * top-k. Same scoring/tie rules as [[ivfTopK]] — the
+    * sequential-double kernel is already oracle-parity. */
   def ivfTopKFromIndex(
       queries: DataFrame, // qid, qvec
       centroids: Array[Array[Double]],
       vectors: DataFrame, // id, vec, cell
       k: Int,
-      nProbe: Int = 4,
-      decimal: Boolean = false): DataFrame = {
+      nProbe: Int = 4): DataFrame = {
     val qs = queries
       .withColumn("cells", transform(
-        slice(centroidRank(col("qvec"), centroids, decimal), 1, nProbe),
+        slice(centroidRank(col("qvec"), centroids), 1, nProbe),
         s => s.getField("i")))
       .select(col("qid"), col("qvec"), explode(col("cells")).as("cell"))
     val probed = qs.select("cell").distinct().collect().map(_.get(0))
     val pruned = vectors.filter(col("cell").isin(probed: _*))
-    val score: (Column, Column) => Column = if (decimal) decCosine else fastCosine
-    val scored = pruned.join(broadcast(qs), Seq("cell"))
+    val scored = pruned.withColumn("__nv", seqNorm(col("vec")))
+      .join(broadcast(qs.withColumn("__nq", seqNorm(col("qvec")))), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), score(col("qvec"), col("vec")).as("cos"))
+      .select(col("qid"), col("id"),
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
     groupedTopK(scored, k)
   }
 
@@ -564,9 +611,9 @@ object Similarity {
     val rows = cents.zipWithIndex
       .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
       .mkString(", ")
-    val distC = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("corpus.vec", "cents.cv")}"
-    val distQ = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("qs.qvec", "cents.cv")}"
-    val cos = sqlDecCosine("p.qvec", "c.vec")
+    val distC = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("corpus.vec", "cents.cv")}"
+    val distQ = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("qs.qvec", "cents.cv")}"
+    val cos = sqlSeqCosine("p.qvec", "c.vec")
     s"""WITH cents AS (
        |  SELECT cid, [x::DOUBLE FOR x IN cv] AS cv
        |  FROM (VALUES $rows) t(cid, cv)),
@@ -715,7 +762,7 @@ object Similarity {
       val sub = slice(vec, j * subdim + 1, subdim)
       val cands = book.zipWithIndex.map { case (c, ci) =>
         val cl = array(c.toIndexedSeq.map(lit): _*)
-        struct((decDot(cl, cl) - lit(2.0) * decDot(sub, cl)).as("d"),
+        struct((seqDot(cl, cl) - lit(2.0) * seqDot(sub, cl)).as("d"),
           lit(ci).as("cid"))
       }
       array_min(array(cands.toIndexedSeq: _*)).getField("cid")
@@ -745,7 +792,7 @@ object Similarity {
       val qsub = slice(col("qvec"), j * subdim + 1, subdim)
       array(book.map { c =>
         val cl = array(c.toIndexedSeq.map(lit): _*)
-        decDot(cl, cl) - lit(2.0) * decDot(qsub, cl)
+        seqDot(cl, cl) - lit(2.0) * seqDot(qsub, cl)
       }.toIndexedSeq: _*).as(s"qt$j")
     }
     val qs = queries.select(col("qid") +: qTables.toIndexedSeq: _*)
@@ -895,7 +942,7 @@ object Similarity {
       "rpt_ann_recall", {
         val sigQ = sqlHyperplaneSig("q.embedding", 4)
         val sigC = sqlHyperplaneSig("c.embedding", 4)
-        val cosQ = sqlDecCosine("q.embedding", "c.embedding")
+        val cosQ = sqlSeqCosine("q.embedding", "c.embedding")
         s"""WITH bfs AS (
            |  SELECT q.vec_id AS qid, c.vec_id AS id, $cosQ AS cos
            |  FROM embeddings q JOIN embeddings c
@@ -937,7 +984,7 @@ object Similarity {
 
     Gate(
       "dedup_embed_cosine", {
-        val cos = sqlDecCosine("a.vec", "b.vec")
+        val cos = sqlSeqCosine("a.vec", "b.vec")
         s"""WITH vecs AS ($SqlPlantedVecs)
            |SELECT a.id AS id_a, b.id AS id_b,
            |  ${Cols.proundSql(cos, 4)} AS cosine
@@ -951,7 +998,7 @@ object Similarity {
 
     Gate(
       "ann_topk_bruteforce", {
-        val cos = sqlDecCosine("q.embedding", "c.embedding")
+        val cos = sqlSeqCosine("q.embedding", "c.embedding")
         s"""WITH scored AS (
            |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
            |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
@@ -975,7 +1022,7 @@ object Similarity {
       "ann_topk_lsh", {
         val sigQ = sqlHyperplaneSig("q.embedding", 4)
         val sigC = sqlHyperplaneSig("c.embedding", 4)
-        val cos = sqlDecCosine("q.embedding", "c.embedding")
+        val cos = sqlSeqCosine("q.embedding", "c.embedding")
         s"""WITH scored AS (
            |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
            |  FROM embeddings q JOIN embeddings c
@@ -1004,9 +1051,9 @@ object Similarity {
     Gate(
       "dedup_semantic", {
         val norm = sqlUnitNormalize("vec")
-        val dist = s"${sqlDecDot("cents.cu", "cents.cu")}" +
-          s" - 2.0 * ${sqlDecDot("nv.u", "cents.cu")}"
-        val cos = sqlDecCosine("x.u", "y.u")
+        val dist = s"${sqlSeqDot("cents.cu", "cents.cu")}" +
+          s" - 2.0 * ${sqlSeqDot("nv.u", "cents.cu")}"
+        val cos = sqlSeqCosine("x.u", "y.u")
         s"""WITH RECURSIVE vecs AS ($SqlPlantedVecs),
            |nv AS (SELECT id, $norm AS u FROM vecs),
            |cents AS (SELECT id AS cid, u AS cu FROM nv WHERE id < 8),
@@ -1026,7 +1073,7 @@ object Similarity {
       }) { (s, dir) =>
       val vecs = plantedVecs(Tables(s, dir, "embeddings"))
       // centroids = the first 8 normalized vectors, computed BY THE
-      // ENGINE's decimal-normalize so the collected doubles are
+      // ENGINE's unitNormalize so the collected doubles are
       // bit-identical to what the oracle's SQL normalization produces
       val cents = vecs.filter(col("id") < 8)
         .select(col("id"), unitNormalize(col("vec")).as("u"))
@@ -1042,7 +1089,7 @@ object Similarity {
     // deterministic, so the LEARNED centroids export into the oracle
     // as literals (Double.toString round-trips exactly through
     // DuckDB's correctly-rounded parse) and assignment/probe/score
-    // replay bit-for-bit with the decimal kernel. The pinned gate
+    // replay bit-for-bit with the sequential kernel. The pinned gate
     // below covers the same machinery with hand-injected centroids;
     // recall vs brute force stays pinned in SimilaritySpec.
     Gate.lazyOracle("ann_topk_ivf") {
@@ -1060,7 +1107,7 @@ object Similarity {
       val emb = Tables(s, dir, "embeddings")
       // centroids from the REAL bounded-sample fit (fitSampleSize
       // below the corpus size so genuine sampling happens), passed as
-      // the override so scoring flips to the oracle-parity decimal
+      // the override pins the quantizer; scoring is the same seq
       // kernel the exported literals can reproduce
       val cents = ivfGateCentroids(s, dir)
       ivfTopK(
@@ -1095,22 +1142,22 @@ object Similarity {
       ivfTopKFromIndex(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        rc, vecs, k = 3, nProbe = 4, decimal = true)
+        rc, vecs, k = 3, nProbe = 4)
         .orderBy("qid", "rank")
     },
 
     // IVF with an INJECTED quantizer (the centroidsOverride pattern
     // dedup_semantic proved): centroids = the first 8 embeddings
     // widened to double, so cell assignment, nProbe probing, and
-    // decimal-cosine scoring are all SQL-expressible and the whole
+    // seq-cosine scoring are all SQL-expressible and the whole
     // IVF pipeline hash-checks against DuckDB. Cell ids: engine
     // centroid index i equals oracle cid because the centroids are
     // collected in vec_id order over the contiguous ids 0..7.
     Gate(
       "ann_topk_ivf_pinned", {
-        val distC = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("corpus.vec", "cents.cv")}"
-        val distQ = s"${sqlDecDot("cents.cv", "cents.cv")} - 2.0 * ${sqlDecDot("qs.qvec", "cents.cv")}"
-        val cos = sqlDecCosine("p.qvec", "c.vec")
+        val distC = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("corpus.vec", "cents.cv")}"
+        val distQ = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("qs.qvec", "cents.cv")}"
+        val cos = sqlSeqCosine("p.qvec", "c.vec")
         s"""WITH cents AS (
            |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
            |  FROM embeddings WHERE vec_id < 8),
@@ -1155,7 +1202,7 @@ object Similarity {
     // the emitted values only.
     Gate(
       "ann_margin_knn", {
-        val cos = sqlDecCosine("q.qv", "c.cv")
+        val cos = sqlSeqCosine("q.qv", "c.cv")
         val K = 5
         val muExpr =
           Cols.proundSql("CAST(sum(CAST(rcos AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 8)
@@ -1238,11 +1285,8 @@ object Similarity {
     // (pqFit) is covered by the recall spec, like IVF.
     Gate(
       "ann_topk_pq_pinned", {
-        def dd(a: String, b: String, j: Int) = {
-          val off = j * 16
-          s"CAST(list_sum([CAST(($a)[$off+i]::DOUBLE * ($b)[$off+i]::DOUBLE " +
-            s"AS DECIMAL(30,15)) FOR i IN range(1, 17)]) AS DOUBLE)"
-        }
+        def dd(a: String, b: String, j: Int) =
+          sqlSeqDot(a, b, n = 16, off = j * 16)
         val subCtes = (0 until 4).map { j =>
           val dc = s"${dd("cv", "cv", j)} - 2.0 * ${dd("vec", "cv", j)}"
           val dq = s"${dd("cv", "cv", j)} - 2.0 * ${dd("qvec", "cv", j)}"

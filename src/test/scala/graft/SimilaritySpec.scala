@@ -270,14 +270,9 @@ class SimilaritySpec extends SparkSpec {
     val direct = Similarity.ivfTopK(queries, corpus, k = 3, nProbe = 2,
         centroidsOverride = Some(cents))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    // note: centroidsOverride flips decimal scoring; rank sets can
-    // only differ if fast-vs-decimal cosine flips an order, so
-    // compare against the decimal index path too
-    val fromIndexDec = Similarity.ivfTopKFromIndex(queries, cents, vecs, k = 3,
-        nProbe = 2, decimal = true)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(fromIndexDec == direct, "index path must equal the direct path bit-for-bit")
-    assert(fromIndex.map(_._1) == direct.map(_._1))
+    // one kernel everywhere now: the persisted-index path must equal
+    // the direct in-memory path bit-for-bit on the same quantizer
+    assert(fromIndex == direct, "index path must equal the direct path bit-for-bit")
     // partition pruning is real: probing 2 cells opens strictly fewer
     // index files than the full partitioned scan holds
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -308,5 +303,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lambda1") - 12.5) < 1e-4)
     assert(math.abs(r.getAs[Double]("trace") - 12.5) < 1e-6)
     assert(math.abs(r.getAs[Double]("explained_ratio") - 1.0) < 1e-5)
+  }
+
+  test("seqCosineHoisted is bit-identical to the single-loop fastCos kernel") {
+    // the hoisted form must replay the SAME doubles as the fused
+    // kernel — exact ==, not a tolerance — or every hash-green ANN
+    // gate (ann_topk_*, dedup_embed_cosine, dedup_semantic) would
+    // drift from its oracle
+    val pairs = emb.as("x").join(emb.as("y"), col("x.vec_id") + 1 === col("y.vec_id"))
+      .limit(200)
+      .select(
+        Similarity.fastCosine(col("x.embedding"), col("y.embedding")).as("fused"),
+        Similarity.seqCosineHoisted(
+          col("x.embedding"), col("y.embedding"),
+          Similarity.seqNorm(col("x.embedding")),
+          Similarity.seqNorm(col("y.embedding"))).as("hoisted"))
+      .collect()
+    assert(pairs.length > 100)
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("sqlSeqDot (DuckDB list_reduce twin) is validated by every ANN gate; kernel is order-stable") {
+    import spark.implicits._
+    // the kernel must fold LEFT-TO-RIGHT: (1e16 + 1) - 1e16 == 0.0
+    // under sequential IEEE adds (and anything else under reordering)
+    val df = Seq((Array(1e16, 1.0, -1e16), Array(1.0, 1.0, 1.0))).toDF("a", "b")
+    val got = df.select(Similarity.seqDot(col("a"), col("b"))).head().getDouble(0)
+    assert(got == 0.0, s"seqDot must fold left-to-right, got $got")
   }
 }
