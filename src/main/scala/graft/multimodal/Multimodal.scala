@@ -126,6 +126,68 @@ object Multimodal {
       }
   }
 
+  final case class ResizeProbe(
+      doc_id: Long, src_width: Int, src_height: Int,
+      width: Int, height: Int, r: Int, g: Int, b: Int)
+
+  /** REAL codec chain probe: `javax.imageio` decode → bilinear
+    * half-scale ([[resizeReal]]) → PNG re-encode → RE-DECODE, emitting
+    * the round-tripped top-left pixel with both dim pairs. On
+    * predictable fixtures (solid-color PNGs — bilinear interpolation
+    * of a constant is that constant, exactly, at any scale) this pins
+    * the ENTIRE pixel path in a gate, while the re-encoded bytes stay
+    * JVM-internal (a PNG encoder's output is not a cross-engine
+    * contract). Undecodable payloads degrade to an all-zero row,
+    * never a throw. Same batched per-partition shape as
+    * [[resizeMedia]]; decoder memory is bounded by one frame. */
+  def resizeProbe(docs: DataFrame): Dataset[ResizeProbe] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (for {
+          img <- decodeImage(bytes)
+          back <- {
+            val (out, _, _) = resizeReal(img)
+            decodeImage(out)
+          }
+        } yield {
+          val px = back.getRGB(0, 0)
+          ResizeProbe(id, img.getWidth, img.getHeight,
+            back.getWidth, back.getHeight,
+            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        }).getOrElse(ResizeProbe(id, 0, 0, 0, 0, 0, 0, 0))
+      })
+  }
+
+  /** Genuine multi-pixel PNG fixtures: dims and the solid fill color
+    * are pure doc_id formulas (so an oracle recomputes every output
+    * from construction) but the BYTES are real ImageIO-encoded PNGs
+    * the operator must genuinely decode — unlike [[withImageBlob]]'s
+    * header-only fixtures. Built per partition, never on the driver. */
+  private def withPngBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (3 + id % 5).toInt
+        val h = (2 + id % 4).toInt
+        val rgb = (((id * 37) % 256).toInt << 16) |
+          (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }).toDF("doc_id", "media")
+  }
+
   final case class SampledFrames(
       doc_id: Long, n_frames: Int, n_sampled: Int, sample_checksum: String)
 
@@ -450,6 +512,26 @@ object Multimodal {
         |    AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       audioMeta(withAudioBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
+    },
+
+    // REAL-decode gate: genuine solid-color PNG fixtures through the
+    // full decode → bilinear half-scale → re-encode → re-decode
+    // chain; the oracle recomputes dims and the (exact) round-tripped
+    // fill color from the doc_id construction formulas. This is the
+    // gate the header-only mm_image_meta fixtures can't provide: a
+    // stub decode that never touched pixels would emit wrong r/g/b.
+    Gate(
+      "mm_resize_real",
+      """SELECT doc_id,
+        |  CAST(3 + doc_id % 5 AS INT) AS src_width,
+        |  CAST(2 + doc_id % 4 AS INT) AS src_height,
+        |  CAST((3 + doc_id % 5) // 2 AS INT) AS width,
+        |  CAST((2 + doc_id % 4) // 2 AS INT) AS height,
+        |  CAST((doc_id * 37) % 256 AS INT) AS r,
+        |  CAST((doc_id * 59) % 256 AS INT) AS g,
+        |  CAST((doc_id * 83) % 256 AS INT) AS b
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      resizeProbe(withPngBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
     },
 
     // The oracle reproduces the stubbed decode arithmetically:

@@ -582,6 +582,121 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  // ---- IVF-PQ persisted index (the FAISS IVFADC production recipe) ----
+
+  /** Persist an IVF-PQ index: the [[writeIvfIndex]] layout (tiny
+    * centroid parquet + cell-PARTITIONED vectors) with each row's PQ
+    * codes stored alongside its raw vector, plus the per-subspace
+    * codebooks as a third tiny parquet. The composition this enables
+    * ([[ivfPqTopKFromIndex]]): probe → ADC shortlist reading ONLY
+    * (id, codes) — parquet COLUMN pruning keeps the raw vectors on
+    * disk, so the shortlist scan moves m bytes/row instead of 4·dim —
+    * then an exact re-rank that joins just the shortlisted ids back
+    * to (id, vec) from the SAME partition-pruned cells. At 100 TB
+    * that is FAISS's memory shape (codes resident, vectors cold) with
+    * Spark's scan pruning doing the residency split. */
+  def writeIvfPqIndex(
+      corpus: DataFrame, // id, vec
+      path: String,
+      nCells: Int = 16,
+      m: Int = 4,
+      ksub: Int = 16,
+      fitSampleSize: Int = 100000,
+      centroidsOverride: Option[Array[Array[Double]]] = None,
+      booksOverride: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val cents = centroidsOverride.getOrElse(ivfFitCentroids(corpus, nCells, fitSampleSize))
+    val books = booksOverride.getOrElse(pqFit(corpus, "vec", "id", m, ksub, fitSampleSize))
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("sub", "cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus
+      .withColumn("codes", pqEncode(col("vec"), books))
+      .withColumn("cell", nearestCentroid(col("vec"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Load a persisted IVF-PQ index: (centroids, codebooks, vectors).
+    * Both codebook reads are bounded driver collects (nCells·dim +
+    * m·ksub·subdim doubles — lossless through parquet). */
+  def readIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bookRows = spark.read.parquet(s"$path/codebooks").orderBy("sub", "cid")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    (cents, books, spark.read.parquet(s"$path/vectors"))
+  }
+
+  /** Query a persisted IVF-PQ index: rank probe cells per query,
+    * partition-prune the vector scan to the probed cells, ADC-score
+    * the (id, codes) projection against broadcast per-query distance
+    * tables, keep a bounded-heap `shortlist` per query, then exact
+    * re-rank ONLY the shortlisted ids on their raw vectors (same
+    * pruned partitions) — emit top-k by exact cosine. Deterministic
+    * end to end (seq-double everywhere, adc/id then cos/id ties), so
+    * a pinned-quantizer gate replays every stage in SQL. */
+  def ivfPqTopKFromIndex(
+      queries: DataFrame, // qid, qvec
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      vectors: DataFrame, // id, vec, codes, cell
+      k: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 32): DataFrame = {
+    graft.expr.GraftExtensions.register(queries.sparkSession)
+    val m = books.length
+    val qTables = books.zipWithIndex.map { case (book, j) =>
+      val subdim = book(0).length
+      val qsub = slice(col("qvec"), j * subdim + 1, subdim)
+      array(book.map { c =>
+        val cl = array(c.toIndexedSeq.map(lit): _*)
+        seqDot(cl, cl) - lit(2.0) * seqDot(qsub, cl)
+      }.toIndexedSeq: _*).as(s"qt$j")
+    }
+    val qs = queries
+      .withColumn("cells", transform(
+        slice(centroidRank(col("qvec"), centroids), 1, nProbe),
+        s => s.getField("i")))
+      .select(Seq(col("qid"), explode(col("cells")).as("cell")) ++ qTables: _*)
+    val probed = qs.select("cell").distinct().collect().map(_.get(0))
+    // ADC pass: only (id, codes, cell) leaves the parquet — columnar
+    // pruning drops the vec column from this scan entirely
+    val adc = (0 until m)
+      .map(j => element_at(col(s"qt$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val short = vectors.select(col("id"), col("codes"), col("cell"))
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(qs), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), adc.as("adc"))
+      .groupBy("qid")
+      .agg(call_function("graft_top_k",
+        struct(col("adc").as("d"), col("id").as("i")), lit(shortlist), lit(true)).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.i").as("id"))
+    // exact re-rank: shortlist ids only, raw vectors from the same
+    // pruned cells, hoisted norms, bounded-heap final top-k
+    val vecScan = vectors.select(col("id"), col("vec"), col("cell"))
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("__nv", seqNorm(col("vec")))
+      .drop("cell")
+    val qn = broadcast(queries.withColumn("__nq", seqNorm(col("qvec"))))
+    val rer = short.join(vecScan, "id").join(qn, "qid")
+      .select(col("qid"), col("id"),
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
+    groupedTopK(rer, k)
+  }
+
   // Sample-fit quantizer cache for the ann_topk_ivf gate (the
   // bpeCache discipline): the query closure fits once per dir, the
   // lazy oracle thunk reads the learned centroids back.
@@ -1143,6 +1258,86 @@ object Similarity {
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         rc, vecs, k = 3, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+
+    // IVF-PQ composed on the persisted index — the FAISS IVFADC
+    // recipe end to end: pinned coarse quantizer (first 8 embeddings)
+    // + pinned per-subspace codebooks (first 4 embeddings' slices),
+    // written as centroids/codebooks/cell-partitioned (id, vec,
+    // codes) parquet, then probe → ADC shortlist (codes-only scan) →
+    // exact seq-cosine re-rank of the shortlist. Every stage —
+    // assignment, code argmin, ADC table lookups/sum, shortlist
+    // (adc, id) ties, re-rank (cos desc, id) ties — replays in SQL.
+    Gate(
+      "snk_ann_index_pq", {
+        val S = 10
+        def dd(a: String, b: String, j: Int) = sqlSeqDot(a, b, n = 16, off = j * 16)
+        val distC = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("corpus.vec", "cents.cv")}"
+        val distQ = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("qs.qvec", "cents.cv")}"
+        val subCtes = (0 until 4).map { j =>
+          val dc = s"${dd("bv", "bv", j)} - 2.0 * ${dd("vec", "bv", j)}"
+          val dq = s"${dd("bv", "bv", j)} - 2.0 * ${dd("qvec", "bv", j)}"
+          s"""cdp$j AS (SELECT corpus.id, books.bid, $dc AS d FROM corpus, books),
+             |crp$j AS (SELECT id, bid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, bid) AS rn FROM cdp$j),
+             |k$j AS (SELECT id, bid AS k$j FROM crp$j WHERE rn = 1),
+             |qd$j AS (SELECT qs.qid, books.bid, $dq AS d FROM qs, books)""".stripMargin
+        }.mkString(",\n")
+        val cos = sqlSeqCosine("q.qvec", "v.vec")
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |books AS (
+           |  SELECT vec_id AS bid, [x::DOUBLE FOR x IN embedding] AS bv
+           |  FROM embeddings WHERE vec_id < 4),
+           |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
+           |qs AS (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qvec
+           |  FROM embeddings WHERE vec_id < 10),
+           |cd AS (SELECT corpus.id, cents.cid, $distC AS d FROM corpus, cents),
+           |cr AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd),
+           |cell AS (SELECT id, cid FROM cr WHERE rn = 1),
+           |qd AS (SELECT qs.qid, cents.cid, $distQ AS d FROM qs, cents),
+           |qr AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qd),
+           |probe AS (SELECT qid, cid FROM qr WHERE rn <= 4),
+           |$subCtes,
+           |codes AS (SELECT k0.id, k0.k0, k1.k1, k2.k2, k3.k3
+           |  FROM k0 JOIN k1 USING (id) JOIN k2 USING (id) JOIN k3 USING (id)),
+           |cand AS (SELECT p.qid, c.id FROM probe p JOIN cell c ON p.cid = c.cid AND c.id <> p.qid),
+           |adc AS (
+           |  SELECT cand.qid, cand.id, q0.d + q1.d + q2.d + q3.d AS adc
+           |  FROM cand JOIN codes USING (id)
+           |  JOIN qd0 q0 ON q0.qid = cand.qid AND q0.bid = codes.k0
+           |  JOIN qd1 q1 ON q1.qid = cand.qid AND q1.bid = codes.k1
+           |  JOIN qd2 q2 ON q2.qid = cand.qid AND q2.bid = codes.k2
+           |  JOIN qd3 q3 ON q3.qid = cand.qid AND q3.bid = codes.k3),
+           |short AS (SELECT qid, id FROM (
+           |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rn FROM adc) x
+           |  WHERE rn <= $S),
+           |rr AS (SELECT s.qid, s.id, $cos AS cos
+           |  FROM short s JOIN corpus v ON v.id = s.id JOIN qs q ON q.qid = s.qid),
+           |ranked AS (SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM rr)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      def widened(maxId: Int) = emb.filter(col("vec_id") < maxId)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val cents = widened(8)
+      val base = widened(4)
+      val books = Array.tabulate(4)(j => base.map(v => v.slice(j * 16, (j + 1) * 16)))
+      val path = graft.sources.DocSource.gateScratch(dir, "snk_ann_index_pq")
+      writeIvfPqIndex(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        path, nCells = 8, m = 4, ksub = 4,
+        centroidsOverride = Some(cents), booksOverride = Some(books))
+      val (rc, rb, vecs) = readIvfPqIndex(s, path)
+      ivfPqTopKFromIndex(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        rc, rb, vecs, k = 3, nProbe = 4, shortlist = 10)
         .orderBy("qid", "rank")
     },
 

@@ -380,4 +380,83 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(byId(2L).contains("4111-1111-1111-1112"),
       "Luhn-invalid digit run must survive")
   }
+
+  test("real-weights seam end-to-end: weight FILES drive embed + quality + toxicity attribution") {
+    import spark.implicits._
+    import graft.ml.{EmbeddingScorer, LocalWeightsEncoder, MlpClassifier}
+    // The reference flow a user runs first: per-language model files
+    // on disk (fineweb-2 CONFIGS_10 german_cls.pth + the XLM-R
+    // weights), loaded by path into the recipe. Here: one genuine
+    // (token_id, vec) encoder parquet + two genuine (layer, idx, vec)
+    // MLP head parquets, written then LOADED BACK through the file
+    // seam, driving text -> embedding -> quality top-p -> toxicity
+    // threshold with filter_reason attribution, as ONE flow.
+    val dir = java.nio.file.Files.createTempDirectory("graft-weights").toString
+    val dim = 8
+    (0 until 32).map(i =>
+        (i.toLong, Array.tabulate(dim)(j => ((i * 7 + j * 13) % 19 - 9) / 10.0)))
+      .toDF("token_id", "vec").write.mode("overwrite").parquet(s"$dir/encoder")
+    def writeMlp(path: String, seed: Int): Unit = {
+      val m = MlpClassifier.seeded(dim, hidden = 3, seed = seed)
+      val rows =
+        m.w1.zipWithIndex.map { case (r, i) => ("w1", i, r.toSeq) } ++
+          Seq(("b1", 0, m.b1.toSeq), ("w2", 0, m.w2.toSeq), ("b2", 0, Seq(m.b2)))
+      rows.toSeq.toDF("layer", "idx", "vec").write.mode("overwrite").parquet(path)
+    }
+    writeMlp(s"$dir/quality_cls", seed = 11)
+    writeMlp(s"$dir/toxic_cls", seed = 23)
+
+    val enc = LocalWeightsEncoder.fromParquet(spark, s"$dir/encoder", "token_id", "vec")
+    val qCls = EmbeddingScorer.rounded(MlpClassifier.fromParquet(spark, s"$dir/quality_cls"), 6)
+    val tCls = EmbeddingScorer.rounded(MlpClassifier.fromParquet(spark, s"$dir/toxic_cls"), 6)
+    locally {
+      val got = MlpClassifier.fromParquet(spark, s"$dir/quality_cls")
+      val want = MlpClassifier.seeded(dim, 3, 11)
+      assert(got.w1.map(_.toSeq).toSeq == want.w1.map(_.toSeq).toSeq &&
+        got.b1.toSeq == want.b1.toSeq && got.w2.toSeq == want.w2.toSeq &&
+        got.b2 == want.b2, "weights must round-trip the file losslessly")
+    }
+
+    // text -> REAL weights embedding (first chunk as the doc vector)
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val annotatedReal = LocalWeightsEncoder.annotate(spark, docs, enc)
+      .withColumn("embedding", element_at(col("embeddings"), 1)).drop("embeddings")
+    // pin the encoder parity: Spark embedding of one doc's first chunk
+    // == the driver-side twin on the same chunk string
+    val probe = annotatedReal.limit(1)
+      .withColumn("__chunk",
+        element_at(graft.operators.Annotators.chunkTexts(col("text")), 1))
+      .select("__chunk", "embedding").head()
+    assert(probe.getSeq[Double](1) == enc.embedLocal(probe.getString(0)).toSeq)
+
+    // pick the toxicity threshold as the median score so both kept and
+    // dropped classes are nonempty regardless of corpus content
+    val thr = annotatedReal
+      .agg(percentile_approx(tCls.score(col("embedding")), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    val cfg = FinewebConfig(
+      qualityTopP = Some(0.5),
+      toxicityThreshold = Some(thr),
+      toxicityClassifier = Some(tCls))
+    val marked = FinewebPipeline.buildMarked(spark, annotatedReal, cfg, qCls)
+      .select(col("doc_id"), col("filter_reason"), col("toxicity_score"),
+        qCls.score(col("embedding")).as("__q"), tCls.score(col("embedding")).as("__t"))
+      .collect()
+    assert(marked.length == docs.count())
+    val byReason = marked.groupBy(r => Option(r.getString(1)))
+    assert(byReason.keySet == Set(None, Some("quality"), Some("toxicity")),
+      s"got reasons ${byReason.keySet}")
+    // attribution order: quality rejects first; its rows carry a NULL
+    // toxicity_score (the annotate is guarded), toxicity rows carry
+    // the score that crossed the threshold, kept rows one below it
+    assert(byReason(Some("quality")).forall(_.isNullAt(2)))
+    assert(byReason(Some("toxicity")).forall(r => r.getDouble(2) >= thr))
+    assert(byReason(None).forall(r => r.getDouble(2) < thr))
+    // the annotated score IS the file-loaded head's score
+    assert(marked.filter(!_.isNullAt(2)).forall(r => r.getDouble(2) == r.getDouble(4)))
+    // quality kept ~ top-p of the corpus by the file-loaded head
+    val qKept = marked.count(r => Option(r.getString(1)) != Some("quality"))
+    assert(math.abs(qKept.toDouble / marked.length - 0.5) < 0.1,
+      s"quality top-p kept $qKept of ${marked.length}")
+  }
 }

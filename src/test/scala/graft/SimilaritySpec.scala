@@ -323,6 +323,51 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("IVF-PQ index: ADC shortlist + exact re-rank beats raw ADC recall, codes scan prunes vec") {
+    import graft.operators.Similarity
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def widened(maxId: Int) = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val cents = widened(8)
+    val books = Array.tabulate(4)(j => widened(4).map(v => v.slice(j * 16, (j + 1) * 16)))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.writeIvfPqIndex(corpus, path, nCells = 8, m = 4, ksub = 4,
+      centroidsOverride = Some(cents), booksOverride = Some(books))
+    val (rc, rb, vecs) = Similarity.readIvfPqIndex(spark, path)
+    assert(rc.length == 8 && rb.length == 4 && rb.forall(_.length == 4))
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = topSet(SparkEntry.queries("ann_topk_bruteforce")(spark, sfDir))
+    val composed = topSet(
+      Similarity.ivfPqTopKFromIndex(queries, rc, rb, vecs, k = 3, nProbe = 4, shortlist = 10))
+    val adcOnly = topSet(SparkEntry.queries("ann_topk_pq_pinned")(spark, sfDir))
+    val rComposed = (bf & composed).size.toDouble / bf.size
+    val rAdc = (bf & adcOnly).size.toDouble / bf.size
+    // the exact re-rank must recover at least the raw-ADC ranking's
+    // recall (same codebooks, and re-rank scores the shortlist with
+    // the TRUE cosine) — and never be trivially empty
+    assert(rComposed >= rAdc - 1e-9, s"composed recall $rComposed < raw ADC $rAdc")
+    assert(rComposed >= 0.3, s"IVF-PQ composed recall $rComposed suspiciously low")
+    // the ADC shortlist pass reads codes WITHOUT the vec column: its
+    // scan schema must not contain vec (parquet column pruning)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Similarity.ivfPqTopKFromIndex(queries, rc, rb, vecs, k = 3, nProbe = 4,
+          shortlist = 10)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("vectors")) => f
+        }
+      assert(scans.exists(!_.schema.fieldNames.contains("vec")),
+        "expected a codes-only scan with vec pruned away")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    Caches.releaseAll()
+  }
+
   test("sqlSeqDot (DuckDB list_reduce twin) is validated by every ANN gate; kernel is order-stable") {
     import spark.implicits._
     // the kernel must fold LEFT-TO-RIGHT: (1e16 + 1) - 1e16 == 0.0
