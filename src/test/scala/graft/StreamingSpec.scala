@@ -425,4 +425,47 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L)._1 == 2L)
     assert(math.abs(out(1L)._2 - 6.0) < 1e-6)
   }
+
+  test("the full fineweb recipe frame streams: marked (id, reason) set equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.api.{FinewebConfig, FinewebPipeline}
+    // the stream-safe stage families of the recipe — every narrow
+    // filter/format/annotate plus the stream-STATIC broadcast join
+    // (robots banned ids); the eager-prepass stages (quality top-p
+    // quantile, dedup keeper sets, host caps) are batch-only by
+    // construction and documented as such
+    val docs = Tables(spark, sfDir, "documents")
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val annotated = docs.join(emb, "doc_id").select("doc_id", "text", "embedding")
+    val banned = (0L until 100L by 7L).toDF("doc_id")
+    val cfg = FinewebConfig(
+      robotsBannedIds = Some(banned),
+      foldAccents = true,
+      badwordMaxRatio = Some(0.5),
+      minFlesch = Some(5.0),
+      toxicityThreshold = Some(0.6),
+      samplerRate = Some(0.9))
+    def markedSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "filter_reason").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val expected = markedSet(FinewebPipeline.buildMarked(spark, annotated, cfg))
+    assert(expected.exists(_._2.isDefined) && expected.exists(_._2.isEmpty),
+      "fixture must exercise both kept and excluded paths")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-stream").toString
+    annotated.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(annotated.schema).parquet(dir)
+    val query = FinewebPipeline.buildMarked(spark, streamed, cfg)
+      .select("doc_id", "filter_reason")
+      .writeStream.format("memory").queryName("fw_recipe_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(180000)
+    val got = spark.table("fw_recipe_stream").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == expected,
+      s"stream/batch drift: ${(got diff expected).take(5)} vs ${(expected diff got).take(5)}")
+  }
 }
