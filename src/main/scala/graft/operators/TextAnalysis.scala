@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Cols, Gate, Tables}
 import graft.Cols.bind
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions: tokenization, language ID, quality
@@ -82,6 +82,52 @@ object TextAnalysis {
         }
       }
     }
+
+  /** Split a mixed-language document into CONTIGUOUS same-language
+    * paragraph runs — the fineweb-2 operation downstream of
+    * [[paraLangStats]]'s signal: per-language corpora route each
+    * segment to its own pipeline instead of flattening the page to
+    * one label. Paragraphs = blank-line blocks with ≥ 1 word, each
+    * labeled by the [[langId]] argmax; adjacent same-label
+    * paragraphs rejoin with a blank line as one segment. One row per
+    * segment: (idCol, seg_nr 1-based, lang, n_paras, seg_text).
+    * Pure higher-order column ops + one explode — narrow, no
+    * shuffle; the run numbering is a closed form (seg(i) = 1 + count
+    * of label changes before i, identical in the SQL twin), O(p²)
+    * in PARAGRAPHS-per-doc, which is bounded — never in docs. */
+  def splitByLanguage(docs: DataFrame, text: Column, idCol: String): DataFrame = {
+    val segsArr = bind(filter(split(coalesce(text, lit("")), "\\n{2,}"),
+        p => size(words(p)) > 0)) { paras =>
+      bind(transform(paras, p => langId(p))) { langs =>
+        bind(size(paras)) { np =>
+          // [1..np] even when np = 0 (Spark sequence(1,0) DESCENDS —
+          // the filter guard keeps the empty case empty)
+          bind(filter(sequence(lit(1), greatest(np, lit(1))), i => i <= np)) { idx =>
+            bind(transform(idx, i =>
+                when(i === lit(1), lit(1)).otherwise(
+                  lit(1) + size(filter(sequence(lit(2), i),
+                    j => element_at(langs, j) =!= element_at(langs, j - 1)))))) { segIds =>
+              bind(when(np === 0, lit(0)).otherwise(element_at(segIds, np))) { nSegs =>
+                transform(
+                  filter(sequence(lit(1), greatest(nSegs, lit(1))), s => s <= nSegs),
+                  s => bind(filter(idx, i => element_at(segIds, i) === s)) { own =>
+                    struct(
+                      s.cast("int").as("seg_nr"),
+                      element_at(langs, element_at(own, 1)).as("lang"),
+                      size(own).cast("int").as("n_paras"),
+                      array_join(transform(own, i => element_at(paras, i)), "\n\n")
+                        .as("seg_text"))
+                  })
+              }
+            }
+          }
+        }
+      }
+    }
+    docs.select(col(idCol), explode(segsArr).as("seg"))
+      .select(col(idCol), col("seg.seg_nr").as("seg_nr"), col("seg.lang").as("lang"),
+        col("seg.n_paras").as("n_paras"), col("seg.seg_text").as("seg_text"))
+  }
 
   /** DuckDB twin of the [[langId]] argmax over a paragraph
     * expression (toks must NOT be pre-bound — `pExpr` is inlined). */
@@ -533,6 +579,51 @@ object TextAnalysis {
           col("st.dominant_frac").as("dominant_frac"),
           col("st.n_langs").as("n_langs"))
         .orderBy("doc_id")
+    },
+
+    // Language-split gate: pages planted with an English head, TWO
+    // adjacent German paragraphs (%3 — they must MERGE into one
+    // 2-paragraph segment, the run semantics), and a French tail
+    // (%5). The oracle replays paragraph split, per-para langId, the
+    // closed-form run numbering, and the blank-line rejoin.
+    Gate(
+      "fmt_split_langs", {
+        val de = "'der die das und ist ein der die das und ist ein'"
+        val fr = "'le la les et est une le la les et est une'"
+        val page = "coalesce(array_to_string(ws[1:20], ' '), '') || " +
+          s"(CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || $de || " +
+          s"chr(10) || chr(10) || $de ELSE '' END) || " +
+          s"(CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || $fr ELSE '' END)"
+        s"""WITH w AS (SELECT doc_id, $SqlWords AS ws FROM documents),
+           |p AS (SELECT doc_id, $page AS t FROM w),
+           |paras AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\\n{2,}'),
+           |    q -> len(regexp_extract_all(q, '$WordPattern')) > 0) AS ps FROM p),
+           |l AS (SELECT doc_id, ps, list_transform(ps, q -> ${sqlLangIdOf("q")}) AS langs FROM paras),
+           |g AS (SELECT doc_id, ps, langs,
+           |    list_transform(range(1, len(ps) + 1), i -> CASE WHEN i = 1 THEN 1
+           |      ELSE 1 + len(list_filter(range(2, i + 1), j -> langs[j] <> langs[j - 1])) END) AS segids
+           |  FROM l),
+           |n AS (SELECT doc_id, ps, langs, segids,
+           |    CASE WHEN len(ps) = 0 THEN 0 ELSE segids[len(ps)] END AS nsegs FROM g),
+           |x AS (SELECT doc_id, ps, langs, segids, unnest(range(1, nsegs + 1)) AS seg FROM n),
+           |y AS (SELECT doc_id, CAST(seg AS INT) AS seg_nr,
+           |    list_filter(range(1, len(ps) + 1), i -> segids[i] = seg) AS own, ps, langs FROM x)
+           |SELECT doc_id, seg_nr, langs[own[1]] AS lang,
+           |  CAST(len(own) AS INT) AS n_paras,
+           |  array_to_string(list_transform(own, i -> ps[i]), chr(10) || chr(10)) AS seg_text
+           |FROM y ORDER BY doc_id, seg_nr""".stripMargin
+      }) { (s, dir) =>
+      val de = "der die das und ist ein der die das und ist ein"
+      val fr = "le la les et est une le la les et est une"
+      val page = bind(words(col("text"))) { ws =>
+        concat(
+          array_join(slice(ws, 1, 20), " "),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\n" + de + "\n\n" + de)).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n\n" + fr)).otherwise(lit("")))
+      }
+      splitByLanguage(Tables(s, dir, "documents"), page, "doc_id")
+        .orderBy("doc_id", "seg_nr")
     },
 
     // MATTR gate: docs at sf0.01 run 10–99 words, so both the plain-

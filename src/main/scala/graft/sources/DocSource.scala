@@ -244,6 +244,84 @@ object DocSource {
         col("text"))
   }
 
+  /** WARC RESPONSE-record sink — the rawer Common Crawl format a
+    * crawl pipeline starts from (WET is its markup-stripped
+    * derivative): each record's block is a full HTTP response
+    * (status line, HTTP headers, blank line, payload) behind the
+    * WARC headers. `statusCol`/`ctypeCol` feed the HTTP block;
+    * request records can be interleaved (a real WARC holds
+    * request/response/metadata records for each capture) via
+    * [[writeWarcRequest]]-shaped rows upstream. One file per
+    * partition, like every text sink here. */
+  def writeWarc(
+      df: DataFrame,
+      path: String,
+      idCol: String = "id",
+      urlCol: String = "url",
+      htmlCol: String = "html",
+      statusCol: String = "status",
+      ctypeCol: String = "content_type",
+      requestFor: Column = lit(false)): Unit = {
+    val http = concat(
+      lit("HTTP/1.1 "), col(statusCol).cast("string"), lit(" STATUS\r\n"),
+      lit("Content-Type: "), col(ctypeCol), lit("\r\n\r\n"),
+      col(htmlCol))
+    val response = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: "), col(idCol).cast("string"), lit("\r\n"),
+      lit("WARC-Target-URI: "), coalesce(col(urlCol), lit("")), lit("\r\n"),
+      lit("Content-Length: "), length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n"))
+    val request = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: request\r\n"),
+      lit("WARC-Record-ID: "), col(idCol).cast("string"), lit("\r\n"),
+      lit("WARC-Target-URI: "), coalesce(col(urlCol), lit("")), lit("\r\n"),
+      lit("Content-Length: 2\r\n\r\n"),
+      lit("GET\r\n"))
+    df.select(
+        when(requestFor, concat(request, response)).otherwise(response).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** WARC response source: records split on the `WARC/1.0\r\n`
+    * version line (the splittable [[readWet]] framing — same caveat:
+    * a PAYLOAD containing a literal version line would mis-frame, a
+    * `content_length` vs parsed-length guard downstream catches it),
+    * non-response records (request/metadata/warcinfo) are DROPPED by
+    * WARC-Type, then the block parses as HTTP: status from the
+    * status line, Content-Type header, payload after the second
+    * blank-line boundary. Returns (id, url, http_status,
+    * content_type, html); malformed HTTP blocks yield NULL
+    * status/ctype and the raw block as html rather than a throw. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
+      .filter(length(col("value")) > 0)
+    raw
+      .select(regexp_replace(col("value"), "\r\n\n$", "").as("__rec"))
+      .filter(col("__rec").rlike("(?m)^WARC-Type: response\r?$"))
+      .select(col("__rec"), instr(col("__rec"), "\r\n\r\n").as("__p"))
+      .select(
+        col("__rec").substr(lit(1), col("__p") - 1).as("__hdr"),
+        col("__rec").substr(col("__p") + 4, length(col("__rec"))).as("__http"))
+      .select(
+        regexp_extract(col("__hdr"), "WARC-Record-ID: ([^\r\n]*)", 1)
+          .try_cast("long").as("id"),
+        nullif(
+          regexp_extract(col("__hdr"), "WARC-Target-URI: ([^\r\n]*)", 1),
+          lit("")).as("url"),
+        regexp_extract(col("__http"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+          .try_cast("int").as("http_status"),
+        nullif(regexp_extract(col("__http"), "Content-Type: ([^\r\n]*)", 1), lit(""))
+          .as("content_type"),
+        col("__http"), instr(col("__http"), "\r\n\r\n").as("__q"))
+      .select(col("id"), col("url"), col("http_status"), col("content_type"),
+        when(col("__q") > 0,
+          col("__http").substr(col("__q") + 4, length(col("__http"))))
+          .otherwise(col("__http")).as("html"))
+  }
+
   /** Scratch root for sink/source gate round-trip files (per-SF
     * subdirs via [[gateScratch]]; the oracles never read these). */
   val GateTmpDir = "/tmp/graft_gates"
@@ -494,6 +572,35 @@ object DocSource {
       readWet(s, path)
         .select(col("id"), col("url"), col("content_length"),
           md5(col("text")).as("text_md5"))
+        .orderBy("id")
+    },
+
+    // WARC response round-trip: documents serialized as full HTTP
+    // response records (status/content-type/payload from doc_id
+    // formulas), every 10th doc ALSO carrying an interleaved request
+    // record the reader must DROP by WARC-Type; headers, status line,
+    // and payload all hash-checked against the source table.
+    Gate(
+      "src_warc",
+      """SELECT doc_id AS id, 'https://example.com/doc/' || doc_id AS url,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+        |       ELSE 'text/plain' END AS content_type,
+        |  md5('<html><body>' || text || '</body></html>') AS html_md5
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "src_warc")
+      writeWarc(
+        Tables(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+          concat(lit("<html><body>"), col("text"), lit("</body></html>")).as("html"),
+          when(col("doc_id") % 4 === 0, 404).otherwise(200).as("status"),
+          when(col("doc_id") % 2 === 0, "text/html; charset=utf-8")
+            .otherwise("text/plain").as("content_type")),
+        path, requestFor = col("id") % 10 === 0)
+      readWarc(s, path)
+        .select(col("id"), col("url"), col("http_status"), col("content_type"),
+          md5(col("html")).as("html_md5"))
         .orderBy("id")
     }
   )

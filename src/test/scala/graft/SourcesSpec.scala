@@ -130,4 +130,66 @@ class SourcesSpec extends SparkSpec {
     // every doc present exactly once across shards
     assert(atWrite.values.map(_._1).sum == docs.count())
   }
+
+  test("WARC response round-trip: request records dropped, HTTP block parsed, degrade on malformed") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-warc").toString + "/warc"
+    val docs = Seq(
+      (1L, "https://example.com/a", "<html>alpha</html>", 200, "text/html"),
+      // payload containing a CRLF blank line: payload split must use
+      // the FIRST blank line after the HTTP headers only
+      (2L, "https://example.com/b", "part one\r\n\r\npart two", 404, "text/plain"),
+      (3L, "https://example.com/c", "", 301, "text/html"))
+      .toDF("id", "url", "html", "status", "content_type").repartition(2)
+    DocSource.writeWarc(docs, out, requestFor = col("id") === 1L)
+    val back = DocSource.readWarc(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, "https://example.com/a", 200, "text/html", "<html>alpha</html>"),
+      (2L, "https://example.com/b", 404, "text/plain", "part one\r\n\r\npart two"),
+      (3L, "https://example.com/c", 301, "text/html", "")),
+      s"got ${back.toSeq}")
+    // exactly 3 rows: the interleaved request record for id 1 is
+    // dropped by WARC-Type, never parsed as a document
+    assert(back.length == 3)
+    // malformed HTTP block (no status line, no blank line): NULL
+    // status/ctype, raw block as html — degrade, not throw
+    val badDir = Files.createTempDirectory("graft-warc-bad").toString + "/warc"
+    // record terminator \r\n included, as the writer always emits it
+    Seq(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: 9\r\n" +
+        "WARC-Target-URI: u\r\nContent-Length: 7\r\n\r\nnot-http\r\n"))
+      .toDF("value").write.text(badDir)
+    val bad = DocSource.readWarc(spark, badDir).collect()
+    assert(bad.length == 1 && bad(0).getLong(0) == 9L)
+    assert(bad(0).isNullAt(2) && bad(0).isNullAt(3))
+    assert(bad(0).getString(4) == "not-http")
+  }
+
+  test("splitByLanguage: contiguous same-language paragraphs merge into one segment") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val en = "the cat and the dog in the house is a thing"
+    val de = "der hund und die katze ist ein tier"
+    val fr = "le chat et la maison est une chose"
+    val docs = Seq(
+      (1L, s"$en\n\n$en\n\n$de\n\n$de\n\n$fr"), // runs: en×2, de×2, fr×1
+      (2L, s"$de\n\n$fr\n\n$de"), // alternating: three 1-para segments
+      (3L, ""), // no paragraphs: zero rows
+      (4L, "\n\n  \n\n")) // wordless paragraphs: zero rows
+      .toDF("doc_id", "text")
+    val segs = TextAnalysis.splitByLanguage(docs, col("text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3), r.getString(4)))
+    val byDoc = segs.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(s => (s._3, s._4)).toSeq ==
+      Seq(("en", 2), ("de", 2), ("fr", 1)))
+    // merged segments rejoin their paragraphs with a blank line
+    assert(byDoc(1L).minBy(_._2)._5 == s"$en\n\n$en")
+    assert(byDoc(2L).sortBy(_._2).map(_._3).toSeq == Seq("de", "fr", "de"))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // segments reassemble the doc: concatenating in order restores
+    // every paragraph exactly once
+    assert(byDoc(1L).sortBy(_._2).map(_._5).mkString("\n\n") ==
+      s"$en\n\n$en\n\n$de\n\n$de\n\n$fr")
+  }
 }
