@@ -356,8 +356,14 @@ object Clusters {
       val raw = e.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
         .groupBy(col(outKey).as("node"))
         .agg(sum(col("s").cast(acc)).as("c"))
-      val withRaw = nodes.join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("c").cast("double"), lit(0.0)).as("raw"))
+      // persist BEFORE branching: the norm rides in a broadcast
+      // subquery, and an unpersisted withRaw would be recomputed by
+      // that branch AND the score branch — nesting across the two
+      // half-steps per iteration, that tripled the join+aggregate
+      // work of the whole power iteration (measured 6.1 → ~2 s on
+      // op_hits at sf0.1)
+      val withRaw = graft.Caches.persist(nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c").cast("double"), lit(0.0)).as("raw")))
       val norm = withRaw.agg(
         sqrt(sum(graft.Cols.pround(col("raw") * col("raw"), 12).cast(acc))
           .cast("double")).as("nv"))

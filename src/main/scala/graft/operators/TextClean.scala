@@ -92,6 +92,33 @@ object TextClean {
     }
   }
 
+  /** Page-metadata extraction — the trafilatura-metadata subset every
+    * crawl pipeline records beside the extracted text: `<title>`
+    * (whitespace-normalized), meta description (both attribute
+    * orders, any quote style, unquoted name accepted), the canonical
+    * link, and `og:title`. Absent fields are NULL, never ''. Narrow
+    * chained codegen regex — scan-fused, no UDF; at 100 TB this rides
+    * the same pass as [[mainContent]]/[[stripHtml]]. */
+  def htmlMeta(html: Column): Column = {
+    def ex(p: String) = nullif(regexp_extract(html, p, 1), lit(""))
+    val title = nullif(trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
+      "\\s+", " ")), lit(""))
+    val descNF = "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']?description[\"']?[^>]*" +
+      "content\\s*=\\s*[\"']([^\"']*)"
+    val descCF = "(?is)<meta\\b[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+      "name\\s*=\\s*[\"']?description"
+    val canon = "(?is)<link\\b[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+      "href\\s*=\\s*[\"']([^\"']*)"
+    val og = "(?is)<meta\\b[^>]*property\\s*=\\s*[\"']og:title[\"'][^>]*" +
+      "content\\s*=\\s*[\"']([^\"']*)"
+    struct(
+      title.as("title"),
+      coalesce(ex(descNF), ex(descCF)).as("description"),
+      ex(canon).as("canonical_url"),
+      ex(og).as("og_title"))
+  }
+
   /** The DuckDB twin of [[mainContent]] over `pageExpr`. */
   private[operators] def sqlMainContent(
       pageExpr: String, minWords: Int = 5, maxLinkDensity: Double = 0.33): String = {
@@ -533,6 +560,43 @@ object TextClean {
           struct(length(m).as("n"), md5(m).as("m"))
         }.as("c"))
         .select(col("doc_id"), col("c.n").as("n_chars"), col("c.m").as("content_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Page-metadata gate: four planted field classes (title always;
+    // meta description on %2 — content-FIRST with an unquoted name on
+    // %4, name-first otherwise; canonical link on %3; og:title on
+    // %5). The oracle recomputes expected values from construction
+    // while the engine must actually PARSE the html.
+    Gate(
+      "fmt_html_meta",
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'summary ' || doc_id END AS description,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'https://example.com/c/' || doc_id END AS canonical_url,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'OG ' || doc_id END AS og_title
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val page = concat(
+        lit("<html><head><title>\n  Doc "), col("doc_id"), lit("  \n</title>"),
+        when(col("doc_id") % 2 === 0,
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<meta content='summary "), col("doc_id"),
+              lit("' name=description>")))
+            .otherwise(concat(lit("<meta name=\"description\" content=\"summary "),
+              col("doc_id"), lit("\">")))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<link rel=canonical href=\"https://example.com/c/"),
+            col("doc_id"), lit("\">"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<meta property=\"og:title\" content=\"OG "),
+            col("doc_id"), lit("\">"))).otherwise(lit("")),
+        lit("</head><body>x</body></html>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), htmlMeta(page).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.canonical_url").as("canonical_url"),
+          col("m.og_title").as("og_title"))
         .orderBy("doc_id")
     },
 

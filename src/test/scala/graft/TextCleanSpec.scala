@@ -158,4 +158,28 @@ class TextCleanSpec extends SparkSpec {
     assert(out("a") == ((2L, 4L))) // 2 docs, 3+1 tokens
     assert(out("b") == ((1L, 2L)))
   }
+
+  test("htmlMeta: field extraction, attribute orders, NULL on absent, title whitespace folds") {
+    import spark.implicits._
+    import graft.operators.TextClean
+    def meta(h: String) = Seq(h).toDF("h")
+      .select(TextClean.htmlMeta(col("h")).as("m"))
+      .select("m.title", "m.description", "m.canonical_url", "m.og_title")
+      .head()
+    val full = meta("""<html><head><TITLE> My
+                      |  Page </TITLE><meta name="description" content="a summary">
+                      |<link rel="canonical" href="https://e.com/x">
+                      |<meta property="og:title" content="OG name"></head></html>""".stripMargin)
+    assert(full.getString(0) == "My Page") // newline + runs fold to one space
+    assert(full.getString(1) == "a summary")
+    assert(full.getString(2) == "https://e.com/x")
+    assert(full.getString(3) == "OG name")
+    // content-first order with unquoted name, single quotes
+    assert(meta("<meta content='x y' name=description>").getString(1) == "x y")
+    // absent fields are NULL, never ''
+    val none = meta("<html><body>no head</body></html>")
+    assert((0 to 3).forall(none.isNullAt))
+    // a non-description meta must not populate description
+    assert(meta("""<meta name="keywords" content="k1,k2">""").isNullAt(1))
+  }
 }
