@@ -409,6 +409,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("splitByLanguage and htmlMeta stay narrow: no exchange except the gate's ordering") {
+    // both are per-doc column pipelines (+ one explode for the
+    // splitter) — a shuffle before the final orderBy would mean the
+    // rewrite stopped fusing with the scan
+    for (name <- Seq("fmt_split_langs", "fmt_html_meta")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1, s"$name plans ${exchanges.size} shuffles")
+    }
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
