@@ -115,6 +115,21 @@ object Joins {
     // bans nothing, so every doc passes (a NULL bloom would otherwise
     // make BOTH branch predicates NULL and silently drop every row)
     if (bf == null) return docs
+    bloomAntiJoinWith(docs, banned, idCol, bf)
+  }
+
+  /** The probe+verify half of [[bloomAntiJoin]] over an ALREADY-BUILT
+    * bloom (e.g. one read back via [[readBloomIndex]]): definite
+    * absences pass without joining; might-contain rows take the exact
+    * anti-join against `banned`. Exact regardless of the bloom's
+    * false-positive rate. */
+  def bloomAntiJoinWith(
+      docs: DataFrame,
+      banned: DataFrame,
+      idCol: String,
+      bf: Array[Byte]): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val bannedCol = banned.columns.head
     def might = call_function("graft_bloom_might", lit(bf), col(idCol).cast("long"))
     val clean = docs.filter(!might)
     val suspects = docs.filter(might)
@@ -122,6 +137,40 @@ object Joins {
       banned.withColumnRenamed(bannedCol, "__banned_id"),
       col(idCol) === col("__banned_id"), "left_anti")
     clean.unionByName(survivors)
+  }
+
+  /** Persist a banned-id bloom as a cross-RUN index (the
+    * snk_dedup_index discipline on O(bits) instead of O(ids) state):
+    * a nightly ingest probes yesterday's bloom — built once over ALL
+    * history — and only might-contain rows ever join the full history
+    * id parquet. Layout: one-row parquet (bloom bytes + the geometry
+    * it was sized with, so an audit can recompute the effective fpp
+    * as history grows). */
+  def writeBloomIndex(
+      banned: DataFrame,
+      path: String,
+      expectedBanned: Long,
+      fpp: Double = 0.01): Unit = {
+    graft.expr.GraftExtensions.register(banned.sparkSession)
+    val bannedCol = banned.columns.head
+    val items = math.min(math.max(expectedBanned, 1L), 4000000L)
+    val optimalBits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(optimalBits, 67108864L)
+    import banned.sparkSession.implicits._
+    banned
+      .agg(call_function("graft_bloom_agg",
+        col(bannedCol).cast("long"), lit(items), lit(numBits)).as("bf"))
+      .select(col("bf"), lit(items).as("items"), lit(numBits).as("num_bits"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted bloom index: (bytes, items, numBits); bytes is
+    * null when the index was built over zero rows (bans nothing). */
+  def readBloomIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Byte], Long, Long) = {
+    val r = spark.read.parquet(path).head()
+    (r.getAs[Array[Byte]](0), r.getLong(1), r.getLong(2))
   }
 
   /** As-of join: for every left row, the latest right row with
@@ -414,6 +463,24 @@ object Joins {
       val docs = Tables(s, dir, "documents")
       val banned = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
       bloomAntiJoin(docs.select("doc_id", "n_chars"), banned, "doc_id", expectedBanned = 1000)
+        .orderBy("doc_id")
+    },
+
+    // Persisted-bloom round-trip: the bloom built over the banned ids
+    // writes to parquet, reads back, and the probe+verify against it
+    // must produce the EXACT anti-join (the bloom only routes) — same
+    // oracle as q12, plus the geometry columns round-trip.
+    Gate(
+      "snk_bloom_index",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val banned = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      val path = graft.sources.DocSource.gateScratch(dir, "snk_bloom_index")
+      writeBloomIndex(banned, path, expectedBanned = 1000)
+      val (bf, items, bits) = readBloomIndex(s, path)
+      require(items == 1000L && bits > 0L, "bloom geometry must round-trip")
+      bloomAntiJoinWith(docs.select("doc_id", "n_chars"), banned, "doc_id", bf)
         .orderBy("doc_id")
     },
 

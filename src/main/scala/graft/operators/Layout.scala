@@ -174,6 +174,69 @@ object Layout {
     * corpus never funnels through one task. Curriculum variants pass
     * `within` (e.g. a quality tier): ranks order by (within, lcg, id)
     * so whole tiers stay contiguous while docs shuffle inside them. */
+  /** Weighted multi-source interleave — the Megatron "blendable
+    * dataset" order (integer weights w_s; a window of the stream
+    * holds sources in ~w proportion), WITHOUT the sequential greedy
+    * loop Megatron runs on one process: item j of source s "emits"
+    * at virtual time (j+1)/w_s (weighted round-robin / stride
+    * scheduling), and its global position is a CLOSED FORM each row
+    * computes independently —
+    *
+    *   pos(s, j) = j + Σ_{s'≠s} [ min(n_{s'},
+    *     ceil((j+1)·w_{s'} / w_s) − 1)            (strictly earlier)
+    *     + 1 if w_s | (j+1)·w_{s'} and the tied item exists and
+    *       s' < s ]                                (tie → source order)
+    *
+    * — all integer arithmetic, so the SQL twin replays it exactly.
+    * No sequential state, no single-partition pass: one [[denseIds]]
+    * range shuffle for the within-source rank j (global rank minus a
+    * broadcast per-source offset), then the position is a narrow
+    * codegen expression. Exhausted sources cap at their size
+    * (n_{s'}), so a finite pass stays a permutation 0..n−1.
+    * `weights`: positive integers per source; every source in the
+    * frame must be present. */
+  def blendOrder(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Int],
+      outCol: String = "blend_pos"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "blendOrder: weights must be positive")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unknown = counts.keySet -- weights.keySet
+    require(unknown.isEmpty, s"blendOrder: no weight for source(s): ${unknown.mkString(", ")}")
+    // per-source offset of the global (source, id) dense rank
+    val ordered = weights.keys.toSeq.sorted
+    val offsets = ordered.scanLeft(0L)((acc, s) => acc + counts.getOrElse(s, 0L))
+      .zip(ordered).map { case (off, s) => s -> off }.toMap
+    val offCol = ordered.foldRight(lit(null).cast("long")) { (s, acc) =>
+      when(col(sourceCol) === s, lit(offsets(s))).otherwise(acc)
+    }
+    val wRow = ordered.foldRight(lit(null).cast("long")) { (s, acc) =>
+      when(col(sourceCol) === s, lit(weights(s).toLong)).otherwise(acc)
+    }
+    val withJ = denseIds(docs, Seq(col(sourceCol), col(idCol)), "__g")
+      .withColumn("__j", col("__g") - offCol)
+    val pos = ordered.map { s2 =>
+      val w2 = lit(weights(s2).toLong)
+      val n2 = lit(counts.getOrElse(s2, 0L))
+      val prod = (col("__j") + 1L) * w2
+      // integer floor/ceil division via floor(double)+remainder —
+      // exact while prod < 2^53 (≈ 9e15 items·weight, beyond any
+      // corpus this targets; the remainder test never rounds)
+      val q = floor(prod / wRow).cast("long")
+      val ceilDiv = q + when(pmod(prod, wRow) =!= 0L, 1L).otherwise(0L)
+      val earlier = least(n2, greatest(lit(0L), ceilDiv - 1L))
+      val tie = (prod % wRow === 0L) && q >= 1L && q <= n2 &&
+        lit(s2) < col(sourceCol)
+      when(col(sourceCol) === s2, lit(0L))
+        .otherwise(earlier + when(tie, 1L).otherwise(0L))
+    }.foldLeft(col("__j").cast("long"))(_ + _)
+    withJ.withColumn(outCol, pos).drop("__g", "__j")
+  }
+
   def shuffleOrder(
       df: DataFrame,
       idCol: String,
@@ -318,6 +381,35 @@ object Layout {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Blendable-interleave gate: per-source weights (src-number % 3 +
+    // 1), the oracle replays the within-source rank and the identical
+    // integer stride-scheduling closed form (floor division, tie →
+    // source order, exhausted-source cap) over a sources cross join.
+    Gate(
+      "op_blend_order",
+      """WITH w AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS INT) % 3 + 1 AS wt FROM documents),
+        |j AS (SELECT doc_id, source, wt,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS j FROM w),
+        |n AS (SELECT source AS s2, CAST(substr(source, 4) AS INT) % 3 + 1 AS w2,
+        |    count(*) AS n2 FROM documents GROUP BY source),
+        |t AS (SELECT j.doc_id, j.source,
+        |    j.j + COALESCE(SUM(CASE WHEN n.s2 = j.source THEN 0
+        |      ELSE least(n.n2, greatest(0, ((j.j + 1) * n.w2 + j.wt - 1) // j.wt - 1))
+        |        + CASE WHEN ((j.j + 1) * n.w2) % j.wt = 0
+        |                AND ((j.j + 1) * n.w2) // j.wt BETWEEN 1 AND n.n2
+        |                AND n.s2 < j.source THEN 1 ELSE 0 END END), 0) AS pos
+        |  FROM j CROSS JOIN n GROUP BY j.doc_id, j.source, j.j)
+        |SELECT doc_id, source, CAST(pos AS BIGINT) AS blend_pos
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "source")
+      val sources = docs.select("source").distinct().collect().map(_.getString(0))
+      val weights = sources.map(n => n -> (n.stripPrefix("src").toInt % 3 + 1)).toMap
+      blendOrder(docs, "doc_id", "source", weights)
+        .select(col("doc_id"), col("source"), col("blend_pos"))
+        .orderBy("doc_id")
+    },
+
     // Padding-waste report: which length-bucket grid wastes the least
     // compute (every doc pads to its bucket ceiling; docs past the top
     // ceiling truncate). One map-side aggregate; the decision input

@@ -144,4 +144,38 @@ class LayoutSpec extends SparkSpec {
     assert(again.toSeq == first.toSeq)
     Caches.releaseAll()
   }
+
+  test("blendOrder closed form == the sequential stride-scheduling merge") {
+    import spark.implicits._
+    // three sources with sizes 9/5/3 and weights 3/2/1
+    val docs = ((0 until 9).map(i => (i.toLong, "a")) ++
+        (100 until 105).map(i => (i.toLong, "b")) ++
+        (200 until 203).map(i => (i.toLong, "c"))).toDF("id", "source")
+    val weights = Map("a" -> 3, "b" -> 2, "c" -> 1)
+    val got = Layout.blendOrder(docs, "id", "source", weights)
+      .collect().map(r => r.getLong(2) -> (r.getString(1), r.getLong(0))).toMap
+    // reference: simulate the weighted round-robin merge one item at
+    // a time — emission time (j+1)/w, ties by source name
+    val sizes = Map("a" -> 9, "b" -> 5, "c" -> 3)
+    val ids = Map(
+      "a" -> (0 until 9).map(_.toLong),
+      "b" -> (100 until 105).map(_.toLong),
+      "c" -> (200 until 203).map(_.toLong))
+    val stream = (for {
+      (s, n) <- sizes.toSeq
+      j <- 0 until n
+    } yield (BigDecimal(j + 1) / weights(s), s, ids(s)(j)))
+      .sortBy { case (t, s, _) => (t, s) }
+    val want = stream.zipWithIndex.map { case ((_, s, id), pos) =>
+      pos.toLong -> (s, id)
+    }.toMap
+    assert(got == want, s"closed form diverges from the greedy merge")
+    // permutation 0..n-1
+    assert(got.keySet == (0L until 17L).toSet)
+    // weight proportions hold in a prefix: among the first 12, source
+    // a (weight 3 of 6) holds ~half
+    val prefix = (0L until 12L).map(p => got(p)._1)
+    assert(prefix.count(_ == "a") >= 5 && prefix.count(_ == "a") <= 7)
+    Caches.releaseAll()
+  }
 }
