@@ -3,7 +3,7 @@ package graft.expr
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -51,8 +51,11 @@ object CdcKernel {
     UTF8String.fromBytes(out)
   }
 
-  def digests(text: UTF8String, w: Int, mask: Int): ArrayData = {
-    val s = text.toString
+  /** Shared boundary roll, bracketed by the 0 and end sentinels, in
+    * BOTH offset units: UTF-16 (for JVM substring cuts) and codepoint
+    * (what `substr`/`length` count in both SQL engines — the unit any
+    * cross-engine arithmetic over boundaries must use). */
+  private def boundsOf(s: String, w: Int, mask: Int): (ArrayBuffer[Int], ArrayBuffer[Int]) = {
     var bw = 1L
     var k = 0
     while (k < w) { bw = bw * B % P; k += 1 }
@@ -60,8 +63,8 @@ object CdcKernel {
     // step i and re-read exactly w steps later as the leaving code
     val ring = new Array[Long](w)
     var h = 0L
-    // boundaries as UTF-16 offsets (for substring cuts); 0 sentinel first
-    val bounds = ArrayBuffer[Int](0)
+    val bounds = ArrayBuffer[Int](0)   // UTF-16 offsets
+    val boundsCp = ArrayBuffer[Int](0) // codepoint offsets
     var j = 0      // UTF-16 offset
     var i = 0      // 1-based codepoint index, incremented on entry
     val len = s.length
@@ -74,9 +77,15 @@ object CdcKernel {
       h = (h * B + c - out * bw) % P
       if (h < 0) h += P
       j += Character.charCount(c)
-      if (i >= w && h % mask == 0) bounds += j
+      if (i >= w && h % mask == 0) { bounds += j; boundsCp += i }
     }
-    if (bounds.last != len || bounds.length == 1) bounds += len
+    if (bounds.last != len || bounds.length == 1) { bounds += len; boundsCp += i }
+    (bounds, boundsCp)
+  }
+
+  def digests(text: UTF8String, w: Int, mask: Int): ArrayData = {
+    val s = text.toString
+    val bounds = boundsOf(s, w, mask)._1
     val chunks = new Array[Any](bounds.length - 1)
     var b = 0
     while (b < bounds.length - 1) {
@@ -85,6 +94,38 @@ object CdcKernel {
       b += 1
     }
     new GenericArrayData(chunks)
+  }
+
+  /** Re-roll the same boundaries and emit the document WITHOUT the
+    * chunks whose 0-based ordinals appear in `drops` — the rewrite
+    * half of cross-document duplicate-chunk removal
+    * (`Lines.cutDupChunks`). Out-of-range ordinals are ignored (the
+    * caller derives them from the same boundary rule, so they only
+    * arise from a caller bug, which must not corrupt text). */
+  /** Codepoint-offset boundary list (sentinels included) — identical
+    * to the SQL oracle's bracketed `fl` list, so arithmetic over it
+    * (chunk-length floors) is engine-identical. */
+  def boundsCp(text: UTF8String, w: Int, mask: Int): ArrayData =
+    new GenericArrayData(boundsOf(text.toString, w, mask)._2.toArray)
+
+  def cut(text: UTF8String, w: Int, mask: Int, drops: ArrayData): UTF8String = {
+    val s = text.toString
+    val bounds = boundsOf(s, w, mask)._1
+    val n = bounds.length - 1
+    val dropped = new Array[Boolean](n)
+    var i = 0
+    while (i < drops.numElements()) {
+      val d = drops.getInt(i)
+      if (d >= 0 && d < n) dropped(d) = true
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    var b = 0
+    while (b < n) {
+      if (!dropped(b)) sb.append(s, bounds(b), bounds(b + 1))
+      b += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }
 
@@ -109,4 +150,58 @@ case class CdcChunks(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): CdcChunks =
     copy(first = f, second = s, third = t)
+}
+
+/** (string, int w, int mask) → array<int> codepoint boundary offsets
+  * (0 and length sentinels included), codegen'd — the companion of
+  * [[CdcChunks]] when callers need positions (length floors, span
+  * attribution) beside the digests. */
+case class CdcBounds(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(StringType, IntegerType, IntegerType)
+    val got = children.map(_.dataType)
+    if (got == want) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_bounds expects (string, int, int), got (${got.mkString(", ")})")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, w: Any, m: Any): Any =
+    CdcKernel.boundsCp(t.asInstanceOf[UTF8String], w.asInstanceOf[Int], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, m) => s"graft.expr.CdcKernel.boundsCp($t, $w, $m)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CdcBounds =
+    copy(first = f, second = s, third = t)
+}
+
+/** (string, int w, int mask, array<int> dropOrdinals) → string with
+  * the dropped chunks removed — re-rolls [[CdcKernel.boundsOf]]'s
+  * boundaries so only small-integer ordinals (not offsets or chunk
+  * text) ever need to reach this rewrite from the dedup join. */
+case class CdcCut(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val scalar = children.take(3).map(_.dataType) == Seq(StringType, IntegerType, IntegerType)
+    val drops = fourth.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (scalar && drops) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_cut expects (string, int, int, array<int>), got " +
+        s"(${children.map(_.dataType).mkString(", ")})")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, w: Any, m: Any, d: Any): Any =
+    CdcKernel.cut(t.asInstanceOf[UTF8String], w.asInstanceOf[Int],
+      m.asInstanceOf[Int], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, m, d) => s"graft.expr.CdcKernel.cut($t, $w, $m, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): CdcCut =
+    copy(first = f, second = s, third = t, fourth = q)
 }

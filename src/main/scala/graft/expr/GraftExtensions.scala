@@ -84,6 +84,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_unigram_encode"),
         new ExpressionInfo(classOf[UnigramEncode].getName, "graft_unigram_encode"),
         (args: Seq[Expression]) => UnigramEncode(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_cdc_bounds"),
+        new ExpressionInfo(classOf[CdcBounds].getName, "graft_cdc_bounds"),
+        (args: Seq[Expression]) => CdcBounds(args.head, args(1), args(2))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_cdc_cut"),
+        new ExpressionInfo(classOf[CdcCut].getName, "graft_cdc_cut"),
+        (args: Seq[Expression]) => CdcCut(args.head, args(1), args(2), args(3))))
   }
 }
 
@@ -150,5 +158,9 @@ object GraftExtensions {
       "graft_cdc_chunks", es => CdcChunks(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_unigram_encode", es => UnigramEncode(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cdc_bounds", es => CdcBounds(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cdc_cut", es => CdcCut(es.head, es(1), es(2), es(3)), "built-in")
   }
 }

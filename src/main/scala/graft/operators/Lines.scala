@@ -469,6 +469,93 @@ object Lines {
       .select("id_a", "id_b", "shared", "containment")
   }
 
+  /** Cross-document duplicate-SUBSTRING removal — the rewrite that
+    * exact-substring training-data dedup performs (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: cut repeated passages, keep one occurrence),
+    * realized on content-defined chunks instead of a suffix array:
+    * CDC boundaries are content-local, so a passage shared by many
+    * pages chunks identically everywhere regardless of where it sits
+    * in each page, and "substring seen before" becomes "chunk digest
+    * with corpus frequency > 1". Every occurrence is cut EXCEPT the
+    * lexicographically first (min (id, chunk ordinal)) — within-doc
+    * repeats count too, so a page that pastes the same passage twice
+    * keeps it once.
+    *
+    * Scale shape (the [[dedupLines]] digest discipline): the scan
+    * emits (id, ordinal, xxhash64(chunk md5)) — 8-byte keys, text
+    * never in an exchange; frequencies and the keeper occurrence are
+    * one map-side-combined aggregate; each doc's drop list returns as
+    * a small int array on an id join (id-bucketed layouts keep their
+    * partitioning, AQE broadcasts when small), and the rewrite is the
+    * codegen [[graft.expr.CdcCut]] kernel re-rolling the same
+    * boundaries doc-locally. Like [[cdcNearDupPairs]], chunk identity
+    * rides a 64-bit key — an xxhash64 collision (≈ n²/2⁶⁵) could cut
+    * a non-duplicate chunk.
+    *
+    * A smaller `mask` cuts at finer granularity (expected chunk
+    * length ≈ mask codepoints); `minChunk` ignores duplicated chunks
+    * shorter than the floor (tiny chunks — a bare newline — are
+    * common by chance, and cutting them would shred unrelated docs).
+    * Output: the input frame + `outCol` (rewritten text) + `n_cut`
+    * (chunks removed, 0 when untouched). NULL-id docs bypass the cut
+    * (the id join cannot address them), NULL text rewrites as ''. */
+  def cutDupChunks(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 16,
+      mask: Int = 64,
+      minChunk: Int = 8,
+      outCol: String = "cut_text"): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    // the length floor rides INSIDE the digest stream: a chunk under
+    // the floor gets a per-occurrence unique salt instead of its md5,
+    // so it can never reach df > 1 — equivalent to excluding short
+    // chunks from the frequency table, with no second kernel pass and
+    // no (id, ordinal) self-join. Lengths come from the codepoint
+    // boundary list ([[graft.expr.CdcBounds]] — the same `fl` list
+    // the oracle's replay builds, so the floor units agree exactly.
+    val guarded = bind(cdcChunkDigests(col(textCol), w, mask)) { hs =>
+      bind(cdcBounds(col(textCol), w, mask)) { bs =>
+        transform(TextAnalysis.indices(size(hs)), j =>
+          when(element_at(bs, j + 1) - element_at(bs, j) >= minChunk,
+            element_at(hs, j))
+            .otherwise(concat(lit("#"), col(idCol).cast("string"),
+              lit(":"), (j - 1).cast("string"))))
+      }
+    }
+    val keyed = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__cid"), posexplode(guarded).as(Seq("__nr", "__h")))
+      .select(col("__cid"), col("__nr"), xxhash64(col("__h")).as("__k"))
+    val dups = keyed.groupBy("__k")
+      .agg(count(lit(1)).as("__df"),
+        min(struct(col("__cid"), col("__nr"))).as("__keep"))
+      .filter(col("__df") > 1)
+      .select(col("__k"), col("__keep"))
+    val drops = keyed.join(dups, Seq("__k"))
+      .filter(!(col("__cid") === col("__keep").getField("__cid") &&
+        col("__nr") === col("__keep").getField("__nr")))
+      .groupBy("__cid")
+      .agg(sort_array(collect_set(col("__nr"))).as("__drops"))
+      .withColumnRenamed("__cid", idCol)
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("__drops").isNull, coalesce(col(textCol), lit("")))
+          .otherwise(call_function("graft_cdc_cut",
+            coalesce(col(textCol), lit("")), lit(w), lit(mask), col("__drops"))))
+      .withColumn("n_cut", coalesce(size(col("__drops")), lit(0)))
+      .drop("__drops")
+  }
+
+  /** Codepoint-offset chunk boundaries (0 and length sentinels
+    * included) under the same roll — exactly the oracle replay's
+    * bracketed `fl` list, so floor arithmetic on the diffs is
+    * engine-identical. */
+  def cdcBounds(text: Column, w: Int = 16, mask: Int = 64): Column =
+    call_function("graft_cdc_bounds", coalesce(text, lit("")), lit(w), lit(mask))
+
   /** 16-word paragraphs separated by blank lines — the
     * [[chunkLines]] twin at paragraph granularity. */
   private def chunkParas(text: Column): Column = bind(TextAnalysis.words(text)) { ws =>
@@ -480,6 +567,11 @@ object Lines {
   private val SqlChunkParas: String =
     "array_to_string([array_to_string(ws[(i-1)*16+1:(i-1)*16+16], ' ') " +
       "FOR i IN range(1, CAST(ceil(len(ws)/16.0) AS INT) + 1)], chr(10) || chr(10))"
+
+  // aperiodic (index-varied) so the window hash never goes periodic —
+  // the dedup_cdc_pairs degenerate-mode lesson
+  private val CutPassage =
+    (1 to 8).map(i => s"shared cut passage piece $i holds distinct tokens ").mkString
 
   private val BoilerPara =
     "please subscribe to our newsletter for daily updates and follow us on social media"
@@ -582,6 +674,71 @@ object Lines {
         Tables(s, dir, "documents").select(col("doc_id"), page.as("t")),
         "t", "doc_id", threshold = 0.5, maxDf = 200)
         .orderBy("id_a", "id_b")
+    },
+
+    // Duplicate-substring CUT: an aperiodic passage is inserted
+    // mid-page on doc_id%5 and appended on doc_id%9 (so %45 pages
+    // carry it twice — the within-doc repeat case), then every
+    // corpus-wide occurrence of each interior chunk must vanish
+    // except the lexicographically first. The oracle replays the
+    // boundary rule at mask 16, the short-chunk salting (the length
+    // floor), the min-(doc,ordinal) keeper, and the full rebuild.
+    Gate(
+      "fmt_cut_dup_chunks", {
+        s"""WITH p AS (SELECT doc_id,
+           |    substr(text, 1, 80)
+           |      || (CASE WHEN doc_id % 5 = 0 THEN '$CutPassage' ELSE '' END)
+           |      || substr(text, 81, 1000000)
+           |      || (CASE WHEN doc_id % 9 = 0 THEN '$CutPassage' ELSE '' END) AS t
+           |  FROM documents),
+           |c AS (SELECT doc_id, t, length(t) AS n,
+           |    [CAST(ascii(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, length(t) + 1)] AS codes
+           |  FROM p),
+           |b AS (SELECT doc_id, t, n,
+           |    [i FOR i IN range(16, n + 1) IF ${sqlCdcBoundary(16, 16)}] AS bp FROM c),
+           |f AS (SELECT doc_id, t,
+           |    list_prepend(0, CASE WHEN len(bp) = 0 OR bp[-1] <> n
+           |                    THEN list_append(bp, n) ELSE bp END) AS fl FROM b),
+           |e0 AS (SELECT doc_id, unnest(
+           |    [{'nr': j - 1, 'h': CASE WHEN fl[j+1] - fl[j] >= 8
+           |        THEN md5(substr(t, fl[j]+1, fl[j+1]-fl[j]))
+           |        ELSE '#' || doc_id || ':' || (j - 1) END}
+           |     FOR j IN range(1, len(fl))]) AS ch FROM f),
+           |e AS (SELECT doc_id, ch.nr AS nr, ch.h AS h FROM e0),
+           |dup AS (SELECT h FROM e GROUP BY h HAVING count(*) > 1),
+           |k1 AS (SELECT e.h, min(e.doc_id) AS kid
+           |       FROM e JOIN dup USING (h) GROUP BY e.h),
+           |k2 AS (SELECT e.h, k1.kid, min(e.nr) AS knr
+           |       FROM e JOIN k1 ON e.h = k1.h AND e.doc_id = k1.kid
+           |       GROUP BY e.h, k1.kid),
+           |dr AS (SELECT e.doc_id, e.nr FROM e JOIN k2 ON e.h = k2.h
+           |       WHERE NOT (e.doc_id = k2.kid AND e.nr = k2.knr)),
+           |-- the FILTER matters: the outer join's NULL would otherwise
+           |-- ride into list() as [NULL] (len 1, phantom n_cut)
+           |g AS (SELECT f.doc_id, f.t, f.fl,
+           |      coalesce(list(dr.nr) FILTER (dr.nr IS NOT NULL), []) AS ds
+           |      FROM f LEFT JOIN dr ON f.doc_id = dr.doc_id
+           |      GROUP BY f.doc_id, f.t, f.fl)
+           |SELECT doc_id, CAST(len(fl) - 1 AS INT) AS n_chunks,
+           |  CAST(len(ds) AS INT) AS n_cut,
+           |  md5(coalesce(array_to_string(
+           |    [substr(t, fl[j]+1, fl[j+1]-fl[j]) FOR j IN range(1, len(fl))
+           |     IF NOT list_contains(ds, j - 1)], ''), '')) AS cut_md5
+           |FROM g ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = concat(
+        substring(col("text"), 1, 80),
+        when(col("doc_id") % 5 === 0, lit(CutPassage)).otherwise(lit("")),
+        substring(col("text"), 81, 1000000),
+        when(col("doc_id") % 9 === 0, lit(CutPassage)).otherwise(lit("")))
+      val pages = Tables(s, dir, "documents").select(col("doc_id"), page.as("t"))
+      cutDupChunks(pages, "t", "doc_id", w = 16, mask = 16, minChunk = 8,
+        outCol = "cut")
+        .select(col("doc_id"),
+          size(cdcChunkDigests(col("t"), 16, 16)).as("n_chunks"),
+          col("n_cut"),
+          md5(col("cut")).as("cut_md5"))
+        .orderBy("doc_id")
     },
 
     // Paragraph-granularity twin of dedup_lines: a long boilerplate

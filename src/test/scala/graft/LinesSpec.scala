@@ -208,4 +208,69 @@ class LinesSpec extends SparkSpec {
     assert(out(7L) == ((Some("r s t r s t u"), 7, 0)))
     Caches.releaseAll()
   }
+
+  private val CutP =
+    (1 to 8).map(i => s"repeated segment $i with varied middle words ").mkString
+
+  test("cutDupChunks: shared passage survives only at the min-(id,ordinal) occurrence") {
+    val docs = Seq(
+      (3L, s"doc three head text before the shared region $CutP and a tail about gamma"),
+      (1L, s"doc one head entirely different opening $CutP closing words about alpha"),
+      (2L, s"doc two another distinct beginning here $CutP final words about beta"))
+      .toDF("id", "t")
+    val out = Lines.cutDupChunks(docs, "t", "id", w = 16, mask = 16, minChunk = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("cut_text"), r.getAs[Int]("n_cut")))).toMap
+    // doc 1 is the keeper of every shared chunk: untouched
+    assert(out(1L)._2 == 0 && out(1L)._1.contains("repeated segment 4"))
+    // docs 2 and 3 lose the passage interior but keep their own words
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id)._2 > 0)
+      assert(!out(id)._1.contains("repeated segment 4 with varied"))
+    }
+    assert(out(2L)._1.contains("doc two another distinct"))
+    assert(out(3L)._1.contains("doc three head text"))
+    Caches.releaseAll()
+  }
+
+  test("cutDupChunks: within-doc repeat keeps one occurrence; NULLs bypass") {
+    val docs = Seq[(java.lang.Long, String)](
+      (7L, s"lone doc opening words $CutP middle connective text $CutP closing run"),
+      (8L, null),
+      (null, "null id doc is never addressed by the cut"))
+      .toDF("id", "t")
+    val out = Lines.cutDupChunks(docs, "t", "id", w = 16, mask = 16, minChunk = 8)
+      .collect().map(r => Option(r.getAs[java.lang.Long]("id")) ->
+        ((r.getAs[String]("cut_text"), r.getAs[Int]("n_cut")))).toMap
+    val (cut7, n7) = out(Some(7L))
+    assert(n7 > 0)
+    // the second within-doc occurrence's interior is gone: the marker
+    // appears once, not twice
+    val marker = "repeated segment 4 with varied"
+    assert(cut7.sliding(marker.length).count(_ == marker) == 1)
+    assert(out(Some(8L)) == (("", 0)))
+    assert(out(None) == (("null id doc is never addressed by the cut", 0)))
+    Caches.releaseAll()
+  }
+
+  test("graft_cdc_cut/bounds kernels: sentinel bracket, out-of-range drops, astral text") {
+    graft.expr.GraftExtensions.register(spark)
+    val t = "astral 😀 codepoints " + ("x" * 40) + " rest of the text body"
+    val df = Seq(t).toDF("t").select(
+      call_function("graft_cdc_bounds", col("t"), lit(16), lit(16)).as("bs"),
+      size(call_function("graft_cdc_chunks", col("t"), lit(16), lit(16))).as("nc"),
+      call_function("graft_cdc_cut", col("t"), lit(16), lit(16),
+        array(lit(-1), lit(999))).as("noop"),
+      call_function("graft_cdc_cut", col("t"), lit(16), lit(16),
+        sequence(lit(0), lit(200))).as("all"))
+    val r = df.head()
+    val bs = r.getSeq[Int](0)
+    // bounds bracket: 0 first, codepoint length last, one more than chunks
+    assert(bs.head == 0 && bs.last == t.codePointCount(0, t.length))
+    assert(bs.length == r.getInt(1) + 1)
+    // out-of-range ordinals are ignored; dropping every chunk empties
+    assert(r.getString(2) == t)
+    assert(r.getString(3) == "")
+    Caches.releaseAll()
+  }
 }
