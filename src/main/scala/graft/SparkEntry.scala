@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Layout.gates ++
       operators.Annotators.gates ++
       ml.Calibration.gates ++
+      ml.ClassifierTraining.gates ++
       sources.DocSource.gates ++
       tokens.Tokens.gates ++
       tokens.Wordpiece.gates ++

@@ -100,4 +100,157 @@ object ClassifierTraining {
       col(labelCol).cast("int").as("y"))
     scored.agg(avg((col("pred") === col("y")).cast("double"))).head().getDouble(0)
   }
+
+  /** One-pass CLOSED-FORM ridge regression — the bit-reproducible
+    * quality-regressor trainer (the DCLM/fineweb "fit a linear scorer
+    * on cheap features" step) that MLlib's iterative solvers cannot
+    * give: normal equations (XᵀX + λI)w = Xᵀy with the moment matrix
+    * accumulated as EXACT DECIMAL sums (one map-side-combined
+    * aggregate — the corpus reduces to (d+1)(d+4)/2 numbers, the
+    * exchange carries one row), then a driver-side solve. λ is added
+    * AFTER the exact→double conversion and never on the intercept.
+    *
+    * Determinism contract: integer-valued features/label make the
+    * moments exact (order-independent) at ANY partitioning, and for
+    * d ≤ 2 features the solve is the pinned 3×3 cofactor expansion
+    * ([[sqlDet3]] is its SQL twin, so an engine replaying the same
+    * IEEE ops reproduces the weights bit-for-bit). Larger d solves by
+    * partial-pivot Gaussian elimination — still deterministic on the
+    * exact moments, just without a one-expression SQL twin. Scale
+    * float features by a fixed factor upstream (e.g. ×1e6 → long) to
+    * keep exactness. Returns feature weights in `featureCols` order,
+    * intercept LAST. */
+  def fitRidge(
+      data: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      lambda: Double = 0.0): Array[Double] = {
+    require(featureCols.nonEmpty, "fitRidge: at least one feature column")
+    val d = featureCols.length
+    val xs = featureCols.map(c => col(c).cast("decimal(38,0)")) :+
+      lit(1).cast("decimal(38,0)")
+    val y = col(labelCol).cast("decimal(38,0)")
+    val aggs =
+      (for { i <- 0 to d; j <- i to d } yield sum(xs(i) * xs(j)).as(s"a_${i}_$j")) ++
+        (0 to d).map(i => sum(xs(i) * y).as(s"b_$i"))
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    def g(name: String): Double = {
+      val v = row.getAs[java.math.BigDecimal](name)
+      if (v == null) 0.0 else v.doubleValue
+    }
+    require(g(s"a_${d}_$d") > 0, "fitRidge: empty input frame")
+    val a = Array.tabulate(d + 1, d + 1) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      g(s"a_${lo}_$hi") + (if (i == j && i < d) lambda else 0.0)
+    }
+    val b = Array.tabulate(d + 1)(i => g(s"b_$i"))
+    solveSpd(a, b)
+  }
+
+  private def det3(m: Array[Array[Double]]): Double =
+    m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+
+  /** SQL text of the SAME cofactor expansion [[det3]] runs — identical
+    * operation order, so a SQL engine evaluating it over the same
+    * doubles lands on the same bits (the oracle twin of the d=2 fit). */
+  def sqlDet3(m: IndexedSeq[IndexedSeq[String]]): String =
+    s"${m(0)(0)} * (${m(1)(1)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(1)}) - " +
+      s"${m(0)(1)} * (${m(1)(0)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(0)}) + " +
+      s"${m(0)(2)} * (${m(1)(0)} * ${m(2)(1)} - ${m(1)(1)} * ${m(2)(0)})"
+
+  private def solveSpd(a: Array[Array[Double]], b: Array[Double]): Array[Double] =
+    a.length match {
+      case 1 => Array(b(0) / a(0)(0))
+      case 2 =>
+        val det = a(0)(0) * a(1)(1) - a(0)(1) * a(1)(0)
+        Array(
+          (b(0) * a(1)(1) - a(0)(1) * b(1)) / det,
+          (a(0)(0) * b(1) - b(0) * a(1)(0)) / det)
+      case 3 =>
+        val det = det3(a)
+        Array.tabulate(3) { k =>
+          val m = a.map(_.clone())
+          var r = 0
+          while (r < 3) { m(r)(k) = b(r); r += 1 }
+          det3(m) / det
+        }
+      case n =>
+        // partial-pivot Gaussian elimination; deterministic on the
+        // exact moments, no pinned SQL twin at this size
+        val m = a.map(_.clone())
+        val v = b.clone()
+        var c0 = 0
+        while (c0 < n) {
+          var p = c0
+          var r = c0 + 1
+          while (r < n) { if (math.abs(m(r)(c0)) > math.abs(m(p)(c0))) p = r; r += 1 }
+          val tm = m(c0); m(c0) = m(p); m(p) = tm
+          val tv = v(c0); v(c0) = v(p); v(p) = tv
+          require(m(c0)(c0) != 0.0, "fitRidge: singular normal matrix — raise lambda")
+          r = c0 + 1
+          while (r < n) {
+            val f = m(r)(c0) / m(c0)(c0)
+            var c = c0
+            while (c < n) { m(r)(c) -= f * m(c0)(c); c += 1 }
+            v(r) -= f * v(c0)
+            r += 1
+          }
+          c0 += 1
+        }
+        val w = new Array[Double](n)
+        var r = n - 1
+        while (r >= 0) {
+          var s = v(r)
+          var c = r + 1
+          while (c < n) { s -= m(r)(c) * w(c); c += 1 }
+          w(r) = s / m(r)(r)
+          r -= 1
+        }
+        w
+    }
+
+  // Ridge-fit gate: words ~ chars + (doc_id % 7), λ = 4 — every
+  // moment is an exact HUGEINT/DECIMAL sum in both engines, λ is
+  // added after the double conversion, and the oracle evaluates the
+  // IDENTICAL 3×3 Cramer expansion (sqlDet3), so the weights match
+  // bit-for-bit before the shared pround.
+  val gates: Seq[graft.Gate] = Seq(
+    graft.Gate(
+      "op_ridge_fit", {
+        import graft.operators.TextAnalysis.SqlWords
+        val mats: IndexedSeq[IndexedSeq[String]] = IndexedSeq(
+          IndexedSeq("a00", "a01", "a02"),
+          IndexedSeq("a01", "a11", "a12"),
+          IndexedSeq("a02", "a12", "a22"))
+        def sub(k: Int): IndexedSeq[IndexedSeq[String]] =
+          mats.zipWithIndex.map { case (r, i) => r.updated(k, s"b$i") }
+        s"""WITH t AS (SELECT CAST(n_chars AS HUGEINT) AS x1,
+           |    CAST(doc_id % 7 AS HUGEINT) AS x2,
+           |    CAST(len($SqlWords) AS HUGEINT) AS y FROM documents),
+           |m AS (SELECT sum(x1*x1) AS a00i, sum(x1*x2) AS a01i, sum(x1) AS a02i,
+           |    sum(x2*x2) AS a11i, sum(x2) AS a12i, count(*) AS ni,
+           |    sum(x1*y) AS b0i, sum(x2*y) AS b1i, sum(y) AS b2i FROM t),
+           |d AS (SELECT
+           |    CAST(a00i AS DOUBLE) + 4.0 AS a00, CAST(a01i AS DOUBLE) AS a01,
+           |    CAST(a02i AS DOUBLE) AS a02, CAST(a11i AS DOUBLE) + 4.0 AS a11,
+           |    CAST(a12i AS DOUBLE) AS a12, CAST(ni AS DOUBLE) AS a22,
+           |    CAST(b0i AS DOUBLE) AS b0, CAST(b1i AS DOUBLE) AS b1,
+           |    CAST(b2i AS DOUBLE) AS b2 FROM m)
+           |SELECT ${graft.Cols.proundSql(s"(${sqlDet3(sub(0))}) / (${sqlDet3(mats)})", 6)} AS w1,
+           |  ${graft.Cols.proundSql(s"(${sqlDet3(sub(1))}) / (${sqlDet3(mats)})", 6)} AS w2,
+           |  ${graft.Cols.proundSql(s"(${sqlDet3(sub(2))}) / (${sqlDet3(mats)})", 6)} AS w0
+           |FROM d""".stripMargin
+      }) { (s, dir) =>
+      val df = graft.Tables(s, dir, "documents").select(
+        col("n_chars").as("x1"),
+        (col("doc_id") % 7).as("x2"),
+        size(graft.operators.TextAnalysis.words(col("text"))).cast("long").as("y"))
+      val w = fitRidge(df, Seq("x1", "x2"), "y", lambda = 4.0)
+      s.range(1).select(
+        graft.Cols.pround(lit(w(0)), 6).as("w1"),
+        graft.Cols.pround(lit(w(1)), 6).as("w2"),
+        graft.Cols.pround(lit(w(2)), 6).as("w0"))
+    })
 }

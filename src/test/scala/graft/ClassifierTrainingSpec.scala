@@ -80,4 +80,41 @@ class ClassifierTrainingSpec extends SparkSpec {
     assert(back.count() == docs.count())
     assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
   }
+
+  test("fitRidge recovers an exact linear relation at lambda 0 (Cramer path)") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val x1 = (i * 37) % 101L; val x2 = (i * 13) % 23L
+      (x1, x2, 3 * x1 + 2 * x2 + 5)
+    }.toDF("x1", "x2", "y")
+    val w = ClassifierTraining.fitRidge(df, Seq("x1", "x2"), "y")
+    assert(math.abs(w(0) - 3) < 1e-9 && math.abs(w(1) - 2) < 1e-9 &&
+      math.abs(w(2) - 5) < 1e-9, w.toSeq.toString)
+  }
+
+  test("fitRidge: Gaussian path at d=4, shrinkage under lambda, partition-invariance") {
+    import spark.implicits._
+    val df4 = (1 to 300).map { i =>
+      val x = Array.tabulate(4)(k => (i * (7 + 3 * k)) % (31L + 10 * k))
+      (x(0), x(1), x(2), x(3), x(0) + 2 * x(1) + 3 * x(2) + 4 * x(3) + 1)
+    }.toDF("x1", "x2", "x3", "x4", "y")
+    val w4 = ClassifierTraining.fitRidge(df4, Seq("x1", "x2", "x3", "x4"), "y")
+    (0 until 4).foreach(k =>
+      assert(math.abs(w4(k) - (k + 1)) < 1e-8, w4.toSeq.toString))
+    assert(math.abs(w4(4) - 1) < 1e-7, w4.toSeq.toString)
+
+    val df = (1 to 200).map { i =>
+      val x1 = (i * 37) % 101L; val x2 = (i * 13) % 23L
+      (x1, x2, 3 * x1 + 2 * x2 + 5)
+    }.toDF("x1", "x2", "y")
+    val w0 = ClassifierTraining.fitRidge(df, Seq("x1", "x2"), "y")
+    val wl = ClassifierTraining.fitRidge(df, Seq("x1", "x2"), "y", lambda = 1e6)
+    assert(math.abs(wl(0)) < math.abs(w0(0)) && math.abs(wl(1)) < math.abs(w0(1)))
+
+    // exact DECIMAL moments make the fit partition-order-invariant:
+    // the weights match BIT-for-bit across different partitionings
+    val a = ClassifierTraining.fitRidge(df.repartition(7), Seq("x1", "x2"), "y", 4.0)
+    val b = ClassifierTraining.fitRidge(df.repartition(3), Seq("x1", "x2"), "y", 4.0)
+    assert(a.toSeq == b.toSeq)
+  }
 }
