@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming document operators: the dedup/filter/format stages of
   * the batch pipeline applied to unbounded streams. Filters and
@@ -32,4 +33,51 @@ object StreamDocs {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** A near-duplicate candidate flag: `id` collided with
+    * earlier-seen `dupOf` in LSH band `band`. */
+  final case class DupFlag(id: Long, dupOf: Long, band: Int)
+
+  /** Streaming NEAR-dup detection — the stateful twin of
+    * [[graft.operators.Dedup.minhashLshPairs]]' candidate stage for a
+    * continuously-ingesting corpus: each arriving doc's 16 LSH band
+    * signatures key into `flatMapGroupsWithState`, whose state per
+    * band bucket is ONE long (the first-seen doc id); any later
+    * arrival in the same bucket emits a [[DupFlag]] against that
+    * keeper. First-seen wins across micro-batches (the streaming
+    * ingest contract — history never re-flags); within one batch ties
+    * break to the min id so replays are deterministic.
+    *
+    * Flags are band-level CANDIDATES (union over bands of the batch
+    * S-curve); the consumer dedupes/verifies exactly as the batch
+    * pipeline's verify stage does — emitting pairs keeps this a
+    * single stateful operator, which Spark's chaining rules require.
+    * State is one long per DISTINCT band bucket ever seen — for a
+    * bounded horizon, restart the query per ingest epoch or fold the
+    * bucket space (state never holds text or shingles). */
+  def nearDupFlagStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String): Dataset[DupFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    import graft.operators.Dedup
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), posexplode(Dedup.bandSigs(Dedup.minhash(col("sh")))))
+      .select(concat_ws("#", col("pos"), col("col")).as("bkey"), col("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bkey: String, it: Iterator[(String, Long)], state: GroupState[Long]) => {
+          val ids = it.map(_._2).toArray.distinct.sorted
+          val keeper = if (state.exists) state.get else ids.head
+          if (!state.exists) state.update(keeper)
+          val band = bkey.takeWhile(_ != '#').toInt
+          ids.iterator.filter(_ != keeper).map(DupFlag(_, keeper, band))
+        })
+  }
 }

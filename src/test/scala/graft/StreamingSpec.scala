@@ -468,4 +468,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected,
       s"stream/batch drift: ${(got diff expected).take(5)} vs ${(expected diff got).take(5)}")
   }
+
+  test("nearDupFlagStream flags cross-batch and within-batch LSH collisions") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"token$i alpha content").mkString(" ")
+    val b = (1 to 30).map(i => s"other$i beta material").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamDocs
+      .nearDupFlagStream(input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+
+    // batch 1: doc 11 is an exact twin of 10 → within-batch flag
+    input.addData((10L, a), (11L, a), (20L, b))
+    query.processAllAvailable()
+    // batch 2: doc 30 is a near-copy of 10 (one word edited) → flags
+    // against the FIRST-SEEN keeper; doc 40 is unique, never flagged
+    input.addData((30L, a.replace("token15", "edited15")), (40L, "totally unique words here nothing shared"))
+    query.processAllAvailable()
+
+    val flags = spark.table("neardup_stream")
+      .select("id", "dupOf").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    assert(flags.contains((11L, 10L)), s"flags $flags")
+    assert(flags.contains((30L, 10L)), s"flags $flags")
+    assert(!flags.exists(f => f._1 == 20L || f._1 == 40L), s"flags $flags")
+    // nothing flags against a later-seen doc: first-seen keeps
+    assert(flags.forall(_._2 == 10L), s"flags $flags")
+  }
+
+  test("persisted bloom index probes a stream: stream-static anti-join, bounded state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Joins
+    val banned = Seq(2L, 4L, 6L).toDF("doc_id")
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom-stream").toString + "/idx"
+    Joins.writeBloomIndex(banned, path, expectedBanned = 3)
+    val (bf, _, _) = Joins.readBloomIndex(spark, path)
+
+    val input = MemoryStream[(Long, String)]
+    val query = Joins
+      .bloomAntiJoinWith(input.toDF().toDF("doc_id", "text"), banned, "doc_id", bf)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    input.addData((1L, "one"), (2L, "two"), (3L, "three"))
+    query.processAllAvailable()
+    input.addData((4L, "four"), (5L, "five"), (6L, "six"), (7L, "seven"))
+    query.processAllAvailable()
+    val kept = spark.table("bloom_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(kept == Set(1L, 3L, 5L, 7L), s"kept $kept")
+  }
 }
