@@ -187,6 +187,35 @@ object Tokens {
       .toDF("seq_id", "ids")
   }
 
+  /** 1-based eos positions inside a packed sequence. */
+  private def eosPositions(ids: Column, eos: Long): Column =
+    filter(sequence(lit(1), size(ids)), i => element_at(ids, i) === lit(eos))
+
+  /** Position ids for a PACKED token sequence — Megatron's
+    * `reset_position_ids` semantics (gpt_dataset.py's
+    * `_build_index_mappings` companion masks): each token's 0-based
+    * offset within ITS document, resetting after every `eos` (the eos
+    * closes its own document, so it carries the doc's last position).
+    * Closed form every element computes independently — pos(i) =
+    * (i−1) − last-eos-before-i — so the SQL oracle replays it
+    * verbatim; per-row O(seqLen·n_docs) column work, bounded by the
+    * sequence length, narrow and scan-fused (no exchange: packing
+    * already placed the sequence on one row). */
+  def positionIds(ids: Column, eos: Long = EosId): Column =
+    bind(eosPositions(ids, eos)) { es =>
+      transform(sequence(lit(1), size(ids)), i =>
+        i - 1 - array_max(concat(array(lit(0)), filter(es, e => e < i))))
+    }
+
+  /** 0-based start offsets of each document segment in a packed
+    * sequence (0, plus the token after every non-terminal eos) — with
+    * [[positionIds]] this is what `reset_attention_mask` consumes:
+    * attention span k is [starts(k), next start). */
+  def docStarts(ids: Column, eos: Long = EosId): Column =
+    bind(eosPositions(ids, eos)) { es =>
+      concat(array(lit(0)), filter(es, e => e < size(ids)))
+    }
+
   /** T2 — metadata-conditioned text (reference:
     * examples/metadata_conditioning/tokenize_with_metadata.py):
     * prepend a metadata header so the conditioning tokens are part of
@@ -579,6 +608,44 @@ object Tokens {
         .select(col("seq_id"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
           md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("sig"))
+        .orderBy("seq_id")
+    },
+
+    // Packed-sequence attention plumbing: position ids reset after
+    // each in-sequence eos and doc-start offsets — the
+    // reset_position_ids / reset_attention_mask columns a Megatron
+    // loader consumes beside the ids. The oracle rebuilds the same
+    // 64-token chunks, then replays the identical closed form
+    // (pos(i) = i−1 − last-eos-before-i; starts = 0 ∪ non-terminal
+    // eos successors).
+    Gate(
+      "tok_pack_positions", {
+        val ids = sqlTokenIds("text")
+        s"""WITH t AS (SELECT doc_id, $ids AS ids FROM documents),
+           |alltoks AS (SELECT flatten(list(ids ORDER BY doc_id)) AS s FROM t),
+           |chunks AS (SELECT unnest(
+           |    [{'seq_id': k - 1, 'c': s[(k-1)*64+1 : k*64]}
+           |     FOR k IN range(1, len(s) // 64 + 1)]) AS ch FROM alltoks),
+           |w AS (SELECT ch.seq_id AS seq_id, ch.c AS c,
+           |    [i FOR i IN range(1, 65) IF ch.c[i] = $EosId] AS es FROM chunks)
+           |SELECT seq_id,
+           |  CAST(1 + len([e FOR e IN es IF e < 64]) AS INT) AS n_docs,
+           |  md5(array_to_string([i - 1 - list_max(list_prepend(0,
+           |      [e FOR e IN es IF e < i])) FOR i IN range(1, 65)], ',')) AS pos_sig,
+           |  md5(array_to_string(list_prepend(0,
+           |      [e FOR e IN es IF e < 64]), ',')) AS starts_sig
+           |FROM w ORDER BY seq_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokenIds(col("text")).as("__ids"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      packSequences(docs, "__ids", seqLen = 64)
+        .select(col("seq_id"),
+          size(docStarts(col("ids"))).as("n_docs"),
+          md5(array_join(transform(positionIds(col("ids")),
+            _.cast("string")), ",")).as("pos_sig"),
+          md5(array_join(transform(docStarts(col("ids")),
+            _.cast("string")), ",")).as("starts_sig"))
         .orderBy("seq_id")
     },
 

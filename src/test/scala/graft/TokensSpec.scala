@@ -354,4 +354,20 @@ class TokensSpec extends SparkSpec {
     // segmentation of a training word uses the learned multi-char piece
     assert(t1.segmentWord("the") == Seq("the"))
   }
+
+  test("positionIds/docStarts: resets after eos, eos carries its doc's last position") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq(5L, 6L, 0L, 7L, 0L, 8L, 9L, 10L), // three docs, open tail
+      Seq(1L, 0L, 2L, 0L),                  // eos-terminal: no trailing start
+      Seq(1L, 2L, 3L))                      // no eos: one open doc
+      .toDF("ids")
+    val got = rows.select(
+      Tokens.positionIds(col("ids")).as("p"),
+      Tokens.docStarts(col("ids")).as("s"))
+      .collect().map(r => (r.getSeq[Int](0), r.getSeq[Int](1)))
+    assert(got(0) == ((Seq(0, 1, 2, 0, 1, 0, 1, 2), Seq(0, 3, 5))))
+    assert(got(1) == ((Seq(0, 1, 0, 1), Seq(0, 2))))
+    assert(got(2) == ((Seq(0, 1, 2), Seq(0))))
+  }
 }
