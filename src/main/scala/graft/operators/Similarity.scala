@@ -265,6 +265,61 @@ object Similarity {
     centroids
   }
 
+  /** Result of a distributed Lloyd fit: final centroids + the LAST
+    * iteration's cell populations. */
+  final case class KmeansFit(centroids: Array[Array[Double]], counts: Array[Long])
+
+  /** FULL-CORPUS distributed Lloyd iterations — the cluster-side
+    * complement of the bounded-sample [[lloydKMeans]] fit: sample-fit
+    * is right for an IVF coarse quantizer, but corpus-balance recipes
+    * (SemDeDup cell budgets, cluster-aware mixing) want centroids that
+    * weight every document, which means iterating over the data
+    * itself. Per iteration: assignment is the narrow codegen
+    * [[nearestCentroid]] expression over broadcast literal centroids
+    * (no MLlib transform, no UDF), and the update is ONE
+    * map-side-combined aggregate grouped by cell — the exchange
+    * carries k rows of dim DECIMAL(30,15) sums (the [[embedPcaTop]]
+    * discipline), driver state is k×dim doubles, bounded by
+    * construction. Exact decimal sums make every iteration
+    * partition-order-invariant, so the whole fit is bit-reproducible
+    * at any parallelism AND SQL-replayable (the `op_kmeans` gate
+    * unrolls the iterations as CTEs). Empty cells keep their previous
+    * centroid ([[lloydKMeans]]' rule). Vectors are persisted across
+    * iterations via [[graft.Caches]]. */
+  def kmeansFitDistributed(
+      vecs: DataFrame,
+      vecCol: String,
+      init: Array[Array[Double]],
+      iters: Int): KmeansFit = {
+    require(init.nonEmpty && init.forall(_.length == init(0).length),
+      "kmeansFitDistributed: init centroids must be non-empty and same-dim")
+    require(iters >= 1, "kmeansFitDistributed: iters must be >= 1")
+    graft.expr.GraftExtensions.register(vecs.sparkSession)
+    val dim = init(0).length
+    val v = graft.Caches.persist(vecs.select(col(vecCol).as("__v")))
+    var centroids = init.map(_.clone())
+    var counts = new Array[Long](init.length)
+    for (_ <- 1 to iters) {
+      val aggs = (1 to dim).map(j =>
+        sum(element_at(col("__v"), j).cast(DecimalType(30, 15))).as(s"s$j")) :+
+        count(lit(1)).as("n")
+      val rows = v.groupBy(nearestCentroid(col("__v"), centroids).as("__cell"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val next = centroids.map(_.clone())
+      counts = new Array[Long](init.length)
+      rows.foreach { r =>
+        val c = r.getAs[Int]("__cell")
+        val n = r.getAs[Long]("n")
+        counts(c) = n
+        if (n > 0) (1 to dim).foreach { j =>
+          next(c)(j - 1) = r.getAs[java.math.BigDecimal](s"s$j").doubleValue / n
+        }
+      }
+      centroids = next
+    }
+    KmeansFit(centroids, counts)
+  }
+
   /** The production IVF quantizer fit: centroids from a bounded
     * deterministic sample, never the full corpus. Coarse-quantizer
     * centroids only need a representative sample (FAISS trains IVF
@@ -1095,6 +1150,59 @@ object Similarity {
     Gate(
       "rpt_embed_pca", sqlPcaReplay(8, 12)) { (s, dir) =>
       embedPcaTop(Tables(s, dir, "embeddings"), "embedding", d = 8, iters = 12)
+    },
+
+    // Distributed-Lloyd gate: k=4 cells over the first 16 embedding
+    // dims, 2 FULL-CORPUS iterations, init = the 4 smallest vec_ids'
+    // vectors. The oracle unrolls both iterations as CTEs: the same
+    // reduced-distance argmin (seqDot twin, ties → lowest cell), the
+    // same DECIMAL(30,15) per-dimension sums, the same
+    // decimal→double / count division, empty cells inheriting their
+    // previous centroid.
+    Gate(
+      "op_kmeans", {
+        val d = 16
+        def dist(c: String) =
+          s"(${sqlSeqDot(s"$c.c", s"$c.c", d)} - 2.0 * ${sqlSeqDot("e.v", s"$c.c", d)})"
+        val sums = (1 to d).map(j => s"sum(CAST(v[$j] AS DECIMAL(30,15))) AS s$j").mkString(", ")
+        def newC(u: String) = "[" +
+          (1 to d).map(j => s"CAST($u.s$j AS DOUBLE) / $u.n").mkString(", ") + "]"
+        def step(prevC: String, a: String, u: String, c: String) =
+          s"""$a AS (SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.v, $prevC.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${dist(prevC)}, $prevC.cell) AS rn
+             |    FROM e CROSS JOIN $prevC) x WHERE rn = 1),
+             |$u AS (SELECT cell, count(*) AS n, $sums FROM $a GROUP BY cell),
+             |$c AS (SELECT $prevC.cell, CASE WHEN $u.n IS NULL THEN $prevC.c
+             |       ELSE ${newC(u)} END AS c
+             |       FROM $prevC LEFT JOIN $u USING (cell))""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    [CAST(x AS DOUBLE) FOR x IN embedding[1:$d]] AS v FROM embeddings),
+           |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4) q),
+           |${step("c0", "a1", "u1", "c1")},
+           |${step("c1", "a2", "u2", "c2")},
+           |fin AS (SELECT c2.cell AS cell, unnest([{'dim': j - 1,
+           |    'val': floor(c2.c[j] * 1000000.0 + 0.5) / 1000000.0}
+           |    FOR j IN range(1, ${d + 1})]) AS p FROM c2)
+           |SELECT CAST(fin.cell AS INT) AS cell, CAST(p.dim AS INT) AS dim,
+           |  p.val AS val, CAST(coalesce(u2.n, 0) AS BIGINT) AS n
+           |FROM fin LEFT JOIN u2 ON fin.cell = u2.cell
+           |ORDER BY cell, dim""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), 1, 16), _.cast("double")).as("v"))
+      val init = e.orderBy("vec_id").limit(4).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val fit = kmeansFitDistributed(e, "v", init, iters = 2)
+      def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (for { c <- 0 until 4; j <- 0 until 16 } yield
+        (c, j, pr6(fit.centroids(c)(j)), fit.counts(c)))
+        .toDF("cell", "dim", "val", "n")
+        .orderBy("cell", "dim")
     },
 
     Gate(

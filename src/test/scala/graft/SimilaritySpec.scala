@@ -376,4 +376,33 @@ class SimilaritySpec extends SparkSpec {
     val got = df.select(Similarity.seqDot(col("a"), col("b"))).head().getDouble(0)
     assert(got == 0.0, s"seqDot must fold left-to-right, got $got")
   }
+
+  test("kmeansFitDistributed: separable blobs converge, bit-equal across partitionings") {
+    import spark.implicits._
+    // two tight blobs around (0,0,..) and (10,10,..)
+    val docs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Array.tabulate(4)(j => base + 0.01 * ((i + j) % 5)))
+    }.toDF("id", "v")
+    val init = Array(Array.fill(4)(1.0), Array.fill(4)(9.0))
+    val fit = Similarity.kmeansFitDistributed(docs, "v", init, iters = 3)
+    assert(fit.counts.toSeq == Seq(30L, 30L), fit.counts.toSeq.toString)
+    assert(fit.centroids(0).forall(x => x >= 0.0 && x < 0.1), fit.centroids(0).toSeq.toString)
+    assert(fit.centroids(1).forall(x => x >= 10.0 && x < 10.1), fit.centroids(1).toSeq.toString)
+    Caches.releaseAll()
+
+    // exact decimal sums: identical bits at any parallelism
+    val a = Similarity.kmeansFitDistributed(docs.repartition(13), "v", init, iters = 3)
+    Caches.releaseAll()
+    val b = Similarity.kmeansFitDistributed(docs.repartition(2), "v", init, iters = 3)
+    Caches.releaseAll()
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+
+    // an empty cell keeps its previous centroid
+    val far = Similarity.kmeansFitDistributed(
+      docs, "v", Array(Array.fill(4)(5.0), Array.fill(4)(1e9)), iters = 2)
+    assert(far.counts.toSeq == Seq(60L, 0L))
+    assert(far.centroids(1).toSeq == Seq.fill(4)(1e9))
+    Caches.releaseAll()
+  }
 }
