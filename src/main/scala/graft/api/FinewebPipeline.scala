@@ -163,7 +163,17 @@ final case class FinewebConfig(
       * .capPerHost]] keyed on `url`, best-by-text-length, lower-id
       * ties): losers are excluded with reason `host_cap`. Eager
       * keeper-set prepass at assembly time, like nearDupDedup. */
-    maxDocsPerHost: Option[Int] = None)
+    maxDocsPerHost: Option[Int] = None,
+    /** cross-document duplicate-SUBSTRING removal over the final
+      * survivors ([[graft.operators.Lines.cutDupChunks]] — the Lee et
+      * al. ExactSubstr rewrite on content-defined chunks): every
+      * corpus-repeated chunk is cut except its first (min doc id,
+      * ordinal) occurrence. A content REWRITE, not an exclusion — it
+      * runs after every filter/dedup decision (those judge the
+      * original text) and before PII redaction, so kept docs carry
+      * the cut text. Lazy digest-only drop lists joined back by id;
+      * the rewrite is the codegen CdcCut kernel, doc-local. */
+    cutDupSubstrings: Boolean = false)
 
 object FinewebPipeline {
 
@@ -424,6 +434,26 @@ object FinewebPipeline {
       stages :+= DocFilter("host_cap",
         d => d("doc_id").isNull || col("__cap_keep_id").isNotNull)
       stages :+= Transform("host_cap_unmark", _.drop("__cap_keep_id"))
+    }
+
+    if (cfg.cutDupSubstrings) {
+      // drop lists over the FINAL survivors (the rewrite must not
+      // resurrect chunks whose only other copy was excluded upstream
+      // — cutting against excluded docs would delete text whose
+      // "duplicate" never ships); lazy digest-only aggregate joined
+      // back by id (exact_dedup_mark pattern), rewrite doc-local
+      val drops = graft.operators.Lines.dupChunkDrops(
+          Pipeline(stages: _*).kept(docs).filter(col("doc_id").isNotNull),
+          "text", "doc_id")
+        .withColumnRenamed("doc_id", "__cut_id")
+      stages :+= Transform("cut_dup_mark",
+        d => d.join(drops, d("doc_id") === col("__cut_id"), "left"))
+      stages :+= Transform("cut_dup_substrings", d => d.withColumn("text",
+        when(col("filter_reason").isNull && col("__drops").isNotNull,
+          call_function("graft_cdc_cut",
+            coalesce(col("text"), lit("")), lit(16), lit(64), col("__drops")))
+          .otherwise(col("text"))))
+      stages :+= Transform("cut_dup_unmark", _.drop("__cut_id", "__drops"))
     }
 
     if (cfg.piiFormat)

@@ -509,13 +509,35 @@ object Lines {
       minChunk: Int = 8,
       outCol: String = "cut_text"): DataFrame = {
     graft.expr.GraftExtensions.register(docs.sparkSession)
-    // the length floor rides INSIDE the digest stream: a chunk under
-    // the floor gets a per-occurrence unique salt instead of its md5,
-    // so it can never reach df > 1 — equivalent to excluding short
-    // chunks from the frequency table, with no second kernel pass and
-    // no (id, ordinal) self-join. Lengths come from the codepoint
-    // boundary list ([[graft.expr.CdcBounds]] — the same `fl` list
-    // the oracle's replay builds, so the floor units agree exactly.
+    docs.join(dupChunkDrops(docs, textCol, idCol, w, mask, minChunk), Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("__drops").isNull, coalesce(col(textCol), lit("")))
+          .otherwise(call_function("graft_cdc_cut",
+            coalesce(col(textCol), lit("")), lit(w), lit(mask), col("__drops"))))
+      .withColumn("n_cut", coalesce(size(col("__drops")), lit(0)))
+      .drop("__drops")
+  }
+
+  /** The digest-only half of [[cutDupChunks]]: per-doc SORTED drop
+    * ordinal arrays (`idCol`, `__drops`) for every doc that loses at
+    * least one chunk — the frame a recipe joins back by id before
+    * running the [[graft.expr.CdcCut]] rewrite doc-locally.
+    *
+    * The length floor rides INSIDE the digest stream: a chunk under
+    * the floor gets a per-occurrence unique salt instead of its md5,
+    * so it can never reach df > 1 — equivalent to excluding short
+    * chunks from the frequency table, with no second kernel pass and
+    * no (id, ordinal) self-join. Lengths come from the codepoint
+    * boundary list ([[graft.expr.CdcBounds]] — the same `fl` list the
+    * oracle replay builds, so the floor units agree exactly). */
+  def dupChunkDrops(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 16,
+      mask: Int = 64,
+      minChunk: Int = 8): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
     val guarded = bind(cdcChunkDigests(col(textCol), w, mask)) { hs =>
       bind(cdcBounds(col(textCol), w, mask)) { bs =>
         transform(TextAnalysis.indices(size(hs)), j =>
@@ -534,19 +556,12 @@ object Lines {
         min(struct(col("__cid"), col("__nr"))).as("__keep"))
       .filter(col("__df") > 1)
       .select(col("__k"), col("__keep"))
-    val drops = keyed.join(dups, Seq("__k"))
+    keyed.join(dups, Seq("__k"))
       .filter(!(col("__cid") === col("__keep").getField("__cid") &&
         col("__nr") === col("__keep").getField("__nr")))
       .groupBy("__cid")
       .agg(sort_array(collect_set(col("__nr"))).as("__drops"))
       .withColumnRenamed("__cid", idCol)
-    docs.join(drops, Seq(idCol), "left")
-      .withColumn(outCol,
-        when(col("__drops").isNull, coalesce(col(textCol), lit("")))
-          .otherwise(call_function("graft_cdc_cut",
-            coalesce(col(textCol), lit("")), lit(w), lit(mask), col("__drops"))))
-      .withColumn("n_cut", coalesce(size(col("__drops")), lit(0)))
-      .drop("__drops")
   }
 
   /** Codepoint-offset chunk boundaries (0 and length sentinels

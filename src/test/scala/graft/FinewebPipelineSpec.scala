@@ -459,4 +459,34 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(math.abs(qKept.toDouble / marked.length - 0.5) < 0.1,
       s"quality top-p kept $qKept of ${marked.length}")
   }
+
+  test("cutDupSubstrings stage: kept docs lose repeated passages, exclusions keep raw text") {
+    import spark.implicits._
+    val passage =
+      (1 to 10).map(i => s"syndicated wire paragraph $i with plenty of words ").mkString
+    val docs = Seq(
+      (1L, s"first article opening lines $passage and an original ending about alpha"),
+      (2L, s"second article different opening $passage another original close on beta"),
+      (3L, s"third article with just its own words about gamma and nothing shared"),
+      // this duplicate of doc 2's full text is EXCLUDED by exact dedup —
+      // its copy of the passage must not count as "the other occurrence"
+      (4L, s"second article different opening $passage another original close on beta"))
+      .toDF("doc_id", "text")
+    val cfg = FinewebConfig(
+      exactDedup = true, cutDupSubstrings = true, piiFormat = false)
+    val marked = FinewebPipeline.buildMarked(spark, docs, cfg)
+      .select("doc_id", "text", "filter_reason")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    // doc 1 is the min-id keeper of the shared chunks: untouched
+    assert(marked(1L)._2.isEmpty && marked(1L)._1.contains("wire paragraph 5"))
+    // doc 2 is kept but loses the passage interior
+    assert(marked(2L)._2.isEmpty)
+    assert(!marked(2L)._1.contains("syndicated wire paragraph 5 with plenty"))
+    assert(marked(2L)._1.contains("second article different opening"))
+    // unique doc untouched
+    assert(marked(3L) == ((docs.collect()(2).getString(1), None)))
+    // exclusions keep their ORIGINAL text and their reasons
+    assert(marked(4L)._2 == Some("exact_dup") && marked(4L)._1.contains("wire paragraph 5"))
+    Caches.releaseAll()
+  }
 }
