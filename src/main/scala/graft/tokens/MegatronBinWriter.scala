@@ -161,6 +161,47 @@ object MegatronBinWriter {
     }
   )
 
+  /** Distributed read of a [[write]]-produced directory — the loader
+    * side of the MMIDIDX pair, so a pipeline can verify (or re-ingest)
+    * the exact token stream a training job will map: one row per
+    * document, `(shard, doc_nr, ids)`, `doc_nr` = the document's
+    * position inside its shard. Shards distribute one-per-task; each
+    * task reads its own `.bin` whole (memory bounded by the writer's
+    * `maxTokensPerShard`), decodes by the idx's dtype code (u16/i32,
+    * little-endian), and asserts the idx sequence lengths consume the
+    * bin exactly — a truncated or over-long bin fails loudly, never
+    * yields silently shifted documents. */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shards = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".idx"))
+      .map(f => f.getAbsolutePath.stripSuffix(".idx")).sorted.toSeq
+    require(shards.nonEmpty, s"MegatronBinWriter.read: no .idx shards under $dir")
+    spark.createDataset(shards)
+      .repartition(math.min(shards.size, spark.sessionState.conf.numShufflePartitions))
+      .flatMap { base =>
+        val (_, dtype, lengths) = readIdx(base + ".idx")
+        val tokenSize = if (dtype == 4) 4 else 2
+        val bytes = Files.readAllBytes(Paths.get(base + ".bin"))
+        require(bytes.length.toLong == lengths.map(_.toLong).sum * tokenSize,
+          s"$base.bin is ${bytes.length} bytes but the idx declares " +
+            s"${lengths.map(_.toLong).sum} tokens of $tokenSize bytes")
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val shardName = base.substring(base.lastIndexOf('/') + 1)
+        lengths.iterator.zipWithIndex.map { case (l, i) =>
+          val ids = new Array[Long](l)
+          var j = 0
+          while (j < l) {
+            ids(j) = if (tokenSize == 2) (bb.getShort & 0xffff).toLong
+                     else bb.getInt.toLong
+            j += 1
+          }
+          (shardName, i.toLong, ids.toSeq)
+        }
+      }
+      .toDF("shard", "doc_nr", "ids")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

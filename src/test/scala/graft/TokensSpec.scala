@@ -355,6 +355,34 @@ class TokensSpec extends SparkSpec {
     assert(t1.segmentWord("the") == Seq("the"))
   }
 
+  test("MegatronBinWriter.read round-trips write for u16 and i32 dtypes, rejects truncation") {
+    import spark.implicits._
+    val docs = Seq(
+      Seq(1L, 2L, 3L, 0L),
+      Seq.empty[Long],                 // empty doc survives the pair
+      Seq(65535L, 7L, 0L))             // u16 max value
+      .toDF("ids").repartition(1)
+    for (vocab <- Seq(50000, 100000)) { // u16 path, then i32 path
+      val out = java.nio.file.Files.createTempDirectory(s"graft-mmid-$vocab").toString
+      tokens.MegatronBinWriter.write(docs, "ids", out, vocabSize = vocab).unpersist()
+      val back = tokens.MegatronBinWriter.read(spark, out)
+        .orderBy("shard", "doc_nr")
+        .collect().map(_.getSeq[Long](2))
+      assert(back.toSeq == Seq(Seq(1L, 2L, 3L, 0L), Seq(), Seq(65535L, 7L, 0L)),
+        s"vocab=$vocab got ${back.toSeq}")
+    }
+    // a truncated bin must fail loudly, not shift documents
+    val out = java.nio.file.Files.createTempDirectory("graft-mmid-trunc").toString
+    tokens.MegatronBinWriter.write(docs, "ids", out).unpersist()
+    val bin = new java.io.File(out).listFiles().filter(_.getName.endsWith(".bin")).head
+    val raw = java.nio.file.Files.readAllBytes(bin.toPath)
+    java.nio.file.Files.write(bin.toPath, raw.dropRight(2))
+    val e = intercept[org.apache.spark.SparkException] {
+      tokens.MegatronBinWriter.read(spark, out).collect()
+    }
+    assert(e.getMessage.contains("declares") || e.getCause != null)
+  }
+
   test("positionIds/docStarts: resets after eos, eos carries its doc's last position") {
     import spark.implicits._
     val rows = Seq(
