@@ -48,11 +48,62 @@ object Sketches {
       .select(
         col("g"),
         size(col("__mins")).as("n_kept"),
-        Cols.pround(
-          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) / element_at(col("__mins"), k)),
-          4).as("est_distinct"))
+        kmvEstimate(col("__mins"), k).as("est_distinct"))
   }
+
+  /** The KMV estimator over a mins array: exact when the sketch holds
+    * fewer than k hashes, (k−1)/u_k otherwise. */
+  private def kmvEstimate(mins: Column, k: Int): Column =
+    Cols.pround(
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / element_at(mins, k)),
+      4)
+
+  /** Persist per-segment KMV sketches as CROSS-RUN state — the
+    * snk_dedup_index discipline applied to corpus statistics: a
+    * nightly ingest writes its own ≤ k-double sketch per segment, and
+    * [[mergeKmvStates]] folds any number of runs' states into the
+    * sketch of their UNION without ever rescanning history (Beyer et
+    * al. SIGMOD'07: the k smallest of a union of KMV sketches IS the
+    * union's KMV sketch — merge ≡ whole-corpus, exactly, which the
+    * snk_kmv_state gate pins). State per segment is ≤ k doubles
+    * regardless of segment size. */
+  def writeKmvState(
+      df: DataFrame,
+      segCol: String,
+      valueCol: String,
+      path: String,
+      k: Int = 256): Unit = {
+    require(k >= 2, "writeKmvState: k must be >= 2")
+    graft.expr.GraftExtensions.register(df.sparkSession)
+    df.select(col(segCol).cast("string").as("seg"), unitHash(col(valueCol)).as("__u"))
+      .groupBy("seg")
+      .agg(call_function("graft_kmv_mins", col("__u"), lit(k)).as("mins"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold any number of persisted states into the union's per-segment
+    * sketch: explode the stored mins and re-take the k smallest
+    * distinct — one map-side-combined aggregate over ≤ k·runs doubles
+    * per segment. */
+  def mergeKmvStates(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(paths.nonEmpty, "mergeKmvStates: at least one state path")
+    graft.expr.GraftExtensions.register(spark)
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .select(col("seg"), explode(col("mins")).as("__u"))
+      .groupBy("seg")
+      .agg(call_function("graft_kmv_mins", col("__u"), lit(k)).as("mins"))
+  }
+
+  /** Distinct-count estimates from a (merged) state frame —
+    * (seg, n_kept, est_distinct), the [[approxDistinct]] estimator
+    * over stored sketches. */
+  def distinctFromState(state: DataFrame, k: Int = 256): DataFrame =
+    state.select(col("seg"), size(col("mins")).as("n_kept"),
+      kmvEstimate(col("mins"), k).as("est_distinct"))
 
   /** KMV set algebra over per-segment sketches — pairwise
     * union / Jaccard / intersection estimates ("how much do day X's
@@ -447,6 +498,44 @@ object Sketches {
       tableProfile(
         Tables(s, dir, "documents"), Seq("doc_id", "lang", "n_chars", "source"), k = 64)
         .orderBy("col_name")
+    },
+
+    // Mergeable-state gate: per-source word-vocabulary sketches
+    // written as TWO separate run states (doc_id parity halves),
+    // merged, estimated — and the oracle sketches the WHOLE corpus in
+    // one pass. Equality is the KMV mergeability theorem made a hash
+    // check: k smallest of the halves' union == k smallest overall.
+    Gate(
+      "snk_kmv_state", {
+        val k = 64
+        def u(c: String) =
+          s"CAST(CAST('0x'||substr(md5(CAST($c AS VARCHAR)),1,16) AS UBIGINT) " +
+            "AS DOUBLE) / 18446744073709551616.0"
+        s"""WITH e AS (SELECT source AS seg,
+           |    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS x
+           |  FROM documents),
+           |h AS (SELECT DISTINCT seg, ${u("x")} AS uh FROM e),
+           |r AS (SELECT seg, uh, row_number() OVER (PARTITION BY seg ORDER BY uh) AS rn,
+           |      count(*) OVER (PARTITION BY seg) AS nd FROM h),
+           |g AS (SELECT seg, max(nd) AS nd,
+           |      max(CASE WHEN rn = $k THEN uh END) AS uk FROM r GROUP BY seg)
+           |SELECT seg, CAST(least(nd, $k) AS INT) AS n_kept,
+           |  ${Cols.proundSql(
+            s"CASE WHEN nd < $k THEN CAST(nd AS DOUBLE) ELSE ${k - 1}.0 / uk END", 4)}
+           |    AS est_distinct
+           |FROM g ORDER BY seg""".stripMargin
+      }) { (s, dir) =>
+      val k = 64
+      val docs = Tables(s, dir, "documents")
+      def half(even: Boolean) = docs
+        .filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0)
+        .select(col("source").as("seg"),
+          explode(TextAnalysis.words(lower(col("text")))).as("x"))
+      val base = graft.sources.DocSource.gateScratch(dir, "snk_kmv_state")
+      writeKmvState(half(even = true), "seg", "x", s"$base/even", k)
+      writeKmvState(half(even = false), "seg", "x", s"$base/odd", k)
+      distinctFromState(mergeKmvStates(s, Seq(s"$base/even", s"$base/odd"), k), k)
+        .orderBy("seg")
     },
 
     // CMS gate over token frequencies: d=4 × w=64 forces real bucket

@@ -151,4 +151,33 @@ class SketchesSpec extends SparkSpec {
     // vx = 5*55 − 225 = 50, vw = 5*52 − 196 = 64 → 20/√3200 ≈ 0.353553
     assert(out(("x", "w")) == 0.353553)
   }
+
+  test("KMV state: merge of arbitrary run splits equals the whole-corpus sketch exactly") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val data = (1 to 3000).map(i => (s"seg${i % 3}", s"value$i")).toDF("seg", "x")
+    val base = java.nio.file.Files.createTempDirectory("graft-kmv-state").toString
+    // three uneven runs + a segment present in only one run
+    Sketches.writeKmvState(data.filter($"x".substr(6, 9).cast("int") % 5 === 0),
+      "seg", "x", s"$base/r0", k = 32)
+    Sketches.writeKmvState(data.filter($"x".substr(6, 9).cast("int") % 5 =!= 0),
+      "seg", "x", s"$base/r1", k = 32)
+    Sketches.writeKmvState(Seq(("only_here", "solo")).toDF("seg", "x"),
+      "seg", "x", s"$base/r2", k = 32)
+    val merged = Sketches.mergeKmvStates(spark, Seq(s"$base/r0", s"$base/r1", s"$base/r2"), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    Sketches.writeKmvState(
+      data.unionByName(Seq(("only_here", "solo")).toDF("seg", "x")),
+      "seg", "x", s"$base/whole", k = 32)
+    val whole = spark.read.parquet(s"$base/whole")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(merged == whole)
+    assert(merged("only_here").length == 1)
+    // estimates land near truth (1000 distinct per seg, k=32)
+    val est = Sketches.distinctFromState(
+      Sketches.mergeKmvStates(spark, Seq(s"$base/r0", s"$base/r1"), 32), 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    est.foreach { case (seg, e) =>
+      assert(e > 400 && e < 2500, s"$seg estimate $e far from 1000") }
+  }
 }
