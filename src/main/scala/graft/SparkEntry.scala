@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Urls.gates ++
       operators.Snapshots.gates ++
       operators.Sketches.gates ++
+      operators.Expectations.gates ++
       operators.Joins.gates ++
       operators.Layout.gates ++
       operators.Annotators.gates ++

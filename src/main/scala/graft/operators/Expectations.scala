@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre-flight data-quality expectations — the validation report a
+  * 100 TB run consults BEFORE burning cluster-days on bad input (the
+  * Great-Expectations / dbt-test niche, engine-native): each rule is
+  * a boolean Column; the report is one row per rule with violation
+  * count and rate.
+  *
+  * Scale shape: every rule folds into ONE map-side-combined aggregate
+  * over a single scan — adding rules adds columns to the aggregate,
+  * never passes over the data; the corpus reduces to one row, and the
+  * rule→row unpivot happens on that row. A NULL rule verdict counts
+  * as a violation (an expectation that cannot be evaluated is not
+  * met — the C4/Gopher filter convention for NULL text). Uniqueness
+  * (not expressible as a per-row predicate) rides the same aggregate
+  * via count − count_distinct when `uniqueCol` is set.
+  */
+object Expectations {
+
+  def report(
+      df: DataFrame,
+      rules: Seq[(String, Column)],
+      uniqueCol: Option[String] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueCol.nonEmpty, "Expectations.report: no rules")
+    val ruleAggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val uniqueAggs = uniqueCol.toSeq.map(c =>
+      (count(col(c)) - count_distinct(col(c))).as(s"__u_$c"))
+    val aggs = (ruleAggs ++ uniqueAggs) :+ count(lit(1)).as("__n")
+    // ONE job: the aggregate row (rules-many longs) collects to the
+    // driver and the report frame is built from it — re-selecting the
+    // aggregate frame per rule would re-plan (and re-scan) it per
+    // union branch
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    val cols = rules.map { case (name, _) => (name, s"__v_$name") } ++
+      uniqueCol.map(c => (s"unique_$c", s"__u_$c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.map { case (name, aggName) =>
+      val v = Option(row.getAs[java.lang.Long](aggName)).map(_.toLong).getOrElse(0L)
+      val rate = if (n == 0) 0.0 else math.floor(v.toDouble / n * 1e6 + 0.5) / 1e6
+      (name, v, n, rate)
+    }.toDF("rule", "n_violations", "n_rows", "violation_rate")
+  }
+
+  // Expectations gate: four rules with planted violation classes in
+  // the raw documents table (range, regex, non-empty, uniqueness) —
+  // the oracle computes each count with the same NULL-is-violation
+  // convention.
+  val gates: Seq[Gate] = Seq(
+    Gate(
+      "rpt_expectations", {
+        s"""WITH n AS (SELECT count(*) AS nr FROM documents),
+           |v AS (
+           |  SELECT 'chars_in_range' AS rule,
+           |    sum(CASE WHEN n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 100000
+           |        THEN 0 ELSE 1 END) AS nv FROM documents
+           |  UNION ALL
+           |  SELECT 'lang_is_iso2',
+           |    sum(CASE WHEN lang IS NOT NULL AND regexp_full_match(lang, '[a-z]{2}')
+           |        THEN 0 ELSE 1 END) FROM documents
+           |  UNION ALL
+           |  SELECT 'text_nonempty',
+           |    sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+           |        THEN 0 ELSE 1 END) FROM documents
+           |  UNION ALL
+           |  SELECT 'unique_doc_id',
+           |    count(doc_id) - count(DISTINCT doc_id) FROM documents)
+           |SELECT v.rule, CAST(v.nv AS BIGINT) AS n_violations,
+           |  CAST(n.nr AS BIGINT) AS n_rows,
+           |  ${Cols.proundSql("CAST(v.nv AS DOUBLE) / n.nr", 6)} AS violation_rate
+           |FROM v, n ORDER BY rule""".stripMargin
+      }) { (s, dir) =>
+      report(
+        Tables(s, dir, "documents"),
+        Seq(
+          "chars_in_range" -> col("n_chars").between(1, 100000),
+          "lang_is_iso2" -> col("lang").rlike("^[a-z]{2}$"),
+          "text_nonempty" -> (col("text").isNotNull && length(col("text")) > 0)),
+        uniqueCol = Some("doc_id"))
+        .orderBy("rule")
+    })
+}

@@ -163,6 +163,22 @@ object TextClean {
     trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
   }
 
+  /** Invisible-character strip — the PDF-extraction / spam-evasion
+    * artifacts [[normalizeText]]'s control-char class misses because
+    * they are format characters, not controls: soft hyphen U+00AD
+    * (breaks "exam­ple" into two tokens), zero-width space U+200B,
+    * word joiner U+2060, BOM U+FEFF. The default set is safe for any
+    * script; `aggressive` adds ZWNJ/ZWJ U+200C/U+200D and the LRM/RLM
+    * direction marks U+200E/U+200F — which are MEANINGFUL in Persian,
+    * Indic and emoji text, so per-language configs (the fineweb-2
+    * routing) must keep aggressive=false for those corpora. One
+    * 1:0 `translate` (deletion map), narrow, fuses into the scan. */
+  val InvisibleSafe: String = "\u00AD\u200B\u2060\uFEFF"
+  val InvisibleAggressive: String = InvisibleSafe + "\u200C\u200D\u200E\u200F"
+
+  def stripInvisible(text: Column, aggressive: Boolean = false): Column =
+    translate(text, if (aggressive) InvisibleAggressive else InvisibleSafe, "")
+
   /** Typographic-punctuation fold: smart quotes → ASCII quotes,
     * en/em dashes → hyphen, NBSP → space, ellipsis → "..." — the
     * CCNet-style pre-tokenization mapping that stops "don’t" and
@@ -406,6 +422,37 @@ object TextClean {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // Invisible-char strip gate: soft hyphen / ZWSP / BOM planted per
+    // doc class must vanish under the DEFAULT set while the planted
+    // ZWNJ (meaningful in Persian/Indic text) SURVIVES — the scoping
+    // is the semantics; the oracle replays the same deletion map via
+    // translate over chr() codes.
+    Gate(
+      "fmt_invisible", {
+        s"""WITH p AS (SELECT doc_id, text
+           |    || (CASE WHEN doc_id % 3 = 0 THEN ' exa' || chr(173) || 'mple' ELSE '' END)
+           |    || (CASE WHEN doc_id % 4 = 0 THEN chr(8203) || ' tail' || chr(65279) ELSE '' END)
+           |    || (CASE WHEN doc_id % 5 = 0 THEN ' nj' || chr(8204) || 'word' ELSE '' END)
+           |    AS t FROM documents),
+           |c AS (SELECT doc_id, t,
+           |    translate(t, chr(173) || chr(8203) || chr(8288) || chr(65279), '') AS clean
+           |  FROM p)
+           |SELECT doc_id, CAST(length(t) - length(clean) AS INT) AS n_removed,
+           |  md5(clean) AS clean_md5
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val page = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" exa\u00ADmple")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\u200B tail\uFEFF")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" nj\u200Cword")).otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("t"))
+        .select(col("doc_id"),
+          (length(col("t")) - length(stripInvisible(col("t")))).as("n_removed"),
+          md5(stripInvisible(col("t"))).as("clean_md5"))
+        .orderBy("doc_id")
+    },
 
     // Digit-mask gate: numbers planted per class; masked fingerprints
     // of "Chapter 7" and "Chapter 12" classes must COLLIDE (that is

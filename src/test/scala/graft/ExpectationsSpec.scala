@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Expectations
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("report counts planted violations; NULL verdicts violate; uniqueness rides the same pass") {
+    val df = Seq[(java.lang.Long, String, java.lang.Integer)](
+      (1L, "fine row", 50),
+      (2L, null, 10),      // text null → text_ok violation, len rule NULL → violation
+      (3L, "x", 2000),     // len out of range
+      (3L, "dup id", 30),  // duplicate id
+      (4L, "ok again", 70))
+      .toDF("id", "text", "len")
+    val out = Expectations.report(df,
+      Seq(
+        "text_ok" -> col("text").isNotNull,
+        "len_in_range" -> col("len").between(1, 1000)),
+      uniqueCol = Some("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("text_ok") == ((1L, 5L, 0.2)))
+    assert(out("len_in_range") == ((1L, 5L, 0.2)))
+    assert(out("unique_id") == ((1L, 5L, 0.2)))
+  }
+
+  test("report over an empty frame yields zero rates, not NULLs or division errors") {
+    val df = Seq.empty[(Long, String)].toDF("id", "text")
+    val out = Expectations.report(df, Seq("t" -> col("text").isNotNull))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 0L, 0.0)))
+  }
+}

@@ -182,4 +182,16 @@ class TextCleanSpec extends SparkSpec {
     // a non-description meta must not populate description
     assert(meta("""<meta name="keywords" content="k1,k2">""").isNullAt(1))
   }
+
+  test("stripInvisible: default set scoped to script-safe chars; aggressive adds joiners") {
+    import spark.implicits._
+    val t = "exa\u00ADmple\u200B text\uFEFF nj\u200Cjoin zwj\u200Demoji"
+    val (defaultOut, aggressiveOut) = Seq(t).toDF("t")
+      .select(TextClean.stripInvisible(col("t")),
+        TextClean.stripInvisible(col("t"), aggressive = true))
+      .collect().map(r => (r.getString(0), r.getString(1))).head
+    // soft hyphen, ZWSP, BOM die; ZWNJ/ZWJ (Persian/Indic/emoji) survive
+    assert(defaultOut == "example text nj\u200Cjoin zwj\u200Demoji")
+    assert(aggressiveOut == "example text njjoin zwjemoji")
+  }
 }
