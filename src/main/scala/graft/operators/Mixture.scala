@@ -531,7 +531,78 @@ object Mixture {
       })
   }
 
+  /** One DoReMi domain-reweighting step (Xie et al. 2023,
+    * arXiv 2305.10429): exponentiated-gradient ascent on per-domain
+    * EXCESS loss — domains where the proxy model lags its reference
+    * get upweighted multiplicatively, then the distribution is
+    * smoothed toward uniform so no domain's weight collapses to zero.
+    *
+    *   raw_i    = prev_i · exp(η · max(loss_i, 0))
+    *   weight_i = (1 − c) · raw_i / Σ raw + c / k
+    *
+    * Input is the ALREADY-AGGREGATED per-domain loss frame (one row
+    * per domain — thousands at most), so this whole step is
+    * driver-free narrow work on a tiny frame; the 100 TB-side cost
+    * lives in producing the losses (one map-side-combined aggregate
+    * over the corpus, as the gate demonstrates). Iterate by feeding
+    * the output back via `weightCol`.
+    *
+    * Oracle-exact: pround-8 bridges `exp` across engines, the
+    * normalizer is an exact DECIMAL sum, and the final blend is IEEE
+    * double arithmetic both engines replay verbatim. */
+  def doremiStep(
+      perDomainLoss: DataFrame,
+      domainCol: String,
+      lossCol: String,
+      eta: Double = 1.0,
+      smoothing: Double = 0.01,
+      weightCol: Option[String] = None): DataFrame = {
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      "doremiStep: smoothing must be in [0, 1)")
+    val prev = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val excess = greatest(col(lossCol).cast("double"), lit(0.0))
+    val raw = Cols.pround(prev * exp(lit(eta) * excess), 8)
+      .cast(DecimalType(30, 12))
+    val keyed = perDomainLoss.select(col(domainCol), raw.as("__raw"))
+    val tot = keyed.agg(sum(col("__raw")).as("__tot"), count(lit(1)).as("__k"))
+    keyed.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        Cols.pround(
+          lit(1.0 - smoothing) *
+            (col("__raw").cast("double") / col("__tot").cast("double")) +
+            lit(smoothing) / col("__k").cast("double"),
+          6).as("weight"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // DoReMi gate: per-source mean doc length (scaled to ~0.3) stands
+    // in for the excess loss; one step from the uniform prior. The
+    // oracle replays the pround-8 exp factor, the DECIMAL normalizer,
+    // and the smoothing blend with the identical double literals.
+    Gate(
+      "op_doremi", {
+        val lossSql = Cols.proundSql(
+          "CAST(sum(n_chars) AS DOUBLE) / count(*) / 1000.0", 8)
+        val rawSql = Cols.proundSql("exp(1.0 * greatest(loss, 0.0))", 8)
+        val wSql = Cols.proundSql(
+          s"${1.0 - 0.01} * (CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE)) + " +
+            "0.01 / CAST(k AS DOUBLE)", 6)
+        s"""WITH l AS (SELECT source, $lossSql AS loss
+           |           FROM documents GROUP BY source),
+           |r AS (SELECT source, CAST($rawSql AS DECIMAL(30,12)) AS raw FROM l),
+           |t AS (SELECT sum(raw) AS tot, count(*) AS k FROM r)
+           |SELECT source, $wSql AS weight
+           |FROM r, t ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val losses = Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(Cols.pround(
+          sum(col("n_chars")).cast("double") / count(lit(1)) / lit(1000.0), 8)
+          .as("loss"))
+      doremiStep(losses, "source", "loss", eta = 1.0, smoothing = 0.01)
+        .orderBy("source")
+    },
 
     // Negative-sampling gate: anchors = documents, positive = own id,
     // 3 draws each; the oracle replays the LCG, the floor-scale, and

@@ -179,6 +179,59 @@ object TextClean {
   def stripInvisible(text: Column, aggressive: Boolean = false): Column =
     translate(text, if (aggressive) InvisibleAggressive else InvisibleSafe, "")
 
+  /** Markdown rule table shared by [[stripMarkdown]] and its gate
+    * oracle — (pattern, Spark replacement, DuckDB replacement), kept
+    * RE2-safe (no lookaround, no backrefs) so the SAME pattern string
+    * runs under Java regex and DuckDB's RE2. Order matters: fences
+    * before inline code, images before links (a link rule alone would
+    * leave the image's leading `!`), rules/bullets before emphasis (a
+    * `* item` bullet marker must not read as an italic opener).
+    * Underscore emphasis is deliberately NOT stripped: RE2 has no
+    * word-boundary lookaround, and `snake_case` identifiers in code
+    * corpora would be mangled — the conservative miss. */
+  private[operators] val MarkdownRules: Seq[(String, String, String)] = Seq(
+    ("(?s)```[^\\n]*\\n(.*?)```", "$1", "\\1"), // fenced block: keep body
+    ("`([^`\\n]*)`", "$1", "\\1"),              // inline code span
+    ("!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1", "\\1"), // image: keep alt
+    ("\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1", "\\1"),  // link: keep text
+    ("(?m)^#{1,6}[ \\t]+", "", ""),             // ATX header marker
+    ("(?m)^={3,}[ \\t]*$", "", ""),             // setext H1 underline
+    ("(?m)^[ \\t]*([-*_][ \\t]*){3,}$", "", ""), // horizontal rule
+    ("(?m)^[ \\t]*[-*+][ \\t]+", "", ""),       // bullet marker
+    ("(?m)^[ \\t]*[0-9]+\\.[ \\t]+", "", ""),   // ordered-list marker
+    ("(?m)^[ \\t]*(>[ \\t]?)+", "", ""),        // blockquote marker (any depth)
+    ("\\*\\*([^*]+)\\*\\*", "$1", "\\1"),       // bold
+    ("\\*([^*\\n]+)\\*", "$1", "\\1"),          // italic
+    ("~~([^~]+)~~", "$1", "\\1"))               // strikethrough
+
+  /** Markdown-to-text strip — READMEs, docs sites, and forum dumps
+    * arrive as markdown, and raw `**`/`[](…)`/fence syntax pollutes
+    * n-gram stats, dedup shingles, and tokenizer vocabularies.
+    * Unwraps emphasis/links/code to their visible text (URLs die,
+    * anchor/alt text survives — the content a reader sees), strips
+    * structural markers (headers, bullets, quotes, rules), keeps
+    * fenced-code BODIES (code is content for a code corpus), then
+    * collapses whitespace like [[stripHtml]]. A chained codegen regex
+    * pipeline: narrow, no shuffle, fuses into the scan. */
+  def stripMarkdown(md: Column): Column = {
+    val stripped = MarkdownRules.foldLeft(md) { case (c, (p, r, _)) =>
+      regexp_replace(c, p, r)
+    }
+    val horiz = regexp_replace(stripped, "[ \\t\\f\\r]+", " ")
+    trim(regexp_replace(regexp_replace(horiz, " ?\\n ?", "\n"), "\\n+", "\n"), " \n")
+  }
+
+  /** DuckDB twin of [[stripMarkdown]], generated from the SAME rule
+    * table so the two engines cannot drift rule-by-rule. */
+  private[operators] def sqlStripMarkdown(expr: String): String = {
+    val stripped = MarkdownRules.foldLeft(expr) { case (e, (p, _, r)) =>
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    s"""trim(regexp_replace(regexp_replace(regexp_replace($stripped,
+       |  '[ \\t\\f\\r]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),
+       |  '\\n+', chr(10), 'g'), ' ' || chr(10))""".stripMargin
+  }
+
   /** Typographic-punctuation fold: smart quotes → ASCII quotes,
     * en/em dashes → hyphen, NBSP → space, ellipsis → "..." — the
     * CCNet-style pre-tokenization mapping that stops "don’t" and
@@ -644,6 +697,57 @@ object TextClean {
           col("m.description").as("description"),
           col("m.canonical_url").as("canonical_url"),
           col("m.og_title").as("og_title"))
+        .orderBy("doc_id")
+    },
+
+    // Markdown-strip gate: every rule class planted per doc (header,
+    // emphasis, bullet/ordered markers, quote, link, image, inline +
+    // fenced code, hr); anchor/alt text and the fence BODY must
+    // survive, URLs and markers must die. Oracle chain generated from
+    // the identical rule table.
+    Gate(
+      "fmt_markdown", {
+        val strip = sqlStripMarkdown("t")
+        """WITH p AS (SELECT doc_id,
+          |    '# T' || CAST(doc_id % 7 AS VARCHAR) || ' Header' || chr(10) ||
+          |    '**bold** and *ital* words' || chr(10) ||
+          |    '- item one' || chr(10) ||
+          |    '1. item two' || chr(10) ||
+          |    '> quoted line' || chr(10) ||
+          |    '[anchor ' || CAST(doc_id AS VARCHAR) || '](http://ex.org/' ||
+          |      CAST(doc_id AS VARCHAR) || ')' || chr(10) ||
+          |    '![alt text](http://ex.org/i.png)' || chr(10) ||
+          |    'see `x+1` inline' || chr(10) ||
+          |    '```py' || chr(10) || 'print(1)' || chr(10) || '```' || chr(10) ||
+          |    '---' || chr(10) ||
+          |    text AS t FROM documents),
+          |""".stripMargin +
+          s"""c AS (SELECT doc_id, t, $strip AS clean FROM p)
+             |SELECT doc_id, CAST(length(t) - length(clean) AS INT) AS n_removed,
+             |  md5(clean) AS clean_md5
+             |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("# T"), (col("doc_id") % 7).cast("string"), lit(" Header\n"),
+        lit("**bold** and *ital* words\n"),
+        lit("- item one\n"),
+        lit("1. item two\n"),
+        lit("> quoted line\n"),
+        lit("[anchor "), id, lit("](http://ex.org/"), id, lit(")\n"),
+        lit("![alt text](http://ex.org/i.png)\n"),
+        lit("see `x+1` inline\n"),
+        lit("```py\nprint(1)\n```\n"),
+        lit("---\n"),
+        col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("t"))
+        .select(col("doc_id"), Cols.bind(stripMarkdown(col("t"))) { clean =>
+          struct((length(col("t")) - length(clean)).as("n"),
+            md5(clean).as("m"))
+        }.as("c"))
+        .select(col("doc_id"), col("c.n").as("n_removed"),
+          col("c.m").as("clean_md5"))
         .orderBy("doc_id")
     },
 

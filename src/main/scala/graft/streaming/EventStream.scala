@@ -269,6 +269,39 @@ object EventStream {
   def enrichEvents(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Stream-STREAM interval join: attribute each click to every view
+    * by the same user within `maxDelaySeconds` before it — the
+    * impression→conversion join, and the shape Structured Streaming
+    * requires for joining two live streams (watermarks on BOTH sides
+    * plus a time-range predicate, so each side's buffered state is
+    * provably bounded: a view older than watermark + delay can never
+    * match a future click and is evicted).
+    *
+    * The same definition runs in batch (the gate pins semantics to a
+    * DuckDB self-join oracle) and on two readStream frames
+    * (StreamingSpec proves stream output set-equals batch). At scale
+    * the join shuffles both streams on user_id once; state per key is
+    * only the in-window rows. */
+  def attributeClicks(
+      views: DataFrame,
+      clicks: DataFrame,
+      maxDelaySeconds: Long = 1800L,
+      watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("__cu"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    v.join(c,
+      col("user_id") === col("__cu") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+      .select(col("view_id"), col("click_id"), col("user_id"))
+  }
+
   /** Volume-anomaly detection: per (event_type, hour) counts scored
     * against a trailing per-type baseline (mean/std over the previous
     * `lookback` hours, rows-frame so the current hour never leaks
@@ -349,6 +382,24 @@ object EventStream {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Stream-stream join gate (batch execution of the identical
+    // definition): every (view, click) same-user pair with the click
+    // 0–30 min after the view; the oracle is the literal self-join.
+    Gate(
+      "q34_stream_join",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM events v JOIN events c
+        |  ON v.event_type = 'view' AND c.event_type = 'click'
+        | AND v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1800 SECOND
+        |ORDER BY view_id, click_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      attributeClicks(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+        .orderBy("view_id", "click_id")
+    },
+
     Gate(
       "q23_window_topk",
       """WITH t AS (SELECT

@@ -283,6 +283,43 @@ class MixtureSpec extends SparkSpec {
         s"bin $b: approx ${approx(b)} vs exact ${exact(b)}")
   }
 
+  test("doremiStep: hand values, unit mass, smoothing floor, iteration") {
+    import spark.implicits._
+    val losses = Seq(("web", 0.5), ("code", 0.0), ("books", -0.2))
+      .toDF("domain", "loss")
+    val got = operators.Mixture.doremiStep(losses, "domain", "loss",
+      eta = 1.0, smoothing = 0.01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // hand replay: raw = round8(exp(max(loss,0))); negative excess
+    // clamps to exp(0) = 1
+    def r8(x: Double) = math.rint(x * 1e8) / 1e8
+    val raw = Map("web" -> r8(math.exp(0.5)), "code" -> 1.0, "books" -> 1.0)
+    val tot = raw.values.sum
+    for ((d, w) <- got)
+      assert(math.abs(w - (0.99 * raw(d) / tot + 0.01 / 3)) < 1e-6, d)
+    // unit mass (up to the pround-6 of each term)
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+    // higher excess loss ⇒ strictly higher weight; clamped ties equal
+    assert(got("web") > got("code") && got("code") == got("books"))
+
+    // a huge-loss domain cannot push another below the smoothing floor
+    val skew = Seq(("hot", 20.0), ("cold", 0.0)).toDF("domain", "loss")
+    val floor = operators.Mixture.doremiStep(skew, "domain", "loss")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(floor("cold") >= 0.01 / 2 - 1e-9 && floor("cold") < 0.01)
+
+    // iterating via weightCol compounds the multiplicative update
+    val once = operators.Mixture.doremiStep(losses, "domain", "loss")
+      .withColumnRenamed("weight", "w0")
+    val twice = operators.Mixture.doremiStep(
+      once.join(losses, "domain"), "domain", "loss",
+      weightCol = Some("w0"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(twice("web") > got("web"))
+    assert(math.abs(twice.values.sum - 1.0) < 1e-5)
+  }
+
   test("annealOrder exact=false threshold lands within tolerance of exact") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, (i % 1000).toDouble)).toDF("id", "score")

@@ -53,6 +53,52 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Set(EventStream.Session(1L, 0L, 2L)))
   }
 
+  test("stream-stream interval join matches the batch self-join") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    def frame(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+
+    val query = EventStream
+      .attributeClicks(frame(views), frame(clicks),
+        maxDelaySeconds = 1800L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    // user 7: view at 10:00 matched by clicks at 10:10 and 10:29;
+    // the 10:31 click is past the 30-min delay; user 8's click has no
+    // prior view (click-before-view must not match backwards)
+    val vRows = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 8L, ts("2024-01-01 10:20:00")))
+    val cRows = Seq(
+      (10L, 7L, ts("2024-01-01 10:10:00")),
+      (11L, 7L, ts("2024-01-01 10:29:00")),
+      (12L, 7L, ts("2024-01-01 10:31:00")),
+      (13L, 8L, ts("2024-01-01 10:05:00")))
+    views.addData(vRows: _*)
+    clicks.addData(cRows: _*)
+    query.processAllAvailable()
+    // advance both watermarks so buffered matches flush (distinct
+    // users, so the sentinels cannot join each other)
+    views.addData((99L, 999L, ts("2024-01-01 12:00:00")))
+    clicks.addData((98L, 998L, ts("2024-01-01 12:00:00")))
+    query.processAllAvailable()
+
+    val got = spark.table("attrib")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    query.stop()
+
+    val expected = EventStream.attributeClicks(
+      vRows.toDF("event_id", "user_id", "ts"),
+      cRows.toDF("event_id", "user_id", "ts"), maxDelaySeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected == Set((1L, 10L, 7L), (1L, 11L, 7L)))
+    assert(got == expected)
+  }
+
   test("file-source stream over the events table matches the batch result") {
     import org.apache.spark.sql.streaming.Trigger
     val batchEvents = Tables(spark, sfDir, "events")

@@ -194,4 +194,22 @@ class TextCleanSpec extends SparkSpec {
     assert(defaultOut == "example text nj\u200Cjoin zwj\u200Demoji")
     assert(aggressiveOut == "example text njjoin zwjemoji")
   }
+
+  test("stripMarkdown: markers die, visible text and code bodies survive") {
+    def md(s: String) = one(TextClean.stripMarkdown(col("t")), s)
+    assert(md("## My Title\nbody") == "My Title\nbody")
+    assert(md("a **bold** and *ital* word") == "a bold and ital word")
+    assert(md("[click here](http://x.org/p?q=1) now") == "click here now")
+    assert(md("![a chart](img.png)") == "a chart")
+    assert(md("```scala\nval x = 1\n```\nafter") == "val x = 1\nafter")
+    assert(md("use `f(x)` here") == "use f(x) here")
+    assert(md("- one\n- two\n1. three") == "one\ntwo\nthree")
+    assert(md("> quoted\n>> nested") == "quoted\nnested")
+    assert(md("above\n---\nbelow") == "above\nbelow")
+    assert(md("Header\n====\ntext") == "Header\ntext")
+    // underscore emphasis deliberately untouched (snake_case safety)
+    assert(md("keep snake_case and _this_ too") == "keep snake_case and _this_ too")
+    // plain text is a fixed point
+    assert(md("no markdown here.") == "no markdown here.")
+  }
 }
