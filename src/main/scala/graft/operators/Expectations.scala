@@ -49,6 +49,32 @@ object Expectations {
     }.toDF("rule", "n_violations", "n_rows", "violation_rate")
   }
 
+  /** k-anonymity audit (Sweeney 2002) over quasi-identifier columns —
+    * the privacy pre-flight for shipping a corpus WITH its metadata:
+    * if a (source, lang, …) tuple identifies fewer than k documents,
+    * that tuple is a re-identification handle, and PII redaction of
+    * the text alone did not anonymize the release.
+    *
+    * Reports the equivalence-class size spectrum folded into bands
+    * 1..k-1 plus a ">= k" band (band = k): per band, how many classes
+    * and rows sit there and whether the band violates. An empty
+    * violating-band set means the release IS k-anonymous; the
+    * violating rows are the suppression/generalization work list.
+    *
+    * Scale shape: one map-side-combined grouped count on the quasi
+    * tuple (the only corpus-size shuffle), then a tiny aggregate over
+    * class sizes — same two-step as any heavy-hitter census. NULL
+    * quasi values form their own class in both engines. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi column")
+    require(k >= 2, "kAnonymity: k must be >= 2")
+    val sizes = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__sz"))
+    sizes
+      .groupBy(least(col("__sz"), lit(k.toLong)).cast("int").as("size_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__sz")).as("n_rows"))
+      .withColumn("violates", col("size_band") < k)
+  }
+
   // Expectations gate: four rules with planted violation classes in
   // the raw documents table (range, regex, non-empty, uniqueness) —
   // the oracle computes each count with the same NULL-is-violation
@@ -85,5 +111,24 @@ object Expectations {
           "text_nonempty" -> (col("text").isNotNull && length(col("text")) > 0)),
         uniqueCol = Some("doc_id"))
         .orderBy("rule")
+    },
+
+    // k-anonymity gate: quasi tuple (source, lang, n_chars % 100) —
+    // the modulus fans the classes out so several land under k=20.
+    // The oracle replays the grouped count and the band fold.
+    Gate(
+      "rpt_k_anonymity",
+      """WITH s AS (SELECT count(*) AS sz FROM documents
+        |           GROUP BY source, lang, n_chars % 100)
+        |SELECT CAST(least(sz, 20) AS INT) AS size_band,
+        |  count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  least(sz, 20) < 20 AS violates
+        |FROM s GROUP BY least(sz, 20) ORDER BY size_band""".stripMargin) {
+      (s, dir) =>
+      kAnonymity(
+        Tables(s, dir, "documents")
+          .withColumn("chars_band", col("n_chars") % 100),
+        Seq("source", "lang", "chars_band"), k = 20)
+        .orderBy("size_band")
     })
 }

@@ -118,6 +118,45 @@ object Filters {
   def thresholdFilter(docs: DataFrame, mins: Seq[(Column, Double)]): DataFrame =
     docs.filter(mins.map { case (c, t) => c >= t }.reduce(_ && _))
 
+  /** FineWeb-2-style per-language adaptive quality threshold: a
+    * single global cutoff on a quality score systematically starves
+    * low-resource languages (their score distributions sit lower), so
+    * the published fix is a uniform KEEP-RATE — each language keeps
+    * its own top `keepFraction` by score.
+    *
+    * Scale shape: one map-side-combined percentile aggregate per
+    * language (≤ a few hundred rows out), broadcast back, then a
+    * narrow filter — the corpus never sorts and never shuffles. The
+    * tempting `percent_rank().over(partitionBy(lang))` twin would
+    * single-task-sort the largest language's entire corpus slice;
+    * this shape is why it's not used. `exact=false` swaps the exact
+    * interpolated percentile for percentile_approx(10k) when even the
+    * per-group exact aggregate is too hot.
+    *
+    * Oracle parity: Spark `percentile` and DuckDB `quantile_cont`
+    * both interpolate at rank p·(n−1); pround-9 on the threshold
+    * bridges the engines' FP, and both sides then compare against the
+    * IDENTICAL rounded cutoff, so keep/drop decisions agree exactly. */
+  def langPercentileFilter(
+      docs: DataFrame,
+      langCol: String,
+      scoreCol: String,
+      keepFraction: Double,
+      exact: Boolean = true): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      "langPercentileFilter: keepFraction must be in (0, 1]")
+    val p = 1.0 - keepFraction
+    val score = col(scoreCol).cast("double")
+    val thr = docs.groupBy(col(langCol)).agg(
+      Cols.pround(
+        if (exact) percentile(score, lit(p))
+        else percentile_approx(score, lit(p), lit(10000)),
+        9).as("__thr"))
+    docs.join(broadcast(thr), langCol)
+      .filter(score >= col("__thr"))
+      .drop("__thr")
+  }
+
   // ---- gates ----
 
   /** Robots dict used by the f_robots gate: sources map to synthetic
@@ -246,6 +285,24 @@ object Filters {
       thresholdFilter(docs, Seq(col("n_words").cast("double") -> 30.0, col("awl") -> 3.2))
         .select(col("doc_id"), col("n_words"), Cols.pround(col("awl"), 4).as("avg_word_len"))
         .orderBy("doc_id")
+    },
+
+    // Per-language adaptive threshold gate: keep each language's top
+    // 30% by n_chars. The oracle replays the per-group interpolated
+    // percentile and the identical pround-9 cutoff.
+    Gate(
+      "f_lang_percentile", {
+        val thr = Cols.proundSql(
+          "quantile_cont(CAST(n_chars AS DOUBLE), 0.7)", 9)
+        s"""WITH thr AS (SELECT lang, $thr AS t FROM documents GROUP BY lang)
+           |SELECT d.doc_id, d.lang, d.n_chars
+           |FROM documents d JOIN thr USING (lang)
+           |WHERE CAST(d.n_chars AS DOUBLE) >= thr.t
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      langPercentileFilter(
+        Tables(s, dir, "documents"), "lang", "n_chars", keepFraction = 0.3)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     },
 
     Gate(

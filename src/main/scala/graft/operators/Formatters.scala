@@ -116,6 +116,46 @@ object Formatters {
       "c -> lpad(CAST(99 - len(c) AS VARCHAR), 2, '0') || c)), s -> s[3:])"
   }
 
+  /** Phone-number candidates: optional +country code, optional
+    * (area), then 2–4-digit groups joined by REQUIRED single
+    * space/dot/dash separators. Separators are deliberately
+    * mandatory: a bare digit run is far more often an order id or
+    * timestamp than a phone number, and bare 13–19-digit runs are
+    * already [[redactCards]]' territory (run cards BEFORE phones so a
+    * separated card is consumed as one 16-digit candidate, not
+    * re-matched piecewise). Known false-positive class: European
+    * dotted dates glued to dotted times ("12.03.2024 14.30") — the
+    * digit-count gate kills plain dates, corpora where datetimes
+    * dominate should tighten via a custom [[PiiRule]]. RE2-safe
+    * (no lookaround/backrefs). */
+  val PhoneCandidateRe: String =
+    "(?:\\+[0-9]{1,3}[ .-]?)?(?:\\([0-9]{1,4}\\)[ .-]?)?" +
+      "\\b[0-9]{2,4}(?:[ .-][0-9]{2,4}){1,4}\\b"
+
+  /** Distinct phone candidates whose digit count lands in the E.164
+    * plausible band [9, 15] — the strings [[redactPhones]] erases.
+    * Same (length DESC, lex) fold order as [[validCards]]. */
+  def validPhones(text: Column): Column =
+    array_sort(
+      filter(
+        array_distinct(regexp_extract_all(text, lit(PhoneCandidateRe), lit(0))),
+        c => bind(length(regexp_replace(c, "[^0-9]", ""))) { nd =>
+          nd >= 9 && nd <= 15
+        }),
+      (a, b) => when(length(a) =!= length(b), length(b) - length(a))
+        .otherwise(when(a < b, lit(-1)).when(a > b, lit(1)).otherwise(lit(0))))
+
+  def redactPhones(text: Column): Column =
+    aggregate(validPhones(text), text,
+      (acc, cand) => call_function("replace", acc, cand, lit("<phone-pii>")))
+
+  /** [[validPhones]] as a DuckDB list expression over `textExpr`. */
+  def sqlValidPhones(textExpr: String): String =
+    "list_transform(list_sort(list_transform(list_filter(list_distinct(" +
+      s"regexp_extract_all($textExpr, '$PhoneCandidateRe')), c -> " +
+      "len(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 9 AND 15), " +
+      "c -> lpad(CAST(99 - len(c) AS VARCHAR), 2, '0') || c)), s -> s[3:])"
+
   /** A3 — conversation templating (reference: euroblocks adapter,
     * pipelines/euroblocks/main.py:137-146: chat log → "user: …" /
     * "assistant: …" lines). `conv` is array<struct<from,value>>. */
@@ -375,6 +415,38 @@ object Formatters {
         .select(col("doc_id"),
           size(validCards(col("t"))).as("n_cards"),
           md5(redactCards(col("t"))).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Phone redaction: four planted classes — international with
+    // spaces, (area) with dash, plain dashed US-style, and a line of
+    // dates/short ids that must SURVIVE the digit-count gate. The
+    // oracle replays candidate extraction, the [9,15] digit filter,
+    // and the sorted validated-replace fold.
+    Gate(
+      "fmt_pii_phone", {
+        val valids = sqlValidPhones("t")
+        val plant = """CASE CAST(doc_id % 4 AS INT)
+          | WHEN 0 THEN ' ring +44 20 7946 0958 soon'
+          | WHEN 1 THEN ' fax (089) 1234-5678 today'
+          | WHEN 2 THEN ' call 555-123-4567 now'
+          | ELSE ' order 12-34 shipped 2024-01-15 ref 7.25' END""".stripMargin
+        s"""WITH p AS (SELECT doc_id, text || $plant AS t FROM documents),
+           |v AS (SELECT doc_id, t, $valids AS vp FROM p)
+           |SELECT doc_id, CAST(len(vp) AS INT) AS n_phones,
+           |  md5(list_reduce(list_prepend(t, vp),
+           |    (acc, x) -> replace(acc, x, '<phone-pii>'))) AS red_md5
+           |FROM v ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val plant = when(col("doc_id") % 4 === 0, lit(" ring +44 20 7946 0958 soon"))
+        .when(col("doc_id") % 4 === 1, lit(" fax (089) 1234-5678 today"))
+        .when(col("doc_id") % 4 === 2, lit(" call 555-123-4567 now"))
+        .otherwise(lit(" order 12-34 shipped 2024-01-15 ref 7.25"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), plant).as("t"))
+        .select(col("doc_id"),
+          size(validPhones(col("t"))).as("n_phones"),
+          md5(redactPhones(col("t"))).as("red_md5"))
         .orderBy("doc_id")
     },
 

@@ -320,6 +320,66 @@ object Similarity {
     KmeansFit(centroids, counts)
   }
 
+  /** k-center greedy coreset (farthest-first traversal — Gonzalez
+    * 1985; the core-set selection recipe of Sener & Savarese, ICLR
+    * 2018): pick a seed, then repeatedly pick the point FARTHEST from
+    * everything chosen so far. The selection 2-approximates the
+    * optimal k-center cover, which is why it's the standard geometric
+    * data-pruning baseline — the chosen rows spread over the
+    * embedding space instead of oversampling dense regions (what
+    * uniform sampling does).
+    *
+    * Scale shape: each round is ONE narrow codegen pass (the running
+    * min-distance folds over ≤ k literal centers — no join, no
+    * shuffle) ending in a TakeOrdered(1); driver state is k vectors.
+    * k passes total, so this is for coreset sizes in the hundreds —
+    * for larger budgets confine rounds to IVF cells (the SemDeDup
+    * discipline) and run cells in parallel.
+    *
+    * Fully deterministic and SQL-replayable: seed = lowest id,
+    * squared-L2 via the sequential-double [[seqDot]] kernel, ties →
+    * lowest id; the gate unrolls every round as CTEs. Returns
+    * (rank, id, radius) in pick order — radius is the point's
+    * min-distance at pick time, the DECREASING cover-radius sequence
+    * that doubles as a k-vs-coverage elbow diagnostic (seed radius is
+    * NULL). */
+  def kcenterCoreset(
+      vecs: DataFrame, // idCol, vecCol
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "kcenterCoreset: k must be >= 1")
+    val ss = vecs.sparkSession
+    graft.expr.GraftExtensions.register(ss)
+    val v = graft.Caches.persist(
+      vecs.select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v")))
+    val seed = v.orderBy("__id").limit(1).collect()(0)
+    var picks = Vector((seed.getLong(0), Option.empty[Double]))
+    var centers = Vector(seed.getSeq[Double](1).toArray)
+    for (_ <- 2 to k) {
+      val minD = centers.map { c =>
+        // left-fold self-dot matches the list_reduce replay exactly
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        val cl = array(c.toIndexedSeq.map(lit): _*)
+        seqDot(col("__v"), col("__v")) -
+          lit(2.0) * seqDot(col("__v"), cl) + lit(cc)
+      }.reduce((a, b) => least(a, b))
+      val pickedIds = picks.map(_._1)
+      val next = v.filter(!col("__id").isin(pickedIds: _*))
+        .select(col("__id"), col("__v"), minD.as("__d"))
+        .orderBy(col("__d").desc, col("__id"))
+        .limit(1).collect()(0)
+      picks :+= ((next.getLong(0), Some(next.getDouble(2))))
+      centers :+= next.getSeq[Double](1).toArray
+    }
+    import ss.implicits._
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    picks.zipWithIndex
+      .map { case ((id, d), i) => (i + 1, id, d.map(pr6)) }
+      .toDF("rank", "id", "radius")
+  }
+
   /** The production IVF quantizer fit: centroids from a bounded
     * deterministic sample, never the full corpus. Coarse-quantizer
     * centroids only need a representative sample (FAISS trains IVF
@@ -1203,6 +1263,54 @@ object Similarity {
         (c, j, pr6(fit.centroids(c)(j)), fit.counts(c)))
         .toDF("cell", "dim", "val", "n")
         .orderBy("cell", "dim")
+    },
+
+    // k-center coreset gate: 6 farthest-first picks over the first 16
+    // embedding dims. The oracle unrolls every round as CTEs — the
+    // same seqDot squared-L2, the same least() running min, the same
+    // (d DESC, id) tie-break — and replays the radius pround-6.
+    Gate(
+      "op_coreset", {
+        val d16 = 16
+        def sq(a: String, b: String) =
+          s"(${sqlSeqDot(a, a, d16)} - 2.0 * ${sqlSeqDot(a, b, d16)} + " +
+            s"${sqlSeqDot(b, b, d16)})"
+        val k = 6
+        val rounds = (2 to k).map { r =>
+          val prevD = if (r == 2) "" else s"d${r - 1}"
+          val dCte =
+            if (r == 2)
+              s"""d2 AS (SELECT e.vec_id, e.v, ${sq("e.v", "c.v")} AS d
+                 |  FROM e CROSS JOIN p1 c)""".stripMargin
+            else
+              s"""d$r AS (SELECT x.vec_id, x.v,
+                 |  least(x.d, ${sq("x.v", "c.v")}) AS d
+                 |  FROM $prevD x CROSS JOIN p${r - 1} c)""".stripMargin
+          val excl = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+            .mkString(" UNION ALL ")
+          s"""$dCte,
+             |p$r AS (SELECT vec_id, v, d FROM d$r
+             |  WHERE vec_id NOT IN ($excl)
+             |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (s"SELECT 1 AS rank, CAST(vec_id AS BIGINT) AS id, " +
+          "CAST(NULL AS DOUBLE) AS radius FROM p1") +:
+          (2 to k).map(r => s"SELECT $r, vec_id, " +
+            s"floor(d * 1000000.0 + 0.5) / 1000000.0 FROM p$r")
+        s"""WITH e AS (SELECT vec_id,
+           |    [CAST(x AS DOUBLE) FOR x IN embedding[1:$d16]] AS v
+           |  FROM embeddings),
+           |p1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+           |$rounds
+           |${out.mkString("\n UNION ALL ")}
+           |ORDER BY rank""".stripMargin
+      }) { (s, dir) =>
+      kcenterCoreset(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(slice(col("embedding"), 1, 16), _.cast("double")).as("v")),
+        "vec_id", "v", k = 6)
+        .orderBy("rank")
     },
 
     Gate(

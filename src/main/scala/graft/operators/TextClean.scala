@@ -232,6 +232,77 @@ object TextClean {
        |  '\\n+', chr(10), 'g'), ' ' || chr(10))""".stripMargin
   }
 
+  /** Creative-Commons license detection — the C4/Common-Pile-style
+    * triage that decides whether a crawled page is openly licensed:
+    * scan the HTML for a creativecommons.org license URL (in any
+    * href) and for an explicit `<a rel="license" href=…>` assertion
+    * (the RDFa convention CC's own chooser emits). Returns a struct:
+    *   cc_license  — "by-nc-sa", "by", "zero", "mark", … or NULL
+    *   cc_version  — "4.0", "3.0", "1.0", … or NULL
+    *   rel_license — the rel="license" href verbatim (may be non-CC),
+    *                 NULL when the page asserts none
+    * A page with cc_license set AND rel_license pointing at the same
+    * family is a strong open-license signal; cc_license alone is weak
+    * (the URL may appear in body text discussing licenses — the
+    * reason this op reports fields instead of deciding keep/drop).
+    * RE2-safe chained regex (no lookaround), narrow, scan-fused. */
+  def licenseDetect(html: Column): Column = {
+    def ex(p: String) = nullif(regexp_extract(html, p, 1), lit(""))
+    val cc = "(?is)creativecommons\\.org/(?:licenses/([a-z-]+)/" +
+      "([0-9]+\\.[0-9]+)|publicdomain/(zero|mark)/([0-9]+\\.[0-9]+))"
+    val relNF = "(?is)<a\\b[^>]*rel\\s*=\\s*[\"']license[\"'][^>]*" +
+      "href\\s*=\\s*[\"']([^\"']*)"
+    val relHF = "(?is)<a\\b[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+      "rel\\s*=\\s*[\"']license[\"']"
+    struct(
+      coalesce(ex(cc), nullif(regexp_extract(html, cc, 3), lit("")))
+        .as("cc_license"),
+      coalesce(nullif(regexp_extract(html, cc, 2), lit("")),
+        nullif(regexp_extract(html, cc, 4), lit(""))).as("cc_version"),
+      coalesce(ex(relNF), ex(relHF)).as("rel_license"))
+  }
+
+  /** Code-normalization rule table shared by [[normalizeCodeKey]] and
+    * its gate oracle (the [[MarkdownRules]] discipline — one table,
+    * two engines, no drift). Order matters and encodes the
+    * approximation: string literals fold FIRST (protecting "//…"
+    * inside a string from the comment rule), then comments die, then
+    * numeric literals fold. Single-quoted literals are bounded to one
+    * line so an apostrophe in a prose comment can't eat code across
+    * lines. RE2-safe (no lookaround/backrefs). */
+  private[operators] val CodeNormRules: Seq[(String, String)] = Seq(
+    ("\"(?:[^\"\\\\\\n]|\\\\.)*\"", "S"),  // double-quoted string literal
+    ("'(?:[^'\\\\\\n]|\\\\.)*'", "S"),     // single-quoted, one line
+    ("(?s)/\\*.*?\\*/", " "),              // block comment
+    ("//[^\\n]*", ""),                     // line comment
+    ("#[^\\n]*", ""),                      // hash comment
+    ("\\b[0-9]+(\\.[0-9]+)?\\b", "N"))     // numeric literal
+
+  /** Normalized code-identity key — the BigCode/CodeParrot near-dedup
+    * insight that most code "duplicates" differ only in comments,
+    * string literals, numeric constants and formatting: fold all four
+    * away and EXACT dedup on the residue catches them with none of
+    * MinHash's false-positive surface. Identifiers deliberately
+    * survive (folding them collapses genuinely different functions).
+    * Compose: `md5(normalizeCodeKey(code))` is the digest-only-
+    * shuffle dedup key; or feed the normalized text to the MinHash
+    * family for fuzzier matching. Chained codegen regex, narrow,
+    * scan-fused. */
+  def normalizeCodeKey(code: Column): Column =
+    trim(regexp_replace(
+      CodeNormRules.foldLeft(code) { case (c, (p, r)) =>
+        regexp_replace(c, p, r)
+      }, "[ \\t\\f\\r\\n]+", " "))
+
+  /** DuckDB twin of [[normalizeCodeKey]], generated from the SAME
+    * rule table (single quotes doubled for SQL embedding). */
+  private[operators] def sqlNormalizeCodeKey(expr: String): String = {
+    val folded = CodeNormRules.foldLeft(expr) { case (e, (p, r)) =>
+      s"regexp_replace($e, '${p.replace("'", "''")}', '$r', 'g')"
+    }
+    s"trim(regexp_replace($folded, '[ \\t\\f\\r\\n]+', ' ', 'g'))"
+  }
+
   /** Typographic-punctuation fold: smart quotes → ASCII quotes,
     * en/em dashes → hyphen, NBSP → space, ellipsis → "..." — the
     * CCNet-style pre-tokenization mapping that stops "don’t" and
@@ -697,6 +768,85 @@ object TextClean {
           col("m.description").as("description"),
           col("m.canonical_url").as("canonical_url"),
           col("m.og_title").as("og_title"))
+        .orderBy("doc_id")
+    },
+
+    // License-detect gate: four page classes — CC badge with a
+    // rel=license assertion (both attribute orders), bare
+    // publicdomain/zero URL in body text, a non-CC rel=license
+    // anchor, and an unlicensed page. Construction-formula oracle.
+    Gate(
+      "txt_license",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'by-nc-sa'
+        |       WHEN doc_id % 4 = 1 THEN 'zero' END AS cc_license,
+        |  CASE WHEN doc_id % 4 = 0 THEN '4.0'
+        |       WHEN doc_id % 4 = 1 THEN '1.0' END AS cc_version,
+        |  CASE WHEN doc_id % 4 = 0
+        |         THEN 'https://creativecommons.org/licenses/by-nc-sa/4.0/'
+        |       WHEN doc_id % 4 = 2
+        |         THEN 'https://opensource.org/license/mit' END AS rel_license
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ccHref = lit("https://creativecommons.org/licenses/by-nc-sa/4.0/")
+      val page = concat(
+        lit("<html><body><p>intro</p>"),
+        when(col("doc_id") % 4 === 0,
+          when(col("doc_id") % 8 === 0,
+            concat(lit("<a href=\""), ccHref, lit("\" rel=\"license\">CC</a>")))
+            .otherwise(
+              concat(lit("<a rel=\"license\" href=\""), ccHref, lit("\">CC</a>"))))
+          .when(col("doc_id") % 4 === 1,
+            lit("<p>see http://creativecommons.org/publicdomain/zero/1.0/ deed</p>"))
+          .when(col("doc_id") % 4 === 2,
+            lit("<a rel=\"license\" href=\"https://opensource.org/license/mit\">MIT</a>"))
+          .otherwise(lit("")),
+        col("text"), lit("</body></html>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), licenseDetect(page).as("l"))
+        .select(col("doc_id"), col("l.cc_license").as("cc_license"),
+          col("l.cc_version").as("cc_version"),
+          col("l.rel_license").as("rel_license"))
+        .orderBy("doc_id")
+    },
+
+    // Code-key dedup gate: planted functions where the identifier
+    // (doc_id % 7) is the real identity and comments / string
+    // literals / numeric constants / formatting all vary per doc —
+    // normalization must collapse each residue class to ONE key, and
+    // the keeper is the class's lowest doc_id. Digest-only shuffle:
+    // the normalized text never crosses an exchange, only its md5.
+    Gate(
+      "dedup_code_key", {
+        val norm = sqlNormalizeCodeKey("t")
+        """WITH p AS (SELECT doc_id,
+          |    'int f' || CAST(doc_id % 7 AS VARCHAR) || '(int x) {' ||
+          |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || '  ' ELSE ' ' END ||
+          |    '/* v' || CAST(doc_id AS VARCHAR) || ' */ ' ||
+          |    'log("run ' || CAST(doc_id AS VARCHAR) || '"); ' ||
+          |    'return x * ' || CAST(doc_id % 5 AS VARCHAR) ||
+          |    '; // note ' || CAST(doc_id AS VARCHAR) || chr(10) || '}' AS t
+          |  FROM documents),
+          |""".stripMargin +
+          s"""k AS (SELECT doc_id, md5($norm) AS code_key FROM p)
+             |SELECT doc_id, code_key,
+             |  doc_id = min(doc_id) OVER (PARTITION BY code_key) AS keeper
+             |FROM k ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("int f"), (col("doc_id") % 7).cast("string"), lit("(int x) {"),
+        when(col("doc_id") % 2 === 0, lit("\n  ")).otherwise(lit(" ")),
+        lit("/* v"), id, lit(" */ "),
+        lit("log(\"run "), id, lit("\"); "),
+        lit("return x * "), (col("doc_id") % 5).cast("string"),
+        lit("; // note "), id, lit("\n}"))
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(normalizeCodeKey(page)).as("code_key"))
+      val keepers = keyed.groupBy("code_key")
+        .agg(min("doc_id").as("__keep_id"))
+      keyed.join(keepers, "code_key")
+        .select(col("doc_id"), col("code_key"),
+          (col("doc_id") === col("__keep_id")).as("keeper"))
         .orderBy("doc_id")
     },
 

@@ -33,4 +33,23 @@ class ExpectationsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((0L, 0L, 0.0)))
   }
+
+  test("kAnonymity bands classes by size, flags sub-k bands, groups NULLs") {
+    // classes: (a,x)=1 row, (a,NULL)=2, (b,x)=3, (b,y)=5 — with k=3
+    // bands 1 and 2 violate, band 3 holds the two classes of size >= 3
+    val rows = Seq(("a", "x")) ++ Seq.fill(2)(("a", null)) ++
+      Seq.fill(3)(("b", "x")) ++ Seq.fill(5)(("b", "y"))
+    val df = rows.toDF("src", "lng")
+    val got = Expectations.kAnonymity(df, Seq("src", "lng"), k = 3)
+      .orderBy("size_band")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 1L, true), (2, 1L, 2L, true), (3, 2L, 8L, false)))
+
+    // a k-anonymous frame reports a single non-violating band
+    val ok = Expectations.kAnonymity(
+      Seq.fill(4)(("a", "x")).toDF("src", "lng"), Seq("src", "lng"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getBoolean(3)))
+    assert(ok.toSeq == Seq((3, false)))
+  }
 }

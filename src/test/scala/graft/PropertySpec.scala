@@ -609,6 +609,56 @@ class PropertySpec extends SparkSpec {
     assert(h("aaab") == 0.31127812 + 0.5)
   }
 
+  test("langPercentileFilter keeps each language's top fraction; approx tracks exact") {
+    import spark.implicits._
+    // en: scores 0..99 (100 rows); fr: 0..9 (10 rows) — a global
+    // cutoff at en's 70th pct would wipe fr out entirely
+    val docs = ((0 until 100).map(i => (i.toLong, "en", i)) ++
+      (100 until 110).map(i => (i.toLong, "fr", i - 100)))
+      .toDF("doc_id", "lang", "score")
+    val kept = operators.Filters
+      .langPercentileFilter(docs, "lang", "score", keepFraction = 0.3)
+      .select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // en: p70 of 0..99 = 69.3 → keeps 70..99 (30); fr: p70 of 0..9 =
+    // 6.3 → keeps 7, 8, 9 (3) — the uniform keep-rate, NOT a global cut
+    assert(byLang == Map("en" -> 30, "fr" -> 3))
+    assert(kept.filter(_._2 == "fr").map(_._1).sorted.toSeq == Seq(107L, 108L, 109L))
+
+    // approx path runs and lands within a few rows of exact per lang
+    val approx = operators.Filters
+      .langPercentileFilter(docs, "lang", "score", 0.3, exact = false)
+      .select("lang")
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(math.abs(approx("en") - 30) <= 2 && math.abs(approx("fr") - 3) <= 1)
+
+    // keepFraction = 1.0 keeps everything
+    assert(operators.Filters
+      .langPercentileFilter(docs, "lang", "score", 1.0).count() == 110)
+  }
+
+  test("redactPhones erases separated phone shapes, leaves dates/ids/cards alone") {
+    import spark.implicits._
+    def red(t: String): String =
+      Seq(t).toDF("t").select(operators.Formatters.redactPhones(col("t")).as("r"))
+        .head().getString(0)
+    // the canonical shapes all redact
+    assert(red("ring +44 20 7946 0958 soon") == "ring <phone-pii> soon")
+    assert(red("fax (089) 1234-5678 today") == "fax <phone-pii> today")
+    assert(red("call 555-123-4567 now") == "call <phone-pii> now")
+    assert(red("dial 0171.946.0958 ok") == "dial <phone-pii> ok")
+    // dates and short ids survive the digit-count gate
+    assert(red("shipped 2024-01-15 ref 12-34") == "shipped 2024-01-15 ref 12-34")
+    // a separated 16-digit card exceeds 15 digits -> phone leaves it
+    assert(red("pay 4111 1111 1111 1111 now") == "pay 4111 1111 1111 1111 now")
+    // bare digit runs (no separator) are not candidates
+    assert(red("id 123456789 x") == "id 123456789 x")
+    // two phones in one doc both redact
+    assert(red("a 555-123-4567 b +44 20 7946 0958 c")
+      == "a <phone-pii> b <phone-pii> c")
+  }
+
   test("redactCards erases only Luhn-valid card numbers") {
     import spark.implicits._
     def red(t: String): String =

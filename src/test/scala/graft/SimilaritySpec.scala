@@ -405,4 +405,38 @@ class SimilaritySpec extends SparkSpec {
     assert(far.centroids(1).toSeq == Seq.fill(4)(1e9))
     Caches.releaseAll()
   }
+
+  test("kcenterCoreset: farthest-first picks, decreasing radii, JVM greedy parity") {
+    import spark.implicits._
+    // 3 tight clusters at 0, 10, 100 on a line (+ a small y jitter so
+    // ids within a cluster are not distance-ties) — farthest-first
+    // must visit all three cluster neighborhoods before refining any
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.1)), (3L, Seq(0.2, 0.0)),
+      (10L, Seq(10.0, 0.0)), (11L, Seq(10.1, 0.1)),
+      (20L, Seq(100.0, 0.0)), (21L, Seq(100.1, 0.1)))
+    val got = Similarity
+      .kcenterCoreset(pts.toDF("id", "v"), "id", "v", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    Caches.releaseAll()
+    // seed = min id (cluster A), then the far cluster C (21 edges out
+    // 20 — it sits at (100.1, 0.1), fractionally farther), then B
+    assert(got.map(_._2).take(3).toSeq == Seq(1L, 21L, 11L))
+    // radii strictly decrease after the seed
+    val radii = got.flatMap(_._3)
+    assert(radii.sameElements(radii.sorted(Ordering[Double].reverse)))
+
+    // parity with a plain JVM greedy over the same points
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Vector(pts.minBy(_._1))
+    (2 to 4).foreach { _ =>
+      val next = pts.filterNot(p => chosen.exists(_._1 == p._1))
+        .map(p => (p, chosen.map(c => sq(p._2, c._2)).min))
+        .minBy { case (p, d) => (-d, p._1) }
+      chosen :+= next._1
+    }
+    assert(got.map(_._2).toSeq == chosen.map(_._1))
+  }
 }

@@ -195,6 +195,53 @@ class TextCleanSpec extends SparkSpec {
     assert(aggressiveOut == "example text njjoin zwjemoji")
   }
 
+  test("licenseDetect: CC families, versions, rel=license orders, NULL on absent") {
+    def lic(html: String): (String, String, String) = {
+      val r = Seq(html).toDF("t")
+        .select(TextClean.licenseDetect(col("t")).as("l"))
+        .select("l.cc_license", "l.cc_version", "l.rel_license").head()
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    // badge link: family + version parsed, no rel assertion
+    assert(lic("<a href=\"https://creativecommons.org/licenses/by-sa/3.0/\">CC</a>")
+      == (("by-sa", "3.0", null)))
+    // publicdomain zero and mark
+    assert(lic("see creativecommons.org/publicdomain/zero/1.0/ deed")
+      == (("zero", "1.0", null)))
+    assert(lic("creativecommons.org/publicdomain/mark/1.0/")
+      == (("mark", "1.0", null)))
+    // rel=license both attribute orders; non-CC href leaves cc NULL
+    assert(lic("<a rel='license' href='https://opensource.org/license/mit'>MIT</a>")
+      == ((null, null, "https://opensource.org/license/mit")))
+    assert(lic("<a href=\"http://x.org/l\" rel=\"license\">L</a>")
+      == ((null, null, "http://x.org/l")))
+    // both signals on one page
+    val both = lic("<a rel=\"license\" " +
+      "href=\"https://creativecommons.org/licenses/by-nc-nd/4.0/\">CC</a>")
+    assert(both == (("by-nc-nd", "4.0",
+      "https://creativecommons.org/licenses/by-nc-nd/4.0/")))
+    // unlicensed page: all NULL
+    assert(lic("<p>plain page, no license anywhere</p>") == ((null, null, null)))
+  }
+
+  test("normalizeCodeKey folds comments/literals/numbers/ws, keeps identifiers") {
+    def nk(s: String) = one(TextClean.normalizeCodeKey(col("t")), s)
+    // the BigCode case: same function, different comments, constants,
+    // string literals, formatting -> identical key
+    val a = nk("int foo(int x) { /* v1 */ log(\"run 1\"); return x * 3; // a\n}")
+    val b = nk("int foo(int x) {\n  log(\"other\");  return x * 42;  # b\n}")
+    assert(a == b && a == "int foo(int x) { log(S); return x * N; }")
+    // different identifier -> different key
+    assert(nk("int bar(int x) { return x * 3; }")
+      != nk("int foo(int x) { return x * 3; }"))
+    // a // inside a string literal is protected (literals fold first)
+    assert(nk("s = \"http://x.org\"; f()") == "s = S; f()")
+    // single-quoted literal folds; floats fold as one N
+    assert(nk("c = 'q'; d = 3.14") == "c = S; d = N")
+    // block comment spanning lines dies
+    assert(nk("a /* one\ntwo */ b") == "a b")
+  }
+
   test("stripMarkdown: markers die, visible text and code bodies survive") {
     def md(s: String) = one(TextClean.stripMarkdown(col("t")), s)
     assert(md("## My Title\nbody") == "My Title\nbody")
