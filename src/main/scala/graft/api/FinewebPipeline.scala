@@ -41,6 +41,19 @@ final case class PplTierParams(
     buckets: Int = 1024,
     bins: Int = 64)
 
+/** Per-language adaptive quality-threshold parameters (the fineweb-2
+  * uniform keep-rate discipline): each language keeps its own top
+  * `keepFraction` of `scoreCol` — a single global cutoff starves
+  * low-resource languages whose score distributions sit lower.
+  * Thresholds are the (1 − keepFraction) exact per-language
+  * percentiles of the UPSTREAM SURVIVORS' scores; docs below their
+  * language's cutoff (or with a NULL score) are excluded with reason
+  * `lang_quality`. */
+final case class LangQualityParams(
+    scoreCol: String,
+    keepFraction: Double,
+    langCol: String = "lang")
+
 /** Config-driven pipeline assembly — the reference's user surface.
   *
   * Mirrors pipelines/fineweb/main.py:34-67 (`CONFIGS` dict selecting
@@ -64,6 +77,11 @@ final case class FinewebConfig(
     /** keep top-p docs by embedding-classifier score (reference:
       * quality_filter {"p": 0.1} + estimate_classifier_threshold). */
     qualityTopP: Option[Double] = None,
+    /** per-language adaptive quality keep-rate (fineweb-2's
+      * per-language thresholds as a recipe stage — see
+      * [[LangQualityParams]]); thresholds estimated on upstream
+      * survivors, reason `lang_quality`. */
+    langAdaptiveQuality: Option[LangQualityParams] = None,
     /** drop docs with toxicity score ≥ threshold (reference:
       * toxicity_filter {"threshold": …}). */
     toxicityThreshold: Option[Double] = None,
@@ -360,6 +378,27 @@ object FinewebPipeline {
       stages :+= Transform("quality_unthr", _.drop("__q_thr"))
     }
 
+    cfg.langAdaptiveQuality.foreach { p =>
+      // per-language thresholds over the upstream SURVIVORS (the
+      // distribution the gate actually sees), one map-side-combined
+      // percentile aggregate — ≤ a few hundred rows broadcast back as
+      // a null-safe lang join (NULL langs form their own group, like
+      // Filters.langPercentileFilter). Exact percentile + pround-9 so
+      // the fw_lang_quality oracle replays the cutoffs bit-for-bit;
+      // NULL scores fail the compare and fall with `lang_quality`.
+      val upstream = Pipeline(stages: _*).kept(docs)
+      val thr = upstream
+        .groupBy(col(p.langCol).as("__lq_lang"))
+        .agg(Cols.pround(
+          percentile(col(p.scoreCol).cast("double"), lit(1 - p.keepFraction)),
+          9).as("__lq_thr"))
+      stages :+= Transform("lang_quality_thr", d =>
+        d.join(broadcast(thr), d(p.langCol) <=> col("__lq_lang"), "left"))
+      stages :+= DocFilter("lang_quality",
+        _ => col(p.scoreCol).cast("double") >= col("__lq_thr"))
+      stages :+= Transform("lang_quality_drop", _.drop("__lq_lang", "__lq_thr"))
+    }
+
     cfg.toxicityThreshold.foreach { thr =>
       val tox = cfg.toxicityClassifier.getOrElse(LinearClassifier.seeded(64, 7))
       // annotate-then-filter (the reference's scorer + filter are two
@@ -623,6 +662,42 @@ object FinewebPipeline {
     piiFormat = false)
 
   val gates: Seq[Gate] = Seq(
+
+    // Per-language adaptive quality through the config surface:
+    // noindex pages (planted on %9) fall FIRST with their own reason
+    // and are excluded from the threshold estimate; each language
+    // then keeps its top 60% by n_chars. The oracle replays the
+    // survivor-only per-language quantile_cont, the pround-9 cutoff,
+    // and reason precedence over the full marked frame.
+    Gate(
+      "fw_lang_quality", {
+        // window form, not a JOIN against the aggregate CTE — DuckDB's
+        // binder plans LEFT JOIN onto an inlined aggregate CTE as a
+        // LATERAL join and rejects it; the survivor restriction rides
+        // a CASE inside quantile_cont (NULLs are ignored)
+        val thr9 = Cols.proundSql("rawthr", 9)
+        s"""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS q,
+           |    (doc_id % 9 = 0) AS noidx FROM documents),
+           |w AS (SELECT doc_id, lang, q, noidx,
+           |    quantile_cont(CASE WHEN NOT noidx THEN q END, 0.4)
+           |      OVER (PARTITION BY lang) AS rawthr FROM d)
+           |SELECT doc_id, lang,
+           |  CASE WHEN noidx THEN 'meta_robots'
+           |       WHEN q >= $thr9 THEN NULL
+           |       ELSE 'lang_quality' END AS filter_reason
+           |FROM w ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 9 === 0,
+            concat(lit("<meta name=\"robots\" content=\"noindex\">"), col("text")))
+            .otherwise(col("text")))
+      buildMarked(s, docs, FinewebConfig(
+        metaRobotsNoindex = true,
+        langAdaptiveQuality = Some(LangQualityParams("n_chars", 0.6)),
+        piiFormat = false))
+        .select("doc_id", "lang", "filter_reason").orderBy("doc_id")
+    },
     // R12 — the per-language config sweep as ONE union plan, oracle =
     // the union of each language's filter semantics (fineweb-2
     // CONFIGS_10/33 shape: per-language sampler rates with a

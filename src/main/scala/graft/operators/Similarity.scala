@@ -380,6 +380,46 @@ object Similarity {
       .toDF("rank", "id", "radius")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of the n-gram family (Dedup.scala:361): paraphrased
+    * or translated eval questions share no 8-gram with the benchmark
+    * but sit next to it in embedding space, so phi-style curation
+    * additionally drops training docs whose max cosine against ANY
+    * benchmark embedding crosses a threshold.
+    *
+    * Scale shape: the benchmark side is eval suites — thousands of
+    * rows — so it broadcasts; the corpus streams ONCE through the
+    * broadcast cross with per-row hoisted norms, and the max-cosine
+    * reduction is map-side-combined (max is order-independent, so the
+    * result is deterministic at any parallelism). No corpus shuffle
+    * beyond the k-row-per-partition aggregate exchange. For benchmark
+    * sets too big to broadcast, pre-bucket both sides with the LSH
+    * signature ([[hyperplaneSig]]) and run this per bucket.
+    *
+    * Returns every corpus id with its max benchmark cosine (pround-4)
+    * and the contaminated verdict — the keep/drop split AND the audit
+    * trail ("how close was the nearest benchmark item") in one frame. */
+  def embedDecontaminate(
+      corpus: DataFrame, // idCol, vecCol
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame, // vecCol
+      threshold: Double): DataFrame = {
+    graft.expr.GraftExtensions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", seqNorm(col("__v")))
+    val b = bench.select(col(vecCol).as("__bv"))
+      .withColumn("__bn", seqNorm(col("__bv")))
+    c.join(broadcast(b))
+      .groupBy("__id")
+      .agg(max(
+        seqCosineHoisted(col("__v"), col("__bv"), col("__n"), col("__bn")))
+        .as("__mc"))
+      .select(col("__id").as(idCol),
+        Cols.pround(col("__mc"), 4).as("max_benchmark_cos"),
+        (col("__mc") >= threshold).as("contaminated"))
+  }
+
   /** The production IVF quantizer fit: centroids from a bounded
     * deterministic sample, never the full corpus. Coarse-quantizer
     * centroids only need a representative sample (FAISS trains IVF
@@ -1325,6 +1365,29 @@ object Similarity {
       }) { (s, dir) =>
       cosineNearDupPairs(plantedVecs(Tables(s, dir, "embeddings")), 0.99)
         .orderBy("id_a", "id_b")
+    },
+
+    // Embedding decontamination gate: benchmark = the first 5
+    // embeddings (subset of the corpus, so the self-matches at
+    // cosine 1.0 MUST flag); every corpus row reports its max
+    // benchmark cosine. The oracle replays the seqDot cosine, the
+    // order-independent max, and the identical threshold compare.
+    Gate(
+      "dedup_embed_decontam", {
+        val cos = sqlSeqCosine("c.embedding", "b.embedding")
+        s"""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id < 5),
+           |s AS (SELECT c.vec_id, max($cos) AS mc
+           |      FROM embeddings c CROSS JOIN b GROUP BY c.vec_id)
+           |SELECT vec_id, ${Cols.proundSql("mc", 4)} AS max_benchmark_cos,
+           |  mc >= 0.95 AS contaminated
+           |FROM s ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      embedDecontaminate(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5).select("embedding"),
+        threshold = 0.95)
+        .orderBy("vec_id")
     },
 
     Gate(

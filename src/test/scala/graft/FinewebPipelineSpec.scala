@@ -460,6 +460,35 @@ class FinewebPipelineSpec extends SparkSpec {
       s"quality top-p kept $qKept of ${marked.length}")
   }
 
+  test("langAdaptiveQuality: uniform keep-rate per language, NULL score rejected, survivor-based thresholds") {
+    import spark.implicits._
+    import graft.api.LangQualityParams
+    // en scores 0..9, fr scores 0..4 (higher-resource en sits higher);
+    // doc 20 has a NULL score; doc 21 is rejected upstream by the
+    // sampler-free route: give it a noindex meta so it never counts
+    // toward the fr threshold
+    val docs = ((0 until 10).map(i => (i.toLong, "en", Some(i.toDouble), "body")) ++
+      (10 until 15).map(i => (i.toLong, "fr", Some((i - 10).toDouble), "body")) ++
+      Seq((20L, "fr", None: Option[Double], "body"),
+        (21L, "fr", Some(99.0), "<meta name=\"robots\" content=\"noindex\">x")))
+      .toDF("doc_id", "lang", "q", "text")
+    val marked = FinewebPipeline.buildMarked(spark, docs, FinewebConfig(
+      metaRobotsNoindex = true,
+      langAdaptiveQuality = Some(LangQualityParams("q", 0.5)),
+      piiFormat = false))
+      .select("doc_id", "filter_reason")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // en: p50 of 0..9 = 4.5 -> keeps 5..9; fr: p50 of 0,1,2,3,4 = 2
+    // (doc 21's 99.0 fell upstream and must NOT inflate the cutoff)
+    assert((0 until 5).forall(i => marked(i.toLong) == Some("lang_quality")))
+    assert((5 until 10).forall(i => marked(i.toLong).isEmpty))
+    assert(marked(10L) == Some("lang_quality") && marked(11L) == Some("lang_quality"))
+    assert(Seq(12L, 13L, 14L).forall(marked(_).isEmpty))
+    // NULL score falls with lang_quality; upstream reason wins for 21
+    assert(marked(20L) == Some("lang_quality"))
+    assert(marked(21L) == Some("meta_robots"))
+  }
+
   test("cutDupSubstrings stage: kept docs lose repeated passages, exclusions keep raw text") {
     import spark.implicits._
     val passage =

@@ -406,6 +406,26 @@ class SimilaritySpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("embedDecontaminate flags near-benchmark vectors, reports max cosine for all") {
+    import spark.implicits._
+    val bench = Seq(Tuple1(Seq(1.0, 0.0, 0.0)), Tuple1(Seq(0.0, 1.0, 0.0)))
+      .toDF("vec")
+    val corpus = Seq(
+      (1L, Seq(0.999, 0.01, 0.0)), // paraphrase of bench 1 -> flagged
+      (2L, Seq(0.0, 0.0, 1.0)),    // orthogonal -> clean, max_cos 0
+      (3L, Seq(0.7, 0.7, 0.0)))    // between the two -> ~0.707, clean at 0.95
+      .toDF("id", "vec")
+    val got = Similarity
+      .embedDecontaminate(corpus, "id", "vec", bench, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2)
+    assert(got(1L)._1 > 0.999 && got(2L)._1 == 0.0)
+    assert(math.abs(got(3L)._1 - math.sqrt(0.5)) < 1e-3)
+    // every corpus row reports, contaminated or not
+    assert(got.size == 3)
+  }
+
   test("kcenterCoreset: farthest-first picks, decreasing radii, JVM greedy parity") {
     import spark.implicits._
     // 3 tight clusters at 0, 10, 100 on a line (+ a small y jitter so
