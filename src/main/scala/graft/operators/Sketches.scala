@@ -105,6 +105,85 @@ object Sketches {
     state.select(col("seg"), size(col("mins")).as("n_kept"),
       kmvEstimate(col("mins"), k).as("est_distinct"))
 
+  /** Persisted EXACTLY-mergeable histogram state — the quantile
+    * companion of [[writeKmvState]]: fixed [lo, hi) equal-width bins
+    * (underflow → bin −1, overflow → bin `bins`) of a numeric column,
+    * per segment. Fixed bins make merge = bin-count SUM, which is
+    * associative and EXACT — merging any partition of ingest runs is
+    * bit-identical to histogramming the whole corpus in one pass (the
+    * property t-digest/KLL trade away for adaptive resolution; here
+    * the resolution loss is the DECLARED bin width, never silent).
+    * State per segment is ≤ bins+2 longs regardless of segment size;
+    * the build is ONE map-side-combined grouped count. */
+  def writeHistState(
+      df: DataFrame,
+      segCol: String,
+      valueCol: String,
+      path: String,
+      lo: Double,
+      hi: Double,
+      bins: Int): Unit = {
+    require(bins >= 1 && hi > lo, "writeHistState: need bins >= 1 and hi > lo")
+    val w = (hi - lo) / bins
+    df.select(col(segCol).cast("string").as("seg"),
+      least(greatest(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(w)).cast("int"),
+        lit(-1)), lit(bins)).as("bin"))
+      .groupBy("seg", "bin").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold any number of persisted histogram states: same bins ⇒ the
+    * merge is a grouped SUM over ≤ (bins+2)·runs rows per segment. */
+  def mergeHistStates(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "mergeHistStates: at least one state path")
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy("seg", "bin").agg(sum("n").as("n"))
+  }
+
+  /** Quantile estimates from a (merged) state frame. Integer-rank
+    * definition so both engines agree exactly: the p-quantile is the
+    * element at 0-indexed rank t = floor(p·(N−1)); its bin is the
+    * first with cumulative count > t, and the estimate interpolates
+    * mid-element within the bin: lo + w·(bin + (t − cumBefore + 0.5)
+    * / n_bin). Under/overflow bins report a NULL estimate (their
+    * true values lie outside [lo, hi) — widen the range and re-ingest
+    * rather than trust a clamp). One window cumsum over the tiny
+    * state frame + a literal probs cross join — no corpus access. */
+  def quantilesFromState(
+      state: DataFrame,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "quantilesFromState: probs must be in [0, 1]")
+    val w = (hi - lo) / bins
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = state
+      .withColumn("cum_before", coalesce(sum("n").over(win), lit(0L)))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg")))
+    val probsDf = state.sparkSession
+      .createDataFrame(probs.map(Tuple1(_))).toDF("p")
+    cum.crossJoin(broadcast(probsDf))
+      .withColumn("t", floor(col("p") * (col("total") - 1).cast("double")).cast("long"))
+      .filter(col("cum_before") <= col("t") &&
+        col("t") < col("cum_before") + col("n"))
+      .select(col("seg"), col("p"),
+        col("bin"),
+        when(col("bin") >= 0 && col("bin") < bins,
+          Cols.pround(
+            lit(lo) + lit(w) * (col("bin").cast("double") +
+              ((col("t") - col("cum_before")).cast("double") + lit(0.5)) /
+                col("n").cast("double")),
+            6)).as("est"))
+  }
+
   /** KMV set algebra over per-segment sketches — pairwise
     * union / Jaccard / intersection estimates ("how much do day X's
     * users overlap day Y's?") WITHOUT ever joining the raw sets: the
@@ -536,6 +615,50 @@ object Sketches {
       writeKmvState(half(even = false), "seg", "x", s"$base/odd", k)
       distinctFromState(mergeKmvStates(s, Seq(s"$base/even", s"$base/odd"), k), k)
         .orderBy("seg")
+    },
+
+    // Histogram-state gate: n_chars histogrammed per source in two
+    // run-halves (doc_id parity), states merged, quantiles estimated
+    // — while the oracle histograms the WHOLE corpus in one pass and
+    // applies the identical integer-rank / mid-element-interpolation
+    // formula. Equality IS the exact-merge property: summed fixed
+    // bins ≡ one-pass bins.
+    Gate(
+      "snk_hist_state", {
+        val (lo, hi, bins) = (0.0, 600.0, 24)
+        val w = (hi - lo) / bins
+        s"""WITH h AS (SELECT source AS seg,
+           |    least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - $lo) / $w)
+           |      AS INT), -1), $bins) AS bin FROM documents),
+           |s AS (SELECT seg, bin, count(*) AS n FROM h GROUP BY seg, bin),
+           |c AS (SELECT seg, bin, n,
+           |    coalesce(sum(n) OVER (PARTITION BY seg ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+           |    sum(n) OVER (PARTITION BY seg) AS total FROM s),
+           |p AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p),
+           |j AS (SELECT c.*, p.p,
+           |    CAST(floor(p.p * CAST(total - 1 AS DOUBLE)) AS BIGINT) AS t
+           |  FROM c CROSS JOIN p)
+           |SELECT seg, p, CAST(bin AS INT) AS bin,
+           |  CASE WHEN bin >= 0 AND bin < $bins THEN
+           |    ${Cols.proundSql(
+              s"$lo + $w * (CAST(bin AS DOUBLE) + " +
+                "(CAST(t - cb AS DOUBLE) + 0.5) / CAST(n AS DOUBLE))", 6)}
+           |  END AS est
+           |FROM j WHERE cb <= t AND t < cb + n
+           |ORDER BY seg, p""".stripMargin
+      }) { (s, dir) =>
+      val (lo, hi, bins) = (0.0, 600.0, 24)
+      val docs = Tables(s, dir, "documents")
+      def half(even: Boolean) = docs
+        .filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0)
+      val base = graft.sources.DocSource.gateScratch(dir, "snk_hist_state")
+      writeHistState(half(even = true), "source", "n_chars", s"$base/even", lo, hi, bins)
+      writeHistState(half(even = false), "source", "n_chars", s"$base/odd", lo, hi, bins)
+      quantilesFromState(
+        mergeHistStates(s, Seq(s"$base/even", s"$base/odd")),
+        lo, hi, bins, Seq(0.25, 0.5, 0.9))
+        .orderBy("seg", "p")
     },
 
     // CMS gate over token frequencies: d=4 × w=64 forces real bucket

@@ -180,4 +180,33 @@ class SketchesSpec extends SparkSpec {
     est.foreach { case (seg, e) =>
       assert(e > 400 && e < 2500, s"$seg estimate $e far from 1000") }
   }
+
+  test("hist state: 3-run merge equals one-pass bins; quantiles hit known values; overflow NULL") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // seg a: values 0..99 (uniform); seg b: 1000 lands in overflow
+    val data = ((0 until 100).map(i => ("a", i.toDouble)) :+ ("b", 1000.0))
+      .toDF("seg", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-hist-state").toString
+    Sketches.writeHistState(data.filter($"v" % 3 === 0), "seg", "v", s"$base/r0", 0, 100, 10)
+    Sketches.writeHistState(data.filter($"v" % 3 === 1), "seg", "v", s"$base/r1", 0, 100, 10)
+    Sketches.writeHistState(data.filter($"v" % 3 === 2), "seg", "v", s"$base/r2", 0, 100, 10)
+    val merged = Sketches
+      .mergeHistStates(spark, Seq(s"$base/r0", s"$base/r1", s"$base/r2"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Sketches.writeHistState(data, "seg", "v", s"$base/whole", 0, 100, 10)
+    val whole = spark.read.parquet(s"$base/whole")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    // seg a bins each hold 10; median rank t = floor(0.5*99) = 49 ->
+    // bin 4 (cb 40, n 10) -> est = 10*(4 + (49-40+0.5)/10) = 49.5
+    val q = Sketches.quantilesFromState(
+      Sketches.mergeHistStates(spark, Seq(s"$base/r0", s"$base/r1", s"$base/r2")),
+      0, 100, 10, Seq(0.5))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(q("a") == ((4, Some(49.5))))
+    // seg b's single value sits in the overflow bin -> NULL estimate
+    assert(q("b") == ((10, None)))
+  }
 }
