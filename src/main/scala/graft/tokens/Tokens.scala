@@ -42,6 +42,40 @@ object Tokens {
     * a doc masks to sentinel `SentinelBase + k`. */
   val SentinelBase: Long = VocabSize.toLong + 2
 
+  /** Assistant-only loss mask — the `train_on_inputs = false`
+    * convention of instruction tuning (axolotl/TRL): the model must
+    * not be graded on reproducing the USER's words, so user turns
+    * (and their role headers) carry mask 0 while every assistant
+    * turn — header included, whole-turn masking — carries mask 1; the
+    * final eos is trained (it terminates the assistant's last turn).
+    *
+    * `conv` is the array<struct<from,value>> chat schema
+    * ([[graft.operators.Formatters.renderConversation]]); "human"
+    * renders as `user: `, anything else as `assistant: `. Tokenizes
+    * PER TURN with [[rawTokenIds]] and flattens — equal to tokenizing
+    * the whole rendered text because the regex tokenizer never emits
+    * a token across the `\n` turn separator (spec-pinned invariant),
+    * which is what makes per-turn mask attribution sound. Returns
+    * struct(ids, mask), same lengths. Narrow higher-order array ops,
+    * scan-fused, nothing shuffles. */
+  def lossMask(conv: Column): Column = {
+    val perMsg = transform(conv, m =>
+      struct(
+        rawTokenIds(concat(
+          when(m.getField("from") === "human", lit("user: "))
+            .otherwise(lit("assistant: ")),
+          m.getField("value"))).as("ids"),
+        (m.getField("from") =!= "human").as("train")))
+    val ids = concat(
+      flatten(transform(perMsg, t => t.getField("ids"))),
+      array(lit(EosId)))
+    val mask = concat(
+      flatten(transform(perMsg, t =>
+        transform(t.getField("ids"), _ => t.getField("train").cast("int")))),
+      array(lit(1)))
+    struct(ids.as("ids"), mask.as("mask"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4 — the
     * denoising-objective data prep): mask spans of tokens, replace
     * each with a fresh sentinel in the input, and emit
@@ -724,6 +758,52 @@ object Tokens {
             aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"))
         }.as("t"))
         .select(col("doc_id"), col("t.n_tokens").as("n_tokens"), col("t.id_sum").as("id_sum"))
+        .orderBy("doc_id")
+    },
+
+    // Loss-mask gate: the fmt_conversation chat fixture (first 8
+    // words = user turn, rest = assistant), per-turn raw ids + the
+    // 0/1 mask + trained final eos. The oracle re-renders both turns,
+    // re-tokenizes each, and replays the mask concat; md5 signatures
+    // pin the exact id and mask sequences.
+    Gate(
+      "tok_loss_mask", {
+        val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
+        def raw(e: String) = s"[($h32 % ${VocabSize - 1}) + 1 " +
+          s"FOR t IN regexp_extract_all($e, '${TextAnalysis.BpePattern}')]"
+        s"""WITH w AS (SELECT doc_id,
+           |    regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |  FROM documents),
+           |p AS (SELECT doc_id,
+           |    'user: ' || coalesce(array_to_string(ws[1:8], ' '), '') AS u,
+           |    'assistant: ' || coalesce(array_to_string(ws[9:len(ws)], ' '), '') AS a
+           |  FROM w),
+           |t AS (SELECT doc_id, ${raw("u")} AS uids, ${raw("a")} AS aids FROM p)
+           |SELECT doc_id,
+           |  CAST(len(uids) + len(aids) + 1 AS BIGINT) AS n_tokens,
+           |  CAST(len(aids) + 1 AS BIGINT) AS n_train,
+           |  md5(array_to_string(uids || aids || [$EosId], ',')) AS ids_sig,
+           |  md5(array_to_string([0 FOR x IN uids] || [1 FOR x IN aids] || [1], ','))
+           |    AS mask_sig
+           |FROM t ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val conv = bind(TextAnalysis.words(col("text"))) { w =>
+        array(
+          struct(lit("human").as("from"),
+            array_join(slice(w, lit(1), lit(8)), " ").as("value")),
+          struct(lit("gpt").as("from"),
+            array_join(slice(w, lit(9), greatest(size(w) - 8, lit(0))), " ")
+              .as("value")))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), lossMask(conv).as("lm"))
+        .select(col("doc_id"),
+          size(col("lm.ids")).cast("long").as("n_tokens"),
+          aggregate(col("lm.mask"), lit(0L), (a, x) => a + x).as("n_train"),
+          md5(array_join(transform(col("lm.ids"), _.cast("string")), ","))
+            .as("ids_sig"),
+          md5(array_join(transform(col("lm.mask"), _.cast("string")), ","))
+            .as("mask_sig"))
         .orderBy("doc_id")
     },
 

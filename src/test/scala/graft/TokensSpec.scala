@@ -398,4 +398,30 @@ class TokensSpec extends SparkSpec {
     assert(got(1) == ((Seq(0, 1, 0, 1), Seq(0, 2))))
     assert(got(2) == ((Seq(0, 1, 2), Seq(0))))
   }
+
+  test("lossMask: per-turn ids equal whole-text tokenize, mask covers assistant turns + eos") {
+    import spark.implicits._
+    import graft.operators.Formatters
+    val conv = Seq((1L,
+      Seq(("human", "what is spark"), ("gpt", "a distributed engine"),
+        ("human", "thanks"), ("gpt", "welcome")))).toDF("id", "c")
+      .select(col("id"), col("c").cast(
+        "array<struct<from:string,value:string>>").as("c"))
+    val r = conv.select(
+      Tokens.lossMask(col("c")).as("lm"),
+      Tokens.tokenIds(Formatters.renderConversation(col("c"))).as("whole"))
+      .head()
+    val ids = r.getStruct(0).getSeq[Long](0)
+    val mask = r.getStruct(0).getSeq[Int](1)
+    val whole = r.getSeq[Long](1)
+    // the invariant that makes per-turn attribution sound
+    assert(ids == whole)
+    assert(ids.length == mask.length)
+    // turn boundaries (BpePattern: letter-runs + ':' as its own
+    // token): "user : what is spark"=5 toks, "assistant : a
+    // distributed engine"=5, "user : thanks"=3, "assistant : welcome"=3, eos
+    assert(mask == Seq(0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 1, 1, 1, 1))
+    // eos is trained and the id stream ends with it
+    assert(ids.last == Tokens.EosId && mask.last == 1)
+  }
 }
