@@ -661,7 +661,56 @@ object FinewebPipeline {
     dsirFilter = Some(DsirParams(col("doc_id") % 10 === 0, minScore = 0.0)),
     piiFormat = false)
 
+  /** Stage funnel over a [[buildMarked]] frame — the run report every
+    * data team ships beside a release ("N in, X dropped by robots, Y
+    * by quality, Z kept"): one row per stage (kept rows appear as
+    * stage `kept`), with count and corpus share. ONE map-side-combined
+    * aggregate over the marked frame; the share division runs on the
+    * ≤ #stages-row result, never the corpus. */
+  def funnelReport(marked: DataFrame): DataFrame = {
+    val g = marked
+      .groupBy(coalesce(col("filter_reason"), lit("kept")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+    g.withColumn("share",
+      Cols.pround(
+        col("n_docs").cast("double") /
+          sum("n_docs").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double"), 6))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // Funnel gate over the fw_lang_quality recipe: same planted
+    // noindex + per-language threshold config, aggregated to the
+    // per-stage census the oracle replays end-to-end.
+    Gate(
+      "rpt_recipe_funnel", {
+        val thr9 = Cols.proundSql("rawthr", 9)
+        s"""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS q,
+           |    (doc_id % 9 = 0) AS noidx FROM documents),
+           |w AS (SELECT doc_id, lang, q, noidx,
+           |    quantile_cont(CASE WHEN NOT noidx THEN q END, 0.4)
+           |      OVER (PARTITION BY lang) AS rawthr FROM d),
+           |m AS (SELECT CASE WHEN noidx THEN 'meta_robots'
+           |       WHEN q >= $thr9 THEN 'kept'
+           |       ELSE 'lang_quality' END AS stage FROM w),
+           |g AS (SELECT stage, count(*) AS n_docs FROM m GROUP BY stage),
+           |t AS (SELECT sum(n_docs) AS total FROM g)
+           |SELECT g.stage, g.n_docs,
+           |  ${Cols.proundSql("CAST(g.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)", 6)} AS share
+           |FROM g, t ORDER BY g.stage""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 9 === 0,
+            concat(lit("<meta name=\"robots\" content=\"noindex\">"), col("text")))
+            .otherwise(col("text")))
+      funnelReport(buildMarked(s, docs, FinewebConfig(
+        metaRobotsNoindex = true,
+        langAdaptiveQuality = Some(LangQualityParams("n_chars", 0.6)),
+        piiFormat = false)))
+        .orderBy("stage")
+    },
 
     // Per-language adaptive quality through the config surface:
     // noindex pages (planted on %9) fall FIRST with their own reason

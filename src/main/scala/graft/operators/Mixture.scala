@@ -574,7 +574,61 @@ object Mixture {
           6).as("weight"))
   }
 
+  /** Best-of-n rejection sampling — the RLHF-lite data prep (Touvron
+    * et al. 2023, Llama-2 §3.2.2; "rejection sampling fine-tuning"):
+    * of the n candidate generations per prompt, keep exactly the
+    * highest-reward one. ONE map-side-combined max-struct aggregate —
+    * each partition reduces its candidates to one row per prompt
+    * before the exchange, so the shuffle carries ≤ #prompts rows per
+    * partition regardless of n. The tempting `row_number().over(
+    * partitionBy(prompt))` twin materializes and sorts EVERY candidate
+    * through the exchange — at n=64 candidates per prompt that is 64×
+    * this plan's shuffle volume, which is why it's not the shape.
+    * Deterministic: ties on score go to the LOWEST candidate id
+    * (struct max compares score first, then negated id). */
+  def bestOfN(
+      cands: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    cands
+      .groupBy(col(groupCol))
+      .agg(max(struct(
+        col(scoreCol).cast("double").as("s"),
+        (-col(idCol).cast("long")).as("ni"))).as("__m"),
+        count(lit(1)).as("n_candidates"))
+      .select(col(groupCol),
+        (-col("__m.ni")).as("best_id"),
+        col("__m.s").as("best_score"),
+        col("n_candidates"))
+
   val gates: Seq[Gate] = Seq(
+
+    // Best-of-n gate: prompts = doc_id % 50, reward = the portable
+    // LCG of the doc id (replayable); the oracle replays the argmax
+    // with the identical lowest-id tie rule via a window.
+    Gate(
+      "op_best_of_n", {
+        val r = Cols.lcgUniformSql("doc_id")
+        s"""WITH c AS (SELECT doc_id % 50 AS prompt_id, doc_id, $r AS reward
+           |           FROM documents),
+           |rk AS (SELECT prompt_id, doc_id, reward, count(*) OVER (PARTITION BY prompt_id) AS n,
+           |    row_number() OVER (PARTITION BY prompt_id
+           |      ORDER BY reward DESC, doc_id) AS rn FROM c)
+           |SELECT prompt_id, doc_id AS best_id,
+           |  ${Cols.proundSql("reward", 8)} AS best_score,
+           |  CAST(n AS BIGINT) AS n_candidates
+           |FROM rk WHERE rn = 1 ORDER BY prompt_id""".stripMargin
+      }) { (s, dir) =>
+      val cands = Tables(s, dir, "documents")
+        .select((col("doc_id") % 50).as("prompt_id"), col("doc_id"),
+          Cols.lcgUniform(col("doc_id")).as("reward"))
+      bestOfN(cands, "prompt_id", "doc_id", "reward")
+        .select(col("prompt_id"), col("best_id"),
+          Cols.pround(col("best_score"), 8).as("best_score"),
+          col("n_candidates"))
+        .orderBy("prompt_id")
+    },
 
     // DoReMi gate: per-source mean doc length (scaled to ~0.3) stands
     // in for the excess loss; one step from the uniform prior. The

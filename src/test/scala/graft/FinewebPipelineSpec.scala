@@ -489,6 +489,19 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(marked(21L) == Some("meta_robots"))
   }
 
+  test("funnelReport: one row per stage plus kept, counts and shares sum to 1") {
+    import spark.implicits._
+    val marked = Seq(
+      (1L, null: String), (2L, null: String), (3L, "robots"),
+      (4L, "quality"), (5L, "quality"))
+      .toDF("doc_id", "filter_reason")
+    val got = FinewebPipeline.funnelReport(marked)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "kept" -> ((2L, 0.4)), "robots" -> ((1L, 0.2)), "quality" -> ((2L, 0.4))))
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("cutDupSubstrings stage: kept docs lose repeated passages, exclusions keep raw text") {
     import spark.implicits._
     val passage =

@@ -283,6 +283,21 @@ class MixtureSpec extends SparkSpec {
         s"bin $b: approx ${approx(b)} vs exact ${exact(b)}")
   }
 
+  test("bestOfN keeps the per-prompt reward argmax with lowest-id ties") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 10L, 0.3), (1L, 11L, 0.9), (1L, 12L, 0.9), // tie -> id 11
+      (2L, 20L, 0.5),
+      (3L, 30L, 0.1), (3L, 31L, 0.2))
+      .toDF("prompt_id", "cand_id", "reward")
+    val got = operators.Mixture.bestOfN(cands, "prompt_id", "cand_id", "reward")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((11L, 0.9, 3L)))
+    assert(got(2L) == ((20L, 0.5, 1L)))
+    assert(got(3L) == ((31L, 0.2, 2L)))
+  }
+
   test("doremiStep: hand values, unit mass, smoothing floor, iteration") {
     import spark.implicits._
     val losses = Seq(("web", 0.5), ("code", 0.0), ("books", -0.2))
