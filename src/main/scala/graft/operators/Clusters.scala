@@ -238,6 +238,66 @@ object Clusters {
       docs, Dedup.minhashLshPairs(docs, textCol, idCol, threshold),
       "id_a", "id_b", idCol)
 
+  /** SoftDeDup — reweight near-duplicates instead of deleting them
+    * (He et al. 2024, arXiv 2407.00046: hard dedup throws away the
+    * signal that SOME repetition is organic; downweighting keeps
+    * every doc while a weighted sampler sees each near-dup CLUSTER
+    * contribute exactly one doc's expected mass): every doc gets
+    * `sample_weight` = 1 / its-cluster-size (singletons 1.0) and the
+    * size itself for downstream schedules (e.g. weight^α tempering
+    * via [[Mixture.weightedSample]]).
+    *
+    * Scale shape: the pair emitter is the bucketed LSH family (never
+    * all-pairs), components are the star-contraction loop on (long,
+    * long) labels, the size census is one aggregate over compact
+    * (id, rep) pairs, and the text never joins in until the final
+    * id-keyed weight attach. */
+  def softDedupWeights(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.minhashLshPairs(docs, textCol, idCol, threshold), "id_a", "id_b")
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("__csz"))
+    val weights = labels.join(sizes, "rep")
+      .select(col("id").as(idCol), col("__csz"))
+    docs.join(weights, Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("__csz"), lit(1L)))
+      .withColumn("sample_weight",
+        graft.Cols.pround(lit(1.0) / col("cluster_size").cast("double"), 8))
+      .drop("__csz")
+  }
+
+  /** Leakage-free train/valid/test split: near-duplicate CLUSTERS are
+    * the split unit, not documents — a doc and its near-copy landing
+    * in different splits is silent eval contamination (the reason
+    * code corpora split by repository). Each doc's component
+    * representative (its own id when unclustered) seeds the portable
+    * LCG, so every member of a cluster draws the SAME uniform and
+    * lands in the same split; fractions must sum to 1. */
+  def splitByCluster(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "splitByCluster: split fractions must sum to 1")
+    val labels = connectedComponents(
+      Dedup.minhashLshPairs(docs, textCol, idCol, threshold), "id_a", "id_b")
+      .select(col("id").as(idCol), col("rep"))
+    val keyed = docs.join(labels, Seq(idCol), "left")
+      .withColumn("__u", graft.Cols.lcgUniform(
+        coalesce(col("rep"), col(idCol).cast("long"))))
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(cuts).reverse.tail.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), cut)) =>
+      when(col("__u") < cut, lit(name)).otherwise(acc)
+    }
+    keyed.withColumn("split", expr).drop("__u", "rep")
+  }
+
   // ---- gates ----
 
   // Synthetic long-diameter graph from doc_id arithmetic (both engines
@@ -763,6 +823,69 @@ object Clusters {
       clusterDedupByScore(
         docs, synthEdges(docs), "id_a", "id_b", "doc_id", col("n_chars"))
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // SoftDedup gate: same planted-replica corpus and exact-Jaccard
+    // closure as dedup_minhash_cluster, but nothing is dropped — the
+    // oracle sizes each component and replays weight = 1/size
+    // (singletons 1.0) for every doc.
+    Gate(
+      "dedup_soft_weights", {
+        val inter = "len(list_intersect(a.s, b.s))"
+        val jac = s"CAST($inter AS DOUBLE) / (len(a.s) + len(b.s) - $inter)"
+        s"""WITH RECURSIVE all_docs AS (${Dedup.SqlPlantedTruncated}),
+           |sh AS (SELECT doc_id, ${Dedup.SqlShingles} AS s FROM all_docs
+           |       WHERE len(${Dedup.SqlShingles}) > 0),
+           |base AS (
+           |  SELECT a.doc_id AS u, b.doc_id AS v
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${graft.Cols.proundSql(jac, 4)} >= 0.7
+           |),
+           |$SqlReach,
+           |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n),
+           |sizes AS (SELECT rep, count(*) AS csz FROM labels GROUP BY rep),
+           |j AS (SELECT d.doc_id, coalesce(s.csz, 1) AS csz
+           |      FROM all_docs d LEFT JOIN labels ON d.doc_id = labels.n
+           |      LEFT JOIN sizes s ON labels.rep = s.rep)
+           |SELECT doc_id, CAST(csz AS BIGINT) AS cluster_size,
+           |  ${graft.Cols.proundSql("1.0 / CAST(csz AS DOUBLE)", 8)} AS sample_weight
+           |FROM j ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      softDedupWeights(
+        Dedup.plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.7)
+        .select("doc_id", "cluster_size", "sample_weight").orderBy("doc_id")
+    },
+
+    // Leakage-free split gate: the component representative (own id
+    // when unclustered) seeds the LCG, so every cluster member draws
+    // the same split. The oracle closes the same exact-Jaccard pairs
+    // and replays the rep-seeded LCG cut points.
+    Gate(
+      "op_split_leakfree", {
+        val inter = "len(list_intersect(a.s, b.s))"
+        val jac = s"CAST($inter AS DOUBLE) / (len(a.s) + len(b.s) - $inter)"
+        val u = graft.Cols.lcgUniformSql("coalesce(labels.rep, d.doc_id)")
+        s"""WITH RECURSIVE all_docs AS (${Dedup.SqlPlantedTruncated}),
+           |sh AS (SELECT doc_id, ${Dedup.SqlShingles} AS s FROM all_docs
+           |       WHERE len(${Dedup.SqlShingles}) > 0),
+           |base AS (
+           |  SELECT a.doc_id AS u, b.doc_id AS v
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${graft.Cols.proundSql(jac, 4)} >= 0.7
+           |),
+           |$SqlReach,
+           |labels AS (SELECT n, min(l) AS rep FROM reach GROUP BY n)
+           |SELECT d.doc_id,
+           |  CASE WHEN $u < 0.5 THEN 'train'
+           |       WHEN $u < 0.75 THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM all_docs d LEFT JOIN labels ON d.doc_id = labels.n
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      splitByCluster(
+        Dedup.plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.7,
+        Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25))
+        .select("doc_id", "split").orderBy("doc_id")
     },
 
     // End-to-end near-dup stage over the planted-replica corpus: the

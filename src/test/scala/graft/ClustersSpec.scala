@@ -128,6 +128,55 @@ class ClustersSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("softDedupWeights: 1/cluster-size each, singletons 1.0, mass = #clusters") {
+    val docs = graft.operators.Dedup.plantedTruncated(Tables(spark, sfDir, "documents"))
+    val pairs = graft.operators.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val reps = unionFind(pairs).toMap
+    val sizes = reps.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = Clusters.softDedupWeights(docs, "text", "doc_id", 0.7)
+      .select("doc_id", "cluster_size", "sample_weight")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val all = docs.select("doc_id").as[Long].collect()
+    // every doc present, weight = 1/size vs the union-find reference
+    assert(got.size == all.length)
+    all.foreach { id =>
+      val sz = reps.get(id).map(sizes).getOrElse(1)
+      assert(got(id)._1 == sz.toLong, s"doc $id size")
+      assert(math.abs(got(id)._2 - 1.0 / sz) < 1e-7, s"doc $id weight")
+    }
+    // expected sampled mass: one doc's worth per cluster
+    val nClusters = sizes.size + (all.length - reps.size)
+    assert(math.abs(got.values.map(_._2).sum - nClusters) < 1e-4)
+    Caches.releaseAll()
+  }
+
+  test("splitByCluster: cluster members never straddle splits, fractions near target") {
+    val docs = graft.operators.Dedup.plantedTruncated(Tables(spark, sfDir, "documents"))
+    val pairs = graft.operators.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val reps = unionFind(pairs).toMap
+    val split = Clusters.splitByCluster(docs, "text", "doc_id", 0.7,
+      Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the leakage guarantee: same component => same split
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits") }
+    reps.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(split).toSet.size == 1) }
+    // rough proportions on the singleton-dominated corpus
+    val frac = split.values.groupBy(identity).view.mapValues(_.size.toDouble / split.size)
+    assert(math.abs(frac("train") - 0.5) < 0.1)
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Clusters.splitByCluster(docs, "text", "doc_id", 0.7, Seq("a" -> 0.5))
+    }
+    Caches.releaseAll()
+  }
+
   test("labelPropagation separates two triangles across a bridge; CC would merge them") {
     import spark.implicits._
     val edges = Seq(
