@@ -448,6 +448,33 @@ object Multimodal {
       }).toDF("doc_id", "media")
   }
 
+  /** Content-type sniff by magic bytes — the first triage every crawl
+    * pipeline runs on a binary payload (the Content-Type header lies;
+    * tika/`file` sniff magic): PNG/JPEG/GIF/RIFF-WAVE/RIFF-AVI/MP4-
+    * ftyp/PDF/ZIP/GZIP recognized, anything else (or too-short, or
+    * NULL) degrades to application/octet-stream. Pure codegen column
+    * ops — the payload's first 12 bytes hex-compare against literal
+    * prefixes, narrow, scan-fused, no UDF; at 100 TB this rides the
+    * scan that's already reading the column and routes each blob to
+    * its decoder family. */
+  def sniffMime(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(media, 1, 12))
+    val riffType = hex(substring(media, 9, 4))
+    coalesce(
+      when(h.startsWith("89504E470D0A1A0A"), "image/png")
+        .when(h.startsWith("FFD8FF"), "image/jpeg")
+        .when(h.startsWith("474946383761") || h.startsWith("474946383961"),
+          "image/gif")
+        .when(h.startsWith("52494646") && riffType === "57415645", "audio/wav")
+        .when(h.startsWith("52494646") && riffType === "41564920", "video/avi")
+        .when(hex(substring(media, 5, 4)) === "66747970", "video/mp4")
+        .when(h.startsWith("25504446"), "application/pdf")
+        .when(h.startsWith("504B0304") || h.startsWith("504B0506"),
+          "application/zip")
+        .when(h.startsWith("1F8B"), "application/gzip"),
+      lit("application/octet-stream"))
+  }
+
   /** Banded near-dup pairs over perceptual hashes — the SimHash LSH
     * recipe on the media column: split the 32-bit hash into `nBands`
     * bands (hamming ≤ maxHamming ⇒ some band is untouched whenever
@@ -477,6 +504,35 @@ object Multimodal {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Magic-byte sniff gate: 8 payload classes built from unhex'd
+    // literal prefixes + md5 filler; the oracle recomputes expected
+    // mime from construction while the Spark side must hex-compare
+    // the actual bytes.
+    Gate(
+      "mm_sniff",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'image/png'     WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif'     WHEN 3 THEN 'audio/wav'
+        |    WHEN 4 THEN 'video/mp4'     WHEN 5 THEN 'application/pdf'
+        |    WHEN 6 THEN 'application/zip'
+        |    ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val prefix = when(col("doc_id") % 8 === 0, lit("89504E470D0A1A0A"))
+        .when(col("doc_id") % 8 === 1, lit("FFD8FFE0"))
+        .when(col("doc_id") % 8 === 2, lit("474946383961"))
+        .when(col("doc_id") % 8 === 3, lit("524946461000000057415645"))
+        .when(col("doc_id") % 8 === 4, lit("000000186674797069736F6D"))
+        .when(col("doc_id") % 8 === 5, lit("255044462D312E34"))
+        .when(col("doc_id") % 8 === 6, lit("504B0304"))
+        .otherwise(lit("00")) // no magic: must fall through to octet-stream
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          unhex(concat(prefix, substring(md5(col("text")), 1, 16))).as("media"))
+        .select(col("doc_id"), sniffMime(col("media")).as("mime"))
+        .orderBy("doc_id")
+    },
+
     // Image-header parse gate: the fixture headers are pure doc_id
     // formulas, so the oracle recomputes expected format/dims from
     // construction while the Spark side must actually PARSE the bytes

@@ -638,6 +638,30 @@ class PropertySpec extends SparkSpec {
       .langPercentileFilter(docs, "lang", "score", 1.0).count() == 110)
   }
 
+  test("sniffMime: magic prefixes route to mime, short/garbage/NULL degrade to octet-stream") {
+    import spark.implicits._
+    def sniff(hexStr: String): String =
+      Seq(Tuple1(hexStr)).toDF("h")
+        .select(multimodal.Multimodal.sniffMime(unhex(col("h"))).as("m"))
+        .head().getString(0)
+    assert(sniff("89504E470D0A1A0A0000") == "image/png")
+    assert(sniff("FFD8FFDB00112233") == "image/jpeg")
+    assert(sniff("47494638376100") == "image/gif") // 87a variant
+    assert(sniff("524946460800000057415645646174") == "audio/wav")
+    assert(sniff("524946460800000041564920646174") == "video/avi")
+    assert(sniff("00000020667479706D703432") == "video/mp4")
+    assert(sniff("255044462D312E37") == "application/pdf")
+    assert(sniff("504B0506000000") == "application/zip")
+    assert(sniff("1F8B0800AABB") == "application/gzip")
+    // RIFF with an unknown fourcc is NOT wav/avi
+    assert(sniff("524946460800000058585858") == "application/octet-stream")
+    assert(sniff("DEADBEEF") == "application/octet-stream")
+    assert(sniff("FF") == "application/octet-stream") // too short
+    val n = Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(multimodal.Multimodal.sniffMime(col("b")).as("m")).head().getString(0)
+    assert(n == "application/octet-stream")
+  }
+
   test("redactPhones erases separated phone shapes, leaves dates/ids/cards alone") {
     import spark.implicits._
     def red(t: String): String =
