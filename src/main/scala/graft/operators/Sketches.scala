@@ -184,6 +184,64 @@ object Sketches {
             6)).as("est"))
   }
 
+  /** Persisted EXACTLY-mergeable weighted-reservoir state — the
+    * SAMPLE companion of [[writeKmvState]] (distinct counts) and
+    * [[writeHistState]] (quantiles), completing the mergeable-state
+    * family: each ingest run stores its per-segment top-k A-Res keys
+    * (Efraimidis–Spirakis: key = ln(u)/w with u seeded by the id —
+    * the [[graft.operators.Mixture.weightedSample]] key, pround-8),
+    * and the top-k of any UNION of run states is exactly the union's
+    * top-k (every global winner wins its own run) — so any number of
+    * runs merge into the corpus-wide weight-proportional sample
+    * WITHOUT rescanning history, and merge ≡ whole-corpus is a hash
+    * check, not an approximation. Re-ingested ids dedupe by value
+    * (same id ⇒ same key). State ≤ k rows per segment per run; the
+    * build is the bounded-heap `graft_top_k` aggregate (≤ k rows per
+    * partition per segment cross the exchange). */
+  def writeReservoirState(
+      df: DataFrame,
+      segCol: String,
+      idCol: String,
+      weight: Column,
+      path: String,
+      k: Int): Unit = {
+    require(k >= 1, "writeReservoirState: k must be >= 1")
+    graft.expr.GraftExtensions.register(df.sparkSession)
+    val u = Cols.lcgUniform(col(idCol)) + lit(0.5 / 2147483648.0)
+    val key = Cols.pround(log(u) / weight, 8)
+    df.filter(weight > 0 && col(idCol).isNotNull)
+      .select(col(segCol).cast("string").as("seg"),
+        col(idCol).cast("long").as("id"), key.as("key"))
+      .groupBy("seg")
+      .agg(call_function("graft_top_k",
+        struct((-col("key")).as("nk"), col("id").as("i")), lit(k), lit(true))
+        .as("top"))
+      .select(col("seg"), explode(col("top")).as("t"))
+      .select(col("seg"), col("t.i").as("id"), (-col("t.nk")).as("key"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold any number of persisted reservoir states into the union's
+    * per-segment top-k sample — (seg, rank, id, key), rank 1 = the
+    * heaviest draw. Distinct first: the same id re-ingested across
+    * runs carries the identical key and must count once. */
+  def mergeReservoirStates(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      k: Int): DataFrame = {
+    require(paths.nonEmpty, "mergeReservoirStates: at least one state path")
+    graft.expr.GraftExtensions.register(spark)
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .distinct()
+      .groupBy("seg")
+      .agg(call_function("graft_top_k",
+        struct((-col("key")).as("nk"), col("id").as("i")), lit(k), lit(true))
+        .as("top"))
+      .select(col("seg"), posexplode(array_sort(col("top"))))
+      .select(col("seg"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("id"), (-col("col.nk")).as("key"))
+  }
+
   /** KMV set algebra over per-segment sketches — pairwise
     * union / Jaccard / intersection estimates ("how much do day X's
     * users overlap day Y's?") WITHOUT ever joining the raw sets: the
@@ -659,6 +717,38 @@ object Sketches {
         mergeHistStates(s, Seq(s"$base/even", s"$base/odd")),
         lo, hi, bins, Seq(0.25, 0.5, 0.9))
         .orderBy("seg", "p")
+    },
+
+    // Reservoir-state gate: per-source weighted sample (weight =
+    // n_chars) built as two run-halves + merge, while the oracle
+    // draws the whole-corpus per-segment top-k with the identical
+    // A-Res key, DESC/id tie order, and rank. Equality IS the A-Res
+    // mergeability property made a hash check.
+    Gate(
+      "snk_reservoir_state", {
+        val k = 8
+        val eps = 0.5 / 2147483648.0
+        val key = Cols.proundSql(
+          s"ln(${Cols.lcgUniformSql("doc_id")} + $eps) / n_chars", 8)
+        s"""WITH w AS (SELECT source AS seg, doc_id, $key AS key FROM documents
+           |           WHERE n_chars > 0 AND doc_id IS NOT NULL),
+           |r AS (SELECT seg, doc_id, key,
+           |    CAST(row_number() OVER (PARTITION BY seg
+           |      ORDER BY key DESC, doc_id) AS INT) AS rank FROM w)
+           |SELECT seg, rank, doc_id AS id, key FROM r WHERE rank <= $k
+           |ORDER BY seg, rank""".stripMargin
+      }) { (s, dir) =>
+      val k = 8
+      val docs = Tables(s, dir, "documents")
+      def half(even: Boolean) = docs
+        .filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0)
+      val base = graft.sources.DocSource.gateScratch(dir, "snk_reservoir_state")
+      writeReservoirState(half(even = true), "source", "doc_id",
+        col("n_chars"), s"$base/even", k)
+      writeReservoirState(half(even = false), "source", "doc_id",
+        col("n_chars"), s"$base/odd", k)
+      mergeReservoirStates(s, Seq(s"$base/even", s"$base/odd"), k)
+        .orderBy("seg", "rank")
     },
 
     // CMS gate over token frequencies: d=4 × w=64 forces real bucket

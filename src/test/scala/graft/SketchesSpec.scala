@@ -181,6 +181,28 @@ class SketchesSpec extends SparkSpec {
       assert(e > 400 && e < 2500, s"$seg estimate $e far from 1000") }
   }
 
+  test("reservoir state: merge of run splits equals whole-corpus sample; re-ingest dedupes") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val data = (1 to 500).map(i => (s"seg${i % 2}", i.toLong, (i % 50) + 1))
+      .toDF("seg", "id", "w")
+    val base = java.nio.file.Files.createTempDirectory("graft-res-state").toString
+    Sketches.writeReservoirState(data.filter($"id" % 3 === 0), "seg", "id", col("w"), s"$base/r0", 8)
+    Sketches.writeReservoirState(data.filter($"id" % 3 =!= 0), "seg", "id", col("w"), s"$base/r1", 8)
+    // r2 re-ingests a subset of r1's rows — must not duplicate
+    Sketches.writeReservoirState(data.filter($"id" % 3 === 1), "seg", "id", col("w"), s"$base/r2", 8)
+    val merged = Sketches
+      .mergeReservoirStates(spark, Seq(s"$base/r0", s"$base/r1", s"$base/r2"), 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    Sketches.writeReservoirState(data, "seg", "id", col("w"), s"$base/whole", 8)
+    val whole = Sketches.mergeReservoirStates(spark, Seq(s"$base/whole"), 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(merged.sortBy(t => (t._1, t._2)).toSeq == whole.sortBy(t => (t._1, t._2)).toSeq)
+    // k per segment, no id repeats
+    assert(merged.count(_._1 == "seg0") == 8 && merged.count(_._1 == "seg1") == 8)
+    assert(merged.map(_._3).distinct.length == merged.length)
+  }
+
   test("hist state: 3-run merge equals one-pass bins; quantiles hit known values; overflow NULL") {
     import spark.implicits._
     import graft.operators.Sketches
