@@ -302,6 +302,36 @@ object EventStream {
       .select(col("view_id"), col("click_id"), col("user_id"))
   }
 
+  /** Windowed data-quality monitor — [[graft.operators.Expectations]]
+    * turned into a live canary: per event-time window, total rows and
+    * per-rule violation counts (NULL verdicts violate, the same
+    * convention as the batch report). An upstream schema or quality
+    * regression shows up DURING ingestion as a violation spike in the
+    * next window, not after cluster-days of bad output. The identical
+    * definition runs in batch (the gate pins semantics) and on a
+    * readStream frame — the watermark bounds state to in-flight
+    * windows, and each rule is one more map-side-combined sum on the
+    * same tumbling-window aggregate (adding rules never adds passes
+    * or state). Output stays WIDE (one column per rule): an unpivot
+    * would break streaming append mode, and the monitor's consumer is
+    * an alert rule that reads named columns anyway. */
+  def qualityMonitor(
+      events: DataFrame,
+      tsCol: String,
+      rules: Seq[(String, Column)],
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(rules.nonEmpty, "qualityMonitor: no rules")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v_$name")
+    } :+ count(lit(1)).as("n_rows")
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("n_rows") +:
+        rules.map { case (name, _) => col(s"v_$name") }: _*)
+  }
+
   /** Volume-anomaly detection: per (event_type, hour) counts scored
     * against a trailing per-type baseline (mean/std over the previous
     * `lookback` hours, rows-frame so the current hour never leaks
@@ -382,6 +412,30 @@ object EventStream {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Streaming quality-monitor gate (batch execution of the
+    // identical definition): three rule classes — a value bound with
+    // real violations, a type rule the 'error' events trip, and an
+    // always-green null check. The oracle replays the per-window
+    // violation sums with the same NULL-violates convention.
+    Gate(
+      "rpt_stream_quality",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+        |  COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN value IS NOT NULL AND value <= 100 THEN 0 ELSE 1 END) AS v_value_le_100,
+        |  SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 0 ELSE 1 END) AS v_not_error,
+        |  SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v_has_user
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      qualityMonitor(Tables(s, dir, "events"), "ts", Seq(
+        "value_le_100" -> (col("value") <= 100),
+        "not_error" -> (col("event_type") =!= "error"),
+        "has_user" -> col("user_id").isNotNull), "1 hour")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:00").as("window_start"),
+          col("n_rows"), col("v_value_le_100"), col("v_not_error"),
+          col("v_has_user"))
+        .orderBy("window_start")
+    },
+
     // Stream-stream join gate (batch execution of the identical
     // definition): every (view, click) same-user pair with the click
     // 0–30 min after the view; the oracle is the literal self-join.

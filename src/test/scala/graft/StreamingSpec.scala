@@ -53,6 +53,39 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Set(EventStream.Session(1L, 0L, 2L)))
   }
 
+  test("qualityMonitor on a stream matches batch windows after watermark flush") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val frame = in.toDF().toDF("event_id", "user_id", "ts", "value")
+    val rules = Seq(
+      "value_le_5" -> (col("value") <= 5.0),
+      "has_user" -> col("user_id").isNotNull)
+    val query = EventStream
+      .qualityMonitor(frame, "ts", rules, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("qmon")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, 7L, ts("2024-01-01 10:05:00"), 3.0),
+      (2L, 8L, ts("2024-01-01 10:15:00"), 9.0), // value violation
+      (3L, 9L, ts("2024-01-01 11:05:00"), 2.0))
+    in.addData(rows: _*)
+    query.processAllAvailable()
+    in.addData((99L, 1L, ts("2024-01-01 14:00:00"), 1.0)) // advance watermark
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("qmon")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = EventStream
+      .qualityMonitor(rows.toDF("event_id", "user_id", "ts", "value"),
+        "ts", rules, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == batch)
+    assert(batch.map(t => (t._2, t._3, t._4)) == Set((2L, 1L, 0L), (1L, 0L, 0L)))
+  }
+
   test("stream-stream interval join matches the batch self-join") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
