@@ -464,6 +464,32 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
+    // Unpivot (melt) — q9's inverse: wide metric columns to long
+    // (id, metric, value) triples, the shape metric stores and
+    // plotting layers ingest. Spark's native unpivot is a narrow
+    // generator (no shuffle); the oracle is the equivalent UNION ALL.
+    Gate(
+      "q35_unpivot", {
+        val words = s"len(regexp_extract_all(text, '${TextAnalysis.WordPattern}'))"
+        s"""WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           |    CAST(length(text) AS BIGINT) AS text_len,
+           |    CAST($words AS BIGINT) AS n_words FROM documents)
+           |SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM b
+           |UNION ALL SELECT doc_id, 'n_words', n_words FROM b
+           |UNION ALL SELECT doc_id, 'text_len', text_len FROM b
+           |ORDER BY doc_id, metric""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          length(col("text")).cast("long").as("text_len"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+        .unpivot(Array(col("doc_id")),
+          Array(col("n_chars"), col("text_len"), col("n_words")),
+          "metric", "value")
+        .orderBy("doc_id", "metric")
+    },
+
     Gate(
       "q10_not_exists",
       """SELECT c_custkey, c_name FROM customer c

@@ -33,6 +33,16 @@ object DocSource {
   def jsonl(spark: SparkSession, path: String, adapter: Adapter): DataFrame =
     adapter(spark.read.json(path))
 
+  /** Multi-line JSON reader — API dumps and HF dataset exports often
+    * ship as ONE pretty-printed JSON array per file, not JSONL. The
+    * `multiLine` flag makes each FILE (not each line) a parse unit —
+    * the correct semantics, with the scale caveat that a multi-line
+    * file is unsplittable (one task per file); at 100 TB keep array
+    * files per-shard-sized or convert to JSONL at the edge, which is
+    * why [[jsonl]] stays the default path. */
+  def jsonMultiline(spark: SparkSession, path: String, adapter: Adapter): DataFrame =
+    adapter(spark.read.option("multiLine", true).json(path))
+
   /** S3 — parquet sink: zstd + bounded file size via
     * maxRecordsPerFile (reference: ParquetWriter(compression="zstd",
     * max_file_size=1GB) — pipelines/fineweb/main.py:141-145). At
@@ -360,6 +370,30 @@ object DocSource {
       writeJsonl(
         Tables(s, dir, "documents").select("doc_id", "text", "lang"), path)
       jsonl(s, path, Adapter(
+        textCol = col("text"),
+        idCol = col("doc_id"),
+        metadata = Seq("meta_lang" -> col("lang"))))
+        .orderBy("id")
+    },
+
+    // Multi-line JSON source: ONE pretty-ish JSON array file (the API
+    // dump shape), parsed with multiLine=true through the same
+    // adapter as src_jsonl. The fixture file is built on the driver
+    // from a bounded (< 100 rows by construction) slice; the oracle
+    // reads the raw documents — the parse itself is under test.
+    Gate(
+      "src_json_multiline",
+      """SELECT doc_id AS id, text, lang AS meta_lang
+        |FROM documents WHERE doc_id < 100 ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "src_json_multiline")
+      val rows = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+        .collect().map(_.getString(0))
+      val file = java.nio.file.Paths.get(path, "data.json")
+      java.nio.file.Files.createDirectories(file.getParent)
+      java.nio.file.Files.write(file,
+        rows.mkString("[\n  ", ",\n  ", "\n]").getBytes("UTF-8"))
+      jsonMultiline(s, file.toString, Adapter(
         textCol = col("text"),
         idCol = col("doc_id"),
         metadata = Seq("meta_lang" -> col("lang"))))
