@@ -389,6 +389,36 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Per-benchmark contamination census — WHICH eval item leaks, and
+    * how widely: for each benchmark row, the distinct corpus docs
+    * sharing ≥ 1 n-gram with it and the distinct shared grams. The
+    * triage view [[contaminatedIds]] can't give ("MMLU item 412 is
+    * quoted by 30k pages; the rest is clean" changes what you decont-
+    * aminate vs what you re-benchmark). Same scale shape: benchmark
+    * (bid, gram) pairs broadcast, the doc side explodes once and
+    * semi-reduces to (bid, did, gram) matches — only ids and grams
+    * that actually hit ever cross an exchange, never text. */
+  def contaminationReport(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val bg = bench.select(col(benchIdCol).as("__bid"),
+      explode(contaminationNgrams(col(benchTextCol), n)).as("__bg"))
+      .distinct()
+    spread(docs)
+      .select(col(idCol).as("__did"),
+        explode(contaminationNgrams(col(textCol), n)).as("__bg"))
+      .join(broadcast(bg), Seq("__bg"))
+      .groupBy("__bid")
+      .agg(count_distinct(col("__did")).as("n_docs_hit"),
+        count_distinct(col("__bg")).as("n_grams_hit"))
+      .select(col("__bid").as(benchIdCol), col("n_docs_hit"), col("n_grams_hit"))
+  }
+
   /** Docs with every benchmark-contaminated doc removed. The
     * contaminated-id set (ids only, bounded by the benchmark's
     * footprint in the corpus) is broadcast — without the hint the
@@ -693,6 +723,39 @@ object Dedup {
         .filter(length(col("btext")) > 0)
       decontaminate(docs.select("doc_id", "text"), "text", "doc_id", bench2, "btext", n = 8)
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // Contamination-census gate: same benchmark fixture as
+    // dedup_decontaminate (8-word spans lifted from every 13th doc),
+    // but reported per benchmark item — the oracle recomputes each
+    // item's distinct doc and gram hit counts.
+    Gate(
+      "rpt_decontam_hits", {
+        val w = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        s"""WITH toks AS (SELECT doc_id, $w AS w FROM documents),
+           |bgrams AS (SELECT DISTINCT doc_id AS bid, array_to_string(w[3:10], ' ') AS g
+           |  FROM toks WHERE doc_id % 13 = 0 AND len(w) >= 10),
+           |dg AS (SELECT DISTINCT doc_id, unnest(
+           |    [array_to_string(w[i:i+7], ' ')
+           |     FOR i IN range(1, greatest(len(w) - 7, 0) + 1)]) AS g
+           |  FROM toks),
+           |j AS (SELECT b.bid, d.doc_id, b.g FROM bgrams b JOIN dg d USING (g))
+           |SELECT bid, count(DISTINCT doc_id) AS n_docs_hit,
+           |  count(DISTINCT g) AS n_grams_hit
+           |FROM j GROUP BY bid ORDER BY bid""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bench2 = docs
+        .select(col("doc_id").as("bid"),
+          graft.Cols.bind(TextAnalysis.words(lower(col("text")))) { w =>
+            struct(size(w).as("nw"), array_join(slice(w, 3, 8), " ").as("t"))
+          }.as("s"))
+        .filter(col("bid") % 13 === 0 && col("s.nw") >= 10)
+        .select(col("bid"), col("s.t").as("btext"))
+      contaminationReport(
+        docs.select("doc_id", "text"), "text", "doc_id",
+        bench2, "bid", "btext", n = 8)
+        .orderBy("bid")
     },
 
     // Incremental dedup gate: the "new batch" is truncation replicas

@@ -168,6 +168,28 @@ object Formatters {
           m.getField("value"))),
       "\n")
 
+  /** ChatML conversation render — the OpenAI-published chat markup
+    * (`<|im_start|>role\n…<|im_end|>`) most open chat models train
+    * on, beside A3's plain `user:`/`assistant:` template: same
+    * array<struct<from,value>> input, optional system turn first.
+    * Narrow transform + array_join, scan-fused. Pair with
+    * [[graft.tokens.Tokens.lossMask]]-style masking by treating the
+    * rendered assistant turns as the trained spans. */
+  def renderChatML(conv: Column, system: Option[Column] = None): Column = {
+    val body = array_join(
+      transform(conv, m =>
+        concat(
+          lit("<|im_start|>"),
+          when(m.getField("from") === "human", lit("user"))
+            .otherwise(lit("assistant")),
+          lit("\n"), m.getField("value"), lit("<|im_end|>\n"))),
+      "")
+    system
+      .map(sys => concat(
+        lit("<|im_start|>system\n"), sys, lit("<|im_end|>\n"), body))
+      .getOrElse(body)
+  }
+
   /** A4 — bidirectional translation templating (reference:
     * europarl/main_bidirectional.py:33-54). */
   def renderPair(l1: Column, t1: Column, l2: Column, t2: Column, reverse: Column): Column =
@@ -536,6 +558,36 @@ object Formatters {
             array_join(slice(w, lit(9), greatest(size(w) - 8, lit(0))), " ").as("value")))
       }
       docs.select(col("doc_id"), renderConversation(conv).as("conversation"))
+        .orderBy("doc_id")
+    },
+
+    // ChatML render gate: same chat fixture as fmt_conversation plus
+    // a per-doc system prompt; the oracle is the literal markup
+    // construction.
+    Gate(
+      "fmt_chatml", {
+        s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w FROM documents)
+           |SELECT doc_id,
+           |  '<|im_start|>system' || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) ||
+           |  '<|im_end|>' || chr(10) ||
+           |  '<|im_start|>user' || chr(10) || coalesce(array_to_string(w[1:8], ' '), '') ||
+           |  '<|im_end|>' || chr(10) ||
+           |  '<|im_start|>assistant' || chr(10) || coalesce(array_to_string(w[9:len(w)], ' '), '') ||
+           |  '<|im_end|>' || chr(10) AS chatml
+           |FROM toks ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val conv = bind(TextAnalysis.words(col("text"))) { w =>
+        array(
+          struct(lit("human").as("from"),
+            array_join(slice(w, lit(1), lit(8)), " ").as("value")),
+          struct(lit("gpt").as("from"),
+            array_join(slice(w, lit(9), greatest(size(w) - 8, lit(0))), " ").as("value")))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          renderChatML(conv,
+            system = Some(concat(lit("doc "), col("doc_id").cast("string"))))
+            .as("chatml"))
         .orderBy("doc_id")
     },
 
