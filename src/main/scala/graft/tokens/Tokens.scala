@@ -221,6 +221,56 @@ object Tokens {
       .toDF("seq_id", "ids")
   }
 
+  /** [[packSequences]] carrying an ALIGNED per-token companion lane —
+    * the SFT-packing shape: instruction-tuning concat-packs many
+    * masked conversations ([[lossMask]]) into fixed training windows,
+    * and the 0/1 loss lane must ride the identical stream split or
+    * the mask silently grades the wrong tokens. Same per-partition
+    * streaming concat (no shuffle, no driver state, (pid << 40) ids);
+    * a length mismatch between a doc's ids and mask fails loudly. */
+  def packSequencesWithMask(
+      df: org.apache.spark.sql.DataFrame,
+      idsCol: String,
+      maskCol: String,
+      seqLen: Int,
+      dropLast: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idsCol).as("ids"), col(maskCol).as("mask"))
+      .as[(Seq[Long], Seq[Int])]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val bi = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val bm = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var k = 0L
+        def nextId(): Long = { val id = (pid << 40) | k; k += 1; id }
+        val full = rows.flatMap { case (ids, mask) =>
+          if (ids != null && mask != null) {
+            require(ids.length == mask.length,
+              s"packSequencesWithMask: ids(${ids.length}) != mask(${mask.length})")
+            bi ++= ids; bm ++= mask
+          }
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Seq[Int])]
+          while (bi.length >= seqLen) {
+            out += ((nextId(), bi.take(seqLen).toVector, bm.take(seqLen).toVector))
+            bi.dropInPlace(seqLen); bm.dropInPlace(seqLen)
+          }
+          out
+        }
+        full ++ (
+          if (dropLast) Iterator.empty
+          else new Iterator[(Long, Seq[Long], Seq[Int])] {
+            private var done = false
+            def hasNext: Boolean = !done && bi.nonEmpty
+            def next(): (Long, Seq[Long], Seq[Int]) =
+              { done = true; (nextId(), bi.toVector, bm.toVector) }
+          })
+      }
+      .toDF("seq_id", "ids", "mask")
+  }
+
   /** 1-based eos positions inside a packed sequence. */
   private def eosPositions(ids: Column, eos: Long): Column =
     filter(sequence(lit(1), size(ids)), i => element_at(ids, i) === lit(eos))
@@ -642,6 +692,59 @@ object Tokens {
         .select(col("seq_id"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
           md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("sig"))
+        .orderBy("seq_id")
+    },
+
+    // Masked-packing gate: the tok_loss_mask conversations packed
+    // into 64-token windows with the 0/1 lane riding the identical
+    // stream split; the oracle flattens BOTH per-doc streams in doc
+    // order and re-chunks, pinning per-window md5 of ids AND mask
+    // plus the trained-token count.
+    Gate(
+      "tok_pack_masked", {
+        val h32 = "CAST(CAST('0x'||substr(md5(t),1,8) AS UBIGINT) AS BIGINT)"
+        def raw(e: String) = s"[($h32 % ${VocabSize - 1}) + 1 " +
+          s"FOR t IN regexp_extract_all($e, '${TextAnalysis.BpePattern}')]"
+        s"""WITH w AS (SELECT doc_id,
+           |    regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+           |  FROM documents),
+           |p AS (SELECT doc_id,
+           |    'user: ' || coalesce(array_to_string(ws[1:8], ' '), '') AS u,
+           |    'assistant: ' || coalesce(array_to_string(ws[9:len(ws)], ' '), '') AS a
+           |  FROM w),
+           |t AS (SELECT doc_id, ${raw("u")} || ${raw("a")} || [$EosId] AS ids,
+           |    [0 FOR x IN ${raw("u")}] || [1 FOR x IN ${raw("a")}] || [1] AS mask
+           |  FROM p),
+           |s AS (SELECT flatten(list(ids ORDER BY doc_id)) AS si,
+           |    flatten(list(mask ORDER BY doc_id)) AS sm FROM t),
+           |chunks AS (SELECT unnest(
+           |    [{'seq_id': k - 1,
+           |      'ids_sig': md5(array_to_string(si[(k-1)*64+1 : k*64], ',')),
+           |      'mask_sig': md5(array_to_string(sm[(k-1)*64+1 : k*64], ',')),
+           |      'n_train': CAST(list_sum(sm[(k-1)*64+1 : k*64]) AS BIGINT)}
+           |     FOR k IN range(1, len(si) // 64 + 1)]) AS c
+           |  FROM s)
+           |SELECT c.seq_id AS seq_id, c.ids_sig AS ids_sig,
+           |  c.mask_sig AS mask_sig, c.n_train AS n_train
+           |FROM chunks ORDER BY seq_id""".stripMargin
+      }) { (s, dir) =>
+      val conv = bind(TextAnalysis.words(col("text"))) { w =>
+        array(
+          struct(lit("human").as("from"),
+            array_join(slice(w, lit(1), lit(8)), " ").as("value")),
+          struct(lit("gpt").as("from"),
+            array_join(slice(w, lit(9), greatest(size(w) - 8, lit(0))), " ")
+              .as("value")))
+      }
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), lossMask(conv).as("lm"))
+        .select(col("doc_id"), col("lm.ids").as("__ids"), col("lm.mask").as("__mask"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      packSequencesWithMask(docs, "__ids", "__mask", seqLen = 64)
+        .select(col("seq_id"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("ids_sig"),
+          md5(array_join(transform(col("mask"), _.cast("string")), ",")).as("mask_sig"),
+          aggregate(col("mask"), lit(0L), (a, x) => a + x).as("n_train"))
         .orderBy("seq_id")
     },
 

@@ -399,6 +399,31 @@ class TokensSpec extends SparkSpec {
     assert(got(2) == ((Seq(0, 1, 2), Seq(0))))
   }
 
+  test("packSequencesWithMask: lanes stay aligned through the split, mismatch fails") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L), Seq(0, 0, 1, 1, 1)),
+      (2L, Seq(6L, 7L, 8L), Seq(1, 0, 1)),
+      (3L, Seq(9L, 10L, 11L, 12L), Seq(0, 1, 0, 1)))
+      .toDF("doc_id", "ids", "mask")
+      .repartition(1).sortWithinPartitions("doc_id")
+    val packed = Tokens.packSequencesWithMask(docs, "ids", "mask", seqLen = 4)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getSeq[Long](1), r.getSeq[Int](2)))
+    // 12 tokens -> 3 full windows; flattened lanes reassemble in order
+    assert(packed.length == 3)
+    assert(packed.flatMap(_._1).toSeq == (1L to 12L))
+    assert(packed.flatMap(_._2).toSeq ==
+      Seq(0, 0, 1, 1, 1, 1, 0, 1, 0, 1, 0, 1))
+    // per-window alignment: window 1 crosses the doc-1/doc-2 boundary
+    assert(packed(1)._1 == Seq(5L, 6L, 7L, 8L) && packed(1)._2 == Seq(1, 1, 0, 1))
+    // a doc whose lanes disagree fails loudly
+    val bad = Seq((1L, Seq(1L, 2L), Seq(0))).toDF("doc_id", "ids", "mask")
+    intercept[org.apache.spark.SparkException] {
+      Tokens.packSequencesWithMask(bad, "ids", "mask", seqLen = 2).collect()
+    }
+  }
+
   test("lossMask: per-turn ids equal whole-text tokenize, mask covers assistant turns + eos") {
     import spark.implicits._
     import graft.operators.Formatters
