@@ -314,6 +314,102 @@ object Multimodal {
       }).toDF("doc_id", "media")
   }
 
+  final case class StripResult(
+      doc_id: Long, media: Array[Byte], n_dropped: Int, bytes_removed: Int)
+
+  /** PNG chunk types that carry metadata, not pixels: textual
+    * key/value (tEXt/zTXt/iTXt — where camera serials, author names
+    * and GPS-bearing XMP land), embedded EXIF (eXIf), and the
+    * last-modified time (tIME). Rendering-relevant ancillary chunks
+    * (gAMA, sRGB, tRNS, pHYs…) deliberately survive. */
+  val PngMetaChunks: Set[String] = Set("tEXt", "zTXt", "iTXt", "eXIf", "tIME")
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Strip metadata chunks from PNG payloads — the privacy scrub a
+    * release pipeline runs on media (EXIF GPS / camera serials /
+    * author text must not ship even when the pixels may): walks the
+    * chunk stream by declared big-endian lengths, drops
+    * [[PngMetaChunks]] whole (length+type+data+crc), copies every
+    * other chunk VERBATIM (CRCs stay valid — the output is a
+    * standards-conforming PNG any decoder accepts, spec-proven via a
+    * real ImageIO decode). Non-PNG and truncated payloads pass
+    * through unchanged — a scrubber must never corrupt what it does
+    * not understand. Per-partition batched byte work (the X1
+    * plumbing), narrow, no shuffle. */
+  def stripPngMetadata(docs: DataFrame): Dataset[StripResult] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes == null || bytes.length < 8 ||
+          !bytes.take(8).sameElements(PngSig))
+          StripResult(id, bytes, 0, 0)
+        else {
+          def be32(i: Int): Int =
+            ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+              ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          val out = new java.io.ByteArrayOutputStream(bytes.length)
+          out.write(bytes, 0, 8)
+          var i = 8
+          var dropped = 0
+          var removed = 0
+          var corrupt = false
+          while (!corrupt && i + 8 <= bytes.length) {
+            val len = be32(i)
+            val total = 12L + (len & 0xffffffffL)
+            if (len < 0 || i + total > bytes.length) {
+              // truncated/corrupt tail: keep the remainder verbatim
+              out.write(bytes, i, bytes.length - i)
+              corrupt = true
+            } else {
+              val typ = new String(bytes, i + 4, 4, "ASCII")
+              if (PngMetaChunks(typ)) {
+                dropped += 1; removed += total.toInt
+              } else out.write(bytes, i, total.toInt)
+              i += total.toInt
+            }
+          }
+          if (!corrupt && i < bytes.length) out.write(bytes, i, bytes.length - i)
+          StripResult(id, out.toByteArray, dropped, removed)
+        }
+      })
+  }
+
+  /** CRC-valid PNG chunk (length + type + data + CRC32 over
+    * type+data) — shared by the strip fixture and specs. */
+  private[graft] def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Strip-gate fixture: even ids get a CRC-valid PNG carrying an
+    * Author tEXt + a tIME chunk between IHDR and IDAT; odd ids carry
+    * raw text bytes (the must-pass-through class). */
+  private def withPngMetaBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] =
+          if (id % 2 == 0) {
+            val ihdr = java.nio.ByteBuffer.allocate(13)
+              .putInt(4).putInt(3).put(Array[Byte](8, 6, 0, 0, 0)).array()
+            PngSig ++
+              pngChunk("IHDR", ihdr) ++
+              pngChunk("tEXt", s"Author doc$id".getBytes("ASCII")) ++
+              pngChunk("tIME", Array.fill[Byte](7)(1)) ++
+              pngChunk("IDAT", Array[Byte](1, 2, 3, 4)) ++
+              pngChunk("IEND", Array.emptyByteArray)
+          } else text.getBytes("UTF-8")
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
   final case class MediaHash(doc_id: Long, phash: Long)
 
   /** Perceptual-hash STAND-IN over the binary payload: 32 bits, bit k
@@ -530,6 +626,25 @@ object Multimodal {
         .select(col("doc_id"),
           unhex(concat(prefix, substring(md5(col("text")), 1, 16))).as("media"))
         .select(col("doc_id"), sniffMime(col("media")).as("mime"))
+        .orderBy("doc_id")
+    },
+
+    // PNG metadata-strip gate: even ids carry a CRC-valid PNG with an
+    // Author tEXt + tIME chunk (both must die, sizes by formula), odd
+    // ids carry raw text that must pass through untouched. The Spark
+    // side must actually WALK the chunks; the oracle recomputes the
+    // drop counts and byte deltas from construction.
+    Gate(
+      "mm_strip_meta",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT) AS n_dropped,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 41 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END AS INT) AS bytes_removed,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 61 ELSE length(text) END AS INT) AS n_bytes_after
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      stripPngMetadata(withPngMetaBlob(Tables(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("n_dropped"), col("bytes_removed"),
+          length(col("media")).as("n_bytes_after"))
         .orderBy("doc_id")
     },
 

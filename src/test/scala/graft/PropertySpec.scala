@@ -638,6 +638,42 @@ class PropertySpec extends SparkSpec {
       .langPercentileFilter(docs, "lang", "score", 1.0).count() == 110)
   }
 
+  test("stripPngMetadata: real PNG survives decode after strip, non-PNG passes through") {
+    import spark.implicits._
+    // genuine ImageIO PNG, then a tEXt chunk spliced in after IHDR
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 1, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val clean = bos.toByteArray
+    val ihdrEnd = 8 + 25 // sig + IHDR chunk
+    val text = multimodal.Multimodal.pngChunk("tEXt",
+      "Author secret-name".getBytes("ASCII"))
+    val tainted = clean.take(ihdrEnd) ++ text ++ clean.drop(ihdrEnd)
+
+    val got = multimodal.Multimodal
+      .stripPngMetadata(Seq((1L, tainted), (2L, "plain".getBytes("UTF-8")))
+        .toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r).toMap
+    // the tEXt is gone, nothing else moved, and a REAL decoder agrees
+    assert(got(1L).n_dropped == 1 && got(1L).bytes_removed == text.length)
+    assert(got(1L).media.sameElements(clean))
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).media))
+    assert(decoded.getWidth == 3 && decoded.getHeight == 2)
+    assert((decoded.getRGB(1, 1) & 0xffffff) == 0x336699)
+    // non-PNG bytes pass through untouched
+    assert(got(2L).n_dropped == 0 &&
+      got(2L).media.sameElements("plain".getBytes("UTF-8")))
+    // truncated PNG: remainder kept verbatim, no crash
+    val trunc = tainted.take(ihdrEnd + 5)
+    val t = multimodal.Multimodal
+      .stripPngMetadata(Seq((3L, trunc)).toDF("doc_id", "media"))
+      .collect().head
+    assert(t.media.sameElements(trunc))
+  }
+
   test("sniffMime: magic prefixes route to mime, short/garbage/NULL degrade to octet-stream") {
     import spark.implicits._
     def sniff(hexStr: String): String =
