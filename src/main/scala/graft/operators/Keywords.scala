@@ -90,6 +90,46 @@ object Keywords {
       .limit(k)
   }
 
+  /** PMI collocations (Church & Hanks 1990) — the statistically-bound
+    * adjacent word pairs phrase-mining / tokenizer-vocab steps want
+    * (raw frequency surfaces "of the"; PMI surfaces "los angeles"):
+    * for each bigram with count ≥ `minCount`,
+    * pmi = ln(c_xy·T / (c_x·c_y)) with T = total tokens, top-k by
+    * (pmi DESC, gram).
+    *
+    * Scale shape: ONE tokenize pass feeds both censuses (map-side-
+    * combined counts); unigram counts attach to the ≥ minCount
+    * bigrams via two HASH joins on compact (gram, count) frames —
+    * never a vocab broadcast, never all-pairs; the cut plans as
+    * TakeOrderedAndProject. pround-8 bridges ln across engines. */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      minCount: Int): DataFrame = {
+    val toks = graft.Caches.persist(
+      Dedup.spread(docs)
+        .select(TextAnalysis.words(lower(col(textCol))).as("__w")))
+    val uni = toks.select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("T"))
+    val bi = toks
+      .select(explode(TextAnalysis.ngrams(col("__w"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .withColumn("w1", split(col("g"), " ")(0))
+      .withColumn("w2", split(col("g"), " ")(1))
+    bi.join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("g").as("gram"), col("c").as("n_pair"),
+        Cols.pround(
+          log(col("c").cast("double") * col("T").cast("double") /
+            (col("cu1").cast("double") * col("cu2").cast("double"))), 8)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("gram")).limit(k)
+  }
+
   /** BM25 ranked retrieval (Robertson et al.; the Lucene-default
     * scoring): score(d) = Σ_{t∈query} idf(t)·tf/(tf + k1·(1−b+b·|d|/avgdl)),
     * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Returns the top-k matching
@@ -407,6 +447,32 @@ object Keywords {
            |ORDER BY n_occurrences DESC, occ.gram LIMIT 25""".stripMargin
       }) { (s, dir) =>
       topNgrams(Tables(s, dir, "documents"), "text", "doc_id", n = 3, k = 25)
+    },
+
+    // PMI collocation gate: the oracle rebuilds both censuses, the
+    // two unigram joins, and the identical pround-8 ln with the same
+    // double arithmetic order; (pmi DESC, gram) pins the cut.
+    Gate(
+      "rpt_collocations", {
+        val w = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        val pmi = Cols.proundSql(
+          "ln(CAST(c AS DOUBLE) * CAST((SELECT T FROM tot) AS DOUBLE) / " +
+            "(CAST(cu1 AS DOUBLE) * CAST(cu2 AS DOUBLE)))", 8)
+        s"""WITH toks AS (SELECT $w AS w FROM documents),
+           |u AS (SELECT unnest(w) AS wd FROM toks),
+           |uni AS (SELECT wd, count(*) AS cu FROM u GROUP BY wd),
+           |tot AS (SELECT sum(cu) AS T FROM uni),
+           |b AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
+           |    FOR i IN range(1, greatest(len(w)-1, 0)+1)]) AS g FROM toks),
+           |bc AS (SELECT g, count(*) AS c FROM b GROUP BY g
+           |       HAVING count(*) >= 30),
+           |j AS (SELECT bc.g, bc.c, u1.cu AS cu1, u2.cu AS cu2 FROM bc
+           |      JOIN uni u1 ON split_part(bc.g, ' ', 1) = u1.wd
+           |      JOIN uni u2 ON split_part(bc.g, ' ', 2) = u2.wd)
+           |SELECT g AS gram, CAST(c AS BIGINT) AS n_pair, $pmi AS pmi
+           |FROM j ORDER BY pmi DESC, gram LIMIT 25""".stripMargin
+      }) { (s, dir) =>
+      collocations(Tables(s, dir, "documents"), "text", k = 25, minCount = 30)
     },
 
     // BM25 over a three-term query from the synthetic vocabulary; the
