@@ -184,6 +184,26 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  /** Filtered vector search — top-k under a metadata predicate (the
+    * "filtered ANN" semantic every production vector store exposes:
+    * "nearest docs WHERE lang = 'en' AND date > …"). This is the
+    * PRE-filter strategy: the predicate applies before scoring, so
+    * the result is exactly the top-k of the qualifying subset —
+    * post-filtering a top-k of the full corpus under-returns whenever
+    * fewer than k of the global winners qualify (the classic filtered-
+    * ANN recall trap, which is why pre-filter is the correctness
+    * baseline the approximate strategies are judged against). The
+    * predicate lands in the corpus scan (Catalyst pushes it to
+    * parquet), so selective filters SHRINK the scored set — with an
+    * IVF index, compose the same predicate before
+    * [[ivfTopKFromIndex]]'s probe instead. */
+  def filteredTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec + metadata columns
+      predicate: Column,
+      k: Int): DataFrame =
+    bruteForceTopK(queries, corpus.filter(predicate).select("id", "vec"), k)
+
   /** N2 — LSH-bucketed ANN: like N1 but only same-signature
     * candidates are scored (the scale path: each query touches ~n/2^b
     * of the corpus). Deterministic, so exactly reproducible by the
@@ -1388,6 +1408,37 @@ object Similarity {
         emb.filter(col("vec_id") < 5).select("embedding"),
         threshold = 0.95)
         .orderBy("vec_id")
+    },
+
+    // Filtered-ANN gate: top-3 under a metadata predicate (vec_id %
+    // 3 = 0 stands in for a lang/date filter). Pre-filter semantics:
+    // the oracle scores ONLY the qualifying subset — a post-filtered
+    // global top-k would differ whenever global winners fail the
+    // predicate, which this fixture guarantees.
+    Gate(
+      "ann_topk_filtered", {
+        val cos = sqlSeqCosine("q.embedding", "c.embedding")
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id % 3 = 0 AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      filteredTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+          (col("vec_id") % 3).as("meta_mod")),
+        predicate = col("meta_mod") === 0,
+        k = 3)
+        .orderBy("qid", "rank")
     },
 
     Gate(
