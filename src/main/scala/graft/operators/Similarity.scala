@@ -204,6 +204,36 @@ object Similarity {
       k: Int): DataFrame =
     bruteForceTopK(queries, corpus.filter(predicate).select("id", "vec"), k)
 
+  /** Hard-negative mining for contrastive training (DPR — Karpukhin
+    * et al., EMNLP 2020, arXiv 2004.04906 §4.2: the strongest
+    * negatives are the retriever's own top results that are NOT the
+    * gold passage): for each query, the corpus top-k by cosine
+    * EXCLUDING the query row and every id in its positive set. The
+    * positive exclusion is a broadcast LEFT ANTI join on (qid, id) —
+    * the pair table is training-pair-sized (a few positives per
+    * query), never corpus-sized — so the plan keeps the brute-force
+    * scoring shape plus one bounded anti-join before the bounded-heap
+    * top-k. For the 100 TB path, compose the same anti-join after an
+    * IVF probe ([[ivfTopKFromIndex]]) instead of the exact scorer;
+    * this exact form is the recall baseline. */
+  def hardNegatives(
+      queries: DataFrame, // qid, qvec
+      positives: DataFrame, // qid, pos_id
+      corpus: DataFrame, // id, vec
+      k: Int): DataFrame = {
+    val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__nv", seqNorm(col("vec")))
+      .crossJoin(broadcast(queries.withColumn("__nq", seqNorm(col("qvec")))))
+      .filter(col("id") =!= col("qid"))
+      .join(
+        broadcast(positives.select(col("qid").as("__pq"), col("pos_id"))),
+        col("qid") === col("__pq") && col("id") === col("pos_id"), "left_anti")
+      .select(col("qid"), col("id"),
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
+    groupedTopK(scored, k)
+  }
+
   /** N2 — LSH-bucketed ANN: like N1 but only same-signature
     * candidates are scored (the scale path: each query touches ~n/2^b
     * of the corpus). Deterministic, so exactly reproducible by the
@@ -729,6 +759,27 @@ object Similarity {
     (cents, spark.read.parquet(s"$path/vectors"))
   }
 
+  /** Append a new batch to a persisted IVF index WITHOUT refitting —
+    * the incremental-ingest path of a continuously-growing corpus
+    * (the `dedup_incremental` discipline applied to ANN): read the
+    * stored quantizer (one bounded collect), assign only the new
+    * rows, and `mode("append")` them into the cell-partitioned
+    * layout. Existing index files are never rewritten — each append
+    * adds files under the touched cells' directories only, so the
+    * cost of ingesting a batch is O(batch), not O(corpus), and a
+    * probe afterwards reads old and new rows through the same
+    * partition-pruned scan. (FAISS `add` on a trained index; refit
+    * drift is the caller's policy — centroids stay frozen here.) */
+  def appendIvfIndex(batch: DataFrame /* id, vec */, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+    batch
+      .withColumn("cell",
+        element_at(centroidRank(col("vec"), cents), 1).getField("i"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Query a persisted index: rank probe cells per query, then
     * filter the partitioned vector scan by the BOUNDED probed-cell
     * set (≤ nq·nProbe values — an IN-list literal, so Catalyst turns
@@ -755,6 +806,40 @@ object Similarity {
       .select(col("qid"), col("id"),
         seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
     groupedTopK(scored, k)
+  }
+
+  /** The pinned-quantizer IVF probe replayed in SQL (centroids = the
+    * first 8 embeddings widened to double): assignment, nProbe cell
+    * ranking, within-cell seq-cosine scoring, top-3. Shared by the
+    * in-memory pinned gate and the persisted-index append gate — the
+    * oracle is indifferent to HOW the cell layout was materialized,
+    * which is exactly the incremental-ingest correctness claim. */
+  private def sqlPinnedIvfProbe: String = {
+    val distC = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("corpus.vec", "cents.cv")}"
+    val distQ = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("qs.qvec", "cents.cv")}"
+    val cos = sqlSeqCosine("p.qvec", "c.vec")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |cd AS (SELECT corpus.id, corpus.vec, cents.cid, $distC AS d FROM corpus, cents),
+       |cr AS (SELECT id, vec, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd),
+       |cell AS (SELECT id, vec, cid FROM cr WHERE rn = 1),
+       |qd AS (SELECT qs.qid, qs.qvec, cents.cid, $distQ AS d FROM qs, cents),
+       |qr AS (SELECT qid, qvec, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qd),
+       |probe AS (SELECT qid, qvec, cid FROM qr WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.qid, c.id, $cos AS cos
+       |  FROM probe p JOIN cell c ON p.cid = c.cid AND c.id <> p.qid),
+       |ranked AS (SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM scored)
+       |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
   }
 
   // ---- IVF-PQ persisted index (the FAISS IVFADC production recipe) ----
@@ -1463,6 +1548,37 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // Hard-negative mining: per training query, top-3 nearest that
+    // are neither the query itself nor one of its two gold positives
+    // (positive set = {qid+100, qid+200}, two per query so the
+    // multi-positive anti-join is exercised). The oracle writes the
+    // exclusion directly into the candidate predicate.
+    Gate(
+      "ann_hard_negatives", {
+        val cos = sqlSeqCosine("q.embedding", "c.embedding")
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+           |   AND c.vec_id <> q.vec_id + 100 AND c.vec_id <> q.vec_id + 200),
+           |ranked AS (
+           |  SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val positives = queries.select(col("qid"),
+          explode(array(col("qid") + 100, col("qid") + 200)).as("pos_id"))
+      hardNegatives(queries, positives,
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 3)
+        .orderBy("qid", "rank")
+    },
+
     Gate(
       "ann_topk_lsh", {
         val sigQ = sqlHyperplaneSig("q.embedding", 4)
@@ -1678,34 +1794,7 @@ object Similarity {
     // IVF pipeline hash-checks against DuckDB. Cell ids: engine
     // centroid index i equals oracle cid because the centroids are
     // collected in vec_id order over the contiguous ids 0..7.
-    Gate(
-      "ann_topk_ivf_pinned", {
-        val distC = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("corpus.vec", "cents.cv")}"
-        val distQ = s"${sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${sqlSeqDot("qs.qvec", "cents.cv")}"
-        val cos = sqlSeqCosine("p.qvec", "c.vec")
-        s"""WITH cents AS (
-           |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
-           |  FROM embeddings WHERE vec_id < 8),
-           |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
-           |qs AS (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qvec
-           |  FROM embeddings WHERE vec_id < 10),
-           |cd AS (SELECT corpus.id, corpus.vec, cents.cid, $distC AS d FROM corpus, cents),
-           |cr AS (SELECT id, vec, cid,
-           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd),
-           |cell AS (SELECT id, vec, cid FROM cr WHERE rn = 1),
-           |qd AS (SELECT qs.qid, qs.qvec, cents.cid, $distQ AS d FROM qs, cents),
-           |qr AS (SELECT qid, qvec, cid,
-           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qd),
-           |probe AS (SELECT qid, qvec, cid FROM qr WHERE rn <= 4),
-           |scored AS (
-           |  SELECT p.qid, c.id, $cos AS cos
-           |  FROM probe p JOIN cell c ON p.cid = c.cid AND c.id <> p.qid),
-           |ranked AS (SELECT qid, id, cos,
-           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM scored)
-           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
-           |FROM ranked WHERE rank <= 3
-           |ORDER BY qid, rank""".stripMargin
-      }) { (s, dir) =>
+    Gate("ann_topk_ivf_pinned", sqlPinnedIvfProbe) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       // centroids collected FROM THE ENGINE as widened doubles — the
       // float→double widening is exact, so the injected literals are
@@ -1717,6 +1806,31 @@ object Similarity {
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3, nProbe = 4, centroidsOverride = Some(cents))
+        .orderBy("qid", "rank")
+    },
+
+    // Incremental IVF ingest: build the persisted index over HALF the
+    // corpus, appendIvfIndex the other half (assign-only, frozen
+    // quantizer, append-mode parquet — no existing file rewritten),
+    // then probe. The SAME pinned oracle gates this as the in-memory
+    // pinned gate: a probe over the appended index must equal a probe
+    // over an index that always held the full corpus, which is the
+    // whole incremental-correctness claim.
+    Gate("snk_ann_index_incr", sqlPinnedIvfProbe) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = graft.sources.DocSource.gateScratch(dir, "snk_ann_index_incr")
+      writeIvfIndex(corpus.filter(col("id") % 2 === 0), path,
+        nCells = 8, centroidsOverride = Some(cents))
+      appendIvfIndex(corpus.filter(col("id") % 2 === 1), path)
+      val (rc, vecs) = readIvfIndex(s, path)
+      ivfTopKFromIndex(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        rc, vecs, k = 3, nProbe = 4)
         .orderBy("qid", "rank")
     },
 

@@ -291,6 +291,73 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("hardNegatives: positives and self excluded, otherwise equals brute-force top-k") {
+    import graft.operators.Similarity
+    val e = emb
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // positive set = the query's OWN brute-force top-1 — the planted
+    // worst case: excluding it must promote the former rank-2
+    val bf = Similarity.bruteForceTopK(queries, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val top1 = bf.filter(_._2 == 1).map { case (q, _, n) => (q, n) }
+    val positives = spark.createDataFrame(
+      spark.sparkContext.parallelize(top1.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos_id", org.apache.spark.sql.types.LongType))))
+    val hn = Similarity.hardNegatives(queries, positives, corpus, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val posSet = top1.toSet
+    assert(hn.forall { case (q, _, n) => !posSet((q, n)) }, "a positive leaked into the negatives")
+    assert(hn.forall { case (q, _, n) => q != n }, "self leaked into the negatives")
+    // with the old top-1 gone, hard-negative rank r = brute-force rank r+1
+    val shifted = bf.filter(_._2 >= 2).map { case (q, r, n) => (q, r - 1, n) }.toSet
+    assert(hn.toSet == shifted, "exclusion must promote the remaining ranks in order")
+  }
+
+  test("appendIvfIndex: probe equals full build, existing index files never rewritten") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    Similarity.writeIvfIndex(corpus, full, nCells = 8, centroidsOverride = Some(cents))
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+    Similarity.writeIvfIndex(corpus.filter(col("id") % 2 === 0), incr,
+      nCells = 8, centroidsOverride = Some(cents))
+
+    def dataFiles(p: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p, "vectors")).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+    }
+    val before = dataFiles(incr)
+    Similarity.appendIvfIndex(corpus.filter(col("id") % 2 === 1), incr)
+    val after = dataFiles(incr)
+    // append-only: every pre-existing file still present, byte-stable
+    assert(before.keySet.subsetOf(after.keySet), "append must not delete index files")
+    assert(before.forall { case (f, t) => after(f) == t }, "append must not rewrite index files")
+    assert(after.size > before.size, "append must add new files")
+
+    val (fc, fv) = Similarity.readIvfIndex(spark, full)
+    val (ic, iv) = Similarity.readIvfIndex(spark, incr)
+    assert(fc.map(_.toSeq).toSeq == ic.map(_.toSeq).toSeq, "quantizer must stay frozen")
+    val pFull = Similarity.ivfTopKFromIndex(queries, fc, fv, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pIncr = Similarity.ivfTopKFromIndex(queries, ic, iv, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pFull == pIncr, "appended index must probe identically to a full build")
+  }
+
   test("embedPcaTop recovers a rank-1 covariance: lambda1 = trace, ratio 1") {
     import spark.implicits._
     // vectors t·(1, 2, 0, …): zero mean, cov = Var(t)·vvᵀ (rank 1),
