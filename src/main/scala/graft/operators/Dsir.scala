@@ -432,6 +432,66 @@ object Dsir {
         tierColumn(col("nll_per_word"), size(grams(col(textCol), 1)), t1, t2))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing family KenLM implements and CCNet/fineweb's quality
+    * perplexity models are built on). Unlike the Stupid-Backoff
+    * family's hashed-bucket literal tables, this is the JOIN-shaped
+    * LM — count tables stay distributed DataFrames keyed by words, so
+    * the model is corpus-vocabulary-sized rather than bucket-bounded
+    * (the shape a 100 TB KenLM-style count pass actually has: n-gram
+    * counting is a map-side-combined aggregate, scoring is hash joins
+    * of positions against count tables, text never shuffles past the
+    * tokenize stage).
+    *
+    *   P(w|u) = (c(u,w) − D)/c(u·) + D·N1+(u,·)/c(u·) · Pcont(w)
+    *   Pcont(w) = (N1+(·,w) + 1)/(Nbt + V)     (add-1 so doc-initial
+    *                                            words never hit P=0)
+    *   position 1 scores by Pcont alone; D = 0.75 (the standard
+    *   absolute discount); c(u·) = occurrences of u as context.
+    *
+    * Emits (idCol, n_words, kn_nll): mean −ln P per word, 0.0 for
+    * wordless docs. Portability: P is a fixed-shape IEEE expression
+    * over exact integer counts (bit-identical in any engine),
+    * pround-8 bridges the ln, DECIMAL(30,15) accumulates per doc. */
+  def kneserNeyScore(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val acc = DecimalType(30, 15)
+    val base = docs.select(col(idCol).as("__id"),
+      coalesce(TextAnalysis.words(lower(col(textCol))), array().cast("array<string>")).as("__ws"))
+    val pos = graft.Caches.persist(
+      base.select(col("__id"),
+        explode(transform(TextAnalysis.indices(size(col("__ws"))), i =>
+          struct(element_at(col("__ws"), i).as("w"),
+            when(i > 1, element_at(col("__ws"), i - 1)).as("ctx")))).as("p"))
+        .select(col("__id"), col("p.w").as("w"), col("p.ctx").as("ctx")))
+    val big = graft.Caches.persist(
+      pos.filter(col("ctx").isNotNull).groupBy("ctx", "w").agg(count(lit(1)).as("c2")))
+    val cu = big.groupBy("ctx").agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+    val nb = big.groupBy("w").agg(count(lit(1)).as("n1b"))
+    val nbt = big.count()
+    val v = pos.select("w").distinct().count()
+    val pcDen = lit((nbt + v).toDouble)
+    val pcont = (coalesce(col("n1b"), lit(0L)).cast("double") + lit(1.0)) / pcDen
+    val d = lit(0.75)
+    val p = when(col("ctx").isNull, pcont).otherwise(
+      (col("c2").cast("double") - d) / col("c1").cast("double") +
+        d * col("n1f").cast("double") / col("c1").cast("double") * pcont)
+    val agg = pos
+      .join(big, Seq("ctx", "w"), "left")
+      .join(cu, Seq("ctx"), "left")
+      .join(nb, Seq("w"), "left")
+      .select(col("__id"), (-Cols.pround(log(p), 8)).as("nll"))
+      .groupBy("__id")
+      .agg(sum(col("nll").cast(acc)).cast("double").as("s"), count(lit(1)).as("nw"))
+    base.select(col("__id"), size(col("__ws")).as("n_words"))
+      .join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_words"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(Cols.pround(col("s") / col("nw"), 4)).as("kn_nll"))
+  }
+
   // ---- gates ----
 
   // Target = every 9th doc (a deterministic stand-in for "the quality
@@ -666,6 +726,48 @@ object Dsir {
         .select(col("doc_id"),
           size(grams(col("text"), 1)).as("n_words"),
           col("sbo3_nll"))
+        .orderBy("doc_id")
+    },
+
+    // Interpolated Kneser-Ney bigram gate (the join-shaped LM): the
+    // oracle rebuilds the bigram/context/continuation count tables
+    // and scalar type counts in SQL and replays the interpolation
+    // formula with the identical IEEE expression shape; pround-8
+    // bridges the ln, DECIMAL(30,15) accumulates per doc.
+    Gate(
+      "txt_kneser_ney", {
+        val pcont = "(CAST(coalesce(nb.n1b, 0) AS DOUBLE) + 1.0) / " +
+          "CAST((SELECT nbt FROM sc1) + (SELECT v FROM sc2) AS DOUBLE)"
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+           |           FROM documents),
+           |pos AS (SELECT doc_id,
+           |    unnest([{'i': i, 'w': toks[i],
+           |             'ctx': CASE WHEN i > 1 THEN toks[i-1] END}
+           |            FOR i IN range(1, len(toks) + 1)], recursive := true)
+           |  FROM t),
+           |bg AS (SELECT ctx, w, count(*) AS c2 FROM pos WHERE ctx IS NOT NULL GROUP BY ctx, w),
+           |cu AS (SELECT ctx, sum(c2) AS c1, count(*) AS n1f FROM bg GROUP BY ctx),
+           |nb AS (SELECT w, count(*) AS n1b FROM bg GROUP BY w),
+           |sc1 AS (SELECT count(*) AS nbt FROM bg),
+           |sc2 AS (SELECT count(DISTINCT w) AS v FROM pos),
+           |pp AS (SELECT pos.doc_id,
+           |    CASE WHEN pos.ctx IS NULL THEN $pcont
+           |         ELSE (CAST(bg.c2 AS DOUBLE) - 0.75) / CAST(cu.c1 AS DOUBLE)
+           |              + 0.75 * CAST(cu.n1f AS DOUBLE) / CAST(cu.c1 AS DOUBLE) * ($pcont)
+           |    END AS pr
+           |  FROM pos
+           |  LEFT JOIN bg ON bg.ctx = pos.ctx AND bg.w = pos.w
+           |  LEFT JOIN cu ON cu.ctx = pos.ctx
+           |  LEFT JOIN nb ON nb.w = pos.w),
+           |sc AS (SELECT doc_id, -(${Cols.proundSql("ln(pr)", 8)}) AS nll FROM pp),
+           |agg AS (SELECT doc_id,
+           |    CAST(sum(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s, count(*) AS nw
+           |  FROM sc GROUP BY doc_id)
+           |SELECT t.doc_id, len(toks) AS n_words,
+           |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE ${Cols.proundSql("s / nw", 4)} END AS kn_nll
+           |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
+      }) { (s, dir) =>
+      kneserNeyScore(Tables(s, dir, "documents"), "text")
         .orderBy("doc_id")
     },
 

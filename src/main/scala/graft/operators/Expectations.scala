@@ -75,6 +75,45 @@ object Expectations {
       .withColumn("violates", col("size_band") < k)
   }
 
+  /** Filter agreement matrix — the ablation census a recipe tuning
+    * pass runs ("does the badwords filter kill anything the quality
+    * threshold doesn't already?"): given named per-doc boolean kill
+    * signals, one row per unordered filter pair with each side's kill
+    * count, the intersection, and its Jaccard. A pair with Jaccard
+    * ≈ 1 is a redundant filter; ≈ 0 means the filters carve disjoint
+    * slices.
+    *
+    * Scale shape: like [[report]], the WHOLE matrix is ONE
+    * map-side-combined aggregate over a single scan — n signals add
+    * n + n(n−1)/2 sum columns, never extra passes — and the
+    * pair→row unpivot happens on the one aggregated row. NULL
+    * verdicts count as "kept" (a filter that cannot evaluate does
+    * not kill). Jaccard of two never-firing filters is 0.0 by
+    * convention. */
+  def filterOverlap(df: DataFrame, kills: Seq[(String, Column)]): DataFrame = {
+    require(kills.size >= 2, "filterOverlap: need at least two filters")
+    val flags = df.select(kills.map { case (n, c) =>
+      coalesce(c, lit(false)).cast("long").as(n)
+    }: _*)
+    val pairs = for {
+      i <- kills.indices; j <- kills.indices if i < j
+    } yield (kills(i)._1, kills(j)._1)
+    val aggCols =
+      kills.map { case (n, _) => sum(col(n)).as(s"__k_$n") } ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"__b_${a}_${b}") }
+    flags.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("filter_a"), lit(b).as("filter_b"),
+          col(s"__k_$a").as("killed_a"), col(s"__k_$b").as("killed_b"),
+          col(s"__b_${a}_${b}").as("n_both"))
+      }: _*)).as("p"))
+      .select(col("p.filter_a"), col("p.filter_b"),
+        col("p.killed_a"), col("p.killed_b"), col("p.n_both"),
+        graft.Cols.bind(col("p.killed_a") + col("p.killed_b") - col("p.n_both")) { den =>
+          when(den === 0, lit(0.0)).otherwise(col("p.n_both").cast("double") / den.cast("double"))
+        }.as("jaccard"))
+  }
+
   // Expectations gate: four rules with planted violation classes in
   // the raw documents table (range, regex, non-empty, uniqueness) —
   // the oracle computes each count with the same NULL-is-violation
@@ -130,5 +169,57 @@ object Expectations {
           .withColumn("chars_band", col("n_chars") % 100),
         Seq("source", "lang", "chars_band"), k = 20)
         .orderBy("size_band")
+    },
+
+    // Filter agreement gate: three compact deterministic kill signals
+    // (short doc, digit-heavy, punctuation-heavy) over the raw
+    // documents; the oracle rebuilds each flag and every pairwise sum
+    // from the same single-pass CASE columns. Jaccard is one exact
+    // integer division (correctly rounded identically in both
+    // engines), no pround needed.
+    Gate(
+      "rpt_filter_overlap", {
+        s"""WITH f AS (SELECT
+           |    CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.WordPattern}')) < 55
+           |         THEN 1 ELSE 0 END AS short,
+           |    CASE WHEN length(text) > 0 AND
+           |           CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           |             / length(text) > 0.02
+           |         THEN 1 ELSE 0 END AS digity,
+           |    CASE WHEN length(text) > 0 AND
+           |           CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           |             / length(text) > 0.08
+           |         THEN 1 ELSE 0 END AS puncty
+           |  FROM documents),
+           |a AS (SELECT sum(short) AS ks, sum(digity) AS kd, sum(puncty) AS kp,
+           |    sum(short * digity) AS bsd, sum(short * puncty) AS bsp,
+           |    sum(digity * puncty) AS bdp FROM f)
+           |SELECT filter_a, filter_b,
+           |  CAST(killed_a AS BIGINT) AS killed_a, CAST(killed_b AS BIGINT) AS killed_b,
+           |  CAST(n_both AS BIGINT) AS n_both,
+           |  CASE WHEN killed_a + killed_b - n_both = 0 THEN 0.0
+           |       ELSE CAST(n_both AS DOUBLE) / CAST(killed_a + killed_b - n_both AS DOUBLE)
+           |  END AS jaccard
+           |FROM (
+           |  SELECT 'short' AS filter_a, 'digity' AS filter_b, ks AS killed_a, kd AS killed_b, bsd AS n_both FROM a
+           |  UNION ALL
+           |  SELECT 'short', 'puncty', ks, kp, bsp FROM a
+           |  UNION ALL
+           |  SELECT 'digity', 'puncty', kd, kp, bdp FROM a)
+           |ORDER BY filter_a, filter_b""".stripMargin
+      }) { (s, dir) =>
+      val digitFrac = graft.Cols.bind(length(col("text"))) { n =>
+        n > 0 && length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / n > 0.02
+      }
+      val punctFrac = graft.Cols.bind(length(col("text"))) { n =>
+        n > 0 && length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") / n > 0.08
+      }
+      filterOverlap(
+        Tables(s, dir, "documents"),
+        Seq(
+          "short" -> (size(TextAnalysis.words(col("text"))) < 55),
+          "digity" -> digitFrac,
+          "puncty" -> punctFrac))
+        .orderBy("filter_a", "filter_b")
     })
 }

@@ -61,6 +61,44 @@ object Keywords {
         Cols.pround(-col("col.ns"), 4).as("score"))
   }
 
+  /** Top-k TF-IDF terms PER CLUSTER — the topic-label report of a
+    * clustered corpus (run after SemDeDup / k-means / IVF assignment:
+    * "what is cell 3 about?"). tf counts term occurrences across the
+    * cluster's documents; idf stays DOCUMENT-level (a term in every
+    * doc is a stopword no matter how clusters slice the corpus), so
+    * score = tf_cluster · idf_doc. Same pre-reduced shuffles +
+    * bounded-heap shape as [[tfidfKeywords]], with cells (typically
+    * ≤ thousands) as the group key — the final exchange carries
+    * ≤ k rows per partition per cell. */
+  def clusterTopics(
+      docs: DataFrame,
+      assign: DataFrame, // idCol, cell
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val terms = graft.Caches.persist(Dedup.spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.words(lower(col(textCol)))).as("term")))
+    val n = docs.count()
+    val df = terms.select("__id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = terms
+      .join(assign.select(col(idCol).as("__id"), col("cell")), Seq("__id"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df, Seq("term"))
+      .select(col("cell"), col("term"),
+        (col("tf") * idf(n)(col("df"))).as("score"))
+    scored
+      .groupBy("cell")
+      .agg(call_function("graft_top_k",
+        struct((-col("score")).as("ns"), col("term").as("t")), lit(k), lit(true)).as("top"))
+      .select(col("cell"), posexplode(array_sort(col("top"))))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.t").as("term"),
+        Cols.pround(-col("col.ns"), 4).as("score"))
+  }
+
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
     * occurrence and document counts — the standard boilerplate/
     * contamination diagnostic (a navigation chrome phrase or license
@@ -525,6 +563,49 @@ object Keywords {
       }) { (s, dir) =>
       tfidfKeywords(Tables(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // Per-cluster topic terms: docs assigned to pinned centroids
+    // (first 8 embeddings widened to double, the ann_topk_ivf_pinned
+    // quantizer; doc_id joins vec_id 1:1 in the testdata), then top-3
+    // TF-IDF terms per cell. The oracle replays assignment with the
+    // seq-dot distance and the tf·idf scoring with the same pround-8
+    // ln.
+    Gate(
+      "rpt_cluster_topics", {
+        val distC =
+          s"${Similarity.sqlSeqDot("cents.cv", "cents.cv")} - 2.0 * ${Similarity.sqlSeqDot("corpus.vec", "cents.cv")}"
+        val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings),
+           |cd AS (SELECT corpus.id, cents.cid, $distC AS d FROM corpus, cents),
+           |cr AS (SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM cd),
+           |cell AS (SELECT id, cid AS cell FROM cr WHERE rn = 1),
+           |t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+           |tf AS (SELECT cell.cell, t.term, count(*) AS tf
+           |  FROM t JOIN cell ON cell.id = t.doc_id GROUP BY cell.cell, t.term),
+           |s AS (SELECT cell, tf.term,
+           |    tf * ${Cols.proundSql("ln((n + 1.0) / (df + 1.0)) + 1.0", 8)} AS score
+           |  FROM tf JOIN df ON tf.term = df.term, n),
+           |r AS (SELECT cell, term, score,
+           |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY score DESC, term) AS rank
+           |  FROM s)
+           |SELECT CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank, term,
+           |  ${Cols.proundSql("score", 4)} AS score
+           |FROM r WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val assign = emb.select(col("vec_id").as("doc_id"),
+        Similarity.nearestCentroid(col("embedding"), cents).as("cell"))
+      clusterTopics(Tables(s, dir, "documents"), assign, "text", "doc_id", k = 3)
+        .orderBy("cell", "rank")
     }
   )
 }

@@ -51,6 +51,24 @@ class DsirSpec extends SparkSpec {
     assert(counts.getLong(1) == 3L)
   }
 
+  test("kneserNeyScore: hand-computed interpolated KN on a toy corpus; wordless docs 0") {
+    // corpus: "a b a b" + "a b" → bigrams (a,b)×3, (b,a)×1
+    //   cu: a→(c1=3,n1f=1), b→(c1=1,n1f=1); N1+(·,a)=N1+(·,b)=1
+    //   Nbt=2, V=2 → Pcont(a)=Pcont(b)=(1+1)/4=0.5
+    //   P(b|a)=(3-.75)/3+.75·(1/3)·.5=0.875  P(a|b)=(1-.75)/1+.75·1·.5=0.625
+    //   doc1 nll = mean(-ln .5, -ln .875, -ln .625, -ln .875) = 0.3576
+    //   doc2 nll = mean(-ln .5, -ln .875) = 0.4133
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dsir.kneserNeyScore(docs, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((4, 0.3576)), s"doc1 got ${out(1L)}")
+    assert(out(2L) == ((2, 0.4133)), s"doc2 got ${out(2L)}")
+    assert(out(3L) == ((0, 0.0)))
+    assert(out(4L) == ((0, 0.0)))
+  }
+
   test("stupid backoff is word-ORDER aware where the unigram LM is blind") {
     // target corpus repeats one fixed phrase; the probe docs share the
     // exact same bag of words, so the unigram nll is identical — only

@@ -52,4 +52,27 @@ class ExpectationsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getBoolean(3)))
     assert(ok.toSeq == Seq((3, false)))
   }
+
+  test("filterOverlap: hand-computed pair counts, jaccard, NULL-is-kept, zero-den is 0.0") {
+    import org.apache.spark.sql.functions._
+    // a: kills rows 1,2,3   b: kills rows 2,3,4   c: kills nothing
+    //   a∩b = {2,3} → jaccard 2/4 = 0.5; a∩c = b∩c = 0 → jaccard 0.0
+    val df = Seq(
+      (1, true, false, false),
+      (2, true, true, false),
+      (3, true, true, false),
+      (4, false, true, false),
+      (5, false, false, false)).toDF("id", "ka", "kb", "kc")
+      // NULL verdict must count as kept, not kill
+      .withColumn("ka", when(col("id") === 5, lit(null).cast("boolean")).otherwise(col("ka")))
+    val got = Expectations.filterOverlap(df,
+        Seq("a" -> col("ka"), "b" -> col("kb"), "c" -> col("kc")))
+      .orderBy("filter_a", "filter_b")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 3L, 3L, 2L, 0.5),
+      ("a", "c", 3L, 0L, 0L, 0.0),
+      ("b", "c", 3L, 0L, 0L, 0.0)))
+  }
 }

@@ -128,6 +128,24 @@ class KeywordsSpec extends SparkSpec {
       (3, "best method", 4.0)))          // 2 + 2
   }
 
+  test("clusterTopics: each cluster's dominant vocabulary tops its list; shared terms idf-damped") {
+    import spark.implicits._
+    // "common" appears in every doc (min idf); each cluster has its
+    // own repeated term that must rank first for that cluster
+    val docs = Seq(
+      (1L, "football football football common"),
+      (2L, "football referee referee common"),
+      (3L, "protein protein protein common"),
+      (4L, "protein enzyme enzyme common")).toDF("doc_id", "text")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("doc_id", "cell")
+    val out = operators.Keywords.clusterTopics(docs, assign, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out.filter(_._1 == 0).map(_._3) == Seq("football", "referee"))
+    assert(out.filter(_._1 == 1).map(_._3) == Seq("protein", "enzyme"))
+    // "common" (df = 4 of 4) never makes any top-2
+    assert(!out.exists(_._3 == "common"))
+  }
+
   test("rakePhrases breaks on stopwords and punctuation, collapses spaces") {
     import spark.implicits._
     val got = Seq("The   quick fox, and a lazy dog!").toDF("t")
