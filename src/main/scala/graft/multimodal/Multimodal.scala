@@ -571,6 +571,42 @@ object Multimodal {
       lit("application/octet-stream"))
   }
 
+  /** Text-encoding detection on a binary payload — the charset triage
+    * a crawl pipeline runs before treating fetched bytes as text
+    * (WET extraction; Content-Type charset params lie): BOM sniff
+    * first (UTF-8 / UTF-16 / UTF-32, 32 before 16 because FFFE0000
+    * contains FFFE), then a FULL UTF-8 validity scan, else the bytes
+    * are a legacy single-byte encoding or binary → "unknown". The
+    * validity scan is the RFC 3629 byte-sequence grammar run as one
+    * anchored regex over the hex encoding of the payload — pure
+    * codegen column ops (hex + rlike), no UDF, scan-fused, and the
+    * identical grammar string replays in any engine with hex +
+    * regexp matching. NULL payloads degrade to "unknown"; an empty
+    * payload is vacuously valid UTF-8. */
+  def detectEncoding(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(media)
+    coalesce(
+      when(h.startsWith("EFBBBF"), "utf8-bom")
+        .when(h.startsWith("FFFE0000"), "utf32le")
+        .when(h.startsWith("0000FEFF"), "utf32be")
+        .when(h.startsWith("FFFE"), "utf16le")
+        .when(h.startsWith("FEFF"), "utf16be")
+        .when(h.rlike(Utf8HexGrammar), "utf8"),
+      lit("unknown"))
+  }
+
+  /** RFC 3629 valid-UTF-8 as a grammar over hex byte pairs: ASCII,
+    * C2-DF+cont, the four 3-byte lead classes (E0 with its A0-BF
+    * floor, E1-EC, ED with its 80-9F surrogate ceiling, EE-EF), and
+    * the three 4-byte lead classes (F0 with its 90 floor, F1-F3, F4
+    * with its 8F ceiling). Shared verbatim by engine and oracle. */
+  val Utf8HexGrammar: String = {
+    val c = "[89AB][0-9A-F]" // one continuation byte 80-BF
+    s"^(?:[0-7][0-9A-F]|C[2-9A-F]$c|D[0-9A-F]$c|E0[AB][0-9A-F]$c|E[1-9ABC](?:$c){2}" +
+      s"|ED[89][0-9A-F]$c|E[EF](?:$c){2}|F0[9AB][0-9A-F](?:$c){2}|F[1-3](?:$c){3}" +
+      s"|F48[0-9A-F](?:$c){2})*$$"
+  }
+
   /** Banded near-dup pairs over perceptual hashes — the SimHash LSH
     * recipe on the media column: split the 32-bit hash into `nBands`
     * bands (hamming ≤ maxHamming ⇒ some band is untouched whenever
@@ -626,6 +662,33 @@ object Multimodal {
         .select(col("doc_id"),
           unhex(concat(prefix, substring(md5(col("text")), 1, 16))).as("media"))
         .select(col("doc_id"), sniffMime(col("media")).as("mime"))
+        .orderBy("doc_id")
+    },
+
+    // Charset-detect gate: six payload classes from construction (BOM
+    // variants, plain valid UTF-8, a planted invalid lead byte, and
+    // the UTF-32LE prefix that must win over UTF-16LE); the full-text
+    // UTF-8 validity scan genuinely runs on classes 3/4 — a detector
+    // that only read the prefix would still pass 4 only by luck of
+    // the first pair, so the invalid pair is planted FIRST.
+    Gate(
+      "mm_charset",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'utf8-bom' WHEN 1 THEN 'utf16le'
+        |    WHEN 2 THEN 'utf16be'  WHEN 3 THEN 'utf8'
+        |    WHEN 4 THEN 'unknown'  ELSE 'utf32le' END AS encoding
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val prefix = when(col("doc_id") % 6 === 0, lit("EFBBBF"))
+        .when(col("doc_id") % 6 === 1, lit("FFFE"))
+        .when(col("doc_id") % 6 === 2, lit("FEFF"))
+        .when(col("doc_id") % 6 === 3, lit(""))
+        .when(col("doc_id") % 6 === 4, lit("C328")) // C3 then non-continuation
+        .otherwise(lit("FFFE0000"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(unhex(prefix), encode(col("text"), "UTF-8")).as("media"))
+        .select(col("doc_id"), detectEncoding(col("media")).as("encoding"))
         .orderBy("doc_id")
     },
 

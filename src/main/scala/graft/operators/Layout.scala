@@ -380,6 +380,31 @@ object Layout {
           sum("__pad").cast("double") / (sum("__pad") + sum("__kept")), 6).as("pad_ratio"))
   }
 
+  /** Length-bucketed batching — the padding-efficiency recipe of
+    * every batched trainer/inference server (fairseq/T5 data loaders:
+    * sort by length, batch neighbors, pad each batch only to ITS own
+    * max): global (length, id) order via [[denseIds]]' range-
+    * partitioned rank, then batch_id = rank / batchSize. A random
+    * batching pads every batch to near the corpus max; length
+    * bucketing pads each batch to a local max, so total padded tokens
+    * drop by the length spread. Appends `batch_id` (long); compute
+    * per-batch waste with one grouped aggregate downstream.
+    *
+    * Scale shape: the only corpus-wide motion is denseIds' sampled
+    * range shuffle (Spark's distributed-sort primitive) — no global
+    * window, no single partition; `orderCols` total order makes
+    * batch assignment bit-deterministic. */
+  def batchByLength(
+      df: DataFrame,
+      lenCol: Column,
+      idCol: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchByLength: batchSize must be positive")
+    denseIds(df, Seq(lenCol, idCol), "__rank")
+      .withColumn("batch_id", floor(col("__rank") / lit(batchSize.toDouble)).cast("long"))
+      .drop("__rank")
+  }
+
   val gates: Seq[Gate] = Seq(
     // Blendable-interleave gate: per-source weights (src-number % 3 +
     // 1), the oracle replays the within-source rank and the identical
@@ -523,6 +548,33 @@ object Layout {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       denseIds(Tables(s, dir, "documents").select("doc_id"), Seq(col("doc_id")))
         .orderBy("doc_id")
+    },
+
+    // Length-bucketed batching gate: word counts as lengths, batches
+    // of 32, per-batch padding-waste census. The oracle replays the
+    // (len, id) global rank as one window and the batch fold as a
+    // grouped aggregate.
+    Gate(
+      "op_batch_by_length", {
+        s"""WITH t AS (SELECT doc_id,
+           |    len(regexp_extract_all(text, '${TextAnalysis.WordPattern}')) AS n_tokens
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_tokens,
+           |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk FROM t),
+           |b AS (SELECT rk // 32 AS batch_id, n_tokens FROM r)
+           |SELECT CAST(batch_id AS BIGINT) AS batch_id, count(*) AS n_docs,
+           |  CAST(max(n_tokens) AS INT) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+           |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+           |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("n_tokens"))
+      batchByLength(docs, col("n_tokens"), col("doc_id"), batchSize = 32)
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_len"),
+          sum(col("n_tokens").cast("long")).as("sum_len"))
+        .withColumn("padding_waste", col("n_docs") * col("max_len") - col("sum_len"))
+        .orderBy("batch_id")
     },
 
     // ICP order with an INJECTED quantizer (the pinned-centroid

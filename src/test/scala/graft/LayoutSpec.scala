@@ -178,4 +178,36 @@ class LayoutSpec extends SparkSpec {
     assert(prefix.count(_ == "a") >= 5 && prefix.count(_ == "a") <= 7)
     Caches.releaseAll()
   }
+
+  test("batchByLength: full batches, length-monotone across batches, beats shuffled padding") {
+    // skewed lengths: 90 short docs (1..10) + 10 long (1000..1009)
+    val rows = (0 until 90).map(i => (i.toLong, 1 + i % 10)) ++
+      (90 until 100).map(i => (i.toLong, 1000 + i - 90))
+    val df = rows.toDF("id", "len")
+    val batched = Layout.batchByLength(df, col("len"), col("id"), batchSize = 10)
+    val byBatch = batched.collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    assert(byBatch.map(_._2.length).forall(_ == 10), "every batch full at n=100, B=10")
+    // batches are length-monotone: max(len) of batch i <= min(len) of batch i+1
+    val ranges = byBatch.map { case (_, xs) => (xs.map(_._3).min, xs.map(_._3).max) }
+    assert(ranges.sliding(2).forall { case Seq((_, hi), (lo, _)) => hi <= lo; case _ => true })
+    // the 10 long docs share ONE batch → padded cost collapses
+    def waste(groups: Seq[Array[Int]]) =
+      groups.map(g => g.length * g.max - g.sum).sum
+    val bucketed = waste(byBatch.map(_._2.map(_._3).toArray))
+    // baseline: one long doc lands in every batch (the shape random
+    // batching converges to) → every batch pads to ~1000
+    val longs = rows.filter(_._2 >= 1000).map(_._2)
+    val shorts = rows.filter(_._2 < 1000).map(_._2)
+    val interleaved = waste(
+      longs.zip(shorts.grouped(9).toSeq).map { case (l, ss) => (ss :+ l).toArray })
+    assert(bucketed < interleaved / 5,
+      s"bucketed waste $bucketed should collapse vs interleaved $interleaved")
+    // deterministic across runs
+    val again = Layout.batchByLength(df, col("len"), col("id"), batchSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == batched.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    Caches.releaseAll()
+  }
 }

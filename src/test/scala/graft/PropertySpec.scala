@@ -698,6 +698,35 @@ class PropertySpec extends SparkSpec {
     assert(n == "application/octet-stream")
   }
 
+  test("detectEncoding: BOM precedence, RFC 3629 edge bytes, truncated/overlong/surrogate reject") {
+    import spark.implicits._
+    def det(hexStr: String): String =
+      Seq(Tuple1(hexStr)).toDF("h")
+        .select(multimodal.Multimodal.detectEncoding(unhex(col("h"))).as("e"))
+        .head().getString(0)
+    assert(det("EFBBBF68690A") == "utf8-bom")
+    assert(det("FFFE6800") == "utf16le")
+    assert(det("FEFF0068") == "utf16be")
+    assert(det("FFFE00006800") == "utf32le") // UTF-32LE BOM wins over the FFFE prefix
+    assert(det("0000FEFF") == "utf32be")
+    assert(det("68690A") == "utf8") // plain ASCII
+    assert(det("C3A9") == "utf8") // é (2-byte)
+    assert(det("E0A080") == "utf8") // 3-byte floor U+0800
+    assert(det("ED9FBF") == "utf8") // U+D7FF, last before surrogates
+    assert(det("F48FBFBF") == "utf8") // U+10FFFF, the ceiling
+    assert(det("F0908D88") == "utf8") // 4-byte floor region
+    assert(det("") == "utf8") // empty payload: vacuously valid
+    assert(det("C3") == "unknown") // truncated lead
+    assert(det("C080") == "unknown") // overlong encoding of NUL
+    assert(det("EDA080") == "unknown") // surrogate U+D800
+    assert(det("F5808080") == "unknown") // beyond U+10FFFF
+    assert(det("C328") == "unknown") // lead then non-continuation
+    assert(det("80") == "unknown") // orphan continuation
+    val n = Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(multimodal.Multimodal.detectEncoding(col("b")).as("e")).head().getString(0)
+    assert(n == "unknown")
+  }
+
   test("redactPhones erases separated phone shapes, leaves dates/ids/cards alone") {
     import spark.implicits._
     def red(t: String): String =
