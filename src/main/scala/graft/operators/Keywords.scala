@@ -99,6 +99,43 @@ object Keywords {
         Cols.pround(-col("col.ns"), 4).as("score"))
   }
 
+  /** N-gram novelty — the fraction of a document's DISTINCT trigram
+    * shingles that occur in NO other document: ~1 means the text is
+    * original within the corpus, ~0 means everything it says is said
+    * elsewhere (template spam, near-dup survivors, quote-stitched
+    * aggregator pages). The inverse signal of [[topNgrams]]'
+    * heavy-hitter census, and a useful pre-dedup triage score: docs
+    * with low novelty are where the near-dup budget should go.
+    *
+    * Scale shape: the exchange carries (id, 16-byte digest) pairs
+    * only (the dedup digest-only discipline); df is one map-side-
+    * combined count; the per-doc fold is a second compact aggregate.
+    * Division of exact integer counts — correctly rounded identically
+    * in any engine, no pround needed. */
+  def noveltyScore(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = graft.Caches.persist(Dedup.spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(
+          TextAnalysis.ngrams(TextAnalysis.words(lower(col(textCol))), n))).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__h")))
+    val df = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val per = grams.join(df, Seq("__h"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__nov"))
+    docs.select(col(idCol).as("__id"))
+      .join(per, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("__nov").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
     * occurrence and document counts — the standard boilerplate/
     * contamination diagnostic (a navigation chrome phrase or license
@@ -563,6 +600,25 @@ object Keywords {
       }) { (s, dir) =>
       tfidfKeywords(Tables(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // Novelty gate: distinct-trigram digests (the SqlShingles twin),
+    // df = docs containing the shingle, novelty = df==1 fraction.
+    Gate(
+      "txt_novelty",
+      s"""WITH g AS (SELECT doc_id, unnest(${Dedup.SqlShingles}) AS s FROM documents),
+         |h AS (SELECT doc_id, md5(s) AS h FROM g),
+         |df AS (SELECT h, count(*) AS df FROM h GROUP BY h),
+         |per AS (SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS nov
+         |  FROM h JOIN df USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+         |       ELSE CAST(nov AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      noveltyScore(Tables(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     },
 
     // Per-cluster topic terms: docs assigned to pinned centroids

@@ -115,6 +115,62 @@ object Lines {
       sep = "\n\n", joinStr = "\n\n", countCol = "n_paragraphs_removed",
       what = "dedupParagraphs", capName = "maxHotParagraphs")
 
+  /** PER-HOST boilerplate line removal — the trafilatura/fineweb
+    * site-template rule scoped to its natural unit: a line recurring
+    * on ≥ `minFrac` of ONE host's pages is that site's nav/footer
+    * chrome and drops from that host only (a phrase that is
+    * boilerplate on example.com may be content elsewhere — the
+    * corpus-global [[dedupLines]] cannot make that distinction).
+    *
+    * Scale shape: where dedupLines collects a bounded global hot set
+    * to the driver, hosts × lines is unbounded at 100 TB, so this is
+    * the JOIN-shaped variant end to end — (host, digest) df counts
+    * meet the line rows in a hash join keyed by (host, digest), the
+    * anti-join drops hot occurrences, and documents reassemble from
+    * their surviving (idx, line) pairs with one grouped sort. Every
+    * exchange carries digests or single lines, never whole documents.
+    * NULL-text rows pass through with 0 removed; lines shorter than
+    * `minChars` are never considered boilerplate. */
+  def dedupLinesPerHost(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      hostCol: String,
+      minFrac: Double = 0.5,
+      minDocs: Int = 2,
+      minChars: Int = 15): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0,1], got $minFrac")
+    val base = graft.Caches.persist(Dedup.spread(docs)
+      .select(col(idCol).as("__id"), col(hostCol).as("__host"), col(textCol).as("__t")))
+    val lines = graft.Caches.persist(
+      base.select(col("__id"), col("__host"), posexplode(split(col("__t"), "\n")))
+        .select(col("__id"), col("__host"), col("pos").as("__idx"), col("col").as("__line")))
+    val hostDocs = base.groupBy("__host").agg(count(lit(1)).as("__nd"))
+    val hot = lines.filter(length(col("__line")) >= minChars)
+      .select(col("__host"), col("__id"), md5(col("__line")).as("__h")).distinct()
+      .groupBy("__host", "__h").agg(count(lit(1)).as("__df"))
+      .join(hostDocs, Seq("__host"))
+      .filter(col("__df") >= minDocs &&
+        col("__df").cast("double") / col("__nd").cast("double") >= minFrac)
+      .select(col("__host").as("__hh"), col("__h"))
+    val kept = lines.join(hot,
+      col("__host") === col("__hh") && md5(col("__line")) === col("__h"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+            s => s.getField("__line")), "\n").as("__out"))
+    val tot = lines.groupBy("__id").agg(count(lit(1)).as("__nl"))
+    base
+      .join(tot, Seq("__id"), "left")
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__host").as(hostCol),
+        when(col("__t").isNotNull, coalesce(col("__out"), lit(""))).as(textCol),
+        (coalesce(col("__nl"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .cast("int").as("n_lines_removed"))
+  }
+
   private def dedupBlocks(
       docs: DataFrame,
       textCol: String,
@@ -823,6 +879,55 @@ object Lines {
         .select(col("doc_id"), col("n_lines"),
           col("n_lines_removed").as("n_removed"),
           md5(col("text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Per-host boilerplate gate: every doc of a source carries that
+    // source's nav line (host-frac 1.0 → dies), even docs carry its
+    // copyright footer (host-frac ~0.5 → dies at minFrac 0.5), and
+    // the content chunk survives. The oracle replays the per-host df
+    // counts, the frac rule with the identical double division, and
+    // the ordered reassembly.
+    Gate(
+      "fmt_host_boilerplate",
+      s"""WITH w AS (SELECT doc_id, source, regexp_extract_all(text, '${TextAnalysis.WordPattern}') AS ws
+         |           FROM documents),
+         |p AS (SELECT doc_id, source,
+         |    'NAVIGATION MENU OF THE ' || source || ' PORTAL' || chr(10) || $SqlChunkLines ||
+         |    (CASE WHEN doc_id % 2 = 0
+         |     THEN chr(10) || 'COPYRIGHT FOOTER OF THE ' || source || ' PORTAL'
+         |     ELSE '' END) AS page
+         |  FROM w),
+         |l AS (SELECT doc_id, source,
+         |    unnest([{'idx': i, 'line': ls[i]} FOR i IN range(1, len(ls) + 1)],
+         |           recursive := true)
+         |  FROM (SELECT doc_id, source, string_split(page, chr(10)) AS ls FROM p)),
+         |hd AS (SELECT source, count(*) AS nd FROM p GROUP BY source),
+         |lh AS (SELECT DISTINCT doc_id, source, md5(line) AS h FROM l WHERE length(line) >= 15),
+         |hot AS (SELECT lh.source, h FROM lh JOIN hd USING (source)
+         |        GROUP BY lh.source, h, nd
+         |        HAVING count(*) >= 2 AND CAST(count(*) AS DOUBLE) / nd >= 0.5),
+         |k AS (SELECT l.doc_id, l.idx, l.line FROM l
+         |      LEFT JOIN hot ON hot.source = l.source AND hot.h = md5(l.line)
+         |      WHERE hot.h IS NULL),
+         |agg AS (SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY idx), '') AS txt,
+         |        count(*) AS kept FROM k GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS nl FROM l GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(tot.nl - coalesce(agg.kept, 0) AS INT) AS n_lines_removed,
+         |  md5(coalesce(agg.txt, '')) AS cleaned_md5
+         |FROM p JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(
+            lit("NAVIGATION MENU OF THE "), col("source"), lit(" PORTAL\n"),
+            chunkLines(col("text")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("\nCOPYRIGHT FOOTER OF THE "), col("source"), lit(" PORTAL")))
+              .otherwise(lit(""))).as("text"))
+      dedupLinesPerHost(pages, "text", "doc_id", "source",
+        minFrac = 0.5, minDocs = 2, minChars = 15)
+        .select(col("doc_id"), col("n_lines_removed"), md5(col("text")).as("cleaned_md5"))
         .orderBy("doc_id")
     },
 

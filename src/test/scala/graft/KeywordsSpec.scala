@@ -146,6 +146,24 @@ class KeywordsSpec extends SparkSpec {
     assert(!out.exists(_._3 == "common"))
   }
 
+  test("noveltyScore: shared trigrams damp novelty, gram-free docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w"), // trigrams: "x y z" (shared), "y z w" (unique) → 0.5
+      (2L, "x y z q"), // "x y z" (shared), "y z q" (unique) → 0.5
+      (3L, "a b c d"), // both trigrams unique → 1.0
+      (4L, "hi"),      // < 3 words → no trigrams → 0.0
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = operators.Keywords.noveltyScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 0.5)))
+    assert(out(2L) == ((2L, 0.5)))
+    assert(out(3L) == ((2L, 1.0)))
+    assert(out(4L) == ((0L, 0.0)))
+    assert(out(5L) == ((0L, 0.0)))
+    Caches.releaseAll()
+  }
+
   test("rakePhrases breaks on stopwords and punctuation, collapses spaces") {
     import spark.implicits._
     val got = Seq("The   quick fox, and a lazy dog!").toDF("t")

@@ -273,4 +273,27 @@ class LinesSpec extends SparkSpec {
     assert(r.getString(3) == "")
     Caches.releaseAll()
   }
+
+  test("dedupLinesPerHost: removal scoped to the host, order preserved, NULL passes through") {
+    val nav = "SHARED NAVIGATION CHROME LINE"
+    val docs = Seq(
+      // host a: nav on 2 of 2 docs → frac 1.0, removed from a only
+      (1L, "a", s"$nav\nalpha content one\nbeta content two"),
+      (2L, "a", s"gamma content three\n$nav"),
+      // host b: the SAME line appears on 1 of 3 docs → frac 1/3 < 0.5, kept
+      (3L, "b", s"$nav\ndelta content four"),
+      (4L, "b", "epsilon content five"),
+      (5L, "b", "zeta content six"),
+      (6L, "b", null.asInstanceOf[String])).toDF("doc_id", "host", "text")
+    val out = Lines.dedupLinesPerHost(docs, "text", "doc_id", "host",
+        minFrac = 0.5, minDocs = 2, minChars = 15)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("alpha content one\nbeta content two", 1)))
+    assert(out(2L) == (("gamma content three", 1)))
+    // host b keeps the line: per-host scoping is the whole point
+    assert(out(3L) == ((s"$nav\ndelta content four", 0)))
+    assert(out(4L) == (("epsilon content five", 0)))
+    assert(out(6L)._1 == null && out(6L)._2 == 0)
+    Caches.releaseAll()
+  }
 }
