@@ -104,6 +104,24 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Native session windows — Spark's `session_window` operator (the
+    * MergingSessions physical plan, which in streaming gets its own
+    * session-window state store and per-key merge path — a different
+    * engine surface from both [[sessionizeStream]]'s hand-rolled
+    * flatMapGroupsWithState and [[sessionizeBatch]]'s lag windows):
+    * per user, a window extends while events arrive within `gap` of
+    * the last one and closes at last_ts + gap; an event at EXACTLY
+    * the boundary merges (Spark merges adjacent per-event windows,
+    * so the break rule is strictly > gap). Batch-executable with identical semantics, so the
+    * gate pins it against the lag-islands SQL twin. NULL-ts rows are
+    * excluded up front (a session window needs an event time). */
+  def sessionWindowCounts(events: DataFrame, gapSeconds: Int = 1800): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Ordered funnel analysis: for each user, step k counts only if an
     * event of step k's type happens STRICTLY AFTER the user's earliest
     * qualifying time for step k−1 (the classic product-analytics
@@ -434,6 +452,37 @@ object EventStream {
           col("n_rows"), col("v_value_le_100"), col("v_not_error"),
           col("v_has_user"))
         .orderBy("window_start")
+    },
+
+    // Native session-window gate: Spark's session_window operator vs
+    // the lag-islands replay. Break rule is strictly > gap (adjacent
+    // windows merge); end = last_ts + gap. Same-user sessions are
+    // > gap apart, so (user, formatted start) is a collision-free
+    // sort key.
+    Gate(
+      "q36_session_window",
+      """WITH o AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |g AS (SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(en + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n AS n_events
+        |FROM g ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      sessionWindowCounts(Tables(s, dir, "events"), gapSeconds = 1800)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     },
 
     // Stream-stream join gate (batch execution of the identical

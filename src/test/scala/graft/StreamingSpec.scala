@@ -33,6 +33,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("10", "click", 2L, 3.0), ("11", "view", 1L, 5.0)))
   }
 
+  test("native session_window runs as a stream with watermark, matches the batch result") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+
+    val query = EventStream.sessionWindowCounts(df.withWatermark("ts", "1 hour"), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sesswin").outputMode("complete").start()
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")), // session A
+      (1L, ts("2024-01-01 10:15:00")), // exactly gap after 10:05 → MERGES (adjacent windows merge)
+      (1L, ts("2024-01-01 10:40:00")), // > gap after 10:15 → new session
+      (2L, ts("2024-01-01 10:00:00")))
+    input.addData(events: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sesswin")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    query.stop()
+    val batch = EventStream.sessionWindowCounts(
+        events.toDF("user_id", "ts"), gapSeconds = 600)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed == batch, "stream and batch session windows must agree")
+    assert(batch == Set(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:25:00"), 3L),
+      (1L, ts("2024-01-01 10:40:00"), ts("2024-01-01 10:50:00"), 1L),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 1L)))
+  }
+
   test("streaming sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
