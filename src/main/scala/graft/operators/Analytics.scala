@@ -88,6 +88,27 @@ object Analytics {
           .as("coverage"))
   }
 
+  /** The q38 recursive-CTE text, shared VERBATIM by Spark and the
+    * oracle: two arithmetic successor edges per doc, breadth-first
+    * walk from doc 0 capped at depth 10 (≤ 2^11 path rows before the
+    * fold — the cap, not the data, bounds the loop), then min-hops +
+    * path-count per reached node. */
+  val SqlReachabilityRcte: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+      |  FROM documents
+      |), r AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT e.dst AS node, r.depth + 1 AS depth
+      |  FROM r JOIN e ON e.src = r.node WHERE r.depth < 10
+      |)
+      |SELECT node, CAST(min(depth) AS INT) AS hops, CAST(count(*) AS BIGINT) AS n_paths
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
+
   val gates: Seq[Gate] = Seq(
 
     // FK audit gate: a clean relationship (lineitem→orders, coverage
@@ -449,6 +470,41 @@ object Analytics {
         .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
           min("k").as("k_min"), max("k").as("k_max"))
         .orderBy("event_type")
+    },
+
+    // VARIANT gate (Spark 4's semi-structured type): props parse to a
+    // real VariantType column (parse_json), typed extraction runs
+    // through variant_get's codegen path, and try_variant_get on an
+    // absent key must yield NULL (counted, expected 0) rather than
+    // erroring. Functionally equivalent to q20's string extraction —
+    // the point is the variant engine surface; DuckDB replays via its
+    // JSON extraction.
+    Gate(
+      "q37_variant",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(0 AS BIGINT) AS n_missing_key
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+          try_variant_get(parse_json(col("props")), "$.does_not_exist", "string").as("m"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          count(col("m")).as("n_missing_key"))
+        .orderBy("event_type")
+    },
+
+    // Recursive CTE gate (Spark 4's WITH RECURSIVE → UnionLoopExec):
+    // breadth-first reachability from doc 0 over the two modular-hop
+    // edges, depth-capped; per reached node the minimum hop count and
+    // the number of distinct paths. ONE SQL string runs verbatim on
+    // both engines — the whole point: the recursion is engine-native
+    // on each side, not hand-rolled iteration (that shape lives in
+    // Clusters).
+    Gate("q38_recursive_cte", SqlReachabilityRcte) { (s, dir) =>
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(SqlReachabilityRcte)
     },
 
     Gate(

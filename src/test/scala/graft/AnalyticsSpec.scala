@@ -35,4 +35,18 @@ class AnalyticsSpec extends SparkSpec {
       ("a", 0.5, 5.0), ("a", 1.0, 5.0),
       ("b", 0.5, 1.5), ("b", 1.0, 3.0)))
   }
+
+  test("q38 runs Spark-NATIVE recursion (UnionLoopExec); q37 extracts through a real VariantType") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q38_recursive_cte")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), s"expected UnionLoopExec in the physical plan:\n$plan")
+    // node 0's self-walk: hop 0, exactly one zero-length path
+    val r0 = df.filter(col("node") === 0).head()
+    assert(r0.getInt(1) == 0 && r0.getLong(2) >= 1L)
+    val v = Tables(spark, sfDir, "events")
+      .select(parse_json(col("props")).as("v"))
+    assert(v.schema("v").dataType.typeName == "variant",
+      s"parse_json must produce VariantType, got ${v.schema("v").dataType}")
+  }
 }
