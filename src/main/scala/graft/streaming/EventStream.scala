@@ -104,6 +104,44 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  final case class UserTotal(user_id: Long, n_total: Long)
+
+  /** Per-user running totals on Spark 4's `transformWithState` — the
+    * NEW arbitrary-state streaming API (StatefulProcessor + named
+    * typed state handles on the RocksDB state store) that supersedes
+    * mapGroupsWithState: state is declared per-name with its own
+    * encoder and TTL policy instead of one opaque blob, so a 100 TB
+    * streaming job can evolve state schema and let the store expire
+    * idle keys without hand-rolled timeout plumbing. The processor
+    * keeps one ValueState[Long] per user and emits the cumulative
+    * count every micro-batch the user appears in — the last emission
+    * per user equals the batch groupBy count, which is what the spec
+    * pins. Requires the RocksDB state store provider (the only
+    * provider implementing transformWithState). */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserTotal] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserTotal(user, n))
+    }
+  }
+
+  def runningCountsStream(events: Dataset[EventRow]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Native session windows — Spark's `session_window` operator (the
     * MergingSessions physical plan, which in streaming gets its own
     * session-window state store and per-key merge path — a different

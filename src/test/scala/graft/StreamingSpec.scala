@@ -62,6 +62,36 @@ class StreamingSpec extends SparkSpec {
       (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 1L)))
   }
 
+  test("transformWithState (StatefulProcessor + RocksDB store): state persists across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.EventRow]
+      val query = EventStream.runningCountsStream(input.toDS())
+        .writeStream.format("memory").queryName("twscounts").outputMode("append").start()
+      input.addData(EventStream.EventRow(1L, 10L), EventStream.EventRow(1L, 20L),
+        EventStream.EventRow(2L, 30L))
+      query.processAllAvailable()
+      input.addData(EventStream.EventRow(1L, 40L)) // batch 2: state must carry 2 → 3
+      query.processAllAvailable()
+      val rows = spark.table("twscounts").as[EventStream.UserTotal].collect()
+      query.stop()
+      // last emission per user equals the overall batch count
+      val last = rows.groupBy(_.user_id).map { case (u, xs) => u -> xs.map(_.n_total).max }
+      assert(last == Map(1L -> 3L, 2L -> 1L))
+      // user 1 emitted twice: cumulative 2 then 3 — proof state persisted
+      assert(rows.filter(_.user_id == 1L).map(_.n_total).sorted.toSeq == Seq(2L, 3L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
