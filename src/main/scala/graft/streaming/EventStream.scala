@@ -142,6 +142,61 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TsEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class ClosedSession(user_id: Long, n_events: Long)
+
+  /** Gap sessionization on the NEW API with EVENT-TIME TIMERS: events
+    * accumulate per user; every batch re-arms one timer at
+    * last_event + gap, and the session is emitted from
+    * `handleExpiredTimer` when the WATERMARK passes that expiry — the
+    * idiomatic transformWithState session recipe (vs
+    * [[sessionizeStream]]'s emit-on-next-event flatMapGroupsWithState,
+    * which can never close a user's final session; the timer path
+    * closes it as soon as the watermark moves, no further events
+    * needed). State: two ValueState handles + the store's own timer
+    * registry, all bounded per live user. */
+  class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TsEvent, ClosedSession] {
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var lastTs: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[TsEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      rows.foreach { r => n += 1; last = math.max(last, r.ts.getTime) }
+      cnt.update(n); lastTs.update(last)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      cnt.clear(); lastTs.clear()
+      if (n > 0) Iterator.single(ClosedSession(user, n)) else Iterator.empty
+    }
+  }
+
+  /** [[TimerSessionProcessor]] wired: needs a watermark on `ts` (the
+    * timer fires off watermark advance) and the RocksDB provider. */
+  def timerSessionsStream(events: Dataset[TsEvent], gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Native session windows — Spark's `session_window` operator (the
     * MergingSessions physical plan, which in streaming gets its own
     * session-window state store and per-key merge path — a different

@@ -69,9 +69,11 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
       val input = MemoryStream[EventStream.EventRow]
       val query = EventStream.runningCountsStream(input.toDS())
-        .writeStream.format("memory").queryName("twscounts").outputMode("append").start()
+        .writeStream.format("memory").queryName("twscounts")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
       input.addData(EventStream.EventRow(1L, 10L), EventStream.EventRow(1L, 20L),
         EventStream.EventRow(2L, 30L))
       query.processAllAvailable()
@@ -84,6 +86,52 @@ class StreamingSpec extends SparkSpec {
       assert(last == Map(1L -> 3L, 2L -> 1L))
       // user 1 emitted twice: cumulative 2 then 3 — proof state persisted
       assert(rows.filter(_.user_id == 1L).map(_.n_total).sorted.toSeq == Seq(2L, 3L))
+      // the checkpointed state itself is a queryable TABLE (Spark 4
+      // state data source) — the ops surface for auditing/migrating
+      // streaming state without replaying the stream
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "count")
+        .load(ckpt)
+        .select(col("key.value").as("user_id"), col("value.value").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(state == Map(1L -> 3L, 2L -> 1L),
+        s"state source must expose the final per-user counts, got $state")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("event-time timers close sessions on watermark advance, no further user events needed") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.TsEvent]
+      val query = EventStream.timerSessionsStream(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("timersess").outputMode("append").start()
+      // user 1: two events 5 min apart — one session of 2
+      input.addData(
+        EventStream.TsEvent(1L, ts("2024-01-01 10:00:00")),
+        EventStream.TsEvent(1L, ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      // a DIFFERENT user's much-later event advances the watermark past
+      // user 1's 10:35 expiry — the flatMapGroupsWithState version could
+      // never close user 1 here (no user-1 event arrives again)
+      input.addData(EventStream.TsEvent(2L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      input.addData(EventStream.TsEvent(3L, ts("2024-01-01 14:00:00")))
+      query.processAllAvailable()
+      val sessions = spark.table("timersess").as[EventStream.ClosedSession].collect().toSet
+      query.stop()
+      assert(sessions.contains(EventStream.ClosedSession(1L, 2L)),
+        s"user 1's session must close via the timer, got $sessions")
+      assert(!sessions.exists(s => s.user_id == 3L),
+        "user 3's expiry is past the final watermark — must still be open")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
