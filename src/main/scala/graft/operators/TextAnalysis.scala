@@ -487,6 +487,20 @@ object TextAnalysis {
     s"len(list_filter($toksExpr, t -> list_contains($lst, t)))"
   }
 
+  /** The langId replay shared by the txt_langid and rpt_lang_confusion
+    * oracles: (CTE prefix `t, m` carrying doc_id/lang/toks/__mx, the
+    * marker-argmax CASE expression). */
+  private def sqlLangIdParts: (String, String) = {
+    val hits = LangMarkers.map { case (l, m) => l -> sqlMarkerHits("toks", m) }
+    val maxh = hits.map(_._2).mkString("greatest(", ", ", ")")
+    val caseExpr = hits.map { case (l, h) =>
+      s"WHEN $h = __mx AND $h > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    (s"""t AS (SELECT doc_id, lang, $SqlWordsLower AS toks FROM documents),
+        |m AS (SELECT doc_id, lang, toks, $maxh AS __mx FROM t)""".stripMargin,
+      caseExpr)
+  }
+
   /** Unicode-script character profile — the multilingual-corpus
     * triage BEFORE n-gram language ID (script is cheap, certain, and
     * splits the world: Cyrillic text never needs an English/French
@@ -936,19 +950,33 @@ object TextAnalysis {
 
     Gate(
       "txt_langid", {
-        val toks = "toks"
-        val hits = LangMarkers.map { case (l, m) => l -> sqlMarkerHits(toks, m) }
-        val maxh = hits.map(_._2).mkString("greatest(", ", ", ")")
-        val caseExpr = hits.map { case (l, h) =>
-          s"WHEN $h = __mx AND $h > 0 THEN '$l'"
-        }.mkString("CASE ", " ", " ELSE 'und' END")
-        s"""WITH t AS (SELECT doc_id, $SqlWordsLower AS toks FROM documents),
-           |m AS (SELECT doc_id, toks, $maxh AS __mx FROM t)
+        val (cte, caseExpr) = sqlLangIdParts
+        s"""WITH $cte
            |SELECT doc_id, $caseExpr AS detected_lang FROM m ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), langId(col("text")).as("detected_lang"))
         .orderBy("doc_id")
+    },
+
+    // Language confusion matrix: declared metadata lang × detected
+    // lang with counts — the eval artifact a langid swap ships with
+    // (which declared languages does the detector disagree on, and
+    // how often). One grouped count over the same narrow scoring
+    // pass; the oracle reuses txt_langid's marker CASE verbatim.
+    Gate(
+      "rpt_lang_confusion", {
+        val (cte, caseExpr) = sqlLangIdParts
+        s"""WITH $cte,
+           |d AS (SELECT lang AS meta_lang, $caseExpr AS detected_lang FROM m)
+           |SELECT meta_lang, detected_lang, count(*) AS n
+           |FROM d GROUP BY meta_lang, detected_lang
+           |ORDER BY meta_lang, detected_lang""".stripMargin
+      }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang").as("meta_lang"), langId(col("text")).as("detected_lang"))
+        .groupBy("meta_lang", "detected_lang").agg(count(lit(1)).as("n"))
+        .orderBy("meta_lang", "detected_lang")
     },
 
     Gate(

@@ -104,6 +104,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("initial state seeds tws counters from a batch table (the state-migration recipe)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seed = Seq(EventStream.UserTotal(1L, 100L), EventStream.UserTotal(9L, 5L)).toDS()
+      val input = MemoryStream[EventStream.EventRow]
+      val query = EventStream.runningCountsStreamSeeded(input.toDS(), seed)
+        .writeStream.format("memory").queryName("seeded").outputMode("append").start()
+      input.addData(EventStream.EventRow(1L, 10L), EventStream.EventRow(2L, 20L))
+      query.processAllAvailable()
+      val rows = spark.table("seeded").as[EventStream.UserTotal].collect()
+        .map(t => t.user_id -> t.n_total).toMap
+      query.stop()
+      // user 1 continues from the seeded 100; user 2 starts cold at 1;
+      // seeded-but-silent user 9 emits nothing (state present, no input)
+      assert(rows == Map(1L -> 101L, 2L -> 1L), s"got $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions on watermark advance, no further user events needed") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
