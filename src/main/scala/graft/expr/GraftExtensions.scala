@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[StringSetContains].getName, "graft_set_contains"),
         (args: Seq[Expression]) => StringSetContains(args.head, args(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("graft_lz78"),
+        new ExpressionInfo(classOf[Lz78Count].getName, "graft_lz78"),
+        (args: Seq[Expression]) => Lz78Count(args.head)))
+    ext.injectFunction(
       (new FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         (args: Seq[Expression]) => NfcNormalize(args.head)))
@@ -148,6 +152,8 @@ object GraftExtensions {
       "graft_set_contains", es => StringSetContains(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lz78", es => Lz78Count(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_strip_accents", es => StripAccents(es.head), "built-in")
     reg.createOrReplaceTempFunction(

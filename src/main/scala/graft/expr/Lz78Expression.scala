@@ -1,0 +1,60 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+object Lz78Kernel {
+  /** LZ78 phrase count — the Lempel-Ziv complexity of a string
+    * (Lempel & Ziv 1976, "On the complexity of finite sequences"):
+    * the incremental parse grows a phrase w one codepoint at a time;
+    * the first time w is NOT a previously recorded phrase it is
+    * recorded and w resets; a trailing partial phrase counts once.
+    * Low phrase count relative to length ⇔ highly compressible ⇔ the
+    * repetitive/template/spam text that gzip-ratio quality signals
+    * (RedPajama-V2 / Dolma) flag — this is that signal without
+    * shelling out to a codec, and with an exact cross-engine replay
+    * (the parse is integer/string-exact, so a recursive-CTE oracle
+    * reproduces it bit-for-bit, which a real deflate ratio cannot).
+    * Codepoint-stepped so engines that index strings by codepoint
+    * (DuckDB substr) see the identical parse. */
+  def phrases(s: UTF8String): Int = {
+    val str = s.toString
+    val dict = new java.util.HashSet[String]()
+    val w = new java.lang.StringBuilder
+    var cnt = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      w.appendCodePoint(cp)
+      if (!dict.contains(w.toString)) {
+        dict.add(w.toString)
+        cnt += 1
+        w.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (w.length > 0) cnt += 1
+    cnt
+  }
+
+  def phrasesBoxed(s: UTF8String): java.lang.Integer = Integer.valueOf(phrases(s))
+}
+
+/** `graft_lz78(str)` → LZ78 phrase count (null in → null out). Same
+  * codegen shape as [[NfcNormalize]]: one static call fused into the
+  * scan stage, no UDF boundary. */
+case class Lz78Count(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Lz78Kernel.phrases(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Lz78Kernel.phrases($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Lz78Count =
+    copy(child = newChild)
+}

@@ -979,6 +979,46 @@ object TextAnalysis {
         .orderBy("meta_lang", "detected_lang")
     },
 
+    // Lempel-Ziv complexity gate (the gzip-ratio quality signal,
+    // codec-free and exactly replayable): the codegen `graft_lz78`
+    // kernel parses the first 200 lowercased chars of every 10th doc;
+    // the oracle replays the IDENTICAL char-by-char incremental parse
+    // as a recursive CTE carrying (pos, open phrase, dictionary,
+    // count) — integer/string-exact, no float surface. The doc subset
+    // bounds the oracle's recursion work, not the engine's (the
+    // kernel is a narrow per-row call at any scale).
+    Gate(
+      "txt_lz78",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lower(substr(text, 1, 200)) AS s
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |r AS (
+        |  SELECT doc_id, 1 AS pos, '' AS w, CAST([] AS VARCHAR[]) AS dict, 0 AS cnt, s
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, pos + 1,
+        |    CASE WHEN list_contains(dict, w || substr(s, pos, 1))
+        |         THEN w || substr(s, pos, 1) ELSE '' END,
+        |    CASE WHEN list_contains(dict, w || substr(s, pos, 1))
+        |         THEN dict ELSE list_append(dict, w || substr(s, pos, 1)) END,
+        |    CASE WHEN list_contains(dict, w || substr(s, pos, 1))
+        |         THEN cnt ELSE cnt + 1 END,
+        |    s
+        |  FROM r WHERE pos <= length(s)),
+        |f AS (SELECT doc_id, cnt + CASE WHEN w <> '' THEN 1 ELSE 0 END AS phrases
+        |      FROM r WHERE pos = length(s) + 1)
+        |SELECT d.doc_id, CAST(length(d.s) AS INT) AS n_chars,
+        |  CAST(coalesce(f.phrases, 0) AS INT) AS lz78_phrases
+        |FROM d LEFT JOIN f USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.expr.GraftExtensions.register(s)
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 200)).as("__s"))
+        .select(col("doc_id"), length(col("__s")).cast("int").as("n_chars"),
+          coalesce(call_function("graft_lz78", col("__s")), lit(0))
+            .cast("int").as("lz78_phrases"))
+        .orderBy("doc_id")
+    },
+
     Gate(
       "txt_quality", {
         val toks = SqlWords

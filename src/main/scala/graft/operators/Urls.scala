@@ -299,7 +299,67 @@ object Urls {
     s"(CASE WHEN $netloc = '' THEN NULL ELSE $host END)"
   }
 
+  /** Sitemap.xml URL-set parse — the crawl-frontier seed step (the
+    * robots.txt companion: sitemaps declare what a host WANTS crawled,
+    * with freshness hints): `<url>` blocks → (loc, lastmod) structs,
+    * loc-less blocks dropped, lastmod "" when absent. All codegen
+    * column ops (split + per-block regexp), narrow, scan-fused — a
+    * 100 TB crawl parses sitemaps inside the fetch-result scan. */
+  def parseSitemap(xml: Column): Column =
+    filter(
+      transform(split(xml, "</url>"), b =>
+        struct(
+          regexp_extract(b, "<loc>([^<]+)</loc>", 1).as("loc"),
+          regexp_extract(b, "<lastmod>([^<]+)</lastmod>", 1).as("lastmod"))),
+      s => s.getField("loc") =!= "")
+
+  /** Sitemap INDEX parse — the `<sitemap>` blocks of a sitemapindex
+    * file (hosts shard large url-sets across child sitemaps); same
+    * shape, child sitemap locations out. */
+  def parseSitemapIndex(xml: Column): Column =
+    filter(
+      transform(split(xml, "</sitemap>"), b =>
+        struct(
+          regexp_extract(b, "<loc>([^<]+)</loc>", 1).as("loc"),
+          regexp_extract(b, "<lastmod>([^<]+)</lastmod>", 1).as("lastmod"))),
+      s => s.getField("loc") =!= "")
+
   val gates: Seq[Gate] = Seq(
+    // Sitemap gate: per-doc fixture sitemaps with a lastmod-bearing
+    // url, a lastmod-less url (the "" path), and on every 5th doc a
+    // loc-less block that must be dropped. The oracle replays the
+    // split + per-block regexes.
+    Gate(
+      "src_sitemap",
+      """WITH x AS (SELECT doc_id,
+        |    '<?xml version="1.0"?><urlset><url><loc>https://site.example/p/' || doc_id ||
+        |    '</loc><lastmod>2024-01-0' || ((doc_id % 9) + 1) || '</lastmod></url>' ||
+        |    '<url><loc>https://site.example/p/' || (doc_id + 1) || '</loc></url>' ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN '<url><lastmod>2099-01-01</lastmod></url>' ELSE '' END) ||
+        |    '</urlset>' AS xml
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(string_split(xml, '</url>')) AS blk FROM x),
+        |e AS (SELECT doc_id,
+        |    coalesce(regexp_extract(blk, '<loc>([^<]+)</loc>', 1), '') AS loc,
+        |    coalesce(regexp_extract(blk, '<lastmod>([^<]+)</lastmod>', 1), '') AS lastmod
+        |  FROM b)
+        |SELECT doc_id, loc, lastmod FROM e WHERE loc <> ''
+        |ORDER BY doc_id, loc""".stripMargin) { (s, dir) =>
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://site.example/p/"),
+        col("doc_id"),
+        lit("</loc><lastmod>2024-01-0"), (col("doc_id") % 9) + 1,
+        lit("</lastmod></url><url><loc>https://site.example/p/"), col("doc_id") + 1,
+        lit("</loc></url>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<url><lastmod>2099-01-01</lastmod></url>")).otherwise(lit("")),
+        lit("</urlset>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(parseSitemap(xml)).as("u"))
+        .select(col("doc_id"), col("u.loc").as("loc"), col("u.lastmod").as("lastmod"))
+        .orderBy("doc_id", "loc")
+    },
     // Per-host cap over the synthesized url mix (a handful of
     // source-derived hosts plus the NULL bucket): keep each host's
     // top-5 docs by text length, ties to the lower doc_id. The

@@ -698,6 +698,28 @@ class PropertySpec extends SparkSpec {
     assert(n == "application/octet-stream")
   }
 
+  test("graft_lz78: hand-computed parses, repetition compresses, codepoint-stepped") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    def lz(s: String): Int = Seq(Tuple1(s)).toDF("t")
+      .select(call_function("graft_lz78", col("t")).as("n")).head().getInt(0)
+    assert(lz("") == 0)
+    assert(lz("aaabbb") == 4) // a | aa | b | bb
+    assert(lz("abcdef") == 6) // every phrase one char
+    assert(lz("aaaaaa") == 3) // a | aa | aaa
+    assert(lz("ééé") == 2) // é | éé — codepoints, not UTF-8 bytes
+    // repetitive text parses into far fewer phrases than varied text
+    // of the same length — the compressibility quality signal
+    val rep = "spam " * 40
+    val varied = (0 until 200).map(i => ('a' + (i * 7 + i * i % 11) % 26).toChar).mkString
+    assert(rep.length == varied.length)
+    assert(lz(rep) < lz(varied) / 2, s"rep=${lz(rep)} varied=${lz(varied)}")
+    // null in → null out
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(call_function("graft_lz78", col("t")).as("n")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("detectEncoding: BOM precedence, RFC 3629 edge bytes, truncated/overlong/surrogate reject") {
     import spark.implicits._
     def det(hexStr: String): String =

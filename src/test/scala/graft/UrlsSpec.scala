@@ -132,4 +132,31 @@ class UrlsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(3L, 9L))
   }
+
+  test("parseSitemap: loc+lastmod pairs, loc-less blocks dropped, index variant parses <sitemap>") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://a.example/1</loc><lastmod>2024-03-01</lastmod></url>
+        |<url><loc>https://a.example/2</loc></url>
+        |<url><lastmod>2099-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val got = Seq(Tuple1(xml)).toDF("x")
+      .select(explode(operators.Urls.parseSitemap(col("x"))).as("u"))
+      .select("u.loc", "u.lastmod")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("https://a.example/1", "2024-03-01"),
+      ("https://a.example/2", "")))
+    val idx =
+      """<sitemapindex>
+        |<sitemap><loc>https://a.example/sm1.xml</loc><lastmod>2024-01-01</lastmod></sitemap>
+        |<sitemap><loc>https://a.example/sm2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val children = Seq(Tuple1(idx)).toDF("x")
+      .select(explode(operators.Urls.parseSitemapIndex(col("x"))).as("u"))
+      .select("u.loc").collect().map(_.getString(0)).toSeq
+    assert(children == Seq("https://a.example/sm1.xml", "https://a.example/sm2.xml"))
+  }
 }
