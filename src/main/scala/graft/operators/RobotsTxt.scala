@@ -38,7 +38,8 @@ object RobotsTxt {
     def specificity: Int = pattern.length
   }
 
-  final case class Group(agents: Seq[String], rules: Seq[Rule]) {
+  final case class Group(
+      agents: Seq[String], rules: Seq[Rule], crawlDelay: Option[Double] = None) {
     def appliesTo(ua: String): Boolean = {
       val u = ua.toLowerCase
       agents.exists(a => a == u || u.startsWith(a + "/") || a == u.takeWhile(_ != '/'))
@@ -49,15 +50,24 @@ object RobotsTxt {
   final case class Rules(groups: Seq[Group]) {
     /** True if `ua` may fetch `path`. */
     def canFetch(path: String, ua: String): Boolean = {
-      val specific = groups.filter(_.appliesTo(ua))
-      val applicable =
-        if (specific.nonEmpty) specific else groups.filter(_.isWildcard)
-      val matching = applicable.flatMap(_.rules).filter(_.matches(path))
+      val matching = applicable(ua).flatMap(_.rules).filter(_.matches(path))
       if (matching.isEmpty) true
       else {
         val best = matching.maxBy(r => (r.specificity, r.allow))
         best.allow
       }
+    }
+
+    /** Crawl-delay seconds for `ua` (group-scoped like the path
+      * rules: the ua's own group wins over the `*` group; None when
+      * no applicable group declares one) — the politeness budget a
+      * crawl scheduler feeds per-host rate limiting. */
+    def crawlDelay(ua: String): Option[Double] =
+      applicable(ua).flatMap(_.crawlDelay).headOption
+
+    private def applicable(ua: String): Seq[Group] = {
+      val specific = groups.filter(_.appliesTo(ua))
+      if (specific.nonEmpty) specific else groups.filter(_.isWildcard)
     }
   }
 
@@ -65,10 +75,11 @@ object RobotsTxt {
     var groups = Vector.empty[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay = Option.empty[Double]
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups :+= Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; inRules = false
+      if (agents.nonEmpty) groups :+= Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
     }
     for (raw <- content.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
@@ -84,13 +95,27 @@ object RobotsTxt {
             inRules = true; rules :+= Rule(allow = true, value)
           case "disallow" =>
             inRules = true; rules :+= Rule(allow = false, value)
-          case _ => () // crawl-delay, sitemap, … ignored
+          case "crawl-delay" =>
+            inRules = true; delay = value.toDoubleOption.filter(_ >= 0)
+          case _ => () // sitemap is FILE-level, not group-scoped → robotsSitemaps
         }
       }
     }
     flush()
     Rules(groups)
   }
+
+  /** `Sitemap:` directives of a robots.txt content column — per RFC
+    * 9309 §2.3 / sitemaps.org these are FILE-level (not group-scoped),
+    * so a single case-insensitive multiline regex extracts them as a
+    * codegen column op; commented lines don't match the line anchor.
+    * Feed the results to [[Urls.parseSitemap]]/[[Urls.parseSitemapIndex]]
+    * — together the crawl-frontier discovery chain. */
+  def robotsSitemaps(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_extract_all(
+      content,
+      org.apache.spark.sql.functions.lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"),
+      org.apache.spark.sql.functions.lit(1))
 
   /** Default crawler list to honor, mirroring the reference's
     * `_DEFAULT_REMOVE_USER_AGENTS` (robots_filter.py:12-27).

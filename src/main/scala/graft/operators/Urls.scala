@@ -360,6 +360,34 @@ object Urls {
         .select(col("doc_id"), col("u.loc").as("loc"), col("u.lastmod").as("lastmod"))
         .orderBy("doc_id", "loc")
     },
+
+    // Robots sitemap-discovery gate: per-doc robots.txt fixtures with
+    // a canonical Sitemap line, a lowercase variant on every 3rd doc,
+    // and a COMMENTED line that the line anchor must reject. The
+    // oracle replays the same (?im) extraction.
+    Gate(
+      "src_robots_sitemaps",
+      """WITH x AS (SELECT doc_id,
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    'Sitemap: https://site.example/sm/' || doc_id || '.xml' || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN 'sitemap: https://site.example/extra.xml' || chr(10) ELSE '' END) ||
+        |    '# Sitemap: https://site.example/commented.xml' AS robots
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(robots, '(?im)^\s*sitemap\s*:\s*(\S+)', 1)) AS sitemap
+        |  FROM x)
+        |SELECT doc_id, sitemap FROM e ORDER BY doc_id, sitemap""".stripMargin) { (s, dir) =>
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private\nSitemap: https://site.example/sm/"),
+        col("doc_id"), lit(".xml\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("sitemap: https://site.example/extra.xml\n")).otherwise(lit("")),
+        lit("# Sitemap: https://site.example/commented.xml"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(RobotsTxt.robotsSitemaps(robots)).as("sitemap"))
+        .orderBy("doc_id", "sitemap")
+    },
     // Per-host cap over the synthesized url mix (a handful of
     // source-derived hosts plus the NULL bucket): keep each host's
     // top-5 docs by text length, ties to the lower doc_id. The

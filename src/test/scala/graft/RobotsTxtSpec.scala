@@ -67,4 +67,24 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(RobotsTxt.pathOf("https://x.example.com/a/b?q=1") == "/a/b?q=1")
     assert(RobotsTxt.pathOf("https://x.example.com") == "/")
   }
+
+  test("crawl-delay is group-scoped: ua group beats *, absent and garbage yield None") {
+    val rules = RobotsTxt.parse(
+      """User-agent: gptbot
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /y
+        |
+        |User-agent: badbot
+        |Crawl-delay: not-a-number
+        |Disallow: /z""".stripMargin)
+    assert(rules.crawlDelay("GPTBot") == Some(2.5))
+    assert(rules.crawlDelay("SomeOtherBot") == Some(10.0)) // falls to the * group
+    assert(rules.crawlDelay("badbot").isEmpty) // unparseable value → None, not crash
+    val none = RobotsTxt.parse("User-agent: *\nDisallow: /a")
+    assert(none.crawlDelay("anybot").isEmpty)
+  }
 }
