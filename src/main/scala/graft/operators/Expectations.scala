@@ -114,6 +114,32 @@ object Expectations {
         }.as("jaccard"))
   }
 
+  /** Differentially-private count release (Dwork et al. 2006, the
+    * Laplace mechanism: counting queries have sensitivity 1, so
+    * adding Laplace(1/ε) noise to each group count gives ε-DP) — the
+    * privacy companion of [[kAnonymity]] for publishing corpus
+    * statistics. Noise draws use the portable LCG keyed on a 32-bit
+    * digest of the group key, inverse-CDF transformed
+    * (−(1/ε)·sign(u−½)·ln(1−2|u−½|)), so the release is exactly
+    * reproducible and oracle-replayable; a production release swaps
+    * the keyed LCG for a secure RNG — same mechanism, different
+    * noise source — and this trade is deliberate and documented.
+    * Scale shape: one map-side-combined grouped count; the noise is
+    * a narrow per-group expression. */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, epsilon: Double): DataFrame = {
+    require(epsilon > 0, "dpNoisyCounts: epsilon must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val u = graft.Cols.lcgUniform(TextAnalysis.h32(col(keyCol).cast("string"))) +
+      lit(0.5 / 2147483648.0)
+    counts.select(col(keyCol), col("n"),
+      graft.Cols.bind(u - lit(0.5)) { d =>
+        graft.Cols.bind(signum(d)) { sg =>
+          val mag = graft.Cols.pround(log(lit(1.0) - lit(2.0) * abs(d)), 8)
+          graft.Cols.pround(col("n") + lit(-1.0 / epsilon) * sg * mag, 4)
+        }
+      }.as("noisy_n"))
+  }
+
   // Expectations gate: four rules with planted violation classes in
   // the raw documents table (range, regex, non-empty, uniqueness) —
   // the oracle computes each count with the same NULL-is-violation
@@ -169,6 +195,25 @@ object Expectations {
           .withColumn("chars_band", col("n_chars") % 100),
         Seq("source", "lang", "chars_band"), k = 20)
         .orderBy("size_band")
+    },
+
+    // DP-counts gate: per-source Laplace-noised counts at ε=4, the
+    // keyed-LCG noise replayed end to end (h32 of the key → LCG
+    // uniform → inverse CDF with the identical pround-8 ln).
+    Gate(
+      "rpt_dp_counts", {
+        val h32 = "CAST(CAST('0x'||substr(md5(source),1,8) AS UBIGINT) AS BIGINT)"
+        val u = s"(${Cols.lcgUniformSql(h32)} + ${0.5 / 2147483648.0})"
+        s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |v AS (SELECT source, n, $u - 0.5 AS d FROM c)
+           |SELECT source, n,
+           |  ${Cols.proundSql(
+            s"n + ${-1.0 / 4.0} * sign(d) * ${Cols.proundSql("ln(1.0 - 2.0 * abs(d))", 8)}",
+            4)} AS noisy_n
+           |FROM v ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      dpNoisyCounts(Tables(s, dir, "documents"), "source", epsilon = 4.0)
+        .orderBy("source")
     },
 
     // Filter agreement gate: three compact deterministic kill signals

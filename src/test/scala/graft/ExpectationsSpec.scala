@@ -53,6 +53,26 @@ class ExpectationsSpec extends SparkSpec {
     assert(ok.toSeq == Seq((3, false)))
   }
 
+  test("dpNoisyCounts: deterministic keyed noise, magnitude scales as 1/epsilon") {
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(7)("c")).toDF("k")
+    def run(eps: Double) = Expectations.dpNoisyCounts(df, "k", eps)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val e1 = run(1.0)
+    assert(e1.map { case (k, v) => k -> v._1 } == Map("a" -> 40L, "b" -> 25L, "c" -> 7L))
+    // deterministic: same key, same release
+    assert(run(1.0) == e1)
+    // every count is actually perturbed (keyed noise is a.s. nonzero)
+    assert(e1.forall { case (_, (n, noisy)) => noisy != n.toDouble })
+    // ε=10 noise is 10× smaller than ε=1 noise for the same key draw
+    val e10 = run(10.0)
+    Seq("a", "b", "c").foreach { k =>
+      val d1 = math.abs(e1(k)._2 - e1(k)._1)
+      val d10 = math.abs(e10(k)._2 - e10(k)._1)
+      assert(d10 < d1, s"key $k: eps=10 noise $d10 must shrink vs eps=1 $d1")
+    }
+  }
+
   test("filterOverlap: hand-computed pair counts, jaccard, NULL-is-kept, zero-den is 0.0") {
     import org.apache.spark.sql.functions._
     // a: kills rows 1,2,3   b: kills rows 2,3,4   c: kills nothing
