@@ -182,6 +182,51 @@ object EventStream {
         seed.groupByKey(_.user_id))
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeProfile(user_id: Long, event_type: String, n_type: Long, recent: Seq[String])
+
+  /** Per-user behavior profile on the remaining new-API state types:
+    * a MapState (event_type → running count — per-entry point
+    * updates, no read-modify-write of one serialized blob, which is
+    * the practical win over mapGroupsWithState for high-cardinality
+    * per-key maps) and a ListState holding the K most recent event
+    * types (appendValue + trimmed rewrite). Emits, per input row, the
+    * updated (type count, recent window) — the feature-extraction
+    * shape of an online "user taste vector". */
+  class TypeProfileProcessor(recentK: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeProfile] {
+    @transient private var byType: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      byType = getHandle.getMapState[String, Long]("byType",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      recent = getHandle.getListState[String]("recent",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeProfile] = {
+      rows.map { r =>
+        val n = (if (byType.containsKey(r.event_type)) byType.getValue(r.event_type) else 0L) + 1L
+        byType.updateValue(r.event_type, n)
+        recent.appendValue(r.event_type)
+        val win = recent.get().toSeq.takeRight(recentK)
+        recent.put(win.toArray)
+        TypeProfile(user, r.event_type, n, win)
+      }
+    }
+  }
+
+  def typeProfileStream(events: Dataset[TypedEvent], recentK: Int = 3): Dataset[TypeProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeProfileProcessor(recentK),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TsEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class ClosedSession(user_id: Long, n_events: Long)
 

@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState + ListState profile: per-type counts and a trimmed recent window across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.TypedEvent]
+      val query = EventStream.typeProfileStream(input.toDS(), recentK = 3)
+        .writeStream.format("memory").queryName("typeprof").outputMode("append").start()
+      input.addData(
+        EventStream.TypedEvent(1L, "view"), EventStream.TypedEvent(1L, "view"),
+        EventStream.TypedEvent(1L, "click"))
+      query.processAllAvailable()
+      input.addData(
+        EventStream.TypedEvent(1L, "view"), EventStream.TypedEvent(1L, "buy"))
+      query.processAllAvailable()
+      val rows = spark.table("typeprof").as[EventStream.TypeProfile].collect()
+      query.stop()
+      val last = rows.groupBy(r => (r.user_id, r.event_type))
+        .map { case (k, xs) => k -> xs.map(_.n_type).max }
+      // MapState carried per-type counts across the batch boundary
+      assert(last == Map((1L, "view") -> 3L, (1L, "click") -> 1L, (1L, "buy") -> 1L))
+      // ListState window: final emission holds the trimmed last 3
+      val finalWin = rows.filter(r => r.event_type == "buy").head.recent
+      assert(finalWin == Seq("click", "view", "buy"), s"got $finalWin")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions on watermark advance, no further user events needed") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
