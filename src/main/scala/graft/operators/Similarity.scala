@@ -808,6 +808,74 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  /** Project vectors onto a fixed basis — the dimensionality-reduction
+    * front of the PCA family (project to k ≪ dim before IVF/PQ, or to
+    * 2-D for the corpus map every embedding dashboard plots).
+    * Projection is k sequential-double dots per row — narrow,
+    * scan-fused, no shuffle; the basis is bounded (k × dim doubles)
+    * and ships as literals. Values pround-4 for the gate surface. */
+  def pcaProject(vecs: DataFrame /* id, vec (double[]) */, basis: Array[Array[Double]]): DataFrame = {
+    require(basis.nonEmpty, "pcaProject: empty basis")
+    graft.expr.GraftExtensions.register(vecs.sparkSession)
+    val cols = basis.zipWithIndex.map { case (b, j) =>
+      Cols.pround(seqDot(col("vec"), array(b.toIndexedSeq.map(lit): _*)), 4).as(s"p${j + 1}")
+    }
+    vecs.select((col("id") +: cols.toSeq): _*)
+  }
+
+  /** Top-k PCA basis by power iteration with deflation over a BOUNDED
+    * sample — the [[ivfFitCentroids]] discipline applied to the
+    * covariance fit: LCG-sample ≤ fitSampleSize rows, deterministic
+    * driver-side iteration (fixed uniform init, fixed count), emit the
+    * k × dim orthonormal basis for [[pcaProject]]. The covariance is
+    * never materialized (t = Xᵀ(Xw)/m per step). */
+  def pcaFitTop(
+      corpus: DataFrame, // id, vec
+      k: Int = 2,
+      fitSampleSize: Int = 10000,
+      iters: Int = 50): Array[Array[Double]] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val n = corpus.count()
+    val sampled =
+      if (n <= fitSampleSize) corpus
+      else corpus.filter(Cols.lcgUniform(col("id")) < fitSampleSize.toDouble / n)
+    val sample = sampled
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      .orderBy("id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pcaFitTop: empty corpus")
+    val dim = sample(0).length
+    require(k <= dim, s"pcaFitTop: k=$k exceeds dim=$dim")
+    val mean = Array.tabulate(dim)(j => sample.map(_(j)).sum / sample.length)
+    val centered = sample.map(v => Array.tabulate(dim)(j => v(j) - mean(j)))
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (_ <- 0 until k) {
+      var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var it = 0
+      while (it < iters) {
+        val xw = centered.map(row => dot(row, w))
+        val t = Array.tabulate(dim) { j =>
+          var s = 0.0; var r = 0
+          while (r < centered.length) { s += centered(r)(j) * xw(r); r += 1 }
+          s / centered.length
+        }
+        basis.foreach { b =>
+          val p = dot(t, b)
+          var j = 0; while (j < dim) { t(j) -= p * b(j); j += 1 }
+        }
+        val nn = math.sqrt(dot(t, t))
+        if (nn > 0) { var j = 0; while (j < dim) { t(j) /= nn; j += 1 } }
+        w = t; it += 1
+      }
+      basis += w
+    }
+    basis.toArray
+  }
+
   /** The pinned-quantizer IVF probe replayed in SQL (centroids = the
     * first 8 embeddings widened to double): assignment, nProbe cell
     * ranking, within-cell seq-cosine scoring, top-3. Shared by the
@@ -1832,6 +1900,46 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         rc, vecs, k = 3, nProbe = 4)
         .orderBy("qid", "rank")
+    },
+
+    // PCA projection gate with a PINNED Gram-Schmidt basis (power
+    // iteration is not SQL-expressible; the spec covers pcaFitTop):
+    // b1 = normalize(v0), b2 = normalize(v1 − (v1·b1)·b1), both
+    // computed BY THE ENGINE's unitNormalize/seqDot so the collected
+    // doubles are bit-identical to the oracle's CTE replay of the
+    // same formulas; projection is two seq-dots per row.
+    Gate(
+      "ann_pca_project", {
+        val d = sqlSeqDot("v1.v", "b1.b")
+        s"""WITH v0 AS (SELECT [x::DOUBLE FOR x IN embedding] AS v FROM embeddings WHERE vec_id = 0),
+           |b1 AS (SELECT ${sqlUnitNormalize("v")} AS b FROM v0),
+           |v1 AS (SELECT [x::DOUBLE FOR x IN embedding] AS v FROM embeddings WHERE vec_id = 1),
+           |b2p AS (SELECT [v1.v[i] - ($d) * b1.b[i] FOR i IN range(1, len(v1.v) + 1)] AS w
+           |        FROM v1, b1),
+           |b2 AS (SELECT ${sqlUnitNormalize("w")} AS b FROM b2p),
+           |corpus AS (SELECT vec_id AS id, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings)
+           |SELECT id, ${Cols.proundSql(sqlSeqDot("corpus.vec", "b1.b"), 4)} AS p1,
+           |  ${Cols.proundSql(sqlSeqDot("corpus.vec", "b2.b"), 4)} AS p2
+           |FROM corpus, b1, b2 ORDER BY id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      def wide(c: Column) = transform(c, x => x.cast("double"))
+      val b1 = emb.filter(col("vec_id") === 0)
+        .select(unitNormalize(wide(col("embedding"))).as("b"))
+        .head().getSeq[Double](0).toArray
+      val b1lit = array(b1.toIndexedSeq.map(lit): _*)
+      val b2 = emb.filter(col("vec_id") === 1)
+        .select(unitNormalize(
+          Cols.bind(wide(col("embedding"))) { v =>
+            Cols.bind(seqDot(v, b1lit)) { d =>
+              zip_with(v, b1lit, (x, bb) => x - d * bb)
+            }
+          }).as("b"))
+        .head().getSeq[Double](0).toArray
+      pcaProject(
+        emb.select(col("vec_id").as("id"), wide(col("embedding")).as("vec")),
+        Array(b1, b2))
+        .orderBy("id")
     },
 
     // Margin-kNN bitext criterion over a disjoint src/tgt split of the

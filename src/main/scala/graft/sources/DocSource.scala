@@ -419,6 +419,31 @@ object DocSource {
         .orderBy("id")
     },
 
+    // Parquet BLOOM-FILTER sink: write with a bloom filter on doc_id
+    // (parquet.bloom.filter.enabled#col), read back through an
+    // IN-list point lookup — the layout feature that turns needle
+    // queries over a 100 TB release into row-group skips instead of
+    // full scans (column stats can't help an id that sits inside
+    // every min/max range). Values are bloom-independent (the filter
+    // only skips), so the oracle is the plain IN query; SourcesSpec
+    // asserts the footer actually CARRIES the bloom offsets.
+    Gate(
+      "snk_parquet_bloom",
+      """SELECT doc_id AS id, lang
+        |FROM documents WHERE doc_id IN (3, 77, 142, 309, 498)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_parquet_bloom")
+      Tables(s, dir, "documents").select(col("doc_id").as("id"), col("lang"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "1000")
+        .parquet(path)
+      s.read.parquet(path)
+        .filter(col("id").isin(3L, 77L, 142L, 309L, 498L))
+        .orderBy("id")
+    },
+
     // Layout-health report: per-file row counts via input_file_name()
     // over a written dataset — the small-files detector (1000s of
     // KB-sized files strangle a 100 TB scan with open/footer

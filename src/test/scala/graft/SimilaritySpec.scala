@@ -358,6 +358,35 @@ class SimilaritySpec extends SparkSpec {
     assert(pFull == pIncr, "appended index must probe identically to a full build")
   }
 
+  test("pcaFitTop: planted axes recovered in variance order, basis orthonormal, projection separates") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // variance 100× larger along axis 0 than axis 1; other axes zero
+    val rows = (0 until 200).map { i =>
+      val a = (i % 21) - 10
+      val b = (i % 5) - 2
+      (i.toLong,
+        Seq.tabulate(8)(j => if (j == 0) a * 10.0 else if (j == 1) b.toDouble else 0.0))
+    }
+    val df = rows.toDF("id", "vec")
+    val basis = Similarity.pcaFitTop(df, k = 2, fitSampleSize = 1000, iters = 60)
+    assert(math.abs(basis(0)(0)) > 0.999, s"pc1 should align with axis 0: ${basis(0).toSeq}")
+    assert(math.abs(basis(1)(1)) > 0.999, s"pc2 should align with axis 1: ${basis(1).toSeq}")
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(basis(0), basis(1))) < 1e-9, "components must be orthogonal")
+    assert(math.abs(dot(basis(0), basis(0)) - 1.0) < 1e-9, "components must be unit")
+    // projection recovers the planted coordinate (up to component sign)
+    val p = Similarity.pcaProject(df, basis).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sgn = math.signum(basis(0)(0))
+    rows.foreach { case (id, v) =>
+      assert(math.abs(p(id) - sgn * v.head) < 0.5, s"id $id: ${p(id)} vs ${v.head}")
+    }
+    // determinism
+    assert(Similarity.pcaFitTop(df, k = 2, fitSampleSize = 1000, iters = 60)
+      .map(_.toSeq).toSeq == basis.map(_.toSeq).toSeq)
+  }
+
   test("embedPcaTop recovers a rank-1 covariance: lambda1 = trace, ratio 1") {
     import spark.implicits._
     // vectors t·(1, 2, 0, …): zero mean, cov = Var(t)·vvᵀ (rank 1),

@@ -192,4 +192,33 @@ class SourcesSpec extends SparkSpec {
     assert(byDoc(1L).sortBy(_._2).map(_._5).mkString("\n\n") ==
       s"$en\n\n$en\n\n$de\n\n$de\n\n$fr")
   }
+
+  test("parquet bloom write: footer carries bloom offsets for the id column only") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.expected.ndv#id", "1000")
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file.toString), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("id").getBloomFilterOffset > 0, "id column must carry a bloom filter")
+      assert(byName("v").getBloomFilterOffset <= 0, "v column must NOT carry one")
+      // the filter is queryable and contains a present id
+      val bloom = reader.readBloomFilter(byName("id"))
+      assert(bloom != null)
+      assert(bloom.findHash(bloom.hash(java.lang.Long.valueOf(42L))),
+        "present id must hit the bloom filter")
+    } finally reader.close()
+  }
 }
