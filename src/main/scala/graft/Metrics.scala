@@ -1,0 +1,60 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Measured executor IO for a block of Spark actions — the audit
+  * companion of the plan dossier: a plan can LOOK digest-only, but
+  * this measures what actually crossed the exchanges. Used by specs
+  * to pin scale invariants as numbers ("exact dedup shuffles < 5% of
+  * the corpus text bytes"), and available to pipelines for run
+  * accounting.
+  */
+object Metrics {
+
+  final case class JobIO(
+      shuffleWriteBytes: Long,
+      shuffleReadBytes: Long,
+      inputRecords: Long,
+      peakExecutionMemory: Long)
+
+  /** Run `action` under a stage-metrics listener and return (result,
+    * aggregate IO over every stage the action triggered). Listener
+    * delivery is asynchronous, so completion is detected by the event
+    * stream going quiet (bounded wait) — robust without reaching into
+    * Spark's private listener-bus API. Serialize calls per session;
+    * concurrent foreign jobs would be attributed to this measurement. */
+  def measure[T](spark: SparkSession)(action: => T): (T, JobIO) = {
+    val write = new AtomicLong(0L)
+    val read = new AtomicLong(0L)
+    val input = new AtomicLong(0L)
+    val peak = new AtomicLong(0L)
+    val lastEvent = new AtomicReference[Long](System.nanoTime())
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          input.addAndGet(m.inputMetrics.recordsRead)
+          peak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        }
+        lastEvent.set(System.nanoTime())
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = action
+      // quiesce: stop once no stage event lands for 300 ms (cap 10 s)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var quiet = false
+      while (!quiet && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        quiet = System.nanoTime() - lastEvent.get() > 300L * 1000 * 1000
+      }
+      (result, JobIO(write.get(), read.get(), input.get(), peak.get()))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -118,4 +118,24 @@ class DedupSpec extends SparkSpec {
     assert(out(("s2", "s3")) == ((3L, 2L, 0L, 0.0)))
     Caches.releaseAll()
   }
+
+  test("MEASURED scale invariant: exact dedup shuffles digests, not text (< 5% of corpus bytes)") {
+    import spark.implicits._
+    // 2000 docs × ~2 KB ≈ 4 MB of text; 500 distinct contents
+    val filler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do. " * 32
+    val docs = (0 until 2000).map(i => (i.toLong, s"doc ${i % 500} $filler"))
+      .toDF("doc_id", "text")
+    val textBytes = docs.select(sum(length(col("text")))).head().getLong(0)
+    assert(textBytes > 3L * 1000 * 1000)
+    val (kept, io) = Metrics.measure(spark) {
+      Dedup.exactDedup(docs, "text", "doc_id").select("doc_id").collect()
+    }
+    assert(kept.length == 500)
+    // the digest-only claim as a NUMBER: every exchange carries
+    // (id, md5) pairs and keeper ids — nothing text-sized
+    assert(io.shuffleWriteBytes > 0, "expected a real shuffle to measure")
+    assert(io.shuffleWriteBytes < textBytes / 20,
+      s"shuffled ${io.shuffleWriteBytes} bytes vs $textBytes corpus bytes — text leaked into an exchange")
+    Caches.releaseAll()
+  }
 }
