@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
 /** C4 cleaning stage parameters (Raffel et al. 2020 §2.2 defaults). */
 final case class C4Params(minLineWords: Int = 3, minSentences: Int = 5)
 
+/** Per-host boilerplate removal knobs ([[graft.operators.Lines
+  * .dedupLinesPerHost]] as a recipe stage): a line on ≥ `minFrac` of
+  * a host's pages (and ≥ `minDocs` of them) is that site's template
+  * chrome and is cut from that host's documents. */
+final case class HostBoilerplateParams(
+    minFrac: Double = 0.5, minDocs: Int = 2, minChars: Int = 15)
+
 /** Gopher doc-quality bounds (Rae et al. 2021 §A1.1 defaults). */
 final case class GopherParams(
     minWords: Int = 50,
@@ -119,6 +126,13 @@ final case class FinewebConfig(
       * .dedupLinesWithinDoc]]) applied after C4 cleaning — nav/footer
       * repeats inside one page; narrow, codegen-fused. */
     dedupDocLines: Boolean = false,
+    /** PER-HOST boilerplate line removal ([[Lines.dedupLinesPerHost]]
+      * keyed on `url`'s host, [[HostBoilerplateParams]]): a site's
+      * template chrome is cut from that site only, BEFORE the quality
+      * gates score the text. Corpus-level rewrite joined back by id
+      * (the cut_dup pattern); host counts run over upstream
+      * survivors. */
+    hostBoilerplate: Option[HostBoilerplateParams] = None,
     /** Gopher doc-quality gate over the (possibly cleaned) text;
       * failing docs are excluded with reason `gopher_quality`. */
     gopherQuality: Option[GopherParams] = None,
@@ -303,6 +317,26 @@ object FinewebPipeline {
       stages :+= Transform("line_dedup", d => d.withColumn("text",
         when(col("filter_reason").isNull, Lines.dedupLinesWithinDoc(col("text")))
           .otherwise(col("text"))))
+
+    cfg.hostBoilerplate.foreach { p =>
+      // per-host template-line removal over the docs surviving the
+      // stages above (host-frac counts over excluded docs would let a
+      // mostly-excluded site's chrome survive on its kept pages), the
+      // rewrite joined back by id (cut_dup pattern) BEFORE the quality
+      // gates score the text — chrome must not pad word counts.
+      // Rejected rows keep their text as rejected.
+      val rewritten = Lines.dedupLinesPerHost(
+          Pipeline(stages: _*).kept(docs).filter(col("doc_id").isNotNull)
+            .withColumn("__host", graft.operators.Urls.urlHost(col("url"))),
+          "text", "doc_id", "__host", p.minFrac, p.minDocs, p.minChars)
+        .select(col("doc_id").as("__hb_id"), col("text").as("__hb_text"))
+      stages :+= Transform("host_boilerplate_mark",
+        d => d.join(rewritten, d("doc_id") === col("__hb_id"), "left"))
+      stages :+= Transform("host_boilerplate", d => d.withColumn("text",
+        when(col("filter_reason").isNull && col("__hb_text").isNotNull, col("__hb_text"))
+          .otherwise(col("text"))))
+      stages :+= Transform("host_boilerplate_unmark", _.drop("__hb_id", "__hb_text"))
+    }
 
     cfg.gopherQuality.foreach { g =>
       stages :+= DocFilter("gopher_quality",
@@ -802,6 +836,46 @@ object FinewebPipeline {
         s, docs,
         FinewebConfig(metaRobotsNoindex = true, maxDocsPerHost = Some(4), piiFormat = false))
         .select("doc_id", "filter_reason").orderBy("doc_id")
+    },
+
+    // Host-boilerplate RECIPE stage gate: every doc of a host carries
+    // that host's nav chrome (frac 1.0 → cut everywhere, per host);
+    // genuine text lines repeated within a host are subject to the
+    // same rule, so the oracle replays the FULL per-host count +
+    // ordered reassembly over the fixture pages, not a construction
+    // shortcut. All rows stay kept — this stage rewrites, never
+    // excludes.
+    Gate(
+      "fw_host_boilerplate",
+      s"""WITH p AS (SELECT doc_id, 'h' || (doc_id % 3) AS host,
+         |    'HOST NAVIGATION CHROME FOR h' || (doc_id % 3) || chr(10) || text AS page
+         |  FROM documents),
+         |l AS (SELECT doc_id, host,
+         |    unnest([{'idx': i, 'line': ls[i]} FOR i IN range(1, len(ls) + 1)],
+         |           recursive := true)
+         |  FROM (SELECT doc_id, host, string_split(page, chr(10)) AS ls FROM p)),
+         |hd AS (SELECT host, count(*) AS nd FROM p GROUP BY host),
+         |lh AS (SELECT DISTINCT doc_id, host, md5(line) AS h FROM l WHERE length(line) >= 15),
+         |hot AS (SELECT lh.host, h FROM lh JOIN hd USING (host)
+         |        GROUP BY lh.host, h, nd
+         |        HAVING count(*) >= 2 AND CAST(count(*) AS DOUBLE) / nd >= 0.5),
+         |k AS (SELECT l.doc_id, l.idx, l.line FROM l
+         |      LEFT JOIN hot ON hot.host = l.host AND hot.h = md5(l.line)
+         |      WHERE hot.h IS NULL),
+         |agg AS (SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY idx), '') AS txt
+         |        FROM k GROUP BY doc_id)
+         |SELECT p.doc_id, md5(coalesce(agg.txt, '')) AS text_md5
+         |FROM p LEFT JOIN agg USING (doc_id) ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://h"), col("doc_id") % 3, lit(".example.com/d/"), col("doc_id")))
+        .withColumn("text",
+          concat(lit("HOST NAVIGATION CHROME FOR h"), col("doc_id") % 3,
+            lit("\n"), col("text")))
+      buildMarked(s, docs,
+        FinewebConfig(hostBoilerplate = Some(HostBoilerplateParams()), piiFormat = false))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     },
 
     // The FULL text-quality recipe through the config surface —
