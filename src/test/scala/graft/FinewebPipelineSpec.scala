@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{FinewebConfig, FinewebPipeline, PplTierParams}
+import graft.api.{FinewebConfig, FinewebPipeline, HostBoilerplateParams, PplTierParams}
 import org.apache.spark.sql.functions._
 
 class FinewebPipelineSpec extends SparkSpec {
@@ -529,6 +529,40 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(marked(3L) == ((docs.collect()(2).getString(1), None)))
     // exclusions keep their ORIGINAL text and their reasons
     assert(marked(4L)._2 == Some("exact_dup") && marked(4L)._1.contains("wire paragraph 5"))
+    Caches.releaseAll()
+  }
+
+  test("hostBoilerplate stage: per-host chrome cut for kept docs, exclusions keep raw text, " +
+    "host counts run over survivors") {
+    import spark.implicits._
+    val nav = "SITE NAVIGATION TEMPLATE LINE"
+    val docs = Seq(
+      // host a: nav on both live docs → cut from both
+      (1L, "https://a.example/1", s"$nav\nalpha body content one"),
+      (2L, "https://a.example/2", s"$nav\nbeta body content two"),
+      // host b: nav appears on TWO pages, but one of them is excluded
+      // upstream (noindex) — among SURVIVORS the frac is 1/2... with
+      // minDocs=2 requiring two surviving docs, the lone survivor
+      // keeps its copy
+      (3L, "https://b.example/1", s"$nav\ngamma body content three"),
+      (4L, "https://b.example/2",
+        s"<meta name=\"robots\" content=\"noindex\">$nav\ndelta body content four"),
+      (5L, "https://b.example/3", "epsilon body content five"))
+      .toDF("doc_id", "url", "text")
+    val cfg = FinewebConfig(
+      metaRobotsNoindex = true,
+      hostBoilerplate = Some(HostBoilerplateParams(minFrac = 0.5, minDocs = 2)),
+      piiFormat = false)
+    val marked = FinewebPipeline.buildMarked(spark, docs, cfg)
+      .select("doc_id", "text", "filter_reason")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(marked(1L) == (("alpha body content one", None)))
+    assert(marked(2L) == (("beta body content two", None)))
+    // host b's nav survives: only 1 of its 2 SURVIVING docs carries it
+    assert(marked(3L) == ((s"$nav\ngamma body content three", None)))
+    // the excluded page keeps its original text (chrome and all)
+    assert(marked(4L)._2 == Some("meta_robots") && marked(4L)._1.contains(nav))
+    assert(marked(5L) == (("epsilon body content five", None)))
     Caches.releaseAll()
   }
 }
