@@ -234,6 +234,83 @@ object Similarity {
     groupedTopK(scored, k)
   }
 
+  /** Matryoshka retrieval (Kusupati et al. 2022, arXiv 2205.13147:
+    * MRL-trained embeddings make every PREFIX of the vector a usable
+    * embedding itself): exact top-k cosine over the first `mrlDim`
+    * dims only. Index bytes and per-candidate arithmetic shrink by
+    * dim/mrlDim with graceful recall decay — the standard cheap
+    * first-stage before a full-dim re-rank, and it composes with
+    * every index here (a truncated corpus is just a smaller vec
+    * column). The slice happens inside the scan stage; scoring is
+    * the same sequential kernel on the shorter arrays. */
+  def mrlTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int,
+      mrlDim: Int): DataFrame = {
+    require(mrlDim > 0, "mrlTopK: mrlDim must be positive")
+    bruteForceTopK(
+      queries.withColumn("qvec", slice(col("qvec"), 1, mrlDim)),
+      corpus.withColumn("vec", slice(col("vec"), 1, mrlDim)),
+      k)
+  }
+
+  /** One 32-bit sign word of a vector (word 0 covers dims 1-32, word
+    * 1 dims 33-64): bit j−1 set iff v[word·32+j] ≥ 0. Exact integer
+    * arithmetic (2^(j−1) through double pow is exact ≤ 2^52), so any
+    * engine reproduces the words bit-for-bit. Two words instead of
+    * one 64-bit value keeps every intermediate positive — no
+    * sign-bit overflow anywhere. */
+  def bqWord(v: Column, word: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(32)),
+        j => when(element_at(v, j + word * 32) >= 0,
+          pow(lit(2.0), (j - 1).cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+
+  /** Binary-quantization retrieval (the 1-bit codebook every vector
+    * store ships as "BQ": keep only the sign bit per dimension —
+    * 32× smaller than float32 — rank candidates by Hamming distance
+    * on the packed words, then exact-rerank a bounded shortlist):
+    * per query, bounded-heap top-`shortlist` by (hamming, id), then
+    * the top-k by exact sequential cosine among those. The sign words
+    * ride the scan (codegen bit ops, `bit_count(xor)` per pair); the
+    * shuffle carries (qid, id) shortlist pairs only. The semantic
+    * complement of [[pqTopK]]'s multi-bit codebooks and
+    * [[lshTopK]]'s hyperplanes (BQ = axis-aligned hyperplanes). */
+  def bqTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      k: Int,
+      shortlist: Int = 32): DataFrame = {
+    graft.expr.GraftExtensions.register(queries.sparkSession)
+    val qs = broadcast(queries
+      .withColumn("__q0", bqWord(col("qvec"), 0))
+      .withColumn("__q1", bqWord(col("qvec"), 1))
+      .withColumn("__nq", seqNorm(col("qvec"))))
+    val cs = graft.Caches.persist(corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__c0", bqWord(col("vec"), 0))
+      .withColumn("__c1", bqWord(col("vec"), 1))
+      .withColumn("__nv", seqNorm(col("vec"))))
+    val short = cs.crossJoin(qs).filter(col("id") =!= col("qid"))
+      .select(col("qid"),
+        struct(
+          (bit_count(col("__q0").bitwiseXOR(col("__c0"))) +
+            bit_count(col("__q1").bitwiseXOR(col("__c1")))).cast("long").as("h"),
+          col("id").as("i")).as("p"))
+      .groupBy("qid")
+      .agg(call_function("graft_top_k", col("p"), lit(shortlist), lit(true)).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.i").as("id"))
+    val rer = short
+      .join(cs.select(col("id"), col("vec"), col("__nv")), Seq("id"))
+      .join(qs.select(col("qid"), col("qvec"), col("__nq")), Seq("qid"))
+      .select(col("qid"), col("id"),
+        seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
+    groupedTopK(rer, k)
+  }
+
   /** N2 — LSH-bucketed ANN: like N1 but only same-signature
     * candidates are scored (the scale path: each query touches ~n/2^b
     * of the corpus). Deterministic, so exactly reproducible by the
@@ -1613,6 +1690,71 @@ object Similarity {
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3)
+        .orderBy("qid", "rank")
+    },
+
+    // Matryoshka gate: exact top-3 over the FIRST 16 of 64 dims —
+    // the oracle scores with the 16-element sequential dot over the
+    // full arrays (identical fold to the kernel on sliced arrays).
+    Gate(
+      "ann_topk_mrl", {
+        val d = 16
+        def dd(a: String, b: String) = sqlSeqDot(a, b, n = d)
+        val cos = s"(${dd("q.embedding", "c.embedding")} / " +
+          s"(sqrt(${dd("q.embedding", "q.embedding")}) * sqrt(${dd("c.embedding", "c.embedding")})))"
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cos AS cos
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM scored)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      mrlTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3, mrlDim = 16)
+        .orderBy("qid", "rank")
+    },
+
+    // Binary-quantization gate: sign words, hamming shortlist of 10,
+    // exact re-rank to top-3 — every stage replayed in SQL (the
+    // 2^(j−1) word sums are exact integers, xor/bit_count are exact,
+    // shortlist ties (hamming, id), re-rank ties (cos desc, id)).
+    Gate(
+      "ann_topk_bq", {
+        val S = 10
+        def word(v: String, off: Int) =
+          s"CAST(list_sum([CASE WHEN ($v)[j + $off] >= 0 THEN CAST(2 ** (j - 1) AS BIGINT) " +
+            s"ELSE 0 END FOR j IN range(1, 33)]) AS BIGINT)"
+        val cos = sqlSeqCosine("q.v", "c.v")
+        s"""WITH w AS (SELECT vec_id, embedding AS v,
+           |    ${word("embedding", 0)} AS w0, ${word("embedding", 32)} AS w1
+           |  FROM embeddings),
+           |q AS (SELECT * FROM w WHERE vec_id < 10),
+           |s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+           |    bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS ham
+           |  FROM q JOIN w c ON c.vec_id <> q.vec_id),
+           |short AS (SELECT qid, id FROM (
+           |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, id) AS rn
+           |    FROM s) x WHERE rn <= $S),
+           |rr AS (SELECT short.qid, short.id, $cos AS cos
+           |  FROM short JOIN w c ON c.vec_id = short.id JOIN q ON q.vec_id = short.qid),
+           |ranked AS (SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM rr)
+           |SELECT qid, rank, id AS neighbor_id, ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      bqTopK(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3, shortlist = 10)
         .orderBy("qid", "rank")
     },
 

@@ -291,6 +291,53 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("bqWord packs sign bits exactly; bqTopK reranks its shortlist to reasonable recall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // hand-check: dims 1,3 positive in word 0; dim 33 positive in word 1
+    val v = Array.tabulate(64) {
+      case 0 => 1.0f; case 2 => 0.5f; case 32 => 2.0f; case _ => -1.0f
+    }
+    val row = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(Similarity.bqWord(col("v"), 0).as("w0"), Similarity.bqWord(col("v"), 1).as("w1"))
+      .head()
+    assert(row.getLong(0) == (1L | 4L), s"w0=${row.getLong(0)}")
+    assert(row.getLong(1) == 1L, s"w1=${row.getLong(1)}")
+
+    val e = emb
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val bf = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.bqTopK(queries, corpus, 3, shortlist = 32)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & bq).size.toDouble / bf.size
+    assert(recall >= 0.3, s"BQ recall $recall suspiciously low for shortlist 32")
+    Caches.releaseAll()
+  }
+
+  test("mrlTopK truncated scores equal brute force over pre-sliced vectors") {
+    import graft.operators.Similarity
+    val e = emb
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val mrl = Similarity.mrlTopK(queries, corpus, 3, mrlDim = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val sliced = Similarity.bruteForceTopK(
+        queries.withColumn("qvec", slice(col("qvec"), 1, 16)),
+        corpus.withColumn("vec", slice(col("vec"), 1, 16)), 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(mrl == sliced)
+    // truncation genuinely changes the ranking vs full-dim (the
+    // recall/cost trade is real, not a no-op)
+    val full = Similarity.bruteForceTopK(queries, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mrl.map(t => (t._1, t._2, t._3)) != full)
+    Caches.releaseAll()
+  }
+
   test("hardNegatives: positives and self excluded, otherwise equals brute-force top-k") {
     import graft.operators.Similarity
     val e = emb
