@@ -136,6 +136,59 @@ object Keywords {
           .as("novelty"))
   }
 
+  /** The txt_bm25 oracle's CTE chain (→ `agg(doc_id, score)` for the
+    * query terms table/hash/merge), shared verbatim by the hybrid-RRF
+    * gate's lexical leg. */
+  private[operators] val SqlBm25Cte: String = {
+    val w = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+    val idf8 = Cols.proundSql(
+      "ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))", 8)
+    val denom = "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+      "(CAST((SELECT tot FROM st) AS DOUBLE) / (SELECT n FROM st))))"
+    s"""toks AS (SELECT doc_id, $w AS w FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(len(w)) AS BIGINT) AS tot FROM toks),
+       |t AS (SELECT doc_id, len(w) AS dl,
+       |      unnest(list_filter(w, x -> x IN ('table', 'hash', 'merge'))) AS term
+       |      FROM toks),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+       |sc AS (SELECT doc_id,
+       |       ${Cols.proundSql(s"$idf8 * tf / $denom", 8)} AS s
+       |       FROM tf JOIN df USING (term)),
+       |agg AS (SELECT doc_id,
+       |        ${Cols.proundSql("CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE)", 4)} AS score
+       |        FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * — the hybrid-search combiner every lexical+vector stack ships:
+    * fused score = Σ over lists of 1/(c + rank), c = 60 per the
+    * paper; rank-based, so BM25's unbounded scores and cosine's
+    * [−1,1] fuse without calibration. Input lists are (id, rank)
+    * frames; a doc absent from a list contributes nothing. The union
+    * is rank-rows only (k·lists rows — trivially small), DECIMAL
+    * accumulation makes the per-id sum order-independent. Emits the
+    * fused top-k as (id, rrf_score, rank). */
+  def rrfFuse(lists: Seq[DataFrame /* id, rank */], k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lists.size >= 2, "rrfFuse: need at least two rankings")
+    graft.expr.GraftExtensions.register(lists.head.sparkSession)
+    val scored = lists
+      .map(_.select(col("id"),
+        (lit(1.0) / (lit(c) + col("rank")).cast("double")).as("__s")))
+      .reduce(_.unionByName(_))
+      .groupBy("id")
+      .agg(sum(col("__s").cast(DecimalType(30, 15))).cast("double").as("__rrf"))
+    scored
+      .orderBy(col("__rrf").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rrf").desc, col("id"))).cast("int"))
+      .select(col("id"), Cols.pround(col("__rrf"), 6).as("rrf_score"), col("rank"))
+  }
+
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
     * occurrence and document counts — the standard boilerplate/
     * contamination diagnostic (a navigation chrome phrase or license
@@ -554,29 +607,10 @@ object Keywords {
     // oracle replays the exact formula with the same pround-8 ln
     // bridging and DECIMAL accumulation, deterministic (score, id) cut.
     Gate(
-      "txt_bm25", {
-        val w = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
-        val idf8 = Cols.proundSql(
-          "ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))", 8)
-        val denom = "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / " +
-          "(CAST((SELECT tot FROM st) AS DOUBLE) / (SELECT n FROM st))))"
-        s"""WITH toks AS (SELECT doc_id, $w AS w FROM documents),
-           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-           |       CAST(sum(len(w)) AS BIGINT) AS tot FROM toks),
-           |t AS (SELECT doc_id, len(w) AS dl,
-           |      unnest(list_filter(w, x -> x IN ('table', 'hash', 'merge'))) AS term
-           |      FROM toks),
-           |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
-           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
-           |sc AS (SELECT doc_id,
-           |       ${Cols.proundSql(s"$idf8 * tf / $denom", 8)} AS s
-           |       FROM tf JOIN df USING (term)),
-           |agg AS (SELECT doc_id,
-           |        ${Cols.proundSql("CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE)", 4)} AS score
-           |        FROM sc GROUP BY doc_id)
-           |SELECT doc_id, score FROM agg
-           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-      }) { (s, dir) =>
+      "txt_bm25",
+      s"""WITH $SqlBm25Cte
+         |SELECT doc_id, score FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       bm25Search(Tables(s, dir, "documents"), "text", "doc_id",
         Seq("table", "hash", "merge"), k = 10)
     },
@@ -600,6 +634,46 @@ object Keywords {
       }) { (s, dir) =>
       tfidfKeywords(Tables(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // Hybrid-search RRF gate: the BM25 top-10 (txt_bm25's exact CTE
+    // chain) fused with vector top-10 for query vec 0 (doc_id joins
+    // vec_id 1:1) at c=60 — every leg and the fusion replayed in SQL.
+    Gate(
+      "ann_hybrid_rrf", {
+        val cos = Similarity.sqlSeqCosine("q.embedding", "c.embedding")
+        s"""WITH $SqlBm25Cte,
+           |bmr AS (SELECT doc_id AS id,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM agg ORDER BY rank LIMIT 10),
+           |vs AS (SELECT c.vec_id AS id, $cos AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id = 0 AND c.vec_id <> q.vec_id),
+           |vr AS (SELECT id,
+           |    ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rank
+           |  FROM vs ORDER BY rank LIMIT 10),
+           |u AS (SELECT id, CAST(1.0 AS DOUBLE) / (60 + rank) AS s FROM bmr
+           |      UNION ALL
+           |      SELECT id, CAST(1.0 AS DOUBLE) / (60 + rank) AS s FROM vr),
+           |f AS (SELECT id, CAST(sum(CAST(s AS DECIMAL(30,15))) AS DOUBLE) AS rrf
+           |      FROM u GROUP BY id)
+           |SELECT id, ${Cols.proundSql("rrf", 6)} AS rrf_score,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS INT) AS rank
+           |FROM f ORDER BY rank LIMIT 5""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val lexical = bm25Search(docs, "text", "doc_id", Seq("table", "hash", "merge"), k = 10)
+        .select(col("doc_id").as("id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val vector = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 10)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      rrfFuse(Seq(lexical, vector), k = 5)
+        .orderBy("rank")
     },
 
     // Novelty gate: distinct-trigram digests (the SqlShingles twin),

@@ -146,6 +146,20 @@ class KeywordsSpec extends SparkSpec {
     assert(!out.exists(_._3 == "common"))
   }
 
+  test("rrfFuse: doc on both lists wins, single-list docs ranked by their rank, determinism") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val out = operators.Keywords.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => (r.getInt(2), r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    // id 2: 1/62 + 1/61 beats id 1's 1/61 alone; 3 (1/62) beats 4 (1/63)
+    assert(out.map(_._2) == Seq(2L, 1L, 3L, 4L), s"got $out")
+    assert(out.head._3 > out(1)._3 && out(1)._3 > out(2)._3 && out(2)._3 > out(3)._3)
+    val again = operators.Keywords.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => (r.getInt(2), r.getLong(0))).toSeq.sortBy(_._1)
+    assert(again.map(_._2) == Seq(2L, 1L, 3L, 4L))
+  }
+
   test("noveltyScore: shared trigrams damp novelty, gram-free docs score 0") {
     import spark.implicits._
     val docs = Seq(
