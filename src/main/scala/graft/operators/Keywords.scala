@@ -189,6 +189,27 @@ object Keywords {
       .select(col("id"), Cols.pround(col("__rrf"), 6).as("rrf_score"), col("rank"))
   }
 
+  /** Distinct-n diversity (the Distinct-1/2/3 metric of the
+    * generated-text literature — Li et al. 2016, "A Diversity-
+    * Promoting Objective"; the standard check that synthetic /
+    * model-generated training data hasn't mode-collapsed): per n,
+    * distinct n-gram types over total n-gram tokens, corpus-wide.
+    * One exploded digest count per order — the exchanges carry
+    * (digest) singles with map-side combine; text never shuffles. */
+  def distinctNgrams(docs: DataFrame, textCol: String, orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(orders.nonEmpty, "distinctNgrams: need at least one order")
+    orders.map { n =>
+      docs
+        .select(explode(Dsir.grams(col(textCol), n)).as("__g"))
+        .select(md5(col("__g")).as("__h"))
+        .agg(count(lit(1)).as("total"), count_distinct(col("__h")).as("types"))
+        .select(lit(n).as("n"), col("types"), col("total"),
+          when(col("total") === 0, lit(0.0))
+            .otherwise(col("types").cast("double") / col("total").cast("double"))
+            .as("distinct_ratio"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
     * occurrence and document counts — the standard boilerplate/
     * contamination diagnostic (a navigation chrome phrase or license
@@ -674,6 +695,32 @@ object Keywords {
         .select(col("neighbor_id").as("id"), col("rank"))
       rrfFuse(Seq(lexical, vector), k = 5)
         .orderBy("rank")
+    },
+
+    // Distinct-n diversity gate: types/tokens per n-gram order 1..3.
+    Gate(
+      "rpt_distinct_ngrams", {
+        val toks = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+        def leg(n: Int) = {
+          val grams =
+            if (n == 1) s"SELECT unnest($toks) AS g FROM documents"
+            else s"SELECT unnest([array_to_string(($toks)[i:i+${n - 1}], ' ') " +
+              s"FOR i IN range(1, greatest(len($toks)-${n - 1}, 0)+1)]) AS g FROM documents"
+          s"""SELECT $n AS n, count(DISTINCT md5(g)) AS types, count(*) AS total,
+             |  CASE WHEN count(*) = 0 THEN 0.0
+             |       ELSE CAST(count(DISTINCT md5(g)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |  END AS distinct_ratio
+             |FROM ($grams)""".stripMargin
+        }
+        s"""${leg(1)}
+           |UNION ALL
+           |${leg(2)}
+           |UNION ALL
+           |${leg(3)}
+           |ORDER BY n""".stripMargin
+      }) { (s, dir) =>
+      distinctNgrams(Tables(s, dir, "documents"), "text")
+        .orderBy("n")
     },
 
     // Novelty gate: distinct-trigram digests (the SqlShingles twin),

@@ -160,6 +160,15 @@ class KeywordsSpec extends SparkSpec {
     assert(again.map(_._2) == Seq(2L, 1L, 3L, 4L))
   }
 
+  test("distinctNgrams: hand-computed type/token ratios per order") {
+    import spark.implicits._
+    val docs = Seq(Tuple1("a a b"), Tuple1("a b")).toDF("text")
+    val out = operators.Keywords.distinctNgrams(docs, "text", Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((2L, 5L, 0.4))) // a,a,b,a,b → 2 types / 5 tokens
+    assert(out(2) == ((2L, 3L, 2.0 / 3.0))) // "a a","a b","a b"
+  }
+
   test("noveltyScore: shared trigrams damp novelty, gram-free docs score 0") {
     import spark.implicits._
     val docs = Seq(
