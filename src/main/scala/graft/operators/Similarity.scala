@@ -311,6 +311,72 @@ object Similarity {
     groupedTopK(rer, k)
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    * greedily pick `pick` results from the relevance shortlist,
+    * step score = λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the
+    * retrieval diversifier that stops near-duplicate passages from
+    * filling every RAG context window. The greedy loop is `pick`
+    * chained DataFrame steps (each an argmax window over the BOUNDED
+    * shortlist, ≤ `shortlist` rows per query): no driver data motion,
+    * no per-row iteration — the loop unrolls into one Catalyst plan.
+    * rel and pairwise sims are pround-4 sequential cosines; λ-scaled
+    * scores are exact halvings of those, so the whole greedy trace
+    * replays in SQL. */
+  def mmrRerank(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      shortlist: Int = 5,
+      pick: Int = 3,
+      lam: Double = 0.5): DataFrame = {
+    require(pick >= 1 && shortlist >= pick, "mmrRerank: need shortlist >= pick >= 1")
+    graft.expr.GraftExtensions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val qs = broadcast(queries.withColumn("__nq", seqNorm(col("qvec"))))
+    val cs = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__nv", seqNorm(col("vec")))
+    val scored = cs.crossJoin(qs).filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        Cols.pround(
+          seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")), 4).as("rel"))
+    val sl = graft.Caches.persist(scored
+      .groupBy("qid")
+      .agg(call_function("graft_top_k",
+        struct((-col("rel")).as("nr"), col("id").as("i")), lit(shortlist), lit(true)).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.i").as("id"), (-col("t.nr")).as("rel")))
+    val vecs = cs.select(col("id"), col("vec"), col("__nv"))
+    val slv = sl.join(vecs, Seq("id"))
+    val pairs = graft.Caches.persist(slv.as("a")
+      .join(slv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
+      .select(col("a.qid").as("qid"), col("a.id").as("da"), col("b.id").as("db"),
+        Cols.pround(
+          seqCosineHoisted(col("a.vec"), col("b.vec"), col("a.__nv"), col("b.__nv")),
+          4).as("sim")))
+    def argmax(cand: DataFrame, step: Int): DataFrame =
+      cand.withColumn("__rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), lit(step).as("rank"), col("id"),
+          Cols.pround(col("score"), 4).as("mmr_score"))
+    var result = argmax(
+      sl.select(col("qid"), col("id"), (lit(lam) * col("rel")).as("score")), 1)
+    for (step <- 2 to pick) {
+      val maxSim = pairs
+        .join(result.select(col("qid"), col("id").as("db")), Seq("qid", "db"))
+        .groupBy(col("qid"), col("da").as("id")).agg(max("sim").as("__msim"))
+      val cand = sl
+        .join(result.select(col("qid").as("__sq"), col("id").as("__sel")),
+          col("qid") === col("__sq") && col("id") === col("__sel"), "left_anti")
+        .join(maxSim, Seq("qid", "id"))
+        .select(col("qid"), col("id"),
+          (lit(lam) * col("rel") - lit(1.0 - lam) * col("__msim")).as("score"))
+      result = result.unionByName(argmax(cand, step))
+    }
+    result
+  }
+
   /** N2 — LSH-bucketed ANN: like N1 but only same-signature
     * candidates are scored (the scale path: each query touches ~n/2^b
     * of the corpus). Deterministic, so exactly reproducible by the
@@ -1718,6 +1784,61 @@ object Similarity {
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3, mrlDim = 16)
+        .orderBy("qid", "rank")
+    },
+
+    // MMR gate: relevance shortlist of 5, greedy pick of 3 at λ=0.5 —
+    // the oracle replays the entire greedy trace (shortlist ranks,
+    // pairwise sims, per-step argmax with (score desc, id) ties).
+    Gate(
+      "ann_mmr_rerank", {
+        val rel = Cols.proundSql(sqlSeqCosine("q.embedding", "c.embedding"), 4)
+        val sim = Cols.proundSql(sqlSeqCosine("va.embedding", "vb.embedding"), 4)
+        s"""WITH sc AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $rel AS rel
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+           |sl AS (SELECT qid, id, rel FROM (
+           |    SELECT qid, id, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM sc) x
+           |  WHERE rn <= 5),
+           |pr AS (SELECT a.qid, a.id AS da, b.id AS db, $sim AS sim
+           |  FROM sl a JOIN sl b ON a.qid = b.qid AND a.id <> b.id
+           |  JOIN embeddings va ON va.vec_id = a.id
+           |  JOIN embeddings vb ON vb.vec_id = b.id),
+           |p1 AS (SELECT qid, id, 0.5 * rel AS score FROM (
+           |    SELECT qid, id, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM sl) x
+           |  WHERE rn = 1),
+           |c2 AS (SELECT sl.qid, sl.id, 0.5 * sl.rel - 0.5 * pr.sim AS score
+           |  FROM sl JOIN p1 ON sl.qid = p1.qid AND sl.id <> p1.id
+           |  JOIN pr ON pr.qid = sl.qid AND pr.da = sl.id AND pr.db = p1.id),
+           |p2 AS (SELECT qid, id, score FROM (
+           |    SELECT qid, id, score,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn FROM c2) x
+           |  WHERE rn = 1),
+           |sel AS (SELECT qid, id FROM p1 UNION ALL SELECT qid, id FROM p2),
+           |m3 AS (SELECT pr.qid, pr.da AS id, max(pr.sim) AS msim
+           |  FROM pr JOIN sel ON sel.qid = pr.qid AND sel.id = pr.db
+           |  GROUP BY pr.qid, pr.da),
+           |c3 AS (SELECT sl.qid, sl.id, 0.5 * sl.rel - 0.5 * m3.msim AS score
+           |  FROM sl JOIN m3 ON m3.qid = sl.qid AND m3.id = sl.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel WHERE sel.qid = sl.qid AND sel.id = sl.id)),
+           |p3 AS (SELECT qid, id, score FROM (
+           |    SELECT qid, id, score,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn FROM c3) x
+           |  WHERE rn = 1),
+           |f AS (SELECT qid, 1 AS rank, id, score FROM p1
+           |  UNION ALL SELECT qid, 2, id, score FROM p2
+           |  UNION ALL SELECT qid, 3, id, score FROM p3)
+           |SELECT qid, CAST(rank AS INT) AS rank, id,
+           |  ${Cols.proundSql("score", 4)} AS mmr_score
+           |FROM f ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      mmrRerank(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        shortlist = 5, pick = 3, lam = 0.5)
         .orderBy("qid", "rank")
     },
 

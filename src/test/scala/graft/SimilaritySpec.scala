@@ -291,6 +291,33 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("mmrRerank: near-duplicate of the top hit loses to a diverse lower-relevance doc") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def v(parts: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val queries = Seq((100L, v(0 -> 1.0))).toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, v(0 -> 0.99, 1 -> 0.10)), // most relevant
+      (2L, v(0 -> 0.98, 1 -> 0.12)), // near-duplicate of 1: high rel, no diversity
+      (3L, v(0 -> 0.70, 2 -> 0.70)), // diverse, decent relevance
+      (4L, v(3 -> 1.0))) // irrelevant
+      .toDF("id", "vec")
+    val mmr = Similarity.mmrRerank(queries, corpus, shortlist = 4, pick = 2, lam = 0.5)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(mmr.toSeq == Seq((1, 1L), (2, 3L)),
+      s"MMR should pick the diverse doc 3 over near-dup 2, got ${mmr.toSeq}")
+    // plain relevance top-2 WOULD take the near-duplicate — the
+    // diversity term is what changed the answer
+    val plain = Similarity.bruteForceTopK(queries, corpus, 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(plain.toSeq == Seq(1L, 2L))
+    Caches.releaseAll()
+  }
+
   test("bqWord packs sign bits exactly; bqTopK reranks its shortlist to reasonable recall") {
     import spark.implicits._
     import graft.operators.Similarity
