@@ -280,6 +280,61 @@ object Formatters {
         col("col").as("chunk_text"))
   }
 
+  /** Sentence-respecting chunking under a word budget — the RAG
+    * splitter convention ([[chunkPassages]] cuts mid-sentence at
+    * fixed strides; retrieval corpora prefer chunks that END at
+    * sentence boundaries): greedily pack consecutive sentences while
+    * the running word count stays ≤ `maxWords`, start a new chunk on
+    * overflow; a single over-budget sentence gets its own chunk
+    * (never split). Sentences come from [[TextAnalysis
+    * .splitSentences]], capped at `maxSentences` per doc (bounds the
+    * fold and the oracle's recursion alike). The greedy fold runs as
+    * one higher-order `aggregate` per row — narrow, no shuffle until
+    * the per-chunk regroup, whose exchange carries (id, idx,
+    * sentence) rows. Emits (idCol, chunk_idx, n_sentences,
+    * chunk_text). */
+  def chunkBySentences(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxWords: Int = 48,
+      maxSentences: Int = 40): DataFrame = {
+    require(maxWords > 0 && maxSentences > 0, "chunkBySentences: positive budgets required")
+    import graft.Cols.bind
+    val sents = slice(TextAnalysis.splitSentences(col(textCol)), 1, maxSentences)
+    val exploded = docs
+      .select(col(idCol).as("__id"), sents.as("__sents"))
+      .select(col("__id"), col("__sents"),
+        aggregate(
+          col("__sents"),
+          struct(lit(0).as("run"), lit(0).as("idx"),
+            array().cast("array<int>").as("ix")),
+          (st, s) => bind(size(TextAnalysis.words(s))) { w =>
+            bind((st.getField("run") > 0) &&
+              (st.getField("run") + w > maxWords)) { overflow =>
+              bind(when(overflow, st.getField("idx") + 1)
+                .otherwise(st.getField("idx")).cast("int")) { idx =>
+                struct(
+                  when(overflow, w).otherwise(st.getField("run") + w).cast("int").as("run"),
+                  idx.as("idx"),
+                  concat(st.getField("ix"), array(idx)).as("ix"))
+              }
+            }
+          }).getField("ix").as("__ix"))
+      .select(col("__id"),
+        posexplode(arrays_zip(col("__sents").as("s"), col("__ix").as("ci"))))
+      .select(col("__id"), col("pos"),
+        col("col.s").as("__sent"), col("col.ci").as("__ci"))
+    exploded
+      .groupBy(col("__id"), col("__ci"))
+      .agg(count(lit(1)).as("n_sentences"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("__sent")))),
+            s => s.getField("__sent")), " ").as("chunk_text"))
+      .select(col("__id").as(idCol), col("__ci").cast("int").as("chunk_idx"),
+        col("n_sentences"), col("chunk_text"))
+  }
+
   def wrapRule(pattern: String): String = "\\b" + pattern + "(\\.|$|,|\\s)"
 
   def redactWithRules(
@@ -394,6 +449,68 @@ object Formatters {
         windowSize = 40, overlap = 10)
         .select(col("doc_id"), col("chunk_idx"),
           size(TextAnalysis.words(col("chunk_text"))).as("n_chunk_words"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sentence-respecting chunking gate: the fmt_sentences fixture
+    // pages (10-word sentences with rotating terminators + an
+    // unterminated even-doc tail) packed greedily under a 48-word
+    // budget — so full sentences group 4-per-chunk and the oracle
+    // replays the greedy fold as a recursive CTE over per-sentence
+    // word counts.
+    Gate(
+      "fmt_chunk_sentences", {
+        val wp = TextAnalysis.WordPattern
+        val page = "array_to_string([array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') " +
+          "|| ['.','!','?'][(i-1)%3+1] || ' ' " +
+          "FOR i IN range(1, CAST(ceil(len(ws)/10.0) AS INT) + 1)], '') " +
+          "|| (CASE WHEN doc_id % 2 = 0 THEN 'trailing fragment no terminator' ELSE '' END)"
+        val split = "[x FOR x IN list_transform(" +
+          s"regexp_extract_all(page, '[^.!?]+(?:[.!?]+|${"$"})'), s -> trim(s)) IF len(x) > 0][1:40]"
+        s"""WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(text, '$wp') AS ws
+           |           FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |sp AS (SELECT doc_id, $split AS sents FROM p),
+           |wc AS (SELECT doc_id, sents,
+           |    [len(regexp_extract_all(s, '$wp')) FOR s IN sents] AS wcs
+           |  FROM sp),
+           |r AS (
+           |  SELECT doc_id, 0 AS i, 0 AS run, 0 AS idx, CAST([] AS INT[]) AS ix, wcs
+           |  FROM wc
+           |  UNION ALL
+           |  SELECT doc_id, i + 1,
+           |    CASE WHEN run > 0 AND run + wcs[i+1] > 48 THEN wcs[i+1] ELSE run + wcs[i+1] END,
+           |    CASE WHEN run > 0 AND run + wcs[i+1] > 48 THEN idx + 1 ELSE idx END,
+           |    list_append(ix, CAST(CASE WHEN run > 0 AND run + wcs[i+1] > 48
+           |                         THEN idx + 1 ELSE idx END AS INT)),
+           |    wcs
+           |  FROM r WHERE i < len(wcs)),
+           |fin AS (SELECT doc_id, ix FROM r WHERE i = len(wcs)),
+           |e AS (SELECT sp.doc_id,
+           |    unnest([{'pos': j, 'sent': sents[j], 'ci': ix[j]}
+           |            FOR j IN range(1, len(sents) + 1)], recursive := true)
+           |  FROM sp JOIN fin ON sp.doc_id = fin.doc_id)
+           |SELECT doc_id, CAST(ci AS INT) AS chunk_idx, count(*) AS n_sentences,
+           |  md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5
+           |FROM e GROUP BY doc_id, ci ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, dir) =>
+      import graft.Cols.bind
+      val terms = array(lit("."), lit("!"), lit("?"))
+      val page = bind(TextAnalysis.words(col("text"))) { ws =>
+        concat(
+          array_join(
+            transform(TextAnalysis.indices(ceil(size(ws) / lit(10.0))), i =>
+              concat(array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "),
+                element_at(terms, ((i - 1) % 3 + 1).cast("int")), lit(" "))),
+            ""),
+          when(col("doc_id") % 2 === 0, "trailing fragment no terminator")
+            .otherwise(""))
+      }
+      chunkBySentences(
+        Tables(s, dir, "documents").select(col("doc_id"), page.as("text")),
+        "text", "doc_id", maxWords = 48, maxSentences = 40)
+        .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     },

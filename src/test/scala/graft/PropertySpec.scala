@@ -698,6 +698,29 @@ class PropertySpec extends SparkSpec {
     assert(n == "application/octet-stream")
   }
 
+  test("chunkBySentences: greedy budget packing, over-budget sentence isolated, boundaries kept") {
+    import spark.implicits._
+    import graft.operators.Formatters
+    // sentences: 3 + 3 + 4 + 11 + 2 words against a budget of 6
+    val docs = Seq((1L,
+      "one two three. four five six! seven eight nine ten? " +
+        "eleven " * 10 + "twelve. final pair.")).toDF("doc_id", "text")
+    val out = Formatters.chunkBySentences(docs, "text", "doc_id", maxWords = 6)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+    // chunk 0: 3+3 = 6 words; chunk 1: the 4-word sentence (adding
+    // it would exceed); chunk 2: the 11-word monster alone (never
+    // split); chunk 3: the 2-word tail
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0, 2L), (1, 1L), (2, 1L), (3, 1L)),
+      s"got ${out.toSeq}")
+    assert(out(0)._3 == "one two three. four five six!")
+    assert(out(1)._3 == "seven eight nine ten?")
+    assert(out(3)._3 == "final pair.")
+    // no sentence was ever split across chunks
+    assert(out.forall(c => c._3.matches(".*[.!?]$")))
+    Caches.releaseAll()
+  }
+
   test("graft_lz78: hand-computed parses, repetition compresses, codepoint-stepped") {
     import spark.implicits._
     graft.expr.GraftExtensions.register(spark)
