@@ -335,6 +335,33 @@ object Formatters {
         col("n_sentences"), col("chunk_text"))
   }
 
+  /** Bitext pair cleaning (the Moses `clean-corpus-n` rules — the
+    * standard MT-corpus hygiene before training on mined pairs):
+    * drop a (src, tgt) pair when either side is wordless, either
+    * exceeds `maxLen` words, or the length ratio exceeds `maxRatio`
+    * in either direction (misaligned pairs are rarely honest
+    * translations). Appends `bitext_reason` (NULL = keep; else
+    * `empty` / `too_long` / `ratio`, first rule wins) — the marked
+    * frame the exclusion-writer pattern expects. Narrow codegen
+    * word counts; no shuffle. */
+  def bitextClean(
+      pairs: DataFrame,
+      srcCol: String,
+      tgtCol: String,
+      maxRatio: Double = 9.0,
+      maxLen: Int = 80): DataFrame = {
+    require(maxRatio >= 1.0 && maxLen > 0, "bitextClean: maxRatio >= 1 and maxLen > 0")
+    pairs.withColumn("bitext_reason",
+      graft.Cols.bind(size(TextAnalysis.words(col(srcCol)))) { ns =>
+        graft.Cols.bind(size(TextAnalysis.words(col(tgtCol)))) { nt =>
+          when(ns === 0 || nt === 0, "empty")
+            .when(ns > maxLen || nt > maxLen, "too_long")
+            .when(ns.cast("double") > lit(maxRatio) * nt.cast("double") ||
+              nt.cast("double") > lit(maxRatio) * ns.cast("double"), "ratio")
+        }
+      })
+  }
+
   def wrapRule(pattern: String): String = "\\b" + pattern + "(\\.|$|,|\\s)"
 
   def redactWithRules(
@@ -730,6 +757,49 @@ object Formatters {
           col("doc_id").as("pair_id"), col("is_reverse"),
           renderPair(col("l1"), col("t1"), col("l2"), col("t2"), col("is_reverse")).as("text"))
         .orderBy("pair_id", "is_reverse")
+    },
+
+    // Bitext-clean gate: pairs (doc, doc+1) with planted violations —
+    // every 7th pair's tgt truncated to 2 words (ratio), every 11th
+    // emptied (empty wins as the first rule), src capped at 60 words
+    // so `too_long` triggers on genuinely long docs; the oracle
+    // replays word counts and the first-match CASE.
+    Gate(
+      "fmt_bitext_clean", {
+        val wp = TextAnalysis.WordPattern
+        s"""WITH pr AS (
+           |  SELECT a.doc_id AS pair_id,
+           |    array_to_string(regexp_extract_all(a.text, '$wp')[1:60], ' ') AS src,
+           |    CASE WHEN a.doc_id % 11 = 0 THEN ''
+           |         WHEN a.doc_id % 7 = 0
+           |           THEN array_to_string(regexp_extract_all(b.text, '$wp')[1:2], ' ')
+           |         ELSE array_to_string(regexp_extract_all(b.text, '$wp')[1:60], ' ') END AS tgt
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |  WHERE a.doc_id % 2 = 0),
+           |c AS (SELECT pair_id,
+           |    len(regexp_extract_all(src, '$wp')) AS ns,
+           |    len(regexp_extract_all(tgt, '$wp')) AS nt FROM pr)
+           |SELECT pair_id,
+           |  CASE WHEN ns = 0 OR nt = 0 THEN 'empty'
+           |       WHEN ns > 40 OR nt > 40 THEN 'too_long'
+           |       WHEN CAST(ns AS DOUBLE) > 9.0 * nt OR CAST(nt AS DOUBLE) > 9.0 * ns
+           |         THEN 'ratio' END AS bitext_reason
+           |FROM c ORDER BY pair_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      def cap(c: Column, n: Int) =
+        array_join(slice(TextAnalysis.words(c), 1, n), " ")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), cap(col("text"), 60).as("src"))
+      val b = docs.select((col("doc_id") - 1).as("pair_id"), col("text").as("__t"))
+      val pairs = a.join(b, "pair_id")
+        .select(col("pair_id"), col("src"),
+          when(col("pair_id") % 11 === 0, lit(""))
+            .when(col("pair_id") % 7 === 0, cap(col("__t"), 2))
+            .otherwise(cap(col("__t"), 60)).as("tgt"))
+      bitextClean(pairs, "src", "tgt", maxRatio = 9.0, maxLen = 40)
+        .select("pair_id", "bitext_reason")
+        .orderBy("pair_id")
     },
 
     Gate(
