@@ -66,6 +66,56 @@ object Calibration {
           .otherwise(col("cum_pos").cast("double") / col("__tot")).as("rec"))
   }
 
+  /** Temperature scaling (Guo et al., ICML 2017 — the one-parameter
+    * post-hoc recalibration: divide logits by a fitted T before the
+    * sigmoid; T > 1 softens an overconfident classifier without
+    * changing its ranking): Newton's method on the NLL over a
+    * bounded LCG sample (the pcaFitTop/ivfFit discipline — the fit
+    * is a driver-side scalar optimization over ≤ sampleSize (logit,
+    * label) pairs; scoring stays a narrow column). Deterministic:
+    * fixed start T=1, fixed iteration cap, tolerance exit. */
+  def fitTemperature(
+      df: DataFrame,
+      logitCol: String,
+      labelCol: String,
+      idCol: String,
+      sampleSize: Int = 10000,
+      iters: Int = 50): Double = {
+    val n = df.count()
+    val sampled =
+      if (n <= sampleSize) df
+      else df.filter(Cols.lcgUniform(col(idCol)) < sampleSize.toDouble / n)
+    val rows = sampled
+      .select(col(logitCol).cast("double"), col(labelCol).cast("boolean"))
+      .collect().map(r => (r.getDouble(0), if (r.getBoolean(1)) 1.0 else 0.0))
+    require(rows.nonEmpty, "fitTemperature: empty sample")
+    var t = 1.0
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      // NLL(T) = Σ ln(1+e^{z/T}) − y·z/T ; derivatives in u = z/T
+      var g = 0.0
+      var h = 0.0
+      rows.foreach { case (z, y) =>
+        val u = z / t
+        val p = 1.0 / (1.0 + math.exp(-u))
+        // dNLL/dT = Σ (y − p)·z/T² ;  d²NLL/dT² via chain rule
+        g += (y - p) * z / (t * t)
+        h += p * (1 - p) * z * z / (t * t * t * t) - 2.0 * (y - p) * z / (t * t * t)
+      }
+      val step = if (h.abs < 1e-12) 0.0 else g / h
+      val next = math.max(0.05, t - step)
+      if ((next - t).abs < 1e-10) done = true
+      t = next
+      it += 1
+    }
+    t
+  }
+
+  /** Calibrated probability column: sigmoid(logit / T). */
+  def applyTemperature(logit: Column, t: Double): Column =
+    lit(1.0) / (lit(1.0) + exp(-(logit / lit(t))))
+
   /** Percentile-rank score ENSEMBLE — combine annotator scores whose
     * raw scales don't compare (a [0,1] classifier, a perplexity, a
     * readability grade) by rank-normalizing each to its empirical

@@ -82,4 +82,35 @@ class CalibrationSpec extends SparkSpec {
       Seq(col("r")), maxDistinct = 10L)
     assert(ok.count() == 50L)
   }
+
+  test("fitTemperature recovers a planted overconfidence factor; calibration improves NLL") {
+    import spark.implicits._
+    // true logits z; labels drawn by the portable LCG at sigmoid(z);
+    // the OBSERVED logits are 3·z — an overconfident classifier whose
+    // correct temperature is exactly 3
+    val rows = (0L until 4000L).map { i =>
+      val z = ((i % 17).toDouble - 8.0) / 2.0
+      val u = {
+        val m = 2147483648L
+        (((i % m) * 1103515245L + 12345L) % m).toDouble / m
+      }
+      val y = u < 1.0 / (1.0 + math.exp(-z))
+      (i, 3.0 * z, y)
+    }
+    val df = rows.toDF("id", "logit", "label")
+    val t = Calibration.fitTemperature(df, "logit", "label", "id", sampleSize = 10000)
+    assert(t > 2.5 && t < 3.5, s"fitted T=$t, expected ~3")
+    def nll(temp: Double): Double = rows.map { case (_, zz, y) =>
+      val p = 1.0 / (1.0 + math.exp(-zz / temp))
+      -math.log(if (y) p else 1.0 - p)
+    }.sum / rows.size
+    assert(nll(t) < nll(1.0), s"calibrated NLL ${nll(t)} must beat raw ${nll(1.0)}")
+    // applyTemperature agrees with the local sigmoid
+    val s0 = df.select(Calibration.applyTemperature(col("logit"), t).as("p"))
+      .head().getDouble(0)
+    val e0 = 1.0 / (1.0 + math.exp(-rows.head._2 / t))
+    assert(math.abs(s0 - e0) < 1e-12)
+    // determinism
+    assert(Calibration.fitTemperature(df, "logit", "label", "id") == t)
+  }
 }
