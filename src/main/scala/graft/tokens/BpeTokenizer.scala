@@ -82,6 +82,35 @@ final case class BpeTokenizer(merges: IndexedSeq[(Seq[Byte], Seq[Byte])]) extend
 
 object BpeTrainer {
 
+  /** Persist a trained tokenizer's merge list as parquet — the
+    * artifact a training job ships WITH its corpus (reproducing the
+    * token stream later requires the exact merges; retraining on a
+    * changed corpus silently shifts every id). Layout: one row per
+    * merge, (rank, left bytes, right bytes); the vocab and ids are
+    * fully determined by this list, so the round-trip is the whole
+    * tokenizer. */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession, tok: BpeTokenizer, path: String): Unit = {
+    import spark.implicits._
+    tok.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a.toArray, b.toArray) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a tokenizer persisted by [[saveMerges]]: bounded driver
+    * collect (one row per merge), ordered by rank — byte arrays
+    * round-trip parquet losslessly, so the reloaded tokenizer
+    * encodes bit-identically. */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession, path: String): BpeTokenizer = {
+    val rows = spark.read.parquet(path).orderBy("rank")
+      .select("left", "right")
+      .collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+    BpeTokenizer(rows.toIndexedSeq)
+  }
+
   /** The same pre-tokenization regex the word-piece twin uses, so the
     * two tokenizers segment identically and differ only in subword
     * ids. */

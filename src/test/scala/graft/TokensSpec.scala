@@ -181,6 +181,21 @@ class TokensSpec extends SparkSpec {
     }
   }
 
+  test("BPE merges persist to parquet and reload to a bit-identical tokenizer") {
+    import graft.tokens.BpeTrainer
+    val docs = Tables(spark, sfDir, "documents")
+    val tok = BpeTrainer.train(docs, "text", numMerges = 50, maxWords = 5000)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-vocab").toString + "/merges"
+    BpeTrainer.saveMerges(spark, tok, path)
+    val back = BpeTrainer.loadMerges(spark, path)
+    assert(back.merges == tok.merges, "merge list must round-trip losslessly")
+    assert(back.eosId == tok.eosId)
+    val texts = docs.limit(5).select("text").collect().map(_.getString(0))
+    for (t <- texts)
+      assert(back.encode(t).toSeq == tok.encode(t).toSeq,
+        "reloaded tokenizer must encode bit-identically")
+  }
+
   test("BPE expression column matches driver-side encode") {
     import graft.tokens.BpeTrainer
     graft.expr.GraftExtensions.register(spark)
