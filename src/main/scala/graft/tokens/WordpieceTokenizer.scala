@@ -60,6 +60,29 @@ final case class WordpieceTokenizer(
 
 object WordpieceTrainer {
 
+  /** Persist a trained piece list as parquet ((rank, piece) rows) —
+    * the [[graft.tokens.BpeTrainer.saveMerges]] discipline for the
+    * WordPiece family: the piece list fully determines ids, so the
+    * round-trip is the whole tokenizer. */
+  def savePieces(
+      spark: SparkSession, tok: WordpieceTokenizer, path: String): Unit = {
+    import spark.implicits._
+    tok.pieces.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("rank", "piece")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a tokenizer persisted by [[savePieces]] (bounded collect,
+    * rank order). `maxPieceLen` is recomputed as the longest stored
+    * piece — matching greedily up to that bound is encode-equivalent
+    * to the trained tokenizer's, since no longer piece exists to
+    * match. */
+  def loadPieces(spark: SparkSession, path: String): WordpieceTokenizer = {
+    val pieces = spark.read.parquet(path).orderBy("rank")
+      .select("piece").collect().map(_.getString(0)).toIndexedSeq
+    WordpieceTokenizer(pieces, math.max(1, pieces.map(_.length).max))
+  }
+
   private val preRe =
     java.util.regex.Pattern.compile(TextAnalysis.WordPattern)
 

@@ -196,6 +196,22 @@ class TokensSpec extends SparkSpec {
         "reloaded tokenizer must encode bit-identically")
   }
 
+  test("WordPiece pieces persist to parquet and reload encode-equivalent") {
+    import graft.tokens.WordpieceTrainer
+    val docs = Tables(spark, sfDir, "documents")
+    val tok = WordpieceTrainer.train(docs, "text", vocabSize = 128)
+    val path = java.nio.file.Files.createTempDirectory("graft-wp-vocab").toString + "/pieces"
+    WordpieceTrainer.savePieces(spark, tok, path)
+    val back = WordpieceTrainer.loadPieces(spark, path)
+    assert(back.pieces == tok.pieces)
+    val sample = docs.limit(5)
+    val a = sample.select(WordpieceTrainer.piecesCol(spark, tok, col("text")))
+      .collect().map(_.getSeq[String](0))
+    val b = sample.select(WordpieceTrainer.piecesCol(spark, back, col("text")))
+      .collect().map(_.getSeq[String](0))
+    assert(a.toSeq == b.toSeq, "reloaded tokenizer must piece identically")
+  }
+
   test("BPE expression column matches driver-side encode") {
     import graft.tokens.BpeTrainer
     graft.expr.GraftExtensions.register(spark)
