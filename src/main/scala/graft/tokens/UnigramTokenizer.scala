@@ -94,6 +94,29 @@ object UnigramTokenizer {
 
 object UnigramTrainer {
 
+  /** Persist the trained (piece, logp) table as parquet — completes
+    * the tokenizer-persistence family (BPE merges, WordPiece pieces,
+    * unigram-LM table): the logp doubles round-trip parquet
+    * losslessly, so Viterbi segmentation is bit-identical after
+    * reload. */
+  def savePieces(
+      spark: SparkSession, tok: UnigramTokenizer, path: String): Unit = {
+    import spark.implicits._
+    tok.pieces.zipWithIndex.map { case ((p, lp), i) => (i, p, lp) }
+      .toDF("rank", "piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a tokenizer persisted by [[savePieces]] (bounded collect,
+    * rank order; maxPieceLen recomputed as the longest stored piece —
+    * Viterbi-equivalent, no longer candidate exists). */
+  def loadPieces(spark: SparkSession, path: String): UnigramTokenizer = {
+    val pieces = spark.read.parquet(path).orderBy("rank")
+      .select("piece", "logp").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toIndexedSeq
+    UnigramTokenizer(pieces, math.max(1, pieces.map(_._1.length).max))
+  }
+
   /** Train a `vocabSize` unigram piece table with a deterministic
     * EM-lite loop over the bounded word-frequency table:
     * seed = all single chars + top multi-char substrings by

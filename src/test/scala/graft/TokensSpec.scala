@@ -212,6 +212,19 @@ class TokensSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "reloaded tokenizer must piece identically")
   }
 
+  test("Unigram (piece, logp) table persists and reloads Viterbi-identical") {
+    import graft.tokens.UnigramTrainer
+    val docs = Tables(spark, sfDir, "documents")
+    val tok = UnigramTrainer.train(docs, "text", vocabSize = 128)
+    val path = java.nio.file.Files.createTempDirectory("graft-ug-vocab").toString + "/pieces"
+    UnigramTrainer.savePieces(spark, tok, path)
+    val back = UnigramTrainer.loadPieces(spark, path)
+    assert(back.pieces == tok.pieces, "logp doubles must round-trip losslessly")
+    docs.limit(5).select("text").collect().map(_.getString(0)).foreach { t =>
+      assert(back.segment(t) == tok.segment(t))
+    }
+  }
+
   test("BPE expression column matches driver-side encode") {
     import graft.tokens.BpeTrainer
     graft.expr.GraftExtensions.register(spark)
