@@ -362,6 +362,38 @@ object Formatters {
       })
   }
 
+  /** Contrastive positive pairs by independent cropping (Contriever —
+    * Izacard et al. 2022, arXiv 2112.09118: two random spans of the
+    * same document are a positive pair for unsupervised dense-
+    * retriever training; SimCSE's augmentation analogue for text):
+    * per qualifying doc, two `cropWords`-word windows at portable-LCG
+    * offsets (seeded on the id and a salted id — reproducible, and
+    * the oracle replays the exact offsets). Docs under `minWords`
+    * emit nothing. Narrow per-row op, no shuffle. */
+  def cropPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      cropWords: Int = 16,
+      minWords: Int = 24): DataFrame = {
+    require(cropWords > 0 && minWords >= cropWords,
+      "cropPairs: need minWords >= cropWords > 0")
+    import graft.Cols.bind
+    docs
+      .select(col(idCol).as("__id"), TextAnalysis.words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= minWords)
+      .select(col("__id"), col("__ws"),
+        bind(size(col("__ws")) - lit(cropWords) + 1) { k =>
+          struct(
+            floor(graft.Cols.lcgUniform(col("__id")) * k).cast("int").as("o1"),
+            floor(graft.Cols.lcgUniform(col("__id") + lit(1000003L)) * k).cast("int").as("o2"))
+        }.as("__o"))
+      .select(col("__id").as(idCol),
+        col("__o.o1").as("offset_a"), col("__o.o2").as("offset_b"),
+        array_join(slice(col("__ws"), col("__o.o1") + 1, lit(cropWords)), " ").as("crop_a"),
+        array_join(slice(col("__ws"), col("__o.o2") + 1, lit(cropWords)), " ").as("crop_b"))
+  }
+
   def wrapRule(pattern: String): String = "\\b" + pattern + "(\\.|$|,|\\s)"
 
   def redactWithRules(
@@ -800,6 +832,28 @@ object Formatters {
       bitextClean(pairs, "src", "tgt", maxRatio = 9.0, maxLen = 40)
         .select("pair_id", "bitext_reason")
         .orderBy("pair_id")
+    },
+
+    // Contrastive crop-pair gate: deterministic LCG offsets replayed
+    // by the oracle; short docs emit nothing.
+    Gate(
+      "op_crop_pairs", {
+        val wp = TextAnalysis.WordPattern
+        val k = "(len(ws) - 16 + 1)"
+        val o1 = s"CAST(floor((${graft.Cols.lcgUniformSql("doc_id")}) * $k) AS INT)"
+        val o2 = s"CAST(floor((${graft.Cols.lcgUniformSql("(doc_id + 1000003)")}) * $k) AS INT)"
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$wp') AS ws FROM documents),
+           |q AS (SELECT doc_id, ws, $o1 AS o1, $o2 AS o2 FROM t WHERE len(ws) >= 24)
+           |SELECT doc_id, o1 AS offset_a, o2 AS offset_b,
+           |  md5(array_to_string(ws[o1+1:o1+16], ' ')) AS crop_a_md5,
+           |  md5(array_to_string(ws[o2+1:o2+16], ' ')) AS crop_b_md5
+           |FROM q ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      cropPairs(Tables(s, dir, "documents"), "text", "doc_id",
+        cropWords = 16, minWords = 24)
+        .select(col("doc_id"), col("offset_a"), col("offset_b"),
+          md5(col("crop_a")).as("crop_a_md5"), md5(col("crop_b")).as("crop_b_md5"))
+        .orderBy("doc_id")
     },
 
     Gate(
