@@ -210,6 +210,55 @@ object Keywords {
     }.reduce(_.unionByName(_))
   }
 
+  /** Positional posting lists — the Lucene-shape positional index
+    * ((term, id, sorted positions)) that upgrades the bm25/postings
+    * family from bag-of-words to PHRASE queries. `terms` restricts
+    * the build to a query's vocabulary (the ad-hoc path); None
+    * builds the full index for persistence. Exchanges carry (term,
+    * id, int positions) — never text. */
+  def positionalPostings(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Option[Seq[String]] = None): DataFrame = {
+    val toks = Dedup.spread(docs)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.words(lower(col(textCol)))))
+      .select(col("id"), col("pos").cast("int").as("p"), col("col").as("term"))
+    val f = terms.map(ts => toks.filter(col("term").isin(ts.map(_.toLowerCase): _*)))
+      .getOrElse(toks)
+    f.groupBy("term", "id")
+      .agg(sort_array(collect_list(col("p"))).as("positions"))
+  }
+
+  /** Exact phrase search over positional postings: term k's postings
+    * must contain (start + k) for every k — successive id-keyed joins
+    * with an `array_contains` alignment test, one join per phrase
+    * word beyond the first. Emits (id, phrase_tf, first_pos). The
+    * index side is term-filtered before any join, so the plan touches
+    * only the phrase's own postings regardless of corpus size. */
+  def phraseSearch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: need at least two words")
+    val words = phrase.map(_.toLowerCase)
+    val posts = graft.Caches.persist(
+      positionalPostings(docs, textCol, idCol, Some(words.distinct)))
+    var cur = posts.filter(col("term") === words.head)
+      .select(col("id"), explode(col("positions")).as("p"))
+    words.zipWithIndex.drop(1).foreach { case (t, k) =>
+      val pk = posts.filter(col("term") === t)
+        .select(col("id"), col("positions").as(s"__ps$k"))
+      cur = cur.join(pk, Seq("id"))
+        .filter(array_contains(col(s"__ps$k"), col("p") + k))
+        .select(col("id"), col("p"))
+    }
+    cur.groupBy("id")
+      .agg(count(lit(1)).as("phrase_tf"), min(col("p")).as("first_pos"))
+  }
+
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
     * occurrence and document counts — the standard boilerplate/
     * contamination diagnostic (a navigation chrome phrase or license
@@ -695,6 +744,24 @@ object Keywords {
         .select(col("neighbor_id").as("id"), col("rank"))
       rrfFuse(Seq(lexical, vector), k = 5)
         .orderBy("rank")
+    },
+
+    // Phrase-search gate: "table hash" over the positional index;
+    // the oracle uses the INDEPENDENT method (direct adjacency scan
+    // over the token arrays), so a positions/alignment bug cannot
+    // cancel out.
+    Gate(
+      "txt_phrase_search",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |    unnest([i FOR i IN range(1, len(ws)) IF ws[i] = 'table' AND ws[i+1] = 'hash']) AS i
+        |  FROM t)
+        |SELECT doc_id AS id, count(*) AS phrase_tf, CAST(min(i) - 1 AS INT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY id""".stripMargin) { (s, dir) =>
+      phraseSearch(Tables(s, dir, "documents"), "text", "doc_id",
+        Seq("table", "hash"))
+        .orderBy("id")
     },
 
     // Distinct-n diversity gate: types/tokens per n-gram order 1..3.

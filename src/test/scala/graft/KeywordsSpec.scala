@@ -146,6 +146,27 @@ class KeywordsSpec extends SparkSpec {
     assert(!out.exists(_._3 == "common"))
   }
 
+  test("phraseSearch: adjacency matters, repeated words align, 3-word phrases chain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and the quick brown dog"), // "quick brown" ×2
+      (2L, "brown quick words out of order"), // both words, wrong order
+      (3L, "quick stuff then brown later"), // both words, not adjacent
+      (4L, "the the the repeated"), // repeated-word phrase territory
+      (5L, "no match here at all")).toDF("doc_id", "text")
+    val two = operators.Keywords.phraseSearch(docs, "text", "doc_id", Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(two == Map(1L -> ((2L, 1))), s"got $two")
+    val rep = operators.Keywords.phraseSearch(docs, "text", "doc_id", Seq("the", "the"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(4L -> 2L), s"'the the' occurs at 0 and 1 in doc 4: $rep")
+    val three = operators.Keywords.phraseSearch(docs, "text", "doc_id",
+        Seq("quick", "brown", "fox"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(three == Map(1L -> ((1L, 1))), s"got $three")
+    Caches.releaseAll()
+  }
+
   test("rrfFuse: doc on both lists wins, single-list docs ranked by their rank, determinism") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("id", "rank")
