@@ -376,6 +376,103 @@ object Multimodal {
       })
   }
 
+  /** Strip metadata segments from JPEG payloads — the [[stripPngMetadata]]
+    * twin for the other half of every web image corpus: walks the
+    * marker stream by declared big-endian segment lengths, drops APP1
+    * (where EXIF — GPS, camera serial, timestamps — and XMP live) and
+    * COM (free-text comments) whole, copies every other segment
+    * VERBATIM, and from SOS onward copies the entropy-coded stream
+    * untouched (FF-escaped scan data never parses as markers, so the
+    * scrub cannot corrupt pixels). Standalone markers (TEM, RSTn)
+    * copy as bare 2-byte pairs; non-JPEG, truncated, or malformed
+    * payloads pass through unchanged from the point of confusion —
+    * a scrubber must never corrupt what it does not understand.
+    * Per-partition batched byte work (the X1 plumbing), narrow, no
+    * shuffle. */
+  def stripJpegMetadata(docs: DataFrame): Dataset[StripResult] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes == null || bytes.length < 2 ||
+          (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+          StripResult(id, bytes, 0, 0)
+        else {
+          def u8(i: Int) = bytes(i) & 0xff
+          def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+          val out = new java.io.ByteArrayOutputStream(bytes.length)
+          out.write(bytes, 0, 2) // SOI
+          var i = 2
+          var dropped = 0
+          var removed = 0
+          var done = false
+          while (!done && i < bytes.length) {
+            if (i + 2 > bytes.length || u8(i) != 0xff) {
+              out.write(bytes, i, bytes.length - i); done = true // confused: bail verbatim
+            } else {
+              val m = u8(i + 1)
+              if (m == 0xda || m == 0xd9) { // SOS / EOI: rest is scan data
+                out.write(bytes, i, bytes.length - i); done = true
+              } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7) || m == 0xff) {
+                // TEM / RSTn standalone (or a pad FF): no length field
+                out.write(bytes, i, if (m == 0xff) 1 else 2)
+                i += (if (m == 0xff) 1 else 2)
+              } else if (i + 4 > bytes.length || u16(i + 2) < 2 ||
+                i + 2 + u16(i + 2) > bytes.length) {
+                out.write(bytes, i, bytes.length - i); done = true // truncated segment
+              } else {
+                val total = 2 + u16(i + 2)
+                if (m == 0xe1 || m == 0xfe) { dropped += 1; removed += total }
+                else out.write(bytes, i, total)
+                i += total
+              }
+            }
+          }
+          StripResult(id, out.toByteArray, dropped, removed)
+        }
+      })
+  }
+
+  /** Strip-gate fixture for [[stripJpegMetadata]]: even ids get a
+    * structurally valid JPEG with an id-length EXIF APP1 and a COM
+    * segment planted between APP0 and SOF0, plus an FF-escaped scan
+    * byte after SOS (the marker-walk trap); odd ids carry raw text
+    * bytes (must pass through). All lengths are pure doc_id
+    * formulas, so the gate oracle recomputes them closed-form. */
+  private def withJpegExifBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] =
+          if (id % 2 == 0) {
+            val e = (id % 10).toInt
+            val out = new java.io.ByteArrayOutputStream()
+            def b2(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+            out.write(0xff); out.write(0xd8)              // SOI
+            out.write(0xff); out.write(0xe0); b2(16)      // APP0 JFIF
+            out.write("JFIF".getBytes("ASCII")); out.write(0)
+            (0 until 9).foreach(_ => out.write(0))
+            out.write(0xff); out.write(0xe1); b2(8 + e)   // APP1 Exif (drop)
+            out.write("Exif".getBytes("ASCII")); out.write(0); out.write(0)
+            (0 until e).foreach(k => out.write(k))
+            out.write(0xff); out.write(0xfe); b2(6)       // COM (drop)
+            out.write("grft".getBytes("ASCII"))
+            out.write(0xff); out.write(0xc0); b2(17)      // SOF0
+            out.write(8); b2(1); b2(1); out.write(3)
+            (0 until 9).foreach(_ => out.write(0x11))
+            out.write(0xff); out.write(0xda); b2(12)      // SOS
+            out.write(3); (0 until 6).foreach(_ => out.write(0x11))
+            out.write(0); out.write(0x3f); out.write(0)
+            out.write(0xaa); out.write(0xff); out.write(0x00) // FF-escaped scan
+            out.write(0xbb); out.write(0xcc)
+            out.write(0xff); out.write(0xd9)              // EOI
+            out.toByteArray
+          } else text.getBytes("UTF-8")
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
   /** CRC-valid PNG chunk (length + type + data + CRC32 over
     * type+data) — shared by the strip fixture and specs. */
   private[graft] def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -706,6 +803,27 @@ object Multimodal {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 61 ELSE length(text) END AS INT) AS n_bytes_after
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       stripPngMetadata(withPngMetaBlob(Tables(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("n_dropped"), col("bytes_removed"),
+          length(col("media")).as("n_bytes_after"))
+        .orderBy("doc_id")
+    },
+
+    // JPEG EXIF-strip gate: fixture segment lengths are pure doc_id
+    // formulas (APP1 payload varies with id%10), so the oracle
+    // recomputes dropped/removed/after closed-form while the Spark
+    // side must actually WALK the marker stream — fixed-offset
+    // arithmetic breaks on the varying APP1 and the FF-escaped scan
+    // byte.
+    Gate(
+      "mm_strip_exif",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT) AS n_dropped,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 18 + doc_id % 10 ELSE 0 END AS INT)
+        |    AS bytes_removed,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 60 ELSE length(text) END AS INT)
+        |    AS n_bytes_after
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      stripJpegMetadata(withJpegExifBlob(Tables(s, dir, "documents"))).toDF()
         .select(col("doc_id"), col("n_dropped"), col("bytes_removed"),
           length(col("media")).as("n_bytes_after"))
         .orderBy("doc_id")

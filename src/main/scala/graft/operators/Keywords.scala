@@ -259,6 +259,76 @@ object Keywords {
       .agg(count(lit(1)).as("phrase_tf"), min(col("p")).as("first_pos"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    * graph-based complement to [[tfidfKeywords]] (corpus statistics)
+    * and [[rakeKeywords]] (phrase heuristics): per document, candidate
+    * words (length ≥ `minLen`, the POS-filter proxy) that are ADJACENT
+    * in the token stream become an undirected co-occurrence edge
+    * (window 2), and the unnormalized PageRank
+    * `S(v) = 0.15 + 0.85·Σ S(u)/deg(u)` runs a fixed `iterations`
+    * rounds. Top-k words per doc by final score.
+    *
+    * Scale shape: the edge build is one narrow array expression
+    * (adjacent-pair zip inside the scan — no self-join, no window);
+    * iteration state is keyed (doc, word), so every round is one
+    * hash join + one pre-reduced aggregate on uniformly distributed
+    * keys — per-doc graphs never concentrate on a partition the way a
+    * web graph's hubs do. Per-round lineage truncates via the
+    * [[Clusters.pageRank]] localCheckpoint idiom. Determinism:
+    * contributions round to 12 decimals and accumulate as DECIMAL, so
+    * the SQL twin replays every iteration bit-for-bit. */
+  def textRank(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      iterations: Int = 5,
+      minLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    val pairs = Cols.bind(TextAnalysis.words(lower(col(textCol)))) { w =>
+      filter(
+        zip_with(
+          slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+          slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+          (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b"))),
+        p => length(p("a")) >= minLen && length(p("b")) >= minLen && p("a") =!= p("b"))
+    }
+    val e0 = Dedup.spread(docs)
+      .select(col(idCol).as("doc"), explode(pairs).as("p"))
+      .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val e = graft.Caches.persist(
+      e0.select(col("doc"), col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("doc"), col("b").as("src"), col("a").as("dst"))))
+    val ew = graft.Caches.persist(
+      e.join(e.groupBy("doc", "src").agg(count(lit(1)).as("od")), Seq("doc", "src")))
+    var ranks = e.select(col("doc"), col("src").as("w")).distinct()
+      .withColumn("r", lit(1.0))
+    for (_ <- 1 to iterations) {
+      // every node of an undirected graph has ≥ 1 incoming edge, so
+      // the contribution aggregate itself enumerates all nodes — no
+      // keep-alive outer join needed (unlike directed pageRank)
+      val next = ew.join(ranks.withColumnRenamed("w", "src"), Seq("doc", "src"))
+        .groupBy(col("doc"), col("dst").as("w"))
+        .agg(sum(Cols.pround(col("r") / col("od"), 12)
+          .cast(DecimalType(32, 12))).as("c"))
+        .select(col("doc"), col("w"),
+          Cols.pround(lit(0.15) + lit(0.85) * col("c").cast("double"), 12).as("r"))
+      val rdd = next.rdd
+      rdd.localCheckpoint()
+      ranks = next.sparkSession.createDataFrame(rdd, next.schema)
+    }
+    ranks
+      .groupBy("doc")
+      .agg(call_function("graft_top_k",
+        struct((-col("r")).as("ns"), col("w").as("t")), lit(k), lit(true)).as("top"))
+      .select(col("doc").as(idCol), posexplode(array_sort(col("top"))))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.t").as("word"),
+        Cols.pround(-col("col.ns"), 6).as("score"))
+  }
+
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
     * occurrence and document counts — the standard boilerplate/
     * contamination diagnostic (a navigation chrome phrase or license
@@ -527,6 +597,47 @@ object Keywords {
   }
 
   val gates: Seq[Gate] = Seq(
+
+    // TextRank gate: the oracle rebuilds the adjacent-pair edges with
+    // a list comprehension, then replays all 5 PageRank rounds as
+    // unrolled CTEs — rounded contributions, DECIMAL accumulation,
+    // identical 0.15 + 0.85·Σ arithmetic — and the same
+    // (score desc, word) top-3 cut.
+    Gate(
+      "txt_textrank", {
+        val contrib = Cols.proundSql("p.r / e.od", 12)
+        val step = Cols.proundSql(
+          s"0.15 + 0.85 * CAST(sum(CAST($contrib AS DECIMAL(32,12))) AS DOUBLE)", 12)
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (SELECT e.doc_id, e.dst AS w, $step AS r
+             |  FROM ew e JOIN r${k - 1} p ON e.doc_id = p.doc_id AND e.src = p.w
+             |  GROUP BY e.doc_id, e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p0 AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '${TextAnalysis.WordPattern}') AS ws
+           |  FROM documents),
+           |pr AS (SELECT doc_id, unnest([{'a': least(ws[i], ws[i+1]),
+           |        'b': greatest(ws[i], ws[i+1])} FOR i IN range(1, len(ws))]) AS u
+           |  FROM p0),
+           |e0 AS (SELECT DISTINCT doc_id, u.a AS a, u.b AS b FROM pr
+           |  WHERE len(u.a) >= 4 AND len(u.b) >= 4 AND u.a <> u.b),
+           |ed AS (SELECT doc_id, a AS src, b AS dst FROM e0
+           |  UNION ALL SELECT doc_id, b, a FROM e0),
+           |ew AS (SELECT ed.doc_id, ed.src, ed.dst, d.od FROM ed JOIN (
+           |    SELECT doc_id, src, count(*) AS od FROM ed GROUP BY doc_id, src) d
+           |  ON ed.doc_id = d.doc_id AND ed.src = d.src),
+           |r0 AS (SELECT DISTINCT doc_id, src AS w, CAST(1.0 AS DOUBLE) AS r FROM ed),
+           |$iters,
+           |ranked AS (SELECT doc_id, w, r, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY r DESC, w) AS rank FROM r5)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, w AS word,
+           |  ${Cols.proundSql("r", 6)} AS score
+           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+      }) { (s, dir) =>
+      textRank(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 3, iterations = 5, minLen = 4)
+        .orderBy("doc_id", "rank")
+    },
 
     // RAKE gate: the oracle replays the identical boundary regex,
     // per-(doc,word) degree/frequency, decimal-summed phrase scores,

@@ -405,7 +405,62 @@ object Layout {
       .drop("__rank")
   }
 
+  /** Weight-balanced shard assignment — the makespan objective
+    * ([[graft.sources.DocSource.writeSharded]]'s hash sharding
+    * balances COUNTS; a training job reading one shard per worker
+    * needs balanced TOKENS, or the heaviest shard sets every epoch's
+    * wall clock). Deterministic snake (boustrophedon) placement over
+    * the weight-descending global rank: block `r / n` alternates
+    * direction, so each consecutive block of n rows gives every shard
+    * exactly one row and reversed blocks cancel the within-block
+    * weight slope — the classic round-robin-after-LPT-sort
+    * approximation, within one max-item of optimal for the balanced
+    * case and bit-reproducible (no bin state, unlike BFD). Plan shape
+    * is [[denseIds]]: one sampled range shuffle + p-row offsets, no
+    * global window; the snake formula is pure codegen arithmetic.
+    * Compose with `writeSharded(..., shardExpr = col("shard"))` to lay
+    * the files out. Appends `shard` (int); `idCol` breaks weight ties
+    * so reruns agree. */
+  def balancedShards(
+      df: DataFrame,
+      weightCol: Column,
+      idCol: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "balancedShards: nShards must be positive")
+    denseIds(df, Seq(weightCol.desc, idCol), "__rank")
+      .withColumn("shard",
+        when(floor(col("__rank") / nShards) % 2 === 0, pmod(col("__rank"), lit(nShards)))
+          .otherwise(lit(nShards - 1) - pmod(col("__rank"), lit(nShards)))
+          .cast("int"))
+      .drop("__rank")
+  }
+
   val gates: Seq[Gate] = Seq(
+    // Balanced-shards gate: snake placement over the n_chars-desc
+    // rank, summarized per shard. The oracle replays the identical
+    // rank + snake formula; the digest pins WHICH docs landed in each
+    // shard, not just the totals.
+    Gate(
+      "op_balanced_shards",
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r FROM documents),
+        |s AS (SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS INT) AS shard
+        |  FROM r)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_weight,
+        |  CAST(sum(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT) AS ids_digest
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+      balancedShards(docs, col("n_chars"), col("doc_id"), nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_weight"),
+          sum(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000000007L)))
+            .as("ids_digest"))
+        .orderBy("shard")
+    },
+
     // Blendable-interleave gate: per-source weights (src-number % 3 +
     // 1), the oracle replays the within-source rank and the identical
     // integer stride-scheduling closed form (floor division, tie →

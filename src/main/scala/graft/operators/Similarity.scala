@@ -204,6 +204,34 @@ object Similarity {
       k: Int): DataFrame =
     bruteForceTopK(queries, corpus.filter(predicate).select("id", "vec"), k)
 
+  /** Range (radius) vector search — ALL corpus vectors with cosine ≥
+    * `threshold` of each query, the fixed-radius dual of top-k (the
+    * `range_search` of the FAISS API; what near-duplicate *lookup*
+    * against a known-bad set wants, where the match COUNT matters and
+    * a fixed k either truncates dense neighborhoods or pads sparse
+    * ones with junk). The query set broadcasts; the threshold filter
+    * applies map-side inside the scored scan, so — unlike top-k,
+    * which must heap every scored row — nothing below the radius ever
+    * leaves the scan stage and there is NO shuffle at all: the result
+    * is a narrow selection. Output size is selectivity-bound, not
+    * k-bound; callers probing permissive radii over huge corpora
+    * should compose the same filter after an IVF probe
+    * ([[ivfTopKFromIndex]]'s cell-pruned scan) instead of this exact
+    * full-scan baseline. Self-matches are excluded. */
+  def rangeSearch(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame, // id, vec
+      threshold: Double): DataFrame =
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__nv", seqNorm(col("vec")))
+      .crossJoin(broadcast(queries.withColumn("__nq", seqNorm(col("qvec")))))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        Cols.pround(
+          seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+
   /** Hard-negative mining for contrastive training (DPR — Karpukhin
     * et al., EMNLP 2020, arXiv 2004.04906 §4.2: the strongest
     * negatives are the retriever's own top results that are NOT the
@@ -949,6 +977,54 @@ object Similarity {
       .select(col("qid"), col("id"),
         seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")).as("cos"))
     groupedTopK(scored, k)
+  }
+
+  /** Embedding-outlier report — corpus hygiene for the vector column
+    * (encoder glitches, wrong-modality rows, truncated inputs all land
+    * far from the distribution's center): distance of every vector to
+    * the corpus MEAN vector, z-scored over the distance distribution,
+    * rows with z ≥ `zThreshold` flagged. Two narrow passes: (1) the
+    * 64 per-dim means as one decimal-accumulated map-side aggregate
+    * (order-independent, so the driver-collected mean is
+    * bit-reproducible); (2) per-row centered distance via the
+    * sequential-double kernel against the broadcast mean literal, plus
+    * a second tiny decimal aggregate for the distance mean/sd. No
+    * wide shuffle anywhere — both aggregates reduce to a single row —
+    * and the outlier filter applies map-side on the scan. The mean is
+    * dim doubles on the driver (the pcaFit/ivfFit bounded-collect
+    * discipline). Population sd; z rounds to 4 BEFORE the threshold
+    * so boundary rows bucket identically in any replay. */
+  def embedOutliers(
+      vecs: DataFrame, // id, vec
+      zThreshold: Double = 2.0): DataFrame = {
+    graft.expr.GraftExtensions.register(vecs.sparkSession)
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    val mu: Array[Double] = vecs.agg(
+      count(lit(1)).as("n"),
+      (1 to dim).map(i =>
+        sum(element_at(col("vec"), i).cast(acc)).cast("double").as(s"s$i")): _*)
+      .head() match {
+      case r =>
+        val n = r.getLong(0).toDouble
+        (1 to dim).map(i => r.getDouble(i) / n).toArray
+    }
+    val muLit = array(mu.toIndexedSeq.map(lit): _*)
+    val diff = zip_with(col("vec").cast("array<double>"), muLit, (x, m) => x - m)
+    val dists = graft.Caches.persist(
+      vecs.select(col("id"), sqrt(seqDot(diff, diff)).as("d")))
+    val stats = dists.agg(
+      count(lit(1)).as("n"),
+      sum(col("d").cast(acc)).cast("double").as("s1"),
+      sum((col("d") * col("d")).cast(acc)).cast("double").as("s2"))
+      .head()
+    val n = stats.getLong(0).toDouble
+    val mean = stats.getDouble(1) / n
+    val sd = math.sqrt(stats.getDouble(2) / n - mean * mean)
+    dists
+      .select(col("id"),
+        Cols.pround(col("d"), 6).as("dist"),
+        Cols.pround((col("d") - lit(mean)) / lit(sd), 4).as("z"))
+      .filter(col("z") >= zThreshold)
   }
 
   /** Project vectors onto a fixed basis — the dimensionality-reduction
@@ -1757,6 +1833,65 @@ object Similarity {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         k = 3)
         .orderBy("qid", "rank")
+    },
+
+    // Range search gate: same query set, fixed radius instead of k.
+    // The oracle filters on the ROUNDED cosine, mirroring the
+    // operator (pround before the threshold), so boundary values
+    // agree bit-for-bit.
+    Gate(
+      "ann_range", {
+        val cos = sqlSeqCosine("q.embedding", "c.embedding")
+        s"""SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |  ${Cols.proundSql(cos, 4)} AS cosine
+           |FROM embeddings q JOIN embeddings c
+           |  ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+           |WHERE ${Cols.proundSql(cos, 4)} >= 0.3
+           |ORDER BY qid, neighbor_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      rangeSearch(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.3)
+        .orderBy("qid", "neighbor_id")
+    },
+
+    // Embedding-outlier gate: the oracle recomputes the per-dim
+    // decimal means, every centered distance (same left-assoc 64-term
+    // fold as the sequential kernel), and the distance z-scores from
+    // scratch — mean, sd, and threshold all replayed, nothing
+    // injected.
+    Gate(
+      "rpt_embed_outliers", {
+        val dim = Dim
+        val mus = (1 to dim).map(i =>
+          s"CAST(sum(CAST(embedding[$i] AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m$i")
+          .mkString(",\n    ")
+        val terms = (1 to dim).map { i =>
+          val t = s"(CAST(c.embedding[$i] AS DOUBLE) - m.m$i)"
+          s"$t * $t"
+        }.mkString(" + ")
+        s"""WITH m AS (SELECT
+           |    $mus
+           |  FROM embeddings),
+           |dist AS (SELECT c.vec_id AS id, sqrt($terms) AS d
+           |  FROM embeddings c CROSS JOIN m),
+           |st AS (SELECT count(*) AS n,
+           |    CAST(sum(CAST(d AS DECIMAL(30,15))) AS DOUBLE) AS s1,
+           |    CAST(sum(CAST(d * d AS DECIMAL(30,15))) AS DOUBLE) AS s2
+           |  FROM dist)
+           |SELECT id, ${Cols.proundSql("d", 6)} AS dist,
+           |  ${Cols.proundSql("(d - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))", 4)} AS z
+           |FROM dist CROSS JOIN st
+           |WHERE ${Cols.proundSql("(d - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))", 4)} >= 2.0
+           |ORDER BY id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      embedOutliers(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        zThreshold = 2.0)
+        .orderBy("id")
     },
 
     // Matryoshka gate: exact top-3 over the FIRST 16 of 64 dims —

@@ -134,6 +134,29 @@ object DocSource {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
 
+  /** fastText supervised training-file sink — the hand-off format of
+    * the public quality-classifier recipes (fastText `-supervised`
+    * wants one `__label__X text` line per doc; the fineweb-edu and
+    * DCLM filters are trained from exactly such exports). Newlines,
+    * CRs and tabs fold to one space (the format is line-oriented and
+    * whitespace-tokenized, so the fold is lossless for training);
+    * `concat_ws` keeps a null text as a bare label line rather than
+    * dropping the example. One text file per partition — the export
+    * parallelizes like any sink, and fastText consumes the
+    * concatenation. */
+  def writeFastText(df: DataFrame, path: String, labelCol: String, textCol: String): Unit =
+    df.select(concat_ws(" ",
+        concat(lit("__label__"), col(labelCol)),
+        regexp_replace(col(textCol), "[\\n\\r\\t]+", " ")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Parse a fastText supervised file back to (label, text) — the
+    * inverse of [[writeFastText]] up to the whitespace fold. */
+  def readFastText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(
+      regexp_extract(col("value"), "^__label__(\\S+)", 1).as("label"),
+      regexp_replace(col("value"), "^__label__\\S*\\s?", "").as("text"))
+
   /** WET-style (WARC conversion-record) text sink — the format web
     * corpora actually ship in (Common Crawl WET; reference pipelines
     * start from such dumps, datatrove's WarcReader is the S-family
@@ -588,6 +611,27 @@ object DocSource {
       s.read.orc(path)
         .select(col("id"), md5(col("text")).as("text_md5"))
         .orderBy("id")
+    },
+
+    // fastText-export gate: write the supervised file (label = lang),
+    // parse it back, and re-digest the reconstructed lines. The
+    // oracle rebuilds each line from the raw table with the identical
+    // whitespace fold — a mismatch anywhere in the fold, label
+    // prefix, or parse round-trip moves some line's md5. Ordered by
+    // digest (the file format itself carries no id).
+    Gate(
+      "snk_fasttext",
+      """SELECT lang AS label,
+        |  md5(concat_ws(' ', '__label__' || lang,
+        |      regexp_replace(text, '[\n\r\t]+', ' ', 'g'))) AS line_md5
+        |FROM documents ORDER BY line_md5, label""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_fasttext")
+      writeFastText(Tables(s, dir, "documents"), path, labelCol = "lang", textCol = "text")
+      readFastText(s, path)
+        .select(col("label"),
+          md5(concat_ws(" ", concat(lit("__label__"), col("label")), col("text")))
+            .as("line_md5"))
+        .orderBy("line_md5", "label")
     },
 
     // Sharded-release sink: 8 fixed shards keyed on the id (portable

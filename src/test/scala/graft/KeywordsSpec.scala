@@ -7,6 +7,34 @@ class KeywordsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("textRank ranks the central co-occurrence hub first") {
+    // beta touches both alpha and gamma; alpha/gamma touch only beta.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "solo"), // < 2 candidate words -> no graph, no rows
+      (3L, "to be or if it is")) // all words below minLen -> no rows
+      .toDF("doc_id", "text")
+    val out = operators.Keywords.textRank(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(out.forall(_._1 == 1L), "docs without a candidate graph emit nothing")
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == "beta", s"hub word must rank first, got ${d1.toSeq}")
+    assert(d1.map(_._3).toSet == Set("alpha", "beta", "gamma"))
+    assert(d1.forall(_._4 > 0.0))
+    // rank order matches score order (desc), ties impossible here
+    assert(d1.map(_._4).toSeq == d1.map(_._4).sortBy(-(_: Double)).toSeq)
+  }
+
+  test("textRank is deterministic across runs") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val a = operators.Keywords.textRank(docs, "text", "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    val b = operators.Keywords.textRank(docs, "text", "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("tfidf keywords rank rare repeated terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "zebra zebra zebra the the the common common"),

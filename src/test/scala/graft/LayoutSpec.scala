@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("balancedShards: exact partition of the input, near-equal weights") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val n = docs.count()
+    val out = Layout.balancedShards(docs, col("n_chars"), col("doc_id"), nShards = 8)
+    val sums = out.groupBy("shard")
+      .agg(count(lit(1)).as("c"), sum("n_chars").as("w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(sums.map(_._1).sorted.toSeq == (0 until 8), "all 8 shards populated")
+    assert(sums.map(_._2).sum == n, "every row assigned exactly once")
+    assert(sums.map(_._2).max - sums.map(_._2).min <= 1, "counts within one row")
+    val ws = sums.map(_._3.toDouble)
+    assert(ws.max / ws.min < 1.05,
+      s"snake placement should balance weights tightly, got ${ws.mkString(",")}")
+    // hash sharding on the same weights is strictly worse balanced
+    val hashWs = docs.withColumn("shard", pmod(col("doc_id"), lit(8)))
+      .groupBy("shard").agg(sum("n_chars").as("w"))
+      .collect().map(_.getLong(1).toDouble)
+    assert(ws.max - ws.min <= hashWs.max - hashWs.min)
+  }
+
   test("zorderValue interleaves bits: hand cases") {
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (65535L, 0L))
       .toDF("x", "y")

@@ -638,6 +638,48 @@ class PropertySpec extends SparkSpec {
       .langPercentileFilter(docs, "lang", "score", 1.0).count() == 110)
   }
 
+  test("stripJpegMetadata: real JPEG survives decode after strip, non-JPEG passes through") {
+    import spark.implicits._
+    // genuine ImageIO JPEG, then an EXIF APP1 + COM spliced in after SOI
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0x884422)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val clean = bos.toByteArray
+    val exifPayload = "Exif  FAKE-TIFF gps=secret".getBytes("ASCII")
+    val app1 = Array(0xff, 0xe1).map(_.toByte) ++
+      Array(((exifPayload.length + 2) >> 8).toByte, ((exifPayload.length + 2) & 0xff).toByte) ++
+      exifPayload
+    val com = Array(0xff, 0xfe, 0, 8).map(_.toByte) ++ "secret".getBytes("ASCII")
+    val tainted = clean.take(2) ++ app1 ++ com ++ clean.drop(2)
+
+    val got = multimodal.Multimodal
+      .stripJpegMetadata(Seq((1L, tainted), (2L, "plain".getBytes("UTF-8")))
+        .toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L).n_dropped == 2)
+    assert(got(1L).bytes_removed == app1.length + com.length)
+    assert(got(1L).media.sameElements(clean), "everything but APP1/COM byte-identical")
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).media))
+    assert(decoded.getWidth == 4 && decoded.getHeight == 3)
+    // non-JPEG bytes pass through untouched
+    assert(got(2L).n_dropped == 0 &&
+      got(2L).media.sameElements("plain".getBytes("UTF-8")))
+    // truncated mid-segment: kept verbatim from the point of confusion
+    val trunc = tainted.take(2 + 5)
+    val t = multimodal.Multimodal
+      .stripJpegMetadata(Seq((3L, trunc)).toDF("doc_id", "media"))
+      .collect().head
+    assert(t.media.sameElements(trunc))
+    // idempotence: a stripped file strips to itself
+    val again = multimodal.Multimodal
+      .stripJpegMetadata(Seq((4L, got(1L).media)).toDF("doc_id", "media"))
+      .collect().head
+    assert(again.n_dropped == 0 && again.media.sameElements(got(1L).media))
+  }
+
   test("stripPngMetadata: real PNG survives decode after strip, non-PNG passes through") {
     import spark.implicits._
     // genuine ImageIO PNG, then a tEXt chunk spliced in after IHDR

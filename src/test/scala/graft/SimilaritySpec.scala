@@ -28,6 +28,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"recall $recall suspiciously low")
   }
 
+  test("range search returns exactly the above-threshold subset, no self matches") {
+    val e = emb
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val t = 0.2
+    val got = Similarity.rangeSearch(queries, corpus, t).collect()
+    assert(got.nonEmpty, "threshold 0.2 should match something at sf0.001")
+    assert(got.forall(_.getDouble(2) >= t))
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)), "self matches must be excluded")
+    // exactness: identical to the full scored set filtered at the radius
+    val n = corpus.count().toInt
+    val all = Similarity.bruteForceTopK(queries, corpus, n)
+      .filter(col("cosine") >= t)
+      .select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == all)
+  }
+
+  test("embedOutliers flags a planted far-out vector and only above-threshold rows") {
+    import spark.implicits._
+    val e = emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    // plant one vector far outside the cloud (id -1, all dims at 50)
+    val far = Seq((-1L, Array.fill(64)(50.0).toSeq)).toDF("id", "vec")
+    val out = operators.Similarity.embedOutliers(e.unionByName(far), zThreshold = 2.0)
+      .collect()
+    assert(out.exists(_.getLong(0) == -1L), "the planted outlier must be flagged")
+    assert(out.forall(_.getDouble(2) >= 2.0), "every flagged row is above threshold")
+    assert(out.length < 60, "outliers must be a small tail, not the corpus")
+  }
+
   test("IVF top-k has reasonable recall vs brute force") {
     val e = emb
     val queries = e.filter(col("vec_id") < 10)

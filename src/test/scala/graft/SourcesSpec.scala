@@ -47,6 +47,28 @@ class SourcesSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("fastText export folds whitespace and parses back label/text") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ft").toString + "/train"
+    val docs = Seq(
+      ("en", "plain text"),
+      ("de", "line one\nline two\r\n\ttabbed"),
+      ("fr", ""), // empty text -> bare label line with one trailing space
+      ("pt", "multi   spaces kept")).toDF("lang", "text")
+    DocSource.writeFastText(docs, out, "lang", "text")
+    val back = DocSource.readFastText(spark, out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(back("en") == "plain text")
+    // the \r\n\t run folds to ONE space
+    assert(back("de") == "line one line two tabbed", s"got '${back("de")}'")
+    assert(back("fr") == "")
+    assert(back("pt") == "multi   spaces kept", "internal plain spaces are preserved")
+    // every line is a single physical line starting with the label prefix
+    val raw = spark.read.text(out).collect().map(_.getString(0))
+    assert(raw.length == 4)
+    assert(raw.forall(_.startsWith("__label__")))
+  }
+
   test("orc sink round-trips typed rows") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-orc").toString + "/docs"
