@@ -192,6 +192,31 @@ object Analytics {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Relative-rank window family: percent_rank / cume_dist / ntile
+    // over a per-source total order — the normalized-position stats
+    // every curriculum/quantile consumer reads off a window. Unique
+    // (n_chars, doc_id) tiebreak makes all three bit-deterministic;
+    // both engines implement the ANSI definitions (pr = (rank-1)/(n-1),
+    // cd = rank/n, ntile fronts the remainder).
+    Gate(
+      "q39_rank_stats",
+      s"""SELECT doc_id, source,
+         |  ${Cols.proundSql("percent_rank() OVER w", 8)} AS pr,
+         |  ${Cols.proundSql("cume_dist() OVER w", 8)} AS cd,
+         |  CAST(ntile(4) OVER w AS INT) AS quartile
+         |FROM documents
+         |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Cols.pround(percent_rank().over(w), 8).as("pr"),
+          Cols.pround(cume_dist().over(w), 8).as("cd"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("doc_id")
+    },
+
     // GROUPING SETS completes the multi-granularity family beside
     // ROLLUP (q5) and CUBE (q30): an EXPLICIT set list — here
     // (flag, status), (flag), (status) but NOT the grand total — is

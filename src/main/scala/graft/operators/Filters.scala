@@ -118,6 +118,33 @@ object Filters {
   def thresholdFilter(docs: DataFrame, mins: Seq[(Column, Double)]): DataFrame =
     docs.filter(mins.map { case (c, t) => c >= t }.reduce(_ && _))
 
+  /** Ensemble (k-of-n) quality vote — the public multi-filter recipes
+    * (Dolma, RedPajama-v2 quality signals) keep a doc when ENOUGH
+    * heuristics agree rather than when every one passes, because each
+    * individual rule has false positives a conjunction compounds.
+    * Appends `votes` (passing count), `vote_mask` (bit i = predicate
+    * i passed — the per-rule attribution the funnel reports read),
+    * and `kept` (votes ≥ minVotes). NULL predicate results count as
+    * fails (absent metadata must not smuggle a doc past the vote).
+    * Pure codegen arithmetic over the predicate columns: zero
+    * shuffle, fuses into the scan, and the mask costs nothing beyond
+    * the predicates themselves. ≤ 31 predicates (int mask). */
+  def ensembleVote(
+      docs: DataFrame,
+      preds: Seq[(String, Column)],
+      minVotes: Int): DataFrame = {
+    require(preds.nonEmpty && preds.size <= 31,
+      s"ensembleVote: need 1..31 predicates, got ${preds.size}")
+    require(minVotes >= 0 && minVotes <= preds.size,
+      s"ensembleVote: minVotes $minVotes outside 0..${preds.size}")
+    val bits = preds.map { case (_, p) => when(coalesce(p, lit(false)), 1).otherwise(0) }
+    docs
+      .withColumn("votes", bits.reduce(_ + _).cast("int"))
+      .withColumn("vote_mask",
+        bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _).cast("int"))
+      .withColumn("kept", col("votes") >= minVotes)
+  }
+
   /** FineWeb-2-style per-language adaptive quality threshold: a
     * single global cutoff on a quality score systematically starves
     * low-resource languages (their score distributions sit lower), so
@@ -266,6 +293,38 @@ object Filters {
         Tables(s, dir, "documents"),
         col("n_chars").between(100, 400) && col("lang") =!= "zh")
         .select("doc_id", "n_chars", "lang").orderBy("doc_id")
+    },
+
+    // Ensemble-vote gate: four independent heuristics (length band,
+    // language allowlist, word floor, distinct-word ratio), keep at
+    // ≥ 3 votes. The oracle recomputes every vote, the bit mask, and
+    // the keep decision — a flipped bit anywhere moves vote_mask.
+    Gate(
+      "f_ensemble_vote", {
+        val toks = TextAnalysis.SqlWords
+        s"""WITH v AS (SELECT doc_id,
+           |    CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1 ELSE 0 END AS v0,
+           |    CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END AS v1,
+           |    CASE WHEN len($toks) >= 30 THEN 1 ELSE 0 END AS v2,
+           |    CASE WHEN len(list_distinct($toks)) / len($toks) >= 0.35
+           |         THEN 1 ELSE 0 END AS v3
+           |  FROM documents)
+           |SELECT doc_id, CAST(v0 + v1 + v2 + v3 AS INT) AS votes,
+           |  CAST(v0 + 2 * v1 + 4 * v2 + 8 * v3 AS INT) AS vote_mask,
+           |  (v0 + v1 + v2 + v3 >= 3) AS kept
+           |FROM v ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      ensembleVote(
+        Tables(s, dir, "documents"),
+        Seq(
+          "len_band" -> col("n_chars").between(100, 450),
+          "lang_allow" -> col("lang").isin("en", "de", "fr"),
+          "word_floor" -> (size(ws) >= 30),
+          "uniq_ratio" -> (size(array_distinct(ws)) / size(ws) >= 0.35)),
+        minVotes = 3)
+        .select("doc_id", "votes", "vote_mask", "kept")
+        .orderBy("doc_id")
     },
 
     Gate(

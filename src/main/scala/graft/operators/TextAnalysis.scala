@@ -478,6 +478,44 @@ object TextAnalysis {
     s"CASE WHEN length($t) = 0 THEN 0.0 ELSE ${terms.mkString(" + ")} END"
   }
 
+  /** S-stemmer (Harman 1991, "How effective is suffixing?") — the
+    * conservative three-rule plural stemmer IR stacks use when Porter
+    * is too aggressive: `ies`→`y` (unless `eies`/`aies`), else
+    * `es`→`e` (unless `aes`/`ees`/`oes`), else drop final `s` (unless
+    * `us`/`ss`). First match wins; everything else passes through.
+    * Pure string CASE — codegen'd, scan-fused, and replayed verbatim
+    * by the SQL twin. Apply to lowercased tokens (vocabulary
+    * normalization for search/keyword matching, NOT for the dedup
+    * digests — stems collide forms by design). */
+  def sStem(w: Column): Column = {
+    def ends(s: String) = w.endsWith(s)
+    val drop = (n: Int) => w.substr(lit(1), length(w) - n)
+    // an exception TERMINATES the chain (leaves the word unchanged) —
+    // "goes" must not fall through rule 2's oes-exception into rule 3
+    when(ends("ies"),
+      when(!ends("eies") && !ends("aies"), concat(drop(3), lit("y"))).otherwise(w))
+      .when(ends("es"),
+        when(!ends("aes") && !ends("ees") && !ends("oes"), drop(1)).otherwise(w))
+      .when(ends("s"),
+        when(!ends("us") && !ends("ss"), drop(1)).otherwise(w))
+      .otherwise(w)
+  }
+
+  /** [[sStem]] as a DuckDB fragment over `expr`. */
+  def sqlSStem(expr: String): String = {
+    def e(s: String) = s"$expr LIKE '%$s'"
+    s"""CASE WHEN ${e("ies")} THEN
+       |  (CASE WHEN NOT ${e("eies")} AND NOT ${e("aies")}
+       |    THEN substr($expr, 1, length($expr) - 3) || 'y' ELSE $expr END)
+       |WHEN ${e("es")} THEN
+       |  (CASE WHEN NOT ${e("aes")} AND NOT ${e("ees")} AND NOT ${e("oes")}
+       |    THEN substr($expr, 1, length($expr) - 1) ELSE $expr END)
+       |WHEN ${e("s")} THEN
+       |  (CASE WHEN NOT ${e("us")} AND NOT ${e("ss")}
+       |    THEN substr($expr, 1, length($expr) - 1) ELSE $expr END)
+       |ELSE $expr END""".stripMargin.replaceAll("\n", " ")
+  }
+
   // ---- SQL fragments for oracles (DuckDB dialect) ----
 
   val SqlWords = s"regexp_extract_all(text, '$WordPattern')"
@@ -545,6 +583,30 @@ object TextAnalysis {
     }
 
   val gates: Seq[Gate] = Seq(
+
+    // S-stemmer gate: four deterministic suffix variants of every
+    // corpus word, stemmed by the identical CASE on both engines —
+    // a drifted exception list (us/ss/aes/ees/oes/eies/aies) flips
+    // some (form, stem) row.
+    Gate(
+      "txt_stem", {
+        val stem = sqlSStem("form")
+        s"""WITH w AS (SELECT DISTINCT unnest($SqlWordsLower) AS w FROM documents),
+           |f AS (SELECT DISTINCT unnest([w, w || 's', w || 'ies', w || 'es']) AS form
+           |  FROM w)
+           |SELECT form, $stem AS stem FROM f ORDER BY form""".stripMargin
+      }) { (s, dir) =>
+      val w = Tables(s, dir, "documents")
+        .select(explode(words(lower(col("text")))).as("w")).distinct()
+      w.select(explode(array(
+          col("w"),
+          concat(col("w"), lit("s")),
+          concat(col("w"), lit("ies")),
+          concat(col("w"), lit("es")))).as("form"))
+        .distinct()
+        .select(col("form"), sStem(col("form")).as("stem"))
+        .orderBy("form")
+    },
 
     // Per-paragraph language profile: the fixture appends a German
     // paragraph on doc_id%3 and a French one on doc_id%5, so docs hit

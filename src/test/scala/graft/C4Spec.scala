@@ -6,6 +6,42 @@ import org.apache.spark.sql.functions._
 /** Hand cases for the C4 cleaning rules (Raffel et al. 2020 §2.2). */
 class C4Spec extends SparkSpec {
 
+  test("sStem hand cases: rules fire in order, exceptions hold") {
+    import spark.implicits._
+    val cases = Seq(
+      "flies" -> "fly", "queries" -> "query", // ies -> y
+      "movies" -> "movy", // ies -> y (the rule is mechanical, not lexical)
+      "tables" -> "table", "merges" -> "merge", // es -> e (drop s)
+      "goes" -> "goes", "sees" -> "sees", "aes" -> "aes", // oes/ees/aes exceptions
+      "rows" -> "row", "columns" -> "column", // plain s drop
+      "bus" -> "bus", "class" -> "class", // us/ss exceptions
+      "table" -> "table", "fast" -> "fast") // no suffix -> unchanged
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) == want, s"sStem($w) = ${got(w)}, want $want")
+    }
+  }
+
+  test("ensembleVote counts, masks, and keeps by majority with NULLs as fails") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10, "en"), (2L, 5, "en"), (3L, 10, "zz"), (4L, 1, "zz"))
+      .toDF("id", "n", "lang")
+      .withColumn("lang", when(col("id") === 4L, lit(null: String)).otherwise(col("lang")))
+    val out = operators.Filters.ensembleVote(df, Seq(
+      "big" -> (col("n") >= 8),
+      "en" -> (col("lang") === "en"), // NULL lang -> null -> fail
+      "even" -> (col("id") % 2 === 0)), minVotes = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((2, 3, true)))
+    assert(out(2L) == ((2, 2 + 4, true)))
+    assert(out(3L) == ((1, 1, false)))
+    assert(out(4L) == ((1, 4, false)), "null predicate must count as a fail")
+  }
+
   private def clean(text: String): (String, Boolean) = {
     import spark.implicits._
     val r = Seq(text).toDF("text")
