@@ -39,6 +39,7 @@ object SparkEntry {
       tokens.MegatronBinWriter.gates ++
       multimodal.Multimodal.gates ++
       streaming.EventStream.gates ++
+      streaming.StreamDocs.gates ++
       api.FinewebPipeline.gates
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -301,6 +301,86 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Sparse tf-idf cosine all-pairs with PREFIX FILTERING (Bayardo,
+    * Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search") —
+    * the weighted complement to [[ngramJaccardPairs]] (set overlap
+    * weighs every shingle equally; tf-idf cosine discounts boilerplate
+    * shingles and upweights rare ones, the APSS/SpotSigs near-dup
+    * recipe). Features are 3-gram word shingles; weights
+    * tf · (ln((N+1)/(df+1))+1), L2-normalized per doc, both rounded
+    * to 8 decimals so the SQL twin reproduces every value.
+    *
+    * The pruning: order terms globally by (df desc, term), and per doc
+    * take the running bound rs_i = Σ_{j≤i} x_j·maxw_j (maxw = the
+    * corpus max of that term's normalized weight). While rs_i < t no
+    * pair can reach t through those leading terms alone, so only
+    * positions with rs_i ≥ t are INDEXED; a pair whose shared terms
+    * are all unindexed on one side has sim ≤ that side's prefix bound
+    * < t (the WWW'07 Lemma 1 argument), so joining indexed(a)×all(b)
+    * ∪ all(a)×indexed(b) loses nothing — DedupSpec pins result
+    * equality with the unpruned join. On Zipf text the common-shingle
+    * prefix is exactly the boilerplate mass, so the candidate join
+    * drops its df² hot keys without any lossy cutoff. Exact
+    * verification computes the full dot over per-doc maps with
+    * decimal accumulation — candidates only, never all pairs; the
+    * detection exchanges carry (id, 8-byte term hash, double) rows.
+    * An indexing slack of 1e-6 absorbs the rounded-weight boundary. */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val acc = DecimalType(30, 15)
+    val grams = spread(docs).select(col(idCol).as("id"),
+      explode(TextAnalysis.ngrams(TextAnalysis.words(lower(col(textCol))), 3)).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("term"))
+    val tf = grams.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dft, Seq("term"))
+      .select(col("id"), col("term"), col("df"),
+        (col("tf") * Cols.pround(log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0, 8)).as("w"))
+    val nrm = w.groupBy("id").agg(
+      sqrt(sum((col("w") * col("w")).cast(acc)).cast("double")).as("nz"))
+    val x = graft.Caches.persist(
+      w.join(nrm, Seq("id"))
+        .select(col("id"), col("term"), col("df"),
+          Cols.pround(col("w") / col("nz"), 8).as("x")))
+    val maxw = x.groupBy("term").agg(max(col("x")).as("mw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").desc, col("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val indexed = graft.Caches.persist(
+      x.join(maxw, Seq("term"))
+        .withColumn("rs", sum((col("x") * col("mw")).cast(acc)).over(win).cast("double"))
+        .withColumn("idx", col("rs") >= threshold - 1e-6)
+        .select("id", "term", "x", "idx"))
+    val ia = indexed.filter(col("idx")).select(col("id").as("id_a"), col("term"))
+    val ib = indexed.filter(col("idx")).select(col("id").as("id_b"), col("term"))
+    val all = indexed.select(col("id"), col("term"))
+    val cand =
+      ia.join(all.select(col("id").as("id_b"), col("term")), Seq("term"))
+        .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+        .unionAll(
+          all.select(col("id").as("id_a"), col("term")).join(ib, Seq("term"))
+            .filter(col("id_a") < col("id_b")).select("id_a", "id_b"))
+        .distinct()
+    val vecs = indexed.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("x")))).as("m"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("m").as("ma")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("m").as("mb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Cols.pround(
+          aggregate(map_entries(col("ma")), lit(0).cast(acc),
+            (s, e) => (s + (e.getField("value") *
+              coalesce(element_at(col("mb"), e.getField("key")), lit(0.0))).cast(acc))
+              .cast(acc))
+            .cast("double"), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Cross-corpus (incremental) near-dedup: drop NEW docs whose
     * Jaccard against ANY existing-corpus doc reaches `threshold` —
     * the production shape for ingesting a new crawl against an
@@ -672,6 +752,38 @@ object Dedup {
       sqlJaccardPairs(SqlPlantedTruncated, 0.35)) { (s, dir) =>
       ngramJaccardPairs(plantedTruncated(Tables(s, dir, "documents")), "text", "doc_id", 0.35,
         dfCutoff = Some(50L))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Weighted (tf-idf cosine) all-pairs gate: the oracle is the
+    // UNPRUNED exact join over shingle strings — idf, norms, and
+    // decimal-summed dots all replayed — so the gate proves the
+    // prefix-filter candidate pruning loses no pair at the threshold.
+    Gate(
+      "dedup_tfidf_cosine", {
+        val idfq = Cols.proundSql("ln((n + 1.0) / (df + 1.0)) + 1", 8)
+        s"""WITH ws AS (SELECT doc_id, ${TextAnalysis.SqlWordsLower} AS w FROM documents),
+           |toks AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |    FOR i IN range(1, len(w) - 1)]) AS term FROM ws),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |w AS (SELECT doc_id, tf.term, tf * ($idfq) AS w
+           |  FROM tf JOIN df USING (term) CROSS JOIN nn),
+           |nrm AS (SELECT doc_id,
+           |    sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nz
+           |  FROM w GROUP BY 1),
+           |x AS (SELECT w.doc_id, term, ${Cols.proundSql("w / nz", 8)} AS x
+           |  FROM w JOIN nrm USING (doc_id)),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    ${Cols.proundSql("CAST(sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS DOUBLE)", 6)}
+           |      AS cosine
+           |  FROM x a JOIN x b ON a.term = b.term AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      tfidfCosinePairs(Tables(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 

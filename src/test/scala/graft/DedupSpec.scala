@@ -30,6 +30,27 @@ class DedupSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("tfidfCosinePairs: exact replicas at 1.0, paraphrases found, unrelated absent") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup: one appended word
+      (3L, "completely different material about spark shuffles and hash joins at scale"),
+      (4L, base)) // exact replica of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((1L, 4L)) && got((1L, 4L)) == 1.0, s"replica pair must be 1.0: $got")
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) >= 0.5)
+    assert(got.contains((2L, 4L)))
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc pairs with nothing")
+    // deterministic across runs (window order, hashes, decimal sums all pinned)
+    val again = Dedup.tfidfCosinePairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == got)
+  }
+
   test("gram/window builders survive empty and sub-length texts") {
     // Spark's sequence(1, 0) counts DOWN — unguarded, these all threw
     // INVALID_PARAMETER_VALUE.START on texts shorter than the gram
