@@ -1,0 +1,124 @@
+package graft.sources.megatron
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 READ connector for Megatron MMIDIDX shard
+  * directories — the loader half of
+  * [[graft.tokens.MegatronBinWriter]] exposed through Spark's
+  * pluggable-source API, so audits re-ingest a training release with
+  * plain `spark.read.format(...).load(dir)` instead of a bespoke
+  * Dataset job:
+  *
+  * {{{
+  * spark.read.format("graft.sources.megatron.MegatronDataSource")
+  *   .load("/releases/run42/tokens")   // (shard, doc_nr, ids)
+  * }}}
+  *
+  * Planning is one [[InputPartition]] per `.bin`/`.idx` shard pair —
+  * the natural parallel unit the writer produced — so the scan needs
+  * NO repartition/shuffle at any corpus size and task memory is
+  * bounded by the writer's `maxTokensPerShard`. Each reader decodes
+  * by the idx's dtype code (u16/i32, little-endian) and asserts the
+  * sequence lengths consume the bin exactly: a truncated or over-long
+  * bin fails loudly rather than yielding silently shifted documents.
+  * Byte layout reference: megatron_tokenizer.py:80-220.
+  */
+class MegatronDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MegatronDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "MegatronDataSource: .load(<shard directory>) is required")
+    new MegatronTable(path)
+  }
+}
+
+object MegatronDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("doc_nr", LongType, nullable = false),
+    StructField("ids", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
+private[megatron] class MegatronTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"megatron($path)"
+  override def schema(): StructType = MegatronDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MegatronScan(path)
+    }
+}
+
+private[megatron] class MegatronScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = MegatronDataSource.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val shards = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".idx"))
+      .map(f => f.getAbsolutePath.stripSuffix(".idx")).sorted
+    require(shards.nonEmpty, s"MegatronDataSource: no .idx shards under $path")
+    shards.map(MegatronShard(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new MegatronReaderFactory
+}
+
+private[megatron] final case class MegatronShard(base: String) extends InputPartition
+
+private[megatron] class MegatronReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MegatronPartitionReader(partition.asInstanceOf[MegatronShard].base)
+}
+
+private[megatron] class MegatronPartitionReader(base: String)
+  extends PartitionReader[InternalRow] {
+
+  private val (_, dtype, lengths) = graft.tokens.MegatronBinWriter.readIdx(base + ".idx")
+  private val tokenSize = if (dtype == 4) 4 else 2
+  private val shard = UTF8String.fromString(
+    base.substring(base.lastIndexOf('/') + 1))
+  private val bb = {
+    val bytes = Files.readAllBytes(Paths.get(base + ".bin"))
+    require(bytes.length.toLong == lengths.map(_.toLong).sum * tokenSize,
+      s"$base.bin: ${bytes.length} bytes but idx declares " +
+        s"${lengths.map(_.toLong).sum} tokens of $tokenSize bytes")
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  }
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < lengths.size }
+
+  override def get(): InternalRow = {
+    val n = lengths(i)
+    val arr = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      arr(j) =
+        if (tokenSize == 2) (bb.getShort.toInt & 0xffff).toLong
+        else bb.getInt.toLong
+      j += 1
+    }
+    InternalRow(shard, i.toLong, new GenericArrayData(arr))
+  }
+
+  override def close(): Unit = ()
+}

@@ -158,6 +158,35 @@ object MegatronBinWriter {
         .join(lenDf, "__rn")
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // DSv2 read-back gate: write a sorted single-shard release (the
+    // snk_megatron determinism twin), re-ingest it through the V2
+    // connector, and check every document's token ids — not just the
+    // lengths — against an independent SQL re-tokenization.
+    Gate(
+      "src_megatron", {
+        val ids = Tokens.sqlTokenIds("coalesce(text, '')")
+        s"""SELECT doc_id, len($ids) AS n_tokens,
+           |  md5(array_to_string(list_transform($ids, x -> CAST(x AS VARCHAR)), ','))
+           |    AS ids_md5
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val outDir = graft.sources.DocSource.gateScratch(dir, "src_megatron")
+      deleteRecursively(Paths.get(outDir))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), Tokens.tokenIds(coalesce(col("text"), lit(""))).as("__ids"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      write(docs, "__ids", outDir).unpersist()
+      val back = s.read.format("graft.sources.megatron.MegatronDataSource").load(outDir)
+        .select(col("doc_nr").as("__rn"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("ids_md5"))
+      Tables(s, dir, "documents").select("doc_id")
+        .withColumn("__rn", row_number().over(Window.orderBy("doc_id")).cast("long") - 1)
+        .join(back, "__rn")
+        .select(col("doc_id"), col("n_tokens"), col("ids_md5"))
+        .orderBy("doc_id")
     }
   )
 

@@ -7,6 +7,36 @@ import org.apache.spark.sql.functions._
 
 class TokensSpec extends SparkSpec {
 
+  test("megatron DSv2 connector: shard-per-partition scan equals the Dataset loader") {
+    val out = Files.createTempDirectory("graft-megatron-dsv2").toString
+    val docs = Tables(spark, sfDir, "documents")
+      .limit(40)
+      .select(col("doc_id"), Tokens.tokenIds(col("text")).as("ids"))
+      .repartition(4)
+    MegatronBinWriter.write(docs, "ids", out).unpersist()
+    val v2 = spark.read.format("graft.sources.megatron.MegatronDataSource").load(out)
+    // planning: one input partition per shard pair, no shuffle anywhere
+    val nShards = new java.io.File(out).listFiles().count(_.getName.endsWith(".idx"))
+    assert(v2.rdd.getNumPartitions == nShards)
+    assert(!v2.queryExecution.executedPlan.toString.contains("Exchange"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("doc_nr"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val legacy = MegatronBinWriter.read(spark, out)
+    assert(key(v2) == key(legacy))
+    assert(key(v2).size == 40)
+    // a corrupt (truncated) bin fails loudly, never yields shifted docs
+    val base = new java.io.File(out).listFiles().filter(_.getName.endsWith(".bin")).head
+    val bytes = Files.readAllBytes(base.toPath)
+    Files.write(base.toPath, bytes.dropRight(2))
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.megatron.MegatronDataSource").load(out).count()
+    }
+    assert(err.getMessage.contains("bytes but idx declares") ||
+      Option(err.getCause).exists(_.getMessage.contains("bytes but idx declares")))
+  }
+
   test("megatron .bin/.idx roundtrip: header, lengths, byte sizes") {
     val out = Files.createTempDirectory("graft-megatron").toString
     val docs = Tables(spark, sfDir, "documents")
