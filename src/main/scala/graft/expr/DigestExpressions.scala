@@ -117,6 +117,39 @@ object DecDotKernel {
     acc.doubleValue()
   }
 
+  /** Deterministic decimal-accumulated SPARSE dot product over two
+    * term-SORTED (term: long, x: double) struct arrays — a two-pointer
+    * merge, so a pair verification costs O(|a|+|b|) compiled ops
+    * instead of the O(|a|·|b|) an interpreted map-lookup lambda pays
+    * (this swap took dedup_tfidf_cosine's verify stage from ~10 s to
+    * sub-second at sf0.1). Accumulation order is the term order —
+    * deterministic — and each product quantizes through Catalyst's
+    * [[Decimal]] exactly like [[decDot]], so a SQL twin's
+    * `SUM(CAST(a.x*b.x AS DECIMAL(30,15)))` reproduces the value
+    * bit-for-bit (decimal addition is associative). */
+  def sparseDecDot(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = java.math.BigDecimal.ZERO
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2)
+      val rb = b.getStruct(j, 2)
+      val ta = ra.getLong(0)
+      val tb = rb.getLong(0)
+      if (ta < tb) i += 1
+      else if (tb < ta) j += 1
+      else {
+        val d = Decimal(ra.getDouble(1) * rb.getDouble(1))
+        d.changePrecision(30, 15)
+        acc = acc.add(d.toJavaBigDecimal)
+        i += 1; j += 1
+      }
+    }
+    acc.doubleValue()
+  }
+
   /** Plain-double dot for rank-only stages (IVF cell assignment):
     * deterministic per row — fixed per-pair accumulation order — but
     * not decimal-exact, so never compared against an oracle. */
@@ -181,6 +214,20 @@ case class FastDot(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.expr.DecDotKernel.fastDot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FastDot =
+    copy(left = l, right = r)
+}
+
+/** (array<struct<term:long,x:double>> sorted, same) → double:
+  * deterministic decimal SPARSE dot (two-pointer merge), codegen'd. */
+case class SparseDecDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecDotKernel.sparseDecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.DecDotKernel.sparseDecDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SparseDecDot =
     copy(left = l, right = r)
 }
 

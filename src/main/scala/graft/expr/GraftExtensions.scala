@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[FastDot].getName, "graft_fastdot"),
         (args: Seq[Expression]) => FastDot(args.head, args(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("graft_sparse_decdot"),
+        new ExpressionInfo(classOf[SparseDecDot].getName, "graft_sparse_decdot"),
+        (args: Seq[Expression]) => SparseDecDot(args.head, args(1))))
+    ext.injectFunction(
       (new FunctionIdentifier("graft_bloom_agg"),
         new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
         GraftExtensions.bloomAgg))
@@ -139,6 +143,8 @@ object GraftExtensions {
       "graft_fastcos", es => FastCos(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fastdot", es => FastDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sparse_decdot", es => SparseDecDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might", bloomMight, "built-in")
     reg.createOrReplaceTempFunction("graft_top_k", topK, "built-in")

@@ -335,7 +335,11 @@ object Dedup {
     val grams = spread(docs).select(col(idCol).as("id"),
       explode(TextAnalysis.ngrams(TextAnalysis.words(lower(col(textCol))), 3)).as("t"))
       .select(col("id"), xxhash64(col("t")).as("term"))
-    val tf = grams.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // persist: tf feeds df, weights, norms AND the final vectors — the
+    // tokenize+ngram+hash scan (the single most expensive stage of the
+    // whole operator) must run once, not once per consumer
+    val tf = graft.Caches.persist(
+      grams.groupBy("id", "term").agg(count(lit(1)).as("tf")))
     val n = docs.count()
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf.join(dft, Seq("term"))
@@ -366,18 +370,18 @@ object Dedup {
           all.select(col("id").as("id_a"), col("term")).join(ib, Seq("term"))
             .filter(col("id_a") < col("id_b")).select("id_a", "id_b"))
         .distinct()
+    // exact verify via the codegen two-pointer sparse kernel over
+    // term-sorted vectors: O(|a|+|b|) per pair (an interpreted
+    // map-lookup lambda here was O(|a|·|b|) and dominated the whole
+    // operator's runtime ~3:1)
     val vecs = indexed.groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("x")))).as("m"))
+      .agg(array_sort(collect_list(struct(col("term"), col("x")))).as("v"))
     cand
-      .join(vecs.select(col("id").as("id_a"), col("m").as("ma")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("m").as("mb")), Seq("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Cols.pround(
-          aggregate(map_entries(col("ma")), lit(0).cast(acc),
-            (s, e) => (s + (e.getField("value") *
-              coalesce(element_at(col("mb"), e.getField("key")), lit(0.0))).cast(acc))
-              .cast(acc))
-            .cast("double"), 6).as("cosine"))
+          call_function("graft_sparse_decdot", col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -50,6 +50,36 @@ class DigestExpressionsSpec extends SparkSpec {
     assert(b.filter(col("kernel") =!= col("reference")).count() == 0)
   }
 
+  test("SparseDecDot kernel == decimal map-lookup fold, bit for bit") {
+    graft.expr.GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val acc = DecimalType(30, 15)
+    // (a, b) sorted sparse vectors: overlap, disjoint, subset, empty
+    val rows = Seq(
+      (Seq((1L, 0.25), (3L, 0.5), (7L, 0.125)), Seq((1L, 0.5), (7L, 0.25))),
+      (Seq((1L, 0.1)), Seq((2L, 0.2))), // disjoint -> 0
+      (Seq.empty[(Long, Double)], Seq((1L, 1.0))), // empty side
+      (Seq((2L, 0.30000001), (5L, 0.7)), Seq((2L, 0.30000001), (5L, 0.7), (9L, 1.0))),
+      ((1 to 50).map(i => (i.toLong, 1.0 / i)), (25 to 80).map(i => (i.toLong, 2.0 / i))))
+      .toDF("a", "b")
+      .select(
+        col("a").cast("array<struct<term:long,x:double>>").as("a"),
+        col("b").cast("array<struct<term:long,x:double>>").as("b"))
+    val got = rows.select(
+      call_function("graft_sparse_decdot", col("a"), col("b")).as("k"),
+      aggregate(col("a"), lit(0).cast(acc),
+        (s, e) => (s + (e.getField("x") *
+          coalesce(element_at(map_from_entries(col("b")), e.getField("term")), lit(0.0)))
+          .cast(acc)).cast(acc)).cast("double").as("f"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"kernel ${r.getDouble(0)} != fold ${r.getDouble(1)}")
+    }
+    assert(got(1).getDouble(0) == 0.0)
+  }
+
   test("kernels are registered as SQL functions") {
     graft.expr.GraftExtensions.register(spark)
     val out = spark.sql(
