@@ -144,6 +144,35 @@ object Expectations {
   // the raw documents table (range, regex, non-empty, uniqueness) —
   // the oracle computes each count with the same NULL-is-violation
   // convention.
+  /** Column-level PII scan — the data-governance sweep run BEFORE a
+    * table ships (the per-document redactors assume you already know
+    * which column carries text; this answers "which columns of this
+    * 400-column lake table contain emails/IPs/phones at all"). Scans
+    * EVERY string column with the shared detector regexes in one
+    * pass — a single map-side aggregate, one row per string column
+    * out, nothing wide. Detection-only by design: redaction is
+    * [[Formatters.piiRedact]]/[[Formatters.redactPhones]] applied to
+    * the columns this report flags. */
+  def piiColumnScan(df: DataFrame): DataFrame = {
+    import graft.operators.Formatters
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    require(stringCols.nonEmpty, "piiColumnScan: no string columns to scan")
+    val aggs = stringCols.flatMap { c =>
+      val s = coalesce(col(c), lit("")) // NULL cells scan as empty, never as -1 sizes
+      Seq(
+        sum(size(regexp_extract_all(s, lit(Formatters.EmailRe), lit(0)))).as(s"__em_$c"),
+        sum(size(regexp_extract_all(s, lit(Formatters.IpRe), lit(0)))).as(s"__ip_$c"),
+        sum(size(Formatters.validPhones(s))).as(s"__ph_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    stringCols.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(3 * i), row.getLong(3 * i + 1), row.getLong(3 * i + 2))
+    }.toSeq.toDF("column", "n_email", "n_ip", "n_phone")
+  }
+
   val gates: Seq[Gate] = Seq(
     Gate(
       "rpt_expectations", {

@@ -118,6 +118,31 @@ object Filters {
   def thresholdFilter(docs: DataFrame, mins: Seq[(Column, Double)]): DataFrame =
     docs.filter(mins.map { case (c, t) => c >= t }.reduce(_ && _))
 
+  /** LLM-output contamination phrases — the boilerplate strings
+    * chat-model responses leak into scraped text ("As an AI language
+    * model…"); post-2023 pretraining recipes filter them so the model
+    * doesn't learn to imitate refusals or assistant framing from
+    * accidentally-scraped synthetic text. Detection is lowercase
+    * substring containment; list order is the attribution priority. */
+  val AiSlopPhrases: Seq[String] = Seq(
+    "as an ai language model",
+    "as a large language model",
+    "i cannot fulfill that request",
+    "my training data only goes up to",
+    "regenerate response")
+
+  /** First matching contamination phrase, or NULL for clean text —
+    * the `filter_reason` attribution value. Narrow codegen
+    * containment checks, scan-fused. */
+  def aiSlopPhrase(text: Column): Column = {
+    val lt = lower(text)
+    coalesce(AiSlopPhrases.map(p => when(lt.contains(p), lit(p))): _*)
+  }
+
+  /** Keep only docs with no contamination phrase. */
+  def aiSlopFilter(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(aiSlopPhrase(col(textCol)).isNull)
+
   /** Ensemble (k-of-n) quality vote — the public multi-filter recipes
     * (Dolma, RedPajama-v2 quality signals) keep a doc when ENOUGH
     * heuristics agree rather than when every one passes, because each
@@ -293,6 +318,66 @@ object Filters {
         Tables(s, dir, "documents"),
         col("n_chars").between(100, 400) && col("lang") =!= "zh")
         .select("doc_id", "n_chars", "lang").orderBy("doc_id")
+    },
+
+    // AI-contamination gate: four planted phrase classes (one per
+    // list entry class) + a clean class; the oracle recomputes the
+    // flag and attribution closed-form from the planting formula.
+    Gate(
+      "f_ai_slop",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'as an ai language model'
+        |    WHEN 1 THEN 'as a large language model'
+        |    WHEN 2 THEN 'i cannot fulfill that request'
+        |    WHEN 3 THEN 'regenerate response'
+        |    ELSE NULL END AS slop_phrase,
+        |  (doc_id % 5 = 4) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val extra = when(col("doc_id") % 5 === 0, " As an AI language model, I cannot help.")
+        .when(col("doc_id") % 5 === 1, " as a Large Language Model I note that")
+        .when(col("doc_id") % 5 === 2, " I cannot fulfill that request today.")
+        .when(col("doc_id") % 5 === 3, " [Regenerate Response]")
+        .otherwise(" a plain human sentence")
+      docs.select(col("doc_id"), concat(col("text"), extra).as("t"))
+        .select(col("doc_id"),
+          aiSlopPhrase(col("t")).as("slop_phrase"),
+          aiSlopPhrase(col("t")).isNull.as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // Column-level PII scan gate: three planted carrier columns (one
+    // detector class each) + an unplanted control; the oracle derives
+    // every count closed-form from the planting formulas.
+    Gate(
+      "rpt_pii_columns",
+      """WITH n AS (
+        |  SELECT count(*) FILTER (doc_id % 2 = 0) AS em,
+        |         count(*) FILTER (doc_id % 3 = 0) AS ip,
+        |         count(*) FILTER (doc_id % 4 = 0) AS ph
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'contact' AS "column", em AS n_email, 0 AS n_ip, 0 AS n_phone FROM n
+        |  UNION ALL SELECT 'note', 0, 0, 0 FROM n
+        |  UNION ALL SELECT 'server_log', 0, ip, 0 FROM n
+        |  UNION ALL SELECT 'support', 0, 0, ph FROM n)
+        |ORDER BY "column"""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.select(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("mail user"), col("doc_id"), lit("@example.com")))
+          .otherwise("none").as("contact"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("host 10.1."), col("doc_id") % 256, lit(".9")))
+          .otherwise("clean").as("server_log"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("call +1 212 555 "), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("na").as("support"),
+        col("text").as("note"))
+      Expectations.piiColumnScan(planted)
+        .select(col("column"), col("n_email"), col("n_ip"), col("n_phone"))
+        .orderBy("column")
     },
 
     // Ensemble-vote gate: four independent heuristics (length band,
