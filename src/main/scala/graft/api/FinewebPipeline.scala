@@ -111,6 +111,10 @@ final case class FinewebConfig(
       * gate, [[graft.operators.TextAnalysis.badwordStats]] with the
       * default lexicon) — reason `badwords`. 0.0 = drop on any hit. */
     badwordMaxRatio: Option[Double] = None,
+    /** drop docs containing chat-model boilerplate
+      * ([[graft.operators.Filters.AiSlopPhrases]]) — the synthetic-
+      * contamination gate of post-2023 recipes; reason `ai_slop`. */
+    dropAiSlop: Boolean = false,
     /** minimum Flesch reading-ease score ([[graft.operators
       * .TextAnalysis.fleschReadingEase]]); docs below it (or wordless
       * docs, whose score is NULL) are excluded with reason
@@ -297,6 +301,13 @@ object FinewebPipeline {
       stages :+= DocFilter("badwords",
         _ => TextAnalysis.badwordStats(col("text")).getField("bad_ratio") <= r)
     }
+
+    if (cfg.dropAiSlop)
+      // synthetic-contamination gate beside the other lexical filters:
+      // scraped chat-model boilerplate must not survive into
+      // pretraining text (reason `ai_slop`)
+      stages :+= DocFilter("ai_slop",
+        _ => Filters.aiSlopPhrase(col("text")).isNull)
 
     cfg.c4Clean.foreach { p =>
       // the doc-level rules check the RAW text (lorem-ipsum / brace

@@ -114,6 +114,22 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(!t3.contains("а"))
   }
 
+  test("dropAiSlop excludes chat-boilerplate docs with reason ai_slop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a perfectly ordinary human document"),
+      (2L, "sure! As an AI language model, I cannot browse the web."),
+      (3L, "the phrase regenerate response appears mid-sentence here"),
+      (4L, "an airplane model is not a language model of any kind"))
+      .toDF("doc_id", "text")
+    val (kept, excluded) = FinewebPipeline.build(
+      spark, docs, FinewebConfig(dropAiSlop = true, piiFormat = false))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    val reasons = excluded.select("doc_id", "filter_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons == Map(2L -> "ai_slop", 3L -> "ai_slop"))
+  }
+
   test("stacked filters attribute exclusions to the first rejecting stage") {
     val docs = annotated
     val banned = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
