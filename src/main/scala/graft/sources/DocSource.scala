@@ -134,6 +134,20 @@ object DocSource {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
 
+  /** Dynamic partition overwrite — the lake-maintenance write mode
+    * (re-process ONE language/date partition and replace just it;
+    * static overwrite mode would silently drop every other
+    * partition). The option is per-write, not session config, so
+    * concurrent writers with different modes never interfere. At
+    * 100 TB this is the difference between rewriting a 2 TB partition
+    * and rewriting the table. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** fastText supervised training-file sink — the hand-off format of
     * the public quality-classifier recipes (fastText `-supervised`
     * wants one `__label__X text` line per doc; the fineweb-edu and
@@ -611,6 +625,29 @@ object DocSource {
       s.read.orc(path)
         .select(col("id"), md5(col("text")).as("text_md5"))
         .orderBy("id")
+    },
+
+    // Dynamic-partition-overwrite gate: full partitioned write, then a
+    // dynamic overwrite of ONLY the 'en' partition with rewritten
+    // text. The read-back must show en modified and every other
+    // partition byte-identical to the first write — a static
+    // overwrite (the default) would have emptied them.
+    Gate(
+      "snk_dynamic_overwrite",
+      """SELECT doc_id, lang,
+        |  md5(CASE WHEN lang = 'en' THEN upper(text) ELSE text END) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_dynamic_overwrite")
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+      docs.write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("lang").parquet(path)
+      overwritePartitions(
+        docs.filter(col("lang") === "en")
+          .withColumn("text", upper(col("text"))),
+        path, "lang")
+      s.read.parquet(path)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     },
 
     // fastText-export gate: write the supervised file (label = lang),

@@ -47,6 +47,25 @@ class SourcesSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("dynamic partition overwrite replaces only the targeted partition; static drops the rest") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dyn").toString + "/t"
+    val v1 = Seq((1L, "a", "x1"), (2L, "b", "y1")).toDF("id", "p", "v")
+    v1.write.mode("overwrite").partitionBy("p").parquet(out)
+    // dynamic: rewrite partition b only; partition a survives
+    DocSource.overwritePartitions(
+      Seq((2L, "b", "y2")).toDF("id", "p", "v"), out, "p")
+    val afterDyn = spark.read.parquet(out).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(afterDyn == Map(1L -> "x1", 2L -> "y2"))
+    // static overwrite of the same single-partition frame drops a —
+    // the hazard overwritePartitions exists to avoid
+    Seq((2L, "b", "y3")).toDF("id", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    val afterStatic = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(afterStatic == Set(2L), "static overwrite removes untouched partitions")
+  }
+
   test("fastText export folds whitespace and parses back label/text") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-ft").toString + "/train"
