@@ -1596,7 +1596,95 @@ object Similarity {
         Cols.pround(col("n_hits").cast("double") / k, 4).as("recall"))
   }
 
+  /** Graded retrieval metrics for the approximate search path —
+    * nDCG@k and MRR of the LSH ranking against exact-cosine
+    * relevance (recall@k — [[annRecall]] — treats every true
+    * neighbor equally; nDCG penalizes finding them in the WRONG
+    * ORDER, which is what a re-ranker consumer actually feels, and
+    * MRR is the first-good-result latency of RAG-style single-answer
+    * use). Relevance grade of a true top-k neighbor at exact rank r
+    * is k−r+1; discounts are the standard 1/log2(rank+1). The
+    * discount and IDCG constants are Scala-computed doubles embedded
+    * verbatim in the SQL twin, so both engines divide by bit-equal
+    * literals. Same plan shape as annRecall: two bounded-heap top-k
+    * passes + one (qid, id)-keyed join — nothing new shuffles. */
+  def retrievalMetrics(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && k <= 10, s"retrievalMetrics: k must be 1..10, got $k")
+    val discs = (1 to k).map(r => math.log(r + 1.0) / math.log(2.0))
+    val idcg = (1 to k).map(r => (k - r + 1).toDouble / discs(r - 1)).sum
+    val bf = bruteForceTopK(queries, corpus, k)
+      .select(col("qid"), col("neighbor_id"),
+        (lit(k + 1) - col("rank")).cast("double").as("g"))
+    val ls = lshTopK(queries, corpus, k)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+    val disc = coalesce((1 to k).map(r => when(col("rank") === r, lit(discs(r - 1)))): _*)
+    val m = ls.join(bf, Seq("qid", "neighbor_id"), "left")
+      .select(col("qid"), col("rank"), coalesce(col("g"), lit(0.0)).as("g"), disc.as("d"))
+      .groupBy("qid")
+      .agg(
+        (sum((col("g") / col("d")).cast(DecimalType(30, 15))).cast("double") / idcg)
+          .as("__ndcg"),
+        coalesce(lit(1.0) / min(when(col("g") > 0, col("rank"))), lit(0.0)).as("__mrr"))
+    bf.select("qid").distinct()
+      .join(m, Seq("qid"), "left")
+      .select(col("qid"),
+        Cols.pround(coalesce(col("__ndcg"), lit(0.0)), 6).as("ndcg"),
+        Cols.pround(coalesce(col("__mrr"), lit(0.0)), 6).as("mrr"))
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // Retrieval-quality gate: the oracle rebuilds the exact and LSH
+    // rankings, grades, discounts (bit-equal embedded literals), and
+    // both metrics per query.
+    Gate(
+      "rpt_retrieval_metrics", {
+        val k = 3
+        val discs = (1 to k).map(r => math.log(r + 1.0) / math.log(2.0))
+        val idcg = (1 to k).map(r => (k - r + 1).toDouble / discs(r - 1)).sum
+        val discCase = (1 to k).map(r => s"WHEN ${r} THEN ${discs(r - 1)}")
+          .mkString("CASE rank ", " ", " END")
+        val sigQ = sqlHyperplaneSig("q.embedding", 4)
+        val sigC = sqlHyperplaneSig("c.embedding", 4)
+        val cosQ = sqlSeqCosine("q.embedding", "c.embedding")
+        s"""WITH bfs AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cosQ AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |bf AS (SELECT qid, id, CAST($k + 1 - rank AS DOUBLE) AS g FROM (
+           |    SELECT qid, id, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM bfs) x
+           |  WHERE rank <= $k),
+           |lss AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS id, $cosQ AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND $sigQ = $sigC),
+           |ls AS (SELECT qid, id, rank FROM (
+           |    SELECT qid, id, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM lss) x
+           |  WHERE rank <= $k),
+           |j AS (SELECT ls.qid, ls.rank, coalesce(bf.g, 0.0) AS g,
+           |    $discCase AS d
+           |  FROM ls LEFT JOIN bf ON ls.qid = bf.qid AND ls.id = bf.id),
+           |m AS (SELECT qid,
+           |    CAST(sum(CAST(g / d AS DECIMAL(30,15))) AS DOUBLE) / $idcg AS ndcg,
+           |    coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN g > 0 THEN rank END), 0.0)
+           |      AS mrr
+           |  FROM j GROUP BY qid)
+           |SELECT q.qid, ${Cols.proundSql("coalesce(m.ndcg, 0.0)", 6)} AS ndcg,
+           |  ${Cols.proundSql("coalesce(m.mrr, 0.0)", 6)} AS mrr
+           |FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN m ON q.qid = m.qid
+           |ORDER BY q.qid""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      retrievalMetrics(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 3)
+        .orderBy("qid")
+    },
 
     // Recall@k gate: the oracle rebuilds BOTH pipelines (exact + LSH)
     // and intersects them per query.
