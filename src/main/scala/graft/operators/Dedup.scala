@@ -669,6 +669,40 @@ object Dedup {
         Cols.pround(col("q16"), 6).as("p_miss"))
   }
 
+  /** LSH banding PLANNER grid — the design-time question [[lshCurve]]
+    * answers for ONE banding, answered for every (bands, rows) split
+    * of a power-of-two signature budget at once: p(candidate | s) =
+    * 1 − (1 − s^r)^b over a Jaccard grid, for all 2^i × 2^(k−i)
+    * factorizations. Read the grid, pick the banding whose S-curve
+    * knee sits at your dedup threshold (datatrove exposes exactly
+    * this calculator). All powers expand to BALANCED MULTIPLICATION
+    * CHAINS (repeated squaring) — identical expression trees on both
+    * engines, so values are IEEE-exact with no pow()/exp() parity
+    * risk (the lshCurve discipline, generalized). Driver-free: one
+    * tiny range × 7 projections. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, log2Hashes: Int = 6): DataFrame = {
+    require(log2Hashes >= 1 && log2Hashes <= 8,
+      s"lshPlan: log2Hashes must be 1..8, got $log2Hashes")
+    def sq(c: Column, k: Int): Column = (0 until k).foldLeft(c)((x, _) => x * x)
+    val grids = (0 to log2Hashes).map { i =>
+      val (log2b, log2r) = (i, log2Hashes - i)
+      spark.range(1, 20)
+        .select((col("id").cast("double") / 20.0).as("s"))
+        .select(
+          lit(1 << log2b).as("bands"),
+          lit(1 << log2r).as("rows"),
+          Cols.pround(col("s"), 2).as("s"),
+          Cols.pround(lit(1.0) - sq(lit(1.0) - sq(col("s"), log2r), log2b), 6)
+            .as("p_candidate"))
+    }
+    grids.reduce(_ unionAll _)
+  }
+
+  /** The [[lshPlan]] power chains as SQL text — balanced repeated
+    * squaring with the same association as the Column fold. */
+  private[operators] def sqlSquareChain(e: String, k: Int): String =
+    if (k == 0) e else { val t = sqlSquareChain(e, k - 1); s"($t * $t)" }
+
   /** Shared fixture for the incremental-dedup gates: a new batch of
     * 90%-truncated (near-dup) and word-reversed (shingle-disjoint)
     * variants of corpus docs, plus the corpus itself. */
@@ -727,6 +761,26 @@ object Dedup {
            |FROM e ORDER BY s""".stripMargin
       }) { (s, _) =>
       lshCurve(s).orderBy("s")
+    },
+
+    // Banding-planner gate: every power-of-two (bands × rows) split of
+    // a 64-hash budget, same Jaccard grid, same balanced squaring
+    // chains on both engines.
+    Gate(
+      "rpt_lsh_plan", {
+        val parts = (0 to 6).map { i =>
+          val (lb, lr) = (i, 6 - i)
+          val q = s"(1.0 - ${sqlSquareChain("s", lr)})"
+          val p = s"(1.0 - ${sqlSquareChain(q, lb)})"
+          s"""SELECT ${1 << lb} AS bands, ${1 << lr} AS rows,
+             |  ${Cols.proundSql("s", 2)} AS s, ${Cols.proundSql(p, 6)} AS p_candidate
+             |FROM g""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH g AS (SELECT CAST(i AS DOUBLE) / 20.0 AS s FROM range(1, 20) t(i))
+           |$parts
+           |ORDER BY bands, s""".stripMargin
+      }) { (s, _) =>
+      lshPlan(s).orderBy("bands", "s")
     },
 
     Gate(

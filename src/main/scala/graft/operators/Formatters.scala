@@ -394,6 +394,38 @@ object Formatters {
         array_join(slice(col("__ws"), col("__o.o2") + 1, lit(cropWords)), " ").as("crop_b"))
   }
 
+  /** Needle insertion for long-context evaluation data (the
+    * needle-in-a-haystack / RULER recipe): place a known needle
+    * sentence at a controlled DEPTH of each document, so retrieval
+    * accuracy can be measured as a function of position. Insertion
+    * index = floor(n_words · depth) (0 = before the first word, 1 =
+    * after the last); text rebuilds from its word stream with single
+    * spaces (the chunkPassages normalization — haystacks are
+    * synthetic by definition). Emits the insertion index alongside so
+    * the scorer knows where the needle went. One narrow array
+    * expression, scan-fused. */
+  def insertNeedle(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      needle: String,
+      depth: Double): DataFrame = {
+    require(depth >= 0.0 && depth <= 1.0, s"insertNeedle: depth must be in [0,1], got $depth")
+    docs.select(col(idCol),
+      graft.Cols.bind(TextAnalysis.words(col(textCol))) { ws =>
+        val n = size(ws)
+        val k = floor(n.cast("double") * depth).cast("int")
+        struct(
+          k.as("needle_word_idx"),
+          array_join(
+            concat(
+              slice(ws, lit(1), k),
+              array(lit(needle)),
+              slice(ws, k + 1, greatest(n - k, lit(0)))), " ").as("text"))
+      }.as("__r"))
+      .select(col(idCol), col("__r.needle_word_idx"), col("__r.text"))
+  }
+
   /** Secret-credential redaction — the BigCode/StarCoder code-corpus
     * scrub (their pipeline redacts keys/tokens before release; a
     * model trained on leaked credentials will emit them): PEM private
@@ -677,6 +709,25 @@ object Formatters {
         .select(col("doc_id"),
           secretCount(col("t")).cast("int").as("n_secrets"),
           md5(redactSecrets(col("t"))).as("text_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Needle-insertion gate: the oracle rebuilds every document's
+    // word-spliced haystack and the insertion index from scratch
+    // (explicit DOUBLE cast so floor boundaries agree bit-for-bit).
+    Gate(
+      "fmt_needle",
+      s"""WITH w AS (SELECT doc_id, ${TextAnalysis.SqlWords} AS ws FROM documents),
+         |k AS (SELECT doc_id, ws,
+         |    CAST(floor(CAST(len(ws) AS DOUBLE) * 0.37) AS INT) AS k FROM w)
+         |SELECT doc_id, k AS needle_word_idx,
+         |  md5(array_to_string(
+         |    ws[1:k] || ['the secret token is graft42'] || ws[k+1:len(ws)], ' '))
+         |    AS text_md5
+         |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      insertNeedle(Tables(s, dir, "documents"), "text", "doc_id",
+        needle = "the secret token is graft42", depth = 0.37)
+        .select(col("doc_id"), col("needle_word_idx"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
 
