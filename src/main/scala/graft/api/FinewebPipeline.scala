@@ -189,6 +189,12 @@ final case class FinewebConfig(
       * ([[graft.operators.Formatters.redactCards]]); invalid digit
       * runs (order ids) survive. */
     redactCardNumbers: Boolean = false,
+    /** redact credential secrets (PEM blocks, AWS/GitHub/Slack tokens,
+      * quoted key=value credentials —
+      * [[graft.operators.Formatters.redactSecrets]]) alongside the PII
+      * formatter: the BigCode-style scrub a CODE corpus config turns
+      * on. */
+    redactSecrets: Boolean = false,
     /** drop pages carrying an in-page robots-meta noindex directive
       * ([[graft.operators.Filters.hasMetaNoindex]] over the raw
       * text/html) — the page's OWN opt-out beside the site-level
@@ -554,6 +560,11 @@ object FinewebPipeline {
     if (cfg.redactCardNumbers)
       stages :+= Transform("pii_cards", d => d.withColumn("text",
         when(col("filter_reason").isNull, Formatters.redactCards(col("text")))
+          .otherwise(col("text"))))
+
+    if (cfg.redactSecrets)
+      stages :+= Transform("secrets", d => d.withColumn("text",
+        when(col("filter_reason").isNull, Formatters.redactSecrets(col("text")))
           .otherwise(col("text"))))
 
     Pipeline(stages: _*).runWithReasons(docs)
