@@ -506,11 +506,98 @@ object Clusters {
     labels.select(col("node"), col("lbl").as("label"))
   }
 
+  /** Modularity report of a community assignment (Newman & Girvan) —
+    * the quality number every community detection is judged by:
+    * per community c, q_c = L_c/m − (D_c/2m)², where L_c counts
+    * intra-community edges, D_c sums member degrees, m = |E|
+    * undirected. Σ q_c near 0 means the partition is no better than
+    * random wiring; the report is per-community so the WEAK
+    * communities (the ones label propagation glued wrongly) stand
+    * out individually. Same undirected-both-directions frame as
+    * [[labelPropagation]]; two pre-reduced aggregates + one keyed
+    * join — m is one driver long (a count, not data). Integer counts
+    * everywhere until the final double formula, so a SQL twin
+    * reproduces it exactly. */
+  def modularityReport(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame /* node, label */): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val und = graft.Caches.persist(
+      e0.union(e0.select(col("dst"), col("src")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    val m = und.count() / 2
+    require(m > 0, "modularityReport: no non-loop edges")
+    val lab = labels.select(col("node"), col("label").as("lbl"))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val com = lab.join(deg, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    val intra = und
+      .join(lab.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg((count(lit(1)) / 2).cast("long").as("intra_edges"))
+    com.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        Cols.pround(
+          coalesce(col("intra_edges"), lit(0L)).cast("double") / m -
+            (col("degree_sum").cast("double") / (2L * m)) *
+            (col("degree_sum").cast("double") / (2L * m)), 6).as("q"))
+  }
+
   // Label-propagation twin: pentagon-ring communities over dense row
   // numbers (each group of 5 nodes forms a 5-cycle; every 25th node
   // bridges to the next pentagon), iterations unrolled as
   // count-then-rank CTEs with the same (count DESC, label ASC)
   // tie-break the operator's max-of-struct encodes.
+  // Modularity twin: the LPA CTE chain (same pentagon fixture, same
+  // count-then-rank rounds) extended with the integer edge/degree
+  // counts and the exact q_c double formula.
+  private def modularitySqlTwin(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""l$k AS (SELECT src AS node, lbl FROM (
+         |  SELECT u.src, p.lbl, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, p.lbl ASC) AS rk
+         |  FROM und u JOIN l${k - 1} p ON u.dst = p.node
+         |  GROUP BY u.src, p.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val q = Cols.proundSql(
+      "CAST(coalesce(i.li, 0) AS DOUBLE) / m - " +
+        "(CAST(c.dsum AS DOUBLE) / (2 * m)) * (CAST(c.dsum AS DOUBLE) / (2 * m))", 6)
+    s"""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |e0 AS (SELECT rn AS src, (rn - (rn % 5)) + ((rn % 5) + 1) % 5 AS dst FROM ids
+       |       WHERE (rn - (rn % 5)) + ((rn % 5) + 1) % 5 < (SELECT n FROM nn)
+       |       UNION ALL
+       |       SELECT rn, (rn + 5) % (SELECT n FROM nn) FROM ids WHERE rn % 25 = 0),
+       |und AS (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+       |        WHERE src <> dst),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+       |$iters,
+       |labels AS (SELECT node, lbl FROM l$iterations),
+       |mm AS (SELECT count(*) // 2 AS m FROM und),
+       |deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY src),
+       |com AS (SELECT lbl, count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS dsum
+       |  FROM labels JOIN deg USING (node) GROUP BY lbl),
+       |intra AS (SELECT la.lbl, count(*) // 2 AS li
+       |  FROM und u JOIN labels la ON u.src = la.node
+       |  JOIN labels lb ON u.dst = lb.node AND la.lbl = lb.lbl
+       |  GROUP BY la.lbl)
+       |SELECT c.lbl AS community, c.n_nodes,
+       |  CAST(coalesce(i.li, 0) AS BIGINT) AS intra_edges, c.dsum AS degree_sum,
+       |  $q AS q
+       |FROM com c LEFT JOIN intra i ON c.lbl = i.lbl CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+  }
+
   private def lpaSqlTwin(iterations: Int): String = {
     val iters = (1 to iterations).map { k =>
       s"""l$k AS (SELECT src AS node, lbl FROM (
@@ -770,6 +857,22 @@ object Clusters {
             .select(col("rn"), (col("rn") + 5) % n)))
       labelPropagation(e, "src", "dst", iterations = 3)
         .orderBy("node")
+    },
+
+    // Modularity-report gate: LPA communities over the pentagon
+    // fixture, scored per community with integer edge/degree counts
+    // and the exact q_c formula.
+    Gate(
+      "rpt_modularity", modularitySqlTwin(3)) { (s, dir) =>
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
+      val pent = (col("rn") - (col("rn") % 5)) + ((col("rn") % 5) + 1) % 5
+      val e = fixtureEdges(
+        ids.select(col("rn").as("src"), pent.as("dst")).filter(col("dst") < n)
+          .union(ids.filter(col("rn") % 25 === 0)
+            .select(col("rn"), (col("rn") + 5) % n)))
+      val labels = labelPropagation(e, "src", "dst", iterations = 3)
+      modularityReport(e, "src", "dst", labels)
+        .orderBy("community")
     },
 
     Gate(
