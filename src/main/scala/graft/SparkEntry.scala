@@ -33,6 +33,7 @@ object SparkEntry {
       ml.Calibration.gates ++
       ml.ClassifierTraining.gates ++
       sources.DocSource.gates ++
+      sources.WebDataset.gates ++
       tokens.Tokens.gates ++
       tokens.Wordpiece.gates ++
       tokens.Unigram.gates ++

@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.{Gate, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shards — the de-facto multimodal training
+  * format (a tar of `<key>.<ext>` member files; all members sharing a
+  * key form one sample, e.g. `0001.jpg` + `0001.json`). POSIX ustar
+  * framing written and parsed directly: 512-byte headers (octal size,
+  * space-initialized checksum, `ustar` magic), data padded to the
+  * block, two zero blocks as the terminator.
+  *
+  * Scale design mirrors [[graft.tokens.MegatronBinWriter]]: each Spark
+  * partition streams its own `shard-<pid>.tar` — embarrassingly
+  * parallel, no shuffle, no driver involvement — and the reader
+  * distributes one shard per task, so a 100 TB release reads with the
+  * same parallelism it was written with. Members are written in row
+  * order; readers must not assume any cross-shard order (the gate
+  * digests order-independently).
+  */
+object WebDataset {
+
+  private val Block = 512
+
+  private def headerFor(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes(StandardCharsets.UTF_8).length <= 100,
+      s"webdataset: member name too long: $name")
+    val h = new Array[Byte](Block)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644\u0000") // mode
+    put(108, "0000000\u0000") // uid
+    put(116, "0000000\u0000") // gid
+    put(124, f"$size%011o" + "\u0000") // size, octal
+    put(136, "00000000000\u0000") // mtime (pinned: reproducible bytes)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum = spaces while summing
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar\u0000") // magic
+    put(263, "00") // version
+    val sum = h.map(_ & 0xff).sum
+    put(148, f"$sum%06o" + "\u0000 ")
+    h
+  }
+
+  /** Write `df`'s (`keyCol`: string, `members`: array<struct<ext:
+    * string, data: binary>>) rows as per-partition tar shards under
+    * `outDir`. Returns per-shard (shard, n_members, n_bytes). */
+  def writeTarShards(
+      df: DataFrame,
+      keyCol: String,
+      membersCol: String,
+      outDir: String): DataFrame = {
+    Files.createDirectories(Paths.get(outDir))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"),
+        col(membersCol).cast("array<struct<ext:string,data:binary>>"))
+      .as[(String, Seq[(String, Array[Byte])])]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = s"$outDir/shard-$pid.tar"
+        val out = new BufferedOutputStream(new FileOutputStream(path))
+        var members = 0L
+        var bytes = 0L
+        rows.foreach { case (key, ms) =>
+          ms.foreach { case (ext, data) =>
+            out.write(headerFor(s"$key.$ext", data.length.toLong))
+            out.write(data)
+            val pad = (Block - data.length % Block) % Block
+            out.write(new Array[Byte](pad))
+            members += 1
+            bytes += data.length
+          }
+        }
+        out.write(new Array[Byte](2 * Block)) // terminator
+        out.close()
+        Iterator.single((s"shard-$pid", members, bytes))
+      }.toDF("shard", "n_members", "n_bytes")
+  }
+
+  /** Distributed read of a [[writeTarShards]] directory (or any
+    * ustar-framed tar shards): one shard per task, each member
+    * emitted as (shard, key, ext, data). Validates the ustar magic
+    * and the header checksum per member — a corrupt or misaligned
+    * header fails loudly, never yields shifted payloads. */
+  def readTarShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shards = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tar"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    require(shards.nonEmpty, s"webdataset: no .tar shards under $dir")
+    spark.createDataset(shards)
+      .repartition(math.min(shards.size, spark.sessionState.conf.numShufflePartitions))
+      .flatMap { path =>
+        val bytes = Files.readAllBytes(Paths.get(path))
+        val shard = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tar")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Array[Byte])]
+        var i = 0
+        var done = false
+        while (!done && i + Block <= bytes.length) {
+          if (bytes(i) == 0) done = true // terminator block
+          else {
+            val magic = new String(bytes, i + 257, 5, StandardCharsets.UTF_8)
+            require(magic == "ustar", s"$path@$i: not a ustar header (magic '$magic')")
+            val stored = new String(bytes, i + 148, 6, StandardCharsets.UTF_8)
+            val hdr = bytes.slice(i, i + Block)
+            java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+            val sum = hdr.map(_ & 0xff).sum
+            require(f"$sum%06o" == stored,
+              s"$path@$i: header checksum mismatch ($stored vs $sum%06o)")
+            val rawName = new String(bytes, i, 100, StandardCharsets.UTF_8)
+            val name = rawName.takeWhile(_ != '\u0000')
+            val sizeStr = new String(bytes, i + 124, 12, StandardCharsets.UTF_8)
+              .takeWhile(c => c != '\u0000' && c != ' ')
+            val size = java.lang.Long.parseLong(sizeStr, 8)
+            require(i + Block + size <= bytes.length,
+              s"$path@$i: member '$name' declares $size bytes past EOF")
+            val data = bytes.slice(i + Block, i + Block + size.toInt)
+            val dot = name.lastIndexOf('.')
+            val (key, ext) = if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+            out += ((shard, key, ext, data))
+            val pad = (Block - size % Block) % Block
+            i += Block + size.toInt + pad.toInt
+          }
+        }
+        out.iterator
+      }.toDF("shard", "key", "ext", "data")
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // WebDataset round-trip gate: each doc becomes a (txt, json)
+    // member pair keyed by its id; the read-back must reassemble
+    // every sample — payload digests AND the member pairing — exactly
+    // as the raw table predicts. Order-independent (grouped by key).
+    Gate(
+      "src_webdataset",
+      """SELECT doc_id, 2 AS n_members, md5(text) AS txt_md5,
+        |  md5('{"id":' || doc_id || ',"lang":"' || lang || '"}') AS json_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val path = DocSource.gateScratch(dir, "src_webdataset")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          array(
+            struct(lit("txt").as("ext"), col("text").cast("binary").as("data")),
+            struct(lit("json").as("ext"),
+              concat(lit("{\"id\":"), col("doc_id"), lit(",\"lang\":\""), col("lang"),
+                lit("\"}")).cast("binary").as("data"))).as("members"))
+      writeTarShards(docs, "doc_id", "members", path).count()
+      readTarShards(s, path)
+        .groupBy(col("key").cast("long").as("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_members"),
+          max(when(col("ext") === "txt", md5(col("data")))).as("txt_md5"),
+          max(when(col("ext") === "json", md5(col("data")))).as("json_md5"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -66,6 +66,34 @@ class SourcesSpec extends SparkSpec {
     assert(afterStatic == Set(2L), "static overwrite removes untouched partitions")
   }
 
+  test("webdataset tar shards round-trip binary payloads; system tar accepts the format") {
+    import spark.implicits._
+    import graft.sources.WebDataset
+    val out = Files.createTempDirectory("graft-wds").toString + "/shards"
+    val bin = Array[Byte](0, -1, 13, 10, 127, -128) // non-UTF8, CR/LF, NUL
+    val big = Array.tabulate(1300)(i => (i % 251).toByte) // > 2 blocks, needs padding
+    val docs = Seq(
+      ("a", Seq(("bin", bin), ("json", "{}".getBytes("UTF-8")))),
+      ("b", Seq(("bin", big))),
+      ("c", Seq(("txt", Array.emptyByteArray)))) // zero-length member
+      .toDF("key", "members").repartition(1)
+    WebDataset.writeTarShards(docs, "key", "members", out).count()
+    val back = WebDataset.readTarShards(spark, out)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getAs[Array[Byte]]("data")).toMap
+    assert(back(("a", "bin")).sameElements(bin))
+    assert(back(("a", "json")).sameElements("{}".getBytes("UTF-8")))
+    assert(back(("b", "bin")).sameElements(big))
+    assert(back(("c", "txt")).isEmpty)
+    // external conformance: the system tar must list exactly our members
+    val shard = new java.io.File(out).listFiles().filter(_.getName.endsWith(".tar")).head
+    if (new java.io.File("/bin/tar").exists() || new java.io.File("/usr/bin/tar").exists()) {
+      val p = new ProcessBuilder("tar", "-tf", shard.getAbsolutePath).start()
+      val names = scala.io.Source.fromInputStream(p.getInputStream).getLines().toSet
+      assert(p.waitFor() == 0, "system tar rejected the shard")
+      assert(names == Set("a.bin", "a.json", "b.bin", "c.txt"), s"tar listed $names")
+    }
+  }
+
   test("fastText export folds whitespace and parses back label/text") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-ft").toString + "/train"
