@@ -385,6 +385,36 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Dedup savings audit — the SIZING answer a dedup run is asked for
+    * before anyone commits to it ("how many bytes does exact dedup
+    * actually buy on this corpus?"): duplicate groups by the
+    * normalized fingerprint, losers = everything but the min-id
+    * keeper, savings = the losers' text chars. One digest-only
+    * aggregate (16-byte md5 + id + length cross the exchange — text
+    * never does) plus a one-row rollup; the same two-phase shape as
+    * [[exactDedup]] with the keep/drop decision replaced by
+    * accounting. */
+  def dedupSavings(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val f = spread(docs).select(
+      col(idCol).as("__id"),
+      exactFingerprint(col(textCol)).as("__fp"),
+      length(col(textCol)).cast("long").as("__b"))
+    val g = f.groupBy("__fp").agg(
+      count(lit(1)).as("c"),
+      sum(col("__b")).as("b"),
+      min(struct(col("__id"), col("__b"))).as("k"))
+    g.agg(
+      sum(col("c")).as("n_docs"),
+      sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup_groups"),
+      sum(col("c") - 1).as("n_losers"),
+      sum(col("b")).as("chars_total"),
+      sum(col("b") - col("k.__b")).as("chars_saved"))
+      .select(col("n_docs"), col("n_dup_groups"), col("n_losers"),
+        col("chars_total"), col("chars_saved"),
+        Cols.pround(col("chars_saved").cast("double") / col("chars_total"), 4)
+          .as("saved_pct"))
+  }
+
   /** Cross-corpus (incremental) near-dedup: drop NEW docs whose
     * Jaccard against ANY existing-corpus doc reaches `threshold` —
     * the production shape for ingesting a new crawl against an
@@ -761,6 +791,31 @@ object Dedup {
            |FROM e ORDER BY s""".stripMargin
       }) { (s, _) =>
       lshCurve(s).orderBy("s")
+    },
+
+    // Dedup-savings gate over the planted-replica corpus: the oracle
+    // rebuilds groups, losers, and the chars accounting from scratch
+    // (keeper length joined back by the min id).
+    Gate(
+      "rpt_dedup_savings", {
+        val fp = "md5(array_to_string(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), ' '))"
+        s"""WITH all_docs AS ($SqlPlantedExact),
+           |f AS (SELECT doc_id, $fp AS fp, CAST(length(text) AS BIGINT) AS b
+           |  FROM all_docs),
+           |g AS (SELECT fp, count(*) AS c, CAST(sum(b) AS BIGINT) AS b,
+           |    min(doc_id) AS kid FROM f GROUP BY fp),
+           |k AS (SELECT g.c, g.b, f.b AS kb FROM g JOIN f
+           |  ON f.doc_id = g.kid AND f.fp = g.fp)
+           |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           |  CAST(sum(c - 1) AS BIGINT) AS n_losers,
+           |  CAST(sum(b) AS BIGINT) AS chars_total,
+           |  CAST(sum(b - kb) AS BIGINT) AS chars_saved,
+           |  ${Cols.proundSql("CAST(sum(b - kb) AS DOUBLE) / CAST(sum(b) AS DOUBLE)", 4)}
+           |    AS saved_pct
+           |FROM k""".stripMargin
+      }) { (s, dir) =>
+      dedupSavings(plantedExact(Tables(s, dir, "documents")), "text", "doc_id")
     },
 
     // Banding-planner gate: every power-of-two (bands × rows) split of
