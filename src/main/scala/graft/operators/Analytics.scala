@@ -217,6 +217,37 @@ object Analytics {
         .orderBy("doc_id")
     },
 
+    // Deterministic per-group MODE (the ordered-set aggregate class):
+    // engines leave mode() ties unspecified, so the tie-break is made
+    // EXPLICIT on both sides — max by (count, lang DESC-able struct)
+    // in Spark, (count DESC, lang ASC) rank in SQL — and the share is
+    // exact-count division.
+    Gate(
+      "q40_mode",
+      s"""WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+         |  GROUP BY source, lang),
+         |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
+         |r AS (SELECT source, lang, n,
+         |    row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+         |  FROM c)
+         |SELECT r.source, r.lang AS modal_lang, CAST(r.n AS BIGINT) AS n,
+         |  ${Cols.proundSql("CAST(r.n AS DOUBLE) / t.tot", 6)} AS share
+         |FROM r JOIN t ON r.source = t.source WHERE rk = 1
+         |ORDER BY r.source""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      // min over (−n, lang) = (count DESC, lang ASC) — row_number's
+      // exact tie-break, with no window
+      val best = c.groupBy("source")
+        .agg(
+          min(struct((-col("n")).as("nn"), col("lang"))).as("m"),
+          sum(col("n")).as("tot"))
+      best.select(col("source"), col("m.lang").as("modal_lang"),
+        (-col("m.nn")).cast("long").as("n"),
+        Cols.pround((-col("m.nn")).cast("double") / col("tot"), 6).as("share"))
+        .orderBy("source")
+    },
+
     // GROUPING SETS completes the multi-granularity family beside
     // ROLLUP (q5) and CUBE (q30): an EXPLICIT set list — here
     // (flag, status), (flag), (status) but NOT the grand total — is
