@@ -134,6 +134,26 @@ object DocSource {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
 
+  /** Observed write — Spark's `Observation` API: data-quality
+    * counters collected DURING the sink's own scan (row counts, null
+    * counts, PII hits — whatever aggregates you'd otherwise pay a
+    * second full pass to learn after the write). At 100 TB the
+    * difference between "write, then audit" and "audit while writing"
+    * is an entire table scan. Returns the observed metric values
+    * keyed by name, exactly once the write action completes. */
+  def writeParquetObserved(
+      df: DataFrame,
+      path: String,
+      metrics: Seq[(String, org.apache.spark.sql.Column)]): Map[String, Any] = {
+    require(metrics.nonEmpty, "writeParquetObserved: need at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    df.observe(obs, cols.head, cols.tail: _*)
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+    val got = obs.get
+    metrics.map { case (n, _) => n -> got(n) }.toMap
+  }
+
   /** Dynamic partition overwrite — the lake-maintenance write mode
     * (re-process ONE language/date partition and replace just it;
     * static overwrite mode would silently drop every other
@@ -625,6 +645,32 @@ object DocSource {
       s.read.orc(path)
         .select(col("id"), md5(col("text")).as("text_md5"))
         .orderBy("id")
+    },
+
+    // Observed-write gate: the audit counters come from the WRITE's
+    // own scan (Observation API — no second pass); the oracle
+    // recomputes each from the raw table, and the builder ALSO
+    // re-reads the written files so a metric that diverged from what
+    // actually landed would double-fail.
+    Gate(
+      "snk_observed",
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+         |  (SELECT count(*) FROM documents) AS n_rows_written
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "snk_observed")
+      val m = writeParquetObserved(
+        Tables(s, dir, "documents"), path,
+        Seq(
+          "n_rows" -> count(lit(1)),
+          "sum_chars" -> sum(col("n_chars")),
+          "n_en" -> sum(when(col("lang") === "en", 1L).otherwise(0L))))
+      val written = s.read.parquet(path).count()
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
+        m("n_en").asInstanceOf[Long], written))
+        .toDF("n_rows", "sum_chars", "n_en", "n_rows_written")
     },
 
     // Dynamic-partition-overwrite gate: full partitioned write, then a
