@@ -647,6 +647,63 @@ object DocSource {
         .orderBy("id")
     },
 
+    // Native-XML source gate (Spark 4 ships spark-xml in core): one
+    // <doc> element per line, each partition's file wrapped in a
+    // single <docs> root (the XML spec — and Spark's woodstox parser —
+    // reject multiple top-level roots), read back with rowTag + an
+    // EXPLICIT schema (inference over 100 TB of XML is a full extra
+    // scan, same rule as the CSV source).
+    Gate(
+      "src_xml",
+      """SELECT doc_id AS id, lang, n_chars AS chars FROM documents
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val path = gateScratch(dir, "src_xml")
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(concat(
+          lit("  <doc><id>"), col("doc_id"),
+          lit("</id><lang>"), col("lang"),
+          lit("</lang><chars>"), col("n_chars"),
+          lit("</chars></doc>")).as("value")).as[String]
+        .mapPartitions(it => Iterator("<docs>") ++ it ++ Iterator("</docs>"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("chars", org.apache.spark.sql.types.LongType)))
+      s.read.format("xml").option("rowTag", "doc").schema(schema).load(path)
+        .orderBy("id")
+    },
+
+    // Dirty-input ingest gate: try_cast turns unparseable numerics and
+    // impossible dates into NULLs instead of task failures — the
+    // error-tolerant ingest semantics (ANSI mode would kill the job on
+    // the first bad cell of a 100 TB dump). Planted classes: clean
+    // int, trailing junk, empty, leading zeros, valid date, impossible
+    // date.
+    Gate(
+      "q42_try_cast",
+      """WITH p AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '123' WHEN 1 THEN '4.5x'
+        |         WHEN 2 THEN '' ELSE '042' END AS num_s,
+        |    CASE WHEN doc_id % 2 = 0 THEN '2024-03-15' ELSE '2024-02-30' END AS date_s
+        |  FROM documents)
+        |SELECT doc_id, TRY_CAST(num_s AS INT) AS num,
+        |  CAST(TRY_CAST(date_s AS DATE) AS VARCHAR) AS dt
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, "123").when(col("doc_id") % 4 === 1, "4.5x")
+            .when(col("doc_id") % 4 === 2, "").otherwise("042").as("num_s"),
+          when(col("doc_id") % 2 === 0, "2024-03-15").otherwise("2024-02-30").as("date_s"))
+        .select(col("doc_id"),
+          expr("try_cast(num_s AS INT)").as("num"),
+          // string-render the date: engines' parquet/pandas date dtypes
+          // differ, the calendar value is what the gate checks
+          expr("try_cast(date_s AS DATE)").cast("string").as("dt"))
+        .orderBy("doc_id")
+    },
+
     // Observed-write gate: the audit counters come from the WRITE's
     // own scan (Observation API — no second pass); the oracle
     // recomputes each from the raw table, and the builder ALSO
