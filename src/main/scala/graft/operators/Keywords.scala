@@ -697,6 +697,41 @@ object Keywords {
         .orderBy("shard")
     },
 
+    // Corpus unigram entropy: H = −Σ p·log2 p over the token
+    // distribution — the one-number redundancy diagnostic (an H far
+    // below log2(vocab) means the corpus leans on few tokens:
+    // boilerplate, templating, or collapse after over-aggressive
+    // filtering). Per-term contributions round to 10 decimals before
+    // the decimal sum (log2 is the one non-correctly-rounded op — the
+    // Keywords.idf discipline), so the oracle replays bit-for-bit.
+    Gate(
+      "rpt_token_entropy", {
+        val p = "CAST(c AS DOUBLE) / nn"
+        s"""WITH tf AS (SELECT term, count(*) AS c FROM (
+           |    SELECT unnest(regexp_extract_all(lower(text),
+           |      '${TextAnalysis.WordPattern}')) AS term FROM documents)
+           |  GROUP BY term),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM tf)
+           |SELECT (SELECT count(*) FROM tf) AS vocab, n.nn AS n_tokens,
+           |  ${Cols.proundSql(
+             s"CAST(sum(CAST(${Cols.proundSql(s"-($p) * log2($p)", 10)} " +
+               "AS DECIMAL(30,15))) AS DOUBLE)", 6)} AS entropy_bits
+           |FROM tf CROSS JOIN n GROUP BY n.nn""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val tf = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.words(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val n = tf.agg(sum(col("c"))).head().getLong(0)
+      val p = col("c").cast("double") / n
+      tf.agg(
+        count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        Cols.pround(
+          sum(Cols.pround(-p * log2(p), 10).cast(DecimalType(30, 15))).cast("double"),
+          6).as("entropy_bits"))
+    },
+
     // Zipf frequency spectrum (count-of-counts): how many distinct
     // terms occur exactly k times (k capped at 11 = "11+") — the
     // companion diagnostic to vocabulary growth (a fat k=1 tail means

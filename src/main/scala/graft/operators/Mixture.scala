@@ -213,6 +213,28 @@ object Mixture {
     docs.withColumn("split", label)
   }
 
+  /** Nested subsets for scaling-law runs — the 1% / 10% / 100%
+    * training sets of a scaling study must NEST (the 1% ⊂ the 10% ⊂
+    * the 100%), or curve points confound data identity with data
+    * quantity. One portable LCG draw per doc decides every tier at
+    * once: doc ∈ subset_i iff u < rate_i, so smaller rates are
+    * subsets of larger by construction, reproducible across engines,
+    * partitionings, and reruns. Emits the SMALLEST tier index the doc
+    * belongs to (0 = rarest tier, rates.length = none). Narrow,
+    * scan-fused, no shuffle. */
+  def nestedSubsets(
+      docs: DataFrame,
+      idCol: String,
+      rates: Seq[Double]): DataFrame = {
+    require(rates.nonEmpty && rates == rates.sorted && rates.forall(r => r > 0 && r <= 1),
+      s"nestedSubsets: rates must be ascending in (0,1], got $rates")
+    val u = Cols.lcgUniform(col(idCol))
+    val tier = rates.zipWithIndex.foldRight(lit(rates.length).cast("int")) {
+      case ((r, i), els) => when(u < r, i).otherwise(els)
+    }
+    docs.withColumn("subset_tier", tier)
+  }
+
   // ---- gates ----
 
   // Skewed groups from id arithmetic (the synthetic sources are
@@ -790,6 +812,21 @@ object Mixture {
       selectByBudgetStratified(
         t, col("n_tok"), col("score"), "doc_id", "source", weights, budget)
         .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    },
+
+    // Nested-subsets gate: the oracle replays the LCG draw and the
+    // ascending tier CASE; nesting is structural (one draw, ordered
+    // thresholds), and MixtureSpec asserts it explicitly.
+    Gate(
+      "op_nested_subsets", {
+        val u = Cols.lcgUniformSql("doc_id")
+        s"""SELECT doc_id, CAST(CASE WHEN $u < 0.01 THEN 0 WHEN $u < 0.1 THEN 1
+           |    WHEN $u < 0.5 THEN 2 ELSE 3 END AS INT) AS subset_tier
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      nestedSubsets(Tables(s, dir, "documents"), "doc_id", Seq(0.01, 0.1, 0.5))
+        .select("doc_id", "subset_tier")
         .orderBy("doc_id")
     },
 

@@ -7,6 +7,30 @@ class MixtureSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("nestedSubsets: tiers nest and rates land near target") {
+    val docs = spark.range(0, 20000).toDF("doc_id")
+    val t = operators.Mixture.nestedSubsets(docs, "doc_id", Seq(0.01, 0.1, 0.5))
+      .groupBy("subset_tier").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // tier i membership = docs with tier <= i: nesting is structural;
+    // check the cumulative counts track the rates
+    val n = 20000.0
+    val cum = (0 to 2).map(i => (0 to i).map(j => t.getOrElse(j, 0L)).sum / n)
+    assert(math.abs(cum(0) - 0.01) < 0.005, s"1% tier off: ${cum(0)}")
+    assert(math.abs(cum(1) - 0.1) < 0.02, s"10% tier off: ${cum(1)}")
+    assert(math.abs(cum(2) - 0.5) < 0.03, s"50% tier off: ${cum(2)}")
+    assert(t.values.sum == 20000L)
+    // explicit nesting proof: the 1%-tier ids are a subset of the
+    // ids selected by a DIRECT 10% draw (same LCG, bigger threshold)
+    val one = operators.Mixture.nestedSubsets(docs, "doc_id", Seq(0.01))
+      .filter(col("subset_tier") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val ten = operators.Mixture.nestedSubsets(docs, "doc_id", Seq(0.1))
+      .filter(col("subset_tier") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(ten), "smaller-rate draw must nest inside the larger")
+  }
+
   // 3 sources with sizes 160 / 30 / 10 — strongly skewed
   private def docs = (0 until 200).map { i =>
     val src = if (i < 160) "web" else if (i < 190) "books" else "wiki"
