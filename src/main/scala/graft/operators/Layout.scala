@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Gate, Tables}
+import graft.{Cols, Gate, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,70 @@ object Layout {
     }
     spark.createDataFrame(rdd, schema).drop("__rsv")
   }
+
+  /** EXCLUSIVE running maximum of `valueCol` (double) in `orderCols`
+    * order — `max(v) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without the single-partition global
+    * window: the [[runningSum]] three-step (sampled range shuffle,
+    * per-partition max → driver prefix array of p doubles, one
+    * iterator-state pass). Exclusive (strictly-preceding rows only;
+    * NULL-equivalent −∞ emitted as NaN-free Double.NegativeInfinity
+    * for the first row) because the consumer — Pareto domination —
+    * must not compare a row against itself. `orderCols` must be a
+    * total order. Appends `outCol` (double). */
+  def runningMax(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      outCol: String = "running_max",
+      partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "runningMax: need at least one order column")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val withV = df.withColumn("__rmv", valueCol.cast("double"))
+    val ranged = graft.Caches.persist(
+      withV.repartitionByRange(p, orderCols: _*).sortWithinPartitions(orderCols: _*))
+    val vIdx = ranged.schema.fieldIndex("__rmv")
+    val maxes = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(max(col("__rmv")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val prefixes = (0 until p).scanLeft(Double.NegativeInfinity)((acc, pid) =>
+      math.max(acc, maxes.getOrElse(pid, Double.NegativeInfinity))).toArray
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.DoubleType, nullable = false))
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = prefixes(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        if (!r.isNullAt(vIdx)) acc = math.max(acc, r.getDouble(vIdx))
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema).drop("__rmv")
+  }
+
+  /** 2-D Pareto frontier (skyline) selection — "keep every doc not
+    * dominated in (x, y)", the multi-objective version of a single
+    * quality cutoff (keep what is long OR high-quality, drop what
+    * loses on both). A row is dominated iff some row with ≥ x has
+    * > y, or same (x, y) with a smaller id (the dedup keeper policy
+    * for duplicate points). One pass: order by (x desc, y desc, id) —
+    * same-x rows with larger y come FIRST, so they land in the
+    * exclusive [[runningMax]] of every same-x row they dominate —
+    * keep rows with y > that max. O(n log n) via one range shuffle,
+    * no global window, no pairwise join. Returns the surviving
+    * rows. */
+  def paretoFrontier(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      idCol: Column): DataFrame =
+    runningMax(df, Seq(xCol.desc, yCol.desc, idCol.asc), yCol, "__pmax")
+      .filter(yCol > col("__pmax"))
+      .drop("__pmax")
 
   // ---- gates ----
   // op_zorder: the z-value computation is the contract (the write is
@@ -436,6 +500,28 @@ object Layout {
   }
 
   val gates: Seq[Gate] = Seq(
+    // Pareto-frontier gate: objectives (n_chars, LCG score); the
+    // oracle is the WINDOW formulation (exclusive cummax over the same
+    // total order) the distributed running-max replaces.
+    Gate(
+      "op_pareto", {
+        val u = Cols.proundSql(Cols.lcgUniformSql("doc_id"), 6)
+        s"""WITH d AS (SELECT doc_id, n_chars, $u AS score FROM documents),
+           |r AS (SELECT doc_id, n_chars, score,
+           |    max(score) OVER (ORDER BY n_chars DESC, score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           |  FROM d)
+           |SELECT doc_id, n_chars, score FROM r
+           |WHERE pm IS NULL OR score > pm ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Cols.pround(Cols.lcgUniform(col("doc_id")), 6).as("score"))
+      paretoFrontier(d, col("n_chars"), col("score"), col("doc_id"))
+        .select("doc_id", "n_chars", "score")
+        .orderBy("doc_id")
+    },
+
     // Balanced-shards gate: snake placement over the n_chars-desc
     // rank, summarized per shard. The oracle replays the identical
     // rank + snake formula; the digest pins WHICH docs landed in each

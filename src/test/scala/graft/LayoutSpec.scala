@@ -30,6 +30,46 @@ class LayoutSpec extends SparkSpec {
     assert(ws.max - ws.min <= hashWs.max - hashWs.min)
   }
 
+  test("paretoFrontier: hand cases incl. same-x domination and duplicate points") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 10L, 1.0), // frontier (max x)
+      (2L, 10L, 5.0), // frontier-dominates id 1 at same x
+      (3L, 8L, 5.0), // dominated by id 2 (x smaller, y equal)
+      (4L, 8L, 7.0), // frontier
+      (5L, 5L, 7.0), // dominated by id 4
+      (6L, 5L, 7.0), // duplicate of 5: also out
+      (7L, 3L, 9.0), // frontier
+      (8L, 3L, 9.0)) // duplicate point: min-id keeper -> out
+      .toDF("id", "x", "y")
+    val got = Layout.paretoFrontier(pts, col("x"), col("y"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 4L, 7L), s"got $got")
+    // no row in the result dominates another; every dropped row is
+    // dominated by some kept row
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dominated(b: (Long, Long, Double)) = rows.exists(a =>
+      a._1 != b._1 && a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3))
+    rows.filterNot(r => got(r._1)).foreach(r =>
+      assert(dominated(r) || rows.exists(a => got(a._1) && a._1 < r._1 &&
+        a._2 == r._2 && a._3 == r._3), s"dropped non-dominated row $r"))
+  }
+
+  test("runningMax matches the window cummax on a shuffled frame") {
+    import spark.implicits._
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("v", graft.Cols.pround(graft.Cols.lcgUniform(col("id")), 6))
+      .repartition(7)
+    val got = Layout.runningMax(df, Seq(col("id")), col("v"), "rm")
+      .select("id", "rm").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(Long.MinValue, -1)
+    val want = df.select(col("id"), max(col("v")).over(w).as("rm"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NegativeInfinity else r.getDouble(1))).toMap
+    assert(got == want)
+  }
+
   test("zorderValue interleaves bits: hand cases") {
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (65535L, 0L))
       .toDF("x", "y")
