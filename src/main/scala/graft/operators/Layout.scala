@@ -183,7 +183,9 @@ object Layout {
     val vIdx = ranged.schema.fieldIndex("__rmv")
     val maxes = ranged
       .groupBy(spark_partition_id().as("pid"))
-      .agg(max(col("__rmv")).as("m"))
+      // coalesce: a partition whose values are ALL NULL yields a NULL
+      // max — treat as −∞ (no contribution), not an unboxing NPE
+      .agg(coalesce(max(col("__rmv")), lit(Double.NegativeInfinity)).as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val prefixes = (0 until p).scanLeft(Double.NegativeInfinity)((acc, pid) =>
       math.max(acc, maxes.getOrElse(pid, Double.NegativeInfinity))).toArray
