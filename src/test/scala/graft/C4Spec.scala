@@ -24,6 +24,42 @@ class C4Spec extends SparkSpec {
     }
   }
 
+  test("sStem is idempotent: a stemmed form stems to itself") {
+    import spark.implicits._
+    val words = Seq("flies", "queries", "tables", "rows", "columns", "movies",
+      "classes", "bus", "goes", "value", "merges")
+    val once = words.toDF("w")
+      .select(TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("w")
+      .select(TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once == twice, s"non-idempotent: $once vs $twice")
+  }
+
+  test("insertNeedle edges: depth 0 and 1, empty text, index is exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "")).toDF("doc_id", "text")
+    def run(depth: Double) = operators.Formatters
+      .insertNeedle(docs, "text", "doc_id", "THE-NEEDLE", depth)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val front = run(0.0)
+    assert(front(1L) == ((0, "THE-NEEDLE alpha beta gamma delta")))
+    assert(front(2L) == ((0, "THE-NEEDLE")), "empty haystack still carries the needle")
+    val back = run(1.0)
+    assert(back(1L) == ((4, "alpha beta gamma delta THE-NEEDLE")))
+    val mid = run(0.5)
+    assert(mid(1L) == ((2, "alpha beta THE-NEEDLE gamma delta")))
+  }
+
+  test("aiSlopPhrase attributes the FIRST list phrase when several match") {
+    import spark.implicits._
+    val t = "as an AI language model I will regenerate response"
+    val got = Seq(t).toDF("text")
+      .select(operators.Filters.aiSlopPhrase(col("text"))).head().getString(0)
+    assert(got == "as an ai language model")
+  }
+
   test("ensembleVote counts, masks, and keeps by majority with NULLs as fails") {
     import spark.implicits._
     val df = Seq(

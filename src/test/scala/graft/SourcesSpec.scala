@@ -66,6 +66,20 @@ class SourcesSpec extends SparkSpec {
     assert(afterStatic == Set(2L), "static overwrite removes untouched partitions")
   }
 
+  test("webdataset writer rejects over-long member names loudly") {
+    import spark.implicits._
+    import graft.sources.WebDataset
+    val out = Files.createTempDirectory("graft-wds-long").toString + "/shards"
+    val docs = Seq(("k" * 120, Seq(("txt", "x".getBytes("UTF-8")))))
+      .toDF("key", "members").repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      WebDataset.writeTarShards(docs, "key", "members", out).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("member name too long")))
+  }
+
   test("webdataset tar shards round-trip binary payloads; system tar accepts the format") {
     import spark.implicits._
     import graft.sources.WebDataset
