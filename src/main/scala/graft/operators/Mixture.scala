@@ -213,6 +213,33 @@ object Mixture {
     docs.withColumn("split", label)
   }
 
+  /** EXACT-count stratified sample — eval/holdout sets are sized in
+    * absolute rows per stratum ("5 000 docs per language"), which
+    * Bernoulli-rate samplers ([[graft.operators.Filters.sampler]],
+    * [[mixtureSample]]) only hit in expectation: rank each stratum's
+    * rows by the portable LCG (id tiebreak) and keep exactly
+    * `quotas(stratum)` of them. The window partitions BY STRATUM —
+    * per-language state, never a global single-partition sort — and
+    * strata smaller than their quota keep everything (deterministic
+    * truncation, no error). Reproducible across engines and reruns
+    * like every LCG-keyed selection here. */
+  def exactStratifiedSample(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 0),
+      s"exactStratifiedSample: need non-negative quotas, got $quotas")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(Cols.lcgUniform(col(idCol)), col(idCol))
+    val quota = quotas.foldLeft(lit(0L)) { case (els, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(els)
+    }
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Nested subsets for scaling-law runs — the 1% / 10% / 100%
     * training sets of a scaling study must NEST (the 1% ⊂ the 10% ⊂
     * the 100%), or curve points confound data identity with data
@@ -812,6 +839,25 @@ object Mixture {
       selectByBudgetStratified(
         t, col("n_tok"), col("score"), "doc_id", "source", weights, budget)
         .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    },
+
+    // Exact-stratified gate: per-language quotas, the oracle replays
+    // the per-stratum LCG rank and the quota CASE.
+    Gate(
+      "op_exact_stratified", {
+        val u = Cols.lcgUniformSql("doc_id")
+        s"""WITH r AS (SELECT doc_id, lang, row_number() OVER (
+           |    PARTITION BY lang ORDER BY $u, doc_id) AS rk FROM documents)
+           |SELECT doc_id, lang FROM r
+           |WHERE rk <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+           |  WHEN 'fr' THEN 20 WHEN 'es' THEN 10 WHEN 'zh' THEN 15 ELSE 0 END
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      exactStratifiedSample(
+        Tables(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 50L, "de" -> 30L, "fr" -> 20L, "es" -> 10L, "zh" -> 15L))
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 

@@ -7,6 +7,24 @@ class MixtureSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("exactStratifiedSample: exact quotas, truncation on small strata, reproducible") {
+    val docs = Tables(spark, sfDir, "documents")
+    val quotas = Map("en" -> 10L, "de" -> 3L, "zz" -> 5L) // zz absent -> 0 rows
+    val a = operators.Mixture.exactStratifiedSample(docs, "lang", "doc_id", quotas)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pop = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    quotas.foreach { case (l, q) =>
+      assert(a.getOrElse(l, 0L) == math.min(q, pop.getOrElse(l, 0L)),
+        s"lang $l: got ${a.get(l)}, quota $q, pop ${pop.get(l)}")
+    }
+    assert(!a.keySet.exists(l => !quotas.contains(l)), "unquoted strata contribute nothing")
+    // reproducible: same ids both runs
+    def ids() = operators.Mixture.exactStratifiedSample(docs, "lang", "doc_id", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids() == ids())
+  }
+
   test("nestedSubsets: tiers nest and rates land near target") {
     val docs = spark.range(0, 20000).toDF("doc_id")
     val t = operators.Mixture.nestedSubsets(docs, "doc_id", Seq(0.01, 0.1, 0.5))
