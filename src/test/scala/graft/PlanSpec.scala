@@ -24,6 +24,39 @@ class PlanSpec extends SparkSpec {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  test("range search has no exchange at all: the radius filter stays in the scan stage") {
+    val p = plan("ann_range")
+    // the only allowed exchanges are the input spread and the gate's
+    // final orderBy; the SCORING+FILTER side must not shuffle scored
+    // rows — assert no aggregate/window anywhere (top-k machinery
+    // would show up as HashAggregate or Window)
+    assert(!p.contains("Window"), s"unexpected window in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query side must broadcast")
+  }
+
+  test("tfidf cosine detection path never exchanges document text") {
+    val marked = operators.Dedup.tfidfCosinePairs(
+      Tables(spark, sfDir, "documents"), "text", "doc_id", 0.5)
+    // string-level: the exchanges sit inside cached (InMemoryRelation)
+    // subplans, which node-collect does not traverse; the printed plan
+    // inlines them. Every hash exchange line must be digest/id-width —
+    // never the text column.
+    val p = marked.queryExecution.sparkPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected shuffles in the pairs pipeline:\n$p")
+    exchanges.foreach(l =>
+      assert(!l.contains("text#"), s"document text crosses an exchange: $l"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("balanced shards plan has no global single-partition exchange") {
+    val p = plan("op_balanced_shards")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"single-partition exchange in:\n$p")
+  }
+
   test("q2_join broadcasts every dimension table") {
     val p = plan("q2_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
