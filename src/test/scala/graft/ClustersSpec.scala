@@ -7,6 +7,26 @@ class ClustersSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("modularityReport: two disjoint triangles score the textbook Q = 0.5") {
+    // perfect partition of two 3-cliques: per community
+    // q_c = 3/6 - (6/12)^2 = 0.25, total Q = 0.5 (Newman's example)
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("node", "label")
+    val got = Clusters.modularityReport(edges, "src", "dst", labels)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((3L, 3L, 6L, 0.25)))
+    assert(got(10L) == ((3L, 3L, 6L, 0.25)))
+    // a deliberately WRONG partition (one triangle split) scores lower
+    val bad = Seq((0L, 0L), (1L, 0L), (2L, 99L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("node", "label")
+    val qBad = Clusters.modularityReport(edges, "src", "dst", bad)
+      .agg(sum("q")).head().getDouble(0)
+    assert(qBad < 0.5, s"split partition must score below 0.5, got $qBad")
+  }
+
   /** Local union-find ground truth. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
