@@ -66,6 +66,27 @@ class SourcesSpec extends SparkSpec {
     assert(afterStatic == Set(2L), "static overwrite removes untouched partitions")
   }
 
+  test("webdataset reader accepts a shard created by the SYSTEM tar") {
+    import graft.sources.WebDataset
+    val tarBin = Seq("/bin/tar", "/usr/bin/tar").find(new java.io.File(_).exists())
+    assume(tarBin.isDefined, "system tar not present")
+    val work = Files.createTempDirectory("graft-wds-sys")
+    val shardDir = Files.createDirectory(work.resolve("shards"))
+    Files.write(work.resolve("0001.txt"), "hello from gnu tar".getBytes("UTF-8"))
+    Files.write(work.resolve("0001.json"), "{\"k\":1}".getBytes("UTF-8"))
+    Files.write(work.resolve("0002.txt"), Array[Byte](0, 1, 2, -1))
+    val p = new ProcessBuilder(tarBin.get, "--format=ustar", "-cf",
+      shardDir.resolve("shard-0.tar").toString,
+      "-C", work.toString, "0001.txt", "0001.json", "0002.txt").start()
+    assert(p.waitFor() == 0, "system tar failed to create the fixture")
+    val got = WebDataset.readTarShards(spark, shardDir.toString)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getAs[Array[Byte]]("data")).toMap
+    assert(got(("0001", "txt")).sameElements("hello from gnu tar".getBytes("UTF-8")))
+    assert(got(("0001", "json")).sameElements("{\"k\":1}".getBytes("UTF-8")))
+    assert(got(("0002", "txt")).sameElements(Array[Byte](0, 1, 2, -1)))
+    assert(got.size == 3)
+  }
+
   test("webdataset writer rejects over-long member names loudly") {
     import spark.implicits._
     import graft.sources.WebDataset
