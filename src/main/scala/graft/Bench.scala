@@ -55,8 +55,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(json)
-    // Also write the full JSON to a file: the driver captures stdout
+    // Write the full JSON to a file first: the driver captures stdout
     // as a bounded tail, which truncated the r05 artifact mid-list —
     // the file is the self-contained, untruncatable record. Filtered
     // dev runs must NOT clobber the full-run artifact.
@@ -65,6 +64,21 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     }
+    // The driver parses only the last ~2 kB of stdout; the full
+    // per-query map (315 entries) no longer fits (BENCH_r06–r08
+    // parsed:null). The FINAL stdout line is therefore a compact
+    // summary that always fits: same schema, but the "queries" map is
+    // trimmed to the slowest 40 (the ones worth triaging), with "n"
+    // for the full count and "queries_full" pointing at the file.
+    val slowest = results.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(json)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+      s""""queries":$slowest,"failed":${failed.mkString("[", ",", "]")},""" +
+      s""""queries_full":"target/bench.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -18,7 +18,13 @@ object Metrics {
       shuffleWriteBytes: Long,
       shuffleReadBytes: Long,
       inputRecords: Long,
-      peakExecutionMemory: Long)
+      peakExecutionMemory: Long,
+      // NOTE: Spark's task input metrics count CACHED-block reads as
+      // input too, so inputRecords/inputBytes are "bytes/records the
+      // tasks consumed from sources AND caches" — an upper bound on
+      // source reads, which is exactly the conservative side for
+      // scale invariants ("reads at most K corpus-equivalents").
+      inputBytes: Long = 0L)
 
   /** Run `action` under a stage-metrics listener and return (result,
     * aggregate IO over every stage the action triggered). Listener
@@ -30,6 +36,7 @@ object Metrics {
     val write = new AtomicLong(0L)
     val read = new AtomicLong(0L)
     val input = new AtomicLong(0L)
+    val inputB = new AtomicLong(0L)
     val peak = new AtomicLong(0L)
     val lastEvent = new AtomicReference[Long](System.nanoTime())
     val listener = new SparkListener {
@@ -39,6 +46,7 @@ object Metrics {
           write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           input.addAndGet(m.inputMetrics.recordsRead)
+          inputB.addAndGet(m.inputMetrics.bytesRead)
           peak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
         }
         lastEvent.set(System.nanoTime())
@@ -54,7 +62,7 @@ object Metrics {
         Thread.sleep(50)
         quiet = System.nanoTime() - lastEvent.get() > 300L * 1000 * 1000
       }
-      (result, JobIO(write.get(), read.get(), input.get(), peak.get()))
+      (result, JobIO(write.get(), read.get(), input.get(), peak.get(), inputB.get()))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

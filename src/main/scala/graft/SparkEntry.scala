@@ -34,6 +34,7 @@ object SparkEntry {
       ml.ClassifierTraining.gates ++
       sources.DocSource.gates ++
       sources.WebDataset.gates ++
+      sources.arrow.ArrowGates.gates ++
       tokens.Tokens.gates ++
       tokens.Wordpiece.gates ++
       tokens.Unigram.gates ++

@@ -480,9 +480,7 @@ object FinewebPipeline {
       // (id only) and reads the closure's checkpointed blocks.
       val upstream = Pipeline(stages: _*).kept(docs)
       val losers = graft.operators.Clusters
-        .connectedComponents(
-          graft.operators.Dedup.minhashLshPairs(upstream, "text", "doc_id", thr),
-          "id_a", "id_b")
+        .duplicateClusters(upstream, "text", "doc_id", thr)
         .filter(col("id") =!= col("rep"))
         .select(col("id").as("__loser_id"))
       stages :+= Transform("near_dup_mark",

@@ -94,6 +94,77 @@ object Clusters {
     finish(cur, curCnt, converged, maxIter)
   }
 
+  // ---- computed-once component labels ----
+
+  // (session identity, plan/params hash) → persisted, materialized
+  // label frame. Every closure consumer used to re-pay candidate
+  // pairs + star contraction on the same corpus (keeper dedup, soft
+  // weights, leakage-free split, recipe near-dup: ~4× the closure
+  // cost in one pipeline run); labels are a pure function of the
+  // input plan, so they are computed ONCE per (session, plan, params)
+  // and shared. The memo deliberately lives OUTSIDE [[graft.Caches]]
+  // (which is released per operator): the whole point is reuse across
+  // consumers. Bounded LRU — evicted entries are unpersisted.
+  private val labelMemo =
+    new java.util.LinkedHashMap[(Int, Int), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int), DataFrame]): Boolean = {
+        val evict = size() > 8
+        if (evict) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () } // session may be stopped
+        }
+        evict
+      }
+    }
+
+  private def memoizedLabels(key: (Int, Int))(compute: => DataFrame): DataFrame = {
+    labelMemo.synchronized {
+      val hit = labelMemo.get(key)
+      if (hit != null) return hit
+    }
+    // compute outside the lock (idempotent — a concurrent duplicate
+    // costs one wasted closure, never a wrong answer); persist +
+    // count so every later consumer reads cached label blocks
+    val labels = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    labelMemo.synchronized {
+      val raced = labelMemo.get(key)
+      if (raced != null) { labels.unpersist(blocking = false); raced }
+      else { labelMemo.put(key, labels); labels }
+    }
+  }
+
+  /** [[connectedComponents]] computed once per (session, edge plan)
+    * and shared by every consumer — the semantic plan hash keys the
+    * memo, so two calls over the same logical edges (however
+    * constructed) return the SAME persisted (id, rep) frame. Use this
+    * (or [[duplicateClusters]]) when several stages consume one
+    * closure; call [[connectedComponents]] directly for one-shot use. */
+  def componentLabels(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val key = (System.identityHashCode(edges.sparkSession),
+      edges.select(col(aCol), col(bCol)).queryExecution.analyzed.semanticHash())
+    memoizedLabels(key)(connectedComponents(edges, aCol, bCol))
+  }
+
+  /** Computed-once duplicate-cluster labels for a corpus: MinHash+LSH
+    * verified pairs (≥ `threshold` exact Jaccard) closed transitively.
+    * Returns (`id`, `rep`) with one row per doc that appears in some
+    * pair; unclustered docs are absent (callers treat them as
+    * singletons). All near-dup consumers ([[minhashClusterDedup]],
+    * [[softDedupWeights]], [[splitByCluster]], the fineweb recipe)
+    * share this ONE frame — at 100 TB the closure is the expensive
+    * step, and a pipeline that both reweights and splits must not pay
+    * it twice. Memoized per (session, corpus plan, params).
+    */
+  def duplicateClusters(
+      docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      41 * docs.queryExecution.analyzed.semanticHash() + (textCol, idCol, threshold).##)
+    memoizedLabels(key)(connectedComponents(
+      Dedup.minhashLshPairs(docs, textCol, idCol, threshold), "id_a", "id_b"))
+  }
+
   /** Post-loop: enforce convergence and derive labels from the
     * converged star set. */
   private def finish(
@@ -208,8 +279,17 @@ object Clusters {
       aCol: String,
       bCol: String,
       idCol: String,
+      score: Column): DataFrame =
+    keepBestByLabels(docs, connectedComponents(pairs, aCol, bCol), idCol, score)
+
+  /** [[clusterDedupByScore]]'s core over an already-computed (id, rep)
+    * label frame — the entry point for callers sharing a
+    * [[componentLabels]]/[[duplicateClusters]] closure. */
+  def keepBestByLabels(
+      docs: DataFrame,
+      labels: DataFrame, // (id, rep)
+      idCol: String,
       score: Column): DataFrame = {
-    val labels = connectedComponents(pairs, aCol, bCol) // (id, rep)
     val scored = docs
       .select(col(idCol).cast("long").as("id"),
         // NULL-lowest without nulls_first machinery: any real score
@@ -233,10 +313,12 @@ object Clusters {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double): DataFrame =
-    clusterDedup(
-      docs, Dedup.minhashLshPairs(docs, textCol, idCol, threshold),
-      "id_a", "id_b", idCol)
+      threshold: Double): DataFrame = {
+    val drop = duplicateClusters(docs, textCol, idCol, threshold)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 
   /** SoftDeDup — reweight near-duplicates instead of deleting them
     * (He et al. 2024, arXiv 2407.00046: hard dedup throws away the
@@ -257,8 +339,7 @@ object Clusters {
       textCol: String,
       idCol: String,
       threshold: Double): DataFrame = {
-    val labels = connectedComponents(
-      Dedup.minhashLshPairs(docs, textCol, idCol, threshold), "id_a", "id_b")
+    val labels = duplicateClusters(docs, textCol, idCol, threshold)
     val sizes = labels.groupBy("rep").agg(count(lit(1)).as("__csz"))
     val weights = labels.join(sizes, "rep")
       .select(col("id").as(idCol), col("__csz"))
@@ -284,8 +365,7 @@ object Clusters {
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "splitByCluster: split fractions must sum to 1")
-    val labels = connectedComponents(
-      Dedup.minhashLshPairs(docs, textCol, idCol, threshold), "id_a", "id_b")
+    val labels = duplicateClusters(docs, textCol, idCol, threshold)
       .select(col("id").as(idCol), col("rep"))
     val keyed = docs.join(labels, Seq(idCol), "left")
       .withColumn("__u", graft.Cols.lcgUniform(
@@ -881,7 +961,7 @@ object Clusters {
          |$SqlReach
          |SELECT n AS id, min(l) AS rep FROM reach GROUP BY n ORDER BY id""".stripMargin) {
       (s, dir) =>
-        connectedComponents(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
+        componentLabels(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
           .orderBy("id")
     },
 
@@ -897,7 +977,7 @@ object Clusters {
          |sizes AS (SELECT rep, count(*) AS sz FROM labels GROUP BY rep)
          |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, dir) =>
-      connectedComponents(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
+      componentLabels(synthEdges(Tables(s, dir, "documents")), "id_a", "id_b")
         .groupBy("rep").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
@@ -923,8 +1003,8 @@ object Clusters {
          |WHERE w.id IS NULL OR w.rn = 1
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      clusterDedupByScore(
-        docs, synthEdges(docs), "id_a", "id_b", "doc_id", col("n_chars"))
+      keepBestByLabels(
+        docs, componentLabels(synthEdges(docs), "id_a", "id_b"), "doc_id", col("n_chars"))
         .select("doc_id").orderBy("doc_id")
     },
 

@@ -158,26 +158,91 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** (id, shingle-set) digest frame, persisted (scoped via
+  /** (id, sh, mh) digest frame, persisted (scoped via
     * [[graft.Caches]]): it feeds bucket-building AND the verify
     * side(s), so unpersisted the shingle+md5 pipeline would run up to
     * three times. Shared by within-batch (D2), n-gram (D4), and
-    * cross-corpus ([[minhashIncremental]]) dedup. */
+    * cross-corpus ([[minhashIncremental]]) dedup.
+    *
+    * The frame never carries shingle STRINGS — `sh` is the xxhash64
+    * digest per distinct shingle (8 bytes vs ~30-char trigrams plus
+    * java-string cache inflation: measured ~10× lighter in cache and
+    * exchanges, the 100 TB lever), and `mh` is the 64-slot minhash
+    * signature computed from the strings INSIDE the scan before they
+    * are dropped — so banding behavior is bit-identical to hashing
+    * the strings directly, and set intersections over `sh` equal the
+    * string intersections up to 64-bit collisions (~|A|·|B|·2⁻⁶⁴ per
+    * pair — the same accepted class as [[tfidfCosinePairs]]' hashed
+    * features). */
   private def shingleSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.Caches.persist(
-      spread(docs).select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-        .filter(size(col("sh")) > 0))
+      spread(docs)
+        .select(col(idCol).as("id"), shingles(col(textCol)).as("__shs"))
+        .filter(size(col("__shs")) > 0)
+        .select(col("id"),
+          transform(col("__shs"), s => xxhash64(s)).as("sh"),
+          minhash(col("__shs")).as("mh")))
 
   /** Band-prefixed LSH bucket keys per id (the band index prefix keeps
     * different bands from ever sharing a bucket). */
   private def bandBuckets(sets: DataFrame): DataFrame = sets
-    .select(col("id"), posexplode(bandSigs(minhash(col("sh")))))
+    .select(col("id"), posexplode(bandSigs(col("mh"))))
     .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
 
-  /** D2 — MinHash+LSH near-dup pairs with exact-Jaccard verification. */
-  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+  /** Degenerate-bucket cap for the LSH band self-join (the [[ngramJaccardPairs]]
+    * `dfCutoff` lever, applied to band buckets): a bucket of d docs
+    * contributes d²/2 candidate pairs, so one corpus-wide boilerplate
+    * page putting 10⁶ near-identical docs in a band bucket means
+    * (10⁶ choose 2) pairs — quadratic death no banding math predicts.
+    * 10⁴ caps any one bucket at ~5·10⁷ compact pair rows. */
+  val MaxBandBucket = 10000L
+
+  /** D2 — MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * `maxBucket`: buckets holding more than this many docs are
+    * EXCLUDED from candidate generation (loudly — counts to stderr):
+    * a true pair is lost only if EVERY band it collides in is
+    * degenerate, which at any sane cap means a near-identical mass of
+    * > maxBucket docs — exact-dedup territory (those docs share their
+    * normalized fingerprint or differ by boilerplate the line-dedup
+    * pass strips), not something to enumerate pairwise. The guard is
+    * one count-by-bucket aggregate over the persisted bucket frame
+    * before the self-join commits — the [[Similarity.semanticDedup]]
+    * capacity-guard idiom, with the CDC df-prune semantics
+    * ([[Lines]]' cdcNearDupPairs). */
+  def minhashLshPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol)
-    verifiedPairs(sets, bandBuckets(sets), threshold)
+    verifiedPairs(sets, guardedBuckets(bandBuckets(sets), maxBucket), threshold)
+  }
+
+  /** Drop band buckets whose population exceeds `maxBucket` before a
+    * bucket self-join, reporting what was dropped. Hot buckets are by
+    * construction ≤ totalRows/maxBucket — a tiny broadcast set. */
+  private def guardedBuckets(buckets: DataFrame, maxBucket: Long): DataFrame = {
+    val b = graft.Caches.persist(buckets)
+    val hot = b.groupBy("bkey").agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+    val stats = hot.agg(
+      count(lit(1)).as("k"),
+      coalesce(max("n"), lit(0L)).as("mx"),
+      coalesce(sum("n"), lit(0L)).as("rows")).head()
+    if (stats.getLong(0) == 0L) b
+    else {
+      // loud, not silent: a tripped guard at production scale is a
+      // corpus pathology the operator must surface (the alternative —
+      // letting the join run O(bucket²) — looks like a hang, not a
+      // diagnosis)
+      System.err.println(
+        s"graft.Dedup.minhashLshPairs: dropping ${stats.getLong(0)} degenerate LSH " +
+          s"bucket(s) over maxBucket=$maxBucket (largest=${stats.getLong(1)} docs, " +
+          s"${stats.getLong(2)} bucket rows total) from candidate generation — " +
+          "pairs inside an over-cap near-identical mass are exact-dedup territory")
+      b.join(broadcast(hot.select("bkey")), Seq("bkey"), "left_anti")
+    }
   }
 
   /** D4 — exact n-gram Jaccard via inverted shingle index (every pair
@@ -211,8 +276,9 @@ object Dedup {
     // strings (a pair's count is inflated only by an intra-pair 64-bit
     // collision, ~|A|·|B|·2⁻⁶⁴ — far below the md5-identity bar the
     // exact-dedup path already accepts).
-    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      .select(col("id"), col("sz"), xxhash64(col("s")).as("bkey"))
+    // `sh` is already the per-shingle xxhash64 — the digest frame's
+    // elements ARE the 8-byte index keys
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
     // Size-ratio prune, applied AT THE JOIN so pruned pairs never
     // reach the count aggregate: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
     // so a pair whose size ratio can't reach the threshold (with
@@ -285,8 +351,7 @@ object Dedup {
       idCol: String,
       threshold: Double): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol)
-    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      .select(col("id"), col("sz"), xxhash64(col("s")).as("bkey"))
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("bkey"))
     inv.as("x")
       .join(inv.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -439,10 +504,11 @@ object Dedup {
       newDocs, shingleSets(corpus, textCol, idCol), textCol, idCol, threshold)
 
   /** Persist the reusable cross-RUN dedup index: (id, shingle-digest
-    * array) — 8-byte xxhash digests only, the corpus text is never
-    * written. A nightly batch dedups against last night's index
-    * instead of re-shingling 100 TB; after accepting the survivors,
-    * append THEIR shingle frame to the index for the next run. */
+    * array, minhash signature) — 8-byte xxhash digests plus the
+    * 64-slot band signature source, the corpus text is never written.
+    * A nightly batch dedups against last night's index instead of
+    * re-shingling 100 TB; after accepting the survivors, append THEIR
+    * digest frame to the index for the next run. */
   def writeDedupIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit =
     shingleSets(corpus, textCol, idCol).write.mode("overwrite").parquet(path)
 

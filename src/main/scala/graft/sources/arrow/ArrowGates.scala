@@ -1,0 +1,67 @@
+package graft.sources.arrow
+
+import graft.{Gate, Tables}
+import org.apache.spark.sql.functions._
+
+/** Correctness gates for the Arrow IPC shard connector: write a known
+  * table out as shards with [[ArrowShardWriter]], re-ingest through
+  * [[ArrowDataSource]], and pin the round-tripped values against the
+  * DuckDB oracle over the RAW parquet table — the connector and the
+  * writer must jointly be the identity.
+  */
+object ArrowGates {
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.delete(x))
+    }
+
+  val gates: Seq[Gate] = Seq(
+    // FILE-format round trip over the documents table, multi-shard
+    // (one shard per input partition — the partition-per-shard plan
+    // claim is asserted by ArrowSpec). Values pinned per doc: text
+    // md5 + every metadata column.
+    Gate(
+      "src_arrow",
+      """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val out = graft.sources.DocSource.gateScratch(dir, "src_arrow")
+      deleteRecursively(java.nio.file.Paths.get(out))
+      ArrowShardWriter.write(Tables(s, dir, "documents").repartition(4), out, "file")
+      s.read.format(ArrowDataSource.Format).load(out)
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // STREAM-format round trip over the embeddings table — the
+    // framing HF `save_to_disk` shards actually use, plus the
+    // list<float> column family. Per-vector pins: length and an
+    // index-WEIGHTED sum (catches element reordering a plain sum
+    // would miss); float→double is exact and both engines fold
+    // left-to-right, so pround(…,4) is engine-portable.
+    Gate(
+      "src_arrow_stream",
+      s"""SELECT vec_id, label, len(embedding) AS n,
+         |  ${graft.Cols.proundSql(
+             "list_reduce(list_transform(range(1, len(embedding) + 1), " +
+               "i -> i::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)", 4)} AS wsum
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val out = graft.sources.DocSource.gateScratch(dir, "src_arrow_stream")
+      deleteRecursively(java.nio.file.Paths.get(out))
+      ArrowShardWriter.write(Tables(s, dir, "embeddings").repartition(3), out, "stream")
+      s.read.format(ArrowDataSource.Format).load(out)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("n"),
+          graft.Cols.pround(
+            aggregate(
+              zip_with(
+                col("embedding"),
+                sequence(lit(1), size(col("embedding"))),
+                (x, i) => i.cast("double") * x.cast("double")),
+              lit(0.0), (acc, x) => acc + x), 4).as("wsum"))
+        .orderBy("vec_id")
+    }
+  )
+}

@@ -1,0 +1,174 @@
+package graft.sources.arrow
+
+import java.io.FileOutputStream
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC shard-directory WRITER — the export side of
+  * [[ArrowDataSource]], so a corpus can round-trip through the same
+  * shard layout an HF `save_to_disk` export uses (and so the
+  * connector has a Spark-native producer to test against, the
+  * [[graft.tokens.MegatronBinWriter]] pattern).
+  *
+  * One shard per input partition, written inside the task (the driver
+  * never sees row data); rows stream into Arrow vectors in bounded
+  * record batches, so task memory is O(batchRows), not O(partition).
+  * `format`: "file" (random-access IPC, `ARROW1` magic) or "stream"
+  * (the framing HF shard files actually use) — [[ArrowDataSource]]
+  * sniffs and reads both.
+  */
+object ArrowShardWriter {
+
+  /** Supported column types: the scalar set [[ArrowDataSource]] maps
+    * back, plus lists of numeric/string scalars. */
+  def write(
+      df: DataFrame,
+      dir: String,
+      format: String = "file",
+      batchRows: Int = 4096): Unit = {
+    require(format == "file" || format == "stream",
+      s"ArrowShardWriter: format must be 'file' or 'stream', got '$format'")
+    val schema = df.schema
+    arrowSchema(schema) // validate driver-side: unsupported types fail before any task runs
+    Files.createDirectories(Paths.get(dir))
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        writeShard(rows, schema, f"$dir/part-$pid%05d.arrow", format, batchRows)
+      }
+    }
+  }
+
+  private def arrowField(f: StructField): Field = f.dataType match {
+    case ByteType => scalar(f.name, new ArrowType.Int(8, true), f.nullable)
+    case ShortType => scalar(f.name, new ArrowType.Int(16, true), f.nullable)
+    case IntegerType => scalar(f.name, new ArrowType.Int(32, true), f.nullable)
+    case LongType => scalar(f.name, new ArrowType.Int(64, true), f.nullable)
+    case FloatType =>
+      scalar(f.name, new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE), f.nullable)
+    case DoubleType =>
+      scalar(f.name, new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE), f.nullable)
+    case StringType => scalar(f.name, ArrowType.Utf8.INSTANCE, f.nullable)
+    case BinaryType => scalar(f.name, ArrowType.Binary.INSTANCE, f.nullable)
+    case BooleanType => scalar(f.name, ArrowType.Bool.INSTANCE, f.nullable)
+    case ArrayType(et, containsNull) =>
+      val child = arrowField(StructField("element", et, containsNull))
+      et match {
+        case IntegerType | LongType | FloatType | DoubleType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"ArrowShardWriter: list<$other> column '${f.name}' unsupported")
+      }
+      new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+        java.util.List.of(child))
+    case other => throw new IllegalArgumentException(
+      s"ArrowShardWriter: column '${f.name}' of type $other unsupported")
+  }
+
+  private def scalar(name: String, t: ArrowType, nullable: Boolean): Field =
+    new Field(name, new FieldType(nullable, t, null), java.util.List.of())
+
+  private def arrowSchema(s: StructType): Schema =
+    new Schema(s.fields.map(arrowField).toList.asJava)
+
+  private def writeShard(
+      rows: Iterator[Row],
+      schema: StructType,
+      path: String,
+      format: String,
+      batchRows: Int): Unit = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema(schema), alloc)
+      try {
+        val (writer, closeable) = format match {
+          case "file" =>
+            val ch = FileChannel.open(Paths.get(path),
+              StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+              StandardOpenOption.TRUNCATE_EXISTING)
+            (new ArrowFileWriter(root, null, ch), ch)
+          case _ =>
+            val out = new FileOutputStream(path)
+            (new ArrowStreamWriter(root, null, out.getChannel), out)
+        }
+        try {
+          writer.start()
+          while (rows.hasNext) {
+            var i = 0
+            while (i < batchRows && rows.hasNext) {
+              setRow(root, schema, i, rows.next())
+              i += 1
+            }
+            root.setRowCount(i)
+            writer.writeBatch()
+            root.allocateNew() // reset vectors for the next batch
+          }
+          writer.end()
+        } finally { writer.close(); closeable.close() }
+      } finally root.close()
+    } finally alloc.close()
+  }
+
+  private def setRow(root: VectorSchemaRoot, schema: StructType, i: Int, row: Row): Unit = {
+    var c = 0
+    while (c < schema.length) {
+      val v = root.getVector(c)
+      if (row.isNullAt(c)) setNull(v, i)
+      else schema(c).dataType match {
+        case ByteType => v.asInstanceOf[TinyIntVector].setSafe(i, row.getByte(c))
+        case ShortType => v.asInstanceOf[SmallIntVector].setSafe(i, row.getShort(c))
+        case IntegerType => v.asInstanceOf[IntVector].setSafe(i, row.getInt(c))
+        case LongType => v.asInstanceOf[BigIntVector].setSafe(i, row.getLong(c))
+        case FloatType => v.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(c))
+        case DoubleType => v.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(c))
+        case BooleanType => v.asInstanceOf[BitVector].setSafe(i, if (row.getBoolean(c)) 1 else 0)
+        case StringType =>
+          v.asInstanceOf[VarCharVector].setSafe(i, row.getString(c).getBytes("UTF-8"))
+        case BinaryType =>
+          v.asInstanceOf[VarBinaryVector].setSafe(i, row.getAs[Array[Byte]](c))
+        case ArrayType(et, _) => setList(v.asInstanceOf[ListVector], i, et, row.getSeq[Any](c))
+        case other => throw new IllegalStateException(s"unreachable: $other") // validated driver-side
+      }
+      c += 1
+    }
+  }
+
+  private def setNull(v: ValueVector, i: Int): Unit = v match {
+    case x: BaseFixedWidthVector => x.setNull(i)
+    case x: BaseVariableWidthVector => x.setNull(i)
+    case x: ListVector => x.setNull(i)
+    case other => throw new IllegalStateException(s"unreachable null: ${other.getClass}")
+  }
+
+  private def setList(lv: ListVector, i: Int, et: DataType, xs: Seq[Any]): Unit = {
+    val start = lv.startNewValue(i)
+    val dv = lv.getDataVector
+    var j = 0
+    xs.foreach { x =>
+      val k = start + j
+      if (x == null) setNull(dv, k)
+      else et match {
+        case IntegerType => dv.asInstanceOf[IntVector].setSafe(k, x.asInstanceOf[Int])
+        case LongType => dv.asInstanceOf[BigIntVector].setSafe(k, x.asInstanceOf[Long])
+        case FloatType => dv.asInstanceOf[Float4Vector].setSafe(k, x.asInstanceOf[Float])
+        case DoubleType => dv.asInstanceOf[Float8Vector].setSafe(k, x.asInstanceOf[Double])
+        case StringType =>
+          dv.asInstanceOf[VarCharVector].setSafe(k, x.asInstanceOf[String].getBytes("UTF-8"))
+        case other => throw new IllegalStateException(s"unreachable list elem: $other")
+      }
+      j += 1
+    }
+    lv.endValue(i, xs.length)
+  }
+}

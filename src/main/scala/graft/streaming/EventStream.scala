@@ -607,7 +607,115 @@ object EventStream {
         col("col.u").as("user_id"), (-col("col.nn")).as("n"))
   }
 
+  /** Execute a streaming pipeline as a REAL bounded run: feed `rows`
+    * through a MemoryStream in `nBatches` arrival batches under the
+    * RocksDB provider (the only store implementing
+    * transformWithState), drain each batch, and return the memory
+    * sink's table. This is how a batch-only correctness gate verifies
+    * the new-API stateful operators END TO END — the actual streaming
+    * engine runs (StatefulProcessor init, RocksDB state across
+    * micro-batches, append-mode sink), and a deterministic
+    * processor's emissions reduce to a batch-checkable result (e.g.
+    * max-per-key of running totals = the total). */
+  private def runBoundedStream[I: org.apache.spark.sql.Encoder, O](
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[I],
+      nBatches: Int,
+      name: String)(wire: Dataset[I] => Dataset[O]): DataFrame = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$name-ckpt").toString
+      val q = wire(input.toDS()).writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val per = math.max(1, (rows.size + nBatches - 1) / nBatches)
+      rows.grouped(per).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop(); q.awaitTermination()
+      spark.table(name)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val gates: Seq[Gate] = Seq(
+    // transformWithState running totals (V201) executed as a REAL
+    // bounded stream over the events table: per-user ValueState
+    // accumulates across 3 arrival batches; the max emission per user
+    // is batch-equal to the group count whatever the batching, which
+    // is exactly what the oracle replays.
+    Gate(
+      "op_stream_running_totals",
+      """SELECT user_id, COUNT(*) AS n_total
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val rows = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("long"))
+        .collect().map(r => EventRow(r.getLong(0), 0L)).toSeq
+      import s.implicits._
+      runBoundedStream(s, rows, 3, "g_run_totals")(runningCountsStream)
+        .groupBy("user_id").agg(max("n_total").as("n_total"))
+        .orderBy("user_id")
+    },
+
+    // Initial-state warm start (V204): seed the stream's counters
+    // from a batch table (per-user 'click' history), then stream only
+    // the non-click events — the state-migration lifecycle run for
+    // real. Seeded-but-silent users emit nothing (the API contract),
+    // so the oracle joins seed counts onto users the stream SAW.
+    Gate(
+      "op_stream_seeded_totals",
+      """WITH e AS (SELECT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |seed AS (SELECT user_id, COUNT(*) AS n0 FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |rest AS (SELECT user_id, COUNT(*) AS n1 FROM e
+        |  WHERE event_type <> 'click' GROUP BY user_id)
+        |SELECT r.user_id, coalesce(s.n0, 0) + r.n1 AS n_total
+        |FROM rest r LEFT JOIN seed s ON r.user_id = s.user_id
+        |ORDER BY r.user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      val seed = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_total")).as[UserTotal]
+      val rows = e.filter(col("event_type") =!= "click")
+        .select(col("user_id").cast("long"))
+        .collect().map(r => EventRow(r.getLong(0), 0L)).toSeq
+      runBoundedStream(s, rows, 3, "g_seed_totals")(
+        (ds: Dataset[EventRow]) => runningCountsStreamSeeded(ds, seed))
+        .groupBy("user_id").agg(max("n_total").as("n_total"))
+        .orderBy("user_id")
+    },
+
+    // MapState per-type counts (V209) as a real bounded stream: the
+    // per-entry MapState accumulates (user, type) counts across
+    // batches; the max emission per (user, type) equals the batch
+    // count. The order-dependent `recent` ListState window is spec
+    // territory (StreamingSpec pins it) — not part of the gate.
+    Gate(
+      "op_stream_type_profile",
+      """SELECT user_id, event_type, COUNT(*) AS n_type
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id").cast("long"), col("event_type"))
+        .collect().map(r => TypedEvent(r.getLong(0), r.getString(1))).toSeq
+      runBoundedStream(s, rows, 3, "g_type_profile")(
+        (ds: Dataset[TypedEvent]) => typeProfileStream(ds))
+        .groupBy("user_id", "event_type").agg(max("n_type").as("n_type"))
+        .orderBy("user_id", "event_type")
+    },
+
     // Streaming quality-monitor gate (batch execution of the
     // identical definition): three rule classes — a value bound with
     // real violations, a type rule the 'error' events trip, and an
@@ -617,9 +725,9 @@ object EventStream {
       "rpt_stream_quality",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
         |  COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN value IS NOT NULL AND value <= 100 THEN 0 ELSE 1 END) AS v_value_le_100,
-        |  SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 0 ELSE 1 END) AS v_not_error,
-        |  SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v_has_user
+        |  CAST(SUM(CASE WHEN value IS NOT NULL AND value <= 100 THEN 0 ELSE 1 END) AS BIGINT) AS v_value_le_100,
+        |  CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 0 ELSE 1 END) AS BIGINT) AS v_not_error,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_has_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       qualityMonitor(Tables(s, dir, "events"), "ts", Seq(
         "value_le_100" -> (col("value") <= 100),

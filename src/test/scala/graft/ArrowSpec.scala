@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.arrow.{ArrowDataSource, ArrowShardWriter}
+
+/** Arrow IPC shard connector: round trips, framing sniff, plan shape,
+  * loud failures. */
+class ArrowSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"arrow_spec_$name").toString
+    d
+  }
+
+  private def docs = Tables(spark, sfDir, "documents")
+
+  test("file-format round trip preserves every supported column") {
+    val dir = tmp("file")
+    ArrowShardWriter.write(docs.repartition(3), dir, "file")
+    val back = spark.read.format(ArrowDataSource.Format).load(dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val a = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    val b = back.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("stream-format round trip preserves list<float> exactly") {
+    val dir = tmp("stream")
+    val vecs = Tables(spark, sfDir, "embeddings")
+    ArrowShardWriter.write(vecs.repartition(2), dir, "stream")
+    val back = spark.read.format(ArrowDataSource.Format).load(dir)
+    assert(back.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    val a = vecs.select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    val b = back.select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getSeq[Float](1) == y.getSeq[Float](1)) // bit-exact floats
+      assert(x.getInt(2) == y.getInt(2))
+    }
+  }
+
+  test("one input partition per shard — no shuffle in the scan plan") {
+    val dir = tmp("parts")
+    ArrowShardWriter.write(docs.repartition(5), dir, "file")
+    val shardCount = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow"))
+    assert(shardCount == 5)
+    val back = spark.read.format(ArrowDataSource.Format).load(dir)
+    assert(back.rdd.getNumPartitions == shardCount)
+    val plan = back.queryExecution.executedPlan.toString()
+    assert(plan.contains("BatchScan"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("nulls survive the round trip in scalars and lists") {
+    val dir = tmp("nulls")
+    import spark.implicits._
+    val in = Seq[(java.lang.Long, String, Seq[java.lang.Double])](
+      (1L, "a", Seq[java.lang.Double](1.0, null, 3.0)),
+      (2L, null, null),
+      (3L, "c", Seq[java.lang.Double]()))
+      .toDF("id", "s", "xs")
+    ArrowShardWriter.write(in.coalesce(1), dir, "file")
+    val back = spark.read.format(ArrowDataSource.Format).load(dir)
+      .orderBy("id").collect()
+    assert(back(0).getSeq[java.lang.Double](2) == Seq(1.0, null, 3.0))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+    assert(back(2).getSeq[java.lang.Double](2) == Seq())
+  }
+
+  test("framing sniff distinguishes file and stream shards") {
+    val d1 = tmp("sniff_file"); val d2 = tmp("sniff_stream")
+    ArrowShardWriter.write(docs.limit(10).coalesce(1), d1, "file")
+    ArrowShardWriter.write(docs.limit(10).coalesce(1), d2, "stream")
+    val f1 = new java.io.File(d1).listFiles().head.getAbsolutePath
+    val f2 = new java.io.File(d2).listFiles().head.getAbsolutePath
+    assert(ArrowDataSource.isFileFormat(f1))
+    assert(!ArrowDataSource.isFileFormat(f2))
+    // both read back the same rows
+    assert(spark.read.format(ArrowDataSource.Format).load(d1).count() == 10)
+    assert(spark.read.format(ArrowDataSource.Format).load(d2).count() == 10)
+  }
+
+  test("unsupported column type fails loudly before any task runs") {
+    val in = docs.select(col("doc_id"), map(lit("k"), lit(1)).as("m"))
+    val e = intercept[IllegalArgumentException] {
+      ArrowShardWriter.write(in, tmp("bad"), "file")
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("empty shard directory fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(ArrowDataSource.Format).load(tmp("empty")).count()
+    }
+    assert(e.getMessage.contains("no .arrow shards"))
+  }
+}

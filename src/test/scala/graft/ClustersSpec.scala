@@ -248,4 +248,43 @@ class ClustersSpec extends SparkSpec {
     // path graph: no triangles
     assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._2 == 0L)
   }
+
+  test("componentLabels/duplicateClusters: one closure shared across consumers") {
+    import spark.implicits._
+    def edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    // two calls over the SAME logical edge plan return the SAME
+    // persisted frame (reference equality = the closure ran once)
+    val l1 = Clusters.componentLabels(edges, "a", "b")
+    val l2 = Clusters.componentLabels(edges, "a", "b")
+    assert(l1 eq l2, "memo must return the identical persisted frame")
+    assert(l1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // a DIFFERENT edge plan must not hit the same entry
+    val other = Clusters.componentLabels(Seq((5L, 6L)).toDF("a", "b"), "a", "b")
+    assert(!(other eq l1))
+    assert(other.count() == 2)
+
+    // the duplicate-cluster consumers agree on one shared closure:
+    // soft weights' cluster sizes, the leak-free split's co-placement,
+    // and the keeper dedup all derive from the same labels
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely unrelated text about catalyst plans and shuffle exchanges here")
+    ).toDF("doc_id", "text")
+    val d1 = Clusters.duplicateClusters(docs, "text", "doc_id", 0.5)
+    val d2 = Clusters.duplicateClusters(docs, "text", "doc_id", 0.5)
+    assert(d1 eq d2)
+    val w = Clusters.softDedupWeights(docs, "text", "doc_id", 0.5)
+      .select("doc_id", "cluster_size").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(1L) == 2L && w(2L) == 2L && w(3L) == 1L)
+    val kept = Clusters.minhashClusterDedup(docs, "text", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // a different threshold is a different memo entry
+    val d3 = Clusters.duplicateClusters(docs, "text", "doc_id", 0.9)
+    assert(!(d3 eq d1))
+    Caches.releaseAll()
+  }
 }

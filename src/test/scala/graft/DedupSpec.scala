@@ -159,4 +159,53 @@ class DedupSpec extends SparkSpec {
       s"shuffled ${io.shuffleWriteBytes} bytes vs $textBytes corpus bytes — text leaked into an exchange")
     Caches.releaseAll()
   }
+
+  test("LSH band-bucket guard: degenerate buckets dropped loudly, healthy pairs kept") {
+    import spark.implicits._
+    val mass = "terms of service boilerplate page " * 30 // 30 identical docs → every band bucket holds 30
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 10).trim
+    val docs = ((0 until 30).map(i => (i.toLong, mass)) ++
+      Seq((100L, base + " kilo"), (101L, base + " lima"))).toDF("doc_id", "text")
+    // default cap (10k): nothing hot — the mass clique and the planted
+    // near-dup pair are both present
+    val open = Dedup.minhashLshPairs(docs, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.contains((100L, 101L)))
+    assert(open.size == 30 * 29 / 2 + 1, s"expected full mass clique + 1, got ${open.size}")
+    Caches.releaseAll()
+    // cap 10: the 30-identical mass floods every one of its band
+    // buckets past the cap → its quadratic pair set is EXCLUDED;
+    // the healthy near-dup pair (bucket size 2) is untouched
+    val guarded = Dedup.minhashLshPairs(docs, "text", "doc_id", 0.7, maxBucket = 10L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((100L, 101L)),
+      s"guard must drop only the degenerate mass, got $guarded")
+    Caches.releaseAll()
+  }
+
+  test("MEASURED scale invariant: minhash LSH shuffle is bounded vs corpus text bytes") {
+    import spark.implicits._
+    // distinct docs (no trivial dup collapse): ~2 KB each, 800 docs
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (0 until 800).map { i =>
+      val rnd = new scala.util.Random(i) // per-doc distinct trigram sets
+      val text = (0 until 300).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i.toLong, s"doc $i $text")
+    }.toDF("doc_id", "text")
+    val textBytes = docs.select(sum(length(col("text")))).head().getLong(0)
+    val (pairs, io) = Metrics.measure(spark) {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 0.7).select("id_a", "id_b").collect()
+    }
+    assert(io.shuffleWriteBytes > 0, "expected a real shuffle to measure")
+    // The LSH family's exchanges carry (a) the pruned (id, text)
+    // projection once into the shingle digest frame, (b) compact
+    // (id, band-key) bucket rows, (c) shingle-set arrays for the
+    // verify joins — bounded by a small constant × text, never the
+    // quadratic candidate blow-up the bucket guard exists to prevent.
+    assert(io.shuffleWriteBytes < 12L * textBytes,
+      s"LSH shuffled ${io.shuffleWriteBytes} bytes vs $textBytes text bytes " +
+        s"(${io.shuffleWriteBytes.toDouble / textBytes}×) — candidate generation is leaking")
+    Caches.releaseAll()
+  }
 }
