@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Caches, Cols, Gate, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance (Levenshtein) fuzzy near-dup pairs over a SHORT text
@@ -59,6 +58,7 @@ object Fuzzy {
       q: Int = 3): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
+    graft.expr.GraftExtensions.register(docs.sparkSession) // graft_top_k prefix heap
     // a side with at most k·q distinct grams gives the prefix lemma no
     // guarantee — the length-band path owns pairs where both sides are
     // gram-poor
@@ -80,12 +80,21 @@ object Fuzzy {
           sequence(lit(1), col("len") - lit(q - 1)),
           i => xxhash64(col("s").substr(i, lit(q)))))).as("g")))
     val gramDf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val byId = Window.partitionBy("id")
-    val ranked = grams.join(gramDf, Seq("g"))
-      .withColumn("__ng", count(lit(1)).over(byId))
-      .withColumn("__rk", row_number().over(byId.orderBy(col("gdf"), col("g"))))
-    val prefix = ranked.filter(col("__rk") <= prefixLen)
-      .select(col("id"), col("len"), col("__ng").as("ng"), col("g"))
+    // per-id gram count + the prefixLen df-rarest grams in ONE hash
+    // aggregate (bounded graft_top_k heap) — the former
+    // count+row_number window pair forced a full sort of the exploded
+    // gram frame per id (measured the dominant cost of this op).
+    // (gdf, g) pairs are unique per id (grams are distinct), so the
+    // heap's smallest-k set is exactly the window's rank ≤ prefixLen.
+    val perId = graft.Caches.persist(
+      grams.join(gramDf, Seq("g"))
+        .groupBy("id", "len")
+        .agg(count(lit(1)).as("ng"),
+          call_function("graft_top_k",
+            struct(col("gdf"), col("g")), lit(prefixLen), lit(true)).as("top")))
+    val prefix = perId
+      .select(col("id"), col("len"), col("ng"), explode(col("top")).as("t"))
+      .select(col("id"), col("len"), col("ng"), col("t.g").as("g"))
     val candRich = prefix.as("x")
       .join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
@@ -95,8 +104,9 @@ object Fuzzy {
       .distinct()
 
     // ---- gram-poor path: both sides under the prefix guarantee ----
-    val gramCounts = grams.groupBy("id").agg(count(lit(1)).as("__ngj"))
-    val poor = t.join(gramCounts, Seq("id"), "left")
+    // (reuses perId's ng — docs shorter than q have no gram rows and
+    // coalesce to 0, landing in the poor path as before)
+    val poor = t.join(perId.select(col("id"), col("ng").as("__ngj")), Seq("id"), "left")
       .filter(coalesce(col("__ngj"), lit(0L)) <= maxPoorGrams)
       .select(col("id"), col("len"))
     val candPoor = poor

@@ -269,14 +269,24 @@ object Keywords {
     * rounds. Top-k words per doc by final score.
     *
     * Scale shape: the edge build is one narrow array expression
-    * (adjacent-pair zip inside the scan — no self-join, no window);
-    * iteration state is keyed (doc, word), so every round is one
-    * hash join + one pre-reduced aggregate on uniformly distributed
-    * keys — per-doc graphs never concentrate on a partition the way a
-    * web graph's hubs do. Per-round lineage truncates via the
-    * [[Clusters.pageRank]] localCheckpoint idiom. Determinism:
-    * contributions round to 12 decimals and accumulate as DECIMAL, so
-    * the SQL twin replays every iteration bit-for-bit. */
+    * (adjacent-pair zip inside the scan — no self-join, no window),
+    * and — unlike a web graph, whose single giant component forces
+    * global per-round joins ([[Clusters.pageRank]]) — every
+    * co-occurrence graph here is CONFINED TO ITS DOCUMENT. So the
+    * entire power iteration runs inside one task per doc: ONE
+    * exchange keys the edge list by doc, and a per-group kernel does
+    * all `iterations` rounds locally (r8 profiling: the former
+    * 5×(join+agg+localCheckpoint) global formulation spent its 6.2 s
+    * almost entirely on fixed per-round stage overhead). Per-doc
+    * graphs are bounded by document length, so task memory is O(doc),
+    * and doc keys distribute uniformly — no hub skew by construction.
+    *
+    * Determinism: the kernel replays the decimal discipline of the
+    * unrolled SQL twin op-for-op — contributions are IEEE-double
+    * divisions pround-ed to 12 decimals, accumulated EXACTLY as
+    * scale-12 decimals (order-independent), each new rank re-rounded
+    * to 12 decimals — so the gate's DuckDB twin still matches
+    * bit-for-bit. */
   def textRank(
       docs: DataFrame,
       textCol: String,
@@ -284,8 +294,9 @@ object Keywords {
       k: Int = 3,
       iterations: Int = 5,
       minLen: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     graft.expr.GraftExtensions.register(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val idType = docs.schema(idCol).dataType
     val pairs = Cols.bind(TextAnalysis.words(lower(col(textCol)))) { w =>
       filter(
         zip_with(
@@ -295,38 +306,16 @@ object Keywords {
         p => length(p("a")) >= minLen && length(p("b")) >= minLen && p("a") =!= p("b"))
     }
     val e0 = Dedup.spread(docs)
-      .select(col(idCol).as("doc"), explode(pairs).as("p"))
+      .select(col(idCol).cast("string").as("doc"), explode(pairs).as("p"))
       .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    val e = graft.Caches.persist(
-      e0.select(col("doc"), col("a").as("src"), col("b").as("dst"))
-        .unionAll(e0.select(col("doc"), col("b").as("src"), col("a").as("dst"))))
-    val ew = graft.Caches.persist(
-      e.join(e.groupBy("doc", "src").agg(count(lit(1)).as("od")), Seq("doc", "src")))
-    var ranks = e.select(col("doc"), col("src").as("w")).distinct()
-      .withColumn("r", lit(1.0))
-    for (_ <- 1 to iterations) {
-      // every node of an undirected graph has ≥ 1 incoming edge, so
-      // the contribution aggregate itself enumerates all nodes — no
-      // keep-alive outer join needed (unlike directed pageRank)
-      val next = ew.join(ranks.withColumnRenamed("w", "src"), Seq("doc", "src"))
-        .groupBy(col("doc"), col("dst").as("w"))
-        .agg(sum(Cols.pround(col("r") / col("od"), 12)
-          .cast(DecimalType(32, 12))).as("c"))
-        .select(col("doc"), col("w"),
-          Cols.pround(lit(0.15) + lit(0.85) * col("c").cast("double"), 12).as("r"))
-      val rdd = next.rdd
-      rdd.localCheckpoint()
-      ranks = next.sparkSession.createDataFrame(rdd, next.schema)
-    }
-    ranks
-      .groupBy("doc")
-      .agg(call_function("graft_top_k",
-        struct((-col("r")).as("ns"), col("w").as("t")), lit(k), lit(true)).as("top"))
-      .select(col("doc").as(idCol), posexplode(array_sort(col("top"))))
-      .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
-        col("col.t").as("word"),
-        Cols.pround(-col("col.ns"), 6).as("score"))
+    val ranked = e0.toDF("_1", "_2", "_3").as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: String, it: Iterator[(String, String, String)]) =>
+        TextRankKernel.run(doc, it, k, iterations)
+      }
+    ranked.toDF("doc", "rank", "word", "score")
+      .select(col("doc").cast(idType).as(idCol), col("rank"), col("word"), col("score"))
   }
 
   /** Corpus-wide heavy hitters: the k most frequent word n-grams with
@@ -998,4 +987,58 @@ object Keywords {
         .orderBy("cell", "rank")
     }
   )
+}
+
+/** Per-document TextRank power iteration, executed locally inside one
+  * task (see [[Keywords.textRank]]): the arithmetic is an op-for-op
+  * replay of the former global join formulation — and therefore of
+  * the gate's unrolled SQL twin — so moving the loop into a kernel
+  * changes the PLAN, never a value:
+  *  - contribution  = floor((r/deg)·10¹² + ½)/10¹²  (double ops),
+  *  - accumulated as java BigDecimal scale-12 HALF_UP (exactly the
+  *    DOUBLE→DECIMAL(32,12) cast + exact decimal SUM of the frame
+  *    path; order-independent),
+  *  - new rank      = floor((0.15 + 0.85·sum)·10¹² + ½)/10¹²,
+  *  - final score   = floor(r·10⁶ + ½)/10⁶,
+  *  - top-k by (score desc, word asc) — the graft_top_k struct order.
+  */
+private[operators] object TextRankKernel extends Serializable {
+  private val F12 = math.pow(10, 12)
+  private val F6 = math.pow(10, 6)
+
+  def run(
+      doc: String,
+      edges: Iterator[(String, String, String)],
+      k: Int,
+      iterations: Int): Iterator[(String, Int, String, Double)] = {
+    val adj = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    edges.foreach { case (_, a, b) =>
+      adj.getOrElseUpdate(a, new scala.collection.mutable.ArrayBuffer[String]) += b
+      adj.getOrElseUpdate(b, new scala.collection.mutable.ArrayBuffer[String]) += a
+    }
+    var r = scala.collection.mutable.HashMap.empty[String, Double]
+    adj.keysIterator.foreach(w => r(w) = 1.0)
+    var iter = 0
+    while (iter < iterations) {
+      val acc = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+      adj.foreach { case (src, dsts) =>
+        val c = math.floor(r(src) / dsts.length * F12 + 0.5) / F12
+        val dec = java.math.BigDecimal.valueOf(c).setScale(12, java.math.RoundingMode.HALF_UP)
+        dsts.foreach { dst =>
+          acc(dst) = acc.get(dst).map(_.add(dec)).getOrElse(dec)
+        }
+      }
+      val next = scala.collection.mutable.HashMap.empty[String, Double]
+      acc.foreach { case (w, s) =>
+        next(w) = math.floor((0.15 + 0.85 * s.doubleValue) * F12 + 0.5) / F12
+      }
+      r = next
+      iter += 1
+    }
+    r.toArray.map { case (w, s) => (-s, w) }.sorted.take(k)
+      .iterator.zipWithIndex.map { case ((ns, w), i) =>
+        (doc, i + 1, w, math.floor(-ns * F6 + 0.5) / F6)
+      }
+  }
 }

@@ -14,7 +14,7 @@ import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch}
@@ -163,8 +163,18 @@ private[arrow] class ArrowShardTable(path: String, schema0: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ArrowShardScan(path, schema0)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // top-level column pruning: Catalyst pushes the projection down
+      // (ReadSchema shows only the consumed columns), and the reader
+      // wraps/hands Spark only those field vectors — a 2-column
+      // projection over a wide shard never materializes the full row
+      // width downstream. (The IPC batch bytes are still read whole —
+      // Arrow's record-batch framing is not column-seekable without
+      // custom buffer slicing; that trade is documented.)
+      private var required: StructType = schema0
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ArrowShardScan(path, required)
     }
 }
 
@@ -174,25 +184,28 @@ private[arrow] class ArrowShardScan(path: String, schema: StructType)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ArrowDataSource.shards(path).map(ArrowShardPartition(_): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory = new ArrowShardReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowShardReaderFactory(schema.fieldNames)
 }
 
 private[arrow] final case class ArrowShardPartition(file: String) extends InputPartition
 
-private[arrow] class ArrowShardReaderFactory extends PartitionReaderFactory {
+private[arrow] class ArrowShardReaderFactory(columns: Array[String])
+  extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException(
       "ArrowDataSource reads are columnar — Spark must call createColumnarReader")
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new ArrowShardPartitionReader(partition.asInstanceOf[ArrowShardPartition].file)
+    new ArrowShardPartitionReader(
+      partition.asInstanceOf[ArrowShardPartition].file, columns)
 }
 
-/** Streams one shard's record batches as [[ColumnarBatch]]es. The
-  * Arrow vectors are wrapped, not copied — Spark consumes a batch
-  * fully before requesting the next, which is exactly Arrow's
-  * load-next-batch reuse contract. */
-private[arrow] class ArrowShardPartitionReader(file: String)
+/** Streams one shard's record batches as [[ColumnarBatch]]es holding
+  * only the pruned `columns`. The Arrow vectors are wrapped, not
+  * copied — Spark consumes a batch fully before requesting the next,
+  * which is exactly Arrow's load-next-batch reuse contract. */
+private[arrow] class ArrowShardPartitionReader(file: String, columns: Array[String])
   extends PartitionReader[ColumnarBatch] {
 
   private val alloc = new RootAllocator(Long.MaxValue)
@@ -203,9 +216,9 @@ private[arrow] class ArrowShardPartitionReader(file: String)
   override def next(): Boolean = {
     val has = reader.loadNextBatch()
     if (has) {
-      val cols = root.getFieldVectors.asScala
-        .map(v => new ArrowColumnVector(v): org.apache.spark.sql.vectorized.ColumnVector)
-        .toArray
+      val cols = columns
+        .map(n => new ArrowColumnVector(root.getVector(n))
+          : org.apache.spark.sql.vectorized.ColumnVector)
       batch = new ColumnarBatch(cols, root.getRowCount)
     }
     has

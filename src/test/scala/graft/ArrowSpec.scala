@@ -61,6 +61,18 @@ class ArrowSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("column pruning reaches the scan: a 2-column projection reads a 2-column schema") {
+    val dir = tmp("prune")
+    ArrowShardWriter.write(docs.coalesce(2), dir, "file")
+    val projected = spark.read.format(ArrowDataSource.Format).load(dir)
+      .select("doc_id", "lang")
+    val scan = projected.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("doc_id") && scan.contains("lang") && !scan.contains("text"),
+      s"scan must carry only the projected columns: $scan")
+    assert(projected.orderBy("doc_id").collect().toSeq ==
+      docs.select("doc_id", "lang").orderBy("doc_id").collect().toSeq)
+  }
+
   test("nulls survive the round trip in scalars and lists") {
     val dir = tmp("nulls")
     import spark.implicits._
