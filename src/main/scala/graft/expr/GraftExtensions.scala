@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[StringSetContains].getName, "graft_set_contains"),
         (args: Seq[Expression]) => StringSetContains(args.head, args(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("graft_ac_count"),
+        new ExpressionInfo(classOf[AcCount].getName, "graft_ac_count"),
+        (args: Seq[Expression]) => AcCount(args.head, args(1))))
+    ext.injectFunction(
       (new FunctionIdentifier("graft_lz78"),
         new ExpressionInfo(classOf[Lz78Count].getName, "graft_lz78"),
         (args: Seq[Expression]) => Lz78Count(args.head)))
@@ -156,6 +160,8 @@ object GraftExtensions {
       "graft_embed_bag", es => EmbedBag(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_set_contains", es => StringSetContains(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_ac_count", es => AcCount(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction(

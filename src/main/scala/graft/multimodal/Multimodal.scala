@@ -641,6 +641,131 @@ object Multimodal {
       }).toDF("doc_id", "media")
   }
 
+  final case class VideoMeta(
+      doc_id: Long, format: String, major_brand: String, tracks: Int,
+      timescale: Long, duration_ms: Long)
+
+  /** REAL MP4/ISO-BMFF container-metadata parse — the video twin of
+    * [[parseAudioMeta]]'s RIFF walk (ISO/IEC 14496-12 box framing:
+    * big-endian u32 size + 4CC type, size==1 → 64-bit largesize,
+    * size==0 → box runs to EOF). The top-level walk finds `ftyp`
+    * (major brand) and `moov`; a second walk INSIDE `moov` counts
+    * `trak` boxes and reads `mvhd` timescale/duration — handling
+    * BOTH mvhd versions (v0: u32 fields, v1: u64 times). This is the
+    * codec-free layer: container framing is pure arithmetic, so at
+    * 100 TB the duration/track census rides a header range-read and
+    * never touches sample data; frame DECODE stays behind the
+    * declared [[sampleFrames]] stub. Anything corrupt, truncated, or
+    * non-BMFF degrades to ("unknown", "", 0, 0, 0), never a throw. */
+  private[graft] def parseVideoMeta(b: Array[Byte]): (String, String, Int, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    def u32be(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def u64be(i: Int): Long = (u32be(i) << 32) | u32be(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    val unknown = ("unknown", "", 0, 0L, 0L)
+    val len = b.length.toLong
+    // returns (header bytes, total box size) or null framing on corrupt
+    def box(i: Long): (Long, Long) = {
+      val sz0 = u32be(i.toInt)
+      if (sz0 == 1L && i + 16 <= len) (16L, u64be(i.toInt + 8))
+      else if (sz0 == 0L) (8L, len - i)
+      else (8L, sz0)
+    }
+    var i = 0L
+    var brand = ""; var moovOff = -1L; var moovEnd = -1L
+    while (i + 8 <= len) {
+      val (hdr, sz) = box(i)
+      val t = tag(i.toInt + 4)
+      if (sz < hdr || i + sz > len) return unknown // declared size escapes the payload
+      if (t == "ftyp" && sz >= hdr + 4) brand = tag((i + hdr).toInt)
+      if (t == "moov") { moovOff = i + hdr; moovEnd = i + sz }
+      i += sz
+    }
+    if (brand.isEmpty || moovOff < 0) return unknown
+    var j = moovOff
+    var tracks = 0; var timescale = 0L; var duration = -1L
+    while (j + 8 <= moovEnd) {
+      val (hdr, sz) = box(j)
+      val t = tag(j.toInt + 4)
+      if (sz < hdr || j + sz > moovEnd) return unknown
+      if (t == "trak") tracks += 1
+      else if (t == "mvhd" && sz >= hdr + 4) {
+        val p = (j + hdr).toInt
+        val ver = u8(p)
+        // v0: creation u32, modification u32, timescale u32, duration u32
+        // v1: creation u64, modification u64, timescale u32, duration u64
+        if (ver == 1 && sz >= hdr + 4 + 28) {
+          timescale = u32be(p + 4 + 16); duration = u64be(p + 4 + 20)
+        } else if (ver == 0 && sz >= hdr + 4 + 16) {
+          timescale = u32be(p + 4 + 8); duration = u32be(p + 4 + 12)
+        }
+      }
+      j += sz
+    }
+    if (tracks == 0 || timescale <= 0 || duration < 0) unknown
+    else ("mp4", brand, tracks, timescale, duration * 1000L / timescale)
+  }
+
+  /** Batched container-metadata parse over MP4 payloads — the same
+    * per-partition shape as the image/audio paths. */
+  def videoMeta(docs: DataFrame): Dataset[VideoMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (f, brand, tracks, ts, ms) = parseVideoMeta(bytes)
+        VideoMeta(id, f, brand, tracks, ts, ms)
+      })
+  }
+
+  /** Deterministic synthetic MP4 boxes for the gate: a valid
+    * ftyp+moov whose brand, track count, timescale, and duration are
+    * pure doc_id formulas — with a `free` box between them (64-bit
+    * largesize framing on doc_id%7==0), a `udta` stub INSIDE moov
+    * before mvhd (so the inner walk is genuinely exercised), mvhd
+    * version 1 on doc_id%5==0, and empty trak boxes — or a non-BMFF
+    * payload on doc_id%3==2. Headers only: a metadata scan never
+    * fetches sample data. */
+  def withVideoBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] =
+          if (id % 3 == 2) text.getBytes("UTF-8")
+          else {
+            val brand = if (id % 2 == 0) "isom" else "mp42"
+            val tracks = (id % 4 + 1).toInt
+            val timescale = 600L * (id % 4 + 1)
+            val duration = id % 90000 + 60
+            val v1 = id % 5 == 0
+            def be32(v: Long): Array[Byte] =
+              Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+                ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+            def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+            def boxOf(t: String, payload: Array[Byte]): Array[Byte] =
+              be32(8L + payload.length) ++ t.getBytes("ASCII") ++ payload
+            val ftyp = boxOf("ftyp", brand.getBytes("ASCII") ++ be32(0) ++ "isom".getBytes("ASCII"))
+            // free box: largesize framing on id%7==0 exercises size==1
+            val freePay = Array.fill[Byte]((id % 6).toInt)('f'.toByte)
+            val free =
+              if (id % 7 == 0) be32(1) ++ "free".getBytes("ASCII") ++ be64(16L + freePay.length) ++ freePay
+              else boxOf("free", freePay)
+            val mvhdPay: Array[Byte] =
+              if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration) ++ Array.fill[Byte](80)(0)
+              else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++ Array.fill[Byte](80)(0)
+            val moovPay = boxOf("udta", Array.fill[Byte]((id % 3).toInt)('u'.toByte)) ++
+              boxOf("mvhd", mvhdPay) ++
+              (1 to tracks).flatMap(_ => boxOf("trak", Array.empty[Byte])).toArray
+            ftyp ++ free ++ boxOf("moov", moovPay)
+          }
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
   /** Content-type sniff by magic bytes — the first triage every crawl
     * pipeline runs on a binary payload (the Content-Type header lies;
     * tika/`file` sniff magic): PNG/JPEG/GIF/RIFF-WAVE/RIFF-AVI/MP4-
@@ -969,6 +1094,27 @@ object Multimodal {
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       sampleFrames(withMediaBlob(Tables(s, dir, "documents")), frameBytes = 32, stride = 2)
         .toDF().orderBy("doc_id")
+    },
+
+    // MP4 container-metadata gate: the oracle recomputes brand /
+    // tracks / timescale / duration_ms from the doc_id construction
+    // formulas — a walker that misread either mvhd version, skipped
+    // the pre-mvhd udta, or mis-framed the largesize free box flips
+    // some row.
+    Gate(
+      "mm_video_meta",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 3 = 2 THEN ''
+        |       WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 4 + 1 END AS INT) AS tracks,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |       ELSE 600 * (doc_id % 4 + 1) END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |       ELSE (doc_id % 90000 + 60) * 1000 // (600 * (doc_id % 4 + 1)) END
+        |    AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      videoMeta(withVideoBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
     }
   )
 }

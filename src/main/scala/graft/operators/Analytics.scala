@@ -248,6 +248,57 @@ object Analytics {
         .orderBy("source")
     },
 
+    // LATERAL correlated subquery — per-group top-k as a join shape
+    // (the "top 2 customers per nation" idiom): each nation row
+    // drives a correlated ORDER BY … LIMIT 2 over customer. Catalyst
+    // decorrelates the LateralJoin via DomainJoin into a
+    // ranked-window join — same physical family as q23's window
+    // top-k, but reached from the SQL surface users port from
+    // DuckDB/Postgres. Tie-break (c_acctbal DESC, c_custkey) is
+    // total, so both engines agree.
+    Gate(
+      "q43_lateral",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "nation").createOrReplaceTempView("__lat_nation")
+      Tables(s, dir, "customer").createOrReplaceTempView("__lat_customer")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM __lat_nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM __lat_customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+
+    // Forward-fill (gap fill) over an event stream: carry each
+    // user's last non-null value forward in (ts, event_id) order —
+    // last_value IGNORE NULLS over a running frame, the standard
+    // sensor/telemetry repair. Values are copied, never computed, so
+    // doubles are bit-identical across engines; (ts, event_id) is a
+    // unique total order, so frames agree.
+    Gate(
+      "q44_gap_fill",
+      """SELECT user_id, event_id,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          last(col("value"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "event_id")
+    },
+
     // GROUPING SETS completes the multi-granularity family beside
     // ROLLUP (q5) and CUBE (q30): an EXPLICIT set list — here
     // (flag, status), (flag), (status) but NOT the grand total — is

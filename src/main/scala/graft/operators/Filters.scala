@@ -112,6 +112,17 @@ object Filters {
   /** F5 — reference `LambdaFilter`: arbitrary predicate. */
   def lambdaFilter(docs: DataFrame, pred: Column): DataFrame = docs.filter(pred)
 
+  /** Phrase-blocklist filter: drop documents containing ANY phrase
+    * from a (potentially huge) multi-word blocklist — one
+    * Aho–Corasick pass per row via [[TextAnalysis.phraseHits]]
+    * (automaton built once on the driver, blob-shipped, rebuilt per
+    * executor), so list size never multiplies scan cost. The C4
+    * any-hit drop semantics at phrase granularity; case folding is
+    * the caller's via `textExpr` (pass `lower(col)`). */
+  def phraseBlocklistFilter(
+      docs: DataFrame, textExpr: Column, phrases: Seq[String]): DataFrame =
+    docs.filter(!TextAnalysis.phraseHits(textExpr, phrases).getField("flagged"))
+
   /** F6 — reference `CodeMetricsThresholdFilter`
     * (code_quality_filter.py:6-36): conjunction of per-metric lower
     * bounds. */
@@ -318,6 +329,35 @@ object Filters {
         Tables(s, dir, "documents"),
         col("n_chars").between(100, 400) && col("lang") =!= "zh")
         .select("doc_id", "n_chars", "lang").orderBy("doc_id")
+    },
+
+    // Phrase-blocklist gate: survivors of the any-hit drop over the
+    // planted fixture of txt_phrase_hits — the oracle re-runs the
+    // position scan and keeps zero-hit docs, so filter and report
+    // gates cross-check the same automaton.
+    Gate(
+      "f_phrase_blocklist", {
+        val fixture = "lower(text) || repeat(' click here to unsubscribe', " +
+          "CAST(doc_id % 3 AS INT)) || CASE WHEN doc_id % 4 = 0 " +
+          "THEN ' aaaa buy now' ELSE '' END"
+        s"""WITH t AS (SELECT doc_id, $fixture AS s FROM documents),
+           |pats AS (SELECT unnest(['click here to unsubscribe', 'buy now',
+           |    'limited time offer', 'aa']) AS p),
+           |cnt AS (SELECT doc_id,
+           |    len(list_filter(range(1, len(s) + 1),
+           |      i -> substr(s, i, len(p)) = p)) AS c
+           |  FROM t CROSS JOIN pats)
+           |SELECT doc_id FROM cnt GROUP BY doc_id
+           |HAVING sum(c) = 0 ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val fixture = concat(
+        lower(col("text")),
+        call_function("repeat",
+          lit(" click here to unsubscribe"), (col("doc_id") % 3).cast("int")),
+        when(col("doc_id") % 4 === 0, " aaaa buy now").otherwise(""))
+      phraseBlocklistFilter(
+        Tables(s, dir, "documents"), fixture, TextAnalysis.BlockPhrases)
+        .select("doc_id").orderBy("doc_id")
     },
 
     // AI-contamination gate: four planted phrase classes (one per

@@ -582,7 +582,64 @@ object TextAnalysis {
       }
     }
 
+  /** Demo phrase blocklist for [[phraseHits]] — the spam/boilerplate
+    * PHRASE mechanism (multi-word patterns a word-token lexicon like
+    * [[BadWords]] cannot express); the operator takes any
+    * `Seq[String]` and is built for the 10⁴–10⁶-entry lists real
+    * recipes ship as data files. */
+  val BlockPhrases: Seq[String] =
+    Seq("click here to unsubscribe", "buy now", "limited time offer", "aa")
+
+  /** Multi-phrase occurrence profile via one Aho–Corasick pass:
+    * (n_hits, flagged) where n_hits counts EVERY occurrence of every
+    * phrase (overlapping included — the automaton's standard output
+    * semantics, replayable in SQL as a position scan). The automaton
+    * builds once on the driver, ships as a blob literal, and rebuilds
+    * lazily per executor — so a 10⁵-phrase blocklist costs one text
+    * pass per row regardless of list size, where chained `LIKE`s
+    * re-scan per phrase. Scan-fused codegen, no UDF. */
+  def phraseHits(text: Column, phrases: Seq[String] = BlockPhrases): Column =
+    bind(call_function("graft_ac_count",
+      lit(graft.expr.AcKernel.encode(phrases)), text)) { n =>
+      struct(n.as("n_hits"), (n > 0).as("flagged"))
+    }
+
   val gates: Seq[Gate] = Seq(
+
+    // Aho–Corasick phrase-hit gate: planted phrase mass (repeat-by-
+    // formula unsubscribe tails, an "aaaa" overlap probe on id%4) on
+    // top of the natural text; the oracle recounts every phrase at
+    // every CHAR position — equal to the automaton's byte-position
+    // count because occurrence COUNTS are unit-independent — so a
+    // broken fail link, a missed overlap ("aa" must hit 3× in
+    // "aaaa"), or a dropped dictionary-suffix count flips a row.
+    Gate(
+      "txt_phrase_hits", {
+        val fixture = "lower(text) || repeat(' click here to unsubscribe', " +
+          "CAST(doc_id % 3 AS INT)) || CASE WHEN doc_id % 4 = 0 " +
+          "THEN ' aaaa buy now' ELSE '' END"
+        s"""WITH t AS (SELECT doc_id, $fixture AS s FROM documents),
+           |pats AS (SELECT unnest(['click here to unsubscribe', 'buy now',
+           |    'limited time offer', 'aa']) AS p),
+           |cnt AS (SELECT doc_id,
+           |    len(list_filter(range(1, len(s) + 1),
+           |      i -> substr(s, i, len(p)) = p)) AS c
+           |  FROM t CROSS JOIN pats)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+           |  sum(c) > 0 AS flagged
+           |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val fixture = concat(
+        lower(col("text")),
+        call_function("repeat",
+          lit(" click here to unsubscribe"), (col("doc_id") % 3).cast("int")),
+        when(col("doc_id") % 4 === 0, " aaaa buy now").otherwise(""))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), phraseHits(fixture).as("h"))
+        .select(col("doc_id"), col("h.n_hits").as("n_hits"),
+          col("h.flagged").as("flagged"))
+        .orderBy("doc_id")
+    },
 
     // S-stemmer gate: four deterministic suffix variants of every
     // corpus word, stemmed by the identical CASE on both engines —

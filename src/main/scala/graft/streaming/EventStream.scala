@@ -55,6 +55,7 @@ object EventStream {
 
   final case class Session(user_id: Long, session_nr: Long, n_events: Long)
   final case class EventRow(user_id: Long, tsMillis: Long)
+  final case class StampedEvent(event_id: Long, tsMillis: Long)
 
   /** Streaming sessionization via flatMapGroupsWithState: emits a
     * session when `gapMinutes` pass without events for the user
@@ -714,6 +715,36 @@ object EventStream {
         (ds: Dataset[TypedEvent]) => typeProfileStream(ds))
         .groupBy("user_id", "event_type").agg(max("n_type").as("n_type"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Streaming watermark dedup (V41's dedupStream) as a REAL bounded
+    // stream: an event subset is fed ONCE, then every id%3==0 row is
+    // fed AGAIN in later arrival batches (the at-least-once
+    // redelivery shape); dropDuplicatesWithinWatermark state persists
+    // across micro-batches, so the append sink holds exactly one row
+    // per id. The watermark delay exceeds the table's time span, so
+    // no original is ever late-dropped and the oracle is plain
+    // DISTINCT. Cross-batch suppression is the tested property —
+    // within-batch dedup alone would pass a no-state implementation
+    // only if redeliveries landed in the same batch, which the
+    // originals-then-duplicates feed order prevents.
+    Gate(
+      "op_stream_dedup",
+      """SELECT DISTINCT event_id FROM events
+        |WHERE event_id IS NOT NULL AND event_id % 7 = 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("event_id") % 7 === 0)
+        .select(col("event_id").cast("long"),
+          expr("unix_micros(ts) div 1000").as("tsMillis"))
+        .as[StampedEvent].collect().toSeq
+      val rows = base ++ base.filter(_.event_id % 3 == 0)
+      runBoundedStream(s, rows, 4, "g_stream_dedup")((ds: Dataset[StampedEvent]) =>
+        dedupStream(
+          ds.toDF().withColumn("ts", timestamp_millis(col("tsMillis"))),
+          Seq("event_id"), watermark = "87600 hours"))
+        .select("event_id").orderBy("event_id")
     },
 
     // Streaming quality-monitor gate (batch execution of the

@@ -1,0 +1,88 @@
+package graft
+
+import graft.expr.{AcKernel, AcPatterns}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class AhoCorasickSpec extends SparkSpec {
+
+  private def count(patterns: Seq[String], text: String): Long =
+    AcKernel.count(AcKernel.decode(AcKernel.encode(patterns)), UTF8String.fromString(text))
+
+  test("hand cases: single pattern, multiple, none") {
+    assert(count(Seq("ab"), "abcab") == 2L)
+    assert(count(Seq("ab", "bc"), "abc") == 2L)
+    assert(count(Seq("xyz"), "abc") == 0L)
+  }
+
+  test("overlapping occurrences all count: 'aa' in 'aaaa' is 3") {
+    assert(count(Seq("aa"), "aaaa") == 3L)
+    assert(count(Seq("aba"), "ababa") == 2L)
+  }
+
+  test("dictionary suffixes count: 'she' also ends 'he'") {
+    // the CACM'75 canonical set — at position 3 both 'she' and 'he'
+    // end; a fail-link walk that skips output accumulation misses one
+    assert(count(Seq("he", "she", "his", "hers"), "ushers") == 3L)
+  }
+
+  test("fail links cross patterns: mississippi family") {
+    assert(count(Seq("issi", "ssis"), "mississippi") == 3L)
+  }
+
+  test("patterns dedup, empties drop, null text counts 0") {
+    assert(count(Seq("ab", "ab", "", "b"), "ab") == 2L)
+    assert(AcKernel.count(
+      AcKernel.decode(AcKernel.encode(Seq("x"))), null) == 0L)
+  }
+
+  test("utf-8 byte automaton matches codepoint-aligned only") {
+    // 'é' is 0xC3 0xA9; a pattern 'é' must match each é and nothing
+    // inside other multibyte sequences
+    assert(count(Seq("é"), "café résumé") == 3L)
+    assert(count(Seq("naïve"), "so naïve, naïve indeed") == 2L)
+  }
+
+  test("pattern that is a prefix of another: both count") {
+    assert(count(Seq("a", "ab", "abc"), "abc") == 3L)
+  }
+
+  test("10k-pattern automaton builds and agrees with naive counting") {
+    val rnd = new scala.util.Random(7)
+    val pats = (1 to 10000).map(_ => {
+      val n = 2 + rnd.nextInt(6)
+      (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }).distinct
+    val text = (1 to 2000).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def naive(p: String): Long =
+      (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    val expected = pats.map(naive).sum
+    assert(count(pats, text) == expected)
+  }
+
+  test("column path: graft_ac_count fuses into a scan-stage projection") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val df = Seq((1L, "buy now and buy now"), (2L, "nothing here"), (3L, null: String))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        operators.TextAnalysis.phraseHits(col("t"), Seq("buy now")).as("h"))
+      .select(col("id"), col("h.n_hits"), col("h.flagged"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
+    val plan = df.select(operators.TextAnalysis.phraseHits(col("t"), Seq("x")))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"phrase hits must not shuffle: $plan")
+  }
+
+  test("blocklist filter drops any-hit docs only") {
+    import spark.implicits._
+    val df = Seq((1L, "limited time offer inside"), (2L, "clean"), (3L, "BUY NOW"))
+      .toDF("doc_id", "text")
+    val kept = operators.Filters.phraseBlocklistFilter(
+        df, lower(col("text")), Seq("limited time offer", "buy now"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+}

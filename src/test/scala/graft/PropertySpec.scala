@@ -561,6 +561,35 @@ class PropertySpec extends SparkSpec {
     Multimodal.parseAudioMeta(evil) // no exception = pass
   }
 
+  test("parseVideoMeta walks ISO-BMFF boxes: both mvhd versions, largesize, corrupt degrades") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // doc_id classes: 0 → v1 mvhd + largesize free box (0%5=0, 0%7=0);
+    // 1 → mp42 brand, v0; 2 → non-BMFF (2%3=2); 10 → v1 mvhd alone;
+    // 7 → largesize free alone
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "not video"), (3L, "c"),
+      (10L, "d"), (7L, "e")).toDF("doc_id", "text")
+    val metas = Multimodal.videoMeta(Multimodal.withVideoBlob(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(0L).format == "mp4" && metas(0L).major_brand == "isom" &&
+      metas(0L).tracks == 1 && metas(0L).timescale == 600)
+    assert(metas(1L).major_brand == "mp42" && metas(1L).tracks == 2 &&
+      metas(1L).timescale == 1200)
+    assert(metas(2L).format == "unknown" && metas(2L).tracks == 0)
+    // v1 mvhd (id 10, 10%5=0): 64-bit duration read at the v1 offsets
+    assert(metas(10L).timescale == 600 * (10 % 4 + 1) &&
+      metas(10L).duration_ms == (10 % 90000 + 60) * 1000L / metas(10L).timescale)
+    assert(metas(7L).format == "mp4") // largesize-framed free box walked over
+    // corrupt framing: truncation, garbage, size escaping the buffer
+    val mp4 = Multimodal.withVideoBlob(Seq((1L, "x")).toDF("doc_id", "text"))
+      .select("media").head.getAs[Array[Byte]](0)
+    assert(Multimodal.parseVideoMeta(mp4.take(6))._1 == "unknown")
+    assert(Multimodal.parseVideoMeta("ftypnotaboxheader!!".getBytes)._1 == "unknown")
+    assert(Multimodal.parseVideoMeta(Array.emptyByteArray)._1 == "unknown")
+    val evil = mp4.clone(); evil(0) = 0x7f.toByte // ftyp size escapes buffer
+    assert(Multimodal.parseVideoMeta(evil)._1 == "unknown")
+  }
+
   test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {
     import graft.multimodal.Multimodal
     import spark.implicits._
