@@ -211,6 +211,111 @@ object ClassifierTraining {
         w
     }
 
+  /** Distributed full-batch LOGISTIC regression by gradient descent,
+    * with an exact SQL replay ([[sqlLogisticGd]]) — the classifier
+    * counterpart of [[fitRidge]]'s regressor: where MLlib's L-BFGS is
+    * run-order-dependent, this trainer is BIT-REPRODUCIBLE at any
+    * partitioning, so a quality filter trained inside the pipeline
+    * re-trains to the identical weights on re-run (the audit property
+    * a 100 TB recipe needs when a filter's provenance is questioned).
+    *
+    * Determinism discipline per iteration (the textRank/decimal
+    * playbook): z is a FIXED left-associated fold of w·x in IEEE
+    * doubles; p = sigmoid(z) is pround-ed to 8 decimals (absorbing
+    * the ≤1-ulp libm-vs-JVM exp skew the embed-classifier gates
+    * already rely on); per-row gradient contributions pround to 12
+    * decimals and accumulate as EXACT DECIMAL(32,12) sums — one
+    * map-side-combined aggregate per iteration, the corpus reduces to
+    * d+1 numbers and the exchange carries one row; the driver-side
+    * weight update replays floor(x·10¹²+½)/10¹². Each iteration is
+    * one job over the persisted feature frame — iterations × one
+    * aggregate, no joins, no per-row state.
+    *
+    * Weights layout: BIAS FIRST (w(0)), then `featureCols` order. */
+  def fitLogisticGd(
+      data: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      iterations: Int = 3,
+      lr: Double = 0.5): Array[Double] = {
+    import org.apache.spark.sql.types.DecimalType
+    require(featureCols.nonEmpty, "fitLogisticGd: at least one feature column")
+    val d = featureCols.length + 1
+    val base = graft.Caches.persist(data.select(
+      col(labelCol).cast("double").as("y") +: lit(1.0).as("x0") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"x${i + 1}")
+        }: _*))
+    val n = base.count().toDouble
+    require(n > 0, "fitLogisticGd: empty input")
+    def pr12(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+    var w = Array.fill(d)(0.0)
+    for (_ <- 1 to iterations) {
+      val z = (0 until d).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
+      val p = graft.Cols.pround(lit(1.0) / (lit(1.0) + exp(-z)), 8)
+      val r = p - col("y")
+      val aggs = (0 until d).map(j =>
+        sum(graft.Cols.pround(r * col(s"x$j"), 12).cast(DecimalType(32, 12)))
+          .cast("double").as(s"g$j"))
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      w = Array.tabulate(d)(j => pr12(w(j) - lr * row.getDouble(j) / n))
+    }
+    w
+  }
+
+  /** The WITH-clause body replaying [[fitLogisticGd]] op-for-op in
+    * SQL: `featuresSelect` must project y, x0 = 1.0, x1..xd with the
+    * same expressions the Spark side trains on. Exposes CTE `wi<T>`
+    * holding columns w0..wd (bias first). */
+  def sqlLogisticGd(
+      featuresSelect: String,
+      d: Int,
+      iterations: Int,
+      lr: Double): String = {
+    val cols = 0 to d
+    def z(w: String) =
+      cols.map(j => s"$w.w$j * x$j").mkString(" + ") // left-assoc, = the Spark fold
+    val its = (1 to iterations).map { k =>
+      val r = s"(${graft.Cols.proundSql(s"1.0 / (1.0 + exp(-(${z("w")})))", 8)} - y)"
+      val grads = cols.map(j =>
+        s"CAST(sum(CAST(${graft.Cols.proundSql(s"$r * x$j", 12)} AS DECIMAL(32,12))) AS DOUBLE) AS g$j")
+        .mkString(",\n    ")
+      val upds = cols.map(j =>
+        s"${graft.Cols.proundSql(s"w.w$j - $lr * g.g$j / c.n", 12)} AS w$j")
+        .mkString(",\n    ")
+      s"""gr$k AS (SELECT $grads
+         |  FROM lf, wi${k - 1} w),
+         |wi$k AS (SELECT $upds
+         |  FROM wi${k - 1} w, gr$k g, lcnt c)""".stripMargin
+    }.mkString(",\n")
+    s"""lf AS ($featuresSelect),
+       |lcnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf),
+       |wi0 AS (SELECT ${cols.map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+       |$its""".stripMargin
+  }
+
+  /** Shared fixture for the logistic gates: predict `lang = 'en'`
+    * from scaled length features. */
+  private val LogitFeaturesSql: String = {
+    import graft.operators.TextAnalysis.SqlWords
+    // every feature is CAST to DOUBLE before the scale multiply:
+    // DuckDB would otherwise keep n_chars * 0.001 as an EXACT DECIMAL
+    // while Spark computes IEEE doubles — a 1e-15 feature skew that
+    // the 12-decimal gradient rounding does NOT absorb
+    "SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) " +
+      "ELSE CAST(0.0 AS DOUBLE) END AS y, CAST(1.0 AS DOUBLE) AS x0, " +
+      "CAST(n_chars AS DOUBLE) * 0.001 AS x1, " +
+      s"CAST(len($SqlWords) AS DOUBLE) * 0.01 AS x2 FROM documents"
+  }
+
+  private def logitFeatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (col("n_chars") * 0.001).as("x1"),
+      (size(graft.operators.TextAnalysis.words(col("text"))) * 0.01).as("x2"))
+
   // Ridge-fit gate: words ~ chars + (doc_id % 7), λ = 4 — every
   // moment is an exact HUGEINT/DECIMAL sum in both engines, λ is
   // added after the double conversion, and the oracle evaluates the
@@ -252,5 +357,45 @@ object ClassifierTraining {
         graft.Cols.pround(lit(w(0)), 6).as("w1"),
         graft.Cols.pround(lit(w(1)), 6).as("w2"),
         graft.Cols.pround(lit(w(2)), 6).as("w0"))
+    },
+
+    // Logistic-GD gate: the oracle unrolls all 3 gradient-descent
+    // iterations as CTEs — pround-ed sigmoids, DECIMAL-exact gradient
+    // sums, the identical floor-based weight update — so a drifted
+    // fold order, rounding scale, or learning-rate placement flips a
+    // weight.
+    graft.Gate(
+      "op_logit_fit",
+      s"""WITH ${sqlLogisticGd(LogitFeaturesSql, d = 2, iterations = 3, lr = 0.5)}
+         |SELECT ${graft.Cols.proundSql("w0", 6)} AS w0,
+         |  ${graft.Cols.proundSql("w1", 6)} AS w1,
+         |  ${graft.Cols.proundSql("w2", 6)} AS w2
+         |FROM wi3""".stripMargin) { (s, dir) =>
+      val w = fitLogisticGd(logitFeatures(s, dir), Seq("x1", "x2"), "y",
+        iterations = 3, lr = 0.5)
+      s.range(1).select(
+        graft.Cols.pround(lit(w(0)), 6).as("w0"),
+        graft.Cols.pround(lit(w(1)), 6).as("w1"),
+        graft.Cols.pround(lit(w(2)), 6).as("w2"))
+    },
+
+    // Trained-filter gate: the pipeline trains its own quality
+    // classifier (the fineweb-edu "train a scorer, filter by it"
+    // loop) and every doc is emitted with the trained model's score
+    // and verdict; the oracle re-trains via the same unrolled CTEs
+    // and re-scores, closing the train→apply loop end to end.
+    graft.Gate(
+      "fw_trained_filter",
+      s"""WITH ${sqlLogisticGd(LogitFeaturesSql, d = 2, iterations = 3, lr = 0.5)}
+         |SELECT doc_id,
+         |  ${graft.Cols.proundSql("1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2)))", 6)} AS score,
+         |  ${graft.Cols.proundSql("1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2)))", 6)} > 0.5 AS kept
+         |FROM lf, wi3 w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val feats = graft.Caches.persist(logitFeatures(s, dir))
+      val w = fitLogisticGd(feats, Seq("x1", "x2"), "y", iterations = 3, lr = 0.5)
+      val z = (lit(w(0)) * col("x0") + lit(w(1)) * col("x1")) + lit(w(2)) * col("x2")
+      val score = graft.Cols.pround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      feats.select(col("doc_id"), score.as("score"), (score > 0.5).as("kept"))
+        .orderBy("doc_id")
     })
 }

@@ -299,6 +299,23 @@ object Analytics {
         .orderBy("user_id", "event_id")
     },
 
+    // LISTAGG (Spark 4's ordered-set string aggregation, SPARK-42746)
+    // vs DuckDB's ordered string_agg: the WITHIN GROUP order makes
+    // the concatenation deterministic — without it both engines
+    // return run-order-dependent strings no gate could pin.
+    Gate(
+      "q45_listagg",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS members
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (s, dir) =>
+      Tables(s, dir, "nation").createOrReplaceTempView("__la_nation")
+      s.sql(
+        """SELECT n_regionkey,
+          |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
+          |FROM __la_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
     // GROUPING SETS completes the multi-granularity family beside
     // ROLLUP (q5) and CUBE (q30): an EXPLICIT set list — here
     // (flag, status), (flag), (status) but NOT the grand total — is

@@ -75,6 +75,26 @@ object Expectations {
       .withColumn("violates", col("size_band") < k)
   }
 
+  /** l-diversity census (Machanavajjhala et al. ICDE 2006) — the
+    * companion audit to [[kAnonymity]]: a k-anonymous class is still
+    * re-identifying when its SENSITIVE attribute is (near-)uniform
+    * inside the class, so per quasi-class the report counts DISTINCT
+    * sensitive values and bands at `l`. Same one-aggregate shape —
+    * classes reduce to (distinct count, size) pairs, the band fold is
+    * over the tiny class frame. NULL sensitive values don't count as
+    * a diversity value (COUNT DISTINCT semantics on both engines). */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: need at least one quasi column")
+    require(l >= 2, "lDiversity: l must be >= 2")
+    val divs = df.groupBy(quasiCols.map(col): _*)
+      .agg(count_distinct(col(sensitiveCol)).as("__d"), count(lit(1)).as("__sz"))
+    divs
+      .groupBy(least(col("__d"), lit(l.toLong)).cast("int").as("diversity_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__sz")).as("n_rows"))
+      .withColumn("violates", col("diversity_band") < l)
+  }
+
   /** Filter agreement matrix — the ablation census a recipe tuning
     * pass runs ("does the badwords filter kill anything the quality
     * threshold doesn't already?"): given named per-doc boolean kill
@@ -224,6 +244,26 @@ object Expectations {
           .withColumn("chars_band", col("n_chars") % 100),
         Seq("source", "lang", "chars_band"), k = 20)
         .orderBy("size_band")
+    },
+
+    // l-diversity gate: quasi (source, n_chars % 50) with lang as the
+    // sensitive attribute at l=3 — the modulus makes small classes
+    // whose language sets are genuinely narrow, so every band is
+    // populated; the oracle replays the distinct-count and band fold.
+    Gate(
+      "rpt_l_diversity",
+      """WITH s AS (SELECT count(DISTINCT lang) AS d, count(*) AS sz
+        |           FROM documents GROUP BY source, n_chars % 50)
+        |SELECT CAST(least(d, 3) AS INT) AS diversity_band,
+        |  count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  least(d, 3) < 3 AS violates
+        |FROM s GROUP BY least(d, 3) ORDER BY diversity_band""".stripMargin) {
+      (s, dir) =>
+      lDiversity(
+        Tables(s, dir, "documents")
+          .withColumn("chars_band", col("n_chars") % 50),
+        Seq("source", "chars_band"), "lang", l = 3)
+        .orderBy("diversity_band")
     },
 
     // DP-counts gate: per-source Laplace-noised counts at ε=4, the

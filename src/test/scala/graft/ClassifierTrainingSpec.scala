@@ -117,4 +117,31 @@ class ClassifierTrainingSpec extends SparkSpec {
     val b = ClassifierTraining.fitRidge(df.repartition(3), Seq("x1", "x2"), "y", 4.0)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("fitLogisticGd: learns a separable direction, bias first, partition-invariant") {
+    import spark.implicits._
+    // y = 1 iff x1 > 5 — after GD from w = 0, w1 must be positive and
+    // the decision direction must classify the extremes correctly
+    val df = (1 to 200).map { i =>
+      val x1 = (i % 11).toDouble
+      (if (x1 > 5) 1.0 else 0.0, x1, (i % 3).toDouble)
+    }.toDF("y", "x1", "x2")
+    val w = ClassifierTraining.fitLogisticGd(df, Seq("x1", "x2"), "y",
+      iterations = 10, lr = 0.5)
+    assert(w.length == 3)
+    assert(w(1) > 0.0, w.toSeq.toString) // feature weight tracks the signal
+    def score(x1: Double, x2: Double) =
+      1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2)))
+    assert(score(10.0, 1.0) > score(0.0, 1.0))
+
+    // decimal-exact gradient sums: weights are BIT-identical at any
+    // partitioning (the reproducibility contract of the gate)
+    val a = ClassifierTraining.fitLogisticGd(df.repartition(7), Seq("x1", "x2"), "y")
+    val b = ClassifierTraining.fitLogisticGd(df.repartition(3), Seq("x1", "x2"), "y")
+    assert(a.toSeq == b.toSeq)
+
+    // iteration zero-count sanity: no iterations → all-zero weights
+    val z = ClassifierTraining.fitLogisticGd(df, Seq("x1", "x2"), "y", iterations = 0)
+    assert(z.toSeq == Seq(0.0, 0.0, 0.0))
+  }
 }
