@@ -33,12 +33,15 @@ final case class AcPatterns(patterns: Array[Array[Byte]]) extends Serializable {
 }
 
 /** Flattened automaton: per-state sorted child keys (binary search),
-  * fail links, and suffix-accumulated output counts. */
+  * fail links, suffix-accumulated output counts, and the pattern ids
+  * ending at each state (own ids ++ dictionary-suffix ids). */
 final class AcAutomaton(
     val childKeys: Array[Array[Byte]],
     val childStates: Array[Array[Int]],
     val fail: Array[Int],
-    val out: Array[Long])
+    val out: Array[Long],
+    val outIds: Array[Array[Int]],
+    val patLens: Array[Int])
 
 object AcAutomaton {
 
@@ -47,7 +50,8 @@ object AcAutomaton {
     val keys = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.TreeMap.empty[Int, Int]) // byte (0..255) -> state
     val cnt = scala.collection.mutable.ArrayBuffer(0L)
-    patterns.foreach { p =>
+    val own = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pid) =>
       var s = 0
       var i = 0
       while (i < p.length) {
@@ -55,21 +59,25 @@ object AcAutomaton {
         s = keys(s).getOrElseUpdate(b, {
           keys += scala.collection.mutable.TreeMap.empty[Int, Int]
           cnt += 0L
+          own += List.empty[Int]
           keys.length - 1
         })
         i += 1
       }
       cnt(s) += 1L
+      own(s) = pid :: own(s)
     }
     val n = keys.length
     val fail = new Array[Int](n)
     val out = cnt.toArray
+    val outIds = Array.tabulate(n)(s => own(s).reverse.toArray)
     // BFS fail links; root's children fail to root
     val queue = new java.util.ArrayDeque[Int]()
     keys(0).foreach { case (_, c) => fail(c) = 0; queue.add(c) }
     while (!queue.isEmpty) {
       val s = queue.poll()
       out(s) += out(fail(s)) // dictionary-suffix counts fold in breadth order
+      outIds(s) = outIds(s) ++ outIds(fail(s))
       keys(s).foreach { case (b, c) =>
         var f = fail(s)
         while (f != 0 && !keys(f).contains(b)) f = fail(f)
@@ -86,7 +94,7 @@ object AcAutomaton {
       cs(i) = m.valuesIterator.toArray
       i += 1
     }
-    new AcAutomaton(ck, cs, fail, out)
+    new AcAutomaton(ck, cs, fail, out, outIds, patterns.map(_.length))
   }
 }
 
@@ -111,6 +119,71 @@ object AcKernel {
       else hi = mid - 1
     }
     -1
+  }
+
+  /** All matched pattern IDS (one per occurrence, overlapping
+    * included, in end-position order) — the per-pattern census
+    * behind blocklist hit reports; NULL text yields an empty array. */
+  def findAll(t: AcPatterns, s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hits = new scala.collection.mutable.ArrayBuffer[Int]()
+    if (s != null) {
+      val a = t.built
+      val bytes = s.getBytes
+      var state = 0
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i)
+        var next = childOf(a, state, b)
+        while (next < 0 && state != 0) {
+          state = a.fail(state)
+          next = childOf(a, state, b)
+        }
+        state = if (next < 0) 0 else next
+        val ids = a.outIds(state)
+        var k = 0
+        while (k < ids.length) { hits += ids(k); k += 1 }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hits.toArray)
+  }
+
+  /** Replace every byte covered by ANY match (the interval UNION —
+    * overlapping matches mask once) with '*'; NULL passes through.
+    * Patterns are valid UTF-8 and every covered byte belongs to a
+    * pattern occurrence, so for ASCII patterns covered bytes ARE
+    * whole chars and byte masking equals char masking. */
+  def mask(t: AcPatterns, s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val a = t.built
+    val bytes = s.getBytes
+    val covered = new Array[Boolean](bytes.length)
+    var any = false
+    var state = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      var next = childOf(a, state, b)
+      while (next < 0 && state != 0) {
+        state = a.fail(state)
+        next = childOf(a, state, b)
+      }
+      state = if (next < 0) 0 else next
+      val ids = a.outIds(state)
+      var k = 0
+      while (k < ids.length) {
+        var p = i - a.patLens(ids(k)) + 1
+        while (p <= i) { covered(p) = true; p += 1 }
+        any = true
+        k += 1
+      }
+      i += 1
+    }
+    if (!any) return s
+    val out = bytes.clone()
+    var j = 0
+    while (j < out.length) { if (covered(j)) out(j) = '*'.toByte; j += 1 }
+    UTF8String.fromBytes(out)
   }
 
   /** Total (pattern, end-position) match count; NULL text counts 0. */
@@ -166,5 +239,68 @@ case class AcCount(left: Expression, right: Expression) extends BinaryExpression
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AcCount =
+    copy(left = l, right = r)
+}
+
+/** `graft_ac_find(patternsBlob, text)` → ARRAY<INT> of matched
+  * pattern ids, one per occurrence (overlapping included) in
+  * end-position order — feeds the per-pattern blocklist census
+  * ([[graft.operators.TextAnalysis.phraseStats]]). Ids index the
+  * deduplicated encode-order pattern list. */
+case class AcFind(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_ac_find", left)
+
+  @transient private lazy val table: AcPatterns =
+    AcKernel.decode(left.eval().asInstanceOf[Array[Byte]])
+
+  override def eval(input: InternalRow): Any =
+    AcKernel.findAll(table, right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("acPatterns", table, classOf[AcPatterns].getName)
+    val s = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${s.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.expr.AcKernel.findAll($tRef, ${s.isNull} ? null : ${s.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AcFind =
+    copy(left = l, right = r)
+}
+
+/** `graft_ac_mask(patternsBlob, text)` → text with every byte of
+  * every match replaced by '*' (interval union — overlapping matches
+  * mask once, the redaction twin of [[AcCount]]); NULL text → NULL.
+  * The list-scale redaction the regex formatters can't give: 10⁵
+  * blocked terms mask in one automaton pass. */
+case class AcMask(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Blobs.checkBlobChild("graft_ac_mask", left)
+
+  @transient private lazy val table: AcPatterns =
+    AcKernel.decode(left.eval().asInstanceOf[Array[Byte]])
+
+  override def eval(input: InternalRow): Any =
+    AcKernel.mask(table, right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("acPatterns", table, classOf[AcPatterns].getName)
+    nullSafeCodeGen(ctx, ev, (_, text) =>
+      s"${ev.value} = graft.expr.AcKernel.mask($tRef, $text);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AcMask =
     copy(left = l, right = r)
 }

@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[AcCount].getName, "graft_ac_count"),
         (args: Seq[Expression]) => AcCount(args.head, args(1))))
     ext.injectFunction(
+      (new FunctionIdentifier("graft_ac_find"),
+        new ExpressionInfo(classOf[AcFind].getName, "graft_ac_find"),
+        (args: Seq[Expression]) => AcFind(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_ac_mask"),
+        new ExpressionInfo(classOf[AcMask].getName, "graft_ac_mask"),
+        (args: Seq[Expression]) => AcMask(args.head, args(1))))
+    ext.injectFunction(
       (new FunctionIdentifier("graft_lz78"),
         new ExpressionInfo(classOf[Lz78Count].getName, "graft_lz78"),
         (args: Seq[Expression]) => Lz78Count(args.head)))
@@ -162,6 +170,10 @@ object GraftExtensions {
       "graft_set_contains", es => StringSetContains(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_ac_count", es => AcCount(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_ac_find", es => AcFind(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_ac_mask", es => AcMask(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -578,7 +578,49 @@ object Formatters {
 
   val ReplicationSchedule = Seq(1, 2, 3, 4, 8, 16)
 
+  /** Blocklist-term redaction at LIST scale: every byte covered by
+    * any phrase occurrence (interval union — overlaps mask once)
+    * becomes '*' in one Aho–Corasick pass, where the regex redactors
+    * ([[redactSecrets]] et al.) re-scan per rule — a 10⁵-term name or
+    * slur list masks at the same per-row cost as one term. NULL
+    * passes through; scan-fused codegen. */
+  def maskPhrases(text: Column, phrases: Seq[String]): Column =
+    call_function("graft_ac_mask",
+      lit(graft.expr.AcKernel.encode(phrases)), text)
+
   val gates: Seq[Gate] = Seq(
+
+    // Phrase-mask gate over the planted blocklist fixture: the
+    // oracle rebuilds the masked string per CHAR — a char is '*' iff
+    // some phrase occurrence covers it (nested position scan), which
+    // equals byte masking because ASCII-pattern matches cover only
+    // ASCII bytes. The "aaaa" probe pins the interval UNION: three
+    // overlapping "aa" hits mask 4 chars once, never 6.
+    Gate(
+      "fmt_phrase_mask", {
+        val fixture = "lower(text) || repeat(' click here to unsubscribe', " +
+          "CAST(doc_id % 3 AS INT)) || CASE WHEN doc_id % 4 = 0 " +
+          "THEN ' aaaa buy now' ELSE '' END"
+        val pats = "['click here to unsubscribe', 'buy now', 'limited time offer', 'aa']"
+        s"""WITH t AS (SELECT doc_id, $fixture AS s FROM documents)
+           |SELECT doc_id, array_to_string([
+           |    CASE WHEN len(list_filter($pats,
+           |        p -> len(list_filter(range(greatest(1, i - len(p) + 1), i + 1),
+           |          j -> substr(s, j, len(p)) = p)) > 0)) > 0
+           |      THEN '*' ELSE s[i] END
+           |    FOR i IN range(1, len(s) + 1)], '') AS masked
+           |FROM t ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val fixture = concat(
+        lower(col("text")),
+        call_function("repeat",
+          lit(" click here to unsubscribe"), (col("doc_id") % 3).cast("int")),
+        when(col("doc_id") % 4 === 0, " aaaa buy now").otherwise(""))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          maskPhrases(fixture, TextAnalysis.BlockPhrases).as("masked"))
+        .orderBy("doc_id")
+    },
 
     // Overlapping-window chunking: 40-word chunks, 10-word overlap
     // (stride 30). DuckDB `//` vs Spark's double-divide-then-cast-int

@@ -604,6 +604,35 @@ object TextAnalysis {
       struct(n.as("n_hits"), (n > 0).as("flagged"))
     }
 
+  /** Per-PHRASE blocklist census: (phrase, n_hits, n_docs) — which
+    * entries actually fire, the tuning report behind every blocklist
+    * (a 10⁵-entry list is maintained by pruning dead entries and
+    * auditing over-firing ones). One `graft_ac_find` pass emits
+    * occurrence pattern-ids; the aggregate runs over exploded
+    * 4-byte ints keyed by pattern id (bounded by the list size), and
+    * the phrase strings join back onto the TINY id frame at the end —
+    * text leaves the scan as ids only. Every phrase appears, zero or
+    * not. */
+  def phraseStats(docs: DataFrame, text: Column, phrases: Seq[String]): DataFrame = {
+    val distinct = phrases.filter(_.nonEmpty).distinct
+    require(distinct.nonEmpty, "phraseStats: at least one non-empty phrase")
+    val blob = lit(graft.expr.AcKernel.encode(distinct))
+    val hits = graft.Caches.persist(
+      docs.select(call_function("graft_ac_find", blob, text).as("pids")))
+    val nHits = hits.select(explode(col("pids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_hits"))
+    val nDocs = hits.select(explode(array_distinct(col("pids"))).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_docs"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    distinct.zipWithIndex.toDF("phrase", "pid")
+      .join(nHits, Seq("pid"), "left")
+      .join(nDocs, Seq("pid"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   val gates: Seq[Gate] = Seq(
 
     // Aho–Corasick phrase-hit gate: planted phrase mass (repeat-by-
@@ -639,6 +668,36 @@ object TextAnalysis {
         .select(col("doc_id"), col("h.n_hits").as("n_hits"),
           col("h.flagged").as("flagged"))
         .orderBy("doc_id")
+    },
+
+    // Per-phrase census gate over the same planted fixture: every
+    // phrase row appears (the dead 'limited time offer' entry at 0),
+    // n_hits counts every overlapping occurrence, n_docs counts
+    // any-hit docs — the oracle recounts per (doc, phrase) and
+    // re-aggregates.
+    Gate(
+      "rpt_phrase_stats", {
+        val fixture = "lower(text) || repeat(' click here to unsubscribe', " +
+          "CAST(doc_id % 3 AS INT)) || CASE WHEN doc_id % 4 = 0 " +
+          "THEN ' aaaa buy now' ELSE '' END"
+        s"""WITH t AS (SELECT doc_id, $fixture AS s FROM documents),
+           |pats AS (SELECT unnest(['click here to unsubscribe', 'buy now',
+           |    'limited time offer', 'aa']) AS p),
+           |cnt AS (SELECT doc_id, p,
+           |    len(list_filter(range(1, len(s) + 1),
+           |      i -> substr(s, i, len(p)) = p)) AS c
+           |  FROM t CROSS JOIN pats)
+           |SELECT p AS phrase, CAST(sum(c) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+           |FROM cnt GROUP BY p ORDER BY phrase""".stripMargin
+      }) { (s, dir) =>
+      val fixture = concat(
+        lower(col("text")),
+        call_function("repeat",
+          lit(" click here to unsubscribe"), (col("doc_id") % 3).cast("int")),
+        when(col("doc_id") % 4 === 0, " aaaa buy now").otherwise(""))
+      phraseStats(Tables(s, dir, "documents"), fixture, BlockPhrases)
+        .orderBy("phrase")
     },
 
     // S-stemmer gate: four deterministic suffix variants of every

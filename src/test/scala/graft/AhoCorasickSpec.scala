@@ -76,6 +76,56 @@ class AhoCorasickSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"phrase hits must not shuffle: $plan")
   }
 
+  test("findAll returns one pattern id per occurrence, dictionary suffixes included") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def ids(patterns: Seq[String], text: String): Seq[Int] = {
+      val a = AcKernel.findAll(
+        AcKernel.decode(AcKernel.encode(patterns)), UTF8String.fromString(text))
+      a.toIntArray().toSeq
+    }
+    // 'ushers': 'she' ends at 3 alongside suffix 'he'; 'hers' at 5
+    assert(ids(Seq("he", "she", "his", "hers"), "ushers").sorted == Seq(0, 1, 3))
+    // overlap: 'aa' at ends 1,2,3
+    assert(ids(Seq("aa"), "aaaa") == Seq(0, 0, 0))
+    // multiset agrees with count on a mixed case
+    val pats = Seq("ab", "ba", "aba")
+    val t = "ababab"
+    assert(ids(pats, t).size ==
+      AcKernel.count(AcKernel.decode(AcKernel.encode(pats)), UTF8String.fromString(t)))
+    assert(AcKernel.findAll(
+      AcKernel.decode(AcKernel.encode(Seq("x"))), null).asInstanceOf[ArrayData].numElements() == 0)
+  }
+
+  test("phraseStats: every phrase appears, hit and doc counts agree with hand fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now and buy now"), (2L, "nothing"), (3L, "buy now aaaa"))
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.phraseStats(
+        df, col("text"), Seq("buy now", "aa", "missing phrase"))
+      .orderBy("phrase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("aa", 3L, 1L), ("buy now", 3L, 2L), ("missing phrase", 0L, 0L)))
+  }
+
+  test("mask replaces the interval union with '*', overlaps mask once, null passthrough") {
+    def mask(patterns: Seq[String], text: String): String = {
+      val r = AcKernel.mask(
+        AcKernel.decode(AcKernel.encode(patterns)), UTF8String.fromString(text))
+      if (r == null) null else r.toString
+    }
+    assert(mask(Seq("bb"), "abbc") == "a**c")
+    // 3 overlapping 'aa' hits cover exactly the 4 a's
+    assert(mask(Seq("aa"), "xaaaax") == "x****x")
+    // adjacent + nested patterns: union, not double-mask
+    assert(mask(Seq("ab", "abc"), "zabcz") == "z***z")
+    assert(mask(Seq("q"), "no hits here") == "no hits here")
+    // multibyte neighbors survive byte-level masking untouched
+    assert(mask(Seq("bad"), "café bad naïve") == "café *** naïve")
+    assert(AcKernel.mask(AcKernel.decode(AcKernel.encode(Seq("x"))), null) == null)
+  }
+
   test("blocklist filter drops any-hit docs only") {
     import spark.implicits._
     val df = Seq((1L, "limited time offer inside"), (2L, "clean"), (3L, "BUY NOW"))
