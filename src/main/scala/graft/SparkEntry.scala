@@ -42,7 +42,8 @@ object SparkEntry {
       multimodal.Multimodal.gates ++
       streaming.EventStream.gates ++
       streaming.StreamDocs.gates ++
-      api.FinewebPipeline.gates
+      api.FinewebPipeline.gates ++
+      api.PipelineConfig.gates
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

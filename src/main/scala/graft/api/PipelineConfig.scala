@@ -1,0 +1,105 @@
+package graft.api
+
+import graft.{Cols, Gate, Tables}
+import org.apache.spark.sql.functions._
+
+/** Config-driven pipeline assembly — the reference's runs are built
+  * from per-language/per-dump CONFIG (fineweb-2/main.py's config
+  * dataclasses, the examples' main_*.py arg blocks), so a user porting a
+  * recipe needs a declarative surface, not just the programmatic
+  * [[Pipeline]] combinators. A JSON array of step objects builds the
+  * same [[Stage]] chain; because every step is declarative, the
+  * whole configured pipeline still collapses into ONE Catalyst plan
+  * (filters fuse into the scan, transforms stay in codegen) — config
+  * indirection costs nothing at 100 TB.
+  *
+  * Steps (field `step`):
+  *  - `filter`           {expr}             — keep rows where the Spark SQL expr is true
+  *  - `sampler`          {rate, idCol}      — portable-LCG rate sampling (reproducible across engines/cluster sizes)
+  *  - `phrase_blocklist` {col, phrases[]}   — Aho–Corasick any-hit drop
+  *  - `with_column`      {name, expr}       — add/replace a column from a Spark SQL expr
+  *  - `select`           {cols[]}           — projection
+  *  - `strip_html`       {col}              — the C11 HTML scrub in place
+  *  - `mask_phrases`     {col, phrases[]}   — interval-union '*' redaction in place
+  *
+  * Unknown steps fail LOUDLY at build time (a typo'd recipe must not
+  * silently skip a safety filter). Parsing uses Jackson off Spark's
+  * own classpath — no extra dependency.
+  */
+object PipelineConfig {
+
+  def fromJson(json: String): Pipeline = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isArray, "pipeline config must be a JSON array of steps")
+    def strings(n: com.fasterxml.jackson.databind.JsonNode, field: String): Seq[String] = {
+      val a = n.get(field)
+      require(a != null && a.isArray, s"step field '$field' must be a JSON array")
+      (0 until a.size()).map(a.get(_).asText())
+    }
+    def req(n: com.fasterxml.jackson.databind.JsonNode, field: String): com.fasterxml.jackson.databind.JsonNode = {
+      val v = n.get(field)
+      require(v != null, s"missing step field '$field'")
+      v
+    }
+    val stages: Seq[Stage] = (0 until root.size()).map { i =>
+      val n = root.get(i)
+      req(n, "step").asText() match {
+        case "filter" =>
+          val e = req(n, "expr").asText()
+          DocFilter(s"filter[$e]", _ => expr(e))
+        case "sampler" =>
+          val rate = req(n, "rate").asDouble()
+          val idCol = req(n, "idCol").asText()
+          DocFilter(s"sampler[$rate]", _ => Cols.lcgUniform(col(idCol)) < rate)
+        case "phrase_blocklist" =>
+          val c = req(n, "col").asText()
+          val phrases = strings(n, "phrases")
+          DocFilter(s"phrase_blocklist[$c]",
+            _ => !graft.operators.TextAnalysis.phraseHits(col(c), phrases)
+              .getField("flagged"))
+        case "with_column" =>
+          val name = req(n, "name").asText()
+          val e = req(n, "expr").asText()
+          Transform(s"with_column[$name]", _.withColumn(name, expr(e)))
+        case "select" =>
+          val cols = strings(n, "cols")
+          Transform(s"select[${cols.mkString(",")}]", _.select(cols.map(col): _*))
+        case "strip_html" =>
+          val c = req(n, "col").asText()
+          Transform(s"strip_html[$c]",
+            _.withColumn(c, graft.operators.TextClean.stripHtml(col(c))))
+        case "mask_phrases" =>
+          val c = req(n, "col").asText()
+          val phrases = strings(n, "phrases")
+          Transform(s"mask_phrases[$c]",
+            _.withColumn(c, graft.operators.Formatters.maskPhrases(col(c), phrases)))
+        case other =>
+          throw new IllegalArgumentException(s"unknown pipeline step: $other")
+      }
+    }
+    Pipeline(stages: _*)
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // Config-assembly gate: a 5-step JSON recipe (threshold filter,
+    // LCG sampler, lowercase transform, phrase blocklist, projection)
+    // must equal the hand-written SQL of the same semantics — a
+    // mis-wired step order or a silently-skipped step flips rows.
+    Gate(
+      "op_config_pipeline",
+      s"""SELECT doc_id, lower(text) AS t FROM documents
+         |WHERE n_chars >= 100 AND ${Cols.lcgUniformSql("doc_id")} < 0.6
+         |  AND strpos(lower(text), 'click here') = 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cfg =
+        """[
+          |{"step":"filter","expr":"n_chars >= 100"},
+          |{"step":"sampler","rate":0.6,"idCol":"doc_id"},
+          |{"step":"with_column","name":"t","expr":"lower(text)"},
+          |{"step":"phrase_blocklist","col":"t","phrases":["click here"]},
+          |{"step":"select","cols":["doc_id","t"]}
+          |]""".stripMargin
+      fromJson(cfg).run(Tables(s, dir, "documents")).orderBy("doc_id")
+    })
+}

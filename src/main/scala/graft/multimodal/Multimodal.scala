@@ -257,6 +257,19 @@ object Multimodal {
         }
       }
       res
+    } else if (b.length >= 10 && u8(0) == 'G'.toInt && u8(1) == 'I'.toInt &&
+      u8(2) == 'F'.toInt && u8(3) == '8'.toInt &&
+      (u8(4) == '7'.toInt || u8(4) == '9'.toInt) && u8(5) == 'a'.toInt)
+      // GIF87a/89a logical screen descriptor: width/height u16 LE at 6/8
+      ("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8))
+    else if (b.length >= 26 && u8(0) == 'B'.toInt && u8(1) == 'M'.toInt) {
+      // BMP BITMAPINFOHEADER: i32 LE width at 18, height at 22 —
+      // height may be NEGATIVE (top-down rows); dimensions are |h|
+      def i32le(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val w = i32le(18)
+      val h = i32le(22)
+      if (w <= 0 || h == 0) unknown else ("bmp", w, math.abs(h))
     } else unknown
   }
 
@@ -308,6 +321,41 @@ object Multimodal {
             (0 until 9).foreach(_ => out.write(0x11))
             out.write(0xff); out.write(0xd9)                  // EOI
             out.toByteArray
+          case _ => text.getBytes("UTF-8")
+        }
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
+  /** GIF/BMP fixtures for the extended [[parseImageMeta]] branches:
+    * GIF87a vs GIF89a version alternates (both must parse), BMP
+    * height is NEGATIVE on doc_id%5==0 (top-down rows — dims are
+    * |h|), non-image payload on doc_id%3==2. */
+  def withGifBmpBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] = (id % 3) match {
+          case 0 =>
+            val w = (id % 800 + 1).toInt; val h = (id % 600 + 1).toInt
+            val ver = if (id % 2 == 0) "GIF87a" else "GIF89a"
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(ver.getBytes("ASCII"))
+            out.write(w & 0xff); out.write(w >> 8) // u16 LE
+            out.write(h & 0xff); out.write(h >> 8)
+            out.write(0); out.write(0); out.write(0) // flags/bg/aspect
+            out.toByteArray
+          case 1 =>
+            val w = (id % 1024 + 1).toInt
+            val h0 = (id % 768 + 1).toInt
+            val h = if (id % 5 == 0) -h0 else h0
+            val bb = java.nio.ByteBuffer.allocate(54)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+            bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+            bb.putShort(1).putShort(24)
+            bb.array()
           case _ => text.getBytes("UTF-8")
         }
         (id, bytes)
@@ -969,6 +1017,23 @@ object Multimodal {
         |       WHEN 1 THEN doc_id % 240 + 1 ELSE 0 END AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       imageMeta(withImageBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
+    },
+
+    // GIF/BMP branches of the same walker: GIF87a/89a both parse
+    // (u16 LE screen descriptor), BMP's SIGNED LE height flips to
+    // |h| on the top-down class — the oracle recomputes dims from
+    // the construction formulas.
+    Gate(
+      "mm_gif_bmp_meta",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
+        |       ELSE 'unknown' END AS format,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 800 + 1
+        |       WHEN 1 THEN doc_id % 1024 + 1 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 600 + 1
+        |       WHEN 1 THEN doc_id % 768 + 1 ELSE 0 END AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      imageMeta(withGifBmpBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
     },
 
     // Audio-header parse gate: fixture WAV headers are pure doc_id

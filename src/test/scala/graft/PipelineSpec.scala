@@ -87,4 +87,46 @@ class PipelineSpec extends SparkSpec {
     assert(packed.count() > 0)
     Caches.releaseAll()
   }
+
+  test("PipelineConfig: JSON steps equal the hand-built chain; typos fail loudly") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, "<b>Keep Me</b> text", 150L),
+      (2L, "too short", 10L),
+      (3L, "buy now spam body with enough length", 200L))
+      .toDF("doc_id", "text", "n_chars")
+    val cfg =
+      """[
+        |{"step":"filter","expr":"n_chars >= 100"},
+        |{"step":"strip_html","col":"text"},
+        |{"step":"with_column","name":"t","expr":"lower(text)"},
+        |{"step":"phrase_blocklist","col":"t","phrases":["buy now"]},
+        |{"step":"mask_phrases","col":"t","phrases":["keep"]},
+        |{"step":"select","cols":["doc_id","t"]}
+        |]""".stripMargin
+    val out = api.PipelineConfig.fromJson(cfg).run(docs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // doc 2 fails the threshold, doc 3 hits the blocklist; doc 1's
+    // html is stripped, lowercased, then 'keep' masked
+    assert(out == Seq((1L, "**** me text")))
+
+    // reasons split: the FIRST rejecting filter is named
+    val reasons = api.PipelineConfig.fromJson(
+        """[{"step":"filter","expr":"n_chars >= 100"},
+          |{"step":"with_column","name":"t","expr":"lower(text)"},
+          |{"step":"phrase_blocklist","col":"t","phrases":["buy now"]}]""".stripMargin)
+      .runWithReasons(docs)
+      .select("doc_id", "filter_reason").as[(Long, String)].collect().toMap
+    assert(reasons(1L) == null)
+    assert(reasons(2L) == "filter[n_chars >= 100]")
+    assert(reasons(3L) == "phrase_blocklist[t]")
+
+    intercept[IllegalArgumentException] {
+      api.PipelineConfig.fromJson("""[{"step":"fliter","expr":"1=1"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      api.PipelineConfig.fromJson("""[{"step":"filter"}]""")
+    }
+  }
 }

@@ -590,6 +590,26 @@ class PropertySpec extends SparkSpec {
     assert(Multimodal.parseVideoMeta(evil)._1 == "unknown")
   }
 
+  test("parseImageMeta GIF/BMP branches: LE dims, 87a+89a, negative BMP height, truncation") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // ids: 0 → GIF87a 1×1; 6 → GIF87a 7×7; 3 → GIF89a 4×4;
+    // 1 → BMP 2×2; 10 → BMP 11×11 with NEGATIVE stored height (10%5=0)
+    val docs = Seq((0L, "a"), (6L, "b"), (3L, "c"), (1L, "d"), (10L, "e"), (2L, "nope"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.imageMeta(Multimodal.withGifBmpBlob(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(0L).format == "gif" && metas(0L).width == 1 && metas(0L).height == 1)
+    assert(metas(6L).format == "gif" && metas(6L).width == 7)
+    assert(metas(3L).format == "gif" && metas(3L).height == 4)
+    assert(metas(1L).format == "bmp" && metas(1L).width == 2 && metas(1L).height == 2)
+    assert(metas(10L).format == "bmp" && metas(10L).height == 11) // |−11|
+    assert(metas(2L).format == "unknown")
+    // truncated GIF header and 'BM' with no room for the info header degrade
+    assert(Multimodal.parseImageMeta("GIF89a".getBytes)._1 == "unknown")
+    assert(Multimodal.parseImageMeta("BM123456".getBytes)._1 == "unknown")
+  }
+
   test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {
     import graft.multimodal.Multimodal
     import spark.implicits._
