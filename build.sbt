@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures a bounded stdout TAIL and parses
+// the last line as JSON. Two sbt default behaviors broke that parse
+// for three rounds (BENCH_r06-r09 parsed:null):
+//   1. forked run output is routed through sbt's logger → "[info] "
+//      prefix on the JSON line;
+//   2. batch mode appends "[success] Total time: …" AFTER the line.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the trailer, so Bench's compact JSON line is the
+// literal last line of the captured log.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — exempt it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -509,11 +509,35 @@ object Dedup {
     * A nightly batch dedups against last night's index instead of
     * re-shingling 100 TB; after accepting the survivors, append THEIR
     * digest frame to the index for the next run. */
-  def writeDedupIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit =
-    shingleSets(corpus, textCol, idCol).write.mode("overwrite").parquet(path)
+  /** On-disk dedup-index format version. v2 = (id, sh: array<long>
+    * xxhash64 digests, mh: minhash signature); v1 (unstamped) stored
+    * raw shingle STRINGS and no mh column — readable rows, silently
+    * wrong semantics. Bump on any schema/keying change. */
+  val DedupIndexVersion = 2
 
-  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  private def indexMarker(path: String) = s"_graft_dedup_index_v$DedupIndexVersion"
+
+  def writeDedupIndex(corpus: DataFrame, textCol: String, idCol: String, path: String): Unit = {
+    shingleSets(corpus, textCol, idCol).write.mode("overwrite").parquet(path)
+    // Stamp the format version as a sidecar marker (Hadoop FS so the
+    // path may be s3/hdfs, not just local): an index written by an
+    // older build must fail loudly at read time, not with an
+    // unrelated analysis error deep inside the incremental join.
+    val hp = new org.apache.hadoop.fs.Path(path, indexMarker(path))
+    val fs = hp.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    fs.create(hp, true).close()
+  }
+
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path, indexMarker(path))
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(hp),
+      s"dedup index at $path has no v$DedupIndexVersion format marker " +
+        s"(written by an older build: string shingles / no mh column?) — " +
+        s"rebuild it with writeDedupIndex")
     spark.read.parquet(path)
+  }
 
   /** [[minhashIncremental]] with a PRECOMPUTED corpus index (from
     * [[readDedupIndex]]): the new batch shingles fresh, the corpus

@@ -557,13 +557,15 @@ object Keywords {
     * its word scores; top-k phrases win with (score desc, phrase,
     * position) determinism. Per-doc word stats go through one
     * (doc, word) aggregate + one join back — both map-side-reduced,
-    * and the final cut is a doc-partitioned window over ≤ #phrases
-    * rows. Word scores are pround-8 decimals before the phrase sum,
+    * and the final cut is the house bounded-heap `graft_top_k`
+    * aggregate (≤ k rows per partition per doc cross the final
+    * exchange — never a per-doc window sort over the full phrase
+    * list). Word scores are pround-8 decimals before the phrase sum,
     * so results are order- and engine-independent. */
   def rakeKeywords(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     require(k >= 1, "rakeKeywords: k must be >= 1")
+    graft.expr.GraftExtensions.register(docs.sparkSession)
     val ph = docs
       .select(col(idCol).as("doc_id"), posexplode(rakePhrases(col(textCol))))
       .withColumnRenamed("pos", "pidx").withColumnRenamed("col", "phrase")
@@ -578,11 +580,15 @@ object Keywords {
     val ps = pw.join(ws, Seq("doc_id", "word"))
       .groupBy("doc_id", "pidx", "phrase")
       .agg(Cols.pround(sum("wscore").cast("double"), 6).as("score"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("phrase"), col("pidx"))
-    ps.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("doc_id", "rank", "phrase", "score")
+    // (score desc, phrase asc, pidx asc) as an ascending struct sort:
+    // negate the score so the bounded heap keeps the k smallest.
+    ps.groupBy("doc_id")
+      .agg(call_function("graft_top_k",
+        struct((-col("score")).as("ns"), col("phrase").as("p"), col("pidx").as("i")),
+        lit(k), lit(true)).as("top"))
+      .select(col("doc_id"), posexplode(array_sort(col("top"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.p").as("phrase"), (-col("col.ns")).as("score"))
   }
 
   val gates: Seq[Gate] = Seq(

@@ -45,8 +45,21 @@ object ArrowShardWriter {
     Files.createDirectories(Paths.get(dir))
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
-        val pid = TaskContext.getPartitionId()
-        writeShard(rows, schema, f"$dir/part-$pid%05d.arrow", format, batchRows)
+        val ctx = TaskContext.get()
+        val pid = ctx.partitionId()
+        // Write to a task-attempt temp name, atomically rename on
+        // success: a retried/speculative attempt never interleaves
+        // writes with the original on the same file, a task killed
+        // mid-write leaves only a `.tmp-*` the reader's `.arrow` glob
+        // ignores, and the last successful attempt wins the rename
+        // (both attempts produce identical bytes — same partition).
+        val finalPath = Paths.get(f"$dir/part-$pid%05d.arrow")
+        val tmpPath = Paths.get(
+          f"$dir/.part-$pid%05d.tmp-${ctx.taskAttemptId()}%d")
+        writeShard(rows, schema, tmpPath.toString, format, batchRows)
+        Files.move(tmpPath, finalPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }
