@@ -191,9 +191,11 @@ object Multimodal {
   final case class SampledFrames(
       doc_id: Long, n_frames: Int, n_sampled: Int, sample_checksum: String)
 
-  /** STUB frame extraction — a video payload splits into fixed-size
+  /** STUB frame extraction for CODEC video (H.264 …, legitimately out
+    * of zero-dependency scope) — a payload splits into fixed-size
     * "frames" (chunks of `frameBytes`), sampled every `stride`-th;
-    * real frame decode would land in the chunking step unchanged. */
+    * real frame decode would land in the chunking step unchanged.
+    * For animated GIF the REAL decode path exists: [[gifFrames]]. */
   def sampleFrames(docs: DataFrame, frameBytes: Int = 32, stride: Int = 2): Dataset[SampledFrames] = {
     require(frameBytes > 0 && stride > 0)
     val spark = docs.sparkSession
@@ -209,6 +211,105 @@ object Multimodal {
           SampledFrames(id, frames.length, sampled.length, checksum)
         }
       }
+  }
+
+  final case class GifFrame(
+      doc_id: Long, n_frames: Int, frame_idx: Int,
+      width: Int, height: Int, r: Int, g: Int, b: Int)
+
+  /** REAL animated-GIF frame extraction via the JDK's ImageIO GIF
+    * reader (zero new dependencies): every `stride`-th frame decodes
+    * to pixels and emits (dims, top-left RGB). `n_frames` counts the
+    * COMPLETE frames in the payload — ImageIO's `getNumImages(true)`,
+    * so a GIF truncated mid-frame yields the frames that fully
+    * arrived (spec-pinned), which is the right salvage semantics for
+    * a 100 TB crawl. Non-GIF / undecodable payloads degrade to one
+    * (0, -1, 0,0,0,0,0) row, never a throw. This closes the declared
+    * video-frame-decode stub for the one container the JDK genuinely
+    * decodes; codec video (H.264 …) stays with [[sampleFrames]]'s
+    * byte-chunk stub. Same batched mapPartitions shape as the other
+    * decode operators; reader memory is bounded by one frame. */
+  def gifFrames(docs: DataFrame, stride: Int = 2): Dataset[GifFrame] = {
+    require(stride > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val degrade = Seq(GifFrame(id, 0, -1, 0, 0, 0, 0, 0))
+        val isGif = bytes.length >= 6 &&
+          bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte
+        if (!isGif) degrade
+        else try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) degrade
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true) // complete frames only
+                if (n <= 0) degrade
+                else (0 until n by stride).map { i =>
+                  val f = reader.read(i)
+                  val px = f.getRGB(0, 0)
+                  GifFrame(id, n, i, f.getWidth, f.getHeight,
+                    (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case _: Exception => degrade }
+      })
+  }
+
+  /** Genuine multi-frame animated-GIF fixtures: frame count, dims and
+    * each frame's solid fill are pure doc_id formulas (the oracle
+    * recomputes every row from construction) but the BYTES are a real
+    * ImageIO-encoded GIF sequence [[gifFrames]] must genuinely LZW-
+    * decode (solid colors survive GIF's palette exactly, verified
+    * empirically). doc_id%3==2 carries a non-GIF payload (degrade
+    * class). Built per partition, never on the driver. */
+  def withGifAnimBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] =
+          if (id % 3 == 2) text.getBytes("UTF-8")
+          else {
+            val w = (3 + id % 5).toInt
+            val h = (2 + id % 4).toInt
+            val n = (2 + id % 4).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            val writer =
+              javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            (0 until n).foreach { i =>
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (((id * 37 + i * 11) % 256).toInt << 16) |
+                (((id * 59 + i * 17) % 256).toInt << 8) |
+                ((id * 83 + i * 23) % 256).toInt
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+            }
+            writer.endWriteSequence()
+            writer.dispose()
+            ios.close()
+            bos.toByteArray
+          }
+        (id, bytes)
+      }).toDF("doc_id", "media")
   }
 
   final case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int)
@@ -263,13 +364,25 @@ object Multimodal {
       // GIF87a/89a logical screen descriptor: width/height u16 LE at 6/8
       ("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8))
     else if (b.length >= 26 && u8(0) == 'B'.toInt && u8(1) == 'M'.toInt) {
-      // BMP BITMAPINFOHEADER: i32 LE width at 18, height at 22 —
-      // height may be NEGATIVE (top-down rows); dimensions are |h|
       def i32le(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-      val w = i32le(18)
-      val h = i32le(22)
-      if (w <= 0 || h == 0) unknown else ("bmp", w, math.abs(h))
+      def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      // The DIB header size at offset 14 selects the layout:
+      // >= 40 (BITMAPINFOHEADER and its V4/V5 extensions) — i32 LE
+      // width at 18, height at 22, height may be NEGATIVE (top-down
+      // rows, dimension is |h|); == 12 (OS/2 BITMAPCOREHEADER) — u16
+      // LE width at 18, height at 20. Anything else degrades to
+      // unknown rather than parsing garbage offsets.
+      val dib = i32le(14)
+      if (dib >= 40) {
+        val w = i32le(18)
+        val h = i32le(22)
+        if (w <= 0 || h == 0) unknown else ("bmp", w, math.abs(h))
+      } else if (dib == 12) {
+        val w = u16le(18)
+        val h = u16le(20)
+        if (w <= 0 || h <= 0) unknown else ("bmp", w, h)
+      } else unknown
     } else unknown
   }
 
@@ -330,7 +443,9 @@ object Multimodal {
   /** GIF/BMP fixtures for the extended [[parseImageMeta]] branches:
     * GIF87a vs GIF89a version alternates (both must parse), BMP
     * height is NEGATIVE on doc_id%5==0 (top-down rows — dims are
-    * |h|), non-image payload on doc_id%3==2. */
+    * |h|), BMP is an OS/2 BITMAPCOREHEADER on doc_id%7==1 (u16 dims
+    * behind a 12-byte DIB — same dim formulas, different offsets),
+    * non-image payload on doc_id%3==2. */
   def withGifBmpBlob(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -349,13 +464,26 @@ object Multimodal {
           case 1 =>
             val w = (id % 1024 + 1).toInt
             val h0 = (id % 768 + 1).toInt
-            val h = if (id % 5 == 0) -h0 else h0
-            val bb = java.nio.ByteBuffer.allocate(54)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
-            bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
-            bb.putShort(1).putShort(24)
-            bb.array()
+            if (id % 7 == 1) {
+              // OS/2 BITMAPCOREHEADER variant (DIB size 12, u16 dims
+              // at 18/20) — same dim formulas, different layout: a
+              // parser that reads i32 at 18/22 without checking the
+              // DIB size emits garbage here.
+              val bb = java.nio.ByteBuffer.allocate(26)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+              bb.putInt(12).putShort(w.toShort).putShort(h0.toShort)
+              bb.putShort(1).putShort(24)
+              bb.array()
+            } else {
+              val h = if (id % 5 == 0) -h0 else h0
+              val bb = java.nio.ByteBuffer.allocate(54)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+              bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+              bb.putShort(1).putShort(24)
+              bb.array()
+            }
           case _ => text.getBytes("UTF-8")
         }
         (id, bytes)
@@ -1159,6 +1287,31 @@ object Multimodal {
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       sampleFrames(withMediaBlob(Tables(s, dir, "documents")), frameBytes = 32, stride = 2)
         .toDF().orderBy("doc_id")
+    },
+
+    // REAL animated-GIF frame-decode gate: genuine multi-frame GIF
+    // payloads; every sampled frame's dims and fill color recomputed
+    // by the oracle from the construction formulas. A chunking stub
+    // (mm_frames) could not produce these rows — the pixel values
+    // only exist after a real LZW decode of each frame.
+    Gate(
+      "mm_frames_real",
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+        |    CAST(3 + doc_id % 5 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS i
+        |  FROM p WHERE doc_id % 3 <> 2)
+        |SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(i AS INT) AS frame_idx,
+        |  w AS width, h AS height,
+        |  CAST((doc_id * 37 + i * 11) % 256 AS INT) AS r,
+        |  CAST((doc_id * 59 + i * 17) % 256 AS INT) AS g,
+        |  CAST((doc_id * 83 + i * 23) % 256 AS INT) AS b
+        |FROM f
+        |UNION ALL
+        |SELECT doc_id, 0, -1, 0, 0, 0, 0, 0 FROM p WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      gifFrames(withGifAnimBlob(Tables(s, dir, "documents")), stride = 2)
+        .toDF().orderBy("doc_id", "frame_idx")
     },
 
     // MP4 container-metadata gate: the oracle recomputes brand /

@@ -608,6 +608,52 @@ class PropertySpec extends SparkSpec {
     // truncated GIF header and 'BM' with no room for the info header degrade
     assert(Multimodal.parseImageMeta("GIF89a".getBytes)._1 == "unknown")
     assert(Multimodal.parseImageMeta("BM123456".getBytes)._1 == "unknown")
+    // OS/2 BITMAPCOREHEADER class (id%7==1 ∧ id%3==1): u16 dims at
+    // 18/20 behind the 12-byte DIB — id 22 → 23×23
+    val core = Multimodal.imageMeta(Multimodal.withGifBmpBlob(
+      Seq((22L, "f")).toDF("doc_id", "text"))).collect().head
+    assert(core.format == "bmp" && core.width == 23 && core.height == 23)
+    // an unrecognized DIB size degrades instead of parsing garbage
+    val weird = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    weird.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(30)
+    weird.putInt(16).putInt(5).putInt(5) // DIB size 16: neither 12 nor >=40
+    assert(Multimodal.parseImageMeta(weird.array())._1 == "unknown")
+  }
+
+  test("gifFrames really LZW-decodes every sampled frame; truncation keeps complete frames") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // ids 0,1,3,4 are GIF classes (n = 2 + id%4 frames), 2 is the
+    // non-GIF degrade class
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "not a gif"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.gifFrames(Multimodal.withGifAnimBlob(docs), stride = 2)
+      .collect().groupBy(_.doc_id)
+    // id 3: 5 frames, sampled 0,2,4; per-frame fill from the formulas
+    assert(rows(3L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    rows(3L).foreach { f =>
+      assert(f.n_frames == 5 && f.width == 6 && f.height == 5)
+      assert(f.r == ((3 * 37 + f.frame_idx * 11) % 256) &&
+        f.g == ((3 * 59 + f.frame_idx * 17) % 256) &&
+        f.b == ((3 * 83 + f.frame_idx * 23) % 256))
+    }
+    assert(rows(0L).map(_.frame_idx).sorted.toSeq == Seq(0)) // 2 frames, stride 2
+    assert(rows(2L).toSeq == Seq(Multimodal.GifFrame(2L, 0, -1, 0, 0, 0, 0, 0)))
+    // truncation salvage: chop a 5-frame GIF at 60% — ImageIO counts
+    // only COMPLETE frames, and each counted frame still decodes
+    val full = Multimodal.withGifAnimBlob(Seq((3L, "c")).toDF("doc_id", "text"))
+      .select("media").head.getAs[Array[Byte]](0)
+    val cut = full.take(full.length * 6 / 10)
+    val sal = Multimodal.gifFrames(
+      Seq((3L, cut)).toDF("doc_id", "media"), stride = 1).collect()
+    assert(sal.nonEmpty && sal.head.n_frames < 5 && sal.head.n_frames > 0)
+    assert(sal.forall(f => f.width == 6 && f.height == 5 &&
+      f.r == ((3 * 37 + f.frame_idx * 11) % 256)))
+    // garbage behind a GIF magic degrades, never throws
+    val junk = "GIF89a then nothing real".getBytes("UTF-8")
+    assert(Multimodal.gifFrames(Seq((9L, junk)).toDF("doc_id", "media"))
+      .collect().toSeq == Seq(Multimodal.GifFrame(9L, 0, -1, 0, 0, 0, 0, 0)))
   }
 
   test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {
