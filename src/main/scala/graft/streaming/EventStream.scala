@@ -627,6 +627,16 @@ object EventStream {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Bounded-fixture streams pay one RocksDB store PER shuffle
+    // partition PER stateful operator PER micro-batch — at the
+    // session's 32 partitions that fixed setup dwarfed the actual
+    // work (~12 s across the four stream gates). 4 partitions keeps
+    // the multi-partition shuffle semantics under test while cutting
+    // the store count 8×; exact aggregation results are
+    // partition-count-independent. A production stream sizes this to
+    // its key cardinality instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$name-ckpt").toString
@@ -637,6 +647,7 @@ object EventStream {
       q.stop(); q.awaitTermination()
       spark.table(name)
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -647,7 +658,8 @@ object EventStream {
   val gates: Seq[Gate] = Seq(
     // transformWithState running totals (V201) executed as a REAL
     // bounded stream over the events table: per-user ValueState
-    // accumulates across 3 arrival batches; the max emission per user
+    // accumulates across 2 arrival batches (the minimum that proves
+    // cross-batch state); the max emission per user
     // is batch-equal to the group count whatever the batching, which
     // is exactly what the oracle replays.
     Gate(
@@ -660,7 +672,7 @@ object EventStream {
         .select(col("user_id").cast("long"))
         .collect().map(r => EventRow(r.getLong(0), 0L)).toSeq
       import s.implicits._
-      runBoundedStream(s, rows, 3, "g_run_totals")(runningCountsStream)
+      runBoundedStream(s, rows, 2, "g_run_totals")(runningCountsStream)
         .groupBy("user_id").agg(max("n_total").as("n_total"))
         .orderBy("user_id")
     },
@@ -690,7 +702,7 @@ object EventStream {
       val rows = e.filter(col("event_type") =!= "click")
         .select(col("user_id").cast("long"))
         .collect().map(r => EventRow(r.getLong(0), 0L)).toSeq
-      runBoundedStream(s, rows, 3, "g_seed_totals")(
+      runBoundedStream(s, rows, 2, "g_seed_totals")(
         (ds: Dataset[EventRow]) => runningCountsStreamSeeded(ds, seed))
         .groupBy("user_id").agg(max("n_total").as("n_total"))
         .orderBy("user_id")
@@ -711,7 +723,7 @@ object EventStream {
         .filter(col("user_id").isNotNull && col("event_type").isNotNull)
         .select(col("user_id").cast("long"), col("event_type"))
         .collect().map(r => TypedEvent(r.getLong(0), r.getString(1))).toSeq
-      runBoundedStream(s, rows, 3, "g_type_profile")(
+      runBoundedStream(s, rows, 2, "g_type_profile")(
         (ds: Dataset[TypedEvent]) => typeProfileStream(ds))
         .groupBy("user_id", "event_type").agg(max("n_type").as("n_type"))
         .orderBy("user_id", "event_type")
@@ -740,7 +752,7 @@ object EventStream {
           expr("unix_micros(ts) div 1000").as("tsMillis"))
         .as[StampedEvent].collect().toSeq
       val rows = base ++ base.filter(_.event_id % 3 == 0)
-      runBoundedStream(s, rows, 4, "g_stream_dedup")((ds: Dataset[StampedEvent]) =>
+      runBoundedStream(s, rows, 3, "g_stream_dedup")((ds: Dataset[StampedEvent]) =>
         dedupStream(
           ds.toDF().withColumn("ts", timestamp_millis(col("tsMillis"))),
           Seq("event_id"), watermark = "87600 hours"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -207,5 +207,58 @@ class DedupSpec extends SparkSpec {
       s"LSH shuffled ${io.shuffleWriteBytes} bytes vs $textBytes text bytes " +
         s"(${io.shuffleWriteBytes.toDouble / textBytes}×) — candidate generation is leaking")
     Caches.releaseAll()
+  }
+
+  test("MEASURED scale invariant: tf-idf APSS shuffle is bounded vs corpus text bytes") {
+    import spark.implicits._
+    // the V261 discipline applied to the APSS family: its exchanges
+    // carry (id, 8-byte term hash, double weight) rows, the prefix
+    // index, and per-candidate verify maps — a small constant × text,
+    // never the unpruned df² candidate join the prefix filter exists
+    // to avoid
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (0 until 600).map { i =>
+      val rnd = new scala.util.Random(i)
+      val text = (0 until 300).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i.toLong, s"doc $i $text")
+    }.toDF("doc_id", "text")
+    val textBytes = docs.select(sum(length(col("text")))).head().getLong(0)
+    val (_, io) = Metrics.measure(spark) {
+      Dedup.tfidfCosinePairs(docs, "text", "doc_id", 0.7)
+        .select("id_a", "id_b").collect()
+    }
+    assert(io.shuffleWriteBytes > 0, "expected a real shuffle to measure")
+    assert(io.shuffleWriteBytes < 15L * textBytes,
+      s"APSS shuffled ${io.shuffleWriteBytes} bytes vs $textBytes text bytes " +
+        s"(${io.shuffleWriteBytes.toDouble / textBytes}×) — prefix pruning is leaking")
+    Caches.releaseAll()
+  }
+
+  test("MEASURED collision invariant: xxhash64 shingle keying partitions exactly like string keying") {
+    // The minhash digest frames and tf-idf APSS group by
+    // xxhash64(shingle) where the DuckDB oracle groups by the shingle
+    // STRING — a documented ~1e-9 collision risk class. This turns
+    // the accepted risk into a checked per-run invariant on the real
+    // gate corpus: the hash is INJECTIVE over the corpus vocabulary
+    // (distinct strings == distinct hashes), so both keyings induce
+    // identical partitions of the (doc, shingle) rows and identical
+    // df/tf/jaccard statistics.
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = docs.select(explode(Dedup.shingles(col("text"))).as("s"))
+    val r = sh.agg(
+      countDistinct(col("s")).as("ns"),
+      countDistinct(xxhash64(col("s"))).as("nh")).head()
+    assert(r.getLong(0) == r.getLong(1),
+      s"xxhash64 collision on ${r.getLong(0) - r.getLong(1)} shingle(s) — " +
+        "the digest keying no longer matches the string oracle")
+    // the tf-idf family's 3-gram word terms, same check
+    val terms = docs.select(explode(
+      TextAnalysis.ngrams(TextAnalysis.words(lower(col("text"))), 3)).as("t"))
+    val r2 = terms.agg(
+      countDistinct(col("t")).as("ns"),
+      countDistinct(xxhash64(col("t"))).as("nh")).head()
+    assert(r2.getLong(0) == r2.getLong(1),
+      "xxhash64 collision in the tf-idf term vocabulary")
   }
 }

@@ -659,4 +659,50 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.map(_._2).toSeq == chosen.map(_._1))
   }
+
+  test("MEASURED scale invariant: IVF index build shuffles only the bounded fit sample; probes read only probed cells") {
+    import spark.implicits._
+    // the V261 discipline applied to the ANN index lifecycle, as two
+    // numbers: (1) BUILD — cell assignment is map-only column math and
+    // partitionBy-write exchanges nothing, so the only shuffle is the
+    // fit sample's stable orderBy, bounded by fitSampleSize, never the
+    // corpus; (2) PROBE — the probed-cell IN-list becomes parquet
+    // PARTITION pruning, so a probe reads ~nProbe/nCells of the index
+    // bytes no matter the corpus size.
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 6000).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat()))
+    }.toDF("id", "vec")
+    val vecBytes = 6000L * 64 * 4 // raw float payload, the scale unit
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-measure").toString
+    val (_, wio) = Metrics.measure(spark) {
+      Similarity.writeIvfIndex(corpus, path, nCells = 16, fitSampleSize = 500)
+    }
+    assert(wio.shuffleWriteBytes < vecBytes / 4,
+      s"index build shuffled ${wio.shuffleWriteBytes} bytes vs $vecBytes vector bytes " +
+        "— assignment or the write is exchanging the corpus, not just the fit sample")
+    val indexBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(s"$path/vectors"))
+    }
+    assert(indexBytes > 0)
+    val (cents, vecs) = Similarity.readIvfIndex(spark, path)
+    val queries = (0 until 2).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat()))
+    }.toDF("qid", "qvec")
+    val (res, pio) = Metrics.measure(spark) {
+      Similarity.ivfTopKFromIndex(queries, cents, vecs, k = 3, nProbe = 2).collect()
+    }
+    assert(res.nonEmpty)
+    assert(pio.inputBytes > 0, "expected a real index scan to measure")
+    // 2 queries × nProbe 2 probe ≤ 4 of 16 cells (~25% of bytes);
+    // < 50% leaves slack for per-file overhead on small cells while
+    // still proving untouched cells' files were never opened
+    assert(pio.inputBytes < indexBytes / 2,
+      s"probe read ${pio.inputBytes} of $indexBytes index bytes — " +
+        "partition pruning is not reaching the parquet scan")
+    Caches.releaseAll()
+  }
 }
