@@ -1,0 +1,117 @@
+package graft.apps
+
+import graft.{GraftSession, Tables}
+import graft.api.{FinewebConfig, FinewebPipeline}
+import graft.ml.{EmbeddingScorer, LocalWeightsEncoder, MlpClassifier}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable walkthrough of the REAL-WEIGHTS seam — how a reference
+  * user swaps their actual trained model into the two declared stub
+  * boundaries (A2 embedding annotator, F8 toxicity head) with no code
+  * changes, only parquet files:
+  *
+  *  1. Export weights to parquet ONCE, outside this zero-egress
+  *     sandbox. From torch (reference:
+  *     examples/xlmr_embedding_annotator/main_fineweb.py loads XLM-R;
+  *     fineweb-2/main.py loads per-language detoxify `.pth` heads):
+  *
+  *     {{{
+  *     # encoder matrix -> (token_id, vec) rows
+  *     emb = model.embeddings.word_embeddings.weight.detach().numpy()
+  *     pd.DataFrame({"token_id": range(len(emb)),
+  *                   "vec": emb.tolist()}).to_parquet("encoder/")
+  *     # 2-layer head -> (layer, idx, vec) rows
+  *     rows  = [("w1", i, w) for i, w in enumerate(head.fc1.weight.tolist())]
+  *     rows += [("b1", 0, head.fc1.bias.tolist()),
+  *              ("w2", 0, head.fc2.weight[0].tolist()),
+  *              ("b2", 0, [float(head.fc2.bias[0])])]
+  *     pd.DataFrame(rows, columns=["layer", "idx", "vec"]).to_parquet("head/")
+  *     }}}
+  *
+  *  2. Load them here: [[LocalWeightsEncoder.fromParquet]] (hash-token
+  *     embedding-bag over the matrix, evaluated as a codegen'd
+  *     expression) and [[MlpClassifier.fromParquet]] (the reference's
+  *     BinaryClassifier shape, embeddings_filter.py:43-55).
+  *
+  *  3. Annotate the real embedding column and pass the real head into
+  *     [[FinewebConfig.toxicityClassifier]] — the exact slot the
+  *     default seeded stub occupies.
+  *
+  * This app stands in for step 1 with small deterministic matrices
+  * written through the SAME parquet layouts (the sandbox has no
+  * egress to fetch real payloads), then runs steps 2-3 for real:
+  * every byte that scores a document came through the user-facing
+  * weight files. LocalWeightsEncoderSpec pins the load/score parity;
+  * this main is the end-to-end lifecycle a porting user runs first.
+  *
+  * Usage: runMain graft.apps.RealWeightsMain [sfDir] [workDir]
+  */
+object RealWeightsMain {
+
+  /** Step-1 stand-in: write example weight files through the exact
+    * layouts a torch export produces (see class doc). dim ties the
+    * encoder output to the head input — a real XLM-R export would use
+    * its own (vocab, dim). */
+  def writeExampleWeights(spark: SparkSession, dir: String, vocab: Int, dim: Int, hidden: Int): Unit = {
+    import spark.implicits._
+    def u(k: Long): Double = ((k * 2654435761L) % 1000L) / 1000.0 - 0.5
+    (0 until vocab).map(i =>
+      (i.toLong, (0 until dim).map(j => u(i.toLong * dim + j)).toArray))
+      .toDF("token_id", "vec")
+      .write.mode("overwrite").parquet(s"$dir/encoder")
+    val w1 = (0 until hidden).map(i =>
+      ("w1", i, (0 until dim).map(j => u(7000003L + i.toLong * dim + j) / dim).toArray))
+    val rest = Seq(
+      ("b1", 0, (0 until hidden).map(i => u(8000003L + i)).toArray),
+      ("w2", 0, (0 until hidden).map(i => u(9000003L + i)).toArray),
+      ("b2", 0, Array(u(9500007L))))
+    (w1 ++ rest).toDF("layer", "idx", "vec")
+      .write.mode("overwrite").parquet(s"$dir/head")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_real_weights")
+    val spark = GraftSession.create("graft-real-weights")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // [1] the user's export (stand-in — see class doc for the real one)
+    writeExampleWeights(spark, workDir, vocab = 256, dim = 16, hidden = 8)
+
+    // [2] load real weights from the user-facing files
+    val encoder = LocalWeightsEncoder.fromParquet(spark, s"$workDir/encoder", "token_id", "vec")
+    val head = MlpClassifier.fromParquet(spark, s"$workDir/head")
+    require(encoder.dim == head.w1.head.length,
+      s"encoder dim ${encoder.dim} must match head input ${head.w1.head.length}")
+
+    // [3] real embeddings + the real head in the stub's config slot.
+    // rounded(9) makes the threshold comparison engine-exact — the
+    // discipline every gate head uses.
+    val scorer = EmbeddingScorer.rounded(head, 9)
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("embedding", encoder.embed(spark, col("text")))
+    // threshold estimated from the corpus score distribution (the
+    // reference's estimate_classifier_threshold move,
+    // embeddings_filter.py): drop the most-toxic ~25%
+    val thr = docs
+      .select(percentile(scorer.score(col("embedding")), lit(0.75)).as("t"))
+      .head().getDouble(0)
+    println(f"[real-weights] estimated toxicity threshold: $thr%.9f")
+    val cfg = FinewebConfig(
+      toxicityThreshold = Some(thr),
+      toxicityClassifier = Some(scorer))
+    val (kept, excluded) = FinewebPipeline.build(spark, docs, cfg)
+
+    val nKept = kept.count()
+    val byReason = excluded.groupBy("filter_reason").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"[real-weights] kept=$nKept excluded{$byReason}")
+    val sample = kept.select(col("doc_id"), col("toxicity_score"))
+      .orderBy("doc_id").limit(3).collect()
+      .map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" ")
+    println(s"[real-weights] sample scores: $sample")
+    require(nKept > 0, "pipeline kept nothing — threshold/scale mismatch")
+    spark.stop()
+  }
+}
