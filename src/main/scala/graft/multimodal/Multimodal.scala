@@ -425,7 +425,7 @@ object Multimodal {
             def b2(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
             out.write(0xff); out.write(0xd8)                  // SOI
             out.write(0xff); out.write(0xe0); b2(app0Len)     // APP0
-            out.write("JFIF ".getBytes("ASCII"))
+            out.write("JFIF\u0000".getBytes("ASCII"))
             (0 until app0Len - 7).foreach(_ => out.write(0))
             out.write(0xff); out.write(0xfe); b2(6)           // COM
             out.write("grft".getBytes("ASCII"))
@@ -674,7 +674,7 @@ object Multimodal {
               .putInt(4).putInt(3).put(Array[Byte](8, 6, 0, 0, 0)).array()
             PngSig ++
               pngChunk("IHDR", ihdr) ++
-              pngChunk("tEXt", s"Author doc$id".getBytes("ASCII")) ++
+              pngChunk("tEXt", s"Author\u0000doc$id".getBytes("ASCII")) ++
               pngChunk("tIME", Array.fill[Byte](7)(1)) ++
               pngChunk("IDAT", Array[Byte](1, 2, 3, 4)) ++
               pngChunk("IEND", Array.emptyByteArray)
