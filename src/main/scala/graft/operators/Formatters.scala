@@ -335,6 +335,65 @@ object Formatters {
         col("n_sentences"), col("chunk_text"))
   }
 
+  /** Semantic chunking — split where the TOPIC drifts: a sentence
+    * whose embedding cosine against its predecessor drops below
+    * `threshold` starts a new chunk. This is the RAG-ingestion
+    * splitter that groups sentences by meaning instead of a fixed
+    * word budget ([[chunkBySentences]] is the budgeted variant; the
+    * two compose — semantic first, then budget-split oversize
+    * chunks). Embeddings come from `embed` (defaults to the
+    * deterministic stub encoder [[Annotators.fakeEmbedding]] — swap
+    * in a [[graft.ml.LocalWeightsEncoder]] closure for real weights);
+    * cosine is the sequential seq-double kernel, pround-6 before the
+    * threshold compare, so every boundary decision replays
+    * engine-exactly in the SQL twin. Same narrow
+    * one-aggregate-fold-per-row shape as [[chunkBySentences]]: no
+    * shuffle until the per-chunk regroup. */
+  def chunkSemantic(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.9,
+      maxSentences: Int = 40,
+      embed: Column => Column = Annotators.fakeEmbedding(_, 8)): DataFrame = {
+    require(maxSentences > 0, "chunkSemantic: positive sentence cap required")
+    import graft.Cols.bind
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    def cos(a: Column, b: Column): Column =
+      Similarity.seqDot(a, b) /
+        (sqrt(Similarity.seqDot(a, a)) * sqrt(Similarity.seqDot(b, b)))
+    val sents = slice(TextAnalysis.splitSentences(col(textCol)), 1, maxSentences)
+    val exploded = docs
+      .select(col(idCol).as("__id"), sents.as("__sents"))
+      .select(col("__id"), col("__sents"),
+        aggregate(
+          col("__sents"),
+          struct(lit("").as("prev"), lit(-1).as("idx"),
+            array().cast("array<int>").as("ix")),
+          (st, s) => bind(
+            when(st.getField("idx") < 0, lit(0)) // first sentence opens chunk 0
+              .otherwise(when(
+                graft.Cols.pround(
+                  cos(embed(st.getField("prev")), embed(s)), 6) < threshold,
+                st.getField("idx") + 1).otherwise(st.getField("idx")))
+              .cast("int")) { idx =>
+            struct(s.as("prev"), idx.as("idx"),
+              concat(st.getField("ix"), array(idx)).as("ix"))
+          }).getField("ix").as("__ix"))
+      .select(col("__id"),
+        posexplode(arrays_zip(col("__sents").as("s"), col("__ix").as("ci"))))
+      .select(col("__id"), col("pos"),
+        col("col.s").as("__sent"), col("col.ci").as("__ci"))
+    exploded
+      .groupBy(col("__id"), col("__ci"))
+      .agg(count(lit(1)).as("n_sentences"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("__sent")))),
+            s => s.getField("__sent")), " ").as("chunk_text"))
+      .select(col("__id").as(idCol), col("__ci").cast("int").as("chunk_idx"),
+        col("n_sentences"), col("chunk_text"))
+  }
+
   /** Bitext pair cleaning (the Moses `clean-corpus-n` rules — the
     * standard MT-corpus hygiene before training on mined pairs):
     * drop a (src, tgt) pair when either side is wordless, either
@@ -709,6 +768,70 @@ object Formatters {
       chunkBySentences(
         Tables(s, dir, "documents").select(col("doc_id"), page.as("text")),
         "text", "doc_id", maxWords = 48, maxSentences = 40)
+        .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Semantic-chunking gate: same multi-sentence fixture pages as
+    // fmt_chunk_sentences, boundaries decided by pround-6 cosine of
+    // the stub sentence embeddings. The oracle replays EVERYTHING —
+    // the md5 hash-embedding per sentence, the left-to-right
+    // sequential dot fold, the cosine division order, the rounded
+    // threshold compare, and the prefix-sum chunk assignment — so one
+    // flipped boundary anywhere flips a chunk hash.
+    Gate(
+      "fmt_chunk_semantic", {
+        val wp = TextAnalysis.WordPattern
+        val page = "array_to_string([array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') " +
+          "|| ['.','!','?'][(i-1)%3+1] || ' ' " +
+          "FOR i IN range(1, CAST(ceil(len(ws)/10.0) AS INT) + 1)], '') " +
+          "|| (CASE WHEN doc_id % 2 = 0 THEN 'trailing fragment no terminator' ELSE '' END)"
+        val split = "[x FOR x IN list_transform(" +
+          s"regexp_extract_all(page, '[^.!?]+(?:[.!?]+|${"$"})'), s -> trim(s)) IF len(x) > 0][1:40]"
+        val h32 = "CAST(CAST('0x'||substr(md5(s || '#' || CAST(j AS VARCHAR)),1,8) AS UBIGINT) AS BIGINT)"
+        def dot(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 9), k -> ($a)[k] * ($b)[k]), (x, y) -> x + y)"
+        val cosab = s"(${dot("embs[i]", "embs[i+1]")} / " +
+          s"(sqrt(${dot("embs[i]", "embs[i]")}) * sqrt(${dot("embs[i+1]", "embs[i+1]")})))"
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$wp') AS ws FROM documents),
+           |p AS (SELECT doc_id, $page AS page FROM w),
+           |sp AS (SELECT doc_id, $split AS sents FROM p),
+           |em AS (SELECT doc_id, sents,
+           |    [[CAST($h32 % 1000 AS DOUBLE) / 1000.0 FOR j IN range(0, 8)]
+           |     FOR s IN sents] AS embs
+           |  FROM sp),
+           |cs AS (SELECT doc_id, sents,
+           |    [CASE WHEN ${graft.Cols.proundSql(cosab, 6)} < 0.9 THEN 1 ELSE 0 END
+           |     FOR i IN range(1, len(sents))] AS brk
+           |  FROM em),
+           |ix AS (SELECT doc_id, sents,
+           |    [CASE WHEN j = 1 THEN 0 ELSE CAST(list_sum(brk[1:j-1]) AS INT) END
+           |     FOR j IN range(1, len(sents) + 1)] AS ix
+           |  FROM cs),
+           |e AS (SELECT doc_id,
+           |    unnest([{'pos': j, 'sent': sents[j], 'ci': ix[j]}
+           |            FOR j IN range(1, len(sents) + 1)], recursive := true)
+           |  FROM ix)
+           |SELECT doc_id, CAST(ci AS INT) AS chunk_idx, count(*) AS n_sentences,
+           |  md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5
+           |FROM e GROUP BY doc_id, ci ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, dir) =>
+      import graft.Cols.bind
+      val terms = array(lit("."), lit("!"), lit("?"))
+      val page = bind(TextAnalysis.words(col("text"))) { ws =>
+        concat(
+          array_join(
+            transform(TextAnalysis.indices(ceil(size(ws) / lit(10.0))), i =>
+              concat(array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "),
+                element_at(terms, ((i - 1) % 3 + 1).cast("int")), lit(" "))),
+            ""),
+          when(col("doc_id") % 2 === 0, "trailing fragment no terminator")
+            .otherwise(""))
+      }
+      chunkSemantic(
+        Tables(s, dir, "documents").select(col("doc_id"), page.as("text")),
+        "text", "doc_id", threshold = 0.9, maxSentences = 40)
         .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")

@@ -761,7 +761,7 @@ class PropertySpec extends SparkSpec {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", bos)
     val clean = bos.toByteArray
-    val exifPayload = "Exif  FAKE-TIFF gps=secret".getBytes("ASCII")
+    val exifPayload = "Exif\u0000\u0000FAKE-TIFF gps=secret".getBytes("ASCII")
     val app1 = Array(0xff, 0xe1).map(_.toByte) ++
       Array(((exifPayload.length + 2) >> 8).toByte, ((exifPayload.length + 2) & 0xff).toByte) ++
       exifPayload
@@ -874,6 +874,32 @@ class PropertySpec extends SparkSpec {
     assert(out(3)._3 == "final pair.")
     // no sentence was ever split across chunks
     assert(out.forall(c => c._3.matches(".*[.!?]$")))
+    Caches.releaseAll()
+  }
+
+  test("chunkSemantic: identical sentences never split, threshold extremes pin chunk counts") {
+    import spark.implicits._
+    import graft.operators.Formatters
+    val docs = Seq(
+      (1L, "alpha beta gamma. alpha beta gamma. alpha beta gamma."), // identical → cos 1.0
+      (2L, "totally first topic here. second subject entirely! third thing altogether?"))
+      .toDF("doc_id", "text")
+    def run(thr: Double) = Formatters.chunkSemantic(docs, "text", "doc_id", threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    // identical sentences: cosine is exactly 1.0 — never a boundary
+    // at any threshold ≤ 1
+    val at9 = run(0.9)
+    assert(at9(1L).map(_._2).toSeq == Seq(0) && at9(1L).head._3 == 3L)
+    // threshold above 1: EVERY adjacent pair breaks → one chunk per sentence
+    val all = run(1.1)
+    assert(all(1L).length == 3 && all(2L).length == 3)
+    assert(all(2L).sortBy(_._2).map(_._4).toSeq ==
+      Seq("totally first topic here.", "second subject entirely!", "third thing altogether?"))
+    // threshold at -1: nothing breaks → one chunk, original order kept
+    val none = run(-1.0)
+    assert(none(2L).map(_._2).toSeq == Seq(0) &&
+      none(2L).head._4 == "totally first topic here. second subject entirely! third thing altogether?")
     Caches.releaseAll()
   }
 
