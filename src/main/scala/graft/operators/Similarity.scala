@@ -339,6 +339,46 @@ object Similarity {
     groupedTopK(rer, k)
   }
 
+  /** Late-interaction MaxSim scoring (the ColBERT relevance operator,
+    * Khattab & Zaharia, SIGIR'20) over MULTI-VECTOR representations:
+    * score(q, d) = mean over the query's vectors of the MAX cosine
+    * against any of the document's vectors. Single-vector retrieval
+    * (the whole ANN stack above) collapses a document to one point;
+    * late interaction keeps one vector per sentence/token-span so a
+    * query term can match ITS best span — the standard rerank stage
+    * behind an ANN shortlist. Determinism: per-pair cosines are the
+    * pround-6 sequential kernel, the max is order-independent, and
+    * the mean folds the rounded maxes left-to-right before a final
+    * pround-6 — the SQL twin replays every step. */
+  def maxSim(qvecs: Column, dvecs: Column): Column = {
+    val maxes = transform(qvecs, qv =>
+      array_max(transform(dvecs, dv => graft.Cols.pround(
+        seqDot(qv, dv) / (sqrt(seqDot(qv, qv)) * sqrt(seqDot(dv, dv))), 6))))
+    graft.Cols.pround(
+      aggregate(maxes, lit(0.0), (a, x) => a + x) / size(qvecs), 6)
+  }
+
+  /** MaxSim re-rank of an ANN shortlist: `candidates` (qid, id) is
+    * the bounded per-query shortlist a first-stage retriever produced
+    * (≤ tens-hundreds of rows per query — NEVER all pairs), so the
+    * two joins broadcast the small sides and the multi-vector score
+    * runs as a narrow higher-order expression per candidate row; the
+    * final cut is the bounded-heap top-k. Cost at 100 TB is
+    * O(|candidates| · |qvecs|·|dvecs| · dim) — independent of corpus
+    * size by construction. */
+  def maxSimRerank(
+      queries: DataFrame, // qid, qvecs: array<array<double>>
+      docs: DataFrame, // id, vecs: array<array<double>>
+      candidates: DataFrame, // qid, id
+      k: Int): DataFrame = {
+    graft.expr.GraftExtensions.register(queries.sparkSession)
+    val scored = candidates
+      .join(queries.filter(size(col("qvecs")) > 0), Seq("qid"))
+      .join(docs.filter(size(col("vecs")) > 0), Seq("id"))
+      .select(col("qid"), col("id"), maxSim(col("qvecs"), col("vecs")).as("cos"))
+    groupedTopK(scored, k)
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
     * greedily pick `pick` results from the relevance shortlist,
     * step score = λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the
@@ -2062,6 +2102,65 @@ object Similarity {
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
         shortlist = 5, pick = 3, lam = 0.5)
+        .orderBy("qid", "rank")
+    },
+
+    // Late-interaction MaxSim gate: multi-vector docs (one stub
+    // embedding per 10-word window, ≤10 windows) reranked for 5
+    // multi-vector queries (first 2 windows of docs 0-4) over an
+    // all-pairs shortlist of the first 60 docs — the gate-scale
+    // stand-in for an ANN shortlist. The oracle replays the window
+    // split, each md5 hash-embedding, every pround-6 pairwise
+    // sequential cosine, the per-query-vector max, the left-to-right
+    // mean fold and the (score desc, id) top-3 cut.
+    Gate(
+      "ann_maxsim_rerank", {
+        val wp = TextAnalysis.WordPattern
+        val h32 = "CAST(CAST('0x'||substr(md5(s || '#' || CAST(j AS VARCHAR)),1,8) AS UBIGINT) AS BIGINT)"
+        def dot(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 9), k -> ($a)[k] * ($b)[k]), (x, y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+        val pairCos = Cols.proundSql(cos("qv", "dv"), 6)
+        val score = Cols.proundSql(
+          "list_reduce(list_transform(q.qvecs, qv -> " +
+            s"list_max(list_transform(d.vecs, dv -> $pairCos))), (x, y) -> x + y) " +
+            "/ len(q.qvecs)", 6)
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$wp') AS ws FROM documents),
+           |mv AS (SELECT doc_id,
+           |    [array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')
+           |     FOR i IN range(1, least(CAST(ceil(len(ws)/10.0) AS INT), 10) + 1)] AS chunks
+           |  FROM w),
+           |em AS (SELECT doc_id,
+           |    [[CAST($h32 % 1000 AS DOUBLE) / 1000.0 FOR j IN range(0, 8)]
+           |     FOR s IN chunks] AS vecs
+           |  FROM mv),
+           |d AS (SELECT doc_id AS id, vecs FROM em WHERE doc_id < 60 AND len(vecs) > 0),
+           |q AS (SELECT doc_id AS qid, vecs[1:2] AS qvecs FROM em
+           |      WHERE doc_id < 5 AND len(vecs) > 0),
+           |sc AS (SELECT q.qid, d.id, $score AS cos FROM q, d),
+           |ranked AS (SELECT qid, id, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)
+           |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor_id,
+           |  ${Cols.proundSql("cos", 4)} AS cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, dir) =>
+      def windowEmbs(cap: Int) = graft.Cols.bind(TextAnalysis.words(col("text"))) { ws =>
+        transform(
+          TextAnalysis.indices(least(ceil(size(ws) / lit(10.0)), lit(cap))),
+          i => graft.operators.Annotators.fakeEmbedding(
+            array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "), 8))
+      }
+      val docs0 = Tables(s, dir, "documents")
+      maxSimRerank(
+        docs0.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), windowEmbs(2).as("qvecs")),
+        docs0.filter(col("doc_id") < 60)
+          .select(col("doc_id").as("id"), windowEmbs(10).as("vecs")),
+        docs0.filter(col("doc_id") < 5).select(col("doc_id").as("qid"))
+          .crossJoin(docs0.filter(col("doc_id") < 60).select(col("doc_id").as("id"))),
+        k = 3)
         .orderBy("qid", "rank")
     },
 
