@@ -33,6 +33,7 @@ object SparkEntry {
       ml.Calibration.gates ++
       ml.ClassifierTraining.gates ++
       sources.DocSource.gates ++
+      sources.TfRecord.gates ++
       sources.WebDataset.gates ++
       sources.arrow.ArrowGates.gates ++
       tokens.Tokens.gates ++

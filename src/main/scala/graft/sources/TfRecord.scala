@@ -1,0 +1,357 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.{Gate, Tables}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TFRecord source/sink — the TensorFlow training-data container, the
+  * ecosystem twin of the Megatron MMIDIDX pair (S5): where Megatron
+  * packs raw token ids, TFRecord wraps per-example feature maps, and
+  * a pretraining pipeline that feeds TF/JAX trainers exports exactly
+  * this. Hand-rolled on the JDK — no TF, no protobuf-java:
+  *
+  *  - record framing (tensorflow/core/lib/io/record_writer.h):
+  *    u64-LE payload length, u32-LE MASKED CRC32C of those 8 length
+  *    bytes, payload, u32-LE masked CRC32C of the payload; the mask
+  *    is ((crc >>> 15) | (crc << 17)) + 0xa282ead8. CRC32C is
+  *    `java.util.zip.CRC32C` (JDK 9+).
+  *  - payload = a `tf.train.Example` protobuf: Example.features(1) →
+  *    Features.feature(1) map entries (key(1), Feature(2)) →
+  *    Feature.{bytes_list(1), float_list(2), int64_list(3)}, each a
+  *    length-delimited list message with (packed where numeric)
+  *    field 1 — encoded with plain varint/length-delimited wire
+  *    rules.
+  *
+  * Scale design: one shard per input partition written inside the
+  * task via the task-attempt temp + atomic-rename discipline
+  * (speculation/retry safe, a killed task leaves only an ignored
+  * `.tmp-*`); the reader plans one partition per shard file. Both
+  * CRCs are VERIFIED on read and fail loudly — a 100 TB archive's
+  * bit-rot must not silently truncate training data. */
+object TfRecord {
+
+  // ---- protobuf wire helpers ----
+
+  private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** length-delimited field: tag (fieldNo, wire type 2), len, bytes */
+  private def ld(out: ByteArrayOutputStream, fieldNo: Int, bytes: Array[Byte]): Unit = {
+    varint(out, (fieldNo << 3) | 2)
+    varint(out, bytes.length.toLong)
+    out.write(bytes)
+  }
+
+  private def bytesList(v: Array[Byte]): Array[Byte] = {
+    val b = new ByteArrayOutputStream(); ld(b, 1, v); b.toByteArray
+  }
+
+  private def int64List(vs: Seq[Long]): Array[Byte] = {
+    val packed = new ByteArrayOutputStream()
+    vs.foreach(varint(packed, _))
+    val b = new ByteArrayOutputStream(); ld(b, 1, packed.toByteArray); b.toByteArray
+  }
+
+  private def floatList(vs: Seq[Float]): Array[Byte] = {
+    val packed = new ByteArrayOutputStream()
+    val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach { f => bb.clear(); bb.putFloat(f); packed.write(bb.array(), 0, 4) }
+    val b = new ByteArrayOutputStream(); ld(b, 1, packed.toByteArray); b.toByteArray
+  }
+
+  /** Feature message: bytes_list=1 / float_list=2 / int64_list=3. */
+  private def feature(kind: Int, listBytes: Array[Byte]): Array[Byte] = {
+    val b = new ByteArrayOutputStream(); ld(b, kind, listBytes); b.toByteArray
+  }
+
+  /** One Example from (name, Feature-bytes) pairs, in the given
+    * (schema) order — deterministic bytes for a deterministic row. */
+  private def example(feats: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val features = new ByteArrayOutputStream()
+    feats.foreach { case (name, f) =>
+      val entry = new ByteArrayOutputStream()
+      ld(entry, 1, name.getBytes("UTF-8"))
+      ld(entry, 2, f)
+      ld(features, 1, entry.toByteArray)
+    }
+    val ex = new ByteArrayOutputStream()
+    ld(ex, 1, features.toByteArray)
+    ex.toByteArray
+  }
+
+  // ---- TFRecord framing ----
+
+  private def maskedCrc(bytes: Array[Byte], len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes, 0, len)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  private def writeRecord(out: java.io.OutputStream, payload: Array[Byte]): Unit = {
+    val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(payload.length.toLong).array()
+    val w32 = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    out.write(hdr)
+    w32.clear(); w32.putInt(maskedCrc(hdr, 8)); out.write(w32.array(), 0, 4)
+    out.write(payload)
+    w32.clear(); w32.putInt(maskedCrc(payload, payload.length)); out.write(w32.array(), 0, 4)
+  }
+
+  // ---- schema-driven row encode ----
+
+  private def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | StringType | BinaryType => ()
+      case ArrayType(LongType | IntegerType | FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"TfRecord: column '${f.name}' of type $other unsupported " +
+          "(int64/string/binary scalars, int64/float lists)")
+    }
+  }
+
+  private def rowExample(schema: StructType, row: Row): Array[Byte] =
+    example(schema.fields.zipWithIndex.collect {
+      case (f, i) if !row.isNullAt(i) =>
+        val fe = f.dataType match {
+          case LongType => feature(3, int64List(Seq(row.getLong(i))))
+          case IntegerType => feature(3, int64List(Seq(row.getInt(i).toLong)))
+          case StringType => feature(1, bytesList(row.getString(i).getBytes("UTF-8")))
+          case BinaryType => feature(1, bytesList(row.getAs[Array[Byte]](i)))
+          case ArrayType(LongType, _) => feature(3, int64List(row.getSeq[Long](i)))
+          case ArrayType(IntegerType, _) => feature(3, int64List(row.getSeq[Int](i).map(_.toLong)))
+          case ArrayType(FloatType, _) => feature(2, floatList(row.getSeq[Float](i)))
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        f.name -> fe
+    }.toSeq)
+
+  /** Write one TFRecord shard per input partition to
+    * `dir/part-<pid>.tfrecord`. NULL cells simply omit that feature
+    * (the Example map convention). */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    validate(schema)
+    Files.createDirectories(Paths.get(dir))
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val ctx = TaskContext.get()
+        val pid = ctx.partitionId()
+        val finalPath = Paths.get(f"$dir/part-$pid%05d.tfrecord")
+        val tmpPath = Paths.get(f"$dir/.part-$pid%05d.tmp-${ctx.taskAttemptId()}%d")
+        val out = new BufferedOutputStream(
+          new FileOutputStream(tmpPath.toFile), 1 << 20)
+        try rows.foreach(r => writeRecord(out, rowExample(schema, r)))
+        finally out.close()
+        Files.move(tmpPath, finalPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  // ---- protobuf wire parse (tolerant of unknown fields) ----
+
+  private final class Cursor(val b: Array[Byte], var i: Int, val end: Int) {
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val x = b(i) & 0xff; i += 1; v |= (x & 0x7fL) << shift; shift += 7; (x & 0x80) != 0 }) ()
+      v
+    }
+    def slice(len: Int): Cursor = { val c = new Cursor(b, i, i + len); i += len; c }
+    def hasNext: Boolean = i < end
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => i += 8
+      case 2 => val len = varint().toInt; i += len
+      case 5 => i += 4
+      case w => throw new IllegalArgumentException(s"TfRecord: unsupported wire type $w")
+    }
+  }
+
+  private def parseList(c: Cursor): (Int, Cursor) = {
+    // Feature: exactly one of bytes_list(1)/float_list(2)/int64_list(3)
+    var kind = 0; var body: Cursor = null
+    while (c.hasNext) {
+      val tag = c.varint().toInt
+      val (f, w) = (tag >> 3, tag & 7)
+      if (w == 2 && f >= 1 && f <= 3) { kind = f; body = c.slice(c.varint().toInt) }
+      else c.skip(w)
+    }
+    (kind, body)
+  }
+
+  private def parseFeature(c: Cursor): Any = {
+    val (kind, body) = parseList(c)
+    if (body == null) null
+    else kind match {
+      case 1 => // BytesList: repeated bytes value = 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        while (body.hasNext) {
+          val tag = body.varint().toInt
+          if ((tag & 7) == 2 && (tag >> 3) == 1) {
+            val len = body.varint().toInt
+            out += java.util.Arrays.copyOfRange(body.b, body.i, body.i + len)
+            body.i += len
+          } else body.skip(tag & 7)
+        }
+        out.toSeq
+      case 2 => // FloatList: packed (or unpacked) float value = 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[Float]
+        while (body.hasNext) {
+          val tag = body.varint().toInt
+          (tag >> 3, tag & 7) match {
+            case (1, 2) =>
+              val inner = body.slice(body.varint().toInt)
+              while (inner.hasNext) {
+                out += ByteBuffer.wrap(inner.b, inner.i, 4)
+                  .order(ByteOrder.LITTLE_ENDIAN).getFloat
+                inner.i += 4
+              }
+            case (1, 5) =>
+              out += ByteBuffer.wrap(body.b, body.i, 4)
+                .order(ByteOrder.LITTLE_ENDIAN).getFloat
+              body.i += 4
+            case (_, w) => body.skip(w)
+          }
+        }
+        out.toSeq
+      case _ => // Int64List: packed (or unpacked) int64 value = 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (body.hasNext) {
+          val tag = body.varint().toInt
+          (tag >> 3, tag & 7) match {
+            case (1, 2) =>
+              val inner = body.slice(body.varint().toInt)
+              while (inner.hasNext) out += inner.varint()
+            case (1, 0) => out += body.varint()
+            case (_, w) => body.skip(w)
+          }
+        }
+        out.toSeq
+    }
+  }
+
+  /** Example payload → feature name → decoded list value. */
+  private[sources] def parseExample(payload: Array[Byte]): Map[String, Any] = {
+    val out = scala.collection.mutable.Map.empty[String, Any]
+    val ex = new Cursor(payload, 0, payload.length)
+    while (ex.hasNext) {
+      val tag = ex.varint().toInt
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val features = ex.slice(ex.varint().toInt)
+        while (features.hasNext) {
+          val ft = features.varint().toInt
+          if ((ft >> 3) == 1 && (ft & 7) == 2) {
+            val entry = features.slice(features.varint().toInt)
+            var key: String = null; var value: Any = null
+            while (entry.hasNext) {
+              val et = entry.varint().toInt
+              (et >> 3, et & 7) match {
+                case (1, 2) =>
+                  val len = entry.varint().toInt
+                  key = new String(entry.b, entry.i, len, "UTF-8"); entry.i += len
+                case (2, 2) => value = parseFeature(entry.slice(entry.varint().toInt))
+                case (_, w) => entry.skip(w)
+              }
+            }
+            if (key != null) out(key) = value
+          } else features.skip(ft & 7)
+        }
+      } else ex.skip(tag & 7)
+    }
+    out.toMap
+  }
+
+  /** Parse one shard file, VERIFYING both masked CRCs per record. */
+  private[sources] def readShard(path: String): Iterator[Map[String, Any]] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    var i = 0
+    new Iterator[Map[String, Any]] {
+      def hasNext: Boolean = i < bytes.length
+      def next(): Map[String, Any] = {
+        val hdr = java.util.Arrays.copyOfRange(bytes, i, i + 8)
+        val len = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
+        val hcrc = ByteBuffer.wrap(bytes, i + 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(hcrc == maskedCrc(hdr, 8),
+          s"TfRecord: length CRC mismatch at offset $i in $path — corrupt shard")
+        val payload = java.util.Arrays.copyOfRange(bytes, i + 12, i + 12 + len)
+        val pcrc = ByteBuffer.wrap(bytes, i + 12 + len, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(pcrc == maskedCrc(payload, len),
+          s"TfRecord: payload CRC mismatch at offset $i in $path — corrupt shard")
+        i += 12 + len + 4
+        parseExample(payload)
+      }
+    }
+  }
+
+  /** Read a shard directory back into `schema` — one Spark partition
+    * per shard file; a feature absent from an Example reads as NULL. */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    validate(schema)
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tfrecord"))
+      .map(_.getPath).sorted.toSeq
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap(p => readShard(p).map { feats =>
+        Row.fromSeq(schema.fields.toSeq.map { f =>
+          feats.get(f.name) match {
+            case None | Some(null) => null
+            case Some(v) =>
+              val longs = () => v.asInstanceOf[Seq[Long]]
+              f.dataType match {
+                case LongType => longs().head
+                case IntegerType => longs().head.toInt
+                case StringType =>
+                  new String(v.asInstanceOf[Seq[Array[Byte]]].head, "UTF-8")
+                case BinaryType => v.asInstanceOf[Seq[Array[Byte]]].head
+                case ArrayType(LongType, _) => longs()
+                case ArrayType(IntegerType, _) => longs().map(_.toInt)
+                case ArrayType(FloatType, _) => v.asInstanceOf[Seq[Float]]
+                case other => throw new IllegalStateException(s"unreachable: $other")
+              }
+          }
+        })
+      })
+    spark.createDataFrame(rows, schema)
+  }
+
+  val gates: Seq[Gate] = Seq(
+    // TFRecord round-trip gate (the snk_megatron discipline): write
+    // (doc_id, text, n_words, token prefix) through the hand-rolled
+    // protobuf + CRC framing, read it back through the verifying
+    // parser, compare against the table the bytes came from. A
+    // framing, varint, packed-list or CRC bug anywhere breaks the
+    // round trip; the oracle recomputes n_words/tokens from text so
+    // the features must genuinely survive the container.
+    Gate(
+      "snk_tfrecord", {
+        val wp = graft.operators.TextAnalysis.WordPattern
+        val h32 = "CAST(CAST('0x'||substr(md5(w),1,8) AS UBIGINT) AS BIGINT)"
+        s"""SELECT doc_id, text,
+           |  CAST(len(regexp_extract_all(text, '$wp')) AS BIGINT) AS n_words,
+           |  [$h32 % 1000 FOR w IN regexp_extract_all(text, '$wp')[1:5]] AS tok
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        size(graft.operators.TextAnalysis.words(col("text"))).cast("long").as("n_words"),
+        transform(
+          slice(graft.operators.TextAnalysis.words(col("text")), 1, 5),
+          w => pmod(graft.operators.TextAnalysis.h32(w), lit(1000L))).as("tok"))
+      val path = DocSource.gateScratch(dir, "snk_tfrecord")
+      write(docs, path)
+      read(s, path, docs.schema).orderBy("doc_id")
+    }
+  )
+}

@@ -325,4 +325,42 @@ class SourcesSpec extends SparkSpec {
         "present id must hit the bloom filter")
     } finally reader.close()
   }
+
+  test("TfRecord: round-trips edge payloads, verifies CRCs loudly, NULL features survive") {
+    import spark.implicits._
+    import graft.sources.TfRecord
+    val dir = Files.createTempDirectory("graft-tfrecord").toString
+    // edge payloads: empty text, >127-byte text (multi-byte varint
+    // lengths), non-ASCII UTF-8, a NULL cell, big/negative int64s
+    // (multi-byte and 10-byte varints), empty + large token lists
+    val rows = Seq(
+      (0L, "", Seq.empty[Long]),
+      (1L, "x" * 5000, Seq(0L, 127L, 128L, 300L, Long.MaxValue)),
+      (2L, "héllo wörld — ünïcode ✓", Seq(-1L, Long.MinValue)),
+      (3L, null.asInstanceOf[String], (0L until 100L).toSeq))
+      .toDF("doc_id", "text", "tok")
+    TfRecord.write(rows, dir)
+    val back = TfRecord.read(spark, dir, rows.schema)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(back.size == 4)
+    assert(back(0L).getString(1) == "" && back(0L).getSeq[Long](2).isEmpty)
+    assert(back(1L).getString(1).length == 5000 &&
+      back(1L).getSeq[Long](2) == Seq(0L, 127L, 128L, 300L, Long.MaxValue))
+    assert(back(2L).getString(1) == "héllo wörld — ünïcode ✓" &&
+      back(2L).getSeq[Long](2) == Seq(-1L, Long.MinValue))
+    assert(back(3L).isNullAt(1), "NULL cell must read back as NULL, not a phantom feature")
+    assert(back(3L).getSeq[Long](2) == (0L until 100L).toSeq)
+    // CRC verification is real: flip one payload byte → loud failure
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).minBy(_.getName)
+    val bytes = Files.readAllBytes(shard.toPath)
+    bytes(14) = (bytes(14) ^ 0x01).toByte // inside the first payload
+    Files.write(shard.toPath, bytes)
+    val ex = intercept[Exception] {
+      TfRecord.read(spark, dir, rows.schema).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(ex).contains("CRC"), s"expected a CRC failure, got: ${chain(ex).take(300)}")
+  }
 }
