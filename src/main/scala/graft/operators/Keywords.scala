@@ -555,40 +555,78 @@ object Keywords {
     * word score = degree/frequency where degree sums the lengths of
     * the phrases each occurrence sits in; a phrase scores the sum of
     * its word scores; top-k phrases win with (score desc, phrase,
-    * position) determinism. Per-doc word stats go through one
-    * (doc, word) aggregate + one join back — both map-side-reduced,
-    * and the final cut is the house bounded-heap `graft_top_k`
-    * aggregate (≤ k rows per partition per doc cross the final
-    * exchange — never a per-doc window sort over the full phrase
-    * list). Word scores are pround-8 decimals before the phrase sum,
-    * so results are order- and engine-independent. */
+    * position) determinism.
+    *
+    * Scale shape (the V262 textRank-kernel precedent): RAKE's word
+    * statistics are CONFINED to their document, so the whole
+    * phrase-split → word-stat → score → top-k computation runs as a
+    * pure per-row kernel — ZERO exchanges (the former DataFrame plan
+    * exploded (doc, phrase, word) rows through a (doc, word)
+    * aggregate, a join back, and a grouped heap: three shuffles of
+    * derived rows for arithmetic each document already contains).
+    *
+    * Decimal discipline (hash-parity with the unchanged SQL twin):
+    * word scores are pround-8, carried as 1e8-SCALED LONGS so the
+    * per-phrase sum is exact integer math ≡ the oracle's
+    * DECIMAL(18,8) sum, converted once via ΣS.toDouble / 1e8 (both
+    * correctly rounded — identical to Decimal.toDouble) and
+    * pround-6'd. */
   def rakeKeywords(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(k >= 1, "rakeKeywords: k must be >= 1")
-    graft.expr.GraftExtensions.register(docs.sparkSession)
-    val ph = docs
-      .select(col(idCol).as("doc_id"), posexplode(rakePhrases(col(textCol))))
-      .withColumnRenamed("pos", "pidx").withColumnRenamed("col", "phrase")
-    val pw = ph.select(col("doc_id"), col("pidx"), col("phrase"),
-      explode(split(col("phrase"), " ")).as("word"),
-      size(split(col("phrase"), " ")).as("plen"))
-    val ws = pw.groupBy("doc_id", "word")
-      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
-      .select(col("doc_id"), col("word"),
-        Cols.pround(col("deg").cast("double") / col("freq"), 8)
-          .cast(DecimalType(18, 8)).as("wscore"))
-    val ps = pw.join(ws, Seq("doc_id", "word"))
-      .groupBy("doc_id", "pidx", "phrase")
-      .agg(Cols.pround(sum("wscore").cast("double"), 6).as("score"))
-    // (score desc, phrase asc, pidx asc) as an ascending struct sort:
-    // negate the score so the bounded heap keeps the k smallest.
-    ps.groupBy("doc_id")
-      .agg(call_function("graft_top_k",
-        struct((-col("score")).as("ns"), col("phrase").as("p"), col("pidx").as("i")),
-        lit(k), lit(true)).as("top"))
-      .select(col("doc_id"), posexplode(array_sort(col("top"))))
-      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.p").as("phrase"), (-col("col.ns")).as("score"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        RakeKernel.topK(text, k).map { case (r, p, s) => (id, r, p, s) }
+      }
+      .toDF(idCol, "rank", "phrase", "score")
+  }
+
+  /** Per-document RAKE kernel — the JVM twin of the SQL oracle, op
+    * for op: the same boundary regex (Java regex on both engines),
+    * the same single-space + trim normalization (phrases contain only
+    * `[a-z0-9 ]`, so Java trim ≡ SQL trim), ASCII-binary tie order,
+    * and the scaled-long decimal discipline described at
+    * [[rakeKeywords]]. */
+  private[operators] object RakeKernel {
+    private val boundary = java.util.regex.Pattern.compile(RakeBoundaryRe)
+    private val spaces = java.util.regex.Pattern.compile(" +")
+
+    private def pround(x: Double, s: Int): Double = {
+      val f = math.pow(10, s); math.floor(x * f + 0.5) / f
+    }
+
+    def topK(text: String, k: Int): Seq[(Int, String, Double)] = {
+      if (text == null) return Nil
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
+      val phrases = boundary.matcher(lower).replaceAll("|")
+        .split("\\|", -1)
+        .iterator
+        .map(p => spaces.matcher(p).replaceAll(" ").trim)
+        .filter(_.nonEmpty)
+        .toArray
+      if (phrases.isEmpty) return Nil
+      val phraseWords = phrases.map(_.split(" "))
+      val deg = new java.util.HashMap[String, Long]()
+      val freq = new java.util.HashMap[String, Long]()
+      for (ws <- phraseWords; w <- ws) {
+        deg.merge(w, ws.length.toLong, _ + _)
+        freq.merge(w, 1L, _ + _)
+      }
+      // wscore as a 1e8-scaled long: floor(deg/freq · 1e8 + ½) — the
+      // exact integer the oracle's DECIMAL(18,8) carries
+      val wscore = new java.util.HashMap[String, Long]()
+      deg.forEach((w, d) =>
+        wscore.put(w, math.floor(d.toDouble / freq.get(w) * 1e8 + 0.5).toLong))
+      val scored = phraseWords.zipWithIndex.map { case (ws, i) =>
+        var s = 0L
+        ws.foreach(w => s += wscore.get(w)) // exact — order-free like the decimal sum
+        (i, phrases(i), pround(s.toDouble / 1e8, 6))
+      }
+      scored.sortBy { case (i, p, s) => (-s, p, i) }
+        .take(k).zipWithIndex
+        .map { case ((_, p, s), r) => (r + 1, p, s) }.toSeq
+    }
   }
 
   val gates: Seq[Gate] = Seq(
