@@ -368,17 +368,21 @@ object Formatters {
       .select(col("__id"), col("__sents"),
         aggregate(
           col("__sents"),
-          struct(lit("").as("prev"), lit(-1).as("idx"),
+          // carry the PREVIOUS sentence's embedding in the state —
+          // each sentence embeds once, not twice (halves the encoder
+          // work of the whole fold)
+          struct(array().cast("array<double>").as("pe"), lit(-1).as("idx"),
             array().cast("array<int>").as("ix")),
-          (st, s) => bind(
-            when(st.getField("idx") < 0, lit(0)) // first sentence opens chunk 0
-              .otherwise(when(
-                graft.Cols.pround(
-                  cos(embed(st.getField("prev")), embed(s)), 6) < threshold,
-                st.getField("idx") + 1).otherwise(st.getField("idx")))
-              .cast("int")) { idx =>
-            struct(s.as("prev"), idx.as("idx"),
-              concat(st.getField("ix"), array(idx)).as("ix"))
+          (st, s) => bind(embed(s)) { e =>
+            bind(
+              when(st.getField("idx") < 0, lit(0)) // first sentence opens chunk 0
+                .otherwise(when(
+                  graft.Cols.pround(cos(st.getField("pe"), e), 6) < threshold,
+                  st.getField("idx") + 1).otherwise(st.getField("idx")))
+                .cast("int")) { idx =>
+              struct(e.as("pe"), idx.as("idx"),
+                concat(st.getField("ix"), array(idx)).as("ix"))
+            }
           }).getField("ix").as("__ix"))
       .select(col("__id"),
         posexplode(arrays_zip(col("__sents").as("s"), col("__ix").as("ci"))))
