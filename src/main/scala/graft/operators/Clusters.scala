@@ -640,6 +640,78 @@ object Clusters {
     labels.select(col("node"), col("lbl").as("label"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman, Social
+    * Networks 1983): repeatedly delete nodes of degree < k; a node's
+    * CORE NUMBER is the largest k whose k-core still contains it
+    * (capped at `kMax` here — web-graph consumers bucket high cores
+    * anyway). Corpus use: the link-graph density signal PageRank/HITS
+    * don't give — high-core hosts form the web's densely-interlinked
+    * nucleus (link farms and genuine hubs alike, to be separated by
+    * quality signals), 1-core leaves are the crawl fringe.
+    *
+    * Scale shape: per peel round, ONE map-side-combined degree
+    * aggregate + two semi-joins against the shrinking edge frame —
+    * the [[labelPropagation]] exchange pattern; rounds per k are
+    * data-bounded with a LOUD non-convergence failure (`maxRounds`
+    * must cover the longest peel cascade — a chain graph peels one
+    * layer per round, a pseudorandom graph a handful). Fixpoint is
+    * detected by edge-count stability (any peeled node owned ≥ 1
+    * edge, so the count strictly drops until done). Integer-only —
+    * no float parity surface. Returns (node, core) for every
+    * non-loop-edge endpoint. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      kMax: Int = 3,
+      maxRounds: Int = 6): DataFrame = {
+    require(kMax >= 1 && maxRounds >= 1, "kCore: kMax and maxRounds must be >= 1")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val und = graft.Caches.persist(
+      e0.union(e0.select(col("dst"), col("src")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    val nodes = graft.Caches.persist(und.select(col("src").as("node")).distinct())
+    require(nodes.count() > 0, "kCore: no non-loop edges")
+
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+
+    // every edge endpoint has degree >= 1, so the 1-core is everyone
+    var result = nodes.withColumn("core", lit(1))
+    var alive = und
+    var aliveCnt = alive.count()
+    for (k <- 2 to kMax if aliveCnt > 0) {
+      var rounds = 0
+      var done = false
+      while (!done && rounds < maxRounds) {
+        val keep = alive.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("src")
+        val next = truncate(alive
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+        val nextCnt = next.count()
+        done = nextCnt == aliveCnt
+        alive = next
+        aliveCnt = nextCnt
+        rounds += 1
+      }
+      require(done || aliveCnt == 0,
+        s"kCore: k=$k did not converge in $maxRounds peel rounds — raise " +
+          "maxRounds (and the oracle's unroll) to cover the peel cascade")
+      val survivors = alive.select(col("src").as("node")).distinct()
+        .withColumn("__k", lit(k))
+      result = result.join(survivors, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__k"), col("core")).cast("int").as("core"))
+    }
+    result
+  }
+
   /** Modularity report of a community assignment (Newman & Girvan) —
     * the quality number every community detection is judged by:
     * per community c, q_c = L_c/m − (D_c/2m)², where L_c counts
@@ -788,6 +860,52 @@ object Clusters {
        |FROM ids JOIN h$iterations h ON ids.rn = h.node
        |JOIN a$iterations a ON ids.rn = a.node
        |ORDER BY node""".stripMargin
+  }
+
+  // k-core twin: the planted-layer fixture (chains → core 1,
+  // triangles → core 2, K4 cliques → core 3, stragglers as leaves)
+  // with every peel ROUND unrolled — a fixpoint reached early makes
+  // the remaining rounds no-ops, so Spark's data-bounded loop and
+  // the fixed unroll meet at the same fixpoint. Integer-only.
+  private def kCoreSqlTwin(kMax: Int, rounds: Int): String = {
+    val peels = (2 to kMax).flatMap { k =>
+      val base = if (k == 2) "e" else s"e${k - 1}_$rounds"
+      (0 until rounds).map { r =>
+        val prev = if (r == 0) base else s"e${k}_$r"
+        s"""d${k}_${r + 1} AS MATERIALIZED (SELECT src, count(*) AS d FROM $prev GROUP BY src),
+           |e${k}_${r + 1} AS MATERIALIZED (SELECT p.src, p.dst FROM $prev p
+           |  JOIN d${k}_${r + 1} a ON a.src = p.src AND a.d >= $k
+           |  JOIN d${k}_${r + 1} b ON b.src = p.dst AND b.d >= $k)""".stripMargin
+      }
+    }.mkString(",\n")
+    val coreExpr = (2 to kMax).map { k =>
+      s"(CASE WHEN n.node IN (SELECT src FROM e${k}_$rounds) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) - count(*) % 12 AS BIGINT) AS m FROM ids),
+       |tri AS (SELECT rn AS src, (rn - rn % 12) + (rn % 12 + 1) % 3 AS dst FROM ids
+       |        WHERE rn < (SELECT m FROM nn) AND rn % 12 <= 2),
+       |k4 AS (SELECT a.rn AS src, b.rn AS dst FROM ids a JOIN ids b
+       |       ON a.rn - a.rn % 12 = b.rn - b.rn % 12
+       |       AND a.rn % 12 BETWEEN 3 AND 6 AND b.rn % 12 BETWEEN 3 AND 6
+       |       AND a.rn < b.rn WHERE a.rn < (SELECT m FROM nn)),
+       |chain AS (SELECT rn, rn - 1 FROM ids
+       |          WHERE rn < (SELECT m FROM nn) AND rn % 12 >= 8),
+       |link AS (SELECT rn, rn - rn % 12 FROM ids
+       |         WHERE rn < (SELECT m FROM nn) AND rn % 12 = 7),
+       |strag AS (SELECT rn, rn % (SELECT m FROM nn) FROM ids
+       |          WHERE rn >= (SELECT m FROM nn)),
+       |raw AS (SELECT * FROM tri UNION ALL SELECT * FROM k4
+       |        UNION ALL SELECT * FROM chain UNION ALL SELECT * FROM link
+       |        UNION ALL SELECT * FROM strag),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) q
+       |  WHERE src <> dst),
+       |$peels,
+       |n AS (SELECT DISTINCT src AS node FROM e)
+       |SELECT n.node, CAST(1 + $coreExpr AS INT) AS core
+       |FROM n ORDER BY n.node""".stripMargin
   }
 
   // cluster gates here and the semantic-dedup gate (expects a CTE
@@ -987,6 +1105,38 @@ object Clusters {
           graft.Cols.pround(col("hub"), 8).as("hub"),
           graft.Cols.pround(col("auth"), 8).as("auth"))
         .orderBy("node")
+    },
+
+    // k-core gate over the PLANTED-layer graph (the modular fixture
+    // is near-regular — every node lands in one core, a constant
+    // output that can't catch a peeling bug): chains unravel to
+    // core 1 across a 5-round cascade, triangles hold core 2, K4
+    // cliques hold core 3, stragglers hang as leaves.
+    Gate(
+      "op_kcore", kCoreSqlTwin(3, 8)) { (s, dir) =>
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
+      val m = n - n % 12
+      val base = col("rn") - (col("rn") % 12)
+      val o = col("rn") % 12
+      val inBlocks = col("rn") < m
+      val tri = ids.filter(inBlocks && o <= 2)
+        .select(col("rn").as("src"), (base + (o + 1) % 3).as("dst"))
+      val k4 = ids.as("a").join(ids.as("b"),
+        (col("a.rn") - col("a.rn") % 12) === (col("b.rn") - col("b.rn") % 12) &&
+          col("a.rn") % 12 >= 3 && col("a.rn") % 12 <= 6 &&
+          col("b.rn") % 12 >= 3 && col("b.rn") % 12 <= 6 &&
+          col("a.rn") < col("b.rn"))
+        .filter(col("a.rn") < m)
+        .select(col("a.rn").as("src"), col("b.rn").as("dst"))
+      val chain = ids.filter(inBlocks && o >= 8)
+        .select(col("rn").as("src"), (col("rn") - 1).as("dst"))
+      val link = ids.filter(inBlocks && o === 7)
+        .select(col("rn").as("src"), base.as("dst"))
+      val strag = ids.filter(col("rn") >= m)
+        .select(col("rn").as("src"), (col("rn") % m).as("dst"))
+      val e = fixtureEdges(
+        tri.union(k4).union(chain).union(link).union(strag))
+      kCore(e, "src", "dst", kMax = 3, maxRounds = 8).orderBy("node")
     },
 
     Gate(

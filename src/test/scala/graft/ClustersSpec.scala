@@ -249,6 +249,36 @@ class ClustersSpec extends SparkSpec {
     assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._2 == 0L)
   }
 
+  test("kCore: chain peels to 1, triangle holds 2, K4 holds 3; cascades converge; non-convergence is loud") {
+    import spark.implicits._
+    // K4 {0,1,2,3} — triangle {10,11,12} — chain 20-21-22-23 hanging
+    // off triangle node 10 (4-step peel cascade at k=2)
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), // K4
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (20L, 10L), (21L, 20L), (22L, 21L), (23L, 22L) // chain
+    ).toDF("a", "b")
+    val cores = Clusters.kCore(edges, "a", "b", kMax = 3, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(cores(_) == 3))
+    assert(Seq(10L, 11L, 12L).forall(cores(_) == 2))
+    assert(Seq(20L, 21L, 22L, 23L).forall(cores(_) == 1))
+    Caches.releaseAll()
+    // kMax caps the reported core: the K4 reports 2 at kMax = 2
+    val capped = Clusters.kCore(edges, "a", "b", kMax = 2, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped(0L) == 2 && capped(20L) == 1)
+    Caches.releaseAll()
+    // a longer chain than maxRounds covers must fail LOUDLY, not
+    // return a half-peeled 2-core
+    val long = (1L to 12L).map(i => (i - 1, i)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Clusters.kCore(long, "a", "b", kMax = 2, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("converge"))
+    Caches.releaseAll()
+  }
+
   test("componentLabels/duplicateClusters: one closure shared across consumers") {
     import spark.implicits._
     def edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
