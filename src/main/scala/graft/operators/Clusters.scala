@@ -1112,6 +1112,13 @@ object Clusters {
     // output that can't catch a peeling bug): chains unravel to
     // core 1 across a 5-round cascade, triangles hold core 2, K4
     // cliques hold core 3, stragglers hang as leaves.
+    // MEASURED cost note (r10): ~3.8 s at sf0.1 = ~9 data-bounded
+    // peel rounds (the 5-round chain cascade is the fixture's POINT)
+    // × fixed stage overhead per round (degree agg + 2 semi-joins +
+    // checkpoint + count) — the op_hits class of fixture-intrinsic
+    // iterative harness cost, not data volume; at scale the per-round
+    // fixed cost amortizes and one-degree-aggregate-per-round is the
+    // textbook-minimal synchronous peeling exchange.
     Gate(
       "op_kcore", kCoreSqlTwin(3, 8)) { (s, dir) =>
       val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
