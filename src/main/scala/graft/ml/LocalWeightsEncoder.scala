@@ -60,6 +60,17 @@ object LocalWeightsEncoder {
   def fromParquet(spark: SparkSession, path: String, idCol: String, vecCol: String): LocalWeightsEncoder =
     fromFrame(spark.read.parquet(path), idCol, vecCol)
 
+  /** Load the embedding matrix straight from an HF-style
+    * `.safetensors` file ([[SafeTensors]]) — no parquet re-export:
+    * `tensor` names the vocab×dim matrix (e.g. a torch export's
+    * `embeddings.word_embeddings.weight`). */
+  def fromSafetensors(path: String, tensor: String): LocalWeightsEncoder = {
+    val ts = SafeTensors.read(path)
+    val t = ts.getOrElse(tensor, throw new IllegalArgumentException(
+      s"no tensor '$tensor' in $path — found: ${ts.keys.toSeq.sorted.mkString(", ")}"))
+    LocalWeightsEncoder(t.matrix)
+  }
+
   def fromFrame(weights: DataFrame, idCol: String, vecCol: String): LocalWeightsEncoder = {
     val rows = weights
       .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))

@@ -100,6 +100,18 @@ object MlpClassifier {
       activation: String = "relu"): MlpClassifier =
     fromFrame(spark.read.parquet(path), activation)
 
+  /** Load the 2-layer head straight from an HF-style `.safetensors`
+    * file ([[SafeTensors]]) — tensors `{prefix}w1` (hidden×dim),
+    * `{prefix}b1`, `{prefix}w2` (hidden each), `{prefix}b2` (one
+    * element). No parquet re-export step. */
+  def fromSafetensors(path: String, prefix: String = "", activation: String = "relu"): MlpClassifier = {
+    val ts = SafeTensors.read(path)
+    def t(n: String) = ts.getOrElse(prefix + n, throw new IllegalArgumentException(
+      s"no tensor '$prefix$n' in $path — found: ${ts.keys.toSeq.sorted.mkString(", ")}"))
+    MlpClassifier(t("w1").matrix, t("b1").vector, t("w2").vector,
+      t("b2").doubles.head, activation)
+  }
+
   def fromFrame(weights: org.apache.spark.sql.DataFrame, activation: String): MlpClassifier = {
     val rows = weights
       .select(col("layer"), col("idx").cast("int"),

@@ -1,0 +1,107 @@
+package graft.ml
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** SafeTensors reader/writer — the HuggingFace weight-file container
+  * (public format, github.com/huggingface/safetensors): a u64-LE
+  * header length, a JSON header mapping tensor name → {dtype, shape,
+  * data_offsets: [begin, end)} (offsets relative to the byte region
+  * AFTER the header; an optional "__metadata__" entry carries string
+  * pairs), then the raw little-endian tensor bytes back to back.
+  *
+  * This closes the real-weights seam end to end: instead of the
+  * parquet re-export step (README "Swapping in real model weights"),
+  * a user points [[LocalWeightsEncoder.fromSafetensors]] /
+  * [[MlpClassifier.fromSafetensors]] straight at the `.safetensors`
+  * file an HF `save_pretrained` produced. JDK + Jackson (off Spark's
+  * own classpath) — zero new dependencies. F32/F64/I64 dtypes (the
+  * encoder/classifier payloads); quantized dtypes are out of scope.
+  * Every offset is bounds-checked — a truncated or lying header
+  * fails loudly, never reads garbage. */
+object SafeTensors {
+
+  final case class Tensor(dtype: String, shape: Seq[Int], data: Array[Byte]) {
+    /** Elements as doubles (F32 widens exactly; I64 > 2^53 would
+      * round — weights never are). */
+    def doubles: Array[Double] = {
+      val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      dtype match {
+        case "F32" => Array.fill(data.length / 4)(bb.getFloat.toDouble)
+        case "F64" => Array.fill(data.length / 8)(bb.getDouble)
+        case "I64" => Array.fill(data.length / 8)(bb.getLong.toDouble)
+        case other => throw new IllegalArgumentException(
+          s"SafeTensors: dtype $other unsupported (F32/F64/I64)")
+      }
+    }
+
+    /** Row-major 2-D view. */
+    def matrix: Array[Array[Double]] = {
+      require(shape.length == 2, s"SafeTensors: expected a 2-D tensor, got shape $shape")
+      doubles.grouped(shape(1)).toArray
+    }
+
+    /** 1-D (or scalar) view. */
+    def vector: Array[Double] = {
+      require(shape.length <= 1, s"SafeTensors: expected a 1-D tensor, got shape $shape")
+      doubles
+    }
+  }
+
+  def read(path: String): Map[String, Tensor] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    require(bytes.length >= 8, s"SafeTensors: $path truncated before the header length")
+    val hlen = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    require(hlen > 0 && hlen <= bytes.length - 8,
+      s"SafeTensors: header length $hlen escapes the ${bytes.length}-byte file")
+    val header = new String(bytes, 8, hlen.toInt, "UTF-8")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(header)
+    val base = 8 + hlen.toInt
+    val out = Map.newBuilder[String, Tensor]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey != "__metadata__") {
+        val n = e.getValue
+        require(n.has("dtype") && n.has("shape") && n.has("data_offsets"),
+          s"SafeTensors: tensor '${e.getKey}' missing dtype/shape/data_offsets")
+        val shape = (0 until n.get("shape").size()).map(n.get("shape").get(_).asInt())
+        val off = n.get("data_offsets")
+        val b = off.get(0).asLong()
+        val ed = off.get(1).asLong()
+        require(b >= 0 && ed >= b && base + ed <= bytes.length,
+          s"SafeTensors: tensor '${e.getKey}' offsets [$b,$ed) escape the file")
+        out += e.getKey -> Tensor(n.get("dtype").asText(), shape,
+          java.util.Arrays.copyOfRange(bytes, base + b.toInt, base + ed.toInt))
+      }
+    }
+    out.result()
+  }
+
+  /** Write F32 tensors (name, shape, row-major values) — the export
+    * stand-in for specs/gates, and a real writer for anyone shipping
+    * weights OUT of the pipeline. */
+  def writeF32(path: String, tensors: Seq[(String, Seq[Int], Array[Double])]): Unit = {
+    val blobs = tensors.map { case (name, shape, vals) =>
+      require(shape.product == vals.length,
+        s"SafeTensors: tensor '$name' shape $shape != ${vals.length} values")
+      val bb = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(v => bb.putFloat(v.toFloat))
+      bb.array()
+    }
+    var off = 0L
+    val entries = tensors.zip(blobs).map { case ((name, shape, _), blob) =>
+      val b = off
+      off += blob.length
+      s""""$name":{"dtype":"F32","shape":[${shape.mkString(",")}],"data_offsets":[$b,$off]}"""
+    }
+    val header = entries.mkString("{", ",", "}").getBytes("UTF-8")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(header.length.toLong).array())
+      out.write(header)
+      blobs.foreach(out.write)
+    } finally out.close()
+  }
+}

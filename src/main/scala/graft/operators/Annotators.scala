@@ -51,6 +51,43 @@ object Annotators {
   private[operators] def gateMatrix: Array[Array[Double]] =
     Array.tabulate(16, 4)((i, j) => (i * 4 + j + 1) / 64.0)
 
+  /** Shared oracle of the real-weights embedding gates: replays the
+    * embedding-bag model (hash-token lookup → mean-pool) for the
+    * literal gateMatrix. vocab/dim derived from gateMatrix, so
+    * reshaping the matrix reshapes the oracle with it. */
+  private def embedWeightsOracleSql: String = {
+    val vocab = gateMatrix.length
+    val dim = gateMatrix(0).length
+    val m = gateMatrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val zero = Seq.fill(dim)("0.0").mkString("[", ", ", "]")
+    val sum = (1 to dim).map(j => s"emb[$j]").mkString(" + ")
+    val h32 = "CAST(CAST('0x'||substr(md5(w),1,8) AS UBIGINT) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id,
+       |    [$h32 % $vocab FOR w IN regexp_extract_all(text, '${TextAnalysis.BpePattern}')] AS ids
+       |  FROM documents),
+       |e AS (SELECT doc_id,
+       |    CASE WHEN len(ids) = 0 THEN $zero
+       |         ELSE [list_sum([($m)[id + 1][j] FOR id IN ids]) / len(ids) FOR j IN range(1, ${dim + 1})]
+       |    END AS emb
+       |  FROM t)
+       |SELECT doc_id,
+       |  ${Cols.proundSql(sum, 5)} AS emb_checksum
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  private def embedWeightsQuery(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      enc: graft.ml.LocalWeightsEncoder): org.apache.spark.sql.DataFrame = {
+    val checksum = (1 to enc.dim)
+      .map(j => element_at(col("e"), j))
+      .reduce(_ + _)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), enc.embed(s, col("text")).as("e"))
+      .select(col("doc_id"), Cols.pround(checksum, 5).as("emb_checksum"))
+      .orderBy("doc_id")
+  }
+
   val gates: Seq[Gate] = Seq(
     // A2b — the REAL-weights encoder path, oracle-gated: the
     // embedding-bag model (hash-token lookup → mean-pool) is fully
@@ -59,35 +96,26 @@ object Annotators {
     // interface a ported model's weights drop into
     // (xlmr_embedding_annotator.py's slot, minus the torch encoder).
     Gate(
-      "ann_embed_weights", {
-        // vocab/dim derived from gateMatrix, so reshaping the matrix
-        // reshapes the oracle with it
-        val vocab = gateMatrix.length
-        val dim = gateMatrix(0).length
-        val m = gateMatrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-        val zero = Seq.fill(dim)("0.0").mkString("[", ", ", "]")
-        val sum = (1 to dim).map(j => s"emb[$j]").mkString(" + ")
-        val h32 = "CAST(CAST('0x'||substr(md5(w),1,8) AS UBIGINT) AS BIGINT)"
-        s"""WITH t AS (SELECT doc_id,
-           |    [$h32 % $vocab FOR w IN regexp_extract_all(text, '${TextAnalysis.BpePattern}')] AS ids
-           |  FROM documents),
-           |e AS (SELECT doc_id,
-           |    CASE WHEN len(ids) = 0 THEN $zero
-           |         ELSE [list_sum([($m)[id + 1][j] FOR id IN ids]) / len(ids) FOR j IN range(1, ${dim + 1})]
-           |    END AS emb
-           |  FROM t)
-           |SELECT doc_id,
-           |  ${Cols.proundSql(sum, 5)} AS emb_checksum
-           |FROM e ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
-      val enc = graft.ml.LocalWeightsEncoder(gateMatrix)
-      val checksum = (1 to enc.dim)
-        .map(j => element_at(col("e"), j))
-        .reduce(_ + _)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), enc.embed(s, col("text")).as("e"))
-        .select(col("doc_id"), Cols.pround(checksum, 5).as("emb_checksum"))
-        .orderBy("doc_id")
+      "ann_embed_weights", embedWeightsOracleSql) { (s, dir) =>
+      embedWeightsQuery(s, dir, graft.ml.LocalWeightsEncoder(gateMatrix))
+    },
+
+    // A2c — the SAME real-weights model, loaded through the
+    // SafeTensors container ([[graft.ml.SafeTensors]]): the gate
+    // writes the matrix as a genuine HF-layout .safetensors file and
+    // loads the encoder from it, so the header parse, bounds checks
+    // and F32 round-trip sit inside the gated path (gateMatrix values
+    // are k/64 — exact in F32, so the SAME oracle pins both loaders).
+    Gate(
+      "ann_embed_safetensors", embedWeightsOracleSql) { (s, dir) =>
+      val path = graft.sources.DocSource.gateScratch(dir, "ann_embed_safetensors")
+      new java.io.File(path).mkdirs()
+      val f = s"$path/encoder.safetensors"
+      graft.ml.SafeTensors.writeF32(f, Seq(
+        ("embedding", Seq(gateMatrix.length, gateMatrix(0).length),
+          gateMatrix.flatten)))
+      embedWeightsQuery(s, dir,
+        graft.ml.LocalWeightsEncoder.fromSafetensors(f, "embedding"))
     },
 
     Gate(

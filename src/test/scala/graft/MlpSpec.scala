@@ -60,4 +60,45 @@ class MlpSpec extends SparkSpec {
     assert(mlpAcc > linAcc, s"mlp $mlpAcc should beat linear $linAcc on XOR labels")
     assert(mlpAcc >= 0.75, s"mlp failed to fit XOR: $mlpAcc")
   }
+
+  test("SafeTensors: write/read round-trip, MLP load parity, corrupt headers fail loudly") {
+    import graft.ml.SafeTensors
+    val dir = java.nio.file.Files.createTempDirectory("graft-safetensors").toString
+    val f = s"$dir/model.safetensors"
+    // an MLP head whose values are all k/64 (exact in F32)
+    val w1 = Array.tabulate(3, 4)((i, j) => (i * 4 + j + 1) / 64.0)
+    val b1 = Array.tabulate(3)(i => (i + 1) / 64.0)
+    val w2 = Array.tabulate(3)(i => (i + 5) / 64.0)
+    val b2 = Array(7 / 64.0)
+    SafeTensors.writeF32(f, Seq(
+      ("w1", Seq(3, 4), w1.flatten),
+      ("b1", Seq(3), b1), ("w2", Seq(3), w2), ("b2", Seq(1), b2)))
+    val ts = SafeTensors.read(f)
+    assert(ts.keySet == Set("w1", "b1", "w2", "b2"))
+    assert(ts("w1").matrix.map(_.toSeq).toSeq == w1.map(_.toSeq).toSeq)
+    assert(ts("b1").vector.toSeq == b1.toSeq)
+    // the loaded head scores identically to the directly-built one
+    val fromFile = graft.ml.MlpClassifier.fromSafetensors(f)
+    val direct = graft.ml.MlpClassifier(w1, b1, w2, b2.head)
+    graft.expr.GraftExtensions.register(spark)
+    import spark.implicits._
+    val emb = Seq(Tuple1(Seq(0.25, 0.5, 0.75, 1.0))).toDF("e")
+    val a = emb.select(fromFile.score(col("e"))).head().getDouble(0)
+    val b = emb.select(direct.score(col("e"))).head().getDouble(0)
+    assert(a == b)
+    // corruption classes fail LOUDLY: lying header length, escaping
+    // offsets, truncation, missing tensor
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val lying = bytes.clone(); lying(0) = 0x7f.toByte
+    val fl = s"$dir/lying.safetensors"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fl), lying)
+    // a lied-but-in-bounds header length lands mid-payload: either the
+    // bounds require or the JSON parse rejects it — loud both ways
+    intercept[Exception](SafeTensors.read(fl))
+    val ft = s"$dir/trunc.safetensors"
+    java.nio.file.Files.write(java.nio.file.Paths.get(ft), bytes.take(bytes.length - 10))
+    intercept[IllegalArgumentException](SafeTensors.read(ft))
+    intercept[IllegalArgumentException](
+      graft.ml.MlpClassifier.fromSafetensors(f, prefix = "encoder."))
+  }
 }
