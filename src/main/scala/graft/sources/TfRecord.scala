@@ -241,7 +241,7 @@ object TfRecord {
   }
 
   /** Example payload → feature name → decoded list value. */
-  private[sources] def parseExample(payload: Array[Byte]): Map[String, Any] = {
+  private[graft] def parseExample(payload: Array[Byte]): Map[String, Any] = {
     val out = scala.collection.mutable.Map.empty[String, Any]
     val ex = new Cursor(payload, 0, payload.length)
     while (ex.hasNext) {
@@ -272,7 +272,7 @@ object TfRecord {
   }
 
   /** Parse one shard file, VERIFYING both masked CRCs per record. */
-  private[sources] def readShard(path: String): Iterator[Map[String, Any]] = {
+  private[graft] def readShard(path: String): Iterator[Map[String, Any]] = {
     val bytes = Files.readAllBytes(Paths.get(path))
     var i = 0
     new Iterator[Map[String, Any]] {

@@ -101,4 +101,34 @@ class MlpSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ml.MlpClassifier.fromSafetensors(f, prefix = "encoder."))
   }
+
+  test("SafeTensors F64/I64 dtypes and __metadata__ entries parse; unsupported dtypes refuse") {
+    import graft.ml.SafeTensors
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = java.nio.file.Files.createTempDirectory("graft-st-dtypes").toString
+    val f = s"$dir/mixed.safetensors"
+    // hand-build a file with F64 + I64 tensors and a __metadata__
+    // entry (the writer is F32-only; the READER must take all three)
+    val f64 = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putDouble(1.5).putDouble(-2.25).array()
+    val i64 = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(7L).putLong(-9L).array()
+    val bad = Array[Byte](0, 0)
+    val header =
+      ("""{"__metadata__":{"format":"pt"},""" +
+        """"dv":{"dtype":"F64","shape":[2],"data_offsets":[0,16]},""" +
+        """"iv":{"dtype":"I64","shape":[2],"data_offsets":[16,32]},""" +
+        """"bf":{"dtype":"BF16","shape":[1],"data_offsets":[32,34]}}""").getBytes("UTF-8")
+    val out = new java.io.FileOutputStream(f)
+    out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(header.length.toLong).array())
+    out.write(header); out.write(f64); out.write(i64); out.write(bad); out.close()
+    val ts = SafeTensors.read(f)
+    assert(!ts.contains("__metadata__"))
+    assert(ts("dv").vector.toSeq == Seq(1.5, -2.25))
+    assert(ts("iv").vector.toSeq == Seq(7.0, -9.0))
+    // BF16 payloads parse structurally but refuse to decode (no
+    // silent garbage floats)
+    intercept[IllegalArgumentException](ts("bf").vector)
+  }
 }

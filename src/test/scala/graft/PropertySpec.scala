@@ -654,6 +654,14 @@ class PropertySpec extends SparkSpec {
     val junk = "GIF89a then nothing real".getBytes("UTF-8")
     assert(Multimodal.gifFrames(Seq((9L, junk)).toDF("doc_id", "media"))
       .collect().toSeq == Seq(Multimodal.GifFrame(9L, 0, -1, 0, 0, 0, 0, 0)))
+    // stride contract: stride 3 over the 5-frame GIF samples {0, 3};
+    // stride must be positive
+    val s3 = Multimodal.gifFrames(
+      Seq((3L, full)).toDF("doc_id", "media"), stride = 3).collect()
+    assert(s3.map(_.frame_idx).sorted.toSeq == Seq(0, 3))
+    intercept[IllegalArgumentException] {
+      Multimodal.gifFrames(docs.limit(0).select(col("doc_id"), col("text").as("media")), stride = 0)
+    }
   }
 
   test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {

@@ -363,4 +363,24 @@ class SourcesSpec extends SparkSpec {
       if (t == null) "" else t.toString + " | " + chain(t.getCause)
     assert(chain(ex).contains("CRC"), s"expected a CRC failure, got: ${chain(ex).take(300)}")
   }
+
+  test("TfRecord fuzz: random-byte shards always terminate in a clean exception, never hang") {
+    import graft.sources.TfRecord
+    val dir = Files.createTempDirectory("graft-tfrecord-fuzz").toString
+    val rnd = new scala.util.Random(1234)
+    var threw = 0
+    for (i <- 0 until 50) {
+      val len = rnd.nextInt(200) + 1
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      val p = java.nio.file.Paths.get(s"$dir/fuzz-$i.tfrecord")
+      Files.write(p, bytes)
+      // the parser must either return (a random CRC match is
+      // ~2^-32-impossible but allowed) or throw — bounded time,
+      // no infinite varint loop, no OOM-sized allocation
+      try { TfRecord.readShard(p.toString).foreach(_ => ()) }
+      catch { case _: Exception => threw += 1 }
+      Files.delete(p)
+    }
+    assert(threw >= 45, s"random garbage parsed 'cleanly' ${50 - threw} times — CRC gate too weak")
+  }
 }
