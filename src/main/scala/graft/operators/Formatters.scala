@@ -335,6 +335,64 @@ object Formatters {
         col("n_sentences"), col("chunk_text"))
   }
 
+  /** HIPAA-style date shifting — the UTILITY-PRESERVING member of the
+    * PII family (redaction destroys the value; shifting keeps every
+    * within-document interval intact while breaking cross-document
+    * linkage by exact dates): every ISO `yyyy-MM-dd` date in the text
+    * moves by a per-document deterministic offset in
+    * [-maxShiftDays, +maxShiftDays], derived from the doc id — the
+    * same document always shifts the same way (idempotent pipelines,
+    * reproducible anonymization), different documents shift
+    * differently. STRICTLY-invalid dates (2023-13-40) pass through
+    * untouched — a scrubber must never corrupt what it does not
+    * understand. Pure per-row kernel (the RAKE-kernel discipline):
+    * zero exchanges, proleptic-Gregorian `LocalDate` arithmetic that
+    * DuckDB's date addition replays exactly. */
+  def shiftDates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxShiftDays: Int = 30): DataFrame = {
+    require(maxShiftDays >= 1, "shiftDates: maxShiftDays must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, DateShiftKernel.shift(text, DateShiftKernel.delta(id, maxShiftDays)))
+      }
+      .toDF(idCol, textCol)
+  }
+
+  private[graft] object DateShiftKernel {
+    private val IsoDate =
+      java.util.regex.Pattern.compile("(?<!\\d)(\\d{4})-(\\d{2})-(\\d{2})(?!\\d)")
+
+    /** offset in [-max, +max]: (id mod (2·max+1)) − max; ids are
+      * non-negative so both engines' mod agree. */
+    def delta(id: Long, max: Int): Int = ((id % (2L * max + 1)) - max).toInt
+
+    def shift(text: String, deltaDays: Int): String = {
+      if (text == null) return null
+      val m = IsoDate.matcher(text)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) {
+        val shifted =
+          try {
+            java.time.LocalDate
+              .of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+              .plusDays(deltaDays.toLong)
+              .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+          } catch {
+            case _: java.time.DateTimeException => m.group() // not a real date
+          }
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(shifted))
+      }
+      m.appendTail(sb)
+      sb.toString
+    }
+  }
+
   /** Semantic chunking — split where the TOPIC drifts: a sentence
     * whose embedding cosine against its predecessor drops below
     * `threshold` starts a new chunk. This is the RAG-ingestion
@@ -775,6 +833,40 @@ object Formatters {
         .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Date-shift gate: the fixture appends two planted ISO dates to
+    // every document (the second is the INVALID literal 2023-13-40 on
+    // the doc_id%3==2 class); the oracle reconstructs the expected
+    // output text BY CONSTRUCTION — original text + the shifted dates
+    // from DuckDB's own date arithmetic — so a rewriter with wrong
+    // offsets, a partial replace, a mangled neighbor byte, a
+    // non-strict parse accepting month 13, or a delta formula
+    // mismatch flips the md5.
+    Gate(
+      "fmt_date_shift", {
+        val delta = "(doc_id % 61) - 30"
+        def shifted(base: String, off: String) =
+          s"strftime(DATE '$base' + CAST($off AS INT) + CAST($delta AS INT), '%Y-%m-%d')"
+        s"""SELECT doc_id, md5(text || ' visit on ' ||
+           |    ${shifted("2020-01-01", "doc_id % 1000")} || ' follow-up ' ||
+           |    CASE WHEN doc_id % 3 = 2 THEN '2023-13-40'
+           |         ELSE ${shifted("2021-06-15", "doc_id % 400")} END ||
+           |    ' end.') AS out_md5
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      def iso(base: String, off: Column) =
+        date_format(date_add(to_date(lit(base)), off.cast("int")), "yyyy-MM-dd")
+      val fixture = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" visit on "),
+          iso("2020-01-01", col("doc_id") % 1000), lit(" follow-up "),
+          when(col("doc_id") % 3 === 2, "2023-13-40")
+            .otherwise(iso("2021-06-15", col("doc_id") % 400)),
+          lit(" end.")).as("text"))
+      shiftDates(fixture, "text", "doc_id", maxShiftDays = 30)
+        .select(col("doc_id"), md5(col("text")).as("out_md5"))
+        .orderBy("doc_id")
     },
 
     // Semantic-chunking gate: same multi-sentence fixture pages as

@@ -885,6 +885,29 @@ class PropertySpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("shiftDates: intervals preserved, invalid dates untouched, digit-adjacent guards hold") {
+    import spark.implicits._
+    import graft.operators.Formatters
+    val docs = Seq(
+      (5L, "a 2020-01-10 b 2020-01-20 c"), // interval 10 days
+      (2L, "bad 2023-13-40 leap 2024-02-29 x"),
+      (0L, "guard 12020-01-10 and 2020-01-103 but 2020-01-10.")
+    ).toDF("doc_id", "text")
+    val out = Formatters.shiftDates(docs, "text", "doc_id", maxShiftDays = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 5: delta = 5 - 30 = -25; both dates move, the 10-day interval survives
+    assert(out(5L) == "a 2019-12-16 b 2019-12-26 c")
+    // doc 2: delta = -28; month-13 literal untouched, real leap date moves
+    assert(out(2L) == "bad 2023-13-40 leap 2024-02-01 x")
+    // doc 0: delta = -30; digit-adjacent pseudo-dates are NOT dates —
+    // only the period-terminated real one shifts
+    assert(out(0L) == "guard 12020-01-10 and 2020-01-103 but 2019-12-11.")
+    // same id ⇒ same shift (deterministic anonymization), kernel is
+    // pure so re-running is a no-op ONLY in offset terms, not value
+    assert(graft.operators.Formatters.DateShiftKernel.delta(5L, 30) == -25)
+    assert(graft.operators.Formatters.DateShiftKernel.shift(null, 3) == null)
+  }
+
   test("chunkSemantic: identical sentences never split, threshold extremes pin chunk counts") {
     import spark.implicits._
     import graft.operators.Formatters
