@@ -42,6 +42,16 @@ for name, sql in sorted(oracles.items()):
     if list(got.columns) != list(want.columns):
         fails.append((name, f"columns differ: {list(got.columns)} vs {list(want.columns)}"))
         continue
+    # replay the DRIVER's row-sort (it does NOT trust ORDER BY): pandas
+    # sort_values over all columns — dies on unhashable cells (numpy
+    # arrays from ARRAY<...> gate outputs), exactly like the driver,
+    # so an array-typed gate can never pass locally again (r10 red).
+    try:
+        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    except Exception as e:
+        fails.append((name, f"driver row-sort replay failed (container column?): {e}"))
+        continue
     if len(got) != len(want):
         fails.append((name, f"rows differ: {len(got)} vs {len(want)}"))
         continue

@@ -4,6 +4,13 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.types._
+  private def hasContainer(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType => true
+    case s: StructType => s.fields.exists(f => hasContainer(f.dataType))
+    case _ => false
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev-only; the driver always passes 2):
     // comma-separated gate names — dump and emit oracles for just
@@ -24,9 +31,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     pick(SparkEntry.queries).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the driver's checker row-sorts via pandas, which cannot hash
+        // array/map cells — such a gate passes every local stage and
+        // dies only in the driver harness (r10's one red gate). Fail
+        // HERE instead: digest/join the column at the gate.
+        val bad = df.schema.fields.collect {
+          case f if hasContainer(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+        }
+        require(bad.isEmpty,
+          s"gate $name emits non-driver-sortable container column(s) " +
+            s"${bad.mkString(", ")} — array_join/md5 it on both sides")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally Caches.releaseAll()

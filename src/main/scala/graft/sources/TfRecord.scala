@@ -109,7 +109,7 @@ object TfRecord {
 
   // ---- schema-driven row encode ----
 
-  private def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+  private[graft] def validate(schema: StructType): Unit = schema.fields.foreach { f =>
     f.dataType match {
       case LongType | IntegerType | StringType | BinaryType => ()
       case ArrayType(LongType | IntegerType | FloatType, _) => ()
@@ -240,8 +240,11 @@ object TfRecord {
     }
   }
 
-  /** Example payload → feature name → decoded list value. */
-  private[graft] def parseExample(payload: Array[Byte]): Map[String, Any] = {
+  /** Example payload → feature name → decoded list value, decoding
+    * ONLY features `keep` selects (column pruning reaches the wire
+    * format: skipped features' payload bytes are never walked). */
+  private[graft] def parseExample(
+      payload: Array[Byte], keep: String => Boolean): Map[String, Any] = {
     val out = scala.collection.mutable.Map.empty[String, Any]
     val ex = new Cursor(payload, 0, payload.length)
     while (ex.hasNext) {
@@ -252,18 +255,21 @@ object TfRecord {
           val ft = features.varint().toInt
           if ((ft >> 3) == 1 && (ft & 7) == 2) {
             val entry = features.slice(features.varint().toInt)
-            var key: String = null; var value: Any = null
+            // the value slice is recorded, not decoded, until the key
+            // is known — entry field order is not guaranteed
+            var key: String = null; var value: Cursor = null
             while (entry.hasNext) {
               val et = entry.varint().toInt
               (et >> 3, et & 7) match {
                 case (1, 2) =>
                   val len = entry.varint().toInt
                   key = new String(entry.b, entry.i, len, "UTF-8"); entry.i += len
-                case (2, 2) => value = parseFeature(entry.slice(entry.varint().toInt))
+                case (2, 2) => value = entry.slice(entry.varint().toInt)
                 case (_, w) => entry.skip(w)
               }
             }
-            if (key != null) out(key) = value
+            if (key != null && keep(key))
+              out(key) = if (value == null) null else parseFeature(value)
           } else features.skip(ft & 7)
         }
       } else ex.skip(tag & 7)
@@ -271,60 +277,87 @@ object TfRecord {
     out.toMap
   }
 
-  /** Parse one shard file, VERIFYING both masked CRCs per record. */
-  private[graft] def readShard(path: String): Iterator[Map[String, Any]] = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    var i = 0
-    new Iterator[Map[String, Any]] {
-      def hasNext: Boolean = i < bytes.length
-      def next(): Map[String, Any] = {
-        val hdr = java.util.Arrays.copyOfRange(bytes, i, i + 8)
-        val len = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
-        val hcrc = ByteBuffer.wrap(bytes, i + 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-        require(hcrc == maskedCrc(hdr, 8),
-          s"TfRecord: length CRC mismatch at offset $i in $path — corrupt shard")
-        val payload = java.util.Arrays.copyOfRange(bytes, i + 12, i + 12 + len)
-        val pcrc = ByteBuffer.wrap(bytes, i + 12 + len, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-        require(pcrc == maskedCrc(payload, len),
-          s"TfRecord: payload CRC mismatch at offset $i in $path — corrupt shard")
-        i += 12 + len + 4
-        parseExample(payload)
+  private[graft] def parseExample(payload: Array[Byte]): Map[String, Any] =
+    parseExample(payload, _ => true)
+
+  /** STREAM the record payloads off `in`, verifying both masked CRCs
+    * per record and failing loudly on corruption or truncation; memory
+    * is bounded by one record. The length CRC is checked BEFORE the
+    * payload allocation, so a garbage length can't trigger an
+    * OOM-sized allocation (p ≈ 2⁻³² to slip past). Closing `in` stays
+    * with the caller. */
+  private[graft] def readRecords(
+      in: java.io.DataInputStream, path: String): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pending: Array[Byte] = _
+      private var eof = false
+      private def readIntLE(): Int = {
+        val b = new Array[Byte](4)
+        in.readFully(b)
+        ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
       }
+      private def advance(): Unit = {
+        if (eof || pending != null) return
+        val first = in.read()
+        if (first < 0) { eof = true; return }
+        val hdr = new Array[Byte](8)
+        hdr(0) = first.toByte
+        in.readFully(hdr, 1, 7)
+        require(readIntLE() == maskedCrc(hdr, 8),
+          s"TfRecord: length CRC mismatch in $path — corrupt shard")
+        val len = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN).getLong
+        require(len >= 0 && len <= Int.MaxValue - 16,
+          s"TfRecord: absurd record length $len in $path — corrupt shard")
+        val payload = new Array[Byte](len.toInt)
+        in.readFully(payload)
+        require(readIntLE() == maskedCrc(payload, len.toInt),
+          s"TfRecord: payload CRC mismatch in $path — corrupt shard")
+        pending = payload
+      }
+      def hasNext: Boolean = { advance(); !eof }
+      def next(): Array[Byte] = {
+        advance()
+        if (eof) throw new NoSuchElementException(s"past end of $path")
+        val p = pending; pending = null; p
+      }
+    }
+
+  /** Parse one LOCAL shard file, VERIFYING both masked CRCs per
+    * record (dev/spec convenience — distributed reads go through
+    * [[graft.sources.tfrecord.TfRecordDataSource]]). */
+  private[graft] def readShard(path: String): Iterator[Map[String, Any]] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 16))
+    val recs = readRecords(in, path)
+    new Iterator[Map[String, Any]] {
+      def hasNext: Boolean = { val h = recs.hasNext; if (!h) in.close(); h }
+      def next(): Map[String, Any] = parseExample(recs.next())
     }
   }
 
-  /** Read a shard directory back into `schema` — one Spark partition
-    * per shard file; a feature absent from an Example reads as NULL. */
+  /** Read a shard directory back into `schema` through the
+    * [[graft.sources.tfrecord.TfRecordDataSource]] DSv2 connector —
+    * one Spark partition per shard file, Hadoop-FS paths (hdfs/s3a/
+    * local) all accepted; a feature absent from an Example reads as
+    * NULL, as does a present-but-EMPTY list on a scalar column. */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     validate(schema)
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tfrecord"))
-      .map(_.getPath).sorted.toSeq
-    val rows = spark.sparkContext
-      .parallelize(files, math.max(files.size, 1))
-      .flatMap(p => readShard(p).map { feats =>
-        Row.fromSeq(schema.fields.toSeq.map { f =>
-          feats.get(f.name) match {
-            case None | Some(null) => null
-            case Some(v) =>
-              val longs = () => v.asInstanceOf[Seq[Long]]
-              f.dataType match {
-                case LongType => longs().head
-                case IntegerType => longs().head.toInt
-                case StringType =>
-                  new String(v.asInstanceOf[Seq[Array[Byte]]].head, "UTF-8")
-                case BinaryType => v.asInstanceOf[Seq[Array[Byte]]].head
-                case ArrayType(LongType, _) => longs()
-                case ArrayType(IntegerType, _) => longs().map(_.toInt)
-                case ArrayType(FloatType, _) => v.asInstanceOf[Seq[Float]]
-                case other => throw new IllegalStateException(s"unreachable: $other")
-              }
-          }
-        })
-      })
-    spark.createDataFrame(rows, schema)
+    spark.read
+      .format(graft.sources.tfrecord.TfRecordDataSource.Format)
+      .schema(schema)
+      .load(dir)
   }
+
+  /** (doc_id, text, n_words, tok ARRAY<BIGINT>) derived from the
+    * documents table — the shared fixture frame both TFRecord gates
+    * push through the container. */
+  private def gateDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      size(graft.operators.TextAnalysis.words(col("text"))).cast("long").as("n_words"),
+      transform(
+        slice(graft.operators.TextAnalysis.words(col("text")), 1, 5),
+        w => pmod(graft.operators.TextAnalysis.h32(w), lit(1000L))).as("tok"))
 
   val gates: Seq[Gate] = Seq(
     // TFRecord round-trip gate (the snk_megatron discipline): write
@@ -333,25 +366,49 @@ object TfRecord {
     // parser, compare against the table the bytes came from. A
     // framing, varint, packed-list or CRC bug anywhere breaks the
     // round trip; the oracle recomputes n_words/tokens from text so
-    // the features must genuinely survive the container.
+    // the features must genuinely survive the container. The token
+    // array rides the container AS an int64 list but is emitted
+    // CSV-joined — gate outputs must stay driver-sortable (the
+    // checker's pandas row-sort cannot hash a raw array cell; r10's
+    // one red gate).
     Gate(
       "snk_tfrecord", {
         val wp = graft.operators.TextAnalysis.WordPattern
         val h32 = "CAST(CAST('0x'||substr(md5(w),1,8) AS UBIGINT) AS BIGINT)"
         s"""SELECT doc_id, text,
            |  CAST(len(regexp_extract_all(text, '$wp')) AS BIGINT) AS n_words,
-           |  [$h32 % 1000 FOR w IN regexp_extract_all(text, '$wp')[1:5]] AS tok
+           |  array_to_string(
+           |    [$h32 % 1000 FOR w IN regexp_extract_all(text, '$wp')[1:5]],
+           |    ',') AS tok_csv
            |FROM documents ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val docs = Tables(s, dir, "documents").select(
-        col("doc_id"), col("text"),
-        size(graft.operators.TextAnalysis.words(col("text"))).cast("long").as("n_words"),
-        transform(
-          slice(graft.operators.TextAnalysis.words(col("text")), 1, 5),
-          w => pmod(graft.operators.TextAnalysis.h32(w), lit(1000L))).as("tok"))
+      val docs = gateDocs(s, dir)
       val path = DocSource.gateScratch(dir, "snk_tfrecord")
       write(docs, path)
-      read(s, path, docs.schema).orderBy("doc_id")
+      read(s, path, docs.schema)
+        .select(col("doc_id"), col("text"), col("n_words"),
+          array_join(col("tok"), ",").as("tok_csv"))
+        .orderBy("doc_id")
+    },
+    // Connector gate: the same shards read back through the DSv2
+    // source with a PRUNED projection — (doc_id, n_words) only — so
+    // the scan must plan per-shard partitions, prune text/tok at the
+    // protobuf-parse level, and still decode the scalars exactly.
+    Gate(
+      "src_tfrecord", {
+        val wp = graft.operators.TextAnalysis.WordPattern
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$wp')) AS BIGINT) AS n_words
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = gateDocs(s, dir)
+      val path = DocSource.gateScratch(dir, "src_tfrecord")
+      write(docs, path)
+      s.read.format(graft.sources.tfrecord.TfRecordDataSource.Format)
+        .schema(docs.schema)
+        .load(path)
+        .select(col("doc_id"), col("n_words"))
+        .orderBy("doc_id")
     }
   )
 }

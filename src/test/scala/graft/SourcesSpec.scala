@@ -364,6 +364,62 @@ class SourcesSpec extends SparkSpec {
     assert(chain(ex).contains("CRC"), s"expected a CRC failure, got: ${chain(ex).take(300)}")
   }
 
+  test("TfRecord DSv2 connector: one partition per shard, pruned scan, schema inference") {
+    import spark.implicits._
+    import graft.sources.TfRecord
+    import graft.sources.tfrecord.TfRecordDataSource
+    val dir = Files.createTempDirectory("graft-tfrecord-dsv2").toString
+    val rows = Seq(
+      (1L, "alpha beta", Seq(1L, 2L), Seq(0.5f)),
+      (2L, "gamma", Seq(3L), Seq(1.5f, 2.5f)),
+      (3L, "delta epsilon zeta", Seq.empty[Long], Seq.empty[Float]))
+      .toDF("doc_id", "text", "tok", "emb")
+      .repartition(3)
+    TfRecord.write(rows, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tfrecord")) == 3)
+
+    // explicit schema: one Spark partition per shard file, exact round-trip
+    val back = spark.read.format(TfRecordDataSource.Format)
+      .schema(rows.schema).load(dir)
+    assert(back.rdd.getNumPartitions == 3, "connector must plan one partition per shard")
+    val byId = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "alpha beta" && byId(1L).getSeq[Long](2) == Seq(1L, 2L))
+    assert(byId(2L).getSeq[Float](3) == Seq(1.5f, 2.5f))
+    assert(byId(3L).getSeq[Long](2).isEmpty)
+
+    // pruned projection: only the required features decode, values exact
+    val pruned = spark.read.format(TfRecordDataSource.Format)
+      .schema(rows.schema).load(dir).select("doc_id", "tok")
+    assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "tok"))
+    assert(pruned.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .apply(1L) == Seq(1L, 2L))
+
+    // inference: numerics come back as lists (wire format can't
+    // distinguish a scalar), bytes as BINARY
+    val inferred = spark.read.format(TfRecordDataSource.Format).load(dir).schema
+    import org.apache.spark.sql.types._
+    assert(inferred("doc_id").dataType == ArrayType(LongType, containsNull = false))
+    assert(inferred("emb").dataType == ArrayType(FloatType, containsNull = false))
+    assert(inferred("text").dataType == BinaryType)
+  }
+
+  test("TfRecord scalar column: present-but-empty int64 list reads as NULL, not a crash") {
+    import spark.implicits._
+    import graft.sources.TfRecord
+    val dir = Files.createTempDirectory("graft-tfrecord-empty").toString
+    // write with ARRAY schema so an empty list lands in the container…
+    val rows = Seq((1L, Seq(42L)), (2L, Seq.empty[Long])).toDF("doc_id", "v")
+    TfRecord.write(rows.coalesce(1), dir)
+    // …then read it back declaring v as a SCALAR long
+    import org.apache.spark.sql.types._
+    val scalarSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("v", LongType)))
+    val back = TfRecord.read(spark, dir, scalarSchema)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(back(1L) == Some(42L))
+    assert(back(2L) == None, "empty int64_list on a scalar column must read NULL")
+  }
+
   test("TfRecord fuzz: random-byte shards always terminate in a clean exception, never hang") {
     import graft.sources.TfRecord
     val dir = Files.createTempDirectory("graft-tfrecord-fuzz").toString
