@@ -195,6 +195,13 @@ final case class FinewebConfig(
       * formatter: the BigCode-style scrub a CODE corpus config turns
       * on. */
     redactSecrets: Boolean = false,
+    /** HIPAA-style date shifting on kept docs ([[graft.operators
+      * .Formatters.shiftDates]]): every valid ISO date moves by a
+      * per-document deterministic offset in [-N, +N] days keyed on
+      * doc_id — within-document intervals survive, cross-document
+      * exact-date linkage breaks. The utility-preserving member of
+      * the PII family, applied beside the redaction stages. */
+    shiftDatesMaxDays: Option[Int] = None,
     /** drop pages carrying an in-page robots-meta noindex directive
       * ([[graft.operators.Filters.hasMetaNoindex]] over the raw
       * text/html) — the page's OWN opt-out beside the site-level
@@ -564,6 +571,22 @@ object FinewebPipeline {
       stages :+= Transform("secrets", d => d.withColumn("text",
         when(col("filter_reason").isNull, Formatters.redactSecrets(col("text")))
           .otherwise(col("text"))))
+
+    cfg.shiftDatesMaxDays.foreach { maxD =>
+      // PII-family stage, same rejected-rows-keep-their-text guard as
+      // the redactions above; delta in-plan from doc_id (pmod ≡
+      // floorMod), the rewrite the codegen graft_date_shift kernel —
+      // schema untouched, so the stage composes like any formatter
+      stages :+= Transform("date_shift", d => {
+        graft.expr.GraftExtensions.register(d.sparkSession)
+        val delta = (pmod(col("doc_id").cast("long"), lit(2L * maxD + 1))
+          - lit(maxD)).cast("int")
+        d.withColumn("text",
+          when(col("filter_reason").isNull,
+            call_function("graft_date_shift", col("text"), delta))
+            .otherwise(col("text")))
+      })
+    }
 
     Pipeline(stages: _*).runWithReasons(docs)
   }

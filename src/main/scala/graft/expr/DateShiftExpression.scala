@@ -1,0 +1,72 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HIPAA-style date-shift kernel: every strictly-valid ISO
+  * `yyyy-MM-dd` date in the text moves by `deltaDays`
+  * (proleptic-Gregorian `LocalDate` arithmetic, which DuckDB's date
+  * addition replays exactly); STRICTLY-invalid dates (2023-13-40)
+  * pass through untouched — a scrubber must never corrupt what it
+  * does not understand. Digit-adjacency guards keep `12023-01-021`
+  * out of scope. Reference anonymization behavior:
+  * pii_formatter.py (the PII family's utility-preserving member). */
+object DateShiftKernel {
+  private val IsoDate =
+    java.util.regex.Pattern.compile("(?<!\\d)(\\d{4})-(\\d{2})-(\\d{2})(?!\\d)")
+
+  /** offset in [-max, +max]: floorMod(id, 2·max+1) − max — floorMod,
+    * not `%`, so a NEGATIVE id still lands inside the documented
+    * bound (Java `%` of a negative id would reach −max−1). For
+    * non-negative ids this equals the SQL-twin `(id % (2·max+1)) −
+    * max` exactly. */
+  def delta(id: Long, max: Int): Int =
+    (Math.floorMod(id, 2L * max + 1) - max).toInt
+
+  def shift(text: String, deltaDays: Int): String = {
+    if (text == null) return null
+    val m = IsoDate.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val shifted =
+        try {
+          java.time.LocalDate
+            .of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+            .plusDays(deltaDays.toLong)
+            .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+        } catch {
+          case _: java.time.DateTimeException => m.group() // not a real date
+        }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(shifted))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** codegen entry — UTF8String in/out, no boxing at the call site. */
+  def shiftU(text: UTF8String, deltaDays: Int): UTF8String =
+    UTF8String.fromString(shift(text.toString, deltaDays))
+}
+
+/** `graft_date_shift(text, deltaDays)` → text with every valid ISO
+  * date moved by `deltaDays`. A codegen BinaryExpression (the
+  * [[StripAccents]] shape) so the rewrite fuses into the projection —
+  * schema-preserving by construction: it rewrites ONE column in
+  * place, composing with the recipe/stage surface like every other
+  * formatter. */
+case class DateShift(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(text: Any, delta: Any): Any =
+    DateShiftKernel.shiftU(text.asInstanceOf[UTF8String], delta.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) => s"graft.expr.DateShiftKernel.shiftU($t, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DateShift =
+    copy(left = newLeft, right = newRight)
+}

@@ -112,6 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_cdc_cut"),
         new ExpressionInfo(classOf[CdcCut].getName, "graft_cdc_cut"),
         (args: Seq[Expression]) => CdcCut(args.head, args(1), args(2), args(3))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_date_shift"),
+        new ExpressionInfo(classOf[DateShift].getName, "graft_date_shift"),
+        (args: Seq[Expression]) => DateShift(args.head, args(1))))
   }
 }
 
@@ -192,5 +196,7 @@ object GraftExtensions {
       "graft_cdc_bounds", es => CdcBounds(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cdc_cut", es => CdcCut(es.head, es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_date_shift", es => DateShift(es.head, es(1)), "built-in")
   }
 }

@@ -48,6 +48,15 @@ object SafeTensors {
     }
   }
 
+  /** Bytes per element for the DECODABLE dtypes; None for foreign
+    * dtypes (BF16 etc.), which parse structurally and refuse only at
+    * decode — their extent cannot be cross-checked here. */
+  private def dtypeSize(dtype: String): Option[Long] = dtype match {
+    case "F32" => Some(4L)
+    case "F64" | "I64" => Some(8L)
+    case _ => None
+  }
+
   def read(path: String): Map[String, Tensor] = {
     val bytes = Files.readAllBytes(Paths.get(path))
     require(bytes.length >= 8, s"SafeTensors: $path truncated before the header length")
@@ -71,7 +80,17 @@ object SafeTensors {
         val ed = off.get(1).asLong()
         require(b >= 0 && ed >= b && base + ed <= bytes.length,
           s"SafeTensors: tensor '${e.getKey}' offsets [$b,$ed) escape the file")
-        out += e.getKey -> Tensor(n.get("dtype").asText(), shape,
+        val dtype = n.get("dtype").asText()
+        // shape must AGREE with the offsets — a lying header would
+        // otherwise yield a silently mis-shaped matrix (grouped()
+        // truncating or padding rows) feeding wrong weights downstream
+        dtypeSize(dtype).foreach { sz =>
+          val want = shape.map(_.toLong).product * sz
+          require(ed - b == want,
+            s"SafeTensors: tensor '${e.getKey}' shape $shape declares $want bytes " +
+              s"but data_offsets [$b,$ed) carry ${ed - b}")
+        }
+        out += e.getKey -> Tensor(dtype, shape,
           java.util.Arrays.copyOfRange(bytes, base + b.toInt, base + ed.toInt))
       }
     }
@@ -85,6 +104,10 @@ object SafeTensors {
     val blobs = tensors.map { case (name, shape, vals) =>
       require(shape.product == vals.length,
         s"SafeTensors: tensor '$name' shape $shape != ${vals.length} values")
+      // the name is interpolated into the JSON header below — a quote
+      // or backslash would corrupt it (and with it every offset)
+      require(!name.exists(c => c == '"' || c == '\\' || c < ' '),
+        s"SafeTensors: tensor name '$name' contains JSON-breaking characters")
       val bb = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       vals.foreach(v => bb.putFloat(v.toFloat))
       bb.array()

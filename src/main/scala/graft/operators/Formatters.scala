@@ -354,44 +354,21 @@ object Formatters {
       idCol: String,
       maxShiftDays: Int = 30): DataFrame = {
     require(maxShiftDays >= 1, "shiftDates: maxShiftDays must be >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, DateShiftKernel.shift(text, DateShiftKernel.delta(id, maxShiftDays)))
-      }
-      .toDF(idCol, textCol)
+    graft.expr.GraftExtensions.register(docs.sparkSession)
+    // delta fully in-plan (pmod ≡ the kernel's floorMod for every
+    // sign of id), the rewrite a codegen expression — the whole
+    // shift fuses into one projection, schema preserved: every other
+    // column rides through untouched, so this composes with the
+    // recipe/stage surface like any formatter.
+    val delta = (pmod(col(idCol).cast("long"), lit(2L * maxShiftDays + 1))
+      - lit(maxShiftDays)).cast("int")
+    docs.withColumn(textCol,
+      call_function("graft_date_shift", col(textCol), delta))
   }
 
-  private[graft] object DateShiftKernel {
-    private val IsoDate =
-      java.util.regex.Pattern.compile("(?<!\\d)(\\d{4})-(\\d{2})-(\\d{2})(?!\\d)")
-
-    /** offset in [-max, +max]: (id mod (2·max+1)) − max; ids are
-      * non-negative so both engines' mod agree. */
-    def delta(id: Long, max: Int): Int = ((id % (2L * max + 1)) - max).toInt
-
-    def shift(text: String, deltaDays: Int): String = {
-      if (text == null) return null
-      val m = IsoDate.matcher(text)
-      val sb = new java.lang.StringBuilder
-      while (m.find()) {
-        val shifted =
-          try {
-            java.time.LocalDate
-              .of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
-              .plusDays(deltaDays.toLong)
-              .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
-          } catch {
-            case _: java.time.DateTimeException => m.group() // not a real date
-          }
-        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(shifted))
-      }
-      m.appendTail(sb)
-      sb.toString
-    }
-  }
+  /** kernel home: [[graft.expr.DateShiftKernel]] (alias kept for the
+    * operator-surface namespace). */
+  private[graft] val DateShiftKernel = graft.expr.DateShiftKernel
 
   /** Semantic chunking — split where the TOPIC drifts: a sentence
     * whose embedding cosine against its predecessor drops below
@@ -848,7 +825,10 @@ object Formatters {
         val delta = "(doc_id % 61) - 30"
         def shifted(base: String, off: String) =
           s"strftime(DATE '$base' + CAST($off AS INT) + CAST($delta AS INT), '%Y-%m-%d')"
-        s"""SELECT doc_id, md5(text || ' visit on ' ||
+        // base text is DIGIT-SANITIZED on both sides so the
+        // by-construction oracle can never silently depend on the
+        // fixture corpus being date-free (ADVICE r10)
+        s"""SELECT doc_id, md5(regexp_replace(text, '[0-9]', 'x', 'g') || ' visit on ' ||
            |    ${shifted("2020-01-01", "doc_id % 1000")} || ' follow-up ' ||
            |    CASE WHEN doc_id % 3 = 2 THEN '2023-13-40'
            |         ELSE ${shifted("2021-06-15", "doc_id % 400")} END ||
@@ -859,7 +839,7 @@ object Formatters {
         date_format(date_add(to_date(lit(base)), off.cast("int")), "yyyy-MM-dd")
       val fixture = Tables(s, dir, "documents").select(
         col("doc_id"),
-        concat(col("text"), lit(" visit on "),
+        concat(regexp_replace(col("text"), "[0-9]", "x"), lit(" visit on "),
           iso("2020-01-01", col("doc_id") % 1000), lit(" follow-up "),
           when(col("doc_id") % 3 === 2, "2023-13-40")
             .otherwise(iso("2021-06-15", col("doc_id") % 400)),

@@ -626,8 +626,15 @@ object Similarity {
         seqDot(col("__v"), col("__v")) -
           lit(2.0) * seqDot(col("__v"), cl) + lit(cc)
       }.reduce((a, b) => least(a, b))
-      val pickedIds = picks.map(_._1)
-      val next = v.filter(!col("__id").isin(pickedIds: _*))
+      // exclude already-picked ids via a broadcast ANTI-JOIN, not an
+      // isin literal — the In-list would grow one term per round,
+      // inflating the expression tree (and codegen) linearly in k
+      val pickedDf = {
+        import ss.implicits._
+        picks.map(_._1).toDF("__pid")
+      }
+      val next = v
+        .join(broadcast(pickedDf), col("__id") === col("__pid"), "left_anti")
         .select(col("__id"), col("__v"), minD.as("__d"))
         .orderBy(col("__d").desc, col("__id"))
         .limit(1).collect()(0)

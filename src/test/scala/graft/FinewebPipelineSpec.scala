@@ -131,6 +131,30 @@ class FinewebPipelineSpec extends SparkSpec {
     assert(byId(2L)._1.contains("AKIA") && byId(2L)._2 == "ai_slop")
   }
 
+  test("shiftDatesMaxDays stage: kept docs shift on a multi-column frame, exclusions keep raw dates") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 5: delta = 5 - 30 = -25 at max 30
+      (5L, "admit 2020-01-10 discharge 2020-01-20.", "en", "http://a.example/x"),
+      // rejected upstream (ai_slop): the exclusion sink keeps the
+      // document's ORIGINAL dates — it was never anonymized-released
+      (2L, "as an AI language model, seen 2021-06-15", "en", "http://b.example/y"))
+      .toDF("doc_id", "text", "lang", "url")
+    val marked = FinewebPipeline.buildMarked(
+      spark, docs,
+      FinewebConfig(piiFormat = false, shiftDatesMaxDays = Some(30), dropAiSlop = true))
+    // extra columns ride through the stage untouched
+    assert(marked.columns.toSet == Set("doc_id", "text", "lang", "url", "filter_reason"))
+    val byId = marked.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[String]("lang"),
+          r.getAs[String]("url"), r.getAs[String]("filter_reason"))).toMap
+    assert(byId(5L) ==
+      (("admit 2019-12-16 discharge 2019-12-26.", "en", "http://a.example/x", null)),
+      "kept doc must shift both dates by the same per-doc delta")
+    assert(byId(2L)._1.contains("2021-06-15") && byId(2L)._4 == "ai_slop")
+  }
+
   test("dropAiSlop excludes chat-boilerplate docs with reason ai_slop") {
     import spark.implicits._
     val docs = Seq(

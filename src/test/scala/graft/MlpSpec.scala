@@ -130,5 +130,23 @@ class MlpSpec extends SparkSpec {
     // BF16 payloads parse structurally but refuse to decode (no
     // silent garbage floats)
     intercept[IllegalArgumentException](ts("bf").vector)
+
+    // a header whose SHAPE disagrees with its offsets (shape [3] over
+    // 16 F64 bytes) must fail at read — not silently mis-shape rows
+    val lied = s"$dir/shape-lie.safetensors"
+    val lh = ("""{"dv":{"dtype":"F64","shape":[3],"data_offsets":[0,16]}}""").getBytes("UTF-8")
+    val lo = new java.io.FileOutputStream(lied)
+    lo.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(lh.length.toLong).array())
+    lo.write(lh); lo.write(f64); lo.close()
+    val ex = intercept[IllegalArgumentException](SafeTensors.read(lied))
+    assert(ex.getMessage.contains("dv") && ex.getMessage.contains("declares"),
+      s"shape/offset mismatch must name the tensor: ${ex.getMessage}")
+
+    // writer refuses JSON-breaking tensor names instead of emitting a
+    // corrupt header
+    intercept[IllegalArgumentException](
+      SafeTensors.writeF32(s"$dir/bad-name.safetensors",
+        Seq(("w\"1", Seq(1), Array(1.0)))))
   }
 }

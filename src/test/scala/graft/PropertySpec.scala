@@ -906,6 +906,30 @@ class PropertySpec extends SparkSpec {
     // pure so re-running is a no-op ONLY in offset terms, not value
     assert(graft.operators.Formatters.DateShiftKernel.delta(5L, 30) == -25)
     assert(graft.operators.Formatters.DateShiftKernel.shift(null, 3) == null)
+    // NEGATIVE ids stay inside the documented [-max, +max] bound
+    // (floorMod, not Java %): id=-1, max=30 → floorMod(-1,61)=60 → +30
+    assert(graft.operators.Formatters.DateShiftKernel.delta(-1L, 30) == 30)
+    assert((-100L to 100L).forall { id =>
+      val d = graft.operators.Formatters.DateShiftKernel.delta(id, 30)
+      d >= -30 && d <= 30
+    })
+  }
+
+  test("shiftDates: preserves every other column and the schema in place") {
+    import spark.implicits._
+    import graft.operators.Formatters
+    val docs = Seq(
+      (5L, "visit 2020-01-10 end", "en", 3, Some(0.5)),
+      (2L, "no dates here", "de", 7, None))
+      .toDF("doc_id", "text", "lang", "n", "score")
+    val out = Formatters.shiftDates(docs, "text", "doc_id", maxShiftDays = 30)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "text", "lang", "n", "score"),
+      "shiftDates must rewrite text IN PLACE, keeping all other columns")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(5L).getString(1) == "visit 2019-12-16 end")
+    assert(rows(5L).getString(2) == "en" && rows(5L).getInt(3) == 3
+      && rows(5L).getDouble(4) == 0.5)
+    assert(rows(2L).getString(1) == "no dates here" && rows(2L).isNullAt(4))
   }
 
   test("chunkSemantic: identical sentences never split, threshold extremes pin chunk counts") {
