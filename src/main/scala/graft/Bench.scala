@@ -53,8 +53,24 @@ object Bench {
     // faster.
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
+    // Host-load stamp: co-tenant drift inflated two rounds' benchdiffs
+    // with ~85 phantom 1.3–1.7× "movers" — the regression table needs
+    // to know whether the box was quiet when the numbers were taken.
+    val load = {
+      def f(p: String): Option[String] =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8"))
+        catch { case _: Throwable => None }
+      val avg = f("/proc/loadavg").map(_.trim.split("\\s+"))
+        .filter(_.length >= 3)
+      val up = f("/proc/uptime").map(_.trim.split("\\s+")(0))
+      s""""load":{"avg1":${avg.map(_(0)).getOrElse("-1")},""" +
+        s""""avg5":${avg.map(_(1)).getOrElse("-1")},""" +
+        s""""avg15":${avg.map(_(2)).getOrElse("-1")},""" +
+        s""""uptime_sec":${up.getOrElse("-1")}}"""
+    }
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s""""failed":${failed.mkString("[", ",", "]")},$load,"sf":"$sfDir"}"""
     // Write the full JSON to a file first: the driver captures stdout
     // as a bounded tail, which truncated the r05 artifact mid-list —
     // the file is the self-contained, untruncatable record. Filtered
@@ -76,7 +92,7 @@ object Bench {
     println(json)
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-      s""""queries":$slowest,"failed":${failed.mkString("[", ",", "]")},""" +
+      s""""queries":$slowest,"failed":${failed.mkString("[", ",", "]")},$load,""" +
       s""""queries_full":"target/bench.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
