@@ -312,6 +312,195 @@ object Multimodal {
       }).toDF("doc_id", "media")
   }
 
+  final case class AviFrame(
+    doc_id: Long, n_frames: Int, frame_idx: Int,
+    width: Int, height: Int, r: Int, g: Int, b: Int)
+
+  /** REAL codec-video frame extraction for MJPEG-in-AVI — the one
+    * codec the JDK genuinely decodes (each `00dc` chunk IS a complete
+    * JPEG, and ImageIO ships a JPEG reader): the RIFF walk
+    * ([[parseAudioMeta]]'s framing — LE u32 size + 4CC, odd sizes pad
+    * a byte) descends RIFF/`AVI ` → `LIST movi` (one `rec ` level
+    * tolerated), counts the `##dc`/`##db` frame chunks, and decodes
+    * every `stride`-th one to pixels (dims + top-left RGB). Closes
+    * the codec-video residual for this container; inter-frame codecs
+    * (H.264 …) remain the declared external-transcode boundary.
+    * Memory is bounded by one frame chunk; anything non-AVI, corrupt
+    * or truncated degrades to one (0, -1, 0,0,0,0,0) row, never a
+    * throw — a 100 TB crawl WILL contain damaged payloads. */
+  def aviFrames(docs: DataFrame, stride: Int = 2): Dataset[AviFrame] = {
+    require(stride > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val degrade = Seq(AviFrame(id, 0, -1, 0, 0, 0, 0, 0))
+        def tag(i: Int): String =
+          if (i + 4 <= bytes.length)
+            new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          else ""
+        def u32(i: Int): Long =
+          (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+            ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+        if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") degrade
+        else try {
+          val end = math.min(bytes.length.toLong, 8L + u32(4))
+          // collect (offset, len) of every video-frame chunk inside movi
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          def isFrame(t: String): Boolean =
+            t.length == 4 && t(0).isDigit && t(1).isDigit &&
+              (t.endsWith("dc") || t.endsWith("db"))
+          def walkMovi(from: Long, to: Long): Unit = {
+            var i = from
+            while (i + 8 <= to) {
+              val t = tag(i.toInt); val sz = u32(i.toInt + 4)
+              if (i + 8 + sz > to) return // truncated chunk: keep complete frames
+              if (t == "LIST" && tag(i.toInt + 8) == "rec ")
+                walkMovi(i + 12, i + 8 + sz)
+              else if (isFrame(t) && sz > 0) frames += ((i.toInt + 8, sz.toInt))
+              i += 8 + sz + (sz & 1) // RIFF word alignment
+            }
+          }
+          var i = 12L
+          while (i + 8 <= end) {
+            val t = tag(i.toInt); val sz = u32(i.toInt + 4)
+            // a truncated movi still yields its COMPLETE frame chunks
+            // (walkMovi stops at the first partial one) — the same
+            // salvage semantics as the GIF path
+            if (t == "LIST" && tag(i.toInt + 8) == "movi")
+              walkMovi(i + 12, math.min(i + 8 + sz, end))
+            if (i + 8 + sz > end) i = end // truncated list: stop the walk
+            else i += 8 + sz + (sz & 1)
+          }
+          if (frames.isEmpty) degrade
+          else {
+            val out = (0 until frames.length by stride).flatMap { k =>
+              val (off, len) = frames(k)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, off, len))
+              if (img == null) None
+              else {
+                val px = img.getRGB(0, 0)
+                Some(AviFrame(id, frames.length, k, img.getWidth, img.getHeight,
+                  (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff))
+              }
+            }
+            if (out.isEmpty) degrade else out
+          }
+        } catch { case _: Exception => degrade }
+      })
+  }
+
+  /** Genuine MJPEG-in-AVI fixtures: a real RIFF/`AVI ` container
+    * (hdrl with avih + one `vids`/`MJPG` strl, then `LIST movi`)
+    * whose `00dc` chunks are REAL ImageIO-encoded JPEGs of solid
+    * fills — [[aviFrames]] must genuinely walk the container AND
+    * Huffman-decode the frames. Frame count/dims are pure doc_id
+    * formulas (oracle-replayable); pixel VALUES are JPEG-lossy, so
+    * the gate pins dims/counts and the spec pins decoded color within
+    * quantization tolerance. doc_id%3==2 carries a non-AVI payload
+    * (degrade class). Built per partition, never on the driver. */
+  def withAviBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes: Array[Byte] =
+          if (id % 3 == 2) text.getBytes("UTF-8")
+          else {
+            val w = (4 + id % 6).toInt
+            val h = (3 + id % 4).toInt
+            val n = (2 + id % 3).toInt
+            val jpegs = (0 until n).map { i =>
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              // channels kept off the gamut edges so JPEG round-trip
+              // error stays within a few counts
+              val rgb = ((((id * 37 + i * 11) % 200) + 28).toInt << 16) |
+                ((((id * 59 + i * 17) % 200) + 28).toInt << 8) |
+                (((id * 83 + i * 23) % 200) + 28).toInt
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpeg", bos)
+              bos.toByteArray
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            def le32(v: Long): Unit = {
+              out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+              out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+            }
+            def w4(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+            // strh (56 bytes): fccType vids, handler MJPG, rate 10/1 fps
+            val strh = new java.io.ByteArrayOutputStream()
+            def sle32(v: Long): Unit = {
+              strh.write((v & 0xff).toInt); strh.write(((v >> 8) & 0xff).toInt)
+              strh.write(((v >> 16) & 0xff).toInt); strh.write(((v >> 24) & 0xff).toInt)
+            }
+            strh.write("vids".getBytes("US-ASCII"))
+            strh.write("MJPG".getBytes("US-ASCII"))
+            sle32(0); sle32(0); sle32(0) // flags, prio+lang, initial frames
+            sle32(1); sle32(10) // scale, rate → 10 fps
+            sle32(0); sle32(n.toLong); sle32(jpegs.map(_.length).max.toLong)
+            sle32(-1 & 0xffffffffL); sle32(0) // quality, sample size
+            sle32(0); sle32((w.toLong << 16) | h.toLong) // rcFrame
+            // strf: BITMAPINFOHEADER (40 bytes), biCompression 'MJPG'
+            val strf = new java.io.ByteArrayOutputStream()
+            def fle32(v: Long): Unit = {
+              strf.write((v & 0xff).toInt); strf.write(((v >> 8) & 0xff).toInt)
+              strf.write(((v >> 16) & 0xff).toInt); strf.write(((v >> 24) & 0xff).toInt)
+            }
+            fle32(40); fle32(w.toLong); fle32(h.toLong)
+            strf.write(1); strf.write(0); strf.write(24); strf.write(0) // planes, bpp
+            strf.write("MJPG".getBytes("US-ASCII"))
+            fle32((w * h * 3).toLong); fle32(0); fle32(0); fle32(0); fle32(0)
+            // avih (56 bytes)
+            val avih = new java.io.ByteArrayOutputStream()
+            def ale32(v: Long): Unit = {
+              avih.write((v & 0xff).toInt); avih.write(((v >> 8) & 0xff).toInt)
+              avih.write(((v >> 16) & 0xff).toInt); avih.write(((v >> 24) & 0xff).toInt)
+            }
+            ale32(100000); ale32(0); ale32(0); ale32(0) // usec/frame, maxbps, pad, flags
+            ale32(n.toLong); ale32(0); ale32(1); ale32(0) // frames, initial, streams, bufsz
+            ale32(w.toLong); ale32(h.toLong)
+            ale32(0); ale32(0); ale32(0); ale32(0)
+            def list(kind: String, body: Array[Byte]): Array[Byte] = {
+              val b = new java.io.ByteArrayOutputStream()
+              b.write("LIST".getBytes("US-ASCII"))
+              val v = body.length + 4L
+              b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+              b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+              b.write(kind.getBytes("US-ASCII")); b.write(body)
+              b.toByteArray
+            }
+            def rawChunk(id4: String, body: Array[Byte]): Array[Byte] = {
+              val b = new java.io.ByteArrayOutputStream()
+              b.write(id4.getBytes("US-ASCII"))
+              val v = body.length.toLong
+              b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+              b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+              b.write(body)
+              if ((body.length & 1) == 1) b.write(0)
+              b.toByteArray
+            }
+            val strl = list("strl",
+              rawChunk("strh", strh.toByteArray) ++ rawChunk("strf", strf.toByteArray))
+            val hdrl = list("hdrl", rawChunk("avih", avih.toByteArray) ++ strl)
+            val movi = list("movi",
+              jpegs.map(j => rawChunk("00dc", j)).reduce(_ ++ _))
+            val payload = hdrl ++ movi
+            w4("RIFF"); le32(payload.length + 4L); w4("AVI ")
+            out.write(payload)
+            out.toByteArray
+          }
+        (id, bytes)
+      }).toDF("doc_id", "media")
+  }
+
   final case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int)
 
   /** REAL image-header parse — not a stub: PNG's big-endian IHDR
@@ -1312,6 +1501,34 @@ object Multimodal {
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       gifFrames(withGifAnimBlob(Tables(s, dir, "documents")), stride = 2)
         .toDF().orderBy("doc_id", "frame_idx")
+    },
+
+    // MJPEG-in-AVI frame gate: the oracle recomputes frame counts,
+    // sampled indices and dims from the doc_id construction formulas;
+    // the Spark side must genuinely RIFF-walk hdrl/movi, frame every
+    // 00dc chunk, and JPEG-decode the sampled ones to get dims — a
+    // walker that misses the pad rule, miscounts chunks, or fails the
+    // Huffman decode flips rows. Pixel VALUES are JPEG-lossy, so the
+    // spec (not the gate) pins decoded color within quantization
+    // tolerance — the gate stays engine-exact.
+    Gate(
+      "mm_avi_frames",
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+        |    CAST(4 + doc_id % 6 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS i
+        |  FROM p WHERE doc_id % 3 <> 2)
+        |SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(i AS INT) AS frame_idx,
+        |  w AS width, h AS height
+        |FROM f
+        |UNION ALL
+        |SELECT doc_id, 0, -1, 0, 0 FROM p WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      aviFrames(withAviBlob(Tables(s, dir, "documents")), stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("width"), col("height"))
+        .orderBy("doc_id", "frame_idx")
     },
 
     // MP4 container-metadata gate: the oracle recomputes brand /

@@ -664,6 +664,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("aviFrames really walks RIFF movi and JPEG-decodes frames; corrupt/truncated degrade") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // ids 0,1,3,4 are AVI classes (n = 2 + id%3 frames, w = 4 + id%6,
+    // h = 3 + id%4); id 2 is the non-AVI degrade class
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "not an avi"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.aviFrames(Multimodal.withAviBlob(docs), stride = 2)
+      .collect().groupBy(_.doc_id)
+    // id 4: n = 2+4%3 = 3 frames → sampled 0,2; dims 8×3
+    assert(rows(4L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    rows(4L).foreach { f =>
+      assert(f.n_frames == 3 && f.width == 8 && f.height == 3)
+      // REAL JPEG decode: solid fills survive within DC-quantization
+      // tolerance of the construction color (exactness is the GIF
+      // path's job — JPEG is lossy by design)
+      val er = ((4 * 37 + f.frame_idx * 11) % 200) + 28
+      val eg = ((4 * 59 + f.frame_idx * 17) % 200) + 28
+      val eb = ((4 * 83 + f.frame_idx * 23) % 200) + 28
+      assert(math.abs(f.r - er) <= 8 && math.abs(f.g - eg) <= 8 &&
+        math.abs(f.b - eb) <= 8,
+        s"decoded ($f) strays from fill ($er,$eg,$eb) beyond JPEG tolerance")
+    }
+    assert(rows(2L).toSeq == Seq(Multimodal.AviFrame(2L, 0, -1, 0, 0, 0, 0, 0)))
+    // truncation salvage: chop the container mid-movi — complete
+    // frame chunks before the cut still count and decode
+    val full = Multimodal.withAviBlob(Seq((4L, "d")).toDF("doc_id", "text"))
+      .select("media").head.getAs[Array[Byte]](0)
+    val cut = full.take(full.length * 7 / 10)
+    val sal = Multimodal.aviFrames(
+      Seq((4L, cut)).toDF("doc_id", "media"), stride = 1).collect()
+    assert(sal.nonEmpty && sal.head.n_frames > 0 && sal.head.n_frames < 3,
+      s"expected partial salvage, got ${sal.toSeq}")
+    assert(sal.forall(f => f.width == 8 && f.height == 3))
+    // garbage behind a RIFF/AVI magic degrades, never throws
+    val junk = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](16, 0, 0, 0) ++ "AVI garbage".getBytes("US-ASCII")
+    assert(Multimodal.aviFrames(Seq((9L, junk)).toDF("doc_id", "media"))
+      .collect().toSeq == Seq(Multimodal.AviFrame(9L, 0, -1, 0, 0, 0, 0, 0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.aviFrames(docs.limit(0).select(col("doc_id"), col("text").as("media")), stride = 0)
+    }
+  }
+
   test("resizeMedia real path: genuine imageio decode + bilinear half-scale, corrupt degrades") {
     import graft.multimodal.Multimodal
     import spark.implicits._
