@@ -601,6 +601,50 @@ object Formatters {
     active.foldLeft(text) { (t, r) => regexp_replace(t, wrapRule(r.pattern), r.replacement) }
   }
 
+  /** EU per-country identifier pack — the built-in rule set standing
+    * where the reference loads `assets/pii/eu_regex.xlsx`
+    * (pii_formatter.py:28): each rule re-derives a PUBLISHED national
+    * id format from its public spec (BOE for the Spanish DNI/NIE
+    * check-letter alphabet, Agenzia delle Entrate for the codice
+    * fiscale layout, INSEE for the NIR, BZSt's printed IdNr grouping,
+    * gov.uk for the NINO prefix classes, PESEL act for the Polish
+    * id). Format-level matching like the reference — checksum
+    * validation is a scorer's job, not a regex's; phones stay with
+    * the dedicated phone rules (a leading `+` defeats the `\b`
+    * wrapping every rule here rides). Priorities are country-coded so
+    * `prioritiesToKeep` selects jurisdictions; order = pack order.
+    * RE2-safe (no lookaround/backrefs) so the SQL twin replays each
+    * replace byte-identically. */
+  val EuPiiRules: Seq[PiiRule] = Seq(
+    // Spain: 8 digits + mod-23 check letter (DNI), X/Y/Z + 7 digits +
+    // letter (NIE); optional hyphen is the common printed form
+    PiiRule("ES_DNI", "[0-9]{8}-?[TRWAGMYFPDXBNJZSQVHLCKE]", "<es-dni-pii>"),
+    PiiRule("ES_NIE", "[XYZ]-?[0-9]{7}-?[TRWAGMYFPDXBNJZSQVHLCKE]", "<es-nie-pii>"),
+    // Italy: codice fiscale 6 letters, yy, month letter, dd, plus the
+    // 4-char place code and check letter
+    PiiRule("IT_CF",
+      "[A-Z]{6}[0-9]{2}[ABCDEHLMPRST][0-9]{2}[A-Z][0-9]{3}[A-Z]", "<it-cf-pii>"),
+    // France: NIR — sex, yy, mm, department (incl. Corsica 2A/2B),
+    // commune, order, 2-digit key
+    PiiRule("FR_NIR",
+      "[12][0-9]{2}(0[1-9]|1[0-2])(2[AB]|[0-9]{2})[0-9]{3}[0-9]{3}[0-9]{2}",
+      "<fr-nir-pii>"),
+    // Germany: Steuer-IdNr in its printed `dd ddd ddd ddd` grouping
+    // (the bare-11-digit form is left to PL_PESEL-style opt-in — two
+    // indistinguishable bare formats can't both be defaults)
+    PiiRule("DE_IDNR", "[1-9][0-9] [0-9]{3} [0-9]{3} [0-9]{3}", "<de-idnr-pii>"),
+    // Poland: PESEL, 11 digits
+    PiiRule("PL_PESEL", "[0-9]{11}", "<pl-pesel-pii>"),
+    // UK: NINO — the published prefix letter classes, 6 digits,
+    // suffix A–D, with optional printed spacing
+    PiiRule("UK_NINO",
+      "[A-CEGHJ-PR-TW-Z][A-CEGHJ-NPR-TW-Z] ?[0-9]{2} ?[0-9]{2} ?[0-9]{2} ?[A-D]",
+      "<uk-nino-pii>"))
+
+  /** Apply the full [[EuPiiRules]] pack in pack order. */
+  def redactEuPii(text: Column): Column =
+    redactWithRules(text, EuPiiRules, EuPiiRules.map(_.priority))
+
   // ---- gates ----
 
   // The documents table carries no real PII, so the gate plants a
@@ -1161,6 +1205,70 @@ object Formatters {
         .select(col("doc_id"), planted.as("t"))
         .select(col("doc_id"),
           redactWithRules(col("t"), rules, prioritiesToKeep = Seq("P0", "P1")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // EU pattern-pack gate: one VALIDLY-FORMATTED id per country
+    // planted from doc_id formulas (the Spanish check letter is the
+    // real mod-23 letter) onto digit-sanitized text, then the whole
+    // pack applied in order; the oracle replays every wrapped replace
+    // byte-identically, so a wrong alphabet, a missed Corsica branch,
+    // a broken prefix class, or a reordered rule flips rows.
+    Gate(
+      "fmt_pii_eu", {
+        val alpha = "TRWAGMYFPDXBNJZSQVHLCKE"
+        val planted =
+          "regexp_replace(text, '[0-9]', 'x', 'g') || " +
+            "' dni ' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || " +
+            s"substr('$alpha', CAST((doc_id % 100000000) % 23 AS INT) + 1, 1) || " +
+            "' nie X' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') || " +
+            s"substr('$alpha', CAST(doc_id % 23 AS INT) + 1, 1) || " +
+            "' cf RSSMRA' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'T' || " +
+            "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'H' || " +
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || 'X' || " +
+            "' nir 1' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || " +
+            "lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '75' || " +
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || " +
+            "lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || " +
+            "lpad(CAST(doc_id % 97 AS VARCHAR), 2, '0') || " +
+            "' idnr ' || CAST(doc_id % 9 + 1 AS VARCHAR) || CAST(doc_id % 10 AS VARCHAR) || ' ' || " +
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' ' || " +
+            "lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') || ' ' || " +
+            "lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || " +
+            "' pesel ' || lpad(CAST(doc_id AS VARCHAR), 11, '0') || " +
+            "' nino AB ' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' || " +
+            "lpad(CAST((doc_id * 3) % 100 AS VARCHAR), 2, '0') || ' ' || " +
+            "lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0') || ' C' || " +
+            "' end.'"
+        val chain = EuPiiRules.foldLeft("t") { (acc, r) =>
+          "regexp_replace(" + acc + ", '\\b" + r.pattern +
+            "(\\.|$|,|\\s)', '" + r.replacement + "', 'g')"
+        }
+        "WITH p AS (SELECT doc_id, " + planted + " AS t FROM documents)\n" +
+          "SELECT doc_id, " + chain + " AS redacted\nFROM p ORDER BY doc_id"
+      }) { (s, dir) =>
+      val alpha = "TRWAGMYFPDXBNJZSQVHLCKE"
+      val id = col("doc_id")
+      def lp(c: Column, n: Int) = lpad(c.cast("string"), n, "0")
+      def letter(n: Column) = lit(alpha).substr((pmod(n, lit(23)) + 1).cast("int"), lit(1))
+      val planted = concat(
+        regexp_replace(col("text"), "[0-9]", "x"),
+        lit(" dni "), lp(id % 100000000, 8), letter(id % 100000000),
+        lit(" nie X"), lp(id % 10000000, 7), letter(id),
+        lit(" cf RSSMRA"), lp(id % 100, 2), lit("T"), lp(id % 28 + 1, 2),
+        lit("H"), lp(id % 1000, 3), lit("X"),
+        lit(" nir 1"), lp(id % 100, 2), lp(id % 12 + 1, 2), lit("75"),
+        lp(id % 1000, 3), lp((id * 7) % 1000, 3), lp(id % 97, 2),
+        lit(" idnr "), (id % 9 + 1).cast("string"), (id % 10).cast("string"),
+        lit(" "), lp(id % 1000, 3), lit(" "), lp((id * 3) % 1000, 3),
+        lit(" "), lp((id * 7) % 1000, 3),
+        lit(" pesel "), lp(id, 11),
+        lit(" nino AB "), lp(id % 100, 2), lit(" "), lp((id * 3) % 100, 2),
+        lit(" "), lp((id * 7) % 100, 2), lit(" C"),
+        lit(" end."))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"), redactEuPii(col("t")).as("redacted"))
         .orderBy("doc_id")
     },
 

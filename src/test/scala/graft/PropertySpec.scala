@@ -1074,6 +1074,34 @@ class PropertySpec extends SparkSpec {
       == "a <phone-pii> b <phone-pii> c")
   }
 
+  test("EuPiiRules: each country format redacts, priorities select jurisdictions, no cross-eating") {
+    import spark.implicits._
+    import graft.operators.Formatters
+    def redact(t: String): String =
+      Seq(Tuple1(t)).toDF("t").select(Formatters.redactEuPii(col("t")).as("r"))
+        .head().getString(0)
+    assert(redact("dni 12345678Z end") == "dni <es-dni-pii>end")
+    assert(redact("nie X1234567L end") == "nie <es-nie-pii>end")
+    assert(redact("cf RSSMRA85T10H501Q end") == "cf <it-cf-pii>end")
+    assert(redact("nir 180127500312345 end") == "nir <fr-nir-pii>end")
+    assert(redact("idnr 12 345 678 901 end") == "idnr <de-idnr-pii>end")
+    assert(redact("pesel 44051401359 end") == "pesel <pl-pesel-pii>end")
+    assert(redact("nino AB 12 34 56 C end") == "nino <uk-nino-pii>end")
+    assert(redact("nino QQ 12 34 56 C end") == "nino QQ 12 34 56 C end",
+      "Q is outside the published NINO prefix classes")
+    // no cross-eating: the 11-digit PESEL rule must not fire inside a
+    // 15-digit NIR run or a spaced German id, and month 13 fails NIR
+    assert(redact("run 180137500312345 end") == "run 180137500312345 end",
+      "month 13 must fail the NIR month class and nothing else may eat the run")
+    // jurisdiction selection via prioritiesToKeep
+    val esOnly = Seq(Tuple1("a 12345678Z b 44051401359 c"))
+      .toDF("t")
+      .select(Formatters.redactWithRules(
+        col("t"), Formatters.EuPiiRules, Seq("ES_DNI")).as("r"))
+      .head().getString(0)
+    assert(esOnly == "a <es-dni-pii>b 44051401359 c")
+  }
+
   test("redactCards erases only Luhn-valid card numbers") {
     import spark.implicits._
     def red(t: String): String =
