@@ -1,0 +1,115 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Caches, GraftSession, Metrics, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scaling smoke — turns the design-for-scale argument into a
+  * second MEASURED point: the three scale-critical paths (full
+  * fineweb recipe, MinHash+LSH near-dup, IVF index build) run at
+  * sf0.1 and at a replicated 10× of it, and the wall time + shuffle
+  * bytes are printed as JSON lines for SURVEY §6. Linear-ish growth
+  * (and no capacity-guard trips) is the pass criterion; superlinear
+  * shuffle growth would flag a hidden all-pairs or broadcast-side
+  * blowup that the per-gate fixtures are too small to expose.
+  *
+  * The 10× corpus replicates each document `factor` times with
+  * distinct ids and a per-copy salt suffix (so near-dup does NOT
+  * collapse the copies into trivial clusters — signatures stay
+  * distinct, keeping the LSH load realistic); embeddings replicate
+  * with id offsets. Materialized once under the work dir, reused.
+  *
+  * Dev tooling (like [[graft.Bench]]): run with
+  * `runMain graft.apps.ScaleSmoke [sfDir] [workDir]`. */
+object ScaleSmoke {
+
+  private def jio(
+      name: String, scale: String, wall: Double, io: Metrics.JobIO,
+      extra: (String, Long)*): String = {
+    val ex = extra.map { case (k, v) => s""""$k":$v""" }.mkString(",", ",", "").stripSuffix(",")
+    f"""{"step":"$name","scale":"$scale","wall_sec":$wall%.1f,""" +
+      s""""shuffle_read_mb":${io.shuffleReadBytes / (1 << 20)},""" +
+      s""""shuffle_write_mb":${io.shuffleWriteBytes / (1 << 20)},""" +
+      s""""input_mb":${io.inputBytes / (1 << 20)}$ex}"""
+  }
+
+  private def timed[T](spark: SparkSession, name: String, scale: String,
+      extra: T => Seq[(String, Long)] = (_: T) => Seq.empty)(action: => T): Unit = {
+    val t0 = System.nanoTime()
+    val (res, io) = Metrics.measure(spark)(action)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(jio(name, scale, wall, io, extra(res): _*))
+    Caches.releaseAll()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = 10
+    val spark = GraftSession.create("graft-scale-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d10 = s"$workDir/documents.parquet"
+    val e10 = s"$workDir/embeddings.parquet"
+    if (!Files.exists(Paths.get(d10))) {
+      val docs = Tables(spark, sfDir, "documents")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+      // copies must NOT be near-duplicates of each other (the point is
+      // a 10× CORPUS, not a 10×-duplicated one — dup blowup would put
+      // quadratic pair growth in the measurement by construction):
+      // rotating a 10-letter common-letter alphabet per copy changes
+      // almost every shingle while keeping length/word statistics
+      // realistic; k=0 keeps the original
+      val alpha = "aeioustnrl"
+      val mutated = (1 until factor).foldLeft(
+        when(col("__k") === 0, col("text"))) { (acc, k) =>
+        acc.when(col("__k") === k,
+          translate(col("text"), alpha, alpha.drop(k) + alpha.take(k)))
+      }.otherwise(col("text"))
+      docs.crossJoin(broadcast(spark.range(factor).toDF("__k")))
+        .select(
+          (col("doc_id") + col("__k") * maxId).as("doc_id"),
+          mutated.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(d10)
+      val emb = Tables(spark, sfDir, "embeddings")
+      val maxVid = emb.agg(max("vec_id")).head().getLong(0) + 1
+      emb.crossJoin(broadcast(spark.range(factor).toDF("__k")))
+        .select(
+          (col("vec_id") + col("__k") * maxVid).as("vec_id"),
+          col("embedding"), col("label"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(e10)
+      println(s"""{"step":"materialize","scale":"x$factor","dir":"$workDir"}""")
+    }
+
+    val scales: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("x1", Tables(spark, sfDir, "documents"), Tables(spark, sfDir, "embeddings")),
+      (s"x$factor", spark.read.parquet(d10), spark.read.parquet(e10)))
+
+    for ((label, docs, emb) <- scales) {
+      timed(spark, "recipe", label,
+        (n: Long) => Seq("kept" -> n)) {
+        // same page construction as the fw_full_recipe gate — raw
+        // fixture text has no sentence structure for the C4 stage
+        val (kept, _) = graft.api.FinewebPipeline.build(
+          spark, graft.api.FinewebPipeline.recipePages(docs),
+          graft.api.FinewebPipeline.RecipeCfg)
+        kept.count()
+      }
+      timed(spark, "minhash_lsh", label,
+        (n: Long) => Seq("pairs" -> n)) {
+        graft.operators.Dedup
+          .minhashLshPairs(docs, "text", "doc_id", threshold = 0.8).count()
+      }
+      val idxPath = s"$workDir/ivf_$label"
+      timed(spark, "ivf_build", label) {
+        graft.operators.Similarity.writeIvfIndex(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          idxPath, nCells = 16)
+      }
+    }
+    spark.stop()
+  }
+}
