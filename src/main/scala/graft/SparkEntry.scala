@@ -34,6 +34,7 @@ object SparkEntry {
       ml.ClassifierTraining.gates ++
       sources.DocSource.gates ++
       sources.TfRecord.gates ++
+      sources.AvroOcf.gates ++
       sources.WebDataset.gates ++
       sources.arrow.ArrowGates.gates ++
       tokens.Tokens.gates ++

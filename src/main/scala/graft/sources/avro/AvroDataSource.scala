@@ -1,0 +1,252 @@
+package graft.sources.avro
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.AvroOcf
+import graft.sources.tfrecord.SerializableHadoopConf
+
+/** DataSource V2 READ connector for a directory of Avro OCF shards —
+  * the loader half of [[graft.sources.AvroOcf.write]] on the house
+  * connector discipline ([[graft.sources.tfrecord.TfRecordDataSource]],
+  * [[graft.sources.megatron.MegatronDataSource]]):
+  *
+  * {{{
+  * spark.read.format("graft.sources.avro.AvroDataSource")
+  *   .schema(s)                 // optional — inferred when omitted
+  *   .load("/archive/dump42/avro")
+  * }}}
+  *
+  * Shard discovery and byte access go through the HADOOP FileSystem
+  * API (`FsInput` — Avro's own seekable Hadoop adapter), so hdfs://,
+  * s3a:// and local paths plan identically. Planning is one
+  * [[InputPartition]] per `.avro` shard — the writer's natural
+  * parallel unit — needing no shuffle at any corpus size; each reader
+  * streams records block-by-block through Avro's own container
+  * machinery (sync markers, block deflate, corruption surfaces as
+  * Avro's loud exceptions, never silent truncation).
+  *
+  * Column pruning is pushed into AVRO SCHEMA RESOLUTION: the reader
+  * schema is the per-shard WRITER schema filtered to the required
+  * fields (same names, same order as the writer laid them out), so
+  * Avro's resolving decoder SKIPS non-projected fields' bytes without
+  * materializing them — a (doc_id, n_words) read of a text-heavy
+  * archive never allocates the text. Deriving the reader schema from
+  * each shard's own writer schema (rather than from the declared
+  * Spark schema) keeps resolution correct for externally-produced
+  * files whose record name or field order differs.
+  *
+  * Schema inference (when `.schema` is omitted) converts the first
+  * shard's writer schema: `union(null, T)` → nullable T, long/int/
+  * string/bytes/double/float/boolean scalars and arrays thereof —
+  * exactly the [[AvroOcf]] type surface; anything else fails loudly
+  * with the field name. */
+class AvroDataSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty,
+      "AvroDataSource: .load(<avro shard directory>) is required")
+    AvroDataSource.inferFromFirstShard(
+      path, SparkSession.active.sessionState.newHadoopConf())
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "AvroDataSource: .load(<avro shard directory>) is required")
+    new AvroTable(path, schema)
+  }
+}
+
+object AvroDataSource {
+  val Format = "graft.sources.avro.AvroDataSource"
+
+  /** `.avro` shard paths under `dir`, via the Hadoop FS API. */
+  private[avro] def shards(dir: String, conf: Configuration): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"AvroDataSource: no .avro shards under $dir")
+    files
+  }
+
+  /** Strip the writer's `union(null, T)` wrapper (or pass a bare type
+    * through — externally-written files may omit the union). */
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"AvroDataSource: unsupported multi-branch union $s")
+      nonNull.head
+    } else s
+
+  private def toSpark(field: String, s: Schema): DataType = unwrap(s).getType match {
+    case Schema.Type.LONG => LongType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.ARRAY =>
+      ArrayType(toSpark(field, unwrap(s).getElementType), containsNull = false)
+    case other => throw new IllegalArgumentException(
+      s"AvroDataSource: field '$field' has unsupported Avro type $other")
+  }
+
+  private def inferFromFirstShard(dir: String, conf: Configuration): StructType = {
+    val first = shards(dir, conf).head
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(first), conf), new GenericDatumReader[GenericRecord]())
+    try {
+      val writer = reader.getSchema
+      require(writer.getType == Schema.Type.RECORD,
+        s"AvroDataSource: $first top-level schema is ${writer.getType}, not a record")
+      StructType(writer.getFields.asScala.toSeq.map { f =>
+        StructField(f.name(), toSpark(f.name(), f.schema()), nullable = true)
+      })
+    } finally reader.close()
+  }
+}
+
+private[avro] class AvroTable(path: String, schema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"avro($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(path, schema)
+}
+
+private[avro] class AvroScanBuilder(path: String, full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve OUR field order/types; Spark's required set drives membership
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep(f.name)))
+  }
+  override def build(): Scan = new AvroScan(path, required)
+}
+
+private[avro] class AvroScan(path: String, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    AvroDataSource.shards(path, conf)
+      .map(AvroShard(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new AvroReaderFactory(required, conf)
+  }
+}
+
+private[avro] final case class AvroShard(file: String) extends InputPartition
+
+private[avro] class AvroReaderFactory(
+    required: StructType, conf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(
+      partition.asInstanceOf[AvroShard].file, required, conf.value)
+}
+
+private[avro] class AvroPartitionReader(
+    file: String, required: StructType, conf: Configuration)
+  extends PartitionReader[InternalRow] {
+
+  AvroOcf.validate(required)
+
+  private val reader = {
+    val in = new FsInput(new Path(file), conf)
+    // Two-step open: the writer schema comes from the file header;
+    // the reader (expected) schema is that same schema FILTERED to
+    // the required fields, so Avro's resolving decoder skips
+    // non-projected bytes. Field absence in the shard fails loudly
+    // with the field name, not a positional decode error.
+    val header = new DataFileReader[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    val writer = header.getSchema
+    val keep = required.fieldNames.toSet
+    val missing = keep -- writer.getFields.asScala.map(_.name()).toSet
+    require(missing.isEmpty,
+      s"AvroDataSource: $file lacks required field(s) ${missing.toSeq.sorted.mkString(", ")}")
+    val pruned = Schema.createRecord(
+      writer.getName, writer.getDoc, writer.getNamespace, false,
+      writer.getFields.asScala.toSeq.filter(f => keep(f.name())).map { f =>
+        new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+      }.asJava)
+    header.close() // re-open: DataFileReader binds its datum reader at construction
+    new DataFileReader[GenericRecord](
+      new FsInput(new Path(file), conf),
+      new GenericDatumReader[GenericRecord](writer, pruned))
+  }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (!reader.hasNext) false
+    else {
+      val rec = reader.next()
+      row = InternalRow.fromSeq(required.fields.toSeq.map { f =>
+        convert(f.dataType, rec.get(f.name))
+      })
+      true
+    }
+
+  private def convert(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case LongType | DoubleType | BooleanType => v
+      case IntegerType => v
+      case FloatType => v
+      case StringType => v match {
+        case u: Utf8 => UTF8String.fromBytes(util.Arrays.copyOf(u.getBytes, u.getByteLength))
+        case s: CharSequence => UTF8String.fromString(s.toString)
+      }
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case ArrayType(et, _) =>
+        val xs = v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+        new GenericArrayData(xs.map(x => convert(et, x)).toArray)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

@@ -439,4 +439,135 @@ class SourcesSpec extends SparkSpec {
     }
     assert(threw >= 45, s"random garbage parsed 'cleanly' ${50 - threw} times — CRC gate too weak")
   }
+
+  test("AvroOcf: round-trips edge payloads across the full type surface, NULLs survive") {
+    import spark.implicits._
+    import graft.sources.AvroOcf
+    val dir = Files.createTempDirectory("graft-avro").toString
+    // every supported branch: long/string/binary/double/float/boolean
+    // scalars + long array; edge payloads: empty string, unicode,
+    // Long.MinValue, empty array, 5k binary, a NULL per column
+    val rows = Seq(
+      (0L, "", Array[Byte](), 0.0, 0.0f, true, Seq.empty[Long]),
+      (1L, "héllo wörld ✓", Array[Byte](1, -1, 0, 127), -1.5, 2.5f, false,
+        Seq(0L, Long.MaxValue, Long.MinValue)),
+      (2L, "x" * 5000, Array.fill[Byte](5000)(42), Double.MaxValue,
+        Float.MinPositiveValue, true, (0L until 100L).toSeq),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]],
+        3.25, 1.0f, false, null.asInstanceOf[Seq[Long]]))
+      .toDF("doc_id", "text", "blob", "d", "f", "b", "tok")
+    AvroOcf.write(rows, dir)
+    val back = AvroOcf.read(spark, dir, rows.schema)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(back.size == 4)
+    assert(back(0L).getString(1) == "" && back(0L).getAs[Array[Byte]](2).isEmpty &&
+      back(0L).getSeq[Long](6).isEmpty)
+    assert(back(1L).getString(1) == "héllo wörld ✓" &&
+      back(1L).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, -1, 0, 127) &&
+      back(1L).getDouble(3) == -1.5 && back(1L).getFloat(4) == 2.5f &&
+      !back(1L).getBoolean(5) &&
+      back(1L).getSeq[Long](6) == Seq(0L, Long.MaxValue, Long.MinValue))
+    assert(back(2L).getString(1).length == 5000 &&
+      back(2L).getAs[Array[Byte]](2).length == 5000 &&
+      back(2L).getDouble(3) == Double.MaxValue)
+    assert(back(3L).isNullAt(1) && back(3L).isNullAt(2) && back(3L).isNullAt(6),
+      "NULL cells must read back as NULL through the union(null,T) branch")
+  }
+
+  test("AvroOcf DSv2 connector: one partition per shard, pruned scan, schema inference") {
+    import spark.implicits._
+    import graft.sources.AvroOcf
+    import graft.sources.avro.AvroDataSource
+    val dir = Files.createTempDirectory("graft-avro-dsv2").toString
+    val rows = Seq(
+      (1L, "alpha beta", 0.5, Seq(1L, 2L)),
+      (2L, "gamma", 1.5, Seq(3L)),
+      (3L, "delta epsilon", 2.5, Seq.empty[Long]))
+      .toDF("doc_id", "text", "score", "tok")
+      .repartition(3)
+    AvroOcf.write(rows, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 3)
+
+    val back = spark.read.format(AvroDataSource.Format)
+      .schema(rows.schema).load(dir)
+    assert(back.rdd.getNumPartitions == 3, "connector must plan one partition per shard")
+    val byId = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "alpha beta" && byId(1L).getSeq[Long](3) == Seq(1L, 2L))
+    assert(byId(2L).getDouble(2) == 1.5)
+    assert(byId(3L).getSeq[Long](3).isEmpty)
+
+    // pruned projection decodes only the required fields, values exact
+    val pruned = spark.read.format(AvroDataSource.Format)
+      .schema(rows.schema).load(dir).select("doc_id", "score")
+    assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "score"))
+    assert(pruned.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .apply(2L) == 1.5)
+
+    // inference maps the writer schema back faithfully — unlike
+    // TFRecord, Avro carries real types, so scalars stay scalars
+    val inferred = spark.read.format(AvroDataSource.Format).load(dir).schema
+    import org.apache.spark.sql.types._
+    assert(inferred("doc_id").dataType == LongType)
+    assert(inferred("text").dataType == StringType)
+    assert(inferred("score").dataType == DoubleType)
+    assert(inferred("tok").dataType == ArrayType(LongType, containsNull = false))
+
+    // a required field absent from the shard fails loudly BY NAME
+    val ex = intercept[Exception] {
+      spark.read.format(AvroDataSource.Format)
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("nope", StringType)))).load(dir).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(ex).contains("nope"), s"expected the missing field name: ${chain(ex).take(300)}")
+  }
+
+  test("AvroOcf connector reads an EXTERNALLY-written file (bare types, other record name)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import graft.sources.avro.AvroDataSource
+    import org.apache.spark.sql.types._
+    // simulate a foreign producer: different record name/namespace,
+    // NON-union (required) fields — the connector must unwrap nothing
+    // and resolve the reader schema from the shard's own writer schema
+    val dir = Files.createTempDirectory("graft-avro-ext").toString
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"LogLine","namespace":"com.example",
+        |"fields":[{"name":"id","type":"long"},{"name":"msg","type":"string"},
+        |{"name":"ok","type":"boolean"}]}""".stripMargin)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      .create(schema, new java.io.File(dir, "ext.avro"))
+    try (10L to 12L).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i); r.put("msg", s"line $i"); r.put("ok", i % 2 == 0)
+      w.append(r)
+    } finally w.close()
+
+    val got = spark.read.format(AvroDataSource.Format)
+      .schema(StructType(Seq(StructField("id", LongType), StructField("msg", StringType))))
+      .load(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "line 10", 11L -> "line 11", 12L -> "line 12"))
+    // inference on bare (non-union) fields maps types directly too
+    val inferred = spark.read.format(AvroDataSource.Format).load(dir).schema
+    assert(inferred("id").dataType == LongType && inferred("ok").dataType == BooleanType)
+  }
+
+  test("AvroOcf: retry-safe writes — a stale .tmp shard is never read, rewrite wins") {
+    import spark.implicits._
+    import graft.sources.AvroOcf
+    val dir = Files.createTempDirectory("graft-avro-retry").toString
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").coalesce(1)
+    AvroOcf.write(rows, dir)
+    // plant a leftover temp file (killed speculative attempt) — the
+    // reader must ignore it (only *.avro shards list)
+    Files.write(java.nio.file.Paths.get(s"$dir/.part-00099.tmp-7"),
+      Array.fill[Byte](64)(0x5a))
+    // idempotent rewrite over the same dir must replace, not append
+    AvroOcf.write(rows, dir)
+    val back = AvroOcf.read(spark, dir, rows.schema).collect()
+    assert(back.length == 2, s"expected 2 rows after rewrite, got ${back.length}")
+  }
 }
