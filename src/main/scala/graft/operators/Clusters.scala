@@ -501,6 +501,75 @@ object Clusters {
     ranks
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+    * seeded SPAM-DEMOTION complement to [[pageRank]]: plain PageRank
+    * rewards any densely-interlinked region, so link farms rank
+    * themselves; TrustRank restricts the teleport vector to a small
+    * hand-vetted TRUSTED seed set, and trust flows outward only along
+    * links — a spam cluster no trusted page (transitively) links to
+    * receives ~0 trust however much it self-links. The standard
+    * web-corpus use is the quality prior: rank hosts by trust, demote
+    * (or cap) the untrusted tail before mixing a crawl into
+    * pretraining data. r'(v) = (1−d)·s(v) + d·Σ_{u→v} r(u)/outdeg(u),
+    * with s uniform over the seed set and r₀ = s; dangling mass is
+    * dropped, matching [[pageRank]]'s simple variant.
+    *
+    * Scale shape: identical to [[pageRank]] — one equi-join plus one
+    * map-side-combined aggregate per iteration on (long, long) edges;
+    * the seed set joins ONCE into the node frame as a boolean (a
+    * 100 TB crawl's seed list is tiny — hundreds of hosts — so that
+    * join broadcasts). Nothing collects; lineage truncates per round.
+    *
+    * Determinism contract (the gate hash-checks an unrolled SQL twin):
+    * the same pround-12 / DECIMAL(32,12) accumulation discipline as
+    * [[pageRank]]; seed mass 1/|S| and teleport (1−d)/|S| are single
+    * IEEE divisions both engines reproduce bit-for-bit. Seeds absent
+    * from the graph are ignored (they can neither receive nor forward
+    * trust); at least one seed must be present. */
+  def trustRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val s = broadcast(seeds.select(col(seedCol).cast("long").as("node")).distinct())
+    val nodes = graft.Caches.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+        .join(s.withColumn("__seed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(false)).as("seed")))
+    val ew = graft.Caches.persist(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("od")), Seq("src")))
+    val nS = nodes.filter(col("seed")).count()
+    require(nS > 0, "trustRank: no seed is present in the graph")
+    // both divisions happen ONCE here as driver doubles; the SQL twin
+    // writes the same single IEEE divisions, so they match bit-for-bit
+    val seedMass = 1.0 / nS
+    val teleport = (1.0 - damping) / nS
+    var ranks = nodes.withColumn(
+      "r", when(col("seed"), lit(seedMass)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val contribs = ew.join(
+        ranks.select(col("node").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(graft.Cols.pround(col("r") / col("od"), 12)
+          .cast(DecimalType(32, 12))).as("c"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("seed"), graft.Cols.pround(
+          when(col("seed"), lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("c").cast("double"), lit(0.0)),
+          12).as("r"))
+      // lineage truncation per round — see pageRank's localCheckpoint note
+      val rdd = next.rdd
+      rdd.localCheckpoint()
+      ranks = next.sparkSession.createDataFrame(rdd, next.schema)
+    }
+    ranks.select(col("node"), col("seed"), col("r").as("trust"))
+  }
+
   /** HITS hubs/authorities (Kleinberg, JACM'99) over a directed link
     * graph — the complementary centrality to [[pageRank]]: authorities
     * are pages good links point AT, hubs are pages that point at good
@@ -961,6 +1030,37 @@ object Clusters {
        |FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  private def trustRankSqlTwin(iterations: Int): String = {
+    val contrib = graft.Cols.proundSql("p.r / e.od", 12)
+    val step = graft.Cols.proundSql(
+      "(CASE WHEN ids.rn % 5 = 0 THEN (1.0 - 0.85) / (SELECT k FROM ns) ELSE 0.0 END)" +
+        " + 0.85 * coalesce(CAST(s.c AS DOUBLE), 0.0)", 12)
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (SELECT ids.rn AS node, $step AS r
+         |  FROM ids LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(CAST($contrib AS DECIMAL(32,12))) AS c
+         |    FROM e JOIN r${k - 1} p ON e.src = p.node GROUP BY e.dst) s
+         |  ON ids.rn = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |ns AS (SELECT count(*) AS k FROM ids WHERE rn % 5 = 0),
+       |e0 AS (SELECT rn AS src, (rn*31+7) % (SELECT n FROM nn) AS dst FROM ids
+       |       UNION ALL SELECT rn, (rn*17+3) % (SELECT n FROM nn) FROM ids),
+       |e AS (SELECT e0.src, e0.dst, od.od
+       |      FROM e0 JOIN (SELECT src, count(*) AS od FROM e0 GROUP BY src) od
+       |      ON e0.src = od.src),
+       |r0 AS (SELECT rn AS node,
+       |       CASE WHEN rn % 5 = 0 THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS r
+       |       FROM ids),
+       |$iters
+       |SELECT r$iterations.node, ids.rn % 5 = 0 AS seed,
+       |  ${graft.Cols.proundSql("r", 8)} AS trust
+       |FROM r$iterations JOIN ids ON ids.rn = r$iterations.node
+       |ORDER BY node""".stripMargin
+  }
+
   /** Triangle + wedge census via degree orientation (Suri &
     * Vassilvitskii, WWW'11 — "the curse of the last reducer"): each
     * undirected edge is oriented from its lower-(degree, id) endpoint
@@ -1083,6 +1183,23 @@ object Clusters {
           .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n)))
       pageRank(e, "src", "dst", iterations = 5, damping = 0.85)
         .select(col("node"), graft.Cols.pround(col("r"), 8).as("rank"))
+        .orderBy("node")
+    },
+
+    // TrustRank gate: same modular fixture graph, every 5th node
+    // trusted — the oracle unrolls all 5 damped rounds with the
+    // seeded teleport, so a wrong seed mass, a teleport leaking to
+    // non-seeds, or a contribution-join bug flips the hash.
+    Gate(
+      "op_trustrank", trustRankSqlTwin(5)) { (s, dir) =>
+      val (ids, n) = fixtureIds(Tables(s, dir, "documents"))
+      val e = fixtureEdges(
+        ids.select(col("rn").as("src"), ((col("rn") * 31 + 7) % n).as("dst"))
+          .union(ids.select(col("rn"), (col("rn") * 17 + 3) % n)))
+      val seeds = ids.filter(pmod(col("rn"), lit(5)) === 0)
+      trustRank(e, "src", "dst", seeds, "rn", iterations = 5, damping = 0.85)
+        .select(col("node"), col("seed"),
+          graft.Cols.pround(col("trust"), 8).as("trust"))
         .orderBy("node")
     },
 

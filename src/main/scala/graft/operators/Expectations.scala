@@ -95,6 +95,78 @@ object Expectations {
       .withColumn("violates", col("diversity_band") < l)
   }
 
+  /** t-closeness census (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the third leg of the privacy triad with [[kAnonymity]] and
+    * [[lDiversity]]: an l-diverse class still leaks when its sensitive
+    * DISTRIBUTION diverges from the table's (a class that's 90% one
+    * diagnosis in a 5%-background table identifies, however many
+    * distinct values appear). Per quasi-class, the variational
+    * distance D(Q,P) = ½·Σᵥ|q(v) − p(v)| between the class
+    * distribution Q and the global distribution P of the sensitive
+    * attribute, folded into decile bands with a `violates = D > t`
+    * flag — the suppression/generalization work list.
+    *
+    * Absent values need no rows: for v not in the class, |0 − p(v)|
+    * sums to 1 − Σ_{v∈class} p(v), so
+    * D = ½·(Σ_{v∈class} |q−p| + 1 − Σ_{v∈class} p) over PRESENT
+    * (class, value) pairs only.
+    *
+    * Scale shape: ONE corpus-size shuffle — the grouped count on
+    * (quasi, sensitive) — then everything downstream (class sizes,
+    * the global distribution, the per-class fold) is tiny-frame work;
+    * the global distribution broadcasts. NULL sensitive values form
+    * their own value in both engines (GROUP BY semantics — unlike
+    * l-diversity's COUNT DISTINCT, which ignores NULL).
+    *
+    * Determinism: |q−p| and p are pround-12 and accumulated in
+    * DECIMAL(32,12) (order-independent), the distance pround-8 — the
+    * gate hash-matches a DuckDB replay at any partitioning. */
+  def tCloseness(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, t: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(quasiCols.nonEmpty, "tCloseness: need at least one quasi column")
+    require(t > 0 && t < 1, "tCloseness: t must be in (0, 1)")
+    val pc = graft.Caches.persist(
+      df.groupBy((quasiCols :+ sensitiveCol).map(col): _*).agg(count(lit(1)).as("__n")))
+    // the class-size and global frames derive from pc (ONE corpus
+    // shuffle total) with every column renamed BEFORE aggregating, so
+    // the self-joins below share no attribute names Spark would have
+    // to disambiguate
+    val cls = pc.select(
+      quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("__n").as("__nc"): _*)
+      .groupBy(quasiCols.map(c => col(s"__q_$c")): _*).agg(sum(col("__nc")).as("__sz"))
+    val glob = pc.select(col(sensitiveCol).as("__sv"), col("__n").as("__ng"))
+      .groupBy(col("__sv")).agg(sum(col("__ng")).as("__g"))
+    val nRow = glob.agg(sum(col("__g")).as("__N"))
+    // pc/cls/glob/nRow all derive from one plan — references below are
+    // DATAFRAME-QUALIFIED (plan-id tagged) so the self-join resolution
+    // never sees an ambiguous bare name
+    val p = glob.col("__g").cast("double") / nRow.col("__N").cast("double")
+    val q = pc.col("__n").cast("double") / cls.col("__sz").cast("double")
+    // null-safe equality throughout: a NULL sensitive value is its own
+    // value and a NULL quasi tuple its own class — plain equi-joins
+    // would silently drop both
+    val condQ = quasiCols.map(c => pc.col(c) <=> cls.col(s"__q_$c")).reduce(_ && _)
+    val terms = pc
+      .join(broadcast(glob), pc.col(sensitiveCol) <=> glob.col("__sv"))
+      .join(cls, condQ)
+      .crossJoin(broadcast(nRow))
+      .select(
+        struct(quasiCols.map(pc.col): _*).as("__cls"), cls.col("__sz").as("__sz"),
+        graft.Cols.pround(abs(q - p), 12).cast(DecimalType(32, 12)).as("__t1"),
+        graft.Cols.pround(p, 12).cast(DecimalType(32, 12)).as("__t2"))
+    val perClass = terms.groupBy(col("__cls"), col("__sz"))
+      .agg(sum(col("__t1")).as("__s1"), sum(col("__t2")).as("__s2"))
+      .select(col("__sz"), graft.Cols.pround(
+        lit(0.5) * (col("__s1").cast("double") + lit(1.0) - col("__s2").cast("double")),
+        8).as("__d"))
+    perClass
+      .groupBy(
+        least(floor(col("__d") * 10).cast("int"), lit(9)).as("closeness_band"),
+        (col("__d") > t).as("violates"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__sz")).as("n_rows"))
+  }
+
   /** Filter agreement matrix — the ablation census a recipe tuning
     * pass runs ("does the badwords filter kill anything the quality
     * threshold doesn't already?"): given named per-doc boolean kill
@@ -264,6 +336,47 @@ object Expectations {
           .withColumn("chars_band", col("n_chars") % 50),
         Seq("source", "chars_band"), "lang", l = 3)
         .orderBy("diversity_band")
+    },
+
+    // t-closeness gate: quasi (source, n_chars % 20) with lang
+    // sensitive at t=0.2 — the modulus fans out enough small classes
+    // that class distributions genuinely diverge from the global one.
+    // The oracle replays the present-pairs-only distance fold: one
+    // (quasi, sensitive) count, the broadcast global distribution,
+    // pround-12 terms in DECIMAL, the ½(s1 + 1 − s2) tail, decile
+    // bands.
+    Gate(
+      "rpt_t_closeness", {
+        val t1 = Cols.proundSql(
+          "abs(CAST(pc.n AS DOUBLE) / CAST(cls.sz AS DOUBLE) - " +
+            "CAST(gl.g AS DOUBLE) / CAST(nn.N AS DOUBLE))", 12)
+        val t2 = Cols.proundSql(
+          "CAST(gl.g AS DOUBLE) / CAST(nn.N AS DOUBLE)", 12)
+        val d = Cols.proundSql(
+          "0.5 * (CAST(sum(t1) AS DOUBLE) + 1.0 - CAST(sum(t2) AS DOUBLE))", 8)
+        s"""WITH pc AS (SELECT source, n_chars % 20 AS cb, lang, count(*) AS n
+           |            FROM documents GROUP BY 1, 2, 3),
+           |cls AS (SELECT source, cb, sum(n) AS sz FROM pc GROUP BY 1, 2),
+           |gl AS (SELECT lang, sum(n) AS g FROM pc GROUP BY 1),
+           |nn AS (SELECT sum(g) AS N FROM gl),
+           |j AS (SELECT pc.source, pc.cb, cls.sz,
+           |        CAST($t1 AS DECIMAL(32,12)) AS t1,
+           |        CAST($t2 AS DECIMAL(32,12)) AS t2
+           |      FROM pc
+           |      JOIN gl ON pc.lang IS NOT DISTINCT FROM gl.lang
+           |      JOIN cls ON pc.source = cls.source AND pc.cb = cls.cb, nn),
+           |cd AS (SELECT source, cb, any_value(sz) AS sz, $d AS d
+           |       FROM j GROUP BY 1, 2)
+           |SELECT CAST(least(floor(d * 10), 9) AS INT) AS closeness_band,
+           |  d > 0.2 AS violates,
+           |  count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows
+           |FROM cd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, dir) =>
+      tCloseness(
+        Tables(s, dir, "documents")
+          .withColumn("chars_band", col("n_chars") % 20),
+        Seq("source", "chars_band"), "lang", t = 0.2)
+        .orderBy("closeness_band", "violates")
     },
 
     // DP-counts gate: per-source Laplace-noised counts at ε=4, the

@@ -118,6 +118,45 @@ class ClustersSpec extends SparkSpec {
     assert(run(7) == r)
   }
 
+  test("trustRank: trust flows only from seeds; an unreachable link farm gets zero") {
+    import spark.implicits._
+    // trusted chain 0 -> 1 -> 2 beside a dense 3-node link farm
+    // {10,11,12} with no in-link from the trusted region
+    val edges = (Seq((0L, 1L), (1L, 2L)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 10L), (11L, 12L), (12L, 10L), (12L, 11L)))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    def run(parts: Int): Map[Long, Double] = {
+      val m = Clusters.trustRank(
+        edges.repartition(parts), "src", "dst", seeds, "node", iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      Caches.releaseAll(); m
+    }
+    val t = run(2)
+    // PageRank would rank the self-reinforcing farm ABOVE the chain
+    // tail; TrustRank must give the farm exactly zero
+    val pr = Clusters.pageRank(edges, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Caches.releaseAll()
+    assert(pr(10L) > pr(2L), "sanity: plain PageRank rewards the farm")
+    assert(t(10L) == 0.0 && t(11L) == 0.0 && t(12L) == 0.0,
+      s"unreachable farm must hold zero trust, got $t")
+    // trust decays along the chain from the seed
+    assert(t(0L) > t(1L) && t(1L) > t(2L) && t(2L) > 0.0)
+    // decimal accumulation makes the result partitioning-invariant
+    assert(run(5) == t)
+    // a seed absent from the graph is ignored; all-absent fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Clusters.trustRank(edges, "src", "dst", Seq(99L).toDF("node"), "node")
+    }
+    assert(ex.getMessage.contains("no seed"))
+    val withGhost = Clusters.trustRank(
+      edges, "src", "dst", Seq(0L, 99L).toDF("node"), "node", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Caches.releaseAll()
+    assert(withGhost == t, "a seed id absent from the graph must change nothing")
+  }
+
   test("hits: star graph concentrates authority on the hub target") {
     import spark.implicits._
     val e = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")

@@ -53,6 +53,49 @@ class ExpectationsSpec extends SparkSpec {
     assert(ok.toSeq == Seq((3, false)))
   }
 
+  test("tCloseness: hand-computed distances, absent values, NULL sensitive, bands") {
+    // A = (4x, 1y), B = (1x, 4y); global x = y = 0.5.
+    // D(A) = 0.5*(|0.8-0.5| + |0.2-0.5|) = 0.3 — band 3; same for B.
+    val rows = Seq.fill(4)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(4)(("B", "y"))
+    val got = Expectations.tCloseness(rows.toDF("src", "lng"), Seq("src"), "lng", t = 0.25)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((3, true, 2L, 10L)), s"got ${got.toSeq}")
+    Caches.releaseAll()
+
+    // classes matching the global distribution exactly → D = 0, band 0
+    val flat = (Seq.fill(2)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+      Seq.fill(2)(("B", "x")) ++ Seq.fill(2)(("B", "y"))).toDF("src", "lng")
+    val z = Expectations.tCloseness(flat, Seq("src"), "lng", t = 0.25)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(z.toSeq == Seq((0, false, 2L, 8L)))
+    Caches.releaseAll()
+
+    // a value ABSENT from a class still contributes its global mass:
+    // A = (4x), B = (1x, 3z); global x = 0.625, z = 0.375.
+    // D(A) = 0.5*(|1-0.625| + (1-0.625)) = 0.375 — the absent-z term
+    // comes only from the 1 - Σp_present tail
+    val abs1 = (Seq.fill(4)(("A", "x")) ++ Seq(("B", "x")) ++
+      Seq.fill(3)(("B", "z"))).toDF("src", "lng")
+    val a = Expectations.tCloseness(abs1, Seq("src"), "lng", t = 0.5)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == Seq((3, false, 2L, 8L)), s"got ${a.toSeq}")
+    Caches.releaseAll()
+
+    // NULL is its own sensitive value (null-safe join must keep it):
+    // A = 2 NULLs, B = 2 "x" → D = 0.5 each, band 5, violates at 0.2
+    val withNull = (Seq.fill(2)(("A", null: String)) ++
+      Seq.fill(2)(("B", "x"))).toDF("src", "lng")
+    val nl = Expectations.tCloseness(withNull, Seq("src"), "lng", t = 0.2)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(nl.toSeq == Seq((5, true, 2L, 4L)), s"got ${nl.toSeq}")
+    Caches.releaseAll()
+
+    intercept[IllegalArgumentException] {
+      Expectations.tCloseness(flat, Seq("src"), "lng", t = 1.5)
+    }
+  }
+
   test("dpNoisyCounts: deterministic keyed noise, magnitude scales as 1/epsilon") {
     import org.apache.spark.sql.functions._
     val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(7)("c")).toDF("k")
