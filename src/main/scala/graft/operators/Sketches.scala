@@ -449,6 +449,131 @@ object Sketches {
     st.select(explode(array(pairs: _*)).as("u")).select("u.*")
   }
 
+  /** Pairwise mutual information over CATEGORICAL metadata columns —
+    * the discrete companion of [[correlationMatrix]] (Pearson sees
+    * only numeric linearity; "are lang and source redundant signals?"
+    * needs MI). Per unordered pair: MI = Σ_{x,y} p(x,y)·ln(p(x,y)/
+    * (p(x)·p(y))) plus the normalized variant
+    * NMI = MI/√(H(X)·H(Y)) ∈ [0,1] (0 when either marginal entropy is
+    * 0 — a constant column carries no information to share).
+    *
+    * Scale shape: one map-side-combined grouped count per pair (the
+    * only corpus-size work; ≤ |X|·|Y| rows cross the exchange), then
+    * marginals/entropies/the MI fold are tiny-frame work with the
+    * marginals broadcast. k(k−1)/2 corpus aggregates for k columns —
+    * this audits a handful of metadata columns, not wide feature
+    * tables. NULL is its own category (GROUP BY semantics, null-safe
+    * marginal joins).
+    *
+    * Determinism: ln pround-8 (engine ln may differ in the last ulp),
+    * each summand pround-12, accumulated in DECIMAL(32,12), MI/H/NMI
+    * pround-8 — the gate hash-matches a DuckDB replay. */
+  def mutualInfo(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "mutualInfo: need at least two columns")
+    val acc = DecimalType(32, 12)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val ab = graft.Caches.persist(
+        df.groupBy(col(a).as("__x"), col(b).as("__y")).agg(count(lit(1)).as("__nxy")))
+      val ma = ab.groupBy(col("__x").as("__xm")).agg(sum(col("__nxy")).as("__nx"))
+      val mb = ab.groupBy(col("__y").as("__ym")).agg(sum(col("__nxy")).as("__ny"))
+      val nn = ab.agg(sum(col("__nxy")).as("__N"))
+      val dN = col("__N").cast("double")
+      val joined = ab
+        .join(broadcast(ma), ab.col("__x") <=> ma.col("__xm"))
+        .join(broadcast(mb), ab.col("__y") <=> mb.col("__ym"))
+        .crossJoin(broadcast(nn))
+      val lnr = Cols.pround(
+        log((col("__nxy").cast("double") * dN) /
+          (col("__nx").cast("double") * col("__ny").cast("double"))), 8)
+      val term = Cols.pround(
+        (col("__nxy").cast("double") / dN) * lnr, 12).cast(acc)
+      val miRow = joined.agg(
+        Cols.pround(sum(term).cast("double"), 8).as("__mi"))
+      def entropy(m: DataFrame, cnt: String, out: String) =
+        m.crossJoin(broadcast(nn)).select(
+          Cols.pround(
+            (lit(-1.0) * (col(cnt).cast("double") / dN)) *
+              Cols.pround(log(col(cnt).cast("double") / dN), 8),
+            12).cast(acc).as("__t"))
+          .agg(Cols.pround(sum(col("__t")).cast("double"), 8).as(out))
+      miRow.crossJoin(entropy(ma, "__nx", "__hx"))
+        .crossJoin(entropy(mb, "__ny", "__hy"))
+        .select(
+          lit(a).as("col_a"), lit(b).as("col_b"), col("__mi").as("mi"),
+          Cols.bind(sqrt(col("__hx") * col("__hy"))) { den =>
+            when(den === 0.0, lit(0.0))
+              .otherwise(Cols.pround(col("__mi") / den, 8))
+          }.as("nmi"))
+    }.reduce(_ union _)
+  }
+
+  /** Pairwise Cramér's V (Cramér 1946) over categorical columns — the
+    * χ²-based association census beside [[mutualInfo]] (V is the
+    * normalized effect size reviewers expect on a contingency audit;
+    * MI is the information-theoretic one — shipping both costs one
+    * shared shuffle shape). Per unordered pair:
+    * χ² = Σ_{x,y} (n_xy − E_xy)²/E_xy with E_xy = n_x·n_y/N, and
+    * V = √((χ²/N)/min(r−1, c−1)) ∈ [0,1].
+    *
+    * Absent cells need no rows: (0 − E)²/E = E, and Σ_all E = N, so
+    * χ² = Σ_present((n−E)²/E − is summed as) Σ_present(n−E)²/E +
+    * (N − Σ_present E) — present (x, y) pairs only, the same trick as
+    * t-closeness. Scale shape: identical to [[mutualInfo]] — one
+    * map-side-combined count per pair, marginals broadcast, NULL its
+    * own category. A constant column (min(r,c) = 1) returns V = 0.
+    *
+    * Determinism: both summands pround-12 into DECIMAL(32,12), χ² and
+    * V pround-8; expected counts are IEEE doubles both engines
+    * reproduce from the same integer marginals. */
+  def cramersV(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "cramersV: need at least two columns")
+    val acc = DecimalType(32, 12)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val ab = graft.Caches.persist(
+        df.groupBy(col(a).as("__x"), col(b).as("__y")).agg(count(lit(1)).as("__nxy")))
+      val ma = ab.groupBy(col("__x").as("__xm")).agg(sum(col("__nxy")).as("__nx"))
+      val mb = ab.groupBy(col("__y").as("__ym")).agg(sum(col("__nxy")).as("__ny"))
+      val nn = ab.agg(sum(col("__nxy")).as("__N"))
+      val dims = ma.agg(count(lit(1)).as("__r"))
+        .crossJoin(mb.agg(count(lit(1)).as("__c")))
+      val dN = col("__N").cast("double")
+      val e = (col("__nx").cast("double") * col("__ny").cast("double")) / dN
+      val joined = ab
+        .join(broadcast(ma), ab.col("__x") <=> ma.col("__xm"))
+        .join(broadcast(mb), ab.col("__y") <=> mb.col("__ym"))
+        .crossJoin(broadcast(nn))
+      val folded = joined.select(
+        Cols.bind(e) { ee =>
+          struct(
+            Cols.pround((col("__nxy").cast("double") - ee) *
+              (col("__nxy").cast("double") - ee) / ee, 12).cast(acc).as("t1"),
+            Cols.pround(ee, 12).cast(acc).as("t2"))
+        }.as("u"))
+        .agg(sum(col("u.t1")).as("__s1"), sum(col("u.t2")).as("__s2"))
+      folded.crossJoin(broadcast(nn)).crossJoin(broadcast(dims))
+        .select(
+          lit(a).as("col_a"), lit(b).as("col_b"),
+          Cols.bind(Cols.pround(
+            col("__s1").cast("double") + (dN - col("__s2").cast("double")),
+            8)) { chi =>
+            struct(
+              chi.as("chi2"),
+              least(col("__r") - 1, col("__c") - 1).as("dof"),
+              when(least(col("__r"), col("__c")) <= 1, lit(0.0))
+                .otherwise(Cols.pround(
+                  sqrt((chi / dN) /
+                    least(col("__r") - 1, col("__c") - 1).cast("double")), 8))
+                .as("v"))
+          }.as("u"))
+        .select(col("col_a"), col("col_b"),
+          col("u.chi2").as("chi2"), col("u.dof").as("dof"), col("u.v").as("v"))
+    }.reduce(_ union _)
+  }
+
   // k=64 < the 150 distinct users per type at sf0.01, so the gate
   // exercises the (k-1)/u_k estimator, not the exact-small-set
   // fallback (SketchesSpec covers that branch); n_exact rides along
@@ -482,6 +607,101 @@ object Sketches {
       }) { (s, dir) =>
       correlationMatrix(Tables(s, dir, "lineitem"), CorrCols)
         .orderBy("col_x", "col_y")
+    },
+
+    // Mutual-information gate: (source, lang, n_chars % 8) — three
+    // categorical pairs whose dependence genuinely differs. The
+    // oracle replays the whole fold per pair: the (x, y) count, the
+    // null-safe marginal joins, the pround-8 ln inside each pround-12
+    // summand, decimal accumulation, and the √(H·H) normalization.
+    Gate(
+      "rpt_mutual_info", {
+        val mCols = Seq("source", "lang", "len_band")
+        val mPairs = for { i <- mCols.indices; j <- (i + 1) until mCols.size }
+          yield (mCols(i), mCols(j))
+        def pr8(e: String) = Cols.proundSql(e, 8)
+        def pr12(e: String) = Cols.proundSql(e, 12)
+        def db(e: String) = s"CAST($e AS DOUBLE)"
+        val blocks = mPairs.zipWithIndex.map { case ((a, b), k) =>
+          val term = s"(${db("nxy")} / ${db(s"nn$k.N")}) * " +
+            pr8(s"ln((${db("nxy")} * ${db(s"nn$k.N")}) / (${db("nx")} * ${db("ny")}))")
+          def ent(c: String) = s"(-1.0 * (${db(c)} / ${db(s"nn$k.N")})) * " +
+            pr8(s"ln(${db(c)} / ${db(s"nn$k.N")})")
+          def fold(e: String) =
+            pr8(s"CAST(sum(CAST(${pr12(e)} AS DECIMAL(32,12))) AS DOUBLE)")
+          s"""ab$k AS (SELECT $a AS x, $b AS y, count(*) AS nxy FROM base GROUP BY 1, 2),
+             |ma$k AS (SELECT x, sum(nxy) AS nx FROM ab$k GROUP BY 1),
+             |mb$k AS (SELECT y, sum(nxy) AS ny FROM ab$k GROUP BY 1),
+             |nn$k AS (SELECT sum(nxy) AS N FROM ab$k),
+             |mi$k AS (SELECT ${fold(term)} AS mi
+             |  FROM ab$k JOIN ma$k ON ab$k.x IS NOT DISTINCT FROM ma$k.x
+             |            JOIN mb$k ON ab$k.y IS NOT DISTINCT FROM mb$k.y, nn$k),
+             |hx$k AS (SELECT ${fold(ent("nx"))} AS h FROM ma$k, nn$k),
+             |hy$k AS (SELECT ${fold(ent("ny"))} AS h FROM mb$k, nn$k)""".stripMargin
+        }
+        val selects = mPairs.zipWithIndex.map { case ((a, b), k) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, mi,
+             |  CASE WHEN sqrt(hx$k.h * hy$k.h) = 0.0 THEN 0.0
+             |       ELSE ${pr8(s"mi / sqrt(hx$k.h * hy$k.h)")} END AS nmi
+             |FROM mi$k, hx$k, hy$k""".stripMargin
+        }
+        s"""WITH base AS (SELECT source, lang, n_chars % 8 AS len_band FROM documents),
+           |${blocks.mkString(",\n")}
+           |${selects.mkString("\nUNION ALL\n")}
+           |ORDER BY col_a, col_b""".stripMargin
+      }) { (s, dir) =>
+      mutualInfo(
+        Tables(s, dir, "documents")
+          .select(col("source"), col("lang"), (col("n_chars") % 8).as("len_band")),
+        Seq("source", "lang", "len_band"))
+        .orderBy("col_a", "col_b")
+    },
+
+    // Cramér's V gate: same categorical triple as rpt_mutual_info —
+    // the oracle replays expected counts from integer marginals, the
+    // present-cells-only χ² fold (s1 + (N − s2)), dof from marginal
+    // cardinalities, and the √((χ²/N)/dof) tail.
+    Gate(
+      "rpt_cramers_v", {
+        val mCols = Seq("source", "lang", "len_band")
+        val mPairs = for { i <- mCols.indices; j <- (i + 1) until mCols.size }
+          yield (mCols(i), mCols(j))
+        def pr8(e: String) = Cols.proundSql(e, 8)
+        def pr12(e: String) = Cols.proundSql(e, 12)
+        def db(e: String) = s"CAST($e AS DOUBLE)"
+        val blocks = mPairs.zipWithIndex.map { case ((a, b), k) =>
+          s"""ab$k AS (SELECT $a AS x, $b AS y, count(*) AS nxy FROM base GROUP BY 1, 2),
+             |ma$k AS (SELECT x, sum(nxy) AS nx FROM ab$k GROUP BY 1),
+             |mb$k AS (SELECT y, sum(nxy) AS ny FROM ab$k GROUP BY 1),
+             |nn$k AS (SELECT sum(nxy) AS N FROM ab$k),
+             |dm$k AS (SELECT (SELECT count(*) FROM ma$k) AS r,
+             |                (SELECT count(*) FROM mb$k) AS c),
+             |ej$k AS (SELECT nxy, (${db("nx")} * ${db("ny")}) / ${db(s"nn$k.N")} AS E
+             |  FROM ab$k JOIN ma$k ON ab$k.x IS NOT DISTINCT FROM ma$k.x
+             |            JOIN mb$k ON ab$k.y IS NOT DISTINCT FROM mb$k.y, nn$k),
+             |f$k AS (SELECT
+             |    sum(CAST(${pr12(s"(${db("nxy")} - E) * (${db("nxy")} - E) / E")} AS DECIMAL(32,12))) AS s1,
+             |    sum(CAST(${pr12("E")} AS DECIMAL(32,12))) AS s2 FROM ej$k),
+             |x$k AS (SELECT ${pr8(s"CAST(s1 AS DOUBLE) + (${db(s"nn$k.N")} - CAST(s2 AS DOUBLE))")} AS chi2,
+             |  ${db(s"nn$k.N")} AS dn FROM f$k, nn$k)""".stripMargin
+        }
+        val selects = mPairs.zipWithIndex.map { case ((a, b), k) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, chi2,
+             |  least(r - 1, c - 1) AS dof,
+             |  CASE WHEN least(r, c) <= 1 THEN 0.0
+             |       ELSE ${pr8("sqrt((chi2 / dn) / CAST(least(r - 1, c - 1) AS DOUBLE))")} END AS v
+             |FROM x$k, dm$k""".stripMargin
+        }
+        s"""WITH base AS (SELECT source, lang, n_chars % 8 AS len_band FROM documents),
+           |${blocks.mkString(",\n")}
+           |${selects.mkString("\nUNION ALL\n")}
+           |ORDER BY col_a, col_b""".stripMargin
+      }) { (s, dir) =>
+      cramersV(
+        Tables(s, dir, "documents")
+          .select(col("source"), col("lang"), (col("n_chars") % 8).as("len_band")),
+        Seq("source", "lang", "len_band"))
+        .orderBy("col_a", "col_b")
     },
 
     // Gini gate: char-mass concentration over sources; the oracle's

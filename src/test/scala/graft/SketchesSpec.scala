@@ -231,4 +231,68 @@ class SketchesSpec extends SparkSpec {
     // seg b's single value sits in the overflow bin -> NULL estimate
     assert(q("b") == ((10, None)))
   }
+
+  test("mutualInfo: independence gives 0, identity gives H with NMI=1, constants guard") {
+    import spark.implicits._
+    // (x, y) uniform over the 2x2 product -> independent -> MI = 0
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")).toDF("x", "y")
+    val mi0 = Sketches.mutualInfo(ind, Seq("x", "y")).collect().head
+    assert(mi0.getString(0) == "x" && mi0.getString(1) == "y")
+    assert(mi0.getDouble(2) == 0.0 && mi0.getDouble(3) == 0.0, s"got $mi0")
+    Caches.releaseAll()
+
+    // y == x (balanced binary) -> MI = H = ln 2, NMI exactly 1
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val mi1 = Sketches.mutualInfo(dep, Seq("x", "y")).collect().head
+    assert(mi1.getDouble(2) == 0.69314718, s"MI must be pround-8 ln2, got $mi1")
+    assert(mi1.getDouble(3) == 1.0, s"NMI of identical columns must be 1, got $mi1")
+    Caches.releaseAll()
+
+    // a constant column shares nothing and must hit the H=0 guard,
+    // and a NULL category is a real category (not dropped)
+    val const = Seq(("k", "c"), ("k", null: String), ("k", "c"), ("k", null: String))
+      .toDF("x", "y")
+    val mi2 = Sketches.mutualInfo(const, Seq("x", "y")).collect().head
+    assert(mi2.getDouble(2) == 0.0 && mi2.getDouble(3) == 0.0, s"got $mi2")
+    Caches.releaseAll()
+
+    // three columns -> three pair rows, ordered as given
+    val tri = Sketches.mutualInfo(
+      Seq(("a", "c", 1L), ("b", "d", 2L)).toDF("x", "y", "z"), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tri.toSeq == Seq(("x", "y"), ("x", "z"), ("y", "z")))
+    Caches.releaseAll()
+
+    intercept[IllegalArgumentException] {
+      Sketches.mutualInfo(ind, Seq("x"))
+    }
+  }
+
+  test("cramersV: perfect association gives V=1 with chi2=N, independence 0, dof guard") {
+    import spark.implicits._
+    // y == x balanced binary: every expected count is 1, chi2 = N = 4,
+    // dof = 1, V = sqrt((4/4)/1) = 1
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val r1 = Sketches.cramersV(dep, Seq("x", "y")).collect().head
+    assert(r1.getDouble(2) == 4.0 && r1.getLong(3) == 1L && r1.getDouble(4) == 1.0,
+      s"got $r1")
+    Caches.releaseAll()
+
+    // uniform 2x2 product: observed == expected everywhere -> chi2 = 0
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")).toDF("x", "y")
+    val r0 = Sketches.cramersV(ind, Seq("x", "y")).collect().head
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(4) == 0.0, s"got $r0")
+    Caches.releaseAll()
+
+    // constant column: dof = 0 must guard V to 0 (not divide), and a
+    // NULL category counts as a real level (r = 2 here, not 1)
+    val const = Seq(("k", "c"), ("k", "d")).toDF("x", "y")
+    val rc = Sketches.cramersV(const, Seq("x", "y")).collect().head
+    assert(rc.getLong(3) == 0L && rc.getDouble(4) == 0.0, s"got $rc")
+    Caches.releaseAll()
+    val withNull = Seq(("k", "c"), (null: String, "d")).toDF("x", "y")
+    val rn = Sketches.cramersV(withNull, Seq("x", "y")).collect().head
+    assert(rn.getLong(3) == 1L, s"NULL must be its own level: $rn")
+    Caches.releaseAll()
+  }
 }
