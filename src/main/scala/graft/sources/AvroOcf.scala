@@ -95,7 +95,14 @@ object AvroOcf {
     case ArrayType(et, _) =>
       val xs = v.asInstanceOf[scala.collection.Seq[Any]]
       val out = new java.util.ArrayList[AnyRef](xs.length)
-      xs.foreach(x => out.add(toAvro(et, x)))
+      xs.foreach { x =>
+        // fail HERE with a real message — a null element would otherwise
+        // surface as Avro's bare NPE from deep inside datum writing
+        require(x != null,
+          "AvroOcf: NULL array element (array items are non-null; " +
+            "filter or fill before writing)")
+        out.add(toAvro(et, x))
+      }
       out
     case other => throw new IllegalStateException(s"unreachable: $other")
   }

@@ -555,6 +555,39 @@ class SourcesSpec extends SparkSpec {
     assert(inferred("id").dataType == LongType && inferred("ok").dataType == BooleanType)
   }
 
+  test("AvroOcf fuzz: random-byte shards always terminate in a clean exception, never hang") {
+    import org.apache.spark.sql.types._
+    import graft.sources.avro.AvroDataSource
+    val dir = Files.createTempDirectory("graft-avro-fuzz").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val rnd = new scala.util.Random(5678)
+    var threw = 0
+    for (i <- 0 until 50) {
+      val len = rnd.nextInt(400) + 1
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      val p = java.nio.file.Paths.get(s"$dir/fuzz-$i.avro")
+      Files.write(p, bytes)
+      // random bytes essentially never carry the OCF magic + a valid
+      // header — the reader must throw cleanly (bounded time, no hang)
+      try { spark.read.format(AvroDataSource.Format).schema(schema).load(dir).collect() }
+      catch { case _: Exception => threw += 1 }
+      Files.delete(p)
+    }
+    assert(threw == 50, s"random garbage read 'cleanly' ${50 - threw} times")
+  }
+
+  test("AvroOcf: a NULL array element fails loudly at write, not as a bare NPE") {
+    import spark.implicits._
+    import graft.sources.AvroOcf
+    val dir = Files.createTempDirectory("graft-avro-nullelem").toString
+    val rows = Seq((1L, Seq("ok", null.asInstanceOf[String]))).toDF("doc_id", "tags")
+    val ex = intercept[Exception] { AvroOcf.write(rows, dir) }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(ex).contains("NULL array element"),
+      s"expected the named guard, got: ${chain(ex).take(300)}")
+  }
+
   test("AvroOcf: retry-safe writes — a stale .tmp shard is never read, rewrite wins") {
     import spark.implicits._
     import graft.sources.AvroOcf
