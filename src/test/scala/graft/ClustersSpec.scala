@@ -157,6 +157,21 @@ class ClustersSpec extends SparkSpec {
     assert(withGhost == t, "a seed id absent from the graph must change nothing")
   }
 
+  test("trustRank with EVERY node seeded degenerates to pageRank exactly") {
+    import spark.implicits._
+    // same teleport mass (1-d)/n to every node, same r0 = 1/n — the
+    // two power iterations must agree bit-for-bit (pround-12 math)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val all = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val tr = Clusters.trustRank(edges, "src", "dst", all, "node", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Caches.releaseAll()
+    val pr = Clusters.pageRank(edges, "src", "dst", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Caches.releaseAll()
+    assert(tr == pr, s"all-seeded TrustRank must equal PageRank: $tr vs $pr")
+  }
+
   test("hits: star graph concentrates authority on the hub target") {
     import spark.implicits._
     val e = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")

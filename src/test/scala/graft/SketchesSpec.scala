@@ -266,6 +266,17 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sketches.mutualInfo(ind, Seq("x"))
     }
+
+    // MI is symmetric: reversing the column order must swap only the
+    // labels, never the numbers (skewed frame so MI is nontrivial)
+    val skew = Seq(("a", "c"), ("a", "c"), ("a", "d"), ("b", "d"), ("b", "d")).toDF("x", "y")
+    val xy = Sketches.mutualInfo(skew, Seq("x", "y")).collect().head
+    Caches.releaseAll()
+    val yx = Sketches.mutualInfo(skew, Seq("y", "x")).collect().head
+    Caches.releaseAll()
+    assert(xy.getDouble(2) == yx.getDouble(2) && xy.getDouble(3) == yx.getDouble(3),
+      s"MI/NMI must be order-symmetric: $xy vs $yx")
+    assert(xy.getDouble(2) > 0.0, "skewed fixture must carry nonzero MI")
   }
 
   test("cramersV: perfect association gives V=1 with chi2=N, independence 0, dof guard") {
