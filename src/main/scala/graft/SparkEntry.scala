@@ -35,6 +35,7 @@ object SparkEntry {
       sources.DocSource.gates ++
       sources.TfRecord.gates ++
       sources.AvroOcf.gates ++
+      sources.TableCommit.gates ++
       sources.WebDataset.gates ++
       sources.arrow.ArrowGates.gates ++
       tokens.Tokens.gates ++

@@ -61,6 +61,24 @@ final case class LangQualityParams(
     keepFraction: Double,
     langCol: String = "lang")
 
+/** Calibrated-cutoff stage parameters — "choose the cutoff from a
+  * sweep" as a first-class config stage (the reference consumes swept
+  * thresholds this way: fineweb-edu's score-2 dataset is exactly the
+  * int_score ≥ 2 cut chosen off a sweep —
+  * pipelines/fineweb-edu/main-score-2.py): blend `scoreCols` into one
+  * rank-CDF ensemble over the UPSTREAM SURVIVORS
+  * ([[graft.ml.Calibration.blendScores]]), sweep it against `label`
+  * ([[graft.ml.Calibration.thresholdSweep]]), pick the LOWEST
+  * threshold whose cumulative precision ≥ `minPrecision` (top bin
+  * when none qualifies), annotate every doc's `blend_score`, and
+  * exclude survivors below the cutoff with reason
+  * `calibrated_cutoff`. Batch-only (corpus-wide rank prepass). */
+final case class CalibratedCutoffParams(
+    scoreCols: Seq[String],
+    label: Column,
+    minPrecision: Double,
+    bins: Int = 10)
+
 /** Config-driven pipeline assembly — the reference's user surface.
   *
   * Mirrors pipelines/fineweb/main.py:34-67 (`CONFIGS` dict selecting
@@ -69,6 +87,25 @@ final case class LangQualityParams(
   * filter → PII formatter → writer). A reference user ports their
   * CONFIGS entry to a [[FinewebConfig]] and gets the same pipeline as
   * one Catalyst plan with a single-pass kept/excluded split.
+  *
+  * '''Streaming contract''' (StreamingSpec pins parity): every NARROW
+  * stage family — robots/url/meta filters, mojibake/accent/confusable
+  * folds, badwords, ai-slop, readability, C4 cleaning, doc-line
+  * dedup, Gopher quality, toxicity scoring, sampler, edu score, the
+  * whole PII/redaction family — runs unchanged on a `readStream`
+  * frame (plus the stream-STATIC broadcast join for
+  * `robotsBannedIds`), so a [[FinewebConfig]] restricted to those
+  * fields streams end-to-end; corpus-exact dedup maps to
+  * [[graft.streaming.StreamDocs.dedupExactStream]] (watermark =
+  * dedup horizon). BATCH-ONLY by construction are the fields whose
+  * assembly runs a corpus-wide prepass over upstream survivors:
+  * `qualityTopP` and `langAdaptiveQuality` (quantile estimates),
+  * `hostBoilerplate` (per-host line census + rewrite join),
+  * `dsirFilter` and `pplTierFilter` (table/LM fits), `nearDupDedup`
+  * (eager transitive closure), `calibratedCutoff` (corpus rank-CDF
+  * blend + sweep), and `exactDedup`'s min-id keeper aggregate (its
+  * streaming twin keeps first-arrival instead) — configure them only
+  * on bounded frames.
   */
 final case class FinewebConfig(
     /** banned doc ids (reference: `load_robots` parquet logs →
@@ -178,6 +215,12 @@ final case class FinewebConfig(
       * pipelines/fineweb-edu/main-score-2.py consumes it; the
       * annotate-then-bucket step happens upstream of those configs). */
     eduScoreMinInt: Option[Int] = None,
+    /** choose-the-cutoff-from-a-sweep stage
+      * ([[CalibratedCutoffParams]]): rank-blend the named score
+      * columns over upstream survivors, sweep against the label, gate
+      * at the lowest threshold meeting the precision target — reason
+      * `calibrated_cutoff`, annotation `blend_score`. Batch-only. */
+    calibratedCutoff: Option[CalibratedCutoffParams] = None,
     /** apply the PII formatter to kept docs (reference always does). */
     piiFormat: Boolean = true,
     /** repair cp1252-decoded UTF-8 mojibake ("cafÃ©" → "café",
@@ -478,6 +521,39 @@ object FinewebPipeline {
     cfg.eduScoreMinInt.foreach { minInt =>
       stages :+= Transform("edu_annotate", d => eduAnnotate(d))
       stages :+= DocFilter("edu_score", _ => col("int_score") >= minInt)
+    }
+
+    cfg.calibratedCutoff.foreach { p =>
+      // choose-the-cutoff-from-a-sweep as a config stage: the rank
+      // blend is a corpus transform and the sweep a `bins`-row census,
+      // both over the UPSTREAM SURVIVORS (the distribution the cutoff
+      // will actually gate); the per-doc blend joins back by id (the
+      // cut_dup pattern) and the chosen threshold rides in as a
+      // broadcast one-row aggregate, so after the eager blend prepass
+      // (blendScores counts its distinct-value frames up front) the
+      // marked frame stays one Catalyst plan. Rows rejected upstream
+      // keep a NULL blend_score — a cutoff fitted downstream of their
+      // exclusion does not apply to them (first reason wins).
+      val upstream = Pipeline(stages: _*).kept(docs)
+      val blended = graft.Caches.persist(
+        graft.ml.Calibration.blendScores(
+          upstream.select(
+            (col("doc_id") +: p.label.as("__cc_lab") +: p.scoreCols.map(col)): _*),
+          p.scoreCols.map(col), outCol = "__cc_blend"))
+      val thrFrame = graft.ml.Calibration
+        .thresholdSweep(blended, "__cc_blend", "__cc_lab", p.bins)
+        .filter(col("prec") >= p.minPrecision)
+        .agg(coalesce(min("threshold"),
+          lit((p.bins - 1).toDouble / p.bins)).as("__cc_thr"))
+      val marks = blended.select(col("doc_id").as("__cc_id"),
+        col("__cc_blend").as("blend_score"))
+      stages :+= Transform("calibrated_annotate", d =>
+        d.join(marks, d("doc_id") === col("__cc_id"), "left")
+          .drop("__cc_id")
+          .crossJoin(broadcast(thrFrame)))
+      stages :+= DocFilter("calibrated_cutoff",
+        _ => col("blend_score") >= col("__cc_thr"))
+      stages :+= Transform("calibrated_unthr", _.drop("__cc_thr"))
     }
 
     cfg.nearDupDedup.foreach { thr =>
@@ -787,6 +863,69 @@ object FinewebPipeline {
         langAdaptiveQuality = Some(LangQualityParams("n_chars", 0.6)),
         piiFormat = false)))
         .orderBy("stage")
+    },
+
+    // Choose-the-cutoff-from-a-sweep through the config surface: a
+    // sampler stage thins the corpus (so the blend/sweep provably run
+    // over upstream SURVIVORS, not raw input), two incomparable-scale
+    // scores rank-blend into one ensemble, the sweep against the
+    // length label picks the lowest >=0.6-precision threshold, and
+    // the marked frame carries reason precedence (sampler first) plus
+    // the blend_score annotation (NULL for upstream-rejected rows).
+    // The oracle replays the LCG sampler, both midrank CDFs, the
+    // binned cumulative sweep, the FILTERed min-threshold pick, and
+    // the final CASE end-to-end.
+    Gate(
+      "fw_calibrated_cutoff", {
+        val lcg = Cols.lcgUniformSql("doc_id")
+        val blend = Cols.proundSql("(rk0 + rk1) / 2.0", 8)
+        s"""WITH t AS (SELECT doc_id, $lcg AS u,
+           |    CAST(doc_id % 997 AS DOUBLE) / 997.0 AS s1,
+           |    CAST(n_chars AS DOUBLE) AS s2,
+           |    n_chars >= 300 AS lab FROM documents),
+           |k AS (SELECT * FROM t WHERE u < 0.9),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM k),
+           |c1 AS (SELECT s1, count(*) AS cn FROM k GROUP BY s1),
+           |r1 AS (SELECT s1,
+           |    (CAST(sum(cn) OVER (ORDER BY s1 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |     - 0.5 * cn) / n AS rk0 FROM c1, nn),
+           |c2 AS (SELECT s2, count(*) AS cn FROM k GROUP BY s2),
+           |r2 AS (SELECT s2,
+           |    (CAST(sum(cn) OVER (ORDER BY s2 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |     - 0.5 * cn) / n AS rk1 FROM c2, nn),
+           |bl AS (SELECT k.doc_id, k.lab, $blend AS blend
+           |       FROM k JOIN r1 USING (s1) JOIN r2 USING (s2)),
+           |b AS (SELECT least(greatest(CAST(floor(blend * 10) AS INT), 0), 9) AS bin,
+           |    lab FROM bl),
+           |c AS (SELECT bin, count(*) AS cnt,
+           |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np FROM b GROUP BY bin),
+           |ab AS (SELECT unnest(range(0, 10)) AS bin),
+           |f AS (SELECT ab.bin, coalesce(c.cnt, 0) AS cnt, coalesce(c.np, 0) AS np
+           |      FROM ab LEFT JOIN c USING (bin)),
+           |w AS (SELECT bin, sum(cnt) OVER (ORDER BY bin DESC) AS cum_n,
+           |    sum(np) OVER (ORDER BY bin DESC) AS cum_pos FROM f),
+           |thr AS (SELECT coalesce(min(CAST(bin AS DOUBLE) / 10)
+           |      FILTER (WHERE cum_n > 0 AND CAST(cum_pos AS DOUBLE) / cum_n >= 0.6),
+           |    0.9) AS thr FROM w)
+           |SELECT t.doc_id,
+           |  CASE WHEN t.u >= 0.9 THEN 'sampler'
+           |       WHEN bl.blend >= thr.thr THEN NULL
+           |       ELSE 'calibrated_cutoff' END AS filter_reason,
+           |  bl.blend AS blend_score
+           |FROM t LEFT JOIN bl ON t.doc_id = bl.doc_id, thr
+           |ORDER BY t.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        ((col("doc_id") % 997).cast("double") / 997.0).as("s1"),
+        col("n_chars").cast("double").as("s2"))
+      buildMarked(s, docs, FinewebConfig(
+        samplerRate = Some(0.9),
+        calibratedCutoff = Some(CalibratedCutoffParams(
+          Seq("s1", "s2"), label = col("n_chars") >= 300, minPrecision = 0.6)),
+        piiFormat = false))
+        .select(col("doc_id"), col("filter_reason"), col("blend_score"))
+        .orderBy("doc_id")
     },
 
     // Per-language adaptive quality through the config surface:

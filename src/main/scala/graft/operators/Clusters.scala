@@ -200,11 +200,13 @@ object Clusters {
     * it twice. Memoized per (session, corpus plan, params).
     */
   def duplicateClusters(
-      docs: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+      docs: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bandRows: Int = Dedup.BandRows): DataFrame = {
     val key = (System.identityHashCode(docs.sparkSession),
-      planDigest(docs, textCol, idCol, threshold))
+      planDigest(docs, textCol, idCol, threshold) + s"#r$bandRows")
     memoizedLabels(key)(connectedComponents(
-      Dedup.minhashLshPairs(docs, textCol, idCol, threshold), "id_a", "id_b"))
+      Dedup.minhashLshPairs(docs, textCol, idCol, threshold,
+        bandRows = bandRows), "id_a", "id_b"))
   }
 
   /** Post-loop: enforce convergence and derive labels from the
@@ -350,13 +352,18 @@ object Clusters {
   }
 
   /** The full fineweb-style near-dup stage: MinHash+LSH verified pairs
-    * → transitive clusters → keep the min-id member of each. */
+    * → transitive clusters → keep the min-id member of each.
+    * `bandRows` widens the LSH bands for very large corpora — pick it
+    * with [[Dedup.bandsFor]] (the measured candidate-load advisory in
+    * the pair path names the suggestion when the default is too
+    * narrow for the corpus at hand). */
   def minhashClusterDedup(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double): DataFrame = {
-    val drop = duplicateClusters(docs, textCol, idCol, threshold)
+      threshold: Double,
+      bandRows: Int = Dedup.BandRows): DataFrame = {
+    val drop = duplicateClusters(docs, textCol, idCol, threshold, bandRows)
       .filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")

@@ -127,11 +127,78 @@ object Dedup {
         })
     }
 
-  /** Band signatures: NumHashes/BandRows strings. */
-  def bandSigs(mh: Column): Column =
+  /** Band signatures: NumHashes/bandRows strings. */
+  def bandSigs(mh: Column, bandRows: Int = BandRows): Column = {
+    require(bandRows > 0 && NumHashes % bandRows == 0,
+      s"bandSigs: bandRows must divide NumHashes=$NumHashes, got $bandRows")
     transform(
-      sequence(lit(0), lit(NumHashes / BandRows - 1)),
-      b => array_join(slice(mh, b * BandRows + 1, lit(BandRows)), "_"))
+      sequence(lit(0), lit(NumHashes / bandRows - 1)),
+      b => array_join(slice(mh, b * bandRows + 1, lit(bandRows)), "_"))
+  }
+
+  /** Candidate-load advisory threshold: when the measured candidate
+    * pairs per document exceed this, [[guardedBuckets]] prints a
+    * retune advisory naming the [[bandsFor]] suggestion. */
+  val LshAdvisoryCandidatesPerDoc = 50.0
+
+  /** Pick an LSH banding `(bands, rows)` of the 64-slot signature for
+    * a corpus of `corpusDocs` documents at detection target
+    * `targetJaccard` — the public Broder/LSH s-curve math, made
+    * corpus-size-aware. The round-11 10× scaling smoke measured WHY
+    * this matters: at FIXED (16, 4) the random band-collision
+    * candidate volume grows superlinearly with corpus size (2.8×→
+    * 10.7× of text bytes from sf0.1 to 10×), so the band width must
+    * widen as n grows.
+    *
+    * Constraints, both from first-principles expectations:
+    *  - miss probability of a true pair at `targetJaccard`:
+    *    (1 − t^r)^b ≤ `missProb`;
+    *  - expected random-collision candidates, modeling unrelated
+    *    pairs at `background` Jaccard: C(n,2) · b · background^r ≤
+    *    `candidatesPerDoc` · n (linear in the corpus — the property
+    *    that keeps the candidate shuffle a fixed multiple of corpus
+    *    bytes at any scale).
+    *
+    * Among splits satisfying both, the SMALLEST r wins (sharpest
+    * recall margin). When no split satisfies both — a corpus so large
+    * that 64 hashes cannot give both linear candidates and the asked
+    * miss bound — the smallest r meeting the candidate bound is
+    * returned with a LOUD stderr advisory (the honest option: recall
+    * degrades measurably rather than the shuffle exploding), naming
+    * the achieved miss probability so the caller can raise NumHashes
+    * expectations or accept.
+    */
+  def bandsFor(
+      corpusDocs: Long,
+      targetJaccard: Double,
+      background: Double = 0.05,
+      missProb: Double = 1e-4,
+      candidatesPerDoc: Double = 25.0): (Int, Int) = {
+    require(corpusDocs > 0, s"bandsFor: corpusDocs must be positive, got $corpusDocs")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"bandsFor: targetJaccard must be in (0,1), got $targetJaccard")
+    require(background >= 0 && background < targetJaccard,
+      s"bandsFor: background Jaccard $background must be below target $targetJaccard")
+    val n = corpusDocs.toDouble
+    val splits = Seq(1, 2, 4, 8, 16, 32, 64).map(r => (NumHashes / r, r))
+    def miss(b: Int, r: Int) = math.pow(1 - math.pow(targetJaccard, r), b)
+    def cands(b: Int, r: Int) = n * (n - 1) / 2.0 * b * math.pow(background, r)
+    splits.find { case (b, r) =>
+      miss(b, r) <= missProb && cands(b, r) <= candidatesPerDoc * n
+    }.getOrElse {
+      val (b, r) = splits.find { case (b, r) => cands(b, r) <= candidatesPerDoc * n }
+        .getOrElse(throw new IllegalArgumentException(
+          s"bandsFor: no banding of $NumHashes hashes keeps candidates under " +
+            s"$candidatesPerDoc/doc for n=$corpusDocs at background=$background"))
+      System.err.println(
+        f"graft.Dedup.bandsFor: n=$corpusDocs at target=$targetJaccard cannot meet " +
+          f"both missProb<=$missProb and $candidatesPerDoc candidates/doc with " +
+          f"$NumHashes hashes; returning (bands=$b, rows=$r) which holds the " +
+          f"candidate bound at miss probability ${miss(b, r)}%.2e — widen the " +
+          "signature or accept the recall")
+      (b, r)
+    }
+  }
 
   /** Exact Jaccard of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -185,8 +252,8 @@ object Dedup {
 
   /** Band-prefixed LSH bucket keys per id (the band index prefix keeps
     * different bands from ever sharing a bucket). */
-  private def bandBuckets(sets: DataFrame): DataFrame = sets
-    .select(col("id"), posexplode(bandSigs(col("mh"))))
+  private def bandBuckets(sets: DataFrame, bandRows: Int = BandRows): DataFrame = sets
+    .select(col("id"), posexplode(bandSigs(col("mh"), bandRows)))
     .select(col("id"), concat_ws("#", col("pos"), col("col")).as("bkey"))
 
   /** Degenerate-bucket cap for the LSH band self-join (the [[ngramJaccardPairs]]
@@ -215,21 +282,77 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double,
-      maxBucket: Long = MaxBandBucket): DataFrame = {
+      maxBucket: Long = MaxBandBucket,
+      bandRows: Int = BandRows): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol)
-    verifiedPairs(sets, guardedBuckets(bandBuckets(sets), maxBucket), threshold)
+    verifiedPairs(sets,
+      guardedBuckets(bandBuckets(sets, bandRows), maxBucket,
+        NumHashes / bandRows, threshold), threshold)
+  }
+
+  /** Measured LSH candidate census for a banding — (estimated
+    * candidate pairs from non-degenerate buckets, corpus docs). The
+    * per-bucket n·(n−1)/2 sum over-counts pairs colliding in several
+    * bands (the real path `distinct()`s them), so it is an upper
+    * bound — exactly what a load advisory wants. Shares the persisted
+    * digest frame with the pair path. */
+  private[graft] def lshCandidateCensus(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bandRows: Int,
+      maxBucket: Long = MaxBandBucket): (Long, Long) = {
+    val sets = shingleSets(docs, textCol, idCol)
+    val est = bandBuckets(sets, bandRows)
+      .groupBy("bkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)))
+      .head().getLong(0)
+    (est, sets.count())
   }
 
   /** Drop band buckets whose population exceeds `maxBucket` before a
     * bucket self-join, reporting what was dropped. Hot buckets are by
-    * construction ≤ totalRows/maxBucket — a tiny broadcast set. */
-  private def guardedBuckets(buckets: DataFrame, maxBucket: Long): DataFrame = {
+    * construction ≤ totalRows/maxBucket — a tiny broadcast set.
+    *
+    * Also the candidate-load advisory point: the SAME bucket-census
+    * aggregate yields the expected candidate pairs (Σ n·(n−1)/2 over
+    * surviving buckets) and the corpus size (Σ n / bands), so when
+    * the measured load exceeds [[LshAdvisoryCandidatesPerDoc]] per
+    * document the operator says so loudly and names the [[bandsFor]]
+    * retune — the 10× smoke's finding (candidate volume superlinear
+    * at fixed banding) surfaced at run time, for free. */
+  private def guardedBuckets(
+      buckets: DataFrame, maxBucket: Long,
+      bands: Int = NumHashes / BandRows,
+      threshold: Double = Double.NaN): DataFrame = {
     val b = graft.Caches.persist(buckets)
-    val hot = b.groupBy("bkey").agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-    val stats = hot.agg(
-      count(lit(1)).as("k"),
-      coalesce(max("n"), lit(0L)).as("mx"),
-      coalesce(sum("n"), lit(0L)).as("rows")).head()
+    val census = graft.Caches.persist(
+      b.groupBy("bkey").agg(count(lit(1)).as("n")))
+    val hot = census.filter(col("n") > maxBucket)
+    val stats = census.agg(
+      count(when(col("n") > maxBucket, 1)).as("k"),
+      coalesce(max(when(col("n") > maxBucket, col("n"))), lit(0L)).as("mx"),
+      coalesce(sum(when(col("n") > maxBucket, col("n"))), lit(0L)).as("rows"),
+      coalesce(sum(when(col("n") <= maxBucket,
+        (col("n") * (col("n") - 1) / 2).cast("long"))), lit(0L))
+        .as("est_pairs"),
+      coalesce(sum("n"), lit(0L)).as("all_rows")).head()
+    val docs = math.max(1L, stats.getLong(4) / bands)
+    val perDoc = stats.getLong(3).toDouble / docs
+    if (perDoc > LshAdvisoryCandidatesPerDoc) {
+      val hint =
+        if (threshold.isNaN || threshold <= 0.05) "" // bandsFor needs background < target
+        else {
+          val (sb, sr) = bandsFor(docs, threshold)
+          s" — bandsFor($docs, $threshold) suggests (bands=$sb, rows=$sr)"
+        }
+      System.err.println(
+        f"graft.Dedup.minhashLshPairs: measured candidate load $perDoc%.1f pairs/doc " +
+          f"(~${stats.getLong(3)} candidates over ~$docs docs) exceeds the " +
+          f"$LshAdvisoryCandidatesPerDoc%.0f/doc advisory at (bands=$bands, " +
+          f"rows=${NumHashes / bands})$hint")
+    }
     if (stats.getLong(0) == 0L) b
     else {
       // loud, not silent: a tripped guard at production scale is a

@@ -364,7 +364,8 @@ object Expectations {
            |        CAST($t2 AS DECIMAL(32,12)) AS t2
            |      FROM pc
            |      JOIN gl ON pc.lang IS NOT DISTINCT FROM gl.lang
-           |      JOIN cls ON pc.source = cls.source AND pc.cb = cls.cb, nn),
+           |      JOIN cls ON pc.source IS NOT DISTINCT FROM cls.source
+           |              AND pc.cb IS NOT DISTINCT FROM cls.cb, nn),
            |cd AS (SELECT source, cb, any_value(sz) AS sz, $d AS d
            |       FROM j GROUP BY 1, 2)
            |SELECT CAST(least(floor(d * 10), 9) AS INT) AS closeness_band,

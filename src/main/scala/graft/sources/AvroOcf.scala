@@ -58,7 +58,7 @@ object AvroOcf {
     }
   }
 
-  private def avroScalar(dt: DataType): Schema = dt match {
+  private[graft] def avroScalar(dt: DataType): Schema = dt match {
     case LongType => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)
     case StringType => Schema.create(Schema.Type.STRING)
@@ -111,7 +111,18 @@ object AvroOcf {
     * `dir/part-<pid>.avro` (deflate-compressed blocks) through the
     * Hadoop FS API — local, hdfs:// and s3a:// destinations all work.
     * The Avro `Schema` is not reliably serializable, so the canonical
-    * JSON ships in the closure and re-parses once per task. */
+    * JSON ships in the closure and re-parses once per task.
+    *
+    * Commit protocol = [[Commit]]: the driver replace-cleans existing
+    * `part-*.avro` shards first (so a rewrite with FEWER partitions
+    * never leaves stale higher-numbered shards for the reader to mix
+    * in), and each task commits first-attempt-wins (a task never
+    * deletes a committed shard, so speculation/retry cannot leave a
+    * shard missing). Empty-frame contract: a frame with zero rows
+    * still writes one schema-only shard (`part-00000.avro`, header +
+    * no records) so read-back — including `.schema`-less inference —
+    * sees the schema and yields zero rows, matching the Megatron
+    * writer's zero-doc shards. */
   def write(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
     validate(schema)
@@ -119,34 +130,52 @@ object AvroOcf {
     val conf = new graft.sources.tfrecord.SerializableHadoopConf(
       df.sparkSession.sessionState.newHadoopConf())
     val dirPath = new Path(dir)
-    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
+    val driverFs = dirPath.getFileSystem(conf.value)
+    driverFs.mkdirs(dirPath)
+    Commit.replaceClean(driverFs, dirPath, ".avro")
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
-        val avro = new Schema.Parser().parse(schemaJson)
         val fs = new Path(dir).getFileSystem(conf.value)
         val finalPath = new Path(dir, f"part-${ctx.partitionId()}%05d.avro")
         val tmpPath = new Path(
           dir, f".part-${ctx.partitionId()}%05d.tmp-${ctx.taskAttemptId()}%d")
-        val out = fs.create(tmpPath, true)
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](avro))
-          .setCodec(CodecFactory.deflateCodec(6))
-          .create(avro, out)
-        try {
-          rows.foreach { row =>
-            val rec = new GenericData.Record(avro)
-            schema.fields.zipWithIndex.foreach { case (f, i) =>
-              if (!row.isNullAt(i)) rec.put(f.name, toAvro(f.dataType, row.get(i)))
-            }
-            writer.append(rec)
-          }
-        } finally writer.close() // closes `out` too
-        fs.delete(finalPath, false)
-        require(fs.rename(tmpPath, finalPath),
-          s"AvroOcf: rename $tmpPath -> $finalPath failed")
+        writeShard(fs, tmpPath, schemaJson, schema, rows)
+        Commit.claim(fs, tmpPath, finalPath)
       }
     }
+    // Empty-frame marker: no partition had rows -> no shard was
+    // committed; write a schema-only shard so the directory stays a
+    // readable (zero-row) dataset rather than a later "no shards"
+    // inference failure.
+    val wroteAny = driverFs.listStatus(dirPath)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+    if (!wroteAny)
+      writeShard(driverFs, new Path(dir, "part-00000.avro"), schemaJson, schema,
+        Iterator.empty)
+  }
+
+  private def writeShard(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: Path,
+      schemaJson: String,
+      schema: StructType,
+      rows: Iterator[Row]): Unit = {
+    val avro = new Schema.Parser().parse(schemaJson)
+    val out = fs.create(path, true)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avro))
+      .setCodec(CodecFactory.deflateCodec(6))
+      .create(avro, out)
+    try {
+      rows.foreach { row =>
+        val rec = new GenericData.Record(avro)
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!row.isNullAt(i)) rec.put(f.name, toAvro(f.dataType, row.get(i)))
+        }
+        writer.append(rec)
+      }
+    } finally writer.close() // closes `out` too
   }
 
   /** Read a shard directory back into `schema` through the

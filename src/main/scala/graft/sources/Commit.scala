@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared shard-commit protocol for the one-file-per-partition sinks
+  * ([[AvroOcf]], [[TfRecord]], [[graft.tokens.MegatronBinWriter]]).
+  * Two rules, both chosen for safety under Spark speculation/retry —
+  * where two attempts of the SAME partition can run concurrently and
+  * either may die at any point:
+  *
+  *  1. '''Replace-clean (driver, before the job):''' delete every
+  *     existing final shard and stale attempt temp under the target
+  *     directory, so a re-write REPLACES the directory contents even
+  *     when the new run produces fewer (or differently-empty)
+  *     partitions than the previous one. Without this, a narrower
+  *     rewrite leaves the old run's higher-numbered `part-*` shards
+  *     behind and a reader silently mixes old and new rows.
+  *  2. '''First-attempt-wins (task, after writing the temp):''' a
+  *     task NEVER deletes a committed final shard. If the final path
+  *     already exists — a sibling attempt of the same partition
+  *     committed first — the attempt discards its own temp and
+  *     reports success. Delete-then-rename (the previous AvroOcf
+  *     protocol) has a window where attempt B deletes A's committed
+  *     shard and then dies before its own rename, leaving the shard
+  *     MISSING; skip-if-exists has no such window because the only
+  *     transition a final path ever makes is absent → present.
+  *     Attempts of the same partition write identical bytes (Spark
+  *     task determinism contract), so which attempt wins is
+  *     immaterial.
+  *
+  * Everything goes through the Hadoop [[FileSystem]] API, so local,
+  * hdfs:// and s3a:// destinations behave identically. (On stores
+  * without atomic rename — raw S3 — the exists-check narrows but
+  * cannot fully close the race; same caveat as every Hadoop
+  * FileOutputCommitter v1/v2 deployment, and the reason object-store
+  * deployments front this with a manifest commit — see
+  * [[TableCommit]] for the transactional layer.)
+  */
+object Commit {
+
+  /** Driver-side replace semantics: remove final shards ending in
+    * `suffix` and stale `.`-prefixed attempt temps under `dir`.
+    * Call BEFORE launching the write job. No-op if `dir` is absent.
+    */
+  def replaceClean(fs: FileSystem, dir: Path, suffix: String): Unit =
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile && (name.endsWith(suffix) || name.startsWith(".")))
+          require(fs.delete(st.getPath, false),
+            s"Commit: failed to delete stale shard ${st.getPath}")
+      }
+    }
+
+  /** First-to-exist claim of `dst` by renaming `tmp` onto it: the
+    * primitive under both the shard commit (a sibling task attempt
+    * already committed → identical bytes, nothing to do) and the
+    * [[TableCommit]] manifest log (another writer claimed this
+    * version → lost the optimistic-concurrency race, re-resolve and
+    * retry). Returns true when THIS caller's bytes became `dst`,
+    * false when someone else's already had (temp discarded either
+    * way). Throws only when the rename fails AND `dst` does not exist
+    * — a real filesystem fault, never a lost race.
+    */
+  def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, dst)) true
+    else if (fs.exists(dst)) { fs.delete(tmp, false); false } // lost the race mid-rename
+    else throw new IllegalStateException(
+      s"Commit: rename $tmp -> $dst failed with no committed shard present")
+}

@@ -137,11 +137,28 @@ object TfRecord {
 
   /** Write one TFRecord shard per input partition to
     * `dir/part-<pid>.tfrecord`. NULL cells simply omit that feature
-    * (the Example map convention). */
+    * (the Example map convention).
+    *
+    * Replace semantics ([[Commit.replaceClean]] rule): existing
+    * `part-*.tfrecord` shards and stale `.tmp-*` files are deleted on
+    * the driver BEFORE the job, so a rewrite with fewer partitions
+    * never leaves the previous run's higher-numbered shards for the
+    * reader to mix in. Empty-frame contract: zero rows still write
+    * one zero-record `part-00000.tfrecord` marker so the directory
+    * reads back as an empty dataset (TFRecord carries no schema in
+    * the container — the reader's declared schema supplies it) rather
+    * than failing shard discovery. Task commit stays the nio
+    * ATOMIC_MOVE+REPLACE_EXISTING, which is last-attempt-wins with no
+    * missing-shard window (identical bytes per attempt). */
   def write(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
     validate(schema)
     Files.createDirectories(Paths.get(dir))
+    val dirFile = new java.io.File(dir)
+    dirFile.listFiles().foreach { f =>
+      if (f.isFile && (f.getName.endsWith(".tfrecord") || f.getName.startsWith(".")))
+        require(f.delete(), s"TfRecord: failed to delete stale shard $f")
+    }
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
@@ -156,6 +173,12 @@ object TfRecord {
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    // Empty-frame marker: a zero-record shard keeps the directory a
+    // readable (empty) dataset for the reader's shard discovery.
+    val wroteAny = dirFile.listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".tfrecord"))
+    if (!wroteAny)
+      Files.createFile(Paths.get(dir, "part-00000.tfrecord"))
   }
 
   // ---- protobuf wire parse (tolerant of unknown fields) ----

@@ -97,7 +97,7 @@ object AvroDataSource {
 
   /** Strip the writer's `union(null, T)` wrapper (or pass a bare type
     * through — externally-written files may omit the union). */
-  private def unwrap(s: Schema): Schema =
+  private[avro] def unwrap(s: Schema): Schema =
     if (s.getType == Schema.Type.UNION) {
       val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
       require(nonNull.size == 1,
@@ -117,6 +117,27 @@ object AvroDataSource {
       ArrayType(toSpark(field, unwrap(s).getElementType), containsNull = false)
     case other => throw new IllegalArgumentException(
       s"AvroDataSource: field '$field' has unsupported Avro type $other")
+  }
+
+  /** Can a shard whose (unwrapped) writer type is `w` be read as the
+    * declared Spark type? Exact match, plus Avro schema resolution's
+    * legal promotions (int→long/float/double, long→float/double,
+    * float→double, string↔bytes) — the resolving decoder then hands
+    * back the READER type, so no mis-boxed value ever reaches Spark.
+    */
+  private[avro] def resolvable(w: Schema, spark: DataType): Boolean = {
+    import Schema.Type._
+    (w.getType, spark) match {
+      case (ARRAY, ArrayType(et, _)) => resolvable(unwrap(w.getElementType), et)
+      case (LONG, LongType) | (INT, IntegerType) | (DOUBLE, DoubleType) |
+          (FLOAT, FloatType) | (STRING, StringType) | (BYTES, BinaryType) |
+          (BOOLEAN, BooleanType) => true
+      case (INT, LongType | FloatType | DoubleType) => true
+      case (LONG, FloatType | DoubleType) => true
+      case (FLOAT, DoubleType) => true
+      case (STRING, BinaryType) | (BYTES, StringType) => true
+      case _ => false
+    }
   }
 
   private def inferFromFirstShard(dir: String, conf: Configuration): StructType = {
@@ -190,28 +211,62 @@ private[avro] class AvroPartitionReader(
   AvroOcf.validate(required)
 
   private val reader = {
-    val in = new FsInput(new Path(file), conf)
     // Two-step open: the writer schema comes from the file header;
-    // the reader (expected) schema is that same schema FILTERED to
-    // the required fields, so Avro's resolving decoder skips
-    // non-projected bytes. Field absence in the shard fails loudly
-    // with the field name, not a positional decode error.
+    // the reader (expected) schema keeps the writer's field ORDER but
+    // takes each kept field's TYPE from the required Spark schema, so
+    // Avro's resolving decoder both skips non-projected bytes and
+    // performs the legal numeric promotions (writer int read as
+    // LongType, writer float read as DoubleType, ...) instead of
+    // handing Spark a mis-boxed value that dies later as an opaque
+    // ClassCastException. Field absence and ILLEGAL type combinations
+    // both fail loudly here, by field name. try/finally so the header
+    // stream is closed on the error path too (no handle leak per
+    // failed task).
     val header = new DataFileReader[GenericRecord](
-      in, new GenericDatumReader[GenericRecord]())
-    val writer = header.getSchema
-    val keep = required.fieldNames.toSet
-    val missing = keep -- writer.getFields.asScala.map(_.name()).toSet
-    require(missing.isEmpty,
-      s"AvroDataSource: $file lacks required field(s) ${missing.toSeq.sorted.mkString(", ")}")
-    val pruned = Schema.createRecord(
-      writer.getName, writer.getDoc, writer.getNamespace, false,
-      writer.getFields.asScala.toSeq.filter(f => keep(f.name())).map { f =>
-        new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
-      }.asJava)
-    header.close() // re-open: DataFileReader binds its datum reader at construction
+      new FsInput(new Path(file), conf), new GenericDatumReader[GenericRecord]())
+    val pruned =
+      try {
+        val writer = header.getSchema
+        val keep = required.fieldNames.toSet
+        val byName = writer.getFields.asScala.map(f => f.name() -> f).toMap
+        val missing = keep -- byName.keySet
+        require(missing.isEmpty,
+          s"AvroDataSource: $file lacks required field(s) ${missing.toSeq.sorted.mkString(", ")}")
+        required.fields.foreach { f =>
+          val w = AvroDataSource.unwrap(byName(f.name).schema())
+          require(AvroDataSource.resolvable(w, f.dataType),
+            s"AvroDataSource: $file field '${f.name}' is Avro ${describe(w)} " +
+              s"but the declared Spark type is ${f.dataType.simpleString} " +
+              "(no legal Avro schema-resolution promotion)")
+        }
+        Schema.createRecord(
+          writer.getName, writer.getDoc, writer.getNamespace, false,
+          writer.getFields.asScala.toSeq.filter(f => keep(f.name())).map { f =>
+            val sparkType = required(f.name()).dataType
+            val base = sparkType match {
+              case ArrayType(et, _) => Schema.createArray(AvroOcf.avroScalar(et))
+              case dt => AvroOcf.avroScalar(dt)
+            }
+            // mirror the writer's union-ness so resolution matches
+            // branch-for-branch (externally-written files may omit it)
+            val readerType =
+              if (f.schema().getType == Schema.Type.UNION)
+                Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+              else base
+            new Schema.Field(f.name(), readerType, f.doc(),
+              if (f.schema().getType == Schema.Type.UNION) Schema.Field.NULL_DEFAULT_VALUE
+              else null)
+          }.asJava)
+      } finally header.close() // re-open: DataFileReader binds its datum reader at construction
     new DataFileReader[GenericRecord](
       new FsInput(new Path(file), conf),
-      new GenericDatumReader[GenericRecord](writer, pruned))
+      new GenericDatumReader[GenericRecord](null, pruned))
+  }
+
+  private def describe(s: Schema): String = s.getType match {
+    case Schema.Type.ARRAY =>
+      s"array<${AvroDataSource.unwrap(s.getElementType).getType.getName}>"
+    case t => t.getName
   }
 
   private var row: InternalRow = _

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+/** LSH banding auto-retune ([[Dedup.bandsFor]]) — the round-11 10×
+  * scaling smoke's finding made operational: at FIXED (bands, rows)
+  * the candidate volume grows superlinearly with corpus size, so the
+  * band width must widen as n grows. Unit tests pin the public
+  * Broder s-curve math; the integration test reproduces the
+  * superlinear growth on a structured corpus at 1× and 10× and shows
+  * the retuned banding holding the candidate ratio while keeping
+  * every true near-dup pair. */
+class LshTuneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- bandsFor: the s-curve math ----
+
+  test("bandsFor reproduces the house default (16,4) at smoke scale and target") {
+    assert(Dedup.bandsFor(50000, 0.88) == (16, 4))
+    val (b, r) = Dedup.bandsFor(50000, 0.88)
+    assert(b * r == Dedup.NumHashes)
+  }
+
+  test("bandsFor widens rows monotonically as the corpus grows") {
+    val rows = Seq(1000L, 100000L, 10000000L, 1000000000L)
+      .map(n => Dedup.bandsFor(n, 0.88)._2)
+    assert(rows == rows.sorted, s"rows must be non-decreasing in n, got $rows")
+    assert(rows.last > rows.head, "a 10⁹-doc corpus must band wider than a 10³ one")
+  }
+
+  test("bandsFor falls back to the candidate bound (loudly) when 64 hashes can't give both") {
+    // n=5e6 at t=0.88: r=4 floods candidates (250/doc at the default
+    // background), r=8 meets the candidate bound but not missProb=1e-4
+    // -> the fallback returns (8,8), trading recall for the linear
+    // candidate property instead of letting the shuffle explode
+    assert(Dedup.bandsFor(5000000, 0.88) == (8, 8))
+  }
+
+  test("bandsFor rejects nonsense inputs loudly") {
+    intercept[IllegalArgumentException](Dedup.bandsFor(0, 0.8))
+    intercept[IllegalArgumentException](Dedup.bandsFor(100, 1.5))
+    intercept[IllegalArgumentException](Dedup.bandsFor(100, 0.04)) // background >= target
+  }
+
+  // ---- integration: retuned params hold the candidate ratio at 10× ----
+
+  /** Deterministic structured corpus: families share a 15-token block
+    * (pairwise trigram Jaccard ≈ 0.3 — classic boilerplate, below any
+    * dedup threshold but well above the random background), each doc
+    * adds 15 own tokens, and the first 10 docs get a true near-dup
+    * twin (one appended token, J ≈ 0.97). Family size grows with the
+    * corpus — exactly the structure that made the smoke's candidate
+    * volume superlinear at fixed banding. */
+  private def corpus(n: Int, family: Int): DataFrame = {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(math.max(seed & 0x7fffffffL, 1L))(
+        x => (x * 1103515245L + 12345L) & 0x7fffffffL).drop(1)
+    def words(seed: Long, k: Int): Seq[String] =
+      lcg(seed).take(k).map(h => s"w${h % 400}").toSeq
+    val docs = (0 until n).map { i =>
+      (i.toLong,
+        (words(900001L + i / family, 15) ++ words(7000003L + i, 15)).mkString(" "))
+    }
+    val twins = (0 until 10).map(i => (100000L + i, docs(i)._2 + " zz"))
+    (docs ++ twins).toDF("doc_id", "text")
+  }
+
+  test("retuned banding holds the candidate ratio at 10× and keeps every true pair") {
+    def perDoc(df: DataFrame, bandRows: Int): Double = {
+      val (pairs, docs) = Dedup.lshCandidateCensus(df, "text", "doc_id", bandRows)
+      graft.Caches.releaseAll()
+      pairs.toDouble / docs
+    }
+    val c1 = corpus(400, 5)
+    val c10 = corpus(4000, 50)
+    // the smoke's finding, reproduced: fixed (16,4) candidate load is
+    // superlinear (per-DOC load grows with corpus size)
+    val fixed1 = perDoc(c1, Dedup.BandRows)
+    val fixed10 = perDoc(c10, Dedup.BandRows)
+    assert(fixed10 > 2.0 * fixed1,
+      s"expected superlinear growth at fixed banding: 1x=$fixed1 10x=$fixed10")
+    // bandsFor with the corpus's MEASURED structure (background ≈ 0.3
+    // intra-family Jaccard) widens the bands...
+    val (bands, rows) = Dedup.bandsFor(4000, 0.85, background = 0.30, missProb = 0.1)
+    assert((bands, rows) == (8, 8))
+    // ...and the retuned banding collapses the 10× candidate load
+    val tuned10 = perDoc(c10, rows)
+    assert(tuned10 < fixed10 / 5.0,
+      s"retuned banding should cut candidates ≥5x: fixed=$fixed10 tuned=$tuned10")
+    // while losing NO true pair: all 10 planted twins survive the
+    // wider bands (J≈0.97 ≫ the s-curve knee) and exact verification
+    val found = Dedup.minhashLshPairs(c10, "text", "doc_id",
+        threshold = 0.85, bandRows = rows)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.Caches.releaseAll()
+    assert((0 until 10).forall(i => found.contains((i.toLong, 100000L + i))),
+      s"lost true twin pairs at retuned banding: found=$found")
+    assert(found.size == 10, s"unexpected extra verified pairs: $found")
+  }
+}

@@ -716,6 +716,100 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch drift: ${(got diff expected).take(5)} vs ${(expected diff got).take(5)}")
   }
 
+  test("CONFIG-assembled recipe incl. C4+Gopher streams end-to-end; watermark dedup matches batch exact dedup") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.api.{C4Params, FinewebConfig, FinewebPipeline, GopherParams}
+    import graft.operators.Dedup
+    import graft.streaming.StreamDocs
+    // the heavy CONTENT stage families this time (the narrow-filter
+    // families are pinned by the previous test): C4 line cleaning +
+    // doc rules, intra-doc line dedup, Gopher quality, plus folds/
+    // badwords/sampler — i.e. the fw_full_recipe stage chain minus the
+    // batch-only prepasses (DSIR et al., documented in FinewebConfig)
+    val cfg = FinewebConfig(
+      c4Clean = Some(C4Params(minSentences = 2)),
+      dedupDocLines = true,
+      gopherQuality = Some(GopherParams(
+        minWords = 10, maxWords = 100000,
+        minMeanWordLen = 1.0, maxMeanWordLen = 20.0,
+        minAlphaFraction = 0.5, minStopwordHits = 0,
+        maxBulletFraction = 0.9, maxEllipsisFraction = 0.1)),
+      foldAccents = true,
+      badwordMaxRatio = Some(0.5),
+      samplerRate = Some(0.9),
+      piiFormat = false)
+    val pages = FinewebPipeline.recipePages(Tables(spark, sfDir, "documents"))
+      .select("doc_id", "text")
+    // five redelivered copies under new ids: batch exact dedup keeps
+    // the min-id original; the stream's first-arrival keeper agrees
+    // because the copies arrive in a LATER micro-batch
+    // texts made unique by construction (an id token, same in batch
+    // and stream) so the only duplicates are the planted redeliveries
+    // — otherwise a natural fixture dup would make the within-batch
+    // first-arrival keeper partition-order-dependent
+    val origs = pages.as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .map { case (id, t) => (id, s"$t uid$id") }
+    val copies = origs.take(5).map { case (id, t) => (1000000L + id, t) }
+    val all = (origs ++ copies).toDF("doc_id", "text")
+
+    // batch twin: marked frame, then corpus exact dedup on the kept half
+    val batchMarked = FinewebPipeline.buildMarked(spark, all, cfg)
+    def markedSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val expectMarked = markedSet(
+      batchMarked.select("doc_id", "filter_reason").collect())
+    val batchKept = batchMarked.filter(col("filter_reason").isNull)
+      .select("doc_id", "text")
+    val expectDeduped = Dedup.exactDedup(batchKept, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    assert(expectMarked.exists(_._2.isDefined) && expectDeduped.nonEmpty,
+      "fixture must exercise rejection and dedup paths")
+    assert(copies.forall { case (id, _) =>
+      !expectDeduped.contains(id) || !expectDeduped.contains(id - 1000000L) },
+      "batch dedup must drop one copy of each redelivered pair")
+
+    // stream: originals in batch 1, redelivered copies in batch 2 —
+    // the SAME buildMarked chain (one Catalyst plan of narrow stages)
+    // feeding the stateful watermark dedup on the kept half
+    val input = MemoryStream[(Long, String)]
+    val streamed = input.toDF().toDF("doc_id", "text")
+    val markedStream = FinewebPipeline.buildMarked(spark, streamed, cfg)
+    val query = StreamDocs.dedupExactStream(
+        markedStream.filter(col("filter_reason").isNull)
+          .withColumn("ts", timestamp_millis(col("doc_id") + 1700000000000L)),
+        "text", "ts", watermark = "87600 hours")
+      .select("doc_id", "filter_reason")
+      .writeStream.format("memory").queryName("fw_recipe_c4_stream")
+      .outputMode("append").start()
+    input.addData(origs)
+    query.processAllAvailable()
+    input.addData(copies)
+    query.processAllAvailable()
+    val gotDeduped = spark.table("fw_recipe_c4_stream")
+      .select("doc_id").as[Long].collect().toSet
+    query.stop()
+    assert(gotDeduped == expectDeduped,
+      s"stream/batch dedup drift: extra=${(gotDeduped diff expectDeduped).take(5)} " +
+        s"missing=${(expectDeduped diff gotDeduped).take(5)}")
+
+    // marked-frame parity for the content stages (no dedup): rerun the
+    // stream sink on the marked frame itself
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = FinewebPipeline.buildMarked(spark, input2.toDF().toDF("doc_id", "text"), cfg)
+      .select("doc_id", "filter_reason")
+      .writeStream.format("memory").queryName("fw_recipe_c4_marked")
+      .outputMode("append").start()
+    input2.addData(origs ++ copies)
+    q2.processAllAvailable()
+    val gotMarked = markedSet(spark.table("fw_recipe_c4_marked").collect())
+    q2.stop()
+    assert(gotMarked == expectMarked,
+      s"stream/batch marked drift: ${(gotMarked diff expectMarked).take(5)} vs " +
+        s"${(expectMarked diff gotMarked).take(5)}")
+  }
+
   test("nearDupFlagStream flags cross-batch and within-batch LSH collisions") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
