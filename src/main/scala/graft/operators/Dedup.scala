@@ -290,6 +290,29 @@ object Dedup {
         NumHashes / bandRows, threshold), threshold)
   }
 
+  /** [[minhashLshPairs]] with the banding chosen by [[bandsFor]] from
+    * the MEASURED corpus size — the zero-config entry point for a
+    * corpus whose scale is unknown at call time (exactly the case the
+    * 10× smoke flagged: fixed banding goes superlinear as n grows).
+    * The one count runs on the persisted digest frame the pair path
+    * reuses, so the only extra work is the count job itself. */
+  def minhashLshPairsAuto(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      background: Double = 0.05,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
+    require(threshold > background,
+      s"minhashLshPairsAuto: threshold $threshold must exceed the background " +
+        s"Jaccard estimate $background (tune `background` for boilerplate-heavy corpora)")
+    val sets = shingleSets(docs, textCol, idCol)
+    val n = math.max(sets.count(), 1L)
+    val (bands, rows) = bandsFor(n, threshold, background)
+    verifiedPairs(sets,
+      guardedBuckets(bandBuckets(sets, rows), maxBucket, bands, threshold), threshold)
+  }
+
   /** Measured LSH candidate census for a banding — (estimated
     * candidate pairs from non-degenerate buckets, corpus docs). The
     * per-bucket n·(n−1)/2 sum over-counts pairs colliding in several

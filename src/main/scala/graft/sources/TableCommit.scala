@@ -73,21 +73,42 @@ object TableCommit {
       .sorted
   }
 
-  private def readManifest(fs: FileSystem, dir: String, v: Long): Seq[String] = {
+  private final case class Manifest(dirs: Seq[String], txns: Map[String, Long])
+
+  private def readManifestFull(fs: FileSystem, dir: String, v: Long): Manifest = {
     val in = fs.open(new Path(logDir(dir), f"v$v%010d.json"))
     val root =
       try mapper.readTree(in)
       finally in.close()
     require(root.path("format").asInt(-1) == 1,
       s"TableCommit: manifest v$v has unsupported format ${root.path("format")}")
-    root.path("dirs").elements().asScala.map(_.asText()).toSeq
+    val txns = root.path("txns")
+    Manifest(
+      root.path("dirs").elements().asScala.map(_.asText()).toSeq,
+      if (txns.isMissingNode) Map.empty
+      else txns.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
   }
+
+  private def readManifest(fs: FileSystem, dir: String, v: Long): Seq[String] =
+    readManifestFull(fs, dir, v).dirs
 
   /** Write `df` as a new committed version of the table at `dir`.
     * `mode` is "overwrite" (snapshot = just this data) or "append"
     * (snapshot = parent's dirs + this data). Returns the committed
-    * version number. */
-  def write(df: DataFrame, dir: String, mode: String): Long = {
+    * version number.
+    *
+    * `txn` = (appId, txnVersion) makes the write IDEMPOTENT per
+    * application (Delta's SetTransaction pattern, the contract a
+    * `foreachBatch` streaming sink needs for exactly-once appends):
+    * every manifest carries the cumulative appId → highest-committed
+    * txnVersion map, and a write whose txnVersion is ≤ the recorded
+    * one is a REPLAY — it commits nothing (the orphan data dir it may
+    * have written stays invisible and is removed) and returns the
+    * current version. A replayed micro-batch after a sink restart
+    * therefore appends its rows exactly once. */
+  def write(
+      df: DataFrame, dir: String, mode: String,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"TableCommit: mode must be append|overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -95,44 +116,151 @@ object TableCommit {
     val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("overwrite").parquet(s"$dir/$rel")
     fs.mkdirs(logDir(dir))
-    commit(spark, fs, dir, mode, rel)
+    commit(spark, fs, dir, mode, rel, txn)
+  }
+
+  /** Exactly-once streaming append sink body — pass to
+    * `writeStream.foreachBatch`: each micro-batch appends under the
+    * (appId, batchId) transaction, so a restart that replays a batch
+    * appends nothing twice.
+    * {{{
+    * stream.writeStream.foreachBatch(TableCommit.streamAppend(dir, "ingest-q1") _)
+    * }}} */
+  def streamAppend(dir: String, appId: String)(df: DataFrame, batchId: Long): Unit =
+    write(df, dir, "append", txn = Some((appId, batchId)))
+
+  /** Compare-and-swap manifest commit at exactly version `next`:
+    * true iff THIS caller's manifest became `v<next>.json`. The only
+    * transition a manifest path ever makes is absent → present
+    * ([[Commit.claim]]), so a lost race is always DETECTED (the
+    * winner's file survives), never clobbered. */
+  private def tryCommit(
+      fs: FileSystem, dir: String,
+      next: Long, mode: String, dirs: Seq[String],
+      txns: Map[String, Long] = Map.empty): Boolean = {
+    val node = mapper.createObjectNode()
+    node.put("format", 1)
+    node.put("version", next)
+    node.put("mode", mode)
+    val arr = node.putArray("dirs")
+    dirs.foreach(arr.add)
+    if (txns.nonEmpty) {
+      val tn = node.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (k, v) => tn.put(k, v) }
+    }
+    val bytes = mapper.writeValueAsBytes(node)
+    val tmp = new Path(logDir(dir),
+      s".v$next.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    Commit.claim(fs, tmp, new Path(logDir(dir), f"v$next%010d.json"))
   }
 
   /** Optimistic-concurrency commit loop: resolve latest, build the
     * snapshot dir list, attempt `v<latest+1>.json`; on a lost race
-    * re-resolve and retry (append re-bases onto the winner). */
+    * re-resolve and retry (append re-bases onto the winner). A `txn`
+    * already recorded at ≥ its version in the latest manifest is a
+    * replay: nothing commits, the orphan data dir is removed, the
+    * current version returns. */
   private def commit(
       spark: SparkSession, fs: FileSystem,
-      dir: String, mode: String, rel: String): Long = {
+      dir: String, mode: String, rel: String,
+      txn: Option[(String, Long)]): Long = {
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val vs = versions(spark, dir)
+      val parent = vs.lastOption.map(readManifestFull(fs, dir, _))
+      val parentTxns = parent.map(_.txns).getOrElse(Map.empty[String, Long])
+      txn.foreach { case (appId, tv) =>
+        if (parentTxns.get(appId).exists(_ >= tv)) {
+          fs.delete(new Path(dir, rel), true) // replay: discard orphan data
+          return vs.last
+        }
+      }
       val next = vs.lastOption.getOrElse(0L) + 1
       val dirs =
         if (mode == "overwrite" || vs.isEmpty) Seq(rel)
-        else readManifest(fs, dir, vs.last) :+ rel
-      val node = mapper.createObjectNode()
-      node.put("format", 1)
-      node.put("version", next)
-      node.put("mode", mode)
-      val arr = node.putArray("dirs")
-      dirs.foreach(arr.add)
-      val bytes = mapper.writeValueAsBytes(node)
-      val tmp = new Path(logDir(dir),
-        s".v$next.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes)
-      finally out.close()
-      val dst = new Path(logDir(dir), f"v$next%010d.json")
-      // Commit.claim: the only transition a manifest path ever makes
-      // is absent -> present, so a lost race is always DETECTED (the
-      // winner's file survives), never clobbered; on false we
-      // re-resolve the latest snapshot and retry at N+1
-      if (Commit.claim(fs, tmp, dst)) return next
+        else parent.get.dirs :+ rel
+      val newTxns = txn.fold(parentTxns) { case (a, v) => parentTxns + (a -> v) }
+      if (tryCommit(fs, dir, next, mode, dirs, newTxns)) return next
     }
     throw new IllegalStateException(
       s"TableCommit: gave up committing to $dir after $attempts contended attempts")
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the LATEST snapshot's rows
+    * into `targetFiles` parquet files in one fresh data dir and
+    * commit the result — the small-files cleanup every append-heavy
+    * table eventually needs, made safe by the snapshot protocol.
+    * Unlike a plain overwrite `write`, the commit is COMPARE-AND-SWAP
+    * at exactly base+1: if a concurrent writer lands a version
+    * between our read of base and our commit, blindly overwriting
+    * would silently ERASE that writer's rows (they are not in the
+    * snapshot we rewrote), so a lost race re-reads the new latest and
+    * rewrites — compaction never loses anybody's committed data, it
+    * only reshapes it. Readers on the old version keep reading its
+    * immutable dirs. Returns the committed version. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long = {
+    require(targetFiles > 0, "TableCommit.compact: targetFiles must be positive")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"TableCommit.compact: no committed versions under $dir")
+      val base = vs.last
+      val parent = readManifestFull(fs, dir, base)
+      val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+      readVersion(spark, dir, base).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$dir/$rel")
+      // inherit the txn table: compaction reshapes data, it must not
+      // erase the idempotence history streaming sinks rely on
+      if (tryCommit(fs, dir, base + 1, "overwrite", Seq(rel), parent.txns))
+        return base + 1
+      // lost to a concurrent writer: our rewrite is stale (missing
+      // their rows) — discard the orphan dir and redo from new latest
+      fs.delete(new Path(dir, rel), true)
+    }
+    throw new IllegalStateException(
+      s"TableCommit.compact: gave up after $attempts contended attempts on $dir")
+  }
+
+  /** VACUUM by version retention: keep the newest `keepVersions`
+    * manifests readable, delete older manifests plus every data dir
+    * no kept manifest references (compaction/overwrite leftovers and
+    * crashed writers' orphans). Retention is by VERSION COUNT, not
+    * wall-clock age — deterministic, so the cleanup itself is
+    * spec-able; the caller picks a count that covers their longest
+    * reader (same contract decision as a time-based retention, made
+    * explicit). Returns (data dirs deleted, manifests deleted).
+    *
+    * Safe by the snapshot protocol's immutability: kept manifests are
+    * self-contained, so their dirs stay fully intact; a concurrent
+    * reader of a DROPPED version fails loudly on the missing manifest
+    * rather than reading a half-deleted snapshot. */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, "TableCommit.vacuum: must keep at least one version")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"TableCommit.vacuum: no committed versions under $dir")
+    val kept = vs.takeRight(keepVersions)
+    val referenced = kept.flatMap(readManifest(fs, dir, _)).toSet
+    val dataRoot = new Path(dir, "data")
+    val droppedDirs =
+      if (!fs.exists(dataRoot)) 0
+      else fs.listStatus(dataRoot).count { st =>
+        val rel = s"data/${st.getPath.getName}"
+        val drop = st.isDirectory && !referenced(rel)
+        if (drop) require(fs.delete(st.getPath, true),
+          s"TableCommit.vacuum: failed to delete $rel")
+        drop
+      }
+    val droppedManifests = vs.dropRight(keepVersions).count { v =>
+      fs.delete(new Path(logDir(dir), f"v$v%010d.json"), false)
+    }
+    (droppedDirs, droppedManifests)
   }
 
   /** Read the latest committed snapshot (loud error on an empty or

@@ -175,6 +175,109 @@ class CommitSpec extends SparkSpec {
     assert(TableCommit.read(spark, dir).count() == 5)
   }
 
+  test("TableCommit.compact reshapes the latest snapshot without changing its rows") {
+    val dir = Files.createTempDirectory("graft-table-compact").toString + "/t"
+    TableCommit.write(spark.range(0, 20).repartition(8).toDF("id"), dir, "overwrite")
+    TableCommit.write(spark.range(100, 110).repartition(4).toDF("id"), dir, "append")
+    val before = TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq
+    val v = TableCommit.compact(spark, dir, targetFiles = 1)
+    assert(v == 3L)
+    val after = TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq
+    assert(after == before, "compaction must preserve the snapshot's rows exactly")
+    // the compacted snapshot names ONE data dir with one part file
+    val fs = hfs(dir)
+    val manifest = TableCommit.read(spark, dir)
+    assert(manifest.inputFiles.length == 1,
+      s"expected one compacted file, got ${manifest.inputFiles.toSeq}")
+    // pre-compaction version still time-travels
+    assert(TableCommit.readVersion(spark, dir, 2).count() == 30)
+    assert(fs.exists(new Path(dir, "_log/v0000000003.json")))
+  }
+
+  test("TableCommit: genuinely concurrent appends both land, versions stay distinct") {
+    val dir = Files.createTempDirectory("graft-table-conc").toString + "/t"
+    TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite")
+    import java.util.concurrent.{Callable, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq(10L, 20L).map { lo =>
+        pool.submit(new Callable[Long] {
+          override def call(): Long =
+            TableCommit.write(spark.range(lo, lo + 2).toDF("id"), dir, "append")
+        })
+      }
+      val committed = futures.map(_.get()).sorted
+      // whichever interleaving happened, both appends committed at
+      // DISTINCT versions and neither lost rows to the race
+      assert(committed == Seq(2L, 3L), s"got versions $committed")
+    } finally pool.shutdown()
+    val rows = TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq
+    assert(rows == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L),
+      s"concurrent appends lost rows: $rows")
+  }
+
+  test("TableCommit txn appends are idempotent: a replayed batch commits nothing twice") {
+    val dir = Files.createTempDirectory("graft-table-txn").toString + "/t"
+    val v1 = TableCommit.write(spark.range(0, 3).toDF("id"), dir, "append",
+      txn = Some(("q1", 0L)))
+    val v2 = TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append",
+      txn = Some(("q1", 1L)))
+    // replay of batch 1 (sink restart): same rows, same txn — no-op
+    val v2b = TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append",
+      txn = Some(("q1", 1L)))
+    assert((v1, v2, v2b) == ((1L, 2L, 2L)))
+    // a DIFFERENT app's txn with the same number is independent
+    val v3 = TableCommit.write(spark.range(20, 21).toDF("id"), dir, "append",
+      txn = Some(("q2", 1L)))
+    assert(v3 == 3L)
+    val rows = TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq
+    assert(rows == Seq(0L, 1L, 2L, 10L, 11L, 20L),
+      s"replayed batch must not duplicate rows: $rows")
+    // compaction preserves the txn table: the replay stays a no-op after it
+    TableCommit.compact(spark, dir)
+    val v4 = TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append",
+      txn = Some(("q1", 1L)))
+    assert(v4 == 4L && TableCommit.read(spark, dir).count() == 6,
+      "compaction must inherit txns so replays stay suppressed")
+  }
+
+  test("TableCommit.streamAppend: a real foreachBatch stream lands each micro-batch exactly once") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-table-stream").toString + "/t"
+    val input = MemoryStream[Long]
+    val query = input.toDF().toDF("id")
+      .writeStream.foreachBatch(TableCommit.streamAppend(dir, "ingest") _)
+      .start()
+    input.addData(1L, 2L)
+    query.processAllAvailable()
+    input.addData(3L)
+    query.processAllAvailable()
+    query.stop()
+    // simulate the restart replay of the LAST batch (the at-least-once
+    // delivery foreachBatch contracts warn about): same batchId → no-op
+    val last = TableCommit.versions(spark, dir).last
+    TableCommit.streamAppend(dir, "ingest")(spark.range(3, 4).toDF("id"), last - 1)
+    val rows = TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq
+    assert(rows == Seq(1L, 2L, 3L), s"stream replay duplicated rows: $rows")
+  }
+
+  test("TableCommit.vacuum drops unreferenced data dirs and old manifests, keeps retained versions readable") {
+    val dir = Files.createTempDirectory("graft-table-vac").toString + "/t"
+    TableCommit.write(spark.range(0, 5).toDF("id"), dir, "overwrite") // v1
+    TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append") // v2
+    TableCommit.compact(spark, dir) // v3: v1/v2's dirs now unreferenced by latest
+    spark.range(900, 905).toDF("id").write.parquet(s"$dir/data/c-orphan")
+    val (dataDropped, manifestsDropped) = TableCommit.vacuum(spark, dir, keepVersions = 1)
+    // v1's dir, v2's dir and the orphan go; v1/v2 manifests go
+    assert(dataDropped == 3 && manifestsDropped == 2,
+      s"got ($dataDropped, $manifestsDropped)")
+    assert(TableCommit.read(spark, dir).count() == 7)
+    intercept[Exception](TableCommit.readVersion(spark, dir, 1).collect())
+    // idempotent: nothing left to drop
+    assert(TableCommit.vacuum(spark, dir, keepVersions = 1) == ((0, 0)))
+  }
+
   test("TableCommit: a writer that loses the version race retries and re-bases its append") {
     val dir = Files.createTempDirectory("graft-table-race").toString + "/t"
     TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite")

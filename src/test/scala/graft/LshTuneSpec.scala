@@ -100,4 +100,24 @@ class LshTuneSpec extends SparkSpec {
       s"lost true twin pairs at retuned banding: found=$found")
     assert(found.size == 10, s"unexpected extra verified pairs: $found")
   }
+
+  test("minhashLshPairsAuto measures the corpus and self-tunes, keeping every true pair") {
+    import spark.implicits._
+    val c10 = corpus(4000, 50)
+    // with the corpus's real boilerplate background declared, auto
+    // picks the widened banding from the measured count and still
+    // verifies all 10 planted twins exactly
+    val found = Dedup.minhashLshPairsAuto(c10, "text", "doc_id",
+        threshold = 0.85, background = 0.30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.Caches.releaseAll()
+    assert(found == (0 until 10).map(i => (i.toLong, 100000L + i)).toSet,
+      s"auto banding drifted: $found")
+    // nonsense guard: a threshold at/below the background estimate is
+    // a contradiction, refused loudly
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsAuto(c10, "text", "doc_id",
+        threshold = 0.2, background = 0.30)
+    }
+  }
 }
