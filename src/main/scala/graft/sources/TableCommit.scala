@@ -6,6 +6,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.{Gate, Tables}
 
@@ -73,20 +74,58 @@ object TableCommit {
       .sorted
   }
 
-  private final case class Manifest(dirs: Seq[String], txns: Map[String, Long])
+  private final case class Manifest(
+      dirs: Seq[String], txns: Map[String, Long], schema: Option[StructType])
 
   private def readManifestFull(fs: FileSystem, dir: String, v: Long): Manifest = {
     val in = fs.open(new Path(logDir(dir), f"v$v%010d.json"))
     val root =
-      try mapper.readTree(in)
-      finally in.close()
+      try {
+        try mapper.readTree(in)
+        finally in.close()
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          // a corrupt log entry must name ITSELF, not surface as a
+          // bare Jackson parse error with no version context
+          s"TableCommit: manifest v$v under $dir is corrupt (${e.getMessage})", e)
+      }
     require(root.path("format").asInt(-1) == 1,
       s"TableCommit: manifest v$v has unsupported format ${root.path("format")}")
     val txns = root.path("txns")
+    val schemaNode = root.path("schema")
     Manifest(
       root.path("dirs").elements().asScala.map(_.asText()).toSeq,
       if (txns.isMissingNode) Map.empty
-      else txns.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+      else txns.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap,
+      if (schemaNode.isMissingNode) None
+      else Some(DataType.fromJson(schemaNode.asText()).asInstanceOf[StructType]))
+  }
+
+  /** The committed table schema (from the latest manifest). */
+  def tableSchema(spark: SparkSession, dir: String): Option[StructType] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, dir).lastOption.flatMap(readManifestFull(fs, dir, _).schema)
+  }
+
+  /** Loud append-time schema enforcement (Delta's rule): name → type,
+    * order- and nullability-insensitive. Catching drift at the WRITE
+    * is the whole point — a mismatched append otherwise lands fine
+    * and detonates on some later multi-dir read. */
+  private def enforceSchema(expected: StructType, actual: StructType): Unit = {
+    def m(s: StructType) = s.fields.map(f => f.name -> f.dataType).toMap
+    val (e, a) = (m(expected), m(actual))
+    if (e != a) {
+      val missing = (e.keySet -- a.keySet).toSeq.sorted
+      val extra = (a.keySet -- e.keySet).toSeq.sorted
+      val changed = (e.keySet & a.keySet).filter(k => e(k) != a(k)).toSeq.sorted
+        .map(k => s"$k: ${e(k).simpleString} -> ${a(k).simpleString}")
+      throw new IllegalArgumentException(
+        "TableCommit: append schema does not match the table schema" +
+          (if (missing.nonEmpty) s"; missing ${missing.mkString(", ")}" else "") +
+          (if (extra.nonEmpty) s"; extra ${extra.mkString(", ")}" else "") +
+          (if (changed.nonEmpty) s"; changed ${changed.mkString("; ")}" else "") +
+          " — overwrite to change the schema")
+    }
   }
 
   private def readManifest(fs: FileSystem, dir: String, v: Long): Seq[String] =
@@ -113,10 +152,15 @@ object TableCommit {
       s"TableCommit: mode must be append|overwrite, got '$mode'")
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // enforce BEFORE the data job: a doomed append should not burn a
+    // cluster pass first (re-checked inside the commit loop in case a
+    // concurrent overwrite changes the table schema mid-flight)
+    if (mode == "append")
+      tableSchema(spark, dir).foreach(enforceSchema(_, df.schema))
     val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("overwrite").parquet(s"$dir/$rel")
     fs.mkdirs(logDir(dir))
-    commit(spark, fs, dir, mode, rel, txn)
+    commit(spark, fs, dir, mode, rel, txn, df.schema)
   }
 
   /** Exactly-once streaming append sink body — pass to
@@ -137,13 +181,15 @@ object TableCommit {
   private def tryCommit(
       fs: FileSystem, dir: String,
       next: Long, mode: String, dirs: Seq[String],
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      schema: Option[StructType] = None): Boolean = {
     val node = mapper.createObjectNode()
     node.put("format", 1)
     node.put("version", next)
     node.put("mode", mode)
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
+    schema.foreach(s => node.put("schema", s.json))
     if (txns.nonEmpty) {
       val tn = node.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (k, v) => tn.put(k, v) }
@@ -166,7 +212,7 @@ object TableCommit {
   private def commit(
       spark: SparkSession, fs: FileSystem,
       dir: String, mode: String, rel: String,
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)], schema: StructType): Long = {
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
@@ -179,12 +225,14 @@ object TableCommit {
           return vs.last
         }
       }
+      if (mode == "append")
+        parent.flatMap(_.schema).foreach(enforceSchema(_, schema))
       val next = vs.lastOption.getOrElse(0L) + 1
       val dirs =
         if (mode == "overwrite" || vs.isEmpty) Seq(rel)
         else parent.get.dirs :+ rel
       val newTxns = txn.fold(parentTxns) { case (a, v) => parentTxns + (a -> v) }
-      if (tryCommit(fs, dir, next, mode, dirs, newTxns)) return next
+      if (tryCommit(fs, dir, next, mode, dirs, newTxns, Some(schema))) return next
     }
     throw new IllegalStateException(
       s"TableCommit: gave up committing to $dir after $attempts contended attempts")
@@ -201,8 +249,16 @@ object TableCommit {
     * snapshot we rewrote), so a lost race re-reads the new latest and
     * rewrites — compaction never loses anybody's committed data, it
     * only reshapes it. Readers on the old version keep reading its
-    * immutable dirs. Returns the committed version. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long = {
+    * immutable dirs. Returns the committed version.
+    *
+    * `sortCols` orders rows INSIDE the compacted files (Z-order-lite:
+    * a within-partition sort, no global exchange) so parquet min/max
+    * row-group statistics become selective on those columns — the
+    * data-skipping payoff of compaction at 100 TB, where reads filter
+    * on the sorted keys. */
+  def compact(
+      spark: SparkSession, dir: String,
+      targetFiles: Int = 1, sortCols: Seq[String] = Nil): Long = {
     require(targetFiles > 0, "TableCommit.compact: targetFiles must be positive")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var attempts = 0
@@ -213,11 +269,16 @@ object TableCommit {
       val base = vs.last
       val parent = readManifestFull(fs, dir, base)
       val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
-      readVersion(spark, dir, base).coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$dir/$rel")
-      // inherit the txn table: compaction reshapes data, it must not
-      // erase the idempotence history streaming sinks rely on
-      if (tryCommit(fs, dir, base + 1, "overwrite", Seq(rel), parent.txns))
+      val coalesced = readVersion(spark, dir, base).coalesce(targetFiles)
+      val shaped =
+        if (sortCols.isEmpty) coalesced
+        else coalesced.sortWithinPartitions(sortCols.map(col): _*)
+      shaped.write.mode("overwrite").parquet(s"$dir/$rel")
+      // inherit the txn table AND the schema: compaction reshapes
+      // data, it must not erase the idempotence history streaming
+      // sinks rely on or the append-enforcement contract
+      if (tryCommit(fs, dir, base + 1, "overwrite", Seq(rel), parent.txns,
+          parent.schema))
         return base + 1
       // lost to a concurrent writer: our rewrite is stale (missing
       // their rows) — discard the orphan dir and redo from new latest

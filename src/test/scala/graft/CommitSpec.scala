@@ -278,6 +278,59 @@ class CommitSpec extends SparkSpec {
     assert(TableCommit.vacuum(spark, dir, keepVersions = 1) == ((0, 0)))
   }
 
+  test("TableCommit enforces the table schema on append, names the drift, allows overwrite") {
+    val dir = Files.createTempDirectory("graft-table-schema").toString + "/t"
+    TableCommit.write(
+      spark.range(0, 3).select(col("id"), lit("x").as("tag")), dir, "overwrite")
+    assert(TableCommit.tableSchema(spark, dir).get.fieldNames.toSeq == Seq("id", "tag"))
+    // wrong type: fails BEFORE any data job, naming field and types
+    val e1 = intercept[IllegalArgumentException] {
+      TableCommit.write(
+        spark.range(3, 5).select(col("id"), col("id").as("tag")), dir, "append")
+    }
+    assert(e1.getMessage.contains("tag: string -> bigint"), e1.getMessage)
+    // missing + extra columns named
+    val e2 = intercept[IllegalArgumentException] {
+      TableCommit.write(spark.range(3, 5).select(col("id"), lit(1.0).as("score")),
+        dir, "append")
+    }
+    assert(e2.getMessage.contains("missing tag") && e2.getMessage.contains("extra score"),
+      e2.getMessage)
+    // column ORDER is not drift (name -> type is the contract)
+    TableCommit.write(
+      spark.range(3, 5).select(lit("y").as("tag"), col("id")), dir, "append")
+    assert(TableCommit.read(spark, dir).count() == 5)
+    // overwrite legitimately changes the schema; appends then follow it
+    TableCommit.write(spark.range(0, 2).select(lit(1.0).as("score")), dir, "overwrite")
+    assert(TableCommit.tableSchema(spark, dir).get.fieldNames.toSeq == Seq("score"))
+    TableCommit.write(spark.range(0, 2).select(lit(2.0).as("score")), dir, "append")
+    assert(TableCommit.read(spark, dir).count() == 4)
+  }
+
+  test("TableCommit: a corrupt manifest fails naming its version, not as a bare parse error") {
+    val dir = Files.createTempDirectory("graft-table-corrupt").toString + "/t"
+    TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite")
+    val fs = hfs(dir)
+    val m = new Path(dir, "_log/v0000000001.json")
+    val out = fs.create(m, true); out.write("{broken".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](TableCommit.read(spark, dir).collect())
+    assert(e.getMessage.contains("manifest v1") && e.getMessage.contains("corrupt"),
+      e.getMessage)
+  }
+
+  test("TableCommit.compact(sortCols) orders rows within the compacted file") {
+    val dir = Files.createTempDirectory("graft-table-sort").toString + "/t"
+    // deliberately shuffled ids across partitions
+    TableCommit.write(
+      spark.range(0, 100).select((pmod(col("id") * 37, lit(100))).as("id"))
+        .repartition(8), dir, "overwrite")
+    TableCommit.compact(spark, dir, targetFiles = 1, sortCols = Seq("id"))
+    // read back WITHOUT an orderBy: a single sorted file yields rows
+    // in file order, which must now be ascending
+    val back = TableCommit.read(spark, dir).as[Long].collect().toSeq
+    assert(back == (0L until 100L), s"rows not sorted in file order: ${back.take(10)}...")
+  }
+
   test("TableCommit: a writer that loses the version race retries and re-bases its append") {
     val dir = Files.createTempDirectory("graft-table-race").toString + "/t"
     TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite")
