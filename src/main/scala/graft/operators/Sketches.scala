@@ -468,14 +468,47 @@ object Sketches {
     * Determinism: ln pround-8 (engine ln may differ in the last ulp),
     * each summand pround-12, accumulated in DECIMAL(32,12), MI/H/NMI
     * pround-8 — the gate hash-matches a DuckDB replay. */
+  /** One FUSED corpus pass for all pairwise contingency tables — the
+    * shared census under [[mutualInfo]] and [[cramersV]]. P pairs
+    * previously cost P corpus-wide groupBy scans; GROUPING SETS of
+    * the pairs makes it ONE scan + ONE map-side-combined exchange
+    * whose output is simply the P tables side by side, keyed by
+    * grouping_id — the 100 TB difference between "3 association
+    * numbers = 3 passes over the corpus" and "= 1 pass". Data NULLs
+    * stay their own category: grouping_id (not the NULL marker) says
+    * which grouping a row belongs to, so a structural NULL from the
+    * grouping-sets expansion never collides with a category NULL.
+    * Single-pair calls keep the plain groupBy (no gid machinery). */
+  private def pairCensus(
+      df: DataFrame, cols: Seq[String]): Seq[((String, String), DataFrame)] = {
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    if (pairs.size == 1) {
+      val (a, b) = pairs.head
+      Seq(((a, b), graft.Caches.persist(
+        df.groupBy(col(a).as("__x"), col(b).as("__y"))
+          .agg(count(lit(1)).as("__nxy")))))
+    } else {
+      val k = cols.size
+      val fused = graft.Caches.persist(
+        df.groupingSets(
+            pairs.map { case (a, b) => Seq(col(a), col(b)) }.toSeq,
+            cols.map(col): _*)
+          .agg(count(lit(1)).as("__nxy"), grouping_id().as("__gid")))
+      pairs.map { case (a, b) =>
+        // bit i (from the left) set = cols(i) aggregated away in this set
+        val gid = (1L << k) - 1 -
+          (1L << (k - 1 - cols.indexOf(a))) - (1L << (k - 1 - cols.indexOf(b)))
+        ((a, b), fused.filter(col("__gid") === gid)
+          .select(col(a).as("__x"), col(b).as("__y"), col("__nxy")))
+      }
+    }
+  }
+
   def mutualInfo(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "mutualInfo: need at least two columns")
     val acc = DecimalType(32, 12)
-    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
-      yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
-      val ab = graft.Caches.persist(
-        df.groupBy(col(a).as("__x"), col(b).as("__y")).agg(count(lit(1)).as("__nxy")))
+    pairCensus(df, cols).map { case ((a, b), ab) =>
       val ma = ab.groupBy(col("__x").as("__xm")).agg(sum(col("__nxy")).as("__nx"))
       val mb = ab.groupBy(col("__y").as("__ym")).agg(sum(col("__nxy")).as("__ny"))
       val nn = ab.agg(sum(col("__nxy")).as("__N"))
@@ -530,11 +563,7 @@ object Sketches {
   def cramersV(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "cramersV: need at least two columns")
     val acc = DecimalType(32, 12)
-    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
-      yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
-      val ab = graft.Caches.persist(
-        df.groupBy(col(a).as("__x"), col(b).as("__y")).agg(count(lit(1)).as("__nxy")))
+    pairCensus(df, cols).map { case ((a, b), ab) =>
       val ma = ab.groupBy(col("__x").as("__xm")).agg(sum(col("__nxy")).as("__nx"))
       val mb = ab.groupBy(col("__y").as("__ym")).agg(sum(col("__nxy")).as("__ny"))
       val nn = ab.agg(sum(col("__nxy")).as("__N"))
