@@ -362,6 +362,52 @@ object TableCommit {
       write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
       write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
       read(s, path).orderBy("doc_id")
+    },
+    // Exactly-once streaming table ingest gate — the production
+    // ingest path driver-verified end to end: a REAL file stream
+    // drains the documents table through foreachBatch/streamAppend
+    // (each micro-batch an idempotent txn commit), the last batch is
+    // then REPLAYED with the whole corpus (the at-least-once restart
+    // shape — if txn suppression failed, every row would double and
+    // the hash explodes), the table is compacted through the CAS
+    // lifecycle (doc_id-sorted files), and the gated read resolves
+    // the final manifest. The oracle recomputes the projection from
+    // the raw table — lost, duplicated or re-ordered rows all move a
+    // digest.
+    Gate(
+      "snk_table_stream",
+      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = DocSource.gateScratch(dir, "snk_table_stream")
+      val fs = new Path(base).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(base), true) // deterministic rebuild per run
+      val table = s"$base/table"
+      val srcPath = s"$dir/documents.parquet"
+      // the file-stream source lists a DIRECTORY; a single-file corpus
+      // (the sf layout) streams via its parent + a glob on the name
+      val p = java.nio.file.Paths.get(srcPath)
+      val (dir0, glob) =
+        if (java.nio.file.Files.isDirectory(p)) (srcPath, null)
+        else (p.getParent.toString, p.getFileName.toString)
+      def project(df: DataFrame) =
+        df.select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+      val reader = s.readStream.schema(s.read.parquet(srcPath).schema)
+      val q = project(
+        (if (glob == null) reader else reader.option("pathGlobFilter", glob))
+          .parquet(dir0))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(streamAppend(table, "gate-ingest") _)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // restart replay: batch ids start at 0 and each committed one
+      // version, so the last delivered batch id is |versions| - 1
+      streamAppend(table, "gate-ingest")(
+        project(s.read.parquet(srcPath)), versions(s, table).size - 1L)
+      compact(s, table, targetFiles = 1, sortCols = Seq("doc_id"))
+      read(s, table).orderBy("doc_id")
     }
   )
 }
