@@ -109,6 +109,26 @@ object ScaleSmoke {
           emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
           idxPath, nCells = 16)
       }
+      // transactional table ingest: overwrite the corpus projection,
+      // append a 10% slice, compact sorted, read the final snapshot —
+      // the manifest-log overhead must stay FLAT (it is per-commit
+      // metadata, not per-row) while the data jobs scale with rows
+      val tblPath = s"$workDir/table_$label"
+      timed(spark, "table_commit", label,
+        (n: Long) => Seq("rows" -> n)) {
+        val proj = docs.select(col("doc_id"), md5(col("text")).as("d"))
+        new org.apache.hadoop.fs.Path(tblPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(tblPath), true)
+        graft.sources.TableCommit.write(proj, tblPath, "overwrite")
+        graft.sources.TableCommit.write(
+          proj.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("d")),
+          tblPath, "append")
+        graft.sources.TableCommit.compact(
+          spark, tblPath, targetFiles = 4, sortCols = Seq("doc_id"))
+        graft.sources.TableCommit.read(spark, tblPath).count()
+      }
     }
     spark.stop()
   }
