@@ -331,6 +331,44 @@ class CommitSpec extends SparkSpec {
     assert(back == (0L until 100L), s"rows not sorted in file order: ${back.take(10)}...")
   }
 
+  test("model-based: a random op sequence keeps read() equal to the in-memory model") {
+    // 30 LCG-seeded ops drawn from append/overwrite/compact/vacuum,
+    // replayed against a trivial Vector model — the class of
+    // interleaving bug (append after compact, vacuum after overwrite,
+    // compact of a vacuumed log, ...) that example-based tests miss.
+    // Deterministic: the LCG fixes the op sequence per run.
+    val dir = Files.createTempDirectory("graft-table-model").toString + "/t"
+    var model = Vector.empty[Long]
+    var nextId = 0L
+    var seed = 20260816L
+    def rnd(n: Int): Int = { seed = (seed * 1103515245L + 12345L) & 0x7fffffffL; (seed % n).toInt }
+    def ids(k: Int): Seq[Long] = { val out = (nextId until nextId + k); nextId += k; out }
+    TableCommit.write(ids(3).toDF("id"), dir, "overwrite")
+    model = Vector(0L, 1L, 2L)
+    for (step <- 1 to 30) {
+      rnd(10) match {
+        case r if r < 5 => // append 50%
+          val xs = ids(1 + rnd(4))
+          TableCommit.write(xs.toDF("id"), dir, "append")
+          model ++= xs
+        case r if r < 7 => // overwrite 20%
+          val xs = ids(1 + rnd(4))
+          TableCommit.write(xs.toDF("id"), dir, "overwrite")
+          model = xs.toVector
+        case r if r < 9 => // compact 20%, sometimes sorted
+          TableCommit.compact(spark, dir, targetFiles = 1 + rnd(3),
+            sortCols = if (rnd(2) == 0) Seq("id") else Nil)
+        case _ => // vacuum 10%
+          TableCommit.vacuum(spark, dir, keepVersions = 1 + rnd(3))
+      }
+      val got = TableCommit.read(spark, dir).as[Long].collect().toSeq.sorted
+      assert(got == model.sorted,
+        s"step $step diverged: got ${got.take(8)}... expected ${model.sorted.take(8)}...")
+      val vs = TableCommit.versions(spark, dir)
+      assert(vs == vs.sorted && vs.distinct == vs, s"versions not strictly ordered: $vs")
+    }
+  }
+
   test("TableCommit: a writer that loses the version race retries and re-bases its append") {
     val dir = Files.createTempDirectory("graft-table-race").toString + "/t"
     TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite")
