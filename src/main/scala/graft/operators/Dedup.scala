@@ -310,7 +310,8 @@ object Dedup {
     val n = math.max(sets.count(), 1L)
     val (bands, rows) = bandsFor(n, threshold, background)
     verifiedPairs(sets,
-      guardedBuckets(bandBuckets(sets, rows), maxBucket, bands, threshold), threshold)
+      guardedBuckets(bandBuckets(sets, rows), maxBucket, bands, threshold, background),
+      threshold)
   }
 
   /** Measured LSH candidate census for a banding — (estimated
@@ -348,7 +349,8 @@ object Dedup {
   private def guardedBuckets(
       buckets: DataFrame, maxBucket: Long,
       bands: Int = NumHashes / BandRows,
-      threshold: Double = Double.NaN): DataFrame = {
+      threshold: Double = Double.NaN,
+      background: Double = 0.05): DataFrame = {
     val b = graft.Caches.persist(buckets)
     val census = graft.Caches.persist(
       b.groupBy("bkey").agg(count(lit(1)).as("n")))
@@ -364,11 +366,19 @@ object Dedup {
     val docs = math.max(1L, stats.getLong(4) / bands)
     val perDoc = stats.getLong(3).toDouble / docs
     if (perDoc > LshAdvisoryCandidatesPerDoc) {
+      // the hint must use the CALLER's background (an auto-tuned run
+      // at background=0.3 retuned to (8,8) must not be told to narrow
+      // back to the 0.05-default (16,4) it just widened away from)
       val hint =
-        if (threshold.isNaN || threshold <= 0.05) "" // bandsFor needs background < target
+        if (threshold.isNaN || threshold <= background) "" // bandsFor needs background < target
         else {
-          val (sb, sr) = bandsFor(docs, threshold)
-          s" — bandsFor($docs, $threshold) suggests (bands=$sb, rows=$sr)"
+          val (sb, sr) = bandsFor(docs, threshold, background)
+          if (sb == bands)
+            " — already at the bandsFor suggestion for this background; " +
+              "raise the background estimate, maxBucket, or accept the load"
+          else
+            s" — bandsFor($docs, $threshold, background=$background) " +
+              s"suggests (bands=$sb, rows=$sr)"
         }
       System.err.println(
         f"graft.Dedup.minhashLshPairs: measured candidate load $perDoc%.1f pairs/doc " +

@@ -147,12 +147,16 @@ object AvroOcf {
     // Empty-frame marker: no partition had rows -> no shard was
     // committed; write a schema-only shard so the directory stays a
     // readable (zero-row) dataset rather than a later "no shards"
-    // inference failure.
+    // inference failure. Through the SAME temp+claim protocol as the
+    // task shards — a driver crash mid-write must leave an ignored
+    // dot-temp, never a truncated final part-*.avro.
     val wroteAny = driverFs.listStatus(dirPath)
       .exists(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-    if (!wroteAny)
-      writeShard(driverFs, new Path(dir, "part-00000.avro"), schemaJson, schema,
-        Iterator.empty)
+    if (!wroteAny) {
+      val tmp = new Path(dir, ".part-00000.tmp-empty")
+      writeShard(driverFs, tmp, schemaJson, schema, Iterator.empty)
+      Commit.claim(driverFs, tmp, new Path(dir, "part-00000.avro"))
+    }
   }
 
   private def writeShard(

@@ -107,12 +107,27 @@ object TableCommit {
     versions(spark, dir).lastOption.flatMap(readManifestFull(fs, dir, _).schema)
   }
 
+  /** Nullability stripped RECURSIVELY (array containsNull, map
+    * valueContainsNull, nested struct field nullability) — plain
+    * DataType equality would reject a legitimate append whose only
+    * difference is e.g. `array(col)` inferring containsNull=false,
+    * and the error message would show two identical simpleStrings. */
+  private def denull(dt: DataType): DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(denull(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      org.apache.spark.sql.types.MapType(denull(kt), denull(vt), valueContainsNull = true)
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = denull(f.dataType), nullable = true)))
+    case other => other
+  }
+
   /** Loud append-time schema enforcement (Delta's rule): name → type,
     * order- and nullability-insensitive. Catching drift at the WRITE
     * is the whole point — a mismatched append otherwise lands fine
     * and detonates on some later multi-dir read. */
   private def enforceSchema(expected: StructType, actual: StructType): Unit = {
-    def m(s: StructType) = s.fields.map(f => f.name -> f.dataType).toMap
+    def m(s: StructType) = s.fields.map(f => f.name -> denull(f.dataType)).toMap
     val (e, a) = (m(expected), m(actual))
     if (e != a) {
       val missing = (e.keySet -- a.keySet).toSeq.sorted
@@ -152,11 +167,20 @@ object TableCommit {
       s"TableCommit: mode must be append|overwrite, got '$mode'")
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // enforce BEFORE the data job: a doomed append should not burn a
-    // cluster pass first (re-checked inside the commit loop in case a
-    // concurrent overwrite changes the table schema mid-flight)
-    if (mode == "append")
-      tableSchema(spark, dir).foreach(enforceSchema(_, df.schema))
+    // schema AND txn-replay checks run BEFORE the data job: a doomed
+    // append (or a replayed streaming micro-batch) should not burn a
+    // whole cluster pass first. Both are re-checked inside the commit
+    // loop — a concurrent overwrite can change the schema, and a
+    // concurrent duplicate can record the txn, mid-flight; the loop's
+    // check is the authoritative one, these are the cheap fast-paths.
+    val preVersions = versions(spark, dir)
+    if (preVersions.nonEmpty) {
+      val latest = readManifestFull(fs, dir, preVersions.last)
+      txn.foreach { case (appId, tv) =>
+        if (latest.txns.get(appId).exists(_ >= tv)) return preVersions.last
+      }
+      if (mode == "append") latest.schema.foreach(enforceSchema(_, df.schema))
+    }
     val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("overwrite").parquet(s"$dir/$rel")
     fs.mkdirs(logDir(dir))
@@ -289,36 +313,55 @@ object TableCommit {
   }
 
   /** VACUUM by version retention: keep the newest `keepVersions`
-    * manifests readable, delete older manifests plus every data dir
-    * no kept manifest references (compaction/overwrite leftovers and
-    * crashed writers' orphans). Retention is by VERSION COUNT, not
-    * wall-clock age — deterministic, so the cleanup itself is
-    * spec-able; the caller picks a count that covers their longest
-    * reader (same contract decision as a time-based retention, made
-    * explicit). Returns (data dirs deleted, manifests deleted).
+    * manifests readable, delete older manifests plus the data dirs
+    * those dropped manifests referenced (compaction/overwrite
+    * leftovers). Retention is by VERSION COUNT, not wall-clock age —
+    * deterministic, so the cleanup itself is spec-able; the caller
+    * picks a count that covers their longest reader (same contract
+    * decision as a time-based retention, made explicit). Returns
+    * (data dirs deleted, manifests deleted).
+    *
+    * By DEFAULT only dirs referenced by a DROPPED manifest are
+    * removed — an unreferenced dir is indistinguishable from an
+    * IN-FLIGHT writer's not-yet-committed data (it writes its dir
+    * first, manifest last), and deleting it would corrupt that
+    * writer's about-to-commit snapshot permanently. Pass
+    * `includeOrphans = true` to also sweep never-referenced dirs and
+    * dead `.v*.tmp-*` manifest temps (crashed writers' leftovers) —
+    * ONLY when no writer can be in flight (a quiesced table), the
+    * same operational contract as Delta's zero-retention vacuum.
     *
     * Safe by the snapshot protocol's immutability: kept manifests are
     * self-contained, so their dirs stay fully intact; a concurrent
     * reader of a DROPPED version fails loudly on the missing manifest
     * rather than reading a half-deleted snapshot. */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): (Int, Int) = {
+  def vacuum(
+      spark: SparkSession, dir: String,
+      keepVersions: Int = 2, includeOrphans: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "TableCommit.vacuum: must keep at least one version")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"TableCommit.vacuum: no committed versions under $dir")
-    val kept = vs.takeRight(keepVersions)
-    val referenced = kept.flatMap(readManifest(fs, dir, _)).toSet
+    val (dropped, kept) = vs.splitAt(vs.size - keepVersions)
+    val keptRefs = kept.flatMap(readManifest(fs, dir, _)).toSet
+    val droppedRefs = dropped.flatMap(readManifest(fs, dir, _)).toSet -- keptRefs
     val dataRoot = new Path(dir, "data")
     val droppedDirs =
       if (!fs.exists(dataRoot)) 0
       else fs.listStatus(dataRoot).count { st =>
         val rel = s"data/${st.getPath.getName}"
-        val drop = st.isDirectory && !referenced(rel)
+        val drop = st.isDirectory && !keptRefs(rel) &&
+          (droppedRefs(rel) || includeOrphans)
         if (drop) require(fs.delete(st.getPath, true),
           s"TableCommit.vacuum: failed to delete $rel")
         drop
       }
-    val droppedManifests = vs.dropRight(keepVersions).count { v =>
+    if (includeOrphans && fs.exists(logDir(dir)))
+      fs.listStatus(logDir(dir)).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith("."))
+          fs.delete(st.getPath, false) // dead commit temps
+      }
+    val droppedManifests = dropped.count { v =>
       fs.delete(new Path(logDir(dir), f"v$v%010d.json"), false)
     }
     (droppedDirs, droppedManifests)

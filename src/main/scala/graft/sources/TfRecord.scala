@@ -154,11 +154,12 @@ object TfRecord {
     val schema = df.schema
     validate(schema)
     Files.createDirectories(Paths.get(dir))
-    val dirFile = new java.io.File(dir)
-    dirFile.listFiles().foreach { f =>
-      if (f.isFile && (f.getName.endsWith(".tfrecord") || f.getName.startsWith(".")))
-        require(f.delete(), s"TfRecord: failed to delete stale shard $f")
-    }
+    // the SHARED protocol helper, not an inline reimplementation —
+    // one code path for the replace-clean rule across the shard sinks
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    Commit.replaceClean(
+      dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf()),
+      dirPath, ".tfrecord")
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val ctx = TaskContext.get()
@@ -175,7 +176,9 @@ object TfRecord {
     }
     // Empty-frame marker: a zero-record shard keeps the directory a
     // readable (empty) dataset for the reader's shard discovery.
-    val wroteAny = dirFile.listFiles()
+    // (Zero-byte create is atomic enough — there are no bytes to
+    // truncate — unlike the Avro marker, which carries a header.)
+    val wroteAny = new java.io.File(dir).listFiles()
       .exists(f => f.isFile && f.getName.endsWith(".tfrecord"))
     if (!wroteAny)
       Files.createFile(Paths.get(dir, "part-00000.tfrecord"))

@@ -262,20 +262,34 @@ class CommitSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L, 3L), s"stream replay duplicated rows: $rows")
   }
 
-  test("TableCommit.vacuum drops unreferenced data dirs and old manifests, keeps retained versions readable") {
+  test("TableCommit.vacuum drops dropped-manifest data and old manifests; orphans only when asked") {
     val dir = Files.createTempDirectory("graft-table-vac").toString + "/t"
     TableCommit.write(spark.range(0, 5).toDF("id"), dir, "overwrite") // v1
     TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append") // v2
     TableCommit.compact(spark, dir) // v3: v1/v2's dirs now unreferenced by latest
+    // an unreferenced dir is indistinguishable from an IN-FLIGHT
+    // writer's not-yet-committed data: the default vacuum must NOT
+    // touch it (deleting it would corrupt that writer's snapshot)
     spark.range(900, 905).toDF("id").write.parquet(s"$dir/data/c-orphan")
     val (dataDropped, manifestsDropped) = TableCommit.vacuum(spark, dir, keepVersions = 1)
-    // v1's dir, v2's dir and the orphan go; v1/v2 manifests go
-    assert(dataDropped == 3 && manifestsDropped == 2,
+    // v1's dir and v2's dir (referenced by the DROPPED manifests) go;
+    // the never-referenced orphan survives; v1/v2 manifests go
+    assert(dataDropped == 2 && manifestsDropped == 2,
       s"got ($dataDropped, $manifestsDropped)")
+    assert(hfs(dir).exists(new Path(dir, "data/c-orphan")),
+      "default vacuum must not delete never-referenced dirs (in-flight writer safety)")
     assert(TableCommit.read(spark, dir).count() == 7)
     intercept[Exception](TableCommit.readVersion(spark, dir, 1).collect())
-    // idempotent: nothing left to drop
+    // idempotent: nothing left to drop by default
     assert(TableCommit.vacuum(spark, dir, keepVersions = 1) == ((0, 0)))
+    // quiesced-table sweep: orphans (and dead commit temps) go only
+    // under the explicit flag
+    val out = hfs(dir).create(new Path(dir, "_log/.v9.tmp-dead"), true); out.close()
+    val (orphansDropped, _) = TableCommit.vacuum(spark, dir, keepVersions = 1,
+      includeOrphans = true)
+    assert(orphansDropped == 1 && !hfs(dir).exists(new Path(dir, "data/c-orphan")))
+    assert(!hfs(dir).exists(new Path(dir, "_log/.v9.tmp-dead")))
+    assert(TableCommit.read(spark, dir).count() == 7)
   }
 
   test("TableCommit enforces the table schema on append, names the drift, allows overwrite") {
@@ -300,6 +314,16 @@ class CommitSpec extends SparkSpec {
     TableCommit.write(
       spark.range(3, 5).select(lit("y").as("tag"), col("id")), dir, "append")
     assert(TableCommit.read(spark, dir).count() == 5)
+    // NESTED nullability is not drift either: array(col) infers
+    // containsNull=false while a parquet read-back says true — a
+    // legitimate append must not bounce on the flag
+    val adir = Files.createTempDirectory("graft-table-schema2").toString + "/t"
+    TableCommit.write(
+      spark.range(0, 2).select(col("id"),
+        array(col("id"), lit(null).cast("long")).as("xs")), adir, "overwrite")
+    TableCommit.write(
+      spark.range(2, 4).select(col("id"), array(col("id")).as("xs")), adir, "append")
+    assert(TableCommit.read(spark, adir).count() == 4)
     // overwrite legitimately changes the schema; appends then follow it
     TableCommit.write(spark.range(0, 2).select(lit(1.0).as("score")), dir, "overwrite")
     assert(TableCommit.tableSchema(spark, dir).get.fieldNames.toSeq == Seq("score"))
