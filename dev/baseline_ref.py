@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Measured single-process reference baseline.
+
+The reference engine (fan1dy/metadata-enhanced-pretrain-datapipeline)
+runs one Python process per input file: a datatrove pipeline iterating
+documents through per-doc formatter/filter stages. No published timing
+exists, so this script IS the baseline measurement: it reproduces the
+reference's per-document loop semantics for one headline stage pair —
+PIIFormatter.format (pii_formatter.py:73-121: email/ip/iban regex
+redaction with a per-doc detected set) followed by the public C4
+line/document rules (Raffel et al. 2020 §2.2, the same rule constants
+graft's TextAnalysis.c4CleanText/c4DocKept implement) — over the
+sf-dir documents table, replicated REPLICAS× for steady-state timing.
+
+Usage: python3 dev/baseline_ref.py [sfDir] [replicas]
+Prints one JSON line: {"docs": N, "sec": S, "docs_per_sec": R}.
+The Spark twin is `runMain graft.apps.BaselineCompare <sfDir> <replicas>`;
+BASELINE.md records both numbers.
+"""
+import json
+import re
+import sys
+import time
+
+import pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+# --- reference PIIFormatter regexes (pii_formatter.py:62-71) ---
+EMAIL_RE = re.compile(
+    r"\b[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*@"
+    r"(?:(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+    r"|\[(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?|[A-Za-z0-9-]*[A-Za-z0-9]:)])"
+)
+IP_RE = re.compile(
+    r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+)
+IBAN_RE = re.compile(r"[A-Z]{2}[0-9]{2}(?: [0-9]{4}){4} [A-Z0-9]{1,2}")
+
+# --- public C4 rule constants (mirrors graft TextAnalysis) ---
+WORD_RE = re.compile(r"[A-Za-z0-9]+")
+BAD_MARKERS = ("javascript", "cookie policy", "privacy policy", "terms of use")
+LINE_ENDERS = (".", "!", "?", '"', "'")
+SENT_RE = re.compile(r"[.!?]")
+
+
+def pii_format(text):
+    """The reference's per-doc format(): detected set + str.replace."""
+    detected = set()
+    for email in EMAIL_RE.findall(text):
+        if email not in detected:
+            detected.add(email)
+            text = text.replace(email, "<email-pii>")
+    for ip in IP_RE.findall(text):
+        if ip not in detected:
+            detected.add(ip)
+            text = text.replace(ip, "<ip-pii>")
+    for iban in IBAN_RE.findall(text):
+        if iban not in detected:
+            detected.add(iban)
+            text = text.replace(iban, "<iban-pii>")
+    return text, len(detected)
+
+
+def c4_clean(text):
+    kept = []
+    for line in text.split("\n"):
+        line = line.strip()
+        low = line.lower()
+        if (
+            line.endswith(LINE_ENDERS)
+            and len(WORD_RE.findall(line)) >= 3
+            and not any(m in low for m in BAD_MARKERS)
+        ):
+            kept.append(line)
+    return "\n".join(kept)
+
+
+def c4_doc_kept(text, cleaned):
+    return (
+        len(SENT_RE.findall(cleaned)) >= 5
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+
+
+def main():
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    t0 = time.monotonic()
+    docs = kept = total_pii = out_chars = 0
+    for _ in range(REPLICAS):
+        for text in texts:
+            redacted, n_pii = pii_format(text)
+            cleaned = c4_clean(redacted)
+            docs += 1
+            total_pii += n_pii
+            if c4_doc_kept(redacted, cleaned):
+                kept += 1
+                out_chars += len(cleaned)
+    sec = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "side": "reference-twin-python",
+                "sf_dir": SF_DIR,
+                "replicas": REPLICAS,
+                "docs": docs,
+                "kept": kept,
+                "pii_hits": total_pii,
+                "out_chars": out_chars,
+                "sec": round(sec, 3),
+                "docs_per_sec": round(docs / sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ object SparkEntry {
       sources.TfRecord.gates ++
       sources.AvroOcf.gates ++
       sources.TableCommit.gates ++
+      sources.table.GraftTableGates.gates ++
       sources.WebDataset.gates ++
       sources.arrow.ArrowGates.gates ++
       tokens.Tokens.gates ++

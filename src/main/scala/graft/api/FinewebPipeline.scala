@@ -200,6 +200,13 @@ final case class FinewebConfig(
       * (the full dedup candidate pipeline runs when the config
       * assembles). Value = the Jaccard threshold. */
     nearDupDedup: Option[Double] = None,
+    /** LSH banding for the near-dup stage: None (default) = choose
+      * from the MEASURED corpus size via [[graft.operators.Dedup
+      * .bandsFor]] (at sf-test scale this lands on the house (16, 4);
+      * at 10x+ it widens so candidate volume stays linear — the
+      * round-11 scaling smoke's finding, now the default operating
+      * mode); Some(r) pins a fixed band width. */
+    nearDupBandRows: Option[Int] = None,
     /** corpus-level EXACT dedup as a recipe stage: among the docs
       * surviving the stages above, the min-id copy of each normalized-
       * text fingerprint survives and every other copy is excluded with
@@ -562,8 +569,13 @@ object FinewebPipeline {
       // The loser frame that survives into the stage list is compact
       // (id only) and reads the closure's checkpointed blocks.
       val upstream = Pipeline(stages: _*).kept(docs)
-      val losers = graft.operators.Clusters
-        .duplicateClusters(upstream, "text", "doc_id", thr)
+      val clusters = cfg.nearDupBandRows match {
+        case Some(r) => graft.operators.Clusters
+          .duplicateClusters(upstream, "text", "doc_id", thr, bandRows = r)
+        case None => graft.operators.Clusters
+          .duplicateClustersAuto(upstream, "text", "doc_id", thr)
+      }
+      val losers = clusters
         .filter(col("id") =!= col("rep"))
         .select(col("id").as("__loser_id"))
       stages :+= Transform("near_dup_mark",

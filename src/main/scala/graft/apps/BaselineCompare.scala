@@ -1,0 +1,63 @@
+package graft.apps
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Formatters, TextAnalysis}
+
+/** Spark side of the measured reference baseline (the python twin is
+  * dev/baseline_ref.py — see its header): the SAME headline stage
+  * pair — PII redaction (email/ip/iban, reference
+  * pii_formatter.py:73-121 semantics) + C4 line/document rules — over
+  * the same sf-dir documents table replicated `replicas`×, timed to a
+  * forced full evaluation (aggregate over the cleaned text), printed
+  * as one JSON line. BASELINE.md records both sides' docs/s.
+  *
+  * Usage: runMain graft.apps.BaselineCompare [sfDir] [replicas]
+  */
+object BaselineCompare {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.create("graft-baseline-compare")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    // replicate via explode so the work is replicas× the corpus, then
+    // spread over the session's cores — the sf corpus is ONE parquet
+    // file (1-2 splits), whereas any real corpus scan has thousands;
+    // without the repartition the "engine" side would run on 2 of 32
+    // threads and the comparison would measure file-split count, not
+    // per-doc work
+    val wide = docs.withColumn("__r",
+      explode(lit((1 to replicas).toArray))).drop("__r")
+      .repartition(64)
+    // warm the JVM + page cache once (the python twin's regexes are
+    // precompiled too; we compare steady-state throughput, not JIT)
+    def pass(): (Long, Long, Long, Long) = {
+      val redacted = Formatters.piiRedact(col("text"))
+      val out = wide
+        .withColumn("__pii", Formatters.piiCount(col("text")))
+        .withColumn("__red", redacted)
+        .withColumn("__clean", TextAnalysis.c4CleanText(col("__red")))
+        .withColumn("__kept", TextAnalysis.c4DocKept(col("__red"), col("__clean")))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("__kept"), 1L).otherwise(0L)).as("kept"),
+          sum(col("__pii").cast("long")).as("pii"),
+          sum(when(col("__kept"), length(col("__clean")).cast("long"))
+            .otherwise(0L)).as("chars"))
+        .head()
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    }
+    pass() // warm-up
+    val t0 = System.nanoTime()
+    val (nDocs, kept, pii, chars) = pass()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the literal last line is the parsed artifact (StdoutOutput contract)
+    println(
+      s"""{"side":"graft-spark","sf_dir":"$sfDir","replicas":$replicas,""" +
+        s""""docs":$nDocs,"kept":$kept,"pii_hits":$pii,"out_chars":$chars,""" +
+        f""""sec":${sec}%.3f,"docs_per_sec":${nDocs / sec}%.1f}""")
+    spark.stop()
+  }
+}

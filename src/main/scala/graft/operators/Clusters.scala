@@ -209,6 +209,24 @@ object Clusters {
         bandRows = bandRows), "id_a", "id_b"))
   }
 
+  /** [[duplicateClusters]] with the banding chosen from the MEASURED
+    * corpus size ([[Dedup.minhashLshPairsAuto]] / [[Dedup.bandsFor]])
+    * — the zero-config entry the recipe's near-dup stage defaults to:
+    * at sf-test scale the choice lands on the house default (16, 4),
+    * and on a 10× corpus it widens the bands so the candidate volume
+    * stays linear instead of superlinear (the round-11 scaling
+    * smoke's finding). Memoized per (session, corpus plan, threshold,
+    * background), like the fixed-banding twin. */
+  def duplicateClustersAuto(
+      docs: DataFrame, textCol: String, idCol: String, threshold: Double,
+      background: Double = 0.05): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      planDigest(docs, textCol, idCol, threshold) + s"#auto-$background")
+    memoizedLabels(key)(connectedComponents(
+      Dedup.minhashLshPairsAuto(docs, textCol, idCol, threshold, background),
+      "id_a", "id_b"))
+  }
+
   /** Post-loop: enforce convergence and derive labels from the
     * converged star set. */
   private def finish(

@@ -371,7 +371,10 @@ object Dedup {
       // back to the 0.05-default (16,4) it just widened away from)
       val hint =
         if (threshold.isNaN || threshold <= background) "" // bandsFor needs background < target
-        else {
+        else scala.util.Try {
+          // advisory-only: bandsFor throws when NO 64-hash banding
+          // meets the candidate bound — a diagnostic must never
+          // convert that into a job-aborting exception mid-pipeline
           val (sb, sr) = bandsFor(docs, threshold, background)
           if (sb == bands)
             " — already at the bandsFor suggestion for this background; " +
@@ -379,7 +382,9 @@ object Dedup {
           else
             s" — bandsFor($docs, $threshold, background=$background) " +
               s"suggests (bands=$sb, rows=$sr)"
-        }
+        }.getOrElse(
+          " — no 64-hash banding meets the candidate bound for this corpus; " +
+            "raise the background estimate, widen the signature, or accept the load")
       System.err.println(
         f"graft.Dedup.minhashLshPairs: measured candidate load $perDoc%.1f pairs/doc " +
           f"(~${stats.getLong(3)} candidates over ~$docs docs) exceeds the " +

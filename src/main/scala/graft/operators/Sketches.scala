@@ -481,10 +481,15 @@ object Sketches {
     * Single-pair calls keep the plain groupBy (no gid machinery). */
   private def pairCensus(
       df: DataFrame, cols: Seq[String]): Seq[((String, String), DataFrame)] = {
+    // duplicate names would make the grouping_id bit math ambiguous
+    // (and a self-pair census is meaningless anyway) — refuse loudly
+    // rather than return a silently empty contingency table
+    require(cols.distinct.size == cols.size,
+      s"pairCensus: column list must be distinct, got ${cols.mkString(", ")}")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
-      yield (cols(i), cols(j))
+      yield (i, j)
     if (pairs.size == 1) {
-      val (a, b) = pairs.head
+      val (a, b) = (cols(0), cols(1))
       Seq(((a, b), graft.Caches.persist(
         df.groupBy(col(a).as("__x"), col(b).as("__y"))
           .agg(count(lit(1)).as("__nxy")))))
@@ -492,13 +497,13 @@ object Sketches {
       val k = cols.size
       val fused = graft.Caches.persist(
         df.groupingSets(
-            pairs.map { case (a, b) => Seq(col(a), col(b)) }.toSeq,
+            pairs.map { case (i, j) => Seq(col(cols(i)), col(cols(j))) }.toSeq,
             cols.map(col): _*)
           .agg(count(lit(1)).as("__nxy"), grouping_id().as("__gid")))
-      pairs.map { case (a, b) =>
+      pairs.map { case (i, j) =>
+        val (a, b) = (cols(i), cols(j))
         // bit i (from the left) set = cols(i) aggregated away in this set
-        val gid = (1L << k) - 1 -
-          (1L << (k - 1 - cols.indexOf(a))) - (1L << (k - 1 - cols.indexOf(b)))
+        val gid = (1L << k) - 1 - (1L << (k - 1 - i)) - (1L << (k - 1 - j))
         ((a, b), fused.filter(col("__gid") === gid)
           .select(col(a).as("__x"), col(b).as("__y"), col("__nxy")))
       }

@@ -52,20 +52,58 @@ object Commit {
       }
     }
 
-  /** First-to-exist claim of `dst` by renaming `tmp` onto it: the
-    * primitive under both the shard commit (a sibling task attempt
-    * already committed → identical bytes, nothing to do) and the
-    * [[TableCommit]] manifest log (another writer claimed this
-    * version → lost the optimistic-concurrency race, re-resolve and
-    * retry). Returns true when THIS caller's bytes became `dst`,
-    * false when someone else's already had (temp discarded either
-    * way). Throws only when the rename fails AND `dst` does not exist
-    * — a real filesystem fault, never a lost race.
+  /** First-to-exist claim of `dst`: the primitive under both the
+    * shard commit (a sibling task attempt already committed →
+    * identical bytes, nothing to do) and the [[TableCommit]] manifest
+    * log (another writer claimed this version → lost the
+    * optimistic-concurrency race, re-resolve and retry). Returns true
+    * when THIS caller's bytes became `dst`, false when someone else's
+    * already had (temp discarded either way). Throws only on a real
+    * filesystem fault, never a lost race.
+    *
+    * Atomicity per store: on HDFS, `rename` itself refuses an
+    * existing destination, so the rename IS the claim. On the LOCAL
+    * filesystem Hadoop's rename delegates to POSIX rename(2), which
+    * silently REPLACES an existing destination — two racers could
+    * both pass an exists check and both "win", clobbering one
+    * writer's manifest. There the claim uses a hard link instead:
+    * link(2) fails with EEXIST atomically when the destination
+    * already exists, so exactly one racer ever succeeds. Raw
+    * S3-style stores with non-atomic rename keep the documented
+    * narrows-but-cannot-fully-close caveat (front them with a real
+    * coordination layer, the standard published guidance).
     */
   def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else if (fs.getUri.getScheme == "file") claimLocalAtomic(fs, tmp, dst)
     else if (fs.rename(tmp, dst)) true
     else if (fs.exists(dst)) { fs.delete(tmp, false); false } // lost the race mid-rename
     else throw new IllegalStateException(
       s"Commit: rename $tmp -> $dst failed with no committed shard present")
+
+  /** Local-FS claim via an atomic hard link: link(2) either creates
+    * `dst` or fails with EEXIST — no lost-update window, unlike
+    * POSIX rename which replaces an existing destination. The temp is
+    * removed either way (through `fs`, so checksum sidecars go too).
+    * Filesystems without hard-link support fall back to
+    * create-exclusive + rename-verify, which narrows the window to a
+    * single readback. */
+  private def claimLocalAtomic(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+    val won =
+      try { Files.createLink(Paths.get(dst.toUri.getPath), Paths.get(tmp.toUri.getPath)); true }
+      catch {
+        case _: FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // no hard links on this FS: rename, then verify OUR bytes
+          // survived (a concurrent rename that clobbered us leaves
+          // someone else's content at dst — detect and report loss)
+          val mine = Files.readAllBytes(Paths.get(tmp.toUri.getPath))
+          if (!fs.rename(tmp, dst)) false
+          else java.util.Arrays.equals(
+            mine, Files.readAllBytes(Paths.get(dst.toUri.getPath)))
+      }
+    fs.delete(tmp, false)
+    won
+  }
 }

@@ -2,11 +2,11 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 import graft.{Gate, Tables}
 
@@ -16,17 +16,18 @@ import graft.{Gate, Tables}
   * [[graft.tokens.MegatronBinWriter]]) share. The same public design
   * as Delta Lake / Iceberg's core idea (an ordered log of atomically
   * committed snapshot manifests over immutable data files), cut down
-  * to the piece that buys correctness:
+  * to the pieces that buy correctness and 100 TB read efficiency:
   *
   * {{{
   * table/
   *   _log/v0000000001.json     // one manifest per committed version
   *   _log/v0000000002.json
-  *   data/c-<uuid>/part-*.parquet   // immutable per-commit data dirs
+  *   data/__commit=c-<uuid>/part-*.parquet          // immutable per-commit dirs
+  *   data/__commit=c-<uuid>/lang=en/part-*.parquet  // hive layout when partitioned
   * }}}
   *
   *  - '''Data first, manifest last.''' Each write lands its rows in a
-  *    fresh UNIQUE `data/c-<uuid>/` directory via Spark's own parquet
+  *    fresh UNIQUE `data/__commit=c-<uuid>/` directory via Spark's own parquet
   *    writer (full cluster parallelism, codegen, the lot), then
   *    commits a manifest naming the directories of the new snapshot.
   *    Readers resolve the latest manifest and read EXACTLY the
@@ -38,13 +39,26 @@ import graft.{Gate, Tables}
   *    every manifest is self-contained (no log replay on read) and
   *    old versions stay readable (time travel via [[readVersion]]).
   *  - '''Optimistic concurrency.''' Commit = write the manifest to a
-  *    dot-temp, then rename to `v<N>.json` guarded by an exists
-  *    check; a writer that loses the race re-resolves the latest
-  *    snapshot (append re-bases onto the winner's dirs) and retries
-  *    at N+1. Mutual exclusion rides on rename-no-overwrite (HDFS
-  *    semantics; local FS adds the exists check) — the same contract
-  *    as Delta's HDFS LogStore; raw S3 would need a coordination
-  *    layer, the standard published caveat.
+  *    dot-temp, then claim `v<N>.json` atomically ([[Commit.claim]]:
+  *    hard-link on local FS, rename-no-overwrite on HDFS); a writer
+  *    that loses the race re-resolves the latest snapshot (append
+  *    re-bases onto the winner's dirs) and retries at N+1. Raw S3
+  *    would need a coordination layer, the standard published caveat.
+  *  - '''Partitioned layout''' (`partitionBy`): data dirs are written
+  *    hive-partitioned and the layout is recorded in the manifest, so
+  *    a `WHERE lang = 'en'` read prunes partition DIRECTORIES at plan
+  *    time (Spark's native PartitionFilters) instead of scanning every
+  *    committed dir — the read pattern per-language corpora
+  *    (fineweb-2 CONFIGS — pipelines/fineweb-2/main.py:100) hit first
+  *    at 100 TB. An append whose layout differs from the table's
+  *    fails loudly at the write, like schema drift.
+  *  - '''File-level stats''' (`statsCols`): commit time records per
+  *    parquet file the row count and min/max of declared columns
+  *    (Iceberg's data-skipping core); [[readRange]] prunes the FILE
+  *    LIST against the manifest before Spark ever plans the scan, so
+  *    a needle read opens a strict subset of files. Stats collection
+  *    is one column-pruned distributed aggregate over the freshly
+  *    written dir, grouped by file — never driver-side row work.
   *
   * Scale: the log holds one small JSON per commit and data dirs are
   * written by ordinary distributed jobs — nothing here is
@@ -74,8 +88,20 @@ object TableCommit {
       .sorted
   }
 
+  /** Per-file commit-time statistics: path relative to the table dir,
+    * row count, and min/max per declared stats column (None = the
+    * file has no non-null value for that column). */
+  final case class TableFileStat(
+      file: String, rows: Long,
+      min: Map[String, Option[String]], max: Map[String, Option[String]])
+
+  private[graft] final case class FileStat(
+      file: String, rows: Long,
+      min: Map[String, JsonNode], max: Map[String, JsonNode])
+
   private final case class Manifest(
-      dirs: Seq[String], txns: Map[String, Long], schema: Option[StructType])
+      dirs: Seq[String], txns: Map[String, Long], schema: Option[StructType],
+      mode: String, partitionBy: Seq[String], stats: Map[String, Seq[FileStat]])
 
   private def readManifestFull(fs: FileSystem, dir: String, v: Long): Manifest = {
     val in = fs.open(new Path(logDir(dir), f"v$v%010d.json"))
@@ -93,18 +119,79 @@ object TableCommit {
       s"TableCommit: manifest v$v has unsupported format ${root.path("format")}")
     val txns = root.path("txns")
     val schemaNode = root.path("schema")
+    val statsNode = root.path("stats")
     Manifest(
       root.path("dirs").elements().asScala.map(_.asText()).toSeq,
       if (txns.isMissingNode) Map.empty
       else txns.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap,
       if (schemaNode.isMissingNode) None
-      else Some(DataType.fromJson(schemaNode.asText()).asInstanceOf[StructType]))
+      else Some(DataType.fromJson(schemaNode.asText()).asInstanceOf[StructType]),
+      root.path("mode").asText("append"),
+      root.path("partitionBy").elements().asScala.map(_.asText()).toSeq,
+      if (statsNode.isMissingNode) Map.empty
+      else statsNode.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map { f =>
+          def side(k: String) = f.path(k).properties().asScala
+            .map(p => p.getKey -> p.getValue).toMap
+          FileStat(f.path("file").asText(), f.path("rows").asLong(),
+            side("min"), side("max"))
+        }.toSeq
+      }.toMap)
   }
 
   /** The committed table schema (from the latest manifest). */
   def tableSchema(spark: SparkSession, dir: String): Option[StructType] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     versions(spark, dir).lastOption.flatMap(readManifestFull(fs, dir, _).schema)
+  }
+
+  /** The committed partition layout (empty = unpartitioned). */
+  def partitioning(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, dir).lastOption
+      .map(readManifestFull(fs, dir, _).partitionBy).getOrElse(Nil)
+  }
+
+  /** The latest manifest's file statistics, per data dir — the
+    * round-trip view of what [[readRange]] prunes against. */
+  def fileStats(spark: SparkSession, dir: String): Map[String, Seq[TableFileStat]] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, dir).lastOption.map { v =>
+      readManifestFull(fs, dir, v).stats.map { case (d, fss) =>
+        d -> fss.map { f =>
+          def view(m: Map[String, JsonNode]) =
+            m.map { case (c, n) => c -> (if (n.isNull) None else Some(n.asText)) }
+          TableFileStat(f.file, f.rows, view(f.min), view(f.max))
+        }
+      }
+    }.getOrElse(Map.empty)
+  }
+
+  /** Resolved absolute data-dir paths + committed schema of a
+    * snapshot — the hook the `graft_table` DSv2 connector
+    * ([[graft.sources.table.GraftTableSource]]) plans its parquet
+    * scan from. */
+  private[sources] def snapshotMeta(
+      spark: SparkSession, dir: String,
+      versionAsOf: Option[Long]): (Seq[String], Option[StructType]) = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
+    val v = versionAsOf.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"TableCommit: version $v is not committed under $dir (have ${vs.mkString(", ")})")
+    val m = readManifestFull(fs, dir, v)
+    (m.dirs.map(d => s"$dir/$d"), m.schema)
+  }
+
+  /** (mode, dirs) of one committed version — the streaming source
+    * tails the log with this to turn new versions into micro-batch
+    * increments. */
+  private[sources] def versionMeta(
+      spark: SparkSession, dir: String, v: Long): (String, Seq[String]) = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readManifestFull(fs, dir, v)
+    (m.mode, m.dirs)
   }
 
   /** Nullability stripped RECURSIVELY (array containsNull, map
@@ -143,6 +230,17 @@ object TableCommit {
     }
   }
 
+  /** The layout twin of [[enforceSchema]]: an append whose
+    * `partitionBy` differs from the table's committed layout would
+    * silently mix hive-partitioned and flat dirs under one snapshot,
+    * breaking partition pruning for every future read — refuse at the
+    * write instead. */
+  private def enforceLayout(expected: Seq[String], actual: Seq[String]): Unit =
+    if (expected != actual)
+      throw new IllegalArgumentException(
+        s"TableCommit: append partitionBy [${actual.mkString(", ")}] does not match " +
+          s"the table layout [${expected.mkString(", ")}] — overwrite to change the partitioning")
+
   private def readManifest(fs: FileSystem, dir: String, v: Long): Seq[String] =
     readManifestFull(fs, dir, v).dirs
 
@@ -159,32 +257,71 @@ object TableCommit {
     * one is a REPLAY — it commits nothing (the orphan data dir it may
     * have written stays invisible and is removed) and returns the
     * current version. A replayed micro-batch after a sink restart
-    * therefore appends its rows exactly once. */
+    * therefore appends its rows exactly once.
+    *
+    * `partitionBy` lays the data dir out hive-partitioned and records
+    * the layout in the manifest; appends must match it (overwrite may
+    * change it). `statsCols` records per-file row counts and min/max
+    * for the named numeric/string columns — [[readRange]]'s skipping
+    * input. */
   def write(
       df: DataFrame, dir: String, mode: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"TableCommit: mode must be append|overwrite, got '$mode'")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"TableCommit: partitionBy column '$c' is not in the frame"))
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // schema AND txn-replay checks run BEFORE the data job: a doomed
-    // append (or a replayed streaming micro-batch) should not burn a
-    // whole cluster pass first. Both are re-checked inside the commit
-    // loop — a concurrent overwrite can change the schema, and a
-    // concurrent duplicate can record the txn, mid-flight; the loop's
-    // check is the authoritative one, these are the cheap fast-paths.
+    // schema/layout AND txn-replay checks run BEFORE the data job: a
+    // doomed append (or a replayed streaming micro-batch) should not
+    // burn a whole cluster pass first. All are re-checked inside the
+    // commit loop — a concurrent overwrite can change the schema, and
+    // a concurrent duplicate can record the txn, mid-flight; the
+    // loop's check is the authoritative one, these are cheap fast-paths.
     val preVersions = versions(spark, dir)
     if (preVersions.nonEmpty) {
       val latest = readManifestFull(fs, dir, preVersions.last)
       txn.foreach { case (appId, tv) =>
         if (latest.txns.get(appId).exists(_ >= tv)) return preVersions.last
       }
-      if (mode == "append") latest.schema.foreach(enforceSchema(_, df.schema))
+      if (mode == "append") {
+        latest.schema.foreach(enforceSchema(_, df.schema))
+        enforceLayout(latest.partitionBy, partitionBy)
+      }
     }
-    val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.mode("overwrite").parquet(s"$dir/$rel")
+    val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dir/$rel")
+    val stats = collectStats(spark, dir, rel, statsCols, df.schema)
     fs.mkdirs(logDir(dir))
-    commit(spark, fs, dir, mode, rel, txn, df.schema)
+    commit(spark, fs, dir, mode, rel, txn, df.schema, partitionBy, stats)
+  }
+
+  /** Expectations-gated write — the write-audit-commit loop a
+    * production ingest runs: evaluate
+    * [[graft.operators.Expectations.report]] on the batch FIRST; only
+    * when every rule's violation rate is within `maxViolationRate`
+    * does the batch become a committed version. A violating batch
+    * leaves NO new version (the reader's snapshot is untouched) and
+    * the report comes back as `Left` for the caller's quarantine
+    * path. Costs one extra aggregate pass over `df` before the write
+    * job — persist upstream if the batch is expensive to recompute. */
+  def writeExpecting(
+      df: DataFrame, dir: String, mode: String,
+      rules: Seq[(String, Column)],
+      uniqueCol: Option[String] = None,
+      maxViolationRate: Double = 0.0,
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Either[DataFrame, Long] = {
+    val report = graft.operators.Expectations.report(df, rules, uniqueCol)
+    if (report.filter(col("violation_rate") > maxViolationRate).head(1).nonEmpty)
+      Left(report)
+    else Right(write(df, dir, mode, txn, partitionBy, statsCols))
   }
 
   /** Exactly-once streaming append sink body — pass to
@@ -197,26 +334,119 @@ object TableCommit {
   def streamAppend(dir: String, appId: String)(df: DataFrame, batchId: Long): Unit =
     write(df, dir, "append", txn = Some((appId, batchId)))
 
+  // ---- commit-time file statistics ----
+
+  private def statNode(v: Any): JsonNode = {
+    val nf = mapper.getNodeFactory
+    v match {
+      case null => nf.nullNode()
+      case b: Byte => nf.numberNode(b.toLong)
+      case s: Short => nf.numberNode(s.toLong)
+      case i: Int => nf.numberNode(i.toLong)
+      case l: Long => nf.numberNode(l)
+      case f: Float => nf.numberNode(f.toDouble)
+      case d: Double => nf.numberNode(d)
+      case d: java.math.BigDecimal => nf.numberNode(d)
+      case s: String => nf.textNode(s)
+      case other => throw new IllegalArgumentException(
+        s"TableCommit: unsupported stat value type ${other.getClass.getName}")
+    }
+  }
+
+  private def toDec(v: Any): java.math.BigDecimal = new java.math.BigDecimal(v.toString)
+
+  /** node (a recorded min/max) vs a caller-supplied bound: numeric
+    * stats compare as exact decimals, string stats lexically — the
+    * same total order parquet/Spark min/max used to produce them. */
+  private def statCmp(node: JsonNode, v: Any): Int =
+    if (node.isNumber) node.decimalValue().compareTo(toDec(v))
+    else node.asText().compareTo(v.toString)
+
+  /** One distributed, column-pruned aggregate over the freshly
+    * written dir: per FILE (input_file_name groups), row count plus
+    * min/max of each stats column. Collects one row per file of THIS
+    * commit — bounded by the commit's file count, never row count. */
+  private def collectStats(
+      spark: SparkSession, dir: String, rel: String,
+      statsCols: Seq[String], schema: StructType): Seq[FileStat] = {
+    if (statsCols.isEmpty) return Nil
+    statsCols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"TableCommit: statsCols column '$c' is not in the frame"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | StringType | _: DecimalType => ()
+        case dt => throw new IllegalArgumentException(
+          s"TableCommit: stats on '$c': ${dt.simpleString} is unsupported " +
+            "(numeric and string columns only)")
+      }
+    }
+    val aggs = count(lit(1)).as("__rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = spark.read.parquet(s"$dir/$rel")
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.toSeq.map { r =>
+      val path = r.getString(0)
+      val idx = path.indexOf(rel)
+      require(idx >= 0, s"TableCommit: cannot relativize stat file $path against $rel")
+      FileStat(path.substring(idx), r.getLong(1),
+        statsCols.map(c => c -> statNode(r.get(r.fieldIndex(s"__min_$c")))).toMap,
+        statsCols.map(c => c -> statNode(r.get(r.fieldIndex(s"__max_$c")))).toMap)
+    }.sortBy(_.file)
+  }
+
+  /** Stats columns the parent manifest covered — compact/merge
+    * default to re-recording these, so skipping survives a rewrite
+    * without the caller re-declaring the columns. */
+  private def parentStatCols(m: Manifest): Seq[String] =
+    m.stats.values.flatten.flatMap(_.min.keys).toSeq.distinct.sorted
+
   /** Compare-and-swap manifest commit at exactly version `next`:
-    * true iff THIS caller's manifest became `v<next>.json`. The only
-    * transition a manifest path ever makes is absent → present
-    * ([[Commit.claim]]), so a lost race is always DETECTED (the
-    * winner's file survives), never clobbered. */
+    * true iff THIS caller's manifest became `v<next>.json`. The claim
+    * is atomic per store ([[Commit.claim]]: hard-link on local FS
+    * where POSIX rename would replace, rename-no-overwrite on HDFS),
+    * so a lost race is always DETECTED (the winner's file survives),
+    * never clobbered; object stores without an atomic either need a
+    * coordination layer in front (the published Delta/Iceberg S3
+    * caveat). */
   private def tryCommit(
       fs: FileSystem, dir: String,
       next: Long, mode: String, dirs: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      schema: Option[StructType] = None): Boolean = {
+      schema: Option[StructType] = None,
+      partitionBy: Seq[String] = Nil,
+      stats: Map[String, Seq[FileStat]] = Map.empty): Boolean = {
     val node = mapper.createObjectNode()
     node.put("format", 1)
     node.put("version", next)
     node.put("mode", mode)
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
+    if (partitionBy.nonEmpty) {
+      val pb = node.putArray("partitionBy")
+      partitionBy.foreach(pb.add)
+    }
     schema.foreach(s => node.put("schema", s.json))
     if (txns.nonEmpty) {
       val tn = node.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (k, v) => tn.put(k, v) }
+    }
+    if (stats.nonEmpty) {
+      val sn = node.putObject("stats")
+      stats.toSeq.sortBy(_._1).foreach { case (d, fss) =>
+        val a = sn.putArray(d)
+        fss.foreach { f =>
+          val fn = a.addObject()
+          fn.put("file", f.file)
+          fn.put("rows", f.rows)
+          val mn = fn.putObject("min")
+          f.min.toSeq.sortBy(_._1).foreach { case (c, v) => mn.set[JsonNode](c, v) }
+          val mx = fn.putObject("max")
+          f.max.toSeq.sortBy(_._1).foreach { case (c, v) => mx.set[JsonNode](c, v) }
+        }
+      }
     }
     val bytes = mapper.writeValueAsBytes(node)
     val tmp = new Path(logDir(dir),
@@ -232,57 +462,131 @@ object TableCommit {
     * re-resolve and retry (append re-bases onto the winner). A `txn`
     * already recorded at ≥ its version in the latest manifest is a
     * replay: nothing commits, the orphan data dir is removed, the
-    * current version returns. */
-  private def commit(
+    * current version returns. Any abort — schema or layout conflict
+    * raised mid-loop by a concurrent overwrite, or exhausting the
+    * contention budget — deletes the already-written data dir before
+    * rethrowing, so a failed write never leaks storage that only an
+    * includeOrphans vacuum could reclaim. */
+  private[graft] def commit(
       spark: SparkSession, fs: FileSystem,
       dir: String, mode: String, rel: String,
-      txn: Option[(String, Long)], schema: StructType): Long = {
+      txn: Option[(String, Long)], schema: StructType,
+      partitionBy: Seq[String] = Nil, stats: Seq[FileStat] = Nil): Long = {
+    try {
+      var attempts = 0
+      while (attempts < 100) {
+        attempts += 1
+        val vs = versions(spark, dir)
+        val parent = vs.lastOption.map(readManifestFull(fs, dir, _))
+        val parentTxns = parent.map(_.txns).getOrElse(Map.empty[String, Long])
+        // plain `if` + direct return (not a return inside a closure,
+        // which compiles to a control-flow exception the abort-tidy
+        // catch below would intercept)
+        if (txn.exists { case (appId, tv) => parentTxns.get(appId).exists(_ >= tv) }) {
+          fs.delete(new Path(dir, rel), true) // replay: discard orphan data
+          return vs.last
+        }
+        if (mode == "append") parent.foreach { p =>
+          p.schema.foreach(enforceSchema(_, schema))
+          enforceLayout(p.partitionBy, partitionBy)
+        }
+        val next = vs.lastOption.getOrElse(0L) + 1
+        val fresh = if (stats.isEmpty) Map.empty[String, Seq[FileStat]] else Map(rel -> stats)
+        val (dirs, allStats) =
+          if (mode == "overwrite" || vs.isEmpty) (Seq(rel), fresh)
+          else (parent.get.dirs :+ rel, parent.get.stats ++ fresh)
+        val newTxns = txn.fold(parentTxns) { case (a, v) => parentTxns + (a -> v) }
+        // append PRESERVES the table schema (the appending frame may
+        // legally reorder columns — recording ITS schema would make
+        // the committed column order drift with whoever appended last)
+        val manifestSchema =
+          if (mode == "append") parent.flatMap(_.schema).getOrElse(schema)
+          else schema
+        if (tryCommit(fs, dir, next, mode, dirs, newTxns, Some(manifestSchema),
+            partitionBy, allStats)) return next
+      }
+      throw new IllegalStateException(
+        s"TableCommit: gave up committing to $dir after 100 contended attempts")
+    } catch {
+      case e: Throwable =>
+        // tidy on abort: the data dir was invisible to every reader,
+        // deleting it cannot affect any snapshot
+        scala.util.Try(fs.delete(new Path(dir, rel), true))
+        throw e
+    }
+  }
+
+  /** MERGE INTO through the commit protocol: apply a changes frame
+    * (upserts + tombstones, [[graft.operators.Snapshots.upsertMerge]]
+    * semantics — latest-wins by `keyCol`, `deletedCol` rows delete
+    * their key) to the latest snapshot and commit the rewritten
+    * snapshot COMPARE-AND-SWAP at exactly base+1. Like [[compact]],
+    * a lost race re-reads the new latest and re-merges — a concurrent
+    * append is never erased, only merged over. The changes frame is
+    * re-evaluated per attempt, so it must be deterministic (persist
+    * it if derived from non-deterministic work). The changes schema
+    * (minus `deletedCol`) must match the table schema; the table's
+    * partition layout and txn history carry through. Returns the
+    * committed version. */
+  def merge(
+      spark: SparkSession, dir: String, changes: DataFrame,
+      keyCol: String, deletedCol: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val vs = versions(spark, dir)
-      val parent = vs.lastOption.map(readManifestFull(fs, dir, _))
-      val parentTxns = parent.map(_.txns).getOrElse(Map.empty[String, Long])
-      txn.foreach { case (appId, tv) =>
-        if (parentTxns.get(appId).exists(_ >= tv)) {
-          fs.delete(new Path(dir, rel), true) // replay: discard orphan data
-          return vs.last
-        }
-      }
-      if (mode == "append")
-        parent.flatMap(_.schema).foreach(enforceSchema(_, schema))
-      val next = vs.lastOption.getOrElse(0L) + 1
-      val dirs =
-        if (mode == "overwrite" || vs.isEmpty) Seq(rel)
-        else parent.get.dirs :+ rel
-      val newTxns = txn.fold(parentTxns) { case (a, v) => parentTxns + (a -> v) }
-      if (tryCommit(fs, dir, next, mode, dirs, newTxns, Some(schema))) return next
+      require(vs.nonEmpty, s"TableCommit.merge: no committed versions under $dir")
+      val base = vs.last
+      val parent = readManifestFull(fs, dir, base)
+      parent.schema.foreach(enforceSchema(_,
+        StructType(changes.schema.filterNot(_.name == deletedCol))))
+      val merged = graft.operators.Snapshots.upsertMerge(
+        readVersion(spark, dir, base), changes, keyCol, deletedCol)
+      val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
+      val w = merged.write.mode("overwrite")
+      (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+        .parquet(s"$dir/$rel")
+      val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+      val stats = collectStats(spark, dir, rel, eff,
+        parent.schema.getOrElse(merged.schema))
+      if (tryCommit(fs, dir, base + 1, "merge", Seq(rel), parent.txns,
+          Some(parent.schema.getOrElse(merged.schema)), parent.partitionBy,
+          if (stats.isEmpty) Map.empty else Map(rel -> stats)))
+        return base + 1
+      // lost to a concurrent writer: our rewrite is stale (missing
+      // their rows) — discard the orphan dir and redo from new latest
+      fs.delete(new Path(dir, rel), true)
     }
     throw new IllegalStateException(
-      s"TableCommit: gave up committing to $dir after $attempts contended attempts")
+      s"TableCommit.merge: gave up after $attempts contended attempts on $dir")
   }
 
   /** OPTIMIZE-style compaction: rewrite the LATEST snapshot's rows
-    * into `targetFiles` parquet files in one fresh data dir and
-    * commit the result — the small-files cleanup every append-heavy
-    * table eventually needs, made safe by the snapshot protocol.
-    * Unlike a plain overwrite `write`, the commit is COMPARE-AND-SWAP
-    * at exactly base+1: if a concurrent writer lands a version
-    * between our read of base and our commit, blindly overwriting
-    * would silently ERASE that writer's rows (they are not in the
-    * snapshot we rewrote), so a lost race re-reads the new latest and
-    * rewrites — compaction never loses anybody's committed data, it
-    * only reshapes it. Readers on the old version keep reading its
-    * immutable dirs. Returns the committed version.
+    * into `targetFiles` parquet files (per partition, when the table
+    * is partitioned) in one fresh data dir and commit the result —
+    * the small-files cleanup every append-heavy table eventually
+    * needs, made safe by the snapshot protocol. Unlike a plain
+    * overwrite `write`, the commit is COMPARE-AND-SWAP at exactly
+    * base+1: if a concurrent writer lands a version between our read
+    * of base and our commit, blindly overwriting would silently ERASE
+    * that writer's rows (they are not in the snapshot we rewrote), so
+    * a lost race re-reads the new latest and rewrites — compaction
+    * never loses anybody's committed data, it only reshapes it.
+    * Readers on the old version keep reading its immutable dirs.
+    * Returns the committed version.
     *
     * `sortCols` orders rows INSIDE the compacted files (Z-order-lite:
     * a within-partition sort, no global exchange) so parquet min/max
     * row-group statistics become selective on those columns — the
     * data-skipping payoff of compaction at 100 TB, where reads filter
-    * on the sorted keys. */
+    * on the sorted keys. `statsCols` defaults to re-recording
+    * whatever columns the parent's file stats covered. */
   def compact(
       spark: SparkSession, dir: String,
-      targetFiles: Int = 1, sortCols: Seq[String] = Nil): Long = {
+      targetFiles: Int = 1, sortCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
     require(targetFiles > 0, "TableCommit.compact: targetFiles must be positive")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var attempts = 0
@@ -292,17 +596,24 @@ object TableCommit {
       require(vs.nonEmpty, s"TableCommit.compact: no committed versions under $dir")
       val base = vs.last
       val parent = readManifestFull(fs, dir, base)
-      val rel = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+      val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
       val coalesced = readVersion(spark, dir, base).coalesce(targetFiles)
       val shaped =
         if (sortCols.isEmpty) coalesced
         else coalesced.sortWithinPartitions(sortCols.map(col): _*)
-      shaped.write.mode("overwrite").parquet(s"$dir/$rel")
-      // inherit the txn table AND the schema: compaction reshapes
-      // data, it must not erase the idempotence history streaming
-      // sinks rely on or the append-enforcement contract
+      val w = shaped.write.mode("overwrite")
+      (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+        .parquet(s"$dir/$rel")
+      val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+      val stats = collectStats(spark, dir, rel, eff,
+        parent.schema.getOrElse(shaped.schema))
+      // inherit the txn table AND the schema AND the layout:
+      // compaction reshapes data, it must not erase the idempotence
+      // history streaming sinks rely on or the append-enforcement
+      // contracts
       if (tryCommit(fs, dir, base + 1, "overwrite", Seq(rel), parent.txns,
-          parent.schema))
+          parent.schema, parent.partitionBy,
+          if (stats.isEmpty) Map.empty else Map(rel -> stats)))
         return base + 1
       // lost to a concurrent writer: our rewrite is stale (missing
       // their rows) — discard the orphan dir and redo from new latest
@@ -375,12 +686,76 @@ object TableCommit {
     readVersion(spark, dir, vs.last)
   }
 
-  /** Time travel: read snapshot `version` exactly as committed. */
+  /** Time travel: read snapshot `version` exactly as committed. When
+    * the manifest carries a schema it defines the read — column
+    * order, types and partition-column typing come from the COMMITTED
+    * schema, not from whichever parquet footer Spark happens to
+    * sample (append tolerates column-order drift across data dirs, so
+    * footer sampling would make the output schema nondeterministic). */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs = readManifest(fs, dir, version)
-    require(dirs.nonEmpty, s"TableCommit: manifest v$version names no data dirs")
-    spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+    val m = readManifestFull(fs, dir, version)
+    require(m.dirs.nonEmpty, s"TableCommit: manifest v$version names no data dirs")
+    val paths = m.dirs.map(d => s"$dir/$d")
+    // hive-partitioned commit dirs are multiple partitioned roots;
+    // the __commit=… naming makes every path segment between the
+    // files and data/ a key=value pair, so basePath = data/ anchors
+    // Spark's partition discovery at ONE base (discovery requires the
+    // kv chain to be contiguous up to a single common base) — and the
+    // commit id rides along as a free provenance pseudo-column,
+    // dropped by the committed-schema projection below
+    val reader =
+      if (m.partitionBy.isEmpty) spark.read
+      else spark.read.option("basePath", s"$dir/data")
+    m.schema match {
+      case Some(sch) =>
+        // partition columns surface at the scan's tail regardless of
+        // the declared order — the final select pins the committed order
+        reader.schema(sch).parquet(paths: _*)
+          .select(sch.fieldNames.toSeq.map(col): _*)
+      case None => reader.parquet(paths: _*)
+    }
+  }
+
+  /** Stats-skipping read of the latest snapshot: rows of
+    * `read(...).where(colName BETWEEN lo AND hi)`, planned over ONLY
+    * the files whose committed [min, max] for `colName` intersects
+    * [lo, hi] (files without stats for the column are kept — skipping
+    * never changes results, only the file list). On a partitioned
+    * table this falls back to the plain read + filter, where Spark's
+    * own partition pruning is the dir-level equivalent. Point lookups
+    * pass lo == hi. */
+  def readRange(
+      spark: SparkSession, dir: String,
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
+    val m = readManifestFull(fs, dir, vs.last)
+    val pred = col(colName).between(lit(lo), lit(hi))
+    if (m.partitionBy.nonEmpty || m.stats.isEmpty)
+      return read(spark, dir).where(pred)
+    def overlaps(st: FileStat): Boolean =
+      (st.min.get(colName), st.max.get(colName)) match {
+        case (Some(mn), Some(mx)) =>
+          // all-null file: no value can satisfy a BETWEEN
+          if (mn.isNull || mx.isNull) false
+          else statCmp(mx, lo) >= 0 && statCmp(mn, hi) <= 0
+        case _ => true // column not covered: cannot skip
+      }
+    val paths = m.dirs.flatMap { d =>
+      m.stats.get(d) match {
+        case None => Seq(s"$dir/$d") // stat-less commit: scan its whole dir
+        case Some(fss) => fss.filter(overlaps).map(st => s"$dir/${st.file}")
+      }
+    }
+    val sch = m.schema.getOrElse(
+      spark.read.parquet(m.dirs.map(d => s"$dir/$d"): _*).schema)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch).where(pred)
+    else
+      spark.read.schema(sch).parquet(paths: _*)
+        .select(sch.fieldNames.toSeq.map(col): _*).where(pred)
   }
 
   val gates: Seq[Gate] = Seq(
@@ -404,6 +779,111 @@ object TableCommit {
       write(docs.limit(7).withColumn("lang", lit("POISON")), path, "overwrite")
       write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
       write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      read(s, path).orderBy("doc_id")
+    },
+    // Partitioned-table gate: the table is laid out hive-partitioned
+    // by lang across an overwrite + an append, and the read filters
+    // on the partition column — at 100 TB this is the read that must
+    // prune directories instead of scanning every committed dir
+    // (PlanSpec pins the PartitionFilters). Result must equal the
+    // plain filtered projection: a row landing in the wrong partition
+    // dir, a lost append, or a partition-typed column drifting would
+    // all move the hash.
+    Gate(
+      "snk_table_partitioned",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val path = DocSource.gateScratch(dir, "snk_table_partitioned")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite",
+        partitionBy = Seq("lang"))
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append",
+        partitionBy = Seq("lang"))
+      read(s, path).where(col("lang").isin("en", "de"))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    },
+    // Data-skipping gate: three commits of disjoint doc_id ranges
+    // with file stats declared; the range read must both PRUNE (a
+    // spec asserts the strict file subset) and stay EXACT — the
+    // oracle recomputes the window from the raw table, so an
+    // over-pruned file (lost rows) or an off-by-one overlap test
+    // moves the hash.
+    Gate(
+      "snk_table_skipping",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 10 AND 30 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val path = DocSource.gateScratch(dir, "snk_table_skipping")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(col("doc_id") < 10).coalesce(1), path, "overwrite",
+        statsCols = Seq("doc_id"))
+      write(docs.where(col("doc_id").between(10, 30)).coalesce(1), path, "append",
+        statsCols = Seq("doc_id"))
+      write(docs.where(col("doc_id") > 30).coalesce(1), path, "append",
+        statsCols = Seq("doc_id"))
+      readRange(s, path, "doc_id", 10, 30).orderBy("doc_id")
+    },
+    // MERGE gate: the op_upsert change classes (rewrites for %10=0,
+    // tombstones for %10=5, inserts at +9M for %17=0) applied THROUGH
+    // the commit protocol — the merged snapshot is a committed
+    // version, the pre-merge version still time-travels, and the
+    // oracle recomputes the merge arithmetically from the raw table.
+    Gate(
+      "snk_table_merge",
+      """WITH merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'rev2 ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, 'new page ' || doc_id
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, md5(text) AS text_md5 FROM merged
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val path = DocSource.gateScratch(dir, "snk_table_merge")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(lit("rev2 "), col("text")).as("text"), lit(false).as("deleted"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 5)
+            .select(col("doc_id"), lit("").as("text"), lit(true).as("deleted")))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 9000000).as("doc_id"),
+              concat(lit("new page "), col("doc_id")).as("text"),
+              lit(false).as("deleted")))
+      merge(s, path, changes, "doc_id", "deleted")
+      read(s, path).select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    // Expectations-gated write: the violating batch (NULLed langs)
+    // must leave NO new version — if it leaked, its null-lang rows
+    // would surface in the read and explode the hash — then the clean
+    // batch commits normally.
+    Gate(
+      "snk_table_expectations",
+      """SELECT doc_id, lang FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+      val path = DocSource.gateScratch(dir, "snk_table_expectations")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      val rules = Seq("lang_present" -> col("lang").isNotNull)
+      val bad = writeExpecting(
+        docs.withColumn("lang",
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(null: String))
+            .otherwise(col("lang"))),
+        path, "append", rules)
+      require(bad.isLeft && versions(s, path).isEmpty,
+        "snk_table_expectations: a violating batch must not commit a version")
+      val good = writeExpecting(docs, path, "append", rules)
+      require(good == Right(1L),
+        s"snk_table_expectations: clean batch must commit v1, got $good")
       read(s, path).orderBy("doc_id")
     },
     // Exactly-once streaming table ingest gate — the production

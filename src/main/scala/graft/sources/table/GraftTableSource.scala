@@ -1,0 +1,257 @@
+package graft.sources.table
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.Gate
+import graft.sources.{DocSource, TableCommit}
+
+/** SQL-surface connector for [[graft.sources.TableCommit]] tables —
+  * snapshot reads without touching the library API:
+  *
+  * {{{
+  * spark.read.format("graft_table").load("/tables/corpus")            // latest
+  * spark.read.format("graft_table").option("versionAsOf", 3).load(p)  // time travel
+  * spark.readStream.format("graft_table").load(p)                     // tail the log
+  * }}}
+  *
+  * '''Batch half''': resolves the requested manifest (latest or
+  * `versionAsOf`) and DELEGATES the scan to Spark's own
+  * [[ParquetTable]] over exactly the committed data dirs with the
+  * committed schema — so pushdown, column pruning, partition pruning
+  * (hive-partitioned commit dirs), vectorized reading and AQE are all
+  * the native parquet path, not a reimplementation. The connector's
+  * only job is snapshot resolution; write capability is deliberately
+  * NOT exposed (a write bypassing the manifest log would corrupt the
+  * table — use `TableCommit.write`).
+  *
+  * '''Streaming half''' (the Delta streaming-source idea): a V1
+  * [[Source]] whose offset is the committed VERSION; each new
+  * manifest version becomes a micro-batch reading exactly the dirs
+  * that version appended. Non-append versions (overwrite, compact,
+  * merge — data rewrites) fail loudly unless `ignoreChanges=true`,
+  * the published Delta caveat (rewritten rows may re-deliver). The
+  * first batch of a fresh query is the full snapshot at the current
+  * version; restarts resume from the checkpointed version offset, so
+  * together with the [[TableCommit.streamAppend]] sink the
+  * table-to-table relay is exactly-once end to end.
+  */
+class GraftTableSource extends TableProvider with StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft_table"
+
+  private def pathOf(m: java.util.Map[String, String]): String = {
+    val p = m.get("path")
+    require(p != null && p.nonEmpty,
+      "graft_table: .load(<table directory>) is required (one path)")
+    p
+  }
+
+  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] =
+    Option(m.get("versionasof")).orElse(Option(m.get("versionAsOf"))).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val (paths, schema) =
+      TableCommit.snapshotMeta(spark, pathOf(options), versionAsOf(options))
+    schema.getOrElse(spark.read.parquet(paths: _*).schema)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val dir = pathOf(properties)
+    val (paths, committed) =
+      TableCommit.snapshotMeta(spark, dir, versionAsOf(properties))
+    // strip the path keys: ParquetTable must list ONLY the resolved
+    // snapshot dirs, never the table root (which holds _log and every
+    // other version's dirs)
+    val opts = new util.HashMap[String, String](properties)
+    opts.remove("path"); opts.remove("paths")
+    // hive-partitioned commit dirs (data/__commit=…/lang=…) need one
+    // discovery anchor; unpartitioned tables must NOT get one (it
+    // would surface __commit as a column on every read)
+    if (TableCommit.partitioning(spark, dir).nonEmpty)
+      opts.put("basePath", s"$dir/data"): Unit
+    val pt = ParquetTable(s"graft_table($dir)",
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      new CaseInsensitiveStringMap(opts), paths,
+      Some(committed.getOrElse(schema)), classOf[ParquetFileFormat])
+    new GraftTableView(pt, s"graft_table($dir)")
+  }
+
+  // ---- streaming (V1 source: offset = committed version) ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft_table stream: .load(<table directory>) is required"))
+    val sch = schema.orElse(TableCommit.tableSchema(sqlContext.sparkSession, dir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_table stream: $dir has no committed schema yet — commit a first version before streaming"))
+    (shortName(), sch)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableStreamSource(
+      sqlContext.sparkSession,
+      parameters.getOrElse("path",
+        throw new IllegalArgumentException("graft_table stream: .load(<table directory>) is required")),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+        .exists(_.toBoolean))
+}
+
+/** Read-only view over the delegated [[ParquetTable]]: scans pass
+  * straight through (full native parquet planning), writes are not a
+  * capability — the manifest log is the only writer. */
+private[table] class GraftTableView(pt: ParquetTable, ident: String)
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = pt.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    pt.newScanBuilder(options)
+}
+
+/** Manifest-log tail as a stream: `getOffset` = latest committed
+  * version; `getBatch((s, e])` = the dirs versions s+1..e appended,
+  * read with the committed schema and re-tagged as a streaming frame.
+  */
+private[table] class GraftTableStreamSource(
+    spark: SparkSession, dir: String, sch: StructType,
+    ignoreChanges: Boolean) extends Source {
+
+  override def schema: StructType = sch
+
+  override def getOffset: Option[OffsetV1] =
+    TableCommit.versions(spark, dir).lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    // offsets arrive as LongOffset live and SerializedOffset after a
+    // restart; both carry the version as their json
+    val endV = end.json.toLong
+    val dirs: Seq[String] = start match {
+      case None =>
+        // fresh query: the initial batch is the full snapshot at endV
+        TableCommit.snapshotMeta(spark, dir, Some(endV))._1
+      case Some(s) =>
+        val startV = s.json.toLong
+        ((startV + 1) to endV).flatMap { v =>
+          val (mode, ds) = TableCommit.versionMeta(spark, dir, v)
+          if (mode != "append" && !ignoreChanges)
+            throw new IllegalStateException(
+              s"graft_table stream: version $v of $dir is a '$mode' (data rewrite); " +
+                "streaming reads support append-only tables — pass " +
+                "option(\"ignoreChanges\", true) to receive rewritten dirs " +
+                "(rows may re-deliver)")
+          val prev =
+            if (v == 1) Set.empty[String]
+            else TableCommit.versionMeta(spark, dir, v - 1)._2.toSet
+          ds.filterNot(prev).map(d => s"$dir/$d")
+        }
+    }
+    val batch =
+      if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      // hive-partitioned commit dirs need the data/ discovery anchor;
+      // flat tables must not get one (it would surface __commit)
+      else {
+        val reader =
+          if (TableCommit.partitioning(spark, dir).isEmpty) spark.read
+          else spark.read.option("basePath", s"$dir/data")
+        reader.schema(sch).parquet(dirs: _*)
+          .select(sch.fieldNames.toSeq.map(col): _*)
+      }
+    GraftSqlShim.asStreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableStreamSource($dir)"
+}
+
+object GraftTableGates {
+
+  val gates: Seq[Gate] = Seq(
+    // SQL-surface snapshot read: two committed versions, then a plain
+    // format("graft_table") read with a pushable range predicate —
+    // the scan must see exactly the latest snapshot (a poison first
+    // version hiding, both commits present) through the NATIVE
+    // parquet path (PlanSpec pins the pushed filter).
+    Gate(
+      "src_table",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 5 AND 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val path = DocSource.gateScratch(dir, "src_table")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TableCommit.write(docs.limit(3).withColumn("lang", lit("POISON")), path, "overwrite")
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      s.read.format("graft_table").load(path)
+        .where(col("doc_id").between(5, 200))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    },
+    // Streaming table-to-table relay, exactly-once end to end: a
+    // graft_table SOURCE tails the src table's manifest log into a
+    // TableCommit SINK (txn appends). Run 1 drains the initial
+    // snapshot; an append lands AFTER the drain; run 2 on the SAME
+    // checkpoint must deliver ONLY the delta — if the source
+    // re-delivered the snapshot, the evens would double in dst and
+    // the hash explodes.
+    Gate(
+      "src_table_stream",
+      """SELECT doc_id, lang FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val base = DocSource.gateScratch(dir, "src_table_stream")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (src, dst) = (s"$base/src", s"$base/dst")
+      val docs = graft.Tables(s, dir, "documents").select("doc_id", "lang")
+      def relay(): Unit = {
+        val q = s.readStream.format("graft_table").load(src)
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch(TableCommit.streamAppend(dst, "tbl2tbl") _)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 0), src, "append")
+      relay() // drains the initial snapshot (evens)
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 1), src, "append")
+      relay() // must deliver ONLY the appended odds
+      TableCommit.read(s, dst).orderBy("doc_id")
+    }
+  )
+}

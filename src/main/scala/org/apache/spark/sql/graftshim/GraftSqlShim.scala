@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** One narrow `private[sql]` bridge for the graft_table V1 streaming
+  * source ([[graft.sources.table.GraftTableSource]]): the V1
+  * `Source.getBatch` contract requires the returned DataFrame's plan
+  * to carry `isStreaming = true` (MicroBatchExecution asserts it),
+  * and the only constructor for such a frame is
+  * `SparkSession.internalCreateDataFrame` — `private[sql]`, hence
+  * this sql-subpackage shim. The exact pattern every out-of-tree V1
+  * source (Delta's legacy source included) uses; nothing else in the
+  * repo touches the shim.
+  */
+object GraftSqlShim {
+
+  /** Re-plan a finished batch frame as a streaming-tagged frame over
+    * the same InternalRow RDD — lazy, no materialization here. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Forked-process worker for the cross-JVM TableCommit concurrency
+  * spec: its OWN SparkSession, its OWN Hadoop FileSystem objects — so
+  * the optimistic-concurrency claim is exercised across real process
+  * boundaries, not two threads sharing one JVM's FileSystem cache.
+  * Args: tableDir, idBase, appendCount. Appends `appendCount` batches
+  * of two rows each (idBase + k*10, +1) and prints RACE_OK on
+  * success; any lost race must be absorbed by the commit loop, never
+  * surfaced. */
+object CommitRaceMain {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, baseS, nS) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-commit-race")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-race-wh").toString)
+      .getOrCreate()
+    try {
+      val base = baseS.toLong
+      for (k <- 0 until nS.toInt)
+        graft.sources.TableCommit.write(
+          spark.range(base + k * 10, base + k * 10 + 2).toDF("id"),
+          dir, "append")
+      println("RACE_OK")
+    } finally spark.stop()
+  }
+}

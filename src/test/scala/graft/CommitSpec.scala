@@ -393,6 +393,331 @@ class CommitSpec extends SparkSpec {
     }
   }
 
+  test("Commit.claim on local FS is atomic under a two-thread hammer: exactly one winner per round") {
+    // POSIX rename() silently replaces an existing destination, so the
+    // old exists-check-then-rename protocol could let BOTH racers
+    // "win" and clobber one manifest; the hard-link claim makes the
+    // absent->present transition atomic. 50 rounds x 2 threads: every
+    // round must produce exactly one winner, and the surviving bytes
+    // must be the winner's.
+    val dir = Files.createTempDirectory("graft-claim-race").toString
+    val fs = hfs(dir)
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 50) {
+        val dst = new Path(dir, s"v$round.json")
+        val barrier = new CyclicBarrier(2)
+        val attempts = Seq("A", "B").map { tag =>
+          pool.submit(new Callable[(String, Boolean)] {
+            override def call(): (String, Boolean) = {
+              val tmp = new Path(dir, s".v$round.tmp-$tag")
+              val out = fs.create(tmp, true)
+              out.write(tag.getBytes("UTF-8")); out.close()
+              barrier.await()
+              (tag, Commit.claim(fs, tmp, dst))
+            }
+          })
+        }
+        val results = attempts.map(_.get())
+        val winners = results.filter(_._2)
+        assert(winners.size == 1, s"round $round: winners = $results")
+        val in = fs.open(dst)
+        val buf = new Array[Byte](1); in.readFully(buf); in.close()
+        assert(buf(0) == winners.head._1.charAt(0).toByte,
+          s"round $round: dst holds '${buf(0).toChar}' but winner was ${winners.head._1}")
+      }
+    } finally pool.shutdown()
+  }
+
+  // ---- TableCommit: partitioned layout ----
+
+  test("TableCommit partitionBy lays out hive dirs, reads prune partitions, layout drift bounces") {
+    val dir = Files.createTempDirectory("graft-table-part").toString + "/t"
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id"), (when(col("id") % 2 === 0, "even").otherwise("odd")).as("par"))
+    TableCommit.write(mk(0, 10), dir, "overwrite", partitionBy = Seq("par"))
+    TableCommit.write(mk(10, 16), dir, "append", partitionBy = Seq("par"))
+    assert(TableCommit.partitioning(spark, dir) == Seq("par"))
+    // hive layout on disk, inside the kv-named commit dirs
+    val fs = hfs(dir)
+    val commitDirs = fs.listStatus(new Path(dir, "data")).map(_.getPath.getName).toSeq
+    assert(commitDirs.forall(_.startsWith("__commit=c-")), s"got $commitDirs")
+    assert(commitDirs.forall(d =>
+      fs.exists(new Path(dir, s"data/$d/par=even")) &&
+        fs.exists(new Path(dir, s"data/$d/par=odd"))))
+    // the committed schema defines order and types; __commit stays internal
+    val back = TableCommit.read(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "par"), back.columns.toSeq.toString)
+    assert(back.count() == 16)
+    // a partition-filtered read scans ONLY the matching leaf dirs:
+    // the PLANNED scan's selected partitions (inputFiles reports the
+    // relation pre-pruning, so it cannot see this)
+    val filtered = back.where(col("par") === "even")
+    val scanned = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("par=even")),
+      scanned.toString)
+    assert(filtered.as[(Long, String)].collect().toSeq.map(_._1).sorted ==
+      (0L until 16L by 2))
+    // layout drift on append fails loudly naming both layouts
+    val e1 = intercept[IllegalArgumentException] {
+      TableCommit.write(mk(20, 22), dir, "append")
+    }
+    assert(e1.getMessage.contains("[]") && e1.getMessage.contains("[par]"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableCommit.write(mk(20, 22), dir, "append", partitionBy = Seq("id"))
+    }
+    assert(e2.getMessage.contains("partitionBy") && e2.getMessage.contains("[par]"),
+      e2.getMessage)
+    // compaction preserves the layout
+    TableCommit.compact(spark, dir, targetFiles = 1)
+    assert(TableCommit.partitioning(spark, dir) == Seq("par"))
+    assert(TableCommit.read(spark, dir).count() == 16)
+    // overwrite may change the layout
+    TableCommit.write(mk(0, 4), dir, "overwrite")
+    assert(TableCommit.partitioning(spark, dir).isEmpty)
+  }
+
+  // ---- TableCommit: manifest file stats + skipping reads ----
+
+  test("TableCommit statsCols round-trip the manifest and readRange opens a strict file subset") {
+    val dir = Files.createTempDirectory("graft-table-stats").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).coalesce(1)
+      .select(col("id"), concat(lit("s"), col("id")).as("tag"))
+    TableCommit.write(mk(0, 100), dir, "overwrite", statsCols = Seq("id", "tag"))
+    TableCommit.write(mk(100, 200), dir, "append", statsCols = Seq("id", "tag"))
+    TableCommit.write(mk(200, 300), dir, "append", statsCols = Seq("id", "tag"))
+    // round-trip: one file per commit, exact min/max per column
+    val stats = TableCommit.fileStats(spark, dir)
+    assert(stats.size == 3 && stats.values.forall(_.size == 1), stats.toString)
+    val ranges = stats.values.flatten.map(f =>
+      (f.rows, f.min("id").get.toLong, f.max("id").get.toLong)).toSeq.sortBy(_._2)
+    assert(ranges == Seq((100L, 0L, 99L), (100L, 100L, 199L), (100L, 200L, 299L)))
+    // string stats present too
+    assert(stats.values.flatten.forall(f => f.min("tag").isDefined))
+    // a needle read opens EXACTLY the one overlapping file
+    val needle = TableCommit.readRange(spark, dir, "id", 150, 160)
+    assert(needle.inputFiles.length == 1, needle.inputFiles.toSeq.toString)
+    assert(needle.as[(Long, String)].collect().map(_._1).sorted.toSeq == (150L to 160L))
+    // a straddling range opens two of three
+    assert(TableCommit.readRange(spark, dir, "id", 90, 110).inputFiles.length == 2)
+    // out-of-range prunes EVERYTHING and still returns the right schema
+    val none = TableCommit.readRange(spark, dir, "id", 5000, 6000)
+    assert(none.columns.toSeq == Seq("id", "tag") && none.count() == 0)
+    // a stat-less commit cannot be skipped: its dir is always scanned
+    TableCommit.write(mk(300, 400), dir, "append") // no statsCols
+    val mixed = TableCommit.readRange(spark, dir, "id", 150, 160)
+    assert(mixed.inputFiles.length == 2, mixed.inputFiles.toSeq.toString)
+    assert(mixed.count() == 11)
+    // compaction re-records stats for the same columns by default
+    TableCommit.compact(spark, dir, targetFiles = 2, sortCols = Seq("id"))
+    val after = TableCommit.fileStats(spark, dir)
+    assert(after.size == 1 && after.values.head.forall(_.min.keySet == Set("id", "tag")))
+    assert(TableCommit.readRange(spark, dir, "id", 150, 160).count() == 11)
+    // unsupported stat type bounces loudly at the write
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.write(
+        spark.range(0, 2).select(col("id"), array(col("id")).as("xs")),
+        dir + "2", "overwrite", statsCols = Seq("xs"))
+    }
+    assert(e.getMessage.contains("xs") && e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
+  test("TableCommit.readRange skips all-null stat files and keeps files without the column's stats") {
+    val dir = Files.createTempDirectory("graft-table-null").toString + "/t"
+    val withVals = spark.range(0, 5).coalesce(1)
+      .select(col("id"), col("id").cast("long").as("v"))
+    val allNull = spark.range(5, 8).coalesce(1)
+      .select(col("id"), lit(null).cast("long").as("v"))
+    TableCommit.write(withVals, dir, "overwrite", statsCols = Seq("v"))
+    TableCommit.write(allNull, dir, "append", statsCols = Seq("v"))
+    // the all-null file has min=max=null for v: BETWEEN can't match — skipped
+    val r = TableCommit.readRange(spark, dir, "v", 0, 100)
+    assert(r.inputFiles.length == 1 && r.count() == 5, r.inputFiles.toSeq.toString)
+    // stats exist but not for the probed column: file kept (cannot skip)
+    val dir2 = Files.createTempDirectory("graft-table-nostat").toString + "/t"
+    TableCommit.write(withVals, dir2, "overwrite", statsCols = Seq("id"))
+    assert(TableCommit.readRange(spark, dir2, "v", 0, 2).count() == 3)
+  }
+
+  // ---- TableCommit: MERGE through the commit protocol ----
+
+  test("TableCommit.merge applies upserts+tombstones as a committed version; base still time-travels") {
+    val dir = Files.createTempDirectory("graft-table-merge").toString + "/t"
+    val base = spark.range(0, 10)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("text"))
+    TableCommit.write(base, dir, "overwrite")
+    val changes =
+      spark.range(0, 3).select(col("id"), concat(lit("v2-"), col("id")).as("text"),
+        lit(false).as("deleted"))
+        .unionByName(spark.range(8, 10).select(col("id"), lit("").as("text"),
+          lit(true).as("deleted")))
+        .unionByName(spark.range(20, 22).select(col("id"),
+          concat(lit("new-"), col("id")).as("text"), lit(false).as("deleted")))
+    val v = TableCommit.merge(spark, dir, changes, "id", "deleted")
+    assert(v == 2L)
+    val got = TableCommit.read(spark, dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    val expect =
+      (0L until 3L).map(i => (i, s"v2-$i")) ++
+        (3L until 8L).map(i => (i, s"v1-$i")) ++
+        (20L until 22L).map(i => (i, s"new-$i"))
+    assert(got == expect, got.toString)
+    // pre-merge snapshot intact
+    assert(TableCommit.readVersion(spark, dir, 1).count() == 10)
+    // schema drift in the changes frame bounces before any data job
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.merge(spark,
+        dir, spark.range(0, 1).select(col("id"), lit(1.0).as("text"),
+          lit(false).as("deleted")), "id", "deleted")
+    }
+    assert(e.getMessage.contains("text"), e.getMessage)
+  }
+
+  test("TableCommit.merge racing a concurrent append loses the CAS, re-merges, and erases nobody") {
+    val dir = Files.createTempDirectory("graft-table-mrace").toString + "/t"
+    TableCommit.write(
+      spark.range(0, 5).select(col("id"), lit(false).as("flag")), dir, "overwrite")
+    val changes = spark.range(0, 2)
+      .select(col("id"), lit(true).as("flag"), lit(false).as("deleted"))
+    import java.util.concurrent.{Callable, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val m = pool.submit(new Callable[Long] {
+        override def call(): Long = TableCommit.merge(spark, dir, changes, "id", "deleted")
+      })
+      val a = pool.submit(new Callable[Long] {
+        override def call(): Long = TableCommit.write(
+          spark.range(100, 102).select(col("id"), lit(false).as("flag")),
+          dir, "append")
+      })
+      val (mv, av) = (m.get(), a.get())
+      assert(Set(mv, av) == Set(2L, 3L), s"versions ($mv, $av)")
+    } finally pool.shutdown()
+    // whichever order won: the appended rows survive AND the merge applied
+    val rows = TableCommit.read(spark, dir).orderBy("id")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L), rows.toString)
+    assert(rows.take(2).forall(_._2), s"merge lost: $rows")
+  }
+
+  // ---- TableCommit: abort hygiene + expectations gate ----
+
+  test("TableCommit aborted append (schema conflict) deletes its orphan data dir") {
+    val dir = Files.createTempDirectory("graft-table-abort").toString + "/t"
+    TableCommit.write(spark.range(0, 3).select(col("id"), lit("x").as("tag")),
+      dir, "overwrite")
+    val fs = hfs(dir)
+    def dataDirs = fs.listStatus(new Path(dir, "data")).count(_.isDirectory)
+    // fast-path conflict: throws BEFORE the data job, nothing to tidy
+    intercept[IllegalArgumentException] {
+      TableCommit.write(spark.range(3, 5).select(col("id"), col("id").as("tag")),
+        dir, "append")
+    }
+    assert(dataDirs == 1, "fast-path abort must not leave a data dir")
+    // LOOP-level conflict (a concurrent overwrite changed the schema
+    // after this writer's fast-path check and data job): drive the
+    // commit loop directly with an already-written orphan dir carrying
+    // a mismatched schema — the abort must DELETE the dir, so a failed
+    // write never needs an includeOrphans vacuum to reclaim storage
+    val rel = "data/__commit=c-abort-test"
+    spark.range(3, 5).select(col("id"), col("id").as("tag"))
+      .write.parquet(s"$dir/$rel")
+    assert(dataDirs == 2)
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.LongType)))
+    intercept[IllegalArgumentException] {
+      TableCommit.commit(spark, fs, dir, "append", rel, None, bad)
+    }
+    assert(dataDirs == 1, "loop-level abort must delete the orphan data dir")
+    assert(TableCommit.read(spark, dir).count() == 3)
+  }
+
+  test("TableCommit.writeExpecting gates the commit on the quality report") {
+    val dir = Files.createTempDirectory("graft-table-expect").toString + "/t"
+    val good = spark.range(0, 10).select(col("id"), lit("ok").as("tag"))
+    val bad = spark.range(0, 10).select(col("id"),
+      when(col("id") % 2 === 0, lit(null: String)).otherwise(lit("ok")).as("tag"))
+    val rules = Seq("tag_present" -> col("tag").isNotNull)
+    // violating batch: report back, NO version committed
+    val r1 = TableCommit.writeExpecting(bad, dir, "append", rules)
+    assert(r1.isLeft && TableCommit.versions(spark, dir).isEmpty)
+    assert(r1.left.toOption.get.filter(col("rule") === "tag_present")
+      .select("n_violations").as[Long].head() == 5L)
+    // clean batch commits
+    assert(TableCommit.writeExpecting(good, dir, "append", rules) == Right(1L))
+    assert(TableCommit.read(spark, dir).count() == 10)
+    // tolerance: the same bad batch passes at 50% allowed violation rate
+    val r3 = TableCommit.writeExpecting(bad, dir, "append", rules,
+      maxViolationRate = 0.5)
+    assert(r3 == Right(2L) && TableCommit.read(spark, dir).count() == 20)
+  }
+
+  test("TableCommit.readVersion schema is the COMMITTED schema, not footer sampling") {
+    val dir = Files.createTempDirectory("graft-table-order").toString + "/t"
+    TableCommit.write(spark.range(0, 3).select(col("id"), lit("x").as("tag")),
+      dir, "overwrite")
+    // append with the columns REORDERED: legal (name -> type contract)
+    TableCommit.write(spark.range(3, 5).select(lit("y").as("tag"), col("id")),
+      dir, "append")
+    // whichever footer Spark would sample, the read projects the
+    // committed order
+    val back = TableCommit.read(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "tag"), back.columns.toSeq.toString)
+    assert(back.count() == 5)
+  }
+
+  test("TableCommit cross-JVM: two separate processes race appends, all rows land, versions distinct") {
+    // the two-thread race shares one JVM (and one cached FileSystem
+    // object); this forks two REAL processes, each with its own
+    // SparkSession, racing 3 appends each against one table — the
+    // claim must hold across process boundaries (hard-link atomicity
+    // on local FS). 6 appends + the seed = versions 1..7 exactly, and
+    // every process's rows present.
+    val dir = Files.createTempDirectory("graft-table-xjvm").toString + "/t"
+    TableCommit.write(spark.range(0, 2).toDF("id"), dir, "overwrite")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(base: Long): (Process, java.io.File) = {
+      val log = Files.createTempFile(s"graft-race-$base", ".log").toFile
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.CommitRaceMain", dir, base.toString, "3")): _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val (p1, log1) = spawn(1000)
+    val (p2, log2) = spawn(2000)
+    def finish(p: Process, log: java.io.File): String = {
+      assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        "race worker did not finish in 300s")
+      new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")
+    }
+    val (out1, out2) = (finish(p1, log1), finish(p2, log2))
+    assert(p1.exitValue() == 0 && out1.contains("RACE_OK"), s"worker 1:\n${out1.takeRight(3000)}")
+    assert(p2.exitValue() == 0 && out2.contains("RACE_OK"), s"worker 2:\n${out2.takeRight(3000)}")
+    val vs = TableCommit.versions(spark, dir)
+    assert(vs == (1L to 7L), s"versions after cross-JVM race: $vs")
+    val rows = TableCommit.read(spark, dir).as[Long].collect().toSeq.sorted
+    val expect = (Seq(0L, 1L) ++
+      Seq(1000L, 2000L).flatMap(b => (0 until 3).flatMap(k => Seq(b + k * 10, b + k * 10 + 1)))).sorted
+    assert(rows == expect, s"cross-JVM race lost rows: $rows")
+  }
+
   test("TableCommit: a writer that loses the version race retries and re-bases its append") {
     val dir = Files.createTempDirectory("graft-table-race").toString + "/t"
     TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite")

@@ -120,4 +120,25 @@ class LshTuneSpec extends SparkSpec {
         threshold = 0.2, background = 0.30)
     }
   }
+
+  test("duplicateClustersAuto keeps every planted twin clustered at 1x and the retuned 10x") {
+    // the recipe's near-dup stage now defaults to this path: the
+    // banding is chosen from the measured corpus size, so the same
+    // call is (16,4)-equivalent at smoke scale and retunes wider on a
+    // bigger corpus — in both cases all 10 planted true twins (J≈0.97)
+    // must land in clusters with their originals
+    for (c <- Seq(corpus(400, 5), corpus(4000, 50))) {
+      val labels = graft.operators.Clusters
+        .duplicateClustersAuto(c, "text", "doc_id", 0.88)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (i <- 0 until 10) {
+        val (orig, twin) = (i.toLong, 100000L + i)
+        assert(labels.contains(orig) && labels.contains(twin) &&
+          labels(orig) == labels(twin),
+          s"twin pair ($orig, $twin) not clustered together: " +
+            s"${labels.get(orig)} vs ${labels.get(twin)}")
+      }
+      graft.Caches.releaseAll()
+    }
+  }
 }

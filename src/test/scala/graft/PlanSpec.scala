@@ -455,6 +455,63 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned TableCommit read prunes partition directories at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-part").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    graft.sources.TableCommit.write(docs, dir, "overwrite", partitionBy = Seq("lang"))
+    graft.sources.TableCommit.write(docs.limit(0), dir, "append", partitionBy = Seq("lang"))
+    val filtered = graft.sources.TableCommit.read(spark, dir)
+      .where(col("lang") === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    // the filter must reach the scan as a PARTITION filter (directory
+    // pruning — the 100 TB read pattern), not as a post-scan Filter
+    assert(p.contains("PartitionFilters") && {
+      val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      pf.contains("lang")
+    }, s"lang not in PartitionFilters:\n$p")
+    // and the planned scan's selected partitions are only the
+    // matching leaf dirs (inputFiles reports the relation pre-pruning)
+    val scanned = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=en")),
+      scanned.take(5).toString)
+  }
+
+  test("graft_table connector reads plan as native parquet: pushdown + column pruning intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-conn").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents")
+    graft.sources.TableCommit.write(docs, dir, "overwrite")
+    val df = spark.read.format("graft_table").load(dir)
+      .where(col("doc_id") >= 10).select("doc_id", "lang")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"),
+      s"range filter not pushed into the delegated parquet scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"connector scan reads unneeded columns: $readSchema")
+    // time travel resolves a different snapshot
+    graft.sources.TableCommit.write(docs.limit(1), dir, "overwrite")
+    assert(spark.read.format("graft_table").option("versionAsOf", 1)
+      .load(dir).count() == docs.count())
+    assert(spark.read.format("graft_table").load(dir).count() == 1)
+  }
+
+  test("readRange plans only the stat-surviving files (manifest-level skipping)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-skip").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang")
+    graft.sources.TableCommit.write(docs.where(col("doc_id") < 10).coalesce(1),
+      dir, "overwrite", statsCols = Seq("doc_id"))
+    graft.sources.TableCommit.write(
+      docs.where(col("doc_id") >= 10).coalesce(1), dir, "append",
+      statsCols = Seq("doc_id"))
+    val all = graft.sources.TableCommit.read(spark, dir).inputFiles.length
+    val pruned = graft.sources.TableCommit.readRange(spark, dir, "doc_id", 0, 5)
+    assert(pruned.inputFiles.length == 1 && all == 2,
+      s"expected 1 of $all files, got ${pruned.inputFiles.length}")
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

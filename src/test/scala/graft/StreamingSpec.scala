@@ -863,4 +863,72 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(kept == Set(1L, 3L, 5L, 7L), s"kept $kept")
   }
+
+  test("graft_table source: new committed versions arrive as incremental micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tbl-src").toString + "/t"
+    import graft.sources.TableCommit
+    TableCommit.write(spark.range(0, 4).toDF("id"), dir, "append")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val query = spark.readStream.format("graft_table").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, df.collect().map(_.getLong(0)).toSeq.sorted)): Unit
+        }
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      // batch 0 = the full snapshot at subscription time
+      assert(batches.toSeq == Seq((0L, Seq(0L, 1L, 2L, 3L))), batches.toString)
+      // an append lands -> exactly its rows arrive as the next batch
+      TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append")
+      query.processAllAvailable()
+      assert(batches.toSeq == Seq((0L, Seq(0L, 1L, 2L, 3L)), (1L, Seq(10L, 11L))),
+        batches.toString)
+      // two appends drain as increments — one batch or two depending
+      // on trigger timing, but never re-delivered rows
+      TableCommit.write(spark.range(20, 21).toDF("id"), dir, "append")
+      TableCommit.write(spark.range(30, 31).toDF("id"), dir, "append")
+      query.processAllAvailable()
+      assert(batches.drop(2).flatMap(_._2).sorted == Seq(20L, 30L), batches.toString)
+    } finally query.stop()
+  }
+
+  test("graft_table source: a data rewrite mid-stream fails loudly; ignoreChanges opts in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tbl-rw").toString + "/t"
+    import graft.sources.TableCommit
+    TableCommit.write(spark.range(0, 4).toDF("id"), dir, "append")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(ignoreChanges: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+      val r = spark.readStream.format("graft_table")
+      (if (ignoreChanges) r.option("ignoreChanges", "true") else r).load(dir)
+        .writeStream
+        .option("checkpointLocation", s"$dir-ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          sink.synchronized { sink ++= df.collect().map(_.getLong(0)): Unit }
+        }
+        .start()
+    }
+    val q1 = run(ignoreChanges = false)
+    try {
+      q1.processAllAvailable()
+      assert(sink.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+      TableCommit.compact(spark, dir) // a rewrite version
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination(10000): Unit
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("overwrite") && msg.contains("ignoreChanges"), msg)
+    } finally q1.stop()
+    // opting in resumes from the same checkpoint and re-delivers the
+    // rewritten dir (the documented Delta ignoreChanges caveat)
+    val q2 = run(ignoreChanges = true)
+    try {
+      q2.processAllAvailable()
+      assert(sink.sorted.toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L), sink.sorted.toString)
+    } finally q2.stop()
+  }
 }
