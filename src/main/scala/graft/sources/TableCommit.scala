@@ -230,6 +230,28 @@ object TableCommit {
     }
   }
 
+  /** Delta-style ADDITIVE schema evolution (`mergeSchema = true` on
+    * append): columns present on both sides must type-match (denulled
+    * — a type CHANGE is never evolution), NEW incoming columns append
+    * to the table schema as nullable (files already committed lack
+    * them and read back as NULL under the committed-schema
+    * projection), and table columns MISSING from the incoming frame
+    * are fine (the new files read back NULL for them). Returns the
+    * merged schema the manifest records. */
+  private def mergeSchemas(table: StructType, incoming: StructType): StructType = {
+    val t = table.fields.map(f => f.name -> f).toMap
+    val changed = incoming.fields.filter(f =>
+      t.get(f.name).exists(g => denull(g.dataType) != denull(f.dataType)))
+    if (changed.nonEmpty)
+      throw new IllegalArgumentException(
+        "TableCommit: mergeSchema is additive — it cannot change existing column types; " +
+          changed.map(f =>
+            s"${f.name}: ${t(f.name).dataType.simpleString} -> ${f.dataType.simpleString}")
+            .mkString("; "))
+    StructType(table.fields ++
+      incoming.fields.filterNot(f => t.contains(f.name)).map(_.copy(nullable = true)))
+  }
+
   /** The layout twin of [[enforceSchema]]: an append whose
     * `partitionBy` differs from the table's committed layout would
     * silently mix hive-partitioned and flat dirs under one snapshot,
@@ -268,7 +290,8 @@ object TableCommit {
       df: DataFrame, dir: String, mode: String,
       txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"TableCommit: mode must be append|overwrite, got '$mode'")
     partitionBy.foreach(c => require(df.columns.contains(c),
@@ -288,7 +311,10 @@ object TableCommit {
         if (latest.txns.get(appId).exists(_ >= tv)) return preVersions.last
       }
       if (mode == "append") {
-        latest.schema.foreach(enforceSchema(_, df.schema))
+        latest.schema.foreach { ts =>
+          if (mergeSchema) mergeSchemas(ts, df.schema) // type-conflict fast-fail
+          else enforceSchema(ts, df.schema)
+        }
         enforceLayout(latest.partitionBy, partitionBy)
       }
     }
@@ -298,7 +324,7 @@ object TableCommit {
       .parquet(s"$dir/$rel")
     val stats = collectStats(spark, dir, rel, statsCols, df.schema)
     fs.mkdirs(logDir(dir))
-    commit(spark, fs, dir, mode, rel, txn, df.schema, partitionBy, stats)
+    commit(spark, fs, dir, mode, rel, txn, df.schema, partitionBy, stats, mergeSchema)
   }
 
   /** Expectations-gated write — the write-audit-commit loop a
@@ -383,7 +409,10 @@ object TableCommit {
     }
     val aggs = count(lit(1)).as("__rows") +:
       statsCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val rows = spark.read.parquet(s"$dir/$rel")
+    // read with the KNOWN schema: an empty rewrite (delete-all, empty
+    // append) leaves a dir with no data files, and schema inference
+    // over it would throw where "no files -> no stats" is the answer
+    val rows = spark.read.schema(schema).parquet(s"$dir/$rel")
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -471,7 +500,8 @@ object TableCommit {
       spark: SparkSession, fs: FileSystem,
       dir: String, mode: String, rel: String,
       txn: Option[(String, Long)], schema: StructType,
-      partitionBy: Seq[String] = Nil, stats: Seq[FileStat] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, stats: Seq[FileStat] = Nil,
+      mergeSchema: Boolean = false): Long = {
     try {
       var attempts = 0
       while (attempts < 100) {
@@ -487,7 +517,9 @@ object TableCommit {
           return vs.last
         }
         if (mode == "append") parent.foreach { p =>
-          p.schema.foreach(enforceSchema(_, schema))
+          p.schema.foreach { ts =>
+            if (mergeSchema) mergeSchemas(ts, schema) else enforceSchema(ts, schema)
+          }
           enforceLayout(p.partitionBy, partitionBy)
         }
         val next = vs.lastOption.getOrElse(0L) + 1
@@ -498,9 +530,14 @@ object TableCommit {
         val newTxns = txn.fold(parentTxns) { case (a, v) => parentTxns + (a -> v) }
         // append PRESERVES the table schema (the appending frame may
         // legally reorder columns — recording ITS schema would make
-        // the committed column order drift with whoever appended last)
+        // the committed column order drift with whoever appended
+        // last); under mergeSchema the manifest records the ADDITIVE
+        // union (table columns first, new columns appended nullable)
         val manifestSchema =
-          if (mode == "append") parent.flatMap(_.schema).getOrElse(schema)
+          if (mode == "append") parent.flatMap(_.schema) match {
+            case Some(ts) => if (mergeSchema) mergeSchemas(ts, schema) else ts
+            case None => schema
+          }
           else schema
         if (tryCommit(fs, dir, next, mode, dirs, newTxns, Some(manifestSchema),
             partitionBy, allStats)) return next
@@ -561,6 +598,47 @@ object TableCommit {
     }
     throw new IllegalStateException(
       s"TableCommit.merge: gave up after $attempts contended attempts on $dir")
+  }
+
+  /** DELETE through the commit protocol (copy-on-write, Delta's
+    * model): rewrite the latest snapshot WITHOUT the rows matching
+    * `condition` and commit COMPARE-AND-SWAP at exactly base+1 — a
+    * lost race re-reads the new latest and re-deletes, so a
+    * concurrent append is never erased (its rows simply pass through
+    * the retry's filter). Rows where the condition evaluates NULL are
+    * KEPT (SQL DELETE semantics: only rows the predicate is TRUE for
+    * go). Layout, schema, txn history and (by default) the parent's
+    * stats columns carry through. Returns the committed version. */
+  def delete(
+      spark: SparkSession, dir: String, condition: Column,
+      statsCols: Seq[String] = Nil): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"TableCommit.delete: no committed versions under $dir")
+      val base = vs.last
+      val parent = readManifestFull(fs, dir, base)
+      val remaining = readVersion(spark, dir, base)
+        .where(!coalesce(condition, lit(false)))
+      val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
+      val w = remaining.write.mode("overwrite")
+      (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+        .parquet(s"$dir/$rel")
+      val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+      val stats = collectStats(spark, dir, rel, eff,
+        parent.schema.getOrElse(remaining.schema))
+      if (tryCommit(fs, dir, base + 1, "delete", Seq(rel), parent.txns,
+          Some(parent.schema.getOrElse(remaining.schema)), parent.partitionBy,
+          if (stats.isEmpty) Map.empty else Map(rel -> stats)))
+        return base + 1
+      // lost to a concurrent writer: our rewrite is stale — discard
+      // the orphan dir and redo from new latest
+      fs.delete(new Path(dir, rel), true)
+    }
+    throw new IllegalStateException(
+      s"TableCommit.delete: gave up after $attempts contended attempts on $dir")
   }
 
   /** OPTIMIZE-style compaction: rewrite the LATEST snapshot's rows
@@ -884,6 +962,43 @@ object TableCommit {
       val good = writeExpecting(docs, path, "append", rules)
       require(good == Right(1L),
         s"snk_table_expectations: clean batch must commit v1, got $good")
+      read(s, path).orderBy("doc_id")
+    },
+    // DELETE-through-the-protocol gate: the copy-on-write rewrite
+    // must drop EXACTLY the matching rows and commit as a version —
+    // the oracle recomputes the survivors from the raw table, so an
+    // over- or under-deleted row moves the hash.
+    Gate(
+      "snk_table_delete",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (lang = 'en' OR doc_id % 7 = 0) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val path = DocSource.gateScratch(dir, "snk_table_delete")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      delete(s, path, col("lang") === "en" || pmod(col("doc_id"), lit(7)) === 0)
+      read(s, path).orderBy("doc_id")
+    },
+    // Additive schema evolution gate: v1 commits (doc_id, lang), the
+    // mergeSchema append adds n_chars — the committed-schema read must
+    // surface the evolved column as NULL for every pre-evolution row
+    // and the real value for the appended ones.
+    Gate(
+      "snk_table_evolve",
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = DocSource.gateScratch(dir, "snk_table_evolve")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "lang"), path, "overwrite")
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "lang", "n_chars"), path, "append", mergeSchema = true)
       read(s, path).orderBy("doc_id")
     },
     // Exactly-once streaming table ingest gate — the production

@@ -671,6 +671,85 @@ class CommitSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("TableCommit.delete removes only TRUE-predicate rows, keeps NULL-verdict rows, time-travels") {
+    val dir = Files.createTempDirectory("graft-table-del").toString + "/t"
+    // flag: true for 0-2, false for 3-5, NULL for 6-8 — SQL DELETE
+    // semantics remove only the TRUE rows
+    val base = spark.range(0, 9).select(col("id"),
+      when(col("id") < 3, true).when(col("id") < 6, false)
+        .otherwise(lit(null).cast("boolean")).as("flag"))
+    TableCommit.write(base, dir, "overwrite", statsCols = Seq("id"))
+    val v = TableCommit.delete(spark, dir, col("flag"))
+    assert(v == 2L)
+    val rows = TableCommit.read(spark, dir).orderBy("id").as[(Long, Option[Boolean])]
+      .collect().toSeq.map(_._1)
+    assert(rows == (3L until 9L), s"NULL-verdict rows must survive a DELETE: $rows")
+    // pre-delete snapshot intact; stats re-recorded for the parent's columns
+    assert(TableCommit.readVersion(spark, dir, 1).count() == 9)
+    assert(TableCommit.fileStats(spark, dir).values.flatten
+      .forall(_.min.keySet == Set("id")))
+    // partitioned table: layout carries through the rewrite
+    val pdir = Files.createTempDirectory("graft-table-delp").toString + "/t"
+    TableCommit.write(
+      spark.range(0, 10).select(col("id"),
+        when(col("id") % 2 === 0, "even").otherwise("odd").as("par")),
+      pdir, "overwrite", partitionBy = Seq("par"))
+    TableCommit.delete(spark, pdir, col("id") >= 6)
+    assert(TableCommit.partitioning(spark, pdir) == Seq("par"))
+    assert(TableCommit.read(spark, pdir).count() == 6)
+  }
+
+  test("TableCommit.delete of EVERY row commits an empty snapshot that reads back typed") {
+    val dir = Files.createTempDirectory("graft-table-delall").toString + "/t"
+    TableCommit.write(
+      spark.range(0, 5).select(col("id"), lit("x").as("tag")),
+      dir, "overwrite", statsCols = Seq("id"))
+    val v = TableCommit.delete(spark, dir, lit(true))
+    assert(v == 2L)
+    val back = TableCommit.read(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "tag") && back.count() == 0)
+    // stats over zero files: simply absent, and range reads stay sane
+    assert(TableCommit.readRange(spark, dir, "id", 0, 100).count() == 0)
+    assert(TableCommit.readVersion(spark, dir, 1).count() == 5)
+  }
+
+  test("TableCommit mergeSchema appends evolve the schema additively; strict appends still bounce") {
+    val dir = Files.createTempDirectory("graft-table-evolve").toString + "/t"
+    TableCommit.write(spark.range(0, 3).select(col("id"), lit("x").as("tag")),
+      dir, "overwrite")
+    // strict append with a new column bounces (the existing contract)
+    intercept[IllegalArgumentException] {
+      TableCommit.write(
+        spark.range(3, 5).select(col("id"), lit("y").as("tag"), lit(1.0).as("score")),
+        dir, "append")
+    }
+    // mergeSchema append: new column lands, old rows read back NULL
+    TableCommit.write(
+      spark.range(3, 5).select(col("id"), lit("y").as("tag"), lit(1.5).as("score")),
+      dir, "append", mergeSchema = true)
+    val sch = TableCommit.tableSchema(spark, dir).get
+    assert(sch.fieldNames.toSeq == Seq("id", "tag", "score"), sch.fieldNames.toSeq.toString)
+    val rows = TableCommit.read(spark, dir).orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows.take(3).forall(_._3.isEmpty), s"pre-evolution rows must read NULL: $rows")
+    assert(rows.drop(3).forall(_._3.contains(1.5)), rows.toString)
+    // a mergeSchema append may also OMIT table columns: they read NULL
+    TableCommit.write(spark.range(5, 6).select(col("id")), dir, "append",
+      mergeSchema = true)
+    val r5 = TableCommit.read(spark, dir).where(col("id") === 5)
+      .as[(Long, Option[String], Option[Double])].head()
+    assert(r5._2.isEmpty && r5._3.isEmpty)
+    // evolution is additive only: a type CHANGE is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.write(spark.range(6, 7).select(col("id"), lit(2L).as("score")),
+        dir, "append", mergeSchema = true)
+    }
+    assert(e.getMessage.contains("score") && e.getMessage.contains("additive"),
+      e.getMessage)
+    // pre-evolution version still reads with ITS schema
+    assert(TableCommit.readVersion(spark, dir, 1).columns.toSeq == Seq("id", "tag"))
+  }
+
   test("TableCommit cross-JVM: two separate processes race appends, all rows land, versions distinct") {
     // the two-thread race shares one JVM (and one cached FileSystem
     // object); this forks two REAL processes, each with its own
