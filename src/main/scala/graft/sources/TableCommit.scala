@@ -173,7 +173,7 @@ object TableCommit {
     * scan from. */
   private[sources] def snapshotMeta(
       spark: SparkSession, dir: String,
-      versionAsOf: Option[Long]): (Seq[String], Option[StructType]) = {
+      versionAsOf: Option[Long]): (Seq[String], Option[StructType], Seq[String]) = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
@@ -181,7 +181,10 @@ object TableCommit {
     require(vs.contains(v),
       s"TableCommit: version $v is not committed under $dir (have ${vs.mkString(", ")})")
     val m = readManifestFull(fs, dir, v)
-    (m.dirs.map(d => s"$dir/$d"), m.schema)
+    // partitionBy comes from the RESOLVED manifest, not the latest
+    // one — a versionAsOf read must anchor partition discovery by the
+    // layout THAT snapshot was written with
+    (m.dirs.map(d => s"$dir/$d"), m.schema, m.partitionBy)
   }
 
   /** (mode, dirs) of one committed version — the streaming source

@@ -66,7 +66,7 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val (paths, schema) =
+    val (paths, schema, _) =
       TableCommit.snapshotMeta(spark, pathOf(options), versionAsOf(options))
     schema.getOrElse(spark.read.parquet(paths: _*).schema)
   }
@@ -77,7 +77,7 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
       properties: util.Map[String, String]): Table = {
     val spark = SparkSession.active
     val dir = pathOf(properties)
-    val (paths, committed) =
+    val (paths, committed, layout) =
       TableCommit.snapshotMeta(spark, dir, versionAsOf(properties))
     // strip the path keys: ParquetTable must list ONLY the resolved
     // snapshot dirs, never the table root (which holds _log and every
@@ -85,15 +85,16 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
     val opts = new util.HashMap[String, String](properties)
     opts.remove("path"); opts.remove("paths")
     // hive-partitioned commit dirs (data/__commit=…/lang=…) need one
-    // discovery anchor; unpartitioned tables must NOT get one (it
-    // would surface __commit as a column on every read)
-    if (TableCommit.partitioning(spark, dir).nonEmpty)
+    // discovery anchor; unpartitioned snapshots must NOT get one (it
+    // would surface __commit as a column on every read). The RESOLVED
+    // snapshot's layout decides — versionAsOf may cross a re-layout.
+    if (layout.nonEmpty)
       opts.put("basePath", s"$dir/data"): Unit
     val pt = ParquetTable(s"graft_table($dir)",
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       new CaseInsensitiveStringMap(opts), paths,
       Some(committed.getOrElse(schema)), classOf[ParquetFileFormat])
-    new GraftTableView(pt, s"graft_table($dir)")
+    new GraftTableView(pt, s"graft_table($dir)", committed.getOrElse(schema))
   }
 
   // ---- streaming (V1 source: offset = committed version) ----
@@ -128,11 +129,19 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
 
 /** Read-only view over the delegated [[ParquetTable]]: scans pass
   * straight through (full native parquet planning), writes are not a
-  * capability — the manifest log is the only writer. */
-private[table] class GraftTableView(pt: ParquetTable, ident: String)
+  * capability — the manifest log is the only writer. The view's
+  * schema is the COMMITTED table schema, not the delegate's: on a
+  * partitioned table FileTable appends every DISCOVERED partition
+  * column to its schema, which would leak the internal `__commit`
+  * layout column (and move the user's partition columns to the tail);
+  * presenting the committed schema keeps the relation's output exactly
+  * the table contract, and column pruning simply never requests
+  * `__commit`. */
+private[table] class GraftTableView(
+    pt: ParquetTable, ident: String, committed: StructType)
     extends Table with SupportsRead {
   override def name(): String = ident
-  override def schema(): StructType = pt.schema
+  override def schema(): StructType = committed
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -156,6 +165,10 @@ private[table] class GraftTableStreamSource(
     // offsets arrive as LongOffset live and SerializedOffset after a
     // restart; both carry the version as their json
     val endV = end.json.toLong
+    // layout resolved AT endV (not "latest"): incremental batches can
+    // only be appends, which cannot change the layout, so endV's
+    // layout governs every dir this batch reads
+    val layout = TableCommit.snapshotMeta(spark, dir, Some(endV))._3
     val dirs: Seq[String] = start match {
       case None =>
         // fresh query: the initial batch is the full snapshot at endV
@@ -182,7 +195,7 @@ private[table] class GraftTableStreamSource(
       // flat tables must not get one (it would surface __commit)
       else {
         val reader =
-          if (TableCommit.partitioning(spark, dir).isEmpty) spark.read
+          if (layout.isEmpty) spark.read
           else spark.read.option("basePath", s"$dir/data")
         reader.schema(sch).parquet(dirs: _*)
           .select(sch.fieldNames.toSeq.map(col): _*)

@@ -750,6 +750,20 @@ class CommitSpec extends SparkSpec {
     assert(TableCommit.readVersion(spark, dir, 1).columns.toSeq == Seq("id", "tag"))
   }
 
+  test("graft_table versionAsOf across a re-layout resolves each snapshot's own partitioning") {
+    val dir = Files.createTempDirectory("graft-table-relayout").toString + "/t"
+    val part = spark.range(0, 8).select(col("id"),
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("par"))
+    TableCommit.write(part, dir, "overwrite", partitionBy = Seq("par")) // v1 partitioned
+    TableCommit.write(part.limit(3), dir, "overwrite")                  // v2 flat
+    // versionAsOf=1 must anchor discovery by v1's layout, not v2's
+    val v1 = spark.read.format("graft_table").option("versionAsOf", 1).load(dir)
+    assert(v1.columns.toSeq == Seq("id", "par") && v1.count() == 8)
+    assert(v1.where(col("par") === "even").count() == 4)
+    val latest = spark.read.format("graft_table").load(dir)
+    assert(latest.count() == 3)
+  }
+
   test("TableCommit cross-JVM: two separate processes race appends, all rows land, versions distinct") {
     // the two-thread race shares one JVM (and one cached FileSystem
     // object); this forks two REAL processes, each with its own

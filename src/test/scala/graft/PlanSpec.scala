@@ -498,6 +498,26 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.format("graft_table").load(dir).count() == 1)
   }
 
+  test("graft_table connector on a PARTITIONED table: committed columns only, partitions pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-connp").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    graft.sources.TableCommit.write(docs, dir, "overwrite", partitionBy = Seq("lang"))
+    graft.sources.TableCommit.write(docs.limit(0), dir, "append", partitionBy = Seq("lang"))
+    val df = spark.read.format("graft_table").load(dir)
+    // the relation presents the COMMITTED schema — the internal
+    // __commit layout column must not leak, and the user's column
+    // order must hold (FileTable would move lang to the tail)
+    assert(df.columns.toSeq == Seq("doc_id", "lang", "n_chars"), df.columns.toSeq.toString)
+    val filtered = df.where(col("lang") === "en")
+    assert(filtered.count() ==
+      docs.where(col("lang") === "en").count())
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && {
+      val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      pf.contains("lang")
+    }, s"lang not pruned through the connector:\n$p")
+  }
+
   test("readRange plans only the stat-surviving files (manifest-level skipping)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-skip").toString + "/t"
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang")
