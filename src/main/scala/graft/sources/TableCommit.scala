@@ -802,10 +802,10 @@ object TableCommit {
     * `read(...).where(colName BETWEEN lo AND hi)`, planned over ONLY
     * the files whose committed [min, max] for `colName` intersects
     * [lo, hi] (files without stats for the column are kept — skipping
-    * never changes results, only the file list). On a partitioned
-    * table this falls back to the plain read + filter, where Spark's
-    * own partition pruning is the dir-level equivalent. Point lookups
-    * pass lo == hi. */
+    * never changes results, only the file list). Composes with hive
+    * partitioning: surviving file paths keep their partition values
+    * (data/ anchor), and Spark's partition pruning applies on top.
+    * Point lookups pass lo == hi. */
   def readRange(
       spark: SparkSession, dir: String,
       colName: String, lo: Any, hi: Any): DataFrame = {
@@ -814,7 +814,7 @@ object TableCommit {
     require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
     val m = readManifestFull(fs, dir, vs.last)
     val pred = col(colName).between(lit(lo), lit(hi))
-    if (m.partitionBy.nonEmpty || m.stats.isEmpty)
+    if (m.stats.isEmpty)
       return read(spark, dir).where(pred)
     def overlaps(st: FileStat): Boolean =
       (st.min.get(colName), st.max.get(colName)) match {
@@ -832,10 +832,17 @@ object TableCommit {
     }
     val sch = m.schema.getOrElse(
       spark.read.parquet(m.dirs.map(d => s"$dir/$d"): _*).schema)
+    // file-level skipping COMPOSES with hive partitioning: surviving
+    // FILE paths still parse their partition values against the data/
+    // anchor, and Spark's own partition pruning applies on top when
+    // the predicate also names a partition column
+    val reader =
+      if (m.partitionBy.isEmpty) spark.read
+      else spark.read.option("basePath", s"$dir/data")
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch).where(pred)
     else
-      spark.read.schema(sch).parquet(paths: _*)
+      reader.schema(sch).parquet(paths: _*)
         .select(sch.fieldNames.toSeq.map(col): _*).where(pred)
   }
 

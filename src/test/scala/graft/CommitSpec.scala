@@ -526,6 +526,28 @@ class CommitSpec extends SparkSpec {
     assert(e.getMessage.contains("xs") && e.getMessage.contains("unsupported"), e.getMessage)
   }
 
+  test("TableCommit.readRange composes file skipping with hive partitioning") {
+    val dir = Files.createTempDirectory("graft-table-skippart").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).coalesce(1)
+      .select(col("id"),
+        when(col("id") % 2 === 0, "even").otherwise("odd").as("par"))
+    TableCommit.write(mk(0, 100), dir, "overwrite",
+      partitionBy = Seq("par"), statsCols = Seq("id"))
+    TableCommit.write(mk(100, 200), dir, "append",
+      partitionBy = Seq("par"), statsCols = Seq("id"))
+    // needle inside the second commit: only ITS files survive the
+    // stat prune (2 files — one per partition leaf), and the
+    // partition column still reads back correctly from the dir names
+    val r = TableCommit.readRange(spark, dir, "id", 150, 160)
+    assert(r.inputFiles.length == 2, r.inputFiles.toSeq.toString)
+    val rows = r.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows.map(_._1) == (150L to 160L))
+    assert(rows.forall { case (i, p) => p == (if (i % 2 == 0) "even" else "odd") })
+    // a partition predicate on top still prunes partitions natively
+    assert(TableCommit.readRange(spark, dir, "id", 150, 160)
+      .where(col("par") === "even").count() == 6)
+  }
+
   test("TableCommit.readRange skips all-null stat files and keeps files without the column's stats") {
     val dir = Files.createTempDirectory("graft-table-null").toString + "/t"
     val withVals = spark.range(0, 5).coalesce(1)
