@@ -644,6 +644,42 @@ object TableCommit {
       s"TableCommit.delete: gave up after $attempts contended attempts on $dir")
   }
 
+  /** RESTORE (Delta's rollback): commit a NEW version whose snapshot
+    * is exactly `version`'s — METADATA-ONLY (no data job: the old
+    * dirs are immutable and simply re-referenced), so rolling back a
+    * bad ingest costs one manifest write at any table size. History
+    * is preserved — the bad versions stay readable for forensics
+    * until vacuumed — and the TXN table carries forward from the
+    * LATEST manifest, not the restored one, so a restore never
+    * reopens replay windows for streaming sinks (a replayed
+    * micro-batch after a rollback still commits nothing). CAS at
+    * latest+1 like every commit; restoring the latest version is an
+    * idempotent no-op. The restored version must still be in the log
+    * (vacuum keeps every listed version's dirs intact, so presence in
+    * the log implies its data survives). */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val vs = versions(spark, dir)
+      require(vs.contains(version),
+        s"TableCommit.restore: version $version is not committed under $dir " +
+          s"(have ${vs.mkString(", ")})")
+      val base = vs.last
+      if (base == version) return base
+      val target = readManifestFull(fs, dir, version)
+      val latest = readManifestFull(fs, dir, base)
+      if (tryCommit(fs, dir, base + 1, "restore", target.dirs, latest.txns,
+          target.schema, target.partitionBy, target.stats))
+        return base + 1
+      // lost the CAS to a concurrent writer: re-resolve and retry
+      // (nothing to clean up — restore writes no data)
+    }
+    throw new IllegalStateException(
+      s"TableCommit.restore: gave up after $attempts contended attempts on $dir")
+  }
+
   /** OPTIMIZE-style compaction: rewrite the LATEST snapshot's rows
     * into `targetFiles` parquet files (per partition, when the table
     * is partitioned) in one fresh data dir and commit the result —
@@ -972,6 +1008,25 @@ object TableCommit {
       val good = writeExpecting(docs, path, "append", rules)
       require(good == Right(1L),
         s"snk_table_expectations: clean batch must commit v1, got $good")
+      read(s, path).orderBy("doc_id")
+    },
+    // RESTORE gate: good content (v1+v2), a poison overwrite (v3),
+    // then a metadata-only rollback to v2 — the read resolves the
+    // restored manifest, so a restore that pointed at the wrong dirs
+    // (or failed to hide the poison) explodes the hash against the
+    // raw-table oracle.
+    Gate(
+      "snk_table_restore",
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""") {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val path = DocSource.gateScratch(dir, "snk_table_restore")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      write(docs.limit(5).withColumn("lang", lit("POISON")), path, "overwrite")
+      restore(s, path, 2L)
       read(s, path).orderBy("doc_id")
     },
     // DELETE-through-the-protocol gate: the copy-on-write rewrite

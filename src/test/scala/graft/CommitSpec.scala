@@ -786,6 +786,50 @@ class CommitSpec extends SparkSpec {
     assert(latest.count() == 3)
   }
 
+  test("TableCommit.restore rolls back metadata-only, preserves history and the txn table") {
+    val dir = Files.createTempDirectory("graft-table-restore").toString + "/t"
+    val fs = hfs(dir)
+    TableCommit.write(spark.range(0, 5).toDF("id"), dir, "append",
+      txn = Some(("q1", 0L)))                                        // v1
+    TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append",
+      txn = Some(("q1", 1L)))                                        // v2
+    TableCommit.write(spark.range(900, 905).toDF("id"), dir, "overwrite") // v3 poison
+    def dataDirs = fs.listStatus(new Path(dir, "data")).count(_.isDirectory)
+    val before = dataDirs
+    val v = TableCommit.restore(spark, dir, 2L)
+    assert(v == 4L)
+    // metadata-only: no new data dir was written
+    assert(dataDirs == before, "restore must not write data")
+    assert(TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L))
+    // the poison version stays readable for forensics
+    assert(TableCommit.readVersion(spark, dir, 3).count() == 5)
+    // txns carry FORWARD: the replayed micro-batch is still suppressed
+    val vr = TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append",
+      txn = Some(("q1", 1L)))
+    assert(vr == 4L && TableCommit.read(spark, dir).count() == 7,
+      "restore must not reopen the txn replay window")
+    // restoring the latest is an idempotent no-op
+    assert(TableCommit.restore(spark, dir, 4L) == 4L)
+    // appends after the restore follow the RESTORED schema/layout
+    TableCommit.write(spark.range(20, 21).toDF("id"), dir, "append")
+    assert(TableCommit.read(spark, dir).count() == 8)
+    // restoring an unknown version is loud
+    val e = intercept[IllegalArgumentException](TableCommit.restore(spark, dir, 99L))
+    assert(e.getMessage.contains("99"), e.getMessage)
+    // partitioned: restore re-points at the partitioned snapshot and
+    // the layout contract follows it
+    val pdir = Files.createTempDirectory("graft-table-restp").toString + "/t"
+    TableCommit.write(
+      spark.range(0, 6).select(col("id"),
+        when(col("id") % 2 === 0, "e").otherwise("o").as("par")),
+      pdir, "overwrite", partitionBy = Seq("par"))                   // v1 partitioned
+    TableCommit.write(spark.range(0, 2).toDF("id"), pdir, "overwrite") // v2 flat
+    TableCommit.restore(spark, pdir, 1L)
+    assert(TableCommit.partitioning(spark, pdir) == Seq("par"))
+    assert(TableCommit.read(spark, pdir).where(col("par") === "e").count() == 3)
+  }
+
   test("TableCommit cross-JVM: two separate processes race appends, all rows land, versions distinct") {
     // the two-thread race shares one JVM (and one cached FileSystem
     // object); this forks two REAL processes, each with its own
