@@ -834,6 +834,64 @@ object TableCommit {
     }
   }
 
+  /** Batch change-data-feed over the append-only log: the rows
+    * versions (fromExclusive, toInclusive] appended, each tagged with
+    * its `_commit_version` — the BATCH twin of the graft_table
+    * streaming source (same dirs-delta resolution, same append-only
+    * contract: a rewrite version inside the range fails loudly naming
+    * its mode, because its delta is not expressible as added rows).
+    * `fromExclusive = 0` reads from the table's beginning. This is
+    * what an incremental consumer (re-tokenize, dedup-index insert)
+    * reads instead of the corpus: at 100 TB the delta is the only
+    * thing that moves. */
+  def readChanges(
+      spark: SparkSession, dir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
+    require(fromExclusive >= 0 && fromExclusive < toInclusive,
+      s"TableCommit.readChanges: need 0 <= from < to, got ($fromExclusive, $toInclusive]")
+    require(vs.contains(toInclusive),
+      s"TableCommit.readChanges: version $toInclusive is not committed (have ${vs.mkString(", ")})")
+    require(fromExclusive == 0 || vs.contains(fromExclusive),
+      s"TableCommit.readChanges: version $fromExclusive is not committed (have ${vs.mkString(", ")})")
+    val to = readManifestFull(fs, dir, toInclusive)
+    val sch = to.schema
+    val reader =
+      if (to.partitionBy.isEmpty) spark.read
+      else spark.read.option("basePath", s"$dir/data")
+    // exclusive on from (from = 0 naturally includes the first
+    // version, since committed versions start at 1)
+    val inRange = vs.filter(v => v > fromExclusive && v <= toInclusive)
+    val deltas = inRange.map { v =>
+      val (mode, ds) = versionMeta(spark, dir, v)
+      val prev =
+        if (v == vs.head) Seq.empty[String]
+        else versionMeta(spark, dir, vs(vs.indexOf(v) - 1))._2
+      // the FIRST version overall is its own delta whatever its mode;
+      // any later version in the range must be an append
+      if (v != vs.head && mode != "append")
+        throw new IllegalStateException(
+          s"TableCommit.readChanges: version $v of $dir is a '$mode' (data rewrite); " +
+            "changes are only expressible over append-only ranges — read the " +
+            "snapshot (read/readVersion) across rewrites instead")
+      (v, ds.filterNot(prev.toSet).map(d => s"$dir/$d"))
+    }
+    deltas.map { case (v, paths) =>
+      val base =
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            sch.getOrElse(tableSchema(spark, dir).get))
+        else sch match {
+          case Some(t) => reader.schema(t).parquet(paths: _*)
+            .select(t.fieldNames.toSeq.map(col): _*)
+          case None => reader.parquet(paths: _*)
+        }
+      base.withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   /** Stats-skipping read of the latest snapshot: rows of
     * `read(...).where(colName BETWEEN lo AND hi)`, planned over ONLY
     * the files whose committed [min, max] for `colName` intersects
@@ -1009,6 +1067,30 @@ object TableCommit {
       require(good == Right(1L),
         s"snk_table_expectations: clean batch must commit v1, got $good")
       read(s, path).orderBy("doc_id")
+    },
+    // Batch change-data-feed gate: three appends, changes over
+    // (1, 3] — exactly the v2+v3 rows, each tagged with the version
+    // that appended it; the oracle recomputes both the membership and
+    // the version arithmetic from the raw table, so a wrong delta
+    // (re-delivered v1 rows, missed dirs) or a wrong tag moves the
+    // hash.
+    Gate(
+      "src_table_changes",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 3 END AS BIGINT) AS commit_version
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+      val path = DocSource.gateScratch(dir, "src_table_changes")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "append") // v1
+      write(docs.where(pmod(col("doc_id"), lit(4)) === 1), path, "append") // v2
+      write(docs.where(pmod(col("doc_id"), lit(4)) === 3), path, "append") // v3
+      readChanges(s, path, 1L, 3L)
+        .select(col("doc_id"), col("lang"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("doc_id")
     },
     // RESTORE gate: good content (v1+v2), a poison overwrite (v3),
     // then a metadata-only rollback to v2 — the read resolves the

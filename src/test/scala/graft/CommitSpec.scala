@@ -830,6 +830,41 @@ class CommitSpec extends SparkSpec {
     assert(TableCommit.read(spark, pdir).where(col("par") === "e").count() == 3)
   }
 
+  test("TableCommit.readChanges tags append deltas by version; rewrites in range are loud") {
+    val dir = Files.createTempDirectory("graft-table-cdf").toString + "/t"
+    TableCommit.write(spark.range(0, 3).toDF("id"), dir, "overwrite") // v1
+    TableCommit.write(spark.range(10, 12).toDF("id"), dir, "append")  // v2
+    TableCommit.write(spark.range(20, 21).toDF("id"), dir, "append")  // v3
+    // from 0: the first snapshot is its own delta, whatever its mode
+    val all = TableCommit.readChanges(spark, dir, 0L, 3L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(all == Seq((0L, 1L), (1L, 1L), (2L, 1L), (10L, 2L), (11L, 2L), (20L, 3L)),
+      all.toString)
+    // a window: only the versions inside it
+    assert(TableCommit.readChanges(spark, dir, 2L, 3L)
+      .as[(Long, Long)].collect().toSeq == Seq((20L, 3L)))
+    // a rewrite INSIDE the range is loud; reading up to before it works
+    TableCommit.compact(spark, dir) // v4, mode overwrite
+    TableCommit.write(spark.range(30, 31).toDF("id"), dir, "append") // v5
+    val e = intercept[IllegalStateException] {
+      TableCommit.readChanges(spark, dir, 3L, 5L).collect()
+    }
+    assert(e.getMessage.contains("overwrite") && e.getMessage.contains("version 4"),
+      e.getMessage)
+    // bad ranges are loud
+    intercept[IllegalArgumentException](TableCommit.readChanges(spark, dir, 3L, 3L))
+    intercept[IllegalArgumentException](TableCommit.readChanges(spark, dir, 1L, 99L))
+    // partitioned: delta rows keep their partition values
+    val pdir = Files.createTempDirectory("graft-table-cdfp").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      when(col("id") % 2 === 0, "e").otherwise("o").as("par"))
+    TableCommit.write(mk(0, 4), pdir, "append", partitionBy = Seq("par"))
+    TableCommit.write(mk(10, 12), pdir, "append", partitionBy = Seq("par"))
+    val delta = TableCommit.readChanges(spark, pdir, 1L, 2L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(delta == Seq((10L, "e", 2L), (11L, "o", 2L)), delta.toString)
+  }
+
   test("TableCommit cross-JVM: two separate processes race appends, all rows land, versions distinct") {
     // the two-thread race shares one JVM (and one cached FileSystem
     // object); this forks two REAL processes, each with its own
