@@ -74,22 +74,46 @@ object Commit {
     * coordination layer, the standard published guidance).
     */
   def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
-    if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    if (fs.exists(dst)) { discardTmp(fs, tmp); false }
     else if (fs.getUri.getScheme == "file") claimLocalAtomic(fs, tmp, dst)
     else if (fs.rename(tmp, dst)) true
-    else if (fs.exists(dst)) { fs.delete(tmp, false); false } // lost the race mid-rename
+    else if (fs.exists(dst)) { discardTmp(fs, tmp); false } // lost the race mid-rename
     else throw new IllegalStateException(
       s"Commit: rename $tmp -> $dst failed with no committed shard present")
+
+  /** Temp cleanup NEVER throws: once the outcome of the claim is
+    * decided (won or lost), a failed temp delete must not surface as
+    * a claim failure — a caller like [[TableCommit]] reacts to a
+    * thrown claim by tidying its data dir, and doing that AFTER the
+    * manifest durably landed would corrupt the table. A leftover
+    * `.v*.tmp-*` is reclaimed by an includeOrphans vacuum. */
+  private def discardTmp(fs: FileSystem, tmp: Path): Unit =
+    try { fs.delete(tmp, false); () } catch { case _: Exception => () }
 
   /** Local-FS claim via an atomic hard link: link(2) either creates
     * `dst` or fails with EEXIST — no lost-update window, unlike
     * POSIX rename which replaces an existing destination. The temp is
-    * removed either way (through `fs`, so checksum sidecars go too).
-    * Filesystems without hard-link support fall back to
-    * create-exclusive + rename-verify, which narrows the window to a
-    * single readback. */
+    * removed either way (through `fs`, so checksum sidecars go too;
+    * the cleanup never throws — see [[claim]]). Filesystems without
+    * hard-link support fall back to rename + streamed length/CRC
+    * verify, which narrows the window to a single readback; the
+    * verify streams (claim also guards multi-GB shard commits, never
+    * load the file into driver memory), and a rename that fails with
+    * NOTHING at dst is a real filesystem fault, not a lost race —
+    * reporting false there would tell the caller a sibling committed
+    * when no committed file exists. */
   private def claimLocalAtomic(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
     import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+    def lenAndCrc(p: Path): (Long, Long) = {
+      val crc = new java.util.zip.CRC32()
+      val in = Files.newInputStream(Paths.get(p.toUri.getPath))
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf); var len = 0L
+        while (n >= 0) { crc.update(buf, 0, n); len += n; n = in.read(buf) }
+        (len, crc.getValue)
+      } finally in.close()
+    }
     val won =
       try { Files.createLink(Paths.get(dst.toUri.getPath), Paths.get(tmp.toUri.getPath)); true }
       catch {
@@ -98,12 +122,14 @@ object Commit {
           // no hard links on this FS: rename, then verify OUR bytes
           // survived (a concurrent rename that clobbered us leaves
           // someone else's content at dst — detect and report loss)
-          val mine = Files.readAllBytes(Paths.get(tmp.toUri.getPath))
-          if (!fs.rename(tmp, dst)) false
-          else java.util.Arrays.equals(
-            mine, Files.readAllBytes(Paths.get(dst.toUri.getPath)))
+          val mine = lenAndCrc(tmp)
+          if (!fs.rename(tmp, dst)) {
+            if (fs.exists(dst)) false
+            else throw new IllegalStateException(
+              s"Commit: rename $tmp -> $dst failed with no committed shard present")
+          } else mine == lenAndCrc(dst)
       }
-    fs.delete(tmp, false)
+    discardTmp(fs, tmp)
     won
   }
 }

@@ -88,6 +88,49 @@ object TableCommit {
       .sorted
   }
 
+  private def manifestPath(dir: String, v: Long): Path =
+    new Path(logDir(dir), f"v$v%010d.json")
+
+  /** O(1)-amortized latest-version resolution: every successful claim
+    * writes an ADVISORY `_log/_latest` hint; resolution reads it and
+    * probes FORWARD (versions are contiguous at the tail — each claim
+    * is exactly last+1, vacuum only trims the head), so a fresh hint
+    * costs two small FS ops instead of listing the whole log — the
+    * difference between O(1) and O(commits) per micro-batch at
+    * streaming commit rates. The hint is never trusted as truth:
+    * stale (a racing writer's older value) → the probe walks forward;
+    * missing/corrupt/pointing at a nonexistent manifest → full
+    * listing fallback. Claim order stays the sole source of truth. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val hint =
+      try {
+        val p = new Path(logDir(dir), "_latest")
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        }
+      } catch { case _: Exception => None }
+    hint.filter(h => h >= 1 && fs.exists(manifestPath(dir, h))) match {
+      case Some(h) =>
+        var v = h
+        while (fs.exists(manifestPath(dir, v + 1))) v += 1
+        Some(v)
+      case None => versions(spark, dir).lastOption
+    }
+  }
+
+  /** Best-effort hint refresh after a successful claim — a failure
+    * here must never fail the commit (the hint is advisory). */
+  private def writeLatestHint(fs: FileSystem, dir: String, v: Long): Unit =
+    try {
+      val out = fs.create(new Path(logDir(dir), "_latest"), true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () }
+
   /** Per-file commit-time statistics: path relative to the table dir,
     * row count, and min/max per declared stats column (None = the
     * file has no non-null value for that column). */
@@ -142,13 +185,13 @@ object TableCommit {
   /** The committed table schema (from the latest manifest). */
   def tableSchema(spark: SparkSession, dir: String): Option[StructType] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    versions(spark, dir).lastOption.flatMap(readManifestFull(fs, dir, _).schema)
+    latestVersion(spark, dir).flatMap(readManifestFull(fs, dir, _).schema)
   }
 
   /** The committed partition layout (empty = unpartitioned). */
   def partitioning(spark: SparkSession, dir: String): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    versions(spark, dir).lastOption
+    latestVersion(spark, dir)
       .map(readManifestFull(fs, dir, _).partitionBy).getOrElse(Nil)
   }
 
@@ -156,7 +199,7 @@ object TableCommit {
     * round-trip view of what [[readRange]] prunes against. */
   def fileStats(spark: SparkSession, dir: String): Map[String, Seq[TableFileStat]] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    versions(spark, dir).lastOption.map { v =>
+    latestVersion(spark, dir).map { v =>
       readManifestFull(fs, dir, v).stats.map { case (d, fss) =>
         d -> fss.map { f =>
           def view(m: Map[String, JsonNode]) =
@@ -174,17 +217,32 @@ object TableCommit {
   private[sources] def snapshotMeta(
       spark: SparkSession, dir: String,
       versionAsOf: Option[Long]): (Seq[String], Option[StructType], Seq[String]) = {
+    val (_, paths, schema, layout) = snapshotMetaV(spark, dir, versionAsOf)
+    (paths, schema, layout)
+  }
+
+  /** [[snapshotMeta]] plus the RESOLVED version number — the
+    * connector's ScanBuilder needs it to prune files against exactly
+    * the manifest the scan was planned from. */
+  private[sources] def snapshotMetaV(
+      spark: SparkSession, dir: String,
+      versionAsOf: Option[Long]): (Long, Seq[String], Option[StructType], Seq[String]) = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
-    val v = versionAsOf.getOrElse(vs.last)
-    require(vs.contains(v),
-      s"TableCommit: version $v is not committed under $dir (have ${vs.mkString(", ")})")
+    val v = versionAsOf match {
+      case None => latestVersion(spark, dir).getOrElse(throw new IllegalArgumentException(
+        s"TableCommit: no committed versions under $dir"))
+      case Some(want) =>
+        val vs = versions(spark, dir)
+        require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
+        require(vs.contains(want),
+          s"TableCommit: version $want is not committed under $dir (have ${vs.mkString(", ")})")
+        want
+    }
     val m = readManifestFull(fs, dir, v)
     // partitionBy comes from the RESOLVED manifest, not the latest
     // one — a versionAsOf read must anchor partition discovery by the
     // layout THAT snapshot was written with
-    (m.dirs.map(d => s"$dir/$d"), m.schema, m.partitionBy)
+    (v, m.dirs.map(d => s"$dir/$d"), m.schema, m.partitionBy)
   }
 
   /** (mode, dirs) of one committed version — the streaming source
@@ -307,12 +365,12 @@ object TableCommit {
     // commit loop — a concurrent overwrite can change the schema, and
     // a concurrent duplicate can record the txn, mid-flight; the
     // loop's check is the authoritative one, these are cheap fast-paths.
-    val preVersions = versions(spark, dir)
-    if (preVersions.nonEmpty) {
-      val latest = readManifestFull(fs, dir, preVersions.last)
-      txn.foreach { case (appId, tv) =>
-        if (latest.txns.get(appId).exists(_ >= tv)) return preVersions.last
-      }
+    val preLatest = latestVersion(spark, dir)
+    if (preLatest.nonEmpty) {
+      val latest = readManifestFull(fs, dir, preLatest.get)
+      // plain `if` + direct return, never a return inside a closure
+      if (txn.exists { case (appId, tv) => latest.txns.get(appId).exists(_ >= tv) })
+        return preLatest.get
       if (mode == "append") {
         latest.schema.foreach { ts =>
           if (mergeSchema) mergeSchemas(ts, df.schema) // type-conflict fast-fail
@@ -385,11 +443,16 @@ object TableCommit {
   private def toDec(v: Any): java.math.BigDecimal = new java.math.BigDecimal(v.toString)
 
   /** node (a recorded min/max) vs a caller-supplied bound: numeric
-    * stats compare as exact decimals, string stats lexically — the
-    * same total order parquet/Spark min/max used to produce them. */
-  private def statCmp(node: JsonNode, v: Any): Int =
+    * stats compare as exact decimals, string stats in UTF8String
+    * (UTF-8 byte) order — the SAME total order Spark's min/max
+    * recorded the stats in and BETWEEN evaluates in. Java
+    * String.compareTo (UTF-16 code units) diverges for supplementary
+    * characters (emoji, common in web text) vs U+E000..U+FFFF, and a
+    * divergent order here silently skips files whose rows match. */
+  private[sources] def statCmp(node: JsonNode, v: Any): Int =
     if (node.isNumber) node.decimalValue().compareTo(toDec(v))
-    else node.asText().compareTo(v.toString)
+    else org.apache.spark.unsafe.types.UTF8String.fromString(node.asText())
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
 
   /** One distributed, column-pruned aggregate over the freshly
     * written dir: per FILE (input_file_name groups), row count plus
@@ -419,13 +482,25 @@ object TableCommit {
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // a NaN min/max is unorderable (Spark sorts NaN above +Inf, JSON
+    // has no NaN literal, BigDecimal cannot parse one) — a file whose
+    // extreme is NaN gets NO stat for that column (absent ≠ null:
+    // null means "all-null, skippable", absent means "cannot skip")
+    def isNaN(v: Any): Boolean = v match {
+      case d: Double => d.isNaN
+      case f: Float => f.isNaN
+      case _ => false
+    }
     rows.toSeq.map { r =>
       val path = r.getString(0)
       val idx = path.indexOf(rel)
       require(idx >= 0, s"TableCommit: cannot relativize stat file $path against $rel")
+      val nanCols = statsCols.filter(c =>
+        isNaN(r.get(r.fieldIndex(s"__min_$c"))) || isNaN(r.get(r.fieldIndex(s"__max_$c")))).toSet
+      val keep = statsCols.filterNot(nanCols)
       FileStat(path.substring(idx), r.getLong(1),
-        statsCols.map(c => c -> statNode(r.get(r.fieldIndex(s"__min_$c")))).toMap,
-        statsCols.map(c => c -> statNode(r.get(r.fieldIndex(s"__max_$c")))).toMap)
+        keep.map(c => c -> statNode(r.get(r.fieldIndex(s"__min_$c")))).toMap,
+        keep.map(c => c -> statNode(r.get(r.fieldIndex(s"__max_$c")))).toMap)
     }.sortBy(_.file)
   }
 
@@ -486,7 +561,9 @@ object TableCommit {
     val out = fs.create(tmp, true)
     try out.write(bytes)
     finally out.close()
-    Commit.claim(fs, tmp, new Path(logDir(dir), f"v$next%010d.json"))
+    val won = Commit.claim(fs, tmp, manifestPath(dir, next))
+    if (won) writeLatestHint(fs, dir, next)
+    won
   }
 
   /** Optimistic-concurrency commit loop: resolve latest, build the
@@ -509,15 +586,15 @@ object TableCommit {
       var attempts = 0
       while (attempts < 100) {
         attempts += 1
-        val vs = versions(spark, dir)
-        val parent = vs.lastOption.map(readManifestFull(fs, dir, _))
+        val last = latestVersion(spark, dir)
+        val parent = last.map(readManifestFull(fs, dir, _))
         val parentTxns = parent.map(_.txns).getOrElse(Map.empty[String, Long])
         // plain `if` + direct return (not a return inside a closure,
         // which compiles to a control-flow exception the abort-tidy
         // catch below would intercept)
         if (txn.exists { case (appId, tv) => parentTxns.get(appId).exists(_ >= tv) }) {
           fs.delete(new Path(dir, rel), true) // replay: discard orphan data
-          return vs.last
+          return last.get
         }
         if (mode == "append") parent.foreach { p =>
           p.schema.foreach { ts =>
@@ -525,10 +602,10 @@ object TableCommit {
           }
           enforceLayout(p.partitionBy, partitionBy)
         }
-        val next = vs.lastOption.getOrElse(0L) + 1
+        val next = last.getOrElse(0L) + 1
         val fresh = if (stats.isEmpty) Map.empty[String, Seq[FileStat]] else Map(rel -> stats)
         val (dirs, allStats) =
-          if (mode == "overwrite" || vs.isEmpty) (Seq(rel), fresh)
+          if (mode == "overwrite" || last.isEmpty) (Seq(rel), fresh)
           else (parent.get.dirs :+ rel, parent.get.stats ++ fresh)
         val newTxns = txn.fold(parentTxns) { case (a, v) => parentTxns + (a -> v) }
         // append PRESERVES the table schema (the appending frame may
@@ -550,11 +627,31 @@ object TableCommit {
     } catch {
       case e: Throwable =>
         // tidy on abort: the data dir was invisible to every reader,
-        // deleting it cannot affect any snapshot
-        scala.util.Try(fs.delete(new Path(dir, rel), true))
+        // deleting it cannot affect any snapshot — UNLESS the claim
+        // actually landed and only its aftermath threw; one manifest
+        // read verifies the commit did NOT land before deleting (a
+        // latest manifest naming rel can only be ours: rel is a UUID)
+        abortTidy(spark, fs, dir, rel)
         throw e
     }
   }
+
+  /** Delete an aborted attempt's data dir, but only after verifying
+    * no committed manifest references it — claim-time cleanup faults
+    * can surface as exceptions AFTER the manifest durably landed, and
+    * deleting a referenced dir would corrupt the table where the
+    * abort path promises only to reclaim invisible storage. Never
+    * throws (an abort path must deliver the ORIGINAL error). */
+  private def abortTidy(
+      spark: SparkSession, fs: FileSystem, dir: String, rel: String): Unit =
+    try {
+      // newest-first: if our manifest landed it is at (or near) the
+      // tail, and a concurrent overwrite above it still leaves it
+      // referenced for time travel — any reference blocks the delete
+      val referenced = versions(spark, dir).reverseIterator
+        .exists(v => readManifestFull(fs, dir, v).dirs.contains(rel))
+      if (!referenced) { fs.delete(new Path(dir, rel), true); () }
+    } catch { case _: Exception => () }
 
   /** MERGE INTO through the commit protocol: apply a changes frame
     * (upserts + tombstones, [[graft.operators.Snapshots.upsertMerge]]
@@ -566,12 +663,21 @@ object TableCommit {
     * re-evaluated per attempt, so it must be deterministic (persist
     * it if derived from non-deterministic work). The changes schema
     * (minus `deletedCol`) must match the table schema; the table's
-    * partition layout and txn history carry through. Returns the
+    * partition layout and txn history carry through.
+    *
+    * `txn` = (appId, txnVersion) makes the merge IDEMPOTENT per
+    * application, same contract as [[write]]'s — the shape a
+    * `foreachBatch` CDC consumer (`TableCommit.merge` per
+    * micro-batch) needs for exactly-once upserts: a replayed batch
+    * whose txnVersion is ≤ the recorded one rewrites NOTHING (a
+    * double-applied merge would re-derive changes from the already-
+    * merged snapshot) and returns the current version. Returns the
     * committed version. */
   def merge(
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, deletedCol: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var attempts = 0
     while (attempts < 100) {
@@ -580,21 +686,31 @@ object TableCommit {
       require(vs.nonEmpty, s"TableCommit.merge: no committed versions under $dir")
       val base = vs.last
       val parent = readManifestFull(fs, dir, base)
+      if (txn.exists { case (appId, tv) => parent.txns.get(appId).exists(_ >= tv) })
+        return base // replay: the merge already applied — rewrite nothing
       parent.schema.foreach(enforceSchema(_,
         StructType(changes.schema.filterNot(_.name == deletedCol))))
       val merged = graft.operators.Snapshots.upsertMerge(
         readVersion(spark, dir, base), changes, keyCol, deletedCol)
       val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
-      val w = merged.write.mode("overwrite")
-      (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
-        .parquet(s"$dir/$rel")
-      val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
-      val stats = collectStats(spark, dir, rel, eff,
-        parent.schema.getOrElse(merged.schema))
-      if (tryCommit(fs, dir, base + 1, "merge", Seq(rel), parent.txns,
-          Some(parent.schema.getOrElse(merged.schema)), parent.partitionBy,
-          if (stats.isEmpty) Map.empty else Map(rel -> stats)))
-        return base + 1
+      try {
+        val w = merged.write.mode("overwrite")
+        (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+          .parquet(s"$dir/$rel")
+        val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+        val stats = collectStats(spark, dir, rel, eff,
+          parent.schema.getOrElse(merged.schema))
+        val newTxns = txn.fold(parent.txns) { case (a, v) => parent.txns + (a -> v) }
+        if (tryCommit(fs, dir, base + 1, "merge", Seq(rel), newTxns,
+            Some(parent.schema.getOrElse(merged.schema)), parent.partitionBy,
+            if (stats.isEmpty) Map.empty else Map(rel -> stats)))
+          return base + 1
+      } catch {
+        case e: Throwable =>
+          // same guarantee as commit(): a failed rewrite never leaks
+          // storage only an includeOrphans vacuum could reclaim
+          abortTidy(spark, fs, dir, rel); throw e
+      }
       // lost to a concurrent writer: our rewrite is stale (missing
       // their rows) — discard the orphan dir and redo from new latest
       fs.delete(new Path(dir, rel), true)
@@ -611,10 +727,14 @@ object TableCommit {
     * the retry's filter). Rows where the condition evaluates NULL are
     * KEPT (SQL DELETE semantics: only rows the predicate is TRUE for
     * go). Layout, schema, txn history and (by default) the parent's
-    * stats columns carry through. Returns the committed version. */
+    * stats columns carry through. `txn` makes the delete idempotent
+    * per application, same replay short-circuit as [[write]]/[[merge]]
+    * (a replayed micro-batch rewrites nothing). Returns the committed
+    * version. */
   def delete(
       spark: SparkSession, dir: String, condition: Column,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var attempts = 0
     while (attempts < 100) {
@@ -623,19 +743,26 @@ object TableCommit {
       require(vs.nonEmpty, s"TableCommit.delete: no committed versions under $dir")
       val base = vs.last
       val parent = readManifestFull(fs, dir, base)
+      if (txn.exists { case (appId, tv) => parent.txns.get(appId).exists(_ >= tv) })
+        return base // replay: the delete already applied — rewrite nothing
       val remaining = readVersion(spark, dir, base)
         .where(!coalesce(condition, lit(false)))
       val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
-      val w = remaining.write.mode("overwrite")
-      (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
-        .parquet(s"$dir/$rel")
-      val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
-      val stats = collectStats(spark, dir, rel, eff,
-        parent.schema.getOrElse(remaining.schema))
-      if (tryCommit(fs, dir, base + 1, "delete", Seq(rel), parent.txns,
-          Some(parent.schema.getOrElse(remaining.schema)), parent.partitionBy,
-          if (stats.isEmpty) Map.empty else Map(rel -> stats)))
-        return base + 1
+      try {
+        val w = remaining.write.mode("overwrite")
+        (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+          .parquet(s"$dir/$rel")
+        val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+        val stats = collectStats(spark, dir, rel, eff,
+          parent.schema.getOrElse(remaining.schema))
+        val newTxns = txn.fold(parent.txns) { case (a, v) => parent.txns + (a -> v) }
+        if (tryCommit(fs, dir, base + 1, "delete", Seq(rel), newTxns,
+            Some(parent.schema.getOrElse(remaining.schema)), parent.partitionBy,
+            if (stats.isEmpty) Map.empty else Map(rel -> stats)))
+          return base + 1
+      } catch {
+        case e: Throwable => abortTidy(spark, fs, dir, rel); throw e
+      }
       // lost to a concurrent writer: our rewrite is stale — discard
       // the orphan dir and redo from new latest
       fs.delete(new Path(dir, rel), true)
@@ -694,17 +821,32 @@ object TableCommit {
     * Readers on the old version keep reading its immutable dirs.
     * Returns the committed version.
     *
-    * `sortCols` orders rows INSIDE the compacted files (Z-order-lite:
-    * a within-partition sort, no global exchange) so parquet min/max
+    * `sortCols` orders rows INSIDE the compacted files (a
+    * within-partition sort, no global exchange) so parquet min/max
     * row-group statistics become selective on those columns — the
     * data-skipping payoff of compaction at 100 TB, where reads filter
-    * on the sorted keys. `statsCols` defaults to re-recording
-    * whatever columns the parent's file stats covered. */
+    * on the sorted keys. `zorderCols` (Delta's OPTIMIZE ZORDER BY)
+    * instead clusters by the MULTI-COLUMN Morton interleave
+    * ([[graft.operators.Layout.zorderValue]]): each column is
+    * linearly coded into `zorderBits` bits against its snapshot-wide
+    * [min, max] (one cheap aggregate pass), rows range-partition
+    * across the `targetFiles` output files by the interleaved value
+    * and sort by it within each file — so per-file ranges tighten on
+    * EVERY named column at once, where a lexicographic sort only
+    * tightens the leading one. Numeric columns only (the interleave
+    * needs a linear code). Mutually exclusive with `sortCols`.
+    * `statsCols` defaults to re-recording whatever columns the
+    * parent's file stats covered. */
   def compact(
       spark: SparkSession, dir: String,
       targetFiles: Int = 1, sortCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil, zorderBits: Int = 16): Long = {
     require(targetFiles > 0, "TableCommit.compact: targetFiles must be positive")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "TableCommit.compact: pass sortCols OR zorderCols, not both")
+    require(zorderCols.isEmpty || zorderCols.size >= 2,
+      "TableCommit.compact: z-ordering needs at least two columns (use sortCols for one)")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var attempts = 0
     while (attempts < 100) {
@@ -714,30 +856,79 @@ object TableCommit {
       val base = vs.last
       val parent = readManifestFull(fs, dir, base)
       val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
-      val coalesced = readVersion(spark, dir, base).coalesce(targetFiles)
-      val shaped =
-        if (sortCols.isEmpty) coalesced
-        else coalesced.sortWithinPartitions(sortCols.map(col): _*)
-      val w = shaped.write.mode("overwrite")
-      (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
-        .parquet(s"$dir/$rel")
-      val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
-      val stats = collectStats(spark, dir, rel, eff,
-        parent.schema.getOrElse(shaped.schema))
-      // inherit the txn table AND the schema AND the layout:
-      // compaction reshapes data, it must not erase the idempotence
-      // history streaming sinks rely on or the append-enforcement
-      // contracts
-      if (tryCommit(fs, dir, base + 1, "overwrite", Seq(rel), parent.txns,
-          parent.schema, parent.partitionBy,
-          if (stats.isEmpty) Map.empty else Map(rel -> stats)))
-        return base + 1
+      try {
+        val snapshot = readVersion(spark, dir, base)
+        val shaped =
+          if (zorderCols.nonEmpty) {
+            val z = zorderExpr(snapshot, zorderCols, zorderBits)
+            // range-partition by the Morton value so the CURVE splits
+            // across files (global clustering), then sort inside each
+            snapshot.repartitionByRange(targetFiles, z).sortWithinPartitions(z)
+          } else {
+            val coalesced = snapshot.coalesce(targetFiles)
+            if (sortCols.isEmpty) coalesced
+            else coalesced.sortWithinPartitions(sortCols.map(col): _*)
+          }
+        val w = shaped.write.mode("overwrite")
+        (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+          .parquet(s"$dir/$rel")
+        val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+        val stats = collectStats(spark, dir, rel, eff,
+          parent.schema.getOrElse(shaped.schema))
+        // inherit the txn table AND the schema AND the layout:
+        // compaction reshapes data, it must not erase the idempotence
+        // history streaming sinks rely on or the append-enforcement
+        // contracts
+        if (tryCommit(fs, dir, base + 1, "overwrite", Seq(rel), parent.txns,
+            parent.schema, parent.partitionBy,
+            if (stats.isEmpty) Map.empty else Map(rel -> stats)))
+          return base + 1
+      } catch {
+        case e: Throwable => abortTidy(spark, fs, dir, rel); throw e
+      }
       // lost to a concurrent writer: our rewrite is stale (missing
       // their rows) — discard the orphan dir and redo from new latest
       fs.delete(new Path(dir, rel), true)
     }
     throw new IllegalStateException(
       s"TableCommit.compact: gave up after $attempts contended attempts on $dir")
+  }
+
+  /** The Morton interleave column for a snapshot: each z-order column
+    * is linearly scaled into `bits` bits against its snapshot-wide
+    * [min, max] (one column-pruned aggregate — bounded by column
+    * count, never row count), then bit-interleaved. NULLs code to 0
+    * (they cluster with the minimum — stats still tighten; parquet
+    * null counts handle the rest). A constant column codes to 0
+    * everywhere (no signal, but no error — the other columns still
+    * interleave). */
+  private def zorderExpr(snapshot: DataFrame, cols: Seq[String], bits: Int): Column = {
+    cols.foreach { c =>
+      val f = snapshot.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"TableCommit.compact: zorderCols column '$c' is not in the table"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | _: DecimalType => ()
+        case dt => throw new IllegalArgumentException(
+          s"TableCommit.compact: z-order on '$c': ${dt.simpleString} is unsupported " +
+            "(numeric columns only — the interleave needs a linear code)")
+      }
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast(DoubleType), max(col(c)).cast(DoubleType)))
+    val agg = snapshot.agg(aggs.head, aggs.tail: _*).head()
+    val mask = (1L << bits) - 1
+    val coded = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        (if (agg.isNullAt(2 * i)) 0.0 else agg.getDouble(2 * i),
+         if (agg.isNullAt(2 * i + 1)) 0.0 else agg.getDouble(2 * i + 1))
+      val span = hi - lo
+      if (span <= 0) lit(0L)
+      else least(lit(mask), greatest(lit(0L),
+        ((coalesce(col(c).cast(DoubleType), lit(lo)) - lit(lo)) / lit(span) * lit(mask.toDouble))
+          .cast(LongType)))
+    }
+    graft.operators.Layout.zorderValue(bits, coded: _*)
   }
 
   /** VACUUM by version retention: keep the newest `keepVersions`
@@ -798,9 +989,9 @@ object TableCommit {
   /** Read the latest committed snapshot (loud error on an empty or
     * nonexistent table — there is no committed data to show). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
-    readVersion(spark, dir, vs.last)
+    val last = latestVersion(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"TableCommit: no committed versions under $dir"))
+    readVersion(spark, dir, last)
   }
 
   /** Time travel: read snapshot `version` exactly as committed. When
@@ -854,6 +1045,20 @@ object TableCommit {
       s"TableCommit.readChanges: need 0 <= from < to, got ($fromExclusive, $toInclusive]")
     require(vs.contains(toInclusive),
       s"TableCommit.readChanges: version $toInclusive is not committed (have ${vs.mkString(", ")})")
+    // vacuum trims the log's HEAD: a range reaching below the oldest
+    // surviving manifest is unreconstructible, and silently treating
+    // the oldest survivor's self-contained snapshot as "its own
+    // delta" would tag vacuumed versions' rows with the survivor's
+    // version — fail naming the retention contract instead
+    // every manifest in [max(from, 1), to] must survive: v's delta is
+    // diffed against v-1's dir list, and from = 0 stands in for "the
+    // table's first version" (only valid while v1 itself survives)
+    if (math.max(fromExclusive, 1L) < vs.head)
+      throw new IllegalStateException(
+        s"TableCommit.readChanges: history was vacuumed past version $fromExclusive — " +
+          s"the oldest surviving manifest of $dir is v${vs.head}; changes before it are " +
+          "unreconstructible (raise vacuum keepVersions to cover your slowest consumer, " +
+          "or restart the consumer from a full snapshot read)")
     require(fromExclusive == 0 || vs.contains(fromExclusive),
       s"TableCommit.readChanges: version $fromExclusive is not committed (have ${vs.mkString(", ")})")
     val to = readManifestFull(fs, dir, toInclusive)
@@ -892,6 +1097,90 @@ object TableCommit {
     }.reduce(_ unionByName _)
   }
 
+  /** Row-level change-data-feed (the Delta CDF contract): every row
+    * change versions (fromExclusive, toInclusive] made, tagged
+    * `_change_type` ∈ {insert, update_preimage, update_postimage,
+    * delete} and `_commit_version`. Where [[readChanges]] fails loudly
+    * on a rewrite version, this RESOLVES it: append versions still
+    * cost only their dir delta (every row an insert, no join), and a
+    * rewrite version (merge / delete / overwrite / restore) is
+    * digest-diffed against its predecessor snapshot — a full-row md5
+    * reconciled FULL OUTER by `keyCol`, the
+    * [[graft.operators.Snapshots.snapshotDiff]] pattern. Unchanged
+    * rows are carried silently. One shuffle join per rewrite BOUNDARY,
+    * never per append — at 100 TB a CDC consumer pays the diff only
+    * when someone actually rewrote, and the common append stream
+    * stays a narrow file-list read. Keys must be unique per snapshot
+    * (the merge/delete write paths maintain this). */
+  def readChangesRowLevel(
+      spark: SparkSession, dir: String,
+      fromExclusive: Long, toInclusive: Long, keyCol: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
+    require(fromExclusive >= 0 && fromExclusive < toInclusive,
+      s"TableCommit.readChangesRowLevel: need 0 <= from < to, got ($fromExclusive, $toInclusive]")
+    require(vs.contains(toInclusive),
+      s"TableCommit.readChangesRowLevel: version $toInclusive is not committed (have ${vs.mkString(", ")})")
+    if (math.max(fromExclusive, 1L) < vs.head)
+      throw new IllegalStateException(
+        s"TableCommit.readChangesRowLevel: history was vacuumed past version $fromExclusive — " +
+          s"the oldest surviving manifest of $dir is v${vs.head}; changes before it are " +
+          "unreconstructible (raise vacuum keepVersions, or restart from a snapshot read)")
+    require(fromExclusive == 0 || vs.contains(fromExclusive),
+      s"TableCommit.readChangesRowLevel: version $fromExclusive is not committed (have ${vs.mkString(", ")})")
+    val sch = readManifestFull(fs, dir, toInclusive).schema
+      .getOrElse(readVersion(spark, dir, toInclusive).schema)
+    require(sch.fieldNames.contains(keyCol),
+      s"TableCommit.readChangesRowLevel: key column '$keyCol' is not in the table schema")
+    // every per-version frame conforms to the `to` schema (additive
+    // evolution mid-range: pre-evolution rows surface NULL, exactly
+    // what the committed-schema read shows for them)
+    def conform(df: DataFrame): DataFrame = df.select(sch.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val rowDigest = md5(to_json(struct(sch.fieldNames.toSeq.map(col): _*)))
+    val inRange = vs.filter(v => v > fromExclusive && v <= toInclusive)
+    val deltas = inRange.map { v =>
+      val (mode, ds) = versionMeta(spark, dir, v)
+      val allInserts =
+        if (v == vs.head) Some(readVersion(spark, dir, v)) // the table's first version
+        else if (mode == "append") {
+          val prev = versionMeta(spark, dir, v - 1)._2.toSet
+          val fresh = ds.filterNot(prev).map(d => s"$dir/$d")
+          val reader =
+            if (snapshotMeta(spark, dir, Some(v))._3.isEmpty) spark.read
+            else spark.read.option("basePath", s"$dir/data")
+          Some(reader.schema(sch).parquet(fresh: _*))
+        } else None
+      val tagged = allInserts match {
+        case Some(df) =>
+          conform(df).withColumn("_change_type", lit("insert"))
+        case None =>
+          // rewrite boundary: digest-diff prev vs next snapshots
+          def side(v: Long, s: String) = conform(readVersion(spark, dir, v))
+            .select(col(keyCol).as("__key"), rowDigest.as(s"__md5_$s"),
+              struct(sch.fieldNames.toSeq.map(col): _*).as(s"__row_$s"))
+          val joined = side(v - 1, "p").join(side(v, "n"), Seq("__key"), "full_outer")
+          def ev(t: String, r: String) =
+            struct(lit(t).as("t"), col(r).as("r"))
+          joined.select(explode(
+            when(col("__md5_p").isNull, array(ev("insert", "__row_n")))
+              .when(col("__md5_n").isNull, array(ev("delete", "__row_p")))
+              .when(col("__md5_p") =!= col("__md5_n"),
+                array(ev("update_preimage", "__row_p"), ev("update_postimage", "__row_n")))
+              .otherwise(array().cast(
+                org.apache.spark.sql.types.ArrayType(new StructType()
+                  .add("t", StringType).add("r", sch))))).as("__e"))
+            .select((sch.fieldNames.toSeq.map(n => col(s"__e.r.$n").as(n)) :+
+              col("__e.t").as("_change_type")): _*)
+      }
+      tagged.withColumn("_commit_version", lit(v))
+    }
+    deltas.reduce(_ unionByName _)
+  }
+
   /** Stats-skipping read of the latest snapshot: rows of
     * `read(...).where(colName BETWEEN lo AND hi)`, planned over ONLY
     * the files whose committed [min, max] for `colName` intersects
@@ -904,11 +1193,18 @@ object TableCommit {
       spark: SparkSession, dir: String,
       colName: String, lo: Any, hi: Any): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"TableCommit: no committed versions under $dir")
-    val m = readManifestFull(fs, dir, vs.last)
+    val last = latestVersion(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"TableCommit: no committed versions under $dir"))
+    val m = readManifestFull(fs, dir, last)
     val pred = col(colName).between(lit(lo), lit(hi))
-    if (m.stats.isEmpty)
+    def isNaN(v: Any): Boolean = v match {
+      case d: Double => d.isNaN
+      case f: Float => f.isNaN
+      case _ => false
+    }
+    // NaN bounds are unorderable against recorded stats — no pruning,
+    // just the predicate (Spark's own NaN ordering applies)
+    if (m.stats.isEmpty || isNaN(lo) || isNaN(hi))
       return read(spark, dir).where(pred)
     def overlaps(st: FileStat): Boolean =
       (st.min.get(colName), st.max.get(colName)) match {
@@ -938,6 +1234,74 @@ object TableCommit {
     else
       reader.schema(sch).parquet(paths: _*)
         .select(sch.fieldNames.toSeq.map(col): _*).where(pred)
+  }
+
+  /** The manifest-stats file prune behind the `graft_table`
+    * connector's ScanBuilder
+    * ([[org.apache.spark.sql.graftshim.GraftPruningScanBuilder]]):
+    * given the catalyst filters Spark pushed at the scan, return the
+    * committed FILE paths that can possibly match — or None when
+    * nothing is prunable (no stats, no recognized bounds), leaving
+    * the full-dir scan in place. Recognizes the null-rejecting
+    * comparison conjuncts (=, <, <=, >, >=, against a literal) on
+    * stats-covered columns; everything else is ignored, and every
+    * pushed filter is still evaluated downstream, so the prune is
+    * always conservative — it can drop only files whose recorded
+    * [min, max] cannot intersect the bound, the exact [[readRange]]
+    * rule (same UTF8String string order, same all-null-file and
+    * NaN handling). */
+  private[sources] def pruneFilesForScan(
+      spark: SparkSession, dir: String, version: Long,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+      LessThan, LessThanOrEqual, Literal}
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readManifestFull(fs, dir, version)
+    if (m.stats.isEmpty) return None
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(null, _) => None
+      case Literal(d: Double, _) if d.isNaN => None
+      case Literal(f: Float, _) if f.isNaN => None
+      case Literal(v, _) => Some(v)
+      case _ => None
+    }
+    // (column, lo, hi) conjuncts; a file must satisfy ALL of them
+    val bounds = filters.flatMap {
+      case EqualTo(a: AttributeReference, l) => litVal(l).map(v => (a.name, Some(v), Some(v)))
+      case EqualTo(l, a: AttributeReference) => litVal(l).map(v => (a.name, Some(v), Some(v)))
+      case GreaterThan(a: AttributeReference, l) => litVal(l).map(v => (a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l) => litVal(l).map(v => (a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l) => litVal(l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l) => litVal(l).map(v => (a.name, None, Some(v)))
+      // literal-on-the-left mirrors: lit OP col ⇒ col flipped-OP lit
+      case GreaterThan(l, a: AttributeReference) => litVal(l).map(v => (a.name, None, Some(v)))
+      case GreaterThanOrEqual(l, a: AttributeReference) => litVal(l).map(v => (a.name, None, Some(v)))
+      case LessThan(l, a: AttributeReference) => litVal(l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(l, a: AttributeReference) => litVal(l).map(v => (a.name, Some(v), None))
+      case _ => None
+    }
+    // only bounds on columns the manifest actually has stats for can
+    // prune; bounds on other columns are vacuous (kept files anyway)
+    val statCols = m.stats.values.flatten.flatMap(f => f.min.keys ++ f.max.keys).toSet
+    val effective = bounds.filter(b => statCols.contains(b._1))
+    if (effective.isEmpty) return None
+    def overlaps(st: FileStat, c: String, lo: Option[Any], hi: Option[Any]): Boolean =
+      (st.min.get(c), st.max.get(c)) match {
+        case (Some(mn), Some(mx)) =>
+          // all-null file: a null-rejecting comparison matches nothing
+          if (mn.isNull || mx.isNull) false
+          else hi.forall(h => statCmp(mn, h) <= 0) && lo.forall(l => statCmp(mx, l) >= 0)
+        case _ => true // column not covered in THIS file: cannot skip
+      }
+    Some(m.dirs.flatMap { d =>
+      m.stats.get(d) match {
+        case None => Seq(s"$dir/$d") // stat-less commit: scan its whole dir
+        case Some(fss) => fss
+          .filter(f => effective.forall { case (c, lo, hi) => overlaps(f, c, lo, hi) })
+          .map(f => s"$dir/${f.file}")
+      }
+    })
   }
 
   val gates: Seq[Gate] = Seq(
@@ -1007,6 +1371,103 @@ object TableCommit {
       write(docs.where(col("doc_id") > 30).coalesce(1), path, "append",
         statsCols = Seq("doc_id"))
       readRange(s, path, "doc_id", 10, 30).orderBy("doc_id")
+    },
+    // Idempotent-MERGE gate (the foreachBatch CDC-upsert restart
+    // shape): the same merge batch is committed twice under one txn
+    // id — the replay must rewrite NOTHING. The require pins the
+    // version arithmetic; the committed_versions column makes a
+    // leaked extra commit hash-visible on top.
+    Gate(
+      "snk_table_merge_txn",
+      """SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 10 = 0 THEN 'rev2 ' || text ELSE text END) AS text_md5,
+        |  CAST(3 AS BIGINT) AS committed_versions
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val path = DocSource.gateScratch(dir, "snk_table_merge_txn")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      val changes = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(lit("rev2 "), col("text")).as("text"), lit(false).as("deleted"))
+      val v3 = merge(s, path, changes, "doc_id", "deleted",
+        txn = Some(("cdc-upsert", 7L)))
+      val v3b = merge(s, path, changes, "doc_id", "deleted",
+        txn = Some(("cdc-upsert", 7L))) // the restart replay
+      require(v3 == 3L && v3b == 3L,
+        s"snk_table_merge_txn: replayed merge must commit nothing, got v$v3 then v$v3b")
+      read(s, path)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          lit(versions(s, path).size.toLong).as("committed_versions"))
+        .orderBy("doc_id")
+    },
+    // Row-level change-data-feed gate: two appends then a merge; the
+    // CDF over (2, 3] must classify exactly the merge's effect —
+    // update pre+postimages for the rewrites, deletes for the
+    // tombstones, inserts for the new keys, carried rows silent. The
+    // oracle recomputes every class arithmetically from the raw
+    // table, so a missed class, a digest false-positive (phantom
+    // update) or a wrong version tag moves the hash.
+    Gate(
+      "src_table_cdf",
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  'update_preimage' AS change_type, CAST(3 AS BIGINT) AS commit_version
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, md5('rev2 ' || text), 'update_postimage', 3
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, md5(text), 'delete', 3
+        |FROM documents WHERE doc_id % 10 = 5
+        |UNION ALL
+        |SELECT doc_id + 9000000, md5('new page ' || doc_id), 'insert', 3
+        |FROM documents WHERE doc_id % 17 = 0
+        |ORDER BY change_type, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val path = DocSource.gateScratch(dir, "src_table_cdf")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "append") // v1
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append") // v2
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(lit("rev2 "), col("text")).as("text"), lit(false).as("deleted"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 5)
+            .select(col("doc_id"), lit("").as("text"), lit(true).as("deleted")))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 9000000).as("doc_id"),
+              concat(lit("new page "), col("doc_id")).as("text"),
+              lit(false).as("deleted")))
+      merge(s, path, changes, "doc_id", "deleted") // v3 (rewrite)
+      readChangesRowLevel(s, path, 2L, 3L, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("change_type", "doc_id")
+    },
+    // Z-order compaction gate: a multi-file table is compacted
+    // clustered by the (doc_id, n_chars) Morton interleave with stats
+    // re-recorded on BOTH columns, and the gated read range-skips on
+    // the SECOND column — the clustering that a lexicographic sort
+    // cannot serve. The oracle recomputes the window from the raw
+    // table (an over-pruned file loses rows → hash moves); the
+    // per-file range-tightness itself is pinned by CommitSpec.
+    Gate(
+      "snk_table_zorder",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 100 AND 400 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+      val path = DocSource.gateScratch(dir, "snk_table_zorder")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.repartition(8), path, "overwrite",
+        statsCols = Seq("doc_id", "n_chars"))
+      compact(s, path, targetFiles = 8, zorderCols = Seq("doc_id", "n_chars"))
+      readRange(s, path, "n_chars", 100, 400)
+        .select("doc_id", "n_chars").orderBy("doc_id")
     },
     // MERGE gate: the op_upsert change classes (rewrites for %10=0,
     // tombstones for %10=5, inserts at +9M for %17=0) applied THROUGH

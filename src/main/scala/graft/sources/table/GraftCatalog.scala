@@ -1,0 +1,106 @@
+package graft.sources.table
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.TableCommit
+
+/** SQL catalog over a warehouse of [[TableCommit]] tables — name
+  * resolution for the `graft_table` connector, so queries address
+  * tables as `graft.db.tbl` instead of `.load(path)`:
+  *
+  * {{{
+  * spark.sql.catalog.graft            = graft.sources.table.GraftCatalog
+  * spark.sql.catalog.graft.warehouse  = /tables
+  *
+  * SELECT * FROM graft.db.corpus                  -- latest snapshot
+  * SELECT * FROM graft.db.corpus VERSION AS OF 3  -- time travel
+  * }}}
+  *
+  * An identifier `db.tbl` maps onto the directory
+  * `<warehouse>/db/tbl`; a table exists iff that directory holds a
+  * committed manifest log. Loads delegate to the same snapshot
+  * resolution as `format("graft_table")` ([[GraftTableSource.resolve]]
+  * — committed schema, native parquet planning, manifest-stats file
+  * pruning), and `VERSION AS OF` arrives through the TableCatalog
+  * time-travel hook. The catalog is deliberately READ-ONLY: DDL and
+  * DML go through `TableCommit.write`/`merge`/`delete` (the manifest
+  * log is the only writer — same reason the connector exposes no
+  * write capability), so every mutation keeps the commit protocol's
+  * guarantees.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"GraftCatalog '$name': set spark.sql.catalog.$name.warehouse to the table root directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def committed(ident: Identifier): Boolean =
+    TableCommit.latestVersion(spark, dirOf(ident)).nonEmpty
+
+  override def tableExists(ident: Identifier): Boolean = committed(ident)
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF n` — the TableCatalog time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog: VERSION AS OF wants a commit version number, got '$version'"))))
+
+  private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    if (!committed(ident)) throw new NoSuchTableException(ident)
+    GraftTableSource.resolve(
+      spark, dirOf(ident), versionAsOf,
+      new StructType(), new util.HashMap[String, String]())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = nsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(nsDir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir).toSeq
+      .filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .filter(committed)
+      .toArray
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"GraftCatalog is read-only: $op goes through the TableCommit API " +
+        "(write/merge/delete/compact/restore), which is the manifest log's only writer")
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

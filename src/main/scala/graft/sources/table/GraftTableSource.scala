@@ -6,12 +6,13 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.graftshim.{GraftPruningScanBuilder, GraftSqlShim}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,13 +31,16 @@ import graft.sources.{DocSource, TableCommit}
   *
   * '''Batch half''': resolves the requested manifest (latest or
   * `versionAsOf`) and DELEGATES the scan to Spark's own
-  * [[ParquetTable]] over exactly the committed data dirs with the
-  * committed schema — so pushdown, column pruning, partition pruning
-  * (hive-partitioned commit dirs), vectorized reading and AQE are all
-  * the native parquet path, not a reimplementation. The connector's
-  * only job is snapshot resolution; write capability is deliberately
-  * NOT exposed (a write bypassing the manifest log would corrupt the
-  * table — use `TableCommit.write`).
+  * [[ParquetTable]] with the committed schema — so pushdown, column
+  * pruning, partition pruning (hive-partitioned commit dirs),
+  * vectorized reading and AQE are all the native parquet path, not a
+  * reimplementation. On top, the ScanBuilder intercepts the pushed
+  * filters and prunes the FILE LIST against the manifest's per-file
+  * min/max stats ([[GraftPruningScanBuilder]]) — `readRange`'s
+  * skipping, now automatic for any pushed comparison on a stats
+  * column. Write capability is deliberately NOT exposed (a write
+  * bypassing the manifest log would corrupt the table — use
+  * `TableCommit.write`).
   *
   * '''Streaming half''' (the Delta streaming-source idea): a V1
   * [[Source]] whose offset is the committed VERSION; each new
@@ -48,6 +52,13 @@ import graft.sources.{DocSource, TableCommit}
   * version; restarts resume from the checkpointed version offset, so
   * together with the [[TableCommit.streamAppend]] sink the
   * table-to-table relay is exactly-once end to end.
+  * `maxVersionsPerBatch = n` rate-limits admission (the
+  * maxFilesPerTrigger idea at version granularity): a restarted
+  * checkpoint facing a long backlog drains it as bounded micro-batches
+  * instead of one giant catch-up batch — implemented through
+  * [[SupportsTriggerAvailableNow]] admission control, so
+  * `Trigger.AvailableNow` still drains the full backlog, just in
+  * capped steps.
   */
 class GraftTableSource extends TableProvider with StreamSourceProvider
     with DataSourceRegister {
@@ -77,24 +88,7 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
       properties: util.Map[String, String]): Table = {
     val spark = SparkSession.active
     val dir = pathOf(properties)
-    val (paths, committed, layout) =
-      TableCommit.snapshotMeta(spark, dir, versionAsOf(properties))
-    // strip the path keys: ParquetTable must list ONLY the resolved
-    // snapshot dirs, never the table root (which holds _log and every
-    // other version's dirs)
-    val opts = new util.HashMap[String, String](properties)
-    opts.remove("path"); opts.remove("paths")
-    // hive-partitioned commit dirs (data/__commit=…/lang=…) need one
-    // discovery anchor; unpartitioned snapshots must NOT get one (it
-    // would surface __commit as a column on every read). The RESOLVED
-    // snapshot's layout decides — versionAsOf may cross a re-layout.
-    if (layout.nonEmpty)
-      opts.put("basePath", s"$dir/data"): Unit
-    val pt = ParquetTable(s"graft_table($dir)",
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      new CaseInsensitiveStringMap(opts), paths,
-      Some(committed.getOrElse(schema)), classOf[ParquetFileFormat])
-    new GraftTableView(pt, s"graft_table($dir)", committed.getOrElse(schema))
+    GraftTableSource.resolve(spark, dir, versionAsOf(properties), schema, properties)
   }
 
   // ---- streaming (V1 source: offset = committed version) ----
@@ -124,11 +118,50 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
         throw new IllegalArgumentException("graft_table stream: .load(<table directory>) is required")),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      parameters.get("maxversionsperbatch").orElse(parameters.get("maxVersionsPerBatch"))
+        .map { s =>
+          val n = s.toLong
+          require(n >= 1, s"graft_table stream: maxVersionsPerBatch must be >= 1, got $n")
+          n
+        })
+}
+
+private[table] object GraftTableSource {
+
+  /** Snapshot resolution shared by the format("graft_table") path and
+    * the `graft` SQL catalog: resolve the manifest, delegate to a
+    * native ParquetTable, and wrap in the committed-schema +
+    * file-pruning view. */
+  def resolve(
+      spark: SparkSession, dir: String, versionAsOf: Option[Long],
+      fallbackSchema: StructType,
+      properties: util.Map[String, String]): Table = {
+    val (version, paths, committed, layout) =
+      TableCommit.snapshotMetaV(spark, dir, versionAsOf)
+    // strip the path keys: ParquetTable must list ONLY the resolved
+    // snapshot dirs, never the table root (which holds _log and every
+    // other version's dirs)
+    val opts = new util.HashMap[String, String](properties)
+    opts.remove("path"); opts.remove("paths")
+    // hive-partitioned commit dirs (data/__commit=…/lang=…) need one
+    // discovery anchor; unpartitioned snapshots must NOT get one (it
+    // would surface __commit as a column on every read). The RESOLVED
+    // snapshot's layout decides — versionAsOf may cross a re-layout.
+    if (layout.nonEmpty)
+      opts.put("basePath", s"$dir/data"): Unit
+    val sch = committed.getOrElse(fallbackSchema)
+    val mk = (ps: Seq[String]) => ParquetTable(s"graft_table($dir)",
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      new CaseInsensitiveStringMap(opts), ps, Some(sch), classOf[ParquetFileFormat])
+    new GraftTableView(mk, paths, s"graft_table($dir)", sch,
+      filters => TableCommit.pruneFilesForScan(spark, dir, version, filters))
+  }
 }
 
 /** Read-only view over the delegated [[ParquetTable]]: scans pass
-  * straight through (full native parquet planning), writes are not a
+  * through a [[GraftPruningScanBuilder]] (manifest-stats file
+  * skipping, then full native parquet planning), writes are not a
   * capability — the manifest log is the only writer. The view's
   * schema is the COMMITTED table schema, not the delegate's: on a
   * partitioned table FileTable appends every DISCOVERED partition
@@ -138,28 +171,71 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
   * the table contract, and column pruning simply never requests
   * `__commit`. */
 private[table] class GraftTableView(
-    pt: ParquetTable, ident: String, committed: StructType)
+    mk: Seq[String] => ParquetTable, allPaths: Seq[String],
+    ident: String, committed: StructType,
+    prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Seq[String]])
     extends Table with SupportsRead {
   override def name(): String = ident
   override def schema(): StructType = committed
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    pt.newScanBuilder(options)
+    new GraftPruningScanBuilder(ps => mk(ps).newScanBuilder(options), allPaths, prune)
 }
 
-/** Manifest-log tail as a stream: `getOffset` = latest committed
-  * version; `getBatch((s, e])` = the dirs versions s+1..e appended,
-  * read with the committed schema and re-tagged as a streaming frame.
+/** Manifest-log tail as a stream: admission control offers the latest
+  * committed version (capped to `maxVersionsPerBatch` past the
+  * start offset when set); `getBatch((s, e])` = the dirs versions
+  * s+1..e appended, read with the committed schema and re-tagged as a
+  * streaming frame. A checkpointed offset whose successor manifests
+  * were vacuumed fails naming the retention contract, never as a bare
+  * missing-file error.
   */
-private[table] class GraftTableStreamSource(
+private[graft] class GraftTableStreamSource(
     spark: SparkSession, dir: String, sch: StructType,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean,
+    maxVersionsPerBatch: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
 
   override def schema: StructType = sch
 
+  /** AvailableNow fence: the latest version at prepare time — the
+    * drain stops here even if writers keep committing. */
+  private var availableFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableFence = TableCommit.latestVersion(spark, dir)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.toLong
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = availableFence match {
+      case Some(f) => TableCommit.latestVersion(spark, dir).map(math.min(_, f))
+      case None => TableCommit.latestVersion(spark, dir)
+    }
+    val capped = (latest, maxVersionsPerBatch) match {
+      case (Some(l), Some(max)) =>
+        // a fresh query's first batch is the snapshot AT the oldest
+        // surviving version — anchoring below it keeps the first
+        // capped step from swallowing the whole backlog
+        val start = Option(startOffset).map(versionOf)
+          .getOrElse(TableCommit.versions(spark, dir).head - 1)
+        Some(math.min(l, start + max))
+      case (l, _) => l
+    }
+    capped.map(LongOffset(_)).orNull
+  }
+
   override def getOffset: Option[OffsetV1] =
-    TableCommit.versions(spark, dir).lastOption.map(LongOffset(_))
+    // legacy entry (engines route SupportsAdmissionControl sources
+    // through latestOffset; kept for direct callers/specs)
+    Option(latestOffset(null, getDefaultReadLimit))
+      .map(o => LongOffset(versionOf(o)))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // offsets arrive as LongOffset live and SerializedOffset after a
@@ -175,6 +251,19 @@ private[table] class GraftTableStreamSource(
         TableCommit.snapshotMeta(spark, dir, Some(endV))._1
       case Some(s) =>
         val startV = s.json.toLong
+        // the incremental diff needs every manifest in [startV, endV];
+        // vacuum trims the log head, so a checkpoint older than the
+        // oldest survivor must fail naming the retention contract,
+        // not surface a raw FileNotFoundException mid-listing
+        val oldest = TableCommit.versions(spark, dir).headOption.getOrElse(
+          throw new IllegalStateException(
+            s"graft_table stream: $dir has no committed versions"))
+        if (startV < oldest)
+          throw new IllegalStateException(
+            s"graft_table stream: the checkpointed offset v$startV of $dir precedes the " +
+              s"oldest surviving manifest v$oldest — history was vacuumed past this " +
+              "checkpoint (raise vacuum keepVersions to cover the slowest consumer, or " +
+              "restart the query with a fresh checkpoint to re-read the snapshot)")
         ((startV + 1) to endV).flatMap { v =>
           val (mode, ds) = TableCommit.versionMeta(spark, dir, v)
           if (mode != "append" && !ignoreChanges)
@@ -232,6 +321,41 @@ object GraftTableGates {
       s.read.format("graft_table").load(path)
         .where(col("doc_id").between(5, 200))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    },
+    // Catalog SQL surface: the same snapshot + time-travel contract
+    // through `spark.sql` name resolution — the graft catalog maps
+    // graft.db.tbl onto a TableCommit dir under its warehouse; the
+    // query unions the LATEST snapshot with a `VERSION AS OF` read of
+    // the pre-poison version, so both resolution paths (plain ident +
+    // time travel) are pinned by one hash against the raw-table
+    // oracle.
+    Gate(
+      "src_table_sql",
+      """SELECT doc_id, lang, n_chars, 'latest' AS via FROM documents
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'asof' AS via FROM documents
+        |ORDER BY via, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val wh = DocSource.gateScratch(dir, "graft_catalog")
+      val tbl = s"$wh/db/events_t"
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+      // v1: evens + odds (the snapshot `VERSION AS OF 2` pins)
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 0), tbl, "overwrite")
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 1), tbl, "append")
+      // v3: overwrite down to evens only (the LATEST snapshot)
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 0), tbl, "overwrite")
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql(
+        """SELECT doc_id, lang, n_chars, 'latest' AS via FROM graft.db.events_t
+          |UNION ALL
+          |SELECT doc_id, lang, n_chars, 'asof' AS via
+          |FROM graft.db.events_t VERSION AS OF 2
+          |ORDER BY via, doc_id""".stripMargin)
     },
     // Streaming table-to-table relay, exactly-once end to end: a
     // graft_table SOURCE tails the src table's manifest log into a

@@ -1,0 +1,55 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-level file skipping for the `graft_table` connector: a
+  * ScanBuilder that intercepts the catalyst filters Spark pushes at
+  * the scan ([[SupportsPushDownCatalystFilters]] — the same internal
+  * seam [[FileScanBuilder]] itself implements, hence this
+  * sql-subpackage home), asks the table layer which committed FILES
+  * can possibly match (their manifest-recorded min/max vs the pushed
+  * bounds — `TableCommit.readRange`'s pruning, now reachable from
+  * plain `spark.read.format("graft_table")` SQL), and REBUILDS the
+  * delegated parquet scan over only the surviving file list. All
+  * actual planning stays native ([[FileScanBuilder]] pushdown, column
+  * pruning, vectorized read); this wrapper only shrinks the file list
+  * the planner ever sees — at 100 TB the difference between listing/
+  * footer-reading every committed file and opening a strict subset.
+  *
+  * The prune callback is ADVISORY: `None` = no stats or nothing
+  * prunable (the original full-path delegate stands), and every
+  * pushed filter is still evaluated by the delegate, so a conservative
+  * prune can never change results — only the file list.
+  */
+class GraftPruningScanBuilder(
+    mk: Seq[String] => ScanBuilder,
+    allPaths: Seq[String],
+    prune: Seq[Expression] => Option[Seq[String]])
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var delegate: FileScanBuilder =
+    mk(allPaths).asInstanceOf[FileScanBuilder]
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // swap the delegate BEFORE forwarding: V2ScanRelationPushDown
+    // pushes filters first, prunes columns after, so the rebuilt
+    // delegate sees the full pushdown sequence
+    prune(filters).foreach { pruned =>
+      delegate = mk(pruned).asInstanceOf[FileScanBuilder]
+    }
+    delegate.pushFilters(filters)
+  }
+
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def build(): Scan = delegate.build()
+}

@@ -925,4 +925,242 @@ class CommitSpec extends SparkSpec {
     val rows = TableCommit.read(spark, dir).orderBy("id").as[Long].collect().toSeq
     assert(rows == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L))
   }
+
+  // ---- round 14: stats-order edges, txn mutations, CDF, hints ----
+
+  test("readRange string skipping uses UTF8String order: an emoji max must not skip a U+FFFD bound") {
+    val dir = Files.createTempDirectory("graft-statcmp").toString + "/t"
+    // one file whose recorded max is a supplementary-plane char: in
+    // UTF-16 code-unit order the emoji's lead surrogate (0xD83D)
+    // sorts BELOW U+FFFD, so the old String.compareTo skip logic
+    // would prune the file and silently lose the matching row
+    val emoji = new String(Character.toChars(0x1F600))
+    TableCommit.write(
+      Seq((1L, "alpha"), (2L, emoji)).toDF("id", "s").coalesce(1),
+      dir, "overwrite", statsCols = Seq("s"))
+    val got = TableCommit.readRange(spark, dir, "s", "\uFFFD", emoji)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L), s"emoji row lost to a code-unit-order skip: $got")
+  }
+
+  test("NaN float extremes record NO stat for the column; the file is never skipped") {
+    val dir = Files.createTempDirectory("graft-nanstat").toString + "/t"
+    TableCommit.write(
+      Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "x").coalesce(1),
+      dir, "overwrite", statsCols = Seq("id", "x"))
+    val stats = TableCommit.fileStats(spark, dir).values.flatten.toSeq
+    assert(stats.nonEmpty && stats.forall(f =>
+      !f.min.contains("x") && !f.max.contains("x") && f.min.contains("id")),
+      s"NaN column must be absent from stats (absent = cannot skip): $stats")
+    // the real row set still comes back (file kept despite the bound)
+    val got = TableCommit.readRange(spark, dir, "x", 0.0, 2.0)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"got $got")
+    // NaN bounds skip pruning entirely, never throw
+    assert(TableCommit.readRange(spark, dir, "x", Double.NaN, Double.NaN).count() >= 0)
+  }
+
+  test("merge/delete txn replay commits nothing, even after an interleaved append") {
+    val dir = Files.createTempDirectory("graft-mergetxn").toString + "/t"
+    TableCommit.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir, "overwrite")
+    val changes = Seq((2L, "B", false), (3L, "", true)).toDF("id", "s", "deleted")
+    val v2 = TableCommit.merge(spark, dir, changes, "id", "deleted",
+      txn = Some(("cdc", 10L)))
+    assert(v2 == 2L)
+    // an unrelated append lands between the merge and its replay
+    val v3 = TableCommit.write(Seq((9L, "z")).toDF("id", "s"), dir, "append")
+    assert(v3 == 3L)
+    // replay (same txn version): must return the CURRENT latest and
+    // rewrite nothing — a double-applied merge would delete id 9? no,
+    // worse: it would re-run the upsert over the post-append snapshot
+    val v3b = TableCommit.merge(spark, dir, changes, "id", "deleted",
+      txn = Some(("cdc", 10L)))
+    assert(v3b == 3L && TableCommit.versions(spark, dir) == Seq(1L, 2L, 3L))
+    val rows = TableCommit.read(spark, dir).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B"), (9L, "z")), rows.toString)
+    // delete txn: same contract
+    val v4 = TableCommit.delete(spark, dir, col("id") === 9, txn = Some(("gc", 1L)))
+    assert(v4 == 4L)
+    val v4b = TableCommit.delete(spark, dir, col("id") === 2, txn = Some(("gc", 1L)))
+    assert(v4b == 4L && TableCommit.read(spark, dir).count() == 2,
+      "replayed delete must not apply its (different!) predicate")
+  }
+
+  test("readChanges/readChangesRowLevel fail naming vacuum when the range crosses trimmed history") {
+    val dir = Files.createTempDirectory("graft-vacgap").toString + "/t"
+    (1 to 3).foreach(i => TableCommit.write(Seq((i.toLong, "x")).toDF("id", "s"), dir, "append"))
+    TableCommit.vacuum(spark, dir, keepVersions = 1)
+    val e1 = intercept[IllegalStateException](TableCommit.readChanges(spark, dir, 0L, 3L))
+    assert(e1.getMessage.contains("vacuumed"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      TableCommit.readChangesRowLevel(spark, dir, 0L, 3L, "id"))
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
+  test("readChangesRowLevel classifies appends cheaply and rewrites by digest diff") {
+    val dir = Files.createTempDirectory("graft-cdf").toString + "/t"
+    TableCommit.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir, "append") // v1
+    TableCommit.write(Seq((3L, "c")).toDF("id", "s"), dir, "append") // v2
+    val changes = Seq((2L, "B", false), (3L, "", true), (4L, "d", false))
+      .toDF("id", "s", "deleted")
+    TableCommit.merge(spark, dir, changes, "id", "deleted") // v3: rewrite
+    // full range from the beginning: v1+v2 appends are plain inserts
+    val all = TableCommit.readChangesRowLevel(spark, dir, 0L, 3L, "id")
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(all == Seq(
+      (1L, "a", "insert", 1L), (2L, "B", "update_postimage", 3L),
+      (2L, "b", "insert", 1L), (2L, "b", "update_preimage", 3L),
+      (3L, "c", "delete", 3L), (3L, "c", "insert", 2L),
+      (4L, "d", "insert", 3L)), all.toString)
+    // carried rows (id 1 at v3) are silent in the rewrite's diff
+    val v3only = TableCommit.readChangesRowLevel(spark, dir, 2L, 3L, "id")
+    assert(v3only.where(col("id") === 1).count() == 0)
+  }
+
+  test("latestVersion: fresh hint is O(1); stale, missing and corrupt hints all still resolve") {
+    val dir = Files.createTempDirectory("graft-hint").toString + "/t"
+    (1 to 3).foreach(i => TableCommit.write(Seq((i.toLong, "x")).toDF("id", "s"), dir, "append"))
+    val fs = hfs(dir)
+    val hint = new Path(dir, "_log/_latest")
+    def readHint(): String = {
+      val in = fs.open(hint)
+      val b = try in.readAllBytes() finally in.close()
+      new String(b, "UTF-8").trim
+    }
+    assert(readHint() == "3", "every claim refreshes the hint")
+    assert(TableCommit.latestVersion(spark, dir).contains(3L))
+    // stale hint (racing writer wrote an older value): probe walks forward
+    val out1 = fs.create(hint, true); out1.write("1".getBytes("UTF-8")); out1.close()
+    assert(TableCommit.latestVersion(spark, dir).contains(3L))
+    // corrupt hint: listing fallback
+    val out2 = fs.create(hint, true); out2.write("xyz".getBytes("UTF-8")); out2.close()
+    assert(TableCommit.latestVersion(spark, dir).contains(3L))
+    // missing hint: listing fallback
+    fs.delete(hint, false)
+    assert(TableCommit.latestVersion(spark, dir).contains(3L))
+    // and the next commit restores it
+    TableCommit.write(Seq((9L, "y")).toDF("id", "s"), dir, "append")
+    assert(readHint() == "4")
+  }
+
+  test("compact(zorderCols) tightens per-file ranges on EVERY clustered column at once") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    // a 32x32 grid: lexicographic sort by x leaves y full-span in
+    // every file; the Morton interleave must tighten both
+    val grid = spark.range(0, 1024)
+      .select((col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    TableCommit.write(grid.repartition(7), dir, "overwrite", statsCols = Seq("x", "y"))
+    TableCommit.compact(spark, dir, targetFiles = 4, zorderCols = Seq("x", "y"))
+    val stats = TableCommit.fileStats(spark, dir).values.flatten.toSeq
+    assert(stats.size >= 3, s"expected ~4 compacted files, got ${stats.size}")
+    def span(f: TableCommit.TableFileStat, c: String): Long =
+      f.max(c).get.toLong - f.min(c).get.toLong
+    stats.foreach { f =>
+      assert(span(f, "x") <= 24 && span(f, "y") <= 24,
+        s"z-order file covers x=${span(f, "x")} y=${span(f, "y")} of a 31-span grid")
+    }
+    // rows survive the rewrite exactly
+    assert(TableCommit.read(spark, dir).count() == 1024)
+    // contrast: single-key sort leaves the second column full-span
+    val dir2 = Files.createTempDirectory("graft-zorder2").toString + "/t"
+    TableCommit.write(grid.repartition(7), dir2, "overwrite", statsCols = Seq("x", "y"))
+    TableCommit.compact(spark, dir2, targetFiles = 4, sortCols = Seq("x"))
+    val stats2 = TableCommit.fileStats(spark, dir2).values.flatten.toSeq
+    assert(stats2.exists(f => span(f, "y") >= 28),
+      "lexicographic control should leave y nearly full-span somewhere")
+    // zorder argument validation
+    intercept[IllegalArgumentException](
+      TableCommit.compact(spark, dir, zorderCols = Seq("x")))
+    intercept[IllegalArgumentException](
+      TableCommit.compact(spark, dir, sortCols = Seq("x"), zorderCols = Seq("x", "y")))
+  }
+
+  test("graft_table stream: maxVersionsPerBatch caps admission; AvailableNow fence holds") {
+    val dir = Files.createTempDirectory("graft-ratelimit").toString + "/t"
+    (1 to 4).foreach(i =>
+      TableCommit.write(Seq((i.toLong, s"b$i")).toDF("id", "s"), dir, "append"))
+    val sch = TableCommit.tableSchema(spark, dir).get
+    val src = new graft.sources.table.GraftTableStreamSource(
+      spark, dir, sch, ignoreChanges = false, maxVersionsPerBatch = Some(1L))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val lim = src.getDefaultReadLimit
+    // fresh query: first offer is the OLDEST version (its snapshot)
+    val o1 = src.latestOffset(null, lim)
+    assert(o1 == LongOffset(1L), s"first capped offer: $o1")
+    // the batch frames carry the streaming tag (the V1 contract);
+    // row-level delivery is pinned by the end-to-end drain test below
+    assert(src.getBatch(None, LongOffset(1L)).isStreaming)
+    // each subsequent offer advances by exactly one version
+    val o2 = src.latestOffset(LongOffset(1L), lim)
+    assert(o2 == LongOffset(2L))
+    assert(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)).isStreaming)
+    // caught up: the offer stops at the latest version
+    assert(src.latestOffset(LongOffset(4L), lim) == LongOffset(4L))
+    // AvailableNow fence: versions landing after prepare are not offered
+    src.prepareForTriggerAvailableNow()
+    TableCommit.write(Seq((5L, "b5")).toDF("id", "s"), dir, "append")
+    assert(src.latestOffset(LongOffset(3L), lim) == LongOffset(4L),
+      "the fence must hold back post-prepare commits")
+  }
+
+  test("graft_table stream drains a backlog as capped micro-batches end to end") {
+    val base = Files.createTempDirectory("graft-rate-e2e").toString
+    val dir = s"$base/t"
+    (1 to 3).foreach(i =>
+      TableCommit.write(Seq((i.toLong, s"b$i")).toDF("id", "s"), dir, "append"))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft_table")
+      .option("maxVersionsPerBatch", 1).load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(df.count()): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows.get() == 3, s"exactly-once rows: ${rows.get()}")
+    assert(batches.get() == 3,
+      s"a 3-version backlog under a 1-version cap must drain as 3 batches, got ${batches.get()}")
+  }
+
+  test("graft_table stream: a checkpoint older than the oldest surviving manifest names vacuum") {
+    val dir = Files.createTempDirectory("graft-vacstream").toString + "/t"
+    (1 to 3).foreach(i =>
+      TableCommit.write(Seq((i.toLong, "x")).toDF("id", "s"), dir, "append"))
+    TableCommit.vacuum(spark, dir, keepVersions = 1)
+    val sch = TableCommit.tableSchema(spark, dir).get
+    val src = new graft.sources.table.GraftTableStreamSource(spark, dir, sch, false, None)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val e = intercept[IllegalStateException](
+      src.getBatch(Some(LongOffset(1L)), LongOffset(3L)))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("GraftCatalog: name resolution, time travel, list, and read-only refusals") {
+    val wh = Files.createTempDirectory("graft-catalog").toString
+    val dir = s"$wh/db/t1"
+    TableCommit.write(Seq((1L, "a")).toDF("id", "s"), dir, "overwrite")
+    TableCommit.write(Seq((2L, "b")).toDF("id", "s"), dir, "append")
+    val cat = new graft.sources.table.GraftCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", wh)
+    cat.initialize("graft_test",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val ident = Identifier.of(Array("db"), "t1")
+    assert(cat.tableExists(ident))
+    assert(!cat.tableExists(Identifier.of(Array("db"), "nope")))
+    def colNames(t: org.apache.spark.sql.connector.catalog.Table): Seq[String] =
+      t.columns().map(_.name).toSeq
+    assert(colNames(cat.loadTable(ident)) == Seq("id", "s"))
+    assert(colNames(cat.loadTable(ident, "1")) == Seq("id", "s"))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
+      cat.loadTable(Identifier.of(Array("db"), "nope")))
+    assert(cat.listTables(Array("db")).map(_.name).toSeq == Seq("t1"))
+    intercept[UnsupportedOperationException](cat.dropTable(ident))
+    intercept[UnsupportedOperationException](cat.renameTable(ident, ident))
+  }
 }

@@ -532,6 +532,33 @@ class PlanSpec extends SparkSpec {
       s"expected 1 of $all files, got ${pruned.inputFiles.length}")
   }
 
+  test("graft_table connector prunes the planned FILE list against manifest stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-connskip").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang")
+    graft.sources.TableCommit.write(docs.where(col("doc_id") < 10).coalesce(1),
+      dir, "overwrite", statsCols = Seq("doc_id"))
+    graft.sources.TableCommit.write(
+      docs.where(col("doc_id") >= 10).coalesce(1), dir, "append",
+      statsCols = Seq("doc_id"))
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.toSeq
+      }.flatten
+    val tbl = spark.read.format("graft_table").load(dir)
+    val all = plannedFiles(tbl)
+    val pruned = plannedFiles(tbl.where(col("doc_id").between(0, 5)))
+    assert(all.size == 2 && pruned.size == 1,
+      s"pushed range must shrink the planned file list: ${all.size} -> ${pruned.size}")
+    // the prune is conservative: results identical to the predicate
+    assert(tbl.where(col("doc_id").between(0, 5)).count() ==
+      docs.where(col("doc_id").between(0, 5)).count())
+    // a predicate matching nothing plans an empty (or minimal) file
+    // list and returns zero rows, never an error
+    assert(tbl.where(col("doc_id") === -1).count() == 0)
+  }
+
   test("no gate plans an unconstrained CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
