@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Measured single-process reference baseline, tokenize headline.
+
+The reference's second hot loop is the Megatron tokenize stage
+(tokens/megatron_tokenizer.py:80-200): one Python process per input
+file iterates documents, tokenizes each, appends eos, and streams the
+id arrays into a .bin shard while accumulating the MMIDIDX index
+(lengths, byte pointers, document indices) written on close. This
+script reproduces that per-document loop with the SAME tokenizer
+semantics as graft's T1 twin (regex pre-tokens `[A-Za-z]+|[0-9]|
+[^A-Za-z0-9\\s]`, id = int(md5(token)[:8], 16) % (VOCAB-1) + 1, eos 0
+appended) and the SAME shard byte layout (uint16 ids for VOCAB 50000,
+MMIDIDX header/lengths/pointers/doc-indices), single-process over the
+sf-dir documents table replicated REPLICAS x.
+
+The Spark twin is `runMain graft.apps.BaselineCompare <sfDir>
+<replicas> tok`; both sides print docs AND total tokens, which must
+agree. BASELINE.md records both docs/s.
+
+Usage: python3 dev/baseline_ref_tok.py [sfDir] [replicas]
+Prints one JSON line: {"docs": N, "tokens": T, "sec": S, "docs_per_sec": R}.
+"""
+import hashlib
+import json
+import os
+import re
+import struct
+import sys
+import tempfile
+import time
+
+import pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+VOCAB = 50000
+EOS = 0
+# graft TextAnalysis.BpePattern — letter runs, single digits, single
+# punctuation (the GPT-2-ish split minus unicode categories)
+TOK_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+def token_ids(text):
+    """graft Tokens.tokenIds: md5-hash each regex token into
+    1..VOCAB-1 (0 reserved for eos), eos appended."""
+    ids = [
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % (VOCAB - 1) + 1
+        for t in TOK_RE.findall(text)
+    ]
+    ids.append(EOS)
+    return ids
+
+
+def write_shard(path_base, docs_ids):
+    """The reference's MegatronTokenizedFile layout: .bin of packed
+    uint16 ids + MMIDIDX .idx (lengths, pointers, doc indices)."""
+    lengths = []
+    pointers = []
+    offset = 0
+    with open(path_base + ".bin", "wb") as binf:
+        for ids in docs_ids:
+            pointers.append(offset)
+            lengths.append(len(ids))
+            buf = struct.pack("<%dH" % len(ids), *ids)
+            binf.write(buf)
+            offset += len(buf)
+    n = len(lengths)
+    with open(path_base + ".idx", "wb") as idxf:
+        idxf.write(b"MMIDIDX\x00\x00")
+        idxf.write(struct.pack("<Q", 1))  # version
+        idxf.write(struct.pack("<B", 8))  # dtype code: uint16
+        idxf.write(struct.pack("<Q", n))  # sequence count
+        idxf.write(struct.pack("<Q", n + 1))  # document count (starts at [0])
+        idxf.write(struct.pack("<%di" % n, *lengths))
+        idxf.write(struct.pack("<%dq" % n, *pointers))
+        idxf.write(struct.pack("<%dq" % (n + 1), *range(n + 1)))
+    return n, sum(lengths)
+
+
+def main():
+    texts = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    ).column("text").to_pylist()
+    corpus = texts * REPLICAS
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # warm-up pass (interpreter caches, page cache) — the Spark
+        # twin warms its JIT the same way
+        write_shard(os.path.join(tmp, "warm"), (token_ids(t) for t in corpus[: len(texts)]))
+        t0 = time.time()
+        docs, tokens = write_shard(
+            os.path.join(tmp, "rank-0"), (token_ids(t) for t in corpus)
+        )
+        sec = time.time() - t0
+
+    print(json.dumps({
+        "side": "reference-twin-python",
+        "stage": "tokenize_megatron",
+        "sf_dir": SF_DIR,
+        "replicas": REPLICAS,
+        "docs": docs,
+        "tokens": tokens,
+        "sec": round(sec, 3),
+        "docs_per_sec": round(docs / sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,14 +13,28 @@ import graft.operators.{Formatters, TextAnalysis}
   * forced full evaluation (aggregate over the cleaned text), printed
   * as one JSON line. BASELINE.md records both sides' docs/s.
   *
-  * Usage: runMain graft.apps.BaselineCompare [sfDir] [replicas]
+  * A second headline covers the reference's OTHER hot loop — the
+  * Megatron tokenize-and-pack stage (megatron_tokenizer.py:80-200:
+  * tokenize each document, append eos, stream the id arrays into
+  * .bin/.idx shards). `mode = "tok"` runs the engine twin: the T1
+  * tokenizer (regex pre-tokens, md5-hash vocab ids, eos) through the
+  * [[graft.tokens.MegatronBinWriter]] per-partition shard sink — the
+  * python twin is dev/baseline_ref_tok.py, same tokenizer constants,
+  * same MMIDIDX byte layout, one process. Both sides print docs AND
+  * total tokens; they must agree (the throughput comparison doubles
+  * as a cross-check, and the byte layout itself is pinned by the
+  * snk_megatron/src_megatron gates).
+  *
+  * Usage: runMain graft.apps.BaselineCompare [sfDir] [replicas] [mode]
   */
 object BaselineCompare {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val mode = args.lift(2).getOrElse("pii_c4")
     val spark = GraftSession.create("graft-baseline-compare")
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "tok") { runTok(spark, sfDir, replicas); spark.stop(); return }
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
     // replicate via explode so the work is replicas× the corpus, then
     // spread over the session's cores — the sf corpus is ONE parquet
@@ -59,5 +73,34 @@ object BaselineCompare {
         s""""docs":$nDocs,"kept":$kept,"pii_hits":$pii,"out_chars":$chars,""" +
         f""""sec":${sec}%.3f,"docs_per_sec":${nDocs / sec}%.1f}""")
     spark.stop()
+  }
+
+  /** Tokenize-and-pack headline: tokenIds (regex + md5-hash vocab +
+    * eos) streamed into Megatron .bin/.idx shards — the whole
+    * reference tokenize stage, shuffle-free by design (per-partition
+    * shard files), timed to shard completion. */
+  private def runTok(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String, replicas: Int): Unit = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val wide = docs.withColumn("__r",
+      explode(lit((1 to replicas).toArray))).drop("__r")
+      .repartition(64)
+    def pass(outDir: String): (Long, Long) = {
+      val shards = graft.tokens.MegatronBinWriter.write(
+        wide.withColumn("ids", graft.tokens.Tokens.tokenIds(col("text"))),
+        "ids", outDir)
+      val agg = shards.agg(
+        sum(col("docs")).cast("long"), sum(col("tokens")).cast("long")).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-baseline-tok").toString
+    pass(s"$base/warm") // warm-up (JIT + page cache, like the pii pass)
+    val t0 = System.nanoTime()
+    val (nDocs, nTokens) = pass(s"$base/run")
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"side":"graft-spark","stage":"tokenize_megatron","sf_dir":"$sfDir",""" +
+        s""""replicas":$replicas,"docs":$nDocs,"tokens":$nTokens,""" +
+        f""""sec":${sec}%.3f,"docs_per_sec":${nDocs / sec}%.1f}""")
   }
 }
