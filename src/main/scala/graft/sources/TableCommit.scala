@@ -1087,7 +1087,10 @@ object TableCommit {
       val base =
         if (paths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            sch.getOrElse(tableSchema(spark, dir).get))
+            sch.orElse(tableSchema(spark, dir)).getOrElse(
+              throw new IllegalStateException(
+                s"TableCommit.readChanges: no committed schema under $dir to type " +
+                  "an empty delta with (legacy schema-less manifest)")))
         else sch match {
           case Some(t) => reader.schema(t).parquet(paths: _*)
             .select(t.fieldNames.toSeq.map(col): _*)

@@ -1,9 +1,11 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 
@@ -31,7 +33,7 @@ class GraftPruningScanBuilder(
     allPaths: Seq[String],
     prune: Seq[Expression] => Option[Seq[String]])
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var delegate: FileScanBuilder =
     mk(allPaths).asInstanceOf[FileScanBuilder]
@@ -50,6 +52,22 @@ class GraftPruningScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
+
+  // aggregate pushdown (COUNT/MIN/MAX answered from parquet footers —
+  // at 100 TB the difference between metadata and a scan) forwards to
+  // the delegate; V2ScanRelationPushDown pushes aggregates AFTER
+  // filters, so the pruned delegate is already in place
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegate match {
+      case p: ParquetScanBuilder => p.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    delegate match {
+      case p: ParquetScanBuilder => p.pushAggregation(aggregation)
+      case _ => false
+    }
 
   override def build(): Scan = delegate.build()
 }
