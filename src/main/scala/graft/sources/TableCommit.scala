@@ -132,15 +132,19 @@ object TableCommit {
     } catch { case _: Exception => () }
 
   /** Per-file commit-time statistics: path relative to the table dir,
-    * row count, and min/max per declared stats column (None = the
-    * file has no non-null value for that column). */
+    * row count, min/max per declared stats column (None = the file
+    * has no non-null value for that column), and per-column null
+    * counts (absent for legacy pre-nulls manifests — "unknown",
+    * never assumed zero). */
   final case class TableFileStat(
       file: String, rows: Long,
-      min: Map[String, Option[String]], max: Map[String, Option[String]])
+      min: Map[String, Option[String]], max: Map[String, Option[String]],
+      nulls: Map[String, Long] = Map.empty)
 
   private[graft] final case class FileStat(
       file: String, rows: Long,
-      min: Map[String, JsonNode], max: Map[String, JsonNode])
+      min: Map[String, JsonNode], max: Map[String, JsonNode],
+      nulls: Map[String, Long] = Map.empty)
 
   private final case class Manifest(
       dirs: Seq[String], txns: Map[String, Long], schema: Option[StructType],
@@ -177,7 +181,9 @@ object TableCommit {
           def side(k: String) = f.path(k).properties().asScala
             .map(p => p.getKey -> p.getValue).toMap
           FileStat(f.path("file").asText(), f.path("rows").asLong(),
-            side("min"), side("max"))
+            side("min"), side("max"),
+            f.path("nulls").properties().asScala
+              .map(p => p.getKey -> p.getValue.asLong()).toMap)
         }.toSeq
       }.toMap)
   }
@@ -204,7 +210,7 @@ object TableCommit {
         d -> fss.map { f =>
           def view(m: Map[String, JsonNode]) =
             m.map { case (c, n) => c -> (if (n.isNull) None else Some(n.asText)) }
-          TableFileStat(f.file, f.rows, view(f.min), view(f.max))
+          TableFileStat(f.file, f.rows, view(f.min), view(f.max), f.nulls)
         }
       }
     }.getOrElse(Map.empty)
@@ -474,7 +480,8 @@ object TableCommit {
       }
     }
     val aggs = count(lit(1)).as("__rows") +:
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        count(col(c)).as(s"__nn_$c")))
     // read with the KNOWN schema: an empty rewrite (delete-all, empty
     // append) leaves a dir with no data files, and schema inference
     // over it would throw where "no files -> no stats" is the answer
@@ -498,9 +505,13 @@ object TableCommit {
       val nanCols = statsCols.filter(c =>
         isNaN(r.get(r.fieldIndex(s"__min_$c"))) || isNaN(r.get(r.fieldIndex(s"__max_$c")))).toSet
       val keep = statsCols.filterNot(nanCols)
-      FileStat(path.substring(idx), r.getLong(1),
+      val rows = r.getLong(1)
+      FileStat(path.substring(idx), rows,
         keep.map(c => c -> statNode(r.get(r.fieldIndex(s"__min_$c")))).toMap,
-        keep.map(c => c -> statNode(r.get(r.fieldIndex(s"__max_$c")))).toMap)
+        keep.map(c => c -> statNode(r.get(r.fieldIndex(s"__max_$c")))).toMap,
+        // null counts are orderless — recorded even for NaN-extreme
+        // columns whose min/max had to be dropped
+        statsCols.map(c => c -> (rows - r.getLong(r.fieldIndex(s"__nn_$c")))).toMap)
     }.sortBy(_.file)
   }
 
@@ -508,7 +519,18 @@ object TableCommit {
     * default to re-recording these, so skipping survives a rewrite
     * without the caller re-declaring the columns. */
   private def parentStatCols(m: Manifest): Seq[String] =
-    m.stats.values.flatten.flatMap(_.min.keys).toSeq.distinct.sorted
+    m.stats.values.flatten.flatMap(f => f.min.keys ++ f.nulls.keys)
+      .toSeq.distinct.sorted
+
+  /** The latest manifest's stats columns — what the `graft_table`
+    * connector's write path re-records on each INSERT, so SQL-surface
+    * appends keep the table's file skipping alive without the writer
+    * re-declaring the columns. */
+  private[sources] def statColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    latestVersion(spark, dir)
+      .map(v => parentStatCols(readManifestFull(fs, dir, v))).getOrElse(Nil)
+  }
 
   /** Compare-and-swap manifest commit at exactly version `next`:
     * true iff THIS caller's manifest became `v<next>.json`. The claim
@@ -552,6 +574,10 @@ object TableCommit {
           f.min.toSeq.sortBy(_._1).foreach { case (c, v) => mn.set[JsonNode](c, v) }
           val mx = fn.putObject("max")
           f.max.toSeq.sortBy(_._1).foreach { case (c, v) => mx.set[JsonNode](c, v) }
+          if (f.nulls.nonEmpty) {
+            val nl = fn.putObject("nulls")
+            f.nulls.toSeq.sortBy(_._1).foreach { case (c, v) => nl.put(c, v) }
+          }
         }
       }
     }
@@ -1250,15 +1276,19 @@ object TableCommit {
     * stats-covered columns; everything else is ignored, and every
     * pushed filter is still evaluated downstream, so the prune is
     * always conservative — it can drop only files whose recorded
-    * [min, max] cannot intersect the bound, the exact [[readRange]]
-    * rule (same UTF8String string order, same all-null-file and
-    * NaN handling). */
+    * stats (min/max in the same total order the filter evaluates in,
+    * plus per-file null counts) prove no row can match: range and
+    * equality bounds against [min, max] (the exact [[readRange]]
+    * rule — same UTF8String string order, same all-null-file and NaN
+    * handling), IN lists element-by-element, `IS NULL` against a
+    * zero null count, `IS NOT NULL` against an all-null file. */
   private[sources] def pruneFilesForScan(
       spark: SparkSession, dir: String, version: Long,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
-      LessThan, LessThanOrEqual, Literal}
+      AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
+      LessThanOrEqual, Literal}
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val m = readManifestFull(fs, dir, version)
     if (m.stats.isEmpty) return None
@@ -1269,27 +1299,56 @@ object TableCommit {
       case Literal(v, _) => Some(v)
       case _ => None
     }
-    // (column, lo, hi) conjuncts; a file must satisfy ALL of them
-    val bounds = filters.flatMap {
-      case EqualTo(a: AttributeReference, l) => litVal(l).map(v => (a.name, Some(v), Some(v)))
-      case EqualTo(l, a: AttributeReference) => litVal(l).map(v => (a.name, Some(v), Some(v)))
-      case GreaterThan(a: AttributeReference, l) => litVal(l).map(v => (a.name, Some(v), None))
-      case GreaterThanOrEqual(a: AttributeReference, l) => litVal(l).map(v => (a.name, Some(v), None))
-      case LessThan(a: AttributeReference, l) => litVal(l).map(v => (a.name, None, Some(v)))
-      case LessThanOrEqual(a: AttributeReference, l) => litVal(l).map(v => (a.name, None, Some(v)))
+    // conjunct constraints; a file must satisfy ALL of them to stay
+    sealed trait C { def col: String }
+    case class Range(col: String, lo: Option[Any], hi: Option[Any]) extends C
+    case class InList(col: String, vs: Seq[Any]) extends C
+    case class NullOnly(col: String) extends C   // IS NULL
+    case class NonNull(col: String) extends C    // IS NOT NULL
+    val constraints: Seq[C] = filters.flatMap {
+      case EqualTo(a: AttributeReference, l) => litVal(l).map(v => Range(a.name, Some(v), Some(v)))
+      case EqualTo(l, a: AttributeReference) => litVal(l).map(v => Range(a.name, Some(v), Some(v)))
+      // null-safe equality: <=> NULL is IS NULL; <=> v is = v (both
+      // null-rejecting sides behave identically for skipping)
+      case EqualNullSafe(a: AttributeReference, Literal(null, _)) => Some(NullOnly(a.name))
+      case EqualNullSafe(Literal(null, _), a: AttributeReference) => Some(NullOnly(a.name))
+      case EqualNullSafe(a: AttributeReference, l) => litVal(l).map(v => Range(a.name, Some(v), Some(v)))
+      case EqualNullSafe(l, a: AttributeReference) => litVal(l).map(v => Range(a.name, Some(v), Some(v)))
+      case GreaterThan(a: AttributeReference, l) => litVal(l).map(v => Range(a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l) => litVal(l).map(v => Range(a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l) => litVal(l).map(v => Range(a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l) => litVal(l).map(v => Range(a.name, None, Some(v)))
       // literal-on-the-left mirrors: lit OP col ⇒ col flipped-OP lit
-      case GreaterThan(l, a: AttributeReference) => litVal(l).map(v => (a.name, None, Some(v)))
-      case GreaterThanOrEqual(l, a: AttributeReference) => litVal(l).map(v => (a.name, None, Some(v)))
-      case LessThan(l, a: AttributeReference) => litVal(l).map(v => (a.name, Some(v), None))
-      case LessThanOrEqual(l, a: AttributeReference) => litVal(l).map(v => (a.name, Some(v), None))
+      case GreaterThan(l, a: AttributeReference) => litVal(l).map(v => Range(a.name, None, Some(v)))
+      case GreaterThanOrEqual(l, a: AttributeReference) => litVal(l).map(v => Range(a.name, None, Some(v)))
+      case LessThan(l, a: AttributeReference) => litVal(l).map(v => Range(a.name, Some(v), None))
+      case LessThanOrEqual(l, a: AttributeReference) => litVal(l).map(v => Range(a.name, Some(v), None))
+      // IN: a file survives iff SOME element can be inside its range.
+      // Null elements never match (x IN (NULL) is NULL, filtered), so
+      // they drop from the list; only all-literal lists are safe to
+      // reason about (an expression element could equal anything)
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        Some(InList(a.name, list.flatMap(litVal)))
+      case InSet(a: AttributeReference, hset) =>
+        Some(InList(a.name, hset.toSeq.filter {
+          case null => false
+          case d: Double => !d.isNaN
+          case f: Float => !f.isNaN
+          case _ => true
+        }))
+      case IsNull(a: AttributeReference) => Some(NullOnly(a.name))
+      case IsNotNull(a: AttributeReference) => Some(NonNull(a.name))
       case _ => None
     }
-    // only bounds on columns the manifest actually has stats for can
-    // prune; bounds on other columns are vacuous (kept files anyway)
-    val statCols = m.stats.values.flatten.flatMap(f => f.min.keys ++ f.max.keys).toSet
-    val effective = bounds.filter(b => statCols.contains(b._1))
+    // only constraints on columns the manifest actually has stats for
+    // can prune; others are vacuous (kept files anyway). Null counts
+    // may survive where min/max were dropped (NaN extremes), so both
+    // key sets count as "covered".
+    val statCols = m.stats.values.flatten
+      .flatMap(f => f.min.keys ++ f.max.keys ++ f.nulls.keys).toSet
+    val effective = constraints.filter(c => statCols.contains(c.col))
     if (effective.isEmpty) return None
-    def overlaps(st: FileStat, c: String, lo: Option[Any], hi: Option[Any]): Boolean =
+    def inRange(st: FileStat, c: String, lo: Option[Any], hi: Option[Any]): Boolean =
       (st.min.get(c), st.max.get(c)) match {
         case (Some(mn), Some(mx)) =>
           // all-null file: a null-rejecting comparison matches nothing
@@ -1297,11 +1356,29 @@ object TableCommit {
           else hi.forall(h => statCmp(mn, h) <= 0) && lo.forall(l => statCmp(mx, l) >= 0)
         case _ => true // column not covered in THIS file: cannot skip
       }
+    def satisfiable(st: FileStat, c: C): Boolean = c match {
+      case Range(col, lo, hi) => inRange(st, col, lo, hi)
+      case InList(col, vs) =>
+        // an empty all-literal list (or all-null) matches nothing
+        vs.exists(v => inRange(st, col, Some(v), Some(v)))
+      case NullOnly(col) =>
+        // skip only on a RECORDED zero null count (legacy manifests
+        // without null counts cannot prove absence)
+        !st.nulls.get(col).contains(0L)
+      case NonNull(col) =>
+        // all-null file: provable via the null count, or via null
+        // min/max nodes (all-null recorded before null counts existed)
+        !(st.nulls.get(col).contains(st.rows) ||
+          ((st.min.get(col), st.max.get(col)) match {
+            case (Some(mn), Some(mx)) => mn.isNull && mx.isNull
+            case _ => false
+          }))
+    }
     Some(m.dirs.flatMap { d =>
       m.stats.get(d) match {
         case None => Seq(s"$dir/$d") // stat-less commit: scan its whole dir
         case Some(fss) => fss
-          .filter(f => effective.forall { case (c, lo, hi) => overlaps(f, c, lo, hi) })
+          .filter(f => effective.forall(satisfiable(f, _)))
           .map(f => s"$dir/${f.file}")
       }
     })

@@ -30,11 +30,15 @@ import graft.sources.TableCommit
   * resolution as `format("graft_table")` ([[GraftTableSource.resolve]]
   * — committed schema, native parquet planning, manifest-stats file
   * pruning), and `VERSION AS OF` arrives through the TableCatalog
-  * time-travel hook. The catalog is deliberately READ-ONLY: DDL and
-  * DML go through `TableCommit.write`/`merge`/`delete` (the manifest
-  * log is the only writer — same reason the connector exposes no
-  * write capability), so every mutation keeps the commit protocol's
-  * guarantees.
+  * time-travel hook. DML that the commit protocol can express runs
+  * through it: `CREATE TABLE` / CTAS commit an empty-v1-then-append
+  * pair, `INSERT INTO` / `INSERT OVERWRITE` ride the connector's
+  * [[org.apache.spark.sql.connector.write.V1Write]] bridge into
+  * `TableCommit.write`, and `DROP TABLE` removes the table directory.
+  * Row-level SQL DML (UPDATE/DELETE/MERGE) and ALTER/RENAME are
+  * refused loudly naming the TableCommit API — those are CAS rewrites
+  * (`merge`/`delete`/`compact`/`restore`), and the manifest log stays
+  * the only writer either way.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -88,18 +92,44 @@ class GraftCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"GraftCatalog is read-only: $op goes through the TableCommit API " +
+      s"GraftCatalog: $op goes through the TableCommit API " +
         "(write/merge/delete/compact/restore), which is the manifest log's only writer")
 
+  /** CREATE TABLE / the create half of CTAS: commits an EMPTY v1
+    * carrying the declared schema and partition layout (identity
+    * transforms only — bucket/days/etc. have no TableCommit layout
+    * equivalent), so the table exists transactionally from version 1
+    * and the CTAS write that follows is an ordinary manifest-log
+    * append into it. */
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (committed(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"GraftCatalog: partition transform '$t' is unsupported — TableCommit tables " +
+          "partition by identity columns (PARTITIONED BY (col))")
+    }
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    TableCommit.write(empty, dirOf(ident), "overwrite", partitionBy = partitionBy)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** DROP TABLE: removes the table directory (manifest log + every
+    * data dir). Returns false when no committed table exists at the
+    * identifier — DROP TABLE IF EXISTS semantics fall out. */
+  override def dropTable(ident: Identifier): Boolean =
+    committed(ident) && {
+      val p = new Path(dirOf(ident))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

@@ -2,11 +2,13 @@ package graft.sources.table
 
 import java.util
 
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
@@ -37,10 +39,12 @@ import graft.sources.{DocSource, TableCommit}
   * reimplementation. On top, the ScanBuilder intercepts the pushed
   * filters and prunes the FILE LIST against the manifest's per-file
   * min/max stats ([[GraftPruningScanBuilder]]) — `readRange`'s
-  * skipping, now automatic for any pushed comparison on a stats
-  * column. Write capability is deliberately NOT exposed (a write
-  * bypassing the manifest log would corrupt the table — use
-  * `TableCommit.write`).
+  * skipping, now automatic for any pushed comparison, IN list or
+  * null test on a stats column. Writes are exposed ONLY as a
+  * [[org.apache.spark.sql.connector.write.V1Write]] bridge into
+  * `TableCommit.write` (append/truncate — see [[GraftTableView]]),
+  * so a SQL INSERT is a committed manifest version, never a bare
+  * directory write.
   *
   * '''Streaming half''' (the Delta streaming-source idea): a V1
   * [[Source]] whose offset is the committed VERSION; each new
@@ -154,33 +158,90 @@ private[table] object GraftTableSource {
     val mk = (ps: Seq[String]) => ParquetTable(s"graft_table($dir)",
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       new CaseInsensitiveStringMap(opts), ps, Some(sch), classOf[ParquetFileFormat])
+    // a versionAsOf view is READ-ONLY: an insert "into the past"
+    // would silently target the latest snapshot instead — refuse the
+    // capability outright (Delta's rule for time-travel reads)
+    val insert = versionAsOf match {
+      case Some(_) => None
+      case None => Some((df: DataFrame, mode: String) =>
+        // layout and stats columns re-resolve at EXECUTION time from
+        // the then-latest manifest, so an insert after a re-layout or
+        // stats change follows the table, not the plan-time snapshot
+        TableCommit.write(df, dir, mode,
+          partitionBy = TableCommit.partitioning(spark, dir),
+          statsCols = TableCommit.statColumns(spark, dir)): Unit)
+    }
     new GraftTableView(mk, paths, s"graft_table($dir)", sch,
-      filters => TableCommit.pruneFilesForScan(spark, dir, version, filters))
+      filters => TableCommit.pruneFilesForScan(spark, dir, version, filters),
+      insert)
   }
 }
 
-/** Read-only view over the delegated [[ParquetTable]]: scans pass
-  * through a [[GraftPruningScanBuilder]] (manifest-stats file
-  * skipping, then full native parquet planning), writes are not a
-  * capability — the manifest log is the only writer. The view's
-  * schema is the COMMITTED table schema, not the delegate's: on a
-  * partitioned table FileTable appends every DISCOVERED partition
-  * column to its schema, which would leak the internal `__commit`
-  * layout column (and move the user's partition columns to the tail);
-  * presenting the committed schema keeps the relation's output exactly
-  * the table contract, and column pruning simply never requests
-  * `__commit`. */
+/** View over the delegated [[ParquetTable]]: scans pass through a
+  * [[GraftPruningScanBuilder]] (manifest-stats file skipping, then
+  * full native parquet planning); writes route through the COMMIT
+  * PROTOCOL — a [[V1Write]] bridge whose InsertableRelation hands the
+  * micro-planned DataFrame straight to `TableCommit.write`, so
+  * `INSERT INTO` / `df.writeTo(...).append()` / `df.write.format
+  * ("graft_table")` all land as manifest-log versions with the
+  * table's layout and stats columns re-recorded (never a bare
+  * directory write — the manifest log stays the only writer).
+  * Time-travel views (`versionAsOf`) carry no insert callback and
+  * refuse the write capabilities. Row-level `INSERT OVERWRITE ...
+  * WHERE <pred>` is refused loudly naming `TableCommit.delete/merge`
+  * (copy-on-write predicates belong to the CAS rewrite API, not a
+  * blind truncate). The view's schema is the COMMITTED table schema,
+  * not the delegate's: on a partitioned table FileTable appends every
+  * DISCOVERED partition column to its schema, which would leak the
+  * internal `__commit` layout column (and move the user's partition
+  * columns to the tail); presenting the committed schema keeps the
+  * relation's output exactly the table contract, and column pruning
+  * simply never requests `__commit`. */
 private[table] class GraftTableView(
     mk: Seq[String] => ParquetTable, allPaths: Seq[String],
     ident: String, committed: StructType,
-    prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Seq[String]])
-    extends Table with SupportsRead {
+    prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Seq[String]],
+    insert: Option[(DataFrame, String) => Unit] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = ident
   override def schema(): StructType = committed
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (insert.isEmpty) util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE rides along for the path-based df.write.save()
+    // entry (it gates on the literal capability before planning);
+    // the physical strategy still routes through AppendDataExecV1 /
+    // OverwriteByExpressionExecV1 because V1_BATCH_WRITE is checked
+    // first and build() returns a V1Write
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftPruningScanBuilder(ps => mk(ps).newScanBuilder(options), allPaths, prune)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val doInsert = insert.getOrElse(throw new UnsupportedOperationException(
+      s"$ident: a versionAsOf view is read-only — writes always target the " +
+        "latest snapshot (drop the versionAsOf option to write)"))
+    new WriteBuilder with SupportsOverwriteV2 {
+      private var mode = "append"
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        // TRUNCATE arrives as overwrite([AlwaysTrue]); anything finer
+        // is a row-level rewrite that belongs to the CAS API
+        if (!predicates.forall(_.isInstanceOf[AlwaysTrue]))
+          throw new UnsupportedOperationException(
+            s"$ident: INSERT OVERWRITE with a predicate is a row-level rewrite — " +
+              "use TableCommit.delete (copy-on-write) or TableCommit.merge instead")
+        mode = "overwrite"
+        this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
+              doInsert(data, mode)
+          }
+      }
+    }
+  }
 }
 
 /** Manifest-log tail as a stream: admission control offers the latest
@@ -356,6 +417,82 @@ object GraftTableGates {
           |SELECT doc_id, lang, n_chars, 'asof' AS via
           |FROM graft.db.events_t VERSION AS OF 2
           |ORDER BY via, doc_id""".stripMargin)
+    },
+    // IN-list + null-test file skipping through the SQL surface:
+    // three disjoint-range single-file commits plus a nullable
+    // computed column; the connector prunes the planned file list
+    // against the manifest's min/max AND null counts (PlanSpec pins
+    // the strict subset), and the result must stay exactly the
+    // predicate's — an over-pruned file (a dropped IN element, a
+    // null-count off-by-one) loses rows and moves the hash.
+    Gate(
+      "src_table_in",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS BIGINT) AS maybe
+        |  FROM documents)
+        |SELECT doc_id, lang, maybe FROM t
+        |WHERE doc_id IN (3, 7, 8, 11, 41, 150, 152, 296, 299, 123456789)
+        |  AND maybe IS NOT NULL
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(null))
+            .otherwise(col("n_chars")).cast("long").as("maybe"))
+      val path = DocSource.gateScratch(dir, "src_table_in")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val stats = Seq("doc_id", "maybe")
+      TableCommit.write(docs.where(col("doc_id") < 100).coalesce(1),
+        path, "overwrite", statsCols = stats)
+      TableCommit.write(docs.where(col("doc_id").between(100, 299)).coalesce(1),
+        path, "append", statsCols = stats)
+      TableCommit.write(docs.where(col("doc_id") >= 300).coalesce(1),
+        path, "append", statsCols = stats)
+      s.read.format("graft_table").load(path)
+        .where(col("doc_id").isin(3, 7, 8, 11, 41, 150, 152, 296, 299, 123456789) &&
+          col("maybe").isNotNull)
+        .orderBy("doc_id")
+    },
+    // SQL write surface: CTAS + INSERT INTO + INSERT OVERWRITE +
+    // DROP/recreate through the graft catalog — every statement a
+    // committed manifest version (the V1Write bridge into
+    // TableCommit.write), so a lost insert, a leaked pre-overwrite
+    // row or a stale CTAS all move the hash against the raw-table
+    // oracle.
+    Gate(
+      "snk_table_sql_insert",
+      """SELECT doc_id, lang FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents").select("doc_id", "lang")
+      val wh = DocSource.gateScratch(dir, "graft_catalog_w")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      // a DISTINCT catalog name from src_table_sql's: Spark caches
+      // catalog instances per name, so re-pointing an already-used
+      // name's warehouse conf would silently keep the old root
+      s.conf.set("spark.sql.catalog.graftw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftw.warehouse", wh)
+      docs.createOrReplaceTempView("__sql_insert_src")
+      s.sql("DROP TABLE IF EXISTS graftw.db.ins_t")
+      s.sql(
+        """CREATE TABLE graftw.db.ins_t AS
+          |SELECT doc_id, lang FROM __sql_insert_src WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graftw.db.ins_t
+          |SELECT doc_id, lang FROM __sql_insert_src WHERE doc_id % 2 = 1""".stripMargin)
+      // truncate-overwrite down to a poison-free base, then rebuild —
+      // the pre-overwrite odds must NOT survive the truncation
+      s.sql(
+        """INSERT OVERWRITE graftw.db.ins_t
+          |SELECT doc_id, lang FROM __sql_insert_src WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graftw.db.ins_t
+          |SELECT doc_id, lang FROM __sql_insert_src WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql("SELECT doc_id, lang FROM graftw.db.ins_t ORDER BY doc_id")
     },
     // Streaming table-to-table relay, exactly-once end to end: a
     // graft_table SOURCE tails the src table's manifest log into a

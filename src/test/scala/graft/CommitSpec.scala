@@ -1160,7 +1160,122 @@ class CommitSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
       cat.loadTable(Identifier.of(Array("db"), "nope")))
     assert(cat.listTables(Array("db")).map(_.name).toSeq == Seq("t1"))
-    intercept[UnsupportedOperationException](cat.dropTable(ident))
     intercept[UnsupportedOperationException](cat.renameTable(ident, ident))
+    intercept[UnsupportedOperationException](cat.alterTable(ident))
+    // DROP removes the directory; a second drop reports "did not exist"
+    assert(cat.dropTable(ident))
+    assert(!cat.tableExists(ident) && !cat.dropTable(ident))
+  }
+
+  test("GraftCatalog createTable: empty v1 with schema + layout; duplicates and non-identity bounce") {
+    val wh = Files.createTempDirectory("graft-catalog-ct").toString
+    val cat = new graft.sources.table.GraftCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", wh)
+    cat.initialize("graft_ct",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val ident = Identifier.of(Array("db"), "fresh")
+    val sch = new StructType().add("id", LongType).add("lang", StringType)
+    val t = cat.createTable(ident, sch,
+      Array(Expressions.identity("lang")), new java.util.HashMap[String, String]())
+    assert(t.columns().map(_.name).toSeq == Seq("id", "lang"))
+    // the create IS a committed (empty) version carrying the layout
+    assert(TableCommit.versions(spark, s"$wh/db/fresh") == Seq(1L))
+    assert(TableCommit.partitioning(spark, s"$wh/db/fresh") == Seq("lang"))
+    assert(TableCommit.read(spark, s"$wh/db/fresh").count() == 0)
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException](
+      cat.createTable(ident, sch, Array.empty, new java.util.HashMap[String, String]()))
+    intercept[UnsupportedOperationException](
+      cat.createTable(Identifier.of(Array("db"), "bkt"), sch,
+        Array(Expressions.bucket(4, "id")), new java.util.HashMap[String, String]()))
+  }
+
+  test("graft_table V1 write surface: DataFrame append/overwrite commit versions; versionAsOf is read-only") {
+    val dir = Files.createTempDirectory("graft-v1w").toString + "/t"
+    TableCommit.write(spark.range(0, 10).select(col("id"), lit("a").as("s")),
+      dir, "overwrite", statsCols = Seq("id"))
+    // append through the connector: a committed version, layout/stats carried
+    spark.range(10, 20).select(col("id"), lit("b").as("s"))
+      .write.format("graft_table").mode("append").save(dir)
+    assert(TableCommit.versions(spark, dir) == Seq(1L, 2L))
+    assert(TableCommit.read(spark, dir).count() == 20)
+    // stats columns re-recorded on the SQL-surface append
+    assert(TableCommit.fileStats(spark, dir).values.flatten
+      .forall(_.min.contains("id")))
+    // overwrite truncates to exactly the new frame
+    spark.range(100, 103).select(col("id"), lit("c").as("s"))
+      .write.format("graft_table").mode("overwrite").save(dir)
+    assert(TableCommit.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(TableCommit.read(spark, dir).as[(Long, String)].collect().map(_._1).sorted.toSeq
+      == Seq(100L, 101L, 102L))
+    // schema drift bounces through the connector exactly like the API
+    intercept[Exception] {
+      spark.range(0, 1).select(col("id"), lit(1.5).as("wrong"))
+        .write.format("graft_table").mode("append").save(dir)
+    }
+    assert(TableCommit.versions(spark, dir) == Seq(1L, 2L, 3L)) // nothing leaked
+    // a time-travel view advertises no write capability, so the
+    // write path refuses (surfaced by Spark as its no-write-support
+    // error) and nothing commits
+    intercept[Exception] {
+      spark.range(0, 1).select(col("id"), lit("x").as("s"))
+        .write.format("graft_table").option("versionAsOf", 1).mode("append").save(dir)
+    }
+    assert(TableCommit.versions(spark, dir) == Seq(1L, 2L, 3L))
+  }
+
+  test("graft_table V1 write on a PARTITIONED table keeps the committed layout") {
+    val dir = Files.createTempDirectory("graft-v1wp").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de").as("lang"))
+    TableCommit.write(mk(0, 10), dir, "overwrite", partitionBy = Seq("lang"))
+    mk(10, 20).write.format("graft_table").mode("append").save(dir)
+    assert(TableCommit.partitioning(spark, dir) == Seq("lang"))
+    // the appended commit dir is hive-partitioned (layout followed)
+    val m = TableCommit.read(spark, dir)
+    assert(m.count() == 20)
+    assert(m.where(col("lang") === "en").count() == 10)
+    val fs = hfs(dir)
+    val dataDirs = fs.listStatus(new Path(dir, "data")).map(_.getPath)
+    assert(dataDirs.length == 2 &&
+      dataDirs.forall(d => fs.listStatus(d).exists(_.getPath.getName.startsWith("lang="))),
+      dataDirs.toSeq.toString)
+  }
+
+  test("TableCommit null counts: recorded per file, prune IS NULL / IS NOT NULL / IN conservatively") {
+    val dir = Files.createTempDirectory("graft-nulls").toString + "/t"
+    // file 1: no nulls; file 2: all null; file 3: mixed
+    def mk(lo: Long, hi: Long, nullify: org.apache.spark.sql.Column) =
+      spark.range(lo, hi).coalesce(1)
+        .select(col("id"), when(nullify, lit(null)).otherwise(col("id") * 2).cast("long").as("v"))
+    TableCommit.write(mk(0, 100, lit(false)), dir, "overwrite", statsCols = Seq("id", "v"))
+    TableCommit.write(mk(100, 200, lit(true)), dir, "append", statsCols = Seq("id", "v"))
+    TableCommit.write(mk(200, 300, pmod(col("id"), lit(2)) === 0), dir, "append",
+      statsCols = Seq("id", "v"))
+    val stats = TableCommit.fileStats(spark, dir).values.flatten.toSeq.sortBy(_.min("id").get.toLong)
+    assert(stats.map(_.nulls("v")) == Seq(0L, 100L, 50L), stats.map(_.nulls).toString)
+    assert(stats.map(_.nulls("id")) == Seq(0L, 0L, 0L))
+    val tbl = spark.read.format("graft_table").load(dir)
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    // IS NULL skips the zero-null file; results exact
+    assert(planned(tbl.where(col("v").isNull)) == 2)
+    assert(tbl.where(col("v").isNull).count() == 150)
+    // IS NOT NULL skips the all-null file; results exact
+    assert(planned(tbl.where(col("v").isNotNull)) == 2)
+    assert(tbl.where(col("v").isNotNull).count() == 150)
+    // IN opens only the files whose range holds SOME element
+    assert(planned(tbl.where(col("id").isin(5, 250))) == 2)
+    assert(tbl.where(col("id").isin(5, 250)).count() == 2)
+    // a long IN list converts to InSet past the threshold — still pruned
+    val bigList = (0L to 20L).map(java.lang.Long.valueOf)
+    assert(planned(tbl.where(col("id").isin(bigList: _*))) == 1)
+    assert(tbl.where(col("id").isin(bigList: _*)).count() == 21)
   }
 }
