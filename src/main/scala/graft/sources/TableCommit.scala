@@ -532,6 +532,33 @@ object TableCommit {
       .map(v => parentStatCols(readManifestFull(fs, dir, v))).getOrElse(Nil)
   }
 
+  /** CREATE-TABLE primitive for the SQL catalog: commit an EMPTY
+    * snapshot at EXACTLY version 1 — no retry loop, because a lost
+    * claim here means someone else created (or already owns) the
+    * table, and re-basing like `write` would land an empty OVERWRITE
+    * at latest+1 that HIDES the winner's data (the concurrent-CTAS
+    * lost-update). Returns false when v1 already exists; the orphan
+    * data dir is removed either way the claim is lost. */
+  private[graft] def createEmpty(
+      spark: SparkSession, dir: String,
+      schema: StructType, partitionBy: Seq[String]): Boolean = {
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"TableCommit.createEmpty: partitionBy column '$c' is not in the schema"))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(manifestPath(dir, 1L))) return false
+    val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val w = empty.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dir/$rel")
+    fs.mkdirs(logDir(dir))
+    val won = tryCommit(fs, dir, 1L, "overwrite", Seq(rel),
+      schema = Some(schema), partitionBy = partitionBy)
+    if (!won) fs.delete(new Path(dir, rel), true)
+    won
+  }
+
   /** Compare-and-swap manifest commit at exactly version `next`:
     * true iff THIS caller's manifest became `v<next>.json`. The claim
     * is atomic per store ([[Commit.claim]]: hard-link on local FS

@@ -95,12 +95,17 @@ class GraftCatalog extends TableCatalog {
       s"GraftCatalog: $op goes through the TableCommit API " +
         "(write/merge/delete/compact/restore), which is the manifest log's only writer")
 
-  /** CREATE TABLE / the create half of CTAS: commits an EMPTY v1
-    * carrying the declared schema and partition layout (identity
-    * transforms only — bucket/days/etc. have no TableCommit layout
-    * equivalent), so the table exists transactionally from version 1
-    * and the CTAS write that follows is an ordinary manifest-log
-    * append into it. */
+  /** CREATE TABLE / the create half of CTAS: commits an EMPTY
+    * snapshot at EXACTLY version 1 carrying the declared schema and
+    * partition layout (identity transforms only — bucket/days/etc.
+    * have no TableCommit layout equivalent), so the table exists
+    * transactionally from version 1 and the CTAS write that follows
+    * is an ordinary manifest-log append into it. The claim is CAS at
+    * v1 with NO retry ([[TableCommit.createEmpty]]) — a lost race
+    * means someone else created the table, and a retrying empty
+    * overwrite at latest+1 would silently HIDE the winner's data
+    * (the concurrent-CTAS lost-update); the loser fails with
+    * TableAlreadyExists instead. */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -113,9 +118,8 @@ class GraftCatalog extends TableCatalog {
         s"GraftCatalog: partition transform '$t' is unsupported — TableCommit tables " +
           "partition by identity columns (PARTITIONED BY (col))")
     }
-    val empty = spark.createDataFrame(
-      new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    TableCommit.write(empty, dirOf(ident), "overwrite", partitionBy = partitionBy)
+    if (!TableCommit.createEmpty(spark, dirOf(ident), schema, partitionBy))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     loadTable(ident)
   }
 

@@ -1190,6 +1190,19 @@ class CommitSpec extends SparkSpec {
     intercept[UnsupportedOperationException](
       cat.createTable(Identifier.of(Array("db"), "bkt"), sch,
         Array(Expressions.bucket(4, "id")), new java.util.HashMap[String, String]()))
+    // the create claim is CAS at EXACTLY v1: when a racer created the
+    // table between the exists pre-check and the claim, createEmpty
+    // must report the loss rather than land an empty overwrite at
+    // latest+1 that would hide the winner's committed data
+    val raced = s"$wh/db/raced"
+    TableCommit.write(spark.range(0, 5).select(col("id"), lit("w").as("s")),
+      raced, "overwrite")
+    TableCommit.write(spark.range(5, 9).select(col("id"), lit("w").as("s")),
+      raced, "append")
+    assert(!TableCommit.createEmpty(spark, raced,
+      new StructType().add("id", LongType).add("s", StringType), Nil))
+    assert(TableCommit.versions(spark, raced) == Seq(1L, 2L))
+    assert(TableCommit.read(spark, raced).count() == 9) // winner's data intact
   }
 
   test("graft_table V1 write surface: DataFrame append/overwrite commit versions; versionAsOf is read-only") {
