@@ -148,7 +148,8 @@ object TableCommit {
 
   private final case class Manifest(
       dirs: Seq[String], txns: Map[String, Long], schema: Option[StructType],
-      mode: String, partitionBy: Seq[String], stats: Map[String, Seq[FileStat]])
+      mode: String, partitionBy: Seq[String], stats: Map[String, Seq[FileStat]],
+      ts: Long)
 
   private def readManifestFull(fs: FileSystem, dir: String, v: Long): Manifest = {
     val in = fs.open(new Path(logDir(dir), f"v$v%010d.json"))
@@ -185,7 +186,11 @@ object TableCommit {
             f.path("nulls").properties().asScala
               .map(p => p.getKey -> p.getValue.asLong()).toMap)
         }.toSeq
-      }.toMap)
+      }.toMap,
+      // legacy manifests (pre-ts) fall back to the log file's mtime —
+      // same clock family, good enough for at-or-before resolution
+      root.path("ts").asLong(
+        fs.getFileStatus(new Path(logDir(dir), f"v$v%010d.json")).getModificationTime))
   }
 
   /** The committed table schema (from the latest manifest). */
@@ -578,6 +583,10 @@ object TableCommit {
     node.put("format", 1)
     node.put("version", next)
     node.put("mode", mode)
+    // commit wall-clock for TIMESTAMP AS OF resolution; versions stay
+    // the source of truth for ordering (clock skew cannot reorder the
+    // log, only make at-or-before resolution coarser)
+    node.put("ts", System.currentTimeMillis())
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
     if (partitionBy.nonEmpty) {
@@ -1046,6 +1055,46 @@ object TableCommit {
       s"TableCommit: no committed versions under $dir"))
     readVersion(spark, dir, last)
   }
+
+  /** Per-version commit timestamps (epoch millis), ascending by
+    * version — what [[versionAt]] resolves TIMESTAMP AS OF against,
+    * and the deterministic handle a caller (or gate) uses to obtain
+    * a timestamp that provably maps to a given version. Legacy
+    * manifests without a recorded ts surface their log file's mtime. */
+  def commitTimestamps(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, dir).map(v => v -> readManifestFull(fs, dir, v).ts)
+  }
+
+  /** TIMESTAMP AS OF resolution (Delta's rule): the NEWEST committed
+    * version whose commit timestamp is <= `epochMillis`. Version
+    * order is authoritative — a skewed clock can only coarsen the
+    * mapping, never reorder it (the running maximum of timestamps is
+    * what's compared, so a version committed "in the past" by a
+    * lagging clock is still reachable through its successor). Fails
+    * naming the earliest available timestamp when asked for a time
+    * before the first surviving commit — same contract as reading a
+    * vacuumed version. */
+  def versionAt(spark: SparkSession, dir: String, epochMillis: Long): Long = {
+    val ts = commitTimestamps(spark, dir)
+    require(ts.nonEmpty, s"TableCommit: no committed versions under $dir")
+    // running max: monotone view of possibly-skewed per-commit clocks
+    val monotone = ts.scanLeft((0L, Long.MinValue)) { case ((_, m), (v, t)) =>
+      (v, math.max(m, t))
+    }.drop(1)
+    monotone.takeWhile(_._2 <= epochMillis).lastOption match {
+      case Some((v, _)) => v
+      case None => throw new IllegalArgumentException(
+        s"TableCommit: no version of $dir committed at or before epoch-millis $epochMillis — " +
+          s"the earliest surviving commit is v${monotone.head._1} at ${monotone.head._2} " +
+          "(history before it may have been vacuumed)")
+    }
+  }
+
+  /** Read the snapshot as of a wall-clock instant —
+    * `readVersion(versionAt(...))`. */
+  def readAt(spark: SparkSession, dir: String, epochMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAt(spark, dir, epochMillis))
 
   /** Time travel: read snapshot `version` exactly as committed. When
     * the manifest carries a schema it defines the read — column

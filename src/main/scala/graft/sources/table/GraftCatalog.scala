@@ -72,6 +72,15 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"GraftCatalog: VERSION AS OF wants a commit version number, got '$version'"))))
 
+  /** `TIMESTAMP AS OF t` — Spark hands the instant in MICROseconds;
+    * resolution is the newest commit at-or-before it
+    * ([[TableCommit.versionAt]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!committed(ident)) throw new NoSuchTableException(ident)
+    loadAt(ident,
+      Some(TableCommit.versionAt(spark, dirOf(ident), timestamp / 1000L)))
+  }
+
   private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table = {
     if (!committed(ident)) throw new NoSuchTableException(ident)
     GraftTableSource.resolve(

