@@ -188,9 +188,15 @@ object TableCommit {
         }.toSeq
       }.toMap,
       // legacy manifests (pre-ts) fall back to the log file's mtime —
-      // same clock family, good enough for at-or-before resolution
-      root.path("ts").asLong(
-        fs.getFileStatus(new Path(logDir(dir), f"v$v%010d.json")).getModificationTime))
+      // same clock family, good enough for at-or-before resolution.
+      // The fallback stat is only issued when ts is actually missing
+      // (asLong's default argument would evaluate it EAGERLY, adding
+      // an FS round trip to every manifest read on the hot path)
+      {
+        val tsNode = root.path("ts")
+        if (tsNode.canConvertToLong) tsNode.asLong()
+        else fs.getFileStatus(new Path(logDir(dir), f"v$v%010d.json")).getModificationTime
+      })
   }
 
   /** The committed table schema (from the latest manifest). */
