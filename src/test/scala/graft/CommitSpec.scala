@@ -1257,6 +1257,35 @@ class CommitSpec extends SparkSpec {
       dataDirs.toSeq.toString)
   }
 
+  test("connector IN pruning on STRING stats uses UTF8String order; <=> prunes like =") {
+    val dir = Files.createTempDirectory("graft-instr").toString + "/t"
+    // three files with disjoint string ranges, one containing a
+    // supplementary-plane max (the UTF-16-order trap: an emoji max
+    // sorts BELOW U+FFFD in code-unit order but above in UTF-8 order)
+    def mk(tags: Seq[String]) = tags.toDF("tag").coalesce(1)
+      .select(col("tag"), lit(1L).as("n"))
+    TableCommit.write(mk(Seq("alpha", "beta")), dir, "overwrite", statsCols = Seq("tag"))
+    TableCommit.write(mk(Seq("kilo", "lima")), dir, "append", statsCols = Seq("tag"))
+    TableCommit.write(mk(Seq("zeta", "😀")), dir, "append", statsCols = Seq("tag"))
+    val tbl = spark.read.format("graft_table").load(dir)
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    // IN over strings: only the files whose [min, max] can hold an element
+    assert(planned(tbl.where(col("tag").isin("beta", "kilo"))) == 2)
+    assert(tbl.where(col("tag").isin("beta", "kilo")).count() == 2)
+    // a U+FFFD probe must KEEP the emoji-max file (UTF-8 order puts
+    // U+FFFD below the emoji) — code-unit order would skip it, and a
+    // row equal to the probe in that file would be lost
+    assert(planned(tbl.where(col("tag").isin("�"))) == 1)
+    // null-safe equality prunes exactly like equality for non-null probes
+    assert(planned(tbl.where(col("tag") <=> "lima")) == 1)
+    assert(tbl.where(col("tag") <=> "lima").count() == 1)
+  }
+
   test("TIMESTAMP AS OF: at-or-before resolution through API, connector and catalog") {
     val dir = Files.createTempDirectory("graft-asof-ts").toString + "/t"
     def mk(lo: Long, hi: Long) =
