@@ -839,6 +839,69 @@ object TableCommit {
       s"TableCommit.delete: gave up after $attempts contended attempts on $dir")
   }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere` — the
+    * daily-partition-reload idiom): atomically replace EXACTLY the
+    * rows matching `condition` with the rows of `df`, in one
+    * committed version. Copy-on-write like [[delete]]: survivors
+    * (rows where the condition is not TRUE) union the incoming frame
+    * into a fresh snapshot, CAS at base+1, lost races re-read and
+    * re-merge so a concurrent append is never erased. Two loud
+    * guards keep the contract honest: the incoming schema must match
+    * the table's, and every incoming row must itself SATISFY the
+    * condition (otherwise "replace where lang='en'" could smuggle
+    * rows into partitions it promised not to touch — Delta's same
+    * check). `txn` gives the [[write]]/[[merge]] replay
+    * short-circuit, so a `foreachBatch` partition-reload stream is
+    * exactly-once. Returns the committed version. */
+  def replaceWhere(
+      spark: SparkSession, dir: String, df: DataFrame, condition: Column,
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"TableCommit.replaceWhere: no committed versions under $dir")
+      val base = vs.last
+      val parent = readManifestFull(fs, dir, base)
+      if (txn.exists { case (appId, tv) => parent.txns.get(appId).exists(_ >= tv) })
+        return base // replay: the replace already applied — rewrite nothing
+      parent.schema.foreach(enforceSchema(_, df.schema))
+      // every incoming row must satisfy the predicate it replaces
+      val stray = df.where(!coalesce(condition, lit(false))).head(1)
+      if (stray.nonEmpty)
+        throw new IllegalArgumentException(
+          "TableCommit.replaceWhere: the incoming frame contains rows that do NOT " +
+            s"match the replace condition (first: ${stray.head}) — replaceWhere only " +
+            "rewrites the predicate's slice; append or merge the rest separately")
+      val merged = readVersion(spark, dir, base)
+        .where(!coalesce(condition, lit(false)))
+        .unionByName(df)
+      val rel = s"data/__commit=c-${java.util.UUID.randomUUID().toString.take(12)}"
+      try {
+        val w = merged.write.mode("overwrite")
+        (if (parent.partitionBy.nonEmpty) w.partitionBy(parent.partitionBy: _*) else w)
+          .parquet(s"$dir/$rel")
+        val eff = if (statsCols.nonEmpty) statsCols else parentStatCols(parent)
+        val stats = collectStats(spark, dir, rel, eff,
+          parent.schema.getOrElse(merged.schema))
+        val newTxns = txn.fold(parent.txns) { case (a, v) => parent.txns + (a -> v) }
+        if (tryCommit(fs, dir, base + 1, "replace", Seq(rel), newTxns,
+            Some(parent.schema.getOrElse(merged.schema)), parent.partitionBy,
+            if (stats.isEmpty) Map.empty else Map(rel -> stats)))
+          return base + 1
+      } catch {
+        case e: Throwable => abortTidy(spark, fs, dir, rel); throw e
+      }
+      // lost to a concurrent writer: our rewrite is stale — discard
+      // the orphan dir and redo from new latest
+      fs.delete(new Path(dir, rel), true)
+    }
+    throw new IllegalStateException(
+      s"TableCommit.replaceWhere: gave up after $attempts contended attempts on $dir")
+  }
+
   /** RESTORE (Delta's rollback): commit a NEW version whose snapshot
     * is exactly `version`'s — METADATA-ONLY (no data job: the old
     * dirs are immutable and simply re-referenced), so rolling back a
@@ -1666,6 +1729,30 @@ object TableCommit {
       merge(s, path, changes, "doc_id", "deleted")
       read(s, path).select(col("doc_id"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    },
+    // replaceWhere gate (the daily-partition-reload idiom): the
+    // English slice is atomically replaced with a recomputed frame
+    // while every other language's rows pass through untouched — the
+    // oracle recomputes the merge arithmetically from the raw table,
+    // so a leaked stale 'en' row, a lost non-en row, or a smuggled
+    // out-of-predicate row all move the hash.
+    Gate(
+      "snk_table_replace_where",
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN lang = 'en' THEN n_chars + 1000000 ELSE n_chars END
+        |    AS BIGINT) AS nc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("nc"))
+      val path = DocSource.gateScratch(dir, "snk_table_replace_where")
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(path), true)
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 0), path, "overwrite")
+      write(docs.where(pmod(col("doc_id"), lit(2)) === 1), path, "append")
+      val reload = docs.where(col("lang") === "en")
+        .withColumn("nc", col("nc") + 1000000L)
+      replaceWhere(s, path, reload, col("lang") === "en")
+      read(s, path).orderBy("doc_id")
     },
     // Expectations-gated write: the violating batch (NULLed langs)
     // must leave NO new version — if it leaked, its null-lang rows

@@ -1257,6 +1257,41 @@ class CommitSpec extends SparkSpec {
       dataDirs.toSeq.toString)
   }
 
+  test("replaceWhere rewrites exactly the predicate's slice; strays bounce; txn replays no-op") {
+    val dir = Files.createTempDirectory("graft-rw").toString + "/t"
+    def mk(lo: Long, hi: Long, tag: String) = spark.range(lo, hi)
+      .select(col("id"), lit(tag).as("tag"))
+    TableCommit.write(mk(0, 10, "a").unionByName(mk(10, 20, "b")), dir, "overwrite")
+    // replace the 'a' slice with a smaller recomputed frame
+    val v = TableCommit.replaceWhere(spark, dir,
+      mk(100, 103, "a"), col("tag") === "a", txn = Some(("reload", 1L)))
+    assert(v == 2L)
+    val rows = TableCommit.read(spark, dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.count(_._2 == "b") == 10 && rows.filter(_._2 == "a").map(_._1).toSeq
+      == Seq(100L, 101L, 102L), rows.toSeq.toString)
+    // a replayed batch under the same txn rewrites nothing
+    assert(TableCommit.replaceWhere(spark, dir,
+      mk(200, 300, "a"), col("tag") === "a", txn = Some(("reload", 1L))) == 2L)
+    assert(TableCommit.read(spark, dir).count() == 13)
+    // incoming rows OUTSIDE the predicate bounce loudly, nothing commits
+    val e = intercept[IllegalArgumentException](
+      TableCommit.replaceWhere(spark, dir, mk(0, 5, "b"), col("tag") === "a"))
+    assert(e.getMessage.contains("do NOT"), e.getMessage)
+    assert(TableCommit.versions(spark, dir) == Seq(1L, 2L))
+    // schema drift bounces like an append's
+    intercept[IllegalArgumentException](
+      TableCommit.replaceWhere(spark, dir,
+        spark.range(0, 1).select(col("id"), lit(1.5).as("tag")), col("tag") === "a"))
+    // the rewrite version is a 'replace' — batch readChanges names it,
+    // row-level CDF resolves it as update/delete/insert classes
+    intercept[IllegalStateException](TableCommit.readChanges(spark, dir, 1L, 2L))
+    val cdf = TableCommit.readChangesRowLevel(spark, dir, 1L, 2L, "id")
+    val byType = cdf.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap
+    // ids 0..9 ('a') deleted, 100..102 inserted, 'b' rows carried silent
+    assert(byType == Map("delete" -> 10L, "insert" -> 3L), byType.toString)
+  }
+
   test("connector IN pruning on STRING stats uses UTF8String order; <=> prunes like =") {
     val dir = Files.createTempDirectory("graft-instr").toString + "/t"
     // three files with disjoint string ranges, one containing a
