@@ -28,7 +28,13 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // bound per-task fixed allocation: the heap-derived default hits
+    // the 64 MiB cap on big-memory executors and each task's
+    // aggregate/sort/shuffle buffers eagerly allocate+zero a full
+    // page regardless of partition size (see create() below for the
+    // measured cost); 4 MiB amortizes fine at 100-1000 MB partitions
+    "spark.buffer.pageSize" -> (4L * 1024 * 1024).toString)
 
   def create(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +54,21 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Tungsten page size. The default derives from heap/cores and
+      // lands on the 64 MiB cap under this driver's large heap; every
+      // HashAggregate / sorter / shuffle-writer TASK then eagerly
+      // allocates (and the JVM zeroes) one-or-more 64 MiB pages even
+      // when its partition holds a few hundred rows. Measured on the
+      // r14 bench (op_pagerank, 842 tasks): ~73 s of task CPU for a
+      // 4.4 s wall — ~200 ms/task of pure page-allocation churn —
+      // dropping to ~40 s with 4 MiB pages (op_trustrank 3.7→3.0 s,
+      // dedup_tfidf_cosine 4.1→2.6 s wall). Not a local-only tune:
+      // the operators' shuffle partitions are sized 100-1000 MB at
+      // cluster scale, and a 4 MiB page still amortizes fine there
+      // (pages are chained; a task allocates more as it fills them),
+      // while the 64 MiB default wastes the same zeroed-page work on
+      // every small partition a 2×-cores-wide shuffle produces.
+      .config("spark.buffer.pageSize", "4m")
       .getOrCreate()
   }
 }

@@ -1,0 +1,68 @@
+package graft.apps
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import graft.{Caches, GraftSession, SparkEntry}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** Job/stage/task accounting for one warm gate run — answers "is this
+  * gate's wall time task work or scheduling/barrier overhead?".
+  *
+  * Usage: runMain graft.apps.JobProfile <sfDir> <gate> [...]
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val (flags, rest) = args.partition(_ == "-v")
+    val sfDir = rest.head
+    val names = rest.tail.toSeq
+    val spark = GraftSession.create("graft-jobprofile")
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskTimeMs = new AtomicLong
+    val gcTimeMs = new AtomicLong
+    val verbose = flags.nonEmpty || sys.env.get("GRAFT_PROF_STAGES").contains("1")
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        if (verbose) {
+          val i = s.stageInfo
+          val tm = Option(i.taskMetrics)
+          stageRows.add(
+            f"    stage=${i.stageId}%4d tasks=${i.numTasks}%4d " +
+              f"run=${tm.map(_.executorRunTime).getOrElse(0L) / 1000.0}%7.2fs " +
+              f"cpu=${tm.map(_.executorCpuTime).getOrElse(0L) / 1e9}%7.2fs " +
+              f"deser=${tm.map(_.executorDeserializeTime).getOrElse(0L) / 1000.0}%6.2fs " +
+              f"${i.name.takeWhile(_ != '\n').take(90)}")
+        }
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskMetrics != null) {
+          taskTimeMs.addAndGet(t.taskMetrics.executorRunTime)
+          gcTimeMs.addAndGet(t.taskMetrics.jvmGCTime)
+        }
+      }
+    })
+    for (name <- names) {
+      // warm-up
+      SparkEntry.queries(name)(spark, sfDir).count(); Caches.releaseAll()
+      Thread.sleep(200)
+      jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0); gcTimeMs.set(0)
+      stageRows.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll()
+      Thread.sleep(300) // let listener drain
+      println(f"[prof] $name%-26s wall=$wall%6.2fs jobs=${jobs.get}%4d " +
+        f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +
+        f"taskTime=${taskTimeMs.get / 1000.0}%7.2fs gc=${gcTimeMs.get / 1000.0}%5.2fs")
+      stageRows.forEach(r => println(r))
+    }
+    spark.stop()
+  }
+}

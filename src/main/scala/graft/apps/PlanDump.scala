@@ -1,0 +1,31 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import graft.{GraftSession, SparkEntry}
+
+/** Per-gate `explain("formatted")` dump to individual files — the
+  * optimization-round evidence artifact (plans/rNN/<gate>_before.txt /
+  * _after.txt).
+  *
+  * Usage: runMain graft.apps.PlanDump <sfDir> <outDir> <suffix> <gate> [...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args.drop(3).toSeq
+    val spark = GraftSession.create("graft-plandump")
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+      println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
