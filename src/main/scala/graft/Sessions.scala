@@ -69,6 +69,26 @@ object GraftSession {
       // while the 64 MiB default wastes the same zeroed-page work on
       // every small partition a 2×-cores-wide shuffle produces.
       .config("spark.buffer.pageSize", "4m")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
   }
+
+  /** Scratch directory for shuffle/spill files. Honors the standard
+    * overrides (SPARK_LOCAL_DIRS / spark.local.dir via system
+    * property); otherwise prefers RAM-backed /dev/shm when present —
+    * thread-stack sampling of the bench showed executor tasks
+    * dominated by FileOutputStream.open0 / shuffle index commits on
+    * the VM's journaled root disk, pure per-file syscall latency on
+    * KB-sized shuffle files. A cluster deployment sets
+    * SPARK_LOCAL_DIRS to its local NVMe array (where 100-1000 MB
+    * shuffle partitions belong); this default only covers the
+    * unconfigured local case. */
+  private def localDir: String =
+    sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(sys.props.get("spark.local.dir"))
+      .getOrElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir", "/tmp")
+      }
 }
