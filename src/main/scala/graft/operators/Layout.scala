@@ -348,11 +348,14 @@ object Layout {
       exact: Boolean = true): DataFrame = {
     require(annealFrac > 0 && annealFrac < 1,
       "annealOrder: annealFrac must be in (0, 1)")
-    val thr = docs
-      .agg(
-        if (exact) percentile(col(scoreCol).cast("double"), lit(1 - annealFrac))
-        else percentile_approx(col(scoreCol).cast("double"), lit(1 - annealFrac), lit(10000)))
-      .head().getDouble(0)
+    // exact path: distributed sort-based percentile — the builtin
+    // aggregate concentrates every distinct score in one final task
+    // (see [[Quantiles.exactPercentiles]])
+    val thr =
+      if (exact) Quantiles.exactPercentiles(docs, col(scoreCol), Seq(1 - annealFrac)).head
+      else docs.agg(percentile_approx(
+          col(scoreCol).cast("double"), lit(1 - annealFrac), lit(10000)))
+        .head().getDouble(0)
     shuffleOrder(
       docs.withColumn("anneal", (col(scoreCol).cast("double") >= thr).cast("int")),
       idCol, outCol, within = Seq(col("anneal")), epoch = epoch)

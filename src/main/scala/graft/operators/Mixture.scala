@@ -568,12 +568,15 @@ object Mixture {
       exact: Boolean = true): DataFrame = {
     require(k >= 2, "quantileBins: k must be >= 2")
     val probs = (1 until k).map(_.toDouble / k)
-    val cuts = df
-      .agg(
-        (if (exact) percentile(col(scoreCol).cast("double"), array(probs.map(lit): _*))
-         else percentile_approx(col(scoreCol).cast("double"),
-           array(probs.map(lit): _*), lit(10000))).as("c"))
-      .head().getSeq[Double](0)
+    // exact path: distributed sort-based percentiles — the builtin
+    // `percentile` aggregate funnels every distinct value into ONE
+    // final buffer/task (see [[Quantiles.exactPercentiles]]'s parity
+    // contract and scale note)
+    val cuts =
+      if (exact) Quantiles.exactPercentiles(df, col(scoreCol), probs)
+      else df.agg(percentile_approx(col(scoreCol).cast("double"),
+          array(probs.map(lit): _*), lit(10000)).as("c"))
+        .head().getSeq[Double](0)
     df.withColumn(outCol,
       cuts.foldLeft(lit(0)) { (acc, c) =>
         acc + (col(scoreCol).cast("double") > c).cast("int")

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT percentiles over a whole frame.
+  *
+  * Spark's `percentile` aggregate is exact but single-buffer: every
+  * partial map merges into ONE final aggregation buffer holding every
+  * distinct value with its count, so the final task's memory and CPU
+  * scale with the column's distinct cardinality — at 100 TB the
+  * quantile of a mostly-distinct score column concentrates the whole
+  * corpus in one task (the op_quantile_bins profile showed exactly
+  * that shape at sf0.1: a 3-task partial pass, then one 1.2 s final
+  * task doing all the work). The scalable computation is the textbook
+  * one: range-partitioned parallel sort, then fetch the two values
+  * bracketing each target rank.
+  *
+  * Parity contract: reproduces
+  * `org.apache.spark.sql.catalyst.expressions.aggregate.Percentile`
+  * bit-for-bit — position = p·(n−1) on the null-filtered count, and
+  * the interpolation `(higher − position)·lowerValue +
+  * (position − lower)·higherValue` with floor/ceil doubles, which is
+  * the formula Spark's getPercentile evaluates (and DuckDB's
+  * quantile_cont agrees with on these gates). MixtureSpec pins
+  * equality against the builtin aggregate.
+  */
+object Quantiles {
+
+  /** Exact interpolated percentiles of `c` (cast to double, NULLs
+    * skipped, like the builtin) at each probability in `probs`.
+    * One parallel sort + two small jobs; nothing driver-side scales
+    * with the data. Input must be non-empty. */
+  def exactPercentiles(df: DataFrame, c: Column, probs: Seq[Double]): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"exactPercentiles: probabilities must be in [0, 1], got $probs")
+    val vals = df.select(c.cast("double").as("__v")).filter(col("__v").isNotNull)
+    import vals.sparkSession.implicits._
+    val sorted = vals.as[Double].rdd.sortBy(identity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one job for per-partition counts (materializes the sort into
+      // the persist), one job to fetch the ≤ 2·|probs| bracketing
+      // values by global rank — nothing else leaves the executors
+      val counts = sorted
+        .mapPartitionsWithIndex((i, it) => Iterator(i -> {
+          var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+        }))
+        .collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      require(n > 0, "exactPercentiles: empty input")
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val wanted = probs.flatMap { p =>
+        val pos = p * (n - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+      val at = sorted.mapPartitionsWithIndex { (pi, it) =>
+        val base = offsets(pi)
+        it.zipWithIndex.flatMap { case (v, li) =>
+          val gi = base + li
+          if (wanted(gi)) Some(gi -> v) else None
+        }
+      }.collectAsMap()
+      probs.map { p =>
+        val pos = p * (n - 1)
+        val lower = math.floor(pos)
+        val higher = math.ceil(pos)
+        val lv = at(lower.toLong)
+        if (higher == lower) lv
+        else (higher - pos) * lv + (pos - lower) * at(higher.toLong)
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+}

@@ -325,6 +325,26 @@ class MixtureSpec extends SparkSpec {
         s"bin $b: approx ${approx(b)} vs exact ${exact(b)}")
   }
 
+  test("Quantiles.exactPercentiles == builtin percentile aggregate bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, percentile}
+    // interpolating positions (n-1 not divisible), duplicates, a null,
+    // and unsorted input — the builtin is the parity oracle
+    val df = (0 until 1001).map(i => (i.toLong, ((i * 37) % 97).toDouble))
+      .toDF("id", "score")
+      .union(Seq((9999L, null.asInstanceOf[java.lang.Double])).toDF("id", "score"))
+    val probs = Seq(0.2, 0.25, 0.5, 0.737, 0.9, 1.0, 0.0)
+    val builtin = df
+      .agg(percentile(col("score").cast("double"), array(probs.map(lit): _*)))
+      .head().getSeq[Double](0)
+    val ours = operators.Quantiles.exactPercentiles(df, col("score"), probs)
+    assert(ours.size == probs.size)
+    ours.zip(builtin).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+        s"p=${probs(i)}: ours $a != builtin $b")
+    }
+  }
+
   test("bestOfN keeps the per-prompt reward argmax with lowest-id ties") {
     import spark.implicits._
     val cands = Seq(
