@@ -70,6 +70,10 @@ object GraftSession {
       // every small partition a 2×-cores-wide shuffle produces.
       .config("spark.buffer.pageSize", "4m")
       .config("spark.local.dir", localDir)
+      // managed tables (the bucketed-join gate fixtures) follow the
+      // same scratch policy — they are per-run round-trip artifacts,
+      // not durable outputs
+      .config("spark.sql.warehouse.dir", s"$localDir/graft-warehouse")
       .getOrCreate()
   }
 

@@ -1390,7 +1390,10 @@ object Multimodal {
         |  CAST((doc_id * 59) % 256 AS INT) AS g,
         |  CAST((doc_id * 83) % 256 AS INT) AS b
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      resizeProbe(withPngBlob(Tables(s, dir, "documents"))).toDF().orderBy("doc_id")
+      // spread: the 1-row-group documents file would otherwise pin the
+      // whole PNG encode→decode→rescale chain to one scan task
+      resizeProbe(withPngBlob(
+        graft.operators.Dedup.spread(Tables(s, dir, "documents")))).toDF().orderBy("doc_id")
     },
 
     // The oracle reproduces the stubbed decode arithmetically:
@@ -1499,7 +1502,8 @@ object Multimodal {
         |UNION ALL
         |SELECT doc_id, 0, -1, 0, 0, 0, 0, 0 FROM p WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-      gifFrames(withGifAnimBlob(Tables(s, dir, "documents")), stride = 2)
+      gifFrames(withGifAnimBlob(
+        graft.operators.Dedup.spread(Tables(s, dir, "documents"))), stride = 2)
         .toDF().orderBy("doc_id", "frame_idx")
     },
 
@@ -1524,7 +1528,8 @@ object Multimodal {
         |UNION ALL
         |SELECT doc_id, 0, -1, 0, 0 FROM p WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-      aviFrames(withAviBlob(Tables(s, dir, "documents")), stride = 2)
+      aviFrames(withAviBlob(
+        graft.operators.Dedup.spread(Tables(s, dir, "documents"))), stride = 2)
         .toDF()
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           col("width"), col("height"))

@@ -35,7 +35,7 @@ object Dedup {
     * cluster the input has thousands of splits, but hot single-file
     * inputs still benefit.
     */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     graft.expr.GraftExtensions.register(df.sparkSession)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }

@@ -390,8 +390,19 @@ object DocSource {
   }
 
   /** Scratch root for sink/source gate round-trip files (per-SF
-    * subdirs via [[gateScratch]]; the oracles never read these). */
-  val GateTmpDir = "/tmp/graft_gates"
+    * subdirs via [[gateScratch]]; the oracles never read these).
+    * Same placement policy as GraftSession's shuffle scratch: honor
+    * an explicit override, otherwise prefer RAM-backed /dev/shm —
+    * these are throwaway round-trip fixtures, and per-file commit
+    * latency on the journaled root disk was a measured fixed cost
+    * across the whole snk_/src_ gate family. A production pipeline
+    * writes its real sinks to durable storage paths of its own. */
+  val GateTmpDir: String =
+    sys.env.get("GRAFT_GATE_TMPDIR").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_gates"
+      else "/tmp/graft_gates"
+    }
 
   val gates: Seq[Gate] = Seq(
     // Adapter over the events table: remap id/text, parse the JSON

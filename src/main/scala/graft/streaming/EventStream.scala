@@ -639,7 +639,18 @@ object EventStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
-      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$name-ckpt").toString
+      // checkpoint on the session's scratch dir (RAM-backed when
+      // unconfigured — see GraftSession.localDir): each micro-batch
+      // zips + commits every partition's RocksDB snapshot into the
+      // checkpoint, and that per-file latency on the journaled root
+      // disk dominated the bounded-fixture stream gates. A production
+      // stream points checkpointLocation at durable storage instead —
+      // this path only hosts the bounded gate fixtures.
+      val ckptBase = java.nio.file.Paths.get(
+        spark.conf.getOption("spark.local.dir")
+          .getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+      java.nio.file.Files.createDirectories(ckptBase)
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, s"graft-$name-ckpt").toString
       val q = wire(input.toDS()).writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt).outputMode("append").start()
       val per = math.max(1, (rows.size + nBatches - 1) / nBatches)
