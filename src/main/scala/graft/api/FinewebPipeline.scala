@@ -2,7 +2,7 @@ package graft.api
 
 import graft.{Cols, Gate, Tables}
 import graft.ml.LinearClassifier
-import graft.operators.{Dsir, Filters, Formatters, Lines, TextAnalysis, TextClean}
+import graft.operators.{Dedup, Dsir, Filters, Formatters, Lines, TextAnalysis, TextClean}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1155,7 +1155,10 @@ object FinewebPipeline {
            |  dsir_score, md5(cur_text) AS text_md5
            |FROM fin ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      FinewebPipeline.buildMarked(s, recipePages(Tables(s, dir, "documents")), RecipeCfg)
+      // spread: the C4/gopher/DSIR narrow stages fuse into the scan
+      // stage, which the 1-row-group fixture pins to one task
+      FinewebPipeline.buildMarked(
+        s, recipePages(Dedup.spread(Tables(s, dir, "documents"))), RecipeCfg)
         .select(col("doc_id"), col("filter_reason"), col("dsir_score"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")

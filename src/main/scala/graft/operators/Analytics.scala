@@ -50,11 +50,16 @@ object Analytics {
     * Exposed so PlanSpec can build the same plan and assert zero
     * ShuffleExchange under a disabled broadcast threshold. */
   def bucketedRevenue(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // spread: the 1-row-group fixture scan would otherwise encode +
+    // sort + write all 8 buckets of each table in ONE task; a real
+    // ingest writes buckets from many input splits exactly like this
+    // (each task emits a file per bucket it holds rows for)
     writeBucketed(
-      Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      Dedup.spread(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")),
       "graft_bkt_lineitem", "l_orderkey", 8)
     writeBucketed(
-      Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      Dedup.spread(Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")),
       "graft_bkt_orders", "o_orderkey", 8)
     s.table("graft_bkt_lineitem")
       .join(s.table("graft_bkt_orders"),

@@ -65,10 +65,14 @@ object Fuzzy {
     val maxPoorGrams = maxDist * q
     val prefixLen = maxDist * q + 1
 
-    val t = Caches.persist(
+    // spread (see Dedup.spread): the per-char q-gram substring+hash
+    // explode below is the operator's heaviest narrow stage, and a
+    // single-file input would otherwise run it on the scan's few
+    // partitions
+    val t = Caches.persist(Dedup.spread(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), col(textCol).as("s"),
-          length(col(textCol)).as("len")))
+          length(col(textCol)).as("len"))))
 
     // ---- gram-rich path: prefix-filtered q-gram index ----
     // persisted: three consumers below (df agg, prefix ranking, per-id
