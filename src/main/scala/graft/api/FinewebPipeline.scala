@@ -1257,8 +1257,10 @@ object FinewebPipeline {
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
          |SELECT doc_id, tox FROM s WHERE tox < $GateToxThr
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-        .join(Tables(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      // spread: the per-row MLP head otherwise scores the whole corpus
+      // in the 1-row-group scan's single task
+      val docs = Dedup.spread(Tables(s, dir, "documents")
+        .join(Tables(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id"), "doc_id"))
       val (kept, _) = build(s, docs,
         FinewebConfig(
           toxicityThreshold = Some(GateToxThr),
