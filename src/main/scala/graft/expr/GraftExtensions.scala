@@ -144,10 +144,22 @@ object GraftExtensions {
   private[expr] val topK: Seq[Expression] => Expression =
     es => GraftCollectTopK(es.head, es(1), es(2))
 
+  // sessions already registered (identity keys — a stopped session's
+  // entry is harmless garbage, bounded by sessions per JVM). register()
+  // is called from every Tables() read and operator entry; re-running
+  // the 26 createOrReplaceTempFunction calls thousands of times per
+  // bench pass costs registry-lock churn and a WARN log line apiece.
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]))
+
   /** Idempotent per-session registration for sessions not started
     * with `spark.sql.extensions` — lets library code reach the
-    * kernels through `functions.call_function`. */
+    * kernels through `functions.call_function`. Registers once per
+    * session; subsequent calls are a set-lookup no-op. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_minhash64", es => Minhash64(es.head), "built-in")
