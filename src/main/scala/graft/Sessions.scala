@@ -69,6 +69,21 @@ object GraftSession {
       // while the 64 MiB default wastes the same zeroed-page work on
       // every small partition a 2×-cores-wide shuffle produces.
       .config("spark.buffer.pageSize", "4m")
+      // Shuffle-file concatenation copy strategy. With transferTo on
+      // (default) the bypass-merge writer concatenates its per-reduce
+      // partition files via FileChannel.transferTo, which on tmpfs
+      // (the /dev/shm scratch default below) degrades to mmap+munmap
+      // per segment — thread-stack sampling of the r14 bench showed
+      // executor threads dominated by map0/unmap0 in
+      // SparkStreamUtils.copyFileStreamNIO, and munmap's TLB
+      // shootdown stalls every other running task (the measured
+      // run≫cpu gap on all shuffle-bearing gates). A streamed copy on
+      // tmpfs is a plain memcpy: op_pagerank 1.9→1.4 s,
+      // dedup_tfidf_cosine 3.3→2.4 s. On a real filesystem (cluster
+      // NVMe via SPARK_LOCAL_DIRS) transferTo uses sendfile and stays
+      // the right default, so this keys on the chosen scratch dir.
+      .config("spark.file.transferTo",
+        if (localDir.startsWith("/dev/shm")) "false" else "true")
       .config("spark.local.dir", localDir)
       // managed tables (the bucketed-join gate fixtures) follow the
       // same scratch policy — they are per-run round-trip artifacts,

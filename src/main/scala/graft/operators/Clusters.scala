@@ -452,6 +452,38 @@ object Clusters {
   // skip links merge into ~82-node components — wide enough that a
   // one-hop-propagation bug can't pass, long enough to exercise real
   // star-contraction rounds. Endpoint existence via self-join.
+  /** Scale-adaptive width for the compact (long, long)-class frames
+    * the iterative graph loops re-join every round. A persisted frame
+    * pins its build-time partitioning (cached plans are exempt from
+    * AQE re-coalescing), so without this the per-iteration stages run
+    * at the session's full shuffle width however small the graph is —
+    * measured on the r14 bench: 22–64 jobs of 32-task stages per gate
+    * at ~40 ms/task of pure scheduling/memory-manager overhead for
+    * KB-sized frames. ~250k nodes per task keeps loop partitions in
+    * the tens-of-MB class; the cap (2× total cores, the clusterConf
+    * shuffle width) restores today's full-width behavior on graphs
+    * that need it, so this only ever REMOVES overhead at the small
+    * end — it never narrows a 100 TB run. */
+  private def graphParts(nodes: Long, df: DataFrame): Int = {
+    val cap = math.max(1, df.sparkSession.sparkContext.defaultParallelism * 2)
+    math.min(cap.toLong, math.max(1L, (nodes + 249999L) / 250000L)).toInt
+  }
+
+  /** Re-persist an already-persisted frame at [[graphParts]] width
+    * when the graph is small enough that the session-width cached
+    * frame would dominate the loop's cost; at the parallelism cap and
+    * above the original frame is returned untouched (the wide path is
+    * byte-identical to the pre-r14 code). The narrow copy is a second
+    * tiny cache entry read once from the wide one; Caches.releaseAll
+    * drops both at gate end. Partition count never changes results:
+    * every loop accumulates in DECIMAL (order-independent) or integer
+    * counts, and the gates sort their output. */
+  private def loopSized(df: DataFrame, nodes: Long): DataFrame = {
+    val p = graphParts(nodes, df)
+    if (p >= df.sparkSession.sparkContext.defaultParallelism) df
+    else graft.Caches.persist(df.coalesce(p))
+  }
+
   private val SqlEdges =
     """SELECT a.doc_id AS u, b.doc_id AS v
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -492,12 +524,15 @@ object Clusters {
       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val nodes = graft.Caches.persist(
+    val nodes0 = graft.Caches.persist(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
-    val ew = graft.Caches.persist(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("od")), Seq("src")))
-    val n = nodes.count()
+    val n = nodes0.count()
     require(n > 0, "pageRank: empty graph")
+    // loop frames sized to the graph (see loopSized): the per-round
+    // join + aggregate stages inherit this width
+    val nodes = loopSized(nodes0, n)
+    val ew = loopSized(graft.Caches.persist(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("od")), Seq("src"))), n)
     // (1.0 - damping) first, THEN divide: the SQL twin writes the same
     // two ops so the IEEE result matches bit-for-bit
     val base = (1.0 - damping) / n
@@ -562,14 +597,17 @@ object Clusters {
     import org.apache.spark.sql.types.DecimalType
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val s = broadcast(seeds.select(col(seedCol).cast("long").as("node")).distinct())
-    val nodes = graft.Caches.persist(
+    val nodes0 = graft.Caches.persist(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
         .join(s.withColumn("__seed", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), lit(false)).as("seed")))
-    val ew = graft.Caches.persist(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("od")), Seq("src")))
-    val nS = nodes.filter(col("seed")).count()
+    val nS = nodes0.filter(col("seed")).count()
     require(nS > 0, "trustRank: no seed is present in the graph")
+    // loop frames sized to the graph (see loopSized)
+    val n = nodes0.count()
+    val nodes = loopSized(nodes0, n)
+    val ew = loopSized(graft.Caches.persist(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("od")), Seq("src"))), n)
     // both divisions happen ONCE here as driver doubles; the SQL twin
     // writes the same single IEEE divisions, so they match bit-for-bit
     val seedMass = 1.0 / nS
@@ -623,11 +661,16 @@ object Clusters {
       iterations: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val acc = DecimalType(32, 12)
-    val e = graft.Caches.persist(
+    val e0 = graft.Caches.persist(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
-    val nodes = graft.Caches.persist(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
-    require(nodes.count() > 0, "hits: empty graph")
+    val nodes0 = graft.Caches.persist(
+      e0.select(col("src").as("node")).union(e0.select(col("dst"))).distinct())
+    val n = nodes0.count()
+    require(n > 0, "hits: empty graph")
+    // loop frames sized to the graph (see loopSized): every half-step
+    // re-joins e, and raw/norm/final inherit this width
+    val e = loopSized(e0, n)
+    val nodes = loopSized(nodes0, n)
 
     // Σ over joinKey-matched edges of the partner score, re-keyed to
     // outKey, L2-normalized. Nodes with no matched in-edges are
@@ -645,10 +688,16 @@ object Clusters {
       // half-steps per iteration, that tripled the join+aggregate
       // work of the whole power iteration (measured 6.1 → ~2 s on
       // op_hits at sf0.1)
+      // sized like the loop frames (see loopSized): the persisted
+      // aggregate otherwise pins the session shuffle width for the
+      // norm branch, the next half-step's join and the final output
+      val rawP = graphParts(n, e)
+      val rawBase = e.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(col("s").cast(acc)).cast("double").as("raw"))
       val raw = graft.Caches.persist(
-        e.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
-          .groupBy(col(outKey).as("node"))
-          .agg(sum(col("s").cast(acc)).cast("double").as("raw")))
+        if (rawP >= e.sparkSession.sparkContext.defaultParallelism) rawBase
+        else rawBase.coalesce(rawP))
       val norm = raw.agg(
         sqrt(sum(graft.Cols.pround(col("raw") * col("raw"), 12).cast(acc))
           .cast("double")).as("nv"))
@@ -705,12 +754,16 @@ object Clusters {
       dstCol: String,
       iterations: Int = 3): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val und = graft.Caches.persist(
+    val und0 = graft.Caches.persist(
       e0.union(e0.select(col("dst"), col("src")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val nodes = graft.Caches.persist(und.select(col("src").as("node")).distinct())
-    require(nodes.count() > 0, "labelPropagation: no non-loop edges")
+    val nodes0 = graft.Caches.persist(und0.select(col("src").as("node")).distinct())
+    val n = nodes0.count()
+    require(n > 0, "labelPropagation: no non-loop edges")
+    // loop frames sized to the graph (see loopSized)
+    val und = loopSized(und0, n)
+    val nodes = loopSized(nodes0, n)
 
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
@@ -761,12 +814,17 @@ object Clusters {
       maxRounds: Int = 6): DataFrame = {
     require(kMax >= 1 && maxRounds >= 1, "kCore: kMax and maxRounds must be >= 1")
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val und = graft.Caches.persist(
+    val und0 = graft.Caches.persist(
       e0.union(e0.select(col("dst"), col("src")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val nodes = graft.Caches.persist(und.select(col("src").as("node")).distinct())
-    require(nodes.count() > 0, "kCore: no non-loop edges")
+    val nodes0 = graft.Caches.persist(und0.select(col("src").as("node")).distinct())
+    val n = nodes0.count()
+    require(n > 0, "kCore: no non-loop edges")
+    // loop frames sized to the graph (see loopSized); `alive` stays
+    // at this width through the RDD truncation round-trips
+    val und = loopSized(und0, n)
+    val nodes = loopSized(nodes0, n)
 
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
@@ -824,12 +882,15 @@ object Clusters {
       dstCol: String,
       labels: DataFrame /* node, label */): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val und = graft.Caches.persist(
+    val und0 = graft.Caches.persist(
       e0.union(e0.select(col("dst"), col("src")))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val m = und.count() / 2
+    val m = und0.count() / 2
     require(m > 0, "modularityReport: no non-loop edges")
+    // und feeds three consumers (deg + the two intra joins) — sized
+    // to the data like the graph loops (see loopSized)
+    val und = loopSized(und0, 2 * m)
     val lab = labels.select(col("node"), col("label").as("lbl"))
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val com = lab.join(deg, Seq("node"))
