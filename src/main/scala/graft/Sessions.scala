@@ -84,6 +84,18 @@ object GraftSession {
       // the right default, so this keys on the chosen scratch dir.
       .config("spark.file.transferTo",
         if (localDir.startsWith("/dev/shm")) "false" else "true")
+      // Shuffle/spill compression is I/O-for-CPU: worth it on disk or
+      // network, pure CPU overhead when the shuffle never leaves RAM
+      // (guide: "for already-compressed or high-entropy payloads
+      // compression can be pure overhead — measure both"). The
+      // single-split bench fixtures make this visible: every spread
+      // gate's scan task LZ4-compresses the whole corpus into the
+      // tmpfs shuffle. A cluster (SPARK_LOCAL_DIRS on real disks,
+      // network fetches) keeps the default on.
+      .config("spark.shuffle.compress",
+        if (localDir.startsWith("/dev/shm")) "false" else "true")
+      .config("spark.shuffle.spill.compress",
+        if (localDir.startsWith("/dev/shm")) "false" else "true")
       .config("spark.local.dir", localDir)
       // managed tables (the bucketed-join gate fixtures) follow the
       // same scratch policy — they are per-run round-trip artifacts,

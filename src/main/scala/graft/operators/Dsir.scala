@@ -60,6 +60,47 @@ object Dsir {
       .agg(count(lit(1)).as("raw_count"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("target_count"))
 
+  /** TARGET-subset bucket counts for several n-gram orders in ONE
+    * corpus pass. The per-order [[bucketCounts]] calls the LM trainers
+    * used to make each re-ran tokenize+explode over the WHOLE corpus
+    * (the single most expensive stage of those operators) once per
+    * order, and counted non-target rows only to discard them: here
+    * non-target docs are filtered before tokenizing (the target is
+    * typically a small quality subset) and all orders' grams ride one
+    * explode keyed by (order, bucket) — identical counts, one pass
+    * instead of `orders.size`. The exchange still carries only
+    * (int, long) pairs pre-reduced map-side to ≤ Σ buckets rows. */
+  def targetBucketCountsMulti(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      orders: Seq[(Int, Int)]): Map[Int, Array[Long]] = {
+    require(orders.nonEmpty && orders.map(_._1).distinct.size == orders.size,
+      "targetBucketCountsMulti: orders must be non-empty and distinct")
+    // filter BEFORE the spread: only the target subset's text crosses
+    // the repartition exchange (the target is typically a small
+    // quality slice — doc_id % 9 in the gates). (order, bucket) packs
+    // into one long (order << 32 | bucket) so the explode carries a
+    // primitive long array, not per-gram structs.
+    val rows = Dedup.spread(docs.filter(isTarget))
+      .select(Cols.bind(
+        coalesce(TextAnalysis.words(lower(col(textCol))), array().cast("array<string>"))) { ws =>
+        flatten(array(orders.map { case (n, b) =>
+          transform(TextAnalysis.ngrams(ws, n),
+            g => bucketOf(g, b) + lit(n.toLong << 32))
+        }: _*))
+      }.as("ks"))
+      .select(explode(col("ks")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .collect()
+    val byOrder = rows.groupBy(r => (r.getLong(0) >> 32).toInt)
+    orders.map { case (n, b) =>
+      val m = byOrder.getOrElse(n, Array.empty)
+        .map(r => (r.getLong(0) & 0xffffffffL).toInt -> r.getLong(1)).toMap
+      n -> Array.tabulate(b)(i => m.getOrElse(i, 0L))
+    }.toMap
+  }
+
   /** The smoothed per-bucket log-likelihood ratio, rounded to 8
     * decimals with the shared portable-floor formula (consistent for
     * negative values too — both engines use the identical
@@ -146,11 +187,13 @@ object Dsir {
       textCol: String,
       isTarget: Column,
       buckets: Int = 1024): Array[Double] = {
-    val counts = bucketCounts(docs, textCol, isTarget, n = 1, buckets)
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
-    val tTot = counts.valuesIterator.sum
+    // target-only counts: filter-before-tokenize via the fused pass
+    // (the raw-side counts the generic aggregate also produces are
+    // unused here, and the target is typically a small subset)
+    val counts = targetBucketCountsMulti(docs, textCol, isTarget, Seq(1 -> buckets))(1)
+    val tTot = counts.sum
     Array.tabulate(buckets) { b =>
-      val x = math.log(counts.getOrElse(b, 0L) + 1.0) - math.log(tTot.toDouble + buckets)
+      val x = math.log(counts(b) + 1.0) - math.log(tTot.toDouble + buckets)
       math.floor(x * 1e8 + 0.5) / 1e8
     }
   }
@@ -216,14 +259,8 @@ object Dsir {
       isTarget: Column,
       b1: Int = 1024,
       b2: Int = 2048): (Array[Long], Array[Long], Long) = {
-    def targetCounts(n: Int, buckets: Int): Array[Long] = {
-      val m = bucketCounts(docs, textCol, isTarget, n, buckets)
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
-      Array.tabulate(buckets)(b => m.getOrElse(b, 0L))
-    }
-    val c1 = targetCounts(1, b1)
-    val c2 = targetCounts(2, b2)
-    (c1, c2, c1.sum)
+    val m = targetBucketCountsMulti(docs, textCol, isTarget, Seq(1 -> b1, 2 -> b2))
+    (m(1), m(2), m(1).sum)
   }
 
   /** Trigram Stupid Backoff — one order deeper than
@@ -259,13 +296,9 @@ object Dsir {
       b1: Int = 1024,
       b2: Int = 2048,
       b3: Int = 4096): (Array[Long], Array[Long], Array[Long], Long) = {
-    def targetCounts(n: Int, buckets: Int): Array[Long] = {
-      val m = bucketCounts(docs, textCol, isTarget, n, buckets)
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
-      Array.tabulate(buckets)(b => m.getOrElse(b, 0L))
-    }
-    val c1 = targetCounts(1, b1)
-    (c1, targetCounts(2, b2), targetCounts(3, b3), c1.sum)
+    val m = targetBucketCountsMulti(
+      docs, textCol, isTarget, Seq(1 -> b1, 2 -> b2, 3 -> b3))
+    (m(1), m(2), m(3), m(1).sum)
   }
 
   /** The narrow trigram-backoff scoring column over literal tables —
@@ -662,7 +695,14 @@ object Dsir {
            |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE ${Cols.proundSql("s2 / nw", 4)} END AS sbo_nll
            |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
       }) { (s, dir) =>
-      stupidBackoffScore(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+      // train on the raw frame (the trainer filters to the target
+      // BEFORE its own spread); spread only the scoring pass — the
+      // gate's heavy narrow stage, which otherwise fuses into the
+      // 1-row-group fixture's single-task scan
+      val docs = Tables(s, dir, "documents")
+      val (c1, c2, n) = backoffTables(docs, "text", col("doc_id") % 9 === 0)
+      Dedup.spread(docs)
+        .withColumn("sbo_nll", sboNllColumn(c1, c2, n, col("text")))
         .select(col("doc_id"),
           size(grams(col("text"), 1)).as("n_words"),
           col("sbo_nll"))
@@ -722,7 +762,12 @@ object Dsir {
            |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE ${Cols.proundSql("s2 / nw", 4)} END AS sbo3_nll
            |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
       }) { (s, dir) =>
-      stupidBackoffTrigramScore(Tables(s, dir, "documents"), "text", col("doc_id") % 9 === 0)
+      // train raw / score spread — see txt_stupid_backoff
+      val docs = Tables(s, dir, "documents")
+      val (c1, c2, c3, n) =
+        backoffTrigramTables(docs, "text", col("doc_id") % 9 === 0)
+      Dedup.spread(docs)
+        .withColumn("sbo3_nll", sboTriNllColumn(c1, c2, c3, n, col("text")))
         .select(col("doc_id"),
           size(grams(col("text"), 1)).as("n_words"),
           col("sbo3_nll"))
@@ -767,7 +812,9 @@ object Dsir {
            |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE ${Cols.proundSql("s / nw", 4)} END AS kn_nll
            |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
       }) { (s, dir) =>
-      kneserNeyScore(Tables(s, dir, "documents"), "text")
+      // spread: the tokenize+position-explode pass fuses into the
+      // 1-row-group fixture's single-task scan (see txt_stupid_backoff)
+      kneserNeyScore(Dedup.spread(Tables(s, dir, "documents")), "text")
         .orderBy("doc_id")
     },
 
