@@ -97,6 +97,14 @@ object GraftSession {
       .config("spark.shuffle.spill.compress",
         if (localDir.startsWith("/dev/shm")) "false" else "true")
       .config("spark.local.dir", localDir)
+      // Local-FS file creation without a chmod subprocess per file:
+      // absent libhadoop, RawLocalFileSystem.setPermission shells out
+      // (fork+exec) for EVERY created file/dir — stack-sampled as the
+      // dominant blocker of concurrent write tasks (see
+      // NoChmodLocalFileSystem). file:// scheme only; HDFS/S3 cluster
+      // paths use their own FileSystem classes and are untouched.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.NoChmodLocalFileSystem].getName)
       // managed tables (the bucketed-join gate fixtures) follow the
       // same scratch policy — they are per-run round-trip artifacts,
       // not durable outputs

@@ -124,19 +124,25 @@ object Calibration {
     * and n_i that score's tie count. Rank normalization is the
     * standard fix for "0.9 from model A ≠ 0.9 from model B".
     *
-    * Scale shape: per score, ONE tiny distinct-value aggregate (the
-    * caller pre-rounds real-valued scores — `Cols.pround(s, 4)` caps
-    * the frame at 10⁴ + 1 rows; integer scores are bounded by their
-    * range), a running-count window OVER THAT TINY FRAME (single
-    * partition by construction — bounded rows, never the corpus), and
-    * a broadcast join back. The 100 TB side is never sorted; nothing
-    * collects to the driver. The bounded-distinct contract is
-    * ENFORCED, not just documented: each score's distinct-value frame
-    * is counted (one cheap job over the persisted compact frame — the
-    * dedupLines idiom) and an unrounded high-cardinality score fails
-    * loudly at `maxDistinct` instead of silently pushing a
+    * Scale shape: ONE corpus pass builds every score's distinct-value
+    * histogram — each row explodes into k (score-index, value) pairs
+    * pre-reduced map-side, so the exchange carries ≤ k · distinct
+    * rows (the caller pre-rounds real-valued scores —
+    * `Cols.pround(s, 4)` caps each score at 10⁴ + 1 rows; integer
+    * scores are bounded by their range). The row count N rides the
+    * same histogram (Σ tie counts of score 0), the running-count
+    * window runs per score OVER THAT TINY FRAME (bounded rows, never
+    * the corpus), and each score broadcast-joins its CDF back. The
+    * 100 TB side is never sorted; nothing corpus-sized touches the
+    * driver. The bounded-distinct contract is ENFORCED, not just
+    * documented: per-score distinct counts come from one census over
+    * the persisted histogram and an unrounded high-cardinality score
+    * fails loudly at `maxDistinct` instead of silently pushing a
     * corpus-sized frame through the single-partition window AND a
-    * corpus-sized broadcast. Every arithmetic step is IEEE-exact
+    * corpus-sized broadcast. (Scores of mixed datatypes cannot ride
+    * one exploded array; that path takes one narrow aggregate per
+    * score against the same projected frame — never chained through
+    * the other scores' joins.) Every arithmetic step is IEEE-exact
     * double ops in a fixed order, so a SQL twin reproduces the blend
     * bit-for-bit. Appends `outCol` (pround-8). */
   def blendScores(
@@ -149,30 +155,56 @@ object Calibration {
     require(reserved.isEmpty && !df.columns.contains(outCol),
       s"blendScores: input columns collide with ${reserved.mkString(",")} $outCol")
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
-    val ranked = scores.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
-      val sc = s"__bs$i"
-      val withS = acc.withColumn(sc, s)
-      // guard BEFORE the window/broadcast: the per-score distinct
-      // frame is persisted once, counted (distributed — nothing large
-      // touches the driver), and reused by the window below
-      val distinctFrame = graft.Caches.persist(
-        withS.groupBy(sc).agg(count(lit(1)).as("__n")))
-      val nDistinct = distinctFrame.count()
-      require(nDistinct <= maxDistinct,
-        s"blendScores: score #$i has $nDistinct distinct values > maxDistinct=$maxDistinct — " +
-          "pre-round real-valued scores (e.g. Cols.pround(s, 4)) or raise the cap")
+    val k = scores.size
+    val withS = scores.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
+      acc.withColumn(s"__bs$i", s)
+    }
+    val dtypes = withS.select((0 until k).map(i => col(s"__bs$i")): _*)
+      .schema.map(_.dataType)
+    // (histogram of (__bv, __n) per score, total row count N)
+    val (hists, n): (Seq[DataFrame], Long) =
+      if (dtypes.distinct.size == 1) {
+        val all = graft.Caches.persist(
+          withS.select(explode(array((0 until k).map(i =>
+            struct(lit(i).as("__bi"), col(s"__bs$i").as("__bv"))): _*)).as("__bp"))
+            .select(col("__bp.__bi").as("__bi"), col("__bp.__bv").as("__bv"))
+            .groupBy("__bi", "__bv").agg(count(lit(1)).as("__n")))
+        // one census job guards every score AND yields N (each score
+        // contributes exactly one pair per row, so Σ __n per score =
+        // the row count)
+        val sizes = all.groupBy("__bi")
+          .agg(count(lit(1)).as("__d"), sum("__n").as("__t"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        for (i <- 0 until k; (d, _) <- sizes.get(i))
+          require(d <= maxDistinct,
+            s"blendScores: score #$i has $d distinct values > maxDistinct=$maxDistinct — " +
+              "pre-round real-valued scores (e.g. Cols.pround(s, 4)) or raise the cap")
+        ((0 until k).map(i => all.filter(col("__bi") === i).select("__bv", "__n")),
+          sizes.get(0).map(_._2).getOrElse(0L))
+      } else {
+        val frames = (0 until k).map { i =>
+          val f = graft.Caches.persist(
+            withS.groupBy(col(s"__bs$i").as("__bv")).agg(count(lit(1)).as("__n")))
+          val nDistinct = f.count()
+          require(nDistinct <= maxDistinct,
+            s"blendScores: score #$i has $nDistinct distinct values > maxDistinct=$maxDistinct — " +
+              "pre-round real-valued scores (e.g. Cols.pround(s, 4)) or raise the cap")
+          f
+        }
+        (frames, df.count())
+      }
+    val ranked = (0 until k).foldLeft(withS) { case (acc, i) =>
       // null-safe join key: a NULL score still ranks (first, both
       // engines must say NULLS FIRST) instead of silently dropping
-      val cdf = distinctFrame
+      val cdf = hists(i)
         .withColumn("__cum",
-          sum("__n").over(Window.orderBy(col(sc).asc_nulls_first)
+          sum("__n").over(Window.orderBy(col("__bv").asc_nulls_first)
             .rowsBetween(Window.unboundedPreceding, 0)))
-        .select(col(sc).as(s"__bsk$i"),
+        .select(col("__bv").as(s"__bsk$i"),
           ((col("__cum").cast("double") - lit(0.5) * col("__n")) / lit(n.toDouble))
             .as(s"__rk$i"))
-      withS.join(broadcast(cdf), col(sc) <=> col(s"__bsk$i"))
-        .drop(sc, s"__bsk$i")
+      acc.join(broadcast(cdf), col(s"__bs$i") <=> col(s"__bsk$i"))
+        .drop(s"__bs$i", s"__bsk$i")
     }
     val rkCols = ranked.columns.filter(_.startsWith("__rk"))
     val mean = rkCols.map(col).reduce(_ + _) / scores.size.toDouble

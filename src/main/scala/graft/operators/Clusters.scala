@@ -74,7 +74,7 @@ object Clusters {
       // still (its broadcast conversion and partition coalescing are
       // exactly what these shrinking edge frames need).
       val (next, nextRdd, nextCnt, nextSig) =
-        truncated(smallStar(largeStar(cur)))
+        truncated(smallStar(largeStar(cur)), graphParts(curCnt, cur))
       // (count, xor-of-hashes) differing proves NOT converged with
       // no extra job (both come from the materialization aggregate);
       // only a full match runs the exact except-confirm — once, at
@@ -262,9 +262,19 @@ object Clusters {
     * frame carries no constraints at all. localCheckpoint trades
     * executor-loss recovery for speed; a deployment with flaky
     * executors should swap in reliable `RDD.checkpoint` here. */
-  private def truncated(df: DataFrame)
+  private def truncated(df: DataFrame, parts: Int = Int.MaxValue)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long, Long) = {
-    val rdd = df.rdd
+    // Size the materialized round to the data ([[graphParts]] — the
+    // loopSized finding): the checkpointed RDD leaf pins every
+    // subsequent stage's width, and a KB-sized edge frame otherwise
+    // runs each round session-wide at pure fixed task cost. Callers
+    // pass the PREVIOUS round's measured edge count, so a large graph
+    // keeps its width and only the shrinking tail narrows; coalesce
+    // is a no-op above the current width. Partition count never
+    // changes the result — the convergence probe is a count + an
+    // order-independent xor, and the star aggregates key by node.
+    val sized = if (parts == Int.MaxValue) df else df.coalesce(math.max(1, parts))
+    val rdd = sized.rdd
     rdd.localCheckpoint()
     val fresh = df.sparkSession.createDataFrame(rdd, df.schema)
     // ONE action per round: materializes the checkpoint AND returns

@@ -407,21 +407,37 @@ object Similarity {
       .select(col("qid"), col("id"),
         Cols.pround(
           seqCosineHoisted(col("qvec"), col("vec"), col("__nq"), col("__nv")), 4).as("rel"))
-    val sl = graft.Caches.persist(scored
+    // The greedy loop below re-reads sl/pairs `pick` times each, and
+    // cached plans are exempt from AQE coalescing — persisted at the
+    // session width, every loop stage would run
+    // defaultParallelism-wide over frames bounded at nq·shortlist
+    // (and ·(shortlist−1)) rows, pure fixed task cost (the
+    // Clusters.loopSized finding). Size the cached copies to the
+    // data: one count over the persisted shortlist (which also warms
+    // the cache the loop needs anyway) derives both widths; at the
+    // parallelism cap and above the wide frames are kept untouched.
+    def sized(df: DataFrame, rows: Long): DataFrame = {
+      val cap = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val p = math.min(cap.toLong, math.max(1L, (rows + 249999L) / 250000L)).toInt
+      if (p >= cap) df else graft.Caches.persist(df.coalesce(p))
+    }
+    val slWide = graft.Caches.persist(scored
       .groupBy("qid")
       .agg(call_function("graft_top_k",
         struct((-col("rel")).as("nr"), col("id").as("i")), lit(shortlist), lit(true)).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.i").as("id"), (-col("t.nr")).as("rel")))
+    val slRows = slWide.count()
+    val sl = sized(slWide, slRows)
     val vecs = cs.select(col("id"), col("vec"), col("__nv"))
     val slv = sl.join(vecs, Seq("id"))
-    val pairs = graft.Caches.persist(slv.as("a")
+    val pairs = sized(graft.Caches.persist(slv.as("a")
       .join(slv.as("b"),
         col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
       .select(col("a.qid").as("qid"), col("a.id").as("da"), col("b.id").as("db"),
         Cols.pround(
           seqCosineHoisted(col("a.vec"), col("b.vec"), col("a.__nv"), col("b.__nv")),
-          4).as("sim")))
+          4).as("sim"))), slRows * math.max(1, shortlist - 1))
     def argmax(cand: DataFrame, step: Int): DataFrame =
       cand.withColumn("__rn",
         row_number().over(Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
@@ -2356,8 +2372,13 @@ object Similarity {
       val emb = Tables(s, dir, "embeddings")
       val cents = ivfGateCentroids(s, dir)
       val path = graft.sources.DocSource.gateScratch(dir, "snk_ann_index")
+      // gate-side spread: the sf fixture is one parquet row group, so
+      // assignment + the partitioned write would run as ONE task
+      // (profiled 0.5 s); the operator itself never exchanges the
+      // corpus (MEASURED invariant in SimilaritySpec) — a real
+      // deployment's input arrives in thousands of splits
       writeIvfIndex(
-        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        Dedup.spread(emb.select(col("vec_id").as("id"), col("embedding").as("vec"))),
         path, centroidsOverride = Some(cents))
       val (rc, vecs) = readIvfIndex(s, path)
       ivfTopKFromIndex(
@@ -2435,8 +2456,9 @@ object Similarity {
       val base = widened(4)
       val books = Array.tabulate(4)(j => base.map(v => v.slice(j * 16, (j + 1) * 16)))
       val path = graft.sources.DocSource.gateScratch(dir, "snk_ann_index_pq")
+      // gate-side spread of the 1-row-group fixture — see snk_ann_index
       writeIvfPqIndex(
-        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        Dedup.spread(emb.select(col("vec_id").as("id"), col("embedding").as("vec"))),
         path, nCells = 8, m = 4, ksub = 4,
         centroidsOverride = Some(cents), booksOverride = Some(books))
       val (rc, rb, vecs) = readIvfPqIndex(s, path)
@@ -2481,7 +2503,9 @@ object Similarity {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // gate-side spread of the 1-row-group fixture — see snk_ann_index
+      val corpus = Dedup.spread(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")))
       val path = graft.sources.DocSource.gateScratch(dir, "snk_ann_index_incr")
       writeIvfIndex(corpus.filter(col("id") % 2 === 0), path,
         nCells = 8, centroidsOverride = Some(cents))

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+
+/** Local filesystem without the shell-fork permission calls.
+  *
+  * Without the native-hadoop library (libhadoop.so — absent on this
+  * box and on most plain-JVM deployments), Hadoop's
+  * `RawLocalFileSystem.setPermission` falls back to
+  * `Shell.execCommand("chmod", …)` — a `fork`+`exec` of a subprocess
+  * PER CREATED FILE, because `FileSystem.create`/`mkdirs` always pass
+  * an explicit umask-derived permission. Thread-stack sampling of the
+  * r14 bench showed concurrent write tasks blocked in
+  * `ProcessImpl.forkAndExec` (18 live defunct `chmod` children at one
+  * sample): a partitioned parquet write of n files forks n+ processes,
+  * serialized on the fork path and priced by the driver's large page
+  * table. The JVM already creates every file through
+  * `java.io.File`/NIO with the process umask applied, so the chmod is
+  * a no-op in effect — this subclass makes it a no-op in cost.
+  *
+  * Scope: registered for the `file://` scheme only (GraftSession —
+  * `spark.hadoop.fs.file.impl`). Cluster deployments talk to
+  * HDFS/S3/ABFS through their own FileSystem implementations and are
+  * untouched; a deployment that needs non-umask local permissions can
+  * override `spark.hadoop.fs.file.impl` back to
+  * `org.apache.hadoop.fs.LocalFileSystem`.
+  */
+class NoChmodRawLocalFileSystem extends RawLocalFileSystem {
+  override def setPermission(p: Path, permission: FsPermission): Unit = ()
+}
+
+class NoChmodLocalFileSystem
+  extends LocalFileSystem(new NoChmodRawLocalFileSystem)
