@@ -116,6 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_date_shift"),
         new ExpressionInfo(classOf[DateShift].getName, "graft_date_shift"),
         (args: Seq[Expression]) => DateShift(args.head, args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_qgram_hashes"),
+        new ExpressionInfo(classOf[QGramHashes].getName, "graft_qgram_hashes"),
+        (args: Seq[Expression]) => QGramHashes(args.head, args(1))))
   }
 }
 
@@ -210,5 +214,7 @@ object GraftExtensions {
       "graft_cdc_cut", es => CdcCut(es.head, es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_date_shift", es => DateShift(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_qgram_hashes", es => QGramHashes(es.head, es(1)), "built-in")
   }
 }

@@ -1,0 +1,74 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+object QGramKernel {
+
+  private val EmptyLongs = new GenericArrayData(Array.emptyLongArray)
+
+  /** Distinct xxhash64 values (Spark's default seed 42) of every
+    * q-CHARACTER substring of `s` — the zero-allocation kernel twin of
+    *
+    *   array_distinct(transform(sequence(1, len - q + 1),
+    *     i => xxhash64(substr(s, i, q))))
+    *
+    * which allocated one UTF8String copy PER CHARACTER POSITION of
+    * the document (profiled as the dominant task CPU of the edit-
+    * distance q-gram index). One pass records each codepoint's byte
+    * offset — `substr` counts characters, exactly this walk — then
+    * every gram hashes in place over the original bytes with the same
+    * XXH64 the builtin uses, so the value SET is bit-identical. The
+    * result is sorted (not first-occurrence ordered); every consumer
+    * feeds a grouped aggregate or join, where order is immaterial.
+    */
+  def qgramHashes(s: UTF8String, q: Int): ArrayData = {
+    val nChars = s.numChars
+    if (nChars < q) return EmptyLongs
+    val nb = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+    }
+    offs(c) = nb
+    val n = nChars - q + 1
+    val hashes = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      hashes(k) = XXH64.hashUnsafeBytes(
+        base, off + offs(k), offs(k + q) - offs(k), 42L)
+      k += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var m = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || hashes(j) != hashes(j - 1)) { hashes(m) = hashes(j); m += 1 }
+      j += 1
+    }
+    new GenericArrayData(
+      if (m == n) hashes else java.util.Arrays.copyOf(hashes, m))
+  }
+}
+
+/** (string, q) → array<long> of distinct q-gram xxhash64 digests. */
+case class QGramHashes(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any, q: Any): Any =
+    QGramKernel.qgramHashes(s.asInstanceOf[UTF8String], q.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, q) => s"graft.expr.QGramKernel.qgramHashes($s, $q)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QGramHashes = copy(left = l, right = r)
+}

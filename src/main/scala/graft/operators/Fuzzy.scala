@@ -78,11 +78,15 @@ object Fuzzy {
     // persisted: three consumers below (df agg, prefix ranking, per-id
     // gram counts) would otherwise re-run the per-char substring+hash
     // explode over the whole corpus three times
+    // graft_qgram_hashes ≡ array_distinct(transform(sequence(1,
+    // len−q+1), i => xxhash64(substr(s, i, q)))) — same XXH64 values
+    // over the same codepoint windows, hashed IN PLACE instead of one
+    // UTF8String allocation per character position (that transform was
+    // this operator's dominant task CPU; see QGramKernel)
     val grams = Caches.persist(t.filter(col("len") >= q)
       .select(col("id"), col("len"),
-        explode(array_distinct(transform(
-          sequence(lit(1), col("len") - lit(q - 1)),
-          i => xxhash64(col("s").substr(i, lit(q)))))).as("g")))
+        explode(call_function(
+          "graft_qgram_hashes", col("s"), lit(q))).as("g")))
     val gramDf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     // per-id gram count + the prefixLen df-rarest grams in ONE hash
     // aggregate (bounded graft_top_k heap) — the former

@@ -110,4 +110,30 @@ class DigestExpressionsSpec extends SparkSpec {
       .agg(max("n")).head.getInt(0)
     assert(nChunks > 1)
   }
+
+  test("QGramHashes kernel == builtin xxhash64-over-substr grams, as a sorted set") {
+    import spark.implicits._
+    graft.expr.GraftExtensions.register(spark)
+    // corpus docs + edge cases: shorter than q, exactly q, repeated
+    // grams (the distinct), and multi-byte codepoints incl. an astral
+    // one (substr counts CHARACTERS; the kernel must walk codepoint
+    // byte offsets identically)
+    val corpus = Tables(spark, sfDir, "documents").limit(200).select(col("text"))
+    val edges = Seq("", "ab", "abc", "aaaaaaa", "café 中文 𝄞 astral",
+      "𝄞𝄞𝄞𝄞", "ababababab").toDF("text")
+    for (df <- Seq(corpus, edges); q <- Seq(2, 3, 5)) {
+      val both = df.filter(length(col("text")) >= q).select(
+        call_function("graft_qgram_hashes", col("text"), lit(q)).as("kernel"),
+        array_sort(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - lit(q - 1)),
+          i => xxhash64(col("text").substr(i, lit(q)))))).as("reference"))
+      assert(both.filter(
+        to_json(col("kernel")) =!= to_json(col("reference"))).count() == 0)
+    }
+    // below-q inputs yield an empty set, not a crash
+    val belowQ = Seq("ab").toDF("text")
+      .select(size(call_function("graft_qgram_hashes", col("text"), lit(3))))
+      .head.getInt(0)
+    assert(belowQ == 0)
+  }
 }
